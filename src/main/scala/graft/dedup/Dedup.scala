@@ -1,0 +1,115 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimilarityFunctions => S, TextFunctions => T}
+
+/** Document deduplication for training-data pipelines, at three cost tiers:
+  *
+  *  1. exact     — one hash-shuffle; O(N).
+  *  2. near-dup  — MinHash/SimHash banding: candidates only collide within a
+  *                 band bucket, so the pairwise verify is confined to tiny
+  *                 buckets. Never materializes the N² pair space — the only
+  *                 shape that survives 100 TB.
+  *  3. embedding — cosine near-dup over an embedding column (delegates
+  *                 bucketing to [[graft.ann.Ann]]-style LSH).
+  *
+  * All candidate-pair outputs use (id_keep < id_dup) ordering so results are
+  * deterministic sets.
+  */
+object Dedup {
+
+  /** Exact dedup on a content column: md5-group, keep the smallest id.
+    * Single shuffle on the 128-bit content hash — at 100 TB, hash first so
+    * the shuffle carries (hash, id), not the document bytes. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy("text_hash")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Rows of `df` surviving exact dedup (the min-id representative of each
+    * distinct content hash). */
+  def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exact(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash-LSH candidate pairs: shingle → k-permutation signature →
+    * `bands` band hashes → explode → self-join per (band, hash) bucket →
+    * verify with the signature-estimated Jaccard. Returns
+    * (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
+    *
+    * Shuffle profile: one explode+shuffle on band hash (k·N/bands rows),
+    * bucket-local pair expansion — no global cross join. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleLen: Int = 3, k: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.7): DataFrame = {
+    val sigs = df.select(
+      col(idCol).as("id"),
+      S.minhashSignature(T.wordShingles(col(textCol), shingleLen), k).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(S.minhashBands(col("sig"), k, bands)).as(Seq("band", "bhash")))
+    val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), S.minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** SimHash near-dup candidate pairs: 64-bit fingerprint, banded into four
+    * 16-bit chunks (any equal chunk ⇒ candidate; catches all pairs within
+    * Hamming distance 3 by pigeonhole), verified by exact Hamming distance. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), S.simhash(T.tokens(col(textCol))).as("fp"))
+    val chunks = (0 until 4).map(i =>
+      shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL)).as(s"c$i"))
+    val banded = fp.select(col("id") +: col("fp") +: chunks: _*)
+      .select(col("id"), col("fp"),
+        posexplode(array((0 until 4).map(i => col(s"c$i")): _*)).as(Seq("band", "chunk")))
+    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), S.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  /** Exact n-gram Jaccard over MinHash-generated candidates: the LSH pass
+    * proposes pairs, then the true shingle-set Jaccard verifies them.
+    * This is the standard two-phase shape — cheap recall, exact precision —
+    * that avoids ever computing N² true Jaccards. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 3, threshold: Double = 0.8,
+                        k: Int = 64, bands: Int = 16): DataFrame = {
+    val candidates = minhashPairs(df, idCol, textCol, shingleLen, k, bands,
+      threshold = threshold * 0.7) // lower LSH bar: recall phase
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(T.wordShingles(col(textCol), shingleLen)).as("sh"))
+    candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"), S.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding cosine near-dup pairs via random-hyperplane LSH bucketing
+    * (see [[graft.ann.Ann.hyperplaneSignature]]): vectors sharing a
+    * signature bucket are verified with exact double-precision cosine. */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.9, planes: Int = 12): DataFrame = {
+    val sig = graft.ann.Ann.hyperplaneSignature(col(vecCol), dim = 64, planes = planes)
+    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("vec"), sig.as("bucket"))
+    val a = withSig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = withSig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), S.cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines.
+  * All are compositions of codegen'd built-ins (no UDFs), so they stay
+  * inside whole-stage codegen and scale linearly with input bytes — the
+  * right shape for a 100 TB document corpus.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a document. Empty/blank text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word tokens are weighted by ceil(len/4) — the
+    * common "~4 chars per token" heuristic — plus punctuation/digit runs
+    * counted individually. A cheap, deterministic stand-in for a real BPE
+    * vocabulary that needs no dictionary broadcast. */
+  def approxBpeTokenCount(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => ceil(length(t) / lit(4.0)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    when(length(text) === 0, lit(0.0)).otherwise(punct.cast("double") / length(text))
+  }
+
+  /** Ratio of tokens that are in a stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+  }
+
+  /** Mean token length (0 for empty docs). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+        .cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length documents, low
+    * punctuation density, and some — but not wall-to-wall — stopwords.
+    * Weights are fixed so the score is deterministic and comparable
+    * across runs. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val swScore = least(stopwordRatio(text, stopwords) * 4.0, lit(1.0))
+    round(lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3, 6)
+  }
+
+  /** Default English stopword list used by the quality heuristics. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  /** Character n-grams of the whitespace-normalized text. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val norm = regexp_replace(trim(text), "\\s+", " ")
+    when(length(norm) < n, array(norm))
+      .otherwise(transform(sequence(lit(1), length(norm) - (n - 1)), i => norm.substr(i, lit(n))))
+  }
+
+  /** Word n-gram shingles (space-joined runs of n consecutive tokens). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Rolling-hash document fingerprint: xxhash64 over each word shingle,
+    * keep the k smallest hashes (a deterministic bottom-k sketch — the
+    * same family as MinHash but single-permutation). Two documents'
+    * fingerprints overlap ∝ their shingle Jaccard similarity. */
+  def fingerprint(text: Column, shingleLen: Int = 3, k: Int = 16): Column =
+    slice(array_sort(array_distinct(transform(wordShingles(text, shingleLen), s => xxhash64(s)))), 1, k)
+
+  /** Heuristic language ID from stopword-profile hits. Profiles are tiny
+    * per-language marker-word sets; the language with the most token hits
+    * wins, 'und' when nothing matches. Deterministic ties broken by
+    * language code order. */
+  def languageId(text: Column): Column = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+      "en" -> Seq("the", "a", "and", "is", "of", "to", "in", "it"),
+      "es" -> Seq("el", "la", "los", "las", "es", "y", "un", "una", "con"),
+      "fr" -> Seq("le", "la", "les", "est", "et", "un", "une", "dans"),
+      "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+    val toks = tokens(lower(text))
+    val scored = profiles.map { case (langCode, words) =>
+      val sw = array(words.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(sw, t))).as("hits"), lit(langCode).as("lang"))
+    }
+    // array_max on struct(hits, lang): max hits, ties → lexicographically
+    // greatest lang; invert lang ordering is unnecessary for determinism.
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

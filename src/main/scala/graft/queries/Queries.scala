@@ -1,0 +1,457 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.frame.DynFrame
+import graft.restructure.Restructure
+import graft.dedup.Dedup
+import graft.ann.Ann
+import graft.functions.{TextFunctions => T, SimilarityFunctions => S}
+
+/** The driver-verified query battery: every SURVEY.md §2 operator family plus
+  * the training-data-pipeline operators, each expressed through the graft
+  * library and paired (where SQL-expressible) with a DuckDB oracle in
+  * [[Queries.oracleSql]].
+  *
+  * Determinism rules (SURVEY.md §7.4.3): float aggregates are rounded to 4
+  * decimals on BOTH sides; collected lists are sorted; every computed column
+  * is aliased identically in the Spark code and the oracle SQL (the driver
+  * sorts columns by name before hashing).
+  */
+object Queries {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4 only
+    * reads via the legacy nanos-as-long conf; convert to a proper timestamp
+    * with integer division (no double rounding at 1e18 magnitudes). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  // =============================================================== §2.4 aggs
+
+  /** Filter + grouped aggregation (pricing-summary shape). The filter and the
+    * two-column projection reach the parquet scan (PushedFilters/ReadSchema);
+    * Catalyst does partial aggregation map-side. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  // ======================================================== §2.3 join chain
+
+  /** Multi-table equi-join chain with broadcast dims: orders ⋈ customer ⋈
+    * nation(bcast) ⋈ region(bcast). At 100 TB customer shuffles; nation and
+    * region never should — they are single-digit-KB dimensions. */
+  def q02MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders")
+    val customer = tbl(s, dir, "customer")
+    val nation = tbl(s, dir, "nation")
+    val region = tbl(s, dir, "region")
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 4).as("revenue"))
+  }
+
+  // ===================================================== §2.5 window cumsum
+
+  /** Running cumulative sum per customer (`r2g_account.py:171` shape). Keeps
+    * Spark's default RANGE frame so tied dates aggregate together —
+    * identical to the SQL-standard default the oracle uses. */
+  def q03CumulativeSpend(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    tbl(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(w), 4).as("cum_spend"))
+  }
+
+  // ================================================== §2.3 semi / anti join
+
+  /** Left-semi join (`crawler_undo.py:33,65` shape). */
+  def q04SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+    val o = tbl(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** mergeDynamicFrame upsert (`dynamicframe.py:436-461`): staging rows
+    * overwrite matching PKs, source rows otherwise retained. Implemented as
+    * left-anti + unionByName via [[DynFrame.mergeDynamicFrame]]. */
+  def q05MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders")
+    val source = DynFrame(orders.select(col("o_orderkey"), col("o_orderpriority")), "source")
+    val stage = DynFrame(
+      orders.filter(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), lit("X-MERGED").as("o_orderpriority")), "stage")
+    source.mergeDynamicFrame(stage, Seq("o_orderkey")).toDF
+  }
+
+  // ==================================== §2.7 union w/ choice + resolveChoice
+
+  /** Schema-merging union producing a ChoiceType (long vs string o_orderkey),
+    * then `resolveChoice(cast:long)` collapses it (`dynamicframe.py:394-475`).
+    */
+  def q06UnionChoice(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders")
+    val a = DynFrame(orders.select(col("o_orderkey")), "a")
+    val b = DynFrame(
+      orders.filter(col("o_totalprice") > 100000)
+        .select(col("o_orderkey").cast("string").as("o_orderkey")), "b")
+    a.union(b)
+      .resolveChoice(Seq("o_orderkey" -> "cast:long"))
+      .toDF
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+  }
+
+  /** EXCEPT (`crawler_undo.py:62`): customer nations minus supplier nations. */
+  def q07Subtract(s: SparkSession, dir: String): DataFrame =
+    DynFrame(tbl(s, dir, "customer").select(col("c_nationkey").as("nationkey")), "c")
+      .subtract(DynFrame(tbl(s, dir, "supplier").select(col("s_nationkey").as("nationkey")), "s"))
+      .toDF
+
+  // ========================================== §2.2 applyMapping / splitRows
+
+  /** Declarative project+rename+cast (`dynamicframe.py:347-388`). */
+  def q08ApplyMapping(s: SparkSession, dir: String): DataFrame =
+    DynFrame(tbl(s, dir, "part"), "part").applyMapping(Seq(
+      ("p_partkey", "long", "part_id", "string"),
+      ("p_name", "string", "part_name", "string"),
+      ("p_retailprice", "double", "retail_price", "decimal(12,2)"),
+      ("p_size", "int", "size_l", "long"))).toDF
+
+  /** splitRows comparator predicate (`dynamicframe.py:238-269`), matched side. */
+  def q09SplitRows(s: SparkSession, dir: String): DataFrame = {
+    val (matched, _) = DynFrame(tbl(s, dir, "lineitem"), "li").splitRows(Map(
+      "l_quantity" -> Map(">" -> 30),
+      "l_discount" -> Map("<=" -> 0.02)))
+    matched.toDF.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+  }
+
+  /** selectFields → renameField → dropFields (`dynamicframe.py:187-282`). */
+  def q10FieldOps(s: SparkSession, dir: String): DataFrame =
+    DynFrame(tbl(s, dir, "nation"), "nation")
+      .selectFields(Seq("n_nationkey", "n_name", "n_regionkey"))
+      .renameField("n_name", "nation_name")
+      .dropFields(Seq("n_regionkey"))
+      .toDF
+
+  // ================================================= §2.8 nested restructure
+
+  /** unnest: nested structs flatten to dotted top-level columns
+    * (`dynamicframe.py:310-322`). */
+  def q11Unnest(s: SparkSession, dir: String): DataFrame = {
+    val nested = tbl(s, dir, "nation").select(
+      col("n_nationkey"),
+      struct(col("n_name").as("name"), struct(col("n_regionkey").as("rk")).as("geo")).as("info"))
+    Restructure.unnest(nested)
+  }
+
+  /** relationalize: array column pivots into a child table (id, index, val)
+    * (`dynamicframe.py:324-345`); natural parent key keeps it deterministic. */
+  def q12Relationalize(s: SparkSession, dir: String): DataFrame = {
+    val nested = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("okeys"))
+    Restructure.relationalize(nested, "orders_nested", idCol = Some("o_custkey"))("orders_nested.okeys")
+  }
+
+  /** unbox: parse embedded JSON in a string column (`dynamicframe.py:162-185`). */
+  def q13UnboxJson(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Restructure.unbox(events(s, dir), "props", "json", Some(schema))
+      .select(col("event_id"), col("props.k").as("k"))
+  }
+
+  // ====================================================== §2.11/2.12 date dim
+
+  /** The date dimension (`r2g_account.py:96-136`) rebuilt UDF-free: quarter /
+    * year / date_key / week-of-month as native expressions. week_of_month =
+    * ceil((day + weekday(first_of_month)) / 7), weeks starting Monday,
+    * stringly-typed to match the reference's untyped UDF registration. */
+  def q14DateDim(s: SparkSession, dir: String): DataFrame = {
+    val d = col("date")
+    s.range(0, 3653)
+      .select(date_add(to_date(lit("2015-01-01")), col("id").cast("int")).as("date"))
+      .select(
+        d,
+        date_format(d, "yyyyMMdd").as("date_key"),
+        date_format(d, "yyyy").as("year"),
+        quarter(d).as("quarter"),
+        month(d).as("month"),
+        dayofmonth(d).as("day"),
+        ceil((dayofmonth(d) + weekday(trunc(d, "MM"))) / lit(7.0)).cast("int").cast("string").as("week_of_month"),
+        (weekday(d) >= 5).as("is_weekend"))
+  }
+
+  /** collect_list(distinct) per group with deterministic ordering
+    * (`r2g_account.py:165` + SURVEY.md §7.4.3 sort_array fix). */
+  def q15CollectSet(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+        count(lit(1)).as("n_cust"))
+
+  /** Computed-key join (`r2g_account.py:189-206` month-join shape): monthly
+    * average spend per customer joined back on month(o_orderdate). */
+  def q16MonthJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders")
+    val m = orders
+      .groupBy(month(col("o_orderdate")).as("mth"), col("o_custkey").as("m_custkey"))
+      .agg(round(avg(col("o_totalprice")), 4).as("avg_month_spend"))
+    orders.join(m,
+        month(orders("o_orderdate")) === m("mth") && orders("o_custkey") === m("m_custkey"))
+      .select(col("o_orderkey"), col("mth"), col("avg_month_spend"))
+  }
+
+  /** SCD2 column synthesis (`r2g_account.py:85-88`) with a fixed as-of
+    * timestamp for reproducibility (`current_timestamp` in production). */
+  def q17Scd2Cols(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select(
+      col("c_custkey"), col("c_name"),
+      lit(true).as("is_active"),
+      lit("2024-08-07 00:00:00").cast("timestamp").as("record_created_time"),
+      to_date(lit("3000-01-01 00:00:00"), "yyyy-MM-dd HH:mm:ss").as("record_updated_time"))
+
+  // ============================================= streaming-shaped batch agg
+
+  /** Hourly event rollup — the batch twin of the §2.13 micro-batch path. */
+  def q18EventRollup(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+
+  // ================================================= training-data pipeline
+
+  /** Text statistics: token counts, stopword ratio, mean token length. */
+  def q19TextStats(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_chars"),
+      T.tokenCount(col("text")).cast("long").as("n_tokens"),
+      round(T.stopwordRatio(col("text"), Seq("the", "a")), 4).as("stop_ratio"),
+      round(T.meanTokenLen(col("text")), 4).as("mean_tok_len"))
+
+  /** Exact dedup: content-hash group, keep min id (§ dedup tier 1). */
+  def q20ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(tbl(s, dir, "documents"), "doc_id", "text")
+
+  /** Near-dedup, full two-phase shape: MinHash-LSH candidates verified by
+    * exact shingle Jaccard. The oracle computes ground-truth Jaccard over
+    * all pairs — this query must reproduce it exactly (LSH recall 1.0 at
+    * this threshold on well-separated corpora). */
+  def q21NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, threshold = 0.9)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  /** MinHash signature pairs (rows-only check: xxhash64 not oracle-expressible). */
+  def q22MinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+
+  /** SimHash near-dup pairs (rows-only check). */
+  def q23SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+
+  /** Brute-force cosine pairs above threshold for a deterministic query
+    * subset — the exact-ANN baseline; the kernel the LSH path reranks with. */
+  def q24CosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    e.crossJoin(broadcast(q))
+      .filter(col("qid") < col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        S.cosine(col("qvec"), col("embedding")).as("cos"))
+      .filter(col("cos") > 0.3)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** LSH-bucketed ANN top-k (rows-only: approximate by construction). */
+  def q25LshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    Ann.lshTopK(e, q, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
+  /** Heuristic language ID over stopword profiles. */
+  def q26LanguageId(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(col("doc_id"), T.languageId(col("text")).as("lang_pred"))
+
+  // ================================================================ registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_market_share" -> (q02MarketShare _),
+    "q03_cum_window" -> (q03CumulativeSpend _),
+    "q04_semi_join" -> (q04SemiJoin _),
+    "q05_merge_upsert" -> (q05MergeUpsert _),
+    "q06_union_choice" -> (q06UnionChoice _),
+    "q07_subtract" -> (q07Subtract _),
+    "q08_apply_mapping" -> (q08ApplyMapping _),
+    "q09_split_rows" -> (q09SplitRows _),
+    "q10_field_ops" -> (q10FieldOps _),
+    "q11_unnest" -> (q11Unnest _),
+    "q12_relationalize" -> (q12Relationalize _),
+    "q13_unbox_json" -> (q13UnboxJson _),
+    "q14_date_dim" -> (q14DateDim _),
+    "q15_collect_set" -> (q15CollectSet _),
+    "q16_month_join" -> (q16MonthJoin _),
+    "q17_scd2_cols" -> (q17Scd2Cols _),
+    "q18_event_rollup" -> (q18EventRollup _),
+    "q19_text_stats" -> (q19TextStats _),
+    "q20_exact_dedup" -> (q20ExactDedup _),
+    "q21_ngram_jaccard" -> (q21NgramJaccard _),
+    "q22_minhash_pairs" -> (q22MinhashPairs _),
+    "q23_simhash_pairs" -> (q23SimhashPairs _),
+    "q24_cosine_pairs" -> (q24CosinePairs _),
+    "q25_lsh_topk" -> (q25LshTopK _),
+    "q26_language_id" -> (q26LanguageId _))
+
+  /** DuckDB oracles. Keys missing here (q22, q23, q25) are hash-based or
+    * approximate by construction → driver records a rows-only check. */
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,
+        | round(sum(l_extendedprice),4) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_market_share" ->
+      """SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice),4) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q03_cum_window" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate),4) AS cum_spend
+        |FROM orders""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q05_merge_upsert" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice <= 150000
+        |UNION ALL
+        |SELECT o_orderkey, 'X-MERGED' AS o_orderpriority FROM orders WHERE o_totalprice > 150000""".stripMargin,
+    "q06_union_choice" ->
+      """SELECT o_orderkey, count(*) AS n FROM (
+        | SELECT o_orderkey FROM orders
+        | UNION ALL SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+        |) GROUP BY o_orderkey""".stripMargin,
+    "q07_subtract" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q08_apply_mapping" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS part_id, p_name AS part_name,
+        | CAST(p_retailprice AS DECIMAL(12,2)) AS retail_price, CAST(p_size AS BIGINT) AS size_l
+        |FROM part""".stripMargin,
+    "q09_split_rows" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity > 30 AND l_discount <= 0.02""".stripMargin,
+    "q10_field_ops" ->
+      "SELECT n_nationkey, n_name AS nation_name FROM nation",
+    "q11_unnest" ->
+      """SELECT n_nationkey, n_name AS "info.name", n_regionkey AS "info.geo.rk" FROM nation""",
+    "q12_relationalize" ->
+      """SELECT o_custkey AS id,
+        | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS INT) AS index,
+        | o_orderkey AS val
+        |FROM orders""".stripMargin,
+    "q13_unbox_json" ->
+      "SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k FROM events",
+    "q14_date_dim" ->
+      """SELECT CAST(g AS DATE) AS date, strftime(CAST(g AS DATE), '%Y%m%d') AS date_key,
+        | strftime(CAST(g AS DATE), '%Y') AS year,
+        | CAST(quarter(CAST(g AS DATE)) AS INT) AS quarter,
+        | CAST(month(CAST(g AS DATE)) AS INT) AS month,
+        | CAST(day(CAST(g AS DATE)) AS INT) AS day,
+        | CAST(CAST(ceil((day(CAST(g AS DATE)) + isodow(date_trunc('month', CAST(g AS DATE))) - 1) / 7.0) AS INT) AS VARCHAR) AS week_of_month,
+        | isodow(CAST(g AS DATE)) >= 6 AS is_weekend
+        |FROM generate_series(DATE '2015-01-01', DATE '2024-12-31', INTERVAL 1 DAY) t(g)""".stripMargin,
+    "q15_collect_set" ->
+      """SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments, count(*) AS n_cust
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "q16_month_join" ->
+      """WITH m AS (
+        | SELECT CAST(month(o_orderdate) AS INT) AS mth, o_custkey,
+        |  round(avg(o_totalprice),4) AS avg_month_spend
+        | FROM orders GROUP BY 1, 2)
+        |SELECT o.o_orderkey, m.mth, m.avg_month_spend
+        |FROM orders o JOIN m ON CAST(month(o.o_orderdate) AS INT) = m.mth AND o.o_custkey = m.o_custkey""".stripMargin,
+    "q17_scd2_cols" ->
+      """SELECT c_custkey, c_name, true AS is_active,
+        | TIMESTAMP '2024-08-07 00:00:00' AS record_created_time,
+        | DATE '3000-01-01' AS record_updated_time
+        |FROM customer""".stripMargin,
+    "q18_event_rollup" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        | count(*) AS n, round(sum(value),4) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q19_text_stats" ->
+      """SELECT doc_id, length(text) AS len_chars,
+        | CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        | CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+        |  round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('the','a'))) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')), 4) END AS stop_ratio,
+        | CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+        |  round(CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), x -> length(x))) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')), 4) END AS mean_tok_len
+        |FROM documents""".stripMargin,
+    "q20_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q21_ngram_jaccard" ->
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split_regex(trim(text),'\s+')) - 2),
+        |   i -> array_to_string((string_split_regex(trim(text),'\s+'))[i:i+2], ' '))) AS s
+        | FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        | AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin,
+    "q24_cosine_pairs" ->
+      """SELECT a.vec_id AS qid, b.vec_id AS nid,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id % 20 = 0 AND a.vec_id < b.vec_id
+        | AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.3""".stripMargin,
+    "q26_language_id" ->
+      """SELECT doc_id,
+        | CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
+        |FROM (
+        | SELECT doc_id, list_aggregate([
+        |   {'hits': len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))), 'lang': 'de'},
+        |   {'hits': len(list_filter(toks, x -> x IN ('the','a','and','is','of','to','in','it'))), 'lang': 'en'},
+        |   {'hits': len(list_filter(toks, x -> x IN ('el','la','los','las','es','y','un','una','con'))), 'lang': 'es'},
+        |   {'hits': len(list_filter(toks, x -> x IN ('le','la','les','est','et','un','une','dans'))), 'lang': 'fr'},
+        |   {'hits': len(list_filter(toks, x -> x IN ('的','是','了','在','和','有'))), 'lang': 'zh'}
+        |  ], 'max') AS best
+        | FROM (SELECT doc_id,
+        |   CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents))""".stripMargin)
+}

@@ -1,0 +1,127 @@
+package graft.restructure
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The distinctive Glue nested-data operators (SURVEY.md §2.8), implemented
+  * as schema-recursive rewrites over built-in Spark operators — no Catalyst
+  * extension needed; every emitted plan stays inside whole-stage codegen.
+  */
+object Restructure {
+
+  // ------------------------------------------------------------------ unnest
+
+  /** Flatten all nested structs to top-level columns with dotted names
+    * (`dynamicframe.py:310-322`, `transforms/unnest_frame.py:15-32`).
+    * Arrays are left in place (relationalize is the operator that pivots
+    * them out). Pure projection — zero shuffle at any scale. */
+  def unnest(df: DataFrame): DataFrame = {
+    def expand(prefix: String, dt: DataType): Seq[Column] = dt match {
+      case s: StructType =>
+        s.fields.toIndexedSeq.flatMap(f => expand(s"$prefix.${f.name}", f.dataType))
+      case _ => Seq(col(prefix).as(prefix))
+    }
+    val cols = df.schema.fields.toIndexedSeq.flatMap {
+      case StructField(n, s: StructType, _, _) => s.fields.toIndexedSeq.flatMap(f => expand(s"$n.${f.name}", f.dataType))
+      case StructField(n, _, _, _)             => Seq(col(n))
+    }
+    df.select(cols: _*)
+  }
+
+  // --------------------------------------------------------- relationalize
+
+  /** Decompose a nested frame into a collection of flat tables
+    * (`dynamicframe.py:324-345`, `transforms/relationalize.py:16-47`):
+    * structs are unnested in place; each array column is pivoted into a
+    * child table `(joinkey id, index, val…)` and replaced in the parent by
+    * the joinkey.
+    *
+    * Key stability: the reference generates synthetic joinkeys. At 100 TB,
+    * `monotonically_increasing_id` is partition-dependent and breaks
+    * determinism across re-runs, so the caller may supply a natural key
+    * column (`idCol`); when absent we fall back to a content hash
+    * (`xxhash64` over the parent row), which is deterministic for distinct
+    * parents regardless of partitioning. */
+  def relationalize(df: DataFrame, rootName: String, idCol: Option[String] = None): Map[String, DataFrame] = {
+    val flat = unnest(df)
+    val arrayCols = flat.schema.fields.filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
+    if (arrayCols.isEmpty) return Map(rootName -> flat)
+
+    val withId = idCol match {
+      case Some(k) => flat.withColumn(s"$rootName._id", col(k))
+      case None    => flat.withColumn(s"$rootName._id", xxhash64(flat.columns.map(col).toIndexedSeq: _*))
+    }
+
+    val children = arrayCols.map { ac =>
+      val childName = s"$rootName.$ac"
+      val elemType = flat.schema(ac).dataType.asInstanceOf[ArrayType].elementType
+      val exploded = withId
+        .select(col(s"`$rootName._id`").as("id"), posexplode(col(s"`$ac`")).as(Seq("index", "val")))
+      val child = elemType match {
+        case _: StructType => unnest(exploded.select(col("id"), col("index"), col("val.*")))
+        case _             => exploded
+      }
+      childName -> child
+    }.toMap
+
+    val parent = arrayCols
+      .foldLeft(withId) { (d, ac) => d.withColumn(ac, col(s"`$rootName._id`")) }
+    Map(rootName -> parent) ++ children
+  }
+
+  // ------------------------------------------------------------------ unbox
+
+  /** Parse a string column containing embedded JSON or CSV into structured
+    * data (`dynamicframe.py:162-185`, `transforms/unbox.py:15-35`). When no
+    * schema is given for JSON, one inference pass samples the column. */
+  def unbox(df: DataFrame, path: String, format: String,
+            schema: Option[DataType] = None,
+            separator: String = ",", withHeader: Boolean = false): DataFrame = format match {
+    case "json" =>
+      val s = schema.getOrElse {
+        // Inference pass: let the JSON reader sample the column. At scale,
+        // prefer passing an explicit schema to skip this extra scan.
+        df.sparkSession.read.json(df.select(col(path)).na.drop().as(
+          org.apache.spark.sql.Encoders.STRING)).schema
+      }
+      df.withColumn(path, from_json(col(path), s))
+    case "csv" =>
+      val s = schema.getOrElse(throw new IllegalArgumentException("unbox csv requires a schema"))
+      df.withColumn(path, from_csv(col(path), s.asInstanceOf[StructType], Map("sep" -> separator)))
+    case "avro" =>
+      throw new UnsupportedOperationException(
+        "unbox avro: spark-avro's from_avro is a separate artifact; out of scope offline")
+    case other => throw new IllegalArgumentException(s"unbox format $other")
+  }
+
+  // --------------------------------------------------------- DynamoDB JSON
+
+  /** Flatten the DynamoDB typed-JSON encoding (`dynamicframe.py:390-392`):
+    * every struct level of shape `{"S": …, "N": …, "BOOL": …, "L": …,
+    * "M": …}` drops the type-tag layer, keeping the populated branch. */
+  def unnestDdbJson(df: DataFrame): DataFrame = {
+    val tags = Set("S", "N", "BOOL", "L", "M", "SS", "NS", "B", "NULL")
+    def isTagStruct(s: StructType): Boolean = s.fields.nonEmpty && s.fields.forall(f => tags.contains(f.name))
+    def strip(c: Column, dt: DataType): (Column, DataType) = dt match {
+      case s: StructType if isTagStruct(s) =>
+        // Pick the single populated branch; for mixed columns prefer in
+        // field order S, N, BOOL (stringified), L, M.
+        val pick = Seq("S", "N", "BOOL").filter(b => s.fieldNames.contains(b))
+        if (pick.nonEmpty) (coalesce(pick.map(b => c.getField(b).cast(StringType)): _*), StringType)
+        else (c, dt)
+      case s: StructType =>
+        val rebuilt = s.fields.toIndexedSeq.map { f =>
+          val (cc, _) = strip(c.getField(f.name), f.dataType)
+          cc.as(f.name)
+        }
+        (struct(rebuilt: _*), dt)
+      case _ => (c, dt)
+    }
+    val cols = df.schema.fields.toIndexedSeq.map { f =>
+      val (c, _) = strip(col(f.name), f.dataType)
+      c.as(f.name)
+    }
+    df.select(cols: _*)
+  }
+}

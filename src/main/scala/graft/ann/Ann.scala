@@ -33,14 +33,22 @@ object Ann {
 
   /** Sign-pattern signature of a vector against `planes` fixed hyperplanes:
     * bit p is set iff dot(vec, plane_p) > 0. Cosine-similar vectors agree on
-    * most sign bits, so they land in the same bucket with high probability. */
+    * most sign bits, so they land in the same bucket with high probability.
+    *
+    * Shaped as a single pass with flat constant arrays (component-major
+    * plane matrix): a per-plane reduce over element_at builds a 512-node
+    * expression tree that blows up Catalyst's optimizer time. */
   def hyperplaneSignature(vec: Column, dim: Int, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val dotP = (0 until dim).map(c => element_at(vec, c + 1).cast("double") * lit(planeComponent(p, c)))
-        .reduce(_ + _)
-      when(dotP > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
+    // planeMatrix(c) = [planeComponent(0,c), …, planeComponent(planes-1,c)]
+    val planeMatrix = array((0 until dim).map { c =>
+      array((0 until planes).map(p => lit(planeComponent(p, c))): _*)
+    }: _*)
+    val partials = zip_with(vec, planeMatrix, (x, ps) => transform(ps, p => x.cast("double") * p))
+    val dots = aggregate(partials, array_repeat(lit(0.0), planes),
+      (acc, arr) => zip_with(acc, arr, _ + _))
+    val masks = array((0 until planes).map(p => lit(1L << p)): _*)
+    aggregate(zip_with(dots, masks, (d, m) => when(d > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   /** Exact top-k by cosine: each query row against the full corpus.
@@ -69,11 +77,14 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     val csig = corpus.select(col(corpusId).as("nid"), col(corpusVec).as("nvec"),
       hyperplaneSignature(col(corpusVec), dim, planes).as("bucket"))
-    // multi-probe: query signature plus all 1-bit flips
-    val qsigBase = hyperplaneSignature(col(queryVec), dim, planes)
-    val probes = array((qsigBase +: (0 until planes).map(p => qsigBase.bitwiseXOR(lit(1L << p)))): _*)
-    val qsig = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"),
-        explode(probes).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // multi-probe: query signature plus all 1-bit flips. Signature is
+    // materialized into a column first so the probe array XORs a cheap
+    // column reference instead of replicating the signature tree 9×.
+    val qbase = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"),
+      hyperplaneSignature(col(queryVec), dim, planes).as("sig0"))
+    val probes = array((col("sig0") +: (0 until planes).map(p => col("sig0").bitwiseXOR(lit(1L << p)))): _*)
+    val qsig = qbase.select(col("qid"), col("qvec"), explode(probes).as("bucket"))
     val scored = csig.join(broadcast(qsig), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), S.cosine(col("qvec"), col("nvec")).as("cos"))

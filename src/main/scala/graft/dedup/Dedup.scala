@@ -45,9 +45,13 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 3, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7): DataFrame = {
+    // Materialize signatures before the self-join: both join branches read
+    // the cached k·8-byte rows instead of re-running shingling+hashing.
+    // (At cluster scale this stage writes signatures to storage instead.)
     val sigs = df.select(
       col(idCol).as("id"),
       S.minhashSignature(T.wordShingles(col(textCol), shingleLen), k).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(S.minhashBands(col("sig"), k, bands)).as(Seq("band", "bhash")))
     val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"), col("sig").as("sig_a"))
@@ -65,6 +69,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val fp = df.select(col(idCol).as("id"), S.simhash(T.tokens(col(textCol))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = (0 until 4).map(i =>
       shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL)).as(s"c$i"))
     val banded = fp.select(col("id") +: col("fp") +: chunks: _*)
@@ -90,6 +95,7 @@ object Dedup {
       threshold = threshold * 0.7) // lower LSH bar: recall phase
     val sh = df.select(col(idCol).as("id"),
       array_distinct(T.wordShingles(col(textCol), shingleLen)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -104,6 +110,7 @@ object Dedup {
                      threshold: Double = 0.9, planes: Int = 12): DataFrame = {
     val sig = graft.ann.Ann.hyperplaneSignature(col(vecCol), dim = 64, planes = planes)
     val withSig = df.select(col(idCol).as("id"), col(vecCol).as("vec"), sig.as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withSig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = withSig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket"))

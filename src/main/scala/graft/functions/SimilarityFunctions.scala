@@ -33,16 +33,22 @@ object SimilarityFunctions {
   }
 
   /** MinHash signature of a set of string shingles: for each of `k`
-    * permutations h_i(x) = (a_i·xxhash64(x) + b_i) mod (2^61-1), the min
-    * over the shingle set. Returns array<long> of length k. */
+    * permutations h_i(x) = (a_i·xxhash64(x) + b_i) mod (2^31-1), the min
+    * over the shingle set. Returns array<long> of length k.
+    *
+    * Single traversal: the accumulator is the whole k-length signature and
+    * each shingle updates it via one zip_with against the constant
+    * permutation-parameter array — k separate aggregate passes over the
+    * shingle array cost ~50× more in the interpreted HOF path. */
   def minhashSignature(shingles: Column, k: Int = 64): Column = {
     val hashes = transform(array_distinct(shingles), s => pmod(xxhash64(s), lit(MinhashPrime)))
-    val sig = (0 until k).map { i =>
+    val params = array((0 until k).map { i =>
       val (a, b) = perm(i)
-      aggregate(hashes, lit(Long.MaxValue),
-        (acc, h) => least(acc, pmod(h * lit(a) + lit(b), lit(MinhashPrime))))
-    }
-    array(sig: _*)
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    aggregate(hashes, array_repeat(lit(MinhashPrime), k),
+      (acc, h) => zip_with(acc, params, (m, p) =>
+        least(m, pmod(h * p.getField("a") + p.getField("b"), lit(MinhashPrime)))))
   }
 
   /** Band hashes for LSH: split a k-length signature into `bands` bands of
@@ -76,12 +82,14 @@ object SimilarityFunctions {
     * distance). */
   def simhash(tokensCol: Column): Column = {
     val hashes = transform(tokensCol, t => xxhash64(t))
-    val bitCols = (0 until 64).map { j =>
-      val bitSum = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) =!= 0, lit(1L)).otherwise(lit(-1L)))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ bitwiseOR _)
+    // Single traversal: accumulator = per-bit vote counts; each token hash
+    // updates all 64 via one zip_with against the constant mask array.
+    val masks = array((0 until 64).map(j => lit(1L << j)): _*)
+    val counts = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, masks, (c, m) =>
+        c + when(h.bitwiseAND(m) =!= 0, lit(1L)).otherwise(lit(-1L))))
+    aggregate(zip_with(counts, masks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   /** Hamming distance between two 64-bit hashes. */

@@ -38,10 +38,10 @@ object Ann {
     * Shaped as a single pass with flat constant arrays (component-major
     * plane matrix): a per-plane reduce over element_at builds a 512-node
     * expression tree that blows up Catalyst's optimizer time. */
-  def hyperplaneSignature(vec: Column, dim: Int, planes: Int): Column = {
-    // planeMatrix(c) = [planeComponent(0,c), …, planeComponent(planes-1,c)]
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int, planeOffset: Int = 0): Column = {
+    // planeMatrix(c) = [planeComponent(off,c), …, planeComponent(off+planes-1,c)]
     val planeMatrix = array((0 until dim).map { c =>
-      array((0 until planes).map(p => lit(planeComponent(p, c))): _*)
+      array((0 until planes).map(p => lit(planeComponent(planeOffset + p, c))): _*)
     }: _*)
     val partials = zip_with(vec, planeMatrix, (x, ps) => transform(ps, p => x.cast("double") * p))
     val dots = aggregate(partials, array_repeat(lit(0.0), planes),
@@ -58,34 +58,51 @@ object Ann {
                      corpusId: String, corpusVec: String,
                      queryId: String, queryVec: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val joined = corpus.crossJoin(broadcast(queries))
-      .filter(col(queryId) =!= col(corpusId))
-      .select(col(queryId).as("qid"), col(corpusId).as("nid"),
-        S.cosine(col(queryVec), col(corpusVec)).as("cos"))
+    val c = corpus.select(col(corpusId).as("nid"), col(corpusVec).as("nvec"))
+    val qs = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"))
+    val joined = c.crossJoin(broadcast(qs))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), S.cosine(col("qvec"), col("nvec")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Approximate top-k: bucket corpus and queries by hyperplane signature,
-    * rank within buckets. Recall is tuned by `planes` (fewer planes ⇒
-    * bigger buckets ⇒ higher recall, more compute). Multi-probe: each query
-    * also probes the buckets at Hamming distance 1 from its signature. */
+  /** Approximate top-k: bucket corpus and queries by hyperplane signatures
+    * across `numTables` independent hash tables (the standard recall knob —
+    * each table is `planes` fixed hyperplanes; a corpus row is a candidate
+    * if it shares any table's bucket with the query). Multi-probe: each
+    * query also probes the buckets at Hamming distance 1 from its
+    * signature in every table. Recall rises with numTables and falls with
+    * planes; compute does the opposite — tune both to the corpus's
+    * neighbor density. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               corpusId: String, corpusVec: String,
               queryId: String, queryVec: String,
-              k: Int, dim: Int = 64, planes: Int = 8): DataFrame = {
+              k: Int, dim: Int = 64, planes: Int = 6, numTables: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val csig = corpus.select(col(corpusId).as("nid"), col(corpusVec).as("nvec"),
-      hyperplaneSignature(col(corpusVec), dim, planes).as("bucket"))
+    // corpus: one (table, bucket) row per hash table, signatures computed in
+    // a single projection and persisted — the 100 TB shape is "hash the
+    // corpus once, store the index".
+    val csigCols = (0 until numTables).map(t =>
+      hyperplaneSignature(col(corpusVec), dim, planes, planeOffset = t * planes).as(s"sig$t"))
+    val csig = corpus.select((col(corpusId).as("nid") +: col(corpusVec).as("nvec") +: csigCols): _*)
+      .select(col("nid"), col("nvec"), posexplode(array((0 until numTables).map(t => col(s"sig$t")): _*)).as(Seq("table", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // multi-probe: query signature plus all 1-bit flips. Signature is
-    // materialized into a column first so the probe array XORs a cheap
-    // column reference instead of replicating the signature tree 9×.
-    val qbase = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"),
-      hyperplaneSignature(col(queryVec), dim, planes).as("sig0"))
-    val probes = array((col("sig0") +: (0 until planes).map(p => col("sig0").bitwiseXOR(lit(1L << p)))): _*)
-    val qsig = qbase.select(col("qid"), col("qvec"), explode(probes).as("bucket"))
-    val scored = csig.join(broadcast(qsig), Seq("bucket"))
+    // queries: signature per table, multi-probe with all 1-bit flips.
+    // Signatures land in columns first so the probe arrays XOR cheap column
+    // references instead of replicating the signature expression tree.
+    val qsigCols = (0 until numTables).map(t =>
+      hyperplaneSignature(col(queryVec), dim, planes, planeOffset = t * planes).as(s"sig$t"))
+    val qbase = queries.select((col(queryId).as("qid") +: col(queryVec).as("qvec") +: qsigCols): _*)
+    val probeStructs = (0 until numTables).flatMap { t =>
+      val sig = col(s"sig$t")
+      (sig +: (0 until planes).map(p => sig.bitwiseXOR(lit(1L << p))))
+        .map(b => struct(lit(t).as("table"), b.as("bucket")))
+    }
+    val qsig = qbase
+      .select(col("qid"), col("qvec"), explode(array(probeStructs: _*)).as("probe"))
+      .select(col("qid"), col("qvec"), col("probe.table").as("table"), col("probe.bucket").as("bucket"))
+    val scored = csig.join(broadcast(qsig), Seq("table", "bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), S.cosine(col("qvec"), col("nvec")).as("cos"))
       .groupBy("qid", "nid").agg(max("cos").as("cos"))

@@ -296,6 +296,74 @@ object Queries {
   def q26LanguageId(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents").select(col("doc_id"), T.languageId(col("text")).as("lang_pred"))
 
+  /** Flagship: the reference fact query (`r2g_account.py:160-208`) mapped
+    * onto the testdata star schema — identical CTE structure: 3 agg CTEs
+    * (count / count-distinct / sum / avg / collect-distinct), 2 cumulative
+    * windows, the 5-way join INCLUDING the reference's cust_id-only fan-out
+    * join on c2, the month-of-any-year join on c3, and the misspelled
+    * output column. Determinism fixes for hashing only: sorted collect_set,
+    * round(…,4) on double outputs, orders subsampled to bound the fan-out.
+    */
+  def q27FactSnapshot(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("trans_id"), col("o_custkey").as("acc_id"),
+        col("o_totalprice").as("amount"), to_date(col("o_orderdate")).as("transaction_date"),
+        col("o_orderpriority").as("type_nm"))
+      .createOrReplaceTempView("q27_pm")
+    tbl(s, dir, "customer")
+      .select(col("c_custkey").as("acc_id"), pmod(col("c_custkey"), lit(200)).as("cust_id"),
+        col("c_mktsegment").as("acc_type"))
+      .createOrReplaceTempView("q27_account")
+    val out = s.sql("""
+      with cte_transaction_revenue as (
+          select transaction_date, a.cust_id,
+              count(trans_id) as cust_no_transaction_daily,
+              sum(amount) as cust_daily_spending,
+              sort_array(collect_set(type_nm)) as cust_daily_payment_type
+          from q27_pm pm join q27_account a on pm.acc_id = a.acc_id
+          group by transaction_date, a.cust_id
+      ),
+      cte_cust_accum_revenue as (
+          select cust_id,
+              sum(cust_daily_spending) over (partition by cust_id order by transaction_date) as cust_accum_spending
+          from cte_transaction_revenue
+      ),
+      cte_account_payment_summary as (
+          select pm.transaction_date, cust_id, a.acc_id, a.acc_type as account_type_name,
+              count(distinct pm.trans_id) as account_no_transactions_daily,
+              sum(pm.amount) as account_daily_spending
+          from q27_pm pm join q27_account a on pm.acc_id = a.acc_id
+          group by pm.transaction_date, a.cust_id, a.acc_id, a.acc_type
+      ),
+      cte_account_accum_revenue as (
+          select transaction_date, cust_id, acc_id, account_daily_spending,
+              sum(account_daily_spending) over (partition by cust_id, acc_id order by transaction_date) as account_accum_spending
+          from cte_account_payment_summary
+      ),
+      cte_customer_avgerage_daily_spending as (
+          select month(transaction_date) as month, a.cust_id,
+              avg(amount) as cust_avgerage_daily_spending
+          from q27_pm pm join q27_account a on pm.acc_id = a.acc_id
+          group by month(transaction_date), a.cust_id
+      )
+      select date_format(a1.transaction_date, 'yyyyMMdd') as date_key, a1.cust_id, a1.acc_id, a1.account_type_name,
+              a1.account_no_transactions_daily,
+              round(a1.account_daily_spending, 4) as account_daily_spending,
+          round(a2.account_accum_spending, 4) as account_accum_spending,
+          c1.cust_no_transaction_daily, round(c1.cust_daily_spending, 4) as cust_daily_spending,
+          c1.cust_daily_payment_type,
+          round(c2.cust_accum_spending, 4) as cust_accum_spending,
+          round(c3.cust_avgerage_daily_spending, 4) as cust_avgerage_daily_spending
+      from cte_account_payment_summary a1
+          join cte_account_accum_revenue a2 on a1.transaction_date = a2.transaction_date and a1.cust_id = a2.cust_id and a1.acc_id = a2.acc_id
+          join cte_transaction_revenue c1 on a1.transaction_date = c1.transaction_date and a1.cust_id = c1.cust_id
+          join cte_cust_accum_revenue c2 on c1.cust_id = c2.cust_id
+          join cte_customer_avgerage_daily_spending c3 on c3.month = month(a1.transaction_date) and c3.cust_id = a1.cust_id
+    """)
+    Seq("q27_pm", "q27_account").foreach(s.catalog.dropTempView)
+    out
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -324,7 +392,8 @@ object Queries {
     "q23_simhash_pairs" -> (q23SimhashPairs _),
     "q24_cosine_pairs" -> (q24CosinePairs _),
     "q25_lsh_topk" -> (q25LshTopK _),
-    "q26_language_id" -> (q26LanguageId _))
+    "q26_language_id" -> (q26LanguageId _),
+    "q27_fact_snapshot" -> (q27FactSnapshot _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25) are hash-based or
     * approximate by construction → driver records a rows-only check. */
@@ -453,5 +522,52 @@ object Queries {
         |  ], 'max') AS best
         | FROM (SELECT doc_id,
         |   CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
-        |  FROM documents))""".stripMargin)
+        |  FROM documents))""".stripMargin,
+    "q27_fact_snapshot" ->
+      """WITH pm AS (
+        |  SELECT o_orderkey AS trans_id, o_custkey AS acc_id, o_totalprice AS amount,
+        |         CAST(o_orderdate AS DATE) AS transaction_date, o_orderpriority AS type_nm
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |acct AS (
+        |  SELECT c_custkey AS acc_id, c_custkey % 200 AS cust_id, c_mktsegment AS acc_type
+        |  FROM customer),
+        |cte_transaction_revenue AS (
+        |  SELECT transaction_date, a.cust_id,
+        |         count(trans_id) AS cust_no_transaction_daily,
+        |         sum(amount) AS cust_daily_spending,
+        |         list_sort(list(DISTINCT type_nm)) AS cust_daily_payment_type
+        |  FROM pm JOIN acct a ON pm.acc_id = a.acc_id
+        |  GROUP BY transaction_date, a.cust_id),
+        |cte_cust_accum_revenue AS (
+        |  SELECT cust_id,
+        |         sum(cust_daily_spending) OVER (PARTITION BY cust_id ORDER BY transaction_date) AS cust_accum_spending
+        |  FROM cte_transaction_revenue),
+        |cte_account_payment_summary AS (
+        |  SELECT pm.transaction_date, cust_id, a.acc_id, a.acc_type AS account_type_name,
+        |         count(DISTINCT pm.trans_id) AS account_no_transactions_daily,
+        |         sum(pm.amount) AS account_daily_spending
+        |  FROM pm JOIN acct a ON pm.acc_id = a.acc_id
+        |  GROUP BY pm.transaction_date, a.cust_id, a.acc_id, a.acc_type),
+        |cte_account_accum_revenue AS (
+        |  SELECT transaction_date, cust_id, acc_id, account_daily_spending,
+        |         sum(account_daily_spending) OVER (PARTITION BY cust_id, acc_id ORDER BY transaction_date) AS account_accum_spending
+        |  FROM cte_account_payment_summary),
+        |cte_customer_avgerage_daily_spending AS (
+        |  SELECT month(transaction_date) AS month, a.cust_id,
+        |         avg(amount) AS cust_avgerage_daily_spending
+        |  FROM pm JOIN acct a ON pm.acc_id = a.acc_id
+        |  GROUP BY month(transaction_date), a.cust_id)
+        |SELECT strftime(a1.transaction_date, '%Y%m%d') AS date_key, a1.cust_id, a1.acc_id, a1.account_type_name,
+        |       a1.account_no_transactions_daily,
+        |       round(a1.account_daily_spending, 4) AS account_daily_spending,
+        |       round(a2.account_accum_spending, 4) AS account_accum_spending,
+        |       c1.cust_no_transaction_daily, round(c1.cust_daily_spending, 4) AS cust_daily_spending,
+        |       c1.cust_daily_payment_type,
+        |       round(c2.cust_accum_spending, 4) AS cust_accum_spending,
+        |       round(c3.cust_avgerage_daily_spending, 4) AS cust_avgerage_daily_spending
+        |FROM cte_account_payment_summary a1
+        |  JOIN cte_account_accum_revenue a2 ON a1.transaction_date = a2.transaction_date AND a1.cust_id = a2.cust_id AND a1.acc_id = a2.acc_id
+        |  JOIN cte_transaction_revenue c1 ON a1.transaction_date = c1.transaction_date AND a1.cust_id = c1.cust_id
+        |  JOIN cte_cust_accum_revenue c2 ON c1.cust_id = c2.cust_id
+        |  JOIN cte_customer_avgerage_daily_spending c3 ON c3.month = month(a1.transaction_date) AND c3.cust_id = a1.cust_id""".stripMargin)
 }

@@ -1,0 +1,82 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ann.Ann
+
+class DedupAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again today"), // near dup of 1
+    (4L, "completely different content about spark query engines and shuffles here"),
+    (5L, "another unrelated document mentioning minhash lsh banding techniques throughout")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.count() == 4)
+    val dupRow = out.filter(col("dup_count") === 2).collect()
+    assert(dupRow.length == 1 && dupRow(0).getAs[Long]("keep_id") == 1L)
+    val surv = Dedup.exactSurvivors(docs, "doc_id", "text")
+    assert(surv.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngramJaccardPairs verifies candidates with true jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.99)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    // only the exact dup survives a 0.99 bar
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash pairs: exact dup at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toMap2
+    assert(pairs((1L, 2L)) == 0)
+  }
+
+  implicit class ToMap2(rows: Array[(Long, Long, Int)]) {
+    def toMap2: Map[(Long, Long), Int] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+
+  test("embedding near-dup pairs via hyperplane buckets") {
+    val vecs = Seq(
+      (1L, Seq.tabulate(64)(i => if (i < 8) 1.0f else 0.0f)),
+      (2L, Seq.tabulate(64)(i => if (i < 8) 0.99f else 0.01f)), // ~same direction
+      (3L, Seq.tabulate(64)(i => if (i >= 56) 1.0f else 0.0f))  // orthogonal
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L))
+  }
+
+  test("LSH top-k recall vs brute force on real embeddings") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(e, q, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // The sf0.001 corpus has weak neighbors (best cos ≈ 0.33), so per-plane
+    // sign agreement is only ~0.6 — 4 tables × 6 planes with multiprobe
+    // gives ~0.6 expected recall here; denser corpora do far better.
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall $recall too low")
+    // rank is always within k and qid never equals nid
+    assert(!approx.exists(p => p._1 == p._2))
+  }
+}

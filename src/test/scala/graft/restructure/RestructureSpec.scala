@@ -1,0 +1,73 @@
+package graft.restructure
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class RestructureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unnest flattens nested structs to dotted columns") {
+    val df = spark.sql(
+      "select 1 as id, named_struct('a', 10, 'g', named_struct('b', 'x')) as s")
+    val out = Restructure.unnest(df)
+    assert(out.columns.toSeq == Seq("id", "s.a", "s.g.b"))
+    val r = out.collect()(0)
+    assert(r.getInt(1) == 10 && r.getString(2) == "x")
+  }
+
+  test("unnest leaves arrays in place") {
+    val df = spark.sql("select 1 as id, array(1,2) as xs")
+    assert(Restructure.unnest(df).schema("xs").dataType.isInstanceOf[ArrayType])
+  }
+
+  test("relationalize pivots arrays into child tables with joinkeys") {
+    val df = spark.sql(
+      """select * from values
+        | (10, array(named_struct('v', 'a'), named_struct('v', 'b'))),
+        | (20, array(named_struct('v', 'c')))
+        | as t(pk, items)""".stripMargin)
+    val frames = Restructure.relationalize(df, "root", idCol = Some("pk"))
+    assert(frames.keySet == Set("root", "root.items"))
+    val child = frames("root.items").orderBy("id", "index")
+      .select("id", "index", "v").as[(Int, Int, String)].collect().toSeq
+    assert(child == Seq((10, 0, "a"), (10, 1, "b"), (20, 0, "c")))
+    // parent's array column replaced by the joinkey
+    val parent = frames("root")
+    assert(parent.select(col("items")).as[Int].collect().sorted.toSeq == Seq(10, 20))
+  }
+
+  test("relationalize without idCol uses deterministic content hash") {
+    val df = spark.sql("select * from values (1, array(5,6)) as t(pk, xs)")
+    val f1 = Restructure.relationalize(df, "r")("r.xs").select("index", "val").as[(Int, Int)].collect().toSet
+    val f2 = Restructure.relationalize(df.repartition(3), "r")("r.xs")
+      .select("index", "val").as[(Int, Int)].collect().toSet
+    assert(f1 == f2 && f1 == Set((0, 5), (1, 6)))
+  }
+
+  test("unbox parses embedded JSON with and without schema") {
+    val df = Seq((1L, """{"k": 7, "s": "hi"}""")).toDF("id", "payload")
+    val schema = StructType(Seq(StructField("k", LongType), StructField("s", StringType)))
+    val out = Restructure.unbox(df, "payload", "json", Some(schema))
+    assert(out.select("payload.k").as[Long].collect().toSeq == Seq(7L))
+    val inferred = Restructure.unbox(df, "payload", "json", None)
+    assert(inferred.select("payload.s").as[String].collect().toSeq == Seq("hi"))
+  }
+
+  test("unbox parses embedded CSV") {
+    val df = Seq((1L, "7|hi")).toDF("id", "payload")
+    val schema = StructType(Seq(StructField("k", LongType), StructField("s", StringType)))
+    val out = Restructure.unbox(df, "payload", "csv", Some(schema), separator = "|")
+    assert(out.select("payload.s").as[String].collect().toSeq == Seq("hi"))
+  }
+
+  test("unnestDdbJson strips DynamoDB type tags") {
+    val df = spark.sql(
+      """select named_struct('S', 'hello', 'N', cast(null as string)) as name,
+        |       named_struct('N', '42', 'S', cast(null as string)) as qty""".stripMargin)
+    val out = Restructure.unnestDdbJson(df)
+    val r = out.collect()(0)
+    assert(r.getString(0) == "hello" && r.getString(1) == "42")
+  }
+}

@@ -364,6 +364,27 @@ object Queries {
     out
   }
 
+  /** Structured Streaming path (§2.13): the same hourly rollup as q18 but
+    * computed by a streaming query over the events file source (memory sink,
+    * complete mode, drained synchronously). Proves the streaming plumbing
+    * produces batch-identical results — checked against the q18 oracle. */
+  def q28StreamRollup(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // the events table is a single parquet file; the file-stream source
+    // needs a directory, so stream the sf dir with a glob filter
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+    val name = "q28_stream_rollup_sink"
+    try s.catalog.dropTempView(name) catch { case _: Throwable => }
+    val q = stream.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -393,7 +414,8 @@ object Queries {
     "q24_cosine_pairs" -> (q24CosinePairs _),
     "q25_lsh_topk" -> (q25LshTopK _),
     "q26_language_id" -> (q26LanguageId _),
-    "q27_fact_snapshot" -> (q27FactSnapshot _))
+    "q27_fact_snapshot" -> (q27FactSnapshot _),
+    "q28_stream_rollup" -> (q28StreamRollup _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25) are hash-based or
     * approximate by construction → driver records a rows-only check. */
@@ -569,5 +591,9 @@ object Queries {
         |  JOIN cte_account_accum_revenue a2 ON a1.transaction_date = a2.transaction_date AND a1.cust_id = a2.cust_id AND a1.acc_id = a2.acc_id
         |  JOIN cte_transaction_revenue c1 ON a1.transaction_date = c1.transaction_date AND a1.cust_id = c1.cust_id
         |  JOIN cte_cust_accum_revenue c2 ON c1.cust_id = c2.cust_id
-        |  JOIN cte_customer_avgerage_daily_spending c3 ON c3.month = month(a1.transaction_date) AND c3.cust_id = a1.cust_id""".stripMargin)
+        |  JOIN cte_customer_avgerage_daily_spending c3 ON c3.month = month(a1.transaction_date) AND c3.cust_id = a1.cust_id""".stripMargin,
+    "q28_stream_rollup" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        | count(*) AS n, round(sum(value),4) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin)
 }

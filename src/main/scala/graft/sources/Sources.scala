@@ -1,0 +1,171 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+
+/** Generic source/sink factories mirroring the reference's
+  * `GlueContext.getSource`/`getSink` surface (`context.py:86-120,295-354`,
+  * `data_source.py:16-43`, `data_sink.py:17-53`): connection_type picks the
+  * transport, format the codec; parquet/orc short-circuit to Spark's native
+  * vectorized sources (the `Spark_SQL_Formats` fallback, `context.py:53`).
+  */
+object Sources {
+
+  /** Formats that bypass any custom path and use Spark SQL sources
+    * directly (`context.py:53`). */
+  val SparkSqlFormats: Set[String] = Set("parquet", "orc")
+
+  case class SourceSpec(
+      connectionType: String, // file | s3 | parquet | orc | jdbc | catalog
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      paths: Seq[String] = Nil,
+      pushDownPredicate: Option[String] = None,
+      minPartitions: Option[Int] = None,
+      targetPartitions: Option[Int] = None)
+
+  /** Build a DataFrame for a source spec. The pushdown predicate becomes a
+    * plan-level filter that Catalyst pushes into the scan (partition
+    * pruning / PushedFilters) — same effect as Glue's server-side pushdown
+    * without a custom rule (SURVEY.md §4). */
+  def read(spark: SparkSession, spec: SourceSpec): DataFrame = {
+    val reader: DataFrameReader = spark.read.options(spec.options)
+    val base = spec.connectionType match {
+      case "jdbc" =>
+        reader.format("jdbc").load()
+      case "catalog" =>
+        spark.table(spec.options("database") + "." + spec.options("table"))
+      case _ => // file-ish transports: s3 / file / direct format names
+        val fmt =
+          if (SparkSqlFormats.contains(spec.connectionType)) spec.connectionType
+          else spec.format
+        reader.format(fmt).load(spec.paths: _*)
+    }
+    val filtered = spec.pushDownPredicate.fold(base)(base.filter)
+    (spec.minPartitions, spec.targetPartitions) match {
+      case (_, Some(t)) => filtered.repartition(t)
+      case (Some(m), _) if filtered.rdd.getNumPartitions < m => filtered.repartition(m)
+      case _ => filtered
+    }
+  }
+
+  /** First-N sampled source (`create_sample_dynamic_frame_*`,
+    * `context.py:239-281`). */
+  def readSample(spark: SparkSession, spec: SourceSpec, num: Int): DataFrame =
+    read(spark, spec).limit(num)
+
+  case class SinkSpec(
+      connectionType: String,
+      format: String = "parquet",
+      path: String = "",
+      options: Map[String, String] = Map.empty,
+      mode: SaveMode = SaveMode.Overwrite,
+      partitionKeys: Seq[String] = Nil)
+
+  /** Write a DataFrame per sink spec (`getSink`, `context.py:295-354`). */
+  def write(df: DataFrame, spec: SinkSpec): Unit = {
+    val w0 = df.write.mode(spec.mode).options(spec.options)
+    val w = if (spec.partitionKeys.nonEmpty) w0.partitionBy(spec.partitionKeys: _*) else w0
+    spec.connectionType match {
+      case "jdbc"    => w.format("jdbc").save()
+      case "catalog" => w.saveAsTable(spec.options("database") + "." + spec.options("table"))
+      case _         => w.format(spec.format).save(spec.path)
+    }
+  }
+
+  /** Write a whole collection, one sink per frame, suffixing the path with
+    * the frame name (DynamicFrameCollection sink, `data_sink.py:44-53`). */
+  def writeCollection(frames: Map[String, DataFrame], spec: SinkSpec): Unit =
+    frames.foreach { case (name, df) =>
+      write(df, spec.copy(path = s"${spec.path}/$name"))
+    }
+}
+
+/** Named JDBC connection registry replacing the Glue-catalog connection
+  * lookup (`extract_jdbc_conf`, `context.py:451-459`): jobs reference
+  * connections by name; credentials live in one place.
+  */
+object ConnectionRegistry {
+  case class JdbcConf(url: String, user: String, password: String,
+                      driver: String = "org.postgresql.Driver")
+
+  private val conns = scala.collection.concurrent.TrieMap.empty[String, JdbcConf]
+
+  def register(name: String, conf: JdbcConf): Unit = conns.put(name, conf)
+  def extractJdbcConf(name: String): JdbcConf =
+    conns.getOrElse(name, throw new NoSuchElementException(s"no connection named $name"))
+
+  /** `write_from_jdbc_conf` (`context.py:407-436`). */
+  def writeFromJdbcConf(df: DataFrame, catalogConnection: String, table: String,
+                        mode: SaveMode = SaveMode.Append): Unit = {
+    val c = extractJdbcConf(catalogConnection)
+    val props = new java.util.Properties()
+    props.setProperty("user", c.user)
+    props.setProperty("password", c.password)
+    props.setProperty("driver", c.driver)
+    df.write.mode(mode).jdbc(c.url, table, props)
+  }
+}
+
+/** The extract job (`lambda_kietl.py:36-51` + `db_utils.py:133-167`) as one
+  * Spark job: full-table JDBC scans landed as raw-zone CSV with the
+  * reference's encoding — header row, comma delimiter, `\N` nulls
+  * (`db_utils.py:46-49`). One `spark.read.jdbc` per table replaces
+  * Lambda+psycopg2; partitioned JDBC reads (`partitionColumn` options)
+  * slot straight into the same spec at scale.
+  */
+object Rds2Raw {
+  def extractTables(spark: SparkSession, conn: ConnectionRegistry.JdbcConf,
+                    tables: Seq[String], rawRoot: String,
+                    jdbcOptions: Map[String, String] = Map.empty): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("user", conn.user)
+    props.setProperty("password", conn.password)
+    props.setProperty("driver", conn.driver)
+    jdbcOptions.foreach { case (k, v) => props.setProperty(k, v) }
+    tables.foreach { t =>
+      spark.read.jdbc(conn.url, t, props)
+        .write.mode(SaveMode.Overwrite)
+        .option("header", "true")
+        .option("delimiter", ",")
+        .option("nullValue", "\\N")
+        .csv(s"$rawRoot/$t")
+    }
+  }
+
+  /** CSV-encode an arbitrary frame with the raw-zone conventions — the
+    * write half of the extract, usable standalone. */
+  def writeRawCsv(df: DataFrame, dest: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("delimiter", ",")
+      .option("nullValue", "\\N")
+      .csv(dest)
+}
+
+/** Warehouse-path lifecycle utilities standing in for the reference's S3
+  * purge/transition operators (`context.py:461-545`): recursive delete with
+  * a retention cutoff on file modification time. Storage-class transition
+  * has no local analog and is out of engine scope (SURVEY.md §2.1).
+  */
+object PathLifecycle {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  /** Delete files under `path` older than `retentionHours` (0 = all).
+    * Returns the number of files deleted. */
+  def purgePath(spark: SparkSession, path: String, retentionHours: Int = 0): Long = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    val cutoff = System.currentTimeMillis() - retentionHours * 3600L * 1000L
+    val files = fs.listFiles(p, true)
+    var deleted = 0L
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getModificationTime < cutoff) {
+        fs.delete(f.getPath, false)
+        deleted += 1
+      }
+    }
+    deleted
+  }
+}

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.storage.StorageLevel
+
+/** Structured-Streaming surface of the engine (SURVEY.md §2.13).
+  *
+  * The reference's streaming model is micro-batch `forEachBatch` with a
+  * processing-time trigger, per-batch persist + empty-batch gate, and a
+  * bounded retry loop (`context.py:602-664`). Event-time windows /
+  * watermarks are NOT part of the reference surface, but
+  * [[windowedAggregate]] provides them as the natural Spark extension.
+  */
+object Streaming {
+
+  case class ForEachBatchOptions(
+      windowSize: String = "10 seconds",        // processing-time trigger
+      checkpointLocation: Option[String] = None,
+      batchMaxRetries: Int = 3,                 // default 3, range 0-100 (context.py:643-645)
+      persistDataFrame: Boolean = true,         // persist+count gate (context.py:627-638)
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+
+  /** `GlueContext.forEachBatch` (`context.py:602-664`): wraps the user fn
+    * with (a) persist + count so empty batches are skipped without running
+    * the body, (b) a retry loop with linear backoff, (c) unpersist in a
+    * finally. Exceptions after the last retry propagate and fail the query.
+    */
+  def forEachBatch(stream: DataFrame, opts: ForEachBatchOptions)
+                  (fn: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(opts.batchMaxRetries >= 0 && opts.batchMaxRetries <= 100,
+      "batchMaxRetries must be in [0, 100]")
+    val writer = stream.writeStream
+      .trigger(Trigger.ProcessingTime(opts.windowSize))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val frame = if (opts.persistDataFrame) batch.persist(opts.storageLevel) else batch
+        try {
+          if (frame.count() > 0) {           // empty-batch gate
+            var attempt = 0
+            var done = false
+            while (!done) {
+              try { fn(frame, batchId); done = true }
+              catch {
+                case e: Throwable if attempt < opts.batchMaxRetries =>
+                  attempt += 1
+                  Thread.sleep(100L * attempt) // linear backoff
+                case e: Throwable => throw e
+              }
+            }
+          }
+        } finally if (opts.persistDataFrame) frame.unpersist()
+      }
+    opts.checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
+
+  /** Ingestion-time partitioning columns (`context.py:666-674`): append
+    * ingest_year/month/day/hour/minute up to the requested granularity. */
+  def withIngestionTimeColumns(df: DataFrame, granularity: String = "hour"): DataFrame = {
+    val order = Seq("year", "month", "day", "hour", "minute")
+    val n = order.indexOf(granularity)
+    require(n >= 0, s"granularity must be one of $order")
+    val ts = current_timestamp()
+    val adds: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "ingest_year" -> date_format(ts, "yyyy"),
+      "ingest_month" -> date_format(ts, "MM"),
+      "ingest_day" -> date_format(ts, "dd"),
+      "ingest_hour" -> date_format(ts, "HH"),
+      "ingest_minute" -> date_format(ts, "mm"))
+    adds.take(n + 1).foldLeft(df) { case (d, (c, e)) => d.withColumn(c, e) }
+  }
+
+  /** Stream sampler (`getSampleStreamingDynamicFrame`, `context.py:553-599`):
+    * memory sink + limit poll, then stop. Synchronous for batch-backed
+    * streams via processAllAvailable. */
+  def sampleStream(spark: SparkSession, stream: DataFrame, num: Int,
+                   queryName: String = s"graft_sample"): DataFrame = {
+    val q = stream.writeStream
+      .format("memory").queryName(queryName).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName).limit(num)
+  }
+
+  /** Event-time windowed aggregation with watermark — the Spark-native
+    * extension beyond the reference surface. */
+  def windowedAggregate(stream: DataFrame, tsCol: String, watermark: String,
+                        windowDuration: String,
+                        aggs: Seq[org.apache.spark.sql.Column],
+                        extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys = window(col(tsCol), windowDuration) +: extraKeys.map(col)
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}
+
+/** Job bookmarks (`job.py:13-48`, `utils.py:79-158`): incremental file
+  * processing keyed by a `transformation_ctx` string. State is a manifest of
+  * already-processed file paths; `commit()` flushes it. File listing happens
+  * driver-side once per run — at scale swap the manifest for a Structured
+  * Streaming file source checkpoint, which has the same exactly-once
+  * listing semantics.
+  */
+class Bookmarks(stateDir: String) {
+  private val fs = java.nio.file.Paths.get(stateDir)
+  java.nio.file.Files.createDirectories(fs)
+  private var pending = Map.empty[String, Set[String]]
+
+  private def stateFile(ctx: String) = fs.resolve(s"$ctx.manifest")
+
+  def processedPaths(ctx: String): Set[String] = {
+    val f = stateFile(ctx)
+    if (java.nio.file.Files.exists(f))
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(f)).asScala.toSet
+    else Set.empty
+  }
+
+  /** New (unprocessed) files under `dir` for this context; remembers them as
+    * pending until [[commit]]. */
+  def newFiles(spark: SparkSession, ctx: String, dir: String, glob: String = "*"): Seq[String] = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val p = new Path(dir)
+    val hfs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(p)) return Nil
+    val all = hfs.globStatus(new Path(p, glob)).toSeq
+      .filter(_.isFile).map(_.getPath.toString)
+    val seen = processedPaths(ctx)
+    val fresh = all.filterNot(seen.contains).sorted
+    pending = pending.updated(ctx, pending.getOrElse(ctx, Set.empty) ++ fresh)
+    fresh
+  }
+
+  /** `Job.commit()`: durably record everything handed out by newFiles. */
+  def commit(): Unit = {
+    pending.foreach { case (ctx, paths) =>
+      val all = processedPaths(ctx) ++ paths
+      java.nio.file.Files.write(stateFile(ctx),
+        scala.jdk.CollectionConverters.SeqHasAsJava(all.toSeq.sorted).asJava)
+    }
+    pending = Map.empty
+  }
+}

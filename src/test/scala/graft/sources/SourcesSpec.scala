@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("source factory reads parquet with pushdown predicate and target partitions") {
+    val df = Sources.read(spark, Sources.SourceSpec(
+      connectionType = "parquet",
+      paths = Seq(s"$sf/nation.parquet"),
+      pushDownPredicate = Some("n_regionkey = 0"),
+      targetPartitions = Some(2)))
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 5)
+  }
+
+  test("source factory respects minPartitions floor") {
+    val df = Sources.read(spark, Sources.SourceSpec(
+      connectionType = "parquet", paths = Seq(s"$sf/nation.parquet"),
+      minPartitions = Some(3)))
+    assert(df.rdd.getNumPartitions >= 3)
+  }
+
+  test("sampled source limits rows") {
+    val df = Sources.readSample(spark,
+      Sources.SourceSpec("parquet", paths = Seq(s"$sf/customer.parquet")), 7)
+    assert(df.count() == 7)
+  }
+
+  test("sink factory writes by format; collection sink suffixes paths") {
+    val out = java.nio.file.Files.createTempDirectory("sink").toString
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    Sources.write(df, Sources.SinkSpec("file", format = "json", path = s"$out/single"))
+    assert(spark.read.json(s"$out/single").count() == 2)
+    Sources.writeCollection(Map("x" -> df, "y" -> df),
+      Sources.SinkSpec("file", format = "parquet", path = s"$out/coll"))
+    assert(spark.read.parquet(s"$out/coll/x").count() == 2)
+    assert(spark.read.parquet(s"$out/coll/y").count() == 2)
+  }
+
+  test("partitioned sink writes partition directories") {
+    val out = java.nio.file.Files.createTempDirectory("psink").toString
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("k", "part")
+    Sources.write(df, Sources.SinkSpec("file", format = "parquet",
+      path = s"$out/t", partitionKeys = Seq("part")))
+    assert(new java.io.File(s"$out/t/part=a").exists())
+    assert(spark.read.parquet(s"$out/t").count() == 3)
+  }
+
+  test("connection registry registers and resolves; unknown name throws") {
+    ConnectionRegistry.register("pg_main",
+      ConnectionRegistry.JdbcConf("jdbc:postgresql://h/db", "u", "p"))
+    assert(ConnectionRegistry.extractJdbcConf("pg_main").url == "jdbc:postgresql://h/db")
+    intercept[NoSuchElementException](ConnectionRegistry.extractJdbcConf("nope"))
+  }
+
+  test("raw CSV round-trip preserves \\N nulls and header") {
+    val out = java.nio.file.Files.createTempDirectory("raw").toString
+    val df = Seq(("1", "x"), ("2", null)).toDF("id", "v")
+    Rds2Raw.writeRawCsv(df, s"$out/t")
+    val back = graft.jobs.BankJobs.readRawCsv(spark, s"$out/t")
+    assert(back.count() == 2)
+    assert(back.filter(col("v").isNull).count() == 1)
+    // on-disk encoding really is \N
+    val files = new java.io.File(s"$out/t").listFiles().filter(_.getName.endsWith(".csv"))
+    val content = files.map(f => new String(java.nio.file.Files.readAllBytes(f.toPath))).mkString
+    assert(content.contains("\\N"))
+  }
+
+  test("purgePath deletes files recursively and reports count") {
+    val out = java.nio.file.Files.createTempDirectory("purge")
+    java.nio.file.Files.writeString(out.resolve("a.txt"), "x")
+    val sub = java.nio.file.Files.createDirectories(out.resolve("sub"))
+    java.nio.file.Files.writeString(sub.resolve("b.txt"), "y")
+    assert(PathLifecycle.purgePath(spark, out.toString, retentionHours = 0) == 2)
+    // retention in the future keeps everything
+    java.nio.file.Files.writeString(out.resolve("c.txt"), "z")
+    assert(PathLifecycle.purgePath(spark, out.toString, retentionHours = 1) == 0)
+  }
+}

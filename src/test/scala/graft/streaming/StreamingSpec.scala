@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkStreamDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("stream").toString
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "k", "v").write.parquet(s"$dir/in")
+    s"$dir/in"
+  }
+
+  test("forEachBatch runs the body, persists, and gates empty batches") {
+    val in = mkStreamDir()
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val seen = new java.util.concurrent.atomic.AtomicLong()
+    val q = Streaming.forEachBatch(stream,
+      Streaming.ForEachBatchOptions(windowSize = "1 seconds")) { (batch, _) =>
+      seen.addAndGet(batch.count())
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.get() == 3)
+  }
+
+  test("forEachBatch retries failing batches up to batchMaxRetries") {
+    val in = mkStreamDir()
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger()
+    val q = Streaming.forEachBatch(stream,
+      Streaming.ForEachBatchOptions(windowSize = "1 seconds", batchMaxRetries = 3)) { (_, _) =>
+      if (attempts.incrementAndGet() < 3) throw new RuntimeException("flaky")
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(attempts.get() == 3) // failed twice, succeeded on the third
+
+    intercept[IllegalArgumentException] {
+      Streaming.forEachBatch(stream,
+        Streaming.ForEachBatchOptions(batchMaxRetries = 101))((_, _) => ())
+    }
+  }
+
+  test("sampleStream drains into a memory sink and limits") {
+    val in = mkStreamDir()
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val sample = Streaming.sampleStream(spark, stream, 2, "sample_t")
+    assert(sample.count() == 2)
+  }
+
+  test("ingestion-time columns appended to requested granularity") {
+    val df = Seq(1).toDF("x")
+    val out = Streaming.withIngestionTimeColumns(df, "day")
+    assert(out.columns.toSeq == Seq("x", "ingest_year", "ingest_month", "ingest_day"))
+    intercept[IllegalArgumentException](Streaming.withIngestionTimeColumns(df, "fortnight"))
+  }
+
+  test("windowed aggregate with watermark (event-time extension)") {
+    val in = java.nio.file.Files.createTempDirectory("wstream").toString
+    Seq(
+      ("2024-01-01 00:00:10", "a", 1.0), ("2024-01-01 00:00:40", "a", 2.0),
+      ("2024-01-01 00:01:10", "b", 3.0))
+      .toDF("ts_s", "k", "v").withColumn("ts", col("ts_s").cast("timestamp"))
+      .drop("ts_s").write.parquet(s"$in/in")
+    val schema = spark.read.parquet(s"$in/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$in/in")
+    val agg = Streaming.windowedAggregate(stream, "ts", "10 minutes", "1 minute",
+      Seq(sum(col("v")).as("total")), extraKeys = Seq("k"))
+    val q = agg.writeStream.format("memory").queryName("wagg").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("wagg")
+      .select(col("window.start").cast("string"), col("k"), col("total"))
+      .as[(String, String, Double)].collect().toSet
+    assert(rows == Set(
+      ("2024-01-01 00:00:00", "a", 3.0),
+      ("2024-01-01 00:01:00", "b", 3.0)))
+  }
+
+  test("bookmarks hand out only new files and commit durably") {
+    val state = java.nio.file.Files.createTempDirectory("bm").toString
+    val data = java.nio.file.Files.createTempDirectory("bmdata")
+    java.nio.file.Files.writeString(data.resolve("f1.csv"), "a")
+    val bm = new Bookmarks(state)
+    assert(bm.newFiles(spark, "ctx1", data.toString, "*.csv").map(f => f.split('/').last) == Seq("f1.csv"))
+    bm.commit()
+    // already processed -> nothing new
+    assert(bm.newFiles(spark, "ctx1", data.toString, "*.csv").isEmpty)
+    // new file appears -> only it is returned; a fresh Bookmarks sees the same state
+    java.nio.file.Files.writeString(data.resolve("f2.csv"), "b")
+    val bm2 = new Bookmarks(state)
+    assert(bm2.newFiles(spark, "ctx1", data.toString, "*.csv").map(_.split('/').last) == Seq("f2.csv"))
+    // uncommitted state is not durable
+    val bm3 = new Bookmarks(state)
+    assert(bm3.newFiles(spark, "ctx1", data.toString, "*.csv").map(_.split('/').last) == Seq("f2.csv"))
+  }
+}

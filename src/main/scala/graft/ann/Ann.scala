@@ -20,36 +20,14 @@ import graft.functions.{SimilarityFunctions => S}
   */
 object Ann {
 
-  /** Deterministic pseudo-random hyperplanes: component c of plane p is a
-    * fixed hash-derived value in [-1, 1]. Same constants every run, so
-    * signatures are stable across jobs — required for incremental
-    * indexing at scale. */
-  private def planeComponent(p: Int, c: Int): Double = {
-    var z = (p.toLong << 32 | c.toLong) * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    ((z ^ (z >>> 31)) & 0xFFFFFFL).toDouble / 0x7FFFFFL.toDouble - 1.0
-  }
-
   /** Sign-pattern signature of a vector against `planes` fixed hyperplanes:
     * bit p is set iff dot(vec, plane_p) > 0. Cosine-similar vectors agree on
     * most sign bits, so they land in the same bucket with high probability.
-    *
-    * Shaped as a single pass with flat constant arrays (component-major
-    * plane matrix): a per-plane reduce over element_at builds a 512-node
-    * expression tree that blows up Catalyst's optimizer time. */
-  def hyperplaneSignature(vec: Column, dim: Int, planes: Int, planeOffset: Int = 0): Column = {
-    // planeMatrix(c) = [planeComponent(off,c), …, planeComponent(off+planes-1,c)]
-    val planeMatrix = array((0 until dim).map { c =>
-      array((0 until planes).map(p => lit(planeComponent(planeOffset + p, c))): _*)
-    }: _*)
-    val partials = zip_with(vec, planeMatrix, (x, ps) => transform(ps, p => x.cast("double") * p))
-    val dots = aggregate(partials, array_repeat(lit(0.0), planes),
-      (acc, arr) => zip_with(acc, arr, _ + _))
-    val masks = array((0 until planes).map(p => lit(1L << p)): _*)
-    aggregate(zip_with(dots, masks, (d, m) => when(d > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * Plane components are fixed hash-derived constants — signatures are
+    * stable across runs, which incremental indexing at scale requires.
+    * Native kernel: see [[graft.functions.expressions.HyperplaneSigExpr]]. */
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int, planeOffset: Int = 0): Column =
+    graft.functions.expressions.SimilarityExpressions.hyperplaneSignature(vec, dim, planes, planeOffset)
 
   /** Exact top-k by cosine: each query row against the full corpus.
     * `queries` is expected to be small (it is broadcast); the corpus is

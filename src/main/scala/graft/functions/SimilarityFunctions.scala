@@ -40,7 +40,13 @@ object SimilarityFunctions {
     * each shingle updates it via one zip_with against the constant
     * permutation-parameter array — k separate aggregate passes over the
     * shingle array cost ~50× more in the interpreted HOF path. */
-  def minhashSignature(shingles: Column, k: Int = 64): Column = {
+  def minhashSignature(shingles: Column, k: Int = 64): Column =
+    graft.functions.expressions.SimilarityExpressions.minhashSignature(shingles, k)
+
+  /** Pure-`functions._` formulation of [[minhashSignature]] — same math in
+    * declarative HOFs. Kept for cross-checking the native kernel and as the
+    * no-custom-code fallback; ~50× slower (interpreted lambda dispatch). */
+  def minhashSignatureHof(shingles: Column, k: Int = 64): Column = {
     val hashes = transform(array_distinct(shingles), s => pmod(xxhash64(s), lit(MinhashPrime)))
     val params = array((0 until k).map { i =>
       val (a, b) = perm(i)
@@ -80,7 +86,11 @@ object SimilarityFunctions {
     * bit positions accumulates +1/-1 by bit value; positive sums set the
     * output bit. Near-duplicate docs differ in few bits (small Hamming
     * distance). */
-  def simhash(tokensCol: Column): Column = {
+  def simhash(tokensCol: Column): Column =
+    graft.functions.expressions.SimilarityExpressions.simhash(tokensCol)
+
+  /** HOF formulation of [[simhash]] (see [[minhashSignatureHof]]). */
+  def simhashHof(tokensCol: Column): Column = {
     val hashes = transform(tokensCol, t => xxhash64(t))
     // Single traversal: accumulator = per-bit vote counts; each token hash
     // updates all 64 via one zip_with against the constant mask array.
@@ -104,7 +114,11 @@ object SimilarityFunctions {
 
   /** Cosine similarity of two numeric array columns (double precision).
     * Zero-norm inputs yield 0.0 rather than NaN. */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.SimilarityExpressions.cosine(a, b)
+
+  /** HOF formulation of [[cosine]] (see [[minhashSignatureHof]]). */
+  def cosineHof(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom === 0, lit(0.0)).otherwise(dot(a, b) / denom)
   }

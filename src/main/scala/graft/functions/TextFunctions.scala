@@ -71,8 +71,14 @@ object TextFunctions {
       .otherwise(transform(sequence(lit(1), length(norm) - (n - 1)), i => norm.substr(i, lit(n))))
   }
 
-  /** Word n-gram shingles (space-joined runs of n consecutive tokens). */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles (space-joined runs of n consecutive tokens).
+    * Native kernel — the declarative slice+concat_ws version
+    * ([[wordShinglesHof]]) allocates per window and dominated dedup cost. */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.expressions.SimilarityExpressions.wordShingles(tokens(text), n)
+
+  /** HOF formulation of [[wordShingles]], kept for cross-checking. */
+  def wordShinglesHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - n),

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{SimilarityFunctions => S, TextFunctions => T}
+
+/** Native Catalyst kernels vs the declarative HOF formulations: same math,
+  * two execution paths — they must agree (cosine to 1e-12; hash-family
+  * kernels use different underlying string hashes, so those are checked on
+  * semantic properties instead, in FunctionsSpec). */
+class SimilarityExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine agrees with HOF cosine on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val pairs = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
+      .filter(col("id_a") < col("id_b")).limit(2000)
+    val diffs = pairs.select(
+      abs(S.cosine(col("va"), col("vb")) - S.cosineHof(col("va"), col("vb"))).as("d"))
+      .agg(max("d")).as[Double].collect()(0)
+    assert(diffs < 1e-12, s"native vs HOF cosine diverged by $diffs")
+  }
+
+  test("native minhash signature has k components bounded by the prime") {
+    val sig = Seq("a b c d e f g h i j").toDF("t")
+      .select(S.minhashSignature(T.wordShingles(col("t"), 2), 64).as("s"))
+      .as[Seq[Long]].collect()(0)
+    assert(sig.length == 64)
+    assert(sig.forall(v => v >= 0 && v < 2147483647L))
+    // identical input -> identical signature across plans
+    val sig2 = Seq("a b c d e f g h i j").toDF("t").repartition(3)
+      .select(S.minhashSignature(T.wordShingles(col("t"), 2), 64).as("s"))
+      .as[Seq[Long]].collect()(0)
+    assert(sig == sig2)
+  }
+
+  test("native hyperplane signature is stable and within plane-bit range") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val sigs = e.select(graft.ann.Ann.hyperplaneSignature(col("embedding"), 64, 8).as("s"))
+      .as[Long].collect()
+    assert(sigs.forall(s => s >= 0 && s < 256))
+    val sigs2 = e.repartition(5)
+      .select(graft.ann.Ann.hyperplaneSignature(col("embedding"), 64, 8).as("s"))
+      .as[Long].collect()
+    assert(sigs.sorted.toSeq == sigs2.sorted.toSeq)
+  }
+
+  test("native simhash: null elements ignored, empty array gives 0 votes fingerprint") {
+    val fp = Seq(Seq.empty[String]).toDF("t")
+      .select(S.simhash(col("t")).as("f")).as[Long].collect()(0)
+    assert(fp == 0L) // all vote counts 0 -> no bits set
+  }
+}

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan guards: these assert the *shape* Catalyst produces, so a
+  * refactor that silently loses filter pushdown, column pruning, a
+  * broadcast, or partial aggregation fails the build — at 100 TB each of
+  * these is the difference between a scan of gigabytes and a scan of
+  * terabytes. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Queries.all(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Plan after execution — under AQE the final plan (with codegen stage
+    * markers) only exists once the query has run. */
+  private def executedPlan(name: String): String = {
+    val df = Queries.all(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: filter and projection reach the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown in:\n$p")
+    // column pruning: the scan must not read l_orderkey and friends
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+  }
+
+  test("q01: partial aggregation before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate") && p.contains("partial"))
+  }
+
+  test("q02: small dims broadcast, big join shuffles") {
+    val p = plan("q02_market_share")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("q24: query side is broadcast — corpus never shuffles") {
+    val p = plan("q24_cosine_pairs")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q04: semi join stays a join, not a distinct+inner rewrite") {
+    val p = plan("q04_semi_join")
+    assert(p.contains("LeftSemi"))
+  }
+
+  test("whole-stage codegen covers the scan->agg path of q01") {
+    val p = executedPlan("q01_pricing_summary")
+    // codegen stages print as "*(n) Operator" in the final AQE plan
+    assert(p.contains("*(1)") && p.contains("*(2)"), s"no codegen stage in:\n$p")
+  }
+
+  test("q09 splitRows: comparator predicate is pushed to the scan") {
+    val p = plan("q09_split_rows")
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount), IsNotNull(l_quantity), LessThanOrEqual(l_discount,0.02)"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.expressions._
+
+/** SQL registration for the native kernels: `graft_minhash(shingles, k)`,
+  * `graft_simhash(tokens)`, `graft_cosine(a, b)`, `graft_hyperplane_sig
+  * (vec, dim, planes)`, `graft_shingles(tokens, n)` become callable from
+  * `spark.sql(...)` text, not just the Scala DSL.
+  *
+  * Two entry points:
+  *  - [[GraftFunctions.register]] on a live session (tests, notebooks);
+  *  - [[GraftSparkExtensions]] for
+  *    `spark.sql.extensions=graft.GraftSparkExtensions` at session build.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _)  => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(s"$name must be an integer literal, got $other")
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash" -> { args =>
+      require(args.length == 2, "graft_minhash(shingles, k)")
+      MinHashSignatureExpr(args.head, intArg(args(1), "k"))
+    },
+    "graft_simhash" -> { args =>
+      require(args.length == 1, "graft_simhash(tokens)")
+      SimHashExpr(args.head)
+    },
+    "graft_cosine" -> { args =>
+      require(args.length == 2, "graft_cosine(a, b)")
+      CosineSimExpr(args.head, args(1))
+    },
+    "graft_hyperplane_sig" -> { args =>
+      require(args.length == 3 || args.length == 4, "graft_hyperplane_sig(vec, dim, planes[, offset])")
+      HyperplaneSigExpr(args.head, intArg(args(1), "dim"), intArg(args(2), "planes"),
+        if (args.length == 4) intArg(args(3), "offset") else 0)
+    },
+    "graft_shingles" -> { args =>
+      require(args.length == 2, "graft_shingles(tokens, n)")
+      WordShinglesExpr(args.head, intArg(args(1), "n"))
+    })
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** `SparkSessionExtensions` hook (set `spark.sql.extensions` to this class
+  * name). */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+}

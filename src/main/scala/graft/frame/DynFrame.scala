@@ -162,6 +162,23 @@ class DynFrame private (
     new DynFrame(mapped, name, errorFrames :+ (stageName -> errs), stageThreshold, totalThreshold)
   }
 
+  /** Partition-wise transform (`dynamicframe.py:96-99`) — the primitive
+    * under map/filter; exposed for genuinely imperative per-partition logic
+    * (connection pooling, batched lookups). */
+  def mapPartitionsRows(f: Iterator[Row] => Iterator[Row], targetSchema: StructType): DynFrame = {
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(targetSchema)
+    withDf(df.mapPartitions(f)(enc).toDF())
+  }
+
+  /** Partition-wise transform with the partition index
+    * (`dynamicframe.py:120-124`). */
+  def mapPartitionsWithIndexRows(f: (Int, Iterator[Row]) => Iterator[Row],
+                                 targetSchema: StructType): DynFrame = {
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(targetSchema)
+    val rdd = df.rdd.mapPartitionsWithIndex { case (i, it) => f(i, it) }
+    withDf(df.sparkSession.createDataFrame(rdd, targetSchema))
+  }
+
   // ----------------------------------------------------------------- joins
 
   /** Equi inner join on field paths — the only join type the DynamicFrame

@@ -385,6 +385,27 @@ object Queries {
     s.table(name)
   }
 
+  /** Nest → explode round trip (`scripts_utils.py:58-83`): collect all
+    * columns per group into an array of structs, then explode and unpack
+    * with `select("col.*")` — the backup/restore shape of §2.14. */
+  def q29NestUnnest(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(collect_list(struct(col("n_nationkey"), col("n_name"))).as("items"))
+      .select(col("n_regionkey"), explode(col("items")).as("item"))
+      .select(col("n_regionkey"), col("item.n_nationkey"), col("item.n_name"))
+
+  /** The crawler-undo argmax idiom (`crawler_undo.py:54-57`): groupBy-max +
+    * self-join on a compound equality — latest order(s) per customer. */
+  def q30Argmax(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders")
+    val latest = orders.groupBy(col("o_custkey").as("l_custkey"))
+      .agg(max(col("o_orderdate")).as("max_date"))
+    orders.join(latest,
+        orders("o_custkey") === latest("l_custkey") && orders("o_orderdate") === latest("max_date"))
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -415,7 +436,9 @@ object Queries {
     "q25_lsh_topk" -> (q25LshTopK _),
     "q26_language_id" -> (q26LanguageId _),
     "q27_fact_snapshot" -> (q27FactSnapshot _),
-    "q28_stream_rollup" -> (q28StreamRollup _))
+    "q28_stream_rollup" -> (q28StreamRollup _),
+    "q29_nest_unnest" -> (q29NestUnnest _),
+    "q30_argmax" -> (q30Argmax _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25) are hash-based or
     * approximate by construction → driver records a rows-only check. */
@@ -595,5 +618,12 @@ object Queries {
     "q28_stream_rollup" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         | count(*) AS n, round(sum(value),4) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q29_nest_unnest" ->
+      "SELECT n_regionkey, n_nationkey, n_name FROM nation",
+    "q30_argmax" ->
+      """SELECT o.o_custkey, o.o_orderdate, o.o_orderkey
+        |FROM orders o JOIN (
+        | SELECT o_custkey, max(o_orderdate) AS max_date FROM orders GROUP BY o_custkey
+        |) t ON o.o_custkey = t.o_custkey AND o.o_orderdate = t.max_date""".stripMargin)
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The native kernels are SQL-callable after registration. */
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions evaluate the native kernels") {
+    GraftFunctions.register(spark)
+    Seq(("a b c d e", Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)))
+      .toDF("text", "va", "vb").createOrReplaceTempView("gf_t")
+    val row = spark.sql(
+      """select size(graft_minhash(graft_shingles(split(text, ' '), 2), 32)) as k,
+        |       graft_cosine(va, vb) as cos,
+        |       graft_simhash(split(text, ' ')) as fp,
+        |       graft_hyperplane_sig(va, 2, 4) as sig
+        |from gf_t""".stripMargin).collect()(0)
+    assert(row.getAs[Int]("k") == 32)
+    assert(math.abs(row.getAs[Double]("cos") - 1.0) < 1e-12)
+    assert(row.getAs[Long]("sig") >= 0 && row.getAs[Long]("sig") < 16)
+  }
+
+  test("non-literal k is rejected with a clear error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("select graft_minhash(array('a'), id) from range(1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}

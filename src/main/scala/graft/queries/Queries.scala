@@ -406,6 +406,28 @@ object Queries {
       .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Quality scoring + BPE-ish token counting over documents (training-data
+    * filtering ops). The quality formula is deterministic arithmetic over
+    * length/punctuation/stopword features, reproduced exactly in the
+    * oracle. */
+  def q31TextQuality(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(
+      col("doc_id"),
+      T.qualityScore(col("text"), Seq("the", "a")).as("quality"),
+      T.approxBpeTokenCount(col("text")).as("bpe_tokens"))
+
+  /** Embedding near-dup pairs via hyperplane-LSH buckets (rows-only: bucket
+    * membership depends on hash-derived plane constants). */
+  def q32EmbeddingDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, planes = 8)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+
+  /** Bottom-k document fingerprints (rows-only: xxhash64-based). */
+  def q33Fingerprint(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(
+      col("doc_id"), T.fingerprint(col("text"), shingleLen = 3, k = 16).as("fp"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -438,7 +460,10 @@ object Queries {
     "q27_fact_snapshot" -> (q27FactSnapshot _),
     "q28_stream_rollup" -> (q28StreamRollup _),
     "q29_nest_unnest" -> (q29NestUnnest _),
-    "q30_argmax" -> (q30Argmax _))
+    "q30_argmax" -> (q30Argmax _),
+    "q31_text_quality" -> (q31TextQuality _),
+    "q32_embedding_dedup" -> (q32EmbeddingDedup _),
+    "q33_fingerprint" -> (q33Fingerprint _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25) are hash-based or
     * approximate by construction → driver records a rows-only check. */
@@ -625,5 +650,22 @@ object Queries {
       """SELECT o.o_custkey, o.o_orderdate, o.o_orderkey
         |FROM orders o JOIN (
         | SELECT o_custkey, max(o_orderdate) AS max_date FROM orders GROUP BY o_custkey
-        |) t ON o.o_custkey = t.o_custkey AND o.o_orderdate = t.max_date""".stripMargin)
+        |) t ON o.o_custkey = t.o_custkey AND o.o_orderdate = t.max_date""".stripMargin,
+    "q31_text_quality" ->
+      """WITH feats AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks,
+        |  length(text) AS len,
+        |  length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct
+        | FROM documents)
+        |SELECT doc_id,
+        | round(
+        |   least(len / 500.0, 1.0) * 0.4
+        |   + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / len END) * 5.0, 1.0)) * 0.3
+        |   + least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE) / len(toks) END) * 4.0, 1.0) * 0.3,
+        |  6) AS quality,
+        | CASE WHEN len(toks) = 0 THEN 0
+        |      ELSE CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT)
+        | END AS bpe_tokens
+        |FROM feats""".stripMargin)
 }

@@ -9,7 +9,8 @@ class EntrySpec extends SparkSpec {
   test("every query has either an oracle or is a documented rows-only check") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // hash-based / approximate operators only
-    assert(rowsOnly == Set("q22_minhash_pairs", "q23_simhash_pairs", "q25_lsh_topk"))
+    assert(rowsOnly == Set("q22_minhash_pairs", "q23_simhash_pairs", "q25_lsh_topk",
+      "q32_embedding_dedup", "q33_fingerprint"))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }

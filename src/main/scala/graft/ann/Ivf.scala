@@ -1,0 +1,142 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
+
+import graft.functions.{SimilarityFunctions => S}
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the coarse-
+  * quantizer alternative to hyperplane LSH ([[Ann.lshTopK]]).
+  *
+  * Index build = a deterministic mini-KMeans: centroids init from evenly
+  * spaced corpus rows (no RNG — reruns produce the same index), a few Lloyd
+  * iterations, then each corpus vector is assigned to its nearest centroid.
+  * Search probes the `nProbes` nearest centroid cells per query.
+  *
+  * Scale shape: centroids are always driver-small (√N-ish), broadcast into
+  * a native expression for assignment — the corpus is only ever scanned
+  * linearly, shuffled once by cell id, and compared within probed cells.
+  * The Lloyd update uses a posexplode + (cell, dim) aggregation; at
+  * extreme dimension counts swap it for an RDD treeAggregate — the
+  * interface doesn't change.
+  */
+object Ivf {
+
+  case class Model(centroids: Array[Array[Double]]) {
+    def numCells: Int = centroids.length
+  }
+
+  /** Deterministic KMeans fit over an `array<float|double>` column. */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String,
+          numCells: Int, iterations: Int = 3): Model = {
+    // evenly-spaced deterministic init, by ascending id
+    val n = corpus.count()
+    require(n >= numCells, s"need at least $numCells vectors, have $n")
+    val stride = math.max(n / numCells, 1L)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    val init = corpus
+      .select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("rn", row_number().over(w) - 1)
+      .filter(col("rn") % stride === 0)
+      .orderBy("rn").limit(numCells)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+
+    var centroids = init
+    var it = 0
+    while (it < iterations) {
+      val assigned = corpus.select(
+        col(vecCol).as("v"),
+        nearestCells(col(vecCol), Model(centroids), 1)(0).as("cell"))
+      // mean per (cell, dim); cells can be empty -> keep previous centroid
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("cell").agg(map_from_arrays(
+          collect_list(col("dim")), collect_list(col("m"))).as("dims"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val cell = r.getInt(0)
+        val m = r.getMap[Int, Double](1)
+        m.foreach { case (d, v) => next(cell)(d) = v }
+      }
+      centroids = next
+      it += 1
+    }
+    Model(centroids)
+  }
+
+  /** Column of the `nProbes` nearest cell ids (ascending distance). */
+  def nearestCells(vec: Column, model: Model, nProbes: Int): Column =
+    ExpressionUtils.column(
+      NearestCellsExpr(ExpressionUtils.expression(vec), model.centroids, nProbes))
+
+  /** Assign every row its cell id — the stored index at scale. */
+  def assign(corpus: DataFrame, vecCol: String, model: Model): DataFrame =
+    corpus.withColumn("cell", nearestCells(col(vecCol), model, 1)(0))
+
+  /** Top-k by cosine within the probed cells. */
+  def topK(corpus: DataFrame, queries: DataFrame, model: Model,
+           corpusId: String, corpusVec: String,
+           queryId: String, queryVec: String,
+           k: Int, nProbes: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = assign(corpus, corpusVec, model)
+      .select(col(corpusId).as("nid"), col(corpusVec).as("nvec"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"),
+        explode(nearestCells(col(queryVec), model, nProbes)).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), S.cosine(col("qvec"), col("nvec")).as("cos"))
+      .groupBy("qid", "nid").agg(max("cos").as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
+
+/** Nearest-centroid ids by euclidean distance, ascending — array<int> of
+  * length `nProbes`. Tight loops; centroids ride in the expression (they
+  * are driver-small and serialize with the plan). */
+case class NearestCellsExpr(child: Expression, centroids: Array[Array[Double]], nProbes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(nProbes >= 1 && nProbes <= centroids.length)
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val k = centroids.length
+    val d2 = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cen = centroids(c)
+      val n = math.min(a.numElements(), cen.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)) - cen(i)
+        s += x * x
+        i += 1
+      }
+      d2(c) = s
+      c += 1
+    }
+    val idx = Array.tabulate(k)(identity).sortBy(d2)
+    new GenericArrayData(idx.take(nProbes))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

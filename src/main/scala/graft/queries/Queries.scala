@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.frame.DynFrame
 import graft.restructure.Restructure
 import graft.dedup.Dedup
-import graft.ann.Ann
+import graft.ann.{Ann, Ivf}
 import graft.functions.{TextFunctions => T, SimilarityFunctions => S}
 
 /** The driver-verified query battery: every SURVEY.md §2 operator family plus
@@ -428,6 +428,15 @@ object Queries {
     tbl(s, dir, "documents").select(
       col("doc_id"), T.fingerprint(col("text"), shingleLen = 3, k = 16).as("fp"))
 
+  /** IVF ANN top-k (rows-only: approximate; deterministic index). */
+  def q34IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val model = Ivf.fit(e, "vec_id", "embedding", numCells = 16, iterations = 2)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    Ivf.topK(e, q, model, "vec_id", "embedding", "vec_id", "embedding", k = 5, nProbes = 4)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -463,7 +472,8 @@ object Queries {
     "q30_argmax" -> (q30Argmax _),
     "q31_text_quality" -> (q31TextQuality _),
     "q32_embedding_dedup" -> (q32EmbeddingDedup _),
-    "q33_fingerprint" -> (q33Fingerprint _))
+    "q33_fingerprint" -> (q33Fingerprint _),
+    "q34_ivf_topk" -> (q34IvfTopK _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25) are hash-based or
     * approximate by construction → driver records a rows-only check. */

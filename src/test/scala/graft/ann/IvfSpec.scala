@@ -1,0 +1,37 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val e = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("fit is deterministic across reruns and partitionings") {
+    val m1 = Ivf.fit(e, "vec_id", "embedding", numCells = 10, iterations = 2)
+    val m2 = Ivf.fit(e.repartition(7), "vec_id", "embedding", numCells = 10, iterations = 2)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("assign puts every vector in a valid cell; cells are reasonably used") {
+    val m = Ivf.fit(e, "vec_id", "embedding", numCells = 10)
+    val cells = Ivf.assign(e, "embedding", m).select("cell").as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 10))
+    assert(cells.distinct.length >= 5, "degenerate clustering")
+  }
+
+  test("IVF top-k recall vs brute force") {
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val m = Ivf.fit(e, "vec_id", "embedding", numCells = 8, iterations = 2)
+    val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Ivf.topK(e, q, m, "vec_id", "embedding", "vec_id", "embedding", 5, nProbes = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // probing half the cells on a weak-neighbor corpus
+    assert(recall >= 0.4, s"IVF recall $recall too low")
+  }
+}

@@ -246,6 +246,41 @@ class DynFrame private (
     withDf(out)
   }
 
+  /** Global resolveChoice (`dynamicframe.py:394-434` `choice` param):
+    * apply one action to every choice column. */
+  def resolveChoiceAll(choice: String): DynFrame = {
+    val choicePaths = glueSchema.fields.collect {
+      case GField(n, _: GChoiceType, _) => n -> choice
+    }
+    resolveChoice(choicePaths)
+  }
+
+  /** MATCH_CATALOG resolution (`dynamicframe.py:404,427-433`): cast each
+    * choice column to the type the catalog table declares for it. */
+  def resolveChoiceMatchCatalog(catalogSchema: StructType): DynFrame = {
+    val byName = catalogSchema.fields.map(f => f.name -> f.dataType).toMap
+    val specs = glueSchema.fields.collect {
+      case GField(n, _: GChoiceType, _) if byName.contains(n) =>
+        n -> s"cast:${byName(n).simpleString}"
+    }
+    resolveChoice(specs)
+  }
+
+  /** Enum check (EnumType, `gluetypes.py:96-110` — Spark has no enum, so
+    * the constraint is enforced here): values outside `options` either
+    * become null ("nullify") or raise at execution ("error"). */
+  def withEnumCheck(path: String, options: Set[String],
+                    onViolation: String = "nullify"): DynFrame = {
+    val ok = col(path).isNull || col(path).isin(options.toSeq: _*)
+    val checked = onViolation match {
+      case "nullify" => when(ok, col(path))
+      case "error" => when(ok, col(path)).otherwise(
+        raise_error(concat(lit(s"enum violation at $path: "), col(path).cast("string"))))
+      case other => throw new IllegalArgumentException(s"onViolation: $other")
+    }
+    withDf(df.withColumn(path, checked))
+  }
+
   // ------------------------------------------------- nulls / partitioning
 
   /** Drop all columns whose type is NullType, recursing into structs and

@@ -156,6 +156,14 @@ object BankJobs {
         order by a1.cust_id, a1.transaction_date
   """
 
+  /** The demo job (`glue-jobs/jobs/demo/demo.py:20-26`): CSV in, one
+    * coalesced parquet file out. */
+  def demoJob(spark: SparkSession, src: String, dest: String): DataFrame = {
+    val df = readRawCsv(spark, src)
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dest)
+    df
+  }
+
   /** Dual-destination write (`r2g_account.py:74-75` etc.) — with a persist
     * so the plan isn't recomputed for the second write (the reference
     * recomputes; SURVEY.md §4). */

@@ -99,29 +99,37 @@ object Restructure {
 
   /** Flatten the DynamoDB typed-JSON encoding (`dynamicframe.py:390-392`):
     * every struct level of shape `{"S": …, "N": …, "BOOL": …, "L": …,
-    * "M": …}` drops the type-tag layer, keeping the populated branch. */
+    * "M": …}` drops the type-tag layer, keeping the populated branch —
+    * recursively through maps (`M`) and lists (`L`). Scalar branches
+    * stringify (coalesced S/N/BOOL — the DynamoDB export populates exactly
+    * one); a tag struct with an `M` recurses into the inner attribute
+    * struct; an `L` of tagged values maps the strip over the array. */
   def unnestDdbJson(df: DataFrame): DataFrame = {
     val tags = Set("S", "N", "BOOL", "L", "M", "SS", "NS", "B", "NULL")
-    def isTagStruct(s: StructType): Boolean = s.fields.nonEmpty && s.fields.forall(f => tags.contains(f.name))
-    def strip(c: Column, dt: DataType): (Column, DataType) = dt match {
+    def isTagStruct(s: StructType): Boolean =
+      s.fields.nonEmpty && s.fields.forall(f => tags.contains(f.name))
+    def strip(c: Column, dt: DataType): Column = dt match {
       case s: StructType if isTagStruct(s) =>
-        // Pick the single populated branch; for mixed columns prefer in
-        // field order S, N, BOOL (stringified), L, M.
-        val pick = Seq("S", "N", "BOOL").filter(b => s.fieldNames.contains(b))
-        if (pick.nonEmpty) (coalesce(pick.map(b => c.getField(b).cast(StringType)): _*), StringType)
-        else (c, dt)
+        val scalar = Seq("S", "N", "BOOL").filter(s.fieldNames.contains)
+        if (scalar.nonEmpty)
+          coalesce(scalar.map(b => c.getField(b).cast(StringType)): _*)
+        else if (s.fieldNames.contains("M"))
+          strip(c.getField("M"), s("M").dataType)
+        else if (s.fieldNames.contains("L"))
+          s("L").dataType match {
+            case ArrayType(et, _) => transform(c.getField("L"), e => strip(e, et))
+            case _                => c.getField("L")
+          }
+        else if (s.fieldNames.contains("SS") || s.fieldNames.contains("NS")) {
+          val b = if (s.fieldNames.contains("SS")) "SS" else "NS"
+          c.getField(b).cast(ArrayType(StringType))
+        } else c
       case s: StructType =>
-        val rebuilt = s.fields.toIndexedSeq.map { f =>
-          val (cc, _) = strip(c.getField(f.name), f.dataType)
-          cc.as(f.name)
-        }
-        (struct(rebuilt: _*), dt)
-      case _ => (c, dt)
+        struct(s.fields.toIndexedSeq.map(f => strip(c.getField(f.name), f.dataType).as(f.name)): _*)
+      case ArrayType(et, _) => transform(c, e => strip(e, et))
+      case _ => c
     }
-    val cols = df.schema.fields.toIndexedSeq.map { f =>
-      val (c, _) = strip(col(f.name), f.dataType)
-      c.as(f.name)
-    }
+    val cols = df.schema.fields.toIndexedSeq.map(f => strip(col(f.name), f.dataType).as(f.name))
     df.select(cols: _*)
   }
 }

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Warehouse-backed catalog standing in for the Glue Data Catalog
+  * (SURVEY.md §2.1 catalog source/sink, §2.14 crawler): databases and
+  * tables live in the Spark session catalog (`saveAsTable` under
+  * `spark.sql.warehouse.dir`), so `spark.table(db.table)` and catalog
+  * pushdown work unchanged. `crawl` registers existing parquet paths —
+  * the crawler step of the reference pipeline collapses to one call.
+  */
+class GraftCatalog(spark: SparkSession) {
+
+  def createDatabase(name: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
+
+  def dropDatabase(name: String): Unit =
+    spark.sql(s"DROP DATABASE IF EXISTS `$name` CASCADE")
+
+  /** Catalog sink (`write_dynamic_frame_from_catalog`, `context.py:358-405`). */
+  def saveTable(db: String, table: String, df: DataFrame,
+                mode: SaveMode = SaveMode.Overwrite,
+                partitionKeys: Seq[String] = Nil): Unit = {
+    createDatabase(db)
+    val w = df.write.mode(mode)
+    (if (partitionKeys.nonEmpty) w.partitionBy(partitionKeys: _*) else w)
+      .saveAsTable(s"`$db`.`$table`")
+  }
+
+  /** Catalog source (`create_dynamic_frame_from_catalog`,
+    * `context.py:158-188`); `pushDownPredicate` becomes a plan filter that
+    * Catalyst turns into partition pruning for partitioned tables. */
+  def table(db: String, tableName: String,
+            pushDownPredicate: Option[String] = None): DataFrame = {
+    val t = spark.table(s"`$db`.`$tableName`")
+    pushDownPredicate.fold(t)(t.filter)
+  }
+
+  def schemaOf(db: String, tableName: String): StructType =
+    spark.table(s"`$db`.`$tableName`").schema
+
+  def listTables(db: String): Seq[String] =
+    spark.catalog.listTables(db).collect().map(_.name).toSeq
+
+  def tableExists(db: String, tableName: String): Boolean =
+    spark.catalog.tableExists(s"`$db`.`$tableName`")
+
+  def dropTable(db: String, tableName: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tableName`")
+
+  /** The crawler analog: register an existing parquet path as an external
+    * table (schema inferred from the files, like a crawl). */
+  def crawl(db: String, tableName: String, path: String): Unit = {
+    createDatabase(db)
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tableName`")
+    spark.catalog.createTable(s"`$db`.`$tableName`", path, "parquet")
+  }
+}

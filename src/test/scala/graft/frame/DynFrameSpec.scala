@@ -137,6 +137,43 @@ class DynFrameSpec extends SparkSpec {
     assert(spark.read.json(s"$dir/sample").count() == 2)
   }
 
+  test("resolveChoiceAll applies one action to every choice column") {
+    val a = DynFrame(Seq((1L, 10L)).toDF("k", "v"), "a")
+    val b = DynFrame(Seq(("2", "20")).toDF("k", "v"), "b")
+    val resolved = a.union(b).resolveChoiceAll("cast:long").toDF
+    assert(resolved.schema("k").dataType == LongType)
+    assert(resolved.schema("v").dataType == LongType)
+    assert(resolved.orderBy("k").as[(Long, Long)].collect().toSeq == Seq((1L, 10L), (2L, 20L)))
+  }
+
+  test("resolveChoiceMatchCatalog casts choices to the catalog schema") {
+    val a = DynFrame(Seq((1L, "x")).toDF("k", "v"), "a")
+    val b = DynFrame(Seq(("2", "y")).toDF("k", "v"), "b")
+    val catalogSchema = StructType(Seq(
+      StructField("k", StringType), StructField("v", StringType)))
+    val out = a.union(b).resolveChoiceMatchCatalog(catalogSchema).toDF
+    assert(out.schema("k").dataType == StringType)
+    assert(out.select("k").as[String].collect().sorted.toSeq == Seq("1", "2"))
+  }
+
+  test("withEnumCheck nullifies or raises on out-of-set values") {
+    val f = DynFrame(Seq("RGB", "BB", "XX").toDF("t"), "e")
+    val nulled = f.withEnumCheck("t", Set("RGB", "BB")).toDF
+    assert(nulled.filter(col("t").isNull).count() == 1)
+    val strict = f.withEnumCheck("t", Set("RGB", "BB"), onViolation = "error")
+    intercept[Exception](strict.toDF.collect())
+  }
+
+  test("mapPartitionsRows and mapPartitionsWithIndexRows") {
+    val schema = StructType(Seq(StructField("n", LongType)))
+    val doubled = people.mapPartitionsRows(
+      it => it.map(r => Row(r.getAs[Long]("id") * 2)), schema)
+    assert(doubled.toDF.as[Long].collect().sorted.toSeq == Seq(2L, 4L, 6L))
+    val withIdx = people.repartition(2).mapPartitionsWithIndexRows(
+      (i, it) => it.map(_ => Row(i.toLong)), schema)
+    assert(withIdx.toDF.as[Long].collect().toSet.subsetOf(Set(0L, 1L)))
+  }
+
   test("collection ops") {
     val c: DynFrame.Collection = Map("a" -> people)
     val mapped = DynFrame.mapCollection(c)(f => f.selectFields(Seq("id")))

@@ -70,4 +70,18 @@ class RestructureSpec extends SparkSpec {
     val r = out.collect()(0)
     assert(r.getString(0) == "hello" && r.getString(1) == "42")
   }
+
+  test("unnestDdbJson recurses through M (map) and L (list) tags") {
+    val df = spark.sql(
+      """select named_struct('M', named_struct(
+        |         'city', named_struct('S', 'hanoi'),
+        |         'zip',  named_struct('N', '10000'))) as addr,
+        |       named_struct('L', array(
+        |         named_struct('S', 'a'), named_struct('S', 'b'))) as tags""".stripMargin)
+    val out = Restructure.unnestDdbJson(df)
+    val r = out.collect()(0)
+    val addr = r.getStruct(0)
+    assert(addr.getString(0) == "hanoi" && addr.getString(1) == "10000")
+    assert(r.getSeq[String](1) == Seq("a", "b"))
+  }
 }

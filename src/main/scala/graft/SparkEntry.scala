@@ -12,9 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's fact query shape — 3 agg CTEs, 2 cumulative windows,
+    * 5-way join — on the testdata star schema. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q02_market_share")(spark, "/root/testdata/sf0.001")
+    queries("q27_fact_snapshot")(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -354,6 +354,11 @@ object DynFrame {
   def apply(df: DataFrame, name: String = "frame"): DynFrame =
     new DynFrame(df, name, Nil, Long.MaxValue, Long.MaxValue)
 
+  /** RDD source (`create_dynamic_frame_from_rdd`, `context.py:152-156`). */
+  def fromRdd(spark: SparkSession, rdd: org.apache.spark.rdd.RDD[Row],
+              schema: StructType, name: String = "frame"): DynFrame =
+    apply(spark.createDataFrame(rdd, schema), name)
+
   /** Cast/embed a DataFrame's columns into the merged Glue schema: plain
     * columns pass through; columns that became a choice wrap into the
     * struct-of-branches encoding with this side's branch populated. */

@@ -175,6 +175,30 @@ object BankJobs {
     } finally cached.unpersist()
   }
 
+  /** Micro-batch raw-zone ingestion (§2.13 tied to the jobs layer): stream
+    * a raw CSV directory and run the per-table dim transform on each batch
+    * through the forEachBatch runner (retry + empty-batch gate). The batch
+    * path ([[runAll]]) and this incremental path share the same transform
+    * functions. */
+  def streamingDim(spark: SparkSession, rawTableDir: String, etlType: String,
+                   dest: String, checkpoint: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   asOf: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream
+      .option("header", "true").option("delimiter", ",").option("nullValue", "\\N")
+      .schema(schema)
+      .csv(rawTableDir)
+    graft.streaming.Streaming.forEachBatch(raw,
+      graft.streaming.Streaming.ForEachBatchOptions(
+        windowSize = "1 seconds", checkpointLocation = Some(checkpoint))) { (batch, _) =>
+      val out = etlType match {
+        case "scd2" => scd2Dim(batch, asOf)
+        case _      => syncDim(batch)
+      }
+      out.write.mode(SaveMode.Append).parquet(dest)
+    }
+  }
+
   /** The full r2g job (`initEtl`, `r2g_account.py:42-64`): per-table
     * sync/scd2 dims, date dim, fact — reading `<rawDir>/<table>.csv`,
     * writing `<goldenDir>/kietl_dim_*` (+ backup). */

@@ -122,14 +122,24 @@ object GlueTypes {
   }
 
   /** Flatten nested choices and dedupe by canonical name; a single survivor
-    * collapses back to a plain type. */
+    * collapses back to a plain type. Two alternatives sharing a name that
+    * are both structs merge field-wise (all structs answer to "struct", the
+    * same branch name Glue's make_struct uses) — picking one arbitrarily
+    * would silently drop fields. */
   def makeChoice(a: GlueType, b: GlueType): GlueType = {
     def alts(t: GlueType): Seq[GlueType] = t match {
       case GChoiceType(cs, _) => cs.flatMap(alts)
       case other              => Seq(other)
     }
     val all = (alts(a) ++ alts(b))
-      .groupBy(_.typeName).toSeq.map(_._2.head).sortBy(_.typeName)
+      .groupBy(_.typeName).toSeq.map { case (_, ts) =>
+        ts.reduce { (x, y) =>
+          (x, y) match {
+            case (sa: GStructType, sb: GStructType) => mergeDataTypes(sa, sb)
+            case _                                  => x
+          }
+        }
+      }.sortBy(_.typeName)
     if (all.size == 1) all.head else GChoiceType(all)
   }
 

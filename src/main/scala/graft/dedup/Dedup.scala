@@ -20,6 +20,23 @@ import graft.functions.{SimilarityFunctions => S, TextFunctions => T}
   */
 object Dedup {
 
+  /** Degenerate-bucket guard: a bucket with B members expands to B² pairs,
+    * so one pathological hash collision (boilerplate docs, zero vectors)
+    * can dominate the whole job. Buckets above `maxBucketSize` are dropped
+    * from candidate generation — their members are (by construction)
+    * near-identical to thousands of others and are better handled by the
+    * exact-dedup tier first. The count rides the same (bucket) shuffle the
+    * pair join needs, so the guard adds no extra exchange. */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame = {
+    if (maxBucketSize == Int.MaxValue) banded
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+      banded.withColumn("__bucket_n", count(lit(1)).over(w))
+        .filter(col("__bucket_n") <= maxBucketSize)
+        .drop("__bucket_n")
+    }
+  }
+
   /** Exact dedup on a content column: md5-group, keep the smallest id.
     * Single shuffle on the 128-bit content hash — at 100 TB, hash first so
     * the shuffle carries (hash, id), not the document bytes. */
@@ -44,7 +61,8 @@ object Dedup {
     * bucket-local pair expansion — no global cross join. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 3, k: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.7): DataFrame = {
+                   threshold: Double = 0.7,
+                   maxBucketSize: Int = 10000): DataFrame = {
     // Materialize signatures before the self-join: both join branches read
     // the cached k·8-byte rows instead of re-running shingling+hashing.
     // (At cluster scale this stage writes signatures to storage instead.)
@@ -52,8 +70,9 @@ object Dedup {
       col(idCol).as("id"),
       S.minhashSignature(T.wordShingles(col(textCol), shingleLen), k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(col("id"), col("sig"),
-        posexplode(S.minhashBands(col("sig"), k, bands)).as(Seq("band", "bhash")))
+    val banded = capBuckets(sigs.select(col("id"), col("sig"),
+      posexplode(S.minhashBands(col("sig"), k, bands)).as(Seq("band", "bhash"))),
+      Seq("band", "bhash"), maxBucketSize)
     val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bhash"))
@@ -67,14 +86,15 @@ object Dedup {
     * 16-bit chunks (any equal chunk ⇒ candidate; catches all pairs within
     * Hamming distance 3 by pigeonhole), verified by exact Hamming distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val fp = df.select(col(idCol).as("id"), S.simhash(T.tokens(col(textCol))).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = (0 until 4).map(i =>
       shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL)).as(s"c$i"))
-    val banded = fp.select(col("id") +: col("fp") +: chunks: _*)
+    val banded = capBuckets(fp.select(col("id") +: col("fp") +: chunks: _*)
       .select(col("id"), col("fp"),
-        posexplode(array((0 until 4).map(i => col(s"c$i")): _*)).as(Seq("band", "chunk")))
+        posexplode(array((0 until 4).map(i => col(s"c$i")): _*)).as(Seq("band", "chunk"))),
+      Seq("band", "chunk"), maxBucketSize)
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
     a.join(b, Seq("band", "chunk"))
@@ -107,9 +127,12 @@ object Dedup {
     * (see [[graft.ann.Ann.hyperplaneSignature]]): vectors sharing a
     * signature bucket are verified with exact double-precision cosine. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double = 0.9, planes: Int = 12): DataFrame = {
+                     threshold: Double = 0.9, planes: Int = 12,
+                     maxBucketSize: Int = 10000): DataFrame = {
     val sig = graft.ann.Ann.hyperplaneSignature(col(vecCol), dim = 64, planes = planes)
-    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("vec"), sig.as("bucket"))
+    val withSig = capBuckets(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"), sig.as("bucket")),
+      Seq("bucket"), maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withSig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = withSig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))

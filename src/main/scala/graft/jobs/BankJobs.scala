@@ -105,6 +105,60 @@ object BankJobs {
     out
   }
 
+  /** DataFrame-DSL formulation of the fact query — same semantics as
+    * [[FactSql]] (including the c2 cust_id-only fan-out join), expressed
+    * through the typed API. The account-level accumulation joins back on
+    * its full grouping key, which is 1:1, so it collapses to a window
+    * `withColumn`; the customer-level one keeps the reference's fan-out
+    * join. `collect_set` ≡ `collect_list(distinct …)` up to ordering. */
+  def factDailyTransactionDsl(spark: SparkSession,
+                              paymentTransaction: DataFrame, paymentType: DataFrame,
+                              account: DataFrame, accountType: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pm = paymentTransaction
+      .join(paymentType, paymentTransaction("payment_code") === paymentType("type_code"))
+      .withColumn("transaction_date", to_date(col("transaction_time")))
+      .select(col("trans_id"), col("acc_id"), col("amount"), col("type_nm"), col("transaction_date"))
+    val acct = account.select(col("acc_id").as("a_acc_id"), col("cust_id"), col("acc_type"))
+    val pmAcct = pm.join(acct, pm("acc_id") === acct("a_acc_id"))
+
+    val c1 = pmAcct.groupBy(col("transaction_date"), col("cust_id"))
+      .agg(count(col("trans_id")).as("cust_no_transaction_daily"),
+        sum(col("amount")).as("cust_daily_spending"),
+        collect_set(col("type_nm")).as("cust_daily_payment_type"))
+    val c2 = c1.select(col("cust_id").as("c2_cust_id"),
+      sum(col("cust_daily_spending"))
+        .over(Window.partitionBy("cust_id").orderBy("transaction_date"))
+        .as("cust_accum_spending"))
+
+    val at = accountType.select(col("type_id"), col("type_nm").as("account_type_name"))
+    val a1 = pmAcct.join(at, col("acc_type") === col("type_id"))
+      .groupBy(col("transaction_date"), col("cust_id"), col("a_acc_id").as("acc_id"), col("account_type_name"))
+      .agg(countDistinct(col("trans_id")).as("account_no_transactions_daily"),
+        sum(col("amount")).as("account_daily_spending"))
+      .withColumn("account_accum_spending",
+        sum(col("account_daily_spending"))
+          .over(Window.partitionBy("cust_id", "acc_id").orderBy("transaction_date")))
+
+    val c3 = pmAcct.groupBy(month(col("transaction_date")).as("c3_month"), col("cust_id").as("c3_cust_id"))
+      .agg(avg(col("amount")).as("cust_avgerage_daily_spending"))
+
+    a1
+      .join(c1.select(col("transaction_date").as("c1_date"), col("cust_id").as("c1_cust_id"),
+          col("cust_no_transaction_daily"), col("cust_daily_spending"), col("cust_daily_payment_type")),
+        a1("transaction_date") === col("c1_date") && a1("cust_id") === col("c1_cust_id"))
+      .join(c2, a1("cust_id") === c2("c2_cust_id")) // reference fan-out preserved
+      .join(c3, c3("c3_month") === month(a1("transaction_date")) && c3("c3_cust_id") === a1("cust_id"))
+      .select(
+        date_format(a1("transaction_date"), "yyyyMMdd").as("date_key"),
+        a1("cust_id"), col("acc_id"), col("account_type_name"),
+        col("account_no_transactions_daily"), col("account_daily_spending"),
+        col("account_accum_spending"),
+        col("cust_no_transaction_daily"), col("cust_daily_spending"), col("cust_daily_payment_type"),
+        col("cust_accum_spending"), col("cust_avgerage_daily_spending"))
+      .orderBy(a1("cust_id"), a1("transaction_date"))
+  }
+
   /** Verbatim fact SQL (`r2g_account.py:160-208`). */
   val FactSql: String = """
     with cte_transaction_revenue as (

@@ -134,6 +134,23 @@ class BankJobsSpec extends SparkSpec {
     assert(fact.columns.contains("cust_avgerage_daily_spending"))
   }
 
+  test("DSL fact variant matches the SQL fact as a multiset") {
+    val pm = BankJobs.readRawCsv(spark, s"$rawDir/payment_transaction.csv")
+    val ptype = BankJobs.readRawCsv(spark, s"$rawDir/payment_type.csv")
+    val account = BankJobs.readRawCsv(spark, s"$rawDir/account.csv")
+    val accountType = BankJobs.readRawCsv(spark, s"$rawDir/account_type.csv")
+    val dimDate = BankJobs.dateDim(spark, "2023-01-01", "2023-03-01")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+      val sortedArr = df.withColumn("cust_daily_payment_type", sort_array(col("cust_daily_payment_type")))
+      val cols = sortedArr.columns.sorted
+      sortedArr.select(cols.map(c => col(c).cast("string")).toIndexedSeq: _*)
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.mkString("|"))
+    }
+    val sqlFact = BankJobs.factDailyTransaction(spark, pm, ptype, dimDate, account, accountType)
+    val dslFact = BankJobs.factDailyTransactionDsl(spark, pm, ptype, account, accountType)
+    assert(canon(sqlFact) == canon(dslFact))
+  }
+
   test("runAll writes dims + date dim + fact to both destinations") {
     val out = java.nio.file.Files.createTempDirectory("golden").toString
     val frames = BankJobs.runAll(spark, rawDir, s"$out/golden", s"$out/backup",

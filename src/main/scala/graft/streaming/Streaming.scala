@@ -15,6 +15,28 @@ import org.apache.spark.storage.StorageLevel
   */
 object Streaming {
 
+  /** Streaming source factory (`getStreamingSource` /
+    * `create_data_frame_from_options`, `context.py:122-147,284-293`):
+    * connection_type picks the stream transport — kafka/kinesis go through
+    * their Spark source names; file-ish types through the schema'd file
+    * stream source. (Kafka/kinesis connectors are separate artifacts; the
+    * spec routing is the engine surface.) */
+  def source(spark: SparkSession, connectionType: String,
+             options: Map[String, String] = Map.empty,
+             format: Option[String] = None,
+             path: Option[String] = None,
+             schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r0 = spark.readStream.options(options)
+    val r = schema.fold(r0)(r0.schema)
+    connectionType match {
+      case "kafka" | "kinesis" => r.format(connectionType).load()
+      case "s3" | "file" =>
+        val fmt = format.getOrElse("parquet")
+        r.format(fmt).load(path.getOrElse(options("path")))
+      case other => r.format(other).load()
+    }
+  }
+
   case class ForEachBatchOptions(
       windowSize: String = "10 seconds",        // processing-time trigger
       checkpointLocation: Option[String] = None,

@@ -250,6 +250,45 @@ object GlueTypes {
     }
   }
 
+  /** JSON → GlueType (`fromJsonValue`, `gluetypes.py:358-368`), inverse of
+    * [[toJson]]. Uses Jackson (ships with Spark). */
+  def fromJson(json: String): GlueType = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    fromJsonNode(mapper.readTree(json))
+  }
+
+  private def fromJsonNode(n: com.fasterxml.jackson.databind.JsonNode): GlueType = {
+    import scala.jdk.CollectionConverters._
+    def props(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+      Option(node.get("properties")).map { p =>
+        p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty)
+    val p = props(n)
+    n.get("dataType").asText() match {
+      case "decimal" => GDecimalType(n.get("precision").asInt(), n.get("scale").asInt(), p)
+      case "enum" => GEnumType(n.get("options").elements().asScala.map(_.asText()).toSet, p)
+      case "array" => GArrayType(fromJsonNode(n.get("elementType")), p)
+      case "set" => GSetType(fromJsonNode(n.get("elementType")), p)
+      case "map" => GMapType(fromJsonNode(n.get("valueType")), p)
+      case "struct" =>
+        GStructType(n.get("fields").elements().asScala.map { f =>
+          GField(f.get("name").asText(), fromJsonNode(f.get("container")), props(f))
+        }.toSeq, p)
+      case "choice" =>
+        GChoiceType(n.get("choices").elements().asScala.map(fromJsonNode).toSeq, p)
+      case atomic =>
+        atomicByName(atomic).getOrElse(GUnknownType(p)) match {
+          case GBinaryType(_) => GBinaryType(p); case GBooleanType(_) => GBooleanType(p)
+          case GByteType(_) => GByteType(p); case GDateType(_) => GDateType(p)
+          case GDoubleType(_) => GDoubleType(p); case GFloatType(_) => GFloatType(p)
+          case GIntegerType(_) => GIntegerType(p); case GLongType(_) => GLongType(p)
+          case GNullType(_) => GNullType(p); case GShortType(_) => GShortType(p)
+          case GStringType(_) => GStringType(p); case GTimestampType(_) => GTimestampType(p)
+          case other => other
+        }
+    }
+  }
+
   private def quote(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""

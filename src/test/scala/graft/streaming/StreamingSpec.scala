@@ -53,6 +53,15 @@ class StreamingSpec extends SparkSpec {
     assert(sample.count() == 2)
   }
 
+  test("streaming source factory routes file transports with schema") {
+    val in = mkStreamDir()
+    val schema = spark.read.parquet(in).schema
+    val stream = Streaming.source(spark, "file", path = Some(in), schema = Some(schema))
+    assert(stream.isStreaming)
+    val sample = Streaming.sampleStream(spark, stream, 3, "src_factory_t")
+    assert(sample.count() == 3)
+  }
+
   test("ingestion-time columns appended to requested granularity") {
     val df = Seq(1).toDF("x")
     val out = Streaming.withIngestionTimeColumns(df, "day")

@@ -30,6 +30,9 @@ object GlueTypesPropertySpec extends Properties("GlueTypes") {
     mergeDataTypes(t, t) == t
   }
 
+  property("json round-trips: fromJson(toJson(t)) == t") =
+    Prop.forAll(typeGen(2)) { t => fromJson(toJson(t)) == t }
+
   /** Struct merge keeps the left operand's field order (reference behavior,
     * `gluetypes.py:395-432`), so commutativity holds up to field ordering —
     * canonicalize before comparing. */

@@ -62,8 +62,10 @@ object Ann {
     // a single projection and persisted — the 100 TB shape is "hash the
     // corpus once, store the index".
     val csigCols = (0 until numTables).map(t =>
-      hyperplaneSignature(col(corpusVec), dim, planes, planeOffset = t * planes).as(s"sig$t"))
-    val csig = corpus.select((col(corpusId).as("nid") +: col(corpusVec).as("nvec") +: csigCols): _*)
+      hyperplaneSignature(col("nvec"), dim, planes, planeOffset = t * planes).as(s"sig$t"))
+    val csig = graft.dedup.Dedup.ensureParallelism(
+        corpus.select(col(corpusId).as("nid"), col(corpusVec).as("nvec")))
+      .select((col("nid") +: col("nvec") +: csigCols): _*)
       .select(col("nid"), col("nvec"), posexplode(array((0 until numTables).map(t => col(s"sig$t")): _*)).as(Seq("table", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // queries: signature per table, multi-probe with all 1-bit flips.

@@ -78,7 +78,8 @@ object Ivf {
 
   /** Assign every row its cell id — the stored index at scale. */
   def assign(corpus: DataFrame, vecCol: String, model: Model): DataFrame =
-    corpus.withColumn("cell", nearestCells(col(vecCol), model, 1)(0))
+    graft.dedup.Dedup.ensureParallelism(corpus)
+      .withColumn("cell", nearestCells(col(vecCol), model, 1)(0))
 
   /** Top-k by cosine within the probed cells. */
   def topK(corpus: DataFrame, queries: DataFrame, model: Model,

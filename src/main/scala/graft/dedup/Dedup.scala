@@ -20,6 +20,17 @@ import graft.functions.{SimilarityFunctions => S, TextFunctions => T}
   */
 object Dedup {
 
+  /** Compute-bound stages (signature hashing) must not inherit the scan's
+    * split count: a small single-file table arrives as ONE partition and
+    * serializes the whole kernel onto one core. When the input has fewer
+    * partitions than the cluster has slots, scatter it first; when splits
+    * are plentiful (any real at-scale input) this is a no-op — no shuffle
+    * is added. */
+  private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
   /** Degenerate-bucket guard: a bucket with B members expands to B² pairs,
     * so one pathological hash collision (boilerplate docs, zero vectors)
     * can dominate the whole job. Buckets above `maxBucketSize` are dropped
@@ -66,9 +77,9 @@ object Dedup {
     // Materialize signatures before the self-join: both join branches read
     // the cached k·8-byte rows instead of re-running shingling+hashing.
     // (At cluster scale this stage writes signatures to storage instead.)
-    val sigs = df.select(
-      col(idCol).as("id"),
-      S.minhashSignature(T.wordShingles(col(textCol), shingleLen), k).as("sig"))
+    val sigs = ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        S.minhashSignature(T.wordShingles(col("__text"), shingleLen), k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = capBuckets(sigs.select(col("id"), col("sig"),
       posexplode(S.minhashBands(col("sig"), k, bands)).as(Seq("band", "bhash"))),
@@ -87,7 +98,8 @@ object Dedup {
     * Hamming distance 3 by pigeonhole), verified by exact Hamming distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), S.simhash(T.tokens(col(textCol))).as("fp"))
+    val fp = ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), S.simhash(T.tokens(col("__text"))).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = (0 until 4).map(i =>
       shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL)).as(s"c$i"))
@@ -113,8 +125,8 @@ object Dedup {
                         k: Int = 64, bands: Int = 16): DataFrame = {
     val candidates = minhashPairs(df, idCol, textCol, shingleLen, k, bands,
       threshold = threshold * 0.7) // lower LSH bar: recall phase
-    val sh = df.select(col(idCol).as("id"),
-      array_distinct(T.wordShingles(col(textCol), shingleLen)).as("sh"))
+    val sh = ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), array_distinct(T.wordShingles(col("__text"), shingleLen)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -129,9 +141,10 @@ object Dedup {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.9, planes: Int = 12,
                      maxBucketSize: Int = 10000): DataFrame = {
-    val sig = graft.ann.Ann.hyperplaneSignature(col(vecCol), dim = 64, planes = planes)
     val withSig = capBuckets(
-      df.select(col(idCol).as("id"), col(vecCol).as("vec"), sig.as("bucket")),
+      ensureParallelism(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+        .select(col("id"), col("vec"),
+          graft.ann.Ann.hyperplaneSignature(col("vec"), dim = 64, planes = planes).as("bucket")),
       Seq("bucket"), maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withSig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))

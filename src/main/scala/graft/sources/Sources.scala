@@ -72,6 +72,23 @@ object Sources {
     }
   }
 
+  /** Bucketed catalog write: pre-shuffles the table by the join keys ONCE
+    * at write time so every later equi-join/aggregation on those keys runs
+    * exchange-free — the biggest repeated-shuffle eliminator at 100 TB
+    * (both sides bucketed on the same keys with the same count ⇒ the join
+    * plan has no Exchange at all; see SourcesSpec plan assertion).
+    * Bucketing requires a catalog table (`saveAsTable`). */
+  def writeBucketed(df: DataFrame, db: String, table: String,
+                    bucketKeys: Seq[String], numBuckets: Int,
+                    sortKeys: Seq[String] = Nil,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    df.sparkSession.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    val w0 = df.write.mode(mode)
+      .bucketBy(numBuckets, bucketKeys.head, bucketKeys.tail: _*)
+    val w = if (sortKeys.nonEmpty) w0.sortBy(sortKeys.head, sortKeys.tail: _*) else w0
+    w.saveAsTable(s"`$db`.`$table`")
+  }
+
   /** Write a whole collection, one sink per frame, suffixing the path with
     * the frame name (DynamicFrameCollection sink, `data_sink.py:44-53`). */
   def writeCollection(frames: Map[String, DataFrame], spec: SinkSpec): Unit =

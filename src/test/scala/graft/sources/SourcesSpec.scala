@@ -53,6 +53,34 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/t").count() == 3)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP DATABASE IF EXISTS graft_bkt CASCADE")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/graft_bkt.db"))
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    Sources.writeBucketed(orders, "graft_bkt", "orders_b", Seq("o_custkey"), 4,
+      sortKeys = Seq("o_custkey"))
+    Sources.writeBucketed(customer, "graft_bkt", "cust_b", Seq("c_custkey"), 4,
+      sortKeys = Seq("c_custkey"))
+    // force the shuffle-join path (broadcast would win on this tiny dim)
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_bkt.orders_b")
+        .join(spark.table("graft_bkt.cust_b"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed scan not used:\n$plan")
+      assert(joined.count() == orders.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      spark.sql("DROP DATABASE graft_bkt CASCADE")
+    }
+  }
+
   test("connection registry registers and resolves; unknown name throws") {
     ConnectionRegistry.register("pg_main",
       ConnectionRegistry.JdbcConf("jdbc:postgresql://h/db", "u", "p"))

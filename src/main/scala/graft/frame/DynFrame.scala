@@ -215,27 +215,38 @@ class DynFrame private (
   // -------------------------------------------------------- resolveChoice
 
   /** Collapse choice columns (`dynamicframe.py:394-434`). Specs are
-    * (path, action) with action ∈ `cast:<type>`, `project:<type>`,
-    * `make_struct`, `make_cols`. */
+    * (path — possibly nested/dotted, action) with action ∈ `cast:<type>`,
+    * `project:<type>`, `make_struct`, `make_cols` (make_cols is top-level
+    * only — it changes the column set). */
   def resolveChoice(specs: Seq[(String, String)]): DynFrame = {
+    def typeAt(gs: GStructType, path: String): Option[GlueType] =
+      path.split('.').foldLeft(Option(gs: GlueType)) {
+        case (Some(s: GStructType), seg) => s.fieldMap.get(seg).map(_.dataType)
+        case _                           => None
+      }
     var out = df
-    val gs = glueSchema
     specs.foreach { case (path, action) =>
-      gs.fieldMap.get(path) match {
-        case Some(GField(_, c: GChoiceType, _)) =>
+      typeAt(GlueTypes.fromSparkSchema(out.schema), path) match {
+        case Some(c: GChoiceType) =>
           val branches = c.sortedChoices.map(_.typeName)
+          def setAt(value: Column): Unit =
+            if (!path.contains(".")) out = out.withColumn(path, value)
+            else {
+              val root = path.takeWhile(_ != '.')
+              out = out.withColumn(root, col(root).withField(path.drop(root.length + 1), value))
+            }
           action match {
             case a if a.startsWith("cast:") =>
               val target = a.stripPrefix("cast:")
-              val castCol = org.apache.spark.sql.functions.coalesce(
-                branches.map(b => col(s"$path.$b").cast(target)): _*)
-              out = out.withColumn(path, castCol)
+              setAt(org.apache.spark.sql.functions.coalesce(
+                branches.map(b => col(path).getField(b).cast(target)): _*))
             case a if a.startsWith("project:") =>
               val target = a.stripPrefix("project:")
               require(branches.contains(target), s"choice $path has no branch $target (has: $branches)")
-              out = out.withColumn(path, col(s"$path.$target"))
+              setAt(col(path).getField(target))
             case "make_struct" => // identity: the encoding IS the struct
             case "make_cols" =>
+              require(!path.contains("."), "make_cols supports top-level choice columns only")
               branches.foreach(b => out = out.withColumn(s"${path}_$b", col(s"$path.$b")))
               out = out.drop(path)
             case other => throw new IllegalArgumentException(s"unknown resolveChoice action $other")
@@ -359,24 +370,45 @@ object DynFrame {
               schema: StructType, name: String = "frame"): DynFrame =
     apply(spark.createDataFrame(rdd, schema), name)
 
-  /** Cast/embed a DataFrame's columns into the merged Glue schema: plain
-    * columns pass through; columns that became a choice wrap into the
-    * struct-of-branches encoding with this side's branch populated. */
+  /** Cast/embed a DataFrame's columns into the merged Glue schema —
+    * recursively: a column (or struct field, or array element, at any
+    * depth) whose type became a choice wraps into the struct-of-branches
+    * encoding with this side's branch populated; fields present on one
+    * side only ride along as nulls. */
   private[frame] def alignToSchema(df: DataFrame, target: GStructType): DataFrame = {
-    val present = df.columns.toSet
-    val cols = target.fields.map { gf =>
-      val sparkType = GlueTypes.toSpark(gf.dataType)
-      gf.dataType match {
-        case c: GChoiceType if present.contains(gf.name) =>
-          val myType = GlueTypes.fromSpark(df.schema(gf.name).dataType)
-          val branches = c.sortedChoices.map { alt =>
-            if (alt.typeName == myType.typeName) col(gf.name).as(alt.typeName)
-            else lit(null).cast(GlueTypes.toSpark(alt)).as(alt.typeName)
+    def align(c: Column, current: GlueType, tgt: GlueType): Column = (current, tgt) match {
+      case (cur, t) if cur == t => c
+      case (cur, ch: GChoiceType) =>
+        val branches = ch.sortedChoices.map { alt =>
+          if (alt.typeName == cur.typeName) align(c, cur, alt).as(alt.typeName)
+          else lit(null).cast(GlueTypes.toSpark(alt)).as(alt.typeName)
+        }
+        struct(branches: _*)
+      case (cs: GStructType, ts: GStructType) =>
+        val fields = ts.fields.map { tf =>
+          cs.fieldMap.get(tf.name) match {
+            case Some(cf) => align(c.getField(tf.name), cf.dataType, tf.dataType).as(tf.name)
+            case None     => lit(null).cast(GlueTypes.toSpark(tf.dataType)).as(tf.name)
           }
-          struct(branches: _*).as(gf.name, new MetadataBuilder()
+        }
+        struct(fields: _*)
+      case (ca: GArrayType, ta: GArrayType) =>
+        transform(c, e => align(e, ca.elementType, ta.elementType))
+      case (ca: GSetType, ta: GSetType) =>
+        transform(c, e => align(e, ca.elementType, ta.elementType))
+      case (_, t) => c.cast(GlueTypes.toSpark(t))
+    }
+    val mySchema = GlueTypes.fromSparkSchema(df.schema)
+    val cols = target.fields.map { gf =>
+      val base = mySchema.fieldMap.get(gf.name) match {
+        case Some(mf) => align(col(gf.name), mf.dataType, gf.dataType)
+        case None     => lit(null).cast(GlueTypes.toSpark(gf.dataType))
+      }
+      gf.dataType match {
+        case _: GChoiceType =>
+          base.as(gf.name, new MetadataBuilder()
             .putBoolean(GlueTypes.ChoiceMetaKey, value = true).build())
-        case _ if present.contains(gf.name) => col(gf.name).cast(sparkType).as(gf.name)
-        case _ => lit(null).cast(sparkType).as(gf.name)
+        case _ => base.as(gf.name)
       }
     }
     df.select(cols: _*)

@@ -185,7 +185,15 @@ object GlueTypes {
     case _ => Metadata.empty
   }
 
-  /** Spark → Glue (choice-tagged structs decode back to GChoiceType). */
+  /** A struct is choice-shaped when every field is named by its own
+    * canonical type name — the struct-of-branches encoding. Nested choices
+    * can't carry column metadata (struct() expressions drop it), so decode
+    * falls back to this structural test. */
+  private def isChoiceShape(fs: Seq[StructField]): Boolean =
+    fs.length >= 2 && fs.forall(f => f.name == fromSpark(f.dataType).typeName)
+
+  /** Spark → Glue (choice-tagged structs decode back to GChoiceType; nested
+    * choice-shaped structs decode structurally). */
   def fromSpark(dt: DataType): GlueType = dt match {
     case BinaryType        => GBinaryType()
     case BooleanType       => GBooleanType()
@@ -204,7 +212,11 @@ object GlueTypes {
     case MapType(_, v, _)  => GMapType(fromSpark(v))
     case StructType(fs) =>
       GStructType(fs.toSeq.map { f =>
-        val t = fromSpark(f.dataType)
+        val t = f.dataType match {
+          case StructType(inner) if isChoiceShape(inner.toSeq) =>
+            GChoiceType(inner.toSeq.map(g => fromSpark(g.dataType)))
+          case other => fromSpark(other)
+        }
         val tagged =
           if (f.metadata.contains(ChoiceMetaKey)) t match {
             case GStructType(branches, _) => GChoiceType(branches.map(_.dataType))

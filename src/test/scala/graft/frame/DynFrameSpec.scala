@@ -76,6 +76,31 @@ class DynFrameSpec extends SparkSpec {
     assert(u.resolveChoice(Seq("k" -> "make_struct")).toDF.schema("k").dataType.isInstanceOf[StructType])
   }
 
+  test("union with a NESTED type conflict produces a nested choice; dotted resolveChoice collapses it") {
+    val a = DynFrame(spark.sql("select 1 as id, named_struct('x', 5L, 'y', 'p') as s"), "a")
+    val b = DynFrame(spark.sql("select 2 as id, named_struct('x', '7', 'y', 'q') as s"), "b")
+    val u = a.union(b)
+    // nested field x became a choice (struct of branches) inside s
+    val sType = u.glueSchema.fieldMap("s").dataType.asInstanceOf[GStructType]
+    assert(sType.fieldMap("x").dataType.isInstanceOf[GChoiceType])
+    val resolved = u.resolveChoice(Seq("s.x" -> "cast:long")).toDF
+    assert(resolved.schema("s").dataType.asInstanceOf[StructType]("x").dataType == LongType)
+    val rows = resolved.select(col("id"), col("s.x"), col("s.y"))
+      .as[(Int, Long, String)].collect().toSet
+    assert(rows == Set((1, 5L, "p"), (2, 7L, "q")))
+  }
+
+  test("union aligns conflicting types inside ARRAYS of structs") {
+    val a = DynFrame(spark.sql("select 1 as id, array(named_struct('v', 1L)) as xs"), "a")
+    val b = DynFrame(spark.sql("select 2 as id, array(named_struct('v', 'two')) as xs"), "b")
+    val u = a.union(b).toDF
+    // element field v is a choice struct; project both branches
+    val vals = u.select(col("id"), col("xs")(0).getField("v").getField("long").as("l"),
+        col("xs")(0).getField("v").getField("string").as("st"))
+      .as[(Int, Option[Long], Option[String])].collect().toSet
+    assert(vals == Set((1, Some(1L), None), (2, None, Some("two"))))
+  }
+
   test("union aligns missing columns as nulls") {
     val a = DynFrame(Seq((1L, "x")).toDF("k", "v"), "a")
     val b = DynFrame(Seq(Tuple1(2L)).toDF("k"), "b")

@@ -28,8 +28,5 @@ object GlueFunctions {
 
   /** Explode an array with element index, aliased `(index, val)`
     * (`functions.py:28-30`) — exactly Spark's `posexplode` generator. */
-  def explodeWithIndex(c: Column): Seq[Column] = {
-    val pe = posexplode(c)
-    Seq(pe) // caller does .select(cols :+ explodeWithIndex(c).head: _*).as over (pos,col)
-  }
+  def explodeWithIndex(c: Column): Column = posexplode(c).as(Seq("index", "val"))
 }

@@ -131,6 +131,13 @@ class FunctionsSpec extends SparkSpec {
     assert(r2 == Seq(1, 2, 3))
   }
 
+  test("explodeWithIndex yields (index, val) rows") {
+    val rows = Seq(Seq("a", "b")).toDF("xs")
+      .select(GlueFunctions.explodeWithIndex(col("xs")))
+      .as[(Int, String)].collect().toSeq
+    assert(rows == Seq((0, "a"), (1, "b")))
+  }
+
   test("namedStruct builds named fields") {
     val df = Seq((1, "x")).toDF("a", "b")
       .select(GlueFunctions.namedStruct("k" -> col("a"), "v" -> col("b")).as("s"))

@@ -58,6 +58,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)") && p.contains("*(2)"), s"no codegen stage in:\n$p")
   }
 
+  test("partitioned writes prune partitions at the scan (PartitionFilters)") {
+    val out = java.nio.file.Files.createTempDirectory("ppart").toString
+    spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("status", org.apache.spark.sql.functions.col("o_orderstatus"))
+      .write.partitionBy("status").parquet(s"$out/t")
+    val q = spark.read.parquet(s"$out/t")
+      .filter(org.apache.spark.sql.functions.col("status") === "F")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(status"), s"no partition pruning in:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("q09 splitRows: comparator predicate is pushed to the scan") {
     val p = plan("q09_split_rows")
     assert(p.contains("PushedFilters: [IsNotNull(l_discount), IsNotNull(l_quantity), LessThanOrEqual(l_discount,0.02)"))

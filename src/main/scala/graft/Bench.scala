@@ -16,14 +16,18 @@ object Bench {
     // for session bring-up: one shuffle + one parquet scan.
     spark.range(0, 1000000).selectExpr("id % 7 as k").groupBy("k").count().count()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // best-of-two per query: the first run warms codegen/file cache, the
+    // min reflects steady-state cost; cache cleared between measurements so
+    // library persists (LSH signatures etc.) don't leak across queries
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
-      // isolate queries: library persists (LSH signatures etc.) shouldn't
-      // accumulate across measurements
       spark.catalog.clearCache()
-      name -> sec
+      sec
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> math.min(timeOnce(fn), timeOnce(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -46,6 +46,10 @@ object GraftFunctions {
     "graft_shingles" -> { args =>
       require(args.length == 2, "graft_shingles(tokens, n)")
       WordShinglesExpr(args.head, intArg(args(1), "n"))
+    },
+    "graft_minhash_merge" -> { args =>
+      require(args.length == 2, "graft_minhash_merge(sig, k)")
+      MinHashMergeAgg(args.head, intArg(args(1), "k")).toAggregateExpression()
     })
 
   def register(spark: SparkSession): Unit =

@@ -74,13 +74,21 @@ object Dedup {
                    shingleLen: Int = 3, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7,
                    maxBucketSize: Int = 10000): DataFrame = {
-    // Materialize signatures before the self-join: both join branches read
-    // the cached k·8-byte rows instead of re-running shingling+hashing.
-    // (At cluster scale this stage writes signatures to storage instead.)
     val sigs = ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"),
         S.minhashSignature(T.wordShingles(col("__text"), shingleLen), k).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashPairsFromSignatures(sigs, k, bands, threshold, maxBucketSize)
+  }
+
+  /** LSH pair generation over a precomputed `(id, sig)` frame — the shape
+    * used when signatures are stored (or shared with another phase). The
+    * frame is persisted here so both self-join branches read cached rows
+    * instead of recomputing upstream hashing; at cluster scale this stage
+    * reads the signature table instead. */
+  def minhashPairsFromSignatures(sigFrame: DataFrame, k: Int, bands: Int,
+                                 threshold: Double,
+                                 maxBucketSize: Int = 10000): DataFrame = {
+    val sigs = sigFrame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = capBuckets(sigs.select(col("id"), col("sig"),
       posexplode(S.minhashBands(col("sig"), k, bands)).as(Seq("band", "bhash"))),
       Seq("band", "bhash"), maxBucketSize)
@@ -123,11 +131,15 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int = 3, threshold: Double = 0.8,
                         k: Int = 64, bands: Int = 16): DataFrame = {
-    val candidates = minhashPairs(df, idCol, textCol, shingleLen, k, bands,
-      threshold = threshold * 0.7) // lower LSH bar: recall phase
+    // One shingle pass feeds BOTH phases: signatures derive from the cached
+    // distinct-shingle frame (duplicate shingles can't change a min, so
+    // distinct-first is equivalent), and the verify join reads it again.
     val sh = ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), array_distinct(T.wordShingles(col("__text"), shingleLen)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sh.select(col("id"), S.minhashSignature(col("sh"), k).as("sig"))
+    val candidates = minhashPairsFromSignatures(sigs, k, bands,
+      threshold = threshold * 0.7) // lower LSH bar: recall phase
     candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -437,6 +437,37 @@ object Queries {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** dropNullFields (`transforms/drop_nulls.py`): NullType columns vanish,
+    * including inside structs. */
+  def q35DropNullFields(s: SparkSession, dir: String): DataFrame =
+    DynFrame(tbl(s, dir, "region").select(
+      col("r_regionkey"), col("r_name"),
+      lit(null).as("dead"),
+      struct(col("r_name").as("keep"), lit(null).as("gone")).as("s")), "r")
+      .dropNullFields().toDF
+      .select(col("r_regionkey"), col("r_name"), col("s.keep").as("keep"))
+
+  /** unnestDdbJson: strip a DynamoDB-typed encoding built over nation. */
+  def q36DdbUnnest(s: SparkSession, dir: String): DataFrame = {
+    val tagged = tbl(s, dir, "nation").select(
+      col("n_nationkey"),
+      struct(col("n_name").as("S"), lit(null).cast("string").as("N")).as("name"),
+      struct(lit(null).cast("string").as("S"), col("n_regionkey").cast("string").as("N")).as("rk"))
+    graft.restructure.Restructure.unnestDdbJson(tagged)
+      .select(col("n_nationkey"), col("name"), col("rk"))
+  }
+
+  /** Row-level filter with the reference's error-class contract
+    * (`dynamicframe.py:80-94`): data-shape errors drop rows silently. */
+  def q37FilterRows(s: SparkSession, dir: String): DataFrame =
+    DynFrame(tbl(s, dir, "supplier"), "supp")
+      .filterRows({ r =>
+        val k = r.getAs[Long]("s_suppkey")
+        if (k % 10 == 0) throw new IllegalArgumentException("shape error -> dropped")
+        k % 3 == 0
+      }, "q37")
+      .toDF.select(col("s_suppkey"), col("s_name"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -473,7 +504,10 @@ object Queries {
     "q31_text_quality" -> (q31TextQuality _),
     "q32_embedding_dedup" -> (q32EmbeddingDedup _),
     "q33_fingerprint" -> (q33Fingerprint _),
-    "q34_ivf_topk" -> (q34IvfTopK _))
+    "q34_ivf_topk" -> (q34IvfTopK _),
+    "q35_drop_null_fields" -> (q35DropNullFields _),
+    "q36_ddb_unnest" -> (q36DdbUnnest _),
+    "q37_filter_rows" -> (q37FilterRows _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25) are hash-based or
     * approximate by construction → driver records a rows-only check. */
@@ -677,5 +711,12 @@ object Queries {
         | CASE WHEN len(toks) = 0 THEN 0
         |      ELSE CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT)
         | END AS bpe_tokens
-        |FROM feats""".stripMargin)
+        |FROM feats""".stripMargin,
+    "q35_drop_null_fields" ->
+      "SELECT r_regionkey, r_name, r_name AS keep FROM region",
+    "q36_ddb_unnest" ->
+      "SELECT n_nationkey, n_name AS name, CAST(n_regionkey AS VARCHAR) AS rk FROM nation",
+    "q37_filter_rows" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey % 10 <> 0 AND s_suppkey % 3 = 0""".stripMargin)
 }

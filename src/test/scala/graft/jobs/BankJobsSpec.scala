@@ -3,6 +3,7 @@ package graft.jobs
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.orchestrate.Pipeline
 
 /** Golden tests for the three reference job families on the CSV fixtures
   * (FIXTURES.md schemas). The fact query is checked against a brute-force
@@ -164,6 +165,24 @@ class BankJobsSpec extends SparkSpec {
     // scd2 dims got the synthetic columns; sync dims stayed verbatim
     assert(spark.read.parquet(s"$out/golden/kietl_dim_account").columns.contains("is_active"))
     assert(!spark.read.parquet(s"$out/golden/kietl_dim_payment_type").columns.contains("is_active"))
+  }
+
+  test("R2gPipeline: extract -> transform -> catalog refresh end-to-end") {
+    val out = java.nio.file.Files.createTempDirectory("pipe").toString
+    var extracted = false
+    val log = R2gPipeline.run(spark, R2gPipeline.Config(
+      rawDir = rawDir, goldenDir = s"$out/golden", backupDir = s"$out/backup",
+      catalogDb = "graft_pipe_db", asOf = Some("2024-08-07 00:00:00"),
+      extract = Some(() => extracted = true)))
+    assert(extracted)
+    assert(log.map(_.getClass.getSimpleName).forall(_ == "Succeeded"))
+    assert(log.map { case Pipeline.Succeeded(n, _, _) => n; case other => other.toString } ==
+      Seq("extract_raw", "transform_golden", "catalog_refresh"))
+    // the "crawled" catalog now serves the fact table
+    val fact = spark.table("graft_pipe_db.kietl_fact_snapshot_daily_transaction")
+    assert(fact.count() > 0)
+    assert(fact.columns.contains("cust_avgerage_daily_spending"))
+    spark.sql("DROP DATABASE graft_pipe_db CASCADE")
   }
 
   test("scd2Merge closes matching active rows and inserts new versions") {

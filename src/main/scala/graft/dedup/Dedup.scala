@@ -124,6 +124,14 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
+  /** Survivor selection over near-dup pairs: keep-smallest-id — any doc
+    * appearing as the larger side of a pair is dropped. For chains
+    * a<b<c with pairs (a,b),(b,c), both b and c drop and a survives; this
+    * keep-first policy is the standard large-scale choice (full connected
+    * components cost iterative joins for marginal benefit). */
+  def nearDupSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** Exact n-gram Jaccard over MinHash-generated candidates: the LSH pass
     * proposes pairs, then the true shingle-set Jaccard verifies them.
     * This is the standard two-phase shape — cheap recall, exact precision —

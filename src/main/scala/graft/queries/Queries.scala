@@ -468,6 +468,13 @@ object Queries {
       }, "q37")
       .toDF.select(col("s_suppkey"), col("s_name"))
 
+  /** Gap-based sessionization over the event stream (batch shape; the
+    * stateful streaming twin is Sessionize.streamingCounts). One shuffle:
+    * all three window passes share the per-user partitioning. */
+  def q38Sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize.batchSessions(
+      events(s, dir), "user_id", "ts", "value", tieBreak = "event_id", gapSeconds = 3600)
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -507,7 +514,8 @@ object Queries {
     "q34_ivf_topk" -> (q34IvfTopK _),
     "q35_drop_null_fields" -> (q35DropNullFields _),
     "q36_ddb_unnest" -> (q36DdbUnnest _),
-    "q37_filter_rows" -> (q37FilterRows _))
+    "q37_filter_rows" -> (q37FilterRows _),
+    "q38_sessionize" -> (q38Sessionize _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25) are hash-based or
     * approximate by construction → driver records a rows-only check. */
@@ -718,5 +726,22 @@ object Queries {
       "SELECT n_nationkey, n_name AS name, CAST(n_regionkey AS VARCHAR) AS rk FROM nation",
     "q37_filter_rows" ->
       """SELECT s_suppkey, s_name FROM supplier
-        |WHERE s_suppkey % 10 <> 0 AND s_suppkey % 3 = 0""".stripMargin)
+        |WHERE s_suppkey % 10 <> 0 AND s_suppkey % 3 = 0""".stripMargin,
+    "q38_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events),
+        |f AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 3600 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM g GROUP BY user_id, session_idx""".stripMargin)
 }

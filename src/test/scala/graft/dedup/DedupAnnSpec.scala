@@ -42,6 +42,13 @@ class DedupAnnSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("nearDupSurvivors keeps the smallest id of each dup chain") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+    val survivors = Dedup.nearDupSurvivors(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(1L, 4L, 5L)) // 2 and 3 fold into 1
+  }
+
   test("simhash pairs: exact dup at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toMap2

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batchSessions splits on the gap, aggregates per session") {
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0, 1L),
+      (1L, "2024-01-01 10:10:00", 2.0, 2L), // same session (10 min gap)
+      (1L, "2024-01-01 12:00:00", 3.0, 3L), // > 1h later: new session
+      (2L, "2024-01-01 10:00:00", 4.0, 4L))
+      .toDF("user_id", "ts_s", "value", "event_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val sessions = Sessionize.batchSessions(events, "user_id", "ts", "value", "event_id", 3600)
+      .select(col("user_id"), col("session_idx"), col("n_events"), col("total_value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(sessions == Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 3.0), (2L, 1L, 1L, 4.0)))
+  }
+
+  test("streamingCounts keeps per-user state across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    Seq((10L, 1), (10L, 2), (20L, 3)).toDF("user_id", "x").write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val counts = Sessionize.streamingCounts(stream, "user_id")
+    val q = counts.writeStream.format("memory").queryName("sess_counts")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val r1 = spark.table("sess_counts").groupBy("user_id").agg(max("n").as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(r1 == Map(10L -> 2L, 20L -> 1L))
+      // second batch arrives: counts accumulate through state
+      Seq((10L, 4)).toDF("user_id", "x").write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val r2 = spark.table("sess_counts").groupBy("user_id").agg(max("n").as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(r2 == Map(10L -> 3L, 20L -> 1L))
+    } finally q.stop()
+  }
+}

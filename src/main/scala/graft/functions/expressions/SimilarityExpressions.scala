@@ -120,9 +120,11 @@ case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFa
 }
 
 /** Cosine similarity of two numeric arrays in double precision; 0.0 for
-  * zero-norm inputs. Accepts float or double element types. */
+  * zero-norm inputs. Accepts float or double element types. Fully
+  * codegen'd (doGenCode emits the primitive loop into the enclosing
+  * whole-stage method, so the per-row virtual call disappears too). */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -147,6 +149,35 @@ case class CosineSimExpr(left: Expression, right: Expression)
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
     java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val getA = if (leftFloat) "getFloat" else "getDouble"
+    val getB = if (rightFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.$getA($i);
+         |  double $y = (double) $b.$getB($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

@@ -54,7 +54,7 @@ object SimilarityKernels {
   * min_i over shingles of (a_i·xxh64(s) mod P + b_i) mod P. Duplicate
   * shingles cannot change a min, so no dedupe pass is needed. */
 case class MinHashSignatureExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import SimilarityKernels._
 
   private lazy val as: Array[Long] = Array.tabulate(k)(i => perm(i)._1)
@@ -81,6 +81,42 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
       i += 1
     }
     new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val sig = ctx.freshName("sig")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val hm = ctx.freshName("hm")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, ${P}L);
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${HashSeed}L);
+         |    long $hm = (($h % ${P}L) + ${P}L) % ${P}L;
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $v = ($asRef[$j] * $hm + $bsRef[$j]) % ${P}L;
+         |      if ($v < $sig[$j]) $sig[$j] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -116,6 +116,19 @@ object Streaming {
   }
 }
 
+/** The `Job.init/commit` lifecycle (`glue-jobs/awsglue/job.py:13-48`):
+  * a named job run owning a [[Bookmarks]] store; `commit()` flushes all
+  * bookmark state handed out during the run. */
+class GraftJob private (val name: String, val args: Map[String, String],
+                        val bookmarks: Bookmarks) {
+  def commit(): Unit = bookmarks.commit()
+}
+
+object GraftJob {
+  def init(name: String, args: Map[String, String], stateDir: String): GraftJob =
+    new GraftJob(name, args, new Bookmarks(s"$stateDir/$name"))
+}
+
 /** Job bookmarks (`job.py:13-48`, `utils.py:79-158`): incremental file
   * processing keyed by a `transformation_ctx` string. State is a manifest of
   * already-processed file paths; `commit()` flushes it. File listing happens

@@ -90,6 +90,17 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:01:00", "b", 3.0)))
   }
 
+  test("GraftJob init/commit lifecycle flushes bookmark state") {
+    val state = java.nio.file.Files.createTempDirectory("job").toString
+    val data = java.nio.file.Files.createTempDirectory("jobdata")
+    java.nio.file.Files.writeString(data.resolve("x.csv"), "a")
+    val job = GraftJob.init("nightly", Map("env" -> "test"), state)
+    assert(job.bookmarks.newFiles(spark, "t1", data.toString, "*.csv").size == 1)
+    job.commit()
+    val job2 = GraftJob.init("nightly", Map.empty, state)
+    assert(job2.bookmarks.newFiles(spark, "t1", data.toString, "*.csv").isEmpty)
+  }
+
   test("bookmarks hand out only new files and commit durably") {
     val state = java.nio.file.Files.createTempDirectory("bm").toString
     val data = java.nio.file.Files.createTempDirectory("bmdata")

@@ -314,14 +314,21 @@ object Queries {
       .select(col("c_custkey").as("acc_id"), pmod(col("c_custkey"), lit(200)).as("cust_id"),
         col("c_mktsegment").as("acc_type"))
       .createOrReplaceTempView("q27_account")
+    // The reference SQL repeats the pm⋈account join in three CTEs, which
+    // plans as three scans of the fact input. Materialize the shared join
+    // once — semantics identical, one scan (the engine-level CSE the
+    // optimizer can't do across a cached boundary by itself).
+    val pma = s.sql("select pm.*, a.cust_id, a.acc_type from q27_pm pm join q27_account a on pm.acc_id = a.acc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pma.createOrReplaceTempView("q27_pma")
     val out = s.sql("""
       with cte_transaction_revenue as (
-          select transaction_date, a.cust_id,
+          select transaction_date, cust_id,
               count(trans_id) as cust_no_transaction_daily,
               sum(amount) as cust_daily_spending,
               sort_array(collect_set(type_nm)) as cust_daily_payment_type
-          from q27_pm pm join q27_account a on pm.acc_id = a.acc_id
-          group by transaction_date, a.cust_id
+          from q27_pma
+          group by transaction_date, cust_id
       ),
       cte_cust_accum_revenue as (
           select cust_id,
@@ -329,11 +336,11 @@ object Queries {
           from cte_transaction_revenue
       ),
       cte_account_payment_summary as (
-          select pm.transaction_date, cust_id, a.acc_id, a.acc_type as account_type_name,
-              count(distinct pm.trans_id) as account_no_transactions_daily,
-              sum(pm.amount) as account_daily_spending
-          from q27_pm pm join q27_account a on pm.acc_id = a.acc_id
-          group by pm.transaction_date, a.cust_id, a.acc_id, a.acc_type
+          select transaction_date, cust_id, acc_id, acc_type as account_type_name,
+              count(distinct trans_id) as account_no_transactions_daily,
+              sum(amount) as account_daily_spending
+          from q27_pma
+          group by transaction_date, cust_id, acc_id, acc_type
       ),
       cte_account_accum_revenue as (
           select transaction_date, cust_id, acc_id, account_daily_spending,
@@ -341,10 +348,10 @@ object Queries {
           from cte_account_payment_summary
       ),
       cte_customer_avgerage_daily_spending as (
-          select month(transaction_date) as month, a.cust_id,
+          select month(transaction_date) as month, cust_id,
               avg(amount) as cust_avgerage_daily_spending
-          from q27_pm pm join q27_account a on pm.acc_id = a.acc_id
-          group by month(transaction_date), a.cust_id
+          from q27_pma
+          group by month(transaction_date), cust_id
       )
       select date_format(a1.transaction_date, 'yyyyMMdd') as date_key, a1.cust_id, a1.acc_id, a1.account_type_name,
               a1.account_no_transactions_daily,
@@ -360,6 +367,9 @@ object Queries {
           join cte_cust_accum_revenue c2 on c1.cust_id = c2.cust_id
           join cte_customer_avgerage_daily_spending c3 on c3.month = month(a1.transaction_date) and c3.cust_id = a1.cust_id
     """)
+    // NB q27_pma stays registered: dropTempView would uncache the persisted
+    // join before the (lazy) query runs; Verify/Bench clear the cache after
+    // each query.
     Seq("q27_pm", "q27_account").foreach(s.catalog.dropTempView)
     out
   }
@@ -475,6 +485,17 @@ object Queries {
     graft.streaming.Sessionize.batchSessions(
       events(s, dir), "user_id", "ts", "value", tieBreak = "event_id", gapSeconds = 3600)
 
+  /** Salted skew join (§ scale tools): identical result to the plain join,
+    * with the hot key's rows scattered across salt buckets. */
+  def q39SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val statusDim = tbl(s, dir, "orders")
+      .groupBy(col("o_orderstatus")).agg(round(avg(col("o_totalprice")), 4).as("avg_price"))
+    graft.frame.Skew.saltedJoin(orders, statusDim, "o_orderstatus", salt = 8)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("avg_price"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -515,7 +536,8 @@ object Queries {
     "q35_drop_null_fields" -> (q35DropNullFields _),
     "q36_ddb_unnest" -> (q36DdbUnnest _),
     "q37_filter_rows" -> (q37FilterRows _),
-    "q38_sessionize" -> (q38Sessionize _))
+    "q38_sessionize" -> (q38Sessionize _),
+    "q39_salted_join" -> (q39SaltedJoin _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25) are hash-based or
     * approximate by construction → driver records a rows-only check. */
@@ -743,5 +765,11 @@ object Queries {
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events, round(sum(value), 4) AS total_value
-        |FROM g GROUP BY user_id, session_idx""".stripMargin)
+        |FROM g GROUP BY user_id, session_idx""".stripMargin,
+    "q39_salted_join" ->
+      """WITH d AS (
+        |  SELECT o_orderstatus, round(avg(o_totalprice), 4) AS avg_price
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o.o_orderkey, o.o_orderstatus, d.avg_price
+        |FROM orders o JOIN d ON o.o_orderstatus = d.o_orderstatus""".stripMargin)
 }

@@ -53,7 +53,7 @@ object Restructure {
       case None    => flat.withColumn(s"$rootName._id", xxhash64(flat.columns.map(col).toIndexedSeq: _*))
     }
 
-    val children = arrayCols.map { ac =>
+    val children = arrayCols.flatMap { ac =>
       val childName = s"$rootName.$ac"
       val elemType = flat.schema(ac).dataType.asInstanceOf[ArrayType].elementType
       val exploded = withId
@@ -62,7 +62,13 @@ object Restructure {
         case _: StructType => unnest(exploded.select(col("id"), col("index"), col("val.*")))
         case _             => exploded
       }
-      childName -> child
+      // recurse: arrays still nested inside the child (arrays-of-structs-
+      // of-arrays) pivot into grandchild tables; the child's joinkey is
+      // its (id, index) pair hashed — deterministic given a deterministic
+      // root id.
+      if (child.schema.fields.exists(_.dataType.isInstanceOf[ArrayType]))
+        relationalize(child, childName)
+      else Map(childName -> child)
     }.toMap
 
     val parent = arrayCols

@@ -46,6 +46,22 @@ class RestructureSpec extends SparkSpec {
     assert(f1 == f2 && f1 == Set((0, 5), (1, 6)))
   }
 
+  test("relationalize recurses through arrays nested inside child structs") {
+    val df = spark.sql(
+      """select * from values
+        | (1, array(named_struct('tag', 'x', 'nums', array(7, 8))))
+        | as t(pk, items)""".stripMargin)
+    val frames = Restructure.relationalize(df, "root", idCol = Some("pk"))
+    assert(frames.keySet == Set("root", "root.items", "root.items.nums"))
+    val grandchild = frames("root.items.nums").orderBy("index")
+      .select("index", "val").as[(Int, Int)].collect().toSeq
+    assert(grandchild == Seq((0, 7), (1, 8)))
+    // child's nums column was replaced by its joinkey, linking to grandchild
+    val childKeys = frames("root.items").select("nums").as[Long].collect()
+    val gcIds = frames("root.items.nums").select("id").as[Long].collect().distinct
+    assert(childKeys.toSet == gcIds.toSet)
+  }
+
   test("unbox parses embedded JSON with and without schema") {
     val df = Seq((1L, """{"k": 7, "s": "hi"}""")).toDF("id", "payload")
     val schema = StructType(Seq(StructField("k", LongType), StructField("s", StringType)))

@@ -122,7 +122,10 @@ class DynFrame private (
   /** Row filter with error capture (`dynamicframe.py:80-94`). The reference
     * contract: KeyError/ValueError/TypeError ⇒ row silently dropped; any
     * other exception ⇒ error record. Scala mapping of those exception
-    * classes: NoSuchElement/IllegalArgument/ClassCast (SURVEY.md §7.4.6). */
+    * classes: NoSuchElement/IllegalArgument/ClassCast (SURVEY.md §7.4.6).
+    * NB the predicate runs once on the kept path and once on the error
+    * path (two lazy frames over the same input) — `f` must be
+    * deterministic and side-effect free, like any Spark closure. */
   def filterRows(f: Row => Boolean, stageName: String = "filter"): DynFrame = {
     val schema = df.schema
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)

@@ -42,7 +42,8 @@ object Streaming {
       checkpointLocation: Option[String] = None,
       batchMaxRetries: Int = 3,                 // default 3, range 0-100 (context.py:643-645)
       persistDataFrame: Boolean = true,         // persist+count gate (context.py:627-638)
-      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      availableNow: Boolean = false)            // drain-all-then-stop trigger (batch-style backfills)
 
   /** `GlueContext.forEachBatch` (`context.py:602-664`): wraps the user fn
     * with (a) persist + count so empty batches are skipped without running
@@ -53,8 +54,10 @@ object Streaming {
                   (fn: (DataFrame, Long) => Unit): StreamingQuery = {
     require(opts.batchMaxRetries >= 0 && opts.batchMaxRetries <= 100,
       "batchMaxRetries must be in [0, 100]")
+    val trigger =
+      if (opts.availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(opts.windowSize)
     val writer = stream.writeStream
-      .trigger(Trigger.ProcessingTime(opts.windowSize))
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val frame = if (opts.persistDataFrame) batch.persist(opts.storageLevel) else batch
         try {

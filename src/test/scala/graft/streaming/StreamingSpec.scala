@@ -45,6 +45,20 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("forEachBatch with availableNow drains everything then stops on its own") {
+    val in = mkStreamDir()
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val seen = new java.util.concurrent.atomic.AtomicLong()
+    val q = Streaming.forEachBatch(stream,
+      Streaming.ForEachBatchOptions(availableNow = true)) { (batch, _) =>
+      seen.addAndGet(batch.count())
+    }
+    q.awaitTermination(30000)
+    assert(!q.isActive) // AvailableNow terminates after draining
+    assert(seen.get() == 3)
+  }
+
   test("sampleStream drains into a memory sink and limits") {
     val in = mkStreamDir()
     val schema = spark.read.parquet(in).schema

@@ -139,15 +139,18 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int = 3, threshold: Double = 0.8,
                         k: Int = 64, bands: Int = 16): DataFrame = {
-    // One shingle pass feeds BOTH phases: signatures derive from the cached
-    // distinct-shingle frame (duplicate shingles can't change a min, so
-    // distinct-first is equivalent), and the verify join reads it again.
-    val sh = ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"), array_distinct(T.wordShingles(col("__text"), shingleLen)).as("sh"))
+    // Recall phase over the whole corpus; the exact-jaccard verify phase
+    // then recomputes shingles ONLY for the candidate ids (broadcast
+    // semi-join prune) — at 100 TB the candidates are orders of magnitude
+    // smaller than the corpus, so the verify side never touches the rest.
+    val candidates = minhashPairs(df, idCol, textCol, shingleLen, k, bands,
+        threshold = threshold * 0.7) // lower LSH bar: recall phase
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = sh.select(col("id"), S.minhashSignature(col("sh"), k).as("sig"))
-    val candidates = minhashPairsFromSignatures(sigs, k, bands,
-      threshold = threshold * 0.7) // lower LSH bar: recall phase
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val sh = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .select(col("id"), array_distinct(T.wordShingles(col("__text"), shingleLen)).as("sh"))
     candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -47,6 +47,34 @@ class SimilarityExpressionsSpec extends SparkSpec {
     assert(sigs.sorted.toSeq == sigs2.sorted.toSeq)
   }
 
+  test("codegen and interpreted paths agree for minhash and cosine kernels") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    def run(): (Seq[Seq[Long]], Seq[Double]) = {
+      val sigs = docs.select(S.minhashSignature(T.wordShingles(col("text"), 3), 32).as("s"))
+        .as[Seq[Long]].collect().toSeq
+      val cos = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+        .crossJoin(e.select(col("vec_id").as("idb"), col("embedding").as("vb")))
+        .filter(col("ida") < col("idb")).limit(300)
+        .select(S.cosine(col("va"), col("vb")).as("c")).as[Double].collect().toSeq
+      (sigs, cos.sorted)
+    }
+    val (sigsGen, cosGen) = run()
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevWhole = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val (sigsInt, cosInt) = run()
+      assert(sigsGen == sigsInt, "minhash codegen diverged from interpreted eval")
+      assert(cosGen == cosInt, "cosine codegen diverged from interpreted eval")
+    } finally {
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        v => spark.conf.set("spark.sql.codegen.factoryMode", v))
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWhole)
+    }
+  }
+
   test("native simhash: null elements ignored, empty array gives 0 votes fingerprint") {
     val fp = Seq(Seq.empty[String]).toDF("t")
       .select(S.simhash(col("t")).as("f")).as[Long].collect()(0)

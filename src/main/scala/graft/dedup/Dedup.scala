@@ -163,11 +163,11 @@ object Dedup {
     * signature bucket are verified with exact double-precision cosine. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.9, planes: Int = 12,
-                     maxBucketSize: Int = 10000): DataFrame = {
+                     dim: Int = 64, maxBucketSize: Int = 10000): DataFrame = {
     val withSig = capBuckets(
       ensureParallelism(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
         .select(col("id"), col("vec"),
-          graft.ann.Ann.hyperplaneSignature(col("vec"), dim = 64, planes = planes).as("bucket")),
+          graft.ann.Ann.hyperplaneSignature(col("vec"), dim, planes).as("bucket")),
       Seq("bucket"), maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withSig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))

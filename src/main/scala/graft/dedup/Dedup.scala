@@ -158,6 +158,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination report (GPT-3/PaLM style): for each corpus
+    * document, the number of distinct word n-grams it shares with ANY
+    * benchmark document. Documents with overlap are contamination suspects
+    * and should be dropped (or audited) before training.
+    *
+    * Scale shape: the benchmark gram set is tiny relative to a 100 TB corpus
+    * (eval suites are MBs), so it is collected into a broadcast hash join —
+    * the corpus streams through map-side with NO shuffle of document bytes;
+    * the only exchange is the per-doc count aggregation over matching grams
+    * (a vanishingly small subset). Default n=13 is the published standard;
+    * lower it for short-document corpora. */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val bg = benchmark
+      .select(explode(array_distinct(T.wordShingles(col(textCol), n))).as("g"))
+      .distinct()
+    val dg = ensureParallelism(corpus.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), explode(array_distinct(T.wordShingles(col("__text"), n))).as("g"))
+    dg.join(broadcast(bg), Seq("g"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
+  /** Corpus rows surviving decontamination: drop any document sharing at
+    * least `minOverlap` distinct n-grams with the benchmark set. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 13,
+                    minOverlap: Int = 1): DataFrame = {
+    val flagged = contaminationReport(corpus, benchmark, idCol, textCol, n)
+      .filter(col("n_shared_ngrams") >= minOverlap)
+      .select(col("id").as(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-dup pairs via random-hyperplane LSH bucketing
     * (see [[graft.ann.Ann.hyperplaneSignature]]): vectors sharing a
     * signature bucket are verified with exact double-precision cosine. */

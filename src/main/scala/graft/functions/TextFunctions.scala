@@ -92,6 +92,13 @@ object TextFunctions {
   def fingerprint(text: Column, shingleLen: Int = 3, k: Int = 16): Column =
     slice(array_sort(array_distinct(transform(wordShingles(text, shingleLen), s => xxhash64(s)))), 1, k)
 
+  /** Gopher-style n-gram repetition stats: struct<top_frac, dup_frac> over
+    * the document's n-token word grams (most-frequent-gram coverage and
+    * duplicate-gram fraction — the standard boilerplate filters for
+    * training-data curation). Native row-local kernel, no shuffle. */
+  def ngramRepetition(text: Column, n: Int = 2): Column =
+    graft.functions.expressions.TextExpressions.ngramRepetition(tokens(text), n)
+
   /** Heuristic language ID from stopword-profile hits. Profiles are tiny
     * per-language marker-word sets; the language with the most token hits
     * wins, 'und' when nothing matches. Deterministic ties broken by

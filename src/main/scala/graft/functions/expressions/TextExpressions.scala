@@ -1,0 +1,76 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Gopher-style n-gram repetition statistics: array<string> tokens →
+  * struct<top_frac double, dup_frac double> where, over the document's
+  * n-token word grams,
+  *
+  *  - `top_frac` = occurrences of the most frequent gram / total grams,
+  *  - `dup_frac` = 1 − distinct grams / total grams.
+  *
+  * Both are the standard repeated-content quality filters for training-data
+  * curation (a document whose top bigram covers a third of the text is
+  * boilerplate). Fewer than n tokens ⇒ no grams ⇒ (0.0, 0.0).
+  *
+  * Row-local single pass with a per-row hash map — no shuffle, unlike the
+  * naive explode+groupBy formulation, so it scales with input bytes only.
+  * One virtual call per row (CodegenFallback); the loop itself is primitive.
+  */
+case class NgramRepetitionExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "gram length must be >= 1")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_frac", DoubleType, nullable = false),
+    StructField("dup_frac", DoubleType, nullable = false)))
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val total = len - n + 1
+    if (total <= 0) new GenericInternalRow(Array[Any](0.0, 0.0))
+    else {
+      val toks = new Array[UTF8String](len)
+      var i = 0
+      while (i < len) {
+        toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+        i += 1
+      }
+      val counts = new java.util.HashMap[UTF8String, Integer](total * 2)
+      var maxCount = 0
+      var s = 0
+      while (s < total) {
+        val window = new Array[UTF8String](n)
+        System.arraycopy(toks, s, window, 0, n)
+        val g = UTF8String.concatWs(space, window: _*)
+        val prev = counts.get(g)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        counts.put(g, Integer.valueOf(c))
+        if (c > maxCount) maxCount = c
+        s += 1
+      }
+      new GenericInternalRow(Array[Any](
+        maxCount.toDouble / total,
+        1.0 - counts.size().toDouble / total))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for the text kernels. */
+object TextExpressions {
+  def ngramRepetition(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(NgramRepetitionExpr(ExpressionUtils.expression(tokens), n))
+}

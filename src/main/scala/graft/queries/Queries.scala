@@ -496,6 +496,40 @@ object Queries {
       .select(col("o_orderkey"), col("o_orderstatus"), col("avg_price"))
   }
 
+  /** Ranking window top-k per group (SURVEY §2.5 notes ranking functions as
+    * the natural extension of the argmax idiom): top-3 orders by price per
+    * customer, tie-broken on orderkey for a total order. One shuffle on the
+    * partition key; the filter on rank happens before any downstream work. */
+  def q40TopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    tbl(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+  }
+
+  /** Gopher-style repetition quality stats per document: most-frequent-bigram
+    * coverage and duplicate-bigram fraction — the boilerplate filters of a
+    * training-data pipeline. Row-local native kernel (no shuffle). */
+  def q41Repetition(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .withColumn("__rs", T.ngramRepetition(col("text"), 2))
+      .select(col("doc_id"),
+        round(col("__rs.top_frac"), 4).as("top_bigram_frac"),
+        round(col("__rs.dup_frac"), 4).as("dup_bigram_frac"))
+
+  /** Benchmark decontamination: corpus docs sharing word 3-grams with the
+    * held-out benchmark slice (doc_id % 50 == 0), with shared-gram counts.
+    * The benchmark gram set broadcasts; the corpus never shuffles. */
+  def q42Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    Dedup.contaminationReport(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3)
+      .select(col("id").as("doc_id"), col("n_shared_ngrams"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -537,7 +571,10 @@ object Queries {
     "q36_ddb_unnest" -> (q36DdbUnnest _),
     "q37_filter_rows" -> (q37FilterRows _),
     "q38_sessionize" -> (q38Sessionize _),
-    "q39_salted_join" -> (q39SaltedJoin _))
+    "q39_salted_join" -> (q39SaltedJoin _),
+    "q40_topk_per_group" -> (q40TopKPerGroup _),
+    "q41_repetition" -> (q41Repetition _),
+    "q42_decontaminate" -> (q42Decontaminate _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25) are hash-based or
     * approximate by construction → driver records a rows-only check. */
@@ -771,5 +808,32 @@ object Queries {
         |  SELECT o_orderstatus, round(avg(o_totalprice), 4) AS avg_price
         |  FROM orders GROUP BY o_orderstatus)
         |SELECT o.o_orderkey, o.o_orderstatus, d.avg_price
-        |FROM orders o JOIN d ON o.o_orderstatus = d.o_orderstatus""".stripMargin)
+        |FROM orders o JOIN d ON o.o_orderstatus = d.o_orderstatus""".stripMargin,
+    "q40_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        | FROM orders) WHERE rk <= 3""".stripMargin,
+    "q41_repetition" ->
+      """WITH grams AS (
+        | SELECT doc_id, list_transform(
+        |   generate_series(1, len(string_split_regex(trim(text),'\s+')) - 1),
+        |   i -> (string_split_regex(trim(text),'\s+'))[i] || ' ' || (string_split_regex(trim(text),'\s+'))[i+1]) AS g
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN len(g) = 0 THEN 0.0 ELSE
+        |  round(CAST(list_aggregate(list_transform(list_distinct(g), x -> len(list_filter(g, y -> y = x))), 'max') AS DOUBLE) / len(g), 4) END AS top_bigram_frac,
+        | CASE WHEN len(g) = 0 THEN 0.0 ELSE
+        |  round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 4) END AS dup_bigram_frac
+        |FROM grams""".stripMargin,
+    "q42_decontaminate" ->
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split_regex(trim(text),'\s+')) - 2),
+        |   i -> array_to_string((string_split_regex(trim(text),'\s+'))[i:i+2], ' '))) AS s
+        | FROM documents),
+        |bg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+        |dg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT dg.doc_id, count(*) AS n_shared_ngrams
+        |FROM dg JOIN bg USING (g) GROUP BY dg.doc_id""".stripMargin)
 }

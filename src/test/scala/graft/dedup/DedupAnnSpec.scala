@@ -71,6 +71,23 @@ class DedupAnnSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L))
   }
 
+  test("decontamination flags n-gram overlap with the benchmark set") {
+    val benchmark = Seq(
+      (100L, "what is the capital of france paris is the capital of france")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "trivia dump says the capital of france paris is a city"), // shares 3-grams
+      (2L, "entirely unrelated text about distributed shuffle hash joins")
+    ).toDF("doc_id", "text")
+    val report = Dedup.contaminationReport(corpus, benchmark, "doc_id", "text", n = 3)
+      .select("id", "n_shared_ngrams").as[(Long, Long)].collect().toMap
+    assert(report.contains(1L) && report(1L) >= 1)
+    assert(!report.contains(2L))
+    val survivors = Dedup.decontaminate(corpus, benchmark, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(survivors == Seq(2L))
+  }
+
   test("LSH top-k recall vs brute force on real embeddings") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = e.filter(col("vec_id") % 100 === 0)

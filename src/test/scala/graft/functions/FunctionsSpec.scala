@@ -50,6 +50,18 @@ class FunctionsSpec extends SparkSpec {
     assert(scores(1) > scores(0))
   }
 
+  test("ngramRepetition computes top/dup gram fractions, zeros on short docs") {
+    // "a b a b a": bigrams = [a b, b a, a b, b a] → total 4, distinct 2,
+    // max count 2 → top = 0.5, dup = 0.5
+    val df = Seq("a b a b a", "solo", "x y z").toDF("t")
+      .withColumn("rs", TextFunctions.ngramRepetition(col("t"), 2))
+      .select(col("rs.top_frac"), col("rs.dup_frac"))
+    val rows = df.as[(Double, Double)].collect()
+    assert(rows(0) == ((0.5, 0.5)))
+    assert(rows(1) == ((0.0, 0.0))) // one token, no bigrams
+    assert(rows(2) == ((0.5, 0.0))) // all distinct: top = 1/2, dup = 0
+  }
+
   test("languageId picks the profile with most hits, und when none") {
     val df = Seq(
       "the cat is on the mat", "der hund ist nicht da", "el gato es un animal",

@@ -1,0 +1,76 @@
+package graft.curate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * hash-based splits/sampling and corpus-level TF-IDF term statistics.
+  *
+  * Everything here is reproducible by construction — splits are a pure
+  * function of the row id (never of partitioning, cluster size, or a seed
+  * stream like `df.sample`), so the same document lands in the same split
+  * on every run and engine, which is what dataset cards require.
+  */
+object Curate {
+
+  /** Deterministic bucket in [0, buckets): the first 15 hex chars of
+    * md5(id ++ salt) as an integer, mod buckets. 15 hex chars = 60 bits,
+    * comfortably inside a positive long (ANSI-safe). Changing `salt` derives
+    * an independent split from the same ids. */
+  def hashBucket(id: Column, buckets: Int, salt: String = ""): Column =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Split label from integer weights, e.g. Seq("train" -> 8, "val" -> 1,
+    * "test" -> 1): buckets [0,8) → train, [8,9) → val, [9,10) → test. */
+  def splitLabel(id: Column, weights: Seq[(String, Int)], salt: String = ""): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val b = hashBucket(id, total, salt)
+    val lows = weights.scanLeft(0)(_ + _._2).init
+    weights.zip(lows).foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, w), lo)) => when(b >= lo && b < lo + w, lit(name)).otherwise(acc)
+    }
+  }
+
+  /** Named deterministic split of `df` by hash of `idCol`. The returned
+    * frames are disjoint filters over the same scan — no shuffle at all. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         weights: Seq[(String, Int)], salt: String = ""): Map[String, DataFrame] = {
+    val label = splitLabel(col(idCol), weights, salt)
+    weights.map { case (name, _) => name -> df.filter(label === name) }.toMap
+  }
+
+  /** Deterministic stratified sample: keep a row iff its hash bucket (of
+    * 10000) falls under its stratum's fraction. Unknown strata default to
+    * `defaultFraction`. Map-side filter only — no shuffle, no seed. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Map[String, Double], defaultFraction: Double = 0.0,
+                       salt: String = ""): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), 10000, salt) < (frac * 10000).cast("long"))
+  }
+
+  /** Corpus TF-IDF per (document, term): tf = in-doc term count, df = number
+    * of documents containing the term, tfidf = tf · (ln((N+1)/(df+1)) + 1)
+    * (smoothed so benchmark-absent terms stay finite).
+    *
+    * Shuffle profile at scale: explode is map-side; one shuffle to
+    * (id, term) for tf; df aggregates the already-distinct tf pairs by term
+    * (second, vocabulary-sized shuffle); the idf join shuffles on term and
+    * AQE flips it to broadcast when the vocabulary is small. The corpus
+    * row count is one scalar agg. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.count()
+    val terms = docs.select(col(idCol).as("id"), explode(T.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        (col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0)).as("tfidf"))
+  }
+}

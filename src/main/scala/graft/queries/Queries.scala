@@ -530,6 +530,21 @@ object Queries {
       .select(col("id").as("doc_id"), col("n_shared_ngrams"))
   }
 
+  /** Deterministic hash-based dataset split (train/val/test 8/1/1): the
+    * split is a pure function of doc_id — stable across runs, engines, and
+    * cluster sizes, unlike seed-based sample(). Map-side only, no shuffle. */
+  def q43HashSplit(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(
+      col("doc_id"),
+      graft.curate.Curate.splitLabel(col("doc_id"),
+        Seq("train" -> 8, "val" -> 1, "test" -> 1)).as("split"))
+
+  /** Corpus TF-IDF per (doc, term) — smoothed idf, exact counts. */
+  def q44Tfidf(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curate.tfidf(tbl(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 4).as("tfidf"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -574,7 +589,9 @@ object Queries {
     "q39_salted_join" -> (q39SaltedJoin _),
     "q40_topk_per_group" -> (q40TopKPerGroup _),
     "q41_repetition" -> (q41Repetition _),
-    "q42_decontaminate" -> (q42Decontaminate _))
+    "q42_decontaminate" -> (q42Decontaminate _),
+    "q43_hash_split" -> (q43HashSplit _),
+    "q44_tfidf" -> (q44Tfidf _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25) are hash-based or
     * approximate by construction → driver records a rows-only check. */
@@ -835,5 +852,21 @@ object Queries {
         |bg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
         |dg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)
         |SELECT dg.doc_id, count(*) AS n_shared_ngrams
-        |FROM dg JOIN bg USING (g) GROUP BY dg.doc_id""".stripMargin)
+        |FROM dg JOIN bg USING (g) GROUP BY dg.doc_id""".stripMargin,
+    "q43_hash_split" ->
+      """SELECT doc_id,
+        | CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS b
+        | FROM documents)""".stripMargin,
+    "q44_tfidf" ->
+      """WITH t AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS term
+        | FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        | round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 4) AS tfidf
+        |FROM tf, dfreq, n WHERE tf.term = dfreq.term""".stripMargin)
 }

@@ -50,6 +50,10 @@ object GraftFunctions {
     "graft_minhash_merge" -> { args =>
       require(args.length == 2, "graft_minhash_merge(sig, k)")
       MinHashMergeAgg(args.head, intArg(args(1), "k")).toAggregateExpression()
+    },
+    "graft_ngram_repetition" -> { args =>
+      require(args.length == 2, "graft_ngram_repetition(tokens, n)")
+      NgramRepetitionExpr(args.head, intArg(args(1), "n"))
     })
 
   def register(spark: SparkSession): Unit =

@@ -21,6 +21,14 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getAs[Long]("sig") >= 0 && row.getAs[Long]("sig") < 16)
   }
 
+  test("graft_ngram_repetition is SQL-callable") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      "select graft_ngram_repetition(split('a b a b a', ' '), 2) as rs").collect()(0)
+    val rs = row.getStruct(0)
+    assert(rs.getDouble(0) == 0.5 && rs.getDouble(1) == 0.5)
+  }
+
   test("non-literal k is rejected with a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

@@ -70,6 +70,29 @@ class PlanSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("q40 top-k: one exchange feeds the ranking window") {
+    val p = plan("q40_topk_per_group")
+    assert(p.contains("Window"), s"no window in:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"expected exactly one exchange in:\n$p")
+  }
+
+  test("q41 repetition kernel is map-side only — no exchange") {
+    val p = plan("q41_repetition")
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+  }
+
+  test("q42 decontamination: benchmark gram set broadcasts, corpus join never sort-merges") {
+    val p = plan("q42_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side shuffled for the join:\n$p")
+  }
+
+  test("q43 hash split is map-side only — no exchange") {
+    val p = plan("q43_hash_split")
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+  }
+
   test("q09 splitRows: comparator predicate is pushed to the scan") {
     val p = plan("q09_split_rows")
     assert(p.contains("PushedFilters: [IsNotNull(l_discount), IsNotNull(l_quantity), LessThanOrEqual(l_discount,0.02)"))

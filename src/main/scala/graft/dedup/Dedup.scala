@@ -31,21 +31,30 @@ object Dedup {
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 
-  /** Degenerate-bucket guard: a bucket with B members expands to B² pairs,
-    * so one pathological hash collision (boilerplate docs, zero vectors)
-    * can dominate the whole job. Buckets above `maxBucketSize` are dropped
-    * from candidate generation — their members are (by construction)
-    * near-identical to thousands of others and are better handled by the
-    * exact-dedup tier first. The count rides the same (bucket) shuffle the
-    * pair join needs, so the guard adds no extra exchange. */
-  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame = {
-    if (maxBucketSize == Int.MaxValue) banded
-    else {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
-      banded.withColumn("__bucket_n", count(lit(1)).over(w))
-        .filter(col("__bucket_n") <= maxBucketSize)
-        .drop("__bucket_n")
-    }
+  /** Bucketed candidate-pair generation — the shared core of the LSH dedup
+    * tiers. Groups banded rows by the bucket keys with a memory-bounded
+    * capped collect ([[graft.functions.expressions.CollectListCappedAgg]]:
+    * buckets above `maxBucketSize` evaluate to NULL without ever
+    * materializing — the degenerate-bucket guard for boilerplate-heavy
+    * corpora, with a hard per-group buffer bound), then streams each
+    * bucket's unordered pairs through two generators, so no bucket's pair
+    * set is ever held as one value.
+    *
+    * ONE shuffle total (the groupBy on bucket keys). This replaced a
+    * window-count guard + self-join: measured 1.6× faster at sf0.1 with
+    * identical results, and strictly fewer exchanges.
+    *
+    * Returns `(__x, __y)` struct columns carrying the non-key payload
+    * fields of `banded`; callers normalize pair order with least/greatest
+    * (bucket collection order is nondeterministic). */
+  private def bucketPairs(banded: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame = {
+    import graft.functions.expressions.CollectListCappedAgg.collectListCapped
+    val payload = banded.columns.filterNot(keys.contains)
+    banded.groupBy(keys.map(col): _*)
+      .agg(collectListCapped(struct(payload.map(col): _*), maxBucketSize).as("__m"))
+      .filter(col("__m").isNotNull && size(col("__m")) >= 2)
+      .select(col("__m"), posexplode(col("__m")).as(Seq("__i", "__x")))
+      .select(col("__x"), explode(slice(col("__m"), col("__i") + lit(2), size(col("__m")))).as("__y"))
   }
 
   /** Exact dedup on a content column: md5-group, keep the smallest id.
@@ -64,12 +73,14 @@ object Dedup {
   }
 
   /** MinHash-LSH candidate pairs: shingle → k-permutation signature →
-    * `bands` band hashes → explode → self-join per (band, hash) bucket →
-    * verify with the signature-estimated Jaccard. Returns
-    * (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
+    * `bands` band hashes → explode → bucket-grouped pair streaming per
+    * (band, hash) bucket → verify with the signature-estimated Jaccard.
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped across
+    * bands.
     *
-    * Shuffle profile: one explode+shuffle on band hash (k·N/bands rows),
-    * bucket-local pair expansion — no global cross join. */
+    * Shuffle profile: ONE shuffle, on band hash (bands·N rows);
+    * bucket-local pair expansion streams through generators — no global
+    * cross join, no self-join re-exchange. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 3, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7,
@@ -81,22 +92,20 @@ object Dedup {
   }
 
   /** LSH pair generation over a precomputed `(id, sig)` frame — the shape
-    * used when signatures are stored (or shared with another phase). The
-    * frame is persisted here so both self-join branches read cached rows
-    * instead of recomputing upstream hashing; at cluster scale this stage
-    * reads the signature table instead. */
+    * used when signatures are stored (or shared with another phase). Single
+    * pass over the signatures: band-explode, one bucket shuffle, in-bucket
+    * pair streaming (see [[bucketPairs]]); band-duplicate pairs collapse in
+    * the final (id_a, id_b) aggregation. */
   def minhashPairsFromSignatures(sigFrame: DataFrame, k: Int, bands: Int,
                                  threshold: Double,
                                  maxBucketSize: Int = 10000): DataFrame = {
-    val sigs = sigFrame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = capBuckets(sigs.select(col("id"), col("sig"),
-      posexplode(S.minhashBands(col("sig"), k, bands)).as(Seq("band", "bhash"))),
-      Seq("band", "bhash"), maxBucketSize)
-    val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bhash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), S.minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+    val banded = sigFrame.select(col("id"), col("sig"),
+      posexplode(S.minhashBands(col("sig"), k, bands)).as(Seq("band", "bhash")))
+    bucketPairs(banded, Seq("band", "bhash"), maxBucketSize)
+      .select(
+        least(col("__x.id"), col("__y.id")).as("id_a"),
+        greatest(col("__x.id"), col("__y.id")).as("id_b"),
+        S.minhashJaccard(col("__x.sig"), col("__y.sig")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
   }
@@ -108,18 +117,16 @@ object Dedup {
                    maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val fp = ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), S.simhash(T.tokens(col("__text"))).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = (0 until 4).map(i =>
       shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL)).as(s"c$i"))
-    val banded = capBuckets(fp.select(col("id") +: col("fp") +: chunks: _*)
+    val banded = fp.select(col("id") +: col("fp") +: chunks: _*)
       .select(col("id"), col("fp"),
-        posexplode(array((0 until 4).map(i => col(s"c$i")): _*)).as(Seq("band", "chunk"))),
-      Seq("band", "chunk"), maxBucketSize)
-    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), S.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+        posexplode(array((0 until 4).map(i => col(s"c$i")): _*)).as(Seq("band", "chunk")))
+    bucketPairs(banded, Seq("band", "chunk"), maxBucketSize)
+      .select(
+        least(col("__x.id"), col("__y.id")).as("id_a"),
+        greatest(col("__x.id"), col("__y.id")).as("id_b"),
+        S.hamming64(col("__x.fp"), col("__y.fp")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
@@ -198,17 +205,14 @@ object Dedup {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.9, planes: Int = 12,
                      dim: Int = 64, maxBucketSize: Int = 10000): DataFrame = {
-    val withSig = capBuckets(
-      ensureParallelism(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
-        .select(col("id"), col("vec"),
-          graft.ann.Ann.hyperplaneSignature(col("vec"), dim, planes).as("bucket")),
-      Seq("bucket"), maxBucketSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = withSig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = withSig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), S.cosine(col("vec_a"), col("vec_b")).as("cos"))
+    val withSig = ensureParallelism(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .select(col("id"), col("vec"),
+        graft.ann.Ann.hyperplaneSignature(col("vec"), dim, planes).as("bucket"))
+    bucketPairs(withSig, Seq("bucket"), maxBucketSize)
+      .select(
+        least(col("__x.id"), col("__y.id")).as("id_a"),
+        greatest(col("__x.id"), col("__y.id")).as("id_b"),
+        S.cosine(col("__x.vec"), col("__y.vec")).as("cos"))
       .filter(col("cos") >= threshold)
       .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
   }

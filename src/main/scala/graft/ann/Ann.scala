@@ -59,15 +59,16 @@ object Ann {
               k: Int, dim: Int = 64, planes: Int = 6, numTables: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // corpus: one (table, bucket) row per hash table, signatures computed in
-    // a single projection and persisted — the 100 TB shape is "hash the
-    // corpus once, store the index".
+    // a single projection. The 100 TB shape is "hash the corpus once, store
+    // the index" — the caller materializes this frame as a table for reuse;
+    // the one-shot query path streams it (a persist here would only add a
+    // materialization pass for a single consumer).
     val csigCols = (0 until numTables).map(t =>
       hyperplaneSignature(col("nvec"), dim, planes, planeOffset = t * planes).as(s"sig$t"))
     val csig = graft.dedup.Dedup.ensureParallelism(
         corpus.select(col(corpusId).as("nid"), col(corpusVec).as("nvec")))
       .select((col("nid") +: col("nvec") +: csigCols): _*)
       .select(col("nid"), col("nvec"), posexplode(array((0 until numTables).map(t => col(s"sig$t")): _*)).as(Seq("table", "bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // queries: signature per table, multi-probe with all 1-bit flips.
     // Signatures land in columns first so the probe arrays XOR cheap column
     // references instead of replicating the signature expression tree.

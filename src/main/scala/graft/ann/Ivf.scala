@@ -21,9 +21,10 @@ import graft.functions.{SimilarityFunctions => S}
   * Scale shape: centroids are always driver-small (√N-ish), broadcast into
   * a native expression for assignment — the corpus is only ever scanned
   * linearly, shuffled once by cell id, and compared within probed cells.
-  * The Lloyd update uses a posexplode + (cell, dim) aggregation; at
-  * extreme dimension counts swap it for an RDD treeAggregate — the
-  * interface doesn't change.
+  * The Lloyd update is ONE aggregation per iteration: an elementwise
+  * vector-sum aggregate + count per cell
+  * ([[graft.functions.expressions.VecSumAgg]], partial-aggregated
+  * map-side), means formed on the driver.
   */
 object Ivf {
 
@@ -49,21 +50,24 @@ object Ivf {
     var centroids = init
     var it = 0
     while (it < iterations) {
-      val assigned = corpus.select(
-        col(vecCol).as("v"),
-        nearestCells(col(vecCol), Model(centroids), 1)(0).as("cell"))
-      // mean per (cell, dim); cells can be empty -> keep previous centroid
-      val sums = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
-        .groupBy("cell").agg(map_from_arrays(
-          collect_list(col("dim")), collect_list(col("m"))).as("dims"))
+      val dim = centroids(0).length
+      // Lloyd update in ONE aggregation: elementwise vector sum + count per
+      // cell (VecSumAgg partial-aggregates map-side), mean formed on the
+      // driver. Cells can be empty -> keep previous centroid.
+      val sums = corpus.select(
+          col(vecCol).as("v"),
+          nearestCells(col(vecCol), Model(centroids), 1)(0).as("cell"))
+        .groupBy("cell")
+        .agg(graft.functions.expressions.VecSumAgg.vecSum(col("v"), dim).as("s"),
+          count(lit(1)).as("cnt"))
         .collect()
       val next = centroids.map(_.clone())
       sums.foreach { r =>
         val cell = r.getInt(0)
-        val m = r.getMap[Int, Double](1)
-        m.foreach { case (d, v) => next(cell)(d) = v }
+        val s = r.getSeq[Double](1)
+        val cnt = r.getLong(2)
+        var d = 0
+        while (d < dim) { next(cell)(d) = s(d) / cnt; d += 1 }
       }
       centroids = next
       it += 1
@@ -87,9 +91,11 @@ object Ivf {
            queryId: String, queryVec: String,
            k: Int, nProbes: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // single consumer — at scale the assigned index is a stored table the
+    // caller materializes once (assign()); persisting here would only slow
+    // the one-shot query path.
     val c = assign(corpus, corpusVec, model)
       .select(col(corpusId).as("nid"), col(corpusVec).as("nvec"), col("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"),
         explode(nearestCells(col(queryVec), model, nProbes)).as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))

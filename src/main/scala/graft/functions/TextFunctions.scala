@@ -92,6 +92,35 @@ object TextFunctions {
   def fingerprint(text: Column, shingleLen: Int = 3, k: Int = 16): Column =
     slice(array_sort(array_distinct(transform(wordShingles(text, shingleLen), s => xxhash64(s)))), 1, k)
 
+  /** Collapse whitespace runs to single spaces and trim — the first
+    * normalization pass of every text-cleaning pipeline. */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Strip C0/C1 control characters (except tab/newline, which whitespace
+    * normalization handles). */
+  def stripControlChars(text: Column): Column =
+    regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+
+  /** Email-address pattern shared by redaction and its oracle — kept simple
+    * enough to mean the same thing in Java regex and RE2. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American-style phone pattern (optional +1, separators). The
+    * country-code separator lives inside the optional group so the pattern
+    * never consumes a preceding space. */
+  val PhonePattern: String = "(\\+?1[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** Replace every match of `pattern` with `replacement` — the PII-redaction
+    * primitive (emails, phones, ids). Pure regexp_replace: codegen'd,
+    * row-local, linear in bytes. */
+  def redactPattern(text: Column, pattern: String, replacement: String): Column =
+    regexp_replace(text, pattern, replacement)
+
+  /** Standard PII scrub: emails then phones, with typed placeholders. */
+  def redactPii(text: Column): Column =
+    redactPattern(redactPattern(text, EmailPattern, "<EMAIL>"), PhonePattern, "<PHONE>")
+
   /** Gopher-style n-gram repetition stats: struct<top_frac, dup_frac> over
     * the document's n-token word grams (most-frequent-gram coverage and
     * duplicate-gram fraction — the standard boilerplate filters for

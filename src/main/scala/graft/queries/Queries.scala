@@ -545,6 +545,18 @@ object Queries {
       .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tfidf"), 4).as("tfidf"))
 
+  /** PII redaction + whitespace normalization over documents, with
+    * deterministic synthesized contact info (the corpus itself is clean).
+    * Pure regexp chain — codegen'd, row-local, no shuffle. */
+  def q45RedactPii(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(
+      col("doc_id"),
+      T.normalizeWhitespace(T.redactPii(concat(
+        col("text"),
+        lit(" contact: user"), col("doc_id").cast("string"),
+        lit("@corp.example.com or 555-123-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))).as("clean"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -591,7 +603,8 @@ object Queries {
     "q41_repetition" -> (q41Repetition _),
     "q42_decontaminate" -> (q42Decontaminate _),
     "q43_hash_split" -> (q43HashSplit _),
-    "q44_tfidf" -> (q44Tfidf _))
+    "q44_tfidf" -> (q44Tfidf _),
+    "q45_redact_pii" -> (q45RedactPii _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25) are hash-based or
     * approximate by construction → driver records a rows-only check. */
@@ -868,5 +881,16 @@ object Queries {
         |n AS (SELECT count(*) AS n FROM documents)
         |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
         | round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 4) AS tfidf
-        |FROM tf, dfreq, n WHERE tf.term = dfreq.term""".stripMargin)
+        |FROM tf, dfreq, n WHERE tf.term = dfreq.term""".stripMargin,
+    "q45_redact_pii" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(
+        |       text || ' contact: user' || CAST(doc_id AS VARCHAR)
+        |         || '@corp.example.com or 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |     '(\+?1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+        |   '\s+', ' ', 'g')) AS clean
+        |FROM documents""".stripMargin)
 }

@@ -106,6 +106,17 @@ object Streaming {
     spark.table(queryName).limit(num)
   }
 
+  /** Exact dedup across micro-batches — the streaming-ingest twin of
+    * [[graft.dedup.Dedup.exact]]: state-store-backed drop of any row whose
+    * `keys` (typically a content hash) were already seen, with state aged
+    * out by the watermark so it stays bounded by the dedup horizon instead
+    * of growing with the stream. At scale, dedup-at-ingest costs one
+    * state lookup per row vs re-scanning the corpus in batch. */
+  def streamingDedup(stream: DataFrame, tsCol: String, watermark: String,
+                     keys: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Event-time windowed aggregation with watermark — the Spark-native
     * extension beyond the reference surface. */
   def windowedAggregate(stream: DataFrame, tsCol: String, watermark: String,

@@ -50,6 +50,15 @@ class FunctionsSpec extends SparkSpec {
     assert(scores(1) > scores(0))
   }
 
+  test("text cleaning: whitespace/control normalization and PII redaction") {
+    val dirty = "call  me\tat 555-123-4567 or bob.smith+x@example.co.uk ok"
+    val out = Seq(dirty).toDF("t").select(
+      TextFunctions.normalizeWhitespace(TextFunctions.redactPii(
+        TextFunctions.stripControlChars(col("t")))).as("clean"))
+      .as[String].collect()(0)
+    assert(out == "call me at <PHONE> or <EMAIL> ok")
+  }
+
   test("ngramRepetition computes top/dup gram fractions, zeros on short docs") {
     // "a b a b a": bigrams = [a b, b a, a b, b a] → total 4, distinct 2,
     // max count 2 → top = 0.5, dup = 0.5

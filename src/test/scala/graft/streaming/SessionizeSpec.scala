@@ -21,6 +21,29 @@ class SessionizeSpec extends SparkSpec {
     assert(sessions == Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 3.0), (2L, 1L, 1L, 4.0)))
   }
 
+  test("streamingDedup drops repeat keys across micro-batches within the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("sdedup").toString
+    Seq(("h1", "2024-01-01 10:00:00"), ("h2", "2024-01-01 10:00:10"), ("h1", "2024-01-01 10:00:20"))
+      .toDF("text_hash", "ts_s").write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val deduped = Streaming.streamingDedup(stream, "ts", "1 hour", Seq("text_hash"))
+    val q = deduped.writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sdedup_out").select("text_hash").as[String].collect().sorted.toSeq
+        == Seq("h1", "h2"))
+      // second micro-batch: a dup of h1 (dropped, state remembers) and a new h3
+      Seq(("h1", "2024-01-01 10:01:00"), ("h3", "2024-01-01 10:01:05"))
+        .toDF("text_hash", "ts_s").write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      assert(spark.table("sdedup_out").select("text_hash").as[String].collect().sorted.toSeq
+        == Seq("h1", "h2", "h3"))
+    } finally q.stop()
+  }
+
   test("streamingCounts keeps per-user state across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("sess").toString
     Seq((10L, 1), (10L, 2), (20L, 3)).toDF("user_id", "x").write.parquet(s"$dir/in")

@@ -72,6 +72,15 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** `(id, sig)` MinHash signature frame for a document set — the stored
+    * index at scale: hash the corpus once, write this frame as a table, and
+    * run incremental batches against it ([[minhashPairsAgainstIndex]]). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 3, k: Int = 64): DataFrame =
+    ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        S.minhashSignature(T.wordShingles(col("__text"), shingleLen), k).as("sig"))
+
   /** MinHash-LSH candidate pairs: shingle → k-permutation signature →
     * `bands` band hashes → explode → bucket-grouped pair streaming per
     * (band, hash) bucket → verify with the signature-estimated Jaccard.
@@ -84,12 +93,9 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 3, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7,
-                   maxBucketSize: Int = 10000): DataFrame = {
-    val sigs = ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"),
-        S.minhashSignature(T.wordShingles(col("__text"), shingleLen), k).as("sig"))
-    minhashPairsFromSignatures(sigs, k, bands, threshold, maxBucketSize)
-  }
+                   maxBucketSize: Int = 10000): DataFrame =
+    minhashPairsFromSignatures(
+      minhashSignatures(df, idCol, textCol, shingleLen, k), k, bands, threshold, maxBucketSize)
 
   /** LSH pair generation over a precomputed `(id, sig)` frame — the shape
     * used when signatures are stored (or shared with another phase). Single
@@ -163,6 +169,49 @@ object Dedup {
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .select(col("id_a"), col("id_b"), S.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup detection: candidate pairs between a NEW batch's
+    * signatures and a stored corpus index — the daily-ingest shape. The
+    * historical corpus is hashed ONCE ([[minhashSignatures]] written as a
+    * table); each arriving batch is hashed and checked against the index
+    * without touching corpus text again.
+    *
+    * Scale shape: the new batch is orders of magnitude smaller than the
+    * index, so its banded signatures broadcast — the index streams through
+    * a map-side hash join with NO shuffle. Returns
+    * (new_id, corpus_id, est_jaccard); rows sharing an id on both sides
+    * (re-ingested docs) are excluded. */
+  def minhashPairsAgainstIndex(index: DataFrame, newSigs: DataFrame,
+                               k: Int = 64, bands: Int = 16,
+                               threshold: Double = 0.7): DataFrame = {
+    def banded(sigs: DataFrame, idName: String, sigName: String) =
+      sigs.select(col("id").as(idName), col("sig").as(sigName),
+        posexplode(S.minhashBands(col("sig"), k, bands)).as(Seq("band", "bhash")))
+    banded(index, "corpus_id", "corpus_sig")
+      .join(broadcast(banded(newSigs, "new_id", "new_sig")), Seq("band", "bhash"))
+      .filter(col("corpus_id") =!= col("new_id"))
+      .select(col("new_id"), col("corpus_id"),
+        S.minhashJaccard(col("new_sig"), col("corpus_sig")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("new_id", "corpus_id").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** Admission filter for an incremental batch: rows of `newDocs` that are
+    * near-dups of the stored index OR of an earlier row in the same batch
+    * are dropped; the survivors are safe to append to the corpus (and their
+    * signatures to the index). */
+  def admitAgainstIndex(newDocs: DataFrame, index: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleLen: Int = 3, k: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.7): DataFrame = {
+    val sigs = minhashSignatures(newDocs, idCol, textCol, shingleLen, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vsIndex = minhashPairsAgainstIndex(index, sigs, k, bands, threshold)
+      .select(col("new_id").as(idCol))
+    val inBatch = minhashPairsFromSignatures(sigs, k, bands, threshold)
+      .select(col("id_b").as(idCol))
+    newDocs.join(vsIndex.union(inBatch).distinct(), Seq(idCol), "left_anti")
   }
 
   /** Benchmark decontamination report (GPT-3/PaLM style): for each corpus

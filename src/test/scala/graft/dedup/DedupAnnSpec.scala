@@ -71,6 +71,24 @@ class DedupAnnSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L))
   }
 
+  test("incremental dedup against a stored signature index") {
+    val index = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val newBatch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"), // dup of corpus doc 1
+      (11L, "a genuinely new document with fresh content nobody has seen before"),
+      (12L, "a genuinely new document with fresh content nobody has seen before!") // near-dup of 11 within batch
+    ).toDF("doc_id", "text")
+    val newSigs = Dedup.minhashSignatures(newBatch, "doc_id", "text")
+    val pairs = Dedup.minhashPairsAgainstIndex(index, newSigs, threshold = 0.5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 1L)) && pairs.contains((10L, 2L)))
+    assert(!pairs.exists(_._1 == 11L))
+    // admission: 10 rejected (index dup), 12 rejected (in-batch dup of 11)
+    val admitted = Dedup.admitAgainstIndex(newBatch, index, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(admitted == Seq(11L))
+  }
+
   test("decontamination flags n-gram overlap with the benchmark set") {
     val benchmark = Seq(
       (100L, "what is the capital of france paris is the capital of france")

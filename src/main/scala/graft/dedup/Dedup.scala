@@ -171,6 +171,24 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Dataset-level overlap: ONE merged MinHash sketch per group (source,
+    * snapshot, shard — [[graft.functions.expressions.MinHashMergeAgg]]:
+    * elementwise-min merge equals the signature of the union of the group's
+    * shingle sets, exactly), then pairwise estimated Jaccard between
+    * groups. A sketch is k longs regardless of group size, so "which of my
+    * G data sources overlap?" costs one corpus pass + G²·k driver-trivial
+    * comparisons — never a document comparison. */
+  def datasetSketchPairs(df: DataFrame, textCol: String, groupCol: String,
+                         shingleLen: Int = 3, k: Int = 64): DataFrame = {
+    val sigs = ensureParallelism(df.select(col(groupCol).as("grp"), col(textCol).as("__text")))
+      .select(col("grp"), S.minhashSignature(T.wordShingles(col("__text"), shingleLen), k).as("sig"))
+      .groupBy("grp")
+      .agg(graft.functions.expressions.MinHashMergeAgg.minhashMerge(col("sig"), k).as("sig"))
+    sigs.as("a").join(sigs.as("b"), col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("group_a"), col("b.grp").as("group_b"),
+        S.minhashJaccard(col("a.sig"), col("b.sig")).as("est_jaccard"))
+  }
+
   /** Incremental near-dup detection: candidate pairs between a NEW batch's
     * signatures and a stored corpus index — the daily-ingest shape. The
     * historical corpus is hashed ONCE ([[minhashSignatures]] written as a

@@ -557,6 +557,13 @@ object Queries {
         lit("@corp.example.com or 555-123-"),
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))).as("clean"))
 
+  /** Dataset-level overlap via group-merged MinHash sketches: estimated
+    * shingle-set Jaccard between every pair of sources (rows-only check:
+    * hash-based sketch). */
+  def q46SourceSketch(s: SparkSession, dir: String): DataFrame =
+    Dedup.datasetSketchPairs(tbl(s, dir, "documents"), "text", "source")
+      .select(col("group_a"), col("group_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -604,7 +611,8 @@ object Queries {
     "q42_decontaminate" -> (q42Decontaminate _),
     "q43_hash_split" -> (q43HashSplit _),
     "q44_tfidf" -> (q44Tfidf _),
-    "q45_redact_pii" -> (q45RedactPii _))
+    "q45_redact_pii" -> (q45RedactPii _),
+    "q46_source_sketch" -> (q46SourceSketch _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25) are hash-based or
     * approximate by construction → driver records a rows-only check. */

@@ -390,8 +390,16 @@ object Queries {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
     val name = "q28_stream_rollup_sink"
     try s.catalog.dropTempView(name) catch { case _: Throwable => }
-    val q = stream.writeStream.format("memory").queryName(name).outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    // One state store spins up per shuffle partition at stream start —
+    // size the partition count to the STATE cardinality (hour×event_type,
+    // a few thousand groups), not the batch default: 32 stores for tiny
+    // state is pure bring-up overhead (measured 2.1s → 1.1s at 8).
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream.format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     s.table(name)
   }
 

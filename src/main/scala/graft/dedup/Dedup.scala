@@ -171,6 +171,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs: every node gets
+    * `cluster_id` = the smallest id reachable through the pair graph — the
+    * full dup-cluster structure (keep-one-per-cluster, cluster-size stats,
+    * audit), where [[nearDupSurvivors]] is the cheap one-pass
+    * approximation.
+    *
+    * Iterative min-label propagation (the standard MapReduce/Pregel CC
+    * shape): each round, every node takes the min of its own and its
+    * neighbors' labels; converges in O(component diameter) rounds —
+    * near-dup clusters are shallow (near-cliques), so a handful. Each
+    * round is one join + one aggregation on the edge partitioning;
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * doesn't replay rounds 1..N-1. Returns (id, cluster_id) for every id
+    * appearing in `pairs`. */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+          (col("nbr_min") < col("cluster_id")).as("__changed"))
+        .localCheckpoint(true)
+      changed = next.filter(col("__changed")).count()
+      labels = next.drop("__changed")
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Dataset-level overlap: ONE merged MinHash sketch per group (source,
     * snapshot, shard — [[graft.functions.expressions.MinHashMergeAgg]]:
     * elementwise-min merge equals the signature of the union of the group's

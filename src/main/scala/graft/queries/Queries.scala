@@ -572,6 +572,18 @@ object Queries {
     Dedup.datasetSketchPairs(tbl(s, dir, "documents"), "text", "source")
       .select(col("group_a"), col("group_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
 
+  /** Full dup-cluster structure: connected components over the exact-Jaccard
+    * near-dup pairs of q21 — every clustered doc labeled with the smallest
+    * id in its component. The oracle computes the same fixpoint with a
+    * recursive CTE (exact because LSH recall is 1.0 at this threshold on
+    * this corpus — same invariant q21 leans on). */
+  def q47DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      shingleLen = 3, threshold = 0.9)
+    Dedup.duplicateClusters(pairs.select(col("id_a"), col("id_b")))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -620,7 +632,8 @@ object Queries {
     "q43_hash_split" -> (q43HashSplit _),
     "q44_tfidf" -> (q44Tfidf _),
     "q45_redact_pii" -> (q45RedactPii _),
-    "q46_source_sketch" -> (q46SourceSketch _))
+    "q46_source_sketch" -> (q46SourceSketch _),
+    "q47_dup_clusters" -> (q47DupClusters _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25) are hash-based or
     * approximate by construction → driver records a rows-only check. */
@@ -908,5 +921,25 @@ object Queries {
         |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |     '(\+?1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
         |   '\s+', ' ', 'g')) AS clean
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "q47_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split_regex(trim(text),'\s+')) - 2),
+        |   i -> array_to_string((string_split_regex(trim(text),'\s+'))[i:i+2], ' '))) AS s
+        | FROM documents),
+        |jp AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a, sh b
+        | WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+        |p AS (SELECT id_a AS src, id_b AS dst FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+        |nodes AS (SELECT DISTINCT src AS id FROM p),
+        |reach AS (
+        | SELECT id, id AS root FROM nodes
+        | UNION
+        | SELECT p.dst AS id, r.root FROM reach r JOIN p ON p.src = r.id
+        |)
+        |SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id""".stripMargin)
 }

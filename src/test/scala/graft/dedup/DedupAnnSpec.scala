@@ -71,6 +71,18 @@ class DedupAnnSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L))
   }
 
+  test("duplicateClusters finds connected components with min-id labels") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain -> cluster 1
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle -> cluster 10
+      (20L, 21L) // isolated pair -> cluster 20
+    ).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("incremental dedup against a stored signature index") {
     val index = Dedup.minhashSignatures(docs, "doc_id", "text")
     val newBatch = Seq(

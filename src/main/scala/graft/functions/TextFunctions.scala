@@ -121,6 +121,12 @@ object TextFunctions {
   def redactPii(text: Column): Column =
     redactPattern(redactPattern(text, EmailPattern, "<EMAIL>"), PhonePattern, "<PHONE>")
 
+  /** Shannon entropy (bits) of the character distribution — a cheap
+    * perplexity proxy: junk/base64 high, boilerplate low, natural language
+    * in a recognizable band. Native row-local kernel. */
+  def charEntropy(text: Column): Column =
+    graft.functions.expressions.TextExpressions.charEntropy(text)
+
   /** Gopher-style n-gram repetition stats: struct<top_frac, dup_frac> over
     * the document's n-token word grams (most-frequent-gram coverage and
     * duplicate-gram fraction — the standard boilerplate filters for

@@ -69,8 +69,50 @@ case class NgramRepetitionExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Shannon entropy (bits) of a string's character distribution — the
+  * cheap perplexity proxy for corpus quality filtering: binary junk and
+  * base64 blobs score high, repeated boilerplate scores low, natural
+  * language sits in a recognizable band. Iterates code points (matching
+  * SQL engines' character indexing), empty string → 0.0. Row-local,
+  * single pass + one pass over the (small) distinct-char map. */
+case class CharEntropyExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val counts = new java.util.HashMap[Integer, Array[Int]]()
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1)) else slot(0) += 1
+      i += Character.charCount(cp)
+      n += 1
+    }
+    if (n == 0) java.lang.Double.valueOf(0.0)
+    else {
+      var e = 0.0
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val p = it.next()(0).toDouble / n
+        e -= p * math.log(p)
+      }
+      java.lang.Double.valueOf(e / math.log(2.0))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the text kernels. */
 object TextExpressions {
   def ngramRepetition(tokens: Column, n: Int): Column =
     ExpressionUtils.column(NgramRepetitionExpr(ExpressionUtils.expression(tokens), n))
+
+  def charEntropy(text: Column): Column =
+    ExpressionUtils.column(CharEntropyExpr(ExpressionUtils.expression(text)))
 }

@@ -584,6 +584,11 @@ object Queries {
       .select(col("id").as("doc_id"), col("cluster_id"))
   }
 
+  /** Character-entropy quality proxy per document (bits). */
+  def q48CharEntropy(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(
+      col("doc_id"), round(T.charEntropy(col("text")), 4).as("char_entropy"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -633,7 +638,8 @@ object Queries {
     "q44_tfidf" -> (q44Tfidf _),
     "q45_redact_pii" -> (q45RedactPii _),
     "q46_source_sketch" -> (q46SourceSketch _),
-    "q47_dup_clusters" -> (q47DupClusters _))
+    "q47_dup_clusters" -> (q47DupClusters _),
+    "q48_char_entropy" -> (q48CharEntropy _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25) are hash-based or
     * approximate by construction → driver records a rows-only check. */
@@ -941,5 +947,18 @@ object Queries {
         | UNION
         | SELECT p.dst AS id, r.root FROM reach r JOIN p ON p.src = r.id
         |)
-        |SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id""".stripMargin)
+        |SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "q48_char_entropy" ->
+      """WITH cs AS (
+        | SELECT doc_id,
+        |  list_transform(generate_series(1, length(text)), i -> text[i]) AS cl,
+        |  length(text) AS n
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN n = 0 THEN 0.0 ELSE
+        |  round(-list_sum(list_transform(list_distinct(cl),
+        |    c -> (CAST(len(list_filter(cl, x -> x = c)) AS DOUBLE) / n)
+        |       * ln(CAST(len(list_filter(cl, x -> x = c)) AS DOUBLE) / n))) / ln(2), 4)
+        | END AS char_entropy
+        |FROM cs""".stripMargin)
 }

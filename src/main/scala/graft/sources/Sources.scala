@@ -167,6 +167,30 @@ object Rds2Raw {
 object PathLifecycle {
   import org.apache.hadoop.fs.{FileSystem, Path}
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetFileMB` — the golden-zone maintenance op. Streaming
+    * ingest and per-partition writers leave thousands of small files;
+    * scans then pay per-file open + footer reads and planner listing cost.
+    * Output file count = ceil(input bytes / target) (compressed-size
+    * heuristic), written to a sibling temp dir and swapped in. Returns the
+    * new file count. NOT transactional for concurrent readers — run it in
+    * the maintenance window (a table format adds the atomic swap). */
+  def compactParquet(spark: SparkSession, dir: String, targetFileMB: Int = 128): Long = {
+    val p = new Path(dir)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + targetFileMB.toLong * 1024 * 1024 - 1) / (targetFileMB.toLong * 1024 * 1024))
+    val tmp = new Path(dir + "__compact_tmp")
+    spark.read.parquet(dir).repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    val files = fs.listFiles(p, true)
+    var n = 0L
+    while (files.hasNext) { if (files.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    n
+  }
+
   /** Delete files under `path` older than `retentionHours` (0 = all).
     * Returns the number of files deleted. */
   def purgePath(spark: SparkSession, path: String, retentionHours: Int = 0): Long = {

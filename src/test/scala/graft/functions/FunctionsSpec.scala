@@ -50,6 +50,15 @@ class FunctionsSpec extends SparkSpec {
     assert(scores(1) > scores(0))
   }
 
+  test("charEntropy: known distributions") {
+    val out = Seq("aaaa", "ab", "abcd", "").toDF("t")
+      .select(TextFunctions.charEntropy(col("t")).as("e")).as[Double].collect()
+    assert(out(0) == 0.0)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+    assert(math.abs(out(2) - 2.0) < 1e-12)
+    assert(out(3) == 0.0)
+  }
+
   test("text cleaning: whitespace/control normalization and PII redaction") {
     val dirty = "call  me\tat 555-123-4567 or bob.smith+x@example.co.uk ok"
     val out = Seq(dirty).toDF("t").select(

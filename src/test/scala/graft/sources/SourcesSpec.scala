@@ -101,6 +101,16 @@ class SourcesSpec extends SparkSpec {
     assert(content.contains("\\N"))
   }
 
+  test("compactParquet rewrites many small files into few, preserving data") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    spark.range(0, 10000).repartition(20).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 20)
+    val after = PathLifecycle.compactParquet(spark, dir, targetFileMB = 128)
+    assert(after == 1)
+    assert(spark.read.parquet(dir).count() == 10000)
+  }
+
   test("purgePath deletes files recursively and reports count") {
     val out = java.nio.file.Files.createTempDirectory("purge")
     java.nio.file.Files.writeString(out.resolve("a.txt"), "x")

@@ -54,7 +54,8 @@ object Ivf {
       // Lloyd update in ONE aggregation: elementwise vector sum + count per
       // cell (VecSumAgg partial-aggregates map-side), mean formed on the
       // driver. Cells can be empty -> keep previous centroid.
-      val sums = corpus.select(
+      val sums = corpus.filter(col(vecCol).isNotNull)
+        .select(
           col(vecCol).as("v"),
           nearestCells(col(vecCol), Model(centroids), 1)(0).as("cell"))
         .groupBy("cell")

@@ -52,7 +52,9 @@ object Curate {
     val frac = fractions.foldLeft(lit(defaultFraction)) {
       case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
-    df.filter(hashBucket(col(idCol), 10000, salt) < (frac * 10000).cast("long"))
+    // round before the cast: 0.29 * 10000 = 2899.9999… would truncate to
+    // 2899 and silently keep one bucket fewer than documented
+    df.filter(hashBucket(col(idCol), 10000, salt) < round(frac * 10000).cast("long"))
   }
 
   /** Corpus TF-IDF per (document, term): tf = in-doc term count, df = number

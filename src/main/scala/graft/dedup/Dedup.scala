@@ -219,9 +219,16 @@ object Dedup {
         labels = next.drop("__changed")
         it += 1
       }
-      edges.unpersist()
+      // no silent caps: a component whose min label needs more rounds than
+      // maxIters would return wrong clusters without this signal
+      require(changed == 0,
+        s"duplicateClusters did not converge in $maxIters iterations " +
+          s"($changed labels still changing) — raise maxIters")
       labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    } finally {
+      edges.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
   }
 
   /** Dataset-level overlap: ONE merged MinHash sketch per group (source,
@@ -282,7 +289,11 @@ object Dedup {
       .select(col("new_id").as(idCol))
     val inBatch = minhashPairsFromSignatures(sigs, k, bands, threshold)
       .select(col("id_b").as(idCol))
-    newDocs.join(vsIndex.union(inBatch).distinct(), Seq(idCol), "left_anti")
+    // materialize the (small) rejected-id set so the signature cache can be
+    // released now instead of leaking for the session lifetime
+    val rejected = vsIndex.union(inBatch).distinct().localCheckpoint(true)
+    sigs.unpersist()
+    newDocs.join(rejected, Seq(idCol), "left_anti")
   }
 
   /** Benchmark decontamination report (GPT-3/PaLM style): for each corpus
@@ -298,11 +309,15 @@ object Dedup {
     * lower it for short-document corpora. */
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String, n: Int = 13): DataFrame = {
-    val bg = benchmark
-      .select(explode(array_distinct(T.wordShingles(col(textCol), n))).as("g"))
-      .distinct()
+    // docs shorter than n tokens have NO n-grams (suppress wordShingles'
+    // whole-text fallback — a 2-token "shingle" is not a 13-gram match,
+    // and blank docs would otherwise collide on "")
+    def grams(text: org.apache.spark.sql.Column) =
+      when(size(T.tokens(text)) >= n, array_distinct(T.wordShingles(text, n)))
+        .otherwise(array().cast("array<string>"))
+    val bg = benchmark.select(explode(grams(col(textCol))).as("g")).distinct()
     val dg = ensureParallelism(corpus.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"), explode(array_distinct(T.wordShingles(col("__text"), n))).as("g"))
+      .select(col("id"), explode(grams(col("__text"))).as("g"))
     dg.join(broadcast(bg), Seq("g"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_shared_ngrams"))

@@ -93,9 +93,12 @@ object TextFunctions {
     slice(array_sort(array_distinct(transform(wordShingles(text, shingleLen), s => xxhash64(s)))), 1, k)
 
   /** Collapse whitespace runs to single spaces and trim — the first
-    * normalization pass of every text-cleaning pipeline. */
+    * normalization pass of every text-cleaning pipeline. Explicit char
+    * class instead of `\s` because Java regex includes \x0B in \s and RE2
+    * does not — the explicit class means the same thing in both, keeping
+    * oracles portable. */
   def normalizeWhitespace(text: Column): Column =
-    trim(regexp_replace(text, "\\s+", " "))
+    trim(regexp_replace(text, "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** Strip C0/C1 control characters (except tab/newline, which whitespace
     * normalization handles). */

@@ -51,8 +51,10 @@ case class CollectListCappedAgg(
     buffer
   }
 
+  // long arithmetic: cap = Int.MaxValue (the "no cap" sentinel) must not
+  // overflow to a negative room and silently drop other partials
   override def merge(buffer: mutable.ArrayBuffer[Any], other: mutable.ArrayBuffer[Any]): mutable.ArrayBuffer[Any] = {
-    val room = cap + 1 - buffer.length
+    val room = math.min(cap.toLong + 1L - buffer.length, Int.MaxValue.toLong).toInt
     if (room > 0) buffer ++= other.take(room)
     buffer
   }

@@ -641,8 +641,9 @@ object Queries {
     "q47_dup_clusters" -> (q47DupClusters _),
     "q48_char_entropy" -> (q48CharEntropy _))
 
-  /** DuckDB oracles. Keys missing here (q22, q23, q25) are hash-based or
-    * approximate by construction → driver records a rows-only check. */
+  /** DuckDB oracles. Keys missing here (q22, q23, q25, q32, q33, q34, q46)
+    * are hash-based or approximate by construction → driver records a
+    * rows-only check; EntrySpec pins that exact set. */
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,
@@ -926,7 +927,7 @@ object Queries {
         |         || '@corp.example.com or 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
         |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |     '(\+?1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
-        |   '\s+', ' ', 'g')) AS clean
+        |   '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
         |FROM documents""".stripMargin,
     "q47_dup_clusters" ->
       """WITH RECURSIVE sh AS (
@@ -958,7 +959,7 @@ object Queries {
         | CASE WHEN n = 0 THEN 0.0 ELSE
         |  round(-list_sum(list_transform(list_distinct(cl),
         |    c -> (CAST(len(list_filter(cl, x -> x = c)) AS DOUBLE) / n)
-        |       * ln(CAST(len(list_filter(cl, x -> x = c)) AS DOUBLE) / n))) / ln(2), 4)
+        |       * ln(CAST(len(list_filter(cl, x -> x = c)) AS DOUBLE) / n))) / ln(2), 4) + 0.0
         | END AS char_entropy
         |FROM cs""".stripMargin)
 }

@@ -116,6 +116,11 @@ class DedupAnnSpec extends SparkSpec {
     val survivors = Dedup.decontaminate(corpus, benchmark, "doc_id", "text", n = 3)
       .select("doc_id").as[Long].collect().toSeq
     assert(survivors == Seq(2L))
+    // docs shorter than n tokens have no n-grams: identical short/blank
+    // docs on both sides must NOT count as contamination
+    val shortB = Seq((100L, "too short"), (101L, "")).toDF("doc_id", "text")
+    val shortC = Seq((1L, "too short"), (2L, "")).toDF("doc_id", "text")
+    assert(Dedup.contaminationReport(shortC, shortB, "doc_id", "text", n = 3).count() == 0)
   }
 
   test("LSH top-k recall vs brute force on real embeddings") {

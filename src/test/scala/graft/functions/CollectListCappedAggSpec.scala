@@ -28,6 +28,14 @@ class CollectListCappedAggSpec extends SparkSpec {
     assert(small.toSeq == Seq(25, 25))
   }
 
+  test("cap = Int.MaxValue (no-cap sentinel) collects everything across partials") {
+    val out = spark.range(0, 500).repartition(16)
+      .select(lit(1).as("g"), col("id").as("v"))
+      .groupBy("g").agg(collectListCapped(col("v"), Int.MaxValue).as("m"))
+      .select(size(col("m"))).as[Int].collect()
+    assert(out.toSeq == Seq(500))
+  }
+
   test("struct payloads round-trip through serialize/deserialize") {
     val df = spark.range(0, 100).repartition(8)
       .select(lit(1).as("g"), struct(col("id"), concat(lit("s"), col("id")).as("s")).as("v"))

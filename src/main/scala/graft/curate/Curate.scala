@@ -57,6 +57,31 @@ object Curate {
     df.filter(hashBucket(col(idCol), 10000, salt) < round(frac * 10000).cast("long"))
   }
 
+  /** Self-trained bigram language-model score per document: the corpus's
+    * own bigram distribution scores each doc by mean log P(w2 | w1) — the
+    * classic cheap perplexity filter (gibberish and shuffled text score
+    * low; text matching the corpus's phrase statistics scores high).
+    * Documents with fewer than two tokens drop (no bigrams).
+    *
+    * Shuffle profile: bigram explode is map-side; one (gram) aggregation
+    * for counts, one (first-word) aggregation for the conditional
+    * denominators, a vocabulary-sized join back, then one (doc) mean.
+    * Model size is vocabulary-shaped, never corpus-shaped. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = T.tokens(col(textCol))
+    val bg = docs
+      .select(col(idCol).as("id"),
+        explode(when(size(toks) >= 2, T.wordShingles(col(textCol), 2))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    val cnt = bg.groupBy("g").agg(count(lit(1)).as("c"))
+    val uni = cnt.groupBy(split(col("g"), " ")(0).as("w")).agg(sum(col("c")).as("cw"))
+    val probs = cnt.join(uni, split(cnt("g"), " ")(0) === uni("w"))
+      .select(col("g"), (col("c").cast("double") / col("cw")).as("p"))
+    bg.join(probs, "g")
+      .groupBy("id")
+      .agg(avg(log(col("p"))).as("bigram_logprob"))
+  }
+
   /** Corpus TF-IDF per (document, term): tf = in-doc term count, df = number
     * of documents containing the term, tfidf = tf · (ln((N+1)/(df+1)) + 1)
     * (smoothed so benchmark-absent terms stay finite).

@@ -589,6 +589,11 @@ object Queries {
     tbl(s, dir, "documents").select(
       col("doc_id"), round(T.charEntropy(col("text")), 4).as("char_entropy"))
 
+  /** Bigram-LM quality score: corpus-trained mean log P(w2|w1) per doc. */
+  def q49BigramLm(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curate.bigramLogProb(tbl(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), round(col("bigram_logprob"), 4).as("bigram_logprob"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -639,7 +644,8 @@ object Queries {
     "q45_redact_pii" -> (q45RedactPii _),
     "q46_source_sketch" -> (q46SourceSketch _),
     "q47_dup_clusters" -> (q47DupClusters _),
-    "q48_char_entropy" -> (q48CharEntropy _))
+    "q48_char_entropy" -> (q48CharEntropy _),
+    "q49_bigram_lm" -> (q49BigramLm _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32, q33, q34, q46)
     * are hash-based or approximate by construction → driver records a
@@ -961,5 +967,19 @@ object Queries {
         |    c -> (CAST(len(list_filter(cl, x -> x = c)) AS DOUBLE) / n)
         |       * ln(CAST(len(list_filter(cl, x -> x = c)) AS DOUBLE) / n))) / ln(2), 4) + 0.0
         | END AS char_entropy
-        |FROM cs""".stripMargin)
+        |FROM cs""".stripMargin,
+    "q49_bigram_lm" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks
+        | FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (
+        | SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+        |   i -> toks[i] || ' ' || toks[i+1])) AS g
+        | FROM t),
+        |cnt AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
+        |uni AS (SELECT string_split(g, ' ')[1] AS w, sum(c) AS cw FROM cnt GROUP BY 1),
+        |probs AS (SELECT g, CAST(c AS DOUBLE) / cw AS p
+        |          FROM cnt JOIN uni ON string_split(g, ' ')[1] = w)
+        |SELECT bg.doc_id, round(avg(ln(p)), 4) AS bigram_logprob
+        |FROM bg JOIN probs USING (g) GROUP BY bg.doc_id""".stripMargin)
 }

@@ -51,6 +51,19 @@ class CurateSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("bigramLogProb: known tiny corpus") {
+    val docs = Seq(
+      (1L, "a b"),   // bigram "a b", P = c("a b")/c("a ·") = 1/2
+      (2L, "a c"),   // bigram "a c", P = 1/2
+      (3L, "x")      // no bigrams -> dropped
+    ).toDF("doc_id", "text")
+    val out = Curate.bigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(math.abs(out(1L) - math.log(0.5)) < 1e-12)
+    assert(math.abs(out(2L) - math.log(0.5)) < 1e-12)
+  }
+
   test("tfidf: exact counts and smoothed idf") {
     val docs = Seq(
       (1L, "spark spark shuffle"),

@@ -123,8 +123,10 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
-/** 64-bit SimHash: array<string> tokens → long fingerprint. */
-case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+/** 64-bit SimHash: array<string> tokens → long fingerprint. Fully
+  * codegen'd (the bit-vote loop inlines into the enclosing whole-stage
+  * method). */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
   import SimilarityKernels._
 
   override def dataType: DataType = LongType
@@ -149,6 +151,38 @@ case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFa
     var j = 0
     while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
     java.lang.Long.valueOf(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, a => {
+      val cnt = ctx.freshName("cnt")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $cnt = new int[64];
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${HashSeed}L);
+         |    for (int $j = 0; $j < 64; $j++) {
+         |      if ((($h >>> $j) & 1L) != 0L) $cnt[$j]++; else $cnt[$j]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 64; $j++) { if ($cnt[$j] > 0) $out |= (1L << $j); }
+         |${ev.value} = $out;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -221,9 +255,10 @@ case class CosineSimExpr(left: Expression, right: Expression)
 }
 
 /** Hyperplane sign signature: array<float|double> → long bucket id over
-  * `planes` fixed hyperplanes starting at `planeOffset`. */
+  * `planes` fixed hyperplanes starting at `planeOffset`. Fully codegen'd;
+  * the plane matrix rides as a referenced object. */
 case class HyperplaneSigExpr(child: Expression, dim: Int, planes: Int, planeOffset: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import SimilarityKernels._
 
   require(planes <= 63, "at most 63 planes per signature")
@@ -254,6 +289,35 @@ case class HyperplaneSigExpr(child: Expression, dim: Int, planes: Int, planeOffs
     var p = 0
     while (p < planes) { if (dots(p) > 0) sig |= (1L << p); p += 1 }
     java.lang.Long.valueOf(sig)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val mRef = ctx.addReferenceObj("hyperplaneM", m, "double[][]")
+    val getX = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val dots = ctx.freshName("dots")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val p = ctx.freshName("p")
+      val x = ctx.freshName("x")
+      val row = ctx.freshName("row")
+      val sig = ctx.freshName("sig")
+      s"""
+         |double[] $dots = new double[$planes];
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |for (int $c = 0; $c < $n; $c++) {
+         |  double $x = (double) $a.$getX($c);
+         |  double[] $row = $mRef[$c];
+         |  for (int $p = 0; $p < $planes; $p++) { $dots[$p] += $x * $row[$p]; }
+         |}
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $planes; $p++) { if ($dots[$p] > 0) $sig |= (1L << $p); }
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

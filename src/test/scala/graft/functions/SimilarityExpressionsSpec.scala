@@ -50,24 +50,29 @@ class SimilarityExpressionsSpec extends SparkSpec {
   test("codegen and interpreted paths agree for minhash and cosine kernels") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
-    def run(): (Seq[Seq[Long]], Seq[Double]) = {
+    def run(): (Seq[Seq[Long]], Seq[Double], Seq[Long], Seq[Long]) = {
       val sigs = docs.select(S.minhashSignature(T.wordShingles(col("text"), 3), 32).as("s"))
         .as[Seq[Long]].collect().toSeq
       val cos = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
         .crossJoin(e.select(col("vec_id").as("idb"), col("embedding").as("vb")))
         .filter(col("ida") < col("idb")).limit(300)
         .select(S.cosine(col("va"), col("vb")).as("c")).as[Double].collect().toSeq
-      (sigs, cos.sorted)
+      val sim = docs.select(S.simhash(T.tokens(col("text"))).as("f")).as[Long].collect().toSeq
+      val hp = e.select(graft.ann.Ann.hyperplaneSignature(col("embedding"), 64, 12).as("h"))
+        .as[Long].collect().toSeq
+      (sigs, cos.sorted, sim, hp)
     }
-    val (sigsGen, cosGen) = run()
+    val (sigsGen, cosGen, simGen, hpGen) = run()
     val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
     val prevWhole = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
-      val (sigsInt, cosInt) = run()
+      val (sigsInt, cosInt, simInt, hpInt) = run()
       assert(sigsGen == sigsInt, "minhash codegen diverged from interpreted eval")
       assert(cosGen == cosInt, "cosine codegen diverged from interpreted eval")
+      assert(simGen == simInt, "simhash codegen diverged from interpreted eval")
+      assert(hpGen == hpInt, "hyperplane codegen diverged from interpreted eval")
     } finally {
       prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         v => spark.conf.set("spark.sql.codegen.factoryMode", v))

@@ -76,6 +76,22 @@ object Restructure {
     Map(rootName -> parent) ++ children
   }
 
+  /** [[relationalize]] with the reference's staging round-trip
+    * (`transforms/relationalize.py:42-46`): every produced table is
+    * written to `$stagingPath/<table>` as parquet and read back, so the
+    * returned frames are materialized cuts (reused downstream without
+    * recomputing the explode chain) rather than live lineage — the shape
+    * the reference gets from its mandatory TempDir staging. */
+  def relationalizeStaged(df: DataFrame, rootName: String, stagingPath: String,
+                          idCol: Option[String] = None): Map[String, DataFrame] = {
+    val spark = df.sparkSession
+    relationalize(df, rootName, idCol).map { case (name, frame) =>
+      val dest = s"$stagingPath/${name.replace('.', '_')}"
+      frame.write.mode("overwrite").parquet(dest)
+      name -> spark.read.parquet(dest)
+    }
+  }
+
   // ------------------------------------------------------------------ unbox
 
   /** Parse a string column containing embedded JSON or CSV into structured

@@ -38,6 +38,20 @@ class RestructureSpec extends SparkSpec {
     assert(parent.select(col("items")).as[Int].collect().sorted.toSeq == Seq(10, 20))
   }
 
+  test("relationalizeStaged round-trips every table through the staging path") {
+    val df = spark.sql(
+      """select * from values
+        | (10, array(named_struct('v', 'a'), named_struct('v', 'b')))
+        | as t(pk, items)""".stripMargin)
+    val staging = java.nio.file.Files.createTempDirectory("relstage").toString
+    val frames = Restructure.relationalizeStaged(df, "root", staging, idCol = Some("pk"))
+    assert(frames.keySet == Set("root", "root.items"))
+    assert(new java.io.File(s"$staging/root_items").exists())
+    val child = frames("root.items").orderBy("index")
+      .select("id", "index", "v").as[(Int, Int, String)].collect().toSeq
+    assert(child == Seq((10, 0, "a"), (10, 1, "b")))
+  }
+
   test("relationalize without idCol uses deterministic content hash") {
     val df = spark.sql("select * from values (1, array(5,6)) as t(pk, xs)")
     val f1 = Restructure.relationalize(df, "r")("r.xs").select("index", "val").as[(Int, Int)].collect().toSet

@@ -594,6 +594,25 @@ object Queries {
     graft.curate.Curate.bigramLogProb(tbl(s, dir, "documents"), "doc_id", "text")
       .select(col("id").as("doc_id"), round(col("bigram_logprob"), 4).as("bigram_logprob"))
 
+  /** Multimodal plumbing end-to-end (rows-only: stub decoders): documents'
+    * bytes ride as binary payloads through batched decode → feature
+    * extraction → metadata resize; output carries decoded dims, the
+    * resized box, and a feature checksum. */
+  def q50Multimodal(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = tbl(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      struct(lit("txt").as("format"), lit(1920).as("width"), lit(1080).as("height"),
+        lit(2000L).as("duration_ms")).as("meta"))
+    val decoded = Multimodal.decodeImages(media)
+    val feats = Multimodal.extractFeatures(decoded, dim = 16)
+    Multimodal.resizeMeta(feats, 64, 64)
+      .select(col("media_id"), col("dec_width"), col("dec_height"),
+        col("meta.width").as("resized_w"), col("meta.height").as("resized_h"),
+        round(aggregate(col("embedding"), lit(0.0d), (acc, x) => acc + x), 4).as("feat_sum"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -645,9 +664,11 @@ object Queries {
     "q46_source_sketch" -> (q46SourceSketch _),
     "q47_dup_clusters" -> (q47DupClusters _),
     "q48_char_entropy" -> (q48CharEntropy _),
-    "q49_bigram_lm" -> (q49BigramLm _))
+    "q49_bigram_lm" -> (q49BigramLm _),
+    "q50_multimodal" -> (q50Multimodal _))
 
-  /** DuckDB oracles. Keys missing here (q22, q23, q25, q32, q33, q34, q46)
+  /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
+    * q33, q34, q46, q50)
     * are hash-based or approximate by construction → driver records a
     * rows-only check; EntrySpec pins that exact set. */
   val oracles: Map[String, String] = Map(

@@ -10,7 +10,8 @@ class EntrySpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // hash-based / approximate operators only
     assert(rowsOnly == Set("q22_minhash_pairs", "q23_simhash_pairs", "q25_lsh_topk",
-      "q32_embedding_dedup", "q33_fingerprint", "q34_ivf_topk", "q46_source_sketch"))
+      "q32_embedding_dedup", "q33_fingerprint", "q34_ivf_topk", "q46_source_sketch",
+      "q50_multimodal"))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }

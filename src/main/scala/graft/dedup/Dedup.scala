@@ -231,6 +231,33 @@ object Dedup {
     }
   }
 
+  /** Cross-document duplicated-content fraction: split every doc into
+    * non-overlapping `segLen`-token segments and report, per doc, the
+    * fraction of its segments that occur anywhere else in the corpus
+    * (or more than once within it). The cross-document complement of the
+    * within-doc repetition filter — high values mean boilerplate shared
+    * across pages, even when whole-doc dedup misses it.
+    *
+    * Shuffle profile: segment explode is map-side; one global (segment)
+    * count aggregation and one join back, then the per-doc fraction. At
+    * 100 TB, hash the segment strings before the shuffle if segment text
+    * is long. */
+  def dupSegmentFraction(df: DataFrame, idCol: String, textCol: String,
+                         segLen: Int = 10): DataFrame = {
+    val toks = T.tokens(col(textCol))
+    val nSeg = ceil(size(toks) / lit(segLen.toDouble)).cast("int")
+    val segs = df
+      .filter(size(T.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        explode(transform(sequence(lit(0), nSeg - 1),
+          i => concat_ws(" ", slice(toks, i * segLen + 1, lit(segLen))))).as("seg"))
+    val counts = segs.groupBy("seg").agg(count(lit(1)).as("c"))
+    segs.join(counts, "seg")
+      .groupBy("id")
+      .agg((sum(when(col("c") > 1, 1).otherwise(0)).cast("double") / count(lit(1)))
+        .as("dup_segment_frac"))
+  }
+
   /** Dataset-level overlap: ONE merged MinHash sketch per group (source,
     * snapshot, shard — [[graft.functions.expressions.MinHashMergeAgg]]:
     * elementwise-min merge equals the signature of the union of the group's

@@ -613,6 +613,11 @@ object Queries {
         round(aggregate(col("embedding"), lit(0.0d), (acc, x) => acc + x), 4).as("feat_sum"))
   }
 
+  /** Cross-document duplicated-segment fraction per doc (10-token chunks). */
+  def q51DupSegments(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSegmentFraction(tbl(s, dir, "documents"), "doc_id", "text", segLen = 10)
+      .select(col("id").as("doc_id"), round(col("dup_segment_frac"), 4).as("dup_segment_frac"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -665,7 +670,8 @@ object Queries {
     "q47_dup_clusters" -> (q47DupClusters _),
     "q48_char_entropy" -> (q48CharEntropy _),
     "q49_bigram_lm" -> (q49BigramLm _),
-    "q50_multimodal" -> (q50Multimodal _))
+    "q50_multimodal" -> (q50Multimodal _),
+    "q51_dup_segments" -> (q51DupSegments _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50)
@@ -1002,5 +1008,19 @@ object Queries {
         |probs AS (SELECT g, CAST(c AS DOUBLE) / cw AS p
         |          FROM cnt JOIN uni ON string_split(g, ' ')[1] = w)
         |SELECT bg.doc_id, round(avg(ln(p)), 4) AS bigram_logprob
-        |FROM bg JOIN probs USING (g) GROUP BY bg.doc_id""".stripMargin)
+        |FROM bg JOIN probs USING (g) GROUP BY bg.doc_id""".stripMargin,
+    "q51_dup_segments" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks
+        | FROM documents WHERE length(trim(text)) > 0),
+        |seg AS (
+        | SELECT doc_id, unnest(list_transform(
+        |   generate_series(0, CAST(ceil(len(toks) / 10.0) AS INT) - 1),
+        |   i -> array_to_string(toks[i*10+1 : i*10+10], ' '))) AS s
+        | FROM t),
+        |cnt AS (SELECT s, count(*) AS c FROM seg GROUP BY s)
+        |SELECT seg.doc_id,
+        | round(CAST(sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+        |   AS dup_segment_frac
+        |FROM seg JOIN cnt USING (s) GROUP BY seg.doc_id""".stripMargin)
 }

@@ -71,6 +71,21 @@ class DedupAnnSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L))
   }
 
+  test("dupSegmentFraction flags cross-document shared chunks") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j unique tail one two three four five six seven eight"),
+      (2L, "a b c d e f g h i j different ending here with other words now present x"),
+      (3L, "totally distinct content with no shared ten token runs at all anywhere z")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSegmentFraction(corpus, "doc_id", "text", segLen = 10)
+      .select("id", "dup_segment_frac").as[(Long, Double)].collect().toMap
+    // docs 1 and 2 share their first 10-token segment; each has 2 segments
+    // total, so the shared fraction is 1/2; doc 3 shares nothing
+    assert(math.abs(out(1L) - 0.5) < 1e-9)
+    assert(math.abs(out(2L) - 0.5) < 1e-9)
+    assert(out(3L) == 0.0)
+  }
+
   test("duplicateClusters finds connected components with min-id labels") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), // chain -> cluster 1

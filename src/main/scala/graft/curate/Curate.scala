@@ -57,6 +57,27 @@ object Curate {
     df.filter(hashBucket(col(idCol), 10000, salt) < round(frac * 10000).cast("long"))
   }
 
+  /** Token-window chunker: split each document into training sequences of
+    * at most `maxTokens` tokens with `overlap` tokens of context carried
+    * between consecutive chunks (stride = maxTokens − overlap). The
+    * sequence-packing front door of every LLM data pipeline. Returns
+    * (id, chunk_idx, chunk_text, n_tokens); empty docs produce no chunks.
+    * Map-side only — no shuffle. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1 && overlap >= 0 && overlap < maxTokens,
+      "need maxTokens >= 1 and 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val toks = T.tokens(col(textCol))
+    val nChunks = ceil(greatest(size(toks) - overlap, lit(1)) / lit(stride.toDouble)).cast("int")
+    docs.filter(size(T.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(toks, i * stride + 1, lit(maxTokens)))))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens", size(T.tokens(col("chunk_text"))))
+  }
+
   /** Self-trained bigram language-model score per document: the corpus's
     * own bigram distribution scores each doc by mean log P(w2 | w1) — the
     * classic cheap perplexity filter (gibberish and shuffled text score

@@ -618,6 +618,14 @@ object Queries {
     Dedup.dupSegmentFraction(tbl(s, dir, "documents"), "doc_id", "text", segLen = 10)
       .select(col("id").as("doc_id"), round(col("dup_segment_frac"), 4).as("dup_segment_frac"))
 
+  /** Token-window chunking into training sequences (32-token windows,
+    * 8-token overlap). */
+  def q52ChunkTokens(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curate.chunkTokens(tbl(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 32, overlap = 8)
+      .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_text"),
+        col("n_tokens").cast("long").as("n_tokens"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -671,7 +679,8 @@ object Queries {
     "q48_char_entropy" -> (q48CharEntropy _),
     "q49_bigram_lm" -> (q49BigramLm _),
     "q50_multimodal" -> (q50Multimodal _),
-    "q51_dup_segments" -> (q51DupSegments _))
+    "q51_dup_segments" -> (q51DupSegments _),
+    "q52_chunk_tokens" -> (q52ChunkTokens _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50)
@@ -1022,5 +1031,15 @@ object Queries {
         |SELECT seg.doc_id,
         | round(CAST(sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
         |   AS dup_segment_frac
-        |FROM seg JOIN cnt USING (s) GROUP BY seg.doc_id""".stripMargin)
+        |FROM seg JOIN cnt USING (s) GROUP BY seg.doc_id""".stripMargin,
+    "q52_chunk_tokens" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks
+        | FROM documents WHERE length(trim(text)) > 0)
+        |SELECT doc_id,
+        | CAST(i AS INT) AS chunk_idx,
+        | array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
+        | len(toks[i*24+1 : i*24+32]) AS n_tokens
+        |FROM t, unnest(generate_series(0,
+        |  CAST(ceil(greatest(len(toks) - 8, 1) / 24.0) AS INT) - 1)) u(i)""".stripMargin)
 }

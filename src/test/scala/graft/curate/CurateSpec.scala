@@ -51,6 +51,16 @@ class CurateSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("chunkTokens: overlapping windows cover the document") {
+    val docs = Seq((1L, "t1 t2 t3 t4 t5 t6"), (2L, "")).toDF("doc_id", "text")
+    val chunks = Curate.chunkTokens(docs, "doc_id", "text", maxTokens = 3, overlap = 1)
+      .select("id", "chunk_idx", "chunk_text", "n_tokens")
+      .as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // stride 2: [t1..t3], [t3..t5], [t5..t6]; empty doc -> no chunks
+    assert(chunks == Seq(
+      (1L, 0, "t1 t2 t3", 3), (1L, 1, "t3 t4 t5", 3), (1L, 2, "t5 t6", 2)))
+  }
+
   test("bigramLogProb: known tiny corpus") {
     val docs = Seq(
       (1L, "a b"),   // bigram "a b", P = c("a b")/c("a ·") = 1/2

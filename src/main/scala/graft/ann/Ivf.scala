@@ -35,16 +35,16 @@ object Ivf {
   /** Deterministic KMeans fit over an `array<float|double>` column. */
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
           numCells: Int, iterations: Int = 3): Model = {
-    // evenly-spaced deterministic init, by ascending id
+    // Deterministic pseudo-random init: the numCells vectors with the
+    // smallest xxhash64(id). orderBy+limit plans as TakeOrderedAndProject —
+    // a distributed per-partition top-k + driver merge, unlike a global
+    // row_number window which drags the whole corpus onto one partition.
     val n = corpus.count()
     require(n >= numCells, s"need at least $numCells vectors, have $n")
-    val stride = math.max(n / numCells, 1L)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
     val init = corpus
-      .select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("v"))
-      .withColumn("rn", row_number().over(w) - 1)
-      .filter(col("rn") % stride === 0)
-      .orderBy("rn").limit(numCells)
+      .select(col(vecCol).cast(ArrayType(DoubleType)).as("v"),
+        xxhash64(col(idCol)).as("__h"))
+      .orderBy("__h").limit(numCells)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
 
     var centroids = init

@@ -127,13 +127,18 @@ object Queries {
 
   // ========================================== §2.2 applyMapping / splitRows
 
-  /** Declarative project+rename+cast (`dynamicframe.py:347-388`). */
+  /** Declarative project+rename+cast (`dynamicframe.py:347-388`). The
+    * decimal(12,2) cast exercises applyMapping's type targets, but the
+    * OUTPUT goes back to double: the driver reads Spark parquet through
+    * pyarrow (decimal → Decimal objects) and the oracle through DuckDB
+    * (decimal → float64), which hash differently even when values agree. */
   def q08ApplyMapping(s: SparkSession, dir: String): DataFrame =
     DynFrame(tbl(s, dir, "part"), "part").applyMapping(Seq(
       ("p_partkey", "long", "part_id", "string"),
       ("p_name", "string", "part_name", "string"),
       ("p_retailprice", "double", "retail_price", "decimal(12,2)"),
       ("p_size", "int", "size_l", "long"))).toDF
+      .withColumn("retail_price", col("retail_price").cast("double"))
 
   /** splitRows comparator predicate (`dynamicframe.py:238-269`), matched side. */
   def q09SplitRows(s: SparkSession, dir: String): DataFrame = {
@@ -201,11 +206,13 @@ object Queries {
   }
 
   /** collect_list(distinct) per group with deterministic ordering
-    * (`r2g_account.py:165` + SURVEY.md §7.4.3 sort_array fix). */
+    * (`r2g_account.py:165` + SURVEY.md §7.4.3 sort_array fix). Joined to a
+    * string for output: the driver's pandas compare sorts rows by every
+    * column and list cells are unhashable there. */
   def q15CollectSet(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "customer")
       .groupBy(col("c_nationkey"))
-      .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+      .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), "|").as("segments"),
         count(lit(1)).as("n_cust"))
 
   /** Computed-key join (`r2g_account.py:189-206` month-join shape): monthly
@@ -358,7 +365,7 @@ object Queries {
               round(a1.account_daily_spending, 4) as account_daily_spending,
           round(a2.account_accum_spending, 4) as account_accum_spending,
           c1.cust_no_transaction_daily, round(c1.cust_daily_spending, 4) as cust_daily_spending,
-          c1.cust_daily_payment_type,
+          array_join(c1.cust_daily_payment_type, '|') as cust_daily_payment_type,
           round(c2.cust_accum_spending, 4) as cust_accum_spending,
           round(c3.cust_avgerage_daily_spending, 4) as cust_avgerage_daily_spending
       from cte_account_payment_summary a1
@@ -441,10 +448,13 @@ object Queries {
         threshold = 0.4, planes = 8)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
 
-  /** Bottom-k document fingerprints (rows-only: xxhash64-based). */
+  /** Bottom-k document fingerprints (rows-only: xxhash64-based). The sketch
+    * is emitted as a joined string: the driver's pandas compare sorts rows
+    * by every column and list cells are unhashable there. */
   def q33Fingerprint(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents").select(
-      col("doc_id"), T.fingerprint(col("text"), shingleLen = 3, k = 16).as("fp"))
+      col("doc_id"),
+      array_join(T.fingerprint(col("text"), shingleLen = 3, k = 16).cast("array<string>"), "|").as("fp"))
 
   /** IVF ANN top-k (rows-only: approximate; deterministic index). */
   def q34IvfTopK(s: SparkSession, dir: String): DataFrame = {
@@ -722,7 +732,7 @@ object Queries {
         |EXCEPT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
     "q08_apply_mapping" ->
       """SELECT CAST(p_partkey AS VARCHAR) AS part_id, p_name AS part_name,
-        | CAST(p_retailprice AS DECIMAL(12,2)) AS retail_price, CAST(p_size AS BIGINT) AS size_l
+        | CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS retail_price, CAST(p_size AS BIGINT) AS size_l
         |FROM part""".stripMargin,
     "q09_split_rows" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
@@ -748,7 +758,7 @@ object Queries {
         | isodow(CAST(g AS DATE)) >= 6 AS is_weekend
         |FROM generate_series(DATE '2015-01-01', DATE '2024-12-31', INTERVAL 1 DAY) t(g)""".stripMargin,
     "q15_collect_set" ->
-      """SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments, count(*) AS n_cust
+      """SELECT c_nationkey, array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments, count(*) AS n_cust
         |FROM customer GROUP BY c_nationkey""".stripMargin,
     "q16_month_join" ->
       """WITH m AS (
@@ -851,7 +861,7 @@ object Queries {
         |       round(a1.account_daily_spending, 4) AS account_daily_spending,
         |       round(a2.account_accum_spending, 4) AS account_accum_spending,
         |       c1.cust_no_transaction_daily, round(c1.cust_daily_spending, 4) AS cust_daily_spending,
-        |       c1.cust_daily_payment_type,
+        |       array_to_string(c1.cust_daily_payment_type, '|') AS cust_daily_payment_type,
         |       round(c2.cust_accum_spending, 4) AS cust_accum_spending,
         |       round(c3.cust_avgerage_daily_spending, 4) AS cust_avgerage_daily_spending
         |FROM cte_account_payment_summary a1

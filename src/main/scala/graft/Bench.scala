@@ -1,5 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
+  *  "loadavg":L,"calibration_sec":C,"resampled":[...],"errors":{...}}
+  *
+  * Measurement-validity hardening (VERDICT r2 task 1):
+  *  - query failures are captured per-query in "errors" (never folded into a
+  *    timing) and the process exits non-zero if any query failed;
+  *  - "loadavg" (1-min /proc/loadavg) and "calibration_sec" (a fixed
+  *    CPU-bound loop timed in-process) let the driver/judge detect a loaded
+  *    machine: on idle 32-core hardware the calibration loop runs in a
+  *    stable time, so a 2-3x inflated value means the numbers are noise;
+  *  - any query whose two samples disagree by >3x is re-measured (up to two
+  *    extra samples) and listed in "resampled" — the min over all samples is
+  *    reported, which is the steady-state cost.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,27 +28,75 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Fixed CPU-bound calibration: single-threaded xorshift loop. Its time on
+    // this hardware is machine-load-sensitive but workload-independent, so it
+    // calibrates the run (recorded in the JSON, and measured BEFORE the
+    // warm-up so it reflects the same conditions the queries see).
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L; var i = 0
+      while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibrationSec = calibrate()
+    val loadavg =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
     // Warm up the JVM/codegen paths so the first timed query isn't charged
     // for session bring-up: one shuffle + one parquet scan.
     spark.range(0, 1000000).selectExpr("id % 7 as k").groupBy("k").count().count()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
-    // best-of-two per query: the first run warms codegen/file cache, the
-    // min reflects steady-state cost; cache cleared between measurements so
-    // library persists (LSH signatures etc.) don't leak across queries
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+
+    // One timed sample; Left(error) if the query throws — never a fake timing.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val res =
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+      // clear between measurements so library persists (LSH signatures etc.)
+      // don't leak across queries
       spark.catalog.clearCache()
-      sec
+      res
     }
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val resampled = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      // best-of-N: first run warms codegen/file cache; if the two samples
+      // disagree >3x (scheduler/GC interference), take up to two more.
+      var samples = List(timeOnce(fn), timeOnce(fn))
+      samples.collectFirst { case Left(e) => e }.foreach(errors(name) = _)
+      val ok = samples.collect { case Right(s) => s }
+      if (ok.size == 2 && ok.max / math.max(ok.min, 1e-9) > 3.0) {
+        resampled += name
+        var extra = 0
+        var cur = ok
+        while (extra < 2 && cur.max / math.max(cur.min, 1e-9) > 3.0) {
+          timeOnce(fn).foreach(s => cur = cur :+ s)
+          extra += 1
+        }
+        samples = cur.map(Right(_))
+      }
+      val best = samples.collect { case Right(s) => s } match {
+        case Nil => -1.0
+        case ss  => ss.min
+      }
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val resJson = resampled.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec,"resampled":$resJson,"errors":$errJson}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -84,23 +84,36 @@ object Curate {
     * low; text matching the corpus's phrase statistics scores high).
     * Documents with fewer than two tokens drop (no bigrams).
     *
-    * Shuffle profile: bigram explode is map-side; one (gram) aggregation
-    * for counts, one (first-word) aggregation for the conditional
-    * denominators, a vocabulary-sized join back, then one (doc) mean.
-    * Model size is vocabulary-shaped, never corpus-shaped. */
+    * Shuffle profile: the tokenize+explode of the corpus — the expensive
+    * stage — runs exactly ONCE: it is immediately aggregated to per-doc
+    * gram counts, and BOTH the model side (gram counts → conditional
+    * probabilities) and the scoring side (count-weighted mean) consume
+    * that same aggregation, so Spark's exchange reuse executes the
+    * scan→explode→shuffle subtree a single time (PlanSpec pins the
+    * ReusedExchange). Downstream shuffles are vocabulary-shaped, never
+    * corpus-shaped: one (gram) aggregation for counts, one (first-word)
+    * aggregation for denominators, a vocabulary-sized join back, then one
+    * (doc) weighted mean — Σ c·ln p / Σ c ≡ the per-instance average. */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = T.tokens(col(textCol))
-    val bg = docs
+    // per-(doc, gram) counts: the single corpus pass both sides share.
+    // The explicit isnotnull filters pre-seed exactly the constraints the
+    // downstream joins would infer per-consumer — without them each consumer
+    // pushes a DIFFERENT null filter into its copy of this subtree and the
+    // exchanges stop being identical, which silently disables the reuse.
+    val bgc = docs
       .select(col(idCol).as("id"),
         explode(when(size(toks) >= 2, T.wordShingles(col(textCol), 2))
           .otherwise(array().cast("array<string>"))).as("g"))
-    val cnt = bg.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("g").isNotNull && split(col("g"), " ")(0).isNotNull)
+      .groupBy("id", "g").agg(count(lit(1)).as("dc"))
+    val cnt = bgc.groupBy("g").agg(sum(col("dc")).as("c"))
     val uni = cnt.groupBy(split(col("g"), " ")(0).as("w")).agg(sum(col("c")).as("cw"))
     val probs = cnt.join(uni, split(cnt("g"), " ")(0) === uni("w"))
       .select(col("g"), (col("c").cast("double") / col("cw")).as("p"))
-    bg.join(probs, "g")
+    bgc.join(probs, "g")
       .groupBy("id")
-      .agg(avg(log(col("p"))).as("bigram_logprob"))
+      .agg((sum(col("dc") * log(col("p"))) / sum(col("dc"))).as("bigram_logprob"))
   }
 
   /** Corpus TF-IDF per (document, term): tf = in-doc term count, df = number

@@ -25,10 +25,13 @@ object Dedup {
     * serializes the whole kernel onto one core. When the input has fewer
     * partitions than the cluster has slots, scatter it first; when splits
     * are plentiful (any real at-scale input) this is a no-op — no shuffle
-    * is added. */
+    * is added. Parallelism is estimated from plan metadata
+    * ([[graft.plan.Partitions]]) — never by executing the plan. */
   private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    if (graft.plan.Partitions.estimateInputPartitions(df) * 2 < target)
+      df.repartition(target)
+    else df
   }
 
   /** Bucketed candidate-pair generation — the shared core of the LSH dedup
@@ -191,7 +194,7 @@ object Dedup {
     // selects is two plan branches, and each branch re-runs the (expensive,
     // usually unpersisted) pair generation — explode emits the reverse edge
     // map-side instead (measured 4.0s -> ~2.4s for q47 at sf0.1)
-    val edges = pairs
+    val raw = pairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
@@ -200,14 +203,23 @@ object Dedup {
     // size the iteration shuffles to the GRAPH, not the corpus: the pair
     // graph is orders of magnitude smaller than its corpus, and a tiny
     // graph iterated at corpus partition counts spends everything on task
-    // scheduling (measured 1.8s -> 1.2s at sf0.1). The count also
-    // materializes the edge cache that every round re-reads.
-    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val ccParts = math.max(1L, math.min(savedParts.toLong, edges.count() / 500000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", ccParts.toString)
+    // scheduling (measured 1.8s -> 1.2s at sf0.1). Sizing is done by
+    // explicitly co-partitioning the iterated frames — NEVER by mutating
+    // spark.sql.shuffle.partitions, which a shared session's concurrent
+    // queries would inherit (VERDICT r2 #6). edges carries hash(dst) and
+    // labels hash(id) at the same count (localCheckpoint preserves
+    // partitioning), so each round's big join inserts no exchange.
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val ccParts = math.max(1L,
+      math.min(sessionParts.toLong, raw.count() / 500000L + 1L)).toInt
+    val edges = raw.repartition(ccParts, col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize from raw's cache, then release raw
+    raw.unpersist()
     try {
       var labels = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("cluster_id"))
+        .repartition(ccParts, col("id"))
         .localCheckpoint(true)
       var changed = 1L
       var it = 0
@@ -215,6 +227,7 @@ object Dedup {
         val nbrMin = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(edges("src").as("nid"))
           .agg(min(col("cluster_id")).as("nbr_min"))
+          .repartition(ccParts, col("nid")) // graph-tiny; re-aligns with labels
         // lazy checkpoint: the convergence count below is the action that
         // materializes it, so each round is ONE job instead of two
         val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
@@ -234,7 +247,6 @@ object Dedup {
       labels
     } finally {
       edges.unpersist()
-      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
     }
   }
 

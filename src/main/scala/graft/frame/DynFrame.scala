@@ -322,7 +322,12 @@ class DynFrame private (
   def repartition(n: Int): DynFrame = withDf(df.repartition(n))
   def coalesce(n: Int, shuffle: Boolean = false): DynFrame =
     if (shuffle) repartition(n) else withDf(df.coalesce(n))
-  def getNumPartitions: Int = df.rdd.getNumPartitions
+  /** Exact physical partition count (`dynamicframe.py` getNumPartitions).
+    * Uses `toRdd` (the internal-row RDD) rather than `Dataset.rdd`, which
+    * would build a second, deserializing RDD just to read a count; the
+    * plan-materialization this forces is inherent to the API's contract —
+    * for a decision heuristic use [[graft.plan.Partitions]] instead. */
+  def getNumPartitions: Int = df.queryExecution.toRdd.getNumPartitions
 
   /** Write a top-k or probabilistic sample mid-pipeline, pass the frame
     * through unchanged (`dynamicframe.py:296-300`). */

@@ -1,0 +1,71 @@
+package graft.plan
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Plan-metadata partition estimation — replaces `.rdd.getNumPartitions`
+  * probes (VERDICT r2 #8): `Dataset.rdd` forces the logical→RDD conversion
+  * and, under AQE, can materialize query stages just to read a count. The
+  * heuristics that need a parallelism estimate (scatter-before-compute,
+  * minPartitions floors) only ever look at scan-shaped inputs, where the
+  * count is statically derivable from listing metadata Spark has already
+  * cached — zero execution, zero extra filesystem calls.
+  */
+object Partitions {
+
+  /** Estimated partition count of `df`'s input WITHOUT executing the plan.
+    *
+    *  - file scans: Spark's own split math (`FilePartition.maxSplitBytes`)
+    *    over the file index's cached size/count;
+    *  - driver-local relations: `min(rows, defaultParallelism)` (what
+    *    LocalTableScanExec parallelizes to);
+    *  - RDD-backed plans: the RDD's partition count (it already exists);
+    *  - anything containing a shuffle-introducing operator (join, agg,
+    *    window, sort, repartition): the session shuffle-partition count —
+    *    the engine has already parallelized it.
+    *
+    * An estimate, not a contract: callers gate repartition decisions with
+    * 2× slack ([[graft.dedup.Dedup.ensureParallelism]]). */
+  def estimateInputPartitions(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val parallel = spark.sparkContext.defaultParallelism
+    val plan = df.queryExecution.optimizedPlan
+    val shuffled = plan.exists {
+      case _: Aggregate | _: Join | _: Window | _: Sort => true
+      case _: RepartitionOperation => true
+      case _ => false
+    }
+    if (shuffled) spark.sessionState.conf.numShufflePartitions
+    else {
+      val leafCounts = plan.collectLeaves().map {
+        case l: LocalRelation => math.min(math.max(l.data.length, 1), parallel)
+        case r: LogicalRDD => r.rdd.getNumPartitions
+        case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+          val loc = lr.relation.asInstanceOf[HadoopFsRelation].location
+          fileSplitCount(spark, loc.sizeInBytes, math.max(loc.inputFiles.length, 1))
+        case other =>
+          // v2 scans / views: the optimizer's size estimate with 1-file cost
+          fileSplitCount(spark, other.stats.sizeInBytes.toLong, 1)
+      }
+      math.max(leafCounts.sum, 1)
+    }
+  }
+
+  /** `FilePartition.maxSplitBytes` arithmetic: bin-pack `totalBytes` across
+    * `nFiles` files (each padded by the open cost) into splits of
+    * min(maxPartitionBytes, max(openCost, bytes-per-core)). */
+  private def fileSplitCount(spark: org.apache.spark.sql.SparkSession,
+                             totalBytes: Long, nFiles: Int): Int = {
+    val conf = spark.sessionState.conf
+    val maxPartitionBytes = conf.filesMaxPartitionBytes
+    val openCost = conf.filesOpenCostInBytes
+    val minParts = conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val padded = totalBytes + nFiles.toLong * openCost
+    val bytesPerCore = padded / math.max(minParts, 1)
+    val maxSplit = math.min(maxPartitionBytes, math.max(openCost, bytesPerCore))
+    math.max(1, math.ceil(padded.toDouble / math.max(maxSplit, 1L)).toInt)
+  }
+}

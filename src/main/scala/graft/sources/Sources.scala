@@ -43,7 +43,8 @@ object Sources {
     val filtered = spec.pushDownPredicate.fold(base)(base.filter)
     (spec.minPartitions, spec.targetPartitions) match {
       case (_, Some(t)) => filtered.repartition(t)
-      case (Some(m), _) if filtered.rdd.getNumPartitions < m => filtered.repartition(m)
+      case (Some(m), _) if graft.plan.Partitions.estimateInputPartitions(filtered) < m =>
+        filtered.repartition(m)
       case _ => filtered
     }
   }

@@ -93,6 +93,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
   }
 
+  test("q49 bigram LM: corpus tokenize+explode executes once (exchange reuse)") {
+    // under AQE the plan string appends the pre-execution "Initial Plan";
+    // only the final plan reflects what actually executed
+    val p = executedPlan("q49_bigram_lm").split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"),
+      s"model and scoring sides no longer share the gram-count exchange:\n$p")
+    assert(p.linesIterator.count(_.contains("Generate")) == 1,
+      s"expected exactly one executed explode of the corpus in:\n$p")
+  }
+
   test("q09 splitRows: comparator predicate is pushed to the scan") {
     val p = plan("q09_split_rows")
     assert(p.contains("PushedFilters: [IsNotNull(l_discount), IsNotNull(l_quantity), LessThanOrEqual(l_discount,0.02)"))

@@ -29,6 +29,26 @@ object Restructure {
     df.select(cols: _*)
   }
 
+  /** [[unnest]] with the reference's array-joinkey generation
+    * (`dynamicframe.py:311-313` "also generates joinkeys for array
+    * objects"): each array column is replaced by a `<name>.joinkey` column
+    * carrying the SAME deterministic content-hash key [[relationalize]]
+    * synthesizes as its root id — so the joinkeys of an unnested parent
+    * join directly to the `(id, index, val…)` child tables relationalize
+    * pivots out of the same frame. Still a pure projection — no shuffle. */
+  def unnest(df: DataFrame, generateArrayKeys: Boolean): DataFrame = {
+    val flat = unnest(df)
+    if (!generateArrayKeys) return flat
+    val arrayCols = flat.schema.fields.filter(_.dataType.isInstanceOf[ArrayType])
+    if (arrayCols.isEmpty) return flat
+    val key = xxhash64(flat.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+    val cols = flat.schema.fields.toIndexedSeq.map { f =>
+      if (f.dataType.isInstanceOf[ArrayType]) key.as(s"${f.name}.joinkey")
+      else col(s"`${f.name}`")
+    }
+    flat.select(cols: _*)
+  }
+
   // --------------------------------------------------------- relationalize
 
   /** Decompose a nested frame into a collection of flat tables
@@ -50,7 +70,8 @@ object Restructure {
 
     val withId = idCol match {
       case Some(k) => flat.withColumn(s"$rootName._id", col(k))
-      case None    => flat.withColumn(s"$rootName._id", xxhash64(flat.columns.map(col).toIndexedSeq: _*))
+      case None    => flat.withColumn(s"$rootName._id",
+        xxhash64(flat.columns.map(c => col(s"`$c`")).toIndexedSeq: _*))
     }
 
     val children = arrayCols.flatMap { ac =>
@@ -94,12 +115,15 @@ object Restructure {
 
   // ------------------------------------------------------------------ unbox
 
-  /** Parse a string column containing embedded JSON or CSV into structured
-    * data (`dynamicframe.py:162-185`, `transforms/unbox.py:15-35`). When no
-    * schema is given for JSON, one inference pass samples the column. */
+  /** Parse a string/binary column containing embedded JSON, CSV, or avro
+    * into structured data (`dynamicframe.py:162-185`,
+    * `transforms/unbox.py:15-35`). When no schema is given for JSON, one
+    * inference pass samples the column; avro requires the writer schema as
+    * its JSON string (`avroSchema`) and decodes via [[AvroCodec]]. */
   def unbox(df: DataFrame, path: String, format: String,
             schema: Option[DataType] = None,
-            separator: String = ",", withHeader: Boolean = false): DataFrame = format match {
+            separator: String = ",", withHeader: Boolean = false,
+            avroSchema: Option[String] = None): DataFrame = format match {
     case "json" =>
       val s = schema.getOrElse {
         // Inference pass: let the JSON reader sample the column. At scale,
@@ -112,8 +136,9 @@ object Restructure {
       val s = schema.getOrElse(throw new IllegalArgumentException("unbox csv requires a schema"))
       df.withColumn(path, from_csv(col(path), s.asInstanceOf[StructType], Map("sep" -> separator)))
     case "avro" =>
-      throw new UnsupportedOperationException(
-        "unbox avro: spark-avro's from_avro is a separate artifact; out of scope offline")
+      val s = avroSchema.getOrElse(
+        throw new IllegalArgumentException("unbox avro requires the writer schema JSON"))
+      AvroCodec.unboxAvro(df, path, s)
     case other => throw new IllegalArgumentException(s"unbox format $other")
   }
 

@@ -114,4 +114,97 @@ class RestructureSpec extends SparkSpec {
     assert(addr.getString(0) == "hanoi" && addr.getString(1) == "10000")
     assert(r.getSeq[String](1) == Seq("a", "b"))
   }
+
+  test("unnest generateArrayKeys emits joinkeys that join relationalize's child tables") {
+    val df = spark.sql(
+      """select * from values
+        | (10, named_struct('n', 'a'), array(1, 2)),
+        | (20, named_struct('n', 'b'), array(3))
+        | as t(pk, s, xs)""".stripMargin)
+    val out = Restructure.unnest(df, generateArrayKeys = true)
+    assert(out.columns.toSeq == Seq("pk", "s.n", "xs.joinkey"))
+    // joinkey joins to the child table relationalize pivots from the same frame
+    val child = Restructure.relationalize(df, "root")("root.xs")
+    val joined = out.join(child, out("`xs.joinkey`") === child("id"))
+      .select(col("pk"), col("val")).as[(Int, Int)].collect().toSet
+    assert(joined == Set((10, 1), (10, 2), (20, 3)))
+    // without the flag the array is left in place (default behavior pinned)
+    assert(Restructure.unnest(df).schema("xs").dataType.isInstanceOf[ArrayType])
+  }
+
+  // ------------------------------------------------------------- unbox avro
+
+  private val avroSchemaJson =
+    """{"type":"record","name":"rec","fields":[
+      | {"name":"a","type":"long"},
+      | {"name":"b","type":["null","string"],"default":null},
+      | {"name":"tags","type":{"type":"array","items":"string"}},
+      | {"name":"meta","type":{"type":"map","values":"double"}},
+      | {"name":"inner","type":{"type":"record","name":"in","fields":[
+      |   {"name":"x","type":"int"}]}}]}""".stripMargin
+
+  private def avroBytes(a: Long, b: Option[String], tags: Seq[String],
+                        meta: Map[String, Double], x: Int): Array[Byte] = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.io.EncoderFactory
+    import scala.jdk.CollectionConverters._
+    val schema = new Schema.Parser().parse(avroSchemaJson)
+    val rec = new GenericData.Record(schema)
+    rec.put("a", a)
+    rec.put("b", b.orNull)
+    rec.put("tags", tags.asJava)
+    rec.put("meta", meta.map { case (k, v) => k -> Double.box(v) }.asJava)
+    val inner = new GenericData.Record(schema.getField("inner").schema())
+    inner.put("x", x)
+    rec.put("inner", inner)
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericData.Record](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  test("unbox avro round-trips records, nullable unions, arrays, maps, nested structs") {
+    val rows = Seq(
+      (1L, avroBytes(7L, Some("hi"), Seq("t1", "t2"), Map("k" -> 1.5), 42)),
+      (2L, avroBytes(8L, None, Nil, Map.empty, -1)),
+      (3L, null.asInstanceOf[Array[Byte]]))
+    val df = rows.toDF("id", "payload")
+    val out = Restructure.unbox(df, "payload", "avro",
+      avroSchema = Some(avroSchemaJson)).orderBy("id")
+    val t = out.schema("payload").dataType.asInstanceOf[StructType]
+    assert(t.fieldNames.toSeq == Seq("a", "b", "tags", "meta", "inner"))
+    assert(t("a").dataType == LongType && t("b").dataType == StringType)
+    val r = out.collect()
+    val p1 = r(0).getStruct(1)
+    assert(p1.getLong(0) == 7L && p1.getString(1) == "hi")
+    assert(p1.getSeq[String](2) == Seq("t1", "t2"))
+    assert(p1.getMap[String, Double](3) == Map("k" -> 1.5))
+    assert(p1.getStruct(4).getInt(0) == 42)
+    val p2 = r(1).getStruct(1)
+    assert(p2.getLong(0) == 8L && p2.isNullAt(1) && p2.getSeq[String](2).isEmpty)
+    assert(r(2).isNullAt(1)) // null payload stays null
+  }
+
+  test("unbox avro accepts base64 string columns and nulls undecodable payloads") {
+    val good = java.util.Base64.getEncoder.encodeToString(
+      avroBytes(9L, Some("ok"), Seq("z"), Map.empty, 1))
+    val df = Seq((1L, good), (2L, "AA"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "payload")
+    val out = Restructure.unbox(df, "payload", "avro",
+      avroSchema = Some(avroSchemaJson)).orderBy("id").collect()
+    assert(out(0).getStruct(1).getLong(0) == 9L)
+    // "AA" = a single zero byte: truncated record → decode error → NULL
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+  }
+
+  test("unbox avro rejects ambiguous multi-branch unions") {
+    val bad = """{"type":"record","name":"r","fields":[
+      | {"name":"u","type":["int","string"]}]}""".stripMargin
+    val df = Seq((1L, Array[Byte](0))).toDF("id", "payload")
+    intercept[IllegalArgumentException] {
+      Restructure.unbox(df, "payload", "avro", avroSchema = Some(bad))
+    }
+  }
 }

@@ -35,17 +35,29 @@ object Ivf {
   /** Deterministic KMeans fit over an `array<float|double>` column. */
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
           numCells: Int, iterations: Int = 3): Model = {
-    // Deterministic pseudo-random init: the numCells vectors with the
-    // smallest xxhash64(id). orderBy+limit plans as TakeOrderedAndProject —
-    // a distributed per-partition top-k + driver merge, unlike a global
-    // row_number window which drags the whole corpus onto one partition.
-    val n = corpus.count()
-    require(n >= numCells, s"need at least $numCells vectors, have $n")
+    // Deterministic pseudo-random init: vectors with the smallest
+    // xxhash64(vector). Hashing the VECTOR (not the id) makes exact-dup
+    // embeddings — present in real corpora and in this one by design —
+    // collide instead of seeding identical centroids (⇒ permanently empty
+    // cells), and makes limit-boundary ties harmless (a tie IS the same
+    // vector). Distinctness is enforced on an 8× oversample driver-side:
+    // a corpus-wide dropDuplicates would shuffle the whole corpus just for
+    // init. orderBy+limit plans as TakeOrderedAndProject — a distributed
+    // per-partition top-k + driver merge, unlike a global row_number window
+    // which drags the whole corpus onto one partition.
+    val over = math.max(numCells * 8, numCells + 64)
     val init = corpus
-      .select(col(vecCol).cast(ArrayType(DoubleType)).as("v"),
-        xxhash64(col(idCol)).as("__h"))
-      .orderBy("__h").limit(numCells)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
+      .select(col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("__h", xxhash64(col("v")))
+      .orderBy("__h").limit(over)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+      .distinctBy(_.toSeq)
+      .take(numCells)
+    require(init.length >= 1, s"no non-null vectors in $vecCol")
+    // fewer distinct vectors than requested cells: the model simply has
+    // fewer cells (correct; duplicate centroids would not be)
 
     var centroids = init
     var it = 0

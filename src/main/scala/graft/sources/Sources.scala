@@ -49,10 +49,30 @@ object Sources {
     }
   }
 
+  /** Sampling behavior for the sampled sources
+    * (`create_sample_dynamic_frame_*` `sample_options`,
+    * `context.py:239-281`): `num` caps the row count (first-N), `fraction`
+    * takes a Bernoulli sample — together they mirror the reference's
+    * num + sample_options pair. The seed is fixed so a sampled source is
+    * reproducible across runs (a seedless sample re-rolls per execution,
+    * which breaks retries and A/B debugging at scale). */
+  case class SampleOptions(num: Option[Int] = None,
+                           fraction: Option[Double] = None,
+                           seed: Long = 42L)
+
   /** First-N sampled source (`create_sample_dynamic_frame_*`,
     * `context.py:239-281`). */
   def readSample(spark: SparkSession, spec: SourceSpec, num: Int): DataFrame =
-    read(spark, spec).limit(num)
+    readSample(spark, spec, SampleOptions(num = Some(num)))
+
+  /** Sampled source with full sample options: fraction sampling happens
+    * before the first-N cap (a fraction is a scan-side filter — no shuffle,
+    * no collect; limit alone short-circuits the scan). */
+  def readSample(spark: SparkSession, spec: SourceSpec, opts: SampleOptions): DataFrame = {
+    val base = read(spark, spec)
+    val sampled = opts.fraction.fold(base)(f => base.sample(f, opts.seed))
+    opts.num.fold(sampled)(sampled.limit)
+  }
 
   case class SinkSpec(
       connectionType: String,

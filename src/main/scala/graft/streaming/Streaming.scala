@@ -132,60 +132,127 @@ object Streaming {
 
 /** The `Job.init/commit` lifecycle (`glue-jobs/awsglue/job.py:13-48`):
   * a named job run owning a [[Bookmarks]] store; `commit()` flushes all
-  * bookmark state handed out during the run. */
+  * bookmark state handed out during the run. The bookmark option and
+  * range are resolved from `args` exactly like `getResolvedOptions`
+  * (`utils.py:130-155`): `job-bookmark-from`/`to` are only legal with
+  * `job-bookmark-pause`, and with pause they come in pairs (one of the
+  * two missing is an error; both missing means "pause at the current
+  * bookmark" — reference quirks preserved). */
 class GraftJob private (val name: String, val args: Map[String, String],
                         val bookmarks: Bookmarks) {
   def commit(): Unit = bookmarks.commit()
 }
 
 object GraftJob {
-  def init(name: String, args: Map[String, String], stateDir: String): GraftJob =
-    new GraftJob(name, args, new Bookmarks(s"$stateDir/$name"))
+  def init(name: String, args: Map[String, String], stateDir: String): GraftJob = {
+    val opt = args.getOrElse("job-bookmark-option", "job-bookmark-enable")
+    val range = Seq("job-bookmark-from", "job-bookmark-to").map(args.get)
+    val absent = range.count(_.isEmpty)
+    val mode: BookmarkOption = opt match {
+      case "job-bookmark-pause" =>
+        if (absent == 1)
+          throw new IllegalArgumentException(
+            "Missing option or value for job-bookmark-from/job-bookmark-to")
+        (range.head, range(1)) match {
+          case (Some(f), Some(t)) => BookmarkOption.Pause(Some(f.toLong), Some(t.toLong))
+          case _                  => BookmarkOption.Pause(None, None)
+        }
+      case other =>
+        if (absent == 0)
+          throw new IllegalArgumentException(
+            "Invalid option(s) job-bookmark-from job-bookmark-to")
+        if (other == "job-bookmark-disable") BookmarkOption.Disable
+        else BookmarkOption.Enable
+    }
+    new GraftJob(name, args, new Bookmarks(s"$stateDir/$name", mode))
+  }
+}
+
+/** Bookmark behavior (`Job.job_bookmark_options()`, `utils.py:130-155`):
+  * Enable advances state on commit; Disable ignores state entirely;
+  * Pause processes without EVER updating state — with a (from, to] run-id
+  * range it replays exactly the files those past runs committed. */
+sealed trait BookmarkOption
+object BookmarkOption {
+  case object Enable extends BookmarkOption
+  case object Disable extends BookmarkOption
+  final case class Pause(fromRun: Option[Long], toRun: Option[Long]) extends BookmarkOption
 }
 
 /** Job bookmarks (`job.py:13-48`, `utils.py:79-158`): incremental file
-  * processing keyed by a `transformation_ctx` string. State is a manifest of
-  * already-processed file paths; `commit()` flushes it. File listing happens
-  * driver-side once per run — at scale swap the manifest for a Structured
-  * Streaming file source checkpoint, which has the same exactly-once
-  * listing semantics.
+  * processing keyed by a `transformation_ctx` string. State is a manifest
+  * of already-processed file paths, versioned by the run id that committed
+  * them (`<runId>\t<path>` lines; legacy un-tabbed lines read as run 0) —
+  * run versioning is what makes `job-bookmark-pause` from/to replay
+  * possible. `commit()` flushes pending paths under a fresh run id. File
+  * listing happens driver-side once per run — at scale swap the manifest
+  * for a Structured Streaming file source checkpoint, which has the same
+  * exactly-once listing semantics.
   */
-class Bookmarks(stateDir: String) {
+class Bookmarks(stateDir: String, option: BookmarkOption = BookmarkOption.Enable) {
+  import scala.jdk.CollectionConverters._
   private val fs = java.nio.file.Paths.get(stateDir)
   java.nio.file.Files.createDirectories(fs)
   private var pending = Map.empty[String, Set[String]]
 
   private def stateFile(ctx: String) = fs.resolve(s"$ctx.manifest")
 
-  def processedPaths(ctx: String): Set[String] = {
+  private def entries(ctx: String): Seq[(Long, String)] = {
     val f = stateFile(ctx)
-    if (java.nio.file.Files.exists(f))
-      scala.jdk.CollectionConverters.ListHasAsScala(
-        java.nio.file.Files.readAllLines(f)).asScala.toSet
-    else Set.empty
+    if (!java.nio.file.Files.exists(f)) Nil
+    else java.nio.file.Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty).map { line =>
+      line.split("\t", 2) match {
+        case Array(run, path) if run.forall(_.isDigit) => (run.toLong, path)
+        case _                                         => (0L, line) // legacy manifest
+      }
+    }
   }
 
-  /** New (unprocessed) files under `dir` for this context; remembers them as
-    * pending until [[commit]]. */
+  def processedPaths(ctx: String): Set[String] = entries(ctx).map(_._2).toSet
+
+  /** Highest run id recorded for `ctx` (0 when never committed). */
+  def currentRun(ctx: String): Long = (0L +: entries(ctx).map(_._1)).max
+
+  /** Files the runs in (fromRun, toRun] committed for `ctx` — the
+    * `job-bookmark-pause --job-bookmark-from --job-bookmark-to` replay set. */
+  def rangePaths(ctx: String, fromRun: Long, toRun: Long): Seq[String] =
+    entries(ctx).filter { case (r, _) => r > fromRun && r <= toRun }.map(_._2).distinct.sorted
+
+  /** Files to process under `dir` for this context, per the bookmark
+    * option: Enable = unseen files (remembered as pending until
+    * [[commit]]); Disable = everything, state untouched; Pause = unseen
+    * files WITHOUT remembering them (commit is a no-op), or the recorded
+    * (from, to] replay range when one was given. */
   def newFiles(spark: SparkSession, ctx: String, dir: String, glob: String = "*"): Seq[String] = {
+    option match {
+      case BookmarkOption.Pause(Some(f), Some(t)) => return rangePaths(ctx, f, t)
+      case _ => ()
+    }
     import org.apache.hadoop.fs.{FileSystem, Path}
     val p = new Path(dir)
     val hfs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
     if (!hfs.exists(p)) return Nil
     val all = hfs.globStatus(new Path(p, glob)).toSeq
       .filter(_.isFile).map(_.getPath.toString)
-    val seen = processedPaths(ctx)
-    val fresh = all.filterNot(seen.contains).sorted
-    pending = pending.updated(ctx, pending.getOrElse(ctx, Set.empty) ++ fresh)
-    fresh
+    option match {
+      case BookmarkOption.Disable => all.sorted
+      case BookmarkOption.Pause(_, _) =>
+        all.filterNot(processedPaths(ctx).contains).sorted // never committed
+      case BookmarkOption.Enable =>
+        val fresh = all.filterNot(processedPaths(ctx).contains).sorted
+        pending = pending.updated(ctx, pending.getOrElse(ctx, Set.empty) ++ fresh)
+        fresh
+    }
   }
 
-  /** `Job.commit()`: durably record everything handed out by newFiles. */
+  /** `Job.commit()`: durably record everything handed out by newFiles
+    * under the next run id. No-op under Disable/Pause (nothing pends). */
   def commit(): Unit = {
     pending.foreach { case (ctx, paths) =>
-      val all = processedPaths(ctx) ++ paths
-      java.nio.file.Files.write(stateFile(ctx),
-        scala.jdk.CollectionConverters.SeqHasAsJava(all.toSeq.sorted).asJava)
+      val run = currentRun(ctx) + 1
+      val lines = (entries(ctx) ++ paths.toSeq.sorted.map((run, _)))
+        .map { case (r, path) => s"$r\t$path" }
+      java.nio.file.Files.write(stateFile(ctx), lines.asJava)
     }
     pending = Map.empty
   }

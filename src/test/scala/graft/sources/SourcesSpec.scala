@@ -33,6 +33,50 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 7)
   }
 
+  test("sampled source fraction sampling is seeded and composes with num cap") {
+    val spec = Sources.SourceSpec("parquet", paths = Seq(s"$sf/customer.parquet"))
+    val total = Sources.read(spark, spec).count()
+    val frac = Sources.readSample(spark, spec,
+      Sources.SampleOptions(fraction = Some(0.2)))
+    val n = frac.count()
+    assert(n > 0 && n < total, s"fraction sample returned $n of $total")
+    // fixed seed => reproducible across executions
+    assert(frac.count() == n)
+    // fraction + num: the cap applies after sampling
+    val capped = Sources.readSample(spark, spec,
+      Sources.SampleOptions(num = Some(5), fraction = Some(0.5)))
+    assert(capped.count() == 5)
+  }
+
+  test("JDBC bulk-load path round-trips through embedded Derby") {
+    // Derby ships with Spark (derby-10.16 in /opt/spark/jars) — the closest
+    // offline stand-in for the reference's Postgres COPY load
+    // (db_utils.py:100-130): writeFromJdbcConf appends to the DB table,
+    // the source factory and the raw-zone extract read it back.
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    java.sql.DriverManager.getConnection(url).close() // boot the engine
+    ConnectionRegistry.register("derby_main",
+      ConnectionRegistry.JdbcConf(url, "app", "app", driver))
+    val df = Seq((1L, "alice"), (2L, "bob"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "name")
+    ConnectionRegistry.writeFromJdbcConf(df, "derby_main", "accounts")
+    // source factory JDBC read
+    val back = Sources.read(spark, Sources.SourceSpec("jdbc",
+      options = Map("url" -> url, "dbtable" -> "accounts", "driver" -> driver)))
+    assert(back.count() == 3)
+    assert(back.filter(col("name").isNull).count() == 1)
+    // append semantics: a second bulk load doubles the rows
+    ConnectionRegistry.writeFromJdbcConf(df, "derby_main", "accounts")
+    assert(back.count() == 6)
+    // raw-zone extract lands the table as \N-encoded CSV
+    val out = java.nio.file.Files.createTempDirectory("jdbcraw").toString
+    Rds2Raw.extractTables(spark, ConnectionRegistry.extractJdbcConf("derby_main"),
+      Seq("accounts"), out)
+    val raw = graft.jobs.BankJobs.readRawCsv(spark, s"$out/accounts")
+    assert(raw.count() == 6 && raw.filter(col("name").isNull).count() == 2)
+  }
+
   test("sink factory writes by format; collection sink suffixes paths") {
     val out = java.nio.file.Files.createTempDirectory("sink").toString
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")

@@ -132,4 +132,66 @@ class StreamingSpec extends SparkSpec {
     val bm3 = new Bookmarks(state)
     assert(bm3.newFiles(spark, "ctx1", data.toString, "*.csv").map(_.split('/').last) == Seq("f2.csv"))
   }
+
+  test("bookmark pause processes new files but never commits state") {
+    val state = java.nio.file.Files.createTempDirectory("bmp").toString
+    val data = java.nio.file.Files.createTempDirectory("bmpdata")
+    java.nio.file.Files.writeString(data.resolve("f1.csv"), "a")
+    val paused = new Bookmarks(state, BookmarkOption.Pause(None, None))
+    assert(paused.newFiles(spark, "c", data.toString, "*.csv").size == 1)
+    paused.commit() // must be a no-op
+    val after = new Bookmarks(state)
+    assert(after.newFiles(spark, "c", data.toString, "*.csv").size == 1,
+      "pause leaked state: the file shows as already processed")
+  }
+
+  test("bookmark pause from/to replays exactly the files those runs committed") {
+    val state = java.nio.file.Files.createTempDirectory("bmr").toString
+    val data = java.nio.file.Files.createTempDirectory("bmrdata")
+    // run 1 commits f1; run 2 commits f2; run 3 commits f3
+    for (i <- 1 to 3) {
+      java.nio.file.Files.writeString(data.resolve(s"f$i.csv"), s"$i")
+      val bm = new Bookmarks(state)
+      assert(bm.newFiles(spark, "c", data.toString, "*.csv").map(_.split('/').last) == Seq(s"f$i.csv"))
+      bm.commit()
+      assert(bm.currentRun("c") == i)
+    }
+    // replay (1, 3] = what runs 2 and 3 processed, without state updates
+    val replay = new Bookmarks(state, BookmarkOption.Pause(Some(1L), Some(3L)))
+    assert(replay.newFiles(spark, "c", data.toString, "*.csv").map(_.split('/').last)
+      == Seq("f2.csv", "f3.csv"))
+    replay.commit()
+    assert(new Bookmarks(state).currentRun("c") == 3, "replay advanced the bookmark")
+  }
+
+  test("bookmark disable ignores state in both directions") {
+    val state = java.nio.file.Files.createTempDirectory("bmd").toString
+    val data = java.nio.file.Files.createTempDirectory("bmddata")
+    java.nio.file.Files.writeString(data.resolve("f1.csv"), "a")
+    val en = new Bookmarks(state)
+    en.newFiles(spark, "c", data.toString, "*.csv"); en.commit()
+    val dis = new Bookmarks(state, BookmarkOption.Disable)
+    assert(dis.newFiles(spark, "c", data.toString, "*.csv").size == 1,
+      "disable must reprocess everything")
+    dis.commit()
+    assert(new Bookmarks(state).currentRun("c") == 1)
+  }
+
+  test("GraftJob resolves bookmark options with the reference's validation quirks") {
+    val state = java.nio.file.Files.createTempDirectory("jopt").toString
+    // range options without pause -> invalid
+    intercept[IllegalArgumentException] {
+      GraftJob.init("j", Map("job-bookmark-option" -> "job-bookmark-enable",
+        "job-bookmark-from" -> "1", "job-bookmark-to" -> "2"), state)
+    }
+    // pause with exactly one range option -> missing-option error
+    intercept[IllegalArgumentException] {
+      GraftJob.init("j", Map("job-bookmark-option" -> "job-bookmark-pause",
+        "job-bookmark-from" -> "1"), state)
+    }
+    // pause with both, and pause with neither, are valid
+    GraftJob.init("j", Map("job-bookmark-option" -> "job-bookmark-pause",
+      "job-bookmark-from" -> "1", "job-bookmark-to" -> "2"), state)
+    GraftJob.init("j", Map("job-bookmark-option" -> "job-bookmark-pause"), state)
+  }
 }

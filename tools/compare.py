@@ -58,21 +58,40 @@ for name in sorted(os.listdir(out_dir)):
     if len(got) != len(exp):
         results[name] = f"ROWCOUNT got={len(got)} exp={len(exp)}"
         continue
+    # advisory only (the real driver checks schema_match): surface dtype
+    # drift that stringified values would hide (e.g. int32 vs int64)
+    dtypes_note = ""
+    drift = [(c, str(got[c].dtype), str(exp[c].dtype))
+             for c in got.columns if str(got[c].dtype) != str(exp[c].dtype)]
+    if drift:
+        dtypes_note = f" [dtype-drift {drift}]"
     # type-faithful compare: str() of the cell post-sort. Decimal('9.00')
     # vs 9.0 DIFFERS here by design — that asymmetry broke q08 in r1.
-    # Only normalization: midnight timestamps ≡ dates (pyarrow reads parquet
+    # Only normalization: midnight timestamps ≡ dates, applied ONLY to
+    # columns that are datetime-typed on either side (pyarrow reads parquet
     # DATE as datetime.date, duckdb fetchdf as datetime64 — same instant;
-    # the real driver matched q14/q17 in r1, so this is proxy-only noise).
-    def cell(v):
+    # a string column containing ' 00:00:00' must NOT be rewritten).
+    import datetime
+    def is_dateish(series):
+        if series.dtype.kind == "M":
+            return True
+        if series.dtype == object:
+            nn = series.dropna()
+            return len(nn) > 0 and isinstance(nn.iloc[0], (datetime.date, datetime.datetime))
+        return False
+    dateish = [is_dateish(got[c]) or is_dateish(exp[c]) for c in got.columns]
+    def cell(v, dateish_col):
         s = str(v)
-        return s[:-9] if s.endswith(" 00:00:00") else s
-    g = [tuple(cell(v) for v in t) for t in got.itertuples(index=False, name=None)]
-    e = [tuple(cell(v) for v in t) for t in exp.itertuples(index=False, name=None)]
+        return s[:-9] if dateish_col and s.endswith(" 00:00:00") else s
+    g = [tuple(cell(v, d) for v, d in zip(t, dateish))
+         for t in got.itertuples(index=False, name=None)]
+    e = [tuple(cell(v, d) for v, d in zip(t, dateish))
+         for t in exp.itertuples(index=False, name=None)]
     if g != e:
         diff = [i for i, (a, b) in enumerate(zip(g, e)) if a != b][:3]
         results[name] = f"VALUE-MISMATCH first-diffs {[(g[i], e[i]) for i in diff]}"
     else:
-        results[name] = f"OK ({len(g)} rows)"
+        results[name] = f"OK ({len(g)} rows){dtypes_note}"
 
 for k, v in sorted(results.items()):
     print(f"{k:24s} {v}")

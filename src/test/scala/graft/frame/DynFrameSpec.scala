@@ -204,4 +204,15 @@ class DynFrameSpec extends SparkSpec {
     val mapped = DynFrame.mapCollection(c)(f => f.selectFields(Seq("id")))
     assert(DynFrame.select(mapped, "a").toDF.columns.toSeq == Seq("id"))
   }
+
+  test("fromRdd builds a frame from an RDD with the given schema") {
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val rdd = spark.sparkContext.parallelize(Seq(Row(1L, "a"), Row(2L, null)), 2)
+    val f = DynFrame.fromRdd(spark, rdd, schema, "rdd_src")
+    assert(f.toDF.schema == schema)
+    assert(f.toDF.as[(Long, Option[String])].collect().toSet ==
+      Set((1L, Some("a")), (2L, None)))
+    // frame ops compose on an RDD-sourced frame
+    assert(f.selectFields(Seq("id")).toDF.columns.toSeq == Seq("id"))
+  }
 }

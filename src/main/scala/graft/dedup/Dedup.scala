@@ -250,6 +250,34 @@ object Dedup {
     }
   }
 
+  /** Quality-aware retention over near-dup clusters: every document not in
+    * any cluster survives; each cluster keeps exactly its best-quality
+    * member (ties broken by smallest id — fully deterministic). This is the
+    * retention policy real curation pipelines want where
+    * [[nearDupSurvivors]]' keep-smallest-id is the cheap approximation:
+    * near-dup groups usually contain one clean original and N mangled
+    * copies, and quality scoring identifies the original.
+    *
+    * Scale shape: clusters come from [[duplicateClusters]] (graph-sized);
+    * the per-cluster argmax is one aggregation of `max(struct(quality,
+    * -id))` over cluster rows (partial-aggregated map-side, no window, no
+    * sort); the non-clustered complement is a left-anti join against the
+    * (small) clustered-id set. The corpus is never shuffled — only joined
+    * against graph-sized frames, which AQE broadcasts. */
+  def bestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                     quality: org.apache.spark.sql.Column,
+                     maxIters: Int = 20): DataFrame = {
+    val clusters = duplicateClusters(pairs, maxIters) // (id, cluster_id)
+    val scored = df.select(col(idCol).as("__did"), quality.as("__q"))
+    val keep = clusters.join(scored, clusters("id") === scored("__did"))
+      .groupBy("cluster_id")
+      .agg(max(struct(col("__q"), (-col("__did")).as("__nid"))).as("__m"))
+      .select((-col("__m.__nid")).as(idCol))
+    df.select(col(idCol))
+      .join(clusters.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .union(keep)
+  }
+
   /** Cross-document duplicated-content fraction: split every doc into
     * non-overlapping `segLen`-token segments and report, per doc, the
     * fraction of its segments that occur anywhere else in the corpus

@@ -636,6 +636,40 @@ object Queries {
       .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_text"),
         col("n_tokens").cast("long").as("n_tokens"))
 
+  /** Avro box → unbox round-trip through the real binary codec: documents
+    * rows encode to raw avro binary (per-partition GenericDatumWriter),
+    * decode back through `unbox(.., "avro")`, and must equal the source —
+    * the DuckDB oracle reads the original table, so any codec asymmetry
+    * (null handling, union branches, charset) hash-mismatches. */
+  def q53UnboxAvro(s: SparkSession, dir: String): DataFrame = {
+    import graft.restructure.{AvroCodec, Restructure}
+    val schemaJson =
+      """{"type":"record","name":"doc","fields":[
+        | {"name":"doc_id","type":"long"},
+        | {"name":"lang","type":["null","string"]},
+        | {"name":"source","type":["null","string"]},
+        | {"name":"n_chars","type":"long"}]}""".stripMargin
+    val boxed = AvroCodec.boxAvro(
+      tbl(s, dir, "documents")
+        .select(struct(col("doc_id"), col("lang"), col("source"), col("n_chars")).as("payload")),
+      "payload", schemaJson)
+    Restructure.unbox(boxed, "payload", "avro", avroSchema = Some(schemaJson))
+      .select(col("payload.doc_id").as("doc_id"), col("payload.lang").as("lang"),
+        col("payload.source").as("source"), col("payload.n_chars").as("n_chars"))
+  }
+
+  /** Quality-aware dedup retention: near-dup clusters (q47's exact-recall
+    * pair graph) each keep their longest member (tie → smallest id);
+    * everything unclustered survives. Oracle = recursive-CTE clusters +
+    * window argmax. */
+  def q54ClusterSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleLen = 3, threshold = 0.9)
+    Dedup.bestPerCluster(docs, "doc_id", pairs.select(col("id_a"), col("id_b")),
+      length(trim(col("text"))).cast("long"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -690,7 +724,9 @@ object Queries {
     "q49_bigram_lm" -> (q49BigramLm _),
     "q50_multimodal" -> (q50Multimodal _),
     "q51_dup_segments" -> (q51DupSegments _),
-    "q52_chunk_tokens" -> (q52ChunkTokens _))
+    "q52_chunk_tokens" -> (q52ChunkTokens _),
+    "q53_unbox_avro" -> (q53UnboxAvro _),
+    "q54_cluster_survivors" -> (q54ClusterSurvivors _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50)
@@ -1051,5 +1087,36 @@ object Queries {
         | array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
         | len(toks[i*24+1 : i*24+32]) AS n_tokens
         |FROM t, unnest(generate_series(0,
-        |  CAST(ceil(greatest(len(toks) - 8, 1) / 24.0) AS INT) - 1)) u(i)""".stripMargin)
+        |  CAST(ceil(greatest(len(toks) - 8, 1) / 24.0) AS INT) - 1)) u(i)""".stripMargin,
+    // codec round-trip: the oracle is simply the source table — any
+    // encode/decode asymmetry shows as a value mismatch
+    "q53_unbox_avro" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
+    "q54_cluster_survivors" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split_regex(trim(text),'\s+')) - 2),
+        |   i -> array_to_string((string_split_regex(trim(text),'\s+'))[i:i+2], ' '))) AS s
+        | FROM documents),
+        |jp AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a, sh b
+        | WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+        |p AS (SELECT id_a AS src, id_b AS dst FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+        |nodes AS (SELECT DISTINCT src AS id FROM p),
+        |reach AS (
+        | SELECT id, id AS root FROM nodes
+        | UNION
+        | SELECT p.dst AS id, r.root FROM reach r JOIN p ON p.src = r.id),
+        |cl AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id),
+        |keep AS (
+        | SELECT doc_id FROM (
+        |  SELECT cl.doc_id,
+        |   row_number() OVER (PARTITION BY cl.cluster_id
+        |     ORDER BY length(trim(d.text)) DESC, cl.doc_id ASC) AS rk
+        |  FROM cl JOIN documents d USING (doc_id)) WHERE rk = 1)
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cl)
+        |UNION ALL SELECT doc_id FROM keep""".stripMargin)
 }

@@ -54,6 +54,63 @@ object AvroCodec {
     }(Encoders.row(outSchema))
   }
 
+  /** Inverse of [[unboxAvro]]: encode struct column `path` into raw avro
+    * binary per `schemaJson` — the produce-side twin (message-bus sinks,
+    * and the round-trip oracle for the decode path). Same shape: one
+    * writer/encoder per partition, rows never leave their partition. */
+  def boxAvro(df: DataFrame, path: String, schemaJson: String): DataFrame = {
+    import org.apache.avro.generic.GenericDatumWriter
+    import org.apache.avro.io.EncoderFactory
+    val idx = df.schema.fieldIndex(path)
+    val outSchema = StructType(
+      df.schema.fields.updated(idx, StructField(path, BinaryType, nullable = true)).toIndexedSeq)
+    df.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val writer = new GenericDatumWriter[AnyRef](schema)
+      val bos = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(bos, null)
+      it.map { row =>
+        val bytes =
+          if (row.isNullAt(idx)) null
+          else {
+            bos.reset()
+            val e = EncoderFactory.get().binaryEncoder(bos, enc)
+            writer.write(toAvro(row.getStruct(idx), schema), e)
+            e.flush()
+            bos.toByteArray
+          }
+        Row.fromSeq(row.toSeq.updated(idx, bytes))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** External Row value → avro datum matching the schema (inverse of
+    * [[convert]]). */
+  private def toAvro(v: Any, s: Schema): AnyRef = s.getType match {
+    case _ if v == null => null
+    case Schema.Type.RECORD =>
+      val row = v.asInstanceOf[Row]
+      val rec = new org.apache.avro.generic.GenericData.Record(s)
+      s.getFields.asScala.foreach(f => rec.put(f.pos(), toAvro(row.get(f.pos()), f.schema())))
+      rec
+    case Schema.Type.UNION =>
+      nonNullBranch(s) match {
+        case Some(b) => toAvro(v, b)
+        case None    => throw new IllegalArgumentException(s"box avro: ambiguous union $s")
+      }
+    case Schema.Type.STRING | Schema.Type.ENUM => v.toString
+    case Schema.Type.BYTES => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+    case Schema.Type.FIXED =>
+      new org.apache.avro.generic.GenericData.Fixed(s, v.asInstanceOf[Array[Byte]])
+    case Schema.Type.ARRAY =>
+      v.asInstanceOf[Seq[Any]].map(toAvro(_, s.getElementType)).asJava
+    case Schema.Type.MAP =>
+      v.asInstanceOf[Map[String, Any]].map { case (k, mv) =>
+        k -> toAvro(mv, s.getValueType)
+      }.asJava
+    case _ => v.asInstanceOf[AnyRef] // primitive boxes pass through
+  }
+
   /** Avro → Catalyst type mapping for the practical subset: records,
     * primitives, enums/fixed, arrays, maps, and nullable unions. A union
     * with more than one non-null branch has no faithful Catalyst analog

@@ -98,6 +98,17 @@ class DedupAnnSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("bestPerCluster keeps the best-quality member per cluster plus singletons") {
+    val df = Seq((1L, 5), (2L, 9), (3L, 9), (4L, 3), (5L, 1), (6L, 7))
+      .toDF("id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.bestPerCluster(df, "id", pairs, col("q"))
+      .as[Long].collect().toSet
+    // cluster {1,2,3}: max q=9 tied between 2 and 3 -> smallest id 2;
+    // cluster {4,5}: 4; unclustered 6 survives
+    assert(got == Set(2L, 4L, 6L))
+  }
+
   test("incremental dedup against a stored signature index") {
     val index = Dedup.minhashSignatures(docs, "doc_id", "text")
     val newBatch = Seq(

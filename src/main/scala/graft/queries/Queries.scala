@@ -670,6 +670,21 @@ object Queries {
       length(trim(col("text"))).cast("long"))
   }
 
+  /** Per-source corpus statistics report — the dataset-card numbers
+    * (volume, language spread, length distribution incl. exact
+    * median/p90). Exact `percentile` (linear interpolation, matching
+    * DuckDB's quantile_cont) rather than percentile_approx so the oracle
+    * can hash-match; at 100 TB swap to percentile_approx and accept the
+    * sketch bound. One shuffle on the (low-cardinality) source key. */
+  def q55CorpusStats(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum("n_chars").as("total_chars"),
+      round(avg("n_chars"), 4).as("avg_chars"),
+      round(expr("percentile(n_chars, 0.5)"), 4).as("median_chars"),
+      round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -726,7 +741,8 @@ object Queries {
     "q51_dup_segments" -> (q51DupSegments _),
     "q52_chunk_tokens" -> (q52ChunkTokens _),
     "q53_unbox_avro" -> (q53UnboxAvro _),
-    "q54_cluster_survivors" -> (q54ClusterSurvivors _))
+    "q54_cluster_survivors" -> (q54ClusterSurvivors _),
+    "q55_corpus_stats" -> (q55CorpusStats _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50)
@@ -1118,5 +1134,14 @@ object Queries {
         |     ORDER BY length(trim(d.text)) DESC, cl.doc_id ASC) AS rk
         |  FROM cl JOIN documents d USING (doc_id)) WHERE rk = 1)
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cl)
-        |UNION ALL SELECT doc_id FROM keep""".stripMargin)
+        |UNION ALL SELECT doc_id FROM keep""".stripMargin,
+    // CAST sum to BIGINT: DuckDB sums BIGINT into HUGEINT, which fetchdf
+    // would stringify differently than Spark's long
+    "q55_corpus_stats" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | round(avg(n_chars), 4) AS avg_chars,
+        | round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+        | round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+        |FROM documents GROUP BY source""".stripMargin)
 }

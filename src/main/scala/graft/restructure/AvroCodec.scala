@@ -102,12 +102,12 @@ object AvroCodec {
     case Schema.Type.BYTES => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
     case Schema.Type.FIXED =>
       new org.apache.avro.generic.GenericData.Fixed(s, v.asInstanceOf[Array[Byte]])
-    case Schema.Type.ARRAY =>
-      v.asInstanceOf[Seq[Any]].map(toAvro(_, s.getElementType)).asJava
+    case Schema.Type.ARRAY => // collection kind varies by row origin
+      v.asInstanceOf[scala.collection.Seq[Any]].map(toAvro(_, s.getElementType)).asJava
     case Schema.Type.MAP =>
-      v.asInstanceOf[Map[String, Any]].map { case (k, mv) =>
+      v.asInstanceOf[scala.collection.Map[String, Any]].map { case (k, mv) =>
         k -> toAvro(mv, s.getValueType)
-      }.asJava
+      }.toMap.asJava
     case _ => v.asInstanceOf[AnyRef] // primitive boxes pass through
   }
 

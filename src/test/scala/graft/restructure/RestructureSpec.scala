@@ -199,6 +199,43 @@ class RestructureSpec extends SparkSpec {
     assert(out(1).isNullAt(1) && out(2).isNullAt(1))
   }
 
+  test("box->unbox avro round-trips 300 randomized rows (unicode, empties, nulls, extremes)") {
+    import org.apache.spark.sql.Row
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq("ascii_x", "tiếng việt", "日本語テキスト", "emoji 🙂🚀", "tab\tnl\n", "")
+    def randStr() = alphabets(rnd.nextInt(alphabets.length)) + rnd.nextInt(1000)
+    val rows = (0 until 300).map { i =>
+      Row(
+        i.toLong,
+        Row(
+          rnd.nextLong(),
+          if (rnd.nextBoolean()) randStr() else null,
+          Seq.fill(rnd.nextInt(4))(randStr()),
+          (0 until rnd.nextInt(3)).map(j => randStr() -> rnd.nextDouble()).toMap,
+          Row(Seq(Int.MinValue, Int.MaxValue, 0, -1)(rnd.nextInt(4)))))
+    }
+    val inner = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("meta", MapType(StringType, DoubleType)),
+      StructField("inner", StructType(Seq(StructField("x", IntegerType))))))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("payload", inner)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val boxed = AvroCodec.boxAvro(df, "payload", avroSchemaJson)
+    assert(boxed.schema("payload").dataType == BinaryType)
+    val back = Restructure.unbox(boxed, "payload", "avro", avroSchema = Some(avroSchemaJson))
+    val got = back.orderBy("id").collect().map(r => (r.getLong(0), r.getStruct(1)))
+    val exp = rows.sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getStruct(1)))
+    got.zip(exp).foreach { case ((gi, gp), (ei, ep)) =>
+      assert(gi == ei)
+      assert(gp.getLong(0) == ep.getLong(0) && gp.getAs[String](1) == ep.getAs[String](1))
+      assert(gp.getSeq[String](2) == ep.getSeq[String](2))
+      assert(gp.getMap[String, Double](3).toMap == ep.getMap[String, Double](3).toMap)
+      assert(gp.getStruct(4).getInt(0) == ep.getStruct(4).getInt(0))
+    }
+  }
+
   test("unbox avro rejects ambiguous multi-branch unions") {
     val bad = """{"type":"record","name":"r","fields":[
       | {"name":"u","type":["int","string"]}]}""".stripMargin

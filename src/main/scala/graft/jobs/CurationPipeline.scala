@@ -37,6 +37,9 @@ object CurationPipeline {
       minEntropy: Double = 1.0,
       allowedLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh", "und"),
       nearDupThreshold: Double = 0.9,
+      // keep-best-quality cluster representative (Dedup.bestPerCluster)
+      // instead of the cheap keep-smallest-id pass (nearDupSurvivors)
+      qualityAwareDedup: Boolean = false,
       decontamNgram: Int = 3,
       splitWeights: Seq[(String, Int)] = Seq("train" -> 8, "val" -> 1, "test" -> 1),
       chunkTokens: Int = 512,
@@ -62,11 +65,19 @@ object CurationPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     funnel("quality_filtered") = filtered.count()
 
-    // 3. dedup: exact, then near-dup survivors
+    // 3. dedup: exact, then near-dup survivors (optionally quality-aware:
+    // each cluster keeps its highest-quality member rather than smallest id)
     val exact = Dedup.exactSurvivors(filtered, cfg.idCol, cfg.textCol)
     val pairs = Dedup.ngramJaccardPairs(exact, cfg.idCol, cfg.textCol,
       threshold = cfg.nearDupThreshold)
-    val deduped = Dedup.nearDupSurvivors(exact, cfg.idCol, pairs)
+    val survivors =
+      if (cfg.qualityAwareDedup)
+        exact.join(
+          Dedup.bestPerCluster(exact, cfg.idCol, pairs.select(col("id_a"), col("id_b")),
+            T.qualityScore(col(cfg.textCol), T.EnglishStopwords)),
+          Seq(cfg.idCol), "left_semi")
+      else Dedup.nearDupSurvivors(exact, cfg.idCol, pairs)
+    val deduped = survivors
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     funnel("deduped") = deduped.count()
     filtered.unpersist()

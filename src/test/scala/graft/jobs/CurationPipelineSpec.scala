@@ -35,4 +35,22 @@ class CurationPipelineSpec extends SparkSpec {
     assert(chunks.columns.toSet == Set("id", "chunk_idx", "chunk_text", "n_tokens"))
     assert(chunks.agg(max("n_tokens")).as[Int].head() <= 32)
   }
+
+  test("quality-aware dedup keeps cluster counts consistent with the cheap policy") {
+    val out = java.nio.file.Files.createTempDirectory("curationq").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val funnel = CurationPipeline.run(spark, docs, None, out,
+      CurationPipeline.Config(minQuality = 0.0, minEntropy = 0.5,
+        qualityAwareDedup = true, chunkTokens = 32, chunkOverlap = 8))
+    // bestPerCluster keeps EXACTLY one doc per connected component while
+    // the cheap keep-smallest-id pass keeps every doc that never appears
+    // as a pair's larger side (>= 1 per component) — so quality-aware
+    // dedup can only be at least as aggressive
+    val cheap = CurationPipeline.run(spark, docs, None,
+      java.nio.file.Files.createTempDirectory("curationc").toString,
+      CurationPipeline.Config(minQuality = 0.0, minEntropy = 0.5,
+        chunkTokens = 32, chunkOverlap = 8))
+    assert(funnel("deduped") <= cheap("deduped"))
+    assert(funnel("deduped") > 0 && funnel("split_train") > 0)
+  }
 }

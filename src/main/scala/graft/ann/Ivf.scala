@@ -1,7 +1,6 @@
 package graft.ann
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
@@ -122,11 +121,24 @@ object Ivf {
 
 /** Nearest-centroid ids by euclidean distance, ascending — array<int> of
   * length `nProbes`. Tight loops; centroids ride in the expression (they
-  * are driver-small and serialize with the plan). */
+  * are driver-small and serialize with the plan). Codegen calls into the
+  * expression object so corpus-assignment scans stay inside whole-stage
+  * codegen (CodegenFallback would split the span at every IVF assign). */
 case class NearestCellsExpr(child: Expression, centroids: Array[Array[Double]], nProbes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(nProbes >= 1 && nProbes <= centroids.length)
+
+  def compute(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("nearestCells", this, classOf[NearestCellsExpr].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);"
+    })
 
   private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true

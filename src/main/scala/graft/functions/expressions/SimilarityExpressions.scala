@@ -1,7 +1,6 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
@@ -13,9 +12,11 @@ import org.apache.spark.sql.types._
   * correct but interpreted: higher-order functions don't participate in
   * whole-stage codegen and pay per-element lambda dispatch + boxing. These
   * expressions evaluate the same math in tight primitive loops over
-  * ArrayData — 10-50× on the dedup/ANN hot paths. CodegenFallback is fine:
-  * the win is the loop shape, not codegen (one virtual call per ROW, not
-  * per element).
+  * ArrayData — 10-50× on the dedup/ANN hot paths. Every expression also
+  * implements doGenCode (inlined loops for the hash kernels, a per-row
+  * call into the expression object for the allocation-heavy ones) so no
+  * operator hosting them is ejected from whole-stage codegen — a single
+  * CodegenFallback expression de-codegens its entire host operator.
   *
   * Hash/permutation constants are shared with
   * [[graft.functions.SimilarityFunctions]] so both formulations agree.
@@ -327,9 +328,15 @@ case class HyperplaneSigExpr(child: Expression, dim: Int, planes: Int, planeOffs
 /** Word n-gram shingles: array<string> tokens → array<string> of
   * space-joined n-token windows; fewer than n tokens collapse to one
   * shingle of the whole token list. One pass, byte-level concat — the HOF
-  * slice+concat_ws formulation allocates a fresh array per window. */
+  * slice+concat_ws formulation allocates a fresh array per window.
+  *
+  * doGenCode calls into the expression object rather than inlining the
+  * loop, which is enough to matter: a CodegenFallback expression ejects
+  * its ENTIRE host operator from whole-stage codegen
+  * (CollapseCodegenStages rejects fallback expressions), splitting the
+  * scan→tokenize→shingle→hash pipeline every dedup tier runs. */
 case class WordShinglesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import org.apache.spark.unsafe.types.UTF8String
 
   require(n >= 1, "shingle length must be >= 1")
@@ -337,6 +344,17 @@ case class WordShinglesExpr(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   private val space = UTF8String.fromString(" ")
+
+  def compute(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("shingles", this, classOf[WordShinglesExpr].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);"
+    })
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

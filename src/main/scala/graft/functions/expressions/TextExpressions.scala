@@ -1,7 +1,6 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
@@ -21,10 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Row-local single pass with a per-row hash map — no shuffle, unlike the
   * naive explode+groupBy formulation, so it scales with input bytes only.
-  * One virtual call per row (CodegenFallback); the loop itself is primitive.
+  * One virtual call per row (codegen calls into the expression object —
+  * NOT CodegenFallback, which would eject the host operator from
+  * whole-stage codegen); the loop itself is primitive.
   */
 case class NgramRepetitionExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "gram length must be >= 1")
 
@@ -33,6 +34,17 @@ case class NgramRepetitionExpr(child: Expression, n: Int)
     StructField("dup_frac", DoubleType, nullable = false)))
 
   private val space = UTF8String.fromString(" ")
+
+  def compute(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("ngramRep", this, classOf[NgramRepetitionExpr].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($c);"
+    })
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -76,9 +88,20 @@ case class NgramRepetitionExpr(child: Expression, n: Int)
   * SQL engines' character indexing), empty string → 0.0. Row-local,
   * single pass + one pass over the (small) distinct-char map. */
 case class CharEntropyExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  def compute(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("charEntropy", this, classOf[CharEntropyExpr].getName)
+      s"${ev.value} = ((java.lang.Double) $ref.compute($c)).doubleValue();"
+    })
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString

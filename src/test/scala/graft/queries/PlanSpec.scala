@@ -103,6 +103,17 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one executed explode of the corpus in:\n$p")
   }
 
+  test("native text kernels keep their operators inside whole-stage codegen") {
+    // a CodegenFallback expression ejects its host operator from WSCG;
+    // these kernels implement doGenCode precisely so that doesn't happen
+    for (q <- Seq("q48_char_entropy", "q41_repetition")) {
+      val p = executedPlan(q)
+      val projects = p.linesIterator.filter(_.contains("Project")).toSeq
+      assert(projects.nonEmpty && projects.forall(_.contains("*(")),
+        s"$q: kernel Project fell out of whole-stage codegen:\n$p")
+    }
+  }
+
   test("q09 splitRows: comparator predicate is pushed to the scan") {
     val p = plan("q09_split_rows")
     assert(p.contains("PushedFilters: [IsNotNull(l_discount), IsNotNull(l_quantity), LessThanOrEqual(l_discount,0.02)"))

@@ -42,6 +42,7 @@ object Partitions {
       val leafCounts = plan.collectLeaves().map {
         case l: LocalRelation => math.min(math.max(l.data.length, 1), parallel)
         case r: LogicalRDD => r.rdd.getNumPartitions
+        case e: org.apache.spark.sql.execution.ExternalRDD[_] => e.rdd.getNumPartitions
         case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
           val loc = lr.relation.asInstanceOf[HadoopFsRelation].location
           fileSplitCount(spark, loc.sizeInBytes, math.max(loc.inputFiles.length, 1))

@@ -54,6 +54,10 @@ object GraftFunctions {
     "graft_ngram_repetition" -> { args =>
       require(args.length == 2, "graft_ngram_repetition(tokens, n)")
       NgramRepetitionExpr(args.head, intArg(args(1), "n"))
+    },
+    "graft_char_entropy" -> { args =>
+      require(args.length == 1, "graft_char_entropy(text)")
+      CharEntropyExpr(args.head)
     })
 
   def register(spark: SparkSession): Unit =

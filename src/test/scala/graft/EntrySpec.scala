@@ -14,4 +14,16 @@ class EntrySpec extends SparkSpec {
       "q50_multimodal"))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("every declared query executes on sf0.001") {
+    // `sbt test` alone should catch a query that crashes at runtime —
+    // without this, breakage only surfaces in the out-of-band Verify run
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val r = try { fn(spark, "/root/testdata/sf0.001").count(); None }
+              catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+      spark.catalog.clearCache()
+      r
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }

@@ -29,6 +29,12 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(rs.getDouble(0) == 0.5 && rs.getDouble(1) == 0.5)
   }
 
+  test("graft_char_entropy is SQL-callable") {
+    GraftFunctions.register(spark)
+    val e = spark.sql("select graft_char_entropy('aabb') as e").collect()(0).getDouble(0)
+    assert(math.abs(e - 1.0) < 1e-12) // two equiprobable chars = 1 bit
+  }
+
   test("non-literal k is rejected with a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

@@ -187,8 +187,18 @@ object Dedup {
     * round is one join + one aggregation on the edge partitioning;
     * `localCheckpoint` truncates the growing lineage so round N's plan
     * doesn't replay rounds 1..N-1. Returns (id, cluster_id) for every id
-    * appearing in `pairs`. */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    * appearing in `pairs`.
+    *
+    * Small-graph fast path: the pair graph is usually orders of magnitude
+    * smaller than its corpus (it IS the duplicates), so — exactly like a
+    * broadcast join for a small side — when the edge list fits comfortably
+    * on the driver (`driverMaxEdges`, default 1M directed edges ≈ tens of
+    * MB) the components are solved by a driver-side union-find in
+    * milliseconds instead of O(diameter) distributed rounds. The bound is
+    * explicit and configurable; graphs above it take the iterative path
+    * unchanged. Both paths produce identical labels (spec-pinned). */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
+                        driverMaxEdges: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     // both edge directions from ONE evaluation of `pairs`: a union of two
     // selects is two plan branches, and each branch re-runs the (expensive,
@@ -209,9 +219,32 @@ object Dedup {
     // queries would inherit (VERDICT r2 #6). edges carries hash(dst) and
     // labels hash(id) at the same count (localCheckpoint preserves
     // partitioning), so each round's big join inserts no exchange.
+    val nEdges = raw.count()
+    val idType = pairs.schema("id_a").dataType
+    val orderable = {
+      import org.apache.spark.sql.types._
+      idType match {
+        case LongType | IntegerType | ShortType | ByteType | DoubleType |
+             FloatType | StringType | DateType | TimestampType | BooleanType => true
+        case _: DecimalType => true
+        case _ => false // struct/array/binary ids take the distributed path
+      }
+    }
+    if (nEdges <= driverMaxEdges && orderable) {
+      val labels = driverUnionFind(raw.collect().map(r => (r.get(0), r.get(1))))
+      raw.unpersist()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster_id", idType)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          labels.map { case (id, root) => org.apache.spark.sql.Row(id, root) }.toSeq,
+          math.max(1, math.min(8, labels.size / 50000 + 1))),
+        schema)
+    }
     val sessionParts = spark.sessionState.conf.numShufflePartitions
     val ccParts = math.max(1L,
-      math.min(sessionParts.toLong, raw.count() / 500000L + 1L)).toInt
+      math.min(sessionParts.toLong, nEdges / 500000L + 1L)).toInt
     val edges = raw.repartition(ccParts, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count() // materialize from raw's cache, then release raw
@@ -276,6 +309,34 @@ object Dedup {
     df.select(col(idCol))
       .join(clusters.select(col("id").as(idCol)), Seq(idCol), "left_anti")
       .union(keep)
+  }
+
+  /** Driver-side union-find with min-id roots — the small-graph fast path
+    * of [[duplicateClusters]]. Ids compare via their natural Comparable
+    * ordering, matching the distributed path's `least`/`min` semantics. */
+  private def driverUnionFind(edges: Array[(Any, Any)]): Iterable[(Any, Any)] = {
+    val parent = new java.util.HashMap[Any, Any]()
+    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (cmp(ra, rb) <= 0) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Any, Any)]()
+    val it = parent.keySet().iterator()
+    while (it.hasNext) { val k = it.next(); out += ((k, find(k))) }
+    out
   }
 
   /** Cross-document duplicated-content fraction: split every doc into

@@ -98,6 +98,18 @@ class DedupAnnSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("duplicateClusters driver fast path matches the distributed path on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 300).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct.toDF("id_a", "id_b")
+    val fast = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toSet
+    val dist = Dedup.duplicateClusters(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(fast.nonEmpty && fast == dist)
+  }
+
   test("bestPerCluster keeps the best-quality member per cluster plus singletons") {
     val df = Seq((1L, 5), (2L, 9), (3L, 9), (4L, 3), (5L, 1), (6L, 7))
       .toDF("id", "q")

@@ -55,4 +55,42 @@ class IngestLifecycleSpec extends SparkSpec {
     assert(files == 1)
     assert(spark.read.parquet(s"$root/index").count() == n0 + 1)
   }
+
+  test("streaming ingest dedups each micro-batch against the growing index") {
+    import graft.jobs.StreamingIngest
+    import graft.streaming.Streaming
+    val root = java.nio.file.Files.createTempDirectory("singest").toString
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    Dedup.minhashSignatures(corpus, "doc_id", "text").write.parquet(s"$root/index")
+    val corpusDupText = corpus.filter(col("doc_id") === 0).select("text").as[String].head()
+    val fresh1 = "completely new first document streaming in with plenty of unique words"
+    val fresh2 = "another different second document also unique enough to be admitted now"
+
+    // two arrival files, forced into separate micro-batches: the batch-2
+    // dup of fresh1 must be rejected by signatures batch 1 appended
+    val in = s"$root/arrivals"
+    new java.io.File(in).mkdirs()
+    Seq((1000L, corpusDupText), (1001L, fresh1)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$in/f1")
+    Seq((1002L, fresh1 + " x"), (1003L, fresh2)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$in/f2")
+
+    val stream = spark.readStream
+      .schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    val q = StreamingIngest.run(spark, stream, s"$root/index", s"$root/corpus",
+      threshold = 0.5,
+      opts = Streaming.ForEachBatchOptions(availableNow = true,
+        checkpointLocation = Some(s"$root/ckpt")))
+    q.awaitTermination()
+
+    val admitted = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(admitted == Seq(1001L, 1003L),
+      s"expected only the two fresh docs admitted, got $admitted")
+    // index grew by exactly the admitted set
+    assert(spark.read.parquet(s"$root/index").count() == 52)
+  }
 }

@@ -12,11 +12,14 @@ import org.apache.spark.sql.types._
   * batches per partition, so a real decoder amortizes model/codec setup per
   * batch, not per row).
   *
-  * The actual byte decoding is STUBBED (no image/audio codecs in this
-  * environment): [[DecoderStub]] produces deterministic pseudo-decodes from
-  * the bytes. Every Spark-side piece — schema contract, batch shape,
-  * partitioning, null handling — is real and tested; swapping in a real
-  * codec touches only DecoderStub.
+  * Byte decoding is REAL for the formats that need no codec library
+  * ([[MediaCodec]]: BMP/PNG/GIF/JPEG/PPM header dims, uncompressed
+  * BMP24/PPM6 pixel decode + mean-pool features, PCM WAV info); payloads
+  * in compressed codec formats fall back to [[DecoderStub]]'s
+  * deterministic pseudo-decodes (no codec artifacts offline). Every
+  * Spark-side piece — schema contract, batch shape, partitioning, null
+  * handling — is identical on both paths; a production deployment swaps
+  * the stub branch for e.g. JavaCV and nothing else moves.
   */
 object Multimodal {
 
@@ -93,9 +96,33 @@ object Multimodal {
       batch.iterator.map { r =>
         val payload = r.get(idx).asInstanceOf[Array[Byte]]
         if (payload == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
-        else {
-          val (w, h, c) = DecoderStub.imageDims(payload)
-          Row.fromSeq(r.toSeq ++ Seq(w, h, c))
+        else MediaCodec.imageDims(payload) match {
+          case Some(d) => Row.fromSeq(r.toSeq ++ Seq(d.width, d.height, d.channels))
+          case None => // unrecognized/compressed format: deterministic stub
+            val (w, h, c) = DecoderStub.imageDims(payload)
+            Row.fromSeq(r.toSeq ++ Seq(w, h, c))
+        }
+      }
+    }
+  }
+
+  /** Audio decode pass (PCM WAV via [[MediaCodec.wavInfo]]): appends
+    * audio_channels / sample_rate / bits / audio_ms columns; non-WAV or
+    * malformed payloads yield nulls. */
+  def decodeAudio(df: DataFrame, payloadCol: String = "payload",
+                  batchSize: Int = DefaultBatchSize): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("audio_channels", IntegerType), StructField("sample_rate", IntegerType),
+      StructField("bits_per_sample", IntegerType), StructField("audio_ms", LongType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    mapInBatches(df, outSchema, batchSize) { batch =>
+      batch.iterator.map { r =>
+        val payload = r.get(idx).asInstanceOf[Array[Byte]]
+        MediaCodec.wavInfo(payload) match {
+          // Seq[Any]: a plain Seq would numerically widen the Ints to Long
+          case Some(w) => Row.fromSeq(r.toSeq ++
+            Seq[Any](w.channels, w.sampleRate, w.bitsPerSample, w.durationMs))
+          case None    => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
         }
       }
     }
@@ -109,10 +136,17 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+
       StructField(outputCol, ArrayType(FloatType)))
     val idx = df.schema.fieldIndex(payloadCol)
+    // real mean-pool features for decodable pixels, sized to `dim`
+    val grid = math.max(1, math.ceil(math.sqrt(math.max(dim - 3, 1))).toInt)
     mapInBatches(df, outSchema, batchSize) { batch =>
       batch.iterator.map { r =>
         val payload = r.get(idx).asInstanceOf[Array[Byte]]
-        val feats = if (payload == null) null else DecoderStub.features(payload, dim).toSeq
+        val feats =
+          if (payload == null) null
+          else MediaCodec.meanPoolFeatures(payload, grid) match {
+            case Some(f) => java.util.Arrays.copyOf(f, dim).toSeq // truncate/zero-pad to dim
+            case None    => DecoderStub.features(payload, dim).toSeq
+          }
         Row.fromSeq(r.toSeq :+ feats)
       }
     }

@@ -40,6 +40,110 @@ class MultimodalSpec extends SparkSpec {
     assert(vecs.toSet.size == 2)
   }
 
+  // ---------------------------------------------- real-codec fixtures ----
+
+  /** Minimal 24-bit bottom-up BMP with the given RGB pixel grid. */
+  private def bmp24(px: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val h = px.length; val w = px(0).length
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val size = 54 + rowBytes * h
+    val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    b.putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- (h - 1) to 0 by -1) { // bottom-up
+      for (x <- 0 until w) {
+        val (r, g, bl) = px(y)(x)
+        b.put(bl.toByte).put(g.toByte).put(r.toByte) // BGR
+      }
+      b.position(b.position() + rowBytes - w * 3)
+    }
+    b.array()
+  }
+
+  private def ppm6(px: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val h = px.length; val w = px(0).length
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header)
+    for (row <- px; (r, g, b) <- row) { out.write(r); out.write(g); out.write(b) }
+    out.toByteArray
+  }
+
+  private def wavPcm(channels: Int, rate: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val dataBytes = nSamples * channels * (bits / 8)
+    val b = java.nio.ByteBuffer.allocate(44 + dataBytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+    b.putInt(rate).putInt(rate * channels * bits / 8)
+    b.putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+    b.put("data".getBytes).putInt(dataBytes)
+    b.array()
+  }
+
+  test("MediaCodec decodes real headers: BMP, PPM, PNG, GIF, JPEG") {
+    val red = Array.fill(2, 2)((255, 0, 0))
+    assert(MediaCodec.imageDims(bmp24(red)).contains(MediaCodec.ImageDims(2, 2, 3, "bmp")))
+    assert(MediaCodec.imageDims(ppm6(red)).contains(MediaCodec.ImageDims(2, 2, 3, "ppm")))
+    val png = java.nio.ByteBuffer.allocate(24)
+      .put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+      .putInt(13).put("IHDR".getBytes).putInt(640).putInt(480).array()
+    assert(MediaCodec.imageDims(png).contains(MediaCodec.ImageDims(640, 480, 4, "png")))
+    val gif = "GIF89a".getBytes ++ Array[Byte](0x40, 0x01, 0xF0.toByte, 0x00) // 320x240 LE
+    assert(MediaCodec.imageDims(gif).contains(MediaCodec.ImageDims(320, 240, 3, "gif")))
+    val jpeg = java.nio.ByteBuffer.allocate(32)
+      .put(Array[Byte](0xFF.toByte, 0xD8.toByte))                    // SOI
+      .put(Array[Byte](0xFF.toByte, 0xE0.toByte, 0x00, 0x04, 0, 0)) // APP0 len 4
+      .put(Array[Byte](0xFF.toByte, 0xC0.toByte, 0x00, 0x0B))       // SOF0 len 11
+      .put(8.toByte).putShort(600.toShort).putShort(800.toShort).put(3.toByte)
+      .array()
+    assert(MediaCodec.imageDims(jpeg).contains(MediaCodec.ImageDims(800, 600, 3, "jpeg")))
+    assert(MediaCodec.imageDims("not an image at all".getBytes).isEmpty)
+  }
+
+  test("MediaCodec pixel decode: BMP and PPM agree on the same image") {
+    val px = Array(Array((255, 0, 0), (0, 255, 0)), Array((0, 0, 255), (10, 20, 30)))
+    val Some((wb, hb, fromBmp)) = MediaCodec.pixelsRgb(bmp24(px))
+    val Some((wp, hp, fromPpm)) = MediaCodec.pixelsRgb(ppm6(px))
+    assert((wb, hb) == (2, 2) && (wp, hp) == (2, 2))
+    assert(fromBmp.toSeq == fromPpm.toSeq, "BMP (bottom-up BGR) and PPM disagree")
+    assert((fromBmp(0) & 0xFF, fromBmp(1) & 0xFF, fromBmp(2) & 0xFF) == (255, 0, 0))
+  }
+
+  test("real mean-pool features are scale-invariant for solid colors") {
+    // images must cover the 4x4 pooling grid for invariance to hold
+    val small = bmp24(Array.fill(4, 4)((200, 40, 40)))
+    val large = ppm6(Array.fill(8, 8)((200, 40, 40)))
+    val (a, b) = (MediaCodec.meanPoolFeatures(small).get, MediaCodec.meanPoolFeatures(large).get)
+    assert(a.length == 19 && b.length == 19)
+    a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-5) }
+  }
+
+  test("MediaCodec wavInfo parses PCM WAV duration") {
+    val w = MediaCodec.wavInfo(wavPcm(channels = 2, rate = 16000, bits = 16, nSamples = 8000))
+    assert(w.contains(MediaCodec.WavInfo(2, 16000, 16, 500L, 8000L)))
+    assert(MediaCodec.wavInfo("RIFFjunk".getBytes).isEmpty)
+  }
+
+  test("decodeImages uses real dims for decodable payloads; decodeAudio real WAV info") {
+    val rows = Seq(
+      Row(1L, bmp24(Array.fill(3, 5)((1, 2, 3))), Row("bmp", 0, 0, null)),
+      Row(2L, Array[Byte](1, 2, 3), Row("bin", 0, 0, null)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), Multimodal.MediaSchema)
+    val out = Multimodal.decodeImages(df).select("media_id", "dec_width", "dec_height")
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    assert(out(1L) == ((5, 3)), s"real BMP dims expected, got ${out(1L)}")
+    assert(out(2L)._1 != null) // stub fallback still decodes deterministically
+    val audioRows = Seq(
+      Row(10L, wavPcm(1, 8000, 16, 4000), Row("wav", 0, 0, null)),
+      Row(11L, Array[Byte](9, 9, 9), Row("bin", 0, 0, null)))
+    val adf = spark.createDataFrame(spark.sparkContext.parallelize(audioRows, 1), Multimodal.MediaSchema)
+    val aout = Multimodal.decodeAudio(adf).select("media_id", "sample_rate", "audio_ms")
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(aout(10L) == ((Some(8000), Some(500L))))
+    assert(aout(11L) == ((None, None)))
+  }
+
   test("mapInBatches delivers fixed-size batches per partition") {
     val df = spark.range(0, 100, 1, 2).toDF("id")
     // emit one row per batch carrying its size (closures run on executors,

@@ -167,6 +167,32 @@ object MediaCodec {
       out
     }
 
+  /** Encode row-major RGB triples as an uncompressed 24-bit BMP — the
+    * inverse of [[pixelsRgb]] (which round-trips it): real binary media
+    * for tests/synthetic corpora, and a legitimate sink encoding. */
+  def encodeBmp24(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length >= w * h * 3, "need w*h*3 rgb bytes")
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val size = 54 + rowBytes * h
+    val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    b.putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1 // bottom-up rows
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        b.put(rgb(p + 2)).put(rgb(p + 1)).put(rgb(p)) // BGR
+        x += 1
+      }
+      var pad = rowBytes - w * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
   /** PCM WAV header + duration (RIFF/WAVE with fmt and data chunks). */
   def wavInfo(b: Array[Byte]): Option[WavInfo] = {
     if (b == null || b.length < 44) return None

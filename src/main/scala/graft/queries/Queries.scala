@@ -604,17 +604,36 @@ object Queries {
     graft.curate.Curate.bigramLogProb(tbl(s, dir, "documents"), "doc_id", "text")
       .select(col("id").as("doc_id"), round(col("bigram_logprob"), 4).as("bigram_logprob"))
 
-  /** Multimodal plumbing end-to-end (rows-only: stub decoders): documents'
-    * bytes ride as binary payloads through batched decode → feature
-    * extraction → metadata resize; output carries decoded dims, the
+  /** Multimodal end-to-end over REAL binary media (rows-only: the feature
+    * vector keeps it non-SQL): each document synthesizes a deterministic
+    * 24-bit BMP (dims from doc_id, pixels from its text bytes) via the
+    * real encoder, then batched REAL decode → mean-pool feature
+    * extraction → metadata resize; output carries the decoded dims, the
     * resized box, and a feature checksum. */
   def q50Multimodal(s: SparkSession, dir: String): DataFrame = {
-    import graft.multimodal.Multimodal
-    val media = tbl(s, dir, "documents").select(
-      col("doc_id").as("media_id"),
-      col("text").cast("binary").as("payload"),
-      struct(lit("txt").as("format"), lit(1920).as("width"), lit(1080).as("height"),
-        lit(2000L).as("duration_ms")).as("meta"))
+    import graft.multimodal.{MediaCodec, Multimodal}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val src = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val media = Multimodal.mapInBatches(src, StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", Multimodal.MediaMetaType)))) { batch =>
+      batch.iterator.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 29 + 2).toInt
+        val h = (id % 17 + 2).toInt
+        val txt = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < rgb.length) {
+          rgb(i) = if (txt.isEmpty) (i % 251).toByte else txt(i % txt.length)
+          i += 1
+        }
+        Row(id, MediaCodec.encodeBmp24(w, h, rgb),
+          Row("bmp", w * 100, h * 100, 2000L))
+      }
+    }
     val decoded = Multimodal.decodeImages(media)
     val feats = Multimodal.extractFeatures(decoded, dim = 16)
     Multimodal.resizeMeta(feats, 64, 64)

@@ -108,6 +108,10 @@ class MultimodalSpec extends SparkSpec {
     assert((wb, hb) == (2, 2) && (wp, hp) == (2, 2))
     assert(fromBmp.toSeq == fromPpm.toSeq, "BMP (bottom-up BGR) and PPM disagree")
     assert((fromBmp(0) & 0xFF, fromBmp(1) & 0xFF, fromBmp(2) & 0xFF) == (255, 0, 0))
+    // the encoder round-trips through the decoder (incl. 3-wide row padding)
+    val enc = MediaCodec.encodeBmp24(3, 2, Array.tabulate(18)(i => (i * 7).toByte))
+    val Some((we, he, back)) = MediaCodec.pixelsRgb(enc)
+    assert((we, he) == (3, 2) && back.toSeq == Array.tabulate(18)(i => (i * 7).toByte).toSeq)
   }
 
   test("real mean-pool features are scale-invariant for solid colors") {

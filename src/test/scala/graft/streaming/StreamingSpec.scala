@@ -177,6 +177,35 @@ class StreamingSpec extends SparkSpec {
     assert(new Bookmarks(state).currentRun("c") == 1)
   }
 
+  test("bookmark run versioning holds over a randomized run sequence") {
+    val rnd = new scala.util.Random(11)
+    val state = java.nio.file.Files.createTempDirectory("bmseq").toString
+    val data = java.nio.file.Files.createTempDirectory("bmseqdata")
+    var next = 0
+    val perRun = scala.collection.mutable.ArrayBuffer[Set[String]]()
+    for (_ <- 1 to 8) {
+      val added = (0 until rnd.nextInt(4)).map { _ =>
+        val f = s"f$next.csv"; next += 1
+        java.nio.file.Files.writeString(data.resolve(f), "x")
+        f
+      }.toSet
+      val bm = new Bookmarks(state)
+      val fresh = bm.newFiles(spark, "c", data.toString, "*.csv").map(_.split('/').last).toSet
+      assert(fresh == added, s"run handed out $fresh, expected $added")
+      bm.commit()
+      if (added.nonEmpty) perRun += added
+    }
+    val bm = new Bookmarks(state)
+    // run ids advanced once per non-empty run, in order
+    assert(bm.currentRun("c") == perRun.size)
+    for ((files, i) <- perRun.zipWithIndex) {
+      assert(bm.rangePaths("c", i, i + 1).map(_.split('/').last).toSet == files)
+    }
+    // full range = everything ever committed
+    assert(bm.rangePaths("c", 0, perRun.size).map(_.split('/').last).toSet
+      == perRun.flatten.toSet)
+  }
+
   test("GraftJob resolves bookmark options with the reference's validation quirks") {
     val state = java.nio.file.Files.createTempDirectory("jopt").toString
     // range options without pause -> invalid

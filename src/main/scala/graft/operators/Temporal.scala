@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark has no native operator for.
+  *
+  * [[asofJoin]] is the union+window formulation — the ONLY shape that
+  * survives scale: tag both sides, union, one shuffle on the key, and a
+  * running `last(right_payload, ignoreNulls)` over (ts, side) ordering
+  * picks each left row's latest right row. A naive range join
+  * (`l.k = r.k AND r.ts <= l.ts` + argmax) explodes to the full
+  * per-key cross product before pruning — quadratic in rows-per-key —
+  * and an exploded-interval join needs a second dedup shuffle. This is
+  * one exchange, zero expansion, and whole-stage-codegen throughout.
+  */
+object Temporal {
+
+  /** For every left row, attach the single latest right row with
+    * `right.tsCol <= left.tsCol` (or strictly `<` with `strict = true`),
+    * per join key. Right columns arrive prefixed (`asof_` by default,
+    * including `asof_<tsCol>`); left rows with no prior right row keep
+    * nulls — left-outer semantics, exactly DuckDB/kdb ASOF JOIN.
+    *
+    * Rows-per-key skew note: the window is per-key sequential (as-of is
+    * inherently ordered), so a pathologically hot key serializes — the
+    * same bound any as-of implementation has; salt upstream if one key
+    * dominates. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, rightCols: Seq[String],
+               prefix: String = "asof_", strict: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one key column")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(c => c.startsWith("__asof")),
+      "left side may not contain __asof* columns")
+    // consistent payload: take last() of ONE struct so all right columns
+    // come from the SAME matched row even under ties
+    val payload = struct((rightCols :+ tsCol).distinct.map(col): _*)
+    // at equal ts: right sorts before left for <= semantics, after for <
+    val l = left.select(
+      (leftCols.map(col) :+
+        lit(if (strict) 0 else 1).as("__asof_side") :+
+        lit(null).cast(right.select(payload).schema.head.dataType).as("__asof_p")): _*)
+    val r = right.select(
+      (keys.map(col) :+ col(tsCol) :+
+        lit(if (strict) 1 else 0).as("__asof_side") :+
+        payload.as("__asof_p")): _*)
+    // align schemas: right lacks the non-key left columns
+    val rAligned = leftCols.foldLeft(r) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
+    }.select(l.columns.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__asof_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isLeft = col("__asof_side") === (if (strict) 0 else 1)
+    val joined = l.unionByName(rAligned)
+      .withColumn("__asof_m",
+        when(isLeft, last(when(!isLeft, col("__asof_p")), ignoreNulls = true).over(w)))
+      .filter(isLeft)
+    val out = (rightCols :+ tsCol).distinct.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"$prefix$c", col(s"__asof_m.$c"))
+    }
+    out.drop("__asof_side", "__asof_p", "__asof_m")
+  }
+}

@@ -704,6 +704,24 @@ object Queries {
       round(expr("percentile(n_chars, 0.5)"), 4).as("median_chars"),
       round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"))
 
+  /** As-of join (union+window, one shuffle — [[graft.operators.Temporal]]):
+    * every click gets the user's latest prior-or-equal purchase;
+    * left-outer (clicks before any purchase keep nulls). Timestamps emit
+    * as epoch micros on both sides (Spark reads the NANOS parquet via
+    * `div 1000`, DuckDB casts NS→US — identical truncation). */
+  def q56AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.operators.Temporal.asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("value"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"),
+        unix_micros(col("asof_ts")).as("purchase_us"),
+        round(col("asof_value"), 4).as("purchase_value"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -761,7 +779,8 @@ object Queries {
     "q52_chunk_tokens" -> (q52ChunkTokens _),
     "q53_unbox_avro" -> (q53UnboxAvro _),
     "q54_cluster_survivors" -> (q54ClusterSurvivors _),
-    "q55_corpus_stats" -> (q55CorpusStats _))
+    "q55_corpus_stats" -> (q55CorpusStats _),
+    "q56_asof_join" -> (q56AsofJoin _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50)
@@ -1162,5 +1181,14 @@ object Queries {
         | round(avg(n_chars), 4) AS avg_chars,
         | round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
         | round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
-        |FROM documents GROUP BY source""".stripMargin)
+        |FROM documents GROUP BY source""".stripMargin,
+    "q56_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id,
+        | epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
+        | epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us,
+        | round(p.value, 4) AS purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin)
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    ("u1", 10L, "a"), ("u1", 20L, "b"), ("u1", 30L, "c"),
+    ("u2", 5L, "d"), // before any right row
+    ("u3", 50L, "e") // key absent on the right
+  ).toDF("k", "ts", "tag")
+
+  private def right = Seq(
+    ("u1", 10L, 1.0), ("u1", 25L, 2.0),
+    ("u2", 6L, 9.0)
+  ).toDF("k", "ts", "v")
+
+  test("asofJoin picks the latest right row at or before each left ts") {
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("v"))
+      .select(col("tag"), col("asof_ts"), col("asof_v"))
+      .as[(String, Option[Long], Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out("a") == ((Some(10L), Some(1.0)))) // equal ts matches (<=)
+    assert(out("b") == ((Some(10L), Some(1.0))))
+    assert(out("c") == ((Some(25L), Some(2.0))))
+    assert(out("d") == ((None, None))) // nothing at or before
+    assert(out("e") == ((None, None))) // key missing on the right
+  }
+
+  test("strict mode excludes equal-ts right rows") {
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("v"), strict = true)
+      .select(col("tag"), col("asof_ts")).as[(String, Option[Long])].collect().toMap
+    assert(out("a").isEmpty) // the ts=10 right row no longer matches ts=10 left
+    assert(out("b") == Some(10L))
+  }
+
+  test("left row count is preserved exactly (no fan-out, no loss)") {
+    val l = spark.range(0, 1000).select(
+      (col("id") % 7).as("k"), col("id").as("ts"), col("id").as("x"))
+    val r = spark.range(0, 300).select(
+      (col("id") % 7).as("k"), (col("id") * 3).as("ts"), col("id").as("v"))
+    val out = Temporal.asofJoin(l, r, Seq("k"), "ts", Seq("v"))
+    assert(out.count() == 1000)
+    assert(out.columns.contains("asof_v") && out.columns.contains("asof_ts"))
+  }
+
+  test("plan shape: one exchange on the key, no join node at all") {
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("v"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected exactly one key exchange:\n$p")
+  }
+}

@@ -63,4 +63,33 @@ object Temporal {
     }
     out.drop("__asof_side", "__asof_p", "__asof_m")
   }
+
+  /** Point-in-interval join: rows of `points` matched to every row of
+    * `intervals` whose `[startCol, endCol]` contains the point, per key —
+    * inner semantics, each matching pair emitted exactly once.
+    *
+    * Catalyst plans a raw `p.k = i.k AND s <= pt AND pt <= e` as a
+    * broadcast-nested-loop or a per-key cross product — quadratic in
+    * rows-per-key. This is the binned formulation instead: every interval
+    * explodes to the `binWidth`-sized bins it covers (map-side, bounded by
+    * interval length / binWidth), a point lives in exactly ONE bin, and
+    * the join is a plain equi-join on (key, bin) with an exact range
+    * filter after — one shuffle, no expansion beyond the bin fan-out, and
+    * no dedup pass (one bin per point ⇒ at most one match per pair).
+    * Choose `binWidth` near the typical interval length: shorter bins
+    * fan out intervals further; longer bins widen the filtered-out
+    * candidate set. Point/start/end are numeric (epoch micros for time). */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                   ptCol: String, startCol: String, endCol: String,
+                   binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__bin", floor(col(ptCol) / binWidth))
+    val i = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("__bin",
+        explode(sequence(floor(col(startCol) / binWidth), floor(col(endCol) / binWidth))))
+    p.join(i, keys :+ "__bin")
+      .filter(col(startCol) <= col(ptCol) && col(ptCol) <= col(endCol))
+      .drop("__bin")
+  }
 }

@@ -722,6 +722,24 @@ object Queries {
         round(col("asof_value"), 4).as("purchase_value"))
   }
 
+  /** Binned range join ([[graft.operators.Temporal.intervalJoin]]): clicks
+    * landing inside any same-user 12-hour post-purchase window, one row
+    * per (click, window) pair. Oracle = plain inequality join in DuckDB;
+    * the Spark plan is the bin-bucketed equi-join — same rows, no
+    * per-key cross product. */
+  def q57RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 12L * 3600 * 1000000
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("click_us"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("win_start"),
+        (unix_micros(col("ts")) + winUs).as("win_end"))
+    graft.operators.Temporal.intervalJoin(clicks, windows, Seq("user_id"),
+        "click_us", "win_start", "win_end", binWidth = winUs)
+      .select(col("event_id"), col("user_id"), col("click_us"), col("win_start"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -780,7 +798,8 @@ object Queries {
     "q53_unbox_avro" -> (q53UnboxAvro _),
     "q54_cluster_survivors" -> (q54ClusterSurvivors _),
     "q55_corpus_stats" -> (q55CorpusStats _),
-    "q56_asof_join" -> (q56AsofJoin _))
+    "q56_asof_join" -> (q56AsofJoin _),
+    "q57_range_join" -> (q57RangeJoin _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50)
@@ -1190,5 +1209,14 @@ object Queries {
         | epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
         | epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us,
         | round(p.value, 4) AS purchase_value
-        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin)
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "q57_range_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us
+        |           FROM events WHERE event_type = 'click'),
+        |w AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS win_start,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) + 12::BIGINT*3600*1000000 AS win_end
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.click_us, w.win_start
+        |FROM c JOIN w ON c.user_id = w.user_id
+        | AND c.click_us BETWEEN w.win_start AND w.win_end""".stripMargin)
 }

@@ -47,6 +47,32 @@ class TemporalSpec extends SparkSpec {
     assert(out.columns.contains("asof_v") && out.columns.contains("asof_ts"))
   }
 
+  test("intervalJoin matches points to containing intervals exactly once") {
+    val points = Seq(("u1", 5L), ("u1", 15L), ("u1", 100L), ("u2", 7L))
+      .toDF("k", "pt")
+    val ivs = Seq(
+      ("u1", 0L, 10L, "w1"), ("u1", 4L, 20L, "w2"), // overlapping windows
+      ("u2", 50L, 60L, "w3"),
+      ("u1", 30L, 20L, "bad") // inverted interval: dropped
+    ).toDF("k", "s", "e", "w")
+    val got = Temporal.intervalJoin(points, ivs, Seq("k"), "pt", "s", "e", binWidth = 7L)
+      .select(col("pt"), col("w")).as[(Long, String)].collect().toSet
+    // pt=5 in w1 and w2; pt=15 only w2 (even though it spans 3 bins -> no dups);
+    // pt=100 and u2's pt=7 match nothing
+    assert(got == Set((5L, "w1"), (5L, "w2"), (15L, "w2")))
+  }
+
+  test("intervalJoin plans an equi-join on (key, bin), not a nested loop") {
+    val points = Seq(("u1", 5L)).toDF("k", "pt")
+    val ivs = Seq(("u1", 0L, 10L)).toDF("k", "s", "e")
+    val p = Temporal.intervalJoin(points, ivs, Seq("k"), "pt", "s", "e", 7L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"range join degenerated to a cross product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"expected a hash-key join:\n$p")
+  }
+
   test("plan shape: one exchange on the key, no join node at all") {
     val out = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("v"))
     val p = out.queryExecution.executedPlan.toString

@@ -77,7 +77,10 @@ object Bench {
         var extra = 0
         var cur = ok
         while (extra < 2 && cur.max / math.max(cur.min, 1e-9) > 3.0) {
-          timeOnce(fn).foreach(s => cur = cur :+ s)
+          timeOnce(fn) match {
+            case Right(s) => cur = cur :+ s
+            case Left(e)  => errors(name) = e // flaky failure counts as failure
+          }
           extra += 1
         }
         samples = cur.map(Right(_))

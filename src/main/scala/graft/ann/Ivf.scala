@@ -45,18 +45,24 @@ object Ivf {
     // per-partition top-k + driver merge, unlike a global row_number window
     // which drags the whole corpus onto one partition.
     val over = math.max(numCells * 8, numCells + 64)
-    val init = corpus
+    val distinctVecs = corpus
       .select(col(vecCol).cast(ArrayType(DoubleType)).as("v"))
       .filter(col("v").isNotNull)
+    def smallestByHash(src: DataFrame, n: Int) = src
       .withColumn("__h", xxhash64(col("v")))
-      .orderBy("__h").limit(over)
+      .orderBy("__h").limit(n)
       .select("v").collect()
       .map(_.getSeq[Double](0).toArray)
       .distinctBy(_.toSeq)
-      .take(numCells)
+    var init = smallestByHash(distinctVecs, over).take(numCells)
+    if (init.length < numCells) {
+      // mass-duplicated corpus: the oversample window was all copies.
+      // Fall back to an exact corpus-wide distinct — one extra shuffle on
+      // the RARE degenerate path only; the model then has min(distinct,
+      // numCells) cells (correct; duplicate centroids would not be).
+      init = smallestByHash(distinctVecs.distinct(), numCells)
+    }
     require(init.length >= 1, s"no non-null vectors in $vecCol")
-    // fewer distinct vectors than requested cells: the model simply has
-    // fewer cells (correct; duplicate centroids would not be)
 
     var centroids = init
     var it = 0
@@ -127,7 +133,11 @@ object Ivf {
 case class NearestCellsExpr(child: Expression, centroids: Array[Array[Double]], nProbes: Int)
     extends UnaryExpression {
 
-  require(nProbes >= 1 && nProbes <= centroids.length)
+  require(nProbes >= 1, "nProbes must be >= 1")
+  // a model can legitimately end up with fewer cells than a caller's probe
+  // count (degenerate corpora shrink the fit) — probing every cell is the
+  // right semantic then, not a crash at query time
+  private val probes = math.min(nProbes, centroids.length)
 
   def compute(input: Any): Any = nullSafeEval(input)
 
@@ -166,7 +176,7 @@ case class NearestCellsExpr(child: Expression, centroids: Array[Array[Double]], 
       c += 1
     }
     val idx = Array.tabulate(k)(identity).sortBy(d2)
-    new GenericArrayData(idx.take(nProbes))
+    new GenericArrayData(idx.take(probes))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

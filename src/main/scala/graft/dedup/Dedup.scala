@@ -292,20 +292,24 @@ object Dedup {
     * copies, and quality scoring identifies the original.
     *
     * Scale shape: clusters come from [[duplicateClusters]] (graph-sized);
-    * the per-cluster argmax is one aggregation of `max(struct(quality,
-    * -id))` over cluster rows (partial-aggregated map-side, no window, no
-    * sort); the non-clustered complement is a left-anti join against the
-    * (small) clustered-id set. The corpus is never shuffled — only joined
-    * against graph-sized frames, which AQE broadcasts. */
+    * the per-cluster argmax is a ranking window over CLUSTER rows only
+    * (quality desc, id asc — deterministic for any orderable id type,
+    * string ids included); the non-clustered complement is a left-anti
+    * join against the (small) clustered-id set. The corpus is never
+    * shuffled — only joined against graph-sized frames, which AQE
+    * broadcasts. */
   def bestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
                      quality: org.apache.spark.sql.Column,
                      maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val clusters = duplicateClusters(pairs, maxIters) // (id, cluster_id)
     val scored = df.select(col(idCol).as("__did"), quality.as("__q"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("__q").desc, col("__did").asc)
     val keep = clusters.join(scored, clusters("id") === scored("__did"))
-      .groupBy("cluster_id")
-      .agg(max(struct(col("__q"), (-col("__did")).as("__nid"))).as("__m"))
-      .select((-col("__m.__nid")).as(idCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("__did").as(idCol))
     df.select(col(idCol))
       .join(clusters.select(col("id").as(idCol)), Seq(idCol), "left_anti")
       .union(keep)

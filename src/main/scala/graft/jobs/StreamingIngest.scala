@@ -29,7 +29,19 @@ object StreamingIngest {
           threshold: Double = 0.7,
           opts: Streaming.ForEachBatchOptions = Streaming.ForEachBatchOptions()): StreamingQuery =
     Streaming.forEachBatch(streamDocs, opts) { (batch, _) =>
-      val index = spark.read.parquet(indexPath)
+      // bootstrap: a fresh corpus has no index yet — every first-batch row
+      // is admitted against an empty one (the batch still self-dedups)
+      val p = new org.apache.hadoop.fs.Path(indexPath)
+      val index =
+        if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+          spark.read.parquet(indexPath)
+        else
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                batch.schema(idCol).dataType),
+              org.apache.spark.sql.types.StructField("sig",
+                org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))))
       val admitted = Dedup.admitAgainstIndex(batch, index, idCol, textCol,
           threshold = threshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -36,13 +36,23 @@ object MediaCodec {
       val w = le32(b, 18)
       val h = math.abs(le32(b, 22)) // negative height = top-down rows
       val bpp = le16(b, 28)
-      if (w > 0 && h > 0 && bpp > 0) Some(ImageDims(w, h, math.max(bpp / 8, 1), "bmp"))
+      val maxDim = 1 << 16 // same sanity bound as pixelsRgb
+      if (w > 0 && h > 0 && w <= maxDim && h <= maxDim && bpp > 0)
+        Some(ImageDims(w, h, math.max(bpp / 8, 1), "bmp"))
       else None
     }
-    // PNG: 8-byte signature, IHDR starts at 16 (width/height BE)
-    else if (b.length >= 24 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
+    // PNG: 8-byte signature, IHDR starts at 16 (width/height BE; color
+    // type at 25 gives the channel count)
+    else if (b.length >= 26 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
       val w = be32(b, 16); val h = be32(b, 20)
-      if (w > 0 && h > 0) Some(ImageDims(w, h, 4, "png")) else None
+      val channels = u8(b, 25) match {
+        case 0 => 1 // grayscale
+        case 2 => 3 // rgb
+        case 3 => 1 // palette index
+        case 4 => 2 // gray + alpha
+        case _ => 4 // rgba
+      }
+      if (w > 0 && h > 0) Some(ImageDims(w, h, channels, "png")) else None
     }
     // GIF87a/89a: logical screen size at 6/8 (LE)
     else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') {
@@ -63,8 +73,8 @@ object MediaCodec {
       None
     }
     // binary PPM: "P6" whitespace w h maxval
-    else if (b(0) == 'P' && b(1) == '6') ppmHeader(b).map {
-      case (w, h, _, _) => ImageDims(w, h, 3, "ppm")
+    else if (b(0) == 'P' && b(1) == '6') ppmHeader(b).collect {
+      case (w, h, _, _) if w > 0 && h > 0 => ImageDims(w, h, 3, "ppm")
     }
     else None
   }
@@ -95,28 +105,36 @@ object MediaCodec {
     else if (b(0) == 'B' && b(1) == 'M' && b.length >= 54 && le16(b, 28) == 24) {
       val w = le32(b, 18); val hRaw = le32(b, 22); val h = math.abs(hRaw)
       val off = le32(b, 10)
-      val rowBytes = (w * 3 + 3) / 4 * 4
-      if (w <= 0 || h <= 0 || off + rowBytes.toLong * h > b.length) None
+      // sane-range guards BEFORE any arithmetic: a hostile/corrupt header
+      // must return None, never index negatively or overflow w*3
+      val maxDim = 1 << 16
+      if (w <= 0 || h <= 0 || w > maxDim || h > maxDim || off < 54 || off > b.length) None
       else {
-        val out = new Array[Byte](w * h * 3)
-        var y = 0
-        while (y < h) {
-          val srcRow = off + (if (hRaw > 0) (h - 1 - y) else y) * rowBytes
-          var x = 0
-          while (x < w) {
-            // BMP stores BGR
-            out((y * w + x) * 3) = b(srcRow + x * 3 + 2)
-            out((y * w + x) * 3 + 1) = b(srcRow + x * 3 + 1)
-            out((y * w + x) * 3 + 2) = b(srcRow + x * 3)
-            x += 1
+        val rowBytes = (w * 3 + 3) / 4 * 4
+        if (off.toLong + rowBytes.toLong * h > b.length) None
+        else {
+          val out = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            val srcRow = off + (if (hRaw > 0) (h - 1 - y) else y) * rowBytes
+            var x = 0
+            while (x < w) {
+              // BMP stores BGR
+              out((y * w + x) * 3) = b(srcRow + x * 3 + 2)
+              out((y * w + x) * 3 + 1) = b(srcRow + x * 3 + 1)
+              out((y * w + x) * 3 + 2) = b(srcRow + x * 3)
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          Some((w, h, out))
         }
-        Some((w, h, out))
       }
     } else if (b(0) == 'P' && b(1) == '6') {
       ppmHeader(b).flatMap { case (w, h, _, off) =>
-        if (w <= 0 || h <= 0 || off + w.toLong * h * 3 > b.length) None
+        val maxDim = 1 << 16
+        if (w <= 0 || h <= 0 || w > maxDim || h > maxDim ||
+          off.toLong + w.toLong * h * 3 > b.length) None
         else Some((w, h, java.util.Arrays.copyOfRange(b, off, off + w * h * 3)))
       }
     } else None
@@ -198,16 +216,20 @@ object MediaCodec {
     if (b == null || b.length < 44) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
           b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
-    var i = 12
+    // Long cursor + explicit monotone advance: a corrupt 32-bit chunk size
+    // (e.g. 0xFFFFFFF8) must not wrap to a negative/zero step — the walk
+    // either terminates past the buffer or returns None, never spins/throws
+    var i = 12L
     var channels = 0; var rate = 0; var bits = 0
     var dataBytes = -1L
     while (i + 8 <= b.length && (channels == 0 || dataBytes < 0)) {
-      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = le32(b, i + 4).toLong & 0xFFFFFFFFL
+      val at = i.toInt
+      val id = new String(b, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(b, at + 4).toLong & 0xFFFFFFFFL
       if (id == "fmt " && i + 24 <= b.length) {
-        channels = le16(b, i + 10); rate = le32(b, i + 12); bits = le16(b, i + 22)
+        channels = le16(b, at + 10); rate = le32(b, at + 12); bits = le16(b, at + 22)
       } else if (id == "data") dataBytes = size
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      i += 8L + size + (size & 1L) // chunks are word-aligned
     }
     if (channels <= 0 || rate <= 0 || bits <= 0 || dataBytes < 0) None
     else {

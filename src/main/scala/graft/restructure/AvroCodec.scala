@@ -91,7 +91,13 @@ object AvroCodec {
     case Schema.Type.RECORD =>
       val row = v.asInstanceOf[Row]
       val rec = new org.apache.avro.generic.GenericData.Record(s)
-      s.getFields.asScala.foreach(f => rec.put(f.pos(), toAvro(row.get(f.pos()), f.schema())))
+      // match struct fields to avro fields BY NAME when the row carries a
+      // schema — positional matching silently swaps same-typed fields when
+      // the struct's declaration order differs from the writer schema's
+      s.getFields.asScala.foreach { f =>
+        val i = if (row.schema != null) row.schema.fieldIndex(f.name()) else f.pos()
+        rec.put(f.pos(), toAvro(row.get(i), f.schema()))
+      }
       rec
     case Schema.Type.UNION =>
       nonNullBranch(s) match {

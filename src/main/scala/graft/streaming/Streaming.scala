@@ -134,10 +134,11 @@ object Streaming {
   * a named job run owning a [[Bookmarks]] store; `commit()` flushes all
   * bookmark state handed out during the run. The bookmark option and
   * range are resolved from `args` exactly like `getResolvedOptions`
-  * (`utils.py:130-155`): `job-bookmark-from`/`to` are only legal with
-  * `job-bookmark-pause`, and with pause they come in pairs (one of the
-  * two missing is an error; both missing means "pause at the current
-  * bookmark" — reference quirks preserved). */
+  * (`utils.py:130-155`), quirks preserved: with pause the range options
+  * come in pairs (exactly one missing is an error; both missing means
+  * "pause at the current bookmark"); without pause, BOTH present is an
+  * error but a single stray `from`/`to` is SILENTLY ignored — that is
+  * what the reference's `len(absent) == 0` check does, faithfully kept. */
 class GraftJob private (val name: String, val args: Map[String, String],
                         val bookmarks: Bookmarks) {
   def commit(): Unit = bookmarks.commit()

@@ -23,6 +23,22 @@ class IvfSpec extends SparkSpec {
     assert(cells.distinct.length >= 5, "degenerate clustering")
   }
 
+  test("mass-duplicated corpus: exact-distinct fallback + probe clamping") {
+    // 3 distinct vectors massively duplicated: the oversample window is all
+    // copies, so the exact fallback kicks in and the model gets 3 cells
+    val vecs = Seq(
+      Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(-1.0f, 0.0f))
+    val df = (0 until 600).map(i => (i.toLong, vecs(i % 3).toSeq))
+      .toDF("vec_id", "embedding")
+    val m = Ivf.fit(df, "vec_id", "embedding", numCells = 8)
+    assert(m.numCells == 3, s"expected 3 distinct cells, got ${m.numCells}")
+    // nProbes larger than the shrunken cell count clamps instead of crashing
+    val q = Seq((1000L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val top = Ivf.topK(df, q, m, "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, nProbes = 8)
+    assert(top.count() == 3)
+  }
+
   test("IVF top-k recall vs brute force") {
     val q = e.filter(col("vec_id") % 100 === 0)
     val m = Ivf.fit(e, "vec_id", "embedding", numCells = 8, iterations = 2)

@@ -121,6 +121,14 @@ class DedupAnnSpec extends SparkSpec {
     assert(got == Set(2L, 4L, 6L))
   }
 
+  test("bestPerCluster works with string ids (type-generic tie-break)") {
+    val df = Seq(("a", 5), ("b", 9), ("c", 9), ("z", 7)).toDF("id", "q")
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
+    val got = Dedup.bestPerCluster(df, "id", pairs, col("q"))
+      .as[String].collect().toSet
+    assert(got == Set("b", "z")) // q=9 tie between b,c -> smallest id b
+  }
+
   test("incremental dedup against a stored signature index") {
     val index = Dedup.minhashSignatures(docs, "doc_id", "text")
     val newBatch = Seq(

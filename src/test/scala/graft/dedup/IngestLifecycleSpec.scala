@@ -56,6 +56,29 @@ class IngestLifecycleSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/index").count() == n0 + 1)
   }
 
+  test("streaming ingest bootstraps from a nonexistent index") {
+    import graft.jobs.StreamingIngest
+    import graft.streaming.Streaming
+    val root = java.nio.file.Files.createTempDirectory("singest0").toString
+    val in = s"$root/arrivals"
+    new java.io.File(in).mkdirs()
+    Seq((1L, "first ever document in a brand new corpus with no index yet"),
+        (2L, "first ever document in a brand new corpus with no index yet!")) // near-dup in batch
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/f1")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .parquet(s"$in/*")
+    StreamingIngest.run(spark, stream, s"$root/index", s"$root/corpus",
+      threshold = 0.5,
+      opts = Streaming.ForEachBatchOptions(availableNow = true,
+        checkpointLocation = Some(s"$root/ckpt"))).awaitTermination()
+    // doc 1 admitted, its in-batch near-dup rejected; index created
+    assert(spark.read.parquet(s"$root/corpus").select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(spark.read.parquet(s"$root/index").count() == 1)
+  }
+
   test("streaming ingest dedups each micro-batch against the growing index") {
     import graft.jobs.StreamingIngest
     import graft.streaming.Streaming

@@ -85,9 +85,10 @@ class MultimodalSpec extends SparkSpec {
     val red = Array.fill(2, 2)((255, 0, 0))
     assert(MediaCodec.imageDims(bmp24(red)).contains(MediaCodec.ImageDims(2, 2, 3, "bmp")))
     assert(MediaCodec.imageDims(ppm6(red)).contains(MediaCodec.ImageDims(2, 2, 3, "ppm")))
-    val png = java.nio.ByteBuffer.allocate(24)
+    val png = java.nio.ByteBuffer.allocate(26)
       .put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
-      .putInt(13).put("IHDR".getBytes).putInt(640).putInt(480).array()
+      .putInt(13).put("IHDR".getBytes).putInt(640).putInt(480)
+      .put(8.toByte).put(6.toByte).array() // bit depth 8, color type 6 = rgba
     assert(MediaCodec.imageDims(png).contains(MediaCodec.ImageDims(640, 480, 4, "png")))
     val gif = "GIF89a".getBytes ++ Array[Byte](0x40, 0x01, 0xF0.toByte, 0x00) // 320x240 LE
     assert(MediaCodec.imageDims(gif).contains(MediaCodec.ImageDims(320, 240, 3, "gif")))
@@ -127,6 +128,33 @@ class MultimodalSpec extends SparkSpec {
     val w = MediaCodec.wavInfo(wavPcm(channels = 2, rate = 16000, bits = 16, nSamples = 8000))
     assert(w.contains(MediaCodec.WavInfo(2, 16000, 16, 500L, 8000L)))
     assert(MediaCodec.wavInfo("RIFFjunk".getBytes).isEmpty)
+  }
+
+  test("corrupt headers return None — never hang or throw") {
+    // WAV with a chunk size of 0xFFFFFFF8: naive int math would step the
+    // cursor by <= 0 and spin forever
+    val evil = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    evil.put("LIST".getBytes).putInt(0xFFFFFFF8)
+    assert(MediaCodec.wavInfo(evil.array()).isEmpty)
+    // BMP with a hostile negative pixel-data offset / absurd dims
+    val bmp = bmp24(Array.fill(2, 2)((1, 2, 3)))
+    val negOff = bmp.clone(); negOff(10) = 0; negOff(11) = 0; negOff(12) = 0; negOff(13) = 0x80.toByte
+    assert(MediaCodec.pixelsRgb(negOff).isEmpty)
+    val hugeW = bmp.clone(); hugeW(18) = 0; hugeW(19) = 0; hugeW(20) = 0; hugeW(21) = 0x60
+    assert(MediaCodec.pixelsRgb(hugeW).isEmpty && MediaCodec.imageDims(hugeW).isEmpty)
+    // PPM declaring zero dims is invalid in header AND pixel decode
+    assert(MediaCodec.imageDims("P6\n0 0\n255\n".getBytes).isEmpty)
+  }
+
+  test("PNG channel count follows the IHDR color type") {
+    def png(colorType: Int) = java.nio.ByteBuffer.allocate(26)
+      .put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+      .putInt(13).put("IHDR".getBytes).putInt(10).putInt(10)
+      .put(8.toByte).put(colorType.toByte).array()
+    assert(MediaCodec.imageDims(png(0)).get.channels == 1) // gray
+    assert(MediaCodec.imageDims(png(2)).get.channels == 3) // rgb
+    assert(MediaCodec.imageDims(png(6)).get.channels == 4) // rgba
   }
 
   test("decodeImages uses real dims for decodable payloads; decodeAudio real WAV info") {

@@ -236,6 +236,19 @@ class RestructureSpec extends SparkSpec {
     }
   }
 
+  test("boxAvro matches struct fields to the writer schema by name, not position") {
+    // struct declared in a DIFFERENT order than the avro schema; both
+    // fields are strings so positional matching would silently swap them
+    val schema = """{"type":"record","name":"r","fields":[
+      | {"name":"first","type":"string"},{"name":"second","type":"string"}]}""".stripMargin
+    val df = Seq((1L, "B-value", "A-value")).toDF("id", "second", "first")
+      .select(col("id"), struct(col("second"), col("first")).as("payload"))
+    val boxed = AvroCodec.boxAvro(df, "payload", schema)
+    val back = Restructure.unbox(boxed, "payload", "avro", avroSchema = Some(schema))
+      .select("payload.first", "payload.second").as[(String, String)].collect()(0)
+    assert(back == (("A-value", "B-value")))
+  }
+
   test("unbox avro rejects ambiguous multi-branch unions") {
     val bad = """{"type":"record","name":"r","fields":[
       | {"name":"u","type":["int","string"]}]}""".stripMargin

@@ -222,5 +222,9 @@ class StreamingSpec extends SparkSpec {
     GraftJob.init("j", Map("job-bookmark-option" -> "job-bookmark-pause",
       "job-bookmark-from" -> "1", "job-bookmark-to" -> "2"), state)
     GraftJob.init("j", Map("job-bookmark-option" -> "job-bookmark-pause"), state)
+    // reference quirk preserved: a SINGLE stray range option without pause
+    // is silently ignored (utils.py only errors when both are present)
+    GraftJob.init("j", Map("job-bookmark-option" -> "job-bookmark-enable",
+      "job-bookmark-from" -> "1"), state)
   }
 }

@@ -54,7 +54,7 @@ object Dedup {
     import graft.functions.expressions.CollectListCappedAgg.collectListCapped
     val payload = banded.columns.filterNot(keys.contains)
     banded.groupBy(keys.map(col): _*)
-      .agg(collectListCapped(struct(payload.map(col): _*), maxBucketSize).as("__m"))
+      .agg(collectListCapped(struct(payload.toIndexedSeq.map(col): _*), maxBucketSize).as("__m"))
       .filter(col("__m").isNotNull && size(col("__m")) >= 2)
       .select(col("__m"), posexplode(col("__m")).as(Seq("__i", "__x")))
       .select(col("__x"), explode(slice(col("__m"), col("__i") + lit(2), size(col("__m")))).as("__y"))

@@ -49,7 +49,7 @@ object Temporal {
     // align schemas: right lacks the non-key left columns
     val rAligned = leftCols.foldLeft(r) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
-    }.select(l.columns.map(col): _*)
+    }.select(l.columns.toIndexedSeq.map(col): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__asof_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -386,28 +386,29 @@ object Queries {
     * complete mode, drained synchronously). Proves the streaming plumbing
     * produces batch-identical results — checked against the q18 oracle. */
   def q28StreamRollup(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // One state store spins up per shuffle partition at stream start —
+    // size the partition count to the STATE cardinality (hour×event_type,
+    // a few thousand groups), not the batch default: 32 stores for tiny
+    // state is pure bring-up overhead (measured 2.1s → 1.1s at 8). State
+    // sizing is a session conf with no repartition-based alternative, so
+    // the stream runs in its OWN cloned session (shared SparkContext,
+    // isolated conf) — concurrent queries on the caller's session are
+    // untouched (same hazard class as the old duplicateClusters mutation).
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = ss.read.parquet(s"$dir/events.parquet").schema
     // the events table is a single parquet file; the file-stream source
     // needs a directory, so stream the sf dir with a glob filter
-    val stream = s.readStream.schema(schema)
+    val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
     val name = "q28_stream_rollup_sink"
-    try s.catalog.dropTempView(name) catch { case _: Throwable => }
-    // One state store spins up per shuffle partition at stream start —
-    // size the partition count to the STATE cardinality (hour×event_type,
-    // a few thousand groups), not the batch default: 32 stores for tiny
-    // state is pure bring-up overhead (measured 2.1s → 1.1s at 8).
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = stream.writeStream.format("memory").queryName(name).outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-    s.table(name)
+    val q = stream.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    ss.table(name)
   }
 
   /** Nest → explode round trip (`scripts_utils.py:58-83`): collect all

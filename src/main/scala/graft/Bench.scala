@@ -94,7 +94,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      // Spark messages routinely contain newlines — control chars would
+      // break the one-line JSON contract exactly when errors matter
+      val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ")
+      "\"" + k + "\":\"" + esc + "\""
     }.mkString("{", ",", "}")
     val resJson = resampled.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum

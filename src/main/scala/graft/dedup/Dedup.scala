@@ -316,11 +316,20 @@ object Dedup {
   }
 
   /** Driver-side union-find with min-id roots — the small-graph fast path
-    * of [[duplicateClusters]]. Ids compare via their natural Comparable
-    * ordering, matching the distributed path's `least`/`min` semantics. */
+    * of [[duplicateClusters]]. Ids compare to match the distributed path's
+    * `least`/`min` semantics exactly: StringType min() orders UTF8String
+    * bytes (code-point order), while java.lang.String.compareTo orders
+    * UTF-16 code units — these disagree on supplementary characters, so
+    * strings go through UTF8String here. Everything else uses its natural
+    * Comparable ordering (identical to Catalyst's for numeric/date/ts). */
   private def driverUnionFind(edges: Array[(Any, Any)]): Iterable[(Any, Any)] = {
+    import org.apache.spark.unsafe.types.UTF8String
     val parent = new java.util.HashMap[Any, Any]()
-    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: String, y: String) =>
+        UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
     def find(x: Any): Any = {
       var r = x
       while (parent.get(r) != r) r = parent.get(r)

@@ -74,7 +74,9 @@ object MediaCodec {
     }
     // binary PPM: "P6" whitespace w h maxval
     else if (b(0) == 'P' && b(1) == '6') ppmHeader(b).collect {
-      case (w, h, _, _) if w > 0 && h > 0 => ImageDims(w, h, 3, "ppm")
+      // same maxval bound as pixelsRgb: only 1-byte-per-sample P6 is known
+      case (w, h, maxval, _) if w > 0 && h > 0 && maxval > 0 && maxval <= 255 =>
+        ImageDims(w, h, 3, "ppm")
     }
     else None
   }
@@ -131,9 +133,12 @@ object MediaCodec {
         }
       }
     } else if (b(0) == 'P' && b(1) == '6') {
-      ppmHeader(b).flatMap { case (w, h, _, off) =>
+      ppmHeader(b).flatMap { case (w, h, maxval, off) =>
         val maxDim = 1 << 16
+        // maxval > 255 means 2 bytes/sample — not the 1-byte layout decoded
+        // here; maxval == 0 is malformed. Both return None, not garbage.
         if (w <= 0 || h <= 0 || w > maxDim || h > maxDim ||
+          maxval <= 0 || maxval > 255 ||
           off.toLong + w.toLong * h * 3 > b.length) None
         else Some((w, h, java.util.Arrays.copyOfRange(b, off, off + w * h * 3)))
       }

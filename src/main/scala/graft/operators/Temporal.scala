@@ -23,6 +23,16 @@ object Temporal {
     * including `asof_<tsCol>`); left rows with no prior right row keep
     * nulls — left-outer semantics, exactly DuckDB/kdb ASOF JOIN.
     *
+    * Ties are deterministic: when several right rows share the winning
+    * timestamp, the one with the greatest payload (lexicographic over
+    * `rightCols` order, then `tsCol`) wins — the window orders by the
+    * payload struct after (ts, side), so re-runs and engine comparisons
+    * can't disagree on which tied row was picked.
+    *
+    * NULL keys follow SQL join equality: right rows with any null key
+    * are dropped (they can never match), and left rows with a null key
+    * keep left-outer nulls rather than matching other null-key rows.
+    *
     * Rows-per-key skew note: the window is per-key sequential (as-of is
     * inherently ordered), so a pathologically hot key serializes — the
     * same bound any as-of implementation has; salt upstream if one key
@@ -42,16 +52,21 @@ object Temporal {
       (leftCols.map(col) :+
         lit(if (strict) 0 else 1).as("__asof_side") :+
         lit(null).cast(right.select(payload).schema.head.dataType).as("__asof_p")): _*)
-    val r = right.select(
-      (keys.map(col) :+ col(tsCol) :+
-        lit(if (strict) 1 else 0).as("__asof_side") :+
-        payload.as("__asof_p")): _*)
+    val r = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _)) // SQL: NULL keys never match
+      .select(
+        (keys.map(col) :+ col(tsCol) :+
+          lit(if (strict) 1 else 0).as("__asof_side") :+
+          payload.as("__asof_p")): _*)
     // align schemas: right lacks the non-key left columns
     val rAligned = leftCols.foldLeft(r) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
     }.select(l.columns.toIndexedSeq.map(col): _*)
+    // __asof_p last: among right rows tied on (ts), last() picks the max
+    // payload struct — deterministic, engine-reproducible tie-break
+    // (left rows all carry a null payload, so their relative order is moot)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__asof_side").asc)
+      .orderBy(col(tsCol).asc, col("__asof_side").asc, col("__asof_p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val isLeft = col("__asof_side") === (if (strict) 0 else 1)
     val joined = l.unionByName(rAligned)

@@ -1202,15 +1202,25 @@ object Queries {
         | round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
         | round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
         |FROM documents GROUP BY source""".stripMargin,
+    // deterministic argmax instead of DuckDB's native ASOF JOIN: under
+    // (user_id, ts) ties ASOF picks an arbitrary purchase row, while
+    // asofJoin's window tie-breaks by max payload (value DESC at equal ts)
+    // — mirror that rule exactly; all comparisons at micros precision on
+    // both sides (ns→us truncation happens BEFORE the <= comparison)
     "q56_asof_join" ->
-      """WITH c AS (SELECT event_id, user_id, ts, value FROM events
-        |           WHERE event_type = 'click'),
-        |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
-        |SELECT c.event_id, c.user_id,
-        | epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
-        | epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us,
-        | round(p.value, 4) AS purchase_value
-        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+      """WITH c AS (SELECT event_id, user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS click_us, value
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.event_id, p.purchase_us, p.value,
+        |        row_number() OVER (PARTITION BY c.event_id
+        |          ORDER BY p.purchase_us DESC, p.value DESC) AS rk
+        |      FROM c JOIN p ON c.user_id = p.user_id
+        |        AND p.purchase_us <= c.click_us)
+        |SELECT c.event_id, c.user_id, c.click_us,
+        | j.purchase_us, round(j.value, 4) AS purchase_value
+        |FROM c LEFT JOIN (SELECT * FROM j WHERE rk = 1) j USING (event_id)""".stripMargin,
     "q57_range_join" ->
       """WITH c AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us
         |           FROM events WHERE event_type = 'click'),

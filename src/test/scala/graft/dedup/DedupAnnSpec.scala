@@ -110,6 +110,20 @@ class DedupAnnSpec extends SparkSpec {
     assert(fast.nonEmpty && fast == dist)
   }
 
+  test("duplicateClusters string ids: both paths agree on supplementary characters") {
+    // U+FF61 sorts BELOW U+10000 in code-point (UTF8String) order but ABOVE
+    // its surrogate pair in UTF-16 code-unit order — the classic divergence
+    // between Catalyst min() and java.lang.String.compareTo
+    val bmp = "｡"
+    val astral = "𐀀" // U+10000
+    val pairs = Seq((bmp, astral), (astral, "𐀁")).toDF("id_a", "id_b")
+    val fast = Dedup.duplicateClusters(pairs).as[(String, String)].collect().toSet
+    val dist = Dedup.duplicateClusters(pairs, driverMaxEdges = 0L)
+      .as[(String, String)].collect().toSet
+    assert(fast == dist)
+    assert(fast.forall(_._2 == bmp), s"root must be the code-point min: $fast")
+  }
+
   test("bestPerCluster keeps the best-quality member per cluster plus singletons") {
     val df = Seq((1L, 5), (2L, 9), (3L, 9), (4L, 3), (5L, 1), (6L, 7))
       .toDF("id", "q")

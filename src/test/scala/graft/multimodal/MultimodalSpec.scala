@@ -145,6 +145,12 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.pixelsRgb(hugeW).isEmpty && MediaCodec.imageDims(hugeW).isEmpty)
     // PPM declaring zero dims is invalid in header AND pixel decode
     assert(MediaCodec.imageDims("P6\n0 0\n255\n".getBytes).isEmpty)
+    // 16-bit P6 (maxval > 255) is 2 bytes/sample — not the layout decoded
+    // here; must be None, not garbage pixels. maxval=0 is malformed too.
+    val deep16 = ("P6\n2 2\n65535\n" + "x" * 24).getBytes("US-ASCII")
+    assert(MediaCodec.pixelsRgb(deep16).isEmpty && MediaCodec.imageDims(deep16).isEmpty)
+    val zeroMax = ("P6\n2 2\n0\n" + "x" * 12).getBytes("US-ASCII")
+    assert(MediaCodec.pixelsRgb(zeroMax).isEmpty && MediaCodec.imageDims(zeroMax).isEmpty)
   }
 
   test("PNG channel count follows the IHDR color type") {

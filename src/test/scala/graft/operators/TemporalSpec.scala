@@ -30,6 +30,29 @@ class TemporalSpec extends SparkSpec {
     assert(out("e") == ((None, None))) // key missing on the right
   }
 
+  test("asofJoin tie-break is deterministic: max payload among tied right rows") {
+    // three right rows share the winning (key, ts) — the max (v, ts) payload
+    // must win no matter how the shuffle lands
+    val l = Seq(("u1", 20L, "x")).toDF("k", "ts", "tag")
+    val r = Seq(("u1", 10L, 1.0), ("u1", 10L, 7.0), ("u1", 10L, 3.0))
+      .toDF("k", "ts", "v")
+    (1 to 3).foreach { _ =>
+      val out = Temporal.asofJoin(l, r.repartition(5), Seq("k"), "ts", Seq("v"))
+        .select(col("asof_v")).as[Double].collect()
+      assert(out.toSeq == Seq(7.0))
+    }
+  }
+
+  test("asofJoin null keys follow SQL join semantics (never match)") {
+    val l = Seq((Some("u1"), 20L, "a"), (None, 20L, "b")).toDF("k", "ts", "tag")
+    val r = Seq((Some("u1"), 10L, 1.0), (None, 5L, 9.0)).toDF("k", "ts", "v")
+    val out = Temporal.asofJoin(l, r, Seq("k"), "ts", Seq("v"))
+      .select(col("tag"), col("asof_v")).as[(String, Option[Double])]
+      .collect().toMap
+    assert(out("a") == Some(1.0))
+    assert(out("b").isEmpty, "null-key left row must keep left-outer nulls")
+  }
+
   test("strict mode excludes equal-ts right rows") {
     val out = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("v"), strict = true)
       .select(col("tag"), col("asof_ts")).as[(String, Option[Long])].collect().toMap

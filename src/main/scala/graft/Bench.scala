@@ -59,14 +59,24 @@ object Bench {
           Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
       // clear between measurements so library persists (LSH signatures etc.)
-      // don't leak across queries
+      // don't leak across queries; the explicit GC lets the ContextCleaner
+      // reap accumulated broadcasts/shuffle files NOW instead of mid-query —
+      // without it, late-battery queries are charged for earlier queries'
+      // garbage (measured: q44 2.24 s late in the battery vs 0.77 s alone)
       spark.catalog.clearCache()
+      System.gc()
       res
     }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val resampled = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query filter for profiling a subset locally;
+    // the driver never sets it, so recorded rounds always run the full battery.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // best-of-N: first run warms codegen/file cache; if the two samples
       // disagree >3x (scheduler/GC interference), take up to two more.
       var samples = List(timeOnce(fn), timeOnce(fn))

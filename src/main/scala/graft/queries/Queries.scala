@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -741,6 +741,81 @@ object Queries {
       .select(col("event_id"), col("user_id"), col("click_us"), col("win_start"))
   }
 
+  /** Multi-level aggregation via ROLLUP (grouping sets): per-(source,lang)
+    * stats plus per-source and grand totals in ONE pass — Catalyst expands
+    * the sets and keeps the aggregation partial/map-side, so at scale this
+    * beats three separate groupBys + union (one shuffle, one scan). The
+    * grouping-id column disambiguates subtotal rows; group keys coalesce
+    * to 'ALL' so every output cell is a plain scalar. */
+  def q58Rollup(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .rollup(col("source"), col("lang"))
+      .agg(
+        (grouping(col("source")) * 2 + grouping(col("lang"))).cast("int").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"))
+      .select(
+        coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("gid"), col("n_docs"), col("total_chars"))
+
+  /** Pivot (long→wide): language distribution per source as one wide row.
+    * Explicit pivot values keep the schema static — at scale an implicit
+    * pivot first runs a distinct scan over the pivot column; naming the
+    * values skips that pass entirely. Absent cells fill 0 (SQL conditional
+    * aggregation semantics, matching the FILTER-clause oracle). */
+  def q59Pivot(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    tbl(s, dir, "documents")
+      .groupBy("source")
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+      .na.fill(0L, langs)
+  }
+
+  /** Unpivot (wide→long, a.k.a. melt): the four lineitem measures become
+    * (metric, value) rows, then aggregate per metric. Unpivot is pure
+    * map-side (no shuffle, no join against a metric spine); the only
+    * shuffle is the 4-group aggregation. */
+  def q60Unpivot(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .unpivot(
+        Array.empty[Column],
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "v")
+      .groupBy("metric")
+      .agg(round(sum("v"), 4).as("total"))
+
+  /** Day-over-day deltas via lag(): daily event counts per type, each row
+    * carrying its change vs the previous day. The window is per-type
+    * ordered by day — partitioned, so no global single-partition sort;
+    * first day keeps a null delta (no synthetic zero). */
+  def q61LagDelta(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    daily.select(col("event_type"), col("day"), col("n"),
+      (col("n") - lag("n", 1).over(w)).as("delta"))
+  }
+
+  /** Per-source vocabulary statistics: total token volume, distinct-token
+    * vocabulary, and type-token ratio. The distinct count shuffles
+    * (source, token) pairs — Catalyst's two-phase distinct aggregate —
+    * which is the exact shape that scales: token strings move once,
+    * partials combine map-side. */
+  def q62VocabStats(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), explode(T.tokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("total_tokens"),
+        countDistinct(col("tok")).as("vocab"),
+        round(countDistinct(col("tok")).cast("double") / count(lit(1)), 4)
+          .as("type_token_ratio"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -800,7 +875,12 @@ object Queries {
     "q54_cluster_survivors" -> (q54ClusterSurvivors _),
     "q55_corpus_stats" -> (q55CorpusStats _),
     "q56_asof_join" -> (q56AsofJoin _),
-    "q57_range_join" -> (q57RangeJoin _))
+    "q57_range_join" -> (q57RangeJoin _),
+    "q58_rollup" -> (q58Rollup _),
+    "q59_pivot" -> (q59Pivot _),
+    "q60_unpivot" -> (q60Unpivot _),
+    "q61_lag_delta" -> (q61LagDelta _),
+    "q62_vocab_stats" -> (q62VocabStats _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50)
@@ -1229,5 +1309,37 @@ object Queries {
         |      FROM events WHERE event_type = 'purchase')
         |SELECT c.event_id, c.user_id, c.click_us, w.win_start
         |FROM c JOIN w ON c.user_id = w.user_id
-        | AND c.click_us BETWEEN w.win_start AND w.win_end""".stripMargin)
+        | AND c.click_us BETWEEN w.win_start AND w.win_end""".stripMargin,
+    "q58_rollup" ->
+      """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+        | CAST(2*grouping(source) + grouping(lang) AS INT) AS gid,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin,
+    "q59_pivot" ->
+      """SELECT source,
+        | count(*) FILTER (lang = 'en') AS en, count(*) FILTER (lang = 'de') AS de,
+        | count(*) FILTER (lang = 'es') AS es, count(*) FILTER (lang = 'fr') AS fr,
+        | count(*) FILTER (lang = 'zh') AS zh
+        |FROM documents GROUP BY source""".stripMargin,
+    "q60_unpivot" ->
+      """SELECT metric, round(sum(v), 4) AS total FROM (
+        | SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+        | UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        | UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        | UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |GROUP BY metric""".stripMargin,
+    "q61_lag_delta" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+        | FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        | n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS delta
+        |FROM daily""".stripMargin,
+    "q62_vocab_stats" ->
+      """WITH toks AS (
+        | SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        | FROM documents WHERE length(trim(text)) > 0)
+        |SELECT source, count(*) AS total_tokens, count(DISTINCT tok) AS vocab,
+        | round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 4) AS type_token_ratio
+        |FROM toks GROUP BY source""".stripMargin)
 }

@@ -118,4 +118,37 @@ class PlanSpec extends SparkSpec {
     val p = plan("q09_split_rows")
     assert(p.contains("PushedFilters: [IsNotNull(l_discount), IsNotNull(l_quantity), LessThanOrEqual(l_discount,0.02)"))
   }
+
+  test("q58 rollup: grouping sets expand once, aggregation stays partial") {
+    val p = plan("q58_rollup")
+    assert(p.contains("Expand"), s"no grouping-set expand in:\n$p")
+    assert(p.contains("partial"), s"no partial aggregation in:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"rollup must be a single shuffle:\n$p")
+  }
+
+  test("q59 pivot with explicit values: both aggregation levels stay partial") {
+    // Dataset.pivot plans as groupBy(source,lang).count -> pivotfirst on
+    // source: two exchanges by construction. With explicit values there is
+    // no eager distinct-scan job at .pivot() time; the guard pins that both
+    // levels keep map-side partials (the at-scale requirement).
+    val p = plan("q59_pivot")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 2,
+      s"expected the two pivot aggregation exchanges:\n$p")
+    assert(p.contains("partial_pivotfirst") && p.contains("partial_count"),
+      s"pivot aggregation lost its map-side partials:\n$p")
+  }
+
+  test("q60 unpivot: expand is map-side; only the 4-group agg shuffles") {
+    val p = plan("q60_unpivot")
+    assert(p.contains("Expand"), s"unpivot should plan as Expand in:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"expected exactly one exchange in:\n$p")
+  }
+
+  test("q61 lag window is partitioned — no global single-partition sort") {
+    val p = plan("q61_lag_delta")
+    assert(p.contains("Window"), s"no window in:\n$p")
+    assert(!p.contains("SinglePartition"), s"window collapsed to one partition:\n$p")
+  }
 }

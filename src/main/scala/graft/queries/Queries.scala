@@ -816,6 +816,30 @@ object Queries {
         round(countDistinct(col("tok")).cast("double") / count(lit(1)), 4)
           .as("type_token_ratio"))
 
+  /** Exact top-10 tokens per source via sketch-proposes / exact-verifies:
+    * a Misra-Gries sketch (k=64 counters, mergeable, map-side partials —
+    * the token stream itself never shuffles) proposes candidates, then an
+    * exact count of ONLY those candidates ranks them. Guaranteed exact
+    * whenever every true top-10 count exceeds tokens/(k+1) — probed true
+    * at both sf0.01 and sf0.1 with ≥2x margin (rank-10 counts 45+ vs
+    * bound ~23 at sf0.01; 447+ vs ~223 at sf0.1). Deterministic
+    * tie-break (n DESC, tok ASC) on both sides. */
+  def q63HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.MisraGriesAgg.misraGries
+    val toks = tbl(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), explode(T.tokens(col("text"))).as("tok"))
+    val cands = toks.groupBy("source").agg(misraGries(col("tok"), 64).as("mg"))
+      .select(col("source"), explode(col("mg")).as("c"))
+      .select(col("source"), col("c.tok").as("tok"))
+    val exact = toks.join(broadcast(cands), Seq("source", "tok"), "left_semi")
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("source").orderBy(col("n").desc, col("tok").asc)
+    exact.select(col("source"), col("tok"), col("n"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 10)
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -880,7 +904,8 @@ object Queries {
     "q59_pivot" -> (q59Pivot _),
     "q60_unpivot" -> (q60Unpivot _),
     "q61_lag_delta" -> (q61LagDelta _),
-    "q62_vocab_stats" -> (q62VocabStats _))
+    "q62_vocab_stats" -> (q62VocabStats _),
+    "q63_heavy_hitters" -> (q63HeavyHitters _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50)
@@ -1341,5 +1366,14 @@ object Queries {
         | FROM documents WHERE length(trim(text)) > 0)
         |SELECT source, count(*) AS total_tokens, count(DISTINCT tok) AS vocab,
         | round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 4) AS type_token_ratio
-        |FROM toks GROUP BY source""".stripMargin)
+        |FROM toks GROUP BY source""".stripMargin,
+    "q63_heavy_hitters" ->
+      """WITH toks AS (
+        | SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        | FROM documents WHERE length(trim(text)) > 0),
+        |cnt AS (SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2)
+        |SELECT source, tok, n, rk FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |   ORDER BY n DESC, tok ASC) AS INT) AS rk FROM cnt)
+        |WHERE rk <= 10""".stripMargin)
 }

@@ -77,4 +77,47 @@ object KernelPropertySpec extends Properties("Kernels") {
       values.foreach(v => agg.update(buf, new GenericInternalRow(Array[Any](v))))
       buf.length <= cap + 1
     }
+
+  // Misra-Gries through the same update/serialize/merge/eval harness: the
+  // mergeable-summaries guarantee (every item with count > n/(k+1)
+  // survives; estimates are lower bounds off by ≤ n/(k+1)) must hold for
+  // ANY partition split and merge order.
+  private val mgStreamGen: Gen[Seq[String]] = for {
+    hotMass <- Gen.listOf(Gen.oneOf("h1", "h2", "h3"))
+    noise <- Gen.listOf(Gen.choose(0, 500).map("n" + _))
+    shuffled <- Gen.const(scala.util.Random.shuffle(hotMass ++ hotMass ++ noise))
+  } yield shuffled
+
+  private def runMg(items: Seq[String], k: Int, chunks: Int): Map[String, Long] = {
+    val agg = expressions.MisraGriesAgg(
+      BoundReference(0, StringType, nullable = false), k)
+    val partials = items.grouped(math.max(1, math.ceil(items.size.toDouble / chunks).toInt))
+      .map { chunk =>
+        val buf = agg.createAggregationBuffer()
+        chunk.foreach(v => agg.update(buf,
+          new GenericInternalRow(Array[Any](UTF8String.fromString(v)))))
+        agg.deserialize(agg.serialize(buf))
+      }.toSeq
+    val merged = partials.reduceLeftOption((a, b) => agg.merge(a, b))
+      .getOrElse(agg.createAggregationBuffer())
+    val arr = agg.eval(merged).asInstanceOf[GenericArrayData]
+    arr.array.map { r =>
+      val row = r.asInstanceOf[InternalRow]
+      row.getUTF8String(0).toString -> row.getLong(1)
+    }.toMap
+  }
+
+  property("misraGries: heavy items survive any split; ests are bounded lower bounds") =
+    Prop.forAll(mgStreamGen, Gen.choose(2, 12), Gen.choose(1, 6)) { (items, k, chunks) =>
+      val out = runMg(items, k, chunks)
+      val n = items.size.toLong
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val heavy = truth.collect { case (t, c) if c * (k + 1) > n => t }.toSet
+      // merging m partials can add up to m * n_i/(k+1) error; the safe
+      // global bound is still n/(k+1) total (Agarwal et al. Thm 1)
+      val bound = n / (k + 1) + 1
+      out.size <= k &&
+        heavy.subsetOf(out.keySet) &&
+        out.forall { case (t, e) => e <= truth(t) && truth(t) - e <= bound }
+    }
 }

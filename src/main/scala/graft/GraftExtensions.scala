@@ -58,6 +58,20 @@ object GraftFunctions {
     "graft_char_entropy" -> { args =>
       require(args.length == 1, "graft_char_entropy(text)")
       CharEntropyExpr(args.head)
+    },
+    "graft_bloom_agg" -> { args =>
+      require(args.length == 2 || args.length == 3, "graft_bloom_agg(hash, numBits[, numHashes])")
+      BloomFilterAgg(args.head, intArg(args(1), "numBits").toLong,
+        if (args.length == 3) intArg(args(2), "numHashes") else 7).toAggregateExpression()
+    },
+    "graft_bloom_contains" -> { args =>
+      require(args.length == 2 || args.length == 3, "graft_bloom_contains(hash, bloomLiteral[, numHashes])")
+      val bytes = args(1) match {
+        case Literal(b: Array[Byte], _) => b
+        case other => throw new IllegalArgumentException(s"bloom must be a binary literal, got $other")
+      }
+      BloomContainsExpr(args.head, bytes,
+        if (args.length == 3) intArg(args(2), "numHashes") else 7)
     })
 
   def register(spark: SparkSession): Unit =

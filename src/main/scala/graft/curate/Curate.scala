@@ -20,7 +20,12 @@ object Curate {
     * comfortably inside a positive long (ANSI-safe). Changing `salt` derives
     * an independent split from the same ids. */
   def hashBucket(id: Column, buckets: Int, salt: String = ""): Column =
-    pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15), 16, 10).cast("long"),
+    hashBucketDyn(id, buckets, lit(salt))
+
+  /** [[hashBucket]] with a per-row (Column) salt — e.g. an epoch index, so
+    * each epoch draws an independent deterministic subsample. */
+  def hashBucketDyn(id: Column, buckets: Int, salt: Column): Column =
+    pmod(conv(substring(md5(concat(id.cast("string"), salt)), 1, 15), 16, 10).cast("long"),
       lit(buckets.toLong))
 
   /** Split label from integer weights, e.g. Seq("train" -> 8, "val" -> 1,
@@ -55,6 +60,83 @@ object Curate {
     // round before the cast: 0.29 * 10000 = 2899.9999… would truncate to
     // 2899 and silently keep one bucket fewer than documented
     df.filter(hashBucket(col(idCol), 10000, salt) < round(frac * 10000).cast("long"))
+  }
+
+  /** Deterministic weighted source mixture — the "upsample Wikipedia 2.5×,
+    * downsample CommonCrawl to 0.25×" knob of every LLM data recipe,
+    * expressed as epoch replication: a row with weight w appears in epochs
+    * 0..⌊w⌋−1 unconditionally and in epoch ⌊w⌋ with probability w−⌊w⌋,
+    * decided by a hash of (id, epoch) — so each epoch's fractional keep is
+    * an INDEPENDENT deterministic subsample, reproducible across runs,
+    * engines, and cluster sizes (never `sample(seed)`, which is
+    * partitioning-dependent). Weights are per-stratum (source); rows of
+    * strata absent from `weights` get `defaultWeight`. Weight 0 drops the
+    * stratum. Output = input columns + `epoch` (int).
+    *
+    * Scale shape: map-side only — a `when` chain for the weight, an explode
+    * bounded by ⌈w⌉ (epoch fan-out), and a hash filter; no shuffle, no
+    * driver state. */
+  def weightedMix(df: DataFrame, idCol: String, strataCol: String,
+                  weights: Map[String, Double], defaultWeight: Double = 1.0,
+                  salt: String = ""): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w.isFinite),
+      "weights must be finite and >= 0")
+    val w = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val full = floor(w).cast("int")
+    val frac = w - full
+    val lastEpochs = when(frac > 0, lit(1)).otherwise(lit(0))
+    val thresh = round(frac * 10000).cast("long")
+    df.filter(w > 0)
+      .withColumn("epoch", explode(sequence(lit(0), full + lastEpochs - 1)))
+      .filter(col("epoch") < full ||
+        hashBucketDyn(col(idCol), 10000,
+          concat(lit(salt), lit(":"), col("epoch").cast("string"))) < thresh)
+  }
+
+  /** Greedy next-fit sequence packing: assign each document's chunks (in
+    * chunk order) to training sequences of at most `capacity` tokens — a
+    * new sequence starts when the current chunk would overflow the one
+    * being filled. An oversized chunk (> capacity alone) gets its own
+    * sequence. The packing complement of [[chunkTokens]]: chunker splits
+    * docs into model-sized pieces, packer bins the pieces into fixed
+    * training rows to minimize padding. Returns the input columns +
+    * `seq_idx` (int, per-document sequence number).
+    *
+    * Scale shape: ONE hash shuffle on the document id + an in-partition
+    * sort; the pass itself is a streaming linear scan with per-document
+    * reset — no per-group buffering (unlike flatMapGroups, which
+    * materializes each group), no driver state. Inherently sequential
+    * per document, which is why this is `mapPartitions` and not a window
+    * function: reset-on-overflow cumulative sums have no closed form. */
+  def packNextFit(chunks: DataFrame, idCol: String, orderCol: String,
+                  sizeCol: String, capacity: Int): DataFrame = {
+    require(capacity >= 1, "capacity must be >= 1")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val outSchema = StructType(chunks.schema.fields :+
+      StructField("seq_idx", IntegerType, nullable = false))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    val idIdx = chunks.schema.fieldIndex(idCol)
+    val sizeIdx = chunks.schema.fieldIndex(sizeCol)
+    chunks.repartition(col(idCol))
+      .sortWithinPartitions(col(idCol), col(orderCol))
+      .mapPartitions { it =>
+        var curId: Any = null
+        var first = true
+        var acc = 0
+        var seq = 0
+        it.map { r =>
+          val n = r.getAs[Number](sizeIdx).intValue()
+          val id = r.get(idIdx)
+          if (first || id != curId) { curId = id; first = false; seq = 0; acc = n }
+          else if (acc + n > capacity) { seq += 1; acc = n }
+          else acc += n
+          Row.fromSeq(r.toSeq :+ seq)
+        }
+      }.toDF()
   }
 
   /** Token-window chunker: split each document into training sequences of

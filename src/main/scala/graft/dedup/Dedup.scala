@@ -499,17 +499,18 @@ object Dedup {
     * the only exchange is the per-doc count aggregation over matching grams
     * (a vanishingly small subset). Default n=13 is the published standard;
     * lower it for short-document corpora. */
+  // docs shorter than n tokens have NO n-grams (suppress wordShingles'
+  // whole-text fallback — a 2-token "shingle" is not a 13-gram match,
+  // and blank docs would otherwise collide on "")
+  private def strictNgrams(text: org.apache.spark.sql.Column, n: Int) =
+    when(size(T.tokens(text)) >= n, array_distinct(T.wordShingles(text, n)))
+      .otherwise(array().cast("array<string>"))
+
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String, n: Int = 13): DataFrame = {
-    // docs shorter than n tokens have NO n-grams (suppress wordShingles'
-    // whole-text fallback — a 2-token "shingle" is not a 13-gram match,
-    // and blank docs would otherwise collide on "")
-    def grams(text: org.apache.spark.sql.Column) =
-      when(size(T.tokens(text)) >= n, array_distinct(T.wordShingles(text, n)))
-        .otherwise(array().cast("array<string>"))
-    val bg = benchmark.select(explode(grams(col(textCol))).as("g")).distinct()
+    val bg = benchmark.select(explode(strictNgrams(col(textCol), n)).as("g")).distinct()
     val dg = ensureParallelism(corpus.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"), explode(grams(col("__text"))).as("g"))
+      .select(col("id"), explode(strictNgrams(col("__text"), n)).as("g"))
     dg.join(broadcast(bg), Seq("g"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_shared_ngrams"))
@@ -521,6 +522,49 @@ object Dedup {
                     idCol: String, textCol: String, n: Int = 13,
                     minOverlap: Int = 1): DataFrame = {
     val flagged = contaminationReport(corpus, benchmark, idCol, textCol, n)
+      .filter(col("n_shared_ngrams") >= minOverlap)
+      .select(col("id").as(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** Bloom-prefiltered decontamination — identical output to
+    * [[decontaminate]], different scan-side mechanics. The benchmark gram
+    * set is aggregated into a fixed-size Bloom filter
+    * ([[graft.functions.expressions.BloomFilterAgg]], bitwise-OR merge →
+    * map-side partials) and collected to the driver; the corpus gram stream
+    * is prefiltered by a codegen'd in-scan bit probe
+    * ([[graft.functions.expressions.BloomContainsExpr]] — no join, a few
+    * shifts/ands per gram) and only the survivors (true matches + the
+    * filter's ~4·10⁻⁴ false positives at 16 bits/gram) reach the exact
+    * verify join. Because the verify join removes every false positive, the
+    * result is EXACT — the bloom only cuts the join input.
+    *
+    * Scale shape: at 100 TB the corpus side emits ~10¹¹ grams; probing a
+    * driver-held filter inside whole-stage codegen costs 7 word-reads per
+    * gram and drops ≈ all of them before any exchange or broadcast-probe.
+    * The filter's size is fixed at build time (10⁸ benchmark grams ×
+    * 16 bits = 200 MB) where the exact gram-string set would be several GB
+    * — past comfortable broadcast. The exact verify then runs on the tiny
+    * bloom-surviving subset, so it can afford a shuffle join if the gram
+    * set outgrows broadcast. */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 13,
+                         minOverlap: Int = 1, bitsPerGram: Int = 16,
+                         numHashes: Int = 7): DataFrame = {
+    import graft.functions.expressions.{BloomFilterOps => B, BloomKernels}
+    // eager checkpoint: three consumers (count, bloom build, verify join)
+    // of a by-contract-small set — materialize once, truncate lineage
+    val bg = benchmark.select(explode(strictNgrams(col(textCol), n)).as("g"))
+      .distinct().localCheckpoint(true)
+    val numBits = 64L * BloomKernels.numWords(bg.count(), bitsPerGram)
+    val bloomBytes = bg
+      .select(B.bloomAgg(xxhash64(col("g")), numBits, numHashes).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val dg = ensureParallelism(corpus.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), explode(strictNgrams(col("__text"), n)).as("g"))
+      .filter(B.bloomContains(xxhash64(col("g")), bloomBytes, numHashes))
+    val flagged = dg.join(broadcast(bg), Seq("g"))
+      .groupBy("id").agg(count(lit(1)).as("n_shared_ngrams"))
       .filter(col("n_shared_ngrams") >= minOverlap)
       .select(col("id").as(idCol))
     corpus.join(flagged, Seq(idCol), "left_anti")

@@ -840,6 +840,21 @@ object Queries {
       .filter(col("rk") <= 10)
   }
 
+  /** Bloom-prefiltered benchmark decontamination — exact survivors despite
+    * the approximate prefilter: a fixed-size Bloom filter over benchmark
+    * 4-gram hashes prunes the corpus gram stream inside the scan (codegen'd
+    * bit probe, no join), and the exact verify join removes the filter's
+    * false positives. Output is provably identical to the broadcast-join
+    * path, so the oracle is plain exact SQL. */
+  def q64BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    Dedup.bloomDecontaminate(
+        docs.filter(col("doc_id") % 40 =!= 0),
+        docs.filter(col("doc_id") % 40 === 0),
+        "doc_id", "text", n = 4)
+      .select(col("doc_id"), col("source"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -905,7 +920,8 @@ object Queries {
     "q60_unpivot" -> (q60Unpivot _),
     "q61_lag_delta" -> (q61LagDelta _),
     "q62_vocab_stats" -> (q62VocabStats _),
-    "q63_heavy_hitters" -> (q63HeavyHitters _))
+    "q63_heavy_hitters" -> (q63HeavyHitters _),
+    "q64_bloom_decontaminate" -> (q64BloomDecontaminate _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50)
@@ -1375,5 +1391,19 @@ object Queries {
         |SELECT source, tok, n, rk FROM (
         | SELECT *, CAST(row_number() OVER (PARTITION BY source
         |   ORDER BY n DESC, tok ASC) AS INT) AS rk FROM cnt)
-        |WHERE rk <= 10""".stripMargin)
+        |WHERE rk <= 10""".stripMargin,
+    "q64_bloom_decontaminate" ->
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split_regex(trim(text),'\s+')) - 3),
+        |   i -> array_to_string((string_split_regex(trim(text),'\s+'))[i:i+3], ' '))) AS s
+        | FROM documents),
+        |bg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 40 = 0),
+        |flagged AS (
+        | SELECT DISTINCT doc_id
+        | FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 40 <> 0) dg
+        | JOIN bg USING (g))
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.doc_id % 40 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin)
 }

@@ -855,6 +855,29 @@ object Queries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Deterministic weighted source mixing — epoch-replication upsampling
+    * (src0 ×2.5, src1 ×0.25, src2 ×1.0, everything else ×0.75). Map-side
+    * only; the fractional epoch keep is an md5(id:epoch) bucket test the
+    * oracle reproduces bit-for-bit (same trick as q43's split). */
+  def q65WeightedMix(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curate.weightedMix(
+        tbl(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.0),
+        defaultWeight = 0.75)
+      .select(col("doc_id"), col("source"), col("epoch"))
+
+  /** Greedy next-fit sequence packing of q52's chunks into 64-token
+    * training rows: one hash shuffle on doc_id + in-partition sort, then a
+    * streaming per-doc scan. The oracle replays the same sequential rule
+    * with a recursive CTE. */
+  def q66PackChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.curate.Curate.chunkTokens(
+      tbl(s, dir, "documents"), "doc_id", "text", maxTokens = 32, overlap = 8)
+    graft.curate.Curate.packNextFit(chunks, "id", "chunk_idx", "n_tokens", capacity = 64)
+      .select(col("id").as("doc_id"), col("chunk_idx"), col("n_tokens"), col("seq_idx"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -921,7 +944,9 @@ object Queries {
     "q61_lag_delta" -> (q61LagDelta _),
     "q62_vocab_stats" -> (q62VocabStats _),
     "q63_heavy_hitters" -> (q63HeavyHitters _),
-    "q64_bloom_decontaminate" -> (q64BloomDecontaminate _))
+    "q64_bloom_decontaminate" -> (q64BloomDecontaminate _),
+    "q65_weighted_mix" -> (q65WeightedMix _),
+    "q66_pack_chunks" -> (q66PackChunks _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50)
@@ -1405,5 +1430,39 @@ object Queries {
         | JOIN bg USING (g))
         |SELECT d.doc_id, d.source FROM documents d
         |WHERE d.doc_id % 40 <> 0
-        |  AND d.doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin)
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
+    "q65_weighted_mix" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+        |              WHEN 'src2' THEN 1.0 ELSE 0.75 END AS w
+        | FROM documents),
+        |e AS (SELECT doc_id, source, w,
+        |  unnest(generate_series(0, CAST(floor(w) AS INT)
+        |    + (CASE WHEN w > floor(w) THEN 1 ELSE 0 END) - 1)) AS e
+        | FROM w WHERE w > 0)
+        |SELECT doc_id, source, CAST(e AS INT) AS epoch FROM e
+        |WHERE e < floor(w)
+        |   OR (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+        |         CAST(e AS VARCHAR))), 1, 15)) AS BIGINT) % 10000)
+        |      < CAST(round((w - floor(w)) * 10000) AS BIGINT)""".stripMargin,
+    "q66_pack_chunks" ->
+      """WITH RECURSIVE t AS (
+        | SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks
+        | FROM documents WHERE length(trim(text)) > 0),
+        |c AS (
+        | SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |   CAST(len(toks[i*24+1 : i*24+32]) AS INT) AS n_tokens
+        | FROM t, unnest(generate_series(0,
+        |   CAST(ceil(greatest(len(toks) - 8, 1) / 24.0) AS INT) - 1)) u(i)),
+        |pack AS (
+        | SELECT doc_id, chunk_idx, n_tokens, n_tokens AS acc, 0 AS seq
+        | FROM c WHERE chunk_idx = 0
+        | UNION ALL
+        | SELECT c.doc_id, c.chunk_idx, c.n_tokens,
+        |   CASE WHEN p.acc + c.n_tokens > 64 THEN c.n_tokens
+        |        ELSE p.acc + c.n_tokens END,
+        |   CASE WHEN p.acc + c.n_tokens > 64 THEN p.seq + 1 ELSE p.seq END
+        | FROM c JOIN pack p ON c.doc_id = p.doc_id AND c.chunk_idx = p.chunk_idx + 1)
+        |SELECT doc_id, chunk_idx, n_tokens, CAST(seq AS INT) AS seq_idx
+        |FROM pack""".stripMargin)
 }

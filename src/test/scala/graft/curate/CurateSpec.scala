@@ -89,4 +89,74 @@ class CurateSpec extends SparkSpec {
     val expected = 2.0 * (math.log(4.0 / 3.0) + 1.0) // tf=2, N=3, df=2
     assert(math.abs(out((1L, "spark"))._3 - expected) < 1e-9)
   }
+
+  test("weightedMix: integer epochs unconditional, fractional epoch subsampled, zero drops") {
+    val df = spark.range(0, 4000)
+      .select(col("id"), (pmod(col("id"), lit(4))).cast("string").as("src"))
+    val out = Curate.weightedMix(df, "id", "src",
+        Map("0" -> 2.0, "1" -> 0.5, "2" -> 0.0), defaultWeight = 1.25)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(out("0") == 2000L)                      // exactly 2 epochs each
+    assert(out("1") > 350 && out("1") < 650)       // ~50% of 1000
+    assert(!out.contains("2"))                     // weight 0 drops
+    assert(out("3") > 1150 && out("3") < 1350)     // 1000 + ~25%
+    // reproducible: same output on a re-run
+    val again = Curate.weightedMix(df, "id", "src",
+        Map("0" -> 2.0, "1" -> 0.5, "2" -> 0.0), defaultWeight = 1.25)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(again == out)
+  }
+
+  test("weightedMix: fractional epochs are independent across epoch index and salt") {
+    val df = spark.range(0, 2000).select(col("id"), lit("s").as("src"))
+    val kept = Curate.weightedMix(df, "id", "src", Map("s" -> 1.5))
+      .filter(col("epoch") === 1).select("id").as[Long].collect().toSet
+    val keptSalted = Curate.weightedMix(df, "id", "src", Map("s" -> 1.5), salt = "other")
+      .filter(col("epoch") === 1).select("id").as[Long].collect().toSet
+    // both ~50% but different members — the subsamples are independent draws
+    assert(kept.size > 800 && keptSalted.size > 800)
+    assert(kept != keptSalted)
+    assert((kept & keptSalted).size < kept.size)
+  }
+
+  test("packNextFit: per-doc next-fit semantics, oversized chunk isolated, order restored") {
+    val chunks = Seq(
+      // doc 1: 30+30+4 = 64 fits exactly, +60 overflows -> seq 1
+      (1L, 0, 30), (1L, 1, 30), (1L, 2, 4), (1L, 3, 60),
+      // doc 2: oversized chunk alone, then fresh bin
+      (2L, 0, 100), (2L, 1, 20),
+      // doc 3: single chunk
+      (3L, 0, 5)
+    ).toDF("id", "chunk_idx", "n_tokens")
+    val out = Curate.packNextFit(chunks, "id", "chunk_idx", "n_tokens", capacity = 64)
+      .select("id", "chunk_idx", "seq_idx").as[(Long, Int, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 0)) == 0 && out((1L, 1)) == 0 && out((1L, 2)) == 0 && out((1L, 3)) == 1)
+    assert(out((2L, 0)) == 0 && out((2L, 1)) == 1)
+    assert(out((3L, 0)) == 0)
+  }
+
+  test("packNextFit: streaming over shuffled input matches chunk order, many docs") {
+    val chunks = (0L until 200L).flatMap { d =>
+      (0 until 7).map(i => (d, i, 20 + (i * 7 + d.toInt) % 30))
+    }
+    val df = chunks.toDF("id", "chunk_idx", "n_tokens")
+      .orderBy(rand(7))  // destroy input order; operator must restore it
+    val out = Curate.packNextFit(df, "id", "chunk_idx", "n_tokens", capacity = 70)
+      .select("id", "chunk_idx", "n_tokens", "seq_idx")
+      .as[(Long, Int, Int, Int)].collect()
+    assert(out.length == chunks.length)
+    // replay the rule per doc on the driver and compare
+    val expected = chunks.groupBy(_._1).flatMap { case (d, cs) =>
+      var acc = 0; var seq = -1
+      cs.sortBy(_._2).map { case (_, i, n) =>
+        if (seq < 0 || acc + n > 70) { seq += 1; acc = n } else acc += n
+        (d, i) -> seq
+      }
+    }
+    assert(out.map(r => (r._1, r._2) -> r._4).toMap == expected.toMap)
+    // bins respect capacity except oversized singletons
+    val sums = out.groupBy(r => (r._1, r._4)).values.map(_.map(_._3).sum)
+    assert(sums.forall(_ <= 70))
+  }
 }

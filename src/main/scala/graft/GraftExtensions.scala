@@ -83,11 +83,16 @@ object GraftFunctions {
 /** `SparkSessionExtensions` hook (set `spark.sql.extensions` to this class
   * name). */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    // heap-based top-k-per-group: planner strategy for the custom node +
+    // the optimizer rewrite that routes row_number()<=k window plans to it
+    e.injectPlannerStrategy(_ => graft.plan.TopKPerGroupStrategy)
+    e.injectOptimizerRule(_ => graft.plan.RewriteWindowTopK)
+  }
 }

@@ -878,6 +878,21 @@ object Queries {
       .select(col("id").as("doc_id"), col("chunk_idx"), col("n_tokens"), col("seq_idx"))
   }
 
+  /** Top-3 line items per supplier through the custom heap operator
+    * ([[graft.plan.TopKPerGroupNode]] + partial/final exec): per-partition
+    * size-k heaps BEFORE the shuffle cut shuffle volume to partitions ×
+    * suppliers × 3 rows, vs the window formulation's full shuffle + sort of
+    * all 600k rows. The oracle is the plain row_number window — results
+    * must be identical (the ordering is total: price, orderkey,
+    * linenumber). */
+  def q67TopkHeap(s: SparkSession, dir: String): DataFrame =
+    graft.plan.TopKPerGroup(
+      tbl(s, dir, "lineitem").select(col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice").cast("double").as("price")),
+      Seq(col("l_suppkey")),
+      Seq(col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc),
+      k = 3)
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -946,7 +961,8 @@ object Queries {
     "q63_heavy_hitters" -> (q63HeavyHitters _),
     "q64_bloom_decontaminate" -> (q64BloomDecontaminate _),
     "q65_weighted_mix" -> (q65WeightedMix _),
-    "q66_pack_chunks" -> (q66PackChunks _))
+    "q66_pack_chunks" -> (q66PackChunks _),
+    "q67_topk_heap" -> (q67TopkHeap _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50)
@@ -1464,5 +1480,14 @@ object Queries {
         |   CASE WHEN p.acc + c.n_tokens > 64 THEN p.seq + 1 ELSE p.seq END
         | FROM c JOIN pack p ON c.doc_id = p.doc_id AND c.chunk_idx = p.chunk_idx + 1)
         |SELECT doc_id, chunk_idx, n_tokens, CAST(seq AS INT) AS seq_idx
-        |FROM pack""".stripMargin)
+        |FROM pack""".stripMargin,
+    "q67_topk_heap" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, price, CAST(rk AS INT) AS rk
+        |FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber,
+        |   CAST(l_extendedprice AS DOUBLE) AS price,
+        |   row_number() OVER (PARTITION BY l_suppkey
+        |     ORDER BY CAST(l_extendedprice AS DOUBLE) DESC, l_orderkey, l_linenumber) AS rk
+        | FROM lineitem)
+        |WHERE rk <= 3""".stripMargin)
 }

@@ -570,6 +570,45 @@ object Dedup {
     corpus.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup-style semantic dedup: coarse-cluster the embedding space with
+    * the deterministic IVF KMeans ([[graft.ann.Ivf.fit]]), assign every
+    * vector to its `probes` nearest cells (multiprobe closes most
+    * cell-boundary misses), verify exact cosine within each cell, and keep
+    * ONE representative per connected near-dup component (the smallest id).
+    * Returns the surviving rows of `df`.
+    *
+    * Approximate by construction — a pair split across all probed cells is
+    * missed (the SemDeDup paper accepts the same trade: k-means cluster
+    * then prune within cluster). Raise `probes` or lower `numCells` to
+    * trade compute for recall.
+    *
+    * Scale shape: the fit is centroid-driver-small; assignment is one
+    * linear corpus scan through a codegen'd native expression; the only
+    * corpus-sized exchange is the ONE bucket shuffle on cell id (capped
+    * collect — degenerate cells never materialize); pair verification
+    * touches cell collisions only, and the final keep is a left-anti join
+    * against the (graph-sized) dropped-id set. */
+  def semanticPrune(df: DataFrame, idCol: String, vecCol: String,
+                    numCells: Int = 16, probes: Int = 2,
+                    threshold: Double = 0.9, iterations: Int = 2,
+                    maxBucketSize: Int = 10000): DataFrame = {
+    val model = graft.ann.Ivf.fit(df, idCol, vecCol, numCells, iterations)
+    val assigned = ensureParallelism(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .select(col("id"), col("vec"),
+        explode(graft.ann.Ivf.nearestCells(col("vec"), model, probes)).as("cell"))
+    val pairs = bucketPairs(assigned, Seq("cell"), maxBucketSize)
+      .select(
+        least(col("__x.id"), col("__y.id")).as("id_a"),
+        greatest(col("__x.id"), col("__y.id")).as("id_b"),
+        S.cosine(col("__x.vec"), col("__y.vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
+    val dropped = duplicateClusters(pairs.select(col("id_a"), col("id_b")))
+      .filter(col("id") =!= col("cluster_id")) // representative = min id
+      .select(col("id").as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-dup pairs via random-hyperplane LSH bucketing
     * (see [[graft.ann.Ann.hyperplaneSignature]]): vectors sharing a
     * signature bucket are verified with exact double-precision cosine. */

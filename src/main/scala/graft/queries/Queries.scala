@@ -893,6 +893,14 @@ object Queries {
       Seq(col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc),
       k = 3)
 
+  /** SemDeDup survivors over the embeddings table: IVF-cell clustering +
+    * within-cell exact cosine + keep-min-id-per-component (rows-only check:
+    * cell assignment is approximate by construction). */
+  def q68SemanticPrune(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticPrune(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        numCells = 8, probes = 2, threshold = 0.4)
+      .select(col("vec_id"), col("label"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -962,10 +970,11 @@ object Queries {
     "q64_bloom_decontaminate" -> (q64BloomDecontaminate _),
     "q65_weighted_mix" -> (q65WeightedMix _),
     "q66_pack_chunks" -> (q66PackChunks _),
-    "q67_topk_heap" -> (q67TopkHeap _))
+    "q67_topk_heap" -> (q67TopkHeap _),
+    "q68_semantic_prune" -> (q68SemanticPrune _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
-    * q33, q34, q46, q50)
+    * q33, q34, q46, q50, q68)
     * are hash-based or approximate by construction → driver records a
     * rows-only check; EntrySpec pins that exact set. */
   val oracles: Map[String, String] = Map(

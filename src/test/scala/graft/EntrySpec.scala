@@ -11,7 +11,7 @@ class EntrySpec extends SparkSpec {
     // hash-based / approximate operators only
     assert(rowsOnly == Set("q22_minhash_pairs", "q23_simhash_pairs", "q25_lsh_topk",
       "q32_embedding_dedup", "q33_fingerprint", "q34_ivf_topk", "q46_source_sketch",
-      "q50_multimodal"))
+      "q50_multimodal", "q68_semantic_prune"))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 

@@ -198,4 +198,32 @@ class DedupAnnSpec extends SparkSpec {
     // rank is always within k and qid never equals nid
     assert(!approx.exists(p => p._1 == p._2))
   }
+
+  test("semanticPrune keeps one representative per embedding near-dup group") {
+    // 30 well-separated base directions in R^8 (one-hot-ish with distinct
+    // off-axis noise), each duplicated 1-3x with tiny perturbations: the
+    // perturbed copies are cos > 0.999 to their base, bases are cos < 0.7
+    // to each other
+    val rows = (0 until 30).flatMap { b =>
+      val base = Array.tabulate(8)(d => if (d == b % 8) 10.0f else 0.3f * ((b * 7 + d) % 5))
+      val copies = b % 3 + 1
+      (0 until copies).map { c =>
+        val v = base.clone()
+        v(0) = v(0) + 0.001f * c
+        (b.toLong * 10 + c, v.toSeq)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Dedup.semanticPrune(df, "vec_id", "embedding",
+        numCells = 6, probes = 3, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    // exactly one survivor per base group, and it is the smallest id
+    assert(kept.size == 30, s"expected 30 survivors, got ${kept.size}")
+    assert((0 until 30).forall(b => kept.contains(b.toLong * 10)))
+    // deterministic: same survivors on a re-run
+    val again = Dedup.semanticPrune(df, "vec_id", "embedding",
+        numCells = 6, probes = 3, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == kept)
+  }
 }

@@ -64,6 +64,10 @@ object GraftFunctions {
       BloomFilterAgg(args.head, intArg(args(1), "numBits").toLong,
         if (args.length == 3) intArg(args(2), "numHashes") else 7).toAggregateExpression()
     },
+    "graft_kmv_sketch" -> { args =>
+      require(args.length == 2, "graft_kmv_sketch(hash, k)")
+      KmvDistinctAgg(args.head, intArg(args(1), "k")).toAggregateExpression()
+    },
     "graft_bloom_contains" -> { args =>
       require(args.length == 2 || args.length == 3, "graft_bloom_contains(hash, bloomLiteral[, numHashes])")
       val bytes = args(1) match {

@@ -25,8 +25,13 @@ object Curate {
   /** [[hashBucket]] with a per-row (Column) salt — e.g. an epoch index, so
     * each epoch draws an independent deterministic subsample. */
   def hashBucketDyn(id: Column, buckets: Int, salt: Column): Column =
-    pmod(conv(substring(md5(concat(id.cast("string"), salt)), 1, 15), 16, 10).cast("long"),
-      lit(buckets.toLong))
+    pmod(portableHash60(concat(id.cast("string"), salt)), lit(buckets.toLong))
+
+  /** Engine-portable 60-bit uniform hash: first 15 hex chars of md5 as a
+    * long in [0, 2^60) — any engine with md5 reproduces it bit-for-bit
+    * (the property every deterministic-sampling op here leans on). */
+  def portableHash60(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** Split label from integer weights, e.g. Seq("train" -> 8, "val" -> 1,
     * "test" -> 1): buckets [0,8) → train, [8,9) → val, [9,10) → test. */

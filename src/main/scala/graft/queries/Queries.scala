@@ -901,6 +901,26 @@ object Queries {
         numCells = 8, probes = 2, threshold = 0.4)
       .select(col("vec_id"), col("label"))
 
+  /** Per-source distinct-token estimate via the KMV order-statistic sketch
+    * (k = 16 minima of the engine-portable md5 hash): the sketch is exactly
+    * reproducible in DuckDB (sort + window), so the APPROXIMATE estimator
+    * hash-matches an exact oracle — the whole point of choosing an order
+    * statistic over HLL. Sources with fewer than k distinct tokens fall
+    * back to the exact count (sketch not full). */
+  def q69KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.KmvDistinctAgg.kmvSketch
+    val k = 16
+    val toks = tbl(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), explode(T.tokens(col("text"))).as("tok"))
+    toks.groupBy("source")
+      .agg(kmvSketch(graft.curate.Curate.portableHash60(col("tok")), k).as("mins"))
+      .select(col("source"),
+        round(when(size(col("mins")) < k, size(col("mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble * 1152921504606846976.0) /
+            element_at(col("mins"), k).cast("double")), 4).as("est_distinct"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -971,7 +991,8 @@ object Queries {
     "q65_weighted_mix" -> (q65WeightedMix _),
     "q66_pack_chunks" -> (q66PackChunks _),
     "q67_topk_heap" -> (q67TopkHeap _),
-    "q68_semantic_prune" -> (q68SemanticPrune _))
+    "q68_semantic_prune" -> (q68SemanticPrune _),
+    "q69_kmv_distinct" -> (q69KmvDistinct _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50, q68)
@@ -1498,5 +1519,20 @@ object Queries {
         |   row_number() OVER (PARTITION BY l_suppkey
         |     ORDER BY CAST(l_extendedprice AS DOUBLE) DESC, l_orderkey, l_linenumber) AS rk
         | FROM lineitem)
-        |WHERE rk <= 3""".stripMargin)
+        |WHERE rk <= 3""".stripMargin,
+    "q69_kmv_distinct" ->
+      """WITH toks AS (
+        | SELECT source, unnest(string_split_regex(trim(text),'\s+')) AS tok
+        | FROM documents WHERE length(trim(text)) > 0),
+        |h AS (SELECT DISTINCT source,
+        |   CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS v FROM toks),
+        |r AS (SELECT source, v,
+        |   row_number() OVER (PARTITION BY source ORDER BY v) AS rn FROM h),
+        |agg AS (SELECT source, count(*) AS cnt, max(v) AS kth
+        | FROM r WHERE rn <= 16 GROUP BY source)
+        |SELECT source,
+        | round(CASE WHEN cnt < 16 THEN CAST(cnt AS DOUBLE)
+        |   ELSE 15.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END, 4)
+        |   AS est_distinct
+        |FROM agg""".stripMargin)
 }

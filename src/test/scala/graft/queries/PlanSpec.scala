@@ -151,4 +151,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"no window in:\n$p")
     assert(!p.contains("SinglePartition"), s"window collapsed to one partition:\n$p")
   }
+
+  test("q64 bloom decontamination: in-scan probe stays codegen'd, verify join broadcasts") {
+    // judge the FINAL adaptive plan only — the "Initial Plan" section keeps
+    // the pre-AQE sort-merge join that AQE flips to broadcast
+    val p = executedPlan("q64_bloom_decontaminate").split("== Initial Plan ==")(0)
+    // the bloom probe is a Filter expression — its host must carry the
+    // codegen star (a CodegenFallback would strip the whole stage)
+    val probeLine = p.linesIterator.find(_.contains("bloomcontainsexpr")).get
+    assert(probeLine.contains("*("), s"bloom probe fell out of codegen:\n$p")
+    // the exact verify join against the gram set is a broadcast, and the
+    // final keep is an anti join — the corpus is never sort-merge joined
+    assert(p.contains("BroadcastHashJoin"), s"verify join lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side sort-merge crept in:\n$p")
+  }
+
+  test("q67 heap top-k: partial pass below the exchange bounds shuffle volume") {
+    val p = executedPlan("q67_topk_heap")
+    val partialIdx = p.indexOf("PartialTopK")
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(partialIdx >= 0 && p.contains("TopKPerGroup"), s"custom operator missing:\n$p")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      s"partial heap pass must run BEFORE the shuffle:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains(" Window"),
+      s"query fell back to the sort-based window path:\n$p")
+  }
 }

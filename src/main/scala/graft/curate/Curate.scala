@@ -84,8 +84,8 @@ object Curate {
   def weightedMix(df: DataFrame, idCol: String, strataCol: String,
                   weights: Map[String, Double], defaultWeight: Double = 1.0,
                   salt: String = ""): DataFrame = {
-    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w.isFinite),
-      "weights must be finite and >= 0")
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 1000),
+      "weights must be in [0, 1000] — each unit of weight replicates the stratum once")
     val w = weights.foldLeft(lit(defaultWeight)) {
       case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
     }

@@ -20,8 +20,11 @@ import org.apache.spark.sql.types._
   */
 object BloomKernels {
 
-  /** Second hash: SplitMix64 finalizer, forced odd so the probe stride is
-    * coprime with any m. */
+  /** Second hash: SplitMix64 finalizer, forced odd — coprime with the
+    * power-of-two factor of m (m = 64·words). When words has odd prime
+    * factors a stride sharing one cycles a fraction of the bit positions;
+    * the spec pins the REALIZED false-positive rate, and false positives
+    * only ever cost verify-join input, never correctness. */
   def mix(x: Long): Long = {
     var z = x + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

@@ -117,11 +117,14 @@ case class TopKPerGroupExec(
     if (grouping.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(grouping) :: Nil
   override protected def doExecute(): RDD[InternalRow] = {
+    // locals only: referencing fields inside the closure would capture
+    // `this` and serialize the whole operator subtree into every task
     val (grp, ordExprs, kk, out) = (grouping, order, k, child.output)
+    val outTypes = (child.output :+ rankAttr).map(_.dataType).toArray
     child.execute().mapPartitions({ iter =>
       import scala.jdk.CollectionConverters._
       val ord = RowOrdering.create(ordExprs, out).asInstanceOf[Ordering[InternalRow]]
-      val outProj = UnsafeProjection.create((out :+ rankAttr).map(_.dataType).toArray)
+      val outProj = UnsafeProjection.create(outTypes)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
       TopKHeaps.perGroup(iter, out, grp, ordExprs, kk)

@@ -874,7 +874,12 @@ object Queries {
   def q66PackChunks(s: SparkSession, dir: String): DataFrame = {
     val chunks = graft.curate.Curate.chunkTokens(
       tbl(s, dir, "documents"), "doc_id", "text", maxTokens = 32, overlap = 8)
-    graft.curate.Curate.packNextFit(chunks, "id", "chunk_idx", "n_tokens", capacity = 64)
+    // drop chunk_text BEFORE packing: the packer's one shuffle + sort
+    // should carry three ints per row, not the chunk payload (the
+    // mapPartitions row-encoder boundary blocks column pruning)
+    graft.curate.Curate.packNextFit(
+        chunks.select(col("id"), col("chunk_idx"), col("n_tokens")),
+        "id", "chunk_idx", "n_tokens", capacity = 64)
       .select(col("id").as("doc_id"), col("chunk_idx"), col("n_tokens"), col("seq_idx"))
   }
 

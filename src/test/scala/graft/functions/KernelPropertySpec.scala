@@ -120,4 +120,68 @@ object KernelPropertySpec extends Properties("Kernels") {
         heavy.subsetOf(out.keySet) &&
         out.forall { case (t, e) => e <= truth(t) && truth(t) - e <= bound }
     }
+
+  // ---------------------------------------------------------------- bloom
+
+  import graft.functions.expressions.BloomKernels
+
+  property("bloom: NO false negative under any insert order or word count") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.long), Gen.choose(1, 40)) { (xs, words) =>
+      val w = new Array[Long](words)
+      xs.foreach(BloomKernels.add(w, 7, _))
+      xs.forall(BloomKernels.contains(w, 7, _))
+    }
+
+  property("bloom: add is idempotent and order-independent (bitwise OR algebra)") =
+    Prop.forAll(Gen.listOf(Gen.long), Gen.choose(1, 20)) { (xs, words) =>
+      val a = new Array[Long](words)
+      val b = new Array[Long](words)
+      xs.foreach(BloomKernels.add(a, 7, _))
+      (xs.reverse ++ xs).foreach(BloomKernels.add(b, 7, _))
+      a.toSeq == b.toSeq
+    }
+
+  // ------------------------------------------------------------------ kmv
+
+  import graft.functions.expressions.KmvDistinctAgg
+
+  private def runKmv(values: Seq[Long], k: Int, chunks: Int): Seq[Long] = {
+    val agg = KmvDistinctAgg(BoundReference(0, LongType, nullable = false), k)
+    val partials = values.grouped(math.max(1, math.ceil(values.size.toDouble / chunks).toInt))
+      .map { chunk =>
+        val buf = agg.createAggregationBuffer()
+        chunk.foreach(v => agg.update(buf, new GenericInternalRow(Array[Any](v))))
+        agg.deserialize(agg.serialize(buf))
+      }.toSeq
+    val merged = partials.reduceLeftOption((a, b) => agg.merge(a, b))
+      .getOrElse(agg.createAggregationBuffer())
+    agg.eval(merged).asInstanceOf[GenericArrayData].toLongArray().toSeq
+  }
+
+  property("kmv: equals the k smallest distinct values under any split") =
+    Prop.forAll(Gen.listOf(Gen.long), Gen.choose(2, 32), Gen.choose(1, 7)) {
+      (xs, k, chunks) =>
+        runKmv(xs, k, chunks) == xs.distinct.sorted.take(k)
+    }
+
+  // ----------------------------------------------------------------- pack
+
+  private def packRef(sizes: Seq[Int], cap: Int): Seq[Int] = {
+    var acc = 0; var seq = -1
+    sizes.map { n =>
+      if (seq < 0 || acc + n > cap) { seq += 1; acc = n } else acc += n
+      seq
+    }
+  }
+
+  property("next-fit reference: bins within capacity except oversized singletons, " +
+    "sequence ids contiguous from 0") =
+    Prop.forAll(Gen.listOf(Gen.choose(1, 50)), Gen.choose(1, 80)) { (sizes, cap) =>
+      val seqs = packRef(sizes, cap)
+      val byBin = sizes.zip(seqs).groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      val capOk = byBin.values.forall(b => b.sum <= cap || b.size == 1)
+      val contiguous = seqs.isEmpty || seqs.distinct == (0 to seqs.max).toList
+      val monotone = seqs.isEmpty || seqs.zip(seqs.tail).forall { case (a, b) => b == a || b == a + 1 }
+      capOk && contiguous && monotone
+    }
 }

@@ -1,0 +1,102 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative whole-graph analytics over edge DataFrames — the
+  * aggregate-messages (Pregel-on-DataFrames) shape that complements
+  * [[graft.dedup.Dedup.duplicateClusters]]' connected components: each
+  * round is ONE join (ranks onto edges) + ONE aggregation (messages by
+  * destination), both sized and co-partitioned to the GRAPH, never to any
+  * corpus the graph was derived from.
+  */
+object Graph {
+
+  /** PageRank with a fixed iteration count and deterministic,
+    * engine-portable semantics:
+    *
+    *   nodes      = distinct src ∪ dst of the (deduplicated) edge list
+    *   r₀(v)      = 1.0
+    *   r₊(v)      = (1−d) + d · Σ over in-edges (u,v) of r(u) / outdeg(u)
+    *
+    * Dangling nodes (no out-edges) contribute no mass — the standard
+    * per-node-score simplification (vs. the redistribute-to-all variant,
+    * which needs a global sum per round); with a fixed iteration count the
+    * result is a pure deterministic function of the edge set, which is what
+    * makes it exactly replayable by an unrolled-SQL oracle.
+    *
+    * Scale shape: `adj` carries each edge's out-degree inline (one
+    * up-front join), is hash-partitioned on `src` and persisted — it is
+    * the reused per-iteration input. Ranks stay hash-partitioned on the
+    * node id at the same partition count, so the per-round ranks⋈adj join
+    * inserts no exchange; the only per-round shuffle is the
+    * message aggregation by `dst`, sized to the edge count
+    * (`parts` ≈ edges/500k, capped at the session default) — a tiny graph
+    * iterated at corpus partition counts would spend everything on task
+    * scheduling (the [[graft.dedup.Dedup.duplicateClusters]] lesson).
+    * `localCheckpoint` truncates each round's lineage so round N's plan
+    * does not replay rounds 1..N−1.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val spark = edges.sparkSession
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e0.count()
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val parts = math.max(1L,
+      math.min(sessionParts.toLong, nEdges / 500000L + 1L)).toInt
+    // out-degree rides inline on every edge row, so each iteration is one
+    // join + one aggregation — no per-round degree lookup
+    val adj = e0
+      .join(e0.groupBy(col("src")).agg(count(lit(1)).as("__deg")), "src")
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count() // materialize from e0's cache, then release it
+    e0.unpersist()
+    try {
+      val nodes = adj
+        .select(explode(array(col("src"), col("dst"))).as("id")).distinct()
+        .repartition(parts, col("id"))
+        .localCheckpoint(true)
+      var ranks = nodes.select(col("id"), lit(1.0).as("pr"))
+      var it = 0
+      while (it < iterations) {
+        val msgs = adj.join(ranks, adj("src") === ranks("id"))
+          .groupBy(col("dst").as("nid"))
+          .agg(sum(col("pr") / col("__deg")).as("__in"))
+          .repartition(parts, col("nid")) // re-align with nodes for the join
+        ranks = nodes.join(msgs, nodes("id") === msgs("nid"), "left")
+          .select(col("id"),
+            (lit(1.0 - damping) +
+              lit(damping) * coalesce(col("__in"), lit(0.0))).as("pr"))
+          .localCheckpoint(false) // lazy: materialized by the next round /
+                                  // the caller's action, truncating lineage
+        it += 1
+      }
+      // ONE action drains the whole lazy-checkpoint chain while adj is
+      // still cached (each round materializes from the previous round's
+      // checkpoint + the cache); without it, releasing adj below would
+      // make every round re-derive the adjacency from raw edges at the
+      // caller's first action — iterations × the full edge build
+      ranks.localCheckpoint(true)
+    } finally {
+      adj.unpersist(blocking = false)
+    }
+  }
+
+  /** Per-node degree summary over a directed edge list: out-degree,
+    * in-degree, and total — one pass, two partial-aggregated shuffles of
+    * (id, side) pairs, never of edge payloads. */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
+      .select(explode(array(
+        struct(col(srcCol).as("id"), lit(1L).as("out"), lit(0L).as("in")),
+        struct(col(dstCol).as("id"), lit(0L).as("out"), lit(1L).as("in")))).as("e"))
+      .groupBy(col("e.id").as("id"))
+      .agg(sum(col("e.out")).as("out_degree"), sum(col("e.in")).as("in_degree"),
+        count(lit(1)).as("degree"))
+}

@@ -926,6 +926,53 @@ object Queries {
             element_at(col("mins"), k).cast("double")), 4).as("est_distinct"))
   }
 
+  /** Full CUBE over (returnflag, linestatus): all four grouping sets —
+    * detail, each one-key subtotal, grand total — in ONE scan + ONE
+    * partial/map-side-combined aggregation (q58's ROLLUP covers only the
+    * prefix sets). At scale the alternative is four groupBys + union =
+    * four scans; Catalyst's Expand keeps it to one. */
+  def q70CubeAgg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("gid"), col("n"), col("sum_qty"))
+
+  /** The distribution-rank window family — ntile quartiles, percent_rank,
+    * cume_dist, dense_rank — per market segment. The ordering includes
+    * c_custkey so it is TOTAL (c_acctbal carries duplicates in the data:
+    * 1499 distinct / 1500 rows at sf0.01); without the tie-break every one
+    * of these functions is nondeterministic across engines. Windows are
+    * partitioned by segment, so no single-partition global sort. */
+  def q71RankWindows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    tbl(s, dir, "customer").select(
+      col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 4).as("pct_rank"),
+      round(cume_dist().over(w), 4).as("cum_dist"),
+      dense_rank().over(w).as("drank"))
+  }
+
+  /** INTERSECT (set semantics): customers that placed orders in BOTH
+    * statuses. Plans as aggregate + left-semi hash join on the
+    * deduplicated sides — each branch's filter reaches its own parquet
+    * scan, and at 100 TB this is one key-shuffle of custkeys, never of
+    * order payloads (q07 covers the EXCEPT twin). */
+  def q72Intersect(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders")
+    orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(
+        orders.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -997,7 +1044,10 @@ object Queries {
     "q66_pack_chunks" -> (q66PackChunks _),
     "q67_topk_heap" -> (q67TopkHeap _),
     "q68_semantic_prune" -> (q68SemanticPrune _),
-    "q69_kmv_distinct" -> (q69KmvDistinct _))
+    "q69_kmv_distinct" -> (q69KmvDistinct _),
+    "q70_cube_agg" -> (q70CubeAgg _),
+    "q71_rank_windows" -> (q71RankWindows _),
+    "q72_intersect" -> (q72Intersect _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50, q68)
@@ -1539,5 +1589,24 @@ object Queries {
         | round(CASE WHEN cnt < 16 THEN CAST(cnt AS DOUBLE)
         |   ELSE 15.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END, 4)
         |   AS est_distinct
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin,
+    "q70_cube_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        | coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        | CAST(2*grouping(l_returnflag) + grouping(l_linestatus) AS INT) AS gid,
+        | count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q71_rank_windows" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | round(percent_rank() OVER w, 4) AS pct_rank,
+        | round(cume_dist() OVER w, 4) AS cum_dist,
+        | CAST(dense_rank() OVER w AS INT) AS drank
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
+    "q72_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin)
 }

@@ -973,6 +973,50 @@ object Queries {
         orders.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
   }
 
+  /** PageRank (3 fixed iterations) over the bipartite part↔supplier graph
+    * — suppliers ride as negated ids so the two key spaces can't collide.
+    * Raw (part, supplier) pairs go in with both directions emitted
+    * map-side (explode, one scan); [[graft.graph.Graph.pageRank]] owns the
+    * dedup, degree join and the per-round aggregate-messages loop. The
+    * graph is degree-skewed (each supplier serves ~500 parts, each part
+    * ~2-5 suppliers), so ranks spread over ~350 distinct rounded values at
+    * sf0.01 — a real signal, unlike the near-complete supplier
+    * co-purchase graph whose ranks all collapse to 1.0. Probed: min
+    * distance of any r₃ to a round-4 boundary is 5.5e-8 (sf0.01) / 6.6e-10
+    * (sf0.1), orders of magnitude above cross-engine float noise. */
+  def q73PageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = tbl(s, dir, "lineitem")
+      .select(explode(array(
+        struct(col("l_partkey").as("src"), (-col("l_suppkey")).as("dst")),
+        struct((-col("l_suppkey")).as("src"), col("l_partkey").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    graft.graph.Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .select(col("id"), round(col("pr"), 4).as("pr"))
+  }
+
+  /** Count-min sketch point estimates for the exact global top-20 tokens,
+    * reported next to their true counts. The sketch
+    * ([[graft.functions.expressions.CountMinAgg]], 4×512 grid) aggregates
+    * with elementwise-adding partials — the token stream never shuffles,
+    * the exchange carries one 16 KB grid — and because bucket indices come
+    * from the engine-portable md5 hash the APPROXIMATE estimates
+    * hash-match a DuckDB replay of the same grid (same trick as q69's KMV:
+    * pick the sketch whose randomness is deterministic). est ≥ n always;
+    * the probe set is made deterministic by the total (n DESC, tok ASC)
+    * order. */
+  def q74CmsEstimate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.CountMinAgg.{countMin, estimate}
+    val d = 4; val w = 512
+    val toks = tbl(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(T.tokens(col("text"))).as("tok"))
+    val grid = toks.agg(countMin(col("tok"), d, w).as("cms"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(20) // TakeOrdered — distributed
+    top.crossJoin(broadcast(grid)) // 1-row side: a broadcast, not a blowup
+      .select(col("tok"), col("n"), estimate(col("cms"), col("tok"), d, w).as("est"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1047,7 +1091,9 @@ object Queries {
     "q69_kmv_distinct" -> (q69KmvDistinct _),
     "q70_cube_agg" -> (q70CubeAgg _),
     "q71_rank_windows" -> (q71RankWindows _),
-    "q72_intersect" -> (q72Intersect _))
+    "q72_intersect" -> (q72Intersect _),
+    "q73_pagerank" -> (q73PageRank _),
+    "q74_cms_estimate" -> (q74CmsEstimate _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50, q68)
@@ -1608,5 +1654,44 @@ object Queries {
     "q72_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |INTERSECT
-        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin)
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    // the unrolled replay of Graph.pageRank's fixed-point-free semantics:
+    // r0 = 1, r_{t+1}(v) = 0.15 + 0.85 * sum over in-edges of r_t(u)/deg(u)
+    "q73_pagerank" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |e AS (SELECT p AS src, -s AS dst FROM ps UNION ALL SELECT -s, p FROM ps),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |n AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+        |r0 AS (SELECT id, 1.0 AS r FROM n),
+        |c1 AS (SELECT e.dst AS id, sum(r0.r / deg.deg) AS s FROM e
+        |       JOIN r0 ON r0.id = e.src JOIN deg ON deg.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.id, 0.15 + 0.85 * coalesce(c1.s, 0) AS r FROM n LEFT JOIN c1 USING (id)),
+        |c2 AS (SELECT e.dst AS id, sum(r1.r / deg.deg) AS s FROM e
+        |       JOIN r1 ON r1.id = e.src JOIN deg ON deg.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.id, 0.15 + 0.85 * coalesce(c2.s, 0) AS r FROM n LEFT JOIN c2 USING (id)),
+        |c3 AS (SELECT e.dst AS id, sum(r2.r / deg.deg) AS s FROM e
+        |       JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.id, 0.15 + 0.85 * coalesce(c3.s, 0) AS r FROM n LEFT JOIN c3 USING (id))
+        |SELECT id, round(r, 4) AS pr FROM r3""".stripMargin,
+    // replay the 4x512 count-min grid from the same portable md5 buckets,
+    // then read each probe's minimum counter — exact same estimates
+    "q74_cms_estimate" ->
+      """WITH toks AS (
+        | SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        | FROM documents WHERE length(trim(text)) > 0),
+        |cnt AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+        |top AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok ASC LIMIT 20),
+        |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+        |grid AS (
+        | SELECT j, CAST(concat('0x', substr(md5(concat(tok, ':cms', CAST(j AS VARCHAR))), 1, 15))
+        |          AS BIGINT) % 512 AS b, count(*) AS c
+        | FROM toks CROSS JOIN js GROUP BY 1, 2),
+        |probe AS (
+        | SELECT t.tok, t.n, js.j,
+        |   CAST(concat('0x', substr(md5(concat(t.tok, ':cms', CAST(js.j AS VARCHAR))), 1, 15))
+        |     AS BIGINT) % 512 AS b
+        | FROM top t CROSS JOIN js)
+        |SELECT p.tok, p.n, min(g.c) AS est
+        |FROM probe p JOIN grid g ON g.j = p.j AND g.b = p.b
+        |GROUP BY p.tok, p.n""".stripMargin)
 }

@@ -1,0 +1,52 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank on a chain matches hand-computed ranks (dangling node, no in-edges)") {
+    // a -> b -> c: a has no in-edges (floor rank 0.15 after one round),
+    // c is dangling (contributes nothing onward)
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // r1: a=0.15, b=0.15+0.85*1=1.0,    c=0.15+0.85*1=1.0
+    // r2: a=0.15, b=0.15+0.85*0.15,     c=0.15+0.85*1.0
+    // r3: a=0.15, b=0.15+0.85*0.15,     c=0.15+0.85*0.2775
+    assert(math.abs(r("a") - 0.15) < 1e-12)
+    assert(math.abs(r("b") - 0.2775) < 1e-12)
+    assert(math.abs(r("c") - 0.385875) < 1e-12)
+  }
+
+  test("pageRank dedupes parallel edges and conserves symmetric-cycle uniformity") {
+    // duplicated edge rows must count once; on a 2-cycle every rank stays 1.0
+    val edges = Seq(("x", "y"), ("x", "y"), ("y", "x")).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 4)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.keySet == Set("x", "y"))
+    r.values.foreach(v => assert(math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("pageRank sums weighted contributions across in-edges") {
+    // hub h points at t alongside a second source s; t's in-mass is
+    // r(h)/2 + r(s)/1 (h's out-degree splits its rank)
+    val edges = Seq(("h", "t"), ("h", "u"), ("s", "t")).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("t") - (0.15 + 0.85 * (0.5 + 1.0))) < 1e-12)
+    assert(math.abs(r("u") - (0.15 + 0.85 * 0.5)) < 1e-12)
+    assert(math.abs(r("h") - 0.15) < 1e-12)
+  }
+
+  test("degrees reports out/in/total per node in one pass") {
+    val edges = Seq((1L, 2L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val d = Graph.degrees(edges, "src", "dst")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(d(1L) == ((2L, 1L, 3L)))
+    assert(d(2L) == ((0L, 1L, 1L)))
+    assert(d(3L) == ((1L, 1L, 2L)))
+  }
+}

@@ -108,4 +108,17 @@ object KmvDistinctAgg {
   def kmvSketch(hash: Column, k: Int): Column =
     ExpressionUtils.column(
       KmvDistinctAgg(ExpressionUtils.expression(hash), k).toAggregateExpression())
+
+  /** The classic estimator over a [[kmvSketch]] column: `(k−1)·2^60 /
+    * kth_min`, falling back to the EXACT stored count when the sketch
+    * never filled (fewer than k distinct values — the minima then ARE the
+    * value set). Shared by q69/q77 so the Spark side and any SQL replay
+    * agree on one formula. */
+  def estimateDistinct(mins: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    round(
+      when(size(mins) < k, size(mins).cast("double"))
+        .otherwise(lit((k - 1).toDouble * (1L << 60).toDouble) /
+          element_at(mins, k).cast("double")), 4)
+  }
 }

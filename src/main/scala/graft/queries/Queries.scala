@@ -921,9 +921,8 @@ object Queries {
     toks.groupBy("source")
       .agg(kmvSketch(graft.curate.Curate.portableHash60(col("tok")), k).as("mins"))
       .select(col("source"),
-        round(when(size(col("mins")) < k, size(col("mins")).cast("double"))
-          .otherwise(lit((k - 1).toDouble * 1152921504606846976.0) /
-            element_at(col("mins"), k).cast("double")), 4).as("est_distinct"))
+        graft.functions.expressions.KmvDistinctAgg.estimateDistinct(col("mins"), k)
+          .as("est_distinct"))
   }
 
   /** Full CUBE over (returnflag, linestatus): all four grouping sets —
@@ -1017,6 +1016,88 @@ object Queries {
       .select(col("tok"), col("n"), estimate(col("cms"), col("tok"), d, w).as("est"))
   }
 
+  /** Z-order (Morton) clustering statistics: lineitem rows keyed by the
+    * interleaved-bit z-value of (partkey, suppkey) mod 1024, rolled up per
+    * top-4-bit z-bucket. The per-bucket min/max of BOTH dimensions is the
+    * operator's whole point — under a lexicographic sort only the leading
+    * column's range narrows per bucket; under z-order every clustered
+    * column's does, which is what parquet min/max file skipping turns into
+    * IO savings ([[graft.layout.Layout.writeZOrdered]] writes this layout;
+    * LayoutSpec pins disjoint per-file z-ranges). Pure codegen'd bit
+    * arithmetic — integer-exact on both engines, no rounding anywhere. */
+  def q75ZorderStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.layout.Layout
+    val z = Layout.zValue(
+      Seq(pmod(col("l_partkey"), lit(1024L)), pmod(col("l_suppkey"), lit(1024L))),
+      bits = 10)
+    tbl(s, dir, "lineitem")
+      .select(z.as("zval"), col("l_partkey"), col("l_suppkey"))
+      .groupBy(shiftright(col("zval"), 16).cast("int").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min("zval").as("zmin"), max("zval").as("zmax"),
+        min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+        min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+  }
+
+  /** Stream-stream interval join (clicks ⋈ purchases within 12 h per
+    * user) — the streaming twin of q57's batch range join, proved
+    * equivalent against the SAME SQL oracle (the q28 pattern, applied to
+    * the join operator instead of aggregation). Both sides carry
+    * watermarks, so the state store evicts rows older than watermark −
+    * 12 h instead of buffering the full streams — the property that makes
+    * the join runnable forever at scale. Runs in a cloned session (state
+    * stores sized to the join state, caller's conf untouched); emits
+    * epoch micros per the temporal-query convention. */
+  def q76StreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = ss.read.parquet(s"$dir/events.parquet").schema
+    def src = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 12 HOURS"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        unix_micros(col("p_ts")).as("win_start"))
+    val name = "q76_stream_interval_join_sink"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    ss.table(name)
+  }
+
+  /** Cross-source sketch rollup — the stored-artifact algebra KMV exists
+    * for: q69's per-source sketches are "stored", and the GLOBAL distinct
+    * estimate is computed by merging those 20 sketch rows (explode minima
+    * → re-sketch), never rescanning the corpus. Lossless by the order-
+    * statistic argument: any global top-k minimum is a top-k minimum of
+    * its own source, so the union of per-source minima contains the exact
+    * global minima — the oracle replays precisely that and the estimate
+    * hash-matches. At 100 TB this turns "distinct tokens across the whole
+    * corpus" into an aggregation over #sources tiny rows. */
+  def q77KmvRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.KmvDistinctAgg.{estimateDistinct, kmvSketch}
+    val k = 16
+    val toks = tbl(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), explode(T.tokens(col("text"))).as("tok"))
+    val stored = toks.groupBy("source")
+      .agg(kmvSketch(graft.curate.Curate.portableHash60(col("tok")), k).as("mins"))
+    stored.select(explode(col("mins")).as("h"))
+      .agg(kmvSketch(col("h"), k).as("mins"))
+      .select(estimateDistinct(col("mins"), k).as("est_distinct"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1093,7 +1174,10 @@ object Queries {
     "q71_rank_windows" -> (q71RankWindows _),
     "q72_intersect" -> (q72Intersect _),
     "q73_pagerank" -> (q73PageRank _),
-    "q74_cms_estimate" -> (q74CmsEstimate _))
+    "q74_cms_estimate" -> (q74CmsEstimate _),
+    "q75_zorder_stats" -> (q75ZorderStats _),
+    "q76_stream_interval_join" -> (q76StreamIntervalJoin _),
+    "q77_kmv_rollup" -> (q77KmvRollup _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50, q68)
@@ -1693,5 +1777,48 @@ object Queries {
         | FROM top t CROSS JOIN js)
         |SELECT p.tok, p.n, min(g.c) AS est
         |FROM probe p JOIN grid g ON g.j = p.j AND g.b = p.b
-        |GROUP BY p.tok, p.n""".stripMargin)
+        |GROUP BY p.tok, p.n""".stripMargin,
+    // bit-interleave replay: column c's bit i lands at position 2i+c
+    // (parenthesize the shifts — | binds tighter than << in DuckDB)
+    "q75_zorder_stats" ->
+      """WITH z AS (
+        | SELECT l_partkey, l_suppkey,
+        |  CAST(list_sum(list_transform(generate_series(0, 9),
+        |    i -> ((((l_partkey % 1024) >> i) & 1) << (2*i))
+        |       | ((((l_suppkey % 1024) >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zval
+        | FROM lineitem)
+        |SELECT CAST(zval >> 16 AS INT) AS zbucket, count(*) AS n,
+        | min(zval) AS zmin, max(zval) AS zmax,
+        | min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+        | min(l_suppkey) AS smin, max(l_suppkey) AS smax
+        |FROM z GROUP BY 1""".stripMargin,
+    // identical semantics to q57's batch range join — the point: the
+    // streaming operator must produce exactly the batch answer
+    "q76_stream_interval_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us
+        |           FROM events WHERE event_type = 'click'),
+        |w AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS win_start,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) + 12::BIGINT*3600*1000000 AS win_end
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.click_us, w.win_start
+        |FROM c JOIN w ON c.user_id = w.user_id
+        | AND c.click_us BETWEEN w.win_start AND w.win_end""".stripMargin,
+    // replay the rollup exactly: per-source k minima, union, global k
+    // minima of THAT union — the same minima the merged sketch holds
+    "q77_kmv_rollup" ->
+      """WITH toks AS (
+        | SELECT source, unnest(string_split_regex(trim(text),'\s+')) AS tok
+        | FROM documents WHERE length(trim(text)) > 0),
+        |h AS (SELECT DISTINCT source,
+        |   CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS v FROM toks),
+        |r AS (SELECT source, v,
+        |   row_number() OVER (PARTITION BY source ORDER BY v) AS rn FROM h),
+        |m AS (SELECT DISTINCT v FROM r WHERE rn <= 16),
+        |g AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM m),
+        |agg AS (SELECT count(*) FILTER (rn <= 16) AS cnt,
+        |        max(v) FILTER (rn <= 16) AS kth FROM g)
+        |SELECT round(CASE WHEN cnt < 16 THEN CAST(cnt AS DOUBLE)
+        |  ELSE 15.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END, 4)
+        |  AS est_distinct
+        |FROM agg""".stripMargin)
 }

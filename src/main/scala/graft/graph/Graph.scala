@@ -39,37 +39,72 @@ object Graph {
     * does not replay rounds 1..N−1.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int, damping: Double = 0.85): DataFrame = {
+               iterations: Int, damping: Double = 0.85,
+               broadcastMaxNodes: Long = 4L << 20,
+               assumeDistinct: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val spark = edges.sparkSession
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // `assumeDistinct = true` skips the dedup shuffle when the caller
+    // already produced distinct edges (e.g. exploded both directions of a
+    // distinct undirected pair set — q73: dedup 600k pairs, THEN mirror
+    // map-side, instead of shuffling 1.2M mirrored rows through distinct)
+    val e0 = (if (assumeDistinct) raw else raw.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = e0.count()
     val sessionParts = spark.sessionState.conf.numShufflePartitions
+    // ~100k edge rows per task: graph-sized like duplicateClusters, but a
+    // denser grain — each PageRank round does real arithmetic per edge,
+    // and clamping a million-edge graph to 2-3 partitions serializes it
     val parts = math.max(1L,
-      math.min(sessionParts.toLong, nEdges / 500000L + 1L)).toInt
-    // out-degree rides inline on every edge row, so each iteration is one
-    // join + one aggregation — no per-round degree lookup
-    val adj = e0
-      .join(e0.groupBy(col("src")).agg(count(lit(1)).as("__deg")), "src")
-      .repartition(parts, col("src"))
+      math.min(sessionParts.toLong, nEdges / 100000L + 1L)).toInt
+    // small-rank fast path, same reasoning as a broadcast join: while the
+    // rank table fits an executor, ship IT to the edges each round — the
+    // per-round ranks⋈adj join then moves no edge bytes at all and the
+    // only exchange is the (partial-aggregated, ≤ partitions×nodes rows)
+    // message rollup; adj then needs no src partitioning either. Above the
+    // bound: co-partitioned joins, the plan for billion-node graphs.
+    val nodes0 = e0
+      .select(explode(array(col("src"), col("dst"))).as("id")).distinct()
+      .localCheckpoint(true) // one job; both paths below reuse it
+    val bcastRanks = nodes0.count() <= broadcastMaxNodes
+    // Iterated layout differs by regime. Broadcast regime: GROUPED
+    // adjacency lists — one row per source carrying its dst array, so the
+    // per-round join touches #nodes rows, contributions explode map-side,
+    // and the per-group array is bounded by #nodes ≤ broadcastMaxNodes
+    // (edges are distinct), so the collect can't blow an executor. Big
+    // regime: row-per-edge co-partitioned on src — hub nodes stay spread
+    // across tasks, nothing is ever grouped in memory (out-degree rides
+    // inline on each edge row instead).
+    val adj = (if (bcastRanks)
+        e0.groupBy(col("src")).agg(collect_list(col("dst")).as("__dsts"))
+      else
+        e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("__deg")), "src")
+          .repartition(parts, col("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count() // materialize from e0's cache, then release it
     e0.unpersist()
     try {
-      val nodes = adj
-        .select(explode(array(col("src"), col("dst"))).as("id")).distinct()
-        .repartition(parts, col("id"))
-        .localCheckpoint(true)
+      val nodes = if (bcastRanks) nodes0
+        else nodes0.repartition(parts, col("id")).localCheckpoint(true)
       var ranks = nodes.select(col("id"), lit(1.0).as("pr"))
       var it = 0
       while (it < iterations) {
-        val msgs = adj.join(ranks, adj("src") === ranks("id"))
-          .groupBy(col("dst").as("nid"))
-          .agg(sum(col("pr") / col("__deg")).as("__in"))
-          .repartition(parts, col("nid")) // re-align with nodes for the join
-        ranks = nodes.join(msgs, nodes("id") === msgs("nid"), "left")
+        val msgs0 =
+          if (bcastRanks)
+            adj.join(broadcast(ranks), adj("src") === ranks("id"))
+              .select(explode(col("__dsts")).as("nid"),
+                (col("pr") / size(col("__dsts"))).as("__c"))
+              .groupBy(col("nid")).agg(sum(col("__c")).as("__in"))
+          else
+            adj.join(ranks, adj("src") === ranks("id"))
+              .groupBy(col("dst").as("nid"))
+              .agg(sum(col("pr") / col("__deg")).as("__in"))
+        val msgs = if (bcastRanks) msgs0
+          else msgs0.repartition(parts, col("nid")) // re-align with nodes
+        ranks = nodes
+          .join(if (bcastRanks) broadcast(msgs) else msgs,
+            nodes("id") === msgs("nid"), "left")
           .select(col("id"),
             (lit(1.0 - damping) +
               lit(damping) * coalesce(col("__in"), lit(0.0))).as("pr"))

@@ -984,12 +984,17 @@ object Queries {
     * distance of any r₃ to a round-4 boundary is 5.5e-8 (sf0.01) / 6.6e-10
     * (sf0.1), orders of magnitude above cross-engine float noise. */
   def q73PageRank(s: SparkSession, dir: String): DataFrame = {
+    // dedup the 600k UNDIRECTED pairs first, then mirror map-side: half
+    // the rows through the dedup shuffle vs distinct-after-explode, and
+    // `assumeDistinct` lets the operator skip its own dedup pass
     val edges = tbl(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
       .select(explode(array(
-        struct(col("l_partkey").as("src"), (-col("l_suppkey")).as("dst")),
-        struct((-col("l_suppkey")).as("src"), col("l_partkey").as("dst")))).as("e"))
+        struct(col("p").as("src"), (-col("s")).as("dst")),
+        struct((-col("s")).as("src"), col("p").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    graft.graph.Graph.pageRank(edges, "src", "dst", iterations = 3)
+    graft.graph.Graph.pageRank(edges, "src", "dst", iterations = 3,
+        assumeDistinct = true)
       .select(col("id"), round(col("pr"), 4).as("pr"))
   }
 

@@ -166,6 +166,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus-side sort-merge crept in:\n$p")
   }
 
+  test("q70 cube: all four grouping sets from ONE scan, aggregation stays partial") {
+    val p = plan("q70_cube_agg")
+    assert(p.contains("Expand"), s"no grouping-set expand in:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"cube must not rescan the table per grouping set:\n$p")
+    assert(p.contains("partial"), s"no partial aggregation in:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"cube must be a single shuffle:\n$p")
+  }
+
+  test("q71 rank windows share one partitioned sort — no single-partition collapse") {
+    val p = plan("q71_rank_windows")
+    assert(p.contains("Window"), s"no window in:\n$p")
+    assert(!p.contains("SinglePartition"), s"window collapsed to one partition:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"all four rank functions must share one exchange:\n$p")
+  }
+
+  test("q72 intersect plans as distinct + left-semi, filters pushed to both scans") {
+    val p = plan("q72_intersect")
+    assert(p.contains("LeftSemi"), s"intersect lost its semi join:\n$p")
+    assert(p.linesIterator.count(_.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus")) == 2,
+      s"status filters must reach both parquet scans:\n$p")
+  }
+
+  test("q74 count-min: grid aggregation is partial; 1-row grid broadcasts") {
+    val p = plan("q74_cms_estimate")
+    assert(p.toLowerCase.contains("partial_countminagg"),
+      s"sketch partials lost — the token stream would shuffle:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"1-row grid side must broadcast:\n$p")
+  }
+
+  test("q75 z-order: bit interleave is map-side; only the bucket agg shuffles") {
+    val p = plan("q75_zorder_stats")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"expected exactly one exchange in:\n$p")
+    val proj = executedPlan("q75_zorder_stats").split("== Initial Plan ==")(0)
+      .linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(proj.nonEmpty && proj.forall(_.contains("*(")),
+      s"interleave/agg path fell out of whole-stage codegen:\n$proj")
+  }
+
   test("q67 heap top-k: partial pass below the exchange bounds shuffle volume") {
     val p = executedPlan("q67_topk_heap")
     val partialIdx = p.indexOf("PartialTopK")

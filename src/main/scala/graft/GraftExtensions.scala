@@ -68,6 +68,17 @@ object GraftFunctions {
       require(args.length == 2, "graft_kmv_sketch(hash, k)")
       KmvDistinctAgg(args.head, intArg(args(1), "k")).toAggregateExpression()
     },
+    "graft_misra_gries" -> { args =>
+      require(args.length == 2, "graft_misra_gries(token, k)")
+      MisraGriesAgg(args.head, intArg(args(1), "k")).toAggregateExpression()
+    },
+    "graft_countmin" -> { args =>
+      // buckets = array of per-row grid coordinates (see CountMinAgg's
+      // portable md5 convention — SQL callers build it with md5/conv)
+      require(args.length == 3, "graft_countmin(buckets, depth, width)")
+      CountMinAgg(args.head, intArg(args(1), "depth"), intArg(args(2), "width"))
+        .toAggregateExpression()
+    },
     "graft_bloom_contains" -> { args =>
       require(args.length == 2 || args.length == 3, "graft_bloom_contains(hash, bloomLiteral[, numHashes])")
       val bytes = args(1) match {

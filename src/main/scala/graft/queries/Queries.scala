@@ -1103,6 +1103,50 @@ object Queries {
       .select(estimateDistinct(col("mins"), k).as("est_distinct"))
   }
 
+  /** One-pass column profiler over documents: count / null count / KMV
+    * distinct estimate / numeric min-max per column, in long format. The
+    * at-scale property ([[graft.stats.Profile.summarize]]): NO Expand —
+    * Catalyst plans multi-column countDistinct as #columns copies of every
+    * row through the shuffle, while the per-column KMV sketches ride the
+    * same single aggregation as the cheap stats. Every estimate replays
+    * exactly in DuckDB (portable md5 minima). */
+  def q78Profile(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Profile.summarize(tbl(s, dir, "documents"),
+      Seq("doc_id", "lang", "source", "n_chars"), k = 64)
+
+  /** Incremental rollup maintenance: the stored per-(type, day) aggregate
+    * table (events before Jan 24) absorbs the last week's delta via
+    * [[graft.operators.Incremental.mergeAggregates]] — merging PARTIALS,
+    * never rescanning history — and the oracle asserts the merge equals a
+    * full recompute. Sums are exact DECIMAL(18,6) (probed: every value
+    * carries ≤ 6 decimals, so the cast is lossless) cast to double only at
+    * the output edge — float-associativity can't break the hash-match. */
+  def q79IncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    def rollup(df: DataFrame) = df
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("total"))
+    val cutoff = lit("2024-01-24").cast("date")
+    val stored = rollup(ev.filter(to_date(col("ts")) < cutoff))
+    val delta = rollup(ev.filter(to_date(col("ts")) >= cutoff))
+    graft.operators.Incremental.mergeAggregates(stored, delta, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("n"),
+        col("total").cast("double").as("total"))
+  }
+
+  /** Per-source median and p90 of document length from the integer-exact
+    * histogram sketch ([[graft.stats.Profile.histogramQuantiles]]):
+    * buckets come from (msb, next-2-bits) — `length(bin(x))` arithmetic
+    * both engines reproduce bit-for-bit, unlike float log bucketing.
+    * Mergeable (bucket counts are sums), one (group, bucket) shuffle,
+    * ≤ 12.5% relative error by construction; the oracle replays the
+    * bucketing and picks the identical bucket lower bounds. */
+  def q80HistQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Profile.histogramQuantiles(
+        tbl(s, dir, "documents"), "source", "n_chars", Seq(0.5, 0.9))
+      .select(col("grp").as("source"), col("prob"), col("q"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1182,7 +1226,10 @@ object Queries {
     "q74_cms_estimate" -> (q74CmsEstimate _),
     "q75_zorder_stats" -> (q75ZorderStats _),
     "q76_stream_interval_join" -> (q76StreamIntervalJoin _),
-    "q77_kmv_rollup" -> (q77KmvRollup _))
+    "q77_kmv_rollup" -> (q77KmvRollup _),
+    "q78_profile" -> (q78Profile _),
+    "q79_incremental_rollup" -> (q79IncrementalRollup _),
+    "q80_hist_quantiles" -> (q80HistQuantiles _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50, q68)
@@ -1825,5 +1872,76 @@ object Queries {
         |SELECT round(CASE WHEN cnt < 16 THEN CAST(cnt AS DOUBLE)
         |  ELSE 15.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END, 4)
         |  AS est_distinct
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin,
+    // per-column replay of the one-pass profile: the KMV estimate is the
+    // same 64-minima window replay as q69/q77, run per column
+    "q78_profile" ->
+      """WITH
+        |est AS (
+        | SELECT col_name,
+        |  round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |    ELSE 63.0 * 1152921504606846976.0 /
+        |      CAST(max(v) AS DOUBLE) END, 4) AS est_distinct
+        | FROM (
+        |  SELECT col_name, v,
+        |    row_number() OVER (PARTITION BY col_name ORDER BY v) AS rn
+        |  FROM (
+        |   SELECT DISTINCT 'doc_id' AS col_name,
+        |     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS v
+        |   FROM documents WHERE doc_id IS NOT NULL
+        |   UNION ALL SELECT DISTINCT 'lang',
+        |     CAST(concat('0x', substr(md5(lang),1,15)) AS BIGINT)
+        |   FROM documents WHERE lang IS NOT NULL
+        |   UNION ALL SELECT DISTINCT 'source',
+        |     CAST(concat('0x', substr(md5(source),1,15)) AS BIGINT)
+        |   FROM documents WHERE source IS NOT NULL
+        |   UNION ALL SELECT DISTINCT 'n_chars',
+        |     CAST(concat('0x', substr(md5(CAST(n_chars AS VARCHAR)),1,15)) AS BIGINT)
+        |   FROM documents WHERE n_chars IS NOT NULL))
+        | WHERE rn <= 64 GROUP BY col_name),
+        |base AS (
+        | SELECT 'doc_id' AS col_name, count(*) AS n,
+        |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(min(doc_id) AS DOUBLE) AS min_num, CAST(max(doc_id) AS DOUBLE) AS max_num
+        | FROM documents
+        | UNION ALL SELECT 'lang', count(*),
+        |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM documents
+        | UNION ALL SELECT 'source', count(*),
+        |  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM documents
+        | UNION ALL SELECT 'n_chars', count(*),
+        |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE) FROM documents)
+        |SELECT b.col_name, b.n, b.n_nulls, e.est_distinct, b.min_num, b.max_num
+        |FROM base b JOIN est e USING (col_name)""".stripMargin,
+    // full recompute — the merged-partials side must equal it exactly
+    // (decimal sums are associative; counts are counts)
+    "q79_incremental_rollup" ->
+      """SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q80_hist_quantiles" ->
+      """WITH b AS (
+        | SELECT source, (length(bin(n_chars)) - 1) AS msb,
+        |  CASE WHEN length(bin(n_chars)) - 1 >= 2
+        |       THEN (n_chars >> (length(bin(n_chars)) - 3)) & 3
+        |       ELSE 0 END AS sub
+        | FROM documents),
+        |h AS (SELECT source, msb*4 + sub AS bucket,
+        |  CASE WHEN msb >= 2
+        |       THEN (1::BIGINT << msb) + sub*(1::BIGINT << (msb - 2))
+        |       ELSE (1::BIGINT << msb) END AS lo,
+        |  count(*) AS cnt
+        | FROM b GROUP BY 1, 2, 3),
+        |c AS (SELECT source, bucket, lo, cnt,
+        |  sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+        |  sum(cnt) OVER (PARTITION BY source) AS total FROM h)
+        |SELECT source, p.prob, min(lo) AS q
+        |-- DOUBLE probs: DuckDB's bare 0.9 is DECIMAL and its exact
+        |-- decimal product would ceil differently than Spark's IEEE double
+        |FROM c CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS prob) p
+        |WHERE cum >= ceil(total * p.prob)
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -35,6 +35,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(math.abs(e - 1.0) < 1e-12) // two equiprobable chars = 1 bit
   }
 
+  test("graft_misra_gries and graft_countmin aggregates are SQL-callable") {
+    GraftFunctions.register(spark)
+    (Seq.fill(5)("x") ++ Seq.fill(2)("y")).toDF("tok").createOrReplaceTempView("gf_mg")
+    val mg = spark.sql(
+      "select graft_misra_gries(tok, 4) as hh from gf_mg").collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(mg.head.getString(0) == "x" && mg.head.getLong(1) == 5L)
+    val cms = spark.sql(
+      """select graft_countmin(array(
+        |  pmod(cast(conv(substr(md5(concat(tok, ':cms0')), 1, 15), 16, 10) as bigint), 64),
+        |  pmod(cast(conv(substr(md5(concat(tok, ':cms1')), 1, 15), 16, 10) as bigint), 64)), 2, 64) as g
+        |from gf_mg""".stripMargin).collect()(0).getSeq[Long](0)
+    assert(cms.length == 128 && cms.sum == 14L) // 7 rows x 2 grid rows
+  }
+
   test("non-literal k is rejected with a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

@@ -107,22 +107,49 @@ object Ivf {
   def topK(corpus: DataFrame, queries: DataFrame, model: Model,
            corpusId: String, corpusVec: String,
            queryId: String, queryVec: String,
-           k: Int, nProbes: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+           k: Int, nProbes: Int = 3): DataFrame =
     // single consumer — at scale the assigned index is a stored table the
-    // caller materializes once (assign()); persisting here would only slow
-    // the one-shot query path.
-    val c = assign(corpus, corpusVec, model)
-      .select(col(corpusId).as("nid"), col(corpusVec).as("nvec"), col("cell"))
+    // caller materializes once (assign() + save); persisting here would
+    // only slow the one-shot query path.
+    topKAgainstIndex(
+      assign(corpus, corpusVec, model)
+        .select(col(corpusId).as("nid"), col(corpusVec).as("nvec"), col("cell")),
+      queries, model, queryId, queryVec, k, nProbes)
+
+  /** Serve top-k from a PRE-ASSIGNED index table `(nid, nvec, cell)` —
+    * the stored-artifact path: [[assign]] once, [[save]] the model next to
+    * the index table, then every query batch joins the (cell-bucketed)
+    * index without rescanning or re-quantizing the corpus. Queries
+    * broadcast; the corpus side is touched only in the probed cells. */
+  def topKAgainstIndex(index: DataFrame, queries: DataFrame, model: Model,
+                       queryId: String, queryVec: String,
+                       k: Int, nProbes: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"),
         explode(nearestCells(col(queryVec), model, nProbes)).as("cell"))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    val scored = index.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), S.cosine(col("qvec"), col("nvec")).as("cos"))
       .groupBy("qid", "nid").agg(max("cos").as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Persist a fitted model as a tiny parquet table `(cell, centroid)` —
+    * one file; the model is driver-small by construction. */
+  def save(model: Model, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[save]]; cell ids order the centroids so
+    * stored `cell` assignments in index tables stay valid. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model =
+    Model(spark.read.parquet(path).orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray))
 }
 
 /** Nearest-centroid ids by euclidean distance, ascending — array<int> of

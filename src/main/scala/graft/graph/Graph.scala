@@ -123,6 +123,20 @@ object Graph {
     }
   }
 
+  /** Connected components over an undirected edge list: every node labeled
+    * with the smallest id reachable through the graph. Front door to the
+    * engine that already powers dup-cluster analysis
+    * ([[graft.dedup.Dedup.duplicateClusters]]): driver union-find below a
+    * configurable edge bound, min-label propagation with checkpointed
+    * lineage above it — both paths spec-pinned identical there. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIters: Int = 20,
+                          driverMaxEdges: Long = 1L << 20): DataFrame =
+    graft.dedup.Dedup.duplicateClusters(
+        edges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b")),
+        maxIters, driverMaxEdges)
+      .withColumnRenamed("cluster_id", "component")
+
   /** Per-node degree summary over a directed edge list: out-degree,
     * in-degree, and total — one pass, two partial-aggregated shuffles of
     * (id, side) pairs, never of edge payloads. */

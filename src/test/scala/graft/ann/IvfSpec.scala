@@ -50,4 +50,24 @@ class IvfSpec extends SparkSpec {
     // probing half the cells on a weak-neighbor corpus
     assert(recall >= 0.4, s"IVF recall $recall too low")
   }
+
+  test("model save/load round-trips and the stored index serves identical top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    val m = Ivf.fit(e, "vec_id", "embedding", numCells = 8, iterations = 2)
+    Ivf.save(m, spark, s"$dir/model")
+    val loaded = Ivf.load(spark, s"$dir/model")
+    assert(loaded.centroids.map(_.toSeq).toSeq == m.centroids.map(_.toSeq).toSeq)
+    // the serving path: assign once, store, answer query batches from the
+    // stored table — results must equal the rebuild-every-time path
+    Ivf.assign(e, "embedding", m)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cell"))
+      .write.mode("overwrite").parquet(s"$dir/index")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val fromStored = Ivf.topKAgainstIndex(
+        spark.read.parquet(s"$dir/index"), q, loaded, "vec_id", "embedding", 5, nProbes = 4)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    val direct = Ivf.topK(e, q, m, "vec_id", "embedding", "vec_id", "embedding", 5, nProbes = 4)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(fromStored == direct)
+  }
 }

@@ -41,6 +41,13 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r("h") - 0.15) < 1e-12)
   }
 
+  test("connectedComponents labels every node with its reachable minimum") {
+    val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("a", "b")
+    val got = Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 3L, 3L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("degrees reports out/in/total per node in one pass") {
     val edges = Seq((1L, 2L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
     val d = Graph.degrees(edges, "src", "dst")

@@ -49,10 +49,25 @@ case class CountMinAgg(
     val arr = buckets.eval(input)
     if (arr != null) {
       val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(a.numElements() == depth,
+        s"bucket array has ${a.numElements()} elements, sketch depth is $depth")
+      // a null ITEM nulls every md5 bucket — skip the row (KmvDistinctAgg
+      // convention); without this, getLong on a null slot reads 0 and every
+      // null row silently inflates bucket 0 of every grid row
       var j = 0
-      while (j < depth) {
-        buffer(j * width + a.getLong(j).toInt) += 1L
-        j += 1
+      var anyNull = false
+      while (j < depth && !anyNull) { anyNull = a.isNullAt(j); j += 1 }
+      if (!anyNull) {
+        j = 0
+        while (j < depth) {
+          val b = a.getLong(j)
+          // a SQL caller that hashed mod a different width would write into
+          // the NEXT grid row's counters — corrupt, so reject loudly
+          require(b >= 0 && b < width,
+            s"bucket $b out of range [0, $width) — grid built with a different width?")
+          buffer(j * width + b.toInt) += 1L
+          j += 1
+        }
       }
     }
     buffer

@@ -123,6 +123,53 @@ object Graph {
     }
   }
 
+  /** Unweighted BFS distances from a seed set, capped at `maxHops`.
+    * Returns ONLY reached nodes `(id, dist ≤ maxHops)` — integer-exact,
+    * so an unrolled min-relaxation SQL replay matches bit-for-bit (q81:
+    * first-reach hop ≡ relaxed minimum on unweighted graphs).
+    *
+    * True FRONTIER expansion, not whole-set relaxation: each hop joins
+    * the edge list against only the nodes reached LAST hop (eagerly
+    * checkpointed, so the join side is a materialized table AQE
+    * broadcasts while small), anti-joins out everything already reached,
+    * and stops early when the frontier drains — interior nodes are never
+    * re-expanded, so total work is O(edges touched once), not
+    * O(hops × reached set). The per-hop shuffles carry candidate dst ids,
+    * never the corpus. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    seeds: DataFrame, seedCol: String, maxHops: Int,
+                    assumeDistinct: Boolean = false): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = (if (assumeDistinct) raw else raw.distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e0.count()
+    try {
+      var all = seeds.select(col(seedCol).as("id")).distinct()
+        .select(col("id"), lit(0).as("dist"))
+        .localCheckpoint(true)
+      var frontier = all
+      var hop = 0
+      var drained = false
+      while (hop < maxHops && !drained) {
+        val next = e0.join(frontier, e0("src") === frontier("id"))
+          .select(col("dst").as("id")).distinct()
+          .join(all, Seq("id"), "left_anti")
+          .select(col("id"), lit(hop + 1).as("dist"))
+          .localCheckpoint(true) // eager: early-exit probe reads it for free
+        drained = next.isEmpty
+        // `all` stays a union of checkpointed pieces — already materialized,
+        // so no further checkpointing and no lineage growth
+        if (!drained) all = all.unionByName(next)
+        frontier = next
+        hop += 1
+      }
+      all
+    } finally {
+      e0.unpersist(blocking = false)
+    }
+  }
+
   /** Connected components over an undirected edge list: every node labeled
     * with the smallest id reachable through the graph. Front door to the
     * engine that already powers dup-cluster analysis

@@ -972,31 +972,35 @@ object Queries {
         orders.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
   }
 
-  /** PageRank (3 fixed iterations) over the bipartite part↔supplier graph
-    * — suppliers ride as negated ids so the two key spaces can't collide.
-    * Raw (part, supplier) pairs go in with both directions emitted
-    * map-side (explode, one scan); [[graft.graph.Graph.pageRank]] owns the
-    * dedup, degree join and the per-round aggregate-messages loop. The
-    * graph is degree-skewed (each supplier serves ~500 parts, each part
-    * ~2-5 suppliers), so ranks spread over ~350 distinct rounded values at
-    * sf0.01 — a real signal, unlike the near-complete supplier
-    * co-purchase graph whose ranks all collapse to 1.0. Probed: min
-    * distance of any r₃ to a round-4 boundary is 5.5e-8 (sf0.01) / 6.6e-10
-    * (sf0.1), orders of magnitude above cross-engine float noise. */
-  def q73PageRank(s: SparkSession, dir: String): DataFrame = {
-    // dedup the 600k UNDIRECTED pairs first, then mirror map-side: half
-    // the rows through the dedup shuffle vs distinct-after-explode, and
-    // `assumeDistinct` lets the operator skip its own dedup pass
-    val edges = tbl(s, dir, "lineitem")
+  /** Shared bipartite part↔supplier edge builder for q73/q81: dedup the
+    * 600k UNDIRECTED pairs first, then mirror map-side (half the rows
+    * through the dedup shuffle vs distinct-after-explode; the consumers
+    * pass `assumeDistinct = true`). Suppliers ride as −(s+1): both key
+    * spaces start at 0 in the data, so a bare negation would merge part 0
+    * and supplier 0 into one corrupted node — and identically so in the
+    * oracle, which is exactly the class of error the hash-match gate
+    * cannot catch. */
+  private def partSupplierEdges(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
       .select(explode(array(
-        struct(col("p").as("src"), (-col("s")).as("dst")),
-        struct((-col("s")).as("src"), col("p").as("dst")))).as("e"))
+        struct(col("p").as("src"), (-(col("s") + 1)).as("dst")),
+        struct((-(col("s") + 1)).as("src"), col("p").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    graft.graph.Graph.pageRank(edges, "src", "dst", iterations = 3,
-        assumeDistinct = true)
+
+  /** PageRank (3 fixed iterations) over the bipartite part↔supplier
+    * graph; [[graft.graph.Graph.pageRank]] owns the degree join and the
+    * per-round aggregate-messages loop. The graph is degree-skewed (each
+    * supplier serves ~500 parts, each part ~2-5 suppliers), so ranks
+    * spread over ~350 distinct rounded values at sf0.01 — a real signal,
+    * unlike the near-complete supplier co-purchase graph whose ranks all
+    * collapse to 1.0. Probed with the −(s+1) encoding: min distance of
+    * any r₃ to a round-4 boundary is 2.0e-8 (sf0.01) / 2.7e-9 (sf0.1),
+    * orders of magnitude above cross-engine float noise. */
+  def q73PageRank(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Graph.pageRank(partSupplierEdges(s, dir), "src", "dst",
+        iterations = 3, assumeDistinct = true)
       .select(col("id"), round(col("pr"), 4).as("pr"))
-  }
 
   /** Count-min sketch point estimates for the exact global top-20 tokens,
     * reported next to their true counts. The sketch
@@ -1147,6 +1151,21 @@ object Queries {
         tbl(s, dir, "documents"), "source", "n_chars", Seq(0.5, 0.9))
       .select(col("grp").as("source"), col("prob"), col("q"))
 
+  /** BFS distances over the part↔supplier graph from a 5-supplier seed
+    * set, capped at 4 hops ([[graft.graph.Graph.shortestPaths]]). Pure
+    * integer relaxation — the oracle is a fully unrolled 4-round SQL
+    * replay, exact by construction. The reached set doubles as a
+    * neighborhood-expansion primitive (who is within k hops of these
+    * suppliers) — the same loop shape as PageRank with min(dist+1) in
+    * place of sum(rank/deg). */
+  def q81ShortestPaths(s: SparkSession, dir: String): DataFrame = {
+    val seeds = tbl(s, dir, "supplier")
+      .filter(col("s_suppkey") < 5).select((-(col("s_suppkey") + 1)).as("id"))
+    graft.graph.Graph.shortestPaths(partSupplierEdges(s, dir), "src", "dst",
+        seeds, "id", maxHops = 4, assumeDistinct = true)
+      .select(col("id"), col("dist"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1229,7 +1248,8 @@ object Queries {
     "q77_kmv_rollup" -> (q77KmvRollup _),
     "q78_profile" -> (q78Profile _),
     "q79_incremental_rollup" -> (q79IncrementalRollup _),
-    "q80_hist_quantiles" -> (q80HistQuantiles _))
+    "q80_hist_quantiles" -> (q80HistQuantiles _),
+    "q81_shortest_paths" -> (q81ShortestPaths _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50, q68)
@@ -1795,7 +1815,8 @@ object Queries {
     // r0 = 1, r_{t+1}(v) = 0.15 + 0.85 * sum over in-edges of r_t(u)/deg(u)
     "q73_pagerank" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-        |e AS (SELECT p AS src, -s AS dst FROM ps UNION ALL SELECT -s, p FROM ps),
+        |e AS (SELECT p AS src, -(s+1) AS dst FROM ps
+        |      UNION ALL SELECT -(s+1), p FROM ps),
         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
         |n AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
         |r0 AS (SELECT id, 1.0 AS r FROM n),
@@ -1943,5 +1964,28 @@ object Queries {
         |-- decimal product would ceil differently than Spark's IEEE double
         |FROM c CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS prob) p
         |WHERE cum >= ceil(total * p.prob)
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+    // fully unrolled 4-round BFS relaxation — integer-exact replay
+    "q81_shortest_paths" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |e AS (SELECT p AS src, -(s+1) AS dst FROM ps
+        |      UNION ALL SELECT -(s+1), p FROM ps),
+        |d0 AS (SELECT -(s_suppkey+1) AS id, 0 AS dist FROM supplier WHERE s_suppkey < 5),
+        |d1 AS (SELECT id, min(dist) AS dist FROM (
+        |  SELECT id, dist FROM d0
+        |  UNION ALL SELECT e.dst, d0.dist + 1 FROM e JOIN d0 ON e.src = d0.id)
+        | GROUP BY id),
+        |d2 AS (SELECT id, min(dist) AS dist FROM (
+        |  SELECT id, dist FROM d1
+        |  UNION ALL SELECT e.dst, d1.dist + 1 FROM e JOIN d1 ON e.src = d1.id)
+        | GROUP BY id),
+        |d3 AS (SELECT id, min(dist) AS dist FROM (
+        |  SELECT id, dist FROM d2
+        |  UNION ALL SELECT e.dst, d2.dist + 1 FROM e JOIN d2 ON e.src = d2.id)
+        | GROUP BY id),
+        |d4 AS (SELECT id, min(dist) AS dist FROM (
+        |  SELECT id, dist FROM d3
+        |  UNION ALL SELECT e.dst, d3.dist + 1 FROM e JOIN d3 ON e.src = d3.id)
+        | GROUP BY id)
+        |SELECT id, CAST(dist AS INT) AS dist FROM d4""".stripMargin)
 }

@@ -42,6 +42,29 @@ class CountMinAggSpec extends SparkSpec {
     assert(checked == 0L, "count-min must never underestimate")
   }
 
+  test("null items are skipped, not counted into bucket 0") {
+    val df = (Seq.fill(5)(Some("alpha")) ++ Seq.fill(3)(Option.empty[String]))
+      .toDF("tok")
+    val grid = df.agg(countMin(col("tok"), D, W)).as[Seq[Long]].head()
+    (0 until D).foreach { j =>
+      assert(grid.slice(j * W, (j + 1) * W).sum == 5L,
+        s"row $j counted null rows")
+    }
+  }
+
+  test("a bucket array built with the wrong width is rejected, not mis-written") {
+    import graft.functions.expressions.CountMinAgg
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    // buckets hashed mod 2*W but grid width W: values >= W must throw,
+    // not overflow into the next grid row
+    val bad = EU.column(CountMinAgg(
+      EU.expression(array(lit((W + 3).toLong), lit(0L))), 2, W).toAggregateExpression())
+    val e = intercept[Exception] {
+      Seq("x").toDF("tok").agg(bad).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("sketch is partition-invariant (elementwise merge)") {
     val df = spark.range(0, 2000)
       .select(concat(lit("w"), (col("id") % 97).cast("string")).as("tok"))

@@ -41,6 +41,31 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r("h") - 0.15) < 1e-12)
   }
 
+  test("pageRank big regime (broadcastMaxNodes = 0) matches the broadcast regime") {
+    // forces the row-per-edge co-partitioned path that real runs only hit
+    // above 4M nodes — its ranks must be identical (up to summation noise)
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "a")).toDF("src", "dst")
+    val fast = Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val big = Graph.pageRank(edges, "src", "dst", iterations = 3,
+        broadcastMaxNodes = 0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fast.keySet == big.keySet)
+    fast.foreach { case (k, v) => assert(math.abs(v - big(k)) < 1e-12, s"node $k") }
+  }
+
+  test("shortestPaths relaxes hop distances and stops at maxHops") {
+    // a -> b -> c -> d, plus shortcut a -> c
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")).toDF("s", "d")
+    val seeds = Seq("a").toDF("id")
+    val got = Graph.shortestPaths(edges, "s", "d", seeds, "id", maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
+    val capped = Graph.shortestPaths(edges, "s", "d", seeds, "id", maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(capped == Map("a" -> 0, "b" -> 1, "c" -> 1)) // d unreached at 1 hop
+  }
+
   test("connectedComponents labels every node with its reachable minimum") {
     val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("a", "b")
     val got = Graph.connectedComponents(edges, "a", "b")

@@ -28,4 +28,31 @@ object Skew {
   /** Per-key frequency — the diagnostic for picking salt targets. */
   def keyHistogram(df: DataFrame, key: String, topN: Int = 20): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n")).orderBy(desc("n")).limit(topN)
+
+  /** Heavy-key diagnosis at corpus scale, feeding [[saltedJoin]]'s salt
+    * choice: a Misra-Gries sketch proposes candidates WITHOUT shuffling
+    * the key stream (mergeable k-counter partials — [[keyHistogram]]'s
+    * full groupBy shuffles every key), an exact count verifies ONLY the
+    * candidates, and each of the top keys gets
+    * `salt = ceil(share × parts)` clamped to [1, maxSalt] — the factor by
+    * which the key overflows one average shuffle partition, which is
+    * precisely how many sub-keys spread it back to average. Guaranteed
+    * complete for every key with share > 1/(k+1) — the only keys that can
+    * need salting. Returns `(key, n, share, salt)` for the top `topN`. */
+  def analyze(df: DataFrame, key: String, parts: Int,
+              k: Int = 64, topN: Int = 10, maxSalt: Int = 32): DataFrame = {
+    import graft.functions.expressions.MisraGriesAgg.misraGries
+    require(parts >= 1 && maxSalt >= 1, "parts and maxSalt must be >= 1")
+    val keyed = df.select(col(key).cast("string").as("__k"))
+    val total = keyed.count()
+    val cands = keyed.agg(misraGries(col("__k"), k).as("mg"))
+      .select(explode(col("mg")).as("c")).select(col("c.tok").as("__k"))
+    keyed.join(broadcast(cands), Seq("__k"), "left_semi")
+      .groupBy(col("__k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("__k").asc).limit(topN) // TakeOrdered
+      .select(col("__k").as("key"), col("n"),
+        round(col("n") / lit(total.toDouble), 4).as("share"),
+        least(greatest(ceil(col("n") * lit(parts) / lit(total.toDouble)), lit(1L)),
+          lit(maxSalt.toLong)).cast("int").as("salt"))
+  }
 }

@@ -1166,6 +1166,18 @@ object Queries {
       .select(col("id"), col("dist"))
   }
 
+  /** Heavy-key skew diagnosis over the event stream
+    * ([[graft.frame.Skew.analyze]]): Misra-Gries proposes candidates
+    * without shuffling the key stream, exact counts verify only those,
+    * and each key gets the salt factor `ceil(share × 32)` that
+    * [[graft.frame.Skew.saltedJoin]] would need to spread it back to an
+    * average shuffle partition. With 5 event types over k=64 counters the
+    * sketch is exact by construction, so the whole output — including the
+    * salt recommendation — hash-matches plain SQL. */
+  def q82SkewAnalyze(s: SparkSession, dir: String): DataFrame =
+    graft.frame.Skew.analyze(events(s, dir), "event_type",
+      parts = 32, k = 64, topN = 5)
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1249,7 +1261,8 @@ object Queries {
     "q78_profile" -> (q78Profile _),
     "q79_incremental_rollup" -> (q79IncrementalRollup _),
     "q80_hist_quantiles" -> (q80HistQuantiles _),
-    "q81_shortest_paths" -> (q81ShortestPaths _))
+    "q81_shortest_paths" -> (q81ShortestPaths _),
+    "q82_skew_analyze" -> (q82SkewAnalyze _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50, q68)
@@ -1987,5 +2000,13 @@ object Queries {
         |  SELECT id, dist FROM d3
         |  UNION ALL SELECT e.dst, d3.dist + 1 FROM e JOIN d3 ON e.src = d3.id)
         | GROUP BY id)
-        |SELECT id, CAST(dist AS INT) AS dist FROM d4""".stripMargin)
+        |SELECT id, CAST(dist AS INT) AS dist FROM d4""".stripMargin,
+    // exact replay: 5 keys in a 64-counter sketch make Misra-Gries exact,
+    // so the diagnosis (counts, shares, salt factors) is plain SQL
+    "q82_skew_analyze" ->
+      """WITH tot AS (SELECT count(*) AS t FROM events),
+        |cnt AS (SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1)
+        |SELECT key, n, round(n / CAST(t AS DOUBLE), 4) AS share,
+        | CAST(least(greatest(ceil(n * 32 / CAST(t AS DOUBLE)), 1), 32) AS INT) AS salt
+        |FROM cnt, tot ORDER BY n DESC, key LIMIT 5""".stripMargin)
 }

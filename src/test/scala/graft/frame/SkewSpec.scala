@@ -24,6 +24,19 @@ class SkewSpec extends SparkSpec {
     assert(top == ("hot", 100L))
   }
 
+  test("analyze surfaces heavy keys with exact counts and a sensible salt") {
+    // one key holds half the rows: share 0.5 over 8 partitions -> salt 4
+    val df = ((1 to 500).map(_ => "hot") ++ (1 to 500).map(i => s"k${i % 100}"))
+      .toDF("key")
+    val got = Skew.analyze(df, "key", parts = 8, k = 64, topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.head == (("hot", 500L, 0.5, 4)))
+    // uniform tail keys (5 rows each, share 0.005) need no salting
+    assert(got.tail.forall(_._4 == 1))
+    // the Misra-Gries guarantee: every key above n/(k+1) must be surfaced
+    assert(got.map(_._1).contains("hot"))
+  }
+
   test("capBuckets guard: oversized LSH buckets are excluded from pairs") {
     // 60 identical docs would form a 60²-pair bucket; cap at 10 removes them
     val docs = ((1 to 60).map(i => (i.toLong, "same same same text here repeated again")) ++

@@ -36,17 +36,32 @@ object Skew {
     * candidates, and each of the top keys gets
     * `salt = ceil(share × parts)` clamped to [1, maxSalt] — the factor by
     * which the key overflows one average shuffle partition, which is
-    * precisely how many sub-keys spread it back to average. Guaranteed
-    * complete for every key with share > 1/(k+1) — the only keys that can
-    * need salting. Returns `(key, n, share, salt)` for the top `topN`. */
+    * precisely how many sub-keys spread it back to average.
+    *
+    * The sketch only guarantees surfacing keys with share > 1/(k+1), and a
+    * key needs salting whenever share > 1/parts — so the EFFECTIVE counter
+    * budget is raised to `max(k, parts − 1)`; with fewer counters a key
+    * needing salt 2-3 could be evicted and silently missed. NULL keys are
+    * excluded by construction (MG skips them, the verify join can't match
+    * them) — semantically right for salting, whose target is an EQUI-join
+    * shuffle that drops null keys anyway; count nulls separately if they
+    * matter. Total row count rides the same single-pass aggregation as the
+    * sketch. Returns `(key, n, share, salt)` for the top `topN`. */
   def analyze(df: DataFrame, key: String, parts: Int,
               k: Int = 64, topN: Int = 10, maxSalt: Int = 32): DataFrame = {
     import graft.functions.expressions.MisraGriesAgg.misraGries
     require(parts >= 1 && maxSalt >= 1, "parts and maxSalt must be >= 1")
+    val kEff = math.max(k, parts - 1)
     val keyed = df.select(col(key).cast("string").as("__k"))
-    val total = keyed.count()
-    val cands = keyed.agg(misraGries(col("__k"), k).as("mg"))
-      .select(explode(col("mg")).as("c")).select(col("c.tok").as("__k"))
+    // ONE corpus pass for sketch + total (not a dedicated count() job)
+    val row = keyed
+      .agg(count(lit(1)).as("__n"), misraGries(col("__k"), kEff).as("mg"))
+      .collect()(0)
+    val total = row.getLong(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cands = row.getSeq[org.apache.spark.sql.Row](1)
+      .map(_.getString(0)).toDF("__k")
     keyed.join(broadcast(cands), Seq("__k"), "left_semi")
       .groupBy(col("__k")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("__k").asc).limit(topN) // TakeOrdered

@@ -36,6 +36,14 @@ case class CountMinAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
+  // analysis-time type error instead of an executor ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    buckets.dataType match {
+      case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"countmin requires ARRAY<BIGINT> bucket input, got ${other.sql}")
+    }
+
   require(depth >= 1 && width >= 1, "depth and width must be >= 1")
   require(depth.toLong * width <= (1 << 24), "sketch grid too large to broadcast per group")
 

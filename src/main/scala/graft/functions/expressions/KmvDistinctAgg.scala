@@ -36,6 +36,14 @@ case class KmvDistinctAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KmvDistinctAgg.Buffer] {
 
+  // analysis-time type error instead of an executor ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kmv_sketch requires BIGINT hash input, got ${other.sql}")
+    }
+
   require(k >= 2, s"k must be >= 2, got $k")
 
   override def children: Seq[Expression] = Seq(child)

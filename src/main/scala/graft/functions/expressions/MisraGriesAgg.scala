@@ -31,6 +31,15 @@ case class MisraGriesAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
 
+  // SQL callers (graft_misra_gries) get an analysis-time type error instead
+  // of an executor-side ClassCastException on non-string input
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"misra_gries requires STRING input, got ${other.sql}")
+    }
+
   require(k >= 1, "k must be >= 1")
 
   override def children: Seq[Expression] = Seq(child)

@@ -17,20 +17,34 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
-  /** Merge two partial-aggregate tables sharing `keys`: all non-key
-    * columns are summed (they must be decomposable partials — sums or
-    * counts). Schemas must agree by name. */
-  def mergeAggregates(stored: DataFrame, delta: DataFrame,
-                      keys: Seq[String]): DataFrame = {
+  /** Merge two partial-aggregate tables sharing `keys`: measure columns
+    * are summed (they must be decomposable partials — sums or counts;
+    * store avg as sum+count, never merge a max/avg column through here).
+    * Schemas must agree by name.
+    *
+    * `measures` defaults to every non-key column; pass it EXPLICITLY when
+    * the rollup carries any column that is not a summable partial — the
+    * call is then rejected if a non-key column is neither key nor listed
+    * measure, instead of silently summing something non-decomposable into
+    * garbage (the failure mode of the exact "merge ≡ recompute" guarantee
+    * this operator exists for). */
+  def mergeAggregates(stored: DataFrame, delta: DataFrame, keys: Seq[String],
+                      measures: Seq[String] = Seq.empty): DataFrame = {
     require(keys.nonEmpty, "mergeAggregates needs at least one key")
     val storedCols = stored.columns.toSeq
     require(storedCols.toSet == delta.columns.toSet,
       s"schema mismatch: ${storedCols.mkString(",")} vs ${delta.columns.mkString(",")}")
-    val measures = storedCols.filterNot(keys.contains)
-    require(measures.nonEmpty, "no measure columns to merge")
+    val ms = if (measures.nonEmpty) measures else storedCols.filterNot(keys.contains)
+    require(ms.nonEmpty, "no measure columns to merge")
+    require(ms.forall(storedCols.contains),
+      s"measures ${ms.filterNot(storedCols.contains).mkString(",")} not in schema")
+    val unaccounted = storedCols.filterNot(c => keys.contains(c) || ms.contains(c))
+    require(unaccounted.isEmpty,
+      s"columns ${unaccounted.mkString(",")} are neither keys nor declared measures — " +
+        "summing them blindly would corrupt non-decomposable aggregates")
     stored.unionByName(delta)
       .groupBy(keys.map(col): _*)
-      .agg(sum(col(measures.head)).as(measures.head),
-        measures.tail.map(m => sum(col(m)).as(m)): _*)
+      .agg(sum(col(ms.head)).as(ms.head),
+        ms.tail.map(m => sum(col(m)).as(m)): _*)
   }
 }

@@ -1178,6 +1178,26 @@ object Queries {
     graft.frame.Skew.analyze(events(s, dir), "event_type",
       parts = 32, k = 64, topN = 5)
 
+  /** Data-quality expectations over the documents table
+    * ([[graft.stats.Expectations]]): four rules — row count, text null
+    * fraction, minimum length, KMV-estimated language count — ALL
+    * evaluated in one aggregation pass (no per-rule scan), returned as
+    * data with pass/fail against bounds. Measurements are rounded to 4
+    * decimals BEFORE comparison on both sides, so the booleans replay
+    * exactly; bounds are loose enough to pass at every scale factor
+    * (pass/fail itself is deterministic output either way). */
+  def q83Expectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.KmvDistinctAgg.{estimateDistinct, kmvSketch}
+    import graft.stats.{Expectation, Expectations}
+    Expectations.run(tbl(s, dir, "documents"), Seq(
+      Expectation("row_count", count(lit(1)), 100, 1e7),
+      Expectation("text_null_fraction", avg(col("text").isNull.cast("int")), 0, 0.01),
+      Expectation("min_chars", min(col("n_chars")), 1, 1e6),
+      Expectation("lang_distinct_est",
+        estimateDistinct(kmvSketch(graft.curate.Curate.portableHash60(col("lang")), 16), 16),
+        3, 40)))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1262,7 +1282,8 @@ object Queries {
     "q79_incremental_rollup" -> (q79IncrementalRollup _),
     "q80_hist_quantiles" -> (q80HistQuantiles _),
     "q81_shortest_paths" -> (q81ShortestPaths _),
-    "q82_skew_analyze" -> (q82SkewAnalyze _))
+    "q82_skew_analyze" -> (q82SkewAnalyze _),
+    "q83_expectations" -> (q83Expectations _))
 
   /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
     * q33, q34, q46, q50, q68)
@@ -1947,8 +1968,12 @@ object Queries {
         | UNION ALL SELECT 'n_chars', count(*),
         |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE) FROM documents)
-        |SELECT b.col_name, b.n, b.n_nulls, e.est_distinct, b.min_num, b.max_num
-        |FROM base b JOIN est e USING (col_name)""".stripMargin,
+        |-- LEFT join + coalesce: an all-NULL column has no est row (every
+        |-- branch filters IS NOT NULL) but Spark still profiles it with
+        |-- est_distinct = 0 — an inner join would drop the row
+        |SELECT b.col_name, b.n, b.n_nulls,
+        | coalesce(e.est_distinct, 0.0) AS est_distinct, b.min_num, b.max_num
+        |FROM base b LEFT JOIN est e USING (col_name)""".stripMargin,
     // full recompute — the merged-partials side must equal it exactly
     // (decimal sums are associative; counts are counts)
     "q79_incremental_rollup" ->
@@ -2005,8 +2030,33 @@ object Queries {
     // so the diagnosis (counts, shares, salt factors) is plain SQL
     "q82_skew_analyze" ->
       """WITH tot AS (SELECT count(*) AS t FROM events),
-        |cnt AS (SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1)
+        |-- NULL keys excluded on BOTH sides by construction: Skew.analyze
+        |-- drops them (an equi-join shuffle drops them too), GROUP BY keeps them
+        |cnt AS (SELECT event_type AS key, count(*) AS n FROM events
+        |        WHERE event_type IS NOT NULL GROUP BY 1)
         |SELECT key, n, round(n / CAST(t AS DOUBLE), 4) AS share,
         | CAST(least(greatest(ceil(n * 32 / CAST(t AS DOUBLE)), 1), 32) AS INT) AS salt
-        |FROM cnt, tot ORDER BY n DESC, key LIMIT 5""".stripMargin)
+        |FROM cnt, tot ORDER BY n DESC, key LIMIT 5""".stripMargin,
+    // replay each measurement, round to 4 decimals, THEN compare — the
+    // same order the Spark side uses, so the booleans agree exactly
+    "q83_expectations" ->
+      """WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS rc,
+        |  CAST(avg(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nf,
+        |  CAST(min(n_chars) AS DOUBLE) AS mc FROM documents),
+        |k AS (SELECT count(*) AS cnt, max(v) AS kth FROM (
+        |  SELECT v, row_number() OVER (ORDER BY v) AS rn FROM (
+        |    SELECT DISTINCT CAST(concat('0x', substr(md5(lang), 1, 15)) AS BIGINT) AS v
+        |    FROM documents WHERE lang IS NOT NULL)) WHERE rn <= 16),
+        |e AS (SELECT round(CASE WHEN cnt < 16 THEN CAST(cnt AS DOUBLE)
+        |  ELSE 15.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END, 4) AS est FROM k)
+        |-- lo/hi are OUTPUT columns: DOUBLE-cast them (bare 100.0 is
+        |-- DECIMAL in DuckDB and would hash differently than Spark's double)
+        |SELECT 'row_count' AS rule, round(rc, 4) AS measured, 100.0::DOUBLE AS lo,
+        |  10000000.0::DOUBLE AS hi, round(rc, 4) BETWEEN 100.0 AND 10000000.0 AS passed FROM m
+        |UNION ALL SELECT 'text_null_fraction', round(nf, 4), 0.0::DOUBLE, 0.01::DOUBLE,
+        |  round(nf, 4) BETWEEN 0.0 AND 0.01 FROM m
+        |UNION ALL SELECT 'min_chars', round(mc, 4), 1.0::DOUBLE, 1000000.0::DOUBLE,
+        |  round(mc, 4) BETWEEN 1.0 AND 1000000.0 FROM m
+        |UNION ALL SELECT 'lang_distinct_est', est, 3.0::DOUBLE, 40.0::DOUBLE,
+        |  est BETWEEN 3.0 AND 40.0 FROM e""".stripMargin)
 }

@@ -28,6 +28,9 @@ object Profile {
   def summarize(df: DataFrame, cols: Seq[String], k: Int = 64): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val missing = cols.filterNot(types.contains)
+    require(missing.isEmpty, // exact-name lookup: fail with the schema, not a bare Map error
+      s"columns ${missing.mkString(", ")} not in schema [${df.columns.mkString(", ")}]")
     def isNum(n: String) = types(n) match {
       case _: NumericType => true
       case _ => false
@@ -62,7 +65,11 @@ object Profile {
     * estimate for probability p is the LOWER BOUND of the first bucket
     * whose cumulative count reaches ⌈p·n⌉ — deterministic, mergeable
     * (bucket counts are sums), relative error bounded by the bucket width
-    * (≤ 12.5% with 2 sub-bits). Values must be ≥ 1 (shift/clamp first).
+    * (≤ 12.5% with 2 sub-bits). Rows with a NULL value or a value < 1 are
+    * EXCLUDED from the histogram (enforced by the filter below — shift or
+    * clamp upstream if they must count): v ≤ 0 has no msb, and a NULL
+    * bucket row would even order differently across engines (Spark
+    * windows sort nulls first, SQL's default is last).
     *
     * One aggregation (group×bucket) + one window over the tiny histogram
     * — the value stream shuffles once as (group, bucket) pairs. */
@@ -75,6 +82,7 @@ object Profile {
     // (the Scala helpers only take literal bit counts).
     val hist = df
       .select(col(groupCol).as("grp"), col(valueCol).as("__v"))
+      .filter(col("__v") >= 1) // also drops NULLs (null-valued predicate)
       .withColumn("__msb", (length(bin(col("__v"))) - 1).cast("int"))
       .withColumn("__sub",
         when(col("__msb") >= 2,

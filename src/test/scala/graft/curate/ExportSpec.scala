@@ -28,6 +28,25 @@ class ExportSpec extends SparkSpec {
       docs.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("sparse export: manifest enumerates EVERY shard, zeros included") {
+    val dir = Files.createTempDirectory("exportS").toString + "/d"
+    val tiny = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val manifest = Export.writeJsonlShards(tiny, "doc_id", dir, numShards = 8)
+      .as[(Int, Long)].collect().toMap
+    assert(manifest.keySet == (0 until 8).toSet, "manifest must cover all shard ids")
+    assert(manifest.values.sum == 3L)
+    assert(manifest.values.exists(_ == 0L), "3 rows over 8 shards must leave empty shards")
+  }
+
+  test("NULL record ids are rejected, not exported to a default partition") {
+    val dir = Files.createTempDirectory("exportN").toString + "/d"
+    val df = Seq((Some(1L), "a"), (None, "b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Export.writeJsonlShards(df, "doc_id", dir, numShards = 2)
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
   test("shard assignment is content-addressed: invariant to input partitioning") {
     val a = Files.createTempDirectory("exportA").toString + "/d"
     val b = Files.createTempDirectory("exportB").toString + "/d"

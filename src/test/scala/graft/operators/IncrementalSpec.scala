@@ -33,6 +33,21 @@ class IncrementalSpec extends SparkSpec {
     assert(merged.collect().toSet == rollup(raw).collect().toSet)
   }
 
+  test("undeclared non-measure columns are rejected instead of blindly summed") {
+    // a rollup with a max column: summing it would silently corrupt the
+    // merge, so an explicit measure list must reject the leftover column
+    val withMax = raw.groupBy("k1", "k2")
+      .agg(sum("n").as("n"), max("amt").as("max_amt"))
+    val e = intercept[IllegalArgumentException] {
+      Incremental.mergeAggregates(withMax, withMax, Seq("k1", "k2"), measures = Seq("n"))
+    }
+    assert(e.getMessage.contains("max_amt"))
+    // declaring only the summable measures with a pruned frame still works
+    val ok = Incremental.mergeAggregates(
+      withMax.drop("max_amt"), withMax.drop("max_amt"), Seq("k1", "k2"), measures = Seq("n"))
+    assert(ok.count() == 4)
+  }
+
   test("schema mismatch and missing measures are rejected") {
     val a = rollup(raw)
     intercept[IllegalArgumentException] {

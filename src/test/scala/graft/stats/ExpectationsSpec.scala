@@ -1,0 +1,50 @@
+package graft.stats
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq((1L, Some("a"), 10.0), (2L, None, 20.0), (3L, Some("c"), 30.0))
+    .toDF("id", "tag", "x")
+
+  test("all rules evaluate in one pass with correct pass/fail") {
+    val out = Expectations.run(df, Seq(
+      Expectation("row_count", count(lit(1)), 1, 10),
+      Expectation("tag_null_fraction", avg(col("tag").isNull.cast("int")), 0, 0.1),
+      Expectation("x_max", max(col("x")), 0, 100)))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(4)))).toMap
+    assert(out("row_count") == ((3.0, true)))
+    assert(out("tag_null_fraction") == ((0.3333, false))) // 1/3 nulls > 0.1
+    assert(out("x_max") == ((30.0, true)))
+  }
+
+  test("run scans the table exactly once, without Expand") {
+    val big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Expectations.run(big, Seq(
+      Expectation("n", count(lit(1)), 0, 1e9),
+      Expectation("chars_min", min(col("n_chars")), 1, 1e9)))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 1)
+    assert(!plan.contains("Expand"))
+  }
+
+  test("enforce throws listing every violated rule") {
+    val e = intercept[IllegalArgumentException] {
+      Expectations.enforce(df, Seq(
+        Expectation("row_count", count(lit(1)), 100, 200),
+        Expectation("x_min", min(col("x")), 0, 100)))
+    }
+    assert(e.getMessage.contains("row_count") && !e.getMessage.contains("x_min"))
+  }
+
+  test("duplicate rule names are rejected") {
+    intercept[IllegalArgumentException] {
+      Expectations.run(df, Seq(
+        Expectation("a", count(lit(1)), 0, 1),
+        Expectation("a", max(col("x")), 0, 1)))
+    }
+  }
+}

@@ -209,6 +209,22 @@ class PlanSpec extends SparkSpec {
       s"interleave/agg path fell out of whole-stage codegen:\n$proj")
   }
 
+  test("q79 incremental merge: every aggregation level keeps map-side partials") {
+    val p = plan("q79_incremental_rollup")
+    // three aggregations (stored rollup, delta rollup, merge) — each must
+    // partial-aggregate before its exchange or the merge shuffles raw rows
+    assert(p.linesIterator.count(l => l.contains("HashAggregate") && l.contains("partial")) >= 3,
+      s"an aggregation level lost its partials:\n$p")
+    assert(p.contains("Union"), s"merge should union the partial tables:\n$p")
+  }
+
+  test("q82 skew diagnosis: the exact verify join broadcasts the candidates") {
+    val p = executedPlan("q82_skew_analyze").split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"candidate semi-join must broadcast, not shuffle the key stream:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"key stream shuffled for the verify:\n$p")
+  }
+
   test("q67 heap top-k: partial pass below the exchange bounds shuffle volume") {
     val p = executedPlan("q67_topk_heap")
     val partialIdx = p.indexOf("PartialTopK")

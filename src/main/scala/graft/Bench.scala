@@ -1,7 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Prints ONE JSON line:
+/** Benchmark main. Prints a short total-only JSON line, then the full JSON
+  * line, and writes the full JSON whole to SPARK_GRAFT_BENCH_OUT
+  * (default ./BENCH_LOCAL.json):
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
   *  "loadavg":L,"calibration_sec":C,"resampled":[...],"errors":{...}}
   *
@@ -112,7 +114,23 @@ object Bench {
     }.mkString("{", ",", "}")
     val resJson = resampled.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec,"resampled":$resJson,"errors":$errJson}""")
+    // Truncation-proof evidence (VERDICT r4 task 2): BENCH_r04.json came back
+    // `parsed: null` because the driver's capture cut the single long line
+    // mid-JSON. Three redundant emissions, any one of which is sufficient:
+    //  1. a SHORT total-only JSON line FIRST (fits any capture budget);
+    //  2. the full one-line JSON (the original driver contract);
+    //  3. the same full JSON written whole to a file.
+    val shortLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec}"""
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec,"resampled":$resJson,"errors":$errJson}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outFile: ${e.getMessage}") }
+    println(shortLine)
+    println(fullLine)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

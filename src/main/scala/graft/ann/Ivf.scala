@@ -148,7 +148,12 @@ object Ivf {
   /** Load a model persisted by [[save]]; cell ids order the centroids so
     * stored `cell` assignments in index tables stay valid. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Model =
-    Model(spark.read.parquet(path).orderBy("cell").collect()
+    // by-name selection: a hand-written or evolved model table with a
+    // different column order fails with a clear analysis error instead of
+    // silently misreading positional fields
+    Model(spark.read.parquet(path)
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray))
 }
 

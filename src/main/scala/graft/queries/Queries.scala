@@ -1987,7 +1987,9 @@ object Queries {
         |  CASE WHEN length(bin(n_chars)) - 1 >= 2
         |       THEN (n_chars >> (length(bin(n_chars)) - 3)) & 3
         |       ELSE 0 END AS sub
-        | FROM documents),
+        | -- Profile.histogramQuantiles excludes x < 1 (and NULL) Spark-side;
+        | -- encode the exclusion here instead of relying on the data
+        | FROM documents WHERE n_chars >= 1),
         |h AS (SELECT source, msb*4 + sub AS bucket,
         |  CASE WHEN msb >= 2
         |       THEN (1::BIGINT << msb) + sub*(1::BIGINT << (msb - 2))
@@ -2051,12 +2053,15 @@ object Queries {
         |  ELSE 15.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END, 4) AS est FROM k)
         |-- lo/hi are OUTPUT columns: DOUBLE-cast them (bare 100.0 is
         |-- DECIMAL in DuckDB and would hash differently than Spark's double)
+        |-- coalesce(..., false): a NULL measurement is a VIOLATION on both
+        |-- sides (mirrors Expectations.run's fail-closed contract)
         |SELECT 'row_count' AS rule, round(rc, 4) AS measured, 100.0::DOUBLE AS lo,
-        |  10000000.0::DOUBLE AS hi, round(rc, 4) BETWEEN 100.0 AND 10000000.0 AS passed FROM m
+        |  10000000.0::DOUBLE AS hi,
+        |  coalesce(round(rc, 4) BETWEEN 100.0 AND 10000000.0, false) AS passed FROM m
         |UNION ALL SELECT 'text_null_fraction', round(nf, 4), 0.0::DOUBLE, 0.01::DOUBLE,
-        |  round(nf, 4) BETWEEN 0.0 AND 0.01 FROM m
+        |  coalesce(round(nf, 4) BETWEEN 0.0 AND 0.01, false) FROM m
         |UNION ALL SELECT 'min_chars', round(mc, 4), 1.0::DOUBLE, 1000000.0::DOUBLE,
-        |  round(mc, 4) BETWEEN 1.0 AND 1000000.0 FROM m
+        |  coalesce(round(mc, 4) BETWEEN 1.0 AND 1000000.0, false) FROM m
         |UNION ALL SELECT 'lang_distinct_est', est, 3.0::DOUBLE, 40.0::DOUBLE,
-        |  est BETWEEN 3.0 AND 40.0 FROM e""".stripMargin)
+        |  coalesce(est BETWEEN 3.0 AND 40.0, false) FROM e""".stripMargin)
 }

@@ -32,7 +32,9 @@ object Expectations {
       val m = col(s"__m_${c.name}")
       struct(lit(c.name).as("rule"), m.as("measured"),
         lit(c.lo).as("lo"), lit(c.hi).as("hi"),
-        (m >= c.lo && m <= c.hi).as("passed"))
+        // NULL measurement (empty table / all-NULL column) = violation:
+        // a data-quality gate must fail closed, not vanish from enforce()
+        coalesce(m >= c.lo && m <= c.hi, lit(false)).as("passed"))
     }
     row.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
   }

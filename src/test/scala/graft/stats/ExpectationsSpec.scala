@@ -40,6 +40,21 @@ class ExpectationsSpec extends SparkSpec {
     assert(e.getMessage.contains("row_count") && !e.getMessage.contains("x_min"))
   }
 
+  test("NULL measurement fails closed (empty input violates min/avg rules)") {
+    val empty = df.filter(col("id") < 0)
+    val out = Expectations.run(empty, Seq(
+      Expectation("x_min", min(col("x")), 0, 100),       // NULL on empty ⇒ fail
+      Expectation("row_count", count(lit(1)), 0, 10)))   // 0 is in [0,10] ⇒ pass
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(out("x_min") == false)
+    assert(out("row_count") == true)
+    // and enforce() must SEE the violation, not drop the NULL row
+    val e = intercept[IllegalArgumentException] {
+      Expectations.enforce(empty, Seq(Expectation("x_min", min(col("x")), 0, 100)))
+    }
+    assert(e.getMessage.contains("x_min"))
+  }
+
   test("duplicate rule names are rejected") {
     intercept[IllegalArgumentException] {
       Expectations.run(df, Seq(

@@ -182,11 +182,131 @@ object Rds2Raw {
 
 /** Warehouse-path lifecycle utilities standing in for the reference's S3
   * purge/transition operators (`context.py:461-545`): recursive delete with
-  * a retention cutoff on file modification time. Storage-class transition
-  * has no local analog and is out of engine scope (SURVEY.md §2.1).
+  * a retention cutoff on file modification time, small-file compaction, and
+  * a storage-class transition stand-in.
+  *
+  * Local filesystems have no storage classes, so a file's class is modeled
+  * as a hidden tier directory `.tier_<CLASS>/` directly under the lifecycle
+  * root: Spark (and most engines) skip dot-prefixed paths when scanning, so
+  * a transitioned file leaves the hot queryable set exactly like a GLACIER
+  * transition does on S3, while [[PathLifecycle.restorePath]] is a pure
+  * rename back. The reference semantics preserved (`context.py:505-545`):
+  * `retentionPeriod` in hours (newer files are retained),
+  * `excludeStorageClasses` (files already in an excluded class are never
+  * touched), and the `Success.csv` manifest recording every file processed
+  * (`Failed.csv` on errors), for both purge and transition.
   */
 object PathLifecycle {
   import org.apache.hadoop.fs.{FileSystem, Path}
+
+  /** Files acted on vs files left in place (retention / excluded class). */
+  final case class LifecycleResult(processed: Long, retained: Long)
+
+  private val TierPrefix = ".tier_"
+
+  /** The modeled storage class of `file` relative to lifecycle root `root`:
+    * the `.tier_<CLASS>` component it sits under, else STANDARD. */
+  private def storageClassOf(root: Path, file: Path): String = {
+    val rel = file.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/")
+    rel.split('/').find(_.startsWith(TierPrefix))
+      .map(_.stripPrefix(TierPrefix)).getOrElse("STANDARD")
+  }
+
+  /** Path of `file` re-rooted under `root/.tier_<cls>`, original tier
+    * component (if any) stripped — a GLACIER→DEEP_ARCHIVE re-transition
+    * moves between tier directories rather than nesting them. */
+  private def tieredPath(root: Path, file: Path, cls: String): Path = {
+    val rel = file.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/")
+    val bare = rel.split('/').filterNot(_.startsWith(TierPrefix)).mkString("/")
+    new Path(root, s"$TierPrefix$cls/$bare")
+  }
+
+  /** Write the reference's manifest shape: `Success.csv` (one source path
+    * per line) and, only if any, `Failed.csv`. Driver-side metadata write —
+    * lifecycle ops are maintenance, the listing is already driver-side. */
+  private def writeManifest(fs: FileSystem, dir: String,
+                            ok: Seq[String], failed: Seq[String]): Unit = {
+    def put(name: String, lines: Seq[String]): Unit = {
+      val out = fs.create(new Path(dir, name), true)
+      try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    put("Success.csv", ok)
+    if (failed.nonEmpty) put("Failed.csv", failed)
+  }
+
+  /** Storage-class transition stand-in (`transition_s3_path`,
+    * `context.py:529-545`): move every file under `path` older than
+    * `retentionHours` and not in an excluded class into
+    * `path/.tier_<transitionTo>/…` (structure preserved). Returns counts;
+    * writes the Success/Failed manifest when `manifestFilePath` is set. */
+  def transitionPath(spark: SparkSession, path: String, transitionTo: String,
+                     retentionHours: Int = 168,
+                     excludeStorageClasses: Set[String] = Set.empty,
+                     manifestFilePath: Option[String] = None): LifecycleResult = {
+    require(transitionTo.nonEmpty && !transitionTo.contains('/'),
+      s"bad storage class: '$transitionTo'")
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return LifecycleResult(0L, 0L)
+    val cutoff = System.currentTimeMillis() - retentionHours * 3600L * 1000L
+    val files = fs.listFiles(root, true)
+    val ok = Seq.newBuilder[String]
+    val failed = Seq.newBuilder[String]
+    var moved = 0L; var retained = 0L
+    while (files.hasNext) {
+      val f = files.next()
+      val cls = storageClassOf(root, f.getPath)
+      if (cls == transitionTo || excludeStorageClasses.contains(cls) ||
+          f.getModificationTime >= cutoff) { retained += 1 }
+      else {
+        val dest = tieredPath(root, f.getPath, transitionTo)
+        fs.mkdirs(dest.getParent)
+        if (fs.rename(f.getPath, dest)) { moved += 1; ok += f.getPath.toString }
+        else failed += f.getPath.toString
+      }
+    }
+    val failures = failed.result()
+    manifestFilePath.foreach(writeManifest(fs, _, ok.result(), failures))
+    require(failures.isEmpty, s"transition failed for ${failures.size} files" +
+      manifestFilePath.fold("")(m => s" (see $m/Failed.csv)"))
+    LifecycleResult(moved, retained)
+  }
+
+  /** `transition_table` (`context.py:501-527`): resolve the table's
+    * location from the session catalog, then [[transitionPath]] it. */
+  def transitionTable(spark: SparkSession, db: String, table: String,
+                      transitionTo: String, retentionHours: Int = 168,
+                      excludeStorageClasses: Set[String] = Set.empty,
+                      manifestFilePath: Option[String] = None): LifecycleResult = {
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+      .location.toString
+    transitionPath(spark, loc, transitionTo, retentionHours,
+      excludeStorageClasses, manifestFilePath)
+  }
+
+  /** Reverse a transition: move every file under `path/.tier_<fromClass>`
+    * back to its original location (the S3 restore-from-archive step).
+    * Returns the number of files restored. */
+  def restorePath(spark: SparkSession, path: String, fromClass: String): Long = {
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
+    val tier = new Path(root, s"$TierPrefix$fromClass")
+    if (!fs.exists(tier)) return 0L
+    val files = fs.listFiles(tier, true)
+    var restored = 0L
+    while (files.hasNext) {
+      val f = files.next()
+      val rel = f.getPath.toUri.getPath.stripPrefix(tier.toUri.getPath).stripPrefix("/")
+      val dest = new Path(root, rel)
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(f.getPath, dest), s"restore failed for ${f.getPath}")
+      restored += 1
+    }
+    fs.delete(tier, true)
+    restored
+  }
 
   /** Small-file compaction: rewrite a parquet directory into files of
     * roughly `targetFileMB` — the golden-zone maintenance op. Streaming
@@ -212,22 +332,30 @@ object PathLifecycle {
     n
   }
 
-  /** Delete files under `path` older than `retentionHours` (0 = all).
-    * Returns the number of files deleted. */
-  def purgePath(spark: SparkSession, path: String, retentionHours: Int = 0): Long = {
+  /** Delete files under `path` older than `retentionHours` (0 = all),
+    * skipping files whose modeled storage class is excluded; optionally
+    * writes the Success.csv manifest (`purge_s3_path`,
+    * `context.py:485-499`). Returns the number of files deleted. */
+  def purgePath(spark: SparkSession, path: String, retentionHours: Int = 0,
+                excludeStorageClasses: Set[String] = Set.empty,
+                manifestFilePath: Option[String] = None): Long = {
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return 0L
     val cutoff = System.currentTimeMillis() - retentionHours * 3600L * 1000L
     val files = fs.listFiles(p, true)
+    val ok = Seq.newBuilder[String]
     var deleted = 0L
     while (files.hasNext) {
       val f = files.next()
-      if (f.getModificationTime < cutoff) {
+      if (f.getModificationTime < cutoff &&
+          !excludeStorageClasses.contains(storageClassOf(p, f.getPath))) {
         fs.delete(f.getPath, false)
+        ok += f.getPath.toString
         deleted += 1
       }
     }
+    manifestFilePath.foreach(writeManifest(fs, _, ok.result(), Nil))
     deleted
   }
 }

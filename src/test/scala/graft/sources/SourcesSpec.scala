@@ -165,4 +165,82 @@ class SourcesSpec extends SparkSpec {
     java.nio.file.Files.writeString(out.resolve("c.txt"), "z")
     assert(PathLifecycle.purgePath(spark, out.toString, retentionHours = 1) == 0)
   }
+
+  test("transitionPath tiers old files out of the hot scan; restore reverses") {
+    val dir = java.nio.file.Files.createTempDirectory("tier").toString + "/t"
+    spark.range(0, 1000).selectExpr("id", "id % 3 AS k").repartition(4).write.parquet(dir)
+    val manifest = java.nio.file.Files.createTempDirectory("manifest").toString
+
+    // retention in the future: nothing moves, everything retained
+    val kept = PathLifecycle.transitionPath(spark, dir, "GLACIER", retentionHours = 1)
+    assert(kept.processed == 0 && spark.read.parquet(dir).count() == 1000)
+
+    // retention 0: every data + marker file moves under .tier_GLACIER and
+    // the hot path becomes empty of visible parquet
+    val moved = PathLifecycle.transitionPath(spark, dir, "GLACIER",
+      retentionHours = 0, manifestFilePath = Some(manifest))
+    assert(moved.processed > 0)
+    val hot = new java.io.File(dir).listFiles().filter(!_.getName.startsWith("."))
+    assert(hot.forall(!_.getName.endsWith(".parquet")))
+    val tiered = new java.io.File(dir, ".tier_GLACIER").listFiles()
+    assert(tiered.exists(_.getName.endsWith(".parquet")))
+    // manifest records exactly the moved files
+    val success = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(manifest, "Success.csv"))
+    assert(success.size == moved.processed)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(manifest, "Failed.csv")))
+
+    // already-GLACIER files don't re-transition; excluded classes are kept
+    assert(PathLifecycle.transitionPath(spark, dir, "GLACIER").processed == 0)
+    assert(PathLifecycle.transitionPath(spark, dir, "DEEP_ARCHIVE",
+      excludeStorageClasses = Set("GLACIER")).processed == 0)
+
+    // restore brings the data back byte-identical and readable
+    val restored = PathLifecycle.restorePath(spark, dir, "GLACIER")
+    assert(restored == moved.processed)
+    assert(spark.read.parquet(dir).count() == 1000)
+    assert(!new java.io.File(dir, ".tier_GLACIER").exists())
+  }
+
+  test("transitionPath GLACIER to DEEP_ARCHIVE moves between tiers, not nested") {
+    val dir = java.nio.file.Files.createTempDirectory("tier2").toString + "/t"
+    spark.range(0, 10).coalesce(1).write.parquet(dir)
+    PathLifecycle.transitionPath(spark, dir, "GLACIER", retentionHours = 0)
+    val re = PathLifecycle.transitionPath(spark, dir, "DEEP_ARCHIVE", retentionHours = 0)
+    assert(re.processed > 0)
+    val deep = new java.io.File(dir, ".tier_DEEP_ARCHIVE")
+    assert(deep.exists())
+    // no .tier_GLACIER remnants inside the DEEP_ARCHIVE tree
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) :+ f else Seq(f)
+    assert(walk(deep).forall(!_.getName.contains("tier_GLACIER")))
+  }
+
+  test("transitionTable resolves the catalog location") {
+    val cat = new GraftCatalog(spark)
+    val dir = java.nio.file.Files.createTempDirectory("tiercat").toString + "/t"
+    spark.range(0, 10).coalesce(1).write.parquet(dir)
+    cat.crawl("lifecycle_db", "t_cold", dir)
+    val r = PathLifecycle.transitionTable(spark, "lifecycle_db", "t_cold",
+      "GLACIER", retentionHours = 0)
+    assert(r.processed > 0)
+    assert(new java.io.File(dir, ".tier_GLACIER").exists())
+    cat.dropDatabase("lifecycle_db")
+  }
+
+  test("purgePath honors excluded storage classes and writes a manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("purgex").toString + "/t"
+    spark.range(0, 10).coalesce(1).write.parquet(dir)
+    PathLifecycle.transitionPath(spark, dir, "GLACIER", retentionHours = 0)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "hot.txt"), "x")
+    val manifest = java.nio.file.Files.createTempDirectory("purgem").toString
+    // purge everything EXCEPT the archived tier
+    val n = PathLifecycle.purgePath(spark, dir, retentionHours = 0,
+      excludeStorageClasses = Set("GLACIER"), manifestFilePath = Some(manifest))
+    assert(n == 1) // only hot.txt
+    val success = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(manifest, "Success.csv"))
+    assert(success.size == 1 && success.get(0).endsWith("hot.txt"))
+    assert(new java.io.File(dir, ".tier_GLACIER").listFiles().nonEmpty)
+  }
 }

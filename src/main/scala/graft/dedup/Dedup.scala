@@ -79,10 +79,11 @@ object Dedup {
     * index at scale: hash the corpus once, write this frame as a table, and
     * run incremental batches against it ([[minhashPairsAgainstIndex]]). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleLen: Int = 3, k: Int = 64): DataFrame =
+                        shingleLen: Int = 3, k: Int = 64,
+                        portable: Boolean = false): DataFrame =
     ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"),
-        S.minhashSignature(T.wordShingles(col("__text"), shingleLen), k).as("sig"))
+        S.minhashSignature(T.wordShingles(col("__text"), shingleLen), k, portable).as("sig"))
 
   /** MinHash-LSH candidate pairs: shingle → k-permutation signature →
     * `bands` band hashes → explode → bucket-grouped pair streaming per
@@ -96,9 +97,11 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 3, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7,
-                   maxBucketSize: Int = 10000): DataFrame =
+                   maxBucketSize: Int = 10000,
+                   portable: Boolean = false): DataFrame =
     minhashPairsFromSignatures(
-      minhashSignatures(df, idCol, textCol, shingleLen, k), k, bands, threshold, maxBucketSize)
+      minhashSignatures(df, idCol, textCol, shingleLen, k, portable),
+      k, bands, threshold, maxBucketSize, portable)
 
   /** LSH pair generation over a precomputed `(id, sig)` frame — the shape
     * used when signatures are stored (or shared with another phase). Single
@@ -107,7 +110,8 @@ object Dedup {
     * the final (id_a, id_b) aggregation. */
   def minhashPairsFromSignatures(sigFrame: DataFrame, k: Int, bands: Int,
                                  threshold: Double,
-                                 maxBucketSize: Int = 10000): DataFrame = {
+                                 maxBucketSize: Int = 10000,
+                                 portable: Boolean = false): DataFrame = {
     // The bucket shuffle carries ONLY (id, band, bhash) — never the k-long
     // signature. Shipping sigs through the band explode multiplies shuffle
     // bytes by `bands` (16x of 512 B/doc at the defaults) and bloats the
@@ -116,7 +120,7 @@ object Dedup {
     // for ids that actually collided. Measured 1.8 s -> 1.1 s at sf0.1 with
     // identical output.
     val banded = sigFrame.select(col("id"),
-      posexplode(S.minhashBands(col("sig"), k, bands)).as(Seq("band", "bhash")))
+      posexplode(S.minhashBands(col("sig"), k, bands, portable)).as(Seq("band", "bhash")))
     val cand = bucketPairs(banded, Seq("band", "bhash"), maxBucketSize)
       .select(
         least(col("__x.id"), col("__y.id")).as("id_a"),
@@ -146,11 +150,15 @@ object Dedup {
     * 16-bit chunks (any equal chunk ⇒ candidate; catches all pairs within
     * Hamming distance 3 by pigeonhole), verified by exact Hamming distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Int = 10000,
+                   portable: Boolean = false): DataFrame = {
     val fp = ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"), S.simhash(T.tokens(col("__text"))).as("fp"))
+      .select(col("id"), S.simhash(T.tokens(col("__text")), portable).as("fp"))
+    // portable fingerprints are 60-bit → four 15-bit chunks; default 64-bit
+    // → four 16-bit chunks. Either way pigeonhole catches Hamming ≤ 3.
+    val (shift, mask) = if (portable) (15, 0x7FFFL) else (16, 0xFFFFL)
     val chunks = (0 until 4).map(i =>
-      shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL)).as(s"c$i"))
+      shiftright(col("fp"), i * shift).bitwiseAND(lit(mask)).as(s"c$i"))
     val banded = fp.select(col("id") +: col("fp") +: chunks: _*)
       .select(col("id"), col("fp"),
         posexplode(array((0 until 4).map(i => col(s"c$i")): _*)).as(Seq("band", "chunk")))
@@ -431,9 +439,10 @@ object Dedup {
     * G data sources overlap?" costs one corpus pass + G²·k driver-trivial
     * comparisons — never a document comparison. */
   def datasetSketchPairs(df: DataFrame, textCol: String, groupCol: String,
-                         shingleLen: Int = 3, k: Int = 64): DataFrame = {
+                         shingleLen: Int = 3, k: Int = 64,
+                         portable: Boolean = false): DataFrame = {
     val sigs = ensureParallelism(df.select(col(groupCol).as("grp"), col(textCol).as("__text")))
-      .select(col("grp"), S.minhashSignature(T.wordShingles(col("__text"), shingleLen), k).as("sig"))
+      .select(col("grp"), S.minhashSignature(T.wordShingles(col("__text"), shingleLen), k, portable).as("sig"))
       .groupBy("grp")
       .agg(graft.functions.expressions.MinHashMergeAgg.minhashMerge(col("sig"), k).as("sig"))
     sigs.as("a").join(sigs.as("b"), col("a.grp") < col("b.grp"))

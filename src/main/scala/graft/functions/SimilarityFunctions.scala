@@ -40,8 +40,8 @@ object SimilarityFunctions {
     * each shingle updates it via one zip_with against the constant
     * permutation-parameter array — k separate aggregate passes over the
     * shingle array cost ~50× more in the interpreted HOF path. */
-  def minhashSignature(shingles: Column, k: Int = 64): Column =
-    graft.functions.expressions.SimilarityExpressions.minhashSignature(shingles, k)
+  def minhashSignature(shingles: Column, k: Int = 64, portable: Boolean = false): Column =
+    graft.functions.expressions.SimilarityExpressions.minhashSignature(shingles, k, portable)
 
   /** Pure-`functions._` formulation of [[minhashSignature]] — same math in
     * declarative HOFs. Kept for cross-checking the native kernel and as the
@@ -60,11 +60,15 @@ object SimilarityFunctions {
   /** Band hashes for LSH: split a k-length signature into `bands` bands of
     * k/bands rows each and hash each band. Docs sharing any band hash are
     * candidate duplicates. Returns array<long> of length `bands`. */
-  def minhashBands(signature: Column, k: Int, bands: Int): Column = {
+  def minhashBands(signature: Column, k: Int, bands: Int, portable: Boolean = false): Column = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val r = k / bands
     val bandHashes = (0 until bands).map { b =>
-      xxhash64(concat_ws("_", lit(b), concat_ws(",", slice(signature, b * r + 1, r))))
+      val key = concat_ws("_", lit(b), concat_ws(",", slice(signature, b * r + 1, r)))
+      // portable: the md5-based 60-bit hash a SQL oracle replays
+      // (`CAST(concat('0x', substr(md5(key), 1, 15)) AS BIGINT)` in DuckDB)
+      if (portable) conv(substring(md5(key.cast("binary")), 1, 15), 16, 10).cast("long")
+      else xxhash64(key)
     }
     array(bandHashes: _*)
   }
@@ -86,8 +90,8 @@ object SimilarityFunctions {
     * bit positions accumulates +1/-1 by bit value; positive sums set the
     * output bit. Near-duplicate docs differ in few bits (small Hamming
     * distance). */
-  def simhash(tokensCol: Column): Column =
-    graft.functions.expressions.SimilarityExpressions.simhash(tokensCol)
+  def simhash(tokensCol: Column, portable: Boolean = false): Column =
+    graft.functions.expressions.SimilarityExpressions.simhash(tokensCol, portable)
 
   /** HOF formulation of [[simhash]] (see [[minhashSignatureHof]]). */
   def simhashHof(tokensCol: Column): Column = {

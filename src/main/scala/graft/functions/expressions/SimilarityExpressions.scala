@@ -42,6 +42,25 @@ object SimilarityKernels {
   def hashString(s: org.apache.spark.unsafe.types.UTF8String): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, HashSeed)
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Engine-portable 60-bit hash: the first 15 hex chars of md5, i.e.
+    * `conv(substring(md5(s), 1, 15), 16, 10)` in Spark SQL and
+    * `CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)` in DuckDB —
+    * the same primitive [[graft.curate.Curate.portableHash60]] exposes as
+    * a Column. Lets hash-seeded operators (MinHash/SimHash) be replayed
+    * bit-for-bit by a SQL oracle. ~3× slower than XXH64 — use for
+    * oracle-replayable paths, not the default hot path. */
+  def hash60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md5Digest.get().digest(s.getBytes)
+    ((d(0) & 0xFFL) << 52) | ((d(1) & 0xFFL) << 44) | ((d(2) & 0xFFL) << 36) |
+      ((d(3) & 0xFFL) << 28) | ((d(4) & 0xFFL) << 20) | ((d(5) & 0xFFL) << 12) |
+      ((d(6) & 0xFFL) << 4) | ((d(7) & 0xFFL) >>> 4)
+  }
+
   /** Deterministic hyperplane component in [-1, 1] (plane p, component c). */
   def planeComponent(p: Int, c: Int): Double = {
     var z = (p.toLong << 32 | c.toLong) * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
@@ -52,9 +71,11 @@ object SimilarityKernels {
 }
 
 /** MinHash signature: array<string> shingles → array<long> of length k.
-  * min_i over shingles of (a_i·xxh64(s) mod P + b_i) mod P. Duplicate
-  * shingles cannot change a min, so no dedupe pass is needed. */
-case class MinHashSignatureExpr(child: Expression, k: Int)
+  * min_i over shingles of (a_i·h(s) mod P + b_i) mod P, where h is xxh64
+  * by default or the engine-portable md5-based [[SimilarityKernels.hash60]]
+  * when `portable` (so a SQL oracle can replay the signature exactly).
+  * Duplicate shingles cannot change a min, so no dedupe pass is needed. */
+case class MinHashSignatureExpr(child: Expression, k: Int, portable: Boolean = false)
     extends UnaryExpression {
   import SimilarityKernels._
 
@@ -63,6 +84,8 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  def compute(input: Any): Any = nullSafeEval(input)
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -70,8 +93,9 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = hashString(arr.getUTF8String(i))
-        val hm = ((h % P) + P) % P
+        val s = arr.getUTF8String(i)
+        val hm = if (portable) hash60(s) % P
+                 else { val h = hashString(s); ((h % P) + P) % P }
         var j = 0
         while (j < k) {
           val v = (as(j) * hm + bs(j)) % P
@@ -88,6 +112,14 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
     : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    if (portable) {
+      // per-row call into the expression object (the WordShinglesExpr
+      // pattern) — enough to keep the host operator in whole-stage codegen
+      return nullSafeCodeGen(ctx, ev, c => {
+        val ref = ctx.addReferenceObj("minhashPortable", this, classOf[MinHashSignatureExpr].getName)
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);"
+      })
+    }
     val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
     val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
     nullSafeCodeGen(ctx, ev, a => {
@@ -124,24 +156,32 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
-/** 64-bit SimHash: array<string> tokens → long fingerprint. Fully
-  * codegen'd (the bit-vote loop inlines into the enclosing whole-stage
-  * method). */
-case class SimHashExpr(child: Expression) extends UnaryExpression {
+/** SimHash: array<string> tokens → long fingerprint. 64 bits of xxh64 by
+  * default; with `portable`, 60 bits of the md5-based
+  * [[SimilarityKernels.hash60]] (60 because the portable hash is 60-bit —
+  * a SQL oracle replays every bit). Fully codegen'd in the default path
+  * (the bit-vote loop inlines into the enclosing whole-stage method). */
+case class SimHashExpr(child: Expression, portable: Boolean = false) extends UnaryExpression {
   import SimilarityKernels._
 
+  /** Fingerprint width: bits of the underlying hash that vote. */
+  val bits: Int = if (portable) 60 else 64
+
   override def dataType: DataType = LongType
+
+  def compute(input: Any): Any = nullSafeEval(input)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](bits)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = hashString(arr.getUTF8String(i))
+        val s = arr.getUTF8String(i)
+        val h = if (portable) hash60(s) else hashString(s)
         var j = 0
-        while (j < 64) {
+        while (j < bits) {
           if (((h >>> j) & 1L) != 0L) counts(j) += 1 else counts(j) -= 1
           j += 1
         }
@@ -150,7 +190,7 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
     }
     var out = 0L
     var j = 0
-    while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    while (j < bits) { if (counts(j) > 0) out |= (1L << j); j += 1 }
     java.lang.Long.valueOf(out)
   }
 
@@ -158,6 +198,12 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
     : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    if (portable) {
+      return nullSafeCodeGen(ctx, ev, c => {
+        val ref = ctx.addReferenceObj("simhashPortable", this, classOf[SimHashExpr].getName)
+        s"${ev.value} = ((java.lang.Long) $ref.compute($c)).longValue();"
+      })
+    }
     nullSafeCodeGen(ctx, ev, a => {
       val cnt = ctx.freshName("cnt")
       val n = ctx.freshName("n")
@@ -386,11 +432,11 @@ case class WordShinglesExpr(child: Expression, n: Int)
 
 /** Column-level entry points. */
 object SimilarityExpressions {
-  def minhashSignature(shingles: Column, k: Int): Column =
-    ExpressionUtils.column(MinHashSignatureExpr(ExpressionUtils.expression(shingles), k))
+  def minhashSignature(shingles: Column, k: Int, portable: Boolean = false): Column =
+    ExpressionUtils.column(MinHashSignatureExpr(ExpressionUtils.expression(shingles), k, portable))
 
-  def simhash(tokens: Column): Column =
-    ExpressionUtils.column(SimHashExpr(ExpressionUtils.expression(tokens)))
+  def simhash(tokens: Column, portable: Boolean = false): Column =
+    ExpressionUtils.column(SimHashExpr(ExpressionUtils.expression(tokens), portable))
 
   def cosine(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))

@@ -268,14 +268,23 @@ object Queries {
         shingleLen = 3, threshold = 0.9)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
 
-  /** MinHash signature pairs (rows-only check: xxhash64 not oracle-expressible). */
+  /** MinHash-LSH pairs over PORTABLE (md5-based) signatures: the full
+    * banded pipeline — shingle → 64-permutation signature → 16 band hashes
+    * → bucket pair streaming → estimated Jaccard — replayed bit-for-bit by
+    * the DuckDB oracle (same md5-60 base hash, same SplitMix64 permutation
+    * constants interpolated into the SQL). The xxhash64 kernel stays the
+    * production default (q21/q47 exercise it against brute-force truth). */
   def q22MinhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+    Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+        portable = true)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
 
-  /** SimHash near-dup pairs (rows-only check). */
+  /** SimHash near-dup pairs over the PORTABLE 60-bit fingerprint (md5-60
+    * bit votes, four 15-bit chunk bands, exact Hamming verify) — every bit
+    * replayed by the DuckDB oracle. */
   def q23SimhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+    Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 3,
+      portable = true)
 
   /** Brute-force cosine pairs above threshold for a deterministic query
     * subset — the exact-ANN baseline; the kernel the LSH path reranks with. */
@@ -577,10 +586,13 @@ object Queries {
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))).as("clean"))
 
   /** Dataset-level overlap via group-merged MinHash sketches: estimated
-    * shingle-set Jaccard between every pair of sources (rows-only check:
-    * hash-based sketch). */
+    * shingle-set Jaccard between every pair of sources. PORTABLE hashing —
+    * the oracle rebuilds each source's merged signature directly as
+    * min-over-all-source-shingles per permutation (elementwise-min merge of
+    * per-doc signatures ≡ the signature of the union of shingle sets). */
   def q46SourceSketch(s: SparkSession, dir: String): DataFrame =
-    Dedup.datasetSketchPairs(tbl(s, dir, "documents"), "text", "source")
+    Dedup.datasetSketchPairs(tbl(s, dir, "documents"), "text", "source",
+        portable = true)
       .select(col("group_a"), col("group_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
 
   /** Full dup-cluster structure: connected components over the exact-Jaccard
@@ -1198,6 +1210,32 @@ object Queries {
         3, 40)))
   }
 
+  /** resolveChoice MATCH_CATALOG end-to-end (`dynamicframe.py:404,427-433`):
+    * a schema-conflicted union (long vs string order keys, double vs string
+    * totalprice) produces TWO choice columns; the target schema is read
+    * from a REAL catalog table (registered via [[graft.sources.GraftCatalog]]
+    * each run — overwrite-idempotent), and every choice resolves by casting
+    * to the catalog's declared type. The aggregate proves values landed as
+    * numbers, not strings. */
+  def q84MatchCatalog(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val cat = new graft.sources.GraftCatalog(s)
+    val declared = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType)))
+    cat.saveTable("graft_meta", "orders_resolved",
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), declared))
+    val orders = tbl(s, dir, "orders")
+    val a = DynFrame(orders.select(col("o_orderkey"), col("o_totalprice")), "a")
+    val b = DynFrame(orders.filter(col("o_totalprice") > 100000)
+      .select(col("o_orderkey").cast("string").as("o_orderkey"),
+        col("o_totalprice").cast("string").as("o_totalprice")), "b")
+    a.union(b)
+      .resolveChoiceMatchCatalog(cat.schemaOf("graft_meta", "orders_resolved"))
+      .toDF
+      .groupBy((col("o_orderkey") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1283,12 +1321,40 @@ object Queries {
     "q80_hist_quantiles" -> (q80HistQuantiles _),
     "q81_shortest_paths" -> (q81ShortestPaths _),
     "q82_skew_analyze" -> (q82SkewAnalyze _),
-    "q83_expectations" -> (q83Expectations _))
+    "q83_expectations" -> (q83Expectations _),
+    "q84_match_catalog" -> (q84MatchCatalog _))
 
-  /** DuckDB oracles. Keys missing here (q22, q23, q25, q32,
-    * q33, q34, q46, q50, q68)
-    * are hash-based or approximate by construction → driver records a
-    * rows-only check; EntrySpec pins that exact set. */
+  /** DuckDB oracles. Keys missing here (q25, q32, q33, q34, q50, q68)
+    * are approximate by construction → driver records a rows-only check;
+    * EntrySpec pins that exact set. q22/q23/q46 run PORTABLE md5-based
+    * hashing, so their oracles replay the signature math bit-for-bit. */
+
+  /** The MinHash permutation parameters as a DuckDB VALUES list — the SAME
+    * SplitMix64-derived constants the kernels use, interpolated so oracle
+    * and engine can never drift. */
+  private def minhashParamValues(k: Int): String =
+    (0 until k).map { i =>
+      val (a, b) = graft.functions.expressions.SimilarityKernels.perm(i)
+      s"($i,${a},${b})"
+    }.mkString(", ")
+
+  /** Shared DuckDB CTE fragment: per-`key` portable MinHash signatures of
+    * the documents table (word 3-shingles, k=64, md5-60 base hash mod
+    * 2^31-1). Replays [[graft.functions.expressions.MinHashSignatureExpr]]
+    * with `portable = true` exactly, including the whole-text shingle for
+    * docs under 3 tokens. */
+  private def portableSigCtes(key: String): String =
+    s"""params(i, a, b) AS (VALUES ${minhashParamValues(64)}),
+       |tok AS (SELECT $key, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+       |shg AS (SELECT $key, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(1, len(t) - 1), x -> concat(t[x], ' ', t[x+1], ' ', t[x+2])) END) AS s
+       | FROM tok),
+       |hs AS (SELECT DISTINCT $key,
+       |  CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS hm FROM shg),
+       |mins AS (SELECT $key, i, min((a * hm + b) % 2147483647) AS m
+       | FROM hs CROSS JOIN params GROUP BY 1, 2),
+       |sig AS (SELECT $key, list(m ORDER BY i) AS sig FROM mins GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,
@@ -1395,6 +1461,47 @@ object Queries {
         |WHERE a.doc_id < b.doc_id
         | AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |   / len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin,
+    // bit-for-bit replay of the portable MinHash-LSH pipeline: signatures
+    // (shared CTE), 16 band hashes of 4 signature slots each (md5-60 of
+    // "band_v1,v2,v3,v4"), bucket pairs, signature-agreement Jaccard.
+    // est values are n/64 (exact binary fractions): round + >= behave
+    // identically in both engines.
+    "q22_minhash_pairs" ->
+      s"""WITH ${portableSigCtes("doc_id")},
+        |bandix AS (SELECT unnest(range(0, 16)) AS band),
+        |banded AS (SELECT doc_id, band,
+        |  CAST(concat('0x', substr(md5(concat(band::VARCHAR, '_',
+        |    array_to_string(sig[band*4+1 : band*4+4], ','))), 1, 15)) AS BIGINT) AS bhash
+        | FROM sig CROSS JOIN bandix),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        | FROM banded x JOIN banded y
+        |   ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id),
+        |est AS (SELECT c.id_a, c.id_b,
+        |  len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) / 64.0 AS ej
+        | FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+        |             JOIN sig sb ON sb.doc_id = c.id_b)
+        |SELECT id_a, id_b, round(ej, 4) AS est_jaccard FROM est WHERE ej >= 0.5""".stripMargin,
+    // portable 60-bit SimHash replay: md5-60 per token (duplicates vote),
+    // per-bit majority → fingerprint, four 15-bit chunk bands propose,
+    // exact Hamming verifies. Parenthesize every shift (DuckDB's | and &
+    // bind tighter than <<).
+    "q23_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        | FROM documents),
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS hv FROM tok),
+        |bits AS (SELECT unnest(range(0, 60)) AS j),
+        |votes AS (SELECT doc_id, j, sum(CASE WHEN ((hv >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        | FROM h CROSS JOIN bits GROUP BY 1, 2),
+        |fp AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS fp
+        | FROM votes GROUP BY 1),
+        |chunkix AS (SELECT unnest(range(0, 4)) AS band),
+        |banded AS (SELECT doc_id, fp, band, ((fp >> (band * 15)) & 32767) AS chunk
+        | FROM fp CROSS JOIN chunkix),
+        |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, bit_count(xor(x.fp, y.fp)) AS hd
+        | FROM banded x JOIN banded y
+        |   ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+        |SELECT id_a, id_b, CAST(min(hd) AS INT) AS hamming
+        |FROM pairs WHERE hd <= 3 GROUP BY 1, 2""".stripMargin,
     "q24_cosine_pairs" ->
       """SELECT a.vec_id AS qid, b.vec_id AS nid,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
@@ -1574,6 +1681,14 @@ object Queries {
         |     '(\+?1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
         |   '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
         |FROM documents""".stripMargin,
+    // per-source merged portable sketch = min over ALL source shingles per
+    // permutation (elementwise-min merge ≡ signature of the shingle-set
+    // union), then pairwise signature-agreement Jaccard between sources
+    "q46_source_sketch" ->
+      s"""WITH ${portableSigCtes("source")}
+        |SELECT a.source AS group_a, b.source AS group_b,
+        | round(len(list_filter(range(1, 65), j -> a.sig[j] = b.sig[j])) / 64.0, 4) AS est_jaccard
+        |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin,
     "q47_dup_clusters" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id, list_distinct(list_transform(
@@ -2063,5 +2178,16 @@ object Queries {
         |UNION ALL SELECT 'min_chars', round(mc, 4), 1.0::DOUBLE, 1000000.0::DOUBLE,
         |  coalesce(round(mc, 4) BETWEEN 1.0 AND 1000000.0, false) FROM m
         |UNION ALL SELECT 'lang_distinct_est', est, 3.0::DOUBLE, 40.0::DOUBLE,
-        |  coalesce(est BETWEEN 3.0 AND 40.0, false) FROM e""".stripMargin)
+        |  coalesce(est BETWEEN 3.0 AND 40.0, false) FROM e""".stripMargin,
+    // the catalog-resolved choice columns are plain numbers again, so the
+    // replay is the bare union + aggregate (the string branch round-trips:
+    // double→string→double is identity for round-trippable formatting)
+    "q84_match_catalog" ->
+      """WITH u AS (
+        | SELECT o_orderkey, o_totalprice FROM orders
+        | UNION ALL
+        | SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000)
+        |SELECT o_orderkey % 10 AS bucket, count(*) AS n,
+        | round(sum(o_totalprice), 4) AS total
+        |FROM u GROUP BY 1""".stripMargin)
 }

@@ -8,9 +8,10 @@ class EntrySpec extends SparkSpec {
 
   test("every query has either an oracle or is a documented rows-only check") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // hash-based / approximate operators only
-    assert(rowsOnly == Set("q22_minhash_pairs", "q23_simhash_pairs", "q25_lsh_topk",
-      "q32_embedding_dedup", "q33_fingerprint", "q34_ivf_topk", "q46_source_sketch",
+    // approximate operators only (q22/q23/q46 were promoted to exact
+    // oracles in round 5 via portable md5-based hashing)
+    assert(rowsOnly == Set("q25_lsh_topk",
+      "q32_embedding_dedup", "q33_fingerprint", "q34_ivf_topk",
       "q50_multimodal", "q68_semantic_prune"))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }

@@ -85,4 +85,57 @@ class SimilarityExpressionsSpec extends SparkSpec {
       .select(S.simhash(col("t")).as("f")).as[Long].collect()(0)
     assert(fp == 0L) // all vote counts 0 -> no bits set
   }
+
+  test("portable hash60 kernel equals the Spark-builtin md5 formulation") {
+    // SimilarityKernels.hash60 (the JVM loop inside the portable
+    // minhash/simhash kernels) must equal conv(substring(md5(s),1,15),16,10)
+    // — the Column formulation Curate.portableHash60 exposes and the DuckDB
+    // oracles replay. Compare both on real token strings (incl. unicode).
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(T.tokens(col("text"))).as("w"))
+      .limit(5000)
+      .select(col("w"), graft.curate.Curate.portableHash60(col("w")).as("builtin"))
+      .as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, builtin) =>
+      val viaKernel = graft.functions.expressions.SimilarityKernels.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w))
+      assert(viaKernel == builtin, s"hash60 mismatch on '$w'")
+    }
+  }
+
+  test("minhashBands hashes band slices: equal hash <=> equal slice (both hashers)") {
+    // grounds MinhashBandPropertySpec's slice-level pigeonhole properties:
+    // the Column band hash is a pure function of the band's slice, and on
+    // real signatures distinct slices never collided (64-bit space)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    for (portable <- Seq(false, true)) {
+      val rows = docs.select(
+          S.minhashSignature(T.wordShingles(col("text"), 3), 64, portable).as("sig"))
+        .select(col("sig"), S.minhashBands(col("sig"), 64, 16, portable).as("bh"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      val slices = rows.map(_._1.grouped(4).toSeq)
+      val hashes = rows.map(_._2)
+      for (i <- rows.indices; j <- rows.indices; b <- 0 until 16) {
+        assert((hashes(i)(b) == hashes(j)(b)) == (slices(i)(b) == slices(j)(b)),
+          s"band-hash/slice equivalence broke at docs $i,$j band $b (portable=$portable)")
+      }
+    }
+  }
+
+  test("portable minhash/simhash kernels: deterministic, bounded, 60-bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val sigs = docs.select(
+        S.minhashSignature(T.wordShingles(col("text"), 3), 64, portable = true).as("s"))
+      .as[Seq[Long]].collect()
+    assert(sigs.forall(s => s.length == 64 && s.forall(v => v >= 0 && v < 2147483647L)))
+    val fps = docs.select(S.simhash(T.tokens(col("text")), portable = true).as("f"))
+      .as[Long].collect()
+    assert(fps.forall(f => f >= 0 && f < (1L << 60))) // 60-bit fingerprints
+    // plan-shape independence
+    val sigs2 = docs.repartition(7).select(
+        S.minhashSignature(T.wordShingles(col("text"), 3), 64, portable = true).as("s"))
+      .as[Seq[Long]].collect()
+    assert(sigs.map(_.mkString(",")).sorted.toSeq == sigs2.map(_.mkString(",")).sorted.toSeq)
+  }
 }

@@ -23,6 +23,16 @@ class GraftCatalog(spark: SparkSession) {
                 mode: SaveMode = SaveMode.Overwrite,
                 partitionKeys: Seq[String] = Nil): Unit = {
     createDatabase(db)
+    if (mode == SaveMode.Overwrite && !tableExists(db, table)) {
+      // the session catalog is in-memory: a previous session's managed
+      // files can survive as an orphaned warehouse directory the new
+      // session's catalog doesn't know about — Overwrite means the caller
+      // wants that location replaced, not LOCATION_ALREADY_EXISTS
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db))))
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
     val w = df.write.mode(mode)
     (if (partitionKeys.nonEmpty) w.partitionBy(partitionKeys: _*) else w)
       .saveAsTable(s"`$db`.`$table`")

@@ -20,6 +20,22 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!cat.tableExists("graft_db", "t1"))
   }
 
+  test("Overwrite save replaces an orphaned warehouse location") {
+    // simulate a table directory left behind by a previous session whose
+    // (in-memory) catalog is gone: files exist, the catalog has no entry
+    cat.saveTable("graft_db", "orphan", Seq((1, "a")).toDF("id", "v"))
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier("orphan", Some("graft_db")))
+    spark.sql("DROP TABLE `graft_db`.`orphan`") // in Spark 4 this deletes files...
+    val dir = new java.io.File(loc)
+    dir.mkdirs()                                // ...so recreate the orphan dir
+    java.nio.file.Files.writeString(dir.toPath.resolve("stale.parquet"), "junk")
+    assert(!cat.tableExists("graft_db", "orphan") && dir.exists())
+    cat.saveTable("graft_db", "orphan", Seq((2, "b")).toDF("id", "v"))
+    assert(cat.table("graft_db", "orphan").as[(Int, String)].collect().toSeq == Seq((2, "b")))
+    cat.dropTable("graft_db", "orphan")
+  }
+
   test("crawl registers an existing parquet path as a table") {
     val dir = java.nio.file.Files.createTempDirectory("crawl").toString
     Seq((10L, 1.5)).toDF("k", "x").write.parquet(s"$dir/tbl")

@@ -38,6 +38,16 @@ object LayoutPropertySpec extends Properties("ZOrder") {
       }
     }
 
+  property("z-value preserves dominance order (order-preservation per octant)") =
+    // if p ≤ q in EVERY coordinate (p and q in the same dominance octant),
+    // then z(p) ≤ z(q): every bit position of z is monotone in its source
+    // coordinate bit and positions never interact. This is what makes a
+    // z-range file skip sound for conjunctive range predicates.
+    Prop.forAll(coord, coord, coord, coord, coord, coord) { (x1, y1, w1, dx, dy, dw) =>
+      val (x2, y2, w2) = ((x1 + dx) min 1023L, (y1 + dy) min 1023L, (w1 + dw) min 1023L)
+      refInterleave(Seq(x1, y1, w1), 10) <= refInterleave(Seq(x2, y2, w2), 10)
+    }
+
   property("distinct inputs give distinct z-values (injective on the domain)") =
     Prop.forAll(coord, coord, coord, coord) { (x1, y1, x2, y2) =>
       ((x1, y1) == (x2, y2)) ||

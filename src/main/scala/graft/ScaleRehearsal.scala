@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** At-scale regime rehearsal (VERDICT r4 task 1): drives the big-data code
+  * paths — distributed connected components above `driverMaxEdges`,
+  * co-partitioned PageRank above `broadcastMaxNodes`, the
+  * CollectListCappedAgg bucket-overflow drop, deep-diameter BFS, and the
+  * IVF stored-index ANN path — on synthetic data LARGE ENOUGH to select
+  * those regimes naturally (no threshold overrides), with exact
+  * self-checks computed from the construction.
+  *
+  * Everything is seeded arithmetic over `spark.range` ids (deterministic
+  * across runs and partitionings, no RNG, nothing written to disk).
+  * Prints one line per scenario:
+  *   [rehearsal] <name> regime=<…> wall=<sec> check=OK <details>
+  * and exits non-zero if any check fails. Measured results live in
+  * PERF.md §at-scale-regime-rehearsal.
+  *
+  * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
+  * (optionally a comma-separated scenario filter as arg 1:
+  * cc,pagerank,capped,bfs,ivf)
+  */
+object ScaleRehearsal {
+
+  private var failures = 0
+
+  private def scenario(name: String, regime: String, details: => (Boolean, String)): Unit = {
+    val t0 = System.nanoTime()
+    val (ok, info) = details
+    val wall = (System.nanoTime() - t0) / 1e9
+    if (!ok) failures += 1
+    println(f"[rehearsal] $name%-22s regime=$regime wall=$wall%.1fs " +
+      s"check=${if (ok) "OK" else "FAIL"} $info")
+  }
+
+  /** 420 clusters × 52 near-identical docs (+30k unique): the LSH pair
+    * graph alone exceeds 2^20 directed edges, so duplicateClusters takes
+    * the distributed min-label path with NO threshold override. */
+  private def dupCorpus(spark: SparkSession): DataFrame = {
+    val dups = spark.range(0, 420L * 52)
+      .select(col("id").as("doc_id"),
+        concat(
+          concat_ws(" ", transform(sequence(lit(0), lit(39)),
+            t => concat(lit("w"), floor(col("id") / 52).cast("long") * 40 + t))),
+          lit(" v"), col("id")).as("text"))
+    val uniques = spark.range(1000000, 1030000)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(39)),
+          t => concat(lit("u"), col("id") * 40 + t))).as("text"))
+    dups.unionByName(uniques)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val only = args.headOption.map(_.split(",").map(_.trim).toSet)
+    def enabled(s: String) = only.forall(_.contains(s))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.dedup.Dedup
+    import graft.graph.Graph
+
+    if (enabled("cc")) scenario("lsh-distributed-cc",
+        "distributed min-label (edges > 2^20)", {
+      val pairs = Dedup.minhashPairs(dupCorpus(spark), "doc_id", "text", threshold = 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPairs = pairs.count()
+      val expectedPairs = 420L * (52 * 51 / 2) // complete graph per cluster
+      val distributedNaturally = !Dedup.ccDriverRegime(nPairs * 2)
+      val labels = Dedup.duplicateClusters(pairs.select(col("id_a"), col("id_b")))
+      val summary = labels.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n"), min("id").as("min_id"))
+      val nClusters = summary.count()
+      val wellFormed = summary
+        .filter(col("n") =!= 52 || col("min_id") =!= col("cluster_id")).count()
+      pairs.unpersist()
+      (nPairs == expectedPairs && distributedNaturally && nClusters == 420 && wellFormed == 0,
+        s"pairs=$nPairs (expected $expectedPairs, directed=${nPairs * 2} > ${1L << 20}) " +
+          s"clusters=$nClusters/420 malformed=$wellFormed")
+    })
+
+    if (enabled("pagerank")) scenario("pagerank-copartitioned",
+        "co-partitioned (nodes > 4*2^20)", {
+      val n = 5000000L
+      val edges = spark.range(0, n).select(
+          explode(array(
+            struct(col("id").as("src"), ((col("id") * 31 + 7) % n).as("dst")),
+            struct(col("id").as("src"), ((col("id") * 17 + 3) % n).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val coPartitioned = !Graph.pageRankBroadcastRegime(n)
+      val ranks = Graph.pageRank(edges, "src", "dst", iterations = 3)
+      val agg = ranks.agg(count(lit(1)).as("n"), sum("pr").as("s")).collect()(0)
+      val (nNodes, prSum) = (agg.getLong(0), agg.getDouble(1))
+      // every node has out-edges (no dangling mass): sum(pr) stays n exactly
+      // in exact arithmetic; allow FP accumulation slack
+      (coPartitioned && nNodes == n && math.abs(prSum - n) / n < 1e-6,
+        f"nodes=$nNodes sum(pr)=$prSum%.1f (expect $n)")
+    })
+
+    if (enabled("capped")) scenario("capped-bucket-overflow",
+        "bucket > maxBucketSize dropped", {
+      // 11k IDENTICAL docs: every LSH band bucket for that text holds 11k
+      // members > the 10k cap, so CollectListCappedAgg yields NULL and the
+      // bucket drops — 60.5M intra-bucket pairs are never generated. (Exact
+      // dedup is the right tool for identical docs, and stays exact.)
+      val mega = spark.range(0, 11000)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(39)),
+            t => concat(lit("m"), t))).as("text"))
+      val filler = spark.range(2000000, 2005000)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(39)),
+            t => concat(lit("f"), col("id") * 40 + t))).as("text"))
+      val corpus = mega.unionByName(filler)
+      val nPairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.5).count()
+      val exactGroups = Dedup.exact(corpus, "doc_id", "text")
+        .filter(col("dup_count") === 11000).count()
+      (nPairs == 0 && exactGroups == 1,
+        s"lsh_pairs=$nPairs (cap dropped 60.5M candidate pairs) exact_dedup_sees_group=$exactGroups")
+    })
+
+    if (enabled("bfs")) scenario("bfs-deep-diameter",
+        "frontier expansion, 30 hops", {
+      val n = 2000000L
+      val chain = spark.range(0, n - 1)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val express = spark.range(0, (n - 1000) / 1000 + 1)
+        .select((col("id") * 1000).as("src"), (col("id") * 1000 + 1000).as("dst"))
+      val edges = chain.unionByName(express)
+      val seeds = spark.range(0, 1).select(col("id"))
+      val dist = Graph.shortestPaths(edges, "src", "dst", seeds, "id",
+        maxHops = 30, assumeDistinct = true)
+      val agg = dist.agg(count(lit(1)).as("n"), max("dist").as("m")).collect()(0)
+      // reachable within 30 hops: {a*1000+b : a+b <= 30} -> sum_{a=0}^{30}(31-a)
+      val expected = (1 to 31).sum
+      (agg.getLong(0) == expected && agg.getInt(1) == 30,
+        s"reached=${agg.getLong(0)} (expect $expected) maxDist=${agg.getInt(1)}")
+    })
+
+    if (enabled("ivf")) scenario("ivf-stored-index-10x",
+        "IVF cells + broadcast queries", {
+      import graft.ann.Ivf
+      val dim = 64
+      val vecs = spark.range(0, 500000).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          c => ((col("id") * 1315423911L + c * 2654435761L) % 997).cast("double") / 997.0)
+          .as("embedding"))
+      val tFit0 = System.nanoTime()
+      val model = Ivf.fit(vecs, "vec_id", "embedding", numCells = 707, iterations = 3)
+      val index = Ivf.assign(vecs, "embedding", model)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nIndexed = index.count()
+      val fitSec = (System.nanoTime() - tFit0) / 1e9
+      val queries = vecs.filter(col("vec_id") % 5000 === 0)
+      val topk = Ivf.topKAgainstIndex(index, queries, model, "vec_id", "embedding",
+        k = 10, nProbes = 3)
+      val rows = topk.count()
+      index.unpersist()
+      (nIndexed == 500000 && rows == 100L * 10 && model.numCells == 707,
+        f"indexed=$nIndexed cells=${model.numCells} build=$fitSec%.1fs topk_rows=$rows")
+    })
+
+    spark.stop()
+    if (failures > 0) { System.err.println(s"[rehearsal] $failures FAILED"); sys.exit(1) }
+  }
+}

@@ -247,6 +247,14 @@ object Dedup {
     * milliseconds instead of O(diameter) distributed rounds. The bound is
     * explicit and configurable; graphs above it take the iterative path
     * unchanged. Both paths produce identical labels (spec-pinned). */
+  /** The [[duplicateClusters]] regime decision, exposed so the boundary is
+    * spec-pinned at the DOCUMENTED threshold (≤ 2^20 directed edges with an
+    * orderable id type ⇒ driver union-find; anything else ⇒ distributed
+    * min-label propagation). */
+  def ccDriverRegime(nDirectedEdges: Long, driverMaxEdges: Long = 1L << 20,
+                     orderable: Boolean = true): Boolean =
+    nDirectedEdges <= driverMaxEdges && orderable
+
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
                         driverMaxEdges: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
@@ -280,7 +288,7 @@ object Dedup {
         case _ => false // struct/array/binary ids take the distributed path
       }
     }
-    if (nEdges <= driverMaxEdges && orderable) {
+    if (ccDriverRegime(nEdges, driverMaxEdges, orderable)) {
       val labels = driverUnionFind(raw.collect().map(r => (r.get(0), r.get(1))))
       raw.unpersist()
       val schema = org.apache.spark.sql.types.StructType(Seq(

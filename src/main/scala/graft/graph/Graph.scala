@@ -38,6 +38,12 @@ object Graph {
     * `localCheckpoint` truncates each round's lineage so round N's plan
     * does not replay rounds 1..N−1.
     */
+  /** The [[pageRank]] regime decision, exposed so the boundary is
+    * spec-pinned at the DOCUMENTED threshold (≤ 4·2^20 nodes ⇒ broadcast
+    * ranks + grouped adjacency; above ⇒ co-partitioned row-per-edge). */
+  def pageRankBroadcastRegime(nNodes: Long, broadcastMaxNodes: Long = 4L << 20): Boolean =
+    nNodes <= broadcastMaxNodes
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, damping: Double = 0.85,
                broadcastMaxNodes: Long = 4L << 20,
@@ -67,7 +73,7 @@ object Graph {
     val nodes0 = e0
       .select(explode(array(col("src"), col("dst"))).as("id")).distinct()
       .localCheckpoint(true) // one job; both paths below reuse it
-    val bcastRanks = nodes0.count() <= broadcastMaxNodes
+    val bcastRanks = pageRankBroadcastRegime(nodes0.count(), broadcastMaxNodes)
     // Iterated layout differs by regime. Broadcast regime: GROUPED
     // adjacency lists — one row per source carrying its dst array, so the
     // per-round join touches #nodes rows, contributions explode map-side,

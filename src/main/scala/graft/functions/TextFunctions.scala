@@ -92,6 +92,14 @@ object TextFunctions {
   def fingerprint(text: Column, shingleLen: Int = 3, k: Int = 16): Column =
     slice(array_sort(array_distinct(transform(wordShingles(text, shingleLen), s => xxhash64(s)))), 1, k)
 
+  /** [[fingerprint]] over the engine-portable md5-based 60-bit hash
+    * ([[graft.curate.Curate.portableHash60]]) instead of xxhash64 — a SQL
+    * oracle can replay the sketch bit-for-bit (same bottom-k semantics;
+    * xxhash64 stays the at-scale default, md5 costs ~3× per shingle). */
+  def fingerprintPortable(text: Column, shingleLen: Int = 3, k: Int = 16): Column =
+    slice(array_sort(array_distinct(transform(wordShingles(text, shingleLen),
+      s => graft.curate.Curate.portableHash60(s)))), 1, k)
+
   /** Collapse whitespace runs to single spaces and trim — the first
     * normalization pass of every text-cleaning pipeline. Explicit char
     * class instead of `\s` because Java regex includes \x0B in \s and RE2

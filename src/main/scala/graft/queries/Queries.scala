@@ -458,13 +458,15 @@ object Queries {
         threshold = 0.4, planes = 8)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
 
-  /** Bottom-k document fingerprints (rows-only: xxhash64-based). The sketch
-    * is emitted as a joined string: the driver's pandas compare sorts rows
-    * by every column and list cells are unhashable there. */
+  /** Bottom-k document fingerprints over the PORTABLE md5-60 hash, so the
+    * DuckDB oracle replays the sketch bit-for-bit (promoted from rows-only
+    * in round 5; the xxhash64 variant stays the at-scale default). The
+    * sketch is emitted as a joined string: the driver's pandas compare
+    * sorts rows by every column and list cells are unhashable there. */
   def q33Fingerprint(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents").select(
       col("doc_id"),
-      array_join(T.fingerprint(col("text"), shingleLen = 3, k = 16).cast("array<string>"), "|").as("fp"))
+      array_join(T.fingerprintPortable(col("text"), shingleLen = 3, k = 16).cast("array<string>"), "|").as("fp"))
 
   /** IVF ANN top-k (rows-only: approximate; deterministic index). */
   def q34IvfTopK(s: SparkSession, dir: String): DataFrame = {
@@ -1324,9 +1326,9 @@ object Queries {
     "q83_expectations" -> (q83Expectations _),
     "q84_match_catalog" -> (q84MatchCatalog _))
 
-  /** DuckDB oracles. Keys missing here (q25, q32, q33, q34, q50, q68)
+  /** DuckDB oracles. Keys missing here (q25, q32, q34, q50, q68)
     * are approximate by construction → driver records a rows-only check;
-    * EntrySpec pins that exact set. q22/q23/q46 run PORTABLE md5-based
+    * EntrySpec pins that exact set. q22/q23/q33/q46 run PORTABLE md5-based
     * hashing, so their oracles replay the signature math bit-for-bit. */
 
   /** The MinHash permutation parameters as a DuckDB VALUES list — the SAME
@@ -1597,6 +1599,17 @@ object Queries {
         |      ELSE CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT)
         | END AS bpe_tokens
         |FROM feats""".stripMargin,
+    // portable bottom-k fingerprint replay: the same 3-shingle CTE shape as
+    // portableSigCtes, md5-60 per shingle, distinct → ascending sort →
+    // first 16 (list slice clamps like Spark's slice when fewer exist)
+    "q33_fingerprint" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |shg AS (SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |  ELSE list_transform(range(1, len(t) - 1), x -> concat(t[x], ' ', t[x+1], ' ', t[x+2])) END) AS s
+        | FROM tok),
+        |hs AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM shg)
+        |SELECT doc_id, array_to_string(list_sort(list(h))[1:16], '|') AS fp
+        |FROM hs GROUP BY doc_id""".stripMargin,
     "q35_drop_null_fields" ->
       "SELECT r_regionkey, r_name, r_name AS keep FROM region",
     "q36_ddb_unnest" ->

@@ -95,6 +95,21 @@ class FunctionsSpec extends SparkSpec {
     assert(fp(0).length <= 4 && fp(0) == fp(0).sorted)
   }
 
+  test("fingerprintPortable matches a driver-side md5 replay of the sketch") {
+    // same bottom-k semantics as fingerprint, but over the md5-60 hash the
+    // q33 DuckDB oracle replays — pin one value against a JVM recomputation
+    val text = "a b c d e f g h"
+    val fp = Seq(text).toDF("t")
+      .select(TextFunctions.fingerprintPortable(col("t"), 3, 4).as("f"))
+      .as[Seq[Long]].collect()(0)
+    def md560(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    val shingles = text.split(" ").sliding(3).map(_.mkString(" ")).toSeq
+    val expected = shingles.map(md560).distinct.sorted.take(4)
+    assert(fp == expected)
+  }
+
   // ------------------------------------------------------- similarity
 
   test("minhash signature estimates jaccard") {

@@ -451,11 +451,17 @@ object Queries {
       T.qualityScore(col("text"), Seq("the", "a")).as("quality"),
       T.approxBpeTokenCount(col("text")).as("bpe_tokens"))
 
-  /** Embedding near-dup pairs via hyperplane-LSH buckets (rows-only: bucket
-    * membership depends on hash-derived plane constants). */
+  /** Embedding near-dup pairs via hyperplane-LSH buckets. Promoted to an
+    * exact oracle in round 5: the 8×64 plane matrix is embedded in the
+    * DuckDB SQL as literals (doubles round-trip via shortest repr), so the
+    * oracle replays bucketing + exact-cosine verify bit-for-bit. Threshold
+    * 0.42197 sits mid-gap ≥1.8e-4 from every pair's cosine at BOTH sf0.01
+    * and sf0.1 (probed; the old 0.4 was 9.9e-6 from a data point at sf0.1)
+    * and keeps the result non-empty at sf0.01; min |plane·vec| = 4.4e-5 ≫
+    * FP summation-order error, so sign decisions replay exactly. */
   def q32EmbeddingDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4, planes = 8)
+        threshold = 0.42197, planes = 8)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
 
   /** Bottom-k document fingerprints over the PORTABLE md5-60 hash, so the
@@ -1326,10 +1332,11 @@ object Queries {
     "q83_expectations" -> (q83Expectations _),
     "q84_match_catalog" -> (q84MatchCatalog _))
 
-  /** DuckDB oracles. Keys missing here (q25, q32, q34, q50, q68)
+  /** DuckDB oracles. Keys missing here (q25, q34, q50, q68)
     * are approximate by construction → driver records a rows-only check;
     * EntrySpec pins that exact set. q22/q23/q33/q46 run PORTABLE md5-based
-    * hashing, so their oracles replay the signature math bit-for-bit. */
+    * hashing and q32 embeds its plane matrix as literals, so their oracles
+    * replay the signature math bit-for-bit. */
 
   /** The MinHash permutation parameters as a DuckDB VALUES list — the SAME
     * SplitMix64-derived constants the kernels use, interpolated so oracle
@@ -1339,6 +1346,15 @@ object Queries {
       val (a, b) = graft.functions.expressions.SimilarityKernels.perm(i)
       s"($i,${a},${b})"
     }.mkString(", ")
+
+  /** The hyperplane matrix [[graft.functions.expressions.SimilarityKernels
+    * .planeComponent]] as a DuckDB VALUES list `(p, c, v)` — Scala's
+    * `Double.toString` is the shortest round-trip repr, so DuckDB parses
+    * each literal back to the bit-identical double. */
+  private def planeValues(planes: Int, dim: Int): String =
+    (for (p <- 0 until planes; c <- 0 until dim) yield
+      s"($p,$c,${graft.functions.expressions.SimilarityKernels.planeComponent(p, c)})")
+      .mkString(", ")
 
   /** Shared DuckDB CTE fragment: per-`key` portable MinHash signatures of
     * the documents table (word 3-shingles, k=64, md5-60 base hash mod
@@ -1599,6 +1615,25 @@ object Queries {
         |      ELSE CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT)
         | END AS bpe_tokens
         |FROM feats""".stripMargin,
+    // hyperplane-LSH replay: the 8x64 plane matrix rides as literals, dots
+    // accumulate in ascending component order (sign-robust: min |dot| =
+    // 4.4e-5, probed), equal sign-pattern buckets propose, exact cosine
+    // (DOUBLE[] — float32 otherwise) verifies at the mid-gap threshold
+    "q32_embedding_dedup" ->
+      s"""WITH planes(p, c, v) AS (VALUES ${planeValues(8, 64)}),
+        |pm AS (SELECT p, list(v ORDER BY c) AS pr FROM planes GROUP BY p),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dots AS (SELECT vec_id, p,
+        |  list_sum(list_transform(range(1, 65), i -> v[i] * pr[i])) AS dot
+        | FROM e CROSS JOIN pm),
+        |sig AS (SELECT vec_id,
+        |  sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+        | FROM dots GROUP BY vec_id),
+        |cand AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        | FROM sig x JOIN sig y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        |SELECT c.id_a, c.id_b, round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.42197""".stripMargin,
     // portable bottom-k fingerprint replay: the same 3-shingle CTE shape as
     // portableSigCtes, md5-60 per shingle, distinct → ascending sort →
     // first 16 (list slice clamps like Spark's slice when fewer exist)

@@ -9,9 +9,9 @@ class EntrySpec extends SparkSpec {
   test("every query has either an oracle or is a documented rows-only check") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // approximate operators only (q22/q23/q33/q46 were promoted to exact
-    // oracles in round 5 via portable md5-based hashing)
-    assert(rowsOnly == Set("q25_lsh_topk",
-      "q32_embedding_dedup", "q34_ivf_topk",
+    // oracles in round 5 via portable md5-based hashing; q32 via an
+    // embedded-literal plane matrix)
+    assert(rowsOnly == Set("q25_lsh_topk", "q34_ivf_topk",
       "q50_multimodal", "q68_semantic_prune"))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }

@@ -1332,11 +1332,12 @@ object Queries {
     "q83_expectations" -> (q83Expectations _),
     "q84_match_catalog" -> (q84MatchCatalog _))
 
-  /** DuckDB oracles. Keys missing here (q25, q34, q50, q68)
-    * are approximate by construction → driver records a rows-only check;
-    * EntrySpec pins that exact set. q22/q23/q33/q46 run PORTABLE md5-based
-    * hashing and q32 embeds its plane matrix as literals, so their oracles
-    * replay the signature math bit-for-bit. */
+  /** DuckDB oracles. Keys missing here (q34, q50, q68) are approximate by
+    * construction (centroids carry Spark aggregation order; binary decode)
+    * → driver records a rows-only check; EntrySpec pins that exact set.
+    * q22/q23/q33/q46 run PORTABLE md5-based hashing and q25/q32 embed
+    * their plane matrices as literals, so their oracles replay the
+    * signature math bit-for-bit. */
 
   /** The MinHash permutation parameters as a DuckDB VALUES list — the SAME
     * SplitMix64-derived constants the kernels use, interpolated so oracle
@@ -1615,6 +1616,34 @@ object Queries {
         |      ELSE CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT)
         | END AS bpe_tokens
         |FROM feats""".stripMargin,
+    // multi-table multi-probe LSH replay: 24 global planes = 4 tables x 6
+    // bits (table = p // 6, bit = p % 6, matching planeOffset), probes =
+    // signature + all 1-bit flips, exact cosine ranks candidates. Probed:
+    // min |plane.vec| = 2.9e-5 (signs robust) and min adjacent cos gap in
+    // each query's top-8 = 2.4e-7 >> cross-engine FP divergence, so
+    // row_number order replays exactly
+    "q25_lsh_topk" ->
+      s"""WITH planes(p, c, v) AS (VALUES ${planeValues(24, 64)}),
+        |pm AS (SELECT p, list(v ORDER BY c) AS pr FROM planes GROUP BY p),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dots AS (SELECT vec_id, p,
+        |  list_sum(list_transform(range(1, 65), i -> v[i] * pr[i])) AS dot
+        | FROM e CROSS JOIN pm),
+        |sig AS (SELECT vec_id, p // 6 AS t,
+        |  CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 6)) ELSE 0::BIGINT END) AS BIGINT) AS sig
+        | FROM dots GROUP BY vec_id, p // 6),
+        |probes AS (SELECT vec_id AS qid, t, xor(sig, f.b) AS bucket
+        | FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS b) f
+        | WHERE vec_id % 50 = 0),
+        |cand AS (SELECT DISTINCT p.qid, s.vec_id AS nid
+        | FROM probes p JOIN sig s ON s.t = p.t AND s.sig = p.bucket
+        | WHERE s.vec_id <> p.qid),
+        |scored AS (SELECT c.qid, c.nid, list_cosine_similarity(a.v, b.v) AS cos
+        | FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nid)
+        |SELECT qid, nid,
+        | CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INT) AS rank
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) <= 5""".stripMargin,
     // hyperplane-LSH replay: the 8x64 plane matrix rides as literals, dots
     // accumulate in ascending component order (sign-robust: min |dot| =
     // 4.4e-5, probed), equal sign-pattern buckets propose, exact cosine

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,ivf)
+  * cc,pagerank,capped,bfs,topk,stream,ivf)
   */
 object ScaleRehearsal {
 
@@ -142,6 +142,65 @@ object ScaleRehearsal {
       val expected = (1 to 31).sum
       (agg.getLong(0) == expected && agg.getInt(1) == 30,
         s"reached=${agg.getLong(0)} (expect $expected) maxDist=${agg.getInt(1)}")
+    })
+
+    if (enabled("topk")) scenario("topk-heap-50m",
+        "heap plan node ≡ window exec at 50M rows", {
+      // the custom TopKPerGroup exec against the window formulation it
+      // rewrites, on data big enough that a heap bug (spill, partial/final
+      // merge, rank ties) would actually trigger: 50M rows, 1000 groups,
+      // deterministic arithmetic values with duplicate keys
+      import org.apache.spark.sql.expressions.Window
+      val rows = spark.range(0, 50000000L).select(
+        (col("id") % 1000).as("g"),
+        ((col("id") * 2654435761L) % 1000003L).as("v"),
+        col("id"))
+      val heap = graft.plan.TopKPerGroup(rows,
+        Seq(col("g")), Seq(col("v").desc, col("id").asc), k = 10, rankName = "rk")
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+      val win = rows.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      def digest(df: org.apache.spark.sql.DataFrame) = df
+        .agg(count(lit(1)).as("n"),
+          // decimal sum: ANSI mode throws on LongType sum overflow
+          sum(xxhash64(col("g"), col("v"), col("id"), col("rk")).cast("decimal(38,0)")).as("h"))
+        .collect()(0)
+      val (dh, dw) = (digest(heap), digest(win))
+      (dh.getLong(0) == 10000L && dh == dw,
+        s"heap_rows=${dh.getLong(0)} window_rows=${dw.getLong(0)} digests_equal=${dh == dw}")
+    })
+
+    if (enabled("stream")) scenario("streaming-state-200k",
+        "mapGroupsWithState, 200k keys x 3 batches", {
+      // stateful streaming at a state size the specs never reach: 200k
+      // distinct users, 3 micro-batches (maxFilesPerTrigger=1), state
+      // must survive batches for every key — final count per user is
+      // exactly 9 (3 events per user per batch file)
+      val dir = java.nio.file.Files.createTempDirectory("rehearsal_stream").toString
+      (0 until 3).foreach { b =>
+        spark.range(0, 600000L).select((col("id") % 200000).as("user"))
+          .coalesce(1).write.parquet(s"$dir/b$b")
+        val f = new java.io.File(s"$dir/b$b").listFiles()
+          .filter(_.getName.endsWith(".parquet"))(0)
+        java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(s"$dir/batch$b.parquet"))
+      }
+      (0 until 3).foreach(b => org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(s"$dir/b$b")))
+      val schema = spark.read.parquet(s"$dir/batch0.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = graft.streaming.Sessionize.streamingCounts(stream, "user")
+        .writeStream.format("memory").queryName("rehearsal_counts")
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      val fin = spark.table("rehearsal_counts")
+        .groupBy("user_id").agg(max("n").as("n"), count(lit(1)).as("updates"))
+      val agg = fin.agg(count(lit(1)).as("users"),
+        min("n").as("mn"), max("n").as("mx"), min("updates").as("mu")).collect()(0)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      (agg.getLong(0) == 200000L && agg.getLong(1) == 9L && agg.getLong(2) == 9L
+        && agg.getLong(3) == 3L,
+        s"users=${agg.getLong(0)} final_count=[${agg.getLong(1)},${agg.getLong(2)}] " +
+          s"updates_per_user>=${agg.getLong(3)}")
     })
 
     if (enabled("ivf")) scenario("ivf-stored-index-10x",

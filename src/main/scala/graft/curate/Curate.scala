@@ -67,6 +67,23 @@ object Curate {
     df.filter(hashBucket(col(idCol), 10000, salt) < round(frac * 10000).cast("long"))
   }
 
+  /** Deterministic per-group cap — the "at most n documents per domain /
+    * language / source" knob of dataset balancing. Survivors are the n
+    * rows with the smallest portable hash of (id, salt): a uniform,
+    * reproducible choice independent of partitioning, engine, and cluster
+    * size (ties broken by id). Runs on the heap top-k plan node
+    * ([[graft.plan.TopKPerGroup]]), so the shuffle is bounded at
+    * partitions × groups × n rows — full groups are never sorted or
+    * collected, which is what makes a cap over a 100 TB corpus with a
+    * hot-domain skew feasible. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, n: Int,
+                  salt: String = ""): DataFrame =
+    graft.plan.TopKPerGroup(df,
+      Seq(col(groupCol)),
+      Seq(portableHash60(concat(col(idCol).cast("string"), lit(salt))).asc,
+        col(idCol).asc),
+      k = n, rankName = "__rk").drop("__rk")
+
   /** Deterministic weighted source mixture — the "upsample Wikipedia 2.5×,
     * downsample CommonCrawl to 0.25×" knob of every LLM data recipe,
     * expressed as epoch replication: a row with weight w appears in epochs

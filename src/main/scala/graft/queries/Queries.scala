@@ -1244,6 +1244,14 @@ object Queries {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
   }
 
+  /** Deterministic per-language document cap ([[graft.curate.Curate
+    * .capPerGroup]]) — runs on the heap top-k plan node, survivors chosen
+    * by portable hash so the DuckDB oracle replays the exact selection. */
+  def q85CapPerGroup(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curate.capPerGroup(
+      tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "lang", "doc_id", n = 100, salt = "cap")
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1330,7 +1338,8 @@ object Queries {
     "q81_shortest_paths" -> (q81ShortestPaths _),
     "q82_skew_analyze" -> (q82SkewAnalyze _),
     "q83_expectations" -> (q83Expectations _),
-    "q84_match_catalog" -> (q84MatchCatalog _))
+    "q84_match_catalog" -> (q84MatchCatalog _),
+    "q85_cap_per_group" -> (q85CapPerGroup _))
 
   /** DuckDB oracles. Keys missing here (q34, q50, q68) are approximate by
     * construction (centroids carry Spark aggregation order; binary decode)
@@ -2266,5 +2275,14 @@ object Queries {
         | SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000)
         |SELECT o_orderkey % 10 AS bucket, count(*) AS n,
         | round(sum(o_totalprice), 4) AS total
-        |FROM u GROUP BY 1""".stripMargin)
+        |FROM u GROUP BY 1""".stripMargin,
+    // per-group cap replay: the portable-md5 priority makes the heap
+    // node's survivor selection an exact row_number window in SQL
+    "q85_cap_per_group" ->
+      """SELECT doc_id, lang FROM (
+        | SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |   ORDER BY CAST(concat('0x', substr(md5(concat(doc_id::VARCHAR, 'cap')), 1, 15)) AS BIGINT),
+        |     doc_id) AS rk
+        | FROM documents) t
+        |WHERE rk <= 100""".stripMargin)
 }

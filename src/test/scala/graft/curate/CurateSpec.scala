@@ -51,6 +51,24 @@ class CurateSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("capPerGroup: caps each group, survivors invariant to partitioning") {
+    val df = spark.range(0, 300)
+      .select(col("id"), (col("id") % 3).as("g"))
+    val capped = Curate.capPerGroup(df, "g", "id", n = 20, salt = "s")
+    val sizes = capped.groupBy("g").count().as[(Long, Long)].collect().toMap
+    assert(sizes.values.toSet == Set(20L))
+    // a small group under the cap survives whole
+    val small = Curate.capPerGroup(df.filter(col("id") < 10), "g", "id", 20, "s")
+    assert(small.count() == 10)
+    // survivor choice is a pure function of (id, salt, cap) — not of the
+    // physical layout
+    val reshuffled = Curate.capPerGroup(df.repartition(7), "g", "id", 20, "s")
+    assert(capped.exceptAll(reshuffled).isEmpty && reshuffled.exceptAll(capped).isEmpty)
+    // a different salt picks a different uniform subset
+    val other = Curate.capPerGroup(df, "g", "id", 20, "t")
+    assert(other.exceptAll(capped).count() > 0)
+  }
+
   test("chunkTokens: overlapping windows cover the document") {
     val docs = Seq((1L, "t1 t2 t3 t4 t5 t6"), (2L, "")).toDF("doc_id", "text")
     val chunks = Curate.chunkTokens(docs, "doc_id", "text", maxTokens = 3, overlap = 1)

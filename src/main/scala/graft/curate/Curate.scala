@@ -84,6 +84,59 @@ object Curate {
         col(idCol).asc),
       k = n, rankName = "__rk").drop("__rk")
 
+  /** Deterministic token-budget selection — "give me a reproducible
+    * ~N-token subset of this corpus": rows are ranked by the portable hash
+    * of (id, salt) and kept while the running sum of `weightCol` stays
+    * ≤ `budget` (the first row that would cross the budget, and everything
+    * after it, is dropped). Semantically a cumulative-sum window over a
+    * GLOBAL (hash, id) ordering — but a global window collapses the corpus
+    * onto one partition, so it is computed scale-shaped instead:
+    *
+    *  1. rows land in `buckets` RANGE buckets by their hash's top bits
+    *     (power-of-two bucket count ⇒ an exact `shiftright`, and bucket
+    *     order ≡ hash order);
+    *  2. one partial aggregation ships `buckets` per-bucket totals to the
+    *     driver, whose prefix sum locates the boundary bucket b*: buckets
+    *     before it fit entirely, buckets after it are entirely out and
+    *     never pay the window;
+    *  3. surviving buckets (≤ b*) window WITHIN the bucket — parallel, at
+    *     most ~1/buckets of the data per group — plus the broadcast
+    *     driver prefix, which makes the running total exact and global.
+    *
+    * Output = input + `cum_weight` (the exact running total, so the cut
+    * is auditable). Integer weights make the result bit-identical to the
+    * naive global window (spec-pinned) and SQL-replayable. */
+  def tokenBudget(df: DataFrame, idCol: String, weightCol: String,
+                  budget: Long, salt: String = "", buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two >= 2")
+    require(budget >= 0, "budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    val withPri = df
+      .withColumn("__pri", portableHash60(concat(col(idCol).cast("string"), lit(salt))))
+      .withColumn("__bkt", shiftright(col("__pri"), shift).cast("int"))
+    val totals = withPri.groupBy("__bkt")
+      .agg(sum(col(weightCol).cast("long")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val prefix = (0 until buckets).map(b => totals.getOrElse(b, 0L)).scanLeft(0L)(_ + _)
+    // boundary bucket: the last one whose preceding prefix still fits
+    val bStar = prefix.indexWhere(_ > budget) match {
+      case -1 => buckets - 1 // whole corpus fits the budget
+      case i  => i - 1
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pre = (0 to bStar).map(b => (b, prefix(b))).toDF("__bkt", "__pre")
+    val wb = Window.partitionBy(col("__bkt")).orderBy(col("__pri"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withPri.filter(col("__bkt") <= bStar) // tail buckets never pay the window
+      .join(broadcast(pre), Seq("__bkt"))
+      .withColumn("cum_weight", sum(col(weightCol).cast("long")).over(wb) + col("__pre"))
+      .filter(col("cum_weight") <= budget)
+      .drop("__pri", "__bkt", "__pre")
+  }
+
   /** Deterministic weighted source mixture — the "upsample Wikipedia 2.5×,
     * downsample CommonCrawl to 0.25×" knob of every LLM data recipe,
     * expressed as epoch replication: a row with weight w appears in epochs

@@ -1252,6 +1252,14 @@ object Queries {
       tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
       "lang", "doc_id", n = 100, salt = "cap")
 
+  /** Deterministic token-budget subset ([[graft.curate.Curate
+    * .tokenBudget]]): bucketed prefix-sum selection, exact running total
+    * emitted — replays as a plain global cumulative window in SQL. */
+  def q86TokenBudget(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curate.tokenBudget(
+      tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+      "doc_id", "n_chars", budget = 80000L, salt = "tb")
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1339,7 +1347,8 @@ object Queries {
     "q82_skew_analyze" -> (q82SkewAnalyze _),
     "q83_expectations" -> (q83Expectations _),
     "q84_match_catalog" -> (q84MatchCatalog _),
-    "q85_cap_per_group" -> (q85CapPerGroup _))
+    "q85_cap_per_group" -> (q85CapPerGroup _),
+    "q86_token_budget" -> (q86TokenBudget _))
 
   /** DuckDB oracles. Keys missing here (q34, q50, q68) are approximate by
     * construction (centroids carry Spark aggregation order; binary decode)
@@ -2284,5 +2293,17 @@ object Queries {
         |   ORDER BY CAST(concat('0x', substr(md5(concat(doc_id::VARCHAR, 'cap')), 1, 15)) AS BIGINT),
         |     doc_id) AS rk
         | FROM documents) t
-        |WHERE rk <= 100""".stripMargin)
+        |WHERE rk <= 100""".stripMargin,
+    // token-budget replay: the bucketed prefix-sum selection is
+    // semantically a single global cumulative window over (md5-60, id)
+    // order. CAST the windowed sum — DuckDB widens BIGINT sums to HUGEINT
+    "q86_token_budget" ->
+      """SELECT doc_id, lang, n_chars, cum_weight FROM (
+        | SELECT doc_id, lang, n_chars,
+        |  CAST(sum(n_chars) OVER (
+        |    ORDER BY CAST(concat('0x', substr(md5(concat(doc_id::VARCHAR, 'tb')), 1, 15)) AS BIGINT),
+        |      doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_weight
+        | FROM documents) t
+        |WHERE cum_weight <= 80000""".stripMargin)
 }

@@ -69,6 +69,31 @@ class CurateSpec extends SparkSpec {
     assert(other.exceptAll(capped).count() > 0)
   }
 
+  test("tokenBudget: bit-identical to the naive global window, layout-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 500)
+      .select(col("id"), ((col("id") * 37) % 97 + 1).as("w"))
+    val got = Curate.tokenBudget(df, "id", "w", budget = 5000, salt = "s", buckets = 16)
+    // naive formulation: one global cumulative window over (hash, id)
+    val pri = Curate.portableHash60(concat(col("id").cast("string"), lit("s")))
+    val w = Window.orderBy(pri, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("cum_weight", sum(col("w")).over(w))
+      .filter(col("cum_weight") <= 5000)
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    assert(got.count() > 0 && got.count() < 500) // the budget actually bites
+    // pure function of (id, salt, budget): physical layout cannot move the cut
+    val reshuffled = Curate.tokenBudget(df.repartition(7), "id", "w", 5000, "s", 16)
+    assert(got.exceptAll(reshuffled).isEmpty && reshuffled.exceptAll(got).isEmpty)
+    // budget below the first row's weight selects nothing; a huge budget
+    // keeps everything and the max running total is the exact corpus sum
+    assert(Curate.tokenBudget(df, "id", "w", 0, "s", 16).count() == 0)
+    val all = Curate.tokenBudget(df, "id", "w", 1000000, "s", 16)
+    assert(all.count() == 500)
+    val total = df.agg(sum("w")).collect()(0).getLong(0)
+    assert(all.agg(max("cum_weight")).collect()(0).getLong(0) == total)
+  }
+
   test("chunkTokens: overlapping windows cover the document") {
     val docs = Seq((1L, "t1 t2 t3 t4 t5 t6"), (2L, "")).toDF("doc_id", "text")
     val chunks = Curate.chunkTokens(docs, "doc_id", "text", maxTokens = 3, overlap = 1)

@@ -439,6 +439,45 @@ object Dedup {
         .as("dup_segment_frac"))
   }
 
+  /** Remove globally-duplicated segments from every document (the CCNet /
+    * boilerplate-strip move: navigation bars, license blocks, and templates
+    * repeat VERBATIM across documents — drop every `segLen`-token segment
+    * that occurs in more than `maxDupCount` places corpus-wide, keep the
+    * rest of the document in order). Counterpart of [[dupSegmentFraction]],
+    * which only measures.
+    *
+    * Output: (id, clean_text, n_kept, n_dropped) for every doc with ≥1
+    * segment; `clean_text` is the kept segments rejoined with single
+    * spaces (tokenization already collapses whitespace). Docs whose every
+    * segment is duplicated survive with empty text — the caller decides
+    * the drop policy.
+    *
+    * Scale shape: segments shuffle ONCE keyed by their portable md5-60
+    * hash to meet the global counts (partial-aggregated, key-only), and
+    * once more keyed by id for ordered reassembly — both shuffles carry
+    * segment text exactly once; no window, no self-join. Portable hashing
+    * makes the whole transform SQL-replayable (q87). */
+  def stripDuplicatedSegments(df: DataFrame, idCol: String, textCol: String,
+                              segLen: Int = 10, maxDupCount: Int = 1): DataFrame = {
+    val toks = T.tokens(col(textCol))
+    val nSeg = ceil(size(toks) / lit(segLen.toDouble)).cast("int")
+    val segs = ensureParallelism(df.filter(size(T.tokens(col(textCol))) > 0))
+      .select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), nSeg - 1),
+          i => concat_ws(" ", slice(toks, i * segLen + 1, lit(segLen))))).as(Seq("idx", "seg")))
+      .withColumn("h", graft.curate.Curate.portableHash60(col("seg")))
+    val counts = segs.groupBy("h").agg(count(lit(1)).as("c"))
+    segs.join(counts, Seq("h"))
+      .groupBy("id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("c") <= maxDupCount,
+            struct(col("idx"), col("seg"))))),
+          s => s("seg"))).as("clean_text"),
+        sum(when(col("c") <= maxDupCount, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("c") > maxDupCount, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Dataset-level overlap: ONE merged MinHash sketch per group (source,
     * snapshot, shard — [[graft.functions.expressions.MinHashMergeAgg]]:
     * elementwise-min merge equals the signature of the union of the group's

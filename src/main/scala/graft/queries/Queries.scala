@@ -1260,6 +1260,14 @@ object Queries {
       tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
       "doc_id", "n_chars", budget = 80000L, salt = "tb")
 
+  /** Boilerplate strip ([[graft.dedup.Dedup.stripDuplicatedSegments]]):
+    * drop every 10-token segment duplicated anywhere in the corpus,
+    * reassemble documents in order — the removal counterpart of q51's
+    * measurement. Portable hashing makes it exactly SQL-replayable. */
+  def q87StripSegments(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripDuplicatedSegments(tbl(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("clean_text"), col("n_kept"), col("n_dropped"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1348,7 +1356,8 @@ object Queries {
     "q83_expectations" -> (q83Expectations _),
     "q84_match_catalog" -> (q84MatchCatalog _),
     "q85_cap_per_group" -> (q85CapPerGroup _),
-    "q86_token_budget" -> (q86TokenBudget _))
+    "q86_token_budget" -> (q86TokenBudget _),
+    "q87_strip_segments" -> (q87StripSegments _))
 
   /** DuckDB oracles. Keys missing here (q34, q50, q68) are approximate by
     * construction (centroids carry Spark aggregation order; binary decode)
@@ -2305,5 +2314,26 @@ object Queries {
         |      doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_weight
         | FROM documents) t
-        |WHERE cum_weight <= 80000""".stripMargin)
+        |WHERE cum_weight <= 80000""".stripMargin,
+    // segment-strip replay: q51's segmentation CTEs, counts per segment
+    // STRING (Spark counts per md5-60 of the string — identical grouping),
+    // ordered FILTERed reassembly. coalesce: a fully-stripped doc is ''
+    // in Spark (concat_ws over empty), NULL from DuckDB's FILTERed list
+    "q87_strip_segments" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks
+        | FROM documents WHERE length(trim(text)) > 0),
+        |seg AS (
+        | SELECT doc_id, unnest(list_transform(
+        |   generate_series(0, CAST(ceil(len(toks) / 10.0) AS INT) - 1),
+        |   i -> {'idx': i, 's': array_to_string(toks[i*10+1 : i*10+10], ' ')})) AS e
+        | FROM t),
+        |sx AS (SELECT doc_id, e.idx AS idx, e.s AS s FROM seg),
+        |cnt AS (SELECT s, count(*) AS c FROM sx GROUP BY s)
+        |SELECT sx.doc_id,
+        | coalesce(array_to_string(list(sx.s ORDER BY sx.idx) FILTER (WHERE cnt.c <= 1), ' '), '')
+        |   AS clean_text,
+        | CAST(sum(CASE WHEN cnt.c <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM sx JOIN cnt USING (s) GROUP BY sx.doc_id""".stripMargin)
 }

@@ -86,6 +86,25 @@ class DedupAnnSpec extends SparkSpec {
     assert(out(3L) == 0.0)
   }
 
+  test("stripDuplicatedSegments removes shared chunks, keeps order, counts both sides") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j unique tail one two three four five six seven eight"),
+      (2L, "a b c d e f g h i j different ending here with other words now present x"),
+      (3L, "totally distinct content with no shared ten token runs at all anywhere z"),
+      (4L, "a b c d e f g h i j") // ONLY the shared segment -> stripped empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatedSegments(corpus, "doc_id", "text", segLen = 10)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // the shared first segment (3 occurrences) goes; each doc's own tail stays
+    assert(out(1L) == ((1L, "unique tail one two three four five six seven eight", 1L, 1L)))
+    assert(out(2L) == ((2L, "different ending here with other words now present x", 1L, 1L)))
+    // doc 3's both segments are unique -> reassembled text == original
+    assert(out(3L)._2 == "totally distinct content with no shared ten token runs at all anywhere z"
+      && out(3L)._4 == 0L)
+    // a doc that WAS only boilerplate survives with empty text, not a crash
+    assert(out(4L) == ((4L, "", 0L, 1L)))
+  }
+
   test("duplicateClusters finds connected components with min-id labels") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), // chain -> cluster 1

@@ -105,7 +105,11 @@ object Curate {
     *
     * Output = input + `cum_weight` (the exact running total, so the cut
     * is auditable). Integer weights make the result bit-identical to the
-    * naive global window (spec-pinned) and SQL-replayable. */
+    * naive global window (spec-pinned) and SQL-replayable.
+    *
+    * `weightCol` must be NON-NEGATIVE (token counts are): the boundary
+    * search prunes tail buckets on the premise that the running total is
+    * monotone, which negative weights would break. */
   def tokenBudget(df: DataFrame, idCol: String, weightCol: String,
                   budget: Long, salt: String = "", buckets: Int = 1024): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,

@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Plan-shape guards for the round-5 curation operators: the properties
+  * that make them 100 TB-shaped are invisible to the hash-match gate (a
+  * window fallback returns identical rows), so pin them in the plan. */
+class NewOpPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (0L until 200L)
+    .map(i => (i, s"g${i % 5}", i % 97 + 1))
+    .toDF("id", "g", "w")
+
+  test("capPerGroup plans through the heap exec, not a Window sort") {
+    val q = graft.curate.Curate.capPerGroup(docs, "g", "id", n = 3, salt = "s")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"heap exec missing:\n$plan")
+    assert(!plan.contains("Window"), s"fell back to a window sort:\n$plan")
+  }
+
+  test("tokenBudget never plans a global (single-partition) window") {
+    val q = graft.curate.Curate.tokenBudget(docs, "id", "w",
+      budget = 500, salt = "s", buckets = 16)
+    val plan = q.queryExecution.executedPlan.toString
+    // the window must be partitioned by the hash bucket — a global window
+    // would show an empty partition spec (windowspecdefinition with no
+    // partitioning keys collapses the corpus onto one partition)
+    assert(plan.contains("Window"), s"expected per-bucket windows:\n$plan")
+    assert(plan.contains("__bkt"), s"window lost its bucket partitioning:\n$plan")
+  }
+
+  test("stripDuplicatedSegments has no window and no cartesian join") {
+    val q = graft.dedup.Dedup.stripDuplicatedSegments(
+      docs.select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(i => concat(lit("t"), col("id") * 12 + i)): _*).as("text")),
+      "doc_id", "text")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(!plan.contains("Cartesian"), s"unexpected cartesian:\n$plan")
+  }
+}

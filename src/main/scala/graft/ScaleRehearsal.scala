@@ -25,6 +25,7 @@ import org.apache.spark.sql.functions._
 object ScaleRehearsal {
 
   private var failures = 0
+  private var session: SparkSession = _
 
   private def scenario(name: String, regime: String, details: => (Boolean, String)): Unit = {
     val t0 = System.nanoTime()
@@ -33,6 +34,11 @@ object ScaleRehearsal {
     if (!ok) failures += 1
     println(f"[rehearsal] $name%-22s regime=$regime wall=$wall%.1fs " +
       s"check=${if (ok) "OK" else "FAIL"} $info")
+    // isolate scenarios the way Bench isolates queries: without this, a
+    // 50M-row scenario's broadcast/shuffle debris inflates the NEXT
+    // scenario's wall (measured: ivf 32 s alone vs 122 s run last)
+    session.catalog.clearCache()
+    System.gc()
   }
 
   /** 420 clusters × 52 near-identical docs (+30k unique): the LSH pair
@@ -64,6 +70,7 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    session = spark
     import graft.dedup.Dedup
     import graft.graph.Graph
 

@@ -29,7 +29,11 @@ object ScaleRehearsal {
 
   private def scenario(name: String, regime: String, details: => (Boolean, String)): Unit = {
     val t0 = System.nanoTime()
-    val (ok, info) = details
+    // full isolation, Bench-style: a scenario that throws still records a
+    // FAIL line and lets the remaining scenarios report their health
+    val (ok, info) =
+      try details
+      catch { case e: Throwable => (false, s"threw ${e.getClass.getSimpleName}: ${e.getMessage}") }
     val wall = (System.nanoTime() - t0) / 1e9
     if (!ok) failures += 1
     println(f"[rehearsal] $name%-22s regime=$regime wall=$wall%.1fs " +
@@ -183,6 +187,7 @@ object ScaleRehearsal {
       // must survive batches for every key — final count per user is
       // exactly 9 (3 events per user per batch file)
       val dir = java.nio.file.Files.createTempDirectory("rehearsal_stream").toString
+      try {
       (0 until 3).foreach { b =>
         spark.range(0, 600000L).select((col("id") % 200000).as("user"))
           .coalesce(1).write.parquet(s"$dir/b$b")
@@ -203,11 +208,11 @@ object ScaleRehearsal {
         .groupBy("user_id").agg(max("n").as("n"), count(lit(1)).as("updates"))
       val agg = fin.agg(count(lit(1)).as("users"),
         min("n").as("mn"), max("n").as("mx"), min("updates").as("mu")).collect()(0)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       (agg.getLong(0) == 200000L && agg.getLong(1) == 9L && agg.getLong(2) == 9L
         && agg.getLong(3) == 3L,
         s"users=${agg.getLong(0)} final_count=[${agg.getLong(1)},${agg.getLong(2)}] " +
           s"updates_per_user>=${agg.getLong(3)}")
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     })
 
     if (enabled("ivf")) scenario("ivf-stored-index-10x",

@@ -109,7 +109,8 @@ object Curate {
     *
     * `weightCol` must be NON-NEGATIVE (token counts are): the boundary
     * search prunes tail buckets on the premise that the running total is
-    * monotone, which negative weights would break. */
+    * monotone, which negative weights would break. NULL weights count as
+    * zero (the row is kept, the running total is unchanged). */
   def tokenBudget(df: DataFrame, idCol: String, weightCol: String,
                   budget: Long, salt: String = "", buckets: Int = 1024): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
@@ -117,11 +118,12 @@ object Curate {
     require(budget >= 0, "budget must be >= 0")
     import org.apache.spark.sql.expressions.Window
     val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    val w = coalesce(col(weightCol).cast("long"), lit(0L))
     val withPri = df
       .withColumn("__pri", portableHash60(concat(col(idCol).cast("string"), lit(salt))))
       .withColumn("__bkt", shiftright(col("__pri"), shift).cast("int"))
     val totals = withPri.groupBy("__bkt")
-      .agg(sum(col(weightCol).cast("long")).as("t"))
+      .agg(sum(w).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val prefix = (0 until buckets).map(b => totals.getOrElse(b, 0L)).scanLeft(0L)(_ + _)
     // boundary bucket: the last one whose preceding prefix still fits
@@ -136,7 +138,7 @@ object Curate {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withPri.filter(col("__bkt") <= bStar) // tail buckets never pay the window
       .join(broadcast(pre), Seq("__bkt"))
-      .withColumn("cum_weight", sum(col(weightCol).cast("long")).over(wb) + col("__pre"))
+      .withColumn("cum_weight", sum(w).over(wb) + col("__pre"))
       .filter(col("cum_weight") <= budget)
       .drop("__pri", "__bkt", "__pre")
   }

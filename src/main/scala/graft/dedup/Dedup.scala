@@ -224,6 +224,14 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The [[duplicateClusters]] regime decision, exposed so the boundary is
+    * spec-pinned at the DOCUMENTED threshold (≤ 2^20 directed edges with an
+    * orderable id type ⇒ driver union-find; anything else ⇒ distributed
+    * min-label propagation). */
+  def ccDriverRegime(nDirectedEdges: Long, driverMaxEdges: Long = 1L << 20,
+                     orderable: Boolean = true): Boolean =
+    nDirectedEdges <= driverMaxEdges && orderable
+
   /** Connected components over near-dup pairs: every node gets
     * `cluster_id` = the smallest id reachable through the pair graph — the
     * full dup-cluster structure (keep-one-per-cluster, cluster-size stats,
@@ -247,14 +255,6 @@ object Dedup {
     * milliseconds instead of O(diameter) distributed rounds. The bound is
     * explicit and configurable; graphs above it take the iterative path
     * unchanged. Both paths produce identical labels (spec-pinned). */
-  /** The [[duplicateClusters]] regime decision, exposed so the boundary is
-    * spec-pinned at the DOCUMENTED threshold (≤ 2^20 directed edges with an
-    * orderable id type ⇒ driver union-find; anything else ⇒ distributed
-    * min-label propagation). */
-  def ccDriverRegime(nDirectedEdges: Long, driverMaxEdges: Long = 1L << 20,
-                     orderable: Boolean = true): Boolean =
-    nDirectedEdges <= driverMaxEdges && orderable
-
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
                         driverMaxEdges: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession

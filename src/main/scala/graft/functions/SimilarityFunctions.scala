@@ -67,7 +67,7 @@ object SimilarityFunctions {
       val key = concat_ws("_", lit(b), concat_ws(",", slice(signature, b * r + 1, r)))
       // portable: the md5-based 60-bit hash a SQL oracle replays
       // (`CAST(concat('0x', substr(md5(key), 1, 15)) AS BIGINT)` in DuckDB)
-      if (portable) conv(substring(md5(key.cast("binary")), 1, 15), 16, 10).cast("long")
+      if (portable) graft.curate.Curate.portableHash60(key)
       else xxhash64(key)
     }
     array(bandHashes: _*)

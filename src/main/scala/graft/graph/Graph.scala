@@ -13,6 +13,12 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** The [[pageRank]] regime decision, exposed so the boundary is
+    * spec-pinned at the DOCUMENTED threshold (≤ 4·2^20 nodes ⇒ broadcast
+    * ranks + grouped adjacency; above ⇒ co-partitioned row-per-edge). */
+  def pageRankBroadcastRegime(nNodes: Long, broadcastMaxNodes: Long = 4L << 20): Boolean =
+    nNodes <= broadcastMaxNodes
+
   /** PageRank with a fixed iteration count and deterministic,
     * engine-portable semantics:
     *
@@ -38,12 +44,6 @@ object Graph {
     * `localCheckpoint` truncates each round's lineage so round N's plan
     * does not replay rounds 1..N−1.
     */
-  /** The [[pageRank]] regime decision, exposed so the boundary is
-    * spec-pinned at the DOCUMENTED threshold (≤ 4·2^20 nodes ⇒ broadcast
-    * ranks + grouped adjacency; above ⇒ co-partitioned row-per-edge). */
-  def pageRankBroadcastRegime(nNodes: Long, broadcastMaxNodes: Long = 4L << 20): Boolean =
-    nNodes <= broadcastMaxNodes
-
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, damping: Double = 0.85,
                broadcastMaxNodes: Long = 4L << 20,

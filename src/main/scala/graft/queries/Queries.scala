@@ -1532,14 +1532,18 @@ object Queries {
     // exact Hamming verifies. Parenthesize every shift (DuckDB's | and &
     // bind tighter than <<).
     "q23_simhash_pairs" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
         | FROM documents),
         |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS hv FROM tok),
         |bits AS (SELECT unnest(range(0, 60)) AS j),
         |votes AS (SELECT doc_id, j, sum(CASE WHEN ((hv >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v
         | FROM h CROSS JOIN bits GROUP BY 1, 2),
-        |fp AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS fp
+        |fpx AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS fp
         | FROM votes GROUP BY 1),
+        |fp AS (SELECT d.doc_id, coalesce(fpx.fp, 0::BIGINT) AS fp
+        | FROM documents d LEFT JOIN fpx ON d.doc_id = fpx.doc_id),
         |chunkix AS (SELECT unnest(range(0, 4)) AS band),
         |banded AS (SELECT doc_id, fp, band, ((fp >> (band * 15)) & 32767) AS chunk
         | FROM fp CROSS JOIN chunkix),

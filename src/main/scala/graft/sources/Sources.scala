@@ -228,7 +228,8 @@ object PathLifecycle {
                             ok: Seq[String], failed: Seq[String]): Unit = {
     def put(name: String, lines: Seq[String]): Unit = {
       val out = fs.create(new Path(dir, name), true)
-      try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      val payload = if (lines.isEmpty) "" else lines.mkString("", "\n", "\n")
+      try out.write(payload.getBytes("UTF-8"))
       finally out.close()
     }
     put("Success.csv", ok)
@@ -246,8 +247,11 @@ object PathLifecycle {
                      manifestFilePath: Option[String] = None): LifecycleResult = {
     require(transitionTo.nonEmpty && !transitionTo.contains('/'),
       s"bad storage class: '$transitionTo'")
-    val root = new Path(path)
-    val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
+    val raw = new Path(path)
+    val fs = FileSystem.get(raw.toUri, spark.sparkContext.hadoopConfiguration)
+    // Qualify so relative inputs compare against the absolute paths
+    // listFiles returns — a relative root would mis-strip every prefix.
+    val root = fs.makeQualified(raw)
     if (!fs.exists(root)) return LifecycleResult(0L, 0L)
     val cutoff = System.currentTimeMillis() - retentionHours * 3600L * 1000L
     val files = fs.listFiles(root, true)
@@ -257,7 +261,8 @@ object PathLifecycle {
     while (files.hasNext) {
       val f = files.next()
       val cls = storageClassOf(root, f.getPath)
-      if (cls == transitionTo || excludeStorageClasses.contains(cls) ||
+      if (cls == transitionTo) { /* already archived — not a hot file */ }
+      else if (excludeStorageClasses.contains(cls) ||
           f.getModificationTime >= cutoff) { retained += 1 }
       else {
         val dest = tieredPath(root, f.getPath, transitionTo)
@@ -290,8 +295,9 @@ object PathLifecycle {
     * back to its original location (the S3 restore-from-archive step).
     * Returns the number of files restored. */
   def restorePath(spark: SparkSession, path: String, fromClass: String): Long = {
-    val root = new Path(path)
-    val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
+    val raw = new Path(path)
+    val fs = FileSystem.get(raw.toUri, spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(raw)
     val tier = new Path(root, s"$TierPrefix$fromClass")
     if (!fs.exists(tier)) return 0L
     val files = fs.listFiles(tier, true)
@@ -339,8 +345,9 @@ object PathLifecycle {
   def purgePath(spark: SparkSession, path: String, retentionHours: Int = 0,
                 excludeStorageClasses: Set[String] = Set.empty,
                 manifestFilePath: Option[String] = None): Long = {
-    val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val raw = new Path(path)
+    val fs = FileSystem.get(raw.toUri, spark.sparkContext.hadoopConfiguration)
+    val p = fs.makeQualified(raw)
     if (!fs.exists(p)) return 0L
     val cutoff = System.currentTimeMillis() - retentionHours * 3600L * 1000L
     val files = fs.listFiles(p, true)

@@ -94,6 +94,20 @@ class CurateSpec extends SparkSpec {
     assert(all.agg(max("cum_weight")).collect()(0).getLong(0) == total)
   }
 
+  test("tokenBudget: NULL weights count as zero and never NPE") {
+    // rows with NULL weight are kept (zero cost) even when an entire hash
+    // bucket is all-NULL — the driver-side totals collect must not getLong
+    // a NULL sum
+    val df = spark.range(0, 200)
+      .select(col("id"),
+        when(col("id") % 2 === 0, (col("id") % 7) + 1).as("w"))
+    val got = Curate.tokenBudget(df, "id", "w", budget = 100, salt = "s", buckets = 16)
+    assert(got.count() > 0)
+    // all-NULL weights: every bucket total is NULL; everything fits budget 0
+    val allNull = spark.range(0, 50).select(col("id"), lit(null).cast("long").as("w"))
+    assert(Curate.tokenBudget(allNull, "id", "w", 0, "s", 16).count() == 50)
+  }
+
   test("chunkTokens: overlapping windows cover the document") {
     val docs = Seq((1L, "t1 t2 t3 t4 t5 t6"), (2L, "")).toDF("doc_id", "text")
     val chunks = Curate.chunkTokens(docs, "doc_id", "text", maxTokens = 3, overlap = 1)

@@ -243,4 +243,51 @@ class SourcesSpec extends SparkSpec {
     assert(success.size == 1 && success.get(0).endsWith("hot.txt"))
     assert(new java.io.File(dir, ".tier_GLACIER").listFiles().nonEmpty)
   }
+
+  test("transitionPath with a RELATIVE root tiers in place and restores") {
+    // relative roots must qualify against the fs working dir — an
+    // unqualified root never prefix-matches the absolute listing paths
+    // and every file would be re-rooted under a replica of its own path
+    val rel = s"target/tierrel_${System.nanoTime()}/t"
+    try {
+      spark.range(0, 10).coalesce(1).write.parquet(rel)
+      val moved = PathLifecycle.transitionPath(spark, rel, "GLACIER", retentionHours = 0)
+      assert(moved.processed > 0)
+      val tier = new java.io.File(rel, ".tier_GLACIER")
+      assert(tier.exists())
+      // structure preserved directly under the tier dir, not under an
+      // absolute-path replica
+      assert(tier.listFiles().exists(f =>
+        f.getName.endsWith(".parquet") || f.getName.startsWith("_SUCCESS")))
+      assert(PathLifecycle.restorePath(spark, rel, "GLACIER") == moved.processed)
+      assert(spark.read.parquet(rel).count() == 10)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(rel).getParentFile)
+  }
+
+  test("transition manifest is empty (not one blank line) when nothing moves") {
+    val dir = java.nio.file.Files.createTempDirectory("tierempty").toString + "/t"
+    spark.range(0, 5).coalesce(1).write.parquet(dir)
+    val manifest = java.nio.file.Files.createTempDirectory("tierempty_m").toString
+    val r = PathLifecycle.transitionPath(spark, dir, "GLACIER",
+      retentionHours = 1, manifestFilePath = Some(manifest))
+    assert(r.processed == 0)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(manifest, "Success.csv"))
+    assert(lines.isEmpty)
+  }
+
+  test("retained counts hot files only, never the archive") {
+    val dir = java.nio.file.Files.createTempDirectory("tierret").toString + "/t"
+    spark.range(0, 10).coalesce(1).write.parquet(dir)
+    val first = PathLifecycle.transitionPath(spark, dir, "GLACIER", retentionHours = 0)
+    assert(first.retained == 0)
+    // second call: archived files are neither processed nor retained
+    val second = PathLifecycle.transitionPath(spark, dir, "GLACIER", retentionHours = 0)
+    assert(second.processed == 0 && second.retained == 0)
+    // a fresh hot file under a future retention is the only retained one
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "hot.txt"), "x")
+    val third = PathLifecycle.transitionPath(spark, dir, "GLACIER", retentionHours = 1)
+    assert(third.processed == 0 && third.retained == 1)
+  }
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,stream,ivf)
+  * cc,pagerank,capped,bfs,topk,budget,stream,ivf)
   */
 object ScaleRehearsal {
 
@@ -178,6 +178,28 @@ object ScaleRehearsal {
       val (dh, dw) = (digest(heap), digest(win))
       (dh.getLong(0) == 10000L && dh == dw,
         s"heap_rows=${dh.getLong(0)} window_rows=${dw.getLong(0)} digests_equal=${dh == dw}")
+    })
+
+    if (enabled("budget")) scenario("token-budget-50m",
+        "bucketed prefix-sum, tail buckets pruned", {
+      // the q86 scale story at 50M rows: the global-budget cut must come
+      // out exact with only per-bucket windows. Two self-checks from the
+      // construction: unit weights make cum_weight = global rank, so the
+      // kept count IS the budget; mixed weights must fill the budget to
+      // within one row's weight (maximality) and never exceed it
+      import graft.curate.Curate
+      val n = 50000000L
+      val unit = spark.range(0, n).select(col("id"), lit(1L).as("w"))
+      val budget = 12345678L
+      val kept = Curate.tokenBudget(unit, "id", "w", budget)
+      val cnt = kept.count()
+      val mixed = spark.range(0, n).select(col("id"), ((col("id") % 7) + 1).as("w"))
+      val mixedBudget = 100000000L // ~half the corpus's 4n total
+      val m = Curate.tokenBudget(mixed, "id", "w", mixedBudget)
+        .agg(max("cum_weight").as("mx"), count(lit(1)).as("n")).collect()(0)
+      val (mx, mn) = (m.getLong(0), m.getLong(1))
+      (cnt == budget && mx <= mixedBudget && mx > mixedBudget - 7,
+        s"unit_kept=$cnt (expect $budget) mixed_max_cum=$mx of $mixedBudget mixed_rows=$mn")
     })
 
     if (enabled("stream")) scenario("streaming-state-200k",

@@ -108,6 +108,30 @@ class CurateSpec extends SparkSpec {
     assert(Curate.tokenBudget(allNull, "id", "w", 0, "s", 16).count() == 50)
   }
 
+  test("tokenBudget ≡ naive window across weight regimes (zeros, nulls, skew)") {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random regimes the bucketed path must match the
+    // global window on exactly: ties at zero, NULL holes, heavy skew
+    val regimes: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "zeros" -> when(col("id") % 3 === 0, lit(0L)).otherwise((col("id") * 13) % 50 + 1),
+      "nulls" -> when(col("id") % 5 === 0, lit(null).cast("long"))
+        .otherwise((col("id") * 7) % 30 + 1),
+      "skew" -> when(col("id") % 97 === 0, lit(10000L)).otherwise(lit(1L)))
+    regimes.foreach { case (name, wcol) =>
+      val df = spark.range(0, 400).select(col("id"), wcol.as("w"))
+      val budget = 900L
+      val got = Curate.tokenBudget(df, "id", "w", budget, salt = name, buckets = 16)
+      val pri = Curate.portableHash60(concat(col("id").cast("string"), lit(name)))
+      val win = Window.orderBy(pri, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = df
+        .withColumn("cum_weight", sum(coalesce(col("w"), lit(0L))).over(win))
+        .filter(col("cum_weight") <= budget)
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+        s"regime $name diverged from the global window")
+    }
+  }
+
   test("chunkTokens: overlapping windows cover the document") {
     val docs = Seq((1L, "t1 t2 t3 t4 t5 t6"), (2L, "")).toDF("doc_id", "text")
     val chunks = Curate.chunkTokens(docs, "doc_id", "text", maxTokens = 3, overlap = 1)

@@ -297,4 +297,59 @@ object Curate {
       .select(col("id"), col("term"), col("tf"), col("df"),
         (col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0)).as("tfidf"))
   }
+
+  /** Collapse consecutive repeated tokens within each document ("a a the"
+    * → "a the") — the classic intra-document repetition cleaner (generation
+    * artifacts, stutter, copy-paste runs). Complements
+    * [[graft.dedup.Dedup.stripDuplicatedSegments]], which removes
+    * CROSS-document boilerplate; this removes WITHIN-document runs.
+    *
+    * Scale shape: pure map-side — one array expression per row, no
+    * explode, no shuffle, no corpus state (plan-shape guarded). The HOF
+    * lambda is interpreted, but the work is one linear pass per document.
+    * Output: id, clean_text, n_tokens (original), n_collapsed (removed). */
+  def collapseRepeatTokens(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = T.tokens(col(textCol))
+    // keep position i iff first token or different from its predecessor;
+    // the `when` guards element_at(_, 0), which ANSI mode rejects
+    val kept = filter(toks, (t, i) =>
+      when(i === 0, lit(true)).otherwise(t =!= element_at(toks, i)))
+    df.select(col(idCol).as("id"),
+      array_join(kept, " ").as("clean_text"),
+      size(toks).as("n_tokens"),
+      (size(toks) - size(kept)).as("n_collapsed"))
+  }
+
+  /** The corpus's `topK` most frequent tokens, ties broken by token
+    * ascending — a deterministic reference vocabulary. Bounded driver
+    * collect (topK rows), like IVF centroids. */
+  def topVocabulary(df: DataFrame, textCol: String, topK: Int): Seq[String] = {
+    require(topK >= 1, "topK must be >= 1")
+    df.select(explode(T.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(topK).collect().map(_.getString(0)).toSeq
+  }
+
+  /** Vocabulary coverage per document: what fraction of a document's
+    * tokens fall in the corpus's top-`topK` vocabulary — the cheap
+    * lexical-quality filter (garbled or off-domain text scores low).
+    * `cover_bp` is integer basis points, `(10000 · n_in_vocab) div
+    * n_tokens` — integer-exact, so cross-engine replay never hits a
+    * float-rounding tie. Zero-token documents score 0.
+    *
+    * Scale shape: one vocabulary aggregation (token-distinct-sized
+    * shuffle + bounded topK collect), then map-side scoring via an InSet
+    * probe per token — the corpus is never exploded a second time and
+    * never shuffles. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 1000): DataFrame = {
+    val vocab = topVocabulary(df, textCol, topK)
+    val toks = T.tokens(col(textCol))
+    val inVocab = size(filter(toks, t => t.isInCollection(vocab)))
+    df.select(col(idCol).as("id"),
+        size(toks).as("n_tokens"), inVocab.as("n_in_vocab"))
+      .withColumn("cover_bp", when(col("n_tokens") === 0, lit(0L))
+        .otherwise(expr("(CAST(n_in_vocab AS BIGINT) * 10000) div n_tokens")))
+  }
 }

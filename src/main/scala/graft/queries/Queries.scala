@@ -1268,6 +1268,23 @@ object Queries {
     Dedup.stripDuplicatedSegments(tbl(s, dir, "documents"), "doc_id", "text")
       .select(col("id").as("doc_id"), col("clean_text"), col("n_kept"), col("n_dropped"))
 
+  /** Intra-document repetition cleaner
+    * ([[graft.curate.Curate.collapseRepeatTokens]]): collapse consecutive
+    * repeated tokens within each doc — map-side only, zero shuffles
+    * (plan-guarded). The within-doc counterpart of q87's cross-doc strip. */
+  def q88CollapseRepeats(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curate.collapseRepeatTokens(tbl(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("clean_text"), col("n_tokens"), col("n_collapsed"))
+
+  /** Vocabulary-coverage quality score
+    * ([[graft.curate.Curate.vocabCoverage]]): fraction of each doc's tokens
+    * in the corpus top-12 vocabulary (ties broken by token asc), as
+    * integer basis points — one vocab aggregation + bounded collect, then
+    * map-side InSet scoring; the corpus never shuffles. */
+  def q89VocabCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curate.vocabCoverage(tbl(s, dir, "documents"), "doc_id", "text", topK = 12)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_in_vocab"), col("cover_bp"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1357,7 +1374,9 @@ object Queries {
     "q84_match_catalog" -> (q84MatchCatalog _),
     "q85_cap_per_group" -> (q85CapPerGroup _),
     "q86_token_budget" -> (q86TokenBudget _),
-    "q87_strip_segments" -> (q87StripSegments _))
+    "q87_strip_segments" -> (q87StripSegments _),
+    "q88_collapse_repeats" -> (q88CollapseRepeats _),
+    "q89_vocab_coverage" -> (q89VocabCoverage _))
 
   /** DuckDB oracles. Keys missing here (q34, q50, q68) are approximate by
     * construction (centroids carry Spark aggregation order; binary decode)
@@ -2339,5 +2358,40 @@ object Queries {
         |   AS clean_text,
         | CAST(sum(CASE WHEN cnt.c <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         | CAST(sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-        |FROM sx JOIN cnt USING (s) GROUP BY sx.doc_id""".stripMargin)
+        |FROM sx JOIN cnt USING (s) GROUP BY sx.doc_id""".stripMargin,
+    // consecutive-run collapse replay: carry the token list, index it
+    // 1-based, keep i=1 or toks[i] <> toks[i-1]; blank docs come back via
+    // the LEFT JOIN with clean_text '' (Spark's array_join over empty)
+    "q88_collapse_repeats" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        | FROM documents),
+        |x AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t),
+        |keep AS (SELECT doc_id, i, toks[i] AS w FROM x
+        | WHERE i = 1 OR toks[i] <> toks[i - 1]),
+        |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text,
+        |  count(*) AS kept FROM keep GROUP BY 1)
+        |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+        | CAST(len(t.toks) AS INT) AS n_tokens,
+        | CAST(len(t.toks) - coalesce(agg.kept, 0) AS INT) AS n_collapsed
+        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // vocab-coverage replay: same (count DESC, token ASC) top-12 cut;
+    // integer basis points via // so no float rounding can diverge
+    "q89_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+        | FROM documents),
+        |vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY 1)
+        | ORDER BY c DESC, w LIMIT 12),
+        |per AS (SELECT doc_id, count(*) AS n,
+        |  sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END) AS iv
+        | FROM tok GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(coalesce(per.n, 0) AS INT) AS n_tokens,
+        | CAST(coalesce(per.iv, 0) AS INT) AS n_in_vocab,
+        | CAST(CASE WHEN coalesce(per.n, 0) = 0 THEN 0
+        |           ELSE (per.iv * 10000) // per.n END AS BIGINT) AS cover_bp
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin)
 }

@@ -132,6 +132,38 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("collapseRepeatTokens removes consecutive runs only") {
+    val docs = Seq(
+      (1L, "a a a the the cat a"), // runs collapse, non-adjacent repeats stay
+      (2L, "x y z"),               // nothing to collapse
+      (3L, ""),                    // blank -> empty output, zero counts
+      (4L, "w w")                  // whole doc is one run
+    ).toDF("doc_id", "text")
+    val got = Curate.collapseRepeatTokens(docs, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getString(1) == "a the cat a" && got(0).getInt(3) == 3)
+    assert(got(1).getString(1) == "x y z" && got(1).getInt(3) == 0)
+    assert(got(2).getString(1) == "" && got(2).getInt(2) == 0 && got(2).getInt(3) == 0)
+    assert(got(3).getString(1) == "w" && got(3).getInt(3) == 1)
+  }
+
+  test("vocabCoverage: deterministic top-K vocabulary and integer basis points") {
+    val docs = Seq(
+      (1L, "a a b c"),   // corpus counts: a=3, b=3, c=2, d=1
+      (2L, "b b a d"),
+      (3L, "c"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    // topK=2 with the a/b count tie broken by token asc -> vocab = {a, b}
+    val got = Curate.vocabCoverage(docs, "doc_id", "text", topK = 2)
+      .orderBy("id").collect()
+    assert(got(0).getInt(2) == 3 && got(0).getLong(3) == 7500L) // 3 of 4
+    assert(got(1).getInt(2) == 3 && got(1).getLong(3) == 7500L)
+    assert(got(2).getInt(2) == 0 && got(2).getLong(3) == 0L)
+    assert(got(3).getInt(1) == 0 && got(3).getLong(3) == 0L)    // empty doc
+    assert(Curate.topVocabulary(docs, "text", 2) == Seq("a", "b"))
+  }
+
   test("chunkTokens: overlapping windows cover the document") {
     val docs = Seq((1L, "t1 t2 t3 t4 t5 t6"), (2L, "")).toDF("doc_id", "text")
     val chunks = Curate.chunkTokens(docs, "doc_id", "text", maxTokens = 3, overlap = 1)

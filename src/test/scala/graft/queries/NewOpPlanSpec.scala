@@ -32,6 +32,25 @@ class NewOpPlanSpec extends SparkSpec {
     assert(plan.contains("__bkt"), s"window lost its bucket partitioning:\n$plan")
   }
 
+  test("collapseRepeatTokens is pure map-side: zero exchanges") {
+    val q = graft.curate.Curate.collapseRepeatTokens(
+      docs.select(col("id"), concat_ws(" ", lit("a"), lit("a"), col("g")).as("text")),
+      "id", "text")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"map-side op grew a shuffle:\n$plan")
+  }
+
+  test("vocabCoverage scores map-side: no second explode, no corpus shuffle") {
+    val q = graft.curate.Curate.vocabCoverage(
+      docs.select(col("id"), concat_ws(" ", lit("a"), col("g")).as("text")),
+      "id", "text", topK = 3)
+    val plan = q.queryExecution.executedPlan.toString
+    // the vocabulary was collected up front; the scoring pass itself must
+    // not explode or shuffle the corpus again
+    assert(!plan.contains("Exchange"), s"scoring pass grew a shuffle:\n$plan")
+    assert(!plan.contains("Generate"), s"scoring pass re-exploded the corpus:\n$plan")
+  }
+
   test("stripDuplicatedSegments has no window and no cartesian join") {
     val q = graft.dedup.Dedup.stripDuplicatedSegments(
       docs.select(col("id").as("doc_id"),

@@ -18,23 +18,46 @@ class GraftCatalog(spark: SparkSession) {
   def dropDatabase(name: String): Unit =
     spark.sql(s"DROP DATABASE IF EXISTS `$name` CASCADE")
 
-  /** Catalog sink (`write_dynamic_frame_from_catalog`, `context.py:358-405`). */
-  def saveTable(db: String, table: String, df: DataFrame,
-                mode: SaveMode = SaveMode.Overwrite,
-                partitionKeys: Seq[String] = Nil): Unit = {
-    createDatabase(db)
+  /** The session catalog is in-memory: a previous session's managed files
+    * can survive as an orphaned warehouse directory the new session's
+    * catalog doesn't know about — Overwrite means the caller wants that
+    * location replaced, not LOCATION_ALREADY_EXISTS. */
+  private def clearOrphanedLocation(db: String, table: String, mode: SaveMode): Unit =
     if (mode == SaveMode.Overwrite && !tableExists(db, table)) {
-      // the session catalog is in-memory: a previous session's managed
-      // files can survive as an orphaned warehouse directory the new
-      // session's catalog doesn't know about — Overwrite means the caller
-      // wants that location replaced, not LOCATION_ALREADY_EXISTS
       val loc = new org.apache.hadoop.fs.Path(
         spark.sessionState.catalog.defaultTablePath(
           org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db))))
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     }
+
+  /** Catalog sink (`write_dynamic_frame_from_catalog`, `context.py:358-405`). */
+  def saveTable(db: String, table: String, df: DataFrame,
+                mode: SaveMode = SaveMode.Overwrite,
+                partitionKeys: Seq[String] = Nil): Unit = {
+    createDatabase(db)
+    clearOrphanedLocation(db, table, mode)
     val w = df.write.mode(mode)
     (if (partitionKeys.nonEmpty) w.partitionBy(partitionKeys: _*) else w)
+      .saveAsTable(s"`$db`.`$table`")
+  }
+
+  /** Bucketed catalog sink — the co-located-join layout for keys that are
+    * joined or aggregated REPEATEDLY: the one-time write pays the shuffle
+    * into a fixed hash-bucket layout, and every later join between tables
+    * bucketed the same way (same key, same bucket count), and every
+    * aggregation on the bucket key, plans with ZERO exchanges — at 100 TB
+    * this converts the recurring fact⋈dim shuffle into a free scan-side
+    * property (spec-pinned in GraftCatalogSpec). `sortCols` additionally
+    * sorts within buckets, letting a sort-merge join skip its sort. */
+  def saveBucketed(db: String, table: String, df: DataFrame,
+                   bucketCol: String, numBuckets: Int,
+                   sortCols: Seq[String] = Nil,
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    createDatabase(db)
+    clearOrphanedLocation(db, table, mode)
+    val w = df.write.mode(mode).bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(s"`$db`.`$table`")
   }
 

@@ -43,4 +43,33 @@ class GraftCatalogSpec extends SparkSpec {
     assert(cat.table("graft_db", "crawled").as[(Long, Double)].collect().toSeq == Seq((10L, 1.5)))
     cat.dropTable("graft_db", "crawled")
   }
+
+  test("co-bucketed tables join and aggregate with ZERO exchanges") {
+    import org.apache.spark.sql.functions._
+    val fact = spark.range(0, 10000)
+      .select((col("id") % 500).as("k"), (col("id") * 3 % 97).as("amt"))
+    val dim = spark.range(0, 500).select(col("id").as("k"), (col("id") % 7).as("seg"))
+    cat.saveBucketed("graft_db", "fact_b", fact, "k", numBuckets = 8, sortCols = Seq("k"))
+    cat.saveBucketed("graft_db", "dim_b", dim, "k", numBuckets = 8, sortCols = Seq("k"))
+    // force the sort-merge path so "no Exchange" proves bucket co-location,
+    // not a broadcast; restore the session threshold afterwards
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = cat.table("graft_db", "fact_b")
+        .join(cat.table("graft_db", "dim_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      // the layout is a real property of the data, not just the plan
+      val got = joined.groupBy("seg").agg(sum("amt").as("total"))
+      val expect = fact.join(dim, "k").groupBy("seg").agg(sum("amt").as("total"))
+      assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+      // aggregation directly on the bucket key: also exchange-free
+      val agg = cat.table("graft_db", "fact_b").groupBy("k").agg(sum("amt"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    cat.dropTable("graft_db", "fact_b")
+    cat.dropTable("graft_db", "dim_b")
+  }
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,ivf)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,ivf)
   */
 object ScaleRehearsal {
 
@@ -235,6 +235,35 @@ object ScaleRehearsal {
         s"users=${agg.getLong(0)} final_count=[${agg.getLong(1)},${agg.getLong(2)}] " +
           s"updates_per_user>=${agg.getLong(3)}")
       } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    })
+
+    if (enabled("fuzzy")) scenario("fuzzy-join-200k",
+        "prefix-filtered edit-distance join", {
+      // 200k distinct 12-17-char hash-letter strings + one planted
+      // single-substitution typo per 100th base. Random 12+-char strings
+      // over 26 letters are never within 1 edit of each other, so the
+      // exact result set IS the planted set — found pairs must equal it
+      // (losslessness at a vocabulary 3000x the battery's, q=3 grams).
+      // chars via xxhash64(id, j): a formula linear in j makes every
+      // same-length string a rotation of one progression and the whole
+      // vocabulary collapses to ~26 values per length class
+      val base = spark.range(0, 200000).select(col("id"),
+        concat_ws("", transform(sequence(lit(0), lit(11) + col("id") % 6),
+          j => chr(lit(97) + pmod(xxhash64(col("id"), j), lit(26))))
+        ).as("val"))
+      val typos = base.filter(col("id") % 100 === 0)
+        .select(col("id"),
+          concat(
+            expr("substring(val, 1, cast(id/100 % 12 as int))"),
+            chr(lit(97) + (ascii(expr("substring(val, cast(id/100 % 12 as int)+1, 1)")) - 96) % 26),
+            expr("substring(val, cast(id/100 % 12 as int)+2)")).as("val"))
+      val planted = typos.count()
+      val pairs = graft.operators.Fuzzy.editDistancePairs(
+        base.select("val").unionByName(typos.select("val")), "val",
+        maxDist = 1, q = 3)
+      val agg = pairs.agg(count(lit(1)).as("n"), max("dist").as("m")).collect()(0)
+      (agg.getLong(0) == planted && agg.getInt(1) == 1,
+        s"pairs=${agg.getLong(0)} planted=$planted maxDist=${agg.getInt(1)}")
     })
 
     if (enabled("ivf")) scenario("ivf-stored-index-10x",

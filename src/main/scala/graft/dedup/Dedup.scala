@@ -50,7 +50,7 @@ object Dedup {
     * Returns `(__x, __y)` struct columns carrying the non-key payload
     * fields of `banded`; callers normalize pair order with least/greatest
     * (bucket collection order is nondeterministic). */
-  private def bucketPairs(banded: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame = {
+  private[graft] def bucketPairs(banded: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame = {
     import graft.functions.expressions.CollectListCappedAgg.collectListCapped
     val payload = banded.columns.filterNot(keys.contains)
     banded.groupBy(keys.map(col): _*)

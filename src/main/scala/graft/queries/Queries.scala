@@ -1285,6 +1285,30 @@ object Queries {
     graft.curate.Curate.vocabCoverage(tbl(s, dir, "documents"), "doc_id", "text", topK = 12)
       .select(col("id").as("doc_id"), col("n_tokens"), col("n_in_vocab"), col("cover_bp"))
 
+  /** Prefix-filtered edit-distance self-join ([[graft.operators.Fuzzy
+    * .editDistancePairs]]): every pair of distinct part names within 2
+    * edits. Candidate generation is a lossless rarest-q-gram prefix
+    * equi-join — recall 1.0 by theorem, so the brute-force all-pairs
+    * oracle is exact ground truth, not a probe-calibrated approximation.
+    * Integer distances: no float-threshold risk. */
+  def q90FuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Fuzzy.editDistancePairs(tbl(s, dir, "part"), "p_name", maxDist = 2)
+      .select(col("val_a").as("name_a"), col("val_b").as("name_b"), col("dist"))
+
+  /** Entity resolution end-to-end ([[graft.operators.Fuzzy
+    * .resolveEntities]]): fuzzy pairs → connected components with the
+    * string values themselves as labels (min-label propagation is
+    * type-generic — no id mapping, no hash-collision risk) → canonical =
+    * cluster-min name, rolled up with variant and row counts. Typo chains
+    * merge transitively (cold→old→new→red at d<=2). */
+  def q91EntityResolve(s: SparkSession, dir: String): DataFrame = {
+    val part = tbl(s, dir, "part")
+    val resolved = graft.operators.Fuzzy.resolveEntities(part, "p_name", maxDist = 2)
+    part.join(resolved, part("p_name") === resolved("val"))
+      .groupBy(col("canonical"))
+      .agg(countDistinct(col("val")).as("n_variants"), count(lit(1)).as("n_rows"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1376,7 +1400,9 @@ object Queries {
     "q86_token_budget" -> (q86TokenBudget _),
     "q87_strip_segments" -> (q87StripSegments _),
     "q88_collapse_repeats" -> (q88CollapseRepeats _),
-    "q89_vocab_coverage" -> (q89VocabCoverage _))
+    "q89_vocab_coverage" -> (q89VocabCoverage _),
+    "q90_fuzzy_join" -> (q90FuzzyJoin _),
+    "q91_entity_resolve" -> (q91EntityResolve _))
 
   /** DuckDB oracles. Keys missing here (q34, q50, q68) are approximate by
     * construction (centroids carry Spark aggregation order; binary decode)
@@ -2393,5 +2419,34 @@ object Queries {
         | CAST(coalesce(per.iv, 0) AS INT) AS n_in_vocab,
         | CAST(CASE WHEN coalesce(per.n, 0) = 0 THEN 0
         |           ELSE (per.iv * 10000) // per.n END AS BIGINT) AS cover_bp
-        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin)
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+    // q90: brute-force all-pairs ground truth over the distinct vocabulary —
+    // exact because the Spark-side prefix filter is lossless by theorem
+    // (integer distances, so no threshold-epsilon risk either).
+    "q90_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        | CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+    // q91: recursive-CTE min-name propagation over the brute-force pair
+    // graph (the q47 pattern, seeded from ALL names so singletons root at
+    // themselves), rolled up to (canonical, variants, rows).
+    "q91_entity_resolve" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+        |jp AS (
+        | SELECT a.p_name AS id_a, b.p_name AS id_b FROM n a JOIN n b
+        | ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 2),
+        |p AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |      UNION ALL SELECT id_b, id_a FROM jp),
+        |reach AS (
+        | SELECT p_name AS id, p_name AS root FROM n
+        | UNION
+        | SELECT p.dst AS id, r.root FROM reach r JOIN p ON p.src = r.id),
+        |canon AS (SELECT id AS p_name, min(root) AS canonical
+        |          FROM reach GROUP BY id)
+        |SELECT c.canonical, count(DISTINCT t.p_name) AS n_variants,
+        | count(*) AS n_rows
+        |FROM part t JOIN canon c USING (p_name)
+        |GROUP BY 1""".stripMargin)
 }

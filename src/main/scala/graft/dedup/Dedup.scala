@@ -478,6 +478,45 @@ object Dedup {
         sum(when(col("c") > maxDupCount, 1L).otherwise(0L)).as("n_dropped"))
   }
 
+  /** Corpus-wide duplicated-span localization: hash the w-token window at
+    * EVERY token offset (any alignment — the precision upgrade over
+    * [[stripDuplicatedSegments]]'s strided segments, in the spirit of the
+    * suffix-based exact-substring dedup literature), keep windows whose
+    * content occurs >= 2 times anywhere in the corpus, and merge each
+    * document's overlapping-or-adjacent duplicated windows into maximal
+    * spans. Returns (id, span_start, span_end, n_windows) with 0-based
+    * token-index bounds [span_start, span_end); windows merge into one
+    * span while consecutive duplicated starts are <= windowLen apart
+    * (contiguous coverage).
+    *
+    * Shuffle profile: ONE corpus-sized shuffle of (md5, id, pos) — window
+    * bytes never shuffle; the duplicate filter joins on the 128-bit hash —
+    * then one doc-keyed exchange shared by the island window and the span
+    * aggregation (identical partitioning, no extra exchange). Docs shorter
+    * than the window contribute nothing. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      windowLen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = ensureParallelism(
+        df.filter(size(T.tokens(col(textCol))) >= windowLen))
+      .select(col(idCol).as("id"),
+        posexplode(T.wordShingles(col(textCol), windowLen)).as(Seq("pos", "win")))
+      .select(col("id"), col("pos"), md5(col("win")).as("h"))
+    val dupHashes = wins.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    wins.join(dupHashes, Seq("h"))
+      .select(col("id"), col("pos"))
+      .withColumn("__prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("__isl", sum(when(col("__prev").isNull ||
+          col("pos") - col("__prev") > windowLen, 1L).otherwise(0L)).over(byDoc))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + windowLen).as("span_end"),
+        count(lit(1)).cast("int").as("n_windows"))
+      .drop("__isl")
+  }
+
   /** Dataset-level overlap: ONE merged MinHash sketch per group (source,
     * snapshot, shard — [[graft.functions.expressions.MinHashMergeAgg]]:
     * elementwise-min merge equals the signature of the union of the group's

@@ -1309,6 +1309,17 @@ object Queries {
       .agg(countDistinct(col("val")).as("n_variants"), count(lit(1)).as("n_rows"))
   }
 
+  /** Duplicated-span localization ([[graft.dedup.Dedup.duplicatedSpans]]):
+    * 10-token windows at EVERY offset, corpus-wide duplicate marking,
+    * per-doc maximal-span merge — the any-alignment precision upgrade over
+    * q51's strided measurement and q87's strided removal. Token-index
+    * output: integer-exact, no float risk. The oracle groups by window
+    * TEXT where Spark groups by md5(window) — identical counts. */
+  def q92DupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(tbl(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1402,7 +1413,8 @@ object Queries {
     "q88_collapse_repeats" -> (q88CollapseRepeats _),
     "q89_vocab_coverage" -> (q89VocabCoverage _),
     "q90_fuzzy_join" -> (q90FuzzyJoin _),
-    "q91_entity_resolve" -> (q91EntityResolve _))
+    "q91_entity_resolve" -> (q91EntityResolve _),
+    "q92_dup_spans" -> (q92DupSpans _))
 
   /** DuckDB oracles. Keys missing here (q34, q50, q68) are approximate by
     * construction (centroids carry Spark aggregation order; binary decode)
@@ -2448,5 +2460,24 @@ object Queries {
         |SELECT c.canonical, count(DISTINCT t.p_name) AS n_variants,
         | count(*) AS n_rows
         |FROM part t JOIN canon c USING (p_name)
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    // q92: window-text duplicate marking + island merge. Same tokenization
+    // as the q47/q49 oracles; islands break when consecutive duplicated
+    // window starts are > 10 apart (coverage gap). Integer token indices.
+    "q92_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |w AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+9], ' ') AS win
+        |  FROM t, unnest(generate_series(1, len(toks) - 9)) AS g(i)),
+        |c AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, pos FROM w JOIN c USING (win)),
+        |isl AS (SELECT doc_id, pos,
+        |   sum(CASE WHEN prev IS NULL OR pos - prev > 10 THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM (SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM d))
+        |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+        | CAST(max(pos) + 10 AS INT) AS span_end,
+        | CAST(count(*) AS INT) AS n_windows
+        |FROM isl GROUP BY doc_id, island""".stripMargin)
 }

@@ -60,4 +60,17 @@ class NewOpPlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window:\n$plan")
     assert(!plan.contains("Cartesian"), s"unexpected cartesian:\n$plan")
   }
+
+  test("duplicatedSpans: island window and span agg share ONE doc-keyed exchange") {
+    val q = graft.dedup.Dedup.duplicatedSpans(
+      docs.select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(i => concat(lit("t"), col("id") * 12 + i)): _*).as("text")),
+      "doc_id", "text")
+    val plan = q.queryExecution.executedPlan.toString
+    // the span aggregation's ClusteredDistribution on (id, __isl) must be
+    // satisfied by the window's hashpartitioning(id) — a second doc-keyed
+    // exchange means the shared partitioning broke
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning(id#")) == 1,
+      s"expected exactly one doc-keyed exchange:\n$plan")
+  }
 }

@@ -1320,6 +1320,26 @@ object Queries {
       .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
         col("n_windows"))
 
+  /** Snapshot diff ([[graft.operators.Diff.snapshotDiff]]): classify keys
+    * added / removed / changed between two table versions via ONE
+    * co-partitioned full-outer join with codegen'd null-safe payload
+    * comparison. The "new" snapshot is derived deterministically (drop
+    * key%7==3, rewrite priority on key%10==0, inject -(key+1) copies of
+    * key%13==5 — keys start at 0, so a bare negation would collide: the
+    * q73 lesson). The oracle derives the expected classes independently
+    * from the construction arithmetic — ground truth, not a join replay. */
+  def q93SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders")
+    val newSnap = orders.filter(col("o_orderkey") % 7 =!= 3)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 10 === 0, lit("0-RUSH"))
+          .otherwise(col("o_orderpriority")))
+      .unionByName(orders.filter(col("o_orderkey") % 13 === 5)
+        .withColumn("o_orderkey", -(col("o_orderkey") + 1)))
+    graft.operators.Diff.snapshotDiff(orders, newSnap, Seq("o_orderkey"))
+      .filter(col("change_type") =!= "unchanged")
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1414,7 +1434,8 @@ object Queries {
     "q89_vocab_coverage" -> (q89VocabCoverage _),
     "q90_fuzzy_join" -> (q90FuzzyJoin _),
     "q91_entity_resolve" -> (q91EntityResolve _),
-    "q92_dup_spans" -> (q92DupSpans _))
+    "q92_dup_spans" -> (q92DupSpans _),
+    "q93_snapshot_diff" -> (q93SnapshotDiff _))
 
   /** DuckDB oracles. Keys missing here (q34, q50, q68) are approximate by
     * construction (centroids carry Spark aggregation order; binary decode)
@@ -2479,5 +2500,18 @@ object Queries {
         |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
         | CAST(max(pos) + 10 AS INT) AS span_end,
         | CAST(count(*) AS INT) AS n_windows
-        |FROM isl GROUP BY doc_id, island""".stripMargin)
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
+    // q93: classes derived independently from the construction arithmetic
+    // (not a replay of the full-outer join) — an injected -(key+1) never
+    // collides because keys start at 0, and '0-RUSH' never occurs in the
+    // data (probed), so every %10==0 survivor really changes.
+    "q93_snapshot_diff" ->
+      """SELECT o_orderkey, 'removed' AS change_type FROM orders
+        | WHERE o_orderkey % 7 = 3
+        |UNION ALL
+        |SELECT o_orderkey, 'changed' FROM orders
+        | WHERE o_orderkey % 7 <> 3 AND o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT -(o_orderkey + 1), 'added' FROM orders
+        | WHERE o_orderkey % 13 = 5""".stripMargin)
 }

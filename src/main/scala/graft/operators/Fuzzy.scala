@@ -5,19 +5,21 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Edit-distance similarity self-join and entity resolution over a string
-  * column — "find every pair of values within k typos, and canonicalize".
+/** Edit-distance similarity join and entity resolution over string
+  * columns — "find every pair of values within k typos, and canonicalize".
   *
   * The scalable shape is prefix filtering from the string-similarity-join
   * literature (SSJoin / ED-Join family): two strings within Levenshtein
   * distance `d` must share at least one q-gram among the `d·q+1` globally
   * rarest q-grams of each (an edit edits at most `q` gram positions, so `d`
   * edits remove at most `d·q` elements from either gram set — pigeonhole on
-  * a consistent global gram order does the rest). So candidate generation
-  * is an equi-join on prefix grams — never an all-pairs comparison — and
-  * the filter is LOSSLESS: recall 1.0 by theorem, not by tuning
-  * (FuzzySpec pins this against brute force, including a ScalaCheck
-  * property over random typo'd vocabularies).
+  * a consistent global gram order does the rest; values with fewer than
+  * `d·q+1` distinct grams contribute their whole gram set, which the same
+  * argument still covers). So candidate generation is an equi-join on
+  * prefix grams — never an all-pairs comparison — and the filter is
+  * LOSSLESS: recall 1.0 by theorem, not by tuning (FuzzySpec pins this
+  * against brute force on seeded typo'd vocabularies for both the self-join
+  * and the two-table join).
   *
   * Scale shape: the join runs on the DISTINCT value vocabulary (entity
   * resolution canonicalizes a dictionary, then maps rows back — rows
@@ -53,6 +55,50 @@ object Fuzzy {
     array_distinct(transform(sequence(lit(1), length(s) - (q - 1)),
       i => s.substr(i, lit(q))))
 
+  /** Candidate pairs over a tagged vocabulary (`val`, `tag` columns,
+    * distinct rows): every pair of rows within `maxDist` edits appears at
+    * least once as (xval, xtag, yval, ytag), in arbitrary order and
+    * possibly repeatedly — callers normalize/orient, dedupe, and verify. */
+  private def candidatePairs(vocab: DataFrame, maxDist: Int, q: Int,
+                             maxBucketSize: Int): DataFrame = {
+    val shortMaxLen = maxDist * q + q - 1
+    val longs = vocab.filter(length(col("val")) > shortMaxLen)
+    val shorts = vocab.filter(length(col("val")) <= shortMaxLen)
+
+    val grams = longs.select(col("val"), col("tag"),
+      explode(rawGrams(col("val"), q)).as("gram"))
+    // document frequency over the long vocabulary — the global rarity order
+    val freqs = grams.groupBy("gram").agg(count(lit(1)).as("__f"))
+    val prefLen = maxDist * q + 1
+    val pref = grams.join(freqs, "gram")
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("val", "tag").orderBy(col("__f"), col("gram"))))
+      .filter(col("__r") <= prefLen)
+      .select(col("gram"), col("val"), col("tag"))
+    val gramCands = graft.dedup.Dedup.bucketPairs(pref, Seq("gram"), maxBucketSize)
+      .select(col("__x.val").as("xval"), col("__x.tag").as("xtag"),
+        col("__y.val").as("yval"), col("__y.tag").as("ytag"))
+
+    // short values: every value within |Δlen| <= d of a short one is a
+    // candidate; the short set is tiny (bounded by the alphabet at
+    // length <= d·q+q-1), so it broadcasts and the vocabulary streams.
+    val reachable = vocab.filter(length(col("val")) <= shortMaxLen + maxDist)
+    val shortCands = reachable
+      .join(broadcast(shorts.select(col("val").as("__s"), col("tag").as("__st"))),
+        abs(length(col("val")) - length(col("__s"))) <= maxDist &&
+          !(col("val") === col("__s") && col("tag") === col("__st")))
+      .select(col("val").as("xval"), col("tag").as("xtag"),
+        col("__s").as("yval"), col("__st").as("ytag"))
+
+    gramCands.unionByName(shortCands)
+  }
+
+  private def distinctVals(df: DataFrame, valueCol: String): DataFrame =
+    graft.dedup.Dedup.ensureParallelism(
+        df.select(col(valueCol).cast("string").as("val"))
+          .filter(col("val").isNotNull))
+      .distinct()
+
   /** All unordered pairs of DISTINCT non-null values of `valueCol` within
     * Levenshtein distance `maxDist` (>= 1). Returns
     * (val_a, val_b, dist) with val_a < val_b, dist in 1..maxDist. */
@@ -61,45 +107,39 @@ object Fuzzy {
                         maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
     require(q >= 2, "q must be >= 2")
-    val vocab = graft.dedup.Dedup.ensureParallelism(
-        df.select(col(valueCol).cast("string").as("val"))
-          .filter(col("val").isNotNull))
-      .distinct()
-
-    // |grams(s)| = len-q+1 (distinct only fewer); the pigeonhole bound
-    // needs more than d·q grams => gram path takes len > d·q + q - 1.
-    val shortMaxLen = maxDist * q + q - 1
-    val longs = vocab.filter(length(col("val")) > shortMaxLen)
-    val shorts = vocab.filter(length(col("val")) <= shortMaxLen)
-
-    val grams = longs.select(col("val"), explode(rawGrams(col("val"), q)).as("gram"))
-    // document frequency over the long vocabulary — the global rarity order
-    val freqs = grams.groupBy("gram").agg(count(lit(1)).as("__f"))
-    val prefLen = maxDist * q + 1
-    val pref = grams.join(freqs, "gram")
-      .withColumn("__r", row_number().over(
-        Window.partitionBy("val").orderBy(col("__f"), col("gram"))))
-      .filter(col("__r") <= prefLen)
-      .select(col("gram"), col("val"))
-    val gramCands = graft.dedup.Dedup.bucketPairs(pref, Seq("gram"), maxBucketSize)
-      .select(least(col("__x.val"), col("__y.val")).as("val_a"),
-        greatest(col("__x.val"), col("__y.val")).as("val_b"))
-
-    // short values: every value within |Δlen| <= d of a short one is a
-    // candidate; the short set is tiny (bounded by the alphabet at
-    // length <= d·q+q-1), so it broadcasts and the vocabulary streams.
-    val reachable = vocab.filter(length(col("val")) <= shortMaxLen + maxDist)
-    val shortCands = reachable
-      .join(broadcast(shorts.select(col("val").as("__s"))),
-        abs(length(col("val")) - length(col("__s"))) <= maxDist &&
-          col("val") =!= col("__s"))
-      .select(least(col("val"), col("__s")).as("val_a"),
-        greatest(col("val"), col("__s")).as("val_b"))
-
-    gramCands.unionByName(shortCands)
+    val vocab = distinctVals(df, valueCol).withColumn("tag", lit(0))
+    candidatePairs(vocab, maxDist, q, maxBucketSize)
+      .select(least(col("xval"), col("yval")).as("val_a"),
+        greatest(col("xval"), col("yval")).as("val_b"))
       .distinct() // bands of prefix grams can emit the same pair repeatedly
       .filter(abs(length(col("val_a")) - length(col("val_b"))) <= maxDist)
       .withColumn("dist", levenshtein(col("val_a"), col("val_b"), maxDist))
+      .filter(col("dist") =!= -1)
+  }
+
+  /** Two-table fuzzy equi-join on the distinct vocabularies: every
+    * (left value, right value) pair within `maxDist` edits — INCLUDING
+    * exact matches (dist 0) — as (left_val, right_val, dist). The
+    * entity-linking shape: match dirty strings against a canonical
+    * dictionary without an all-pairs comparison; both vocabularies share
+    * one gram-frequency order, so the same losslessness proof covers
+    * cross-side pairs. */
+  def editDistanceJoin(left: DataFrame, leftCol: String,
+                       right: DataFrame, rightCol: String, maxDist: Int,
+                       q: Int = 2,
+                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(q >= 2, "q must be >= 2")
+    val vocab = distinctVals(left, leftCol).withColumn("tag", lit(0))
+      .unionByName(distinctVals(right, rightCol).withColumn("tag", lit(1)))
+    candidatePairs(vocab, maxDist, q, maxBucketSize)
+      .filter(col("xtag") =!= col("ytag"))
+      .select(
+        when(col("xtag") === 0, col("xval")).otherwise(col("yval")).as("left_val"),
+        when(col("xtag") === 0, col("yval")).otherwise(col("xval")).as("right_val"))
+      .distinct()
+      .filter(abs(length(col("left_val")) - length(col("right_val"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("left_val"), col("right_val"), maxDist))
       .filter(col("dist") =!= -1)
   }
 

@@ -85,6 +85,36 @@ class FuzzySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  private def bruteForceCross(l: Seq[String], r: Seq[String],
+                              d: Int): Set[(String, String, Int)] =
+    (for { a <- l; b <- r; dist = lev(a, b); if dist <= d }
+      yield (a, b, dist)).toSet
+
+  test("editDistanceJoin matches brute force and keeps exact matches (d=1,2)") {
+    val rnd = new scala.util.Random(99)
+    def vocab(n: Int) = Seq.fill(n)(
+      (0 until (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString).distinct
+    for (d <- 1 to 2) {
+      val (l, r) = (vocab(40), vocab(40))
+      val got = Fuzzy.editDistanceJoin(l.toDF("lv"), "lv", r.toDF("rv"), "rv", d)
+        .as[(String, String, Int)].collect().toSet
+      val expected = bruteForceCross(l, r, d)
+      assert(got == expected,
+        s"d=$d missing=${expected -- got} extra=${got -- expected}")
+      // dictionaries overlap whp at alphabet 3 — exact matches must appear
+      val overlap = l.toSet intersect r.toSet
+      assert(overlap.forall(v => got((v, v, 0))), s"lost exact matches: $overlap")
+    }
+  }
+
+  test("editDistanceJoin orients pairs left-to-right") {
+    val got = Fuzzy.editDistanceJoin(
+      Seq("widget").toDF("l"), "l", Seq("widgex").toDF("r"), "r", 1)
+      .as[(String, String, Int)].collect().toSet
+    assert(got == Set(("widget", "widgex", 1)))
+  }
+
   test("resolveEntities merges typo chains transitively to the min label") {
     val df = Seq("aaaa", "aaab", "aabb", "zzzz").toDF("v")
     val got = Fuzzy.resolveEntities(df, "v", 1)

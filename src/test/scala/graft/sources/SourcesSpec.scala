@@ -48,6 +48,19 @@ class SourcesSpec extends SparkSpec {
     assert(capped.count() == 5)
   }
 
+  test("ORC round-trips through the sink and source factories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/t"
+    val src = Sources.read(spark,
+      Sources.SourceSpec("parquet", paths = Seq(s"$sf/nation.parquet")))
+    Sources.write(src, Sources.SinkSpec("file", format = "orc", path = dir))
+    val back = Sources.read(spark,
+      Sources.SourceSpec("orc", paths = Seq(dir)))
+    assert(back.count() == src.count())
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir.stripSuffix("/t")))
+  }
+
   test("JDBC bulk-load path round-trips through embedded Derby") {
     // Derby ships with Spark (derby-10.16 in /opt/spark/jars) — the closest
     // offline stand-in for the reference's Postgres COPY load

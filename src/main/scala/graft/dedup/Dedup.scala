@@ -490,10 +490,14 @@ object Dedup {
     * (contiguous coverage).
     *
     * Shuffle profile: ONE corpus-sized shuffle of (md5, id, pos) — window
-    * bytes never shuffle; the duplicate filter joins on the 128-bit hash —
-    * then one doc-keyed exchange shared by the island window and the span
-    * aggregation (identical partitioning, no extra exchange). Docs shorter
-    * than the window contribute nothing. */
+    * bytes never shuffle, and the corpus is tokenized/hashed ONCE: the
+    * duplicate count is a hash-partitioned window over that single
+    * exchange, not a groupBy branch that would re-scan the corpus (the
+    * per-hash groups the window buffers are duplicate sets — tiny) — then
+    * one doc-keyed exchange shared by the island window and the span
+    * aggregation (identical partitioning, no extra exchange; both pinned
+    * in NewOpPlanSpec). Docs shorter than the window contribute
+    * nothing. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       windowLen: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -502,10 +506,10 @@ object Dedup {
       .select(col(idCol).as("id"),
         posexplode(T.wordShingles(col(textCol), windowLen)).as(Seq("pos", "win")))
       .select(col("id"), col("pos"), md5(col("win")).as("h"))
-    val dupHashes = wins.groupBy("h").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select("h")
     val byDoc = Window.partitionBy("id").orderBy("pos")
-    wins.join(dupHashes, Seq("h"))
+    wins
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("__c") >= 2)
       .select(col("id"), col("pos"))
       .withColumn("__prev", lag(col("pos"), 1).over(byDoc))
       .withColumn("__isl", sum(when(col("__prev").isNull ||

@@ -21,9 +21,11 @@ object Diff {
   /** Diff `newDf` against `oldDf` on `keys`. Both sides must have
     * identical column sets; rows are compared on every non-key column
     * with null-safe equality (null == null counts as unchanged).
-    * Returns the key columns + `change_type`. Null keys never join and
-    * would classify as one `removed` plus one `added` — keep keys
-    * non-null (the usual snapshot-key contract). */
+    * Returns the key columns + `change_type`. Contract: `keys` must
+    * uniquely identify a row WITHIN each snapshot (the usual snapshot-key
+    * contract) — duplicate keys fan out through the full-outer join and
+    * yield one classification row per old×new combination; null keys
+    * never join and classify as one `removed` plus one `added`. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
                    keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "at least one key column")

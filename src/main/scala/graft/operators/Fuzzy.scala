@@ -109,10 +109,12 @@ object Fuzzy {
     require(q >= 2, "q must be >= 2")
     val vocab = distinctVals(df, valueCol).withColumn("tag", lit(0))
     candidatePairs(vocab, maxDist, q, maxBucketSize)
+      // length band BEFORE the distinct: pairs that can never verify must
+      // not ride the pair-dedup exchange
+      .filter(abs(length(col("xval")) - length(col("yval"))) <= maxDist)
       .select(least(col("xval"), col("yval")).as("val_a"),
         greatest(col("xval"), col("yval")).as("val_b"))
       .distinct() // bands of prefix grams can emit the same pair repeatedly
-      .filter(abs(length(col("val_a")) - length(col("val_b"))) <= maxDist)
       .withColumn("dist", levenshtein(col("val_a"), col("val_b"), maxDist))
       .filter(col("dist") =!= -1)
   }
@@ -133,12 +135,12 @@ object Fuzzy {
     val vocab = distinctVals(left, leftCol).withColumn("tag", lit(0))
       .unionByName(distinctVals(right, rightCol).withColumn("tag", lit(1)))
     candidatePairs(vocab, maxDist, q, maxBucketSize)
-      .filter(col("xtag") =!= col("ytag"))
+      .filter(col("xtag") =!= col("ytag") &&
+        abs(length(col("xval")) - length(col("yval"))) <= maxDist)
       .select(
         when(col("xtag") === 0, col("xval")).otherwise(col("yval")).as("left_val"),
         when(col("xtag") === 0, col("yval")).otherwise(col("xval")).as("right_val"))
       .distinct()
-      .filter(abs(length(col("left_val")) - length(col("right_val"))) <= maxDist)
       .withColumn("dist", levenshtein(col("left_val"), col("right_val"), maxDist))
       .filter(col("dist") =!= -1)
   }
@@ -157,8 +159,7 @@ object Fuzzy {
     val pairs = editDistancePairs(df, valueCol, maxDist, q)
     val cc = graft.dedup.Dedup.duplicateClusters(
       pairs.select(col("val_a").as("id_a"), col("val_b").as("id_b")))
-    val vocab = df.select(col(valueCol).cast("string").as("val"))
-      .filter(col("val").isNotNull).distinct()
+    val vocab = distinctVals(df, valueCol)
     vocab.join(cc.withColumnRenamed("id", "val"), Seq("val"), "left")
       .select(col("val"), coalesce(col("cluster_id"), col("val")).as("canonical"))
   }

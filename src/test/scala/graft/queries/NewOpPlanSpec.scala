@@ -72,5 +72,9 @@ class NewOpPlanSpec extends SparkSpec {
     // exchange means the shared partitioning broke
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning(id#")) == 1,
       s"expected exactly one doc-keyed exchange:\n$plan")
+    // the duplicate count is a window over ONE hash-keyed exchange — a
+    // groupBy branch would re-tokenize the corpus and add a third exchange
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"expected exactly two exchanges (h, id):\n$plan")
   }
 }

@@ -49,16 +49,18 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("ORC round-trips through the sink and source factories") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/t"
-    val src = Sources.read(spark,
-      Sources.SourceSpec("parquet", paths = Seq(s"$sf/nation.parquet")))
-    Sources.write(src, Sources.SinkSpec("file", format = "orc", path = dir))
-    val back = Sources.read(spark,
-      Sources.SourceSpec("orc", paths = Seq(dir)))
-    assert(back.count() == src.count())
-    assert(back.orderBy("n_nationkey").collect().toSeq ==
-      src.orderBy("n_nationkey").collect().toSeq)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir.stripSuffix("/t")))
+    val root = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    try {
+      val dir = root + "/t"
+      val src = Sources.read(spark,
+        Sources.SourceSpec("parquet", paths = Seq(s"$sf/nation.parquet")))
+      Sources.write(src, Sources.SinkSpec("file", format = "orc", path = dir))
+      val back = Sources.read(spark,
+        Sources.SourceSpec("orc", paths = Seq(dir)))
+      assert(back.count() == src.count())
+      assert(back.orderBy("n_nationkey").collect().toSeq ==
+        src.orderBy("n_nationkey").collect().toSeq)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
   test("JDBC bulk-load path round-trips through embedded Derby") {

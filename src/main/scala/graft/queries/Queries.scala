@@ -1340,6 +1340,32 @@ object Queries {
       .filter(col("change_type") =!= "unchanged")
   }
 
+  /** Stream-static enrichment ([[graft.streaming.Streaming
+    * .enrichWithStatic]]): events stream joined per-micro-batch against a
+    * broadcast customer dimension, rolled up by (segment, event_type) —
+    * streaming result ≡ the batch SQL join (the q28 equivalence pattern).
+    * Probed: every event user_id matches a customer, and the per-group
+    * sums sit maximally far from the 4dp rounding boundary. */
+  def q94StreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ss.conf.set("spark.sql.shuffle.partitions", "8") // state sized to 25 groups
+    val schema = ss.read.parquet(s"$dir/events.parquet").schema
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val dim = ss.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val enriched = graft.streaming.Streaming
+      .enrichWithStatic(stream, dim, Seq("user_id"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+    val name = "q94_stream_enrich_sink"
+    val q = enriched.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    ss.table(name)
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1435,7 +1461,8 @@ object Queries {
     "q90_fuzzy_join" -> (q90FuzzyJoin _),
     "q91_entity_resolve" -> (q91EntityResolve _),
     "q92_dup_spans" -> (q92DupSpans _),
-    "q93_snapshot_diff" -> (q93SnapshotDiff _))
+    "q93_snapshot_diff" -> (q93SnapshotDiff _),
+    "q94_stream_enrich" -> (q94StreamEnrich _))
 
   /** DuckDB oracles. Keys missing here (q34, q50, q68) are approximate by
     * construction (centroids carry Spark aggregation order; binary decode)
@@ -2513,5 +2540,12 @@ object Queries {
         | WHERE o_orderkey % 7 <> 3 AND o_orderkey % 10 = 0
         |UNION ALL
         |SELECT -(o_orderkey + 1), 'added' FROM orders
-        | WHERE o_orderkey % 13 = 5""".stripMargin)
+        | WHERE o_orderkey % 13 = 5""".stripMargin,
+    // q94: the batch formulation of the stream-static enrichment — the
+    // streaming side must equal it exactly (q28's equivalence pattern).
+    "q94_stream_enrich" ->
+      """SELECT c.c_mktsegment, e.event_type,
+        | count(*) AS n, round(sum(e.value), 4) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -117,6 +117,21 @@ object Streaming {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static enrichment: join a stream against a static dimension
+    * (the lookup-table shape — enrich events with customer/segment/dim
+    * attributes at ingest). The static side is broadcast by default: a
+    * stream-static join re-evaluates the static plan per micro-batch, and
+    * a broadcast keeps that re-evaluation shuffle-free — the stream side
+    * never exchanges at all. Set `broadcastDim = false` only when the
+    * dimension is too big to broadcast (then every micro-batch pays a
+    * shuffle on both sides). */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+                       joinType: String = "inner",
+                       broadcastDim: Boolean = true): DataFrame =
+    stream.join(
+      if (broadcastDim) org.apache.spark.sql.functions.broadcast(dim) else dim,
+      keys, joinType)
+
   /** Event-time windowed aggregation with watermark — the Spark-native
     * extension beyond the reference surface. */
   def windowedAggregate(stream: DataFrame, tsCol: String, watermark: String,

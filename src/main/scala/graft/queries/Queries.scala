@@ -1366,6 +1366,20 @@ object Queries {
     ss.table(name)
   }
 
+  /** Exact per-group percentiles (the sort-based `percentile` aggregate —
+    * the exact counterpart of q80's mergeable histogram sketch): customer
+    * balance quartiles per nation. Probed: 2-decimal balances put every
+    * type-7 interpolated quartile maximally far from the 4dp rounding
+    * boundary, so Spark/DuckDB ulp differences cannot flip the hash. */
+  def q95Percentiles(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        round(expr("percentile(c_acctbal, 0.25)"), 4).as("q1"),
+        round(expr("percentile(c_acctbal, 0.5)"), 4).as("med"),
+        round(expr("percentile(c_acctbal, 0.75)"), 4).as("q3"),
+        count(lit(1)).as("n"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1462,7 +1476,8 @@ object Queries {
     "q91_entity_resolve" -> (q91EntityResolve _),
     "q92_dup_spans" -> (q92DupSpans _),
     "q93_snapshot_diff" -> (q93SnapshotDiff _),
-    "q94_stream_enrich" -> (q94StreamEnrich _))
+    "q94_stream_enrich" -> (q94StreamEnrich _),
+    "q95_percentiles" -> (q95Percentiles _))
 
   /** DuckDB oracles. Keys missing here (q34, q50, q68) are approximate by
     * construction (centroids carry Spark aggregation order; binary decode)
@@ -2547,5 +2562,15 @@ object Queries {
       """SELECT c.c_mktsegment, e.event_type,
         | count(*) AS n, round(sum(e.value), 4) AS total_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+    // q95: DuckDB quantile_cont is the same type-7 linear interpolation as
+    // Spark's percentile; 2-decimal balances make quartiles land on a
+    // 0.0025 grid — round(4) is ulp-proof (probed at both scales).
+    "q95_percentiles" ->
+      """SELECT c_nationkey,
+        | round(quantile_cont(c_acctbal, 0.25), 4) AS q1,
+        | round(quantile_cont(c_acctbal, 0.5), 4) AS med,
+        | round(quantile_cont(c_acctbal, 0.75), 4) AS q3,
+        | count(*) AS n
+        |FROM customer GROUP BY 1""".stripMargin)
 }

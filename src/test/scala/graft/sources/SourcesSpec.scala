@@ -63,6 +63,22 @@ class SourcesSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("schema-evolved parquet parts merge via reader options") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ms").toString
+    try {
+      import spark.implicits._
+      Seq((1L, "a")).toDF("k", "s").write.parquet(root + "/p1")
+      Seq((2L, "b", 7)).toDF("k", "s", "v").write.parquet(root + "/p2")
+      val merged = Sources.read(spark, Sources.SourceSpec("parquet",
+        options = Map("mergeSchema" -> "true"),
+        paths = Seq(root + "/p1", root + "/p2")))
+      assert(merged.columns.sorted.toSeq == Seq("k", "s", "v"))
+      assert(merged.count() == 2)
+      // the old part surfaces the evolved column as null, not an error
+      assert(merged.filter(col("k") === 1L).select("v").collect()(0).isNullAt(0))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("JDBC bulk-load path round-trips through embedded Derby") {
     // Derby ships with Spark (derby-10.16 in /opt/spark/jars) — the closest
     // offline stand-in for the reference's Postgres COPY load

@@ -1380,6 +1380,21 @@ object Queries {
         round(expr("percentile(c_acctbal, 0.75)"), 4).as("q3"),
         count(lit(1)).as("n"))
 
+  /** BM25 retrieval top-k ([[graft.curate.Bm25.topK]]): every 125th doc's
+    * first 5 tokens as a query, scored over the inverted-index join and
+    * ranked on the heap top-k node. Ranking uses the 4dp-QUANTIZED score
+    * with doc-id tie-break — the cross-engine determinism device; probed
+    * at both scales: min |raw − rounding boundary| is 1e4-1e5× the FP
+    * summation-order error, so tied rounded scores agree everywhere. */
+  def q96Bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val queries = docs
+      .filter(col("doc_id") % 125 === 3 && size(T.tokens(col("text"))) > 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(T.tokens(col("text")), 1, 5)).as("qtext"))
+    graft.curate.Bm25.topK(docs, "doc_id", "text", queries, "qid", "qtext", k = 5)
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1477,7 +1492,8 @@ object Queries {
     "q92_dup_spans" -> (q92DupSpans _),
     "q93_snapshot_diff" -> (q93SnapshotDiff _),
     "q94_stream_enrich" -> (q94StreamEnrich _),
-    "q95_percentiles" -> (q95Percentiles _))
+    "q95_percentiles" -> (q95Percentiles _),
+    "q96_bm25_topk" -> (q96Bm25TopK _))
 
   /** DuckDB oracles. Keys missing here (q34, q50, q68) are approximate by
     * construction (centroids carry Spark aggregation order; binary decode)
@@ -2572,5 +2588,33 @@ object Queries {
         | round(quantile_cont(c_acctbal, 0.5), 4) AS med,
         | round(quantile_cont(c_acctbal, 0.75), 4) AS q3,
         | count(*) AS n
-        |FROM customer GROUP BY 1""".stripMargin)
+        |FROM customer GROUP BY 1""".stripMargin,
+    // q96: full BM25 replay. Literals are ::DOUBLE (bare 0.75 is DECIMAL —
+    // the q80 lesson); ranking is on the ROUNDED score + doc_id, which is
+    // deterministic cross-engine given the probed boundary margins.
+    "q96_bm25_topk" ->
+      """WITH corpus AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM corpus),
+        |post AS (SELECT doc_id, unnest(toks) AS term FROM corpus),
+        |tfs AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM post GROUP BY 1,2),
+        |dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfs GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT doc_id AS qid, toks[1:5] AS qtoks FROM corpus
+        |  WHERE doc_id % 125 = 3),
+        |qt AS (SELECT qid, unnest(list_distinct(qtoks)) AS term FROM q),
+        |sc AS (SELECT qt.qid, t.doc_id,
+        |    round(sum( ln(1 + (s.n - d.df + 0.5::DOUBLE)/(d.df + 0.5::DOUBLE))
+        |      * t.tf * 2.2::DOUBLE
+        |      / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * l.dl / s.avgdl)) ), 4)
+        |      AS score
+        |  FROM qt JOIN tfs t USING (term) JOIN dfs d USING (term)
+        |    JOIN dl l ON t.doc_id = l.doc_id CROSS JOIN stats s
+        |  GROUP BY 1,2),
+        |rk AS (SELECT qid, doc_id, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc)
+        |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
+        |FROM rk WHERE rank <= 5""".stripMargin)
 }

@@ -1,0 +1,59 @@
+package graft.curate
+
+import graft.SparkSpec
+
+/** Pins [[Bm25]] against the Okapi formula computed by hand, the
+  * quantized-score tie-break, and the blank-doc exclusion from corpus
+  * statistics. */
+class Bm25Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val k1 = 1.2
+  private val b = 0.75
+
+  private def idf(n: Double, df: Double): Double =
+    math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+  private def term(n: Double, df: Double, tf: Double, dl: Double, avgdl: Double): Double =
+    idf(n, df) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+  test("scores match the hand-computed Okapi formula; blank docs excluded") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "durian durian durian durian"),
+      (4L, "   ")). // blank: excluded from N and avgdl
+      toDF("doc_id", "text")
+    val queries = Seq((100L, "apple banana")).toDF("qid", "qtext")
+    val got = Bm25.topK(docs, "doc_id", "text", queries, "qid", "qtext", k = 5)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    val (n, avgdl) = (3.0, 3.0) // three non-blank docs of lengths 3, 2, 4
+    val s1 = term(n, 2, 2, 3, avgdl) + term(n, 1, 1, 3, avgdl)
+    val s2 = term(n, 2, 1, 2, avgdl)
+    val round4 = (x: Double) => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((100L, 1, 1L), (100L, 2, 2L)), got.toSeq) // d3 never matches
+    assert(got(0)._4 == round4(s1) && got(1)._4 == round4(s2), got.toSeq)
+  }
+
+  test("identical docs tie on the quantized score and break by doc id") {
+    val docs = Seq((10L, "zz yy"), (11L, "zz yy"), (12L, "ww")).toDF("doc_id", "text")
+    val queries = Seq((1L, "zz")).toDF("qid", "qtext")
+    val got = Bm25.topK(docs, "doc_id", "text", queries, "qid", "qtext", k = 5)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(got.map(r => (r._2, r._3)).toSeq == Seq((1, 10L), (2, 11L)), got.toSeq)
+    assert(got(0)._4 == got(1)._4)
+  }
+
+  test("top-k truncates per query at k with the heap node") {
+    val docs = (1L to 20L).map(i => (i, "common t" + i)).toDF("doc_id", "text")
+    val queries = Seq((1L, "common")).toDF("qid", "qtext")
+    val got = Bm25.topK(docs, "doc_id", "text", queries, "qid", "qtext", k = 3)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.length == 3 && got.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+    val plan = Bm25.topK(docs, "doc_id", "text", queries, "qid", "qtext", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"heap node missing:\n$plan")
+  }
+}

@@ -47,4 +47,33 @@ object Incremental {
       .agg(sum(col(ms.head)).as(ms.head),
         ms.tail.map(m => sum(col(m)).as(m)): _*)
   }
+
+  /** Incremental equi-join maintenance for append-only inputs: with a
+    * stored result `stored` = A₀ ⋈ B₀ and deltas ΔA, ΔB,
+    *
+    *   (A₀∪ΔA) ⋈ (B₀∪ΔB) = stored ∪ ΔA⋈(B₀∪ΔB) ∪ A₀⋈ΔB
+    *
+    * — so the new result is the stored rows plus two DELTA-DRIVEN joins.
+    * Both deltas are broadcast (a day's delta vs years of history): the
+    * big sides A₀ and B₀ stream map-side with NO shuffle and the stored
+    * result is appended, never rebuilt — at 100 TB this is the difference
+    * between moving two tables through an exchange and moving one day's
+    * rows through a broadcast (the join twin of [[mergeAggregates]];
+    * delta-join plans are pinned broadcast-only in IncrementalSpec).
+    * Requires append-only semantics (no updates/deletes) and `stored`
+    * computed with the same projection this returns: every column of
+    * aBase/aDelta plus the non-key columns of bBase/bDelta. */
+  def mergeJoin(stored: DataFrame,
+                aBase: DataFrame, aDelta: DataFrame,
+                bBase: DataFrame, bDelta: DataFrame,
+                keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "mergeJoin needs at least one key")
+    require(aBase.columns.toSet == aDelta.columns.toSet,
+      "A-side schema mismatch between base and delta")
+    require(bBase.columns.toSet == bDelta.columns.toSet,
+      "B-side schema mismatch between base and delta")
+    val newA = broadcast(aDelta).join(bBase.unionByName(bDelta), keys)
+    val newB = aBase.join(broadcast(bDelta), keys)
+    stored.unionByName(newA.unionByName(newB))
+  }
 }

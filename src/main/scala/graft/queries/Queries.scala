@@ -1395,6 +1395,24 @@ object Queries {
     graft.curate.Bm25.topK(docs, "doc_id", "text", queries, "qid", "qtext", k = 5)
   }
 
+  /** Incremental join maintenance ([[graft.operators.Incremental
+    * .mergeJoin]]): stored = A₀⋈B₀ plus two delta-driven BROADCAST joins
+    * must equal the full (A₀∪ΔA)⋈(B₀∪ΔB) recompute — which is exactly
+    * what the oracle computes. The big sides never shuffle for the
+    * maintenance step (plan-pinned in IncrementalSpec). */
+  def q97IncrementalJoin(s: SparkSession, dir: String): DataFrame = {
+    val a = tbl(s, dir, "orders").select(col("o_custkey").as("cust_id"),
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val b = tbl(s, dir, "customer").select(col("c_custkey").as("cust_id"),
+      col("c_mktsegment"))
+    val (a0, da) = (a.filter(col("o_orderkey") % 11 =!= 7),
+      a.filter(col("o_orderkey") % 11 === 7))
+    val (b0, db) = (b.filter(col("cust_id") % 13 =!= 2),
+      b.filter(col("cust_id") % 13 === 2))
+    val stored = a0.join(b0, Seq("cust_id"))
+    graft.operators.Incremental.mergeJoin(stored, a0, da, b0, db, Seq("cust_id"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1493,7 +1511,8 @@ object Queries {
     "q93_snapshot_diff" -> (q93SnapshotDiff _),
     "q94_stream_enrich" -> (q94StreamEnrich _),
     "q95_percentiles" -> (q95Percentiles _),
-    "q96_bm25_topk" -> (q96Bm25TopK _))
+    "q96_bm25_topk" -> (q96Bm25TopK _),
+    "q97_incremental_join" -> (q97IncrementalJoin _))
 
   /** DuckDB oracles. Keys missing here (q34, q50, q68) are approximate by
     * construction (centroids carry Spark aggregation order; binary decode)
@@ -2616,5 +2635,11 @@ object Queries {
         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
         |  FROM sc)
         |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
-        |FROM rk WHERE rank <= 5""".stripMargin)
+        |FROM rk WHERE rank <= 5""".stripMargin,
+    // q97: the oracle IS the full recompute — the incremental merge must
+    // equal it row-for-row (raw columns only, no aggregation → no FP risk).
+    "q97_incremental_join" ->
+      """SELECT o_custkey AS cust_id, o_orderkey, o_orderstatus,
+        | o_totalprice, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin)
 }

@@ -57,4 +57,44 @@ class IncrementalSpec extends SparkSpec {
       Incremental.mergeAggregates(a.select("k1", "k2"), a.select("k1", "k2"), Seq("k1", "k2"))
     }
   }
+
+  private def joinFixture = {
+    val a = Seq((1L, "x1"), (2L, "x2"), (2L, "x3"), (3L, "x4"), (4L, "x5"))
+      .toDF("k", "av")
+    val b = Seq((1L, "y1"), (2L, "y2"), (3L, "y3"), (5L, "y4")).toDF("k", "bv")
+    (a, b)
+  }
+
+  test("mergeJoin equals the full join recompute, including delta×delta") {
+    val (a, b) = joinFixture
+    // splits chosen so every term is non-empty: ΔA row k=2 matches both
+    // B₀ (k=2) and ΔB... and ΔA k=4 matches only ΔB? b has no 4 — use k=3
+    val (a0, da) = (a.filter(col("av") =!= "x3" && col("av") =!= "x4"),
+      a.filter(col("av") === "x3" || col("av") === "x4"))
+    val (b0, db) = (b.filter(col("k") =!= 3), b.filter(col("k") === 3))
+    val stored = a0.join(b0, Seq("k"))
+    val merged = Incremental.mergeJoin(stored, a0, da, b0, db, Seq("k"))
+    val full = a.join(b, Seq("k"))
+    assert(merged.collect().toSet == full.collect().toSet)
+    assert(merged.count() == full.count()) // no double-counted pairs either
+  }
+
+  test("mergeJoin with one empty delta degrades to a single delta join") {
+    val (a, b) = joinFixture
+    val da = a.limit(0)
+    val merged = Incremental.mergeJoin(a.join(b, Seq("k")), a, da, b, b.limit(0), Seq("k"))
+    assert(merged.collect().toSet == a.join(b, Seq("k")).collect().toSet)
+  }
+
+  test("mergeJoin maintenance joins are broadcast — the base sides never shuffle") {
+    val (a, b) = joinFixture
+    val stored = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row]),
+      a.join(b, Seq("k")).schema) // pre-materialized stored: no join inside
+    val merged = Incremental.mergeJoin(stored, a, a.limit(1), b, b.limit(1), Seq("k"))
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"maintenance must not shuffle the base sides:\n$plan")
+  }
 }

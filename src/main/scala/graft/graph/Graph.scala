@@ -190,6 +190,60 @@ object Graph {
         maxIters, driverMaxEdges)
       .withColumnRenamed("cluster_id", "component")
 
+  /** Per-node triangle counts over an undirected graph given as an edge
+    * list (edge direction, duplicates, and self-loops are ignored).
+    * Returns (node, n_triangles) for EVERY node of the cleaned graph,
+    * zeros included.
+    *
+    * Degree ordering (compact-forward): every edge orients from its
+    * lower-(degree, id) endpoint to the higher one, and wedges expand
+    * only from each edge's tail — bounding wedge generation by O(E^{3/2})
+    * instead of the O(Σ deg²) of naive id-order enumeration. At 100 TB
+    * this is what stops one celebrity hub from exploding into billions of
+    * wedges: hubs sit on the HEAD side of almost all their edges, so they
+    * never fan out. Each triangle materializes exactly once (its
+    * orientation is a total order), then explodes into its three member
+    * nodes for the per-node counts.
+    *
+    * Shuffle profile: canonical-edge distinct, one degree aggregation,
+    * the wedge self-join keyed on the tail (ReuseExchange-friendly: both
+    * sides are the same cached frame partitioned the same way), and the
+    * closing-edge join keyed on the wedge pair. The oriented edge frame
+    * has three consumers, so it persists (Verify/Bench clear the cache
+    * per query). */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    // identical field names in both branches: CASE rejects otherwise
+    val aOrd = struct(col("da").as("d"), col("a").as("i"))
+    val bOrd = struct(col("db").as("d"), col("b").as("i"))
+    val aFirst = aOrd < bOrd
+    val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, bOrd).otherwise(aOrd).as("vord"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w1 = oriented.select(col("u"), col("v").as("v1"), col("vord").as("o1"))
+    val w2 = oriented.select(col("u"), col("v").as("v2"), col("vord").as("o2"))
+    val wedges = w1.join(w2, Seq("u")).filter(col("o1") < col("o2"))
+    val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
+    val tri = wedges.join(closing, Seq("v1", "v2"))
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.select(col("n").as("node"))
+    nodes.join(tri, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** Per-node degree summary over a directed edge list: out-degree,
     * in-degree, and total — one pass, two partial-aggregated shuffles of
     * (id, side) pairs, never of edge payloads. */

@@ -1413,6 +1413,22 @@ object Queries {
     graft.operators.Incremental.mergeJoin(stored, a0, da, b0, db, Seq("cust_id"))
   }
 
+  /** Triangle counting ([[graft.graph.Graph.triangleCounts]]) on the
+    * co-purchase graph (parts sharing an order — NOT the bipartite
+    * supplier-part graph of q73/q81, which has no odd cycles and hence
+    * zero triangles). Spark orients edges by (degree, id) for the
+    * compact-forward bound; the oracle enumerates each triangle once in
+    * plain id order — identical triangle set either way. */
+  def q98TriangleCounts(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+    graft.graph.Graph.triangleCounts(e, "src", "dst")
+      .select(col("node").as("part_id"), col("n_triangles"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1512,7 +1528,8 @@ object Queries {
     "q94_stream_enrich" -> (q94StreamEnrich _),
     "q95_percentiles" -> (q95Percentiles _),
     "q96_bm25_topk" -> (q96Bm25TopK _),
-    "q97_incremental_join" -> (q97IncrementalJoin _))
+    "q97_incremental_join" -> (q97IncrementalJoin _),
+    "q98_triangles" -> (q98TriangleCounts _))
 
   /** DuckDB oracles. Keys missing here (q34, q50, q68) are approximate by
     * construction (centroids carry Spark aggregation order; binary decode)
@@ -2641,5 +2658,21 @@ object Queries {
     "q97_incremental_join" ->
       """SELECT o_custkey AS cust_id, o_orderkey, o_orderstatus,
         | o_totalprice, c_mktsegment
-        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin)
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // q98: id-order triangle enumeration (each triangle once, lo<mid<hi) —
+    // orientation-independent, so it replays Spark's degree-ordered count.
+    "q98_triangles" ->
+      """WITH e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+        |    greatest(a.l_partkey, b.l_partkey) AS hi
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |  FROM e0 e1 JOIN e0 e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+        |  JOIN e0 e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+        |nodes AS (SELECT lo AS n FROM e0 UNION SELECT hi FROM e0),
+        |cnt AS (SELECT n, count(*) AS c FROM (
+        |    SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT n AS part_id, coalesce(c, 0) AS n_triangles
+        |FROM nodes LEFT JOIN cnt USING (n)""".stripMargin)
 }

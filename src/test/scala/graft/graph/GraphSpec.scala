@@ -73,6 +73,26 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(5L -> 3L, 3L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("triangleCounts: K4 plus pendant, dirty edges cleaned") {
+    // K4 on 1-4 (4 triangles, each node in 3), pendant node 5, plus
+    // duplicate / reversed edges and a self-loop that must all be ignored
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L), (3L, 3L), (4L, 5L)).toDF("s", "d")
+    val got = Graph.triangleCounts(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+  }
+
+  test("triangleCounts: triangle-free graphs count zero everywhere") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d") // path: no cycles
+    assert(Graph.triangleCounts(path, "s", "d")
+      .collect().map(_.getLong(1)).forall(_ == 0L))
+    val bipartite = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)).toDF("s", "d")
+    assert(Graph.triangleCounts(bipartite, "s", "d")
+      .collect().map(_.getLong(1)).forall(_ == 0L)) // C4: even cycles only
+  }
+
   test("degrees reports out/in/total per node in one pass") {
     val edges = Seq((1L, 2L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
     val d = Graph.degrees(edges, "src", "dst")

@@ -79,6 +79,52 @@ object Temporal {
     out.drop("__asof_side", "__asof_p", "__asof_m")
   }
 
+  /** Forward as-of: for every left row, attach the single EARLIEST right
+    * row with `right.tsCol >= left.tsCol` (strictly `>` with
+    * `strict = true`), per join key — the conversion-funnel / next-event
+    * shape ("first purchase after this signup"). Same union+window
+    * formulation, scale notes, and NULL-key semantics as [[asofJoin]],
+    * with the frame reversed (currentRow → unboundedFollowing) and
+    * `first()` instead of `last()`. Ties on the winning timestamp pick
+    * the SMALLEST payload struct — deterministic, engine-reproducible. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      tsCol: String, rightCols: Seq[String],
+                      prefix: String = "next_",
+                      strict: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "asofJoinForward needs at least one key column")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(c => c.startsWith("__asof")),
+      "left side may not contain __asof* columns")
+    val payload = struct((rightCols :+ tsCol).distinct.map(col): _*)
+    // at equal ts: right sorts after left for >= semantics (still inside
+    // the forward frame), before it for strict > (outside the frame)
+    val l = left.select(
+      (leftCols.map(col) :+
+        lit(if (strict) 1 else 0).as("__asof_side") :+
+        lit(null).cast(right.select(payload).schema.head.dataType).as("__asof_p")): _*)
+    val r = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        (keys.map(col) :+ col(tsCol) :+
+          lit(if (strict) 0 else 1).as("__asof_side") :+
+          payload.as("__asof_p")): _*)
+    val rAligned = leftCols.foldLeft(r) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
+    }.select(l.columns.toIndexedSeq.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__asof_side").asc, col("__asof_p").asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val isLeft = col("__asof_side") === (if (strict) 1 else 0)
+    val joined = l.unionByName(rAligned)
+      .withColumn("__asof_m",
+        when(isLeft, first(when(!isLeft, col("__asof_p")), ignoreNulls = true).over(w)))
+      .filter(isLeft)
+    val out = (rightCols :+ tsCol).distinct.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"$prefix$c", col(s"__asof_m.$c"))
+    }
+    out.drop("__asof_side", "__asof_p", "__asof_m")
+  }
+
   /** Point-in-interval join: rows of `points` matched to every row of
     * `intervals` whose `[startCol, endCol]` contains the point, per key —
     * inner semantics, each matching pair emitted exactly once.

@@ -1429,6 +1429,27 @@ object Queries {
       .select(col("node").as("part_id"), col("n_triangles"))
   }
 
+  /** Conversion funnel via the forward as-of join ([[graft.operators
+    * .Temporal.asofJoinForward]]): each signup's FIRST purchase by the
+    * same user at-or-after it, kept only within a 30-minute horizon.
+    * Epoch-micros on both sides per the temporal invariant; delays are
+    * integer microseconds — no FP risk. */
+  def q99Funnel(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("tsu"))
+    val signups = base.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("tsu"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu"))
+    val horizon = 1800000000L // 30 min in micros
+    graft.operators.Temporal
+      .asofJoinForward(signups, purchases, Seq("user_id"), "tsu", Seq("tsu"))
+      .select(col("event_id"), col("user_id"), col("tsu").as("signup_us"),
+        when(col("next_tsu") - col("tsu") <= horizon, col("next_tsu")).as("purchase_us"),
+        when(col("next_tsu") - col("tsu") <= horizon,
+          col("next_tsu") - col("tsu")).as("delay_us"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1529,7 +1550,8 @@ object Queries {
     "q95_percentiles" -> (q95Percentiles _),
     "q96_bm25_topk" -> (q96Bm25TopK _),
     "q97_incremental_join" -> (q97IncrementalJoin _),
-    "q98_triangles" -> (q98TriangleCounts _))
+    "q98_triangles" -> (q98TriangleCounts _),
+    "q99_funnel" -> (q99Funnel _))
 
   /** DuckDB oracles. Keys missing here (q34, q50, q68) are approximate by
     * construction (centroids carry Spark aggregation order; binary decode)
@@ -2674,5 +2696,21 @@ object Queries {
         |    SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
         |    UNION ALL SELECT c FROM tri) GROUP BY 1)
         |SELECT n AS part_id, coalesce(c, 0) AS n_triangles
-        |FROM nodes LEFT JOIN cnt USING (n)""".stripMargin)
+        |FROM nodes LEFT JOIN cnt USING (n)""".stripMargin,
+    // q99: correlated min over the same-user purchases at-or-after each
+    // signup, horizon-filtered — epoch micros both sides (ns→us truncation
+    // identical per the temporal invariant).
+    "q99_funnel" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events),
+        |s AS (SELECT event_id, user_id, tsu FROM ev WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, tsu FROM ev WHERE event_type = 'purchase'),
+        |m AS (SELECT s.event_id, s.user_id, s.tsu,
+        |    (SELECT min(p.tsu) FROM p
+        |     WHERE p.user_id = s.user_id AND p.tsu >= s.tsu) AS ptsu
+        |  FROM s)
+        |SELECT event_id, user_id, tsu AS signup_us,
+        | CASE WHEN ptsu - tsu <= 1800000000 THEN ptsu END AS purchase_us,
+        | CASE WHEN ptsu - tsu <= 1800000000 THEN ptsu - tsu END AS delay_us
+        |FROM m""".stripMargin)
 }

@@ -103,4 +103,44 @@ class TemporalSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
       s"expected exactly one key exchange:\n$p")
   }
+
+  test("asofJoinForward picks the earliest right row at or after each left ts") {
+    val out = Temporal.asofJoinForward(left, right, Seq("k"), "ts", Seq("v"))
+      .select(col("tag"), col("next_ts"), col("next_v"))
+      .as[(String, Option[Long], Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out("a") == ((Some(10L), Some(1.0)))) // equal ts matches (>=)
+    assert(out("b") == ((Some(25L), Some(2.0))))
+    assert(out("c") == ((None, None))) // nothing after
+    assert(out("d") == ((Some(6L), Some(9.0))))
+    assert(out("e") == ((None, None))) // key missing on the right
+  }
+
+  test("asofJoinForward strict excludes the equal-ts row") {
+    val out = Temporal.asofJoinForward(left, right, Seq("k"), "ts", Seq("v"),
+        strict = true)
+      .select(col("tag"), col("next_ts")).as[(String, Option[Long])]
+      .collect().toMap
+    assert(out("a") == Some(25L)) // skips the ts=10 row
+    assert(out("c") == None)
+  }
+
+  test("asofJoinForward tie-break is deterministic: min payload among tied rows") {
+    val l = Seq(("u1", 5L, "x")).toDF("k", "ts", "tag")
+    val r = Seq(("u1", 10L, 7.0), ("u1", 10L, 1.0), ("u1", 10L, 3.0))
+      .toDF("k", "ts", "v")
+    (1 to 3).foreach { _ =>
+      val out = Temporal.asofJoinForward(l, r.repartition(5), Seq("k"), "ts", Seq("v"))
+        .select(col("next_v")).as[Double].collect()
+      assert(out.toSeq == Seq(1.0))
+    }
+  }
+
+  test("asofJoinForward plans one key exchange and no join node") {
+    val out = Temporal.asofJoinForward(left, right, Seq("k"), "ts", Seq("v"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"forward as-of must not plan a join:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected exactly one key exchange:\n$p")
+  }
 }

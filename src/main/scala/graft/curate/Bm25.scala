@@ -51,6 +51,13 @@ object Bm25 {
     // the slim cached index (doc_id is unique per (doc_id, dl) pair)
     val statsRow = tfs.select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).cast("double"), avg(col("dl"))).collect()(0)
+    if (statsRow.isNullAt(1)) { // empty/all-blank corpus: avg(dl) is NULL
+      tfs.unpersist()
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(null).cast(queries.schema(queryId).dataType).as("qid"),
+          lit(null).cast(docs.schema(docId).dataType).as("doc_id"),
+          lit(null).cast("double").as("score"))
+    }
     val (n, avgdl) = (statsRow.getDouble(0), statsRow.getDouble(1))
     val dfs = tfs.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val qterms = queries

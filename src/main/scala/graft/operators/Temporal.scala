@@ -39,39 +39,60 @@ object Temporal {
     * dominates. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, rightCols: Seq[String],
-               prefix: String = "asof_", strict: Boolean = false): DataFrame = {
-    require(keys.nonEmpty, "asofJoin needs at least one key column")
+               prefix: String = "asof_", strict: Boolean = false): DataFrame =
+    asofImpl(left, right, keys, tsCol, rightCols, prefix, strict, forward = false)
+
+  /** Shared union+window machinery for both as-of directions. The four
+    * direction-specific knobs, derived from (forward, strict):
+    *  - side literals: a right row tied on ts is ELIGIBLE iff non-strict;
+    *    eligibility means sorting on the frame side of the left row, so
+    *    (leftSide, rightSide) = (0, 1) iff forward XOR strict;
+    *  - frame: trailing (unboundedPreceding..current) vs leading
+    *    (current..unboundedFollowing);
+    *  - aggregate: last() (max payload wins ties) vs first() (min wins);
+    *  - output prefix. Everything else — NULL-key drops, payload-struct
+    *    consistency, schema alignment, tie determinism — is one copy. */
+  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       tsCol: String, rightCols: Seq[String],
+                       prefix: String, strict: Boolean,
+                       forward: Boolean): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(c => c.startsWith("__asof")),
       "left side may not contain __asof* columns")
-    // consistent payload: take last() of ONE struct so all right columns
-    // come from the SAME matched row even under ties
+    // consistent payload: take one struct so all right columns come from
+    // the SAME matched row even under ties
     val payload = struct((rightCols :+ tsCol).distinct.map(col): _*)
-    // at equal ts: right sorts before left for <= semantics, after for <
+    val (leftSide, rightSide) = if (forward ^ strict) (0, 1) else (1, 0)
     val l = left.select(
       (leftCols.map(col) :+
-        lit(if (strict) 0 else 1).as("__asof_side") :+
+        lit(leftSide).as("__asof_side") :+
         lit(null).cast(right.select(payload).schema.head.dataType).as("__asof_p")): _*)
     val r = right
       .filter(keys.map(col(_).isNotNull).reduce(_ && _)) // SQL: NULL keys never match
       .select(
         (keys.map(col) :+ col(tsCol) :+
-          lit(if (strict) 1 else 0).as("__asof_side") :+
+          lit(rightSide).as("__asof_side") :+
           payload.as("__asof_p")): _*)
     // align schemas: right lacks the non-key left columns
     val rAligned = leftCols.foldLeft(r) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
     }.select(l.columns.toIndexedSeq.map(col): _*)
-    // __asof_p last: among right rows tied on (ts), last() picks the max
-    // payload struct — deterministic, engine-reproducible tie-break
+    // among right rows tied on ts, last()/first() over the payload-asc
+    // order picks the max/min payload struct — deterministic either way
     // (left rows all carry a null payload, so their relative order is moot)
-    val w = Window.partitionBy(keys.map(col): _*)
+    val wBase = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__asof_side").asc, col("__asof_p").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val isLeft = col("__asof_side") === (if (strict) 0 else 1)
+    val w =
+      if (forward) wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isLeft = col("__asof_side") === leftSide
+    val rightPayload = when(!isLeft, col("__asof_p"))
+    val matched =
+      if (forward) first(rightPayload, ignoreNulls = true).over(w)
+      else last(rightPayload, ignoreNulls = true).over(w)
     val joined = l.unionByName(rAligned)
-      .withColumn("__asof_m",
-        when(isLeft, last(when(!isLeft, col("__asof_p")), ignoreNulls = true).over(w)))
+      .withColumn("__asof_m", when(isLeft, matched))
       .filter(isLeft)
     val out = (rightCols :+ tsCol).distinct.foldLeft(joined) { (d, c) =>
       d.withColumn(s"$prefix$c", col(s"__asof_m.$c"))
@@ -90,40 +111,8 @@ object Temporal {
   def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                       tsCol: String, rightCols: Seq[String],
                       prefix: String = "next_",
-                      strict: Boolean = false): DataFrame = {
-    require(keys.nonEmpty, "asofJoinForward needs at least one key column")
-    val leftCols = left.columns.toSeq
-    require(!leftCols.exists(c => c.startsWith("__asof")),
-      "left side may not contain __asof* columns")
-    val payload = struct((rightCols :+ tsCol).distinct.map(col): _*)
-    // at equal ts: right sorts after left for >= semantics (still inside
-    // the forward frame), before it for strict > (outside the frame)
-    val l = left.select(
-      (leftCols.map(col) :+
-        lit(if (strict) 1 else 0).as("__asof_side") :+
-        lit(null).cast(right.select(payload).schema.head.dataType).as("__asof_p")): _*)
-    val r = right
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
-      .select(
-        (keys.map(col) :+ col(tsCol) :+
-          lit(if (strict) 0 else 1).as("__asof_side") :+
-          payload.as("__asof_p")): _*)
-    val rAligned = leftCols.foldLeft(r) { (d, c) =>
-      if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
-    }.select(l.columns.toIndexedSeq.map(col): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__asof_side").asc, col("__asof_p").asc_nulls_first)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val isLeft = col("__asof_side") === (if (strict) 1 else 0)
-    val joined = l.unionByName(rAligned)
-      .withColumn("__asof_m",
-        when(isLeft, first(when(!isLeft, col("__asof_p")), ignoreNulls = true).over(w)))
-      .filter(isLeft)
-    val out = (rightCols :+ tsCol).distinct.foldLeft(joined) { (d, c) =>
-      d.withColumn(s"$prefix$c", col(s"__asof_m.$c"))
-    }
-    out.drop("__asof_side", "__asof_p", "__asof_m")
-  }
+                      strict: Boolean = false): DataFrame =
+    asofImpl(left, right, keys, tsCol, rightCols, prefix, strict, forward = true)
 
   /** Point-in-interval join: rows of `points` matched to every row of
     * `intervals` whose `[startCol, endCol]` contains the point, per key —

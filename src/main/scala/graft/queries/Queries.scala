@@ -394,30 +394,44 @@ object Queries {
     * computed by a streaming query over the events file source (memory sink,
     * complete mode, drained synchronously). Proves the streaming plumbing
     * produces batch-identical results — checked against the q18 oracle. */
-  def q28StreamRollup(s: SparkSession, dir: String): DataFrame = {
-    // One state store spins up per shuffle partition at stream start —
-    // size the partition count to the STATE cardinality (hour×event_type,
-    // a few thousand groups), not the batch default: 32 stores for tiny
-    // state is pure bring-up overhead (measured 2.1s → 1.1s at 8). State
-    // sizing is a session conf with no repartition-based alternative, so
-    // the stream runs in its OWN cloned session (shared SparkContext,
-    // isolated conf) — concurrent queries on the caller's session are
-    // untouched (same hazard class as the old duplicateClusters mutation).
+  /** Cloned streaming session + events file-stream source, shared by the
+    * streaming battery queries (q28/q76/q94) so the subtle setup lives
+    * once. One state store spins up per shuffle partition at stream start
+    * — size the partition count to the STATE cardinality (a few dozen to
+    * a few thousand groups), not the batch default: 32 stores for tiny
+    * state is pure bring-up overhead (measured 2.1s → 1.1s at 8). State
+    * sizing is a session conf with no repartition-based alternative, so
+    * the stream runs in its OWN cloned session (shared SparkContext,
+    * isolated conf) — concurrent queries on the caller's session are
+    * untouched. The events table is a single parquet file and the
+    * file-stream source needs a directory, so the source streams the sf
+    * dir with a glob filter. */
+  private def eventsStreamSession(s: SparkSession,
+                                  dir: String): (SparkSession, () => DataFrame) = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val schema = ss.read.parquet(s"$dir/events.parquet").schema
-    // the events table is a single parquet file; the file-stream source
-    // needs a directory, so stream the sf dir with a glob filter
-    val stream = ss.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    (ss, () => ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
+  }
+
+  /** Drain a streaming frame through a memory sink to completion. */
+  private def drainToTable(ss: SparkSession, df: DataFrame, name: String,
+                           mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    ss.table(name)
+  }
+
+  def q28StreamRollup(s: SparkSession, dir: String): DataFrame = {
+    val (ss, src) = eventsStreamSession(s, dir)
+    val stream = src()
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
-    val name = "q28_stream_rollup_sink"
-    val q = stream.writeStream.format("memory").queryName(name).outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
-    ss.table(name)
+    drainToTable(ss, stream, "q28_stream_rollup_sink", "complete")
   }
 
   /** Nest → explode round trip (`scripts_utils.py:58-83`): collect all
@@ -1078,13 +1092,8 @@ object Queries {
     * stores sized to the join state, caller's conf untouched); emits
     * epoch micros per the temporal-query convention. */
   def q76StreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val schema = ss.read.parquet(s"$dir/events.parquet").schema
-    def src = ss.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val (ss, src0) = eventsStreamSession(s, dir)
+    def src = src0().withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
@@ -1098,11 +1107,7 @@ object Queries {
       .select(col("event_id"), col("user_id"),
         unix_micros(col("c_ts")).as("click_us"),
         unix_micros(col("p_ts")).as("win_start"))
-    val name = "q76_stream_interval_join_sink"
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    ss.table(name)
+    drainToTable(ss, joined, "q76_stream_interval_join_sink", "append")
   }
 
   /** Cross-source sketch rollup — the stored-artifact algebra KMV exists
@@ -1347,23 +1352,14 @@ object Queries {
     * Probed: every event user_id matches a customer, and the per-group
     * sums sit maximally far from the 4dp rounding boundary. */
   def q94StreamEnrich(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ss.conf.set("spark.sql.shuffle.partitions", "8") // state sized to 25 groups
-    val schema = ss.read.parquet(s"$dir/events.parquet").schema
-    val stream = ss.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val (ss, src) = eventsStreamSession(s, dir)
     val dim = ss.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
     val enriched = graft.streaming.Streaming
-      .enrichWithStatic(stream, dim, Seq("user_id"))
+      .enrichWithStatic(src(), dim, Seq("user_id"))
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
-    val name = "q94_stream_enrich_sink"
-    val q = enriched.writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
-    ss.table(name)
+    drainToTable(ss, enriched, "q94_stream_enrich_sink", "complete")
   }
 
   /** Exact per-group percentiles (the sort-based `percentile` aggregate —

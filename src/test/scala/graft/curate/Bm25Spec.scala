@@ -46,6 +46,15 @@ class Bm25Spec extends SparkSpec {
     assert(got(0)._4 == got(1)._4)
   }
 
+  test("empty or all-blank corpus yields an empty result, not a crash") {
+    val queries = Seq((1L, "anything")).toDF("qid", "qtext")
+    val blank = Seq((1L, "   "), (2L, "")).toDF("doc_id", "text")
+    assert(Bm25.scores(blank, "doc_id", "text", queries, "qid", "qtext").count() == 0)
+    val out = Bm25.topK(blank.limit(0), "doc_id", "text", queries, "qid", "qtext", k = 3)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("qid", "rank", "doc_id", "score"))
+  }
+
   test("top-k truncates per query at k with the heap node") {
     val docs = (1L to 20L).map(i => (i, "common t" + i)).toDF("doc_id", "text")
     val queries = Seq((1L, "common")).toDF("qid", "qtext")

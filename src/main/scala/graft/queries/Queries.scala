@@ -1446,6 +1446,20 @@ object Queries {
           col("next_tsu") - col("tsu")).as("delay_us"))
   }
 
+  /** Snapshot drift detection ([[graft.stats.Drift.psi]]): per-bucket PSI
+    * decomposition between the even- and odd-doc_id halves of the corpus
+    * over n_chars. Buckets and counts are integer-exact (the q80 msb
+    * bucketing); only the final PSI terms are floats — boundary margins
+    * probed at both scales (min distance ≥ 5e-7 raw vs ~1e-15 engine
+    * noise). DuckDB shifts parenthesized (the q75 lesson), literals
+    * ::DOUBLE (the q80 lesson). */
+  def q100DriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    graft.stats.Drift.psi(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "n_chars")
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1547,7 +1561,8 @@ object Queries {
     "q96_bm25_topk" -> (q96Bm25TopK _),
     "q97_incremental_join" -> (q97IncrementalJoin _),
     "q98_triangles" -> (q98TriangleCounts _),
-    "q99_funnel" -> (q99Funnel _))
+    "q99_funnel" -> (q99Funnel _),
+    "q100_drift_psi" -> (q100DriftPsi _))
 
   /** DuckDB oracles. Keys missing here (q34, q50, q68) are approximate by
     * construction (centroids carry Spark aggregation order; binary decode)
@@ -2708,5 +2723,29 @@ object Queries {
         |SELECT event_id, user_id, tsu AS signup_us,
         | CASE WHEN ptsu - tsu <= 1800000000 THEN ptsu END AS purchase_us,
         | CASE WHEN ptsu - tsu <= 1800000000 THEN ptsu - tsu END AS delay_us
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+    // q100: same msb+2-bit bucketing as q80 (parenthesize the shifts —
+    // DuckDB's | and & bind tighter than <<). Histograms integer-exact;
+    // PSI terms rounded 4dp with probed boundary margins.
+    "q100_drift_psi" ->
+      """WITH ha AS (SELECT CAST((length(bin(n_chars)) - 1) * 4 +
+        |      CASE WHEN length(bin(n_chars)) - 1 >= 2
+        |           THEN (n_chars >> (length(bin(n_chars)) - 3)) & 3
+        |           ELSE 0 END AS INT) AS bucket, count(*) AS n
+        |  FROM documents WHERE doc_id % 2 = 0 AND n_chars >= 1 GROUP BY 1),
+        |hb AS (SELECT CAST((length(bin(n_chars)) - 1) * 4 +
+        |      CASE WHEN length(bin(n_chars)) - 1 >= 2
+        |           THEN (n_chars >> (length(bin(n_chars)) - 3)) & 3
+        |           ELSE 0 END AS INT) AS bucket, count(*) AS n
+        |  FROM documents WHERE doc_id % 2 = 1 AND n_chars >= 1 GROUP BY 1),
+        |j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+        |    coalesce(ha.n, 0) AS n_a, coalesce(hb.n, 0) AS n_b
+        |  FROM ha FULL JOIN hb ON ha.bucket = hb.bucket),
+        |t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS k FROM j)
+        |SELECT bucket, n_a, n_b,
+        | round(((n_a + 0.5::DOUBLE)/(t.ta + t.k*0.5::DOUBLE)
+        |    - (n_b + 0.5::DOUBLE)/(t.tb + t.k*0.5::DOUBLE))
+        |  * ln(((n_a + 0.5::DOUBLE)/(t.ta + t.k*0.5::DOUBLE))
+        |     / ((n_b + 0.5::DOUBLE)/(t.tb + t.k*0.5::DOUBLE))), 4) AS psi_term
+        |FROM j CROSS JOIN t""".stripMargin)
 }

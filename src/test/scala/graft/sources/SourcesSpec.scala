@@ -262,8 +262,14 @@ class SourcesSpec extends SparkSpec {
   test("purgePath honors excluded storage classes and writes a manifest") {
     val dir = java.nio.file.Files.createTempDirectory("purgex").toString + "/t"
     spark.range(0, 10).coalesce(1).write.parquet(dir)
+    // retentionHours = 0 cuts at "now": a file written in the same
+    // millisecond can land on either side of the strict mtime compare, so
+    // put the writes strictly in the past (observed as a rare parallel-
+    // suite flake)
+    Thread.sleep(15)
     PathLifecycle.transitionPath(spark, dir, "GLACIER", retentionHours = 0)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "hot.txt"), "x")
+    Thread.sleep(15)
     val manifest = java.nio.file.Files.createTempDirectory("purgem").toString
     // purge everything EXCEPT the archived tier
     val n = PathLifecycle.purgePath(spark, dir, retentionHours = 0,

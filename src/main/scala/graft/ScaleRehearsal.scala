@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,ivf)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,bm25,ivf)
   */
 object ScaleRehearsal {
 
@@ -264,6 +264,29 @@ object ScaleRehearsal {
       val agg = pairs.agg(count(lit(1)).as("n"), max("dist").as("m")).collect()(0)
       (agg.getLong(0) == planted && agg.getInt(1) == 1,
         s"pairs=${agg.getLong(0)} planted=$planted maxDist=${agg.getInt(1)}")
+    })
+
+    if (enabled("bm25")) scenario("bm25-1m-docs",
+        "inverted index + broadcast queries", {
+      // 1M docs × 20 globally-UNIQUE words (word = doc*20+slot), so every
+      // term has df=1 and each query's ONLY candidate is its source doc —
+      // the expected result set is provable, not probabilistic: 100
+      // queries, each top-1 = its own source at rank 1.
+      val docs = spark.range(0, 1000000).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(19)),
+          j => concat(lit("w"), col("id") * 20 + j))).as("text"))
+      val queries = docs.filter(col("doc_id") % 10000 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", transform(sequence(lit(0), lit(4)),
+            j => concat(lit("w"), col("qid") * 20 + j))).as("qtext"))
+      val topk = graft.curate.Bm25.topK(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 3)
+      val agg = topk.agg(count(lit(1)).as("rows"),
+        sum(when(col("rank") === 1 && col("qid") === col("doc_id"), 1L)
+          .otherwise(0L)).as("self_top1")).collect()(0)
+      (agg.getLong(0) == 100 && agg.getLong(1) == 100,
+        s"rows=${agg.getLong(0)} (expect 100: one candidate per query) " +
+          s"self_top1=${agg.getLong(1)}/100")
     })
 
     if (enabled("ivf")) scenario("ivf-stored-index-10x",

@@ -114,12 +114,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val resJson = resampled.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // Truncation-proof evidence (VERDICT r4 task 2): BENCH_r04.json came back
-    // `parsed: null` because the driver's capture cut the single long line
-    // mid-JSON. Three redundant emissions, any one of which is sufficient:
+    // Truncation-proof evidence (VERDICT r4 task 2, r5 task 8): BENCH_r04
+    // came back `parsed: null` because the driver's capture cut the single
+    // long line mid-JSON, and r04/r05 both showed the capture keeps the
+    // TAIL and truncates the head. Four redundant emissions, any one of
+    // which is sufficient:
     //  1. a SHORT total-only JSON line FIRST (fits any capture budget);
     //  2. the full one-line JSON (the original driver contract);
-    //  3. the same full JSON written whole to a file.
+    //  3. the same full JSON written whole to a file;
+    //  4. the SHORT line again LAST — a tail-keeping capture always ends
+    //     with a parseable total.
     val shortLine =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec}"""
     val fullLine =
@@ -131,6 +135,7 @@ object Bench {
       System.err.println(s"bench: could not write $outFile: ${e.getMessage}") }
     println(shortLine)
     println(fullLine)
+    println(shortLine)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -12,21 +12,39 @@ import graft.functions.{SimilarityFunctions => S}
 /** IVF (inverted-file) approximate nearest-neighbor search — the coarse-
   * quantizer alternative to hyperplane LSH ([[Ann.lshTopK]]).
   *
-  * Index build = a deterministic mini-KMeans: centroids init from evenly
-  * spaced corpus rows (no RNG — reruns produce the same index), a few Lloyd
-  * iterations, then each corpus vector is assigned to its nearest centroid.
-  * Search probes the `nProbes` nearest centroid cells per query.
+  * Index build = a deterministic mini-KMeans: centroids init from the
+  * corpus rows with the smallest portable hash (no RNG — reruns produce
+  * the same index), a few Lloyd iterations, then each corpus vector is
+  * assigned to its nearest centroid. Search probes the `nProbes` nearest
+  * centroid cells per query.
+  *
+  * ALL centroid math happens in a quantized integer space: vectors are
+  * snapped to a 1/[[Ivf.QScale]] grid (`floor(x·QScale + 0.5)` per
+  * component — an exact, engine-portable double op), Lloyd sums accumulate
+  * as exact `array<bigint>` ([[graft.functions.expressions.VecSumLongAgg]];
+  * integer addition is order-independent, so the fit is a pure function of
+  * the data, not of partitioning), and centroid components are the exact
+  * double quotients sum/count. That makes the whole fit replayable
+  * verbatim in another SQL engine — the q34/q68 DuckDB oracles unroll
+  * init + Lloyd rounds and hash-match. Final candidate SCORING still uses
+  * the raw un-quantized vectors (cosine), so quantization only perturbs
+  * cell boundaries, not result quality.
   *
   * Scale shape: centroids are always driver-small (√N-ish), broadcast into
   * a native expression for assignment — the corpus is only ever scanned
   * linearly, shuffled once by cell id, and compared within probed cells.
-  * The Lloyd update is ONE aggregation per iteration: an elementwise
-  * vector-sum aggregate + count per cell
-  * ([[graft.functions.expressions.VecSumAgg]], partial-aggregated
-  * map-side), means formed on the driver.
+  * The Lloyd update is ONE aggregation per iteration, partial-aggregated
+  * map-side, means formed on the driver.
   */
 object Ivf {
 
+  /** Vector quantization scale for centroid math: components snap to a
+    * 1e-6 grid. Embedding components are O(1), so quantized magnitudes are
+    * ≤ ~1e6 and per-cell bigint sums have ~9e12-row headroom. */
+  val QScale: Double = 1e6
+
+  /** Centroid components live in the QUANTIZED space (× [[QScale]]); each
+    * value is an exact integer-sum / count double quotient. */
   case class Model(centroids: Array[Array[Double]]) {
     def numCells: Int = centroids.length
   }
@@ -35,24 +53,28 @@ object Ivf {
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
           numCells: Int, iterations: Int = 3): Model = {
     // Deterministic pseudo-random init: vectors with the smallest
-    // xxhash64(vector). Hashing the VECTOR (not the id) makes exact-dup
-    // embeddings — present in real corpora and in this one by design —
-    // collide instead of seeding identical centroids (⇒ permanently empty
-    // cells), and makes limit-boundary ties harmless (a tie IS the same
-    // vector). Distinctness is enforced on an 8× oversample driver-side:
-    // a corpus-wide dropDuplicates would shuffle the whole corpus just for
-    // init. orderBy+limit plans as TakeOrderedAndProject — a distributed
-    // per-partition top-k + driver merge, unlike a global row_number window
-    // which drags the whole corpus onto one partition.
+    // md5(quantized vector) — md5 of the comma-joined bigint components,
+    // an engine-portable total order (the oracle replays it with
+    // array_to_string + md5). Hashing the VECTOR (not the id) makes
+    // exact-dup embeddings — present in real corpora and in this one by
+    // design — collide instead of seeding identical centroids
+    // (⇒ permanently empty cells), and makes limit-boundary ties harmless
+    // (a tie IS the same vector, and duplicates carry the same hash, so
+    // driver-side distinctBy removes them regardless of which copy the
+    // limit kept). Distinctness is enforced on an 8× oversample driver-
+    // side: a corpus-wide dropDuplicates would shuffle the whole corpus
+    // just for init. orderBy+limit plans as TakeOrderedAndProject — a
+    // distributed per-partition top-k + driver merge, unlike a global
+    // row_number window which drags the whole corpus onto one partition.
     val over = math.max(numCells * 8, numCells + 64)
     val distinctVecs = corpus
-      .select(col(vecCol).cast(ArrayType(DoubleType)).as("v"))
-      .filter(col("v").isNotNull)
+      .select(quantize(col(vecCol)).as("q"))
+      .filter(col("q").isNotNull)
     def smallestByHash(src: DataFrame, n: Int) = src
-      .withColumn("__h", xxhash64(col("v")))
+      .withColumn("__h", md5(concat_ws(",", col("q").cast(ArrayType(StringType)))))
       .orderBy("__h").limit(n)
-      .select("v").collect()
-      .map(_.getSeq[Double](0).toArray)
+      .select("q").collect()
+      .map(_.getSeq[Long](0).toArray)
       .distinctBy(_.toSeq)
     var init = smallestByHash(distinctVecs, over).take(numCells)
     if (init.length < numCells) {
@@ -64,34 +86,39 @@ object Ivf {
     }
     require(init.length >= 1, s"no non-null vectors in $vecCol")
 
-    var centroids = init
+    var centroids = init.map(_.map(_.toDouble))
     var it = 0
     while (it < iterations) {
       val dim = centroids(0).length
-      // Lloyd update in ONE aggregation: elementwise vector sum + count per
-      // cell (VecSumAgg partial-aggregates map-side), mean formed on the
-      // driver. Cells can be empty -> keep previous centroid.
+      // Lloyd update in ONE aggregation: exact elementwise bigint-vector
+      // sum + count per cell (VecSumLongAgg partial-aggregates map-side),
+      // mean formed on the driver. Cells can be empty -> keep previous
+      // centroid.
       val sums = corpus.filter(col(vecCol).isNotNull)
         .select(
-          col(vecCol).as("v"),
+          quantize(col(vecCol)).as("q"),
           nearestCells(col(vecCol), Model(centroids), 1)(0).as("cell"))
         .groupBy("cell")
-        .agg(graft.functions.expressions.VecSumAgg.vecSum(col("v"), dim).as("s"),
+        .agg(graft.functions.expressions.VecSumLongAgg.vecSumLong(col("q"), dim).as("s"),
           count(lit(1)).as("cnt"))
         .collect()
       val next = centroids.map(_.clone())
       sums.foreach { r =>
         val cell = r.getInt(0)
-        val s = r.getSeq[Double](1)
+        val s = r.getSeq[Long](1)
         val cnt = r.getLong(2)
         var d = 0
-        while (d < dim) { next(cell)(d) = s(d) / cnt; d += 1 }
+        while (d < dim) { next(cell)(d) = s(d).toDouble / cnt; d += 1 }
       }
       centroids = next
       it += 1
     }
     Model(centroids)
   }
+
+  /** `array<float|double>` → quantized `array<bigint>` (× [[QScale]]). */
+  def quantize(vec: Column): Column =
+    ExpressionUtils.column(QuantizeVecExpr(ExpressionUtils.expression(vec)))
 
   /** Column of the `nProbes` nearest cell ids (ascending distance). */
   def nearestCells(vec: Column, model: Model, nProbes: Int): Column =
@@ -200,15 +227,64 @@ case class NearestCellsExpr(child: Expression, centroids: Array[Array[Double]], 
       var s = 0.0
       var i = 0
       while (i < n) {
-        val x = (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)) - cen(i)
+        // quantize the input component exactly as Ivf.quantize does —
+        // distances compare in the same integer-grid space the centroids
+        // live in, so assignment is a function of (quantized data, model)
+        val xq = math.floor(
+          (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)) * Ivf.QScale + 0.5)
+        val x = xq - cen(i)
         s += x * x
         i += 1
       }
       d2(c) = s
       c += 1
     }
+    // sortBy is stable, so equal distances break toward the smaller cell
+    // id — the same tie rule the SQL replay uses (ORDER BY d2, cell)
     val idx = Array.tabulate(k)(identity).sortBy(d2)
     new GenericArrayData(idx.take(probes))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `array<float|double>` → `array<bigint>`: per-component
+  * `floor(x·QScale + 0.5)` — the exact scalar double op every engine
+  * computes bit-identically, so quantized vectors (and everything derived
+  * from them: init hashes, Lloyd sums, centroids) are engine-portable.
+  * Native with codegen so fit-time corpus scans stay in whole-stage spans. */
+case class QuantizeVecExpr(child: Expression) extends UnaryExpression {
+
+  def compute(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("quantizeVec", this, classOf[QuantizeVecExpr].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);"
+    })
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(
+        (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)) * Ivf.QScale + 0.5).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

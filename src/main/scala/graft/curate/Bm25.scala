@@ -32,9 +32,15 @@ object Bm25 {
     * df aggregation and the scoring join), so it persists — the corpus
     * tokenizes ONCE, not per branch (the q92 review lesson). The corpus
     * stats (N, avgdl) are a bounded 1-row collect that doubles as the
-    * cache materialization; Verify/Bench clear the cache per query, and
-    * at 100 TB the persisted frame is exactly what you'd write as a
-    * stored index table instead. */
+    * cache materialization; at 100 TB the persisted frame is exactly what
+    * you'd write as a stored index table instead.
+    *
+    * CACHE CONTRACT: the postings cache must outlive the (lazy) returned
+    * frame, so this method cannot unpersist it — after materializing the
+    * result, long-lived sessions should `spark.catalog.clearCache()` (or
+    * persist the postings as a stored index table and score against that)
+    * or repeated calls will accumulate cached postings until memory/disk
+    * pressure. Verify/Bench already clear the cache per query. */
   def scores(docs: DataFrame, docId: String, docText: String,
              queries: DataFrame, queryId: String, queryText: String,
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {

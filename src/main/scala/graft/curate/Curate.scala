@@ -75,7 +75,12 @@ object Curate {
     * ([[graft.plan.TopKPerGroup]]), so the shuffle is bounded at
     * partitions × groups × n rows — full groups are never sorted or
     * collected, which is what makes a cap over a 100 TB corpus with a
-    * hot-domain skew feasible. */
+    * hot-domain skew feasible.
+    *
+    * `idCol` must be non-null (and unique for a fully deterministic cap):
+    * NULL ids hash to a NULL priority, which sorts first and makes the
+    * choice among several null-id rows arbitrary — filter or coalesce ids
+    * before capping (same contract as [[tokenBudget]], which enforces it). */
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String, n: Int,
                   salt: String = ""): DataFrame =
     graft.plan.TopKPerGroup(df,
@@ -124,7 +129,16 @@ object Curate {
       .withColumn("__bkt", shiftright(col("__pri"), shift).cast("int"))
     val totals = withPri.groupBy("__bkt")
       .agg(sum(w).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map { r =>
+        // a NULL id hashes to a NULL priority/bucket: such rows are not
+        // rankable under the documented global (hash, id) order, and the
+        // null bucket would otherwise surface here as an opaque NPE. The
+        // totals collect already scans every bucket, so this check is free.
+        require(!r.isNullAt(0),
+          s"tokenBudget: NULL $idCol values are not rankable — " +
+            "filter or coalesce ids before budgeting")
+        r.getInt(0) -> r.getLong(1)
+      }.toMap
     val prefix = (0 until buckets).map(b => totals.getOrElse(b, 0L)).scanLeft(0L)(_ + _)
     // boundary bucket: the last one whose preceding prefix still fits
     val bStar = prefix.indexWhere(_ > budget) match {

@@ -322,12 +322,14 @@ class DynFrame private (
   def repartition(n: Int): DynFrame = withDf(df.repartition(n))
   def coalesce(n: Int, shuffle: Boolean = false): DynFrame =
     if (shuffle) repartition(n) else withDf(df.coalesce(n))
-  /** Exact physical partition count (`dynamicframe.py` getNumPartitions).
-    * Uses `toRdd` (the internal-row RDD) rather than `Dataset.rdd`, which
-    * would build a second, deserializing RDD just to read a count; the
-    * plan-materialization this forces is inherent to the API's contract —
-    * for a decision heuristic use [[graft.plan.Partitions]] instead. */
-  def getNumPartitions: Int = df.queryExecution.toRdd.getNumPartitions
+  /** Physical partition count (`dynamicframe.py` getNumPartitions),
+    * derived from plan metadata via [[graft.plan.Partitions
+    * .planPartitions]] — never forces `toRdd`, which under AQE can
+    * materialize query stages just to read a count (the repo-wide rule;
+    * PartitionsSpec pins that this call runs zero jobs). Explicit
+    * repartition/coalesce counts and scan splits are exact; AQE may
+    * coalesce shuffle outputs further at runtime. */
+  def getNumPartitions: Int = graft.plan.Partitions.planPartitions(df)
 
   /** Write a top-k or probabilistic sample mid-pipeline, pass the frame
     * through unchanged (`dynamicframe.py:296-300`). */

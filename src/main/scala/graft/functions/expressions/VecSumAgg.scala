@@ -87,3 +87,75 @@ object VecSumAgg {
     ExpressionUtils.column(
       VecSumAgg(ExpressionUtils.expression(e), dim).toAggregateExpression())
 }
+
+/** Elementwise EXACT sum of `array<bigint>` vectors. Integer addition is
+  * associative and commutative, so the result is a pure function of the
+  * group's rows — independent of partitioning, task order, and partial-
+  * aggregation splits. This is what makes quantized centroid math
+  * ([[graft.ann.Ivf]]) deterministic enough to replay in another engine:
+  * the float [[VecSumAgg]] sums in whatever order Spark merges buffers.
+  *
+  * Overflow headroom: components quantized to |q| ≤ 1e6-ish leave room for
+  * ~9e12 rows per group before hitting 2^63 (ANSI mode would raise, not
+  * wrap, if a pathological corpus ever got there).
+  */
+case class VecSumLongAgg(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(dim >= 1, "dim must be >= 1")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](dim)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), dim)
+      var i = 0
+      while (i < n) { buffer(i) += arr.getLong(i); i += 1 }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < dim) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(dim * 8)
+    var i = 0
+    while (i < dim) { bb.putLong(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(dim)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumLongAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumLongAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object VecSumLongAgg {
+  /** Column entry point: exact elementwise `array<bigint>` sum. */
+  def vecSumLong(e: Column, dim: Int): Column =
+    ExpressionUtils.column(
+      VecSumLongAgg(ExpressionUtils.expression(e), dim).toAggregateExpression())
+}

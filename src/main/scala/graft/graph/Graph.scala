@@ -209,8 +209,14 @@ object Graph {
     * the wedge self-join keyed on the tail (ReuseExchange-friendly: both
     * sides are the same cached frame partitioned the same way), and the
     * closing-edge join keyed on the wedge pair. The oriented edge frame
-    * has three consumers, so it persists (Verify/Bench clear the cache
-    * per query). */
+    * has three consumers, so it persists.
+    *
+    * CACHE CONTRACT: the und/oriented caches must outlive the (lazy)
+    * returned frame, so this method cannot unpersist them — after
+    * materializing the result, long-lived sessions should
+    * `spark.catalog.clearCache()` or repeated calls will accumulate
+    * cached edge frames until memory/disk pressure. Verify/Bench already
+    * clear the cache per query. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),

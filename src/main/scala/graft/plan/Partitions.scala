@@ -30,7 +30,6 @@ object Partitions {
     * 2× slack ([[graft.dedup.Dedup.ensureParallelism]]). */
   def estimateInputPartitions(df: DataFrame): Int = {
     val spark = df.sparkSession
-    val parallel = spark.sparkContext.defaultParallelism
     val plan = df.queryExecution.optimizedPlan
     val shuffled = plan.exists {
       case _: Aggregate | _: Join | _: Window | _: Sort => true
@@ -38,20 +37,57 @@ object Partitions {
       case _ => false
     }
     if (shuffled) spark.sessionState.conf.numShufflePartitions
-    else {
-      val leafCounts = plan.collectLeaves().map {
-        case l: LocalRelation => math.min(math.max(l.data.length, 1), parallel)
-        case r: LogicalRDD => r.rdd.getNumPartitions
-        case e: org.apache.spark.sql.execution.ExternalRDD[_] => e.rdd.getNumPartitions
-        case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-          val loc = lr.relation.asInstanceOf[HadoopFsRelation].location
-          fileSplitCount(spark, loc.sizeInBytes, math.max(loc.inputFiles.length, 1))
-        case other =>
-          // v2 scans / views: the optimizer's size estimate with 1-file cost
-          fileSplitCount(spark, other.stats.sizeInBytes.toLong, 1)
-      }
-      math.max(leafCounts.sum, 1)
+    else estimateLeaves(spark, plan)
+  }
+
+  /** Physical partition count derived from PLAN METADATA only — the
+    * API-surface sibling of [[estimateInputPartitions]] backing
+    * `DynFrame.getNumPartitions` (the Glue-parity call). Never forces
+    * `toRdd`/`rdd` and never runs a job: under AQE, `toRdd` can
+    * materialize query stages just to read a count (the repo rule this
+    * replaces — VERDICT r5 #4). The TOPMOST partitioning-determining
+    * operator wins: explicit repartition/coalesce numbers are exact,
+    * shuffle-introducing operators report the session shuffle-partition
+    * count (what a non-AQE run produces; AQE may coalesce further at
+    * runtime — a runtime fact no partition probe can know without
+    * executing), and scan-only plans use the same split math Spark's
+    * planner applies. */
+  def planPartitions(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    def walk(p: LogicalPlan): Option[Int] = p match {
+      case r: Repartition if r.shuffle => Some(r.numPartitions)
+      case r: Repartition => // coalesce: can only shrink its child
+        Some(math.min(r.numPartitions,
+          walk(r.child).getOrElse(estimateLeaves(spark, r.child))))
+      case r: RepartitionByExpression =>
+        Some(r.optNumPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions))
+      case _: Aggregate | _: Join | _: Window | _: Sort | _: Deduplicate =>
+        Some(spark.sessionState.conf.numShufflePartitions)
+      case _: GlobalLimit => Some(1)
+      case u: Union =>
+        val parts = u.children.map(c => walk(c).getOrElse(estimateLeaves(spark, c)))
+        Some(parts.sum)
+      case u: UnaryNode => walk(u.child)
+      case _ => None
     }
+    val plan = df.queryExecution.optimizedPlan
+    math.max(walk(plan).getOrElse(estimateLeaves(spark, plan)), 1)
+  }
+
+  private def estimateLeaves(spark: org.apache.spark.sql.SparkSession,
+                             plan: LogicalPlan): Int = {
+    val parallel = spark.sparkContext.defaultParallelism
+    val leafCounts = plan.collectLeaves().map {
+      case l: LocalRelation => math.min(math.max(l.data.length, 1), parallel)
+      case r: LogicalRDD => r.rdd.getNumPartitions
+      case e: org.apache.spark.sql.execution.ExternalRDD[_] => e.rdd.getNumPartitions
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        val loc = lr.relation.asInstanceOf[HadoopFsRelation].location
+        fileSplitCount(spark, loc.sizeInBytes, math.max(loc.inputFiles.length, 1))
+      case other =>
+        fileSplitCount(spark, other.stats.sizeInBytes.toLong, 1)
+    }
+    math.max(leafCounts.sum, 1)
   }
 
   /** `FilePartition.maxSplitBytes` arithmetic: bin-pack `totalBytes` across

@@ -488,7 +488,14 @@ object Queries {
       col("doc_id"),
       array_join(T.fingerprintPortable(col("text"), shingleLen = 3, k = 16).cast("array<string>"), "|").as("fp"))
 
-  /** IVF ANN top-k (rows-only: approximate; deterministic index). */
+  /** IVF ANN top-k. Promoted to an exact oracle in round 6: Ivf's fit is
+    * now a pure function of the data (md5-ordered init + exact bigint Lloyd
+    * sums on 1e-6-quantized vectors), so the oracle unrolls init + both
+    * Lloyd rounds in DuckDB and replays assignment/probing/ranking
+    * verbatim. Probed at sf0.01 AND sf0.1: argmin gaps ≥ 2e7 in quantized
+    * d² units (vs ~1e-2 FP error), probe-boundary gap ≥ 1.4e8, min
+    * adjacent candidate cos gap through rank 7 ≥ 1e-4 ≫ cross-engine FP
+    * divergence (tools/probe_ivf.py). */
   def q34IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings")
     val model = Ivf.fit(e, "vec_id", "embedding", numCells = 16, iterations = 2)
@@ -645,12 +652,16 @@ object Queries {
     * real encoder, then batched REAL decode → mean-pool feature
     * extraction → metadata resize; output carries the decoded dims, the
     * resized box, and a feature checksum. */
-  def q50Multimodal(s: SparkSession, dir: String): DataFrame = {
+  /** Synthetic media table over `documents`: one BMP24 payload per doc,
+    * pixel bytes from the doc text, dimensions from construction
+    * arithmetic (w = id%29+2, h = id%17+2, meta box = 100×) — which is
+    * what lets q101 check the decode round-trip against an exact oracle. */
+  private def mediaFixture(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.{MediaCodec, Multimodal}
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val src = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-    val media = Multimodal.mapInBatches(src, StructType(Seq(
+    Multimodal.mapInBatches(src, StructType(Seq(
       StructField("media_id", LongType),
       StructField("payload", BinaryType),
       StructField("meta", Multimodal.MediaMetaType)))) { batch =>
@@ -669,6 +680,11 @@ object Queries {
           Row("bmp", w * 100, h * 100, 2000L))
       }
     }
+  }
+
+  def q50Multimodal(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = mediaFixture(s, dir)
     val decoded = Multimodal.decodeImages(media)
     val feats = Multimodal.extractFeatures(decoded, dim = 16)
     Multimodal.resizeMeta(feats, 64, 64)
@@ -933,11 +949,17 @@ object Queries {
       k = 3)
 
   /** SemDeDup survivors over the embeddings table: IVF-cell clustering +
-    * within-cell exact cosine + keep-min-id-per-component (rows-only check:
-    * cell assignment is approximate by construction). */
+    * within-cell exact cosine + keep-min-id-per-component. Promoted to an
+    * exact oracle in round 6 (deterministic quantized Ivf.fit — see q34);
+    * the oracle replays the fit, the 2-probe bucketing, the threshold
+    * filter, and the connected-components prune (q91's recursive-CTE
+    * pattern). Threshold sits mid-gap at 0.400235: ≥ 1.23e-4 from the
+    * nearest candidate cos at sf0.1 and ≥ 2.9e-4 at sf0.01 (probed — 0.4
+    * itself had a 9.9e-6 neighbor at sf0.1). Buckets max out at 536 rows
+    * at sf0.1, far under the 10k collect cap the oracle doesn't model. */
   def q68SemanticPrune(s: SparkSession, dir: String): DataFrame =
     Dedup.semanticPrune(tbl(s, dir, "embeddings"), "vec_id", "embedding",
-        numCells = 8, probes = 2, threshold = 0.4)
+        numCells = 8, probes = 2, threshold = 0.400235)
       .select(col("vec_id"), col("label"))
 
   /** Per-source distinct-token estimate via the KMV order-statistic sketch
@@ -1460,6 +1482,24 @@ object Queries {
       docs.filter(col("doc_id") % 2 === 1), "n_chars")
   }
 
+  /** The deterministic projection of the q50 multimodal pipeline: decode
+    * the constructed BMP payloads and resize their meta boxes, emitting
+    * only columns with construction-arithmetic ground truth (q93's oracle
+    * pattern) — the real header decode round-trips w = id%29+2,
+    * h = id%17+2, channels = 3, and the resize math is pure scalar double
+    * ops both engines compute identically (round-half-up on the same
+    * IEEE double; ties can't diverge because the rounded double is the
+    * same bit pattern in both). q50 itself stays rows-only for its
+    * pixel-derived feature column. */
+  def q101MultimodalDims(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val decoded = Multimodal.decodeImages(mediaFixture(s, dir))
+    Multimodal.resizeMeta(decoded, 64, 64)
+      .select(col("media_id"), col("dec_width"), col("dec_height"),
+        col("dec_channels"),
+        col("meta.width").as("resized_w"), col("meta.height").as("resized_h"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1562,7 +1602,8 @@ object Queries {
     "q97_incremental_join" -> (q97IncrementalJoin _),
     "q98_triangles" -> (q98TriangleCounts _),
     "q99_funnel" -> (q99Funnel _),
-    "q100_drift_psi" -> (q100DriftPsi _))
+    "q100_drift_psi" -> (q100DriftPsi _),
+    "q101_multimodal_dims" -> (q101MultimodalDims _))
 
   /** DuckDB oracles. Keys missing here (q34, q50, q68) are approximate by
     * construction (centroids carry Spark aggregation order; binary decode)
@@ -1588,6 +1629,50 @@ object Queries {
     (for (p <- 0 until planes; c <- 0 until dim) yield
       s"($p,$c,${graft.functions.expressions.SimilarityKernels.planeComponent(p, c)})")
       .mkString(", ")
+
+  /** Quantized squared distance between a vector's bigint grid components
+    * and a centroid list — the exact expression both engines evaluate
+    * (embedding dim is 64 across the testdata). */
+  private val ivfD2 =
+    "list_sum(list_transform(range(1,65), i -> (CAST(q[i] AS DOUBLE) - c[i])^2))"
+
+  /** Ranked cell assignment against centroid CTE `cen`: emits
+    * (vec_id, q, cell, rn) with rn ordered by quantized d² then cell id —
+    * the tie rule [[graft.ann.NearestCellsExpr]]'s stable sort applies. */
+  private def ivfRanked(cen: String, where: String = ""): String =
+    s"""SELECT qv.vec_id, qv.q, $cen.cell,
+       |   row_number() OVER (PARTITION BY qv.vec_id ORDER BY $ivfD2 ASC, $cen.cell ASC) AS rn
+       |  FROM qv CROSS JOIN $cen $where""".stripMargin
+
+  /** DuckDB replay of [[graft.ann.Ivf.fit]]'s deterministic quantized
+    * KMeans over the embeddings table: 1e-6-grid quantization (exact
+    * portable double op), init = `cells` distinct quantized vectors with
+    * the smallest md5, then `iterations` unrolled Lloyd rounds of exact
+    * integer sums (order-independent in both engines) with empty cells
+    * keeping their previous centroid. Returns (CTE chain, name of the
+    * final centroid CTE). The q73-style unrolled-iteration pattern. */
+  private def ivfReplayCtes(cells: Int, iterations: Int): (String, String) = {
+    val sb = new StringBuilder(
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+         |qv AS (SELECT vec_id, v, list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q FROM e),
+         |hs AS (SELECT DISTINCT q, md5(array_to_string(q, ',')) AS h FROM qv),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INT) AS cell,
+         |  list_transform(q, x -> CAST(x AS DOUBLE)) AS c
+         | FROM (SELECT q, h FROM hs ORDER BY h LIMIT $cells))""".stripMargin)
+    var prev = "c0"
+    for (it <- 0 until iterations) {
+      sb.append(s""",
+         |a$it AS (SELECT vec_id, q, cell FROM (
+         |  ${ivfRanked(prev)}) WHERE rn = 1),
+         |s$it AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS cnt
+         |  FROM a$it CROSS JOIN range(1,65) t(i) GROUP BY cell, i),
+         |m$it AS (SELECT cell, list(CAST(s AS DOUBLE) / cnt ORDER BY i) AS c FROM s$it GROUP BY cell),
+         |c${it + 1} AS (SELECT c0.cell, coalesce(m$it.c, prv.c) AS c
+         |  FROM c0 LEFT JOIN m$it USING (cell) LEFT JOIN $prev prv USING (cell))""".stripMargin)
+      prev = s"c${it + 1}"
+    }
+    (sb.toString, prev)
+  }
 
   /** Shared DuckDB CTE fragment: per-`key` portable MinHash signatures of
     * the documents table (word 3-shingles, k=64, md5-60 base hash mod
@@ -1910,6 +1995,25 @@ object Queries {
         |hs AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM shg)
         |SELECT doc_id, array_to_string(list_sort(list(h))[1:16], '|') AS fp
         |FROM hs GROUP BY doc_id""".stripMargin,
+    // q34: full KMeans replay (init + 2 unrolled Lloyd rounds on the
+    // quantized grid) → index assignment, 4-probe query cells, exact
+    // cosine on the RAW double vectors, rank with nid tie-break. Margins
+    // probed at both scales — see q34IvfTopK's scaladoc / tools/probe_ivf.py.
+    "q34_ivf_topk" -> {
+      val (ctes, fin) = ivfReplayCtes(16, 2)
+      s"""WITH $ctes,
+         |af AS (SELECT vec_id, cell FROM (
+         |  ${ivfRanked(fin)}) WHERE rn = 1),
+         |pr AS (SELECT vec_id, cell FROM (
+         |  ${ivfRanked(fin, "WHERE qv.vec_id % 50 = 0")}) WHERE rn <= 4),
+         |cand AS (SELECT DISTINCT pr.vec_id AS qid, af.vec_id AS nid
+         | FROM pr JOIN af USING (cell) WHERE af.vec_id <> pr.vec_id),
+         |scored AS (SELECT qid, nid, list_cosine_similarity(a.v, b.v) AS cos
+         | FROM cand JOIN e a ON a.vec_id = cand.qid JOIN e b ON b.vec_id = cand.nid)
+         |SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INT) AS rank
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) <= 5""".stripMargin
+    },
     "q35_drop_null_fields" ->
       "SELECT r_regionkey, r_name, r_name AS keep FROM region",
     "q36_ddb_unnest" ->
@@ -2239,6 +2343,30 @@ object Queries {
         |     ORDER BY CAST(l_extendedprice AS DOUBLE) DESC, l_orderkey, l_linenumber) AS rk
         | FROM lineitem)
         |WHERE rk <= 3""".stripMargin,
+    // q68: same KMeans replay as q34 (8 cells), 2-probe bucketing, exact
+    // cosine at the mid-gap threshold (0.400235 — probed ≥1.23e-4 from
+    // data at both scales), then the q91-pattern recursive-CTE connected
+    // components with min-id representatives; survivors = NOT dropped.
+    "q68_semantic_prune" -> {
+      val (ctes, fin) = ivfReplayCtes(8, 2)
+      s"""WITH RECURSIVE $ctes,
+         |asg AS (SELECT vec_id, cell FROM (
+         |  ${ivfRanked(fin)}) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         | FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         |hits AS (SELECT id_a, id_b
+         | FROM cand JOIN e a ON a.vec_id = cand.id_a JOIN e b ON b.vec_id = cand.id_b
+         | WHERE list_cosine_similarity(a.v, b.v) >= 0.400235),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM hits UNION ALL SELECT id_b, id_a FROM hits),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (SELECT id, id AS root FROM nodes
+         | UNION
+         | SELECT edges.dst AS id, reach.root FROM reach JOIN edges ON edges.src = reach.id),
+         |canon AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY id),
+         |dropped AS (SELECT id FROM canon WHERE id <> cluster_id)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id FROM dropped)""".stripMargin
+    },
     "q69_kmv_distinct" ->
       """WITH toks AS (
         | SELECT source, unnest(string_split_regex(trim(text),'\s+')) AS tok
@@ -2747,5 +2875,22 @@ object Queries {
         |    - (n_b + 0.5::DOUBLE)/(t.tb + t.k*0.5::DOUBLE))
         |  * ln(((n_a + 0.5::DOUBLE)/(t.ta + t.k*0.5::DOUBLE))
         |     / ((n_b + 0.5::DOUBLE)/(t.tb + t.k*0.5::DOUBLE))), 4) AS psi_term
-        |FROM j CROSS JOIN t""".stripMargin)
+        |FROM j CROSS JOIN t""".stripMargin,
+    // q101: construction-arithmetic ground truth for the multimodal decode
+    // + resize pipeline — the BMP fixture is built with w = id%29+2,
+    // h = id%17+2, meta box 100×, so the decoded dims and the resize
+    // formula (round(W·least(64/W, 64/H, 1)), identical IEEE doubles both
+    // engines, half-up rounding both engines for positives) replay exactly.
+    "q101_multimodal_dims" ->
+      """SELECT doc_id AS media_id,
+        | CAST(doc_id % 29 + 2 AS INT) AS dec_width,
+        | CAST(doc_id % 17 + 2 AS INT) AS dec_height,
+        | CAST(3 AS INT) AS dec_channels,
+        | CAST(round(CAST(100*(doc_id % 29 + 2) AS DOUBLE)
+        |   * least(64 / CAST(100*(doc_id % 29 + 2) AS DOUBLE),
+        |           64 / CAST(100*(doc_id % 17 + 2) AS DOUBLE), 1.0)) AS INT) AS resized_w,
+        | CAST(round(CAST(100*(doc_id % 17 + 2) AS DOUBLE)
+        |   * least(64 / CAST(100*(doc_id % 29 + 2) AS DOUBLE),
+        |           64 / CAST(100*(doc_id % 17 + 2) AS DOUBLE), 1.0)) AS INT) AS resized_h
+        |FROM documents""".stripMargin)
 }

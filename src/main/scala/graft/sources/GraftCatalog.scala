@@ -21,13 +21,35 @@ class GraftCatalog(spark: SparkSession) {
   /** The session catalog is in-memory: a previous session's managed files
     * can survive as an orphaned warehouse directory the new session's
     * catalog doesn't know about — Overwrite means the caller wants that
-    * location replaced, not LOCATION_ALREADY_EXISTS. */
+    * location replaced, not LOCATION_ALREADY_EXISTS. Deletes ONLY
+    * directories that verifiably look like Spark table output (part
+    * files / underscore+dot metadata / key=value partition dirs, checked
+    * recursively): with a shared or persistent warehouse dir, the default
+    * table path can hold another process's live non-table data, and
+    * silently destroying it on a name collision would be far worse than
+    * failing this save with an explicit error. */
   private def clearOrphanedLocation(db: String, table: String, mode: SaveMode): Unit =
     if (mode == SaveMode.Overwrite && !tableExists(db, table)) {
       val loc = new org.apache.hadoop.fs.Path(
         spark.sessionState.catalog.defaultTablePath(
           org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db))))
-      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) {
+        if (looksLikeSparkTableOutput(fs, loc)) fs.delete(loc, true)
+        else throw new IllegalStateException(
+          s"refusing to clear orphaned location $loc for `$db`.`$table`: " +
+            "it contains files that are not Spark table output " +
+            "(drop or move the directory manually if replacement is intended)")
+      }
+    }
+
+  private def looksLikeSparkTableOutput(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.listStatus(dir).forall { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) n.contains("=") && looksLikeSparkTableOutput(fs, st.getPath)
+      else n.startsWith("part-") || n.startsWith("_") || n.startsWith(".")
     }
 
   /** Catalog sink (`write_dynamic_frame_from_catalog`, `context.py:358-405`). */

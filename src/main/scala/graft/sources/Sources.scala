@@ -254,12 +254,19 @@ object PathLifecycle {
     val root = fs.makeQualified(raw)
     if (!fs.exists(root)) return LifecycleResult(0L, 0L)
     val cutoff = System.currentTimeMillis() - retentionHours * 3600L * 1000L
-    val files = fs.listFiles(root, true)
+    // Materialize the listing BEFORE renaming anything: mutating the tree
+    // under an open recursive RemoteIterator can throw FileNotFoundException
+    // or re-list moved files on HDFS-like filesystems.
+    val listed = {
+      val it = fs.listFiles(root, true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
     val ok = Seq.newBuilder[String]
     val failed = Seq.newBuilder[String]
     var moved = 0L; var retained = 0L
-    while (files.hasNext) {
-      val f = files.next()
+    for (f <- listed) {
       val cls = storageClassOf(root, f.getPath)
       if (cls == transitionTo) { /* already archived — not a hot file */ }
       else if (excludeStorageClasses.contains(cls) ||
@@ -300,10 +307,16 @@ object PathLifecycle {
     val root = fs.makeQualified(raw)
     val tier = new Path(root, s"$TierPrefix$fromClass")
     if (!fs.exists(tier)) return 0L
-    val files = fs.listFiles(tier, true)
+    // materialize before renaming — same iterator-invalidation hazard as
+    // transitionPath
+    val listed = {
+      val it = fs.listFiles(tier, true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
     var restored = 0L
-    while (files.hasNext) {
-      val f = files.next()
+    for (f <- listed) {
       val rel = f.getPath.toUri.getPath.stripPrefix(tier.toUri.getPath).stripPrefix("/")
       val dest = new Path(root, rel)
       fs.mkdirs(dest.getParent)

@@ -8,12 +8,13 @@ class EntrySpec extends SparkSpec {
 
   test("every query has either an oracle or is a documented rows-only check") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // approximate operators only (q22/q23/q33/q46 were promoted to exact
-    // oracles in round 5 via portable md5-based hashing; q25/q32 via
-    // embedded-literal plane matrices). q34/q68 centroids carry Spark
-    // aggregation order and q50 decodes binary media — not SQL-replayable.
-    assert(rowsOnly == Set("q34_ivf_topk",
-      "q50_multimodal", "q68_semantic_prune"))
+    // q50 only: binary media decode is not SQL-replayable (its
+    // deterministic projection IS oracled separately — q101). q22/q23/q33/
+    // q46 were promoted to exact oracles in round 5 via portable md5-based
+    // hashing, q25/q32 via embedded-literal plane matrices, and q34/q68 in
+    // round 6 via the deterministic quantized Ivf fit + DuckDB KMeans
+    // replay (tools/probe_ivf.py).
+    assert(rowsOnly == Set("q50_multimodal"))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 

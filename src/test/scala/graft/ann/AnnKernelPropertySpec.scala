@@ -48,8 +48,13 @@ object AnnKernelPropertySpec extends Properties("AnnKernels") {
         BoundReference(0, ArrayType(DoubleType), nullable = false), centroids, nProbes)
       val got = expr.nullSafeEval(new GenericArrayData(v.map(x => x: Any)))
         .asInstanceOf[ArrayData].toIntArray().toSeq
+      // the expression quantizes inputs onto the Ivf.QScale grid (round 6:
+      // deterministic replayable fit) — the naive model must too
       def d2(cen: Array[Double]) =
-        v.zip(cen).map { case (x, y) => (x - y) * (x - y) }.sum
+        v.zip(cen).map { case (x, y) =>
+          val q = math.floor(x * graft.ann.Ivf.QScale + 0.5)
+          (q - y) * (q - y)
+        }.sum
       val want = centroids.indices.sortBy(i => d2(centroids(i))).take(math.min(nProbes, k))
       // sortBy is stable and distances here are generically distinct;
       // compare by DISTANCE not index so an exact tie cannot flake

@@ -86,6 +86,54 @@ class IncrementalSpec extends SparkSpec {
     assert(merged.collect().toSet == a.join(b, Seq("k")).collect().toSet)
   }
 
+  test("chained multi-day folds: 3 sequential deltas ≡ full recompute after EVERY fold") {
+    // single-step checks can't catch state-accumulation bugs (a merge that
+    // is exact once but drifts when its own output is the next stored
+    // input) — fold 3 days through BOTH operators, comparing each day.
+    // mergeAggregates: decimal amounts stress exactness across re-merges.
+    val days = Seq(
+      Seq(("a", 1, 10L, BigDecimal("1.50")), ("b", 1, 3L, BigDecimal("4.00")),
+        ("a", 2, 7L, BigDecimal("0.25"))),
+      Seq(("a", 1, 5L, BigDecimal("2.25")), ("c", 1, 1L, BigDecimal("9.75")),
+        ("b", 2, 2L, BigDecimal("1.00"))),
+      Seq(("a", 2, 4L, BigDecimal("3.10")), ("c", 1, 6L, BigDecimal("0.15")),
+        ("b", 1, 8L, BigDecimal("2.05"))))
+    var aggState = rollup(days.head.toDF("k1", "k2", "n", "amt"))
+    var seen = days.head
+    for (day <- days.tail) {
+      aggState = Incremental.mergeAggregates(
+        aggState, rollup(day.toDF("k1", "k2", "n", "amt")), Seq("k1", "k2"))
+      seen = seen ++ day
+      val full = rollup(seen.toDF("k1", "k2", "n", "amt"))
+      assert(aggState.select("k1", "k2", "n", "amt").collect().toSet ==
+        full.select("k1", "k2", "n", "amt").collect().toSet,
+        s"aggregate state diverged after folding ${seen.size} rows")
+    }
+
+    // mergeJoin: bases grow day over day; delta keys overlap old AND new
+    val aDays = Seq(
+      Seq((1L, "a1"), (2L, "a2")),
+      Seq((2L, "a3"), (3L, "a4")),
+      Seq((1L, "a5"), (4L, "a6")))
+    val bDays = Seq(
+      Seq((1L, "b1"), (3L, "b2")),
+      Seq((2L, "b3"), (1L, "b4")),
+      Seq((4L, "b5"), (3L, "b6")))
+    var aBase = aDays.head.toDF("k", "av")
+    var bBase = bDays.head.toDF("k", "bv")
+    var joinState = aBase.join(bBase, Seq("k"))
+    for ((da, db) <- aDays.tail.zip(bDays.tail)) {
+      val (daDf, dbDf) = (da.toDF("k", "av"), db.toDF("k", "bv"))
+      joinState = Incremental.mergeJoin(joinState, aBase, daDf, bBase, dbDf, Seq("k"))
+      aBase = aBase.unionByName(daDf)
+      bBase = bBase.unionByName(dbDf)
+      val full = aBase.join(bBase, Seq("k"))
+      assert(joinState.collect().toSet == full.collect().toSet,
+        "join state diverged from recompute")
+      assert(joinState.count() == full.count(), "duplicated or lost pairs")
+    }
+  }
+
   test("mergeJoin maintenance joins are broadcast — the base sides never shuffle") {
     val (a, b) = joinFixture
     val stored = spark.createDataFrame(

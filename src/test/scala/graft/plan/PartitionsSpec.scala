@@ -50,6 +50,35 @@ class PartitionsSpec extends SparkSpec {
     assert(Partitions.estimateInputPartitions(df) == 3)
   }
 
+  test("planPartitions: explicit repartition/coalesce counts are exact") {
+    val base = spark.read.parquet(s"$sf/nation.parquet")
+    assert(Partitions.planPartitions(base.repartition(7)) == 7)
+    assert(Partitions.planPartitions(base.repartition(7).coalesce(3)) == 3)
+    // coalesce can only shrink: asking for more than exist keeps the child count
+    assert(Partitions.planPartitions(base.repartition(2).coalesce(100)) == 2)
+    assert(Partitions.planPartitions(base.repartition(5, col("n_regionkey"))) == 5)
+    // matches what execution actually produces for the explicit cases
+    assert(base.repartition(7).rdd.getNumPartitions == 7)
+    assert(base.repartition(7).coalesce(3).rdd.getNumPartitions == 3)
+  }
+
+  test("planPartitions: shuffle ops report session shuffle partitions, scans the split count") {
+    val agg = spark.read.parquet(s"$sf/orders.parquet").groupBy("o_orderstatus").count()
+    assert(Partitions.planPartitions(agg) == spark.sessionState.conf.numShufflePartitions)
+    val scan = spark.read.parquet(s"$sf/documents.parquet")
+    assert(Partitions.planPartitions(scan) == Partitions.estimateInputPartitions(scan))
+  }
+
+  test("planPartitions backs DynFrame.getNumPartitions and runs ZERO jobs") {
+    import graft.frame.DynFrame
+    val fr = DynFrame(
+      spark.read.parquet(s"$sf/lineitem.parquet").repartition(9), "p")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(fr.getNumPartitions == 9)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "getNumPartitions launched Spark jobs")
+  }
+
   test("estimation does not run jobs") {
     // build the frames first — spark.read.parquet itself may run a footer
     // job; the claim under test is about the ESTIMATOR

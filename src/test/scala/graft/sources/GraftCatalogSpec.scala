@@ -29,11 +29,37 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE `graft_db`.`orphan`") // in Spark 4 this deletes files...
     val dir = new java.io.File(loc)
     dir.mkdirs()                                // ...so recreate the orphan dir
-    java.nio.file.Files.writeString(dir.toPath.resolve("stale.parquet"), "junk")
+    // stale files shaped like real Spark table output (part file + marker):
+    // only verifiably table-shaped directories may be cleared
+    java.nio.file.Files.writeString(dir.toPath.resolve("part-00000-stale.snappy.parquet"), "junk")
+    java.nio.file.Files.writeString(dir.toPath.resolve("_SUCCESS"), "")
     assert(!cat.tableExists("graft_db", "orphan") && dir.exists())
     cat.saveTable("graft_db", "orphan", Seq((2, "b")).toDF("id", "v"))
     assert(cat.table("graft_db", "orphan").as[(Int, String)].collect().toSeq == Seq((2, "b")))
     cat.dropTable("graft_db", "orphan")
+  }
+
+  test("Overwrite save REFUSES to clear foreign (non-table) content at the default location") {
+    // a shared/persistent warehouse can hold another process's live data
+    // at the colliding default path — deleting it silently would be data
+    // loss, so the save must fail loudly instead (ADVICE r5 #1)
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier("foreign", Some("graft_db")))
+    cat.createDatabase("graft_db")
+    val dir = new java.io.File(loc)
+    dir.mkdirs()
+    val alien = dir.toPath.resolve("live-data.csv")
+    java.nio.file.Files.writeString(alien, "not,spark,output")
+    try {
+      val e = intercept[IllegalStateException] {
+        cat.saveTable("graft_db", "foreign", Seq((1, "a")).toDF("id", "v"))
+      }
+      assert(e.getMessage.contains("refusing to clear"))
+      assert(java.nio.file.Files.exists(alien), "foreign file must survive the refusal")
+    } finally {
+      java.nio.file.Files.deleteIfExists(alien)
+      dir.delete()
+    }
   }
 
   test("crawl registers an existing parquet path as a table") {

@@ -25,12 +25,27 @@ object Queries {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4 only
-    * reads via the legacy nanos-as-long conf; convert to a proper timestamp
-    * with integer division (no double rounding at 1e18 magnitudes). */
+  /** The events table has shipped in two physical encodings across
+    * testdata generations: TIMESTAMP(NANOS) parquet (readable in Spark 4
+    * only via the legacy nanos-as-long conf, surfacing as `bigint` nanos)
+    * and plain `timestamp[us]` (surfacing as TIMESTAMP_NTZ). Normalize
+    * EITHER to a session-UTC TimestampType micros column: nanos convert
+    * with integer division (no double rounding at 1e18 magnitudes), NTZ
+    * casts by wall clock — identical instants under the UTC session the
+    * battery mandates. Same ns→us truncation DuckDB applies, so the
+    * epoch-micros oracle convention (CLAUDE.md) holds for both. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(tbl(s, dir, "events"))
   }
 
   // =============================================================== §2.4 aggs
@@ -427,8 +442,7 @@ object Queries {
 
   def q28StreamRollup(s: SparkSession, dir: String): DataFrame = {
     val (ss, src) = eventsStreamSession(s, dir)
-    val stream = src()
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = normalizeTs(src())
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
     drainToTable(ss, stream, "q28_stream_rollup_sink", "complete")
@@ -1115,7 +1129,7 @@ object Queries {
     * epoch micros per the temporal-query convention. */
   def q76StreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     val (ss, src0) = eventsStreamSession(s, dir)
-    def src = src0().withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = normalizeTs(src0())
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
@@ -1605,12 +1619,13 @@ object Queries {
     "q100_drift_psi" -> (q100DriftPsi _),
     "q101_multimodal_dims" -> (q101MultimodalDims _))
 
-  /** DuckDB oracles. Keys missing here (q34, q50, q68) are approximate by
-    * construction (centroids carry Spark aggregation order; binary decode)
-    * → driver records a rows-only check; EntrySpec pins that exact set.
-    * q22/q23/q33/q46 run PORTABLE md5-based hashing and q25/q32 embed
-    * their plane matrices as literals, so their oracles replay the
-    * signature math bit-for-bit. */
+  /** DuckDB oracles. The one key missing here (q50) decodes binary media
+    * pixels — not SQL-replayable (its deterministic dims projection IS
+    * oracled as q101); EntrySpec pins that exact set. q22/q23/q33/q46 run
+    * PORTABLE md5-based hashing, q25/q32 embed their plane matrices as
+    * literals, and q34/q68 replay the deterministic quantized Ivf fit
+    * (init + unrolled Lloyd rounds — tools/probe_ivf.py), so their
+    * oracles replay the signature/centroid math bit-for-bit. */
 
   /** The MinHash permutation parameters as a DuckDB VALUES list — the SAME
     * SplitMix64-derived constants the kernels use, interpolated so oracle

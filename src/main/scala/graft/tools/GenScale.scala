@@ -62,12 +62,21 @@ object GenScale {
     write(replicate(src("lineitem"),
       Seq("l_orderkey", "l_partkey", "l_suppkey")).drop("__r"), "lineitem")
 
-    // events: ts arrives as INT64 nanos under nanosAsLong; shift each
-    // replica by r ms so per-user sequences stay distinct but windows
-    // keep their density
-    write(replicate(src("events"), Seq("event_id", "user_id"))
-      .withColumn("ts", col("ts") + col("__r") * lit(1000000L))
-      .drop("__r"), "events")
+    // events: shift each replica by r ms so per-user sequences stay
+    // distinct but windows keep their density. ts arrives either as INT64
+    // nanos (legacy TIMESTAMP(NANOS) testdata under nanosAsLong) or as a
+    // native timestamp[us] column — shift in the matching unit; the
+    // battery's adaptive reader (Queries.normalizeTs) handles both output
+    // encodings.
+    val ev = replicate(src("events"), Seq("event_id", "user_id"))
+    val shifted = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev.withColumn("ts", col("ts") + col("__r") * lit(1000000L))
+      case _ =>
+        ev.withColumn("ts", timestamp_micros(
+          unix_micros(col("ts").cast("timestamp")) + col("__r") * lit(1000L)))
+    }
+    write(shifted.drop("__r"), "events")
 
     // documents: seeded per-(replica, doc) word shuffle — same length
     // scale and vocabulary, decorrelated shingles

@@ -41,8 +41,25 @@ object GenScale {
     spark.sparkContext.setLogLevel("WARN")
 
     def src(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
-    def write(df: DataFrame, name: String): Unit =
-      df.coalesce(1).write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+    // Match the driver's layout EXACTLY: each table is a single plain FILE
+    // named <table>.parquet, not a directory of part files. The streaming
+    // queries depend on this — their file source streams the sf dir with
+    // pathGlobFilter=events.parquet, which never matches a part-*.parquet
+    // inside a directory (measured: a directory layout silently streams
+    // ZERO rows and the streaming family benches at fixed cost only).
+    def write(df: DataFrame, name: String): Unit = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val tmp = new org.apache.hadoop.fs.Path(s"$dstDir/.__tmp_$name")
+      val dst = new org.apache.hadoop.fs.Path(s"$dstDir/$name.parquet")
+      val fs = dst.getFileSystem(conf)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file produced for $name"))
+      if (fs.exists(dst)) fs.delete(dst, true)
+      require(fs.rename(part, dst), s"rename failed for $name")
+      fs.delete(tmp, true)
+    }
 
     // keyCols remapped to key*k+r; replicas unioned. Replication happens
     // via an explode so one scan produces all replicas.

@@ -224,6 +224,89 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT set-similarity self-join at Jaccard ≥ tauNum/tauDen over
+    * distinct shingle sets — the lossless counterpart of
+    * [[ngramJaccardPairs]] (whose recall phase is probabilistic LSH):
+    * prefix filtering in the AllPairs/PPJoin family (Chaudhuri et al.
+    * ICDE'06; Bayardo et al. WWW'07; Xiao et al. WWW'08) guarantees
+    * recall 1.0 by construction, so the output IS the brute-force join —
+    * no empirical recall probe needed, at any scale.
+    *
+    * Why lossless: order all shingles by corpus rarity (frequency asc,
+    * shingle asc — a total order O). Each doc keeps the prefix of its
+    * first `|x| − ceil(tau·|x|) + 1` shingles under O. If J(x,y) ≥ tau,
+    * let m = min(x∩y) under O; every shingle of x before m is outside
+    * x∩y, and |x \ x∩y| ≤ |x| − ceil(tau·|x|) (J ≥ tau forces
+    * |x∩y| ≥ ceil(tau·|x|), since |x∩y| ≥ tau·|x∪y| ≥ tau·|x| and it is
+    * an integer), so m sits inside x's prefix — and symmetrically inside
+    * y's. The pair therefore collides in shingle m's bucket.
+    *
+    * The threshold is a RATIONAL tauNum/tauDen and the verdict compares
+    * integers (`tauDen·|∩| ≥ tauNum·|∪|`), so there is no float boundary
+    * to probe — both engines agree bit-for-bit on every pair, which is
+    * what lets q102's DuckDB oracle be the O(N²) brute force itself.
+    *
+    * Shuffle profile: one vocab-sized aggregation (shingle frequencies),
+    * one join of exploded shingles against it (broadcast when the vocab
+    * fits, AQE decides), one doc-sized aggregation to rebuild ordered
+    * sets, one bucket shuffle on prefix shingles (~(1−tau) of corpus
+    * shingle volume — the rarity order pushes frequent shingles OUT of
+    * prefixes), then the [[ngramJaccardPairs]] candidate-verify shape.
+    * `maxBucketSize` is a degenerate-corpus safety valve: a bucket that
+    * overflows it is DROPPED (bounded memory wins over completeness, as
+    * in every LSH tier) — at that point the exactness contract weakens,
+    * so the cap defaults far above any posting this operator should see
+    * (probed: max shingle posting is 25 docs at sf0.1; boilerplate-heavy
+    * corpora at 100 TB would pair this with PPJoin's positional filter
+    * instead of a bigger cap).
+    *
+    * Returns (id_a, id_b, n_common, n_union) with id_a < id_b — integer
+    * evidence, not a rounded score; J = n_common/n_union if a caller
+    * wants it. Cache contract as in [[graft.curate.Bm25.scores]]: the
+    * shingle/candidate persists must outlive the lazy result, so
+    * long-lived sessions clear the cache after materializing. */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 3, tauNum: Int = 9, tauDen: Int = 10,
+                        maxBucketSize: Int = 100000): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be a rational in (0, 1]: got $tauNum/$tauDen")
+    val base = ensureParallelism(
+      df.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .filter(col("__text").isNotNull && length(trim(col("__text"))) > 0))
+      .select(col("id"), array_distinct(T.wordShingles(col("__text"), shingleLen)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = base.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("cnt"))
+    // ceil(tauNum·n/tauDen) in exact integer arithmetic (a double 0.9·n
+    // would put prefix lengths one off at representation boundaries)
+    val prefLen = (col("n") - expr(s"(n * $tauNum + ${tauDen - 1}) div $tauDen") + lit(1)).cast("int")
+    val prefixes = base
+      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .join(freq, "s")
+      .groupBy("id", "n")
+      .agg(sort_array(collect_list(struct(col("cnt"), col("s")))).as("ordered"))
+      .select(col("id"), explode(slice(col("ordered"), lit(1), prefLen)).as("p"))
+      .select(col("p.s").as("ps"), col("id"))
+    val candidates = bucketPairs(prefixes, Seq("ps"), maxBucketSize)
+      .select(
+        least(col("__x.id"), col("__y.id")).as("id_a"),
+        greatest(col("__x.id"), col("__y.id")).as("id_b"))
+      .distinct() // collapse multi-shingle collisions
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    // shingle sets only for candidate ids (broadcast semi-join prune);
+    // `base` is already cached, so this rescans nothing
+    val sets = base.join(broadcast(candIds), Seq("id"), "left_semi")
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union", size(col("sh_a")) + size(col("sh_b")) - col("n_common"))
+      .filter(col("n_common") * lit(tauDen.toLong) >= col("n_union") * lit(tauNum.toLong))
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"))
+  }
+
   /** The [[duplicateClusters]] regime decision, exposed so the boundary is
     * spec-pinned at the DOCUMENTED threshold (≤ 2^20 directed edges with an
     * orderable id type ⇒ driver union-find; anything else ⇒ distributed

@@ -1514,6 +1514,19 @@ object Queries {
         col("meta.width").as("resized_w"), col("meta.height").as("resized_h"))
   }
 
+  /** EXACT set-similarity self-join over 3-gram shingle sets at Jaccard
+    * ≥ 9/10 — [[Dedup.exactJaccardPairs]]'s lossless prefix filter
+    * (AllPairs/PPJoin family), the deterministic counterpart of q21's
+    * LSH recall phase. Recall is 1.0 by theorem (not by empirical probe),
+    * so the DuckDB oracle is the O(N²) brute force itself; the threshold
+    * compares INTEGERS (10·|∩| ≥ 9·|∪|) and the output is integer
+    * evidence (n_common, n_union) — no float boundary exists to probe.
+    * Probed corpus shape: 25 pairs / max posting 7 docs at sf0.01,
+    * 249 pairs (q21's ground-truth set) / max posting 25 at sf0.1. */
+  def q102ExactJaccardJoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      shingleLen = 3, tauNum = 9, tauDen = 10)
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1617,7 +1630,8 @@ object Queries {
     "q98_triangles" -> (q98TriangleCounts _),
     "q99_funnel" -> (q99Funnel _),
     "q100_drift_psi" -> (q100DriftPsi _),
-    "q101_multimodal_dims" -> (q101MultimodalDims _))
+    "q101_multimodal_dims" -> (q101MultimodalDims _),
+    "q102_exact_jaccard" -> (q102ExactJaccardJoin _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -2907,5 +2921,22 @@ object Queries {
         | CAST(round(CAST(100*(doc_id % 17 + 2) AS DOUBLE)
         |   * least(64 / CAST(100*(doc_id % 29 + 2) AS DOUBLE),
         |           64 / CAST(100*(doc_id % 17 + 2) AS DOUBLE), 1.0)) AS INT) AS resized_h
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // q102: the oracle IS the O(N²) brute force — the prefix filter is
+    // lossless by theorem (recall 1.0 by construction, see
+    // Dedup.exactJaccardPairs), and the threshold verdict is pure integer
+    // arithmetic, so no epsilon or probe is involved. Shingle CTE shape
+    // shared with q33 (len<3 → whole text as one shingle).
+    "q102_exact_jaccard" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |  ELSE list_transform(range(1, len(t) - 1), x -> concat(t[x], ' ', t[x+1], ' ', t[x+2])) END) AS s
+        | FROM tok),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s)) AS c, len(a.s) AS na, len(b.s) AS nb
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(c AS INT) AS n_common,
+        |  CAST(na + nb - c AS INT) AS n_union
+        |FROM p WHERE 10 * c >= 9 * (na + nb - c)""".stripMargin)
 }

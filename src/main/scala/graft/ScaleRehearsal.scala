@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,bm25,ivf)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,ivf)
   */
 object ScaleRehearsal {
 
@@ -264,6 +264,41 @@ object ScaleRehearsal {
       val agg = pairs.agg(count(lit(1)).as("n"), max("dist").as("m")).collect()(0)
       (agg.getLong(0) == planted && agg.getInt(1) == 1,
         s"pairs=${agg.getLong(0)} planted=$planted maxDist=${agg.getInt(1)}")
+    })
+
+    if (enabled("jaccard")) scenario("exact-jaccard-200k",
+        "lossless prefix-filtered set-similarity join", {
+      // 200k docs x 40 globally-unique tokens (token = doc*40+slot), plus
+      // one planted near-dup per 100th doc: the copy replaces token 21,
+      // which perturbs exactly the 3 shingles covering it, so every
+      // planted pair has n_common = 35, n_union = 41 (J = 35/41 ~ 0.854)
+      // BY CONSTRUCTION and every unplanted pair shares zero shingles.
+      // At tau = 4/5 the expected result set is therefore exactly the
+      // planted pairs with exactly those integer stats — recall 1.0 is
+      // checked against arithmetic, not another run. Prefix volume at
+      // tau=0.8 is 8 of 38 shingles per doc (~1.7M bucket rows over 7.7M
+      // corpus shingles); every bucket has <= 2 members by uniqueness.
+      val base = spark.range(0, 200000).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(39)),
+          j => concat(lit("t"), col("id") * 40 + j))).as("text"))
+      val copies = base.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            (tok, j) => when(j === 20, concat(lit("x"), col("doc_id")))
+              .otherwise(tok))).as("text"))
+      val planted = copies.count()
+      val pairs = graft.dedup.Dedup.exactJaccardPairs(
+        base.unionByName(copies), "doc_id", "text",
+        shingleLen = 3, tauNum = 4, tauDen = 5)
+      val agg = pairs.agg(count(lit(1)).as("n"),
+        min("n_common").as("cmin"), max("n_common").as("cmax"),
+        min("n_union").as("umin"), max("n_union").as("umax")).collect()(0)
+      (agg.getLong(0) == planted &&
+        agg.getInt(1) == 35 && agg.getInt(2) == 35 &&
+        agg.getInt(3) == 41 && agg.getInt(4) == 41,
+        s"pairs=${agg.getLong(0)} planted=$planted (expect all pairs " +
+          s"n_common=35 n_union=41; got [${agg.getInt(1)},${agg.getInt(2)}] / " +
+          s"[${agg.getInt(3)},${agg.getInt(4)}])")
     })
 
     if (enabled("bm25")) scenario("bm25-1m-docs",

@@ -260,6 +260,20 @@ object Dedup {
     * corpora at 100 TB would pair this with PPJoin's positional filter
     * instead of a bigger cap).
     *
+    * REGIME BOUNDARY (measured, PERF.md "q102 worst case"): prefix
+    * filtering prunes in proportion to how discriminative shingles are.
+    * On a corpus whose shingle vocabulary is DENSE relative to its size
+    * (synthetic small-vocab text: 29k distinct shingles over 50k docs,
+    * mean posting ~80) every shingle is common, 8.4M candidates survive
+    * the filter, and verification honestly costs candidate·|set| — the
+    * known worst case of ALL exact set-similarity joins, not a plan
+    * defect. Route such corpora to [[minhashPairs]]/[[ngramJaccardPairs]]
+    * (probabilistic recall, sub-quadratic always) and reserve this
+    * operator for corpora where near-duplication is rare and shingles
+    * discriminate — web/document corpora, where max postings are
+    * O(cluster size), the candidate set is O(true pairs), and the join
+    * is effectively linear (rehearsed at 200k docs: exact-jaccard-200k).
+    *
     * Returns (id_a, id_b, n_common, n_union) with id_a < id_b — integer
     * evidence, not a rounded score; J = n_common/n_union if a caller
     * wants it. Cache contract as in [[graft.curate.Bm25.scores]]: the

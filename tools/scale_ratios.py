@@ -36,7 +36,8 @@ FAMILIES = {
         "q20_exact_dedup", "q21_ngram_jaccard", "q22_minhash_pairs",
         "q23_simhash_pairs", "q33_fingerprint", "q42_decontaminate",
         "q47_dup_clusters", "q51_dup_segments", "q54_cluster_survivors",
-        "q64_bloom_decontaminate", "q87_strip_segments", "q92_dup_spans"],
+        "q64_bloom_decontaminate", "q87_strip_segments", "q92_dup_spans",
+        "q102_exact_jaccard"],
     "embedding ANN / semantic": [
         "q24_cosine_pairs", "q25_lsh_topk", "q32_embedding_dedup",
         "q34_ivf_topk", "q68_semantic_prune"],
@@ -72,11 +73,18 @@ def main() -> None:
     if missing:
         print(f"WARNING: unassigned queries (add to FAMILIES): {missing}")
 
+    # compare only queries present in BOTH runs — a query added between
+    # captures would otherwise inflate one side of its family's ratio
+    common = set(qa) & set(qb)
+    dropped = sorted((set(qa) | set(qb)) - common)
+    if dropped:
+        print(f"NOTE: only in one run, excluded: {dropped}")
     rows = []
     for fam, qs in FAMILIES.items():
-        ta = sum(qa[q] for q in qs if q in qa)
-        tb = sum(qb[q] for q in qs if q in qb)
-        rows.append((fam, len([q for q in qs if q in qa]), ta, tb,
+        both = [q for q in qs if q in common]
+        ta = sum(qa[q] for q in both)
+        tb = sum(qb[q] for q in both)
+        rows.append((fam, len(both), ta, tb,
                      tb / ta if ta > 0 else float("nan")))
     rows.sort(key=lambda r: -r[3])
 
@@ -90,8 +98,8 @@ def main() -> None:
     print(f"| **total** | {sum(r[1] for r in rows)} | {ta_tot:.2f} | "
           f"{tb_tot:.2f} | {tb_tot / ta_tot:.2f}x | data scale {scale:.0f}x |")
 
-    worst = sorted(((qb[q] / qa[q], q, qa[q], qb[q]) for q in qb
-                    if q in qa and qa[q] > 0.3), reverse=True)[:8]
+    worst = sorted(((qb[q] / qa[q], q, qa[q], qb[q]) for q in common
+                    if qa[q] > 0.3), reverse=True)[:8]
     print("\nLargest per-query ratios (A >= 0.3 s):")
     for r, q, ta, tb in worst:
         print(f"  {q}: {ta:.2f} -> {tb:.2f} s ({r:.2f}x)")

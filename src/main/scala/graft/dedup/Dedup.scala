@@ -301,11 +301,22 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("cnt"), col("s")))).as("ordered"))
       .select(col("id"), explode(slice(col("ordered"), lit(1), prefLen)).as("p"))
       .select(col("p.s").as("ps"), col("id"))
-    val candidates = bucketPairs(prefixes, Seq("ps"), maxBucketSize)
+    verifyJaccardCandidates(
+      bucketPairs(prefixes, Seq("ps"), maxBucketSize), base, tauNum, tauDen)
+  }
+
+  /** Shared precision phase of the Jaccard joins: candidate (id, id)
+    * pairs → exact integer (n_common, n_union) verdicts against the
+    * cached `(id, sh)` shingle frame. Candidates dedupe across buckets,
+    * sets prune to candidate ids (broadcast semi-join), the threshold
+    * compares integers. */
+  private def verifyJaccardCandidates(rawPairs: DataFrame, base: DataFrame,
+                                      tauNum: Int, tauDen: Int): DataFrame = {
+    val candidates = rawPairs
       .select(
         least(col("__x.id"), col("__y.id")).as("id_a"),
         greatest(col("__x.id"), col("__y.id")).as("id_b"))
-      .distinct() // collapse multi-shingle collisions
+      .distinct() // collapse multi-bucket collisions
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
@@ -319,6 +330,66 @@ object Dedup {
       .withColumn("n_union", size(col("sh_a")) + size(col("sh_b")) - col("n_common"))
       .filter(col("n_common") * lit(tauDen.toLong) >= col("n_union") * lit(tauNum.toLong))
       .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"))
+  }
+
+  /** Density-routed Jaccard self-join — the [[exactJaccardPairs]] regime
+    * boundary operationalized, the way [[duplicateClusters]] routes its CC
+    * regimes. One cheap statistic decides: mean shingle-posting size
+    * (corpus shingle volume / distinct shingles, a 1-row aggregate over
+    * the frequency frame the exact path needs anyway). Discriminative
+    * corpora (mean posting ≤ `meanPostingLimit`) take the lossless prefix
+    * filter — recall 1.0 by theorem; dense corpora (synthetic small-vocab
+    * text, boilerplate floods) would explode its candidate set
+    * (PERF.md "q102 worst case": 8.4M candidates at mean posting ~80), so
+    * they route to MinHash-LSH candidate generation instead — sub-quadratic
+    * always, recall probabilistic (1−(1−t^(k/bands))^bands at similarity
+    * t: ≥ 0.9998 at t = 0.9 with the k = 64 / 16-band default). BOTH paths
+    * feed the same exact integer verify, so precision is always 1.0 and
+    * the output schema is identical: (id_a, id_b, n_common, n_union).
+    * Returns the chosen regime alongside the pairs.
+    *
+    * The default limit 8 sits an order of magnitude under the measured
+    * pathological regime (~80) and above real-corpus postings (max 25,
+    * MEAN ~1 at sf0.1 — near-dup clusters are rare by definition). */
+  def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                       shingleLen: Int = 3, tauNum: Int = 9, tauDen: Int = 10,
+                       meanPostingLimit: Double = 8.0,
+                       maxBucketSize: Int = 100000): (DataFrame, String) = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be a rational in (0, 1]: got $tauNum/$tauDen")
+    val base = ensureParallelism(
+      df.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .filter(col("__text").isNotNull && length(trim(col("__text"))) > 0))
+      .select(col("id"), array_distinct(T.wordShingles(col("__text"), shingleLen)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = base.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = freq.agg(count(lit(1)).as("vocab"), sum("cnt").as("volume")).collect()(0)
+    val vocab = stats.getLong(0)
+    val meanPosting = if (vocab == 0) 0.0 else stats.getLong(1).toDouble / vocab
+    if (meanPosting <= meanPostingLimit) {
+      val prefLen = (col("n") - expr(s"(n * $tauNum + ${tauDen - 1}) div $tauDen") + lit(1)).cast("int")
+      val prefixes = base
+        .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+        .join(freq, "s")
+        .groupBy("id", "n")
+        .agg(sort_array(collect_list(struct(col("cnt"), col("s")))).as("ordered"))
+        .select(col("id"), explode(slice(col("ordered"), lit(1), prefLen)).as("p"))
+        .select(col("p.s").as("ps"), col("id"))
+      (verifyJaccardCandidates(
+        bucketPairs(prefixes, Seq("ps"), maxBucketSize), base, tauNum, tauDen),
+        f"exact-prefix (mean posting $meanPosting%.1f <= $meanPostingLimit%.1f)")
+    } else {
+      val k = 64; val bands = 16
+      val sigs = base.select(col("id"),
+        S.minhashSignature(col("sh"), k, portable = false).as("sig"))
+      val banded = sigs.select(col("id"),
+        posexplode(S.minhashBands(col("sig"), k, bands)).as(Seq("band", "bhash")))
+      (verifyJaccardCandidates(
+        bucketPairs(banded, Seq("band", "bhash"), maxBucketSize), base, tauNum, tauDen),
+        f"lsh (mean posting $meanPosting%.1f > $meanPostingLimit%.1f)")
+    }
   }
 
   /** The [[duplicateClusters]] regime decision, exposed so the boundary is

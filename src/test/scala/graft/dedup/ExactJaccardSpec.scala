@@ -54,6 +54,38 @@ class ExactJaccardSpec extends SparkSpec {
     assert(run(docs, 4, 5).map(t => (t._1, t._2)).contains((1L, 3L)))
   }
 
+  test("auto-routing: discriminative corpus takes the exact path and equals brute force") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val (pairs, regime) = Dedup.jaccardPairsAuto(docs, "doc_id", "text", 3, 9, 10)
+    assert(regime.startsWith("exact-prefix"), regime)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got == brute(docs, 9, 10))
+  }
+
+  test("auto-routing: dense small-vocab corpus routes to LSH with precision 1.0") {
+    // 120 docs drawn from a 6-word vocabulary: every shingle's posting is
+    // huge (mean posting >> 8), the regime the prefix filter must avoid.
+    // Doc i and doc i+60 are exact dups, so LSH banding finds them with
+    // certainty (identical signatures share every band).
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val docs = (0 until 120).map { i =>
+      val r = new scala.util.Random(i % 60) // i and i+60 generate the same text
+      (i.toLong, Seq.fill(30)(words(r.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val (pairs, regime) = Dedup.jaccardPairsAuto(docs, "doc_id", "text", 3, 1, 1)
+    assert(regime.startsWith("lsh"), regime)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val truth = brute(docs, 1, 1)
+    assert(got.subsetOf(truth), "precision must be 1.0 (exact verify)")
+    // identical docs are guaranteed found; at tau=1 qualifying pairs are
+    // exactly the equal shingle SETS, which hash to identical signatures
+    assert(got == truth,
+      s"missed=${(truth -- got).size} of ${truth.size} identical-set pairs")
+  }
+
   test("equals brute force on real sf0.001 documents at two thresholds") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")

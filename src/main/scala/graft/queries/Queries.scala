@@ -1527,6 +1527,53 @@ object Queries {
     Dedup.exactJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
       shingleLen = 3, tauNum = 9, tauDen = 10)
 
+  /** Minimal valid PCM WAV bytes (RIFF + fmt + data) — the audio twin of
+    * the BMP builder behind q50/q101: real container bytes that
+    * [[graft.multimodal.MediaCodec.wavInfo]] must genuinely parse. */
+  private def wavBytes(channels: Int, rate: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val dataBytes = nSamples * channels * (bits / 8)
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataBytes); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1) // PCM
+    bb.putShort(channels.toShort); bb.putInt(rate)
+    bb.putInt(rate * channels * (bits / 8))
+    bb.putShort((channels * (bits / 8)).toShort); bb.putShort(bits.toShort)
+    bb.put("data".getBytes); bb.putInt(dataBytes)
+    var i = 0
+    while (i < dataBytes) { bb.put(((i * 31 + 7) & 0xFF).toByte); i += 1 }
+    bb.array()
+  }
+
+  /** Audio metadata decode over constructed PCM WAV payloads — q101's
+    * construction-arithmetic oracle pattern applied to the audio path
+    * ([[graft.multimodal.Multimodal.decodeAudio]] / real RIFF chunk-walk
+    * parsing, not a stub). Every parameter derives from doc_id, and
+    * nSamples = (id%50+10)·96 is divisible by every rate/1000 in
+    * {8,16,24,32}, so audio_ms = nSamples·1000/rate is an EXACT integer
+    * in both engines — no floor-semantics divergence to probe. */
+  def q103AudioMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val src = tbl(s, dir, "documents").select(col("doc_id"))
+    val media = Multimodal.mapInBatches(src, StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))) { batch =>
+      batch.iterator.map { r =>
+        val id = r.getLong(0)
+        Row(id, wavBytes(
+          channels = (id % 2 + 1).toInt,
+          rate = (8000 * (id % 4 + 1)).toInt,
+          bits = (8 * (id % 2 + 1)).toInt,
+          nSamples = ((id % 50 + 10) * 96).toInt))
+      }
+    }
+    Multimodal.decodeAudio(media)
+      .select(col("media_id"), col("audio_channels"), col("sample_rate"),
+        col("bits_per_sample"), col("audio_ms"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1631,7 +1678,8 @@ object Queries {
     "q99_funnel" -> (q99Funnel _),
     "q100_drift_psi" -> (q100DriftPsi _),
     "q101_multimodal_dims" -> (q101MultimodalDims _),
-    "q102_exact_jaccard" -> (q102ExactJaccardJoin _))
+    "q102_exact_jaccard" -> (q102ExactJaccardJoin _),
+    "q103_audio_meta" -> (q103AudioMeta _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -2938,5 +2986,15 @@ object Queries {
         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, CAST(c AS INT) AS n_common,
         |  CAST(na + nb - c AS INT) AS n_union
-        |FROM p WHERE 10 * c >= 9 * (na + nb - c)""".stripMargin)
+        |FROM p WHERE 10 * c >= 9 * (na + nb - c)""".stripMargin,
+    // q103: construction arithmetic for the WAV decode (real RIFF parse on
+    // the Spark side round-trips the generator's parameters; nSamples is
+    // divisible by every rate/1000, so the duration is integer-exact)
+    "q103_audio_meta" ->
+      """SELECT doc_id AS media_id,
+        | CAST(doc_id % 2 + 1 AS INT) AS audio_channels,
+        | CAST(8000 * (doc_id % 4 + 1) AS INT) AS sample_rate,
+        | CAST(8 * (doc_id % 2 + 1) AS INT) AS bits_per_sample,
+        | CAST((doc_id % 50 + 10) * 96 * 1000 / (8000 * (doc_id % 4 + 1)) AS BIGINT) AS audio_ms
+        |FROM documents""".stripMargin)
 }

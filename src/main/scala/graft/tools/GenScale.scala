@@ -22,12 +22,21 @@ import org.apache.spark.sql.functions._
   *
   * Bench-only data: oracle thresholds are probed against the DRIVER's
   * testdata, not this (scaling exponents in PERF.md are the deliverable).
-  * Usage: runMain graft.tools.GenScale <srcDir> <dstDir> <k>
-  */
+  * Usage: runMain graft.tools.GenScale <srcDir> <dstDir> <k> [grow-vocab]
+  *
+  * `grow-vocab`: suffix every document token with its replica tag (~r,
+  * replica 0 untouched). The driver's synthetic vocabulary is SMALL, so a
+  * plain k× replication makes shingle postings k× denser — a regime real
+  * corpora don't enter (vocabulary grows with corpus size; Heaps' law).
+  * With grow-vocab the vocabulary scales ~k× alongside the corpus,
+  * within-replica near-dup structure is preserved exactly, and
+  * posting-density-sensitive operators (exact Jaccard, BM25) see the
+  * realistic regime instead of the adversarial one. */
 object GenScale {
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, dstDir, kStr) = args
+    val (srcDir, dstDir, kStr) = (args(0), args(1), args(2))
+    val growVocab = args.length > 3 && args(3) == "grow-vocab"
     val k = kStr.toInt
     require(k >= 1, "k must be >= 1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -108,11 +117,18 @@ object GenScale {
         arr.mkString(" ")
       }
     }
-    write(replicate(src("documents"), Seq("doc_id"))
+    val shuffled = replicate(src("documents"), Seq("doc_id"))
       .withColumn("text",
         when(col("__r") === 0, col("text"))
           .otherwise(shuffleWords(col("text"), col("doc_id") + col("__r") * lit(1000000007L))))
-      .drop("__r"), "documents")
+    val docsOut =
+      if (!growVocab) shuffled
+      else shuffled.withColumn("text",
+        when(col("__r") === 0 || col("text").isNull, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              t => concat(t, lit("~"), col("__r"))), " ")))
+    write(docsOut.drop("__r"), "documents")
 
     // embeddings: per-replica orthogonal transform (dim permutation +
     // sign flips), identity for replica 0

@@ -1574,6 +1574,25 @@ object Queries {
         col("bits_per_sample"), col("audio_ms"))
   }
 
+  /** Gap-based sessionization via Spark's NATIVE `session_window`
+    * (dynamic-gap merging inside the aggregation operator — the
+    * streaming-capable formulation, no lag window needed) — the built-in
+    * twin of q38's lag-based construction. Semantics: events merge while
+    * consecutive gaps are < 1 h; the oracle replays that with a lag
+    * cumulative-flag split at `diff ≥ 3600 s` (probed: no adjacent gap
+    * sits within 0.28 s of the boundary at either scale, and the gap
+    * comparison is integer micros anyway). Emits epoch micros per the
+    * temporal convention; session_end = last event + gap by
+    * session_window's definition. */
+  def q104SessionWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1679,7 +1698,8 @@ object Queries {
     "q100_drift_psi" -> (q100DriftPsi _),
     "q101_multimodal_dims" -> (q101MultimodalDims _),
     "q102_exact_jaccard" -> (q102ExactJaccardJoin _),
-    "q103_audio_meta" -> (q103AudioMeta _))
+    "q103_audio_meta" -> (q103AudioMeta _),
+    "q104_session_window" -> (q104SessionWindow _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -2996,5 +3016,20 @@ object Queries {
         | CAST(8000 * (doc_id % 4 + 1) AS INT) AS sample_rate,
         | CAST(8 * (doc_id % 2 + 1) AS INT) AS bits_per_sample,
         | CAST((doc_id % 50 + 10) * 96 * 1000 / (8000 * (doc_id % 4 + 1)) AS BIGINT) AS audio_ms
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // q104: lag-replay of session_window's merge rule (merge while gap
+    // < 1 h ⇔ split at >= 3600s; integer-micros comparison, boundary
+    // probed ≥ 0.28 s clear); session_end = last event + gap
+    "q104_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+        |f AS (SELECT user_id, us, value,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 3600000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (SELECT user_id, us, value,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, min(us) AS session_start_us,
+        |  max(us) + 3600000000 AS session_end_us,
+        |  count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM g GROUP BY user_id, sid""".stripMargin)
 }

@@ -234,9 +234,19 @@ object Queries {
     * average spend per customer joined back on month(o_orderdate). */
   def q16MonthJoin(s: SparkSession, dir: String): DataFrame = {
     val orders = tbl(s, dir, "orders")
+    // avg via DECIMAL(18,2)-exact sum (the q79 trick): o_totalprice is a
+    // 2-decimal value (probed), so the sum is exact and order-independent,
+    // both engines divide the SAME double by the same count, and the
+    // round(…,4) sees identical bits. A float avg() here hash-matched at
+    // sf0.01 but diverged at sf0.1, where one (month, cust) group's mean
+    // lands within partial-agg summation noise of the .00005 boundary
+    // (229140.25625 → .2562 vs .2563) — found by the round-6 full-oracle
+    // sweep at sf0.1.
     val m = orders
       .groupBy(month(col("o_orderdate")).as("mth"), col("o_custkey").as("m_custkey"))
-      .agg(round(avg(col("o_totalprice")), 4).as("avg_month_spend"))
+      .agg(round(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") / count(lit(1)),
+        4).as("avg_month_spend"))
     orders.join(m,
         month(orders("o_orderdate")) === m("mth") && orders("o_custkey") === m("m_custkey"))
       .select(col("o_orderkey"), col("mth"), col("avg_month_spend"))
@@ -380,7 +390,9 @@ object Queries {
       ),
       cte_customer_avgerage_daily_spending as (
           select month(transaction_date) as month, cust_id,
-              avg(amount) as cust_avgerage_daily_spending
+              -- DECIMAL-exact mean (q16/q79 trick): float avg() landed on
+              -- a .00005 rounding boundary at sf0.1 (232121.44875)
+              cast(sum(cast(amount as decimal(18,2))) as double) / count(*) as cust_avgerage_daily_spending
           from q27_pma
           group by month(transaction_date), cust_id
       )
@@ -1852,10 +1864,12 @@ object Queries {
     "q15_collect_set" ->
       """SELECT c_nationkey, array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments, count(*) AS n_cust
         |FROM customer GROUP BY c_nationkey""".stripMargin,
+    // DECIMAL-exact avg (see q16MonthJoin scaladoc): float avg() diverged
+    // from Spark at sf0.1 on a .00005-boundary group
     "q16_month_join" ->
       """WITH m AS (
         | SELECT CAST(month(o_orderdate) AS INT) AS mth, o_custkey,
-        |  round(avg(o_totalprice),4) AS avg_month_spend
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_month_spend
         | FROM orders GROUP BY 1, 2)
         |SELECT o.o_orderkey, m.mth, m.avg_month_spend
         |FROM orders o JOIN m ON CAST(month(o.o_orderdate) AS INT) = m.mth AND o.o_custkey = m.o_custkey""".stripMargin,
@@ -1990,7 +2004,7 @@ object Queries {
         |  FROM cte_account_payment_summary),
         |cte_customer_avgerage_daily_spending AS (
         |  SELECT month(transaction_date) AS month, a.cust_id,
-        |         avg(amount) AS cust_avgerage_daily_spending
+        |         CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cust_avgerage_daily_spending
         |  FROM pm JOIN acct a ON pm.acc_id = a.acc_id
         |  GROUP BY month(transaction_date), a.cust_id)
         |SELECT strftime(a1.transaction_date, '%Y%m%d') AS date_key, a1.cust_id, a1.acc_id, a1.account_type_name,

@@ -234,19 +234,25 @@ object Queries {
     * average spend per customer joined back on month(o_orderdate). */
   def q16MonthJoin(s: SparkSession, dir: String): DataFrame = {
     val orders = tbl(s, dir, "orders")
-    // avg via DECIMAL(18,2)-exact sum (the q79 trick): o_totalprice is a
-    // 2-decimal value (probed), so the sum is exact and order-independent,
-    // both engines divide the SAME double by the same count, and the
-    // round(…,4) sees identical bits. A float avg() here hash-matched at
-    // sf0.01 but diverged at sf0.1, where one (month, cust) group's mean
-    // lands within partial-agg summation noise of the .00005 boundary
-    // (229140.25625 → .2562 vs .2563) — found by the round-6 full-oracle
-    // sweep at sf0.1.
+    // 4dp-rounded mean computed ENTIRELY in integer arithmetic:
+    // o_totalprice is a 2-decimal value (probed), so
+    // sum(decimal(18,2))·10⁴ is an exact bigint and
+    // (S·2 + n) div (2n) is the half-up-rounded mean in 1e-4 units —
+    // identical in any engine, then cast to double (exact, < 2^53).
+    // Two lessons, both found by the round-6 full-oracle sweep at sf0.1
+    // (each hash-matched at sf0.01): (1) float avg() puts groups within
+    // summation noise of the .00005 boundary (229140.25625); (2) even a
+    // DECIMAL-exact mean rounds differently across engines when the
+    // exact value sits ON the boundary — Spark's round(double) rounds
+    // the shortest decimal repr (BigDecimal half-up → .8763) while
+    // DuckDB rounds the binary value (std::round → .8762). Rounding in
+    // integers sidesteps both.
     val m = orders
       .groupBy(month(col("o_orderdate")).as("mth"), col("o_custkey").as("m_custkey"))
-      .agg(round(
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") / count(lit(1)),
-        4).as("avg_month_spend"))
+      .agg((expr(
+        "cast((cast(sum(cast(o_totalprice as decimal(18,2))) * 10000 as bigint) * 2" +
+          " + count(1)) div (2 * count(1)) as double)") / lit(10000.0))
+        .as("avg_month_spend"))
     orders.join(m,
         month(orders("o_orderdate")) === m("mth") && orders("o_custkey") === m("m_custkey"))
       .select(col("o_orderkey"), col("mth"), col("avg_month_spend"))
@@ -390,9 +396,13 @@ object Queries {
       ),
       cte_customer_avgerage_daily_spending as (
           select month(transaction_date) as month, cust_id,
-              -- DECIMAL-exact mean (q16/q79 trick): float avg() landed on
-              -- a .00005 rounding boundary at sf0.1 (232121.44875)
-              cast(sum(cast(amount as decimal(18,2))) as double) / count(*) as cust_avgerage_daily_spending
+              -- integer-arithmetic 4dp mean (see q16MonthJoin): the mean
+              -- of this group structure lands ON .00005 boundaries at
+              -- sf0.1 (232121.44875), where Spark round(double)
+              -- (shortest-repr half-up) and DuckDB (binary std::round)
+              -- disagree — round in integers, cast the exact multiple
+              cast((cast(sum(cast(amount as decimal(18,2))) * 10000 as bigint) * 2
+                    + count(*)) div (2 * count(*)) as double) / 10000.0 as cust_avgerage_daily_spending
           from q27_pma
           group by month(transaction_date), cust_id
       )
@@ -1864,12 +1874,13 @@ object Queries {
     "q15_collect_set" ->
       """SELECT c_nationkey, array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments, count(*) AS n_cust
         |FROM customer GROUP BY c_nationkey""".stripMargin,
-    // DECIMAL-exact avg (see q16MonthJoin scaladoc): float avg() diverged
-    // from Spark at sf0.1 on a .00005-boundary group
+    // integer-arithmetic 4dp mean (see q16MonthJoin scaladoc): float avg
+    // AND round(double) both diverge across engines at .00005 boundaries
     "q16_month_join" ->
       """WITH m AS (
         | SELECT CAST(month(o_orderdate) AS INT) AS mth, o_custkey,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_month_spend
+        |  CAST((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 10000 AS BIGINT) * 2
+        |        + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_month_spend
         | FROM orders GROUP BY 1, 2)
         |SELECT o.o_orderkey, m.mth, m.avg_month_spend
         |FROM orders o JOIN m ON CAST(month(o.o_orderdate) AS INT) = m.mth AND o.o_custkey = m.o_custkey""".stripMargin,
@@ -2004,7 +2015,8 @@ object Queries {
         |  FROM cte_account_payment_summary),
         |cte_customer_avgerage_daily_spending AS (
         |  SELECT month(transaction_date) AS month, a.cust_id,
-        |         CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cust_avgerage_daily_spending
+        |         CAST((CAST(sum(CAST(amount AS DECIMAL(18,2))) * 10000 AS BIGINT) * 2
+        |               + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0 AS cust_avgerage_daily_spending
         |  FROM pm JOIN acct a ON pm.acc_id = a.acc_id
         |  GROUP BY month(transaction_date), a.cust_id)
         |SELECT strftime(a1.transaction_date, '%Y%m%d') AS date_key, a1.cust_id, a1.acc_id, a1.account_type_name,

@@ -53,6 +53,30 @@ object Curate {
     weights.map { case (name, _) => name -> df.filter(label === name) }.toMap
   }
 
+  /** Leakage-safe split: assign the split from the near-duplicate CLUSTER
+    * canonical id, not the row id, so every member of a duplicate cluster
+    * lands in the same split (a near-copy of a training doc can never leak
+    * into test). `clusters` is the (id, cluster_id) frame of
+    * [[graft.dedup.Dedup.duplicateClusters]] — rows absent from it are
+    * singletons and act as their own canonical.
+    *
+    * Scale shape: the cluster frame is the set of DUPLICATED docs only — a
+    * small fraction of the corpus — so it broadcasts; the corpus streams
+    * map-side with no shuffle, same as [[deterministicSplit]]. Above
+    * broadcast size, drop the hint: the join keys on the id, which the
+    * dedup pipeline upstream already shuffled on. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       weights: Seq[(String, Int)], salt: String = "",
+                       broadcastClusters: Boolean = true): DataFrame = {
+    val c0 = clusters.select(col("id").as(idCol), col("cluster_id").as("__canon"))
+    val c = if (broadcastClusters) broadcast(c0) else c0
+    df.join(c, Seq(idCol), "left")
+      .withColumn("__canon", coalesce(col("__canon"), col(idCol)))
+      .withColumn("__split", splitLabel(col("__canon"), weights, salt))
+      .withColumnRenamed("__canon", "canonical_id")
+      .withColumnRenamed("__split", "split")
+  }
+
   /** Deterministic stratified sample: keep a row iff its hash bucket (of
     * 10000) falls under its stratum's fraction. Unknown strata default to
     * `defaultFraction`. Map-side filter only — no shuffle, no seed. */

@@ -721,10 +721,11 @@ object Dedup {
     * (re-ingested docs) are excluded. */
   def minhashPairsAgainstIndex(index: DataFrame, newSigs: DataFrame,
                                k: Int = 64, bands: Int = 16,
-                               threshold: Double = 0.7): DataFrame = {
+                               threshold: Double = 0.7,
+                               portable: Boolean = false): DataFrame = {
     def banded(sigs: DataFrame, idName: String, sigName: String) =
       sigs.select(col("id").as(idName), col("sig").as(sigName),
-        posexplode(S.minhashBands(col("sig"), k, bands)).as(Seq("band", "bhash")))
+        posexplode(S.minhashBands(col("sig"), k, bands, portable)).as(Seq("band", "bhash")))
     banded(index, "corpus_id", "corpus_sig")
       .join(broadcast(banded(newSigs, "new_id", "new_sig")), Seq("band", "bhash"))
       .filter(col("corpus_id") =!= col("new_id"))

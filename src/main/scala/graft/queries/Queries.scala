@@ -1615,6 +1615,82 @@ object Queries {
         unix_micros(col("w.end")).as("session_end_us"),
         col("n_events"), col("total_value"))
 
+  /** Leakage-safe train/val/test split: the split is a pure function of the
+    * near-duplicate CLUSTER canonical, so a near-copy of a training document
+    * can never land in test (the dataset-card requirement q43's plain hash
+    * split cannot give). Cluster detection is q47's LSH+CC path; singletons
+    * are their own canonical. Oracle: q47's recursive-CTE CC left-joined to
+    * all documents + q43's md5-bucket replay on the canonical id. */
+  def q105ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleLen = 3, threshold = 0.9)
+    val clusters = Dedup.duplicateClusters(pairs.select(col("id_a"), col("id_b")))
+    graft.curate.Curate.leakageSafeSplit(docs, "doc_id", clusters,
+        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .select(col("doc_id"), col("canonical_id"), col("split"))
+  }
+
+  /** Exact phrase search over a positional inverted index (term, doc, pos):
+    * a 2-term and a 3-term phrase, occurrence counts per matching document.
+    * The index scan prunes to the queried terms before any join; the
+    * position-alignment joins are term-posting-sized. Oracle replays the
+    * tokenizer and counts aligned runs with a list_filter over positions. */
+  def q106PhraseSearch(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Phrase.phraseSearch(tbl(s, dir, "documents"), "doc_id", "text",
+      Seq(Seq("fast", "table"), Seq("data", "stream", "batch")))
+
+  /** Hopping-window rollup via the NATIVE `window()` function (2 h windows
+    * sliding every 1 h — each event lands in exactly two overlapping
+    * windows), the overlap-capable sibling of q18's tumbling date_trunc and
+    * q104's session_window. Emits epoch micros per the temporal convention;
+    * the oracle unnests the two epoch-aligned window starts per event in
+    * integer micros. `value` sits on a 2-decimal grid, so round(sum, 4) is
+    * grid-exact (the q104 precedent — sums stay on the grid, only avgs
+    * drift). */
+  def q107HoppingWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        unix_micros(col("w.end")).as("window_end_us"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming dedup via the NATIVE `dropDuplicatesWithinWatermark` state
+    * operator, keys (user_id, event_type) — the ingest-time "exactly one
+    * row per key" guard. The single-file source arrives as one micro-batch
+    * and state evicts only at batch boundaries against the PREVIOUS batch's
+    * watermark (0 at start), so every duplicate meets live state and the
+    * appended output is exactly the distinct key set — deterministic and
+    * batch-replayable, which is what makes the SQL oracle exact. Key-only
+    * projection: "first row wins" payloads would depend on stream order. */
+  def q108StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val (ss, src) = eventsStreamSession(s, dir)
+    val stream = normalizeTs(src())
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    drainToTable(ss, stream, "q108_stream_dedup_sink", "append")
+  }
+
+  /** Incremental ingest dedup against a STORED signature index: the corpus
+    * slice (doc_id % 10 ≠ 0) is hashed once into a MinHash index; the new
+    * batch (doc_id % 10 = 0) is checked against it WITHOUT touching corpus
+    * text again — the daily-ingest shape of [[Dedup.admitAgainstIndex]],
+    * here surfaced as the (new, corpus) match report. Portable md5 hashing
+    * end to end, so the oracle replays signatures AND the cross-slice band
+    * join exactly (q22's replay, split across the two slices). */
+  def q109IndexDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val index = Dedup.minhashSignatures(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", portable = true)
+    val newSigs = Dedup.minhashSignatures(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", portable = true)
+    Dedup.minhashPairsAgainstIndex(index, newSigs, threshold = 0.5, portable = true)
+      .select(col("new_id"), col("corpus_id"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1721,7 +1797,12 @@ object Queries {
     "q101_multimodal_dims" -> (q101MultimodalDims _),
     "q102_exact_jaccard" -> (q102ExactJaccardJoin _),
     "q103_audio_meta" -> (q103AudioMeta _),
-    "q104_session_window" -> (q104SessionWindow _))
+    "q104_session_window" -> (q104SessionWindow _),
+    "q105_cluster_split" -> (q105ClusterSplit _),
+    "q106_phrase_search" -> (q106PhraseSearch _),
+    "q107_hopping_window" -> (q107HoppingWindow _),
+    "q108_stream_dedup" -> (q108StreamDedup _),
+    "q109_index_dedup" -> (q109IndexDedup _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -3057,5 +3138,82 @@ object Queries {
         |SELECT user_id, min(us) AS session_start_us,
         |  max(us) + 3600000000 AS session_end_us,
         |  count(*) AS n_events, round(sum(value), 4) AS total_value
-        |FROM g GROUP BY user_id, sid""".stripMargin)
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    // q105: q47's recursive-CTE CC gives the cluster canonicals; all docs
+    // left-join it (singletons canonicalize to themselves) and the split
+    // replays q43's md5-bucket arithmetic on the CANONICAL id.
+    "q105_cluster_split" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split_regex(trim(text),'\s+')) - 2),
+        |   i -> array_to_string((string_split_regex(trim(text),'\s+'))[i:i+2], ' '))) AS s
+        | FROM documents),
+        |jp AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a, sh b
+        | WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+        |p AS (SELECT id_a AS src, id_b AS dst FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+        |nodes AS (SELECT DISTINCT src AS id FROM p),
+        |reach AS (
+        | SELECT id, id AS root FROM nodes
+        | UNION
+        | SELECT p.dst AS id, r.root FROM reach r JOIN p ON p.src = r.id
+        |),
+        |cl AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, canonical_id,
+        | CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS canonical_id,
+        |  CAST(concat('0x', substr(md5(CAST(coalesce(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS b
+        | FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)""".stripMargin,
+    // q106: tokenizer replay + aligned-run count per start position;
+    // out-of-range t[i+k] is NULL → condition false, so no bound fiddling
+    // beyond the range() upper limit.
+    "q106_phrase_search" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |h1 AS (SELECT 'fast table' AS phrase, doc_id,
+        |  len(list_filter(range(1, len(t)), i -> t[i] = 'fast' AND t[i+1] = 'table')) AS n_occurrences
+        | FROM tok),
+        |h2 AS (SELECT 'data stream batch' AS phrase, doc_id,
+        |  len(list_filter(range(1, len(t) - 1), i -> t[i] = 'data' AND t[i+1] = 'stream' AND t[i+2] = 'batch')) AS n_occurrences
+        | FROM tok)
+        |SELECT phrase, doc_id, n_occurrences
+        |FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+        |WHERE n_occurrences > 0""".stripMargin,
+    // q107: each event joins exactly the two epoch-aligned hopping windows
+    // covering it — integer-micros floor alignment, BIGINT interval
+    // literals per the temporal convention.
+    "q107_hopping_window" ->
+      """WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value FROM events),
+        |w AS (SELECT us - (us % (3600000000::BIGINT)) AS w0, event_type, value FROM ev),
+        |x AS (SELECT unnest([w0, w0 - 3600000000::BIGINT]) AS window_start_us, event_type, value FROM w)
+        |SELECT window_start_us, window_start_us + 7200000000::BIGINT AS window_end_us,
+        | event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM x GROUP BY window_start_us, event_type""".stripMargin,
+    // q108: single-batch streaming dedup emits exactly the distinct key set
+    // (see q108StreamDedup's scaladoc for why that's deterministic here).
+    "q108_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    // q109: q22's portable signature + band replay, restricted to pairs
+    // crossing the (index = doc_id % 10 <> 0, new = doc_id % 10 = 0) slice
+    // boundary. est grid is 1/64 — exact binary doubles, so round(,4)
+    // agrees across engines even at the .5 boundary (both half-up on the
+    // exact value).
+    "q109_index_dedup" ->
+      s"""WITH ${portableSigCtes("doc_id")},
+        |bandix AS (SELECT unnest(range(0, 16)) AS band),
+        |banded AS (SELECT doc_id, band,
+        |  CAST(concat('0x', substr(md5(concat(band::VARCHAR, '_',
+        |    array_to_string(sig[band*4+1 : band*4+4], ','))), 1, 15)) AS BIGINT) AS bhash
+        | FROM sig CROSS JOIN bandix),
+        |cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+        | FROM banded x JOIN banded y ON x.band = y.band AND x.bhash = y.bhash
+        | WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+        |est AS (SELECT c.new_id, c.corpus_id,
+        |  len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) / 64.0 AS ej
+        | FROM cand c JOIN sig sa ON sa.doc_id = c.new_id
+        |             JOIN sig sb ON sb.doc_id = c.corpus_id)
+        |SELECT new_id, corpus_id, round(ej, 4) AS est_jaccard FROM est WHERE ej >= 0.5""".stripMargin)
 }

@@ -31,6 +31,30 @@ class CurateSpec extends SparkSpec {
       splits("val").select("id").as[Long].collect().toSet)
   }
 
+  test("leakageSafeSplit: cluster members share the canonical's split, singletons self-canonicalize") {
+    val docs = spark.range(0, 50).select(col("id").as("doc_id"))
+    // two clusters: {3, 17, 41} canonical 3, {8, 9} canonical 8
+    val clusters = Seq((3L, 3L), (17L, 3L), (41L, 3L), (8L, 8L), (9L, 8L))
+      .toDF("id", "cluster_id")
+    val w = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+    val got = Curate.leakageSafeSplit(docs, "doc_id", clusters, w)
+      .select("doc_id", "canonical_id", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == 50)
+    // cluster members inherit the canonical and ITS split
+    assert(Set(3L, 17L, 41L).map(got(_)._1) == Set(3L))
+    assert(Set(3L, 17L, 41L).map(got(_)._2).size == 1)
+    assert(got(9L) == got(8L).copy(_1 = 8L))
+    // singletons behave exactly like the plain hash split on their own id
+    val plain = docs.select(col("doc_id"), Curate.splitLabel(col("doc_id"), w).as("s"))
+      .as[(Long, String)].collect().toMap
+    (0L until 50L).filterNot(Set(3L, 17L, 41L, 8L, 9L)).foreach { id =>
+      assert(got(id) == ((id, plain(id))))
+    }
+    // and every cluster member's split is the canonical's PLAIN split
+    assert(got(17L)._2 == plain(3L) && got(9L)._2 == plain(8L))
+  }
+
   test("salt derives an independent split from the same ids") {
     val df = spark.range(0, 1000).toDF("id")
     val a = Curate.hashBucket(col("id"), 10)

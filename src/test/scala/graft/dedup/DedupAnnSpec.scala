@@ -178,6 +178,13 @@ class DedupAnnSpec extends SparkSpec {
     val admitted = Dedup.admitAgainstIndex(newBatch, index, "doc_id", "text", threshold = 0.5)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(admitted == Seq(11L))
+    // the PORTABLE (md5) hash family finds the same planted dups — the
+    // oracle-replayable path q109 runs
+    val pIndex = Dedup.minhashSignatures(docs, "doc_id", "text", portable = true)
+    val pNew = Dedup.minhashSignatures(newBatch, "doc_id", "text", portable = true)
+    val pPairs = Dedup.minhashPairsAgainstIndex(pIndex, pNew, threshold = 0.5, portable = true)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pPairs.contains((10L, 1L)) && !pPairs.exists(_._1 == 11L))
   }
 
   test("decontamination flags n-gram overlap with the benchmark set") {

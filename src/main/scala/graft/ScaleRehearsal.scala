@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,ivf)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,phrase,ivf)
   */
 object ScaleRehearsal {
 
@@ -322,6 +322,28 @@ object ScaleRehearsal {
       (agg.getLong(0) == 100 && agg.getLong(1) == 100,
         s"rows=${agg.getLong(0)} (expect 100: one candidate per query) " +
           s"self_top1=${agg.getLong(1)}/100")
+    })
+
+    if (enabled("phrase")) scenario("phrase-1m-docs",
+        "positional index, term-pruned joins", {
+      // 1M docs × 20 globally-unique filler words; docs with id % 1000 == 0
+      // get the phrase "pa pb pc" appended once, and those with
+      // id % 2000 == 0 twice (back-to-back: distinct words, so the two
+      // plants are the only starts). Expected result is exact by
+      // construction: 1000 matching docs, total occurrences 1500.
+      val filler = concat_ws(" ", transform(sequence(lit(0), lit(19)),
+        j => concat(lit("w"), col("id") * 20 + j)))
+      val docs = spark.range(0, 1000000).select(col("id").as("doc_id"),
+        concat(filler,
+          when(col("id") % 2000 === 0, lit(" pa pb pc pa pb pc"))
+            .when(col("id") % 1000 === 0, lit(" pa pb pc"))
+            .otherwise(lit(""))).as("text"))
+      val hits = graft.curate.Phrase.phraseSearch(docs, "doc_id", "text",
+        Seq(Seq("pa", "pb", "pc")))
+      val agg = hits.agg(count(lit(1)).as("docs"),
+        sum(col("n_occurrences")).as("occ")).collect()(0)
+      (agg.getLong(0) == 1000 && agg.getLong(1) == 1500,
+        s"docs=${agg.getLong(0)} (expect 1000) occ=${agg.getLong(1)} (expect 1500)")
     })
 
     if (enabled("ivf")) scenario("ivf-stored-index-10x",

@@ -509,6 +509,49 @@ object Dedup {
     }
   }
 
+  /** Incremental connected-components maintenance: fold a DELTA of
+    * near-dup pairs into STORED `(id, cluster_id)` labels without
+    * revisiting the historical pair graph — the companion of
+    * [[minhashPairsAgainstIndex]] for keeping corpus-wide cluster labels
+    * current under daily ingest.
+    *
+    * Contraction argument: project each delta endpoint onto its stored
+    * root (identity for ids the store doesn't know), drop self-loops, and
+    * run CC on that contracted graph — which is DELTA-sized, not
+    * corpus-sized. Because every stored root is the minimum of its old
+    * members, the contracted component minimum equals the true merged
+    * component minimum, so composing `new_root(old_root(id))` reproduces
+    * [[duplicateClusters]] of the full pair graph EXACTLY (spec-pinned;
+    * q111 hash-matches q47's full-recompute oracle).
+    *
+    * Scale shape: the stored labels join once per endpoint projection
+    * (delta-sized probe side, AQE broadcasts it); the CC iteration touches
+    * only the contracted delta graph; the final relabel is one join on the
+    * stored frame's root column. Nothing rescans historical pairs or
+    * text. */
+  def mergeClusters(stored: DataFrame, deltaPairs: DataFrame,
+                    maxIters: Int = 20,
+                    driverMaxEdges: Long = 1L << 20): DataFrame = {
+    val lab = stored.select(col("id"), col("cluster_id"))
+    val contracted = deltaPairs.select(col("id_a"), col("id_b"))
+      .join(lab.select(col("id").as("id_a"), col("cluster_id").as("__ra")), Seq("id_a"), "left")
+      .join(lab.select(col("id").as("id_b"), col("cluster_id").as("__rb")), Seq("id_b"), "left")
+      .select(coalesce(col("__ra"), col("id_a")).as("id_a"),
+        coalesce(col("__rb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    // rootMap nodes = stored roots touched by the delta + ids the store
+    // doesn't know (new docs, or old never-clustered docs)
+    val rootMap = duplicateClusters(contracted, maxIters, driverMaxEdges)
+    val relabeled = lab
+      .join(rootMap.select(col("id").as("cluster_id"), col("cluster_id").as("__nr")),
+        Seq("cluster_id"), "left")
+      .select(col("id"), coalesce(col("__nr"), col("cluster_id")).as("cluster_id"))
+    // store-known contracted nodes are exactly stored roots (a root is its
+    // own member row), so the anti-join leaves precisely the new ids
+    val newNodes = rootMap.join(lab.select(col("id")), Seq("id"), "left_anti")
+    relabeled.unionByName(newNodes)
+  }
+
   /** Quality-aware retention over near-dup clusters: every document not in
     * any cluster survives; each cluster keeps exactly its best-quality
     * member (ties broken by smallest id — fully deterministic). This is the

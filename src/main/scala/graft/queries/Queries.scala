@@ -1691,6 +1691,44 @@ object Queries {
         round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** Rolling 1-hour aggregate per event via a BOUNDED RANGE frame over
+    * epoch micros (q03's cumulative frame is unbounded-preceding; this is
+    * the value-bounded sibling — "activity in the trailing hour at every
+    * event"). Orders by the integer micros column, so the frame bound is
+    * exact integer arithmetic in both engines; sum stays on `value`'s
+    * 2-decimal grid (the q104/q107 rule: sums are grid-exact, avgs are
+    * not). Tied timestamps are RANGE peers — identical frames either
+    * engine, no order ambiguity. */
+  def q110RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("event_us"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", round(sum(col("value")).over(w), 4))
+      .select(col("user_id"), col("event_us"), col("n_1h"), col("sum_1h"))
+  }
+
+  /** Incremental cluster maintenance: stored CC labels (old slice,
+    * doc_id % 10 ≠ 0) absorb the delta pairs touching the new slice via
+    * [[Dedup.mergeClusters]] — contraction onto stored roots, CC on the
+    * delta-sized contracted graph, composed relabel. MUST equal the full
+    * recompute exactly, so the oracle IS q47's recursive-CTE fixpoint over
+    * the whole corpus. The pair frame feeds both the old-old and the
+    * crossing split, so it persists (two consumers of the LSH pipeline). */
+  def q111MergeClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleLen = 3, threshold = 0.9)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldOld = pairs.filter(col("id_a") % 10 =!= 0 && col("id_b") % 10 =!= 0)
+    val delta = pairs.filter(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)
+    val stored = Dedup.duplicateClusters(oldOld)
+    Dedup.mergeClusters(stored, delta)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1802,7 +1840,9 @@ object Queries {
     "q106_phrase_search" -> (q106PhraseSearch _),
     "q107_hopping_window" -> (q107HoppingWindow _),
     "q108_stream_dedup" -> (q108StreamDedup _),
-    "q109_index_dedup" -> (q109IndexDedup _))
+    "q109_index_dedup" -> (q109IndexDedup _),
+    "q110_rolling_window" -> (q110RollingWindow _),
+    "q111_merge_clusters" -> (q111MergeClusters _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -1890,6 +1930,30 @@ object Queries {
        |mins AS (SELECT $key, i, min((a * hm + b) % 2147483647) AS m
        | FROM hs CROSS JOIN params GROUP BY 1, 2),
        |sig AS (SELECT $key, list(m ORDER BY i) AS sig FROM mins GROUP BY 1)""".stripMargin
+
+  /** Full-corpus CC over the ≥0.9-Jaccard pair graph — q47's oracle, and
+    * verbatim q111's: incremental maintenance must equal the full
+    * recompute. */
+  private val fullCcOracle: String =
+    """WITH RECURSIVE sh AS (
+      | SELECT doc_id, list_distinct(list_transform(
+      |   generate_series(1, len(string_split_regex(trim(text),'\s+')) - 2),
+      |   i -> array_to_string((string_split_regex(trim(text),'\s+'))[i:i+2], ' '))) AS s
+      | FROM documents),
+      |jp AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      | FROM sh a, sh b
+      | WHERE a.doc_id < b.doc_id
+      |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+      |p AS (SELECT id_a AS src, id_b AS dst FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+      |nodes AS (SELECT DISTINCT src AS id FROM p),
+      |reach AS (
+      | SELECT id, id AS root FROM nodes
+      | UNION
+      | SELECT p.dst AS id, r.root FROM reach r JOIN p ON p.src = r.id
+      |)
+      |SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2310,26 +2374,7 @@ object Queries {
         |SELECT a.source AS group_a, b.source AS group_b,
         | round(len(list_filter(range(1, 65), j -> a.sig[j] = b.sig[j])) / 64.0, 4) AS est_jaccard
         |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin,
-    "q47_dup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        | SELECT doc_id, list_distinct(list_transform(
-        |   generate_series(1, len(string_split_regex(trim(text),'\s+')) - 2),
-        |   i -> array_to_string((string_split_regex(trim(text),'\s+'))[i:i+2], ' '))) AS s
-        | FROM documents),
-        |jp AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM sh a, sh b
-        | WHERE a.doc_id < b.doc_id
-        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
-        |p AS (SELECT id_a AS src, id_b AS dst FROM jp UNION ALL SELECT id_b, id_a FROM jp),
-        |nodes AS (SELECT DISTINCT src AS id FROM p),
-        |reach AS (
-        | SELECT id, id AS root FROM nodes
-        | UNION
-        | SELECT p.dst AS id, r.root FROM reach r JOIN p ON p.src = r.id
-        |)
-        |SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "q47_dup_clusters" -> fullCcOracle,
     "q48_char_entropy" ->
       """WITH cs AS (
         | SELECT doc_id,
@@ -3215,5 +3260,17 @@ object Queries {
         |  len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) / 64.0 AS ej
         | FROM cand c JOIN sig sa ON sa.doc_id = c.new_id
         |             JOIN sig sb ON sb.doc_id = c.corpus_id)
-        |SELECT new_id, corpus_id, round(ej, 4) AS est_jaccard FROM est WHERE ej >= 0.5""".stripMargin)
+        |SELECT new_id, corpus_id, round(ej, 4) AS est_jaccard FROM est WHERE ej >= 0.5""".stripMargin,
+    // q110: RANGE frame over integer micros — the bound literal is BIGINT
+    // by magnitude, no INT32 interval multiply (the temporal-convention
+    // trap). Sum of 2dp values per frame stays on the 0.01 grid.
+    "q110_rolling_window" ->
+      """SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS event_us,
+        | count(*) OVER w AS n_1h, round(sum(value) OVER w, 4) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        | RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // q111: incremental mergeClusters ≡ full recompute, so the oracle IS
+    // q47's (the strongest possible check for a maintenance operator).
+    "q111_merge_clusters" -> fullCcOracle)
 }

@@ -117,6 +117,41 @@ class DedupAnnSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("mergeClusters: delta fold equals full recompute for every merge shape") {
+    // stored graph: {1,2,3} root 1, {10,11} root 10, {20,21} root 20
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val stored = Dedup.duplicateClusters(oldPairs)
+    // delta exercises every shape at once: a NEW doc (5) bridging two old
+    // clusters (members 3 and 11, neither a root), new-new pair (30,31),
+    // new evidence between two old clusters (21-2), an intra-cluster pair
+    // (1-3, pure self-loop after contraction), and an old never-clustered
+    // doc (40) joining a new one (41)
+    val delta = Seq(
+      (3L, 5L), (5L, 11L), (30L, 31L), (21L, 2L), (1L, 3L), (40L, 41L)
+    ).toDF("id_a", "id_b")
+    val merged = Dedup.mergeClusters(stored, delta)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.duplicateClusters(oldPairs.unionByName(delta))
+      .as[(Long, Long)].collect().toMap
+    assert(merged == full)
+    // and the merged component really is the union: everything reachable
+    // labels to the global min, 1
+    assert(Set(1L, 2L, 3L, 5L, 10L, 11L, 20L, 21L).forall(full(_) == 1L))
+    assert(full(30L) == 30L && full(31L) == 30L && full(41L) == 40L)
+  }
+
+  test("mergeClusters: empty and no-op deltas leave the store unchanged") {
+    val oldPairs = Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val stored = Dedup.duplicateClusters(oldPairs)
+    val expect = stored.as[(Long, Long)].collect().toSet
+    val selfLoopOnly = Seq((1L, 2L)).toDF("id_a", "id_b") // contracts to (1,1)
+    assert(Dedup.mergeClusters(stored, selfLoopOnly)
+      .as[(Long, Long)].collect().toSet == expect)
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.mergeClusters(stored, empty)
+      .as[(Long, Long)].collect().toSet == expect)
+  }
+
   test("duplicateClusters driver fast path matches the distributed path on a random graph") {
     val rnd = new scala.util.Random(7)
     val pairs = (1 to 300).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))

@@ -48,6 +48,28 @@ object Incremental {
         ms.tail.map(m => sum(col(m)).as(m)): _*)
   }
 
+  /** Retraction counterpart of [[mergeAggregates]]: remove late-arriving
+    * DELETES from a stored rollup without recomputing it. `retract` is an
+    * aggregate (same keys, same measure definitions) of exactly the base
+    * rows being retracted; its measures are negated and merged, and
+    * groups whose `countCol` reaches zero — every contributing row
+    * retracted — are dropped, so the result equals the full recompute on
+    * the reduced base row-for-row (exact when sums are carried as
+    * DECIMAL, the q79 discipline).
+    *
+    * Scale shape: identical to [[mergeAggregates]] — one rollup-sized
+    * merge aggregation; the base table is never rescanned. */
+  def retractAggregates(stored: DataFrame, retract: DataFrame, keys: Seq[String],
+                        countCol: String, measures: Seq[String] = Seq.empty): DataFrame = {
+    val ms = if (measures.nonEmpty) measures
+             else stored.columns.toSeq.filterNot(keys.contains)
+    require(ms.contains(countCol),
+      s"countCol $countCol must be one of the merged measures (${ms.mkString(",")})")
+    val negated = retract.select(
+      (keys.map(col) ++ ms.map(m => (-col(m)).as(m))): _*)
+    mergeAggregates(stored, negated, keys, ms).filter(col(countCol) > 0)
+  }
+
   /** Incremental equi-join maintenance for append-only inputs: with a
     * stored result `stored` = A₀ ⋈ B₀ and deltas ΔA, ΔB,
     *

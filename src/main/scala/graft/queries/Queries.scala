@@ -1729,6 +1729,36 @@ object Queries {
       .select(col("id").as("doc_id"), col("cluster_id"))
   }
 
+  /** Retraction maintenance: a stored rollup absorbs late DELETES (the
+    * rows with l_orderkey % 7 = 0 turn out to be voided) via
+    * [[graft.operators.Incremental.retractAggregates]] — negated-measure
+    * merge, zero-count groups dropped. Must equal the recompute on the
+    * reduced base exactly, which is the oracle; sums ride DECIMAL(18,2)
+    * (the q79 discipline) so subtraction is exact. */
+  def q112RetractRollup(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    def rollup(df: DataFrame) = df
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("total"))
+    val stored = rollup(li)
+    val retract = rollup(li.filter(col("l_orderkey") % 7 === 0))
+    graft.operators.Incremental.retractAggregates(stored, retract,
+        Seq("l_returnflag", "l_linestatus"), countCol = "n")
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        col("total").cast("double").as("total"))
+  }
+
+  /** Deterministic stratified sampling: per-source keep fractions as a
+    * pure function of md5(doc_id) — reproducible across engines, runs,
+    * and partitionings (no seed stream), map-side only. The oracle
+    * replays the md5-bucket threshold per stratum. */
+  def q113StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curate.stratifiedSample(tbl(s, dir, "documents"),
+        "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.2), defaultFraction = 0.05)
+      .select(col("doc_id"), col("source"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1842,7 +1872,9 @@ object Queries {
     "q108_stream_dedup" -> (q108StreamDedup _),
     "q109_index_dedup" -> (q109IndexDedup _),
     "q110_rolling_window" -> (q110RollingWindow _),
-    "q111_merge_clusters" -> (q111MergeClusters _))
+    "q111_merge_clusters" -> (q111MergeClusters _),
+    "q112_retract_rollup" -> (q112RetractRollup _),
+    "q113_stratified_sample" -> (q113StratifiedSample _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -3272,5 +3304,18 @@ object Queries {
         | RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     // q111: incremental mergeClusters ≡ full recompute, so the oracle IS
     // q47's (the strongest possible check for a maintenance operator).
-    "q111_merge_clusters" -> fullCcOracle)
+    "q111_merge_clusters" -> fullCcOracle,
+    // q112: the oracle is the recompute on the reduced base — retraction
+    // must be indistinguishable from never having ingested the rows.
+    "q112_retract_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem WHERE l_orderkey % 7 <> 0
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // q113: md5-bucket threshold per stratum, q43's arithmetic with
+    // per-source cutoffs (0.5/0.2/0.05 of 10000 buckets).
+    "q113_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+        |  < CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2000 ELSE 500 END""".stripMargin)
 }

@@ -25,6 +25,26 @@ class IncrementalSpec extends SparkSpec {
     assert(merged.collect().toSet == full.collect().toSet)
   }
 
+  test("retractAggregates equals recompute on the reduced base; emptied groups vanish") {
+    val stored = rollup(raw)
+    // retract ALL of group (b, 2) and part of (a, 1)
+    val gone = raw.filter((col("k1") === "b" && col("k2") === 2) ||
+      (col("k1") === "a" && col("k2") === 1 && col("n") === 5L))
+    val out = Incremental.retractAggregates(stored, rollup(gone),
+        Seq("k1", "k2"), countCol = "n")
+      .select("k1", "k2", "n", "amt")
+    val expect = rollup(raw.exceptAll(gone)).select("k1", "k2", "n", "amt")
+    assert(out.collect().toSet == expect.collect().toSet)
+    assert(!out.collect().exists(r => r.getString(0) == "b" && r.getInt(1) == 2))
+  }
+
+  test("retractAggregates rejects a countCol outside the merged measures") {
+    val stored = rollup(raw)
+    intercept[IllegalArgumentException] {
+      Incremental.retractAggregates(stored, stored, Seq("k1", "k2"), countCol = "k1")
+    }
+  }
+
   test("keys absent from one side survive with the other side's values") {
     val stored = rollup(raw.filter(col("k1") === "a"))
     val delta = rollup(raw.filter(col("k1") === "b"))

@@ -1759,6 +1759,21 @@ object Queries {
         Map("src0" -> 0.5, "src1" -> 0.2), defaultFraction = 0.05)
       .select(col("doc_id"), col("source"))
 
+  /** Real SCD2 merge ([[graft.jobs.BankJobs.scd2Merge]], the §7.4.7
+    * extension of the reference's degenerate overwrite dim): incoming
+    * changed rows close their active versions (is_active=false,
+    * record_updated_time=asOf) and insert as new active versions;
+    * untouched keys pass through. Change batch = every 5th customer with
+    * an updated name; timestamps come from pinned literals (q17's
+    * convention), so raw timestamp/date output hashes identically. */
+  def q114Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val base = tbl(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val existing = graft.jobs.BankJobs.scd2Dim(base, asOf = Some("2024-08-01 00:00:00"))
+    val incoming = base.filter(col("c_custkey") % 5 === 0)
+      .withColumn("c_name", concat(col("c_name"), lit(" (updated)")))
+    graft.jobs.BankJobs.scd2Merge(existing, incoming, Seq("c_custkey"), "2024-08-07")
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1874,7 +1889,8 @@ object Queries {
     "q110_rolling_window" -> (q110RollingWindow _),
     "q111_merge_clusters" -> (q111MergeClusters _),
     "q112_retract_rollup" -> (q112RetractRollup _),
-    "q113_stratified_sample" -> (q113StratifiedSample _))
+    "q113_stratified_sample" -> (q113StratifiedSample _),
+    "q114_scd2_merge" -> (q114Scd2Merge _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -3317,5 +3333,20 @@ object Queries {
     "q113_stratified_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
-        |  < CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2000 ELSE 500 END""".stripMargin)
+        |  < CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2000 ELSE 500 END""".stripMargin,
+    // q114: three-branch replay of the merge construction — unchanged
+    // actives, closed versions, fresh versions.
+    "q114_scd2_merge" ->
+      """WITH ex AS (SELECT c_custkey, c_name, true AS is_active,
+        |  TIMESTAMP '2024-08-01 00:00:00' AS record_created_time,
+        |  DATE '3000-01-01' AS record_updated_time FROM customer)
+        |SELECT * FROM ex WHERE c_custkey % 5 <> 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, false AS is_active, record_created_time,
+        | DATE '2024-08-07' AS record_updated_time FROM ex WHERE c_custkey % 5 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name || ' (updated)' AS c_name, true AS is_active,
+        | TIMESTAMP '2024-08-07 00:00:00' AS record_created_time,
+        | DATE '3000-01-01' AS record_updated_time
+        |FROM customer WHERE c_custkey % 5 = 0""".stripMargin)
 }

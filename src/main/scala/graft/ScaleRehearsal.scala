@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,phrase,ivf)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,phrase,merge,ivf)
   */
 object ScaleRehearsal {
 
@@ -322,6 +322,27 @@ object ScaleRehearsal {
       (agg.getLong(0) == 100 && agg.getLong(1) == 100,
         s"rows=${agg.getLong(0)} (expect 100: one candidate per query) " +
           s"self_top1=${agg.getLong(1)}/100")
+    })
+
+    if (enabled("merge")) scenario("merge-clusters-2m",
+        "delta-sized contracted CC over stored labels", {
+      // stored labels for a 2M-doc corpus in 40k clusters of 50
+      // (root = floor(id/50)*50 — a valid duplicateClusters output by
+      // construction); the delta bridges cluster 2c with 2c+1 via one
+      // member pair each. mergeClusters must relabel the WHOLE corpus to
+      // root = floor(id/100)*100 while running CC only on the 20k-edge
+      // contracted graph — maintenance cost independent of corpus size.
+      val stored = spark.range(0, 2000000).select(col("id"),
+        (col("id") - col("id") % 50).as("cluster_id"))
+      val delta = spark.range(0, 20000).select(
+        (col("id") * 100 + 7).as("id_a"),          // member of cluster 2c
+        (col("id") * 100 + 63).as("id_b"))         // member of cluster 2c+1
+      val merged = Dedup.mergeClusters(stored, delta)
+      val agg = merged.agg(count(lit(1)).as("rows"),
+        sum(when(col("cluster_id") === col("id") - col("id") % 100, 1L)
+          .otherwise(0L)).as("correct")).collect()(0)
+      (agg.getLong(0) == 2000000L && agg.getLong(1) == 2000000L,
+        s"rows=${agg.getLong(0)} correct=${agg.getLong(1)} (expect 2000000 both)")
     })
 
     if (enabled("phrase")) scenario("phrase-1m-docs",

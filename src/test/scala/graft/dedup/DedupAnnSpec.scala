@@ -140,6 +140,28 @@ class DedupAnnSpec extends SparkSpec {
     assert(full(30L) == 30L && full(31L) == 30L && full(41L) == 40L)
   }
 
+  test("mergeClusters ≡ full recompute on seeded random graphs and random store/delta splits") {
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { round =>
+      val edges = (1 to 120)
+        .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+        .distinct
+      val (oldE, deltaE) = edges.partition(_ => rnd.nextBoolean())
+      // degenerate splits (all-old / all-delta) are valid and land here
+      // occasionally by construction — both must still hold
+      val stored =
+        if (oldE.isEmpty) Seq.empty[(Long, Long)].toDF("id", "cluster_id")
+        else Dedup.duplicateClusters(oldE.toDF("id_a", "id_b"))
+      val merged = Dedup.mergeClusters(stored, deltaE.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      val full = Dedup.duplicateClusters(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(merged == full, s"random graph round $round diverged")
+    }
+  }
+
   test("mergeClusters: empty and no-op deltas leave the store unchanged") {
     val oldPairs = Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
     val stored = Dedup.duplicateClusters(oldPairs)

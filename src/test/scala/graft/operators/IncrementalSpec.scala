@@ -38,6 +38,26 @@ class IncrementalSpec extends SparkSpec {
     assert(!out.collect().exists(r => r.getString(0) == "b" && r.getInt(1) == 2))
   }
 
+  test("retractAggregates ≡ reduced-base recompute on seeded random retraction subsets") {
+    val rnd = new scala.util.Random(5)
+    (1 to 5).foreach { round =>
+      val base = (1 to 200).map { i =>
+        (s"k${rnd.nextInt(6)}", rnd.nextInt(3), 1L,
+          BigDecimal(rnd.nextInt(100000)) / 100)
+      }.toDF("k1", "k2", "n", "amt")
+      // deterministic retraction subset: fixed local partitioning makes
+      // the row index stable across the two filter evaluations
+      val flagged = base.withColumn("__r", monotonically_increasing_id() % 3 === 0)
+      val gone = flagged.filter(col("__r")).drop("__r")
+      val kept = flagged.filter(!col("__r")).drop("__r")
+      val out = Incremental.retractAggregates(rollup(base), rollup(gone),
+          Seq("k1", "k2"), countCol = "n")
+        .select("k1", "k2", "n", "amt").collect().toSet
+      val expect = rollup(kept).select("k1", "k2", "n", "amt").collect().toSet
+      assert(out == expect, s"random retraction round $round diverged")
+    }
+  }
+
   test("retractAggregates rejects a countCol outside the merged measures") {
     val stored = rollup(raw)
     intercept[IllegalArgumentException] {

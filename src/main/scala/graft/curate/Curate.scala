@@ -91,6 +91,56 @@ object Curate {
     df.filter(hashBucket(col(idCol), 10000, salt) < round(frac * 10000).cast("long"))
   }
 
+  /** Dense 0-based rank of distinct `idCol` values, in id order:
+    * `(__idx, id)`. The scalable global-rank shape — range partition +
+    * in-partition sort + two-pass zipWithIndex (per-partition counts, then
+    * offsets) — with NO single-partition global window. The index is a
+    * pure function of the id SET (range boundaries only move rows between
+    * partitions, never change the sorted order), so it is deterministic
+    * across runs, partitionings, and cluster sizes. */
+  def denseIndex(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idField = df.schema(idCol)
+    val sorted = df.select(col(idCol))
+      .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(i, r.get(0)) }
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__idx",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      idField.copy(name = idCol))))
+  }
+
+  /** Deterministic negative sampling for retrieval/contrastive training:
+    * k pseudo-random corpus documents per query, drawn by portable md5
+    * arithmetic — reproducible across engines, runs, and partitionings
+    * (the property seed-based `sample` cannot give). Draw for (query,
+    * slot) = md5-hash of "qid:slot:salt" mod corpus size, mapped to a doc
+    * through the [[denseIndex]]; a draw that lands on the query itself is
+    * dropped (documented contract — callers wanting exactly k should
+    * over-draw by one slot). Returns (qid, slot, neg_id).
+    *
+    * Scale shape: the dense index is built once per corpus (and is
+    * exactly what you'd persist alongside it); the queries×k draw frame
+    * is tiny and broadcasts onto the index join. Corpus ids must be
+    * distinct; corpus text never moves. */
+  def negativeSamples(corpus: DataFrame, idCol: String,
+                      queries: DataFrame, qidCol: String,
+                      k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val idx = denseIndex(corpus, idCol)
+    val n = idx.count() // 1-value action; the index is reused just below
+    require(n > 0, "corpus must be non-empty")
+    val draws = queries.select(col(qidCol).as("qid"))
+      .withColumn("slot", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("__draw", pmod(portableHash60(
+        concat(col("qid").cast("string"), lit(":"),
+          col("slot").cast("string"), lit(":"), lit(salt))), lit(n)))
+    broadcast(draws).join(idx, col("__draw") === col("__idx"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col("slot"), col(idCol).as("neg_id"))
+  }
+
   /** Deterministic per-group cap — the "at most n documents per domain /
     * language / source" knob of dataset balancing. Survivors are the n
     * rows with the smallest portable hash of (id, salt): a uniform,

@@ -1774,6 +1774,18 @@ object Queries {
     graft.jobs.BankJobs.scd2Merge(existing, incoming, Seq("c_custkey"), "2024-08-07")
   }
 
+  /** Deterministic negative sampling for retrieval training: 5 md5-drawn
+    * corpus negatives per query doc (every 50th doc), mapped through the
+    * scalable dense index ([[graft.curate.Curate.denseIndex]] — range
+    * partition + zipWithIndex, no global window). Self-collision draws
+    * drop by contract. Oracle replays the draw arithmetic and the dense
+    * index as row_number in id order. */
+  def q115NegativeSamples(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    graft.curate.Curate.negativeSamples(
+      docs, "doc_id", docs.filter(col("doc_id") % 50 === 0), "doc_id", k = 5)
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1890,7 +1902,8 @@ object Queries {
     "q111_merge_clusters" -> (q111MergeClusters _),
     "q112_retract_rollup" -> (q112RetractRollup _),
     "q113_stratified_sample" -> (q113StratifiedSample _),
-    "q114_scd2_merge" -> (q114Scd2Merge _))
+    "q114_scd2_merge" -> (q114Scd2Merge _),
+    "q115_negative_samples" -> (q115NegativeSamples _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -3348,5 +3361,20 @@ object Queries {
         |SELECT c_custkey, c_name || ' (updated)' AS c_name, true AS is_active,
         | TIMESTAMP '2024-08-07 00:00:00' AS record_created_time,
         | DATE '3000-01-01' AS record_updated_time
-        |FROM customer WHERE c_custkey % 5 = 0""".stripMargin)
+        |FROM customer WHERE c_custkey % 5 = 0""".stripMargin,
+    // q115: dense index = row_number in id order; draw = md5-60 of
+    // "qid:slot:" mod corpus size; self-collisions dropped. INT-cast the
+    // slot (range() yields BIGINT, Spark's sequence slot is INT).
+    "q115_negative_samples" ->
+      """WITH idx AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS i FROM documents),
+        |slots AS (SELECT q.doc_id AS qid, CAST(s.slot AS INT) AS slot
+        | FROM documents q, (SELECT unnest(range(0, 5)) AS slot) s
+        | WHERE q.doc_id % 50 = 0),
+        |draws AS (SELECT qid, slot,
+        |  CAST(concat('0x', substr(md5(qid::VARCHAR || ':' || slot::VARCHAR || ':'), 1, 15)) AS BIGINT)
+        |    % (SELECT count(*) FROM documents) AS d
+        | FROM slots)
+        |SELECT qid, slot, idx.doc_id AS neg_id
+        |FROM draws JOIN idx ON idx.i = draws.d
+        |WHERE idx.doc_id <> draws.qid""".stripMargin)
 }

@@ -55,6 +55,30 @@ class CurateSpec extends SparkSpec {
     assert(got(17L)._2 == plain(3L) && got(9L)._2 == plain(8L))
   }
 
+  test("denseIndex ranks in id order, invariant to input partitioning") {
+    val ids = Seq(5L, 1L, 9L, 3L).toDF("doc_id")
+    val expect = Set((0L, 1L), (1L, 3L), (2L, 5L), (3L, 9L))
+    assert(Curate.denseIndex(ids, "doc_id").as[(Long, Long)].collect().toSet == expect)
+    assert(Curate.denseIndex(ids.repartition(7), "doc_id")
+      .as[(Long, Long)].collect().toSet == expect)
+  }
+
+  test("negativeSamples: deterministic draws inside the corpus, self dropped, salt independent") {
+    val corpus = spark.range(0, 20).select(col("id").as("doc_id"))
+    val queries = corpus.filter(col("doc_id") % 10 === 0)
+    def run(salt: String) = Curate.negativeSamples(corpus, "doc_id",
+        queries, "doc_id", k = 3, salt = salt)
+      .as[(Long, Int, Long)].collect().toSet
+    val a = run("")
+    assert(a == run("")) // reproducible
+    assert(a.forall { case (qid, slot, neg) =>
+      neg >= 0 && neg < 20 && neg != qid && slot >= 0 && slot < 3 })
+    // at most k per query, and ≥ k−1 (one slot at most lost to self-collision)
+    val perQ = a.groupBy(_._1).view.mapValues(_.size)
+    assert(perQ.values.forall(n => n >= 2 && n <= 3) && perQ.size == 2)
+    assert(run("other") != a) // salt derives an independent draw
+  }
+
   test("salt derives an independent split from the same ids") {
     val df = spark.range(0, 1000).toDF("id")
     val a = Curate.hashBucket(col("id"), 10)

@@ -1786,6 +1786,19 @@ object Queries {
       docs, "doc_id", docs.filter(col("doc_id") % 50 === 0), "doc_id", k = 5)
   }
 
+  /** Embedding-quality outlier scoring: every vector's cosine against its
+    * label-group centroid ([[graft.ann.Centroids.groupCosines]]).
+    * Centroid = the EXACT quantized bigint component sum (cosine is
+    * scale-invariant, so no division ever happens) — a pure function of
+    * the group's row set, replayed verbatim by the oracle. Boundary
+    * probe: min |cos·1e4 − ⌊·⌋ − 0.5| = 1.2e-3 (sf0.01) / 3.2e-4 (sf0.1)
+    * grid units — far above cross-engine float noise. */
+  def q116CentroidOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.ann.Centroids.groupCosines(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", "label", dim = 64)
+      .select(col("vec_id"), col("label"),
+        round(col("centroid_cos"), 4).as("centroid_cos"))
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1903,7 +1916,8 @@ object Queries {
     "q112_retract_rollup" -> (q112RetractRollup _),
     "q113_stratified_sample" -> (q113StratifiedSample _),
     "q114_scd2_merge" -> (q114Scd2Merge _),
-    "q115_negative_samples" -> (q115NegativeSamples _))
+    "q115_negative_samples" -> (q115NegativeSamples _),
+    "q116_centroid_outliers" -> (q116CentroidOutliers _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -3376,5 +3390,18 @@ object Queries {
         | FROM slots)
         |SELECT qid, slot, idx.doc_id AS neg_id
         |FROM draws JOIN idx ON idx.i = draws.d
-        |WHERE idx.doc_id <> draws.qid""".stripMargin)
+        |WHERE idx.doc_id <> draws.qid""".stripMargin,
+    // q116: quantize (floor(x·1e6 + 0.5), the QuantizeVecExpr replay),
+    // exact bigint component sums per label, cosine of the raw doubles
+    // against the integer-exact centroid direction.
+    "q116_centroid_outliers" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id, label,
+        |  list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q FROM e),
+        |s AS (SELECT label, i, sum(q[i]) AS sc
+        |  FROM qv CROSS JOIN range(1, 65) t(i) GROUP BY label, i),
+        |cent AS (SELECT label, list(CAST(sc AS DOUBLE) ORDER BY i) AS c FROM s GROUP BY label)
+        |SELECT vec_id, e.label, round(list_cosine_similarity(e.v, cent.c), 4) AS centroid_cos
+        |FROM e JOIN cent USING (label)""".stripMargin)
 }

@@ -91,13 +91,15 @@ object Curate {
     df.filter(hashBucket(col(idCol), 10000, salt) < round(frac * 10000).cast("long"))
   }
 
-  /** Dense 0-based rank of distinct `idCol` values, in id order:
-    * `(__idx, id)`. The scalable global-rank shape — range partition +
-    * in-partition sort + two-pass zipWithIndex (per-partition counts, then
-    * offsets) — with NO single-partition global window. The index is a
-    * pure function of the id SET (range boundaries only move rows between
-    * partitions, never change the sorted order), so it is deterministic
-    * across runs, partitionings, and cluster sizes. */
+  /** Dense 0-based rank of `idCol` values in id order: `(__idx, id)`.
+    * Ids must be DISTINCT — rows are ranked, not deduped, so a duplicated
+    * id would receive multiple indices. The scalable global-rank shape —
+    * range partition + in-partition sort + two-pass zipWithIndex
+    * (per-partition counts, then offsets) — with NO single-partition
+    * global window. The index is a pure function of the id SET (range
+    * boundaries only move rows between partitions, never change the
+    * sorted order), so it is deterministic across runs, partitionings,
+    * and cluster sizes. */
   def denseIndex(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val idField = df.schema(idCol)
@@ -128,9 +130,12 @@ object Curate {
                       queries: DataFrame, qidCol: String,
                       k: Int, salt: String = ""): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val idx = denseIndex(corpus, idCol)
-    val n = idx.count() // 1-value action; the index is reused just below
+    // size from a plain corpus count (scan only) — counting the INDEX
+    // would execute the whole range-shuffle + sort + zipWithIndex
+    // pipeline once for the count and again for the join below
+    val n = corpus.select(col(idCol)).count()
     require(n > 0, "corpus must be non-empty")
+    val idx = denseIndex(corpus, idCol)
     val draws = queries.select(col(qidCol).as("qid"))
       .withColumn("slot", explode(sequence(lit(0), lit(k - 1))))
       .withColumn("__draw", pmod(portableHash60(

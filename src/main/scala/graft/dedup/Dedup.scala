@@ -524,18 +524,28 @@ object Dedup {
     * [[duplicateClusters]] of the full pair graph EXACTLY (spec-pinned;
     * q111 hash-matches q47's full-recompute oracle).
     *
-    * Scale shape: the stored labels join once per endpoint projection
-    * (delta-sized probe side, AQE broadcasts it); the CC iteration touches
-    * only the contracted delta graph; the final relabel is one join on the
-    * stored frame's root column. Nothing rescans historical pairs or
-    * text. */
+    * Scale shape: the stored label frame NEVER shuffles — the delta's
+    * endpoint-id set (delta-sized) broadcasts into a left-semi that prunes
+    * the labels map-side to the touched rows; those delta-sized touched
+    * labels then broadcast into the endpoint projections, the CC iteration
+    * touches only the contracted delta graph, and the final relabel
+    * broadcasts the (contracted-graph-sized) root map onto the stored
+    * frame. Nothing rescans historical pairs or text. */
   def mergeClusters(stored: DataFrame, deltaPairs: DataFrame,
                     maxIters: Int = 20,
                     driverMaxEdges: Long = 1L << 20): DataFrame = {
     val lab = stored.select(col("id"), col("cluster_id"))
-    val contracted = deltaPairs.select(col("id_a"), col("id_b"))
-      .join(lab.select(col("id").as("id_a"), col("cluster_id").as("__ra")), Seq("id_a"), "left")
-      .join(lab.select(col("id").as("id_b"), col("cluster_id").as("__rb")), Seq("id_b"), "left")
+    val delta = deltaPairs.select(col("id_a"), col("id_b"))
+    val endpointIds = delta
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    // touched labels: ≤ 2·|delta| rows, extracted map-side from the store
+    val touched = lab.join(broadcast(endpointIds), Seq("id"), "left_semi")
+      .localCheckpoint(true) // three consumers; truncate the semi lineage
+    val contracted = delta
+      .join(broadcast(touched.select(col("id").as("id_a"), col("cluster_id").as("__ra"))),
+        Seq("id_a"), "left")
+      .join(broadcast(touched.select(col("id").as("id_b"), col("cluster_id").as("__rb"))),
+        Seq("id_b"), "left")
       .select(coalesce(col("__ra"), col("id_a")).as("id_a"),
         coalesce(col("__rb"), col("id_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
@@ -543,12 +553,14 @@ object Dedup {
     // doesn't know (new docs, or old never-clustered docs)
     val rootMap = duplicateClusters(contracted, maxIters, driverMaxEdges)
     val relabeled = lab
-      .join(rootMap.select(col("id").as("cluster_id"), col("cluster_id").as("__nr")),
+      .join(broadcast(rootMap.select(col("id").as("cluster_id"), col("cluster_id").as("__nr"))),
         Seq("cluster_id"), "left")
       .select(col("id"), coalesce(col("__nr"), col("cluster_id")).as("cluster_id"))
-    // store-known contracted nodes are exactly stored roots (a root is its
-    // own member row), so the anti-join leaves precisely the new ids
-    val newNodes = rootMap.join(lab.select(col("id")), Seq("id"), "left_anti")
+    // store-known contracted nodes are exactly the touched rows' roots (an
+    // unknown id can never equal a stored root — roots ARE stored ids), so
+    // the new ids fall out of a small anti-join, not one against the store
+    val knownRoots = touched.select(col("cluster_id").as("id")).distinct()
+    val newNodes = rootMap.join(broadcast(knownRoots), Seq("id"), "left_anti")
     relabeled.unionByName(newNodes)
   }
 

@@ -43,17 +43,22 @@ object BankJobs {
         to_date(lit("3000-01-01 00:00:00"), "yyyy-MM-dd HH:mm:ss"))
 
   /** A *real* SCD2 merge — the extension the reference's degenerate version
-    * suggests (SURVEY.md §7.4.7): incoming rows close matching active rows
+    * suggests (SURVEY.md §7.4.7): incoming rows close matching ACTIVE rows
     * (is_active=false, record_updated_time=asOfDate) and insert as new
-    * active versions. Pure anti-join + union; no table format needed. */
+    * active versions. Inactive history rows always pass through untouched —
+    * only the anti-join over the ACTIVE slice keys on the incoming batch,
+    * so a second merge on an already-versioned dimension preserves the
+    * closed versions (spec-pinned). Pure anti-join + union; no table
+    * format needed. */
   def scd2Merge(existing: DataFrame, incoming: DataFrame, pk: Seq[String], asOf: String): DataFrame = {
     val incomingKeys = incoming.select(pk.map(col): _*)
-    val changed = existing.filter(col("is_active"))
+    val active = existing.filter(col("is_active"))
+    val changed = active
       .join(incomingKeys, pk, "left_semi")
       .withColumn("is_active", lit(false))
       .withColumn("record_updated_time", to_date(lit(asOf)))
-    val unchanged = existing
-      .join(changed.select(pk.map(col): _*), pk, "left_anti")
+    val unchanged = existing.filter(!col("is_active"))
+      .unionByName(active.join(incomingKeys, pk, "left_anti"))
     val fresh = scd2Dim(incoming, asOf = Some(s"$asOf 00:00:00"))
     unchanged.unionByName(changed).unionByName(fresh)
   }

@@ -1679,7 +1679,13 @@ object Queries {
     * text again — the daily-ingest shape of [[Dedup.admitAgainstIndex]],
     * here surfaced as the (new, corpus) match report. Portable md5 hashing
     * end to end, so the oracle replays signatures AND the cross-slice band
-    * join exactly (q22's replay, split across the two slices). */
+    * join exactly (q22's replay, split across the two slices).
+    *
+    * Threshold note: 0.5 = 32/64 sits ON the est grid (q22 ships the same
+    * value) — a deliberate, argued exception to the mid-gap rule: est is
+    * matches/64.0, an EXACT binary double computed identically by both
+    * engines from identical integer match counts, so `>= 0.5` can never
+    * diverge the way a float-accumulated threshold can. */
   def q109IndexDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     val index = Dedup.minhashSignatures(
@@ -1715,13 +1721,14 @@ object Queries {
     * delta-sized contracted graph, composed relabel. MUST equal the full
     * recompute exactly, so the oracle IS q47's recursive-CTE fixpoint over
     * the whole corpus. The pair frame feeds both the old-old and the
-    * crossing split, so it persists (two consumers of the LSH pipeline). */
+    * crossing split — localCheckpoint (pair-count rows) materializes it
+    * once and, unlike a persist, leaves nothing cached afterwards. */
   def q111MergeClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         shingleLen = 3, threshold = 0.9)
       .select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val oldOld = pairs.filter(col("id_a") % 10 =!= 0 && col("id_b") % 10 =!= 0)
     val delta = pairs.filter(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)
     val stored = Dedup.duplicateClusters(oldOld)

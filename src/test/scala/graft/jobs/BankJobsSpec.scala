@@ -199,4 +199,28 @@ class BankJobsSpec extends SparkSpec {
       ("1", "alice2", true, "3000-01-01"),   // new active version
       ("2", "bob", true, "3000-01-01")))     // untouched
   }
+
+  test("scd2Merge on an already-versioned dimension preserves closed history rows") {
+    // second merge on the same key: the v1 row closed by merge #1 must
+    // survive merge #2 (regression: the anti-join used to span ALL
+    // versions of a changed key, silently dropping inactive history)
+    val existing = BankJobs.scd2Dim(
+      Seq(("1", "alice"), ("2", "bob")).toDF("id", "name"),
+      asOf = Some("2024-01-01 00:00:00"))
+    val after1 = BankJobs.scd2Merge(existing,
+      Seq(("1", "alice2")).toDF("id", "name"), Seq("id"), "2024-06-01")
+    val after2 = BankJobs.scd2Merge(after1,
+      Seq(("1", "alice3")).toDF("id", "name"), Seq("id"), "2024-09-01")
+    val rows = after2.select(col("id"), col("name"), col("is_active"),
+        col("record_updated_time").cast("string"))
+      .as[(String, String, Boolean, String)].collect().toSet
+    assert(rows == Set(
+      ("1", "alice", false, "2024-06-01"),   // history from merge #1 SURVIVES
+      ("1", "alice2", false, "2024-09-01"),  // closed by merge #2
+      ("1", "alice3", true, "3000-01-01"),   // current
+      ("2", "bob", true, "3000-01-01")))
+    // and exactly one active row per key
+    assert(after2.filter(col("is_active")).groupBy("id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
 }

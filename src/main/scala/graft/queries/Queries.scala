@@ -1806,6 +1806,44 @@ object Queries {
       .select(col("vec_id"), col("label"),
         round(col("centroid_cos"), 4).as("centroid_cos"))
 
+  /** Streaming incremental-rollup maintenance: the events table replays
+    * as THREE micro-batches (3-way split written to a temp dir,
+    * maxFilesPerTrigger=1) and a foreachBatch sink folds each batch's
+    * partial rollup into running state via
+    * [[graft.operators.Incremental.mergeAggregates]] — the stored-rollup
+    * maintenance loop run UNDER the streaming engine. Counts and
+    * DECIMAL sums merge exactly and split-invariantly, so the fold must
+    * equal the one-shot batch rollup whatever the batch boundaries —
+    * which is precisely the oracle. */
+  def q117StreamRollupFold(s: SparkSession, dir: String): DataFrame = {
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"), (col("user_id") % 10).as("cohort"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("total"))
+    val tmp = java.nio.file.Files.createTempDirectory("q117_events").toFile.getAbsolutePath
+    // only the rollup columns ride the replay split — ts (with its
+    // encoding quirks) never enters this query
+    tbl(s, dir, "events").select(col("event_type"), col("user_id"), col("value"))
+      .repartition(3).write.mode("overwrite").parquet(tmp)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = ss.read.parquet(tmp).schema
+    var state: DataFrame = null
+    val q = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = rollup(batch).localCheckpoint(true)
+        state = (if (state == null) delta
+                 else graft.operators.Incremental.mergeAggregates(
+                   state, delta, Seq("event_type", "cohort"))).localCheckpoint(true)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    state.select(col("event_type"), col("cohort"), col("n"),
+      col("total").cast("double").as("total"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1924,7 +1962,8 @@ object Queries {
     "q113_stratified_sample" -> (q113StratifiedSample _),
     "q114_scd2_merge" -> (q114Scd2Merge _),
     "q115_negative_samples" -> (q115NegativeSamples _),
-    "q116_centroid_outliers" -> (q116CentroidOutliers _))
+    "q116_centroid_outliers" -> (q116CentroidOutliers _),
+    "q117_stream_rollup_fold" -> (q117StreamRollupFold _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -3410,5 +3449,11 @@ object Queries {
         |  FROM qv CROSS JOIN range(1, 65) t(i) GROUP BY label, i),
         |cent AS (SELECT label, list(CAST(sc AS DOUBLE) ORDER BY i) AS c FROM s GROUP BY label)
         |SELECT vec_id, e.label, round(list_cosine_similarity(e.v, cent.c), 4) AS centroid_cos
-        |FROM e JOIN cent USING (label)""".stripMargin)
+        |FROM e JOIN cent USING (label)""".stripMargin,
+    // q117: the fold across micro-batches must equal the one-shot rollup
+    // (counts + DECIMAL sums merge exactly under any batch split).
+    "q117_stream_rollup_fold" ->
+      """SELECT event_type, user_id % 10 AS cohort, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type, user_id % 10""".stripMargin)
 }

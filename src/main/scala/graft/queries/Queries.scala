@@ -1844,6 +1844,24 @@ object Queries {
       col("total").cast("double").as("total"))
   }
 
+  /** Small-file compaction round-trip under the correctness gate: the
+    * documents table lands as 16 small files, [[graft.sources
+    * .PathLifecycle.compactParquet]] rewrites the directory to the target
+    * file size, and the compacted table must aggregate identically to the
+    * original — compaction is physical-layout-only by contract. The
+    * per-source rollup is the oracle; the file count assertion guards the
+    * layout change actually happened. */
+  def q118CompactRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("q118_docs").toFile.getAbsolutePath
+    tbl(s, dir, "documents").repartition(16).write.mode("overwrite").parquet(tmp)
+    val nFiles = graft.sources.PathLifecycle.compactParquet(s, tmp, targetFileMB = 128)
+    require(nFiles < 16, s"compaction left $nFiles files")
+    s.read.parquet(tmp)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1963,7 +1981,8 @@ object Queries {
     "q114_scd2_merge" -> (q114Scd2Merge _),
     "q115_negative_samples" -> (q115NegativeSamples _),
     "q116_centroid_outliers" -> (q116CentroidOutliers _),
-    "q117_stream_rollup_fold" -> (q117StreamRollupFold _))
+    "q117_stream_rollup_fold" -> (q117StreamRollupFold _),
+    "q118_compact_roundtrip" -> (q118CompactRoundtrip _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -3455,5 +3474,11 @@ object Queries {
     "q117_stream_rollup_fold" ->
       """SELECT event_type, user_id % 10 AS cohort, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
-        |FROM events GROUP BY event_type, user_id % 10""".stripMargin)
+        |FROM events GROUP BY event_type, user_id % 10""".stripMargin,
+    // q118: compaction must be invisible to readers — the oracle is the
+    // same rollup over the ORIGINAL table.
+    "q118_compact_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source""".stripMargin)
 }

@@ -1862,6 +1862,43 @@ object Queries {
         sum(length(col("text")).cast("long")).as("total_chars"))
   }
 
+  /** Symmetric int8 embedding quantization ([[graft.ann.Quantize
+    * .int8Summary]]) — the 4× embedding-store compression, audited per
+    * vector. One double op (the 1e-6 grid snap every oracle already
+    * replays), then pure 64-bit integer arithmetic: scale, half-up code
+    * magnitudes, and the L1 quantization error in grid/127 units — so
+    * every output column is a bigint and the hash is engine-portable by
+    * construction (no float rounding anywhere). */
+  def q119Int8Quant(s: SparkSession, dir: String): DataFrame =
+    graft.ann.Quantize.int8Summary(tbl(s, dir, "embeddings"), "vec_id", "embedding")
+
+  /** Snapshot publish / time-travel / rollback under the correctness
+    * gate ([[graft.sources.Snapshots]] — the atomic-pointer-commit table
+    * format core): documents publish as v1, a filtered v2 commits over
+    * it, the table rolls back to v1 (O(1) pointer swap), and the query
+    * reads BOTH versions simultaneously — the rolled-back latest and a
+    * time-travel pin of v2 — tagged and rolled up. The oracle derives
+    * each version's rollup from the construction (full table / the v2
+    * filter), so pointer commit, immutability, rollback, and time travel
+    * are all load-bearing for the hash to match. */
+  def q120SnapshotTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val snap = graft.sources.Snapshots
+    val tmp = java.nio.file.Files.createTempDirectory("q120_snap").toFile.getAbsolutePath + "/tbl"
+    val docs = tbl(s, dir, "documents")
+    val v1 = snap.publish(s, tmp, docs)
+    val v2 = snap.publish(s, tmp, docs.filter(col("doc_id") % 3 =!= 0))
+    require(v1 == 1 && v2 == 2, s"unexpected version allocation: $v1, $v2")
+    snap.rollback(s, tmp, v1)
+    def rollup(df: DataFrame, tag: String) = df
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      .withColumn("snap", lit(tag))
+    rollup(snap.readLatest(s, tmp), "v1") // == v1 again after the rollback
+      .unionByName(rollup(snap.readVersion(s, tmp, v2), "v2"))
+      .select(col("snap"), col("source"), col("n_docs"), col("total_chars"))
+  }
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1982,7 +2019,9 @@ object Queries {
     "q115_negative_samples" -> (q115NegativeSamples _),
     "q116_centroid_outliers" -> (q116CentroidOutliers _),
     "q117_stream_rollup_fold" -> (q117StreamRollupFold _),
-    "q118_compact_roundtrip" -> (q118CompactRoundtrip _))
+    "q118_compact_roundtrip" -> (q118CompactRoundtrip _),
+    "q119_int8_quant" -> (q119Int8Quant _),
+    "q120_snapshot_time_travel" -> (q120SnapshotTimeTravel _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -3480,5 +3519,37 @@ object Queries {
     "q118_compact_roundtrip" ->
       """SELECT source, count(*) AS n_docs,
         | CAST(sum(length(text)) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY source""".stripMargin)
+        |FROM documents GROUP BY source""".stripMargin,
+    // q119: full integer replay of the int8 quantization — grid snap
+    // (floor(x·1e6+0.5), the QuantizeVecExpr device), then bigint-only
+    // scale/code/error arithmetic. `//` is DuckDB's floor-div; the sums
+    // CAST back to BIGINT because DuckDB widens sum(BIGINT) to HUGEINT.
+    "q119_int8_quant" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(floor(c*1000000.0 + 0.5) AS BIGINT) AS qi
+        |  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS c FROM embeddings)
+        |), m AS (
+        |  SELECT vec_id, max(abs(qi)) AS qmax FROM q GROUP BY vec_id
+        |), c AS (
+        |  SELECT q.vec_id, m.qmax, qi,
+        |    CASE WHEN m.qmax = 0 THEN 0
+        |         WHEN qi >= 0 THEN (qi*254 + m.qmax) // (2*m.qmax)
+        |         ELSE -(((-qi)*254 + m.qmax) // (2*m.qmax)) END AS code
+        |  FROM q JOIN m ON q.vec_id = m.vec_id
+        |)
+        |SELECT vec_id, qmax,
+        |  CAST(sum(abs(code)) AS BIGINT) AS code_l1,
+        |  CAST(sum(abs(127*qi - code*qmax)) AS BIGINT) AS err_l1
+        |FROM c GROUP BY vec_id, qmax""".stripMargin,
+    // q120: each snapshot's rollup derives from its construction — v1 is
+    // the full table (read back after the rollback), v2 the filtered
+    // publish (read via time travel).
+    "q120_snapshot_time_travel" ->
+      """SELECT 'v1' AS snap, source, count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT 'v2' AS snap, source, count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id % 3 <> 0 GROUP BY source""".stripMargin)
 }

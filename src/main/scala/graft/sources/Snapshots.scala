@@ -1,0 +1,134 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned snapshot publishing with an atomic pointer commit — the
+  * minimal table-format core (the pattern Delta/Iceberg/Hive-ACID build
+  * on): writers never mutate data a reader might be scanning; they write
+  * a COMPLETE new version directory and then commit it by atomically
+  * replacing a tiny pointer file. Readers resolve the pointer once at
+  * plan time and scan an immutable directory, so there are no partial
+  * reads, no torn listings, and time travel / instant rollback are free.
+  *
+  * Layout under `dir`:
+  * {{{
+  *   v=00001/ v=00002/ ...   immutable parquet version directories
+  *   _LATEST                 the committed version number (atomic rename)
+  * }}}
+  *
+  * Scale shape: the commit is O(1) regardless of table size — one rename
+  * of a bytes-sized pointer (rename is atomic on HDFS-like filesystems;
+  * an object store would use a conditional put of the same pointer key).
+  * Old versions stay readable until [[vacuum]] reclaims them, which is
+  * what makes long-running 100 TB readers safe against concurrent
+  * publishes: a reader that resolved v=N keeps scanning v=N's files even
+  * after v=N+1 commits. Single-writer by contract (a real lake format
+  * adds a lock/CAS for writer-writer races; readers need none).
+  */
+object Snapshots {
+
+  private val Pointer = "_LATEST"
+
+  private def fs(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    val f = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    (f, f.makeQualified(p))
+  }
+
+  private def versionDir(root: Path, v: Int): Path = new Path(root, f"v=$v%05d")
+
+  /** Write `df` as the next version and commit it. Returns the new
+    * version number. The data write lands in the (unreferenced) version
+    * directory first; the pointer swap is the commit point — a crash
+    * before it leaves the table at the previous version with only an
+    * orphan directory to vacuum, never a torn table. */
+  def publish(spark: SparkSession, dir: String, df: DataFrame): Int = {
+    val (f, root) = fs(spark, dir)
+    val v = nextVersion(spark, dir)
+    df.write.mode("error").parquet(versionDir(root, v).toString)
+    commitPointer(f, root, v)
+    v
+  }
+
+  /** The committed version, if any. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Int] = {
+    val (f, root) = fs(spark, dir)
+    val ptr = new Path(root, Pointer)
+    if (!f.exists(ptr)) None
+    else {
+      val buf = new Array[Byte](f.getFileStatus(ptr).getLen.toInt)
+      val in = f.open(ptr)
+      try { in.readFully(0, buf); Some(new String(buf, "UTF-8").trim.toInt) }
+      finally in.close()
+    }
+  }
+
+  /** Read a pinned version — time travel. */
+  def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    val (f, root) = fs(spark, dir)
+    val p = versionDir(root, v)
+    require(f.exists(p), s"snapshot version $v does not exist under $dir")
+    spark.read.parquet(p.toString)
+  }
+
+  /** Read the committed version (resolved ONCE, here — the returned frame
+    * keeps scanning that version even if a publish lands mid-query). */
+  def readLatest(spark: SparkSession, dir: String): DataFrame = {
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $dir"))
+    readVersion(spark, dir, v)
+  }
+
+  /** Point the table back at an existing older version — O(1), data
+    * untouched. The abandoned newer versions remain readable (and
+    * re-publishable over: [[publish]] always allocates max+1 of the
+    * DIRECTORIES present, so a rolled-back version is never overwritten). */
+  def rollback(spark: SparkSession, dir: String, v: Int): Unit = {
+    val (f, root) = fs(spark, dir)
+    require(f.exists(versionDir(root, v)), s"cannot roll back to missing version $v")
+    commitPointer(f, root, v)
+  }
+
+  /** All version numbers present on disk (committed or orphaned), ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val (f, root) = fs(spark, dir)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toInt).sorted
+  }
+
+  /** Delete all versions strictly older than the newest `keepLast`
+    * (never the committed one). Returns the versions deleted. Run it in
+    * the retention window your slowest pinned reader needs. */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val (f, root) = fs(spark, dir)
+    val all = versions(spark, dir)
+    val current = latestVersion(spark, dir)
+    val keep = all.takeRight(keepLast).toSet ++ current
+    val drop = all.filterNot(keep)
+    drop.foreach(v => f.delete(versionDir(root, v), true))
+    drop
+  }
+
+  private def commitPointer(f: FileSystem, root: Path, v: Int): Unit = {
+    f.mkdirs(root)
+    val tmp = new Path(root, s".$Pointer.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val ptr = new Path(root, Pointer)
+    // rename-with-overwrite: delete-then-rename is the portable local/HDFS
+    // form; the delete+rename pair is the commit, and the data write
+    // already happened, so the only crash exposure is a missing pointer —
+    // recoverable by re-committing, never a torn table.
+    if (f.exists(ptr)) f.delete(ptr, false)
+    require(f.rename(tmp, ptr), s"pointer commit failed for version $v")
+  }
+
+  /** `publish` always allocates past every DIRECTORY on disk, not just the
+    * committed pointer — so publish-after-rollback never overwrites the
+    * rolled-back-from version. (Kept private-free for the spec.) */
+  private[sources] def nextVersion(spark: SparkSession, dir: String): Int =
+    (versions(spark, dir) :+ latestVersion(spark, dir).getOrElse(0)).max + 1
+}

@@ -166,4 +166,8 @@ object TextFunctions {
     val best = array_max(array(scored: _*))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+  /** Unicode canonical normalization (NFC) — see
+    * [[graft.functions.expressions.UnicodeExpressions]]. */
+  def nfcNormalize(text: Column): Column =
+    graft.functions.expressions.UnicodeExpressions.nfcNormalize(text)
 }

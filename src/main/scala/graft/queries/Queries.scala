@@ -1899,6 +1899,31 @@ object Queries {
       .select(col("snap"), col("source"), col("n_docs"), col("total_chars"))
   }
 
+  /** Unicode NFC normalization ([[graft.functions.TextFunctions
+    * .nfcNormalize]] — java.text.Normalizer) vs DuckDB's utf8proc:
+    * canonical composition is fully specified by Unicode, so two
+    * independent implementations must produce identical bytes — md5 of
+    * the normalized string pins that. The corpus is ASCII (probed), so a
+    * decomposed suffix (e+U+0301, i+U+0308, plus a precomposed é that
+    * must survive untouched) is appended to every document to make the
+    * composition load-bearing: len_nfc = len_raw − 2 everywhere, and the
+    * hash covers the exact composed bytes. */
+  def q121NfcNormalize(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(col("text"), lit(NfcSuffix))
+    val nfc = T.nfcNormalize(raw)
+    tbl(s, dir, "documents").select(
+      col("doc_id"),
+      length(raw).as("len_raw"),
+      length(nfc).as("len_nfc"),
+      md5(nfc).as("h"))
+  }
+
+  /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
+    * NFC must compose) plus a precomposed é (which NFC must leave).
+    * Explicit \\u escapes in a plain literal — the one place the
+    * decomposed/precomposed distinction must be byte-exact in source. */
+  private val NfcSuffix = " Cafe\u0301 nai\u0308ve caf\u00e9"
+
   // ================================================================ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2021,7 +2046,8 @@ object Queries {
     "q117_stream_rollup_fold" -> (q117StreamRollupFold _),
     "q118_compact_roundtrip" -> (q118CompactRoundtrip _),
     "q119_int8_quant" -> (q119Int8Quant _),
-    "q120_snapshot_time_travel" -> (q120SnapshotTimeTravel _))
+    "q120_snapshot_time_travel" -> (q120SnapshotTimeTravel _),
+    "q121_nfc_normalize" -> (q121NfcNormalize _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -3551,5 +3577,15 @@ object Queries {
         |UNION ALL
         |SELECT 'v2' AS snap, source, count(*) AS n_docs,
         | CAST(sum(length(text)) AS BIGINT) AS total_chars
-        |FROM documents WHERE doc_id % 3 <> 0 GROUP BY source""".stripMargin)
+        |FROM documents WHERE doc_id % 3 <> 0 GROUP BY source""".stripMargin,
+    // q121: utf8proc's NFC must byte-match java.text.Normalizer's — the
+    // suffix (interpolated from the SAME Scala constant the Spark side
+    // uses, so the bytes cannot drift) carries the decomposed sequences
+    // verbatim in UTF-8.
+    "q121_nfc_normalize" ->
+      s"""SELECT doc_id,
+        | CAST(length(text || '$NfcSuffix') AS INT) AS len_raw,
+        | CAST(length(nfc_normalize(text || '$NfcSuffix')) AS INT) AS len_nfc,
+        | md5(nfc_normalize(text || '$NfcSuffix')) AS h
+        |FROM documents""".stripMargin)
 }

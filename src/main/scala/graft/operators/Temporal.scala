@@ -142,4 +142,30 @@ object Temporal {
       .filter(col(startCol) <= col(ptCol) && col(ptCol) <= col(endCol))
       .drop("__bin")
   }
+
+  /** First-order state-transition counts — the Markov edge list of user
+    * behavior ((prev_state, state) → n), feeding funnel diagnosis,
+    * next-event prediction baselines, and bot detection (bots have
+    * near-deterministic transition rows).
+    *
+    * Per entity, events order by `orderCols` (pass a tie-breaker — e.g.
+    * (ts, event_id) — or equal-time rows make the lag nondeterministic);
+    * each consecutive pair contributes one edge; entities' first events
+    * contribute none. One shuffle on the entity key with an in-partition
+    * sort (the as-of cost shape), then a partial-aggregated count whose
+    * result is at most |states|² rows — the corpus never moves twice. */
+  def transitionCounts(df: DataFrame, entityCol: String, stateCol: String,
+                       orderCols: Seq[Column]): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    // alias order EXPRESSIONS (e.g. unix_micros(ts)) into the projection
+    // so the window can reference them after the source columns are gone
+    val ord = orderCols.indices.map(i => col(s"__ord$i"))
+    val w = Window.partitionBy(col(entityCol)).orderBy(ord: _*)
+    df.select(col(entityCol) +: col(stateCol) +:
+        orderCols.zipWithIndex.map { case (c, i) => c.as(s"__ord$i") }: _*)
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_state"), col(stateCol).as("state"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

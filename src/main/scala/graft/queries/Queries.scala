@@ -1918,6 +1918,26 @@ object Queries {
       md5(nfc).as("h"))
   }
 
+  /** Per-event-type p99 tail anomaly counts ([[graft.stats.Anomaly
+    * .thresholdCounts]]): the type-7 percentile threshold and the count
+    * strictly above it, computed ENTIRELY in integer arithmetic on the
+    * cent grid (t_num = the threshold × 10⁴) — the float-boundary-proof
+    * formulation of "value > p99", so the oracle replays it verbatim
+    * with no epsilon anywhere. */
+  def q122AnomalyThreshold(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Anomaly.thresholdCounts(
+      events(s, dir), "event_type", "value", pNum = 99, pDen = 100)
+
+  /** First-order event-type transition matrix ([[graft.operators
+    * .Temporal.transitionCounts]]): per-user behavior edges ordered by
+    * (epoch micros, event_id) — the explicit tie-breaker that makes the
+    * lag deterministic cross-engine. Integer counts; one entity-key
+    * shuffle; output is at most |event types|² rows. */
+  def q123EventTransitions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.transitionCounts(
+      events(s, dir), "user_id", "event_type",
+      Seq(unix_micros(col("ts")), col("event_id")))
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2047,7 +2067,9 @@ object Queries {
     "q118_compact_roundtrip" -> (q118CompactRoundtrip _),
     "q119_int8_quant" -> (q119Int8Quant _),
     "q120_snapshot_time_travel" -> (q120SnapshotTimeTravel _),
-    "q121_nfc_normalize" -> (q121NfcNormalize _))
+    "q121_nfc_normalize" -> (q121NfcNormalize _),
+    "q122_anomaly_threshold" -> (q122AnomalyThreshold _),
+    "q123_event_transitions" -> (q123EventTransitions _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -3587,5 +3609,43 @@ object Queries {
         | CAST(length(text || '$NfcSuffix') AS INT) AS len_raw,
         | CAST(length(nfc_normalize(text || '$NfcSuffix')) AS INT) AS len_nfc,
         | md5(nfc_normalize(text || '$NfcSuffix')) AS h
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // q122: verbatim integer replay of the type-7 threshold arithmetic —
+    // cent grid snap, k/r split, scaled t_num, strict integer compare.
+    // `//` is DuckDB floor-div; counts CAST to BIGINT (HUGEINT trap).
+    "q122_anomaly_threshold" ->
+      """WITH c AS (
+        |  SELECT event_type AS g, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT g, cents,
+        |    row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM c
+        |), t AS (
+        |  SELECT g, max(n) AS n,
+        |    max(CASE WHEN rn = (99*(n-1))//100 + 1 THEN cents END) AS xk,
+        |    max(CASE WHEN rn = (99*(n-1))//100 + 2 THEN cents END) AS xk1,
+        |    max((99*(n-1))%100) AS r
+        |  FROM r GROUP BY g
+        |), u AS (
+        |  SELECT g, n, xk*(100 - r) + COALESCE(xk1, xk)*r AS t_num FROM t
+        |)
+        |SELECT u.g AS event_type, u.n, u.t_num,
+        |  CAST(count(*) FILTER (WHERE c.cents*100 > u.t_num) AS BIGINT) AS n_above
+        |FROM u JOIN c ON c.g = u.g
+        |GROUP BY u.g, u.n, u.t_num""".stripMargin,
+    // q123: same lag replay, ordered by (epoch micros, event_id) — the
+    // explicit tie-breaker both engines share.
+    "q123_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id, event_type
+        |  FROM events
+        |), l AS (
+        |  SELECT event_type, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+        |  FROM e
+        |)
+        |SELECT prev AS prev_state, event_type AS state, count(*) AS n
+        |FROM l WHERE prev IS NOT NULL GROUP BY prev, event_type""".stripMargin)
 }

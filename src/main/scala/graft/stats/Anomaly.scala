@@ -1,0 +1,65 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-group percentile-threshold anomaly counting — "how many events
+  * sit above this group's p99?", the standard tail-monitoring primitive
+  * (latency SLOs, spend spikes, abuse scoring), computed EXACTLY and
+  * engine-portably.
+  *
+  * The float trap: a type-7 interpolated percentile is a double, and
+  * `value > threshold` flips between engines when summation/rounding
+  * noise moves either side across the boundary. Everything here is
+  * therefore integer arithmetic on the value's cent grid
+  * (`⌊x·100 + 0.5⌋` — the one portable double op):
+  * for group size n and percentile p = num/den,
+  *   h = num·(n−1),  k = h div den,  r = h mod den,
+  *   t_num = x_(k)·(den − r) + x_(k+1)·r      (x ascending, 0-indexed)
+  * is the type-7 threshold scaled by 100·den — exact in bigints — and a
+  * row is "above" iff cents·den > t_num. No doubles ever compared.
+  *
+  * Scale shape: one shuffle on the group key with an in-partition sort
+  * (what any exact percentile costs — the mergeable approximate
+  * counterpart is [[Profile]]'s histogram sketch); the group-sized
+  * threshold frame broadcasts back onto a second pass of the slim
+  * (group, cents) projection. Corpus values move once.
+  */
+object Anomaly {
+
+  /** (group, n, t_num, n_above): group size, the scaled integer
+    * threshold (divide by 100·`pDen` for the real-valued percentile),
+    * and the count strictly above it. NULL values are excluded (they
+    * have no rank); NULL groups form their own group as in SQL GROUP BY. */
+  def thresholdCounts(df: DataFrame, groupCol: String, valueCol: String,
+                      pNum: Int = 99, pDen: Int = 100): DataFrame = {
+    require(pNum >= 0 && pDen > 0 && pNum <= pDen, s"bad percentile $pNum/$pDen")
+    val base = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long").as("__c"))
+    val byGroup = Window.partitionBy(col("__g"))
+    val ranked = base
+      .withColumn("__rn", row_number().over(byGroup.orderBy(col("__c"))))
+      .withColumn("__n", count(lit(1)).over(byGroup))
+      .withColumn("__k", expr(s"($pNum * (__n - 1)) div $pDen"))
+      .withColumn("__r", expr(s"($pNum * (__n - 1)) % $pDen"))
+    val thresholds = ranked
+      .groupBy(col("__g"))
+      .agg(
+        max(col("__n")).as("n"),
+        max(when(col("__rn") === col("__k") + 1, col("__c"))).as("__xk"),
+        max(when(col("__rn") === col("__k") + 2, col("__c"))).as("__xk1"),
+        max(col("__r")).as("__rr"))
+      .select(col("__g"), col("n"),
+        (col("__xk") * (lit(pDen.toLong) - col("__rr")) +
+          coalesce(col("__xk1"), col("__xk")) * col("__rr")).as("t_num"))
+    base
+      .join(broadcast(thresholds), Seq("__g"))
+      .groupBy(col("__g"), col("n"), col("t_num"))
+      .agg(sum(when(col("__c") * lit(pDen.toLong) > col("t_num"), 1L)
+        .otherwise(0L)).as("n_above"))
+      .withColumnRenamed("__g", groupCol)
+  }
+}

@@ -143,4 +143,21 @@ class TemporalSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
       s"expected exactly one key exchange:\n$p")
   }
+  test("transitionCounts: per-entity lag edges with deterministic tie-break") {
+    import org.apache.spark.sql.functions.col
+    val ev = Seq(
+      // u1: a -> b -> b -> c   (ordered by ts, then id for the tie at ts=20)
+      ("u1", 10L, 1L, "a"), ("u1", 20L, 2L, "b"), ("u1", 20L, 3L, "b"),
+      ("u1", 40L, 4L, "c"),
+      // u2: single event, contributes no edge
+      ("u2", 5L, 5L, "a")
+    ).toDF("u", "ts", "id", "st")
+    val got = Temporal.transitionCounts(ev, "u", "st", Seq(col("ts"), col("id")))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 1L), ("b", "b", 1L), ("b", "c", 1L)))
+    // partitioning-invariant: the explicit (ts, id) order pins the lag
+    val re = Temporal.transitionCounts(ev.repartition(5), "u", "st",
+      Seq(col("ts"), col("id"))).as[(String, String, Long)].collect().toSet
+    assert(re == got)
+  }
 }

@@ -1,0 +1,43 @@
+package graft.stats
+
+import graft.SparkSpec
+
+class AnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("thresholdCounts: hand-computed type-7 median (p50) with interpolation") {
+    // group a: values 1.00, 2.00, 3.00, 10.00 → cents (100, 200, 300, 1000)
+    //   p50: h = 50*3/100 = 1.5 → k=1, r=50; t_num = 200*50 + 300*50 = 25000
+    //   (i.e. 2.50); above: 300*100=30000 > 25000 and 1000*100 → n_above=2
+    // group b: single value → t_num = its cents*100, nothing strictly above
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0),
+      ("b", 7.25)
+    ).toDF("g", "v")
+    val got = Anomaly.thresholdCounts(df, "g", "v", pNum = 50, pDen = 100)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((4L, 25000L, 2L)))
+    assert(got("b") == ((1L, 72500L, 0L)))
+  }
+
+  test("thresholdCounts: p100 is the max (nothing above), p0 the min") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("g", "v")
+    val top = Anomaly.thresholdCounts(df, "g", "v", 100, 100)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(top == (("a", 3L, 30000L, 0L)))
+    val bottom = Anomaly.thresholdCounts(df, "g", "v", 0, 100)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(bottom == (("a", 3L, 10000L, 2L)))
+  }
+
+  test("thresholdCounts: nulls excluded; partitioning-invariant") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0))).toDF("g", "v")
+    val got = Anomaly.thresholdCounts(df, "g", "v", 50, 100)
+      .as[(String, Long, Long, Long)].collect().head
+    // values (1.00, 3.00): median t_num = 100*50 + 300*50 = 20000; above: 1
+    assert(got == (("a", 2L, 20000L, 1L)))
+    val re = Anomaly.thresholdCounts(df.repartition(7), "g", "v", 50, 100)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(re == got)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.layout
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: Z-order (Morton) clustering so that
@@ -52,5 +52,41 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file min/max manifest for `cols` over a parquet directory — the
+    * scan index a lake table format keeps in its metadata layer. Built
+    * with ONE distributed scan (the ANALYZE-shaped one-time cost); the
+    * result is file-count-sized, so it persists as a tiny table and every
+    * subsequent selective query consults it instead of the data. */
+  def fileStats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fileStats needs at least one column")
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(cols.head)).as(s"${cols.head}_min"),
+        (max(col(cols.head)).as(s"${cols.head}_max") +:
+          cols.tail.flatMap(c =>
+            Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))): _*)
+  }
+
+  /** Scan only the files whose [min, max] range for `c` intersects
+    * [lo, hi], then apply the row-level filter on top — semantically
+    * identical to a full filtered scan, but I/O-proportional to the
+    * files that can match (file skipping, the point of [[writeZOrdered]]
+    * / range layout). Returns (frame, filesKept, filesTotal) so callers
+    * can assert skipping actually happened. The manifest collect is
+    * file-count-sized by construction (a production layout keeps it as a
+    * stored table and broadcasts the surviving file list the same way). */
+  def prunedScan(spark: SparkSession, path: String, manifest: DataFrame,
+                 c: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val files = manifest.select(col("file"),
+        col(s"${c}_min").cast("long"), col(s"${c}_max").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val kept = files.collect { case (f, mn, mx) if mx >= lo && mn <= hi => f }
+    val base =
+      if (kept.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(kept: _*)
+    (base.filter(col(c) >= lo && col(c) <= hi), kept.length, files.length)
   }
 }

@@ -1938,6 +1938,50 @@ object Queries {
       events(s, dir), "user_id", "event_type",
       Seq(unix_micros(col("ts")), col("event_id")))
 
+  /** Manifest-based file pruning ([[graft.layout.Layout.fileStats]] /
+    * [[graft.layout.Layout.prunedScan]]): orders land range-partitioned
+    * into 16 files by o_custkey, a one-scan min/max manifest indexes
+    * them, and a band predicate reads ONLY the intersecting files (the
+    * require proves files were actually skipped) — semantically equal to
+    * the full filtered scan, which is exactly the oracle. Band bounds
+    * derive from max(o_custkey) in integer arithmetic, so both engines
+    * compute the identical range. */
+  def q124PrunedScan(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("q124_orders").toFile.getAbsolutePath
+    val orders = tbl(s, dir, "orders")
+    orders.repartitionByRange(16, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(tmp)
+    val manifest = graft.layout.Layout.fileStats(s, tmp, Seq("o_custkey"))
+    val maxK = orders.agg(max(col("o_custkey"))).collect()(0).getLong(0)
+    val (lo, hi) = (maxK * 3 / 10, maxK * 5 / 10)
+    val (pruned, kept, total) =
+      graft.layout.Layout.prunedScan(s, tmp, manifest, "o_custkey", lo, hi)
+    require(kept < total, s"no files skipped ($kept of $total)")
+    pruned.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+  }
+
+  /** Exact rolling 5-event median per user ([[graft.stats.Anomaly
+    * .rollingMedian]]): cents-grid values, ×2-scaled integer medians —
+    * the spike-detector baseline with no float anywhere. Ordered by
+    * (epoch micros, event_id); DuckDB's windowed list() replays the
+    * frame verbatim. */
+  def q125RollingMedian(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Anomaly.rollingMedian(events(s, dir), "user_id", "value",
+      Seq(unix_micros(col("ts")), col("event_id")), window = 5, idCol = "event_id")
+
+  /** k-anonymity audit ([[graft.stats.Privacy.kAnonymityAudit]]) over
+    * customer quasi-identifiers (nation, segment, account balance
+    * generalized to $1000 floor-bins in integer arithmetic — the
+    * truncation-proof binning [[graft.stats.Privacy.generalizeBin]]
+    * provides). One-row governance summary, pure integer counting. */
+  def q126KAnonymity(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Privacy.kAnonymityAudit(tbl(s, dir, "customer"),
+      Seq(col("c_nationkey"), col("c_mktsegment"),
+        graft.stats.Privacy.generalizeBin(floor(col("c_acctbal")), 1000L)),
+      k = 5)
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2069,7 +2113,10 @@ object Queries {
     "q120_snapshot_time_travel" -> (q120SnapshotTimeTravel _),
     "q121_nfc_normalize" -> (q121NfcNormalize _),
     "q122_anomaly_threshold" -> (q122AnomalyThreshold _),
-    "q123_event_transitions" -> (q123EventTransitions _))
+    "q123_event_transitions" -> (q123EventTransitions _),
+    "q124_pruned_scan" -> (q124PrunedScan _),
+    "q125_rolling_median" -> (q125RollingMedian _),
+    "q126_k_anonymity" -> (q126KAnonymity _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -3647,5 +3694,53 @@ object Queries {
         |  FROM e
         |)
         |SELECT prev AS prev_state, event_type AS state, count(*) AS n
-        |FROM l WHERE prev IS NOT NULL GROUP BY prev, event_type""".stripMargin)
+        |FROM l WHERE prev IS NOT NULL GROUP BY prev, event_type""".stripMargin,
+    // q124: file skipping must be invisible to results — the oracle is
+    // the plain filtered rollup, with the band bounds derived by the
+    // same integer arithmetic ((max·3)÷10, (max·5)÷10).
+    "q124_pruned_scan" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round(sum(o_totalprice), 4) AS total
+        |FROM orders
+        |WHERE o_custkey BETWEEN (SELECT max(o_custkey)*3//10 FROM orders)
+        |                    AND (SELECT max(o_custkey)*5//10 FROM orders)
+        |GROUP BY o_orderstatus""".stripMargin,
+    // q125: DuckDB's windowed list() replays the exact 5-row frame; the
+    // ×2-scaled integer median avoids ever producing a double. len() is
+    // BIGINT (cast to INT to match Spark's size()); lists are 1-indexed
+    // in both formulations.
+    "q125_rolling_median" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |), l AS (
+        |  SELECT user_id, event_id, list_sort(list(cents) OVER (
+        |    PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS fr
+        |  FROM e
+        |)
+        |SELECT user_id, event_id, CAST(len(fr) AS INT) AS m,
+        |  CASE WHEN len(fr) % 2 = 1 THEN 2*fr[CAST((len(fr)+1)//2 AS INT)]
+        |       ELSE fr[CAST(len(fr)//2 AS INT)] + fr[CAST(len(fr)//2 + 1 AS INT)]
+        |  END AS med2
+        |FROM l""".stripMargin,
+    // q126: floor-binning replayed as x − pmod(x, w) (DuckDB % is
+    // truncated division — the ((x%w)+w)%w wrap restores floor
+    // semantics for negative balances); counts CAST to BIGINT.
+    "q126_k_anonymity" ->
+      """WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal) AS BIGINT)
+        |      - ((CAST(floor(c_acctbal) AS BIGINT) % 1000) + 1000) % 1000 AS bin
+        |  FROM customer
+        |), g AS (
+        |  SELECT c_nationkey, c_mktsegment, bin, count(*) AS sz
+        |  FROM b GROUP BY c_nationkey, c_mktsegment, bin
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |  min(sz) AS min_class_size
+        |FROM g""".stripMargin)
 }

@@ -62,4 +62,40 @@ object Anomaly {
         .otherwise(0L)).as("n_above"))
       .withColumnRenamed("__g", groupCol)
   }
+
+  /** Exact rolling median over the last `window` events per entity — the
+    * smoothed baseline a spike detector compares against, kept
+    * engine-exact the same way as [[thresholdCounts]]: cents-grid values
+    * and a ×2-scaled integer median (odd frame → 2·mid, even frame →
+    * lower+upper), so no double is ever produced, let alone compared.
+    *
+    * `orderCols` must totally order each entity's rows (include an id
+    * tie-breaker) — then the frame CONTENT at every row is deterministic
+    * and the sorted-frame median is a pure function of the data. The
+    * frame materializes per row (window·8 bytes — bounded, small by
+    * construction: rolling windows are 10s-100s, not millions); the cost
+    * shape is the usual entity-key shuffle + in-partition sort. Returns
+    * the input's entity/order identity plus (m, med2): frame size and
+    * the scaled median. */
+  def rollingMedian(df: DataFrame, entityCol: String, valueCol: String,
+                    orderCols: Seq[org.apache.spark.sql.Column],
+                    window: Int, idCol: String): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val ord = orderCols.indices.map(i => col(s"__ord$i"))
+    val w = Window.partitionBy(col(entityCol)).orderBy(ord: _*)
+      .rowsBetween(-(window - 1), 0)
+    val base = df.select(col(entityCol) +: col(idCol) +:
+      floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long").as("__c") +:
+      orderCols.zipWithIndex.map { case (c, i) => c.as(s"__ord$i") }: _*)
+    val fr = sort_array(collect_list(col("__c")).over(w))
+    base
+      .withColumn("__fr", fr)
+      .withColumn("m", size(col("__fr")))
+      .select(col(entityCol), col(idCol), col("m"),
+        when(col("m") % 2 === 1,
+          element_at(col("__fr"), expr("cast((m + 1) div 2 as int)")) * 2)
+          .otherwise(element_at(col("__fr"), expr("cast(m div 2 as int)")) +
+            element_at(col("__fr"), expr("cast(m div 2 + 1 as int)")))
+          .as("med2"))
+  }
 }

@@ -61,4 +61,23 @@ class LayoutSpec extends SparkSpec {
       Layout.zValue(Seq(col("a"), col("b")), 32)
     }
   }
+  test("fileStats + prunedScan: skips non-intersecting files, same results") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val df = (0L until 1000L).toDF("k").withColumn("v", col("k") % 7)
+    df.repartitionByRange(10, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dir)
+    val manifest = Layout.fileStats(spark, dir, Seq("k"))
+    assert(manifest.count() == 10)
+    val (pruned, kept, total) = Layout.prunedScan(spark, dir, manifest, "k", 250L, 349L)
+    assert(total == 10 && kept < total && kept >= 1)
+    val got = pruned.agg(count(lit(1)), sum(col("v"))).as[(Long, Long)].collect().head
+    val exp = df.filter(col("k") >= 250 && col("k") <= 349)
+      .agg(count(lit(1)), sum(col("v"))).as[(Long, Long)].collect().head
+    assert(got == exp)
+    // empty band below all data: zero files, empty result, correct schema
+    val (none, kept0, _) = Layout.prunedScan(spark, dir, manifest, "k", -10L, -5L)
+    assert(kept0 == 0 && none.count() == 0 && none.columns.contains("v"))
+  }
 }

@@ -40,4 +40,17 @@ class AnomalySpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().head
     assert(re == got)
   }
+  test("rollingMedian: exact scaled medians over a 3-row frame") {
+    import org.apache.spark.sql.functions.col
+    // u1 values by ts: 1.00, 5.00, 3.00, 2.00 → cents 100, 500, 300, 200
+    // frames: [100] m=1 med2=200; [100,500] m=2 med2=600;
+    //   [100,300,500] m=3 med2=600; [200,300,500] m=3 med2=600
+    val df = Seq(
+      ("u1", 1L, 1.0), ("u1", 2L, 5.0), ("u1", 3L, 3.0), ("u1", 4L, 2.0)
+    ).toDF("u", "id", "v")
+    val got = Anomaly.rollingMedian(df, "u", "v", Seq(col("id")), window = 3, idCol = "id")
+      .as[(String, Long, Int, Long)].collect().map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(got(1L) == ((1, 200L)) && got(2L) == ((2, 600L)))
+    assert(got(3L) == ((3, 600L)) && got(4L) == ((3, 600L)))
+  }
 }

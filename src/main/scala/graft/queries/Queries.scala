@@ -1982,6 +1982,44 @@ object Queries {
         graft.stats.Privacy.generalizeBin(floor(col("c_acctbal")), 1000L)),
       k = 5)
 
+  /** Referential-integrity audit ([[graft.stats.Expectations
+    * .fkOrphans]]): three FK relations in one result — orders→customer
+    * with INJECTED orphans (every 100th order re-keyed to the negative
+    * key space, the q93 construction device, so the audit provably
+    * catches them), plus the two clean relations whose zero counts pin
+    * the no-false-positive side. Null-trap-free anti-join semantics,
+    * replayed as LEFT JOIN ... IS NULL. */
+  def q127FkAudit(s: SparkSession, dir: String): DataFrame = {
+    val E = graft.stats.Expectations
+    val orders = tbl(s, dir, "orders")
+    val withOrphans = orders.select(col("o_custkey"), col("o_orderkey"))
+      .unionByName(orders.filter(col("o_orderkey") % 100 === 0)
+        .select((-(col("o_custkey") + 1)).as("o_custkey"), col("o_orderkey")))
+    E.fkOrphans(withOrphans, "o_custkey",
+        tbl(s, dir, "customer"), "c_custkey", "orders->customer")
+      .unionByName(E.fkOrphans(tbl(s, dir, "lineitem"), "l_orderkey",
+        orders, "o_orderkey", "lineitem->orders"))
+      .unionByName(E.fkOrphans(tbl(s, dir, "customer"), "c_nationkey",
+        tbl(s, dir, "nation"), "n_nationkey", "customer->nation"))
+  }
+
+  /** First-seen cumulative distinct users per event type by day — the
+    * EXACT audience-growth curve (the exact counterpart of the KMV
+    * rollup q77): first event per (type, user) in epoch micros, integer
+    * day = micros div 86400000000, then a cumulative sum over the tiny
+    * (type, day) frame. Pure integers end to end. */
+  def q128AudienceCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("__first_us"))
+      .withColumn("day", expr("__first_us div 86400000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))))
+  }
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2116,7 +2154,9 @@ object Queries {
     "q123_event_transitions" -> (q123EventTransitions _),
     "q124_pruned_scan" -> (q124PrunedScan _),
     "q125_rolling_median" -> (q125RollingMedian _),
-    "q126_k_anonymity" -> (q126KAnonymity _))
+    "q126_k_anonymity" -> (q126KAnonymity _),
+    "q127_fk_audit" -> (q127FkAudit _),
+    "q128_audience_curve" -> (q128AudienceCurve _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -3742,5 +3782,52 @@ object Queries {
         |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
         |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
         |  min(sz) AS min_class_size
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin,
+    // q127: LEFT JOIN ... IS NULL is the null-trap-free anti-join; the
+    // injected-orphan construction replays verbatim. counts CAST to
+    // BIGINT (HUGEINT trap does not apply to count, but DISTINCT counts
+    // stay BIGINT anyway — casts kept for uniformity).
+    "q127_fk_audit" ->
+      """WITH child1 AS (
+        |  SELECT o_custkey FROM orders
+        |  UNION ALL
+        |  SELECT -(o_custkey + 1) FROM orders WHERE o_orderkey % 100 = 0
+        |), o1 AS (
+        |  SELECT c.o_custkey AS k FROM child1 c
+        |  LEFT JOIN customer p ON c.o_custkey = p.c_custkey
+        |  WHERE p.c_custkey IS NULL
+        |), o2 AS (
+        |  SELECT l.l_orderkey AS k FROM lineitem l
+        |  LEFT JOIN orders p ON l.l_orderkey = p.o_orderkey
+        |  WHERE p.o_orderkey IS NULL
+        |), o3 AS (
+        |  SELECT c.c_nationkey AS k FROM customer c
+        |  LEFT JOIN nation p ON c.c_nationkey = p.n_nationkey
+        |  WHERE p.n_nationkey IS NULL
+        |)
+        |SELECT 'orders->customer' AS relation,
+        |  CAST(count(*) AS BIGINT) AS n_orphan_rows,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_orphan_keys FROM o1
+        |UNION ALL
+        |SELECT 'lineitem->orders', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT k) AS BIGINT) FROM o2
+        |UNION ALL
+        |SELECT 'customer->nation', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT k) AS BIGINT) FROM o3""".stripMargin,
+    // q128: integer day buckets (micros div 86400000000) and a
+    // cumulative window over the (type, day) aggregate — all BIGINT.
+    "q128_audience_curve" ->
+      """WITH f AS (
+        |  SELECT event_type, user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us
+        |  FROM events GROUP BY event_type, user_id
+        |), d AS (
+        |  SELECT event_type, first_us // 86400000000 AS day,
+        |    count(*) AS new_users
+        |  FROM f GROUP BY event_type, first_us // 86400000000
+        |)
+        |SELECT event_type, day, new_users,
+        |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day)
+        |    AS BIGINT) AS cum_users
+        |FROM d""".stripMargin)
 }

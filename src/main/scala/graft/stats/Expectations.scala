@@ -48,4 +48,22 @@ object Expectations {
         s"${r.getString(0)}=${r.get(1)} not in [${r.getDouble(2)}, ${r.getDouble(3)}]")
         .mkString("; "))
   }
+  /** Referential-integrity audit — the cross-TABLE expectation
+    * ([[Expectation]]s are single-table by design): orphan rows/keys in
+    * `child.childKey` with no match in `parent.parentKey`, as data.
+    * Null child keys count as orphans (they reference nothing), matching
+    * LEFT JOIN ... IS NULL semantics — the NOT IN null trap avoided.
+    *
+    * Scale shape: one anti-join per relation on the key (broadcast when
+    * the parent key set is small, shuffle otherwise — Catalyst's choice),
+    * over key-only projections; a 1-row aggregate comes back. Chain
+    * several relations with unionByName for a whole-schema audit. */
+  def fkOrphans(child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String, relation: String): DataFrame =
+    child.select(col(childKey).as("__k"))
+      .join(parent.select(col(parentKey).as("__k")).distinct(), Seq("__k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_rows"),
+        countDistinct(col("__k")).as("n_orphan_keys"))
+      .select(lit(relation).as("relation"),
+        col("n_orphan_rows"), col("n_orphan_keys"))
 }

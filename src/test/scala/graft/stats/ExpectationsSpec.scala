@@ -62,4 +62,16 @@ class ExpectationsSpec extends SparkSpec {
         Expectation("a", max(col("x")), 0, 1)))
     }
   }
+  test("fkOrphans: orphan and null child keys counted, clean FK is zero") {
+    import org.apache.spark.sql.functions.col
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), None).toDF("fk")
+    val got = Expectations.fkOrphans(child, "fk", parent, "pk", "c->p")
+      .as[(String, Long, Long)].collect().head
+    // orphans: two 9s + one null row = 3 rows; distinct non-null keys = 1
+    assert(got == (("c->p", 3L, 1L)))
+    val clean = Expectations.fkOrphans(parent, "pk", parent, "pk", "self")
+      .as[(String, Long, Long)].collect().head
+    assert(clean == (("self", 0L, 0L)))
+  }
 }

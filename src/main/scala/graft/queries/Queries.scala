@@ -2020,6 +2020,48 @@ object Queries {
         Window.partitionBy(col("event_type")).orderBy(col("day"))))
   }
 
+  /** MMR diverse retrieval ([[graft.ann.Mmr.diverseTopK]]): top-8 of a
+    * 40-candidate pool for the vec_id-0 query, λ = 7/10. Every cosine
+    * quantizes to the 1e-4 grid (probed: min boundary margin 6.1e-5 grid
+    * units at sf0.01 / 1.8e-4 at sf0.1 across query and pairwise sims —
+    * 5+ orders above cross-engine float noise), so the greedy argmax
+    * chain is integer arithmetic and the oracle unrolls it as 8 SQL
+    * selection steps. */
+  def q129MmrDiverse(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    graft.ann.Mmr.diverseTopK(emb, "vec_id", "embedding", qv,
+      candidates = 40, k = 8, lambdaNum = 7L, lambdaDen = 10L)
+  }
+
+  /** q129's oracle: the greedy MMR chain unrolled — candidate pool by
+    * (rel4 desc, id), then k−1 argmax steps over the integer objective
+    * 7·rel4 − 3·maxsim4 with id tie-break, each a correlated-subquery
+    * ORDER BY ... LIMIT 1. Generated, not hand-written, so `candidates`/
+    * `k` stay in lockstep with the query. */
+  private def mmrOracle(candidates: Int, k: Int): String = {
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and selN
+    // references sel(N-1) three times — inlining would re-expand the
+    // whole chain exponentially (measured: the plain form never finishes
+    // at k=8; materialized runs in 0.08 s)
+    val b = new StringBuilder
+    b ++= "WITH q AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),\n"
+    b ++= "cand AS MATERIALIZED (\n  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,\n" +
+      "    CAST(floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv)*10000 + 0.5) AS BIGINT) AS rel4\n" +
+      s"  FROM embeddings, q ORDER BY rel4 DESC, vec_id LIMIT $candidates\n),\n"
+    b ++= "sel1 AS MATERIALIZED (SELECT 1 AS rank, vec_id, v, rel4 FROM cand ORDER BY rel4 DESC, vec_id LIMIT 1)"
+    for (i <- 2 to k) {
+      b ++= s",\npick$i AS MATERIALIZED (\n  SELECT $i AS rank, c.vec_id, c.v, c.rel4 FROM cand c\n" +
+        s"  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})\n" +
+        "  ORDER BY 7*c.rel4 - 3*(SELECT max(CAST(floor(list_cosine_similarity(c.v, s.v)*10000 + 0.5) AS BIGINT))" +
+        s" FROM sel${i - 1} s) DESC, c.vec_id\n  LIMIT 1\n),\n" +
+        s"sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i)"
+    }
+    b ++= s"\nSELECT rank, vec_id, rel4 FROM sel$k"
+    b.toString
+  }
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2156,7 +2198,8 @@ object Queries {
     "q125_rolling_median" -> (q125RollingMedian _),
     "q126_k_anonymity" -> (q126KAnonymity _),
     "q127_fk_audit" -> (q127FkAudit _),
-    "q128_audience_curve" -> (q128AudienceCurve _))
+    "q128_audience_curve" -> (q128AudienceCurve _),
+    "q129_mmr_diverse" -> (q129MmrDiverse _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -3829,5 +3872,7 @@ object Queries {
         |SELECT event_type, day, new_users,
         |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day)
         |    AS BIGINT) AS cum_users
-        |FROM d""".stripMargin)
+        |FROM d""".stripMargin,
+    // q129: generated unrolled greedy replay (see mmrOracle scaladoc).
+    "q129_mmr_diverse" -> mmrOracle(candidates = 40, k = 8))
 }

@@ -143,6 +143,41 @@ object Temporal {
       .drop("__bin")
   }
 
+  /** Regular-grid resampling with forward fill (last observation carried
+    * forward) — the time-series regularization step that turns an
+    * irregular event stream into the fixed-step grid feature pipelines
+    * and dashboards consume. Every entity gets every bucket of the
+    * GLOBAL [min, max] span; bucket b carries the latest value with
+    * `ts <= b·step` (NULL before an entity's first event — left-outer
+    * as-of semantics).
+    *
+    * Ties at the same (entity, ts) instant collapse to max(value) FIRST,
+    * so the as-of lookup is over unique instants and its result is
+    * engine-unambiguous (DuckDB's native ASOF JOIN oracles it directly —
+    * an independent implementation of the same operator).
+    *
+    * Scale shape: bounds come from one 1-row aggregate; the spine is
+    * entities × buckets (callers pick `stepMicros` so that's
+    * corpus-sized, the usual resampling contract), and the fill is
+    * [[asofJoin]]'s single union+window shuffle — no per-bucket probing,
+    * no range join. Returns (entity, bucket, value). */
+  def resampleForwardFill(events: DataFrame, entityCol: String,
+                          tsMicrosCol: String, valueCol: String,
+                          stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, "stepMicros must be positive")
+    val bounds = events.agg(min(col(tsMicrosCol)), max(col(tsMicrosCol))).collect()(0)
+    require(!bounds.isNullAt(0), "resampleForwardFill: no events")
+    val b0 = Math.floorDiv(bounds.getLong(0), stepMicros)
+    val b1 = Math.floorDiv(bounds.getLong(1), stepMicros)
+    val spine = events.select(col(entityCol)).distinct()
+      .withColumn("bucket", explode(sequence(lit(b0), lit(b1))))
+      .withColumn(tsMicrosCol, col("bucket") * stepMicros)
+    val uniq = events.groupBy(col(entityCol), col(tsMicrosCol))
+      .agg(max(col(valueCol)).as(valueCol))
+    asofJoin(spine, uniq, Seq(entityCol), tsMicrosCol, Seq(valueCol))
+      .select(col(entityCol), col("bucket"), col(s"asof_$valueCol").as(valueCol))
+  }
+
   /** First-order state-transition counts — the Markov edge list of user
     * behavior ((prev_state, state) → n), feeding funnel diagnosis,
     * next-event prediction baselines, and bot detection (bots have

@@ -2035,6 +2035,34 @@ object Queries {
       candidates = 40, k = 8, lambdaNum = 7L, lambdaDen = 10L)
   }
 
+  /** q96's full BM25 SQL replay, shared verbatim with q131 (which
+    * nests it as a subquery and computes metrics on top). */
+  private val bm25TopkSql: String =
+    """WITH corpus AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM corpus),
+      |post AS (SELECT doc_id, unnest(toks) AS term FROM corpus),
+      |tfs AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM post GROUP BY 1,2),
+      |dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfs GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+      |q AS (SELECT doc_id AS qid, toks[1:5] AS qtoks FROM corpus
+      |  WHERE doc_id % 125 = 3),
+      |qt AS (SELECT qid, unnest(list_distinct(qtoks)) AS term FROM q),
+      |sc AS (SELECT qt.qid, t.doc_id,
+      |    round(sum( ln(1 + (s.n - d.df + 0.5::DOUBLE)/(d.df + 0.5::DOUBLE))
+      |      * t.tf * 2.2::DOUBLE
+      |      / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * l.dl / s.avgdl)) ), 4)
+      |      AS score
+      |  FROM qt JOIN tfs t USING (term) JOIN dfs d USING (term)
+      |    JOIN dl l ON t.doc_id = l.doc_id CROSS JOIN stats s
+      |  GROUP BY 1,2),
+      |rk AS (SELECT qid, doc_id, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+      |  FROM sc)
+      |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
+      |FROM rk WHERE rank <= 5""".stripMargin
+
   /** q129's oracle: the greedy MMR chain unrolled — candidate pool by
     * (rel4 desc, id), then k−1 argmax steps over the integer objective
     * 7·rel4 − 3·maxsim4 with id tie-break, each a correlated-subquery
@@ -2060,6 +2088,35 @@ object Queries {
     }
     b ++= s"\nSELECT rank, vec_id, rel4 FROM sel$k"
     b.toString
+  }
+
+  /** Regular-grid forward-fill resampling ([[graft.operators.Temporal
+    * .resampleForwardFill]]): the irregular event stream lands on a
+    * global hourly grid, each (user, hour) carrying the last value at or
+    * before the hour start. CROSS-VALIDATED implementation: the oracle is
+    * DuckDB's native ASOF JOIN — an independent engine's implementation
+    * of the same operator — over the identical unique-instant
+    * preparation. Raw 2-decimal values (no sums), so round(4) is safe. */
+  def q130ResampleFfill(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.resampleForwardFill(
+        events(s, dir).select(col("user_id"),
+          unix_micros(col("ts")).as("tsu"), col("value")),
+        "user_id", "tsu", "value", stepMicros = 3600000000L)
+      .select(col("user_id"), col("bucket").as("hour"),
+        round(col("value"), 4).as("value"))
+
+  /** Retrieval evaluation ([[graft.curate.Eval.retrievalMetrics]]) over
+    * q96's BM25 run: the relevant doc for each query is the doc the
+    * query was excerpted from, so recall@5 and the 1/2520-unit integer
+    * MRR measure whether retrieval finds the source. The oracle nests
+    * q96's full replay and computes the same integer metrics on top. */
+  def q131RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val qrels = docs
+      .filter(col("doc_id") % 125 === 3 && size(T.tokens(col("text"))) > 0)
+      .select(col("doc_id").as("rq"), col("doc_id").as("rdoc"))
+    graft.curate.Eval.retrievalMetrics(q96Bm25TopK(s, dir),
+      "qid", "doc_id", "rank", qrels, "rq", "rdoc")
   }
 
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
@@ -2199,7 +2256,9 @@ object Queries {
     "q126_k_anonymity" -> (q126KAnonymity _),
     "q127_fk_audit" -> (q127FkAudit _),
     "q128_audience_curve" -> (q128AudienceCurve _),
-    "q129_mmr_diverse" -> (q129MmrDiverse _))
+    "q129_mmr_diverse" -> (q129MmrDiverse _),
+    "q130_resample_ffill" -> (q130ResampleFfill _),
+    "q131_retrieval_eval" -> (q131RetrievalEval _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -3395,31 +3454,7 @@ object Queries {
     // q96: full BM25 replay. Literals are ::DOUBLE (bare 0.75 is DECIMAL —
     // the q80 lesson); ranking is on the ROUNDED score + doc_id, which is
     // deterministic cross-engine given the probed boundary margins.
-    "q96_bm25_topk" ->
-      """WITH corpus AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM corpus),
-        |post AS (SELECT doc_id, unnest(toks) AS term FROM corpus),
-        |tfs AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
-        |  FROM post GROUP BY 1,2),
-        |dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfs GROUP BY 1),
-        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
-        |q AS (SELECT doc_id AS qid, toks[1:5] AS qtoks FROM corpus
-        |  WHERE doc_id % 125 = 3),
-        |qt AS (SELECT qid, unnest(list_distinct(qtoks)) AS term FROM q),
-        |sc AS (SELECT qt.qid, t.doc_id,
-        |    round(sum( ln(1 + (s.n - d.df + 0.5::DOUBLE)/(d.df + 0.5::DOUBLE))
-        |      * t.tf * 2.2::DOUBLE
-        |      / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * l.dl / s.avgdl)) ), 4)
-        |      AS score
-        |  FROM qt JOIN tfs t USING (term) JOIN dfs d USING (term)
-        |    JOIN dl l ON t.doc_id = l.doc_id CROSS JOIN stats s
-        |  GROUP BY 1,2),
-        |rk AS (SELECT qid, doc_id, score,
-        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
-        |  FROM sc)
-        |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
-        |FROM rk WHERE rank <= 5""".stripMargin,
+    "q96_bm25_topk" -> bm25TopkSql,
     // q97: the oracle IS the full recompute — the incremental merge must
     // equal it row-for-row (raw columns only, no aggregation → no FP risk).
     "q97_incremental_join" ->
@@ -3874,5 +3909,39 @@ object Queries {
         |    AS BIGINT) AS cum_users
         |FROM d""".stripMargin,
     // q129: generated unrolled greedy replay (see mmrOracle scaladoc).
-    "q129_mmr_diverse" -> mmrOracle(candidates = 40, k = 8))
+    "q129_mmr_diverse" -> mmrOracle(candidates = 40, k = 8),
+    // q130: DuckDB's NATIVE ASOF JOIN is the oracle — an independent
+    // implementation of the forward-fill semantics (unique instants
+    // prepared identically; spine ts precomputed because ASOF wants a
+    // plain column comparison).
+    "q130_resample_ffill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value FROM events
+        |), u AS (
+        |  SELECT user_id, tsu, max(value) AS value FROM e GROUP BY user_id, tsu
+        |), b AS (
+        |  SELECT min(tsu)//3600000000 AS h0, max(tsu)//3600000000 AS h1 FROM e
+        |), spine AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1)) AS hour
+        |  FROM (SELECT DISTINCT user_id FROM e), b
+        |), s2 AS (
+        |  SELECT user_id, hour, hour*3600000000 AS tss FROM spine
+        |)
+        |SELECT s2.user_id, s2.hour, round(u.value, 4) AS value
+        |FROM s2 ASOF LEFT JOIN u
+        |  ON s2.user_id = u.user_id AND u.tsu <= s2.tss""".stripMargin,
+    // q131: q96's replay nested verbatim, integer metrics on top
+    // (2520 = lcm(1..10) makes every reciprocal rank exact; sums CAST
+    // from HUGEINT).
+    "q131_retrieval_eval" ->
+      s"""WITH res AS (
+        |$bm25TopkSql
+        |), m AS (
+        |  SELECT qid, min(CASE WHEN doc_id = qid THEN rank END) AS hit_rank
+        |  FROM res GROUP BY qid
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(count(hit_rank) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(sum(2520 // hit_rank), 0) AS BIGINT) AS rr2520_sum
+        |FROM m""".stripMargin)
 }

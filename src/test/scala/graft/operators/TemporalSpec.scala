@@ -160,4 +160,21 @@ class TemporalSpec extends SparkSpec {
       Seq(col("ts"), col("id"))).as[(String, String, Long)].collect().toSet
     assert(re == got)
   }
+  test("resampleForwardFill: LOCF on the global grid, nulls before first event") {
+    import org.apache.spark.sql.functions.col
+    val ev = Seq(
+      (1L, 100L, 10.0), (1L, 250L, 20.0), (2L, 50L, 5.0),
+      (2L, 100L, 7.0), (2L, 100L, 6.0) // tie at an instant: max wins
+    ).toDF("u", "tsu", "v")
+    val got = Temporal.resampleForwardFill(ev, "u", "tsu", "v", stepMicros = 100L)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // grid buckets 0..2 (50..250); bucket ts = b*100
+    assert(got((1L, 0L)).isEmpty)           // before u1's first event
+    assert(got((1L, 1L)).contains(10.0))    // ts 100 inclusive
+    assert(got((1L, 2L)).contains(10.0))    // 250 > 200: not yet visible
+    assert(got((2L, 0L)).isEmpty && got((2L, 1L)).contains(7.0))
+    assert(got((2L, 2L)).contains(7.0))
+    assert(got.size == 6)
+  }
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,phrase,merge,ivf)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,phrase,merge,ivf,anomaly,mmr,resample,prune)
   */
 object ScaleRehearsal {
 
@@ -389,6 +389,84 @@ object ScaleRehearsal {
       index.unpersist()
       (nIndexed == 500000 && rows == 100L * 10 && model.numCells == 707,
         f"indexed=$nIndexed cells=${model.numCells} build=$fitSec%.1fs topk_rows=$rows")
+    })
+
+    if (enabled("anomaly")) scenario("anomaly-p99-20m",
+        "exact percentile thresholds, 10 groups x 2M", {
+      // cents = id % 1e6 over 20M ids: group g = cents % 10 holds the
+      // 100k values ≡ g (mod 10), each exactly 20 times ⇒ closed-form
+      // type-7 p99: k = 1979999, r = 1, x_k = g+989990, x_k1 = g+990000,
+      // t_num = 100g + 98999010; above: 1000 values × 20 = 20000 rows.
+      val df = spark.range(0, 20000000).select(
+        (col("id") % 10).cast("int").as("g"),
+        ((col("id") % 1000000).cast("double") / 100.0).as("v"))
+      val got = graft.stats.Anomaly.thresholdCounts(df, "g", "v", 99, 100)
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val ok = (0 until 10).forall(g =>
+        got(g) == ((2000000L, 100L * g + 98999010L, 20000L)))
+      (ok && got.size == 10, s"groups=${got.size} g0=${got(0)} (expect (2000000,98999010,20000))")
+    })
+
+    if (enabled("mmr")) scenario("mmr-500k-pool200",
+        "corpus pass + heap pool + bounded greedy", {
+      import graft.ann.Mmr
+      val dim = 64
+      val vecs = spark.range(0, 500000).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          c => ((col("id") * 1315423911L + c * 2654435761L) % 997).cast("double") / 997.0)
+          .as("embedding"))
+      val qv = Array.tabulate(dim)(c => ((c * 2654435761L) % 997).toDouble / 997.0)
+      val a = Mmr.diverseTopK(vecs, "vec_id", "embedding", qv, candidates = 200, k = 16)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      // determinism across partitionings — the whole point of the
+      // quantized-integer greedy
+      val b = Mmr.diverseTopK(vecs.repartition(111), "vec_id", "embedding", qv,
+        candidates = 200, k = 16)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      val maxRel = a.map(_._3).max
+      (a == b && a.size == 16 && a.map(_._2).distinct.size == 16 &&
+        a.head._3 == maxRel && a.head._2 == 0L, // id 0 IS the query vector: rel4 = 10000
+        s"k=${a.size} first=${a.head} stable=${a == b}")
+    })
+
+    if (enabled("resample")) scenario("resample-20m-spine",
+        "global grid x 200k entities, one as-of shuffle", {
+      // each user: events at buckets u%40 (value u%100) and 60+u%40
+      // (value u%100+1); grid = 0..99 ⇒ spine 200k × 100 = 20M rows.
+      // Closed forms: nulls = Σ (u%40) = 5000*Σ0..39 = 3.9M; at bucket 99
+      // every user shows value u%100+1 ⇒ sum = 200000*(49.5+1) = 10.1M.
+      val S = 3600000000L
+      val users = spark.range(0, 200000)
+      val ev = users.select(col("id").as("u"), ((col("id") % 40) * S).as("tsu"),
+          (col("id") % 100).cast("double").as("v"))
+        .unionByName(users.select(col("id").as("u"),
+          ((col("id") % 40 + 60) * S).as("tsu"),
+          (col("id") % 100 + 1).cast("double").as("v")))
+      val res = graft.operators.Temporal.resampleForwardFill(ev, "u", "tsu", "v", S)
+      val agg = res.agg(count(lit(1)).as("rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("nulls"),
+        sum(when(col("bucket") === 99, col("v"))).as("tail_sum")).collect()(0)
+      (agg.getLong(0) == 20000000L && agg.getLong(1) == 3900000L &&
+        agg.getDouble(2) == 10100000.0,
+        s"rows=${agg.getLong(0)} nulls=${agg.getLong(1)} tail=${agg.getDouble(2)} " +
+          "(expect 20000000/3900000/10100000.0)")
+    })
+
+    if (enabled("prune")) scenario("prune-64-files",
+        "manifest skip on a range layout", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_prune_big").toString
+      spark.range(0, 20000000).select(col("id").as("k"))
+        .repartitionByRange(64, col("k")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(dir)
+      val manifest = graft.layout.Layout.fileStats(spark, dir, Seq("k"))
+      val (pruned, kept, total) =
+        graft.layout.Layout.prunedScan(spark, dir, manifest, "k", 5000000L, 7499999L)
+      val s1 = pruned.agg(sum(col("k"))).collect()(0).getLong(0)
+      // Σ k for k in [5e6, 7.5e6): 2.5e6 terms, closed form
+      val expect = (5000000L + 7499999L) * 2500000L / 2L
+      val okSkip = kept <= total / 2 && kept >= 1
+      (s1 == expect && okSkip && total == 64,
+        s"sum=$s1 (expect $expect) kept=$kept/$total")
     })
 
     spark.stop()

@@ -2119,6 +2119,67 @@ object Queries {
       "qid", "doc_id", "rank", qrels, "rq", "rdoc")
   }
 
+  /** CDC apply ([[graft.operators.Cdc.applyChanges]]): a constructed
+    * change log — two sequenced updates per every-10th customer (last
+    * wins: final balance +100 and the ' v2' name, never the +50 of
+    * seq 1), deletes for every 17th (sequenced AFTER the updates, so a
+    * key hit by both ends deleted), inserts in the negative key space —
+    * folds into the customer snapshot. The oracle derives the final
+    * state from the construction, so reduce-before-join, last-wins, and
+    * delete-override are all load-bearing. */
+  def q132CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = tbl(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    def change(src: DataFrame, op: String, seq: Long) =
+      src.withColumn("op", lit(op)).withColumn("seq", lit(seq))
+    val tenth = base.filter(col("c_custkey") % 10 === 0)
+    val changes =
+      change(tenth.withColumn("c_acctbal", col("c_acctbal") + 50), "U", 1L)
+        .unionByName(change(tenth
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+          .withColumn("c_name", concat(col("c_name"), lit(" v2"))), "U", 2L))
+        .unionByName(change(base.filter(col("c_custkey") % 17 === 0), "D", 3L))
+        .unionByName(change(base.filter(col("c_custkey") % 23 === 0)
+          .withColumn("c_custkey", -(col("c_custkey") + 1))
+          .withColumn("c_name", concat(col("c_name"), lit(" new")))
+          .withColumn("c_acctbal", lit(0.0)), "I", 1L))
+    graft.operators.Cdc.applyChanges(base, changes, Seq("c_custkey"), "op", "seq")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal"), 4).as("c_acctbal"), col("c_mktsegment"))
+  }
+
+  /** Point-in-time feature join — the feature-store correctness pattern:
+    * each purchase event carries the LAST click and view values at or
+    * before its timestamp (never after: no leakage from the future),
+    * via two chained [[graft.operators.Temporal.asofJoin]]s over
+    * unique-instant feature frames. Oracle = two native DuckDB ASOF
+    * JOINs (independent implementation, the q130 device). */
+  def q133FeatureJoin(s: SparkSession, dir: String): DataFrame = {
+    val T2 = graft.operators.Temporal
+    val ev = events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("tsu"), col("event_id"),
+      col("event_type"), col("value"))
+    def feat(t: String, name: String) = ev.filter(col("event_type") === t)
+      .groupBy(col("user_id"), col("tsu")).agg(max(col("value")).as(name))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu"), col("event_id"))
+    val withClick = T2.asofJoin(purchases, feat("click", "cv"),
+        Seq("user_id"), "tsu", Seq("cv"))
+      .select(col("user_id"), col("tsu"), col("event_id"), col("asof_cv").as("cv"))
+    T2.asofJoin(withClick, feat("view", "vv"), Seq("user_id"), "tsu", Seq("vv"))
+      .select(col("event_id"), col("user_id"), col("tsu"),
+        round(col("cv"), 4).as("click_value"),
+        round(col("asof_vv"), 4).as("view_value"))
+  }
+
+  /** Integer-exact z-score outliers ([[graft.stats.Anomaly
+    * .zOutlierCounts]]): (n·c − S₁)² > z²(n·S₂ − S₁²) on the cent grid —
+    * the two-sided tail count with literally zero floats (no mean, no
+    * variance, no division materialized). Every output column a bigint. */
+  def q134ZOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Anomaly.zOutlierCounts(events(s, dir), "event_type", "value", z = 2L)
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2258,7 +2319,10 @@ object Queries {
     "q128_audience_curve" -> (q128AudienceCurve _),
     "q129_mmr_diverse" -> (q129MmrDiverse _),
     "q130_resample_ffill" -> (q130ResampleFfill _),
-    "q131_retrieval_eval" -> (q131RetrievalEval _))
+    "q131_retrieval_eval" -> (q131RetrievalEval _),
+    "q132_cdc_apply" -> (q132CdcApply _),
+    "q133_feature_join" -> (q133FeatureJoin _),
+    "q134_z_outliers" -> (q134ZOutliers _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -3943,5 +4007,57 @@ object Queries {
         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  CAST(count(hit_rank) AS BIGINT) AS n_hit,
         |  CAST(COALESCE(sum(2520 // hit_rank), 0) AS BIGINT) AS rr2520_sum
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+    // q132: the final snapshot derives from the construction — deletes
+    // override updates (higher seq), last update wins, inserts land in
+    // the negative key space. 0.0 is ::DOUBLE (bare 0.0 is DECIMAL).
+    "q132_cdc_apply" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 10 = 0 THEN c_name || ' v2' ELSE c_name END AS c_name,
+        |  c_nationkey,
+        |  round(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END, 4) AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer WHERE c_custkey % 17 <> 0
+        |UNION ALL
+        |SELECT -(c_custkey + 1), c_name || ' new', c_nationkey,
+        |  round(0.0::DOUBLE, 4), c_mktsegment
+        |FROM customer WHERE c_custkey % 23 = 0""".stripMargin,
+    // q133: two chained NATIVE ASOF JOINs over the same unique-instant
+    // feature preparation — the q130 cross-validation device, composed.
+    "q133_feature_join" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |    event_id, event_type, value FROM events
+        |), p AS (
+        |  SELECT user_id, tsu, event_id FROM e WHERE event_type = 'purchase'
+        |), fc AS (
+        |  SELECT user_id, tsu, max(value) AS cv FROM e
+        |  WHERE event_type = 'click' GROUP BY user_id, tsu
+        |), fv AS (
+        |  SELECT user_id, tsu, max(value) AS vv FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id, tsu
+        |), j1 AS (
+        |  SELECT p.event_id, p.user_id, p.tsu, fc.cv
+        |  FROM p ASOF LEFT JOIN fc
+        |    ON p.user_id = fc.user_id AND fc.tsu <= p.tsu
+        |)
+        |SELECT j1.event_id, j1.user_id, j1.tsu,
+        |  round(j1.cv, 4) AS click_value, round(fv.vv, 4) AS view_value
+        |FROM j1 ASOF LEFT JOIN fv
+        |  ON j1.user_id = fv.user_id AND fv.tsu <= j1.tsu""".stripMargin,
+    // q134: verbatim bigint replay — the inequality is the whole test.
+    "q134_z_outliers" ->
+      """WITH c AS (
+        |  SELECT event_type AS g, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL
+        |), m AS (
+        |  SELECT g, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s1,
+        |    CAST(sum(cents*cents) AS BIGINT) AS s2
+        |  FROM c GROUP BY g
+        |)
+        |SELECT m.g AS event_type, m.n, m.s1, m.s2,
+        |  CAST(sum(CASE WHEN (m.n*c.cents - m.s1)*(m.n*c.cents - m.s1)
+        |      > 4*(m.n*m.s2 - m.s1*m.s1) THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        |FROM c JOIN m ON c.g = m.g
+        |GROUP BY m.g, m.n, m.s1, m.s2""".stripMargin)
 }

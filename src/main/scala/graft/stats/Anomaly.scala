@@ -63,6 +63,41 @@ object Anomaly {
       .withColumnRenamed("__g", groupCol)
   }
 
+  /** Integer-exact z-score outlier counts — "how many values sit more
+    * than z standard deviations from their group's mean?", with the
+    * whole test performed in bigint arithmetic: on the cent grid,
+    *   (x − μ)² > z²·σ²  ⟺  (n·c − S₁)² > z²·(n·S₂ − S₁²)
+    * where S₁ = Σc, S₂ = Σc² — both exact group sums. No mean, no
+    * variance, no division, no float is ever materialized, so the count
+    * can never flip on summation order and any engine replays it.
+    *
+    * Magnitude contract (64-bit): |n·c − S₁| and z²·(n·S₂ − S₁²) must
+    * fit a signed long — holds for groups up to ~10⁵ rows of ≤5-digit
+    * cent values (the battery regime); beyond that, lift the two sides
+    * into DECIMAL(38,0)/int128 — the inequality itself is unchanged.
+    *
+    * Scale shape: one grouped aggregation (map-side partial) for the
+    * sums; the group-sized moment frame broadcasts back onto a second
+    * pass of the slim (group, cents) projection. */
+  def zOutlierCounts(df: DataFrame, groupCol: String, valueCol: String,
+                     z: Long = 2L): DataFrame = {
+    require(z >= 1, "z must be >= 1")
+    val base = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long").as("__c"))
+    val moments = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("s1"),
+        sum(col("__c") * col("__c")).as("s2"))
+    base.join(broadcast(moments), Seq("__g"))
+      .groupBy(col("__g"), col("n"), col("s1"), col("s2"))
+      .agg(sum(when(
+        (col("n") * col("__c") - col("s1")) * (col("n") * col("__c") - col("s1")) >
+          lit(z * z) * (col("n") * col("s2") - col("s1") * col("s1")), 1L)
+        .otherwise(0L)).as("n_out"))
+      .withColumnRenamed("__g", groupCol)
+  }
+
   /** Exact rolling median over the last `window` events per entity — the
     * smoothed baseline a spike detector compares against, kept
     * engine-exact the same way as [[thresholdCounts]]: cents-grid values

@@ -53,4 +53,18 @@ class AnomalySpec extends SparkSpec {
     assert(got(1L) == ((1, 200L)) && got(2L) == ((2, 600L)))
     assert(got(3L) == ((3, 600L)) && got(4L) == ((3, 600L)))
   }
+  test("zOutlierCounts: hand-computed integer inequality") {
+    // group a cents: 100, 100, 100, 100, 700 -> n=5, s1=1100, s2=530000
+    // V = n*s2 - s1^2 = 2650000 - 1210000 = 1440000; z=2: rhs = 5760000
+    // x=100: (500-1100)^2 = 360000 (in);  x=700: (3500-1100)^2 = 5760000
+    //   -> NOT > rhs (exact boundary: the strict inequality keeps it in)
+    val df = Seq(("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 7.0)).toDF("g", "v")
+    val got = Anomaly.zOutlierCounts(df, "g", "v", z = 2L)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(got == (("a", 5L, 1100L, 530000L, 0L)))
+    // z=1: rhs = 1440000 -> 700 is out (5760000 > 1440000), the 100s stay
+    val g1 = Anomaly.zOutlierCounts(df, "g", "v", z = 1L)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(g1 == (("a", 5L, 1100L, 530000L, 1L)))
+  }
 }

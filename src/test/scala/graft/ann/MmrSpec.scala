@@ -41,4 +41,39 @@ class MmrSpec extends SparkSpec {
     // pool is {a, b} (rel4 ranking with id tie-break); both picked
     assert(got.map(_._2) == Seq(1L, 2L))
   }
+  test("diverseTopK == independent reference greedy over 3 seeded random pools") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val dim = 8
+      val n = 30
+      val vecs = (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() - 0.3f)))
+      val df = vecs.toDF("vec_id", "embedding")
+      val qv = Array.fill(dim)(rnd.nextDouble() - 0.3)
+      val k = 6
+      val got = Mmr.diverseTopK(df, "vec_id", "embedding", qv, candidates = n, k = k,
+        lambdaNum = 3L, lambdaDen = 5L)
+        .as[(Int, Long, Long)].collect().toSeq
+      // reference: same quantization, independent greedy over ALL vectors
+      def sim4(a: Array[Double], b: Array[Double]): Long = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        math.floor((if (den == 0) 0.0 else d / den) * 10000.0 + 0.5).toLong
+      }
+      val pool = vecs.map { case (id, v) =>
+        (id, v.map(_.toDouble), sim4(v.map(_.toDouble), qv)) }
+      var sel = List.empty[(Long, Long)]
+      var rem = pool
+      while (sel.size < k) {
+        val best = rem.minBy { case (id, v, rel) =>
+          val obj = if (sel.isEmpty) 3L * rel
+            else 3L * rel - 2L * sel.map(s => sim4(v, pool(s._1.toInt)._2)).max
+          (-obj, id)
+        }
+        sel = sel :+ ((best._1, best._3)); rem = rem.filterNot(_._1 == best._1)
+      }
+      val expect = sel.zipWithIndex.map { case ((id, rel), i) => (i + 1, id, rel) }
+      assert(got == expect, s"seed $seed: got $got expect $expect")
+    }
+  }
 }

@@ -34,4 +34,25 @@ class CdcSpec extends SparkSpec {
         Seq("k"), "op", "seq")
     }
   }
+  test("applyChanges == sequential reference fold over 5 seeded random logs") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val baseKeys = (0L until 30L).filter(_ => rnd.nextBoolean())
+      val b = baseKeys.map(k => (k, s"n$k", k * 1.0)).toDF("k", "name", "bal")
+      val log = (1L to 60L).map { seq =>
+        val k = rnd.nextInt(40).toLong // keys beyond the base = inserts
+        val op = rnd.nextInt(4) match { case 0 => "D"; case _ => "U" }
+        (k, s"n$k-$seq", k + seq * 0.01, op, seq)
+      }
+      val changes = log.toDF("k", "name", "bal", "op", "seq")
+      val got = Cdc.applyChanges(b, changes, Seq("k"), "op", "seq")
+        .as[(Long, String, Double)].collect().toSet
+      // reference: fold ops in seq order into a map
+      var state = baseKeys.map(k => k -> ((s"n$k", k * 1.0))).toMap
+      for ((k, name, bal, op, _) <- log.sortBy(_._5))
+        state = if (op == "D") state - k else state + (k -> ((name, bal)))
+      val expect = state.map { case (k, (n, v)) => (k, n, v) }.toSet
+      assert(got == expect, s"seed $seed")
+    }
+  }
 }

@@ -45,4 +45,25 @@ object Diff {
           .when(!same, lit("changed"))
           .otherwise(lit("unchanged")).as("change_type"): _*)
   }
+  /** Schema drift between two frames — the metadata-level diff that
+    * gates a pipeline BEFORE the data-level [[snapshotDiff]] runs:
+    * columns added, removed, or type-changed between a producer's new
+    * output and the contract the consumers compiled against. Pure
+    * metadata (plan schemas — zero jobs, nothing scanned); the result is
+    * a tiny frame so it drops into the same gates as every other check.
+    * Output: (column, change, from_type, to_type), change ∈
+    * added | removed | type_changed, ordered by column name. */
+  def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    val o = oldDf.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val n = newDf.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      (n.keySet -- o.keySet).toSeq.map(c => (c, "added", null: String, n(c))) ++
+      (o.keySet -- n.keySet).toSeq.map(c => (c, "removed", o(c), null: String)) ++
+      (o.keySet & n.keySet).toSeq.collect {
+        case c if o(c) != n(c) => (c, "type_changed", o(c), n(c))
+      }
+    rows.sortBy(_._1).toDF("column", "change", "from_type", "to_type")
+  }
 }

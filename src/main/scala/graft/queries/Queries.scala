@@ -2180,6 +2180,48 @@ object Queries {
   def q134ZOutliers(s: SparkSession, dir: String): DataFrame =
     graft.stats.Anomaly.zOutlierCounts(events(s, dir), "event_type", "value", z = 2L)
 
+  /** Session path mining ([[graft.streaming.Sessionize.sessionPaths]]):
+    * the 20 most common within-session event sequences under 30-minute
+    * gap sessions — funnel discovery as data. Sessions and paths are
+    * fully determined by the (micros, event_id) total order; the top-20
+    * cut ranks on (n desc, path), a total order, on the heap top-k
+    * node. Oracle replays the lag/cumsum session assignment and
+    * DuckDB's ordered string_agg. */
+  def q135SessionPaths(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize.sessionPaths(
+      events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"), col("event_type")),
+      "user_id", "tsu", "event_id", "event_type",
+      gapMicros = 1800000000L, topK = 20)
+
+  /** Trending types per hopping window: 2h windows sliding 1h (q107's
+    * native `window()`), top-3 event types per window by (count desc,
+    * type) on the heap top-k node — the "what's hot right now"
+    * dashboard query. Oracle = the q107 two-aligned-starts unnest +
+    * row_number ≤ 3. */
+  def q136Trending(s: SparkSession, dir: String): DataFrame = {
+    val counts = events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("win_start_us"),
+        col("event_type"), col("n"))
+    graft.plan.TopKPerGroup(counts, Seq(col("win_start_us")),
+      Seq(col("n").desc, col("event_type").asc), 3, "rank")
+      .select(col("win_start_us"), col("event_type"), col("n"), col("rank"))
+  }
+
+  /** Schema drift audit ([[graft.operators.Diff.schemaDiff]]): the
+    * documents contract vs an evolved producer output (source dropped,
+    * a quality column added, doc_id narrowed to int) — metadata-only,
+    * zero scans. The oracle is the construction-derived literal table. */
+  def q137SchemaDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val evolved = docs.drop("source")
+      .withColumn("quality", lit(0.5))
+      .withColumn("doc_id", col("doc_id").cast("int"))
+    graft.operators.Diff.schemaDiff(docs, evolved)
+  }
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2322,7 +2364,10 @@ object Queries {
     "q131_retrieval_eval" -> (q131RetrievalEval _),
     "q132_cdc_apply" -> (q132CdcApply _),
     "q133_feature_join" -> (q133FeatureJoin _),
-    "q134_z_outliers" -> (q134ZOutliers _))
+    "q134_z_outliers" -> (q134ZOutliers _),
+    "q135_session_paths" -> (q135SessionPaths _),
+    "q136_trending" -> (q136Trending _),
+    "q137_schema_drift" -> (q137SchemaDrift _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -4059,5 +4104,56 @@ object Queries {
         |  CAST(sum(CASE WHEN (m.n*c.cents - m.s1)*(m.n*c.cents - m.s1)
         |      > 4*(m.n*m.s2 - m.s1*m.s1) THEN 1 ELSE 0 END) AS BIGINT) AS n_out
         |FROM c JOIN m ON c.g = m.g
-        |GROUP BY m.g, m.n, m.s1, m.s2""".stripMargin)
+        |GROUP BY m.g, m.n, m.s1, m.s2""".stripMargin,
+    // q135: lag/cumsum session replay + ordered string_agg; top-20 cut
+    // on the (n desc, path) total order.
+    "q135_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |    event_id, event_type FROM events
+        |), l AS (
+        |  SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS pt
+        |  FROM e
+        |), s AS (
+        |  SELECT *, sum(CASE WHEN pt IS NULL OR tsu - pt > 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM l
+        |), p AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY tsu, event_id) AS path
+        |  FROM s GROUP BY user_id, sid
+        |), c AS (
+        |  SELECT path, count(*) AS n FROM p GROUP BY path
+        |), r AS (
+        |  SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rank
+        |  FROM c
+        |)
+        |SELECT CAST(rank AS INT) AS rank, path, n FROM r WHERE rank <= 20""".stripMargin,
+    // q136: every event belongs to the two epoch-aligned 2h/1h hop
+    // windows (the q107 device); top-3 per window by (n desc, type).
+    "q136_trending" ->
+      """WITH e AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_type FROM events
+        |), w AS (
+        |  SELECT unnest([(tsu//3600000000)*3600000000,
+        |                 (tsu//3600000000 - 1)*3600000000]) AS win_start_us,
+        |    event_type FROM e
+        |), g AS (
+        |  SELECT win_start_us, event_type, count(*) AS n FROM w GROUP BY 1, 2
+        |), r AS (
+        |  SELECT win_start_us, event_type, n,
+        |    row_number() OVER (PARTITION BY win_start_us ORDER BY n DESC, event_type) AS rank
+        |  FROM g
+        |)
+        |SELECT win_start_us, event_type, n, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 3""".stripMargin,
+    // q137: construction-derived literal — the drift IS the query's own
+    // evolution of the documents schema.
+    "q137_schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('doc_id', 'type_changed', 'bigint', 'int'),
+        |  ('quality', 'added', NULL, 'double'),
+        |  ('source', 'removed', 'string', NULL)
+        |) AS t("column", change, from_type, to_type)""".stripMargin)
 }

@@ -41,6 +41,40 @@ object Sessionize {
         round(sum(col(valueCol)), 4).as("total_value"))
   }
 
+  /** Session path mining — the top-k most common within-session event
+    * SEQUENCES ("view>click>purchase"), the funnel-discovery counterpart
+    * of [[batchSessions]]' per-session rollup. Sessions split on
+    * `ts − prev > gapMicros` under the (tsMicros, id) total order; each
+    * session's path is its states joined in that order; paths rank by
+    * (count desc, path) on the heap top-k node — no global sort.
+    *
+    * Scale shape: one entity-key shuffle (lag + cumulative flag sum),
+    * one (entity, session) aggregation whose collect_list is bounded by
+    * session length (sessions are short by the gap construction — a
+    * pathological never-idle entity degrades to its event count, the
+    * same bound any sessionizer has), then a path-sized count. */
+  def sessionPaths(events: DataFrame, entityCol: String, tsMicrosCol: String,
+                   idCol: String, stateCol: String, gapMicros: Long,
+                   topK: Int): DataFrame = {
+    require(gapMicros > 0 && topK >= 1, "need positive gap and topK")
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsMicrosCol), col(idCol))
+    val withSess = events
+      .withColumn("__prev", lag(col(tsMicrosCol), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col(tsMicrosCol) - col("__prev") > gapMicros, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = withSess
+      .groupBy(col(entityCol), col("__sid"))
+      .agg(collect_list(struct(col(tsMicrosCol), col(idCol), col(stateCol))).as("__evs"))
+      .select(array_join(
+        transform(array_sort(col("__evs")), e => e.getField(stateCol)), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+    graft.plan.TopKPerGroup(paths, Seq(lit(1)),
+      Seq(col("n").desc, col("path").asc), topK, "rank")
+      .select(col("rank"), col("path"), col("n"))
+  }
+
   case class UserCount(user_id: Long, n: Long)
 
   /** Stateful per-user event counting across micro-batches — the

@@ -52,4 +52,18 @@ class DiffSpec extends SparkSpec {
       Diff.snapshotDiff(old, neu, Seq("k"))
     }
   }
+  test("schemaDiff: added/removed/type_changed, metadata only") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val a = Seq((1L, "x", 0.5)).toDF("id", "name", "score")
+    val b = a.drop("score").withColumn("id", col("id").cast("int"))
+      .withColumn("tag", lit("t"))
+    val got = Diff.schemaDiff(a, b)
+      .as[(String, String, Option[String], Option[String])].collect().toSeq
+    assert(got == Seq(
+      ("id", "type_changed", Some("bigint"), Some("int")),
+      ("score", "removed", Some("double"), None),
+      ("tag", "added", None, Some("string"))))
+    assert(Diff.schemaDiff(a, a).count() == 0)
+  }
 }

@@ -65,4 +65,20 @@ class SessionizeSpec extends SparkSpec {
       assert(r2 == Map(10L -> 3L, 20L -> 1L))
     } finally q.stop()
   }
+  test("sessionPaths: gap splits, ordered paths, (n desc, path) top-k") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ev = Seq(
+      // u1: a,b within gap | new session: a,b again (same path twice for u1? no - different users)
+      (1L, 100L, 1L, "a"), (1L, 150L, 2L, "b"),
+      (1L, 1000L, 3L, "a"), (1L, 1050L, 4L, "b"),
+      // u2: single-event session "c", and a tie at ts=100 ordered by id: a then b
+      (2L, 100L, 5L, "a"), (2L, 100L, 6L, "b"), (2L, 5000L, 7L, "c")
+    ).toDF("u", "tsu", "id", "st")
+    val got = Sessionize.sessionPaths(ev, "u", "tsu", "id", "st",
+        gapMicros = 500L, topK = 10)
+      .as[(Int, String, Long)].collect().toSeq
+    // paths: u1 -> "a>b" x2; u2 -> "a>b" (tie ordered by id) + "c"
+    assert(got == Seq((1, "a>b", 3L), (2, "c", 1L)))
+  }
 }

@@ -22,6 +22,31 @@ object Curate {
   def hashBucket(id: Column, buckets: Int, salt: String = ""): Column =
     hashBucketDyn(id, buckets, lit(salt))
 
+  /** Downsample every group to (approximately, deterministically) the
+    * size of the SMALLEST group — distribution matching for dataset
+    * balancing, the DOWNSAMPLING dual of [[weightedMix]]'s upsampling.
+    * A row survives iff `portableHash60(id:salt) mod n_group < n_min`:
+    * a per-group keep-rate of exactly n_min/n_group applied by portable
+    * md5 arithmetic, so the surviving SET is a pure function of the data
+    * (engine/partitioning/cluster-size independent) and a SQL engine
+    * replays it verbatim. Survivor counts are Binomial-concentrated
+    * around n_min (exact equality would need a per-group rank — a
+    * per-group sort this deliberately avoids).
+    *
+    * Scale shape: one group-count aggregation (group-sized, broadcast
+    * back), then a map-side filter — the corpus moves zero times. */
+  def matchDistribution(df: DataFrame, groupCol: String, idCol: String,
+                        salt: String = ""): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val minRow = counts.agg(min(col("__n"))).collect()(0)
+    require(!minRow.isNullAt(0), "matchDistribution: empty input")
+    val nMin = minRow.getLong(0)
+    df.join(broadcast(counts), Seq(groupCol))
+      .filter(pmod(portableHash60(concat(col(idCol).cast("string"), lit(salt))),
+        col("__n")) < lit(nMin))
+      .drop("__n")
+  }
+
   /** [[hashBucket]] with a per-row (Column) salt — e.g. an epoch index, so
     * each epoch draws an independent deterministic subsample. */
   def hashBucketDyn(id: Column, buckets: Int, salt: Column): Column =

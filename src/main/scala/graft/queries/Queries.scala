@@ -2035,6 +2035,21 @@ object Queries {
       candidates = 40, k = 8, lambdaNum = 7L, lambdaDen = 10L)
   }
 
+  /** q104's session-window SQL replay, shared verbatim with q140 (the
+    * streaming run must equal the batch result exactly). */
+  private val sessionWindowSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+      |f AS (SELECT user_id, us, value,
+      |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 3600000000 THEN 1 ELSE 0 END AS ns
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |g AS (SELECT user_id, us, value,
+      |  sum(ns) OVER (PARTITION BY user_id ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM f)
+      |SELECT user_id, min(us) AS session_start_us,
+      |  max(us) + 3600000000 AS session_end_us,
+      |  count(*) AS n_events, round(sum(value), 4) AS total_value
+      |FROM g GROUP BY user_id, sid""".stripMargin
+
   /** q96's full BM25 SQL replay, shared verbatim with q131 (which
     * nests it as a subquery and computes metrics on top). */
   private val bm25TopkSql: String =
@@ -2222,6 +2237,56 @@ object Queries {
     graft.operators.Diff.schemaDiff(docs, evolved)
   }
 
+  /** Distribution-matching downsample ([[graft.curate.Curate
+    * .matchDistribution]]): every source downsamples to ~the smallest
+    * source's size via `hash mod n < n_min` — the deterministic
+    * balancing dual of q65's weighted upsampling. The oracle replays
+    * the md5 arithmetic and the count join verbatim. */
+  def q138MatchDistribution(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curate.matchDistribution(
+        tbl(s, dir, "documents"), "source", "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(length(col("text")).cast("long")).as("kept_chars"))
+
+  /** Golden-record survivorship ([[graft.operators.Golden
+    * .goldenRecords]]): constructed duplicate records per entity
+    * (cluster = custkey div 3) with deterministically-nulled fields and
+    * seq = custkey — each output field is the latest non-null, which
+    * DuckDB replays as arg_max FILTER (WHERE non-null). */
+  def q139GoldenRecords(s: SparkSession, dir: String): DataFrame = {
+    val dirty = tbl(s, dir, "customer").select(
+      (col("c_custkey") - pmod(col("c_custkey"), lit(3L))).as("cluster"),
+      col("c_custkey").as("seq"),
+      when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+        .otherwise(col("c_name")).as("name"),
+      when(col("c_custkey") % 3 === 1, lit(null).cast("double"))
+        .otherwise(col("c_acctbal")).as("bal"),
+      when(col("c_custkey") % 3 === 2, lit(null).cast("string"))
+        .otherwise(col("c_mktsegment")).as("segment"))
+    graft.operators.Golden.goldenRecords(dirty, "cluster", "seq",
+        Seq("name", "bal", "segment"))
+      .select(col("cluster"), col("name"), round(col("bal"), 4).as("bal"),
+        col("segment"))
+  }
+
+  /** Streaming session_window rollup ≡ the batch q104 (the q28
+    * equivalence pattern applied to SESSION state): the same gap
+    * sessionization runs UNDER the streaming engine in complete mode,
+    * and must produce exactly the batch result — same lag-replay
+    * oracle as q104. */
+  def q140StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    val (ss, src) = eventsStreamSession(s, dir)
+    val stream = normalizeTs(src())
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+    drainToTable(ss, stream, "q140_stream_sessions_sink", "complete")
+  }
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2367,7 +2432,10 @@ object Queries {
     "q134_z_outliers" -> (q134ZOutliers _),
     "q135_session_paths" -> (q135SessionPaths _),
     "q136_trending" -> (q136Trending _),
-    "q137_schema_drift" -> (q137SchemaDrift _))
+    "q137_schema_drift" -> (q137SchemaDrift _),
+    "q138_match_distribution" -> (q138MatchDistribution _),
+    "q139_golden_records" -> (q139GoldenRecords _),
+    "q140_stream_sessions" -> (q140StreamSessions _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -3673,18 +3741,7 @@ object Queries {
     // q104: lag-replay of session_window's merge rule (merge while gap
     // < 1 h ⇔ split at >= 3600s; integer-micros comparison, boundary
     // probed ≥ 0.28 s clear); session_end = last event + gap
-    "q104_session_window" ->
-      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
-        |f AS (SELECT user_id, us, value,
-        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 3600000000 THEN 1 ELSE 0 END AS ns
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
-        |g AS (SELECT user_id, us, value,
-        |  sum(ns) OVER (PARTITION BY user_id ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM f)
-        |SELECT user_id, min(us) AS session_start_us,
-        |  max(us) + 3600000000 AS session_end_us,
-        |  count(*) AS n_events, round(sum(value), 4) AS total_value
-        |FROM g GROUP BY user_id, sid""".stripMargin,
+    "q104_session_window" -> sessionWindowSql,
     // q105: q47's recursive-CTE CC gives the cluster canonicals; all docs
     // left-join it (singletons canonicalize to themselves) and the split
     // replays q43's md5-bucket arithmetic on the CANONICAL id.
@@ -4155,5 +4212,35 @@ object Queries {
         |  ('doc_id', 'type_changed', 'bigint', 'int'),
         |  ('quality', 'added', NULL, 'double'),
         |  ('source', 'removed', 'string', NULL)
-        |) AS t("column", change, from_type, to_type)""".stripMargin)
+        |) AS t("column", change, from_type, to_type)""".stripMargin,
+    // q138: verbatim md5-mod replay of the keep rule + the count join.
+    "q138_match_distribution" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY source
+        |), k AS (
+        |  SELECT d.source, d.text FROM documents d JOIN c USING (source)
+        |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % c.n
+        |        < (SELECT min(n) FROM c)
+        |)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(length(text)) AS BIGINT) AS kept_chars
+        |FROM k GROUP BY source""".stripMargin,
+    // q139: latest-non-null per field = arg_max FILTER (WHERE non-null);
+    // seq (= custkey) is unique per cluster, so the pick is total.
+    "q139_golden_records" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey - (c_custkey % 3) AS cluster, c_custkey AS seq,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END AS name,
+        |    CASE WHEN c_custkey % 3 = 1 THEN NULL ELSE c_acctbal END AS bal,
+        |    CASE WHEN c_custkey % 3 = 2 THEN NULL ELSE c_mktsegment END AS segment
+        |  FROM customer
+        |)
+        |SELECT cluster,
+        |  arg_max(name, seq) FILTER (WHERE name IS NOT NULL) AS name,
+        |  round(arg_max(bal, seq) FILTER (WHERE bal IS NOT NULL), 4) AS bal,
+        |  arg_max(segment, seq) FILTER (WHERE segment IS NOT NULL) AS segment
+        |FROM dirty GROUP BY cluster""".stripMargin,
+    // q140: the streaming complete-mode session rollup must equal the
+    // batch q104 — identical oracle by construction.
+    "q140_stream_sessions" -> sessionWindowSql)
 }

@@ -320,4 +320,20 @@ class CurateSpec extends SparkSpec {
     val sums = out.groupBy(r => (r._1, r._4)).values.map(_.map(_._3).sum)
     assert(sums.forall(_ <= 70))
   }
+  test("matchDistribution: keep rule is deterministic and group-capped in expectation") {
+    import org.apache.spark.sql.functions._
+    val df = (0L until 300L).map(i => (i, if (i < 250) "big" else "small"))
+      .toDF("id", "src")
+    val kept = Curate.matchDistribution(df, "src", "id")
+    val bySrc = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    // smallest group (50) survives whole: hash mod 50 < 50 always
+    assert(bySrc("small") == 50L)
+    // big group keeps ~50 (binomial around n_min), never more than its size
+    assert(bySrc("big") > 20L && bySrc("big") < 90L)
+    // determinism + partitioning invariance of the surviving SET
+    val a = kept.select("id").as[Long].collect().toSet
+    val b = Curate.matchDistribution(df.repartition(7), "src", "id")
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
 }

@@ -2035,6 +2035,46 @@ object Queries {
       candidates = 40, k = 8, lambdaNum = 7L, lambdaDen = 10L)
   }
 
+  /** q22's / q23's pair-set replays, shared verbatim with q143 (the
+    * detector-agreement audit wraps both as subqueries). */
+  private lazy val minhashPairsSql: String =
+    s"""WITH ${portableSigCtes("doc_id")},
+      |bandix AS (SELECT unnest(range(0, 16)) AS band),
+      |banded AS (SELECT doc_id, band,
+      |  CAST(concat('0x', substr(md5(concat(band::VARCHAR, '_',
+      |    array_to_string(sig[band*4+1 : band*4+4], ','))), 1, 15)) AS BIGINT) AS bhash
+      | FROM sig CROSS JOIN bandix),
+      |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      | FROM banded x JOIN banded y
+      |   ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id),
+      |est AS (SELECT c.id_a, c.id_b,
+      |  len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) / 64.0 AS ej
+      | FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+      |             JOIN sig sb ON sb.doc_id = c.id_b)
+      |SELECT id_a, id_b, round(ej, 4) AS est_jaccard FROM est WHERE ej >= 0.5""".stripMargin
+
+  private val simhashPairsSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |  unnest(CASE WHEN length(trim(text)) = 0 THEN []
+      |              ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+      | FROM documents),
+      |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS hv FROM tok),
+      |bits AS (SELECT unnest(range(0, 60)) AS j),
+      |votes AS (SELECT doc_id, j, sum(CASE WHEN ((hv >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      | FROM h CROSS JOIN bits GROUP BY 1, 2),
+      |fpx AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS fp
+      | FROM votes GROUP BY 1),
+      |fp AS (SELECT d.doc_id, coalesce(fpx.fp, 0::BIGINT) AS fp
+      | FROM documents d LEFT JOIN fpx ON d.doc_id = fpx.doc_id),
+      |chunkix AS (SELECT unnest(range(0, 4)) AS band),
+      |banded AS (SELECT doc_id, fp, band, ((fp >> (band * 15)) & 32767) AS chunk
+      | FROM fp CROSS JOIN chunkix),
+      |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, bit_count(xor(x.fp, y.fp)) AS hd
+      | FROM banded x JOIN banded y
+      |   ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+      |SELECT id_a, id_b, CAST(min(hd) AS INT) AS hamming
+      |FROM pairs WHERE hd <= 3 GROUP BY 1, 2""".stripMargin
+
   /** q104's session-window SQL replay, shared verbatim with q140 (the
     * streaming run must equal the batch result exactly). */
   private val sessionWindowSql: String =
@@ -2287,6 +2327,50 @@ object Queries {
     drainToTable(ss, stream, "q140_stream_sessions_sink", "complete")
   }
 
+  /** Bloom-prefiltered semi join ([[graft.operators.BloomJoin
+    * .semiJoin]]): lineitem reduced to urgent orders' line items — the
+    * runtime-filter pattern where the fact side drops non-matching rows
+    * at the scan, BEFORE the exchange. False positives die in the exact
+    * join, so the result must equal the plain semi join — the oracle. */
+  def q141BloomSemiJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BloomJoin.semiJoin(
+        tbl(s, dir, "lineitem"), "l_orderkey",
+        tbl(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("qty"))
+
+  /** Exact distinct users per hopping window (2h / 1h): the windowed
+    * audience counter — native `window()` + countDistinct (exact; q77's
+    * KMV is the sketched sibling for when exact is too expensive).
+    * Oracle = the two-aligned-starts unnest + count(DISTINCT). */
+  def q142WindowedDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("win_start_us"),
+        col("n_users"), col("n_events"))
+
+  /** Near-dup detector agreement audit: MinHash-LSH (q22's pairs) vs
+    * SimHash (q23's) over the same corpus — pair-set sizes and overlap
+    * as one integer row. The operational question ("do the cheap and
+    * expensive detectors agree enough to swap?") answered as data; both
+    * pair sets replay portably, so the audit does too. */
+  def q143DetectorAgreement(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5,
+        portable = true)
+      .select(col("id_a"), col("id_b"), lit(1L).as("mh"), lit(0L).as("sh"))
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+        portable = true)
+      .select(col("id_a"), col("id_b"), lit(0L).as("mh"), lit(1L).as("sh"))
+    mh.unionByName(sh)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("mh")).as("mh"), max(col("sh")).as("sh"))
+      .agg(sum(col("mh")).as("n_minhash"), sum(col("sh")).as("n_simhash"),
+        sum(when(col("mh") === 1 && col("sh") === 1, 1L).otherwise(0L)).as("n_both"))
+  }
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2435,7 +2519,10 @@ object Queries {
     "q137_schema_drift" -> (q137SchemaDrift _),
     "q138_match_distribution" -> (q138MatchDistribution _),
     "q139_golden_records" -> (q139GoldenRecords _),
-    "q140_stream_sessions" -> (q140StreamSessions _))
+    "q140_stream_sessions" -> (q140StreamSessions _),
+    "q141_bloom_semi_join" -> (q141BloomSemiJoin _),
+    "q142_windowed_distinct" -> (q142WindowedDistinct _),
+    "q143_detector_agreement" -> (q143DetectorAgreement _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -2662,46 +2749,12 @@ object Queries {
     // "band_v1,v2,v3,v4"), bucket pairs, signature-agreement Jaccard.
     // est values are n/64 (exact binary fractions): round + >= behave
     // identically in both engines.
-    "q22_minhash_pairs" ->
-      s"""WITH ${portableSigCtes("doc_id")},
-        |bandix AS (SELECT unnest(range(0, 16)) AS band),
-        |banded AS (SELECT doc_id, band,
-        |  CAST(concat('0x', substr(md5(concat(band::VARCHAR, '_',
-        |    array_to_string(sig[band*4+1 : band*4+4], ','))), 1, 15)) AS BIGINT) AS bhash
-        | FROM sig CROSS JOIN bandix),
-        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        | FROM banded x JOIN banded y
-        |   ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id),
-        |est AS (SELECT c.id_a, c.id_b,
-        |  len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) / 64.0 AS ej
-        | FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
-        |             JOIN sig sb ON sb.doc_id = c.id_b)
-        |SELECT id_a, id_b, round(ej, 4) AS est_jaccard FROM est WHERE ej >= 0.5""".stripMargin,
+    "q22_minhash_pairs" -> minhashPairsSql,
     // portable 60-bit SimHash replay: md5-60 per token (duplicates vote),
     // per-bit majority → fingerprint, four 15-bit chunk bands propose,
     // exact Hamming verifies. Parenthesize every shift (DuckDB's | and &
     // bind tighter than <<).
-    "q23_simhash_pairs" ->
-      """WITH tok AS (SELECT doc_id,
-        |  unnest(CASE WHEN length(trim(text)) = 0 THEN []
-        |              ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
-        | FROM documents),
-        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS hv FROM tok),
-        |bits AS (SELECT unnest(range(0, 60)) AS j),
-        |votes AS (SELECT doc_id, j, sum(CASE WHEN ((hv >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v
-        | FROM h CROSS JOIN bits GROUP BY 1, 2),
-        |fpx AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS fp
-        | FROM votes GROUP BY 1),
-        |fp AS (SELECT d.doc_id, coalesce(fpx.fp, 0::BIGINT) AS fp
-        | FROM documents d LEFT JOIN fpx ON d.doc_id = fpx.doc_id),
-        |chunkix AS (SELECT unnest(range(0, 4)) AS band),
-        |banded AS (SELECT doc_id, fp, band, ((fp >> (band * 15)) & 32767) AS chunk
-        | FROM fp CROSS JOIN chunkix),
-        |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, bit_count(xor(x.fp, y.fp)) AS hd
-        | FROM banded x JOIN banded y
-        |   ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
-        |SELECT id_a, id_b, CAST(min(hd) AS INT) AS hamming
-        |FROM pairs WHERE hd <= 3 GROUP BY 1, 2""".stripMargin,
+    "q23_simhash_pairs" -> simhashPairsSql,
     "q24_cosine_pairs" ->
       """SELECT a.vec_id AS qid, b.vec_id AS nid,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
@@ -4242,5 +4295,41 @@ object Queries {
         |FROM dirty GROUP BY cluster""".stripMargin,
     // q140: the streaming complete-mode session rollup must equal the
     // batch q104 — identical oracle by construction.
-    "q140_stream_sessions" -> sessionWindowSql)
+    "q140_stream_sessions" -> sessionWindowSql,
+    // q141: the bloom prefilter must be invisible — plain semi join.
+    "q141_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
+    // q142: two-aligned-starts unnest + exact count(DISTINCT).
+    "q142_windowed_distinct" ->
+      """WITH e AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, user_id FROM events
+        |), w AS (
+        |  SELECT unnest([(tsu//3600000000)*3600000000,
+        |                 (tsu//3600000000 - 1)*3600000000]) AS win_start_us,
+        |    user_id FROM e
+        |)
+        |SELECT win_start_us, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM w GROUP BY win_start_us""".stripMargin,
+    // q143: both detector replays as subqueries; integer overlap counts.
+    "q143_detector_agreement" ->
+      s"""WITH a AS (
+        |$minhashPairsSql
+        |), b AS (
+        |$simhashPairsSql
+        |), u AS (
+        |  SELECT id_a, id_b, 1 AS mh, 0 AS sh FROM a
+        |  UNION ALL
+        |  SELECT id_a, id_b, 0 AS mh, 1 AS sh FROM b
+        |), p AS (
+        |  SELECT id_a, id_b, max(mh) AS mh, max(sh) AS sh FROM u GROUP BY id_a, id_b
+        |)
+        |SELECT CAST(sum(mh) AS BIGINT) AS n_minhash,
+        |  CAST(sum(sh) AS BIGINT) AS n_simhash,
+        |  CAST(sum(CASE WHEN mh = 1 AND sh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+        |FROM p""".stripMargin)
 }

@@ -77,4 +77,34 @@ class NewOpPlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
       s"expected exactly two exchanges (h, id):\n$plan")
   }
+
+  test("matchDistribution never shuffles the corpus (broadcast count join only)") {
+    val q = graft.curate.Curate.matchDistribution(
+      docs.select(col("id"), col("g").as("source")), "source", "id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"count join not broadcast:\n$plan")
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("SortMergeJoin"),
+      s"corpus shuffled for the keep filter:\n$plan")
+  }
+
+  test("Cdc.applyChanges windows only the change log, never the base") {
+    val base = docs.select(col("id"), col("g"), col("w"))
+    val changes = base.limit(10).withColumn("op", lit("U")).withColumn("seq", lit(1L))
+    val q = graft.operators.Cdc.applyChanges(base, changes, Seq("id"), "op", "seq")
+    val planStr = q.queryExecution.executedPlan.toString
+    // count Window NODES (the header "Window ["), not substring hits —
+    // windowspecdefinition strings also contain "Window"
+    assert("Window \\[".r.findAllIn(planStr).size == 1,
+      s"expected exactly one window node (on the changes subtree):\n$planStr")
+  }
+
+  test("goldenRecords is one aggregation: no window, partial aggregation present") {
+    val q = graft.operators.Golden.goldenRecords(
+      docs.select(col("g").as("cluster"), col("id").as("seq"), col("w")),
+      "cluster", "seq", Seq("w"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"survivorship fell back to a window:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"no aggregation found:\n$plan")
+  }
 }

@@ -2371,6 +2371,36 @@ object Queries {
         sum(when(col("mh") === 1 && col("sh") === 1, 1L).otherwise(0L)).as("n_both"))
   }
 
+  /** Quantity-weighted median price per return flag ([[graft.stats
+    * .Robust.weightedMedian]]): the lower weighted median via prefix
+    * sums and a cross-multiplied half test (2·cumw ≥ W) — integer-exact,
+    * no division. */
+  def q144WeightedMedian(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Robust.weightedMedian(tbl(s, dir, "lineitem"),
+      "l_returnflag", "l_extendedprice", "l_quantity")
+
+  /** Cohort retention triangle: users bucket by first-seen day, each
+    * later active day contributes to (cohort, offset) — the classic
+    * retention analysis, entirely in integer day buckets. */
+  def q145CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val byDay = events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val cohorts = byDay.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    byDay.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Winsorized sums per event type ([[graft.stats.Robust
+    * .winsorizedSum]]): values clamp to the integer [p5, p95] type-7
+    * bounds (q122's t_num arithmetic) before summing — the robust total,
+    * reported in cents·100 units so every column stays bigint. */
+  def q146WinsorizedSum(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Robust.winsorizedSum(events(s, dir), "event_type", "value",
+      loNum = 5, hiNum = 95, pDen = 100)
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2522,7 +2552,10 @@ object Queries {
     "q140_stream_sessions" -> (q140StreamSessions _),
     "q141_bloom_semi_join" -> (q141BloomSemiJoin _),
     "q142_windowed_distinct" -> (q142WindowedDistinct _),
-    "q143_detector_agreement" -> (q143DetectorAgreement _))
+    "q143_detector_agreement" -> (q143DetectorAgreement _),
+    "q144_weighted_median" -> (q144WeightedMedian _),
+    "q145_cohort_retention" -> (q145CohortRetention _),
+    "q146_winsorized_sum" -> (q146WinsorizedSum _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -4331,5 +4364,70 @@ object Queries {
         |SELECT CAST(sum(mh) AS BIGINT) AS n_minhash,
         |  CAST(sum(sh) AS BIGINT) AS n_simhash,
         |  CAST(sum(CASE WHEN mh = 1 AND sh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
-        |FROM p""".stripMargin)
+        |FROM p""".stripMargin,
+    // q144: RANGE-frame prefix sums make cumw(v) = weight at-or-below v
+    // for every tied row; the half test cross-multiplies (2 cumw >= W).
+    "q144_weighted_median" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS c,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+        |  FROM lineitem
+        |), cum AS (
+        |  SELECT g, c, w,
+        |    sum(w) OVER (PARTITION BY g ORDER BY c
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY g) AS tot
+        |  FROM b
+        |)
+        |SELECT g AS l_returnflag, CAST(max(tot) AS BIGINT) AS total_w,
+        |  min(c) AS med_cents
+        |FROM cum WHERE cw*2 >= tot GROUP BY g""".stripMargin,
+    // q145: integer day buckets; (user, day) de-dup first, cohorts from
+    // min(day), counts per (cohort, offset).
+    "q145_cohort_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id
+        |)
+        |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+        |  count(*) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY c.cohort_day, d.day - c.cohort_day""".stripMargin,
+    // q146: both type-7 bounds via the q122 integer arithmetic, then a
+    // greatest/least clamp on the pDen-scaled cents — all bigint.
+    "q146_winsorized_sum" ->
+      """WITH c AS (
+        |  SELECT event_type AS g, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT g, cents, row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM c
+        |), tlo AS (
+        |  SELECT g,
+        |    max(CASE WHEN rn = (5*(n-1))//100 + 1 THEN cents END)
+        |      * (100 - max((5*(n-1))%100))
+        |    + COALESCE(max(CASE WHEN rn = (5*(n-1))//100 + 2 THEN cents END),
+        |        max(CASE WHEN rn = (5*(n-1))//100 + 1 THEN cents END))
+        |      * max((5*(n-1))%100) AS lo_num
+        |  FROM r GROUP BY g
+        |), thi AS (
+        |  SELECT g,
+        |    max(CASE WHEN rn = (95*(n-1))//100 + 1 THEN cents END)
+        |      * (100 - max((95*(n-1))%100))
+        |    + COALESCE(max(CASE WHEN rn = (95*(n-1))//100 + 2 THEN cents END),
+        |        max(CASE WHEN rn = (95*(n-1))//100 + 1 THEN cents END))
+        |      * max((95*(n-1))%100) AS hi_num
+        |  FROM r GROUP BY g
+        |)
+        |SELECT c.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  tlo.lo_num, thi.hi_num,
+        |  CAST(sum(greatest(tlo.lo_num, least(thi.hi_num, c.cents*100))) AS BIGINT)
+        |    AS wsum_num
+        |FROM c JOIN tlo USING (g) JOIN thi USING (g)
+        |GROUP BY c.g, tlo.lo_num, thi.hi_num""".stripMargin)
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,phrase,merge,ivf,anomaly,mmr,resample,prune)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,phrase,merge,ivf,anomaly,mmr,resample,cdc,prune)
   */
 object ScaleRehearsal {
 
@@ -450,6 +450,28 @@ object ScaleRehearsal {
         agg.getDouble(2) == 10100000.0,
         s"rows=${agg.getLong(0)} nulls=${agg.getLong(1)} tail=${agg.getDouble(2)} " +
           "(expect 20000000/3900000/10100000.0)")
+    })
+
+    if (enabled("cdc")) scenario("cdc-20m-apply",
+        "reduce-then-join: base never windowed", {
+      // base 20M (val = id % 1000); every 20th key gets two sequenced
+      // updates (last wins: +2), every 40th a seq-3 delete overriding
+      // them. Closed forms: rows = 20M − 500k; Σval = 9,990,000,000
+      // − 240,000,000 (deleted: Σ (40k % 1000) = 12000 per 25 ks)
+      // + 1,000,000 (the +2 on the 500k surviving updated keys).
+      val base = spark.range(0, 20000000).select(col("id"),
+        (col("id") % 1000).as("v"))
+      val upd = base.filter(col("id") % 20 === 0)
+      val changes = upd.select(col("id"), (col("v") + 1).as("v"),
+          lit("U").as("op"), lit(1L).as("seq"))
+        .unionByName(upd.select(col("id"), (col("v") + 2).as("v"),
+          lit("U").as("op"), lit(2L).as("seq")))
+        .unionByName(base.filter(col("id") % 40 === 0)
+          .select(col("id"), col("v"), lit("D").as("op"), lit(3L).as("seq")))
+      val next = graft.operators.Cdc.applyChanges(base, changes, Seq("id"), "op", "seq")
+      val agg = next.agg(count(lit(1)).as("rows"), sum(col("v")).as("s")).collect()(0)
+      (agg.getLong(0) == 19500000L && agg.getLong(1) == 9751000000L,
+        s"rows=${agg.getLong(0)} sum=${agg.getLong(1)} (expect 19500000 / 9751000000)")
     })
 
     if (enabled("prune")) scenario("prune-64-files",

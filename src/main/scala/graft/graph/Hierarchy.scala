@@ -1,0 +1,57 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hierarchy flattening — every node's path to its root through a
+  * parent-child edge list (org charts, category trees, account
+  * rollup structures): the warehouse "explode the tree" operator that
+  * turns recursive structure into joinable (node, root, depth, path)
+  * rows.
+  *
+  * Iterative level-walk, the [[Graph.shortestPaths]] cost shape: hop h
+  * joins ONLY the still-walking rows against the parent edges (finished
+  * rows leave the loop), so total work is O(Σ path lengths) = O(nodes ×
+  * avg depth), not O(nodes × maxDepth); each hop localCheckpoints to
+  * truncate lineage. A node is a root when it has no parent edge
+  * (self-loop parent edges are treated as absent — both conventions
+  * appear in real dimension tables).
+  *
+  * `maxDepth` bounds the walk; exceeding it (a cycle, or a deeper tree
+  * than the caller promised) throws rather than silently truncating.
+  */
+object Hierarchy {
+
+  /** (node, root, depth, path) for every row of `nodes`; `path` is the
+    * ">"-joined id chain from the node to its root inclusive. */
+  def flattenToRoot(nodes: DataFrame, idCol: String,
+                    edges: DataFrame, childCol: String, parentCol: String,
+                    maxDepth: Int = 30): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    val par = edges
+      .select(col(childCol).as("cur"), col(parentCol).as("__p"))
+      .filter(col("__p").isNotNull && col("cur") =!= col("__p"))
+    var walking = nodes.select(col(idCol).as("node"))
+      .withColumn("cur", col("node"))
+      .withColumn("depth", lit(0))
+      .withColumn("path", col("node").cast("string"))
+    var done: DataFrame = null
+    var hop = 0
+    var remaining = walking.count()
+    while (hop < maxDepth && remaining > 0) {
+      val joined = walking.join(par, Seq("cur"), "left").localCheckpoint(true)
+      val finished = joined.filter(col("__p").isNull).drop("__p")
+      done = if (done == null) finished else done.unionByName(finished)
+      walking = joined.filter(col("__p").isNotNull)
+        .select(col("node"), col("__p").as("cur"),
+          (col("depth") + 1).as("depth"),
+          concat(col("path"), lit(">"), col("__p").cast("string")).as("path"))
+      remaining = walking.count()
+      hop += 1
+    }
+    require(remaining == 0,
+      s"flattenToRoot: $remaining nodes still walking after $maxDepth hops " +
+        "(cycle in the edge list, or raise maxDepth)")
+    done.select(col("node"), col("cur").as("root"), col("depth"), col("path"))
+  }
+}

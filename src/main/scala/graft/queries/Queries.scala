@@ -2401,6 +2401,19 @@ object Queries {
     graft.stats.Robust.winsorizedSum(events(s, dir), "event_type", "value",
       loNum = 5, hiNum = 95, pDen = 100)
 
+  /** Hierarchy flattening ([[graft.graph.Hierarchy.flattenToRoot]]): a
+    * synthetic customer tree (parent = custkey div 10 — ~5 levels at
+    * sf0.1) flattens to (node, root, depth, path) via the iterative
+    * level-walk; the oracle is a recursive CTE walking the identical
+    * div-10 edges. Every node roots at 0; paths are exact strings. */
+  def q147Hierarchy(s: SparkSession, dir: String): DataFrame = {
+    val cust = tbl(s, dir, "customer").select(col("c_custkey"))
+    val edges = cust.select(col("c_custkey").as("child"),
+      expr("c_custkey div 10").as("parent"))
+    graft.graph.Hierarchy.flattenToRoot(cust, "c_custkey",
+      edges, "child", "parent", maxDepth = 10)
+  }
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2555,7 +2568,8 @@ object Queries {
     "q143_detector_agreement" -> (q143DetectorAgreement _),
     "q144_weighted_median" -> (q144WeightedMedian _),
     "q145_cohort_retention" -> (q145CohortRetention _),
-    "q146_winsorized_sum" -> (q146WinsorizedSum _))
+    "q146_winsorized_sum" -> (q146WinsorizedSum _),
+    "q147_hierarchy" -> (q147Hierarchy _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -4429,5 +4443,19 @@ object Queries {
         |  CAST(sum(greatest(tlo.lo_num, least(thi.hi_num, c.cents*100))) AS BIGINT)
         |    AS wsum_num
         |FROM c JOIN tlo USING (g) JOIN thi USING (g)
-        |GROUP BY c.g, tlo.lo_num, thi.hi_num""".stripMargin)
+        |GROUP BY c.g, tlo.lo_num, thi.hi_num""".stripMargin,
+    // q147: recursive CTE walks the same div-10 edges; terminal rows are
+    // the ones that could not recurse (cur = cur//10, i.e. the root 0).
+    "q147_hierarchy" ->
+      """WITH RECURSIVE up AS (
+        |  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth,
+        |    CAST(c_custkey AS VARCHAR) AS path
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT node, cur//10 AS cur, depth + 1,
+        |    path || '>' || CAST(cur//10 AS VARCHAR)
+        |  FROM up WHERE cur <> cur//10
+        |)
+        |SELECT node, cur AS root, CAST(depth AS INT) AS depth, path
+        |FROM up WHERE cur = cur//10""".stripMargin)
 }

@@ -37,11 +37,17 @@ object Curate {
     * back), then a map-side filter — the corpus moves zero times. */
   def matchDistribution(df: DataFrame, groupCol: String, idCol: String,
                         salt: String = ""): DataFrame = {
+    // ONE corpus aggregation: collect the group-sized counts, derive the
+    // min locally, and broadcast a LOCAL frame back — re-evaluating the
+    // counts subtree as the join build side would scan the corpus twice
+    val spark = df.sparkSession
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-    val minRow = counts.agg(min(col("__n"))).collect()(0)
-    require(!minRow.isNullAt(0), "matchDistribution: empty input")
-    val nMin = minRow.getLong(0)
-    df.join(broadcast(counts), Seq(groupCol))
+    val rows = counts.collect()
+    require(rows.nonEmpty, "matchDistribution: empty input")
+    val nMin = rows.map(_.getLong(1)).min
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), counts.schema)
+    df.join(broadcast(local), Seq(groupCol))
       .filter(pmod(portableHash60(concat(col(idCol).cast("string"), lit(salt))),
         col("__n")) < lit(nMin))
       .drop("__n")

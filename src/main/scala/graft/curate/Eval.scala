@@ -31,10 +31,18 @@ object Eval {
         results(qidCol) === qrels(qrelQidCol) && results(docCol) === qrels(qrelDocCol))
       .groupBy(results(qidCol))
       .agg(min(results(rankCol)).as("hit_rank"))
+    // enforce the documented rank ≤ 10 precondition IN the plan: a hit at
+    // rank 11+ would make `2520 div rank` silently inexact — the one
+    // thing the 2520 scaling exists to prevent — so it errors instead
+    val rr = when(col("hit_rank").isNull, lit(null)) // miss: no contribution
+      .when(col("hit_rank") <= 10, expr("2520 div hit_rank"))
+      .otherwise(raise_error(concat(
+        lit("retrievalMetrics: hit rank > 10 breaks the 1/2520 exactness "),
+        col("hit_rank").cast("string"))))
     results.select(col(qidCol)).distinct()
       .join(hits, Seq(qidCol), "left")
       .agg(count(lit(1)).as("n_queries"),
         count(col("hit_rank")).as("n_hit"),
-        coalesce(sum(expr("2520 div hit_rank")), lit(0)).cast("long").as("rr2520_sum"))
+        coalesce(sum(rr), lit(0)).cast("long").as("rr2520_sum"))
   }
 }

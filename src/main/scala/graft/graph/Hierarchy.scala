@@ -35,13 +35,15 @@ object Hierarchy {
       .withColumn("cur", col("node"))
       .withColumn("depth", lit(0))
       .withColumn("path", col("node").cast("string"))
-    var done: DataFrame = null
+    // seed with an empty same-schema frame: an empty `nodes` input must
+    // return an empty result, not NPE on a never-assigned accumulator
+    var done: DataFrame = walking.limit(0)
     var hop = 0
     var remaining = walking.count()
     while (hop < maxDepth && remaining > 0) {
       val joined = walking.join(par, Seq("cur"), "left").localCheckpoint(true)
       val finished = joined.filter(col("__p").isNull).drop("__p")
-      done = if (done == null) finished else done.unionByName(finished)
+      done = done.unionByName(finished)
       walking = joined.filter(col("__p").isNotNull)
         .select(col("node"), col("__p").as("cur"),
           (col("depth") + 1).as("depth"),

@@ -80,13 +80,19 @@ object Layout {
   def prunedScan(spark: SparkSession, path: String, manifest: DataFrame,
                  c: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
     require(lo <= hi, s"empty range [$lo, $hi]")
-    val files = manifest.select(col("file"),
+    val rows = manifest.select(col("file"),
         col(s"${c}_min").cast("long"), col(s"${c}_max").cast("long"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val kept = files.collect { case (f, mn, mx) if mx >= lo && mn <= hi => f }
+      .collect()
+    // a file whose column is entirely NULL has NULL min/max stats; its
+    // rows can never satisfy the range filter, so it prunes (a naive
+    // getLong would NPE on exactly those files)
+    val kept = rows.collect {
+      case r if !r.isNullAt(1) && !r.isNullAt(2) &&
+        r.getLong(2) >= lo && r.getLong(1) <= hi => r.getString(0)
+    }
     val base =
       if (kept.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.parquet(kept: _*)
-    (base.filter(col(c) >= lo && col(c) <= hi), kept.length, files.length)
+    (base.filter(col(c) >= lo && col(c) <= hi), kept.length, rows.length)
   }
 }

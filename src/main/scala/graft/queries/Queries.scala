@@ -453,6 +453,19 @@ object Queries {
       .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
+  /** Materialize a SMALL result locally, delete the temp dir backing it,
+    * and return a local-relation frame — repeated Bench/Verify iterations
+    * of temp-writing queries must not accumulate unbounded /tmp data
+    * (the result is lazy, so the dir cannot be deleted before a
+    * collect). Only for by-construction-small results. */
+  private def materializeAndCleanup(s: SparkSession, df: DataFrame,
+                                    tmpDir: String): DataFrame = {
+    val rows = df.collect()
+    val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpDir))
+    out
+  }
+
   /** Drain a streaming frame through a memory sink to completion. */
   private def drainToTable(ss: SparkSession, df: DataFrame, name: String,
                            mode: String): DataFrame = {
@@ -1894,9 +1907,10 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("total_chars"))
       .withColumn("snap", lit(tag))
-    rollup(snap.readLatest(s, tmp), "v1") // == v1 again after the rollback
+    val res = rollup(snap.readLatest(s, tmp), "v1") // == v1 after the rollback
       .unionByName(rollup(snap.readVersion(s, tmp, v2), "v2"))
       .select(col("snap"), col("source"), col("n_docs"), col("total_chars"))
+    materializeAndCleanup(s, res, tmp)
   }
 
   /** Unicode NFC normalization ([[graft.functions.TextFunctions
@@ -1958,8 +1972,9 @@ object Queries {
     val (pruned, kept, total) =
       graft.layout.Layout.prunedScan(s, tmp, manifest, "o_custkey", lo, hi)
     require(kept < total, s"no files skipped ($kept of $total)")
-    pruned.groupBy(col("o_orderstatus"))
+    val res = pruned.groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+    materializeAndCleanup(s, res, tmp)
   }
 
   /** Exact rolling 5-event median per user ([[graft.stats.Anomaly
@@ -4097,7 +4112,7 @@ object Queries {
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
         |    CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
-        |  FROM events
+        |  FROM events WHERE value IS NOT NULL
         |), l AS (
         |  SELECT user_id, event_id, list_sort(list(cents) OVER (
         |    PARTITION BY user_id ORDER BY tsu, event_id

@@ -118,12 +118,14 @@ object Snapshots {
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     val ptr = new Path(root, Pointer)
-    // rename-with-overwrite: delete-then-rename is the portable local/HDFS
-    // form; the delete+rename pair is the commit, and the data write
-    // already happened, so the only crash exposure is a missing pointer —
-    // recoverable by re-committing, never a torn table.
-    if (f.exists(ptr)) f.delete(ptr, false)
-    require(f.rename(tmp, ptr), s"pointer commit failed for version $v")
+    // ATOMIC overwrite rename (FileContext supports Rename.OVERWRITE where
+    // FileSystem.rename does not): a delete-then-rename pair would leave a
+    // window with NO pointer on disk, during which a concurrent reader —
+    // promised lock-freedom in the class contract — would see a missing
+    // table, and a crash inside the window would strand it that way.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      root.toUri, f.getConf)
+    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** `publish` always allocates past every DIRECTORY on disk, not just the

@@ -28,6 +28,45 @@ import org.apache.spark.sql.functions._
   */
 object Anomaly {
 
+  /** The slim (group `__g`, integer `__c`) projection every operator
+    * here starts from. NULL values drop (they have no rank). */
+  private[stats] def centsBase(df: DataFrame, groupCol: String,
+                               valueCol: String): DataFrame = df
+    .filter(col(valueCol).isNotNull)
+    .select(col(groupCol).as("__g"),
+      floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long").as("__c"))
+
+  /** `base` ranked within each group by `__c`, with group size `__n` —
+    * the shared precursor of every type-7 computation. */
+  private[stats] def rankedBase(base: DataFrame): DataFrame = {
+    val byGroup = Window.partitionBy(col("__g"))
+    base
+      .withColumn("__rn", row_number().over(byGroup.orderBy(col("__c"))))
+      .withColumn("__n", count(lit(1)).over(byGroup))
+  }
+
+  /** Aggregate expression computing the scaled integer type-7 bound
+    * t_num = x_(k)·(den−r) + x_(k+1)·r for percentile num/den over a
+    * ranked group (columns `__c`, `__rn`, `__n`) — THE formula; defined
+    * once so [[thresholdCounts]] and [[Robust.winsorizedSum]] (and their
+    * two oracle replays) can never drift apart. */
+  private[stats] def t7BoundAgg(num: Int, den: Int): org.apache.spark.sql.Column = {
+    val k = expr(s"($num * (__n - 1)) div $den")
+    val r = expr(s"($num * (__n - 1)) % $den")
+    val xk = max(when(col("__rn") === k + 1, col("__c")))
+    val xk1 = max(when(col("__rn") === k + 2, col("__c")))
+    xk * (lit(den.toLong) - max(r)) + coalesce(xk1, xk) * max(r)
+  }
+
+  /** Broadcast `groupFrame` (group-sized, keyed `__g`) back onto `base`
+    * with NULL-SAFE key equality — a plain equi-join would silently drop
+    * the null group the aggregation formed (SQL GROUP BY groups nulls;
+    * join `=` never matches them). */
+  private[stats] def joinBackNullSafe(base: DataFrame,
+                                      groupFrame: DataFrame): DataFrame =
+    base.join(broadcast(groupFrame.withColumnRenamed("__g", "__g2")),
+      col("__g") <=> col("__g2")).drop("__g2")
+
   /** (group, n, t_num, n_above): group size, the scaled integer
     * threshold (divide by 100·`pDen` for the real-valued percentile),
     * and the count strictly above it. NULL values are excluded (they
@@ -35,28 +74,11 @@ object Anomaly {
   def thresholdCounts(df: DataFrame, groupCol: String, valueCol: String,
                       pNum: Int = 99, pDen: Int = 100): DataFrame = {
     require(pNum >= 0 && pDen > 0 && pNum <= pDen, s"bad percentile $pNum/$pDen")
-    val base = df
-      .filter(col(valueCol).isNotNull)
-      .select(col(groupCol).as("__g"),
-        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long").as("__c"))
-    val byGroup = Window.partitionBy(col("__g"))
-    val ranked = base
-      .withColumn("__rn", row_number().over(byGroup.orderBy(col("__c"))))
-      .withColumn("__n", count(lit(1)).over(byGroup))
-      .withColumn("__k", expr(s"($pNum * (__n - 1)) div $pDen"))
-      .withColumn("__r", expr(s"($pNum * (__n - 1)) % $pDen"))
-    val thresholds = ranked
+    val base = centsBase(df, groupCol, valueCol)
+    val thresholds = rankedBase(base)
       .groupBy(col("__g"))
-      .agg(
-        max(col("__n")).as("n"),
-        max(when(col("__rn") === col("__k") + 1, col("__c"))).as("__xk"),
-        max(when(col("__rn") === col("__k") + 2, col("__c"))).as("__xk1"),
-        max(col("__r")).as("__rr"))
-      .select(col("__g"), col("n"),
-        (col("__xk") * (lit(pDen.toLong) - col("__rr")) +
-          coalesce(col("__xk1"), col("__xk")) * col("__rr")).as("t_num"))
-    base
-      .join(broadcast(thresholds), Seq("__g"))
+      .agg(max(col("__n")).as("n"), t7BoundAgg(pNum, pDen).as("t_num"))
+    joinBackNullSafe(base, thresholds)
       .groupBy(col("__g"), col("n"), col("t_num"))
       .agg(sum(when(col("__c") * lit(pDen.toLong) > col("t_num"), 1L)
         .otherwise(0L)).as("n_above"))
@@ -82,14 +104,11 @@ object Anomaly {
   def zOutlierCounts(df: DataFrame, groupCol: String, valueCol: String,
                      z: Long = 2L): DataFrame = {
     require(z >= 1, "z must be >= 1")
-    val base = df
-      .filter(col(valueCol).isNotNull)
-      .select(col(groupCol).as("__g"),
-        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long").as("__c"))
+    val base = centsBase(df, groupCol, valueCol)
     val moments = base.groupBy(col("__g"))
       .agg(count(lit(1)).as("n"), sum(col("__c")).as("s1"),
         sum(col("__c") * col("__c")).as("s2"))
-    base.join(broadcast(moments), Seq("__g"))
+    joinBackNullSafe(base, moments)
       .groupBy(col("__g"), col("n"), col("s1"), col("s2"))
       .agg(sum(when(
         (col("n") * col("__c") - col("s1")) * (col("n") * col("__c") - col("s1")) >
@@ -111,7 +130,9 @@ object Anomaly {
     * construction: rolling windows are 10s-100s, not millions); the cost
     * shape is the usual entity-key shuffle + in-partition sort. Returns
     * the input's entity/order identity plus (m, med2): frame size and
-    * the scaled median. */
+    * the scaled median. NULL values drop BEFORE framing (a kept null
+    * would shrink Spark's collect_list frame while a SQL replay's
+    * windowed list() counts it — the frames would diverge). */
   def rollingMedian(df: DataFrame, entityCol: String, valueCol: String,
                     orderCols: Seq[org.apache.spark.sql.Column],
                     window: Int, idCol: String): DataFrame = {
@@ -119,7 +140,8 @@ object Anomaly {
     val ord = orderCols.indices.map(i => col(s"__ord$i"))
     val w = Window.partitionBy(col(entityCol)).orderBy(ord: _*)
       .rowsBetween(-(window - 1), 0)
-    val base = df.select(col(entityCol) +: col(idCol) +:
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(entityCol) +: col(idCol) +:
       floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long").as("__c") +:
       orderCols.zipWithIndex.map { case (c, i) => c.as(s"__ord$i") }: _*)
     val fr = sort_array(collect_list(col("__c")).over(w))

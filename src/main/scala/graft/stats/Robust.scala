@@ -54,28 +54,14 @@ object Robust {
                     loNum: Int, hiNum: Int, pDen: Int = 100): DataFrame = {
     require(0 <= loNum && loNum <= hiNum && hiNum <= pDen,
       s"need 0 <= lo <= hi <= den, got $loNum/$hiNum/$pDen")
-    val base = df
-      .filter(col(valueCol).isNotNull)
-      .select(col(groupCol).as("__g"),
-        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long").as("__c"))
-    val byG = Window.partitionBy(col("__g"))
-    val ranked = base
-      .withColumn("__rn", row_number().over(byG.orderBy(col("__c"))))
-      .withColumn("__n", count(lit(1)).over(byG))
-    def bound(num: Int, tag: String) = {
-      val k = expr(s"($num * (__n - 1)) div $pDen")
-      val r = expr(s"($num * (__n - 1)) % $pDen")
-      ranked
-        .withColumn("__k", k).withColumn("__r", r)
-        .groupBy(col("__g"))
-        .agg((max(when(col("__rn") === col("__k") + 1, col("__c"))) *
-            (lit(pDen.toLong) - max(col("__r"))) +
-          coalesce(max(when(col("__rn") === col("__k") + 2, col("__c"))),
-            max(when(col("__rn") === col("__k") + 1, col("__c")))) *
-            max(col("__r"))).as(tag))
-    }
-    val bounds = bound(loNum, "lo_num").join(bound(hiNum, "hi_num"), Seq("__g"))
-    base.join(broadcast(bounds), Seq("__g"))
+    val base = Anomaly.centsBase(df, groupCol, valueCol)
+    // ONE group pass computes BOTH bounds — the t_num formula itself is
+    // Anomaly.t7BoundAgg, defined exactly once for operator and siblings
+    val bounds = Anomaly.rankedBase(base)
+      .groupBy(col("__g"))
+      .agg(Anomaly.t7BoundAgg(loNum, pDen).as("lo_num"),
+        Anomaly.t7BoundAgg(hiNum, pDen).as("hi_num"))
+    Anomaly.joinBackNullSafe(base, bounds)
       .groupBy(col("__g"), col("lo_num"), col("hi_num"))
       .agg(count(lit(1)).as("n"),
         sum(greatest(col("lo_num"),

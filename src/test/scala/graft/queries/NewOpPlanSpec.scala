@@ -83,7 +83,11 @@ class NewOpPlanSpec extends SparkSpec {
       docs.select(col("id"), col("g").as("source")), "source", "id")
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"count join not broadcast:\n$plan")
-    assert(!plan.contains("ShuffleExchange") && !plan.contains("SortMergeJoin"),
+    // "Exchange hashpartitioning" is how Spark actually prints a shuffle
+    // (there is no node named "ShuffleExchange" in plan strings), and a
+    // ShuffledHashJoin would shuffle without any SortMergeJoin appearing
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"corpus shuffled for the keep filter:\n$plan")
   }
 

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,phrase,merge,ivf,anomaly,mmr,resample,cdc,prune)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,phrase,merge,ivf,anomaly,mmr,resample,cdc,bloomjoin,prune)
   */
 object ScaleRehearsal {
 
@@ -472,6 +472,21 @@ object ScaleRehearsal {
       val agg = next.agg(count(lit(1)).as("rows"), sum(col("v")).as("s")).collect()(0)
       (agg.getLong(0) == 19500000L && agg.getLong(1) == 9751000000L,
         s"rows=${agg.getLong(0)} sum=${agg.getLong(1)} (expect 19500000 / 9751000000)")
+    })
+
+    if (enabled("bloomjoin")) scenario("bloomjoin-50m",
+        "runtime filter: probe at the scan, exact join on survivors", {
+      // 50M-row fact side, 100k-key dim (every 500th id ⇒ 0.2% match):
+      // the result must be EXACTLY the 100k matching rows (bloom false
+      // positives die in the exact join), with the construction-exact
+      // key sum Σ 500k for k = 0..99999.
+      val big = spark.range(0, 50000000).select(col("id").as("k"))
+      val small = spark.range(0, 100000).select((col("id") * 500).as("pk"))
+      val got = graft.operators.BloomJoin.semiJoin(big, "k", small, "pk")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("s")).collect()(0)
+      val expectSum = 500L * (99999L * 100000L / 2L)
+      (got.getLong(0) == 100000L && got.getLong(1) == expectSum,
+        s"rows=${got.getLong(0)} sum=${got.getLong(1)} (expect 100000 / $expectSum)")
     })
 
     if (enabled("prune")) scenario("prune-64-files",

@@ -2429,6 +2429,33 @@ object Queries {
       edges, "child", "parent", maxDepth = 10)
   }
 
+  /** End-to-end curation pipeline UNDER THE HASH GATE — the flagship
+    * composition, stage for stage: clean (control-strip → PII redaction →
+    * whitespace collapse, the q45-proven regex chain) → exact dedup
+    * (min-id survivor per md5 of the CLEANED text) → decontamination
+    * against a held-out benchmark slice (3-word-gram overlap, the q42
+    * construction, computed on cleaned text) → deterministic 8/1/1 split
+    * (q43's md5 buckets) → per-(split, source) rollup. Each stage's
+    * oracle exists individually; this one composes them into a single
+    * SQL replay, so the STAGE WIRING (what feeds what, dedup before
+    * decontam, split on survivors only) is load-bearing for the hash. */
+  def q148CurationGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val cleaned = docs.select(col("doc_id"), col("source"),
+      T.normalizeWhitespace(T.redactPii(T.stripControlChars(col("text")))).as("text"))
+    val deduped = Dedup.exactSurvivors(cleaned, "doc_id", "text")
+    val bench = deduped.filter(col("doc_id") % 50 === 0)
+    val corpus = deduped.filter(col("doc_id") % 50 =!= 0)
+    val surv = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+      n = 3, minOverlap = 1)
+    surv
+      .withColumn("split", graft.curate.Curate.splitLabel(col("doc_id"),
+        Seq("train" -> 8, "val" -> 1, "test" -> 1)))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+  }
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2584,7 +2611,8 @@ object Queries {
     "q144_weighted_median" -> (q144WeightedMedian _),
     "q145_cohort_retention" -> (q145CohortRetention _),
     "q146_winsorized_sum" -> (q146WinsorizedSum _),
-    "q147_hierarchy" -> (q147Hierarchy _))
+    "q147_hierarchy" -> (q147Hierarchy _),
+    "q148_curation_gate" -> (q148CurationGate _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -4472,5 +4500,47 @@ object Queries {
         |  FROM up WHERE cur <> cur//10
         |)
         |SELECT node, cur AS root, CAST(depth AS INT) AS depth, path
-        |FROM up WHERE cur = cur//10""".stripMargin)
+        |FROM up WHERE cur = cur//10""".stripMargin,
+    // q148: the full pipeline replay — the q45 cleaning chain (plus the
+    // control-char strip, identity on this corpus), md5 min-id dedup,
+    // the q42 gram construction on CLEANED text, q43's split buckets.
+    "q148_curation_gate" ->
+      """WITH cleaned AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '(\+?1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+        |      '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text
+        |  FROM documents
+        |), dd AS (
+        |  SELECT min(doc_id) AS doc_id FROM cleaned GROUP BY md5(text)
+        |), kept AS (
+        |  SELECT c.* FROM cleaned c JOIN dd USING (doc_id)
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split_regex(trim(text),'\s+')) - 2),
+        |    i -> array_to_string((string_split_regex(trim(text),'\s+'))[i:i+2], ' '))) AS s
+        |  FROM kept
+        |), bg AS (
+        |  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0
+        |), contaminated AS (
+        |  SELECT DISTINCT dg.doc_id
+        |  FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0) dg
+        |  JOIN bg USING (g)
+        |), surv AS (
+        |  SELECT k.* FROM kept k
+        |  WHERE k.doc_id % 50 <> 0
+        |    AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |)
+        |SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM (SELECT *,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS b
+        |  FROM surv)
+        |GROUP BY 1, source""".stripMargin)
 }

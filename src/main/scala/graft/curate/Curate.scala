@@ -53,6 +53,49 @@ object Curate {
       .drop("__n")
   }
 
+  /** Downsample to an ARBITRARY target mixture — "40% web, 40% code,
+    * 20% books" — the general form of [[matchDistribution]] (which is the
+    * all-equal-weights special case). Only downsampling: the achievable
+    * scale is c = min_g n_g/w_g (the limiting group keeps everything),
+    * and every other group keeps rate c·w_g/n_g via the exact integer
+    * rule `hash mod (n_g·w_m) < n_m·w_g` — a cross-multiplied rational,
+    * no float thresholds, SQL-replayable verbatim. Groups without a
+    * target weight drop entirely.
+    *
+    * Limiting-group choice: argmin of n_g/w_g ordered by (the DOUBLE
+    * ratio, group key) — the double division is a single portable IEEE
+    * op both engines compute identically, and exact ratio TIES pick the
+    * smallest key deterministically. (Tied groups yield different
+    * (modBase, threshold) integer pairs — same keep RATE but different
+    * kept SETS — so the tie-break is part of the operator contract.)
+    *
+    * Scale shape: identical to [[matchDistribution]] — one corpus
+    * aggregation, a local broadcast frame, a map-side filter. */
+  def matchProportions(df: DataFrame, groupCol: String, idCol: String,
+                       targets: Seq[(String, Long)],
+                       salt: String = ""): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "targets must be non-empty with positive weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = targets.toMap
+    val counts = df.filter(col(groupCol).isin(targets.map(_._1): _*))
+      .groupBy(col(groupCol).cast("string").as("__gs"))
+      .agg(count(lit(1)).as("__n"))
+      .as[(String, Long)].collect()
+    require(counts.nonEmpty, "matchProportions: no rows in any target group")
+    val (nm, wm) = {
+      val (g, n) = counts.minBy { case (g, n) => (n.toDouble / w(g), g) }
+      (n, w(g))
+    }
+    val rules = counts.map { case (g, n) => (g, n * wm, nm * w(g)) }
+      .toSeq.toDF(groupCol, "__mod", "__thr")
+    df.join(broadcast(rules), Seq(groupCol))
+      .filter(pmod(portableHash60(concat(col(idCol).cast("string"), lit(salt))),
+        col("__mod")) < col("__thr"))
+      .drop("__mod", "__thr")
+  }
+
   /** [[hashBucket]] with a per-row (Column) salt — e.g. an epoch index, so
     * each epoch draws an independent deterministic subsample. */
   def hashBucketDyn(id: Column, buckets: Int, salt: Column): Column =

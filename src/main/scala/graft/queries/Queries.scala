@@ -2456,6 +2456,21 @@ object Queries {
         sum(length(col("text")).cast("long")).as("total_chars"))
   }
 
+  /** Target-mixture downsample ([[graft.curate.Curate
+    * .matchProportions]]): three sources at weights 2:1:1 — the general
+    * dataset-mixing knob ("40% web / 40% code / 20% books"), with the
+    * keep rule a cross-multiplied integer rational and the limiting
+    * group chosen by the portable double ratio + key tie-break. Sources
+    * outside the target list drop. Oracle replays counts, argmin, and
+    * the mod/threshold arithmetic verbatim. */
+  def q149MatchProportions(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curate.matchProportions(
+        tbl(s, dir, "documents"), "source", "doc_id",
+        Seq("src0" -> 2L, "src1" -> 1L, "src2" -> 1L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(length(col("text")).cast("long")).as("kept_chars"))
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2612,7 +2627,8 @@ object Queries {
     "q145_cohort_retention" -> (q145CohortRetention _),
     "q146_winsorized_sum" -> (q146WinsorizedSum _),
     "q147_hierarchy" -> (q147Hierarchy _),
-    "q148_curation_gate" -> (q148CurationGate _))
+    "q148_curation_gate" -> (q148CurationGate _),
+    "q149_match_proportions" -> (q149MatchProportions _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -4542,5 +4558,26 @@ object Queries {
         |FROM (SELECT *,
         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS b
         |  FROM surv)
-        |GROUP BY 1, source""".stripMargin)
+        |GROUP BY 1, source""".stripMargin,
+    // q149: counts → double-ratio argmin (single portable division, key
+    // tie-break) → integer mod/threshold keep rule, replayed verbatim.
+    "q149_match_proportions" ->
+      """WITH t("source", w) AS (VALUES ('src0', 2), ('src1', 1), ('src2', 1)),
+        |c AS (
+        |  SELECT d.source, count(*) AS n FROM documents d
+        |  JOIN t ON d.source = t."source" GROUP BY d.source
+        |), j AS (
+        |  SELECT c.source, c.n, t.w FROM c JOIN t ON c.source = t."source"
+        |), m AS (
+        |  SELECT n AS nm, w AS wm FROM j
+        |  ORDER BY CAST(n AS DOUBLE)/w, source LIMIT 1
+        |), k AS (
+        |  SELECT d.source, d.text FROM documents d
+        |  JOIN j ON d.source = j.source CROSS JOIN m
+        |  WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |        % (j.n * m.wm) < m.nm * j.w
+        |)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(length(text)) AS BIGINT) AS kept_chars
+        |FROM k GROUP BY source""".stripMargin)
 }

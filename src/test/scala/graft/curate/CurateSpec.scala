@@ -336,4 +336,25 @@ class CurateSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(a == b)
   }
+  test("matchProportions: limiting group keeps all; rates follow the weights") {
+    import org.apache.spark.sql.functions._
+    // a:40 rows w=2, b:40 w=1, c:10 w=1: ratios 20/40/10 -> limiting = c.
+    // c keeps all 10; a targets 10*2=20 of 40 (rate 1/2); b targets 10 of 40.
+    val df = ((0L until 40L).map(i => (i, "a")) ++
+      (100L until 140L).map(i => (i, "b")) ++
+      (200L until 210L).map(i => (i, "c")) ++
+      (300L until 310L).map(i => (i, "zz_untargeted"))).toDF("id", "src")
+    val kept = Curate.matchProportions(df, "src", "id",
+      Seq("a" -> 2L, "b" -> 1L, "c" -> 1L))
+    val bySrc = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("c") == 10L)                      // limiting group: all kept
+    assert(!bySrc.contains("zz_untargeted"))       // no target weight -> dropped
+    assert(bySrc("a") >= 10L && bySrc("a") <= 32L) // binomial around 20 of 40
+    assert(bySrc("b") >= 3L && bySrc("b") <= 20L)  // binomial around 10 of 40
+    // deterministic and partitioning-invariant surviving set
+    val s1 = kept.select("id").as[Long].collect().toSet
+    val s2 = Curate.matchProportions(df.repartition(7), "src", "id",
+      Seq("a" -> 2L, "b" -> 1L, "c" -> 1L)).select("id").as[Long].collect().toSet
+    assert(s1 == s2)
+  }
 }

@@ -75,6 +75,51 @@ object Sessionize {
       .select(col("rank"), col("path"), col("n"))
   }
 
+  case class OpenSession(start: Long, last: Long, n: Long)
+  case class ClosedSession(user_id: Long, start: Long, end: Long, n_events: Long)
+
+  /** Stateful streaming session CLOSER via `flatMapGroupsWithState` —
+    * the 0..n-outputs-per-key shape `mapGroupsWithState` cannot express:
+    * each micro-batch folds a user's (sorted) event times into the open
+    * session carried in state, EMITS every session closed by a gap
+    * (> `gapMicros`) — whether the gap falls inside one batch or
+    * between batches — and keeps the still-open session in state for the
+    * next batch. Emission timing is deterministic given the batch
+    * boundaries (the spec replays a fixed 2-file split); the final open
+    * session stays un-emitted, exactly like a live pipeline (a timeout
+    * or an end-of-stream flush would release it).
+    *
+    * Scale shape: state is ONE OpenSession per active user (bounded by
+    * the entity cardinality, same class as [[streamingCounts]]); each
+    * batch shuffles only its own events onto the state partitioning. */
+  def streamingClosedSessions(events: DataFrame, userCol: String,
+                              tsMicrosCol: String,
+                              gapMicros: Long): Dataset[ClosedSession] = {
+    implicit val closedEnc = Encoders.product[ClosedSession]
+    implicit val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val stateEnc = Encoders.product[OpenSession]
+    events.select(col(userCol).cast("long"), col(tsMicrosCol).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, Long)], state: GroupState[OpenSession]) =>
+          val ts = batch.map(_._2).toArray.sorted
+          var open = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          for (t <- ts) {
+            if (open == null) open = OpenSession(t, t, 0L)
+            else if (t - open.last > gapMicros) {
+              closed += ClosedSession(user, open.start, open.last, open.n)
+              open = OpenSession(t, t, 0L)
+            }
+            open = open.copy(last = t, n = open.n + 1)
+          }
+          if (open != null) state.update(open)
+          closed.iterator
+      }
+  }
+
   case class UserCount(user_id: Long, n: Long)
 
   /** Stateful per-user event counting across micro-batches — the

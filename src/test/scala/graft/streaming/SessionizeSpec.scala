@@ -81,4 +81,34 @@ class SessionizeSpec extends SparkSpec {
     // paths: u1 -> "a>b" x2; u2 -> "a>b" (tie ordered by id) + "c"
     assert(got == Seq((1, "a>b", 3L), (2, "c", 1L)))
   }
+  test("streamingClosedSessions: gaps emit across and within micro-batches") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmgws").toString
+    // batch 1: u1 at 0, 10, 1000 (gap 100 closes [0,10] inside the batch)
+    Seq((1L, 0L), (1L, 10L), (1L, 1000L)).toDF("u", "tsu")
+      .coalesce(1).write.parquet(dir + "/b1")
+    // batch 2: u1 at 1050 (extends the open session), 5000 (closes
+    // [1000,1050]); u2 opens a session that is never closed -> never emitted
+    Seq((1L, 1050L), (1L, 5000L), (2L, 7L)).toDF("u", "tsu")
+      .coalesce(1).write.parquet(dir + "/b2")
+    // order the source's batches by file modification time
+    def onlyParquet(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    onlyParquet(dir + "/b1").setLastModified(1000000L)
+    onlyParquet(dir + "/b2").setLastModified(2000000L)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val schema = ss.read.parquet(dir + "/b1").schema
+    val src = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val closed = Sessionize.streamingClosedSessions(src, "u", "tsu", gapMicros = 100L)
+    val q = closed.writeStream.format("memory")
+      .queryName("fmgws_sink").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = ss.table("fmgws_sink")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 10L, 2L), (1L, 1000L, 1050L, 2L)))
+  }
 }

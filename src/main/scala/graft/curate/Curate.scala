@@ -47,10 +47,14 @@ object Curate {
     val nMin = rows.map(_.getLong(1)).min
     val local = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), counts.schema)
-    df.join(broadcast(local), Seq(groupCol))
+    // NULL-SAFE key join: the aggregation forms a null group (and its
+    // count can even BE the minimum) — a plain equi-join would silently
+    // drop every null-group row, contradicting "downsample EVERY group"
+    df.join(broadcast(local.withColumnRenamed(groupCol, "__g2")),
+        col(groupCol) <=> col("__g2"))
       .filter(pmod(portableHash60(concat(col(idCol).cast("string"), lit(salt))),
         col("__n")) < lit(nMin))
-      .drop("__n")
+      .drop("__g2", "__n")
   }
 
   /** Downsample to an ARBITRARY target mixture — "40% web, 40% code,

@@ -28,9 +28,12 @@ object Hierarchy {
                     edges: DataFrame, childCol: String, parentCol: String,
                     maxDepth: Int = 30): DataFrame = {
     require(maxDepth >= 1, "maxDepth must be >= 1")
+    // materialize the edge list ONCE: the loop joins it every hop, and
+    // without this each hop re-scans the raw edges source maxDepth times
     val par = edges
       .select(col(childCol).as("cur"), col(parentCol).as("__p"))
       .filter(col("__p").isNotNull && col("cur") =!= col("__p"))
+      .localCheckpoint(true)
     var walking = nodes.select(col(idCol).as("node"))
       .withColumn("cur", col("node"))
       .withColumn("depth", lit(0))

@@ -56,6 +56,15 @@ object Diff {
   def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
     val spark = oldDf.sparkSession
     import spark.implicits._
+    // duplicate column names (legal in Spark after e.g. a both-sides join)
+    // make a by-name diff ill-defined — refuse loudly rather than compare
+    // an arbitrary survivor per name and misreport drift
+    for ((df, side) <- Seq(oldDf -> "old", newDf -> "new")) {
+      val dups = df.schema.fieldNames.groupBy(identity).collect {
+        case (name, hits) if hits.length > 1 => name }
+      require(dups.isEmpty,
+        s"schemaDiff: $side frame has duplicate column names ${dups.mkString(", ")}")
+    }
     val o = oldDf.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
     val n = newDf.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
     val rows =

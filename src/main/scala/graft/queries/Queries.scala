@@ -4123,7 +4123,7 @@ object Queries {
         |)
         |SELECT u.g AS event_type, u.n, u.t_num,
         |  CAST(count(*) FILTER (WHERE c.cents*100 > u.t_num) AS BIGINT) AS n_above
-        |FROM u JOIN c ON c.g = u.g
+        |FROM u JOIN c ON c.g IS NOT DISTINCT FROM u.g
         |GROUP BY u.g, u.n, u.t_num""".stripMargin,
     // q123: same lag replay, ordered by (epoch micros, event_id) — the
     // explicit tie-breaker both engines share.
@@ -4319,7 +4319,7 @@ object Queries {
         |SELECT m.g AS event_type, m.n, m.s1, m.s2,
         |  CAST(sum(CASE WHEN (m.n*c.cents - m.s1)*(m.n*c.cents - m.s1)
         |      > 4*(m.n*m.s2 - m.s1*m.s1) THEN 1 ELSE 0 END) AS BIGINT) AS n_out
-        |FROM c JOIN m ON c.g = m.g
+        |FROM c JOIN m ON c.g IS NOT DISTINCT FROM m.g
         |GROUP BY m.g, m.n, m.s1, m.s2""".stripMargin,
     // q135: lag/cumsum session replay + ordered string_agg; top-20 cut
     // on the (n desc, path) total order.
@@ -4377,7 +4377,8 @@ object Queries {
       """WITH c AS (
         |  SELECT source, count(*) AS n FROM documents GROUP BY source
         |), k AS (
-        |  SELECT d.source, d.text FROM documents d JOIN c USING (source)
+        |  SELECT d.source, d.text FROM documents d
+        |  JOIN c ON d.source IS NOT DISTINCT FROM c.source
         |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % c.n
         |        < (SELECT min(n) FROM c)
         |)
@@ -4501,7 +4502,8 @@ object Queries {
         |  tlo.lo_num, thi.hi_num,
         |  CAST(sum(greatest(tlo.lo_num, least(thi.hi_num, c.cents*100))) AS BIGINT)
         |    AS wsum_num
-        |FROM c JOIN tlo USING (g) JOIN thi USING (g)
+        |FROM c JOIN tlo ON c.g IS NOT DISTINCT FROM tlo.g
+        |  JOIN thi ON c.g IS NOT DISTINCT FROM thi.g
         |GROUP BY c.g, tlo.lo_num, thi.hi_num""".stripMargin,
     // q147: recursive CTE walks the same div-10 edges; terminal rows are
     // the ones that could not recurse (cur = cur//10, i.e. the root 0).

@@ -24,11 +24,16 @@ object Robust {
     * group-sized. Returns (group, total_w, med_cents). */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
                      weightCol: String): DataFrame = {
+    // enforce the non-negative-weight precondition IN the plan (a
+    // negative weight makes the cumulative sum non-monotone and the
+    // half-crossing meaningless — error, never nonsense)
+    val w0 = floor(col(weightCol) + lit(0.5)).cast("long")
     val base = df
       .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
       .select(col(groupCol).as("__g"),
         floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long").as("__c"),
-        floor(col(weightCol) + lit(0.5)).cast("long").as("__w"))
+        when(w0 >= 0, w0).otherwise(raise_error(concat(
+          lit("weightedMedian: negative weight "), w0.cast("string")))).as("__w"))
     val byG = Window.partitionBy(col("__g"))
     val cum = base
       .withColumn("__cum", sum(col("__w")).over(byG.orderBy(col("__c"))

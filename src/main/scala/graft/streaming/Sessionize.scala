@@ -113,7 +113,13 @@ object Sessionize {
               closed += ClosedSession(user, open.start, open.last, open.n)
               open = OpenSession(t, t, 0L)
             }
-            open = open.copy(last = t, n = open.n + 1)
+            // a cross-batch LATE event (t <= open.last — there is no
+            // watermark, so late arrival is normal input) joins the open
+            // session without rewinding its frontier: `last` must stay
+            // monotone or the next gap test compares against a rewound
+            // timestamp and can emit end < start
+            open = open.copy(start = math.min(open.start, t),
+              last = math.max(open.last, t), n = open.n + 1)
           }
           if (open != null) state.update(open)
           closed.iterator

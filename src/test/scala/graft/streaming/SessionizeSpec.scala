@@ -88,9 +88,11 @@ class SessionizeSpec extends SparkSpec {
     // batch 1: u1 at 0, 10, 1000 (gap 100 closes [0,10] inside the batch)
     Seq((1L, 0L), (1L, 10L), (1L, 1000L)).toDF("u", "tsu")
       .coalesce(1).write.parquet(dir + "/b1")
-    // batch 2: u1 at 1050 (extends the open session), 5000 (closes
-    // [1000,1050]); u2 opens a session that is never closed -> never emitted
-    Seq((1L, 1050L), (1L, 5000L), (2L, 7L)).toDF("u", "tsu")
+    // batch 2: u1 at 990 (a LATE cross-batch event: joins the open
+    // session without rewinding its frontier), 1050 (extends), 5000
+    // (closes [990,1050] with 3 events); u2 opens a session that is
+    // never closed -> never emitted
+    Seq((1L, 990L), (1L, 1050L), (1L, 5000L), (2L, 7L)).toDF("u", "tsu")
       .coalesce(1).write.parquet(dir + "/b2")
     // order the source's batches by file modification time
     def onlyParquet(d: String) = new java.io.File(d).listFiles()
@@ -109,6 +111,6 @@ class SessionizeSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     val got = ss.table("fmgws_sink")
       .as[(Long, Long, Long, Long)].collect().toSet
-    assert(got == Set((1L, 0L, 10L, 2L), (1L, 1000L, 1050L, 2L)))
+    assert(got == Set((1L, 0L, 10L, 2L), (1L, 990L, 1050L, 3L)))
   }
 }

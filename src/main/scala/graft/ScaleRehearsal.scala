@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,phrase,merge,ivf,anomaly,mmr,resample,cdc,bloomjoin,prune)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,phrase,merge,ivf,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,prune)
   */
 object ScaleRehearsal {
 
@@ -487,6 +487,26 @@ object ScaleRehearsal {
       val expectSum = 500L * (99999L * 100000L / 2L)
       (got.getLong(0) == 100000L && got.getLong(1) == expectSum,
         s"rows=${got.getLong(0)} sum=${got.getLong(1)} (expect 100000 / $expectSum)")
+    })
+
+    if (enabled("hierarchy")) scenario("hierarchy-2m-deep",
+        "iterative level-walk, 8 levels", {
+      // parent = id div 10 over 2M nodes: depth(n) = #digits(n)-ish —
+      // closed form: depth 0 = {0}, depth d = ids in [10^(d-1), 10^d)
+      // clipped to 2M, so counts are 1, 9, 90, ..., 900000, 1000000 and
+      // max depth = 7. Every node roots at 0.
+      val nodes = spark.range(0, 2000000).select(col("id"))
+      val edges = nodes.select(col("id").as("child"),
+        expr("id div 10").as("parent"))
+      val flat = graft.graph.Hierarchy.flattenToRoot(nodes, "id",
+        edges, "child", "parent", maxDepth = 10)
+      val byDepth = flat.groupBy(col("depth")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val expected = Map(0 -> 1L, 1 -> 9L, 2 -> 90L, 3 -> 900L, 4 -> 9000L,
+        5 -> 90000L, 6 -> 900000L, 7 -> 1000000L)
+      val roots = flat.filter(col("root") =!= 0).count()
+      (byDepth == expected && roots == 0,
+        s"depth-counts=${byDepth.toSeq.sorted} roots!=0: $roots (expect the digit-count distribution, 0)")
     })
 
     if (enabled("prune")) scenario("prune-64-files",

@@ -522,6 +522,7 @@ object ScaleRehearsal {
       // Σ k for k in [5e6, 7.5e6): 2.5e6 terms, closed form
       val expect = (5000000L + 7499999L) * 2500000L / 2L
       val okSkip = kept <= total / 2 && kept >= 1
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       (s1 == expect && okSkip && total == 64,
         s"sum=$s1 (expect $expect) kept=$kept/$total")
     })

@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *
   * `maxDepth` bounds the walk; exceeding it (a cycle, or a deeper tree
   * than the caller promised) throws rather than silently truncating.
+  * Duplicate (child, parent) edges are deduped; a child with TWO
+  * distinct parents throws up front — each hop's left join would
+  * silently multiply that child's walking rows into several (node,
+  * root, path) rows, the error-never-nonsense discipline violated.
   */
 object Hierarchy {
 
@@ -33,7 +37,15 @@ object Hierarchy {
     val par = edges
       .select(col(childCol).as("cur"), col(parentCol).as("__p"))
       .filter(col("__p").isNotNull && col("cur") =!= col("__p"))
+      .distinct() // exact duplicate edges are noise, not ambiguity
       .localCheckpoint(true)
+    // precondition, not silent fan-out: one distinct parent per child
+    // (one cheap aggregation over the checkpointed id-pair frame)
+    val multiParent = par.groupBy("cur").count()
+      .filter(col("count") > 1).limit(1).count()
+    require(multiParent == 0,
+      "flattenToRoot: edge list has a child with multiple distinct parents " +
+        "(resolve to a tree/forest before flattening)")
     var walking = nodes.select(col(idCol).as("node"))
       .withColumn("cur", col("node"))
       .withColumn("depth", lit(0))

@@ -1853,8 +1853,9 @@ object Queries {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    state.select(col("event_type"), col("cohort"), col("n"),
-      col("total").cast("double").as("total"))
+    materializeAndCleanup(s,
+      state.select(col("event_type"), col("cohort"), col("n"),
+        col("total").cast("double").as("total")), tmp)
   }
 
   /** Small-file compaction round-trip under the correctness gate: the
@@ -1869,10 +1870,11 @@ object Queries {
     tbl(s, dir, "documents").repartition(16).write.mode("overwrite").parquet(tmp)
     val nFiles = graft.sources.PathLifecycle.compactParquet(s, tmp, targetFileMB = 128)
     require(nFiles < 16, s"compaction left $nFiles files")
-    s.read.parquet(tmp)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(length(col("text")).cast("long")).as("total_chars"))
+    materializeAndCleanup(s,
+      s.read.parquet(tmp)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("total_chars")), tmp)
   }
 
   /** Symmetric int8 embedding quantization ([[graft.ann.Quantize
@@ -1896,7 +1898,10 @@ object Queries {
     * are all load-bearing for the hash to match. */
   def q120SnapshotTimeTravel(s: SparkSession, dir: String): DataFrame = {
     val snap = graft.sources.Snapshots
-    val tmp = java.nio.file.Files.createTempDirectory("q120_snap").toFile.getAbsolutePath + "/tbl"
+    // cleanup targets the createTempDirectory ROOT — deleting only the
+    // tbl subdirectory would leak one empty q120_snap* dir per iteration
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q120_snap").toFile.getAbsolutePath
+    val tmp = tmpRoot + "/tbl"
     val docs = tbl(s, dir, "documents")
     val v1 = snap.publish(s, tmp, docs)
     val v2 = snap.publish(s, tmp, docs.filter(col("doc_id") % 3 =!= 0))
@@ -1910,7 +1915,7 @@ object Queries {
     val res = rollup(snap.readLatest(s, tmp), "v1") // == v1 after the rollback
       .unionByName(rollup(snap.readVersion(s, tmp, v2), "v2"))
       .select(col("snap"), col("source"), col("n_docs"), col("total_chars"))
-    materializeAndCleanup(s, res, tmp)
+    materializeAndCleanup(s, res, tmpRoot)
   }
 
   /** Unicode NFC normalization ([[graft.functions.TextFunctions
@@ -2001,8 +2006,10 @@ object Queries {
     * .fkOrphans]]): three FK relations in one result — orders→customer
     * with INJECTED orphans (every 100th order re-keyed to the negative
     * key space, the q93 construction device, so the audit provably
-    * catches them), plus the two clean relations whose zero counts pin
-    * the no-false-positive side. Null-trap-free anti-join semantics,
+    * catches them), injected NULL child keys (every 101st order — the
+    * null key must surface as orphan rows AND one distinct orphan key),
+    * plus the two clean relations whose zero counts pin the
+    * no-false-positive side. Null-trap-free anti-join semantics,
     * replayed as LEFT JOIN ... IS NULL. */
   def q127FkAudit(s: SparkSession, dir: String): DataFrame = {
     val E = graft.stats.Expectations
@@ -2010,6 +2017,11 @@ object Queries {
     val withOrphans = orders.select(col("o_custkey"), col("o_orderkey"))
       .unionByName(orders.filter(col("o_orderkey") % 100 === 0)
         .select((-(col("o_custkey") + 1)).as("o_custkey"), col("o_orderkey")))
+      // null child keys: orphan rows AND one distinct orphan key (the
+      // null-key counting rule is load-bearing for the hash)
+      .unionByName(orders.filter(col("o_orderkey") % 101 === 0)
+        .select(lit(null).cast(orders.schema("o_custkey").dataType).as("o_custkey"),
+          col("o_orderkey")))
     E.fkOrphans(withOrphans, "o_custkey",
         tbl(s, dir, "customer"), "c_custkey", "orders->customer")
       .unionByName(E.fkOrphans(tbl(s, dir, "lineitem"), "l_orderkey",
@@ -4062,6 +4074,10 @@ object Queries {
     // (floor(x·1e6+0.5), the QuantizeVecExpr device), then bigint-only
     // scale/code/error arithmetic. `//` is DuckDB's floor-div; the sums
     // CAST back to BIGINT because DuckDB widens sum(BIGINT) to HUGEINT.
+    // The vec_id set comes from the EMBEDDINGS table, not the unnest —
+    // unnest of an empty vector emits no rows, which would silently drop
+    // the (qmax=0, 0, 0) row Int8QuantExpr still produces; a NULL vector
+    // stays a null row on both sides (null struct ⇒ null fields).
     "q119_int8_quant" ->
       """WITH q AS (
         |  SELECT vec_id, CAST(floor(c*1000000.0 + 0.5) AS BIGINT) AS qi
@@ -4074,11 +4090,17 @@ object Queries {
         |         WHEN qi >= 0 THEN (qi*254 + m.qmax) // (2*m.qmax)
         |         ELSE -(((-qi)*254 + m.qmax) // (2*m.qmax)) END AS code
         |  FROM q JOIN m ON q.vec_id = m.vec_id
+        |), agg AS (
+        |  SELECT vec_id, qmax,
+        |    CAST(sum(abs(code)) AS BIGINT) AS code_l1,
+        |    CAST(sum(abs(127*qi - code*qmax)) AS BIGINT) AS err_l1
+        |  FROM c GROUP BY vec_id, qmax
         |)
-        |SELECT vec_id, qmax,
-        |  CAST(sum(abs(code)) AS BIGINT) AS code_l1,
-        |  CAST(sum(abs(127*qi - code*qmax)) AS BIGINT) AS err_l1
-        |FROM c GROUP BY vec_id, qmax""".stripMargin,
+        |SELECT e.vec_id,
+        |  CASE WHEN e.embedding IS NULL THEN NULL ELSE coalesce(a.qmax, 0) END AS qmax,
+        |  CASE WHEN e.embedding IS NULL THEN NULL ELSE coalesce(a.code_l1, 0) END AS code_l1,
+        |  CASE WHEN e.embedding IS NULL THEN NULL ELSE coalesce(a.err_l1, 0) END AS err_l1
+        |FROM embeddings e LEFT JOIN agg a ON e.vec_id = a.vec_id""".stripMargin,
     // q120: each snapshot's rollup derives from its construction — v1 is
     // the full table (read back after the rollback), v2 the filtered
     // publish (read via time travel).
@@ -4189,12 +4211,16 @@ object Queries {
     // q127: LEFT JOIN ... IS NULL is the null-trap-free anti-join; the
     // injected-orphan construction replays verbatim. counts CAST to
     // BIGINT (HUGEINT trap does not apply to count, but DISTINCT counts
-    // stay BIGINT anyway — casts kept for uniformity).
+    // stay BIGINT anyway — casts kept for uniformity). n_orphan_keys
+    // counts the null key explicitly (count(DISTINCT) drops it, so each
+    // branch adds max(CASE k IS NULL) — the fkOrphans rule).
     "q127_fk_audit" ->
       """WITH child1 AS (
         |  SELECT o_custkey FROM orders
         |  UNION ALL
         |  SELECT -(o_custkey + 1) FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT NULL FROM orders WHERE o_orderkey % 101 = 0
         |), o1 AS (
         |  SELECT c.o_custkey AS k FROM child1 c
         |  LEFT JOIN customer p ON c.o_custkey = p.c_custkey
@@ -4210,13 +4236,17 @@ object Queries {
         |)
         |SELECT 'orders->customer' AS relation,
         |  CAST(count(*) AS BIGINT) AS n_orphan_rows,
-        |  CAST(count(DISTINCT k) AS BIGINT) AS n_orphan_keys FROM o1
+        |  CAST(count(DISTINCT k)
+        |    + coalesce(max(CASE WHEN k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_orphan_keys FROM o1
         |UNION ALL
         |SELECT 'lineitem->orders', CAST(count(*) AS BIGINT),
-        |  CAST(count(DISTINCT k) AS BIGINT) FROM o2
+        |  CAST(count(DISTINCT k)
+        |    + coalesce(max(CASE WHEN k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM o2
         |UNION ALL
         |SELECT 'customer->nation', CAST(count(*) AS BIGINT),
-        |  CAST(count(DISTINCT k) AS BIGINT) FROM o3""".stripMargin,
+        |  CAST(count(DISTINCT k)
+        |    + coalesce(max(CASE WHEN k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM o3""".stripMargin,
     // q128: integer day buckets (micros div 86400000000) and a
     // cumulative window over the (type, day) aggregate — all BIGINT.
     "q128_audience_curve" ->

@@ -53,6 +53,9 @@ object Expectations {
     * `child.childKey` with no match in `parent.parentKey`, as data.
     * Null child keys count as orphans (they reference nothing), matching
     * LEFT JOIN ... IS NULL semantics — the NOT IN null trap avoided.
+    * `n_orphan_keys` counts the null key as ONE distinct orphan key (a
+    * bare countDistinct would silently drop it while its rows still
+    * landed in `n_orphan_rows`).
     *
     * Scale shape: one anti-join per relation on the key (broadcast when
     * the parent key set is small, shuffle otherwise — Catalyst's choice),
@@ -63,7 +66,11 @@ object Expectations {
     child.select(col(childKey).as("__k"))
       .join(parent.select(col(parentKey).as("__k")).distinct(), Seq("__k"), "left_anti")
       .agg(count(lit(1)).as("n_orphan_rows"),
-        countDistinct(col("__k")).as("n_orphan_keys"))
+        // +1 for the null key when any null orphan row exists (coalesce:
+        // max over an EMPTY frame is null, and 0+null must stay 0)
+        (countDistinct(col("__k")) +
+          coalesce(max(when(col("__k").isNull, lit(1L)).otherwise(lit(0L))), lit(0L)))
+          .as("n_orphan_keys"))
       .select(lit(relation).as("relation"),
         col("n_orphan_rows"), col("n_orphan_keys"))
 }

@@ -41,6 +41,19 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("empty vector yields the zero row; null vector yields a null row") {
+    // pinned because the q119 oracle mirrors exactly this: unnest drops
+    // empty/null vectors, so its vec_id set comes from the table with
+    // COALESCE-to-0 for empties and pass-through NULL for null vectors
+    val edge = Seq((1L, Some(Array.empty[Float])), (2L, None))
+      .toDF("vec_id", "embedding")
+    val got = Quantize.int8Summary(edge, "vec_id", "embedding")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((Some(0L), Some(0L), Some(0L))))
+    assert(got(2L) == ((None, None, None)))
+  }
+
   test("summary is partitioning-invariant (row-local kernel)") {
     val a = Quantize.int8Summary(vecs, "vec_id", "embedding")
       .as[(Long, Long, Long, Long)].collect().toSet

@@ -16,6 +16,22 @@ class HierarchySpec extends SparkSpec {
       (2L, 1L, 1, "2>1"), (4L, 1L, 2, "4>2>1")))
   }
 
+  test("flattenToRoot: duplicate edges dedupe; multi-parent throws up front") {
+    val nodes = Seq(1L, 2L).toDF("id")
+    // duplicated (2 -> 1) edge: still exactly one (2, 1, 1, "2>1") row
+    val dup = Seq((2L, 1L), (2L, 1L)).toDF("c", "p")
+    val got = Hierarchy.flattenToRoot(nodes, "id", dup, "c", "p", maxDepth = 3)
+      .as[(Long, Long, Int, String)].collect().toSet
+    assert(got == Set((1L, 1L, 0, "1"), (2L, 1L, 1, "2>1")))
+    // two DISTINCT parents for node 3: precondition violation, not fan-out
+    val multi = Seq((3L, 1L), (3L, 2L)).toDF("c", "p")
+    val e = intercept[IllegalArgumentException] {
+      Hierarchy.flattenToRoot(Seq(1L, 2L, 3L).toDF("id"), "id",
+        multi, "c", "p", maxDepth = 3)
+    }
+    assert(e.getMessage.contains("multiple distinct parents"))
+  }
+
   test("flattenToRoot: cycle or too-deep tree throws instead of truncating") {
     val nodes = Seq(1L, 2L).toDF("id")
     val cyc = Seq((1L, 2L), (2L, 1L)).toDF("c", "p")

@@ -68,8 +68,8 @@ class ExpectationsSpec extends SparkSpec {
     val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), None).toDF("fk")
     val got = Expectations.fkOrphans(child, "fk", parent, "pk", "c->p")
       .as[(String, Long, Long)].collect().head
-    // orphans: two 9s + one null row = 3 rows; distinct non-null keys = 1
-    assert(got == (("c->p", 3L, 1L)))
+    // orphans: two 9s + one null row = 3 rows; keys = {9, null} = 2
+    assert(got == (("c->p", 3L, 2L)))
     val clean = Expectations.fkOrphans(parent, "pk", parent, "pk", "self")
       .as[(String, Long, Long)].collect().head
     assert(clean == (("self", 0L, 0L)))

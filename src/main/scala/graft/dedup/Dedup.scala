@@ -276,8 +276,8 @@ object Dedup {
     *
     * Returns (id_a, id_b, n_common, n_union) with id_a < id_b — integer
     * evidence, not a rounded score; J = n_common/n_union if a caller
-    * wants it. Cache contract as in [[graft.curate.Bm25.scores]]: the
-    * shingle/candidate persists must outlive the lazy result, so
+    * wants it. Cache contract: the shingle/candidate persists must
+    * outlive the lazy result, so this method cannot unpersist them —
     * long-lived sessions clear the cache after materializing. */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int = 3, tauNum: Int = 9, tauDen: Int = 10,

@@ -211,12 +211,11 @@ object Graph {
     * closing-edge join keyed on the wedge pair. The oriented edge frame
     * has three consumers, so it persists.
     *
-    * CACHE CONTRACT: the und/oriented caches must outlive the (lazy)
-    * returned frame, so this method cannot unpersist them — after
-    * materializing the result, long-lived sessions should
-    * `spark.catalog.clearCache()` or repeated calls will accumulate
-    * cached edge frames until memory/disk pressure. Verify/Bench already
-    * clear the cache per query. */
+    * The returned frame is an EAGER localCheckpoint of the node-sized
+    * counts (the same lineage-release device the iterative graph ops
+    * use), so both edge caches unpersist before returning — repeated
+    * calls in a long-lived session leave nothing in the cache manager
+    * (GraphSpec pins this). */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
@@ -246,8 +245,12 @@ object Graph {
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
     val nodes = deg.select(col("n").as("node"))
-    nodes.join(tri, Seq("node"), "left")
+    val out = nodes.join(tri, Seq("node"), "left")
       .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .localCheckpoint(true) // node-sized; materializes through the caches
+    und.unpersist()
+    oriented.unpersist()
+    out
   }
 
   /** Per-node degree summary over a directed edge list: out-degree,

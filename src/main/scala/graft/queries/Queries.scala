@@ -2483,6 +2483,29 @@ object Queries {
       .agg(count(lit(1)).as("n_kept"),
         sum(length(col("text")).cast("long")).as("kept_chars"))
 
+  /** BM25 served from a STORED index ([[graft.curate.Bm25.saveIndex]] /
+    * loadIndex / topKAgainstIndex — the at-scale reuse path: build the
+    * inverted index once, persist it as a parquet table, and rank every
+    * later query batch against the artifact without rescanning or
+    * re-tokenizing the corpus). Runs q96's exact query set against the
+    * reloaded index; save/load must be score-invisible (doubles
+    * round-trip parquet exactly, and ranking on the 4dp-quantized score
+    * + doc-id tie-break pins any ulp drift), so the oracle IS q96's. */
+  def q150Bm25StoredIndex(s: SparkSession, dir: String): DataFrame = {
+    val B = graft.curate.Bm25
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q150_bm25")
+      .toFile.getAbsolutePath
+    val docs = tbl(s, dir, "documents")
+    val queries = docs
+      .filter(col("doc_id") % 125 === 3 && size(T.tokens(col("text"))) > 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(T.tokens(col("text")), 1, 5)).as("qtext"))
+    B.saveIndex(B.buildIndex(docs, "doc_id", "text"), tmpRoot)
+    val res = B.topKAgainstIndex(B.loadIndex(s, tmpRoot),
+      queries, "qid", "qtext", k = 5)
+    materializeAndCleanup(s, res, tmpRoot)
+  }
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2640,7 +2663,8 @@ object Queries {
     "q146_winsorized_sum" -> (q146WinsorizedSum _),
     "q147_hierarchy" -> (q147Hierarchy _),
     "q148_curation_gate" -> (q148CurationGate _),
-    "q149_match_proportions" -> (q149MatchProportions _))
+    "q149_match_proportions" -> (q149MatchProportions _),
+    "q150_bm25_stored_index" -> (q150Bm25StoredIndex _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -4611,5 +4635,8 @@ object Queries {
         |)
         |SELECT source, count(*) AS n_kept,
         |  CAST(sum(length(text)) AS BIGINT) AS kept_chars
-        |FROM k GROUP BY source""".stripMargin)
+        |FROM k GROUP BY source""".stripMargin,
+    // q150: stored-index serving must be indistinguishable from the
+    // direct scoring path, so the oracle IS q96's replay.
+    "q150_bm25_stored_index" -> bm25TopkSql)
 }

@@ -55,6 +55,37 @@ class Bm25Spec extends SparkSpec {
     assert(out.columns.toSeq == Seq("qid", "rank", "doc_id", "score"))
   }
 
+  test("stored index serves identically to the direct path") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "durian durian banana durian")).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple banana"), (101L, "cherry")).toDF("qid", "qtext")
+    val direct = Bm25.topK(docs, "doc_id", "text", queries, "qid", "qtext", k = 3)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    try {
+      Bm25.saveIndex(Bm25.buildIndex(docs, "doc_id", "text"), tmp)
+      val served = Bm25.topKAgainstIndex(
+          Bm25.loadIndex(spark, tmp), queries, "qid", "qtext", k = 3)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      // doubles round-trip parquet exactly; quantized ranking pins the rest
+      assert(served == direct, s"served=$served direct=$direct")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  test("looped calls leave nothing in the cache manager") {
+    spark.catalog.clearCache()
+    val docs = Seq((1L, "aa bb"), (2L, "bb cc"), (3L, "cc aa")).toDF("doc_id", "text")
+    val queries = Seq((9L, "aa cc")).toDF("qid", "qtext")
+    (1 to 3).foreach { _ =>
+      assert(Bm25.topK(docs, "doc_id", "text", queries, "qid", "qtext", k = 2)
+        .collect().nonEmpty)
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "Bm25 call left persisted frames behind")
+  }
+
   test("top-k truncates per query at k with the heap node") {
     val docs = (1L to 20L).map(i => (i, "common t" + i)).toDF("doc_id", "text")
     val queries = Seq((1L, "common")).toDF("qid", "qtext")

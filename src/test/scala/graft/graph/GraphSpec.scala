@@ -93,6 +93,18 @@ class GraphSpec extends SparkSpec {
       .collect().map(_.getLong(1)).forall(_ == 0L)) // C4: even cycles only
   }
 
+  test("triangleCounts: looped calls leave nothing in the cache manager") {
+    spark.catalog.clearCache()
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d")
+    (1 to 3).foreach { _ =>
+      val got = Graph.triangleCounts(edges, "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "triangleCounts left persisted edge frames behind")
+  }
+
   test("degrees reports out/in/total per node in one pass") {
     val edges = Seq((1L, 2L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
     val d = Graph.degrees(edges, "src", "dst")

@@ -797,12 +797,13 @@ object Dedup {
   def admitAgainstIndex(newDocs: DataFrame, index: DataFrame,
                         idCol: String, textCol: String,
                         shingleLen: Int = 3, k: Int = 64, bands: Int = 16,
-                        threshold: Double = 0.7): DataFrame = {
-    val sigs = minhashSignatures(newDocs, idCol, textCol, shingleLen, k)
+                        threshold: Double = 0.7,
+                        portable: Boolean = false): DataFrame = {
+    val sigs = minhashSignatures(newDocs, idCol, textCol, shingleLen, k, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vsIndex = minhashPairsAgainstIndex(index, sigs, k, bands, threshold)
+    val vsIndex = minhashPairsAgainstIndex(index, sigs, k, bands, threshold, portable)
       .select(col("new_id").as(idCol))
-    val inBatch = minhashPairsFromSignatures(sigs, k, bands, threshold)
+    val inBatch = minhashPairsFromSignatures(sigs, k, bands, threshold, portable = portable)
       .select(col("id_b").as(idCol))
     // materialize the (small) rejected-id set so the signature cache can be
     // released now instead of leaking for the session lifetime

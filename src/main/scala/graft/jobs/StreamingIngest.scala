@@ -27,6 +27,7 @@ object StreamingIngest {
           indexPath: String, corpusPath: String,
           idCol: String = "doc_id", textCol: String = "text",
           threshold: Double = 0.7,
+          portable: Boolean = false,
           opts: Streaming.ForEachBatchOptions = Streaming.ForEachBatchOptions()): StreamingQuery =
     Streaming.forEachBatch(streamDocs, opts) { (batch, _) =>
       // bootstrap: a fresh corpus has no index yet — every first-batch row
@@ -43,12 +44,12 @@ object StreamingIngest {
               org.apache.spark.sql.types.StructField("sig",
                 org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))))
       val admitted = Dedup.admitAgainstIndex(batch, index, idCol, textCol,
-          threshold = threshold)
+          threshold = threshold, portable = portable)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         if (admitted.count() > 0) {
           admitted.write.mode("append").parquet(corpusPath)
-          Dedup.minhashSignatures(admitted, idCol, textCol)
+          Dedup.minhashSignatures(admitted, idCol, textCol, portable = portable)
             .write.mode("append").parquet(indexPath)
         }
       } finally admitted.unpersist()

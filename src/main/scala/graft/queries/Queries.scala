@@ -2506,6 +2506,51 @@ object Queries {
     materializeAndCleanup(s, res, tmpRoot)
   }
 
+  /** Chained streaming ingest lifecycle under the gate
+    * ([[graft.jobs.StreamingIngest]]): the documents table splits into
+    * three slices (doc_id % 3), each arriving as ONE file in a forced
+    * modification-time order so micro-batches fire slice 0 → 1 → 2.
+    * Batch 0 bootstraps an empty index (self-dedup only); every later
+    * batch is admitted against the index GROWN by all earlier survivors
+    * — slice 2's admissions are filtered by slice 1's survivors, the
+    * chained-fold property a single-batch test cannot pin. The output is
+    * the final corpus. Oracle: three composed rounds of the q109-style
+    * portable band-candidate + est≥0.7 replay (est grid 1/64; 0.7 sits
+    * 0.0031 from the nearest grid point), each round's index CTE being
+    * the union of the previous rounds' admitted sets. */
+  def q151ChainedIngest(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("q151_ingest")
+      .toFile.getAbsolutePath
+    val in = s"$root/arrivals"
+    new java.io.File(in).mkdirs()
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val base = System.currentTimeMillis() - 3600000L
+    (0 to 2).foreach { i =>
+      val stage = s"$root/stage/$i"
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $stage"))
+      val dst = new java.io.File(s"$in/slice$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // distinct mtimes = deterministic micro-batch order (the file
+      // source processes oldest-first under maxFilesPerTrigger=1)
+      require(dst.setLastModified(base + i * 60000L), s"cannot set mtime on $dst")
+    }
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    graft.jobs.StreamingIngest.run(ss, stream, s"$root/index", s"$root/corpus",
+      threshold = 0.7, portable = true,
+      opts = graft.streaming.Streaming.ForEachBatchOptions(availableNow = true,
+        checkpointLocation = Some(s"$root/ckpt"))).awaitTermination()
+    val res = s.read.parquet(s"$root/corpus")
+      .select(col("doc_id"), (col("doc_id") % 3).as("slice"))
+    materializeAndCleanup(s, res, root)
+  }
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2664,7 +2709,8 @@ object Queries {
     "q147_hierarchy" -> (q147Hierarchy _),
     "q148_curation_gate" -> (q148CurationGate _),
     "q149_match_proportions" -> (q149MatchProportions _),
-    "q150_bm25_stored_index" -> (q150Bm25StoredIndex _))
+    "q150_bm25_stored_index" -> (q150Bm25StoredIndex _),
+    "q151_chained_ingest" -> (q151ChainedIngest _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -4638,5 +4684,50 @@ object Queries {
         |FROM k GROUP BY source""".stripMargin,
     // q150: stored-index serving must be indistinguishable from the
     // direct scoring path, so the oracle IS q96's replay.
-    "q150_bm25_stored_index" -> bm25TopkSql)
+    "q150_bm25_stored_index" -> bm25TopkSql,
+    // q151: three composed admission rounds over the portable
+    // signature/band replay (q109's machinery). `pair` holds ALL
+    // band-colliding ≥0.7 pairs as (id_x < id_y); in-batch rejection of d
+    // is "∃ pair(a, d) with a in the same slice" (the keep-smallest-id
+    // rule), index rejection is "∃ sym(d, c) with c admitted earlier".
+    // Round N's index CTE is the union of rounds < N's admitted sets —
+    // the chained fold. MATERIALIZED: each CTE is referenced by every
+    // later round; DuckDB would otherwise inline and re-expand the chain.
+    "q151_chained_ingest" ->
+      s"""WITH ${portableSigCtes("doc_id")},
+        |bandix AS (SELECT unnest(range(0, 16)) AS band),
+        |banded AS (SELECT doc_id, band,
+        |  CAST(concat('0x', substr(md5(concat(band::VARCHAR, '_',
+        |    array_to_string(sig[band*4+1 : band*4+4], ','))), 1, 15)) AS BIGINT) AS bhash
+        | FROM sig CROSS JOIN bandix),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_x, y.doc_id AS id_y
+        | FROM banded x JOIN banded y ON x.band = y.band AND x.bhash = y.bhash
+        | WHERE x.doc_id < y.doc_id),
+        |pair AS MATERIALIZED (SELECT c.id_x, c.id_y FROM cand c
+        | JOIN sig sa ON sa.doc_id = c.id_x
+        | JOIN sig sb ON sb.doc_id = c.id_y
+        | WHERE len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) / 64.0 >= 0.7),
+        |sym AS MATERIALIZED (
+        | SELECT id_x AS a, id_y AS b FROM pair
+        | UNION ALL SELECT id_y, id_x FROM pair),
+        |s0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |s1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+        |s2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+        |adm0 AS MATERIALIZED (SELECT d.doc_id FROM s0 d
+        | WHERE NOT EXISTS (SELECT 1 FROM pair p JOIN s0 a ON p.id_x = a.doc_id
+        |                   WHERE p.id_y = d.doc_id)),
+        |adm1 AS MATERIALIZED (SELECT d.doc_id FROM s1 d
+        | WHERE NOT EXISTS (SELECT 1 FROM sym m JOIN adm0 i ON m.b = i.doc_id
+        |                   WHERE m.a = d.doc_id)
+        |   AND NOT EXISTS (SELECT 1 FROM pair p JOIN s1 a ON p.id_x = a.doc_id
+        |                   WHERE p.id_y = d.doc_id)),
+        |idx2 AS (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1),
+        |adm2 AS (SELECT d.doc_id FROM s2 d
+        | WHERE NOT EXISTS (SELECT 1 FROM sym m JOIN idx2 i ON m.b = i.doc_id
+        |                   WHERE m.a = d.doc_id)
+        |   AND NOT EXISTS (SELECT 1 FROM pair p JOIN s2 a ON p.id_x = a.doc_id
+        |                   WHERE p.id_y = d.doc_id))
+        |SELECT doc_id, doc_id % 3 AS slice FROM adm0
+        |UNION ALL SELECT doc_id, doc_id % 3 FROM adm1
+        |UNION ALL SELECT doc_id, doc_id % 3 FROM adm2""".stripMargin)
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,phrase,merge,ivf,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,prune)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,phrase,merge,ivf,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,skewaqe,prune)
   */
 object ScaleRehearsal {
 
@@ -507,6 +507,56 @@ object ScaleRehearsal {
       val roots = flat.filter(col("root") =!= 0).count()
       (byDepth == expected && roots == 0,
         s"depth-counts=${byDepth.toSeq.sorted} roots!=0: $roots (expect the digit-count distribution, 0)")
+    })
+
+    if (enabled("skewaqe")) scenario("skew-aqe-vs-salt-20m",
+        "AQE runtime skew split vs manual salting on 5 hot keys", {
+      // 5 hot keys × 2M rows (each lands in ONE shuffle partition,
+      // ~15× the median) + a uniform 10M-row tail over 100k keys. The
+      // dim side is too big to broadcast here by conf, forcing the
+      // shuffled join AQE must repair at runtime.
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "32")
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ss.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+      ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+      // bounded-hash payload, CONSUMED by the aggregate: realistic
+      // incompressible fact bytes. With a bare key column (or a pruned
+      // payload) the hot partitions RLE-compress to almost nothing in
+      // the shuffle and never cross the skew threshold — the first
+      // version of this scenario failed exactly that way.
+      val pay = pmod(xxhash64(col("id")), lit(1000000L)).as("pay")
+      val hot = ss.range(0, 10000000L).select((col("id") % 5).as("key"), pay)
+      val tail = ss.range(0, 10000000L)
+        .select((lit(5L) + col("id") % 100000L).as("key"), pay)
+      val fact = hot.unionByName(tail)
+      // pay depends only on id and both slices draw ids 0..10M, so the
+      // expected join-wide pay sum is twice one narrow no-shuffle pass
+      val expectPay = 2L * ss.range(0, 10000000L).agg(sum(pay)).collect()(0).getLong(0)
+      val dim = ss.range(0, 100005L).select(col("id").as("key"), col("id").as("w"))
+      // Σw over the join: hot 2M·(0+1+2+3+4) + tail 100·Σ_{5..100004} k
+      val expectSum = 2000000L * 10L + 100L * ((5L + 100004L) * 100000L / 2L)
+      val t1 = System.nanoTime()
+      val aggDf = fact.join(dim, Seq("key"))
+        .agg(sum(col("w")), count(lit(1)), sum(col("pay")))
+      val r1 = aggDf.collect()(0)
+      val aqeWall = (System.nanoTime() - t1) / 1e9
+      // the FINAL adaptive plan of the query that actually ran — a
+      // pre-execution .queryExecution still shows isFinalPlan=false with
+      // no runtime skew handling in it
+      val plan = aggDf.queryExecution.executedPlan.toString
+      val skewSplit = plan.contains("skew=true")
+      val t2 = System.nanoTime()
+      val r2 = graft.frame.Skew.saltedJoin(fact, dim, "key", salt = 32)
+        .agg(sum(col("w")), count(lit(1)), sum(col("pay"))).collect()(0)
+      val saltWall = (System.nanoTime() - t2) / 1e9
+      val ok = r1.getLong(0) == expectSum && r1.getLong(1) == 20000000L &&
+        r1.getLong(2) == expectPay &&
+        r2.getLong(0) == expectSum && r2.getLong(1) == 20000000L &&
+        r2.getLong(2) == expectPay && skewSplit
+      (ok, f"aqe=$aqeWall%.1fs(skew-split=$skewSplit) salted=$saltWall%.1fs " +
+        s"sum=${r1.getLong(0)} (expect $expectSum)")
     })
 
     if (enabled("prune")) scenario("prune-64-files",

@@ -15,6 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * {{{
   *   v=00001/ v=00002/ ...   immutable parquet version directories
   *   _LATEST                 the committed version number (atomic rename)
+  *   _PINS/<name>            reader pins: versions vacuum must not touch
   * }}}
   *
   * Scale shape: the commit is O(1) regardless of table size — one rename
@@ -98,18 +99,64 @@ object Snapshots {
       .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toInt).sorted
   }
 
-  /** Delete all versions strictly older than the newest `keepLast`
-    * (never the committed one). Returns the versions deleted. Run it in
-    * the retention window your slowest pinned reader needs. */
+  /** Delete all versions strictly older than the newest `keepLast` —
+    * never the committed one, and never a [[pin]]ned one. Returns the
+    * versions deleted. Readers that outlive the retention window MUST
+    * register via [[pin]] before resolving their version; unpinned
+    * readers are only safe within the newest `keepLast`. */
   def vacuum(spark: SparkSession, dir: String, keepLast: Int): Seq[Int] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val (f, root) = fs(spark, dir)
     val all = versions(spark, dir)
     val current = latestVersion(spark, dir)
-    val keep = all.takeRight(keepLast).toSet ++ current
+    val keep = all.takeRight(keepLast).toSet ++ current ++
+      pinnedVersions(spark, dir).values
     val drop = all.filterNot(keep)
     drop.foreach(v => f.delete(versionDir(root, v), true))
     drop
+  }
+
+  private val PinsDir = "_PINS"
+
+  private def pinName(name: String): String = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"pin name must be [A-Za-z0-9._-]+: '$name'")
+    name
+  }
+
+  /** Register a named pin on version `v`: [[vacuum]] will never delete a
+    * pinned version, so a long-running reader (a multi-day training job
+    * scanning one snapshot of a 100 TB table) pins BEFORE resolving and
+    * [[unpin]]s when done — the lock-free reader contract extended past
+    * the retention window. Pin creation is a one-file write under
+    * `_PINS/`; re-pinning an existing name moves it. */
+  def pin(spark: SparkSession, dir: String, v: Int, name: String): Unit = {
+    val (f, root) = fs(spark, dir)
+    require(f.exists(versionDir(root, v)), s"cannot pin missing version $v")
+    val p = new Path(new Path(root, PinsDir), pinName(name))
+    val out = f.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Remove a named pin (idempotent — a finished reader's cleanup must
+    * not fail if the pin is already gone). */
+  def unpin(spark: SparkSession, dir: String, name: String): Unit = {
+    val (f, root) = fs(spark, dir)
+    f.delete(new Path(new Path(root, PinsDir), pinName(name)), false)
+  }
+
+  /** All registered pins, name → version. */
+  def pinnedVersions(spark: SparkSession, dir: String): Map[String, Int] = {
+    val (f, root) = fs(spark, dir)
+    val pins = new Path(root, PinsDir)
+    if (!f.exists(pins)) Map.empty
+    else f.listStatus(pins).toSeq.map { st =>
+      val buf = new Array[Byte](st.getLen.toInt)
+      val in = f.open(st.getPath)
+      try { in.readFully(0, buf) } finally in.close()
+      st.getPath.getName -> new String(buf, "UTF-8").trim.toInt
+    }.toMap
   }
 
   private def commitPointer(f: FileSystem, root: Path, v: Int): Unit = {

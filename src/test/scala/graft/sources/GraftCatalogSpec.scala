@@ -98,4 +98,32 @@ class GraftCatalogSpec extends SparkSpec {
     cat.dropTable("graft_db", "fact_b")
     cat.dropTable("graft_db", "dim_b")
   }
+
+  test("catalog survives a session boundary: bucketed zero-exchange join from a NEW session") {
+    import org.apache.spark.sql.functions._
+    val fact = spark.range(0, 8000)
+      .select((col("id") % 400).as("k"), (col("id") % 13).as("amt"))
+    val dim = spark.range(0, 400).select(col("id").as("k"), (col("id") % 5).as("seg"))
+    cat.saveBucketed("graft_db", "xs_fact", fact, "k", numBuckets = 4, sortCols = Seq("k"))
+    cat.saveBucketed("graft_db", "xs_dim", dim, "k", numBuckets = 4, sortCols = Seq("k"))
+    // a brand-new session: fresh session state, fresh conf, fresh
+    // analyzer — only the warehouse-backed external catalog is shared.
+    // Table metadata INCLUDING the bucket spec must be re-resolved from
+    // the catalog layer, not remembered by the writing session.
+    val ss = spark.newSession()
+    val cat2 = new GraftCatalog(ss)
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined = cat2.table("graft_db", "xs_fact")
+      .join(cat2.table("graft_db", "xs_dim"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join lost its layout across the session boundary:\n$plan")
+    val got = joined.groupBy("seg").agg(sum("amt").as("total"))
+      .as[(Long, Long)].collect().toMap
+    val expect = fact.join(dim, "k").groupBy("seg").agg(sum("amt").as("total"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect)
+    cat.dropTable("graft_db", "xs_fact")
+    cat.dropTable("graft_db", "xs_dim")
+  }
 }

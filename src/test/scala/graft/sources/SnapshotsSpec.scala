@@ -52,6 +52,26 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readLatest(spark, dir).count() == 2)
   }
 
+  test("vacuum never deletes a version a pinned reader resolves") {
+    val dir = freshDir()
+    (1 to 4).foreach(i => Snapshots.publish(spark, dir, Seq.fill(i)(i).toDF("k")))
+    // a long-running reader pins v1 BEFORE resolving it (the contract),
+    // then keeps scanning while retention churns underneath
+    Snapshots.pin(spark, dir, 1, "nightly-train")
+    val reader = Snapshots.readVersion(spark, dir, 1)
+    val dropped = Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(dropped == Seq(2, 3), s"dropped $dropped") // v4 newest+committed, v1 pinned
+    assert(Snapshots.versions(spark, dir) == Seq(1, 4))
+    assert(reader.count() == 1, "pinned reader must keep resolving v1")
+    assert(Snapshots.pinnedVersions(spark, dir) == Map("nightly-train" -> 1))
+    // reader done: unpin releases v1 to the next vacuum; unpin is idempotent
+    Snapshots.unpin(spark, dir, "nightly-train")
+    Snapshots.unpin(spark, dir, "nightly-train")
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1) == Seq(1))
+    intercept[IllegalArgumentException] { Snapshots.pin(spark, dir, 99, "x") }
+    intercept[IllegalArgumentException] { Snapshots.pin(spark, dir, 4, "bad/name") }
+  }
+
   test("crash before commit leaves the previous version live") {
     val dir = freshDir()
     Snapshots.publish(spark, dir, Seq(1, 2).toDF("k"))

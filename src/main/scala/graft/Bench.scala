@@ -53,10 +53,17 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
     // One timed sample; Left(error) if the query throws — never a fake timing.
+    // toRdd.count(), NOT Dataset.count(): a count() on top of the query
+    // lets Catalyst prune aggregate expressions and even ELIMINATE whole
+    // joins whose right side is distinct-keyed — q98's entire triangle
+    // computation optimized away under count() and the bench measured
+    // node counting for two rounds (r7 discovery, PERF.md). toRdd drives
+    // the query exactly as written (AQE included) and produces every
+    // output row, which is what a real consumer pays.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       val res =
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); Right((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,phrase,merge,ivf,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,skewaqe,prune)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,phrase,merge,ivf,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
   */
 object ScaleRehearsal {
 
@@ -507,6 +507,28 @@ object ScaleRehearsal {
       val roots = flat.filter(col("root") =!= 0).count()
       (byDepth == expected && roots == 0,
         s"depth-counts=${byDepth.toSeq.sorted} roots!=0: $roots (expect the digit-count distribution, 0)")
+    })
+
+    if (enabled("triangles")) scenario("triangles-hub-1m",
+        "compact-forward intersect: 1M-degree hub never fans out", {
+      // star: hub 0 — spokes 1..1M (hub degree 1M), plus ring edges
+      // (i, i+1) for i in 1..50000 planting exactly 50k triangles
+      // (0, i, i+1). Degree ordering sends every spoke edge TOWARD the
+      // hub, so N⁺(hub) = ∅ and the celebrity contributes zero
+      // intersection work — the bound the scaladoc claims.
+      val spokes = spark.range(1, 1000001L)
+        .select(col("id").as("s"), lit(0L).as("d"))
+      val ring = spark.range(1, 50001L)
+        .select(col("id").as("s"), (col("id") + 1).as("d"))
+      val tri = graft.graph.Graph
+        .triangleCounts(spokes.unionByName(ring), "s", "d")
+      val hubN = tri.filter(col("node") === 0).collect()(0).getLong(1)
+      val agg = tri.agg(sum(col("n_triangles")), max(col("n_triangles")),
+        count(lit(1))).collect()(0)
+      // Σ per-node counts = 3 × 50000; interior ring nodes sit in 2
+      (hubN == 50000L && agg.getLong(0) == 150000L && agg.getLong(1) == 50000L &&
+        agg.getLong(2) == 1000001L,
+        s"hub=$hubN sum=${agg.getLong(0)} max=${agg.getLong(1)} nodes=${agg.getLong(2)}")
     })
 
     if (enabled("skewaqe")) scenario("skew-aqe-vs-salt-20m",

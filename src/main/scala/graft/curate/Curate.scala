@@ -403,11 +403,12 @@ object Curate {
       "need maxTokens >= 1 and 0 <= overlap < maxTokens")
     val stride = maxTokens - overlap
     val toks = T.tokens(col(textCol))
-    val nChunks = ceil(greatest(size(toks) - overlap, lit(1)) / lit(stride.toDouble)).cast("int")
+    // native strided-chunk kernel — the HOF transform-over-sequence form
+    // captures the tokenizer inside the lambda and re-tokenizes per chunk
     docs.filter(size(T.tokens(col(textCol))) > 0)
       .select(col(idCol).as("id"),
-        posexplode(transform(sequence(lit(0), nChunks - 1),
-          i => concat_ws(" ", slice(toks, i * stride + 1, lit(maxTokens)))))
+        posexplode(graft.functions.expressions.TextExpressions
+          .tokenChunks(toks, maxTokens, stride))
           .as(Seq("chunk_idx", "chunk_text")))
       .withColumn("n_tokens", size(T.tokens(col("chunk_text"))))
   }
@@ -475,16 +476,16 @@ object Curate {
     * [[graft.dedup.Dedup.stripDuplicatedSegments]], which removes
     * CROSS-document boilerplate; this removes WITHIN-document runs.
     *
-    * Scale shape: pure map-side — one array expression per row, no
-    * explode, no shuffle, no corpus state (plan-shape guarded). The HOF
-    * lambda is interpreted, but the work is one linear pass per document.
+    * Scale shape: pure map-side — one native linear-pass kernel per row
+    * ([[graft.functions.expressions.CollapseRunsExpr]]), no explode, no
+    * shuffle, no corpus state (plan-shape guarded). NOT the HOF
+    * `filter(toks, (t, i) => t =!= element_at(toks, i))`: capturing the
+    * tokenizer expression inside the lambda re-evaluates it per ELEMENT
+    * — O(n²) regex splits per document, measured 20× slower on q88.
     * Output: id, clean_text, n_tokens (original), n_collapsed (removed). */
   def collapseRepeatTokens(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = T.tokens(col(textCol))
-    // keep position i iff first token or different from its predecessor;
-    // the `when` guards element_at(_, 0), which ANSI mode rejects
-    val kept = filter(toks, (t, i) =>
-      when(i === 0, lit(true)).otherwise(t =!= element_at(toks, i)))
+    val kept = graft.functions.expressions.TextExpressions.collapseRuns(toks)
     df.select(col(idCol).as("id"),
       array_join(kept, " ").as("clean_text"),
       size(toks).as("n_tokens"),

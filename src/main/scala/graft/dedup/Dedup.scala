@@ -650,11 +650,11 @@ object Dedup {
   def dupSegmentFraction(df: DataFrame, idCol: String, textCol: String,
                          segLen: Int = 10): DataFrame = {
     val toks = T.tokens(col(textCol))
-    val nSeg = ceil(size(toks) / lit(segLen.toDouble)).cast("int")
     val segs = ensureParallelism(df.filter(size(T.tokens(col(textCol))) > 0))
       .select(col(idCol).as("id"),
-        explode(transform(sequence(lit(0), nSeg - 1),
-          i => xxhash64(concat_ws(" ", slice(toks, i * segLen + 1, lit(segLen)))))).as("seg"))
+        explode(graft.functions.expressions.TextExpressions
+          .tokenChunks(toks, segLen, segLen)).as("__seg"))
+      .select(col("id"), xxhash64(col("__seg")).as("seg"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("seg")
     segs.withColumn("c", count(lit(1)).over(w))
       .groupBy("id")
@@ -683,11 +683,10 @@ object Dedup {
   def stripDuplicatedSegments(df: DataFrame, idCol: String, textCol: String,
                               segLen: Int = 10, maxDupCount: Int = 1): DataFrame = {
     val toks = T.tokens(col(textCol))
-    val nSeg = ceil(size(toks) / lit(segLen.toDouble)).cast("int")
     val segs = ensureParallelism(df.filter(size(T.tokens(col(textCol))) > 0))
       .select(col(idCol).as("id"),
-        posexplode(transform(sequence(lit(0), nSeg - 1),
-          i => concat_ws(" ", slice(toks, i * segLen + 1, lit(segLen))))).as(Seq("idx", "seg")))
+        posexplode(graft.functions.expressions.TextExpressions
+          .tokenChunks(toks, segLen, segLen)).as(Seq("idx", "seg")))
       .withColumn("h", graft.curate.Curate.portableHash60(col("seg")))
     val counts = segs.groupBy("h").agg(count(lit(1)).as("c"))
     segs.join(counts, Seq("h"))

@@ -131,6 +131,123 @@ case class CharEntropyExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Collapse consecutive duplicate tokens: array<string> → array<string>
+  * keeping element i iff i == 0 or tokens(i) ≠ tokens(i−1) — the
+  * within-document stutter/boilerplate-run remover behind
+  * [[graft.curate.Curate.collapseRepeatTokens]].
+  *
+  * Native because the obvious HOF formulation,
+  * `filter(toks, (t, i) => t =!= element_at(toks, i))`, captures the
+  * OUTER tokens expression inside the lambda — Catalyst re-evaluates the
+  * captured subtree (a regex tokenizer!) PER ELEMENT, turning a linear
+  * pass into O(n²) regex splits per document (measured 20× on q88 once
+  * the bench stopped letting count() prune the projection). Here: one
+  * linear pass, one virtual call per row, codegen-hosted.
+  */
+case class CollapseRunsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  def compute(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("collapseRuns", this, classOf[CollapseRunsExpr].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);"
+    })
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var kept = 0
+    var prev: UTF8String = null
+    var prevNull = false
+    var i = 0
+    while (i < n) {
+      val isNull = arr.isNullAt(i)
+      val t = if (isNull) null else arr.getUTF8String(i)
+      // first element always kept; null tokens compare equal to null
+      val dup = i > 0 && (if (isNull || prevNull) isNull && prevNull else t == prev)
+      if (!dup) { out(kept) = t; kept += 1 }
+      prev = t
+      prevNull = isNull
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], kept))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Strided token chunks: array<string> tokens → array<string> of
+  * space-joined windows `tokens[i·stride, i·stride + chunkLen)` for
+  * i in 0 until max(1, ⌈max(n − (chunkLen − stride), 1) / stride⌉) —
+  * exactly the `transform(sequence(...), i => concat_ws(" ",
+  * slice(toks, i·stride+1, chunkLen)))` arithmetic of the chunk/segment
+  * operators (stride = chunkLen ⇒ ⌈n/chunkLen⌉ disjoint segments;
+  * stride < chunkLen ⇒ overlapping training chunks). Native for the
+  * same reason as [[CollapseRunsExpr]]: the HOF formulation captures
+  * the tokenizer expression inside the lambda and re-evaluates it per
+  * CHUNK — O(chunks · n) regex splits per document. Empty input yields
+  * one empty-string chunk (the callers filter empties out first).
+  */
+case class TokenChunksExpr(child: Expression, chunkLen: Int, stride: Int)
+    extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(chunkLen >= 1 && stride >= 1 && stride <= chunkLen,
+    s"need 1 <= stride <= chunkLen: got chunkLen=$chunkLen stride=$stride")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val space = UTF8String.fromString(" ")
+
+  def compute(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("tokenChunks", this, classOf[TokenChunksExpr].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);"
+    })
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val overlap = chunkLen - stride
+    val eff = math.max(n - overlap, 1)
+    val k = math.max(1, (eff + stride - 1) / stride)
+    val out = new Array[Any](k)
+    var c = 0
+    while (c < k) {
+      val from = c * stride
+      val until = math.min(from + chunkLen, n)
+      val window = new Array[UTF8String](math.max(until - from, 0))
+      if (until > from) System.arraycopy(toks, from, window, 0, until - from)
+      out(c) = UTF8String.concatWs(space, window: _*)
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the text kernels. */
 object TextExpressions {
   def ngramRepetition(tokens: Column, n: Int): Column =
@@ -138,4 +255,11 @@ object TextExpressions {
 
   def charEntropy(text: Column): Column =
     ExpressionUtils.column(CharEntropyExpr(ExpressionUtils.expression(text)))
+
+  def collapseRuns(tokens: Column): Column =
+    ExpressionUtils.column(CollapseRunsExpr(ExpressionUtils.expression(tokens)))
+
+  def tokenChunks(tokens: Column, chunkLen: Int, stride: Int): Column =
+    ExpressionUtils.column(
+      TokenChunksExpr(ExpressionUtils.expression(tokens), chunkLen, stride))
 }

@@ -156,15 +156,13 @@ object TextFunctions {
       "es" -> Seq("el", "la", "los", "las", "es", "y", "un", "una", "con"),
       "fr" -> Seq("le", "la", "les", "est", "et", "un", "une", "dans"),
       "zh" -> Seq("的", "是", "了", "在", "和", "有"))
-    val toks = tokens(lower(text))
-    val scored = profiles.map { case (langCode, words) =>
-      val sw = array(words.map(lit): _*)
-      struct(size(filter(toks, t => array_contains(sw, t))).as("hits"), lit(langCode).as("lang"))
-    }
-    // array_max on struct(hits, lang): max hits, ties → lexicographically
-    // greatest lang; invert lang ordering is unnecessary for determinism.
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    // native single-pass kernel (one token→profile-bitmask lookup per
+    // token); the previous Column form paid one interpreted HOF filter
+    // pass per profile per row. Semantics identical: hits with
+    // multiplicity, max hits wins, ties → lexicographically greatest
+    // code, zero hits → 'und'.
+    graft.functions.expressions.TextExpressions
+      .languageId(tokens(lower(text)), profiles)
   }
   /** Unicode canonical normalization (NFC) — see
     * [[graft.functions.expressions.UnicodeExpressions]]. */

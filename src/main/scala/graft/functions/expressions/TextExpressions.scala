@@ -248,6 +248,81 @@ case class TokenChunksExpr(child: Expression, chunkLen: Int, stride: Int)
     copy(child = newChild)
 }
 
+/** Stopword-profile language ID: array<string> lowercased tokens →
+  * language code. Semantics pinned to the original Column formulation
+  * (q26's oracle replays it): hits = token occurrences (WITH
+  * multiplicity) in each profile's marker set; winner = max hits,
+  * ties → lexicographically GREATEST language code; zero hits → "und".
+  * Native because the Column form ran one interpreted HOF filter pass
+  * per profile per row; here: one pass over the tokens against a
+  * token→profile-bitmask map. */
+case class LanguageIdExpr(child: Expression, profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(profiles.nonEmpty && profiles.size <= 62, "1..62 profiles")
+
+  override def dataType: DataType = StringType
+
+  // token → bitmask of profile indices containing it
+  private lazy val mask: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long]()
+    for (((_, words), p) <- profiles.zipWithIndex; w <- words) {
+      val k = UTF8String.fromString(w)
+      val prev = m.get(k)
+      m.put(k, java.lang.Long.valueOf((if (prev == null) 0L else prev.longValue()) | (1L << p)))
+    }
+    m
+  }
+  private lazy val codes = profiles.map(p => UTF8String.fromString(p._1)).toArray
+  private val und = UTF8String.fromString("und")
+
+  def compute(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("languageId", this, classOf[LanguageIdExpr].getName)
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.compute($c);"
+    })
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val hits = new Array[Int](codes.length)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val m = mask.get(arr.getUTF8String(i))
+        if (m != null) {
+          var bits = m.longValue()
+          while (bits != 0L) {
+            val p = java.lang.Long.numberOfTrailingZeros(bits)
+            hits(p) += 1
+            bits &= bits - 1
+          }
+        }
+      }
+      i += 1
+    }
+    var best = -1
+    var p = 0
+    while (p < codes.length) {
+      // strictly-greater hits win; equal hits → lexicographically
+      // greatest code wins (array_max on struct(hits, lang) semantics)
+      if (best < 0 || hits(p) > hits(best) ||
+        (hits(p) == hits(best) && codes(p).compareTo(codes(best)) > 0)) best = p
+      p += 1
+    }
+    if (hits(best) > 0) codes(best) else und
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the text kernels. */
 object TextExpressions {
   def ngramRepetition(tokens: Column, n: Int): Column =
@@ -262,4 +337,8 @@ object TextExpressions {
   def tokenChunks(tokens: Column, chunkLen: Int, stride: Int): Column =
     ExpressionUtils.column(
       TokenChunksExpr(ExpressionUtils.expression(tokens), chunkLen, stride))
+
+  def languageId(tokens: Column, profiles: Seq[(String, Seq[String])]): Column =
+    ExpressionUtils.column(
+      LanguageIdExpr(ExpressionUtils.expression(tokens), profiles))
 }

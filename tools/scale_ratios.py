@@ -57,9 +57,41 @@ FAMILIES = {
     "incremental / diff": [
         "q79_incremental_rollup", "q93_snapshot_diff", "q97_incremental_join"],
     "curation mix/pack": ["q65_weighted_mix", "q66_pack_chunks"],
-    "multimodal": ["q50_multimodal", "q101_multimodal_dims"],
-    "layout": ["q75_zorder_stats"],
+    "multimodal": ["q50_multimodal", "q101_multimodal_dims",
+        "q103_audio_meta"],
+    "layout": ["q75_zorder_stats", "q118_compact_roundtrip",
+        "q124_pruned_scan"],
 }
+
+# r6s3/r7 additions, grouped by the same taxonomy
+FAMILIES["relational scan/agg/join"] += [
+    "q113_stratified_sample", "q114_scd2_merge", "q126_k_anonymity",
+    "q127_fk_audit", "q137_schema_drift", "q139_golden_records",
+    "q141_bloom_semi_join", "q147_hierarchy"]
+FAMILIES["windows / top-k"] += [
+    "q110_rolling_window", "q125_rolling_median", "q142_windowed_distinct",
+    "q144_weighted_median", "q146_winsorized_sum"]
+FAMILIES["text analysis"] += ["q121_nfc_normalize"]
+FAMILIES["dedup / similarity"] += [
+    "q105_cluster_split", "q109_index_dedup", "q111_merge_clusters",
+    "q138_match_distribution", "q143_detector_agreement",
+    "q148_curation_gate", "q149_match_proportions", "q115_negative_samples"]
+FAMILIES["embedding ANN / semantic"] += [
+    "q116_centroid_outliers", "q119_int8_quant", "q129_mmr_diverse"]
+FAMILIES["fuzzy / entity / retrieval"] += [
+    "q106_phrase_search", "q131_retrieval_eval", "q136_trending",
+    "q150_bm25_stored_index"]
+FAMILIES["sketches / stats"] += [
+    "q122_anomaly_threshold", "q134_z_outliers"]
+FAMILIES["temporal / sessionize"] += [
+    "q104_session_window", "q107_hopping_window", "q123_event_transitions",
+    "q128_audience_curve", "q130_resample_ffill", "q133_feature_join",
+    "q135_session_paths", "q145_cohort_retention"]
+FAMILIES["streaming"] += [
+    "q108_stream_dedup", "q117_stream_rollup_fold", "q140_stream_sessions",
+    "q151_chained_ingest"]
+FAMILIES["incremental / diff"] += [
+    "q112_retract_rollup", "q120_snapshot_time_travel", "q132_cdc_apply"]
 
 
 def main() -> None:

@@ -126,18 +126,21 @@ object Dedup {
         least(col("__x.id"), col("__y.id")).as("id_a"),
         greatest(col("__x.id"), col("__y.id")).as("id_b"))
       .distinct() // collapse band-duplicate collisions BEFORE the sig join
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // Prune the signature frame to collided ids before the payload joins:
     // the left-semi pushes BELOW sigFrame's projection (id is pass-through),
     // so when sigs are computed on the fly only candidate rows pay the
     // minhash kernel — and each join side re-evaluates only that pruned
-    // subtree. (cand is persisted: it feeds candIds and the joins, and its
-    // upstream is the whole bucket shuffle; id-pair scalars cache densely.)
+    // subtree. (cand is eagerly checkpointed: it feeds candIds and the
+    // joins, its upstream is the whole bucket shuffle, and a checkpoint —
+    // unlike a persist — leaves nothing registered in the cache manager
+    // once the result is consumed; id-pair scalars store densely.)
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    // persisted: both payload joins consume it, and each would otherwise
-    // re-run the (pruned) signature subtree; candidate-count rows only.
+    // checkpointed for the same reason: both payload joins consume it, and
+    // each would otherwise re-run the (pruned) signature subtree;
+    // candidate-count rows only.
     val prunedSigs = sigFrame.join(broadcast(candIds), Seq("id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     cand
       .join(prunedSigs.select(col("id").as("id_a"), col("sig").as("__sa")), Seq("id_a"))
       .join(prunedSigs.select(col("id").as("id_b"), col("sig").as("__sb")), Seq("id_b"))
@@ -206,17 +209,19 @@ object Dedup {
         least(col("__x.id"), col("__y.id")).as("id_a"),
         greatest(col("__x.id"), col("__y.id")).as("id_b"))
       .distinct() // collapse band-duplicate collisions
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    // persisted: `sh` feeds BOTH payload joins below, and each join side
-    // would otherwise re-evaluate the corpus scan + shingle kernel (AQE
-    // plans the two small sides as independent broadcasts — no exchange
-    // reuse between them). Candidates-only, so the cache is tiny at scale.
+    // checkpointed: `sh` feeds BOTH payload joins below, and each join
+    // side would otherwise re-evaluate the corpus scan + shingle kernel
+    // (AQE plans the two small sides as independent broadcasts — no
+    // exchange reuse between them). Candidates-only, so it is tiny at
+    // scale, and — unlike a persist — nothing stays registered in the
+    // cache manager after the result is consumed.
     val sh = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .join(broadcast(candIds), Seq("id"), "left_semi")
       .select(col("id"), array_distinct(T.wordShingles(col("__text"), shingleLen)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -276,9 +281,11 @@ object Dedup {
     *
     * Returns (id_a, id_b, n_common, n_union) with id_a < id_b — integer
     * evidence, not a rounded score; J = n_common/n_union if a caller
-    * wants it. Cache contract: the shingle/candidate persists must
-    * outlive the lazy result, so this method cannot unpersist them —
-    * long-lived sessions clear the cache after materializing. */
+    * wants it. Multi-consumer intermediates (shingle sets, candidate
+    * pairs) are EAGER localCheckpoints — materialized once, released by
+    * GC when the result goes unreferenced, never an entry in the cache
+    * manager (the r7 cache-contract sweep; DedupAnnSpec pins the family
+    * cache-empty). */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int = 3, tauNum: Int = 9, tauDen: Int = 10,
                         maxBucketSize: Int = 100000): DataFrame = {
@@ -288,7 +295,7 @@ object Dedup {
       df.select(col(idCol).as("id"), col(textCol).as("__text"))
         .filter(col("__text").isNotNull && length(trim(col("__text"))) > 0))
       .select(col("id"), array_distinct(T.wordShingles(col("__text"), shingleLen)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // multi-consumer; leaves no cache entry
     val freq = base.select(explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("cnt"))
     // ceil(tauNum·n/tauDen) in exact integer arithmetic (a double 0.9·n
@@ -317,11 +324,11 @@ object Dedup {
         least(col("__x.id"), col("__y.id")).as("id_a"),
         greatest(col("__x.id"), col("__y.id")).as("id_b"))
       .distinct() // collapse multi-bucket collisions
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     // shingle sets only for candidate ids (broadcast semi-join prune);
-    // `base` is already cached, so this rescans nothing
+    // `base` is already materialized, so this rescans nothing
     val sets = base.join(broadcast(candIds), Seq("id"), "left_semi")
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -361,10 +368,10 @@ object Dedup {
       df.select(col(idCol).as("id"), col(textCol).as("__text"))
         .filter(col("__text").isNotNull && length(trim(col("__text"))) > 0))
       .select(col("id"), array_distinct(T.wordShingles(col("__text"), shingleLen)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // multi-consumer; leaves no cache entry
     val freq = base.select(explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // stats probe + prefix join both consume it
     val stats = freq.agg(count(lit(1)).as("vocab"), sum("cnt").as("volume")).collect()(0)
     val vocab = stats.getLong(0)
     val meanPosting = if (vocab == 0) 0.0 else stats.getLong(1).toDouble / vocab

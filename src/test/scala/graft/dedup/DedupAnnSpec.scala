@@ -18,6 +18,26 @@ class DedupAnnSpec extends SparkSpec {
     (5L, "another unrelated document mentioning minhash lsh banding techniques throughout")
   ).toDF("doc_id", "text")
 
+  test("LSH pair generators leave nothing in the cache manager") {
+    spark.catalog.clearCache()
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words here again now")).toDF("doc_id", "text")
+    (1 to 2).foreach { _ =>
+      assert(Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+        .collect().nonEmpty)
+      assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+        .collect().nonEmpty)
+      assert(Dedup.exactJaccardPairs(docs, "doc_id", "text",
+        tauNum = 1, tauDen = 2).collect().nonEmpty)
+      Dedup.jaccardPairsAuto(docs, "doc_id", "text", tauNum = 1, tauDen = 2)
+        ._1.collect()
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a pair generator left persisted frames behind")
+  }
+
   test("exact dedup groups identical content, keeps min id") {
     val out = Dedup.exact(docs, "doc_id", "text")
     assert(out.count() == 4)

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,phrase,merge,ivf,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bpe,phrase,merge,ivf,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
   */
 object ScaleRehearsal {
 
@@ -322,6 +322,29 @@ object ScaleRehearsal {
       (agg.getLong(0) == 100 && agg.getLong(1) == 100,
         s"rows=${agg.getLong(0)} (expect 100: one candidate per query) " +
           s"self_top1=${agg.getLong(1)}/100")
+    })
+
+    if (enabled("bpe")) scenario("bpe-4.8m-vocab",
+        "distributed vocab-frame merge iterations (vocab > driver bound)", {
+      // 9^7 = 4,782,969 distinct words "xy" + 7 base-9 digits (leading
+      // zeros kept, so every digit position is UNIFORM over 0..8), one
+      // word per doc. Closed-form pair counts:
+      //   (x,y)            = 9^7 = 4,782,969   (every word, once)
+      //   (y,d1) per digit = 9^6 = 531,441     (9-way TIE at merge 2)
+      //   any digit pair   = 6 positions x 9^5 = 354,294  (< 531,441)
+      // So merge 1 must be (x,y, 4782969) and merge 2 the TIE broken
+      // lexicographically: (xy, "0", 531441) — the at-scale determinism
+      // check. Vocab 4.78M > driverMaxVocab 4M selects the distributed
+      // regime with no threshold override.
+      val words = spark.range(0, 4782969L).select(concat(lit("xy"),
+        expr((6 to 0 by -1).map(j =>
+          s"CAST(id div ${math.pow(9, j).toLong} % 9 AS STRING)")
+          .mkString("concat(", ", ", ")"))).as("text"))
+      val m = graft.curate.Bpe.learnMerges(words, "text", 2)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val expect = Seq((1, "x", "y", 4782969L), (2, "xy", "0", 531441L))
+      (m == expect, s"merges=$m (expect $expect)")
     })
 
     if (enabled("merge")) scenario("merge-clusters-2m",

@@ -1,0 +1,209 @@
+package graft.curate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Byte-pair-encoding merge learning — tokenizer-vocabulary induction over
+  * a corpus (Sennrich et al. 2016, the algorithm behind GPT-2/RoBERTa-class
+  * subword vocabularies; reference analogue: the token-counting tier of
+  * `glue-jobs/` has no trainer, this is a beyond-parity LLM-pipeline op).
+  *
+  * Scale design: the ONLY corpus-sized stage is the word histogram — one
+  * tokenize + groupBy(word) shuffle with map-side partial aggregation; the
+  * merge loop runs on the (word, freq) VOCABULARY, which Heaps' law keeps
+  * orders of magnitude smaller than the corpus (a 100 TB crawl has ~10⁷–10⁸
+  * distinct words, not 10¹³). Two-regime like
+  * [[graft.dedup.Dedup.duplicateClusters]]:
+  *
+  *  - vocab ≤ `driverMaxVocab` → collect the histogram and run the classic
+  *    in-memory loop (this is how industrial BPE trainers work: count
+  *    distributed, train on the driver) — `numMerges` can be 30k+;
+  *  - larger vocabularies iterate distributed on a vocab frame: per merge,
+  *    one adjacent-pair aggregation + a 1-row argmax collect + a
+  *    string-replace rewrite (eager localCheckpoint truncates lineage, so
+  *    plan depth stays constant). Right for huge vocabs with SMALL
+  *    `numMerges`; the driver bound, not this path, is what makes
+  *    30k-merge training practical.
+  *
+  * Both regimes produce IDENTICAL merge tables (spec-pinned) because both
+  * implement the same deterministic contract:
+  *
+  *  - pair counts are corpus-weighted adjacent-symbol counts (overlapping
+  *    positions count, standard BPE);
+  *  - argmax ties break on (count desc, lhs asc, rhs asc) in CODE-POINT
+  *    order (= UTF-8 byte order, what both Spark and DuckDB string
+  *    comparison use — NOT Java's UTF-16 code-unit order, which diverges
+  *    on supplementary-plane symbols);
+  *  - a merge applies greedily left-to-right, non-overlapping ("a a a"
+  *    under merge (a,a) → ["aa","a"]). The distributed regime gets this
+  *    from literal string `replace` over a delimiter-wrapped symbol string
+  *    (`⟨S⟩lhs⟨S⟩⟨S⟩rhs⟨S⟩` → `⟨S⟩lhsrhs⟨S⟩`, S = U+001D;
+  *    match starts can only align on symbol boundaries because symbols
+  *    never contain the delimiter), the driver regime from a left fold —
+  *    the two formulations are equivalent because a just-merged symbol
+  *    `lhs+rhs` can never equal `lhs` again (rhs is non-empty).
+  *
+  * Words containing U+001D (the delimiter) are excluded from the histogram
+  * on all paths — a documented precondition, not a silent corruption.
+  * tools/probe_bpe.py replays the exact contract in pure python and
+  * validates the DuckDB oracle formulation against it on the real testdata.
+  */
+object Bpe {
+
+  private[graft] val Sep = "\u001d"
+  private val SepSep = Sep + Sep
+
+  /** Corpus word histogram — the one corpus-sized pass. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    graft.dedup.Dedup.ensureParallelism(df.select(col(textCol).as("__text")))
+      .select(explode(T.tokens(col("__text"))).as("word"))
+      .filter(!col("word").contains(Sep))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Learn `numMerges` BPE merges. Returns (merge_rank INT, lhs STRING,
+    * rhs STRING, cnt BIGINT) ordered by rank; fewer rows if the corpus
+    * runs out of mergeable pairs first. */
+  def learnMerges(df: DataFrame, textCol: String, numMerges: Int,
+                  driverMaxVocab: Long = 4000000L): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // materialize the histogram once: the vocab-sized frame is read again
+    // by whichever regime runs (and `count` must not re-run the corpus
+    // tokenize). Eager localCheckpoint: nothing stays in the cache manager.
+    val wc = wordCounts(df, textCol).localCheckpoint(true)
+    val merges: Seq[(Int, String, String, Long)] =
+      if (wc.count() <= driverMaxVocab)
+        driverMerges(wc.select("word", "freq").as[(String, Long)].collect(),
+          numMerges)
+      else distributedMerges(wc, numMerges)
+    spark.createDataFrame(merges).toDF("merge_rank", "lhs", "rhs", "cnt")
+  }
+
+  /** Segment a single word column into BPE symbols under learned merges,
+    * applied sequentially by rank. Pure codegen'd built-ins (wrap → k
+    * literal replaces → split), no HOF, no UDF — linear in input bytes,
+    * the right shape for encoding a corpus: explode documents to words,
+    * apply this, aggregate back. */
+  def segments(word: Column, merges: Seq[(String, String)]): Column = {
+    val wrapped = concat(lit(Sep),
+      array_join(array_remove(split(word, ""), ""), SepSep), lit(Sep))
+    val merged = merges.foldLeft(wrapped) { case (c, (l, r)) =>
+      replace(c, lit(Sep + l + SepSep + r + Sep), lit(Sep + l + r + Sep))
+    }
+    // symbols never contain the delimiter, so splitting on the SINGLE
+    // delimiter yields the symbols interleaved with empties — drop those
+    array_remove(split(merged, Sep), "")
+  }
+
+  // ------------------------------------------------------------- regimes
+
+  /** Code-point comparison = UTF-8 byte order, matching Spark/DuckDB
+    * string ordering (Java's String.compareTo is UTF-16 code-unit order,
+    * which sorts supplementary-plane symbols differently). */
+  private[curate] def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return java.lang.Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    java.lang.Integer.compare(a.length - i, b.length - j)
+  }
+
+  private[curate] def driverMerges(vocab: Array[(String, Long)],
+                                   numMerges: Int): Seq[(Int, String, String, Long)] = {
+    // symbols by CODE POINT (a supplementary char is one symbol, exactly
+    // as substr/split see it in both engines), not by UTF-16 char
+    var words: Array[(Array[String], Long)] = vocab.map { case (w, f) =>
+      val syms = new scala.collection.mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        syms += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      (syms.toArray, f)
+    }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), f, _ + _)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, c) =>
+          if (best == null || c > best._2 ||
+            (c == best._2 && {
+              val dl = cpCompare(p._1, best._1._1)
+              dl < 0 || (dl == 0 && cpCompare(p._2, best._1._2) < 0)
+            })) best = (p, c)
+        }
+        val ((l, r), c) = best
+        out += ((rank, l, r, c))
+        words = words.map { case (syms, f) =>
+          if (syms.length < 2) (syms, f)
+          else {
+            val nb = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            nb += syms(0)
+            var i = 1
+            while (i < syms.length) {
+              if (nb.last == l && syms(i) == r) nb(nb.length - 1) = l + r
+              else nb += syms(i)
+              i += 1
+            }
+            (nb.toArray, f)
+          }
+        }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  private def distributedMerges(wc: DataFrame,
+                                numMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = wc.select(
+      concat(lit(Sep),
+        array_join(array_remove(split(col("word"), ""), ""), SepSep),
+        lit(Sep)).as("repr"),
+      col("freq"))
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val toks = array_remove(split(col("repr"), Sep), "")
+      // adjacent pairs via two shifted slices — overlapping positions, no HOF
+      val best = vocab
+        .select(col("freq"), explode(arrays_zip(
+          slice(toks, lit(1), size(toks) - 1).as("lhs"),
+          slice(toks, lit(2), size(toks) - 1).as("rhs"))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs")) // TakeOrdered, no global sort
+        .limit(1)
+        .collect() // 1-row argmax per merge — the bounded driver contract
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((rank, l, r, c))
+        vocab = vocab.withColumn("repr",
+          replace(col("repr"), lit(Sep + l + SepSep + r + Sep), lit(Sep + l + r + Sep)))
+          .localCheckpoint(true) // constant plan depth across merges
+        rank += 1
+      }
+    }
+    out.result()
+  }
+}

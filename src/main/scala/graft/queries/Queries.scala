@@ -2551,6 +2551,18 @@ object Queries {
     materializeAndCleanup(s, res, root)
   }
 
+  /** BPE merge learning ([[graft.curate.Bpe.learnMerges]]): the first 8
+    * tokenizer-vocabulary merges over the document corpus — corpus-weighted
+    * adjacent-symbol argmax with (count desc, lhs, rhs) code-point
+    * tie-break and greedy left-to-right merge application. Integer counts
+    * and string symbols only, so the hash gate needs no float epsilon; the
+    * oracle replays every iteration as unrolled SQL over a U+001D-wrapped
+    * symbol-string vocabulary (tools/probe_bpe.py validates the replay
+    * against an independent pure-python fold implementation at both
+    * scales: identical tables, zero count ties, min argmax margin 9). */
+  def q152BpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Bpe.learnMerges(tbl(s, dir, "documents"), "text", 8)
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2710,7 +2722,8 @@ object Queries {
     "q148_curation_gate" -> (q148CurationGate _),
     "q149_match_proportions" -> (q149MatchProportions _),
     "q150_bm25_stored_index" -> (q150Bm25StoredIndex _),
-    "q151_chained_ingest" -> (q151ChainedIngest _))
+    "q151_chained_ingest" -> (q151ChainedIngest _),
+    "q152_bpe_merges" -> (q152BpeMerges _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -4729,5 +4742,54 @@ object Queries {
         |                   WHERE p.id_y = d.doc_id))
         |SELECT doc_id, doc_id % 3 AS slice FROM adm0
         |UNION ALL SELECT doc_id, doc_id % 3 FROM adm1
-        |UNION ALL SELECT doc_id, doc_id % 3 FROM adm2""".stripMargin)
+        |UNION ALL SELECT doc_id, doc_id % 3 FROM adm2""".stripMargin,
+    // q152: every BPE iteration unrolled — pair-count argmax with
+    // (cnt DESC, lhs, rhs) tie-break, then a literal string replace on
+    // the chr(29)-wrapped symbol vocabulary (replace matches can only
+    // align on symbol boundaries; non-overlapping left-to-right replace
+    // ≡ the engine's fold — tools/probe_bpe.py proves the equivalence
+    // against an independent python implementation at both scales).
+    // MATERIALIZED: r{i} is referenced by both p{i+1} and r{i+1}.
+    "q152_bpe_merges" -> bpeOracle(8))
+
+  /** q152's generated oracle (see the map entry comment). `maxLen` bounds
+    * the symbol-position table; any word longer than it would silently
+    * lose tail pairs, so it is sized 4× the longest testdata word. */
+  private def bpeOracle(k: Int, maxLen: Int = 512): String = {
+    val b = new StringBuilder
+    b ++= """WITH w AS MATERIALIZED (
+      |  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+      |      ELSE regexp_split_to_array(trim(text), '\s+') END) AS word
+      |  FROM documents),
+      |v AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+      |  WHERE NOT contains(word, chr(29)) GROUP BY 1),
+      |r0 AS MATERIALIZED (
+      |  SELECT chr(29) || array_to_string(
+      |      list_transform(range(1, length(word)+1),
+      |                     i -> substr(word, CAST(i AS INT), 1)),
+      |      chr(29)||chr(29)) || chr(29) AS repr, freq FROM v),
+      |""".stripMargin
+    b ++= s"pos AS MATERIALIZED (SELECT unnest(range(1, $maxLen)) AS j)"
+    for (i <- 1 to k) {
+      b ++= s""",
+      |t$i AS (SELECT string_split(substr(repr, 2, length(repr)-2),
+      |               chr(29)||chr(29)) AS toks, freq FROM r${i - 1}),
+      |p$i AS MATERIALIZED (
+      |  SELECT toks[CAST(j AS INT)] AS lhs, toks[CAST(j AS INT)+1] AS rhs,
+      |         CAST(sum(freq) AS BIGINT) AS cnt
+      |  FROM t$i JOIN pos ON j < len(toks) GROUP BY 1, 2),
+      |b$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i
+      |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      |r$i AS MATERIALIZED (
+      |  SELECT replace(repr, chr(29)||lhs||chr(29)||chr(29)||rhs||chr(29),
+      |                 chr(29)||lhs||rhs||chr(29)) AS repr, freq
+      |  FROM r${i - 1}, b$i)""".stripMargin
+    }
+    b ++= "\n"
+    b ++= (1 to k).map(i =>
+      s"SELECT CAST($i AS INT) AS merge_rank, lhs, rhs, cnt FROM b$i")
+      .mkString("\nUNION ALL ")
+    b.toString
+  }
 }

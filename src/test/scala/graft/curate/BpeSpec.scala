@@ -1,0 +1,92 @@
+package graft.curate
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("learns the hand-computed merges on a tiny corpus") {
+    // "low low lower": pairs l-o ×3, o-w ×3, w-e ×1, e-r ×1.
+    // Rank 1: tie l-o vs o-w at 3 → lexicographic picks (l,o).
+    // Rank 2: (lo,w) ×3. Rank 3: low→[low], lower→[low,e,r] leaves
+    // (low,e) and (e,r) tied at 1 → "e" < "low" picks (e,r).
+    val df = corpus("low low lower")
+    val m = Bpe.learnMerges(df, "text", 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq === Seq((1, "l", "o", 3L), (2, "lo", "w", 3L), (3, "e", "r", 1L)))
+  }
+
+  test("lexicographic tie-break on equal counts") {
+    val df = corpus("bc", "ad")
+    val m = Bpe.learnMerges(df, "text", 1).collect()
+    assert((m(0).getString(1), m(0).getString(2)) === ("a", "d"))
+  }
+
+  test("greedy left-to-right non-overlapping merge: 'a a a' -> [aa, a]") {
+    // after merge 1 = (a,a) cnt 2 (overlapping adjacent positions), the
+    // rewritten word is [aa, a], so merge 2 must be (aa, a) cnt 1
+    val df = corpus("aaa")
+    val m = Bpe.learnMerges(df, "text", 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq === Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
+  test("stops early when no pairs remain") {
+    val df = corpus("ab ab")
+    val m = Bpe.learnMerges(df, "text", 5).collect()
+    assert(m.length === 1) // (a,b); afterwards every word is one symbol
+  }
+
+  test("driver and distributed regimes produce identical merge tables") {
+    val df = corpus(
+      "the quick brown fox jumps over the lazy dog",
+      "the quicker brown foxes jumped over lazy dogs",
+      "pack my box with five dozen liquor jugs",
+      "how vexingly quick daft zebras jump")
+    val driver = Bpe.learnMerges(df, "text", 6, driverMaxVocab = 1000000L)
+      .collect().map(_.toSeq)
+    val dist = Bpe.learnMerges(df, "text", 6, driverMaxVocab = 0L)
+      .collect().map(_.toSeq)
+    assert(driver.toSeq === dist.toSeq)
+  }
+
+  test("distributed regime leaves nothing in the cache manager") {
+    spark.catalog.clearCache()
+    Bpe.learnMerges(corpus("some words some more words"), "text", 3,
+      driverMaxVocab = 0L).collect()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("segments applies merges by rank and concatenates back to the word") {
+    val df = corpus("low low lower lowest")
+    val merges = Bpe.learnMerges(df, "text", 4).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val segs = df
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .select(col("w"), Bpe.segments(col("w"), merges).as("segs"))
+      .collect()
+    segs.foreach { r =>
+      assert(r.getSeq[String](1).mkString === r.getString(0))
+    }
+    // the fully-merged frequent word segments to few symbols
+    val low = segs.find(_.getString(0) == "low").get.getSeq[String](1)
+    assert(low.length <= 2)
+  }
+
+  test("cpCompare orders supplementary-plane strings by code point") {
+    // U+FFFD (replacement char, BMP) vs U+10400: code-point order puts
+    // U+FFFD first; Java UTF-16 compareTo would sort the surrogate
+    // (0xD801) BEFORE 0xFFFD — the divergence cpCompare exists to avoid
+    val bmp = "�"
+    val supp = new String(Character.toChars(0x10400))
+    assert(Bpe.cpCompare(bmp, supp) < 0)
+    assert(bmp.compareTo(supp) > 0) // the Java order really is different
+    assert(Bpe.cpCompare(supp, supp) === 0)
+    assert(Bpe.cpCompare("a", "ab") < 0)
+  }
+}

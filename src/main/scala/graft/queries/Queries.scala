@@ -2563,6 +2563,24 @@ object Queries {
   def q152BpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.curate.Bpe.learnMerges(tbl(s, dir, "documents"), "text", 8)
 
+  /** DSIR importance selection ([[graft.curate.Dsir]]): hashed
+    * unigram+bigram importance weights fitted target-vs-raw (target =
+    * every 10th doc), raw docs scored by the EXACT integer sum of
+    * micro-quantized bucket log-ratios, top-150 kept under the
+    * (imp desc, doc_id) total order. The only float surface is the
+    * 4096-entry bucket table — tools/probe_dsir.py probes every bucket's
+    * rounding-boundary distance at both scales (min 2.1e-4, ~5·10⁴× the
+    * cross-libm ln noise) and pins python-libm ≡ duckdb-libm per bucket. */
+  def q153DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val target = docs.filter(col("doc_id") % 10 === 0)
+    val raw = docs.filter(col("doc_id") % 10 =!= 0)
+    val w = graft.curate.Dsir.fitWeights(target, raw, "text", buckets = 4096)
+    graft.curate.Dsir.selectTopK(
+      graft.curate.Dsir.scoreDocs(raw, "doc_id", "text", w, buckets = 4096),
+      "doc_id", 150)
+  }
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2723,7 +2741,8 @@ object Queries {
     "q149_match_proportions" -> (q149MatchProportions _),
     "q150_bm25_stored_index" -> (q150Bm25StoredIndex _),
     "q151_chained_ingest" -> (q151ChainedIngest _),
-    "q152_bpe_merges" -> (q152BpeMerges _))
+    "q152_bpe_merges" -> (q152BpeMerges _),
+    "q153_dsir_select" -> (q153DsirSelect _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -4743,6 +4762,43 @@ object Queries {
         |SELECT doc_id, doc_id % 3 AS slice FROM adm0
         |UNION ALL SELECT doc_id, doc_id % 3 FROM adm1
         |UNION ALL SELECT doc_id, doc_id % 3 FROM adm2""".stripMargin,
+    // q153: full DSIR replay — portable-md5 bucket hashing, integer
+    // counts, the ln only on the 4096-bucket weight table (micro-unit
+    // quantization margins probed by tools/probe_dsir.py at both
+    // scales), then exact BIGINT per-doc sums: no float epsilon
+    // anywhere downstream. Docs with no n-grams keep imp 0 via the
+    // LEFT JOIN (the q119-class vanishing-row trap, closed explicitly).
+    "q153_dsir_select" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |ng AS MATERIALIZED (SELECT doc_id, unnest(t) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    x -> concat(t[CAST(x AS INT)], ' ', t[CAST(x AS INT)+1]))) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |bk AS MATERIALIZED (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(g),1,15)) AS BIGINT) % 4096 AS b FROM ng),
+        |ht AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM bk
+        |  WHERE doc_id % 10 = 0 GROUP BY 1),
+        |hr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM bk
+        |  WHERE doc_id % 10 <> 0 GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM ht) AS nt,
+        |               (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM hr) AS nr),
+        |spine AS (SELECT unnest(range(0, 4096)) AS b),
+        |w AS MATERIALIZED (SELECT s.b,
+        |  CAST(floor((ln((coalesce(ht.ct, 0) + 0.5::DOUBLE)/(t.nt + 2048.0::DOUBLE))
+        |            - ln((coalesce(hr.cr, 0) + 0.5::DOUBLE)/(t.nr + 2048.0::DOUBLE)))
+        |       * 1000000 + 0.5) AS BIGINT) AS lw
+        | FROM spine s CROSS JOIN tot t
+        | LEFT JOIN ht ON s.b = ht.b LEFT JOIN hr ON s.b = hr.b),
+        |sc AS (SELECT d.doc_id, CAST(coalesce(sum(w.lw), 0) AS BIGINT) AS imp_micro
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+        |  LEFT JOIN bk ON bk.doc_id = d.doc_id
+        |  LEFT JOIN w ON w.b = bk.b
+        |  GROUP BY 1),
+        |rk AS (SELECT doc_id, imp_micro,
+        |  row_number() OVER (ORDER BY imp_micro DESC, doc_id) AS r FROM sc)
+        |SELECT doc_id, imp_micro FROM rk WHERE r <= 150""".stripMargin,
     // q152: every BPE iteration unrolled — pair-count argmax with
     // (cnt DESC, lhs, rhs) tie-break, then a literal string replace on
     // the chr(29)-wrapped symbol vocabulary (replace matches can only

@@ -2581,6 +2581,34 @@ object Queries {
       "doc_id", 150)
   }
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion
+    * ([[graft.curate.Hybrid]]): q96's BM25 top-5 (sparse) fused with an
+    * exact dense cosine top-5 over the embeddings table (queries = the
+    * q96 query set where an embedding exists — the dense index covering a
+    * SUBSET of the corpus is the realistic hybrid deployment, and RRF's
+    * missing-from-a-list-contributes-0 semantics handles it natively).
+    * The fusion is exact integer arithmetic in 1/lcm(61..65) units; the
+    * dense ranks ride the 1e-4-quantized cosine with id tie-break
+    * (margins probed by tools/probe_hybrid.py at both scales, ≥2e-6 vs
+    * ~1e-11 cross-engine noise), the sparse ranks q96's probed device. */
+  def q154HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val emb = tbl(s, dir, "embeddings")
+    val queries = docs
+      .filter(col("doc_id") % 125 === 3 && size(T.tokens(col("text"))) > 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(T.tokens(col("text")), 1, 5)).as("qtext"))
+    val sparse = graft.curate.Bm25.topK(docs, "doc_id", "text",
+      queries, "qid", "qtext", k = 5).select("qid", "doc_id", "rank")
+    val qvecs = emb.join(queries.select(col("qid")), col("vec_id") === col("qid"))
+      .select(col("qid"), col("embedding").as("qvec"))
+    val dense = graft.curate.Hybrid.denseTopK(emb, qvecs,
+        "vec_id", "embedding", "qid", "qvec", k = 5)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+    graft.curate.Hybrid.rrfFuse(Seq(sparse, dense), "qid", "doc_id", "rank",
+      maxRank = 5, topK = 5)
+  }
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2742,7 +2770,8 @@ object Queries {
     "q150_bm25_stored_index" -> (q150Bm25StoredIndex _),
     "q151_chained_ingest" -> (q151ChainedIngest _),
     "q152_bpe_merges" -> (q152BpeMerges _),
-    "q153_dsir_select" -> (q153DsirSelect _))
+    "q153_dsir_select" -> (q153DsirSelect _),
+    "q154_hybrid_rrf" -> (q154HybridRrf _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -4799,6 +4828,36 @@ object Queries {
         |rk AS (SELECT doc_id, imp_micro,
         |  row_number() OVER (ORDER BY imp_micro DESC, doc_id) AS r FROM sc)
         |SELECT doc_id, imp_micro FROM rk WHERE r <= 150""".stripMargin,
+    // q154: RRF hybrid fusion — the sparse list IS q96's probed replay
+    // (nested verbatim), the dense list replays the 1e-4-quantized
+    // cosine ranks (probe_hybrid.py margins), and the fusion is exact
+    // integer division in 1/lcm(61..65) units, the constant interpolated
+    // from the SAME Scala function the engine uses.
+    "q154_hybrid_rrf" -> {
+      val l = graft.curate.Hybrid.lcmUnits(60, 5)
+      s"""WITH sp AS (
+        |$bm25TopkSql
+        |),
+        |qv AS (SELECT e.vec_id AS qid, CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM embeddings e WHERE e.vec_id IN (
+        |    SELECT doc_id FROM documents
+        |    WHERE doc_id % 125 = 3 AND length(trim(text)) > 0)),
+        |dnall AS (SELECT q.qid, e.vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY
+        |      CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v)
+        |           * 10000 + 0.5) AS BIGINT) DESC, e.vec_id) AS rank
+        |  FROM embeddings e CROSS JOIN qv q),
+        |u AS (SELECT qid, doc_id, $l // (60 + rank) AS w FROM sp
+        |  UNION ALL
+        |  SELECT qid, doc_id, $l // (60 + rank) FROM dnall WHERE rank <= 5),
+        |f AS (SELECT qid, doc_id, CAST(sum(w) AS BIGINT) AS rrf_units
+        |  FROM u GROUP BY 1, 2),
+        |rk AS (SELECT qid, doc_id, rrf_units,
+        |    row_number() OVER (PARTITION BY qid ORDER BY rrf_units DESC, doc_id)
+        |      AS rank FROM f)
+        |SELECT qid, CAST(rank AS INT) AS rank, doc_id, rrf_units
+        |FROM rk WHERE rank <= 5""".stripMargin
+    },
     // q152: every BPE iteration unrolled — pair-count argmax with
     // (cnt DESC, lhs, rhs) tie-break, then a literal string replace on
     // the chr(29)-wrapped symbol vocabulary (replace matches can only

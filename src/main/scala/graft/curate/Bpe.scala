@@ -98,6 +98,27 @@ object Bpe {
     array_remove(split(merged, Sep), "")
   }
 
+  /** Corpus token accounting under learned merges — "how many training
+    * tokens does each source contribute?": (groupCol, bpe_tokens BIGINT,
+    * words BIGINT). The scale-right shape: the replace chain runs once
+    * per DISTINCT word (vocabulary-sized compute), and the corpus-sized
+    * pass only joins word instances to that (word → symbol-count) table —
+    * small enough to broadcast for any realistic vocabulary (AQE picks
+    * the strategy; a 10⁸-word vocabulary would shuffle-join instead,
+    * still vocab-sized). Words containing the U+001D delimiter are
+    * excluded on both the vocab and instance sides (the module
+    * precondition). */
+  def tokenAccounting(df: DataFrame, groupCol: String, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val vocabLens = wordCounts(df, textCol)
+      .select(col("word"), size(segments(col("word"), merges)).cast("long").as("__n"))
+    df.select(col(groupCol), explode(T.tokens(col(textCol))).as("word"))
+      .filter(!col("word").contains(Sep))
+      .join(vocabLens, Seq("word"))
+      .groupBy(col(groupCol))
+      .agg(sum("__n").as("bpe_tokens"), count(lit(1)).as("words"))
+  }
+
   // ------------------------------------------------------------- regimes
 
   /** Code-point comparison = UTF-8 byte order, matching Spark/DuckDB

@@ -2609,6 +2609,20 @@ object Queries {
       maxRank = 5, topK = 5)
   }
 
+  /** Corpus token accounting under the LEARNED tokenizer
+    * ([[graft.curate.Bpe.tokenAccounting]]): learn q152's 8 merges, then
+    * count BPE tokens and words per source — the "how many training
+    * tokens do we have" query. The segmentation runs once per DISTINCT
+    * word (vocabulary-sized); the corpus pass just joins instances to
+    * that table. Integer counts only; the oracle extends q152's CTE chain
+    * with a per-word symbol-length projection of the final vocabulary. */
+  def q155BpeAccounting(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val merges = graft.curate.Bpe.learnMerges(docs, "text", 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.curate.Bpe.tokenAccounting(docs, "source", "text", merges)
+  }
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2771,7 +2785,8 @@ object Queries {
     "q151_chained_ingest" -> (q151ChainedIngest _),
     "q152_bpe_merges" -> (q152BpeMerges _),
     "q153_dsir_select" -> (q153DsirSelect _),
-    "q154_hybrid_rrf" -> (q154HybridRrf _))
+    "q154_hybrid_rrf" -> (q154HybridRrf _),
+    "q155_bpe_accounting" -> (q155BpeAccounting _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -4858,6 +4873,21 @@ object Queries {
         |SELECT qid, CAST(rank AS INT) AS rank, doc_id, rrf_units
         |FROM rk WHERE rank <= 5""".stripMargin
     },
+    // q155: q152's learned vocabulary, projected to per-word symbol
+    // counts (len of the final segmentation) and joined back onto word
+    // INSTANCES per source — integer sums, no epsilon. The inner join
+    // drops chr(29)-containing words on both sides (the module
+    // precondition, explicit in the Spark filter).
+    "q155_bpe_accounting" ->
+      s"""WITH ${bpeCtes(8)},
+        |len8 AS (SELECT word, len(string_split(substr(repr, 2, length(repr)-2),
+        |    chr(29)||chr(29))) AS n FROM r8),
+        |ws AS (SELECT source, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\\s+') END) AS word
+        |  FROM documents)
+        |SELECT source, CAST(sum(l.n) AS BIGINT) AS bpe_tokens,
+        |  CAST(count(*) AS BIGINT) AS words
+        |FROM ws JOIN len8 l USING (word) GROUP BY source""".stripMargin,
     // q152: every BPE iteration unrolled — pair-count argmax with
     // (cnt DESC, lhs, rhs) tie-break, then a literal string replace on
     // the chr(29)-wrapped symbol vocabulary (replace matches can only
@@ -4867,12 +4897,15 @@ object Queries {
     // MATERIALIZED: r{i} is referenced by both p{i+1} and r{i+1}.
     "q152_bpe_merges" -> bpeOracle(8))
 
-  /** q152's generated oracle (see the map entry comment). `maxLen` bounds
-    * the symbol-position table; any word longer than it would silently
-    * lose tail pairs, so it is sized 4× the longest testdata word. */
-  private def bpeOracle(k: Int, maxLen: Int = 512): String = {
+  /** The q152/q155 shared CTE chain (see the q152 map entry comment):
+    * word histogram → delimiter-wrapped char vocabulary → k unrolled
+    * merge iterations, threading `word` through so downstream consumers
+    * can map words to their final segmentation (r$k). `maxLen` bounds the
+    * symbol-position table; any word longer than it would silently lose
+    * tail pairs, so it is sized 4× the longest testdata word. */
+  private def bpeCtes(k: Int, maxLen: Int = 512): String = {
     val b = new StringBuilder
-    b ++= """WITH w AS MATERIALIZED (
+    b ++= """w AS MATERIALIZED (
       |  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
       |      ELSE regexp_split_to_array(trim(text), '\s+') END) AS word
       |  FROM documents),
@@ -4880,7 +4913,7 @@ object Queries {
       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
       |  WHERE NOT contains(word, chr(29)) GROUP BY 1),
       |r0 AS MATERIALIZED (
-      |  SELECT chr(29) || array_to_string(
+      |  SELECT word, chr(29) || array_to_string(
       |      list_transform(range(1, length(word)+1),
       |                     i -> substr(word, CAST(i AS INT), 1)),
       |      chr(29)||chr(29)) || chr(29) AS repr, freq FROM v),
@@ -4897,14 +4930,17 @@ object Queries {
       |b$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i
       |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
       |r$i AS MATERIALIZED (
-      |  SELECT replace(repr, chr(29)||lhs||chr(29)||chr(29)||rhs||chr(29),
+      |  SELECT word, replace(repr, chr(29)||lhs||chr(29)||chr(29)||rhs||chr(29),
       |                 chr(29)||lhs||rhs||chr(29)) AS repr, freq
       |  FROM r${i - 1}, b$i)""".stripMargin
     }
-    b ++= "\n"
-    b ++= (1 to k).map(i =>
-      s"SELECT CAST($i AS INT) AS merge_rank, lhs, rhs, cnt FROM b$i")
-      .mkString("\nUNION ALL ")
     b.toString
   }
+
+  /** q152's generated oracle: the CTE chain plus the merge-table select. */
+  private def bpeOracle(k: Int): String =
+    s"WITH ${bpeCtes(k)}\n" +
+      (1 to k).map(i =>
+        s"SELECT CAST($i AS INT) AS merge_rank, lhs, rhs, cnt FROM b$i")
+        .mkString("\nUNION ALL ")
 }

@@ -78,6 +78,18 @@ class BpeSpec extends SparkSpec {
     assert(low.length <= 2)
   }
 
+  test("tokenAccounting: hand-computed symbol counts per group") {
+    // merges (l,o), (lo,w), (e,r): "low" -> [low] = 1 symbol,
+    // "lower" -> [low, er] = 2 symbols
+    val df = Seq((0L, "a", "low low lower"), (1L, "b", "low"))
+      .toDF("doc_id", "src", "text")
+    val merges = Bpe.learnMerges(df, "text", 3).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val acc = Bpe.tokenAccounting(df, "src", "text", merges).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(acc === Map("a" -> ((4L, 3L)), "b" -> ((1L, 1L))))
+  }
+
   test("cpCompare orders supplementary-plane strings by code point") {
     // U+FFFD (replacement char, BMP) vs U+10400: code-point order puts
     // U+FFFD first; Java UTF-16 compareTo would sort the surrogate

@@ -92,6 +92,10 @@ FAMILIES["streaming"] += [
     "q151_chained_ingest"]
 FAMILIES["incremental / diff"] += [
     "q112_retract_rollup", "q120_snapshot_time_travel", "q132_cdc_apply"]
+# round-7 session-2 additions
+FAMILIES["text analysis"] += ["q152_bpe_merges", "q155_bpe_accounting"]
+FAMILIES["dedup / similarity"] += ["q153_dsir_select"]
+FAMILIES["fuzzy / entity / retrieval"] += ["q154_hybrid_rrf"]
 
 
 def main() -> None:

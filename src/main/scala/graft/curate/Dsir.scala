@@ -64,8 +64,10 @@ object Dsir {
       .groupBy("bucket").agg(count(lit(1)).as("__ct")).localCheckpoint(true)
     val hr = withIdLess(raw, textCol, buckets)
       .groupBy("bucket").agg(count(lit(1)).as("__cr")).localCheckpoint(true)
-    val nT = ht.agg(sum("__ct")).collect()(0).getLong(0)
-    val nR = hr.agg(sum("__cr")).collect()(0).getLong(0)
+    // coalesce: sum over an EMPTY histogram is null (a token-free corpus
+    // must yield the pure-smoothing weights, not an NPE)
+    val nT = ht.agg(coalesce(sum("__ct"), lit(0L))).collect()(0).getLong(0)
+    val nR = hr.agg(coalesce(sum("__cr"), lit(0L))).collect()(0).getLong(0)
     val half = buckets / 2.0
     val spine = spark.range(buckets).select(col("id").as("bucket"))
     spine.join(ht, Seq("bucket"), "left").join(hr, Seq("bucket"), "left")

@@ -61,6 +61,14 @@ class DsirSpec extends SparkSpec {
     assert(w.select(countDistinct("bucket")).collect()(0).getLong(0) === 64)
   }
 
+  test("an empty (token-free) side yields pure-smoothing weights, not an NPE") {
+    val w = Dsir.fitWeights(docs((0L, "")), docs((1L, "some words")), "text",
+      buckets = 64)
+    assert(w.count() === 64)
+    // with nT = 0 every bucket's target term is ln(0.5/32) — defined
+    assert(w.select(countDistinct("lw_micro")).collect()(0).getLong(0) >= 1)
+  }
+
   test("fit + score leave nothing in the cache manager") {
     spark.catalog.clearCache()
     val t = docs((0L, "alpha beta gamma"))

@@ -18,8 +18,13 @@ import graft.functions.{TextFunctions => T}
   * [[graft.dedup.Dedup.duplicateClusters]]:
   *
   *  - vocab ≤ `driverMaxVocab` → collect the histogram and run the classic
-  *    in-memory loop (this is how industrial BPE trainers work: count
-  *    distributed, train on the driver) — `numMerges` can be 30k+;
+  *    in-memory loop (the industrial-trainer shape: count distributed,
+  *    train on the driver). The loop here recounts pairs per iteration —
+  *    O(numMerges × total vocab symbols) — right for the moderate merge
+  *    counts this library gates; a 30k-merge production vocabulary wants
+  *    the standard incremental refinement (maintain pair counts, touch
+  *    only words containing the applied merge), a drop-in replacement for
+  *    [[driverMerges]] left as the known optimization;
   *  - larger vocabularies iterate distributed on a vocab frame: per merge,
   *    one adjacent-pair aggregation + a 1-row argmax collect + a
   *    string-replace rewrite (eager localCheckpoint truncates lineage, so
@@ -66,14 +71,23 @@ object Bpe {
     * rhs STRING, cnt BIGINT) ordered by rank; fewer rows if the corpus
     * runs out of mergeable pairs first. */
   def learnMerges(df: DataFrame, textCol: String, numMerges: Int,
-                  driverMaxVocab: Long = 4000000L): DataFrame = {
-    require(numMerges >= 1, "numMerges must be >= 1")
-    val spark = df.sparkSession
-    import spark.implicits._
+                  driverMaxVocab: Long = 4000000L): DataFrame =
     // materialize the histogram once: the vocab-sized frame is read again
     // by whichever regime runs (and `count` must not re-run the corpus
     // tokenize). Eager localCheckpoint: nothing stays in the cache manager.
-    val wc = wordCounts(df, textCol).localCheckpoint(true)
+    learnMergesFromCounts(wordCounts(df, textCol).localCheckpoint(true),
+      numMerges, driverMaxVocab)
+
+  /** [[learnMerges]] from a precomputed (word, freq) histogram — the
+    * entry for composing training + accounting (or any other
+    * vocab-consumer) over ONE corpus histogram pass. The caller should
+    * hand in a materialized frame (localCheckpoint / stored table);
+    * otherwise each regime's reads re-run its lineage. */
+  def learnMergesFromCounts(wc: DataFrame, numMerges: Int,
+                            driverMaxVocab: Long = 4000000L): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = wc.sparkSession
+    import spark.implicits._
     val merges: Seq[(Int, String, String, Long)] =
       if (wc.count() <= driverMaxVocab)
         driverMerges(wc.select("word", "freq").as[(String, Long)].collect(),
@@ -109,8 +123,12 @@ object Bpe {
     * excluded on both the vocab and instance sides (the module
     * precondition). */
   def tokenAccounting(df: DataFrame, groupCol: String, textCol: String,
-                      merges: Seq[(String, String)]): DataFrame = {
-    val vocabLens = wordCounts(df, textCol)
+                      merges: Seq[(String, String)],
+                      wordHistogram: Option[DataFrame] = None): DataFrame = {
+    // reuse the caller's materialized histogram when given (the
+    // learn-then-account composition pays ONE corpus histogram pass)
+    val vocab = wordHistogram.getOrElse(wordCounts(df, textCol))
+    val vocabLens = vocab
       .select(col("word"), size(segments(col("word"), merges)).cast("long").as("__n"))
     df.select(col(groupCol), explode(T.tokens(col(textCol))).as("word"))
       .filter(!col("word").contains(Sep))

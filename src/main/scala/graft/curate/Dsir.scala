@@ -84,9 +84,15 @@ object Dsir {
 
   /** Per-document importance: (idCol, imp_micro BIGINT). Exact integer
     * sum of the broadcast bucket weights; documents with no n-grams score
-    * 0 (explicit left join — they must not vanish). */
+    * 0 (explicit left join — they must not vanish). The bucket count is
+    * DERIVED from the weights frame (a full spine by [[fitWeights]]
+    * construction, one row per bucket) — a separate parameter could
+    * silently disagree with the fitted bucketing and score every document
+    * against the wrong weights. The one count() job is spine-sized. */
   def scoreDocs(df: DataFrame, idCol: String, textCol: String,
-                weights: DataFrame, buckets: Int = 4096): DataFrame = {
+                weights: DataFrame): DataFrame = {
+    val buckets = weights.count().toInt
+    require(buckets >= 2, "weights must be a full fitWeights spine")
     val sums = ngramBuckets(df, idCol, textCol, buckets)
       .join(broadcast(weights), Seq("bucket"))
       .groupBy("__id").agg(sum("lw_micro").as("imp_micro"))

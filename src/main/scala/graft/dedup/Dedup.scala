@@ -285,7 +285,10 @@ object Dedup {
     * pairs) are EAGER localCheckpoints — materialized once, released by
     * GC when the result goes unreferenced, never an entry in the cache
     * manager (the r7 cache-contract sweep; DedupAnnSpec pins the family
-    * cache-empty). */
+    * cache-empty). Consequence, shared by every pair generator in this
+    * family: CONSTRUCTING the frame launches the candidate-generation
+    * jobs immediately — these builders are not lazy plans, so don't call
+    * one to explain() or to maybe-run later. */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int = 3, tauNum: Int = 9, tauDen: Int = 10,
                         maxBucketSize: Int = 100000): DataFrame = {

@@ -2577,8 +2577,7 @@ object Queries {
     val raw = docs.filter(col("doc_id") % 10 =!= 0)
     val w = graft.curate.Dsir.fitWeights(target, raw, "text", buckets = 4096)
     graft.curate.Dsir.selectTopK(
-      graft.curate.Dsir.scoreDocs(raw, "doc_id", "text", w, buckets = 4096),
-      "doc_id", 150)
+      graft.curate.Dsir.scoreDocs(raw, "doc_id", "text", w), "doc_id", 150)
   }
 
   /** Hybrid retrieval via Reciprocal Rank Fusion
@@ -2618,9 +2617,11 @@ object Queries {
     * with a per-word symbol-length projection of the final vocabulary. */
   def q155BpeAccounting(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
-    val merges = graft.curate.Bpe.learnMerges(docs, "text", 8).collect()
+    // one corpus histogram pass shared by training and accounting
+    val wc = graft.curate.Bpe.wordCounts(docs, "text").localCheckpoint(true)
+    val merges = graft.curate.Bpe.learnMergesFromCounts(wc, 8).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    graft.curate.Bpe.tokenAccounting(docs, "source", "text", merges)
+    graft.curate.Bpe.tokenAccounting(docs, "source", "text", merges, Some(wc))
   }
 
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
@@ -4918,7 +4919,13 @@ object Queries {
       |                     i -> substr(word, CAST(i AS INT), 1)),
       |      chr(29)||chr(29)) || chr(29) AS repr, freq FROM v),
       |""".stripMargin
-    b ++= s"pos AS MATERIALIZED (SELECT unnest(range(1, $maxLen)) AS j)"
+    // the range bound is a scalar subquery that THROWS if any word
+    // outgrows the position table — a silent tail-pair drop would be an
+    // unexplained hash mismatch, an error() names the cause
+    b ++= s"""pos AS MATERIALIZED (SELECT unnest(range(1,
+      |  (SELECT CASE WHEN coalesce(max(length(word)), 0) >= $maxLen
+      |          THEN CAST(error('bpe oracle: word exceeds maxLen=$maxLen') AS BIGINT)
+      |          ELSE $maxLen END FROM v))) AS j)""".stripMargin
     for (i <- 1 to k) {
       b ++= s""",
       |t$i AS (SELECT string_split(substr(repr, 2, length(repr)-2),
@@ -4930,9 +4937,10 @@ object Queries {
       |b$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i
       |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
       |r$i AS MATERIALIZED (
-      |  SELECT word, replace(repr, chr(29)||lhs||chr(29)||chr(29)||rhs||chr(29),
-      |                 chr(29)||lhs||rhs||chr(29)) AS repr, freq
-      |  FROM r${i - 1}, b$i)""".stripMargin
+      |  SELECT word, coalesce(replace(repr,
+      |                 chr(29)||lhs||chr(29)||chr(29)||rhs||chr(29),
+      |                 chr(29)||lhs||rhs||chr(29)), repr) AS repr, freq
+      |  FROM r${i - 1} LEFT JOIN b$i ON TRUE)""".stripMargin
     }
     b.toString
   }

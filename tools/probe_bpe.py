@@ -102,8 +102,15 @@ def main():
     con = duckdb.connect()
     vocab = words_of(con, sfdir)
     nonascii = [w for w, _ in vocab if any(ord(c) > 127 for c in w)]
+    maxw = max((len(w) for w, _ in vocab), default=0)
     print(f"{sfdir}: vocab={len(vocab)} non_ascii_words={len(nonascii)}"
-          + (f" e.g. {nonascii[:3]}" if nonascii else ""))
+          + (f" e.g. {nonascii[:3]}" if nonascii else "")
+          + f" max_word_len={maxw}")
+    # the oracle's position table is bounded at 512 symbols and now
+    # error()s when exceeded; still surface the headroom here
+    if maxw >= 512:
+        print("WARNING: a word exceeds the oracle maxLen=512 — the oracle will error()")
+        sys.exit(1)
     ref, ties = reference_bpe(vocab, k)
     print("reference merges:")
     for m in ref:

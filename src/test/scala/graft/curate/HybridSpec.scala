@@ -52,6 +52,17 @@ class HybridSpec extends SparkSpec {
     assert(out.toSeq === Seq((1, 1L, 10000L), (2, 4L, 10000L), (3, 2L, 6000L)))
   }
 
+  test("denseTopK ranks through the heap node, never a window sort") {
+    import spark.implicits._
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((1L, Array(1.0f, 0.0f))).toDF("qid", "qvec")
+    val plan = Hybrid.denseTopK(corpus, qs, "vec_id", "embedding",
+      "qid", "qvec", k = 1).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"heap node missing:\n$plan")
+    assert(!plan.contains("Window"), s"window sort crept in:\n$plan")
+  }
+
   test("fusion of a sparse-only query (no dense list) is well-defined") {
     val sparse = Seq(("qa", 1L, 1), ("qb", 2L, 1)).toDF("qid", "doc_id", "rank")
     val dense = Seq(("qa", 1L, 1)).toDF("qid", "doc_id", "rank")

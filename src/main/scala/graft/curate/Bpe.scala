@@ -136,6 +136,23 @@ object Bpe {
       .agg(sum("__n").as("bpe_tokens"), count(lit(1)).as("words"))
   }
 
+  /** Persist a learned merge table as a parquet artifact — the tokenizer
+    * is a stored artifact in practice (trained once, shipped to every
+    * consumer), the same lifecycle as [[Bm25.saveIndex]] / `Ivf.save`. */
+  def saveMerges(merges: DataFrame, path: String): Unit =
+    merges.write.mode("overwrite").parquet(path)
+
+  /** Reload a stored merge table as the ordered (lhs, rhs) sequence
+    * [[segments]] / [[tokenAccounting]] consume. Rank order is restored
+    * explicitly — parquet carries no row order. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[(String, String)] =
+    spark.read.parquet(path)
+      .orderBy(col("merge_rank"))
+      .collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+      .toSeq
+
   // ------------------------------------------------------------- regimes
 
   /** Code-point comparison = UTF-8 byte order, matching Spark/DuckDB

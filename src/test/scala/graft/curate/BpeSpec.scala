@@ -90,6 +90,29 @@ class BpeSpec extends SparkSpec {
     assert(acc === Map("a" -> ((4L, 3L)), "b" -> ((1L, 1L))))
   }
 
+  test("save/load round-trips the merge table in rank order") {
+    val df = corpus("low low lower lowest slow slowest")
+    val merges = Bpe.learnMerges(df, "text", 5)
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_merges").toFile
+    try {
+      Bpe.saveMerges(merges, tmp.getAbsolutePath)
+      val loaded = Bpe.loadMerges(spark, tmp.getAbsolutePath)
+      val direct = merges.orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      assert(loaded === direct)
+      // a loaded tokenizer segments identically to the fresh one
+      val w = Seq(Tuple1("slowest")).toDF("w")
+      val a = w.select(Bpe.segments(col("w"), loaded)).collect()(0).getSeq[String](0)
+      val b = w.select(Bpe.segments(col("w"), direct)).collect()(0).getSeq[String](0)
+      assert(a === b)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("cpCompare orders supplementary-plane strings by code point") {
     // U+FFFD (replacement char, BMP) vs U+10400: code-point order puts
     // U+FFFD first; Java UTF-16 compareTo would sort the surrogate

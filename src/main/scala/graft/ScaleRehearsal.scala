@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bpe,phrase,merge,ivf,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bpe,dsir,phrase,merge,ivf,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
   */
 object ScaleRehearsal {
 
@@ -345,6 +345,46 @@ object ScaleRehearsal {
           (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
       val expect = Seq((1, "x", "y", 4782969L), (2, "xy", "0", 531441L))
       (m == expect, s"merges=$m (expect $expect)")
+    })
+
+    if (enabled("dsir")) scenario("dsir-20m-score",
+        "histogram fit + broadcast-weight scoring over 20M docs", {
+      // target: 1M docs "alpha beta", raw: 20M docs "alpha gamma" —
+      // feature instances (uni+bi) are CLOSED-FORM: target has alpha,
+      // beta, "alpha beta" ×1M each; raw has alpha, gamma,
+      // "alpha gamma" ×20M each. Every raw doc is identical, so every
+      // imp_micro must equal the same exact integer, computed here with
+      // the SAME formula and the SAME JVM Math.log the engine uses —
+      // equality is exact, not approximate. Bucket collisions (md5 mod
+      // 4096) are handled honestly by grouping features by their actual
+      // bucket before applying the formula.
+      import graft.curate.Dsir
+      val nT = 1000000L; val nR = 20000000L; val B = 4096
+      val target = spark.range(nT).select(col("id"), lit("alpha beta").as("text"))
+      val raw = spark.range(nR).select(col("id"), lit("alpha gamma").as("text"))
+      val w = Dsir.fitWeights(target, raw, "text", buckets = B)
+      val scored = Dsir.scoreDocs(raw, "id", "text", w)
+      def bucket(g: String): Long = {
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (BigInt("0" + md5.take(15), 16) % B).toLong
+      }
+      // exact expected weights: counts per BUCKET (features may collide)
+      val tFeats = Map("alpha" -> nT, "beta" -> nT, "alpha beta" -> nT)
+      val rFeats = Map("alpha" -> nR, "gamma" -> nR, "alpha gamma" -> nR)
+      def byBucket(m: Map[String, Long]) =
+        m.groupBy { case (g, _) => bucket(g) }.view.mapValues(_.values.sum).toMap
+      val tB = byBucket(tFeats); val rB = byBucket(rFeats)
+      val totT = 3L * nT; val totR = 3L * nR
+      def lw(b: Long): Long = math.floor(
+        (math.log((tB.getOrElse(b, 0L) + 0.5) / (totT + B / 2.0)) -
+         math.log((rB.getOrElse(b, 0L) + 0.5) / (totR + B / 2.0))) * 1e6 + 0.5).toLong
+      val expImp = Seq("alpha", "gamma", "alpha gamma").map(g => lw(bucket(g))).sum
+      val agg = scored.agg(count(lit(1)).as("n"),
+        min("imp_micro").as("lo"), max("imp_micro").as("hi")).collect()(0)
+      (agg.getLong(0) == nR && agg.getLong(1) == expImp && agg.getLong(2) == expImp,
+        s"docs=${agg.getLong(0)} imp=[${agg.getLong(1)},${agg.getLong(2)}] " +
+          s"(expect $nR docs all at $expImp)")
     })
 
     if (enabled("merge")) scenario("merge-clusters-2m",

@@ -46,6 +46,16 @@ object Bench {
     val loadavg =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // Pre-flight load discipline (VERDICT r7 task 7): three of four driver
+    // benches ran at loadavg >= 3.9 and every round re-adjudicated load
+    // noise by hand. Label the run up front — "contended": true means the
+    // timings are NOT comparable to calm baselines and nobody should chase
+    // regressions in them. Labeling, not refusing: the driver's bench must
+    // still produce a JSON under load, it just arrives pre-adjudicated.
+    val contended = loadavg > 2.0
+    if (contended)
+      System.err.println(f"bench: PRE-FLIGHT WARNING loadavg=$loadavg%.2f > 2.0 " +
+        "— timings will be labeled \"contended\":true and are not baseline-comparable")
 
     // Warm up the JVM/codegen paths so the first timed query isn't charged
     // for session bring-up: one shuffle + one parquet scan.
@@ -132,9 +142,9 @@ object Bench {
     //  4. the SHORT line again LAST — a tail-keeping capture always ends
     //     with a parseable total.
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec,"contended":$contended}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec,"resampled":$resJson,"errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec,"contended":$contended,"resampled":$resJson,"errors":$errJson}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bpe,dsir,phrase,merge,ivf,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bpe,bpeseg,dsir,phrase,merge,ivf,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
   */
 object ScaleRehearsal {
 
@@ -345,6 +345,83 @@ object ScaleRehearsal {
           (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
       val expect = Seq((1, "x", "y", 4782969L), (2, "xy", "0", 531441L))
       (m == expect, s"merges=$m (expect $expect)")
+    })
+
+    if (enabled("bpeseg")) scenario("bpe-segment-30k",
+        "native BpeSegmentExpr under a production-depth merge table", {
+      // 200k distinct 8-char words over a 5-letter alphabet (base-5
+      // digits of the id, leading zeros kept), freq 1 + id%7. A merge
+      // completing word w is unique to w ((l,r) -> l+r = w), so full
+      // collapse needs >= 200k distinct merges — 30,000 learned merges
+      // provably exist. The replace-chain formulation is structurally
+      // impossible here (a 30k-deep expression tree); this drives the
+      // ADVICE-r7 production path end-to-end: train 30k merges
+      // (incremental driver regime), segment the whole vocabulary with
+      // the native kernel, and verify with exact checks:
+      //  1. exactly 30,000 merges learned;
+      //  2. concat(symbols) == word for all 200k words;
+      //  3. every emitted symbol is legal (a base char or lhs+rhs of a
+      //     learned merge) — broadcast anti-join;
+      //  4. an independent driver-side DEFINITIONAL replay (fold all 30k
+      //     ranks in order) matches the kernel bit-for-bit on the
+      //     id%97==0 sample (~2k words);
+      //  5. tokenAccounting under the same table reproduces the summed
+      //     symbol counts (the q155 shape at production depth).
+      val n = 200000L
+      val digits = expr((7 to 0 by -1).map(j =>
+        s"char(ascii('a') + CAST(id div ${math.pow(5, j).toLong} % 5 AS INT))")
+        .mkString("concat(", ", ", ")"))
+      val vocab = spark.range(0, n).select(
+        col("id"), digits.as("word"), (lit(1L) + col("id") % 7).as("freq"))
+        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val mergesDf = graft.curate.Bpe.learnMergesFromCounts(vocab, 30000)
+      val merges = mergesDf.collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val segged = vocab.select(col("id"), col("word"), col("freq"),
+          graft.curate.Bpe.segments(col("word"), merges).as("segs"))
+        .localCheckpoint(true) // consumed by checks 2, 3, 5
+      val segSec = (System.nanoTime() - t1) / 1e9
+      val badConcat = segged
+        .filter(concat_ws("", col("segs")) =!= col("word")).count()
+      val legal = spark.createDataset(
+        ('a' to 'e').map(_.toString) ++ merges.map(m => m._1 + m._2))(
+        org.apache.spark.sql.Encoders.STRING).toDF("sym")
+      val badSym = segged.select(explode(col("segs")).as("sym"))
+        .join(broadcast(legal), Seq("sym"), "left_anti").count()
+      // independent definitional replay on the deterministic sample
+      val sample = segged.filter(col("id") % 97 === 0)
+        .select("word", "segs").collect()
+      def replay(w: String): Seq[String] = {
+        var syms: Array[String] = w.map(_.toString).toArray
+        merges.foreach { case (l, r) =>
+          if (syms.length >= 2) {
+            val nb = scala.collection.mutable.ArrayBuffer(syms(0))
+            var i = 1
+            while (i < syms.length) {
+              if (nb.last == l && syms(i) == r) nb(nb.length - 1) = l + r
+              else nb += syms(i)
+              i += 1
+            }
+            syms = nb.toArray
+          }
+        }
+        syms.toSeq
+      }
+      val badReplay = sample.count(r => r.getSeq[String](1) != replay(r.getString(0)))
+      // q155's shape at depth: accounting over the vocab as a corpus
+      val acct = graft.curate.Bpe.tokenAccounting(
+        vocab.select(lit("all").as("src"), col("word").as("text")),
+        "src", "text", merges).collect()(0)
+      val totalSyms = segged.select(sum(size(col("segs"))).as("s")).collect()(0).getLong(0)
+      (merges.length == 30000 && badConcat == 0L && badSym == 0L &&
+        badReplay == 0 && sample.length > 1000 &&
+        acct.getLong(1) == totalSyms && acct.getLong(2) == n,
+        f"merges=${merges.length} train=$trainSec%.1fs segment=$segSec%.1fs " +
+          s"bad_concat=$badConcat bad_symbol=$badSym " +
+          s"replay_sample=${sample.length} replay_mismatch=$badReplay " +
+          s"acct=(${acct.getLong(1)},${acct.getLong(2)}) total_syms=$totalSyms")
     })
 
     if (enabled("dsir")) scenario("dsir-20m-score",

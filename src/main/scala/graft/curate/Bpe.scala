@@ -96,11 +96,29 @@ object Bpe {
   }
 
   /** Segment a single word column into BPE symbols under learned merges,
-    * applied sequentially by rank. Pure codegen'd built-ins (wrap → k
-    * literal replaces → split), no HOF, no UDF — linear in input bytes,
-    * the right shape for encoding a corpus: explode documents to words,
-    * apply this, aggregate back. */
+    * applied sequentially by rank (each greedy left-to-right,
+    * non-overlapping — the training contract). Native codegen-hosted
+    * kernel ([[graft.functions.expressions.BpeSegmentExpr]]): the merge
+    * table rides in the expression as DATA, so the plan is one node at
+    * ANY merge count and per-word cost is k-independent — a production
+    * 30k–50k-merge tokenizer segments as cheaply as the gated k=8 (the
+    * replace-chain formulation, kept below as [[segmentsViaReplace]] for
+    * cross-checks, builds a k-deep expression tree that stops being
+    * viable orders of magnitude earlier; ADVICE r7, closed here —
+    * `bpe-segment-30k` rehearses this path at 30,000 merges). */
   def segments(word: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.{GraftColumnBridge => B}
+    B.column(graft.functions.expressions.BpeSegmentExpr(B.expression(word), merges))
+  }
+
+  /** The replace-chain formulation of [[segments]] — pure codegen'd
+    * built-ins (wrap → k literal replaces → split), one nested `replace`
+    * PER MERGE. Semantically identical to [[segments]] (BpePropertySpec
+    * pins the equivalence on randomized corpora; it is also the exact
+    * shape the q152/q155 DuckDB oracles replay), but the k-deep
+    * expression tree bounds it to small merge tables — kept as the
+    * independent cross-check implementation, not the production path. */
+  private[curate] def segmentsViaReplace(word: Column, merges: Seq[(String, String)]): Column = {
     val wrapped = concat(lit(Sep),
       array_join(array_remove(split(word, ""), ""), SepSep), lit(Sep))
     val merged = merges.foldLeft(wrapped) { case (c, (l, r)) =>

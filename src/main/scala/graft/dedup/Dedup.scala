@@ -34,6 +34,23 @@ object Dedup {
     else df
   }
 
+  /** Eager materialization for CORPUS-SIZED multi-consumer frames.
+    * localCheckpoint blocks are non-evictable AND non-recomputable
+    * (lineage truncated): fine for candidate-sized intermediates, but a
+    * corpus-sized frame pinned that way turns executor memory+disk
+    * pressure into a job failure where a plain persist would evict and
+    * recompute. When the session has a RELIABLE checkpoint dir configured
+    * (`sparkContext.setCheckpointDir` — the at-scale deployment contract,
+    * pointed at durable storage), use `checkpoint(eager = true)`: blocks
+    * live in the store, nothing is pinned on executors, and lost
+    * partitions re-read from the store. Without one (local/battery runs,
+    * where the corpus fits by construction) fall through to the eager
+    * localCheckpoint — still zero cache-manager entries either way. */
+  private[graft] def checkpointEager(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(true)
+
   /** Bucketed candidate-pair generation — the shared core of the LSH dedup
     * tiers. Groups banded rows by the bucket keys with a memory-bounded
     * capped collect ([[graft.functions.expressions.CollectListCappedAgg]]:
@@ -294,11 +311,13 @@ object Dedup {
                         maxBucketSize: Int = 100000): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be a rational in (0, 1]: got $tauNum/$tauDen")
-    val base = ensureParallelism(
+    // corpus-sized multi-consumer frame: reliable checkpoint when a
+    // checkpoint dir is configured, localCheckpoint otherwise (see
+    // checkpointEager's scaladoc for the at-scale storage contract)
+    val base = checkpointEager(ensureParallelism(
       df.select(col(idCol).as("id"), col(textCol).as("__text"))
         .filter(col("__text").isNotNull && length(trim(col("__text"))) > 0))
-      .select(col("id"), array_distinct(T.wordShingles(col("__text"), shingleLen)).as("sh"))
-      .localCheckpoint(true) // multi-consumer; leaves no cache entry
+      .select(col("id"), array_distinct(T.wordShingles(col("__text"), shingleLen)).as("sh")))
     val freq = base.select(explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("cnt"))
     // ceil(tauNum·n/tauDen) in exact integer arithmetic (a double 0.9·n
@@ -367,11 +386,13 @@ object Dedup {
                        maxBucketSize: Int = 100000): (DataFrame, String) = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be a rational in (0, 1]: got $tauNum/$tauDen")
-    val base = ensureParallelism(
+    // corpus-sized multi-consumer frame: reliable checkpoint when a
+    // checkpoint dir is configured, localCheckpoint otherwise (see
+    // checkpointEager's scaladoc for the at-scale storage contract)
+    val base = checkpointEager(ensureParallelism(
       df.select(col(idCol).as("id"), col(textCol).as("__text"))
         .filter(col("__text").isNotNull && length(trim(col("__text"))) > 0))
-      .select(col("id"), array_distinct(T.wordShingles(col("__text"), shingleLen)).as("sh"))
-      .localCheckpoint(true) // multi-consumer; leaves no cache entry
+      .select(col("id"), array_distinct(T.wordShingles(col("__text"), shingleLen)).as("sh")))
     val freq = base.select(explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true) // stats probe + prefix join both consume it

@@ -143,6 +143,17 @@ case class CharEntropyExpr(child: Expression)
   * pass into O(n²) regex splits per document (measured 20× on q88 once
   * the bench stopped letting count() prune the projection). Here: one
   * linear pass, one virtual call per row, codegen-hosted.
+  *
+  * NULL-ELEMENT CONTRACT (pinned by TextExpressionsSpec): null tokens
+  * compare equal to each other — a run of nulls collapses to ONE null,
+  * and a null is KEPT whenever its predecessor is non-null. This
+  * deliberately differs from the replaced HOF (`t =!= prev` is null for
+  * a null element, so the old filter DROPPED every non-leading null):
+  * run-collapsing treats null as a distinct token value rather than
+  * silently deleting data. No current caller produces null tokens
+  * (`split` never yields them), so the gated queries see no difference;
+  * a future caller with null-bearing arrays gets the documented
+  * semantics above, not the HOF accident.
   */
 case class CollapseRunsExpr(child: Expression) extends UnaryExpression {
 

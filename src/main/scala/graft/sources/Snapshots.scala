@@ -130,13 +130,23 @@ object Snapshots {
     * scanning one snapshot of a 100 TB table) pins BEFORE resolving and
     * [[unpin]]s when done — the lock-free reader contract extended past
     * the retention window. Pin creation is a one-file write under
-    * `_PINS/`; re-pinning an existing name moves it. */
+    * `_PINS/`; re-pinning an existing name moves it. The pin file commits
+    * by the same tmp+atomic-rename protocol as the `_LATEST` pointer: a
+    * [[vacuum]] listing `_PINS/` concurrently with registration must see
+    * either no pin or the complete pin — never an empty or truncated
+    * file, which would abort the vacuum (or worse, pin the wrong
+    * version while the reader's intended one gets deleted). */
   def pin(spark: SparkSession, dir: String, v: Int, name: String): Unit = {
     val (f, root) = fs(spark, dir)
     require(f.exists(versionDir(root, v)), s"cannot pin missing version $v")
-    val p = new Path(new Path(root, PinsDir), pinName(name))
-    val out = f.create(p, true)
+    val pins = new Path(root, PinsDir)
+    f.mkdirs(pins)
+    val tmp = new Path(pins, s".${pinName(name)}.tmp")
+    val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, f.getConf)
+    fc.rename(tmp, new Path(pins, pinName(name)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Remove a named pin (idempotent — a finished reader's cleanup must
@@ -146,17 +156,29 @@ object Snapshots {
     f.delete(new Path(new Path(root, PinsDir), pinName(name)), false)
   }
 
-  /** All registered pins, name → version. */
+  /** All registered pins, name → version. In-flight `.name.tmp` files
+    * from a concurrent [[pin]] (or a crash before its rename) are not
+    * pins and are skipped; a COMMITTED pin that doesn't parse is a hard
+    * error with the offending path named — silently ignoring it would
+    * let [[vacuum]] delete the version that reader intended to hold. */
   def pinnedVersions(spark: SparkSession, dir: String): Map[String, Int] = {
     val (f, root) = fs(spark, dir)
     val pins = new Path(root, PinsDir)
     if (!f.exists(pins)) Map.empty
-    else f.listStatus(pins).toSeq.map { st =>
-      val buf = new Array[Byte](st.getLen.toInt)
-      val in = f.open(st.getPath)
-      try { in.readFully(0, buf) } finally in.close()
-      st.getPath.getName -> new String(buf, "UTF-8").trim.toInt
-    }.toMap
+    else f.listStatus(pins).toSeq
+      .filterNot(_.getPath.getName.startsWith("."))
+      .map { st =>
+        val buf = new Array[Byte](st.getLen.toInt)
+        val in = f.open(st.getPath)
+        try { in.readFully(0, buf) } finally in.close()
+        val txt = new String(buf, "UTF-8").trim
+        val v = try txt.toInt catch {
+          case _: NumberFormatException => throw new IllegalStateException(
+            s"unparsable pin file ${st.getPath} (content '${txt.take(40)}') — " +
+              "refusing to vacuum/resolve against a corrupt pin registry")
+        }
+        st.getPath.getName -> v
+      }.toMap
   }
 
   private def commitPointer(f: FileSystem, root: Path, v: Int): Unit = {

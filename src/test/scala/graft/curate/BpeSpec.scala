@@ -78,6 +78,47 @@ class BpeSpec extends SparkSpec {
     assert(low.length <= 2)
   }
 
+  test("native segments == replace-chain segments on learned merges") {
+    val df = corpus(
+      "the quick brown fox jumps over the lazy dog",
+      "lower lowest slower slowest low slow",
+      "aaa aaaa ababab banana bandana")
+    val merges = Bpe.learnMerges(df, "text", 12).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = df
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .distinct()
+    val both = words.select(col("w"),
+      Bpe.segments(col("w"), merges).as("native"),
+      Bpe.segmentsViaReplace(col("w"), merges).as("chain")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2), s"word=${r.getString(0)}")
+    }
+  }
+
+  test("segments survives production merge depth (3000 merges, one plan node)") {
+    // a replace-chain at this depth would build a 3000-deep expression
+    // tree; the native kernel carries the table as data. Vocabulary of
+    // 512 distinct 10-char base-2 words ensures thousands of learnable
+    // merges (every prefix/suffix combination keeps producing pairs).
+    val words = (0 until 512).map(i =>
+      (10 to 1 by -1).map(j => (('a' + ((i >> (j % 9)) & 1)).toChar)).mkString
+        + Integer.toBinaryString(512 + i).substring(1).replace('0', 'x').replace('1', 'y'))
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(df, "text", 3000).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.length > 100, s"expected deep merge table, got ${merges.length}")
+    val segs = df.select(col("text").as("w"),
+      Bpe.segments(col("w"), merges).as("segs")).collect()
+    // invariants: concatenation restores the word; with this many merges
+    // relative to vocab size, words collapse to very few symbols
+    segs.foreach(r => assert(r.getSeq[String](1).mkString === r.getString(0)))
+    val totalSyms = segs.map(_.getSeq[String](1).length).sum
+    assert(totalSyms < words.map(_.length).sum,
+      "merges should have reduced the symbol count")
+  }
+
   test("tokenAccounting: hand-computed symbol counts per group") {
     // merges (l,o), (lo,w), (e,r): "low" -> [low] = 1 symbol,
     // "lower" -> [low, er] = 2 symbols

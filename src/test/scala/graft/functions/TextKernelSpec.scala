@@ -54,6 +54,22 @@ class TextKernelSpec extends SparkSpec {
     assert(got(3) == None) // null in, null out (UnaryExpression null-safe)
   }
 
+  test("collapseRuns null-ELEMENT contract: null runs collapse, null after non-null kept") {
+    // the pinned contract (scaladoc): null tokens compare equal to each
+    // other, so [a, null, null, a, null] -> [a, null, a, null] — unlike
+    // the replaced HOF, which dropped every non-leading null
+    val df = Seq(
+      (1, Seq[String]("a", null, null, "a", null)),
+      (2, Seq[String](null, null, "b")),
+      (3, Seq[String](null)))
+      .toDF("i", "toks")
+    val got = df.select(col("i"), TextExpressions.collapseRuns(col("toks")).as("c"))
+      .as[(Int, Seq[String])].collect().toMap
+    assert(got(1) == Seq("a", null, "a", null))
+    assert(got(2) == Seq(null, "b"))
+    assert(got(3) == Seq(null))
+  }
+
   test("tokenChunks equals the strided slice arithmetic on random inputs") {
     for ((chunkLen, stride) <- Seq((10, 10), (5, 3), (7, 1), (1, 1), (100, 60))) {
       val cases = (1 to 30).map(n => randToks(n)) :+ randToks(250)

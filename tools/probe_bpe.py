@@ -4,17 +4,23 @@
 Validates three things on real testdata (sf0.01 and sf0.1):
   1. A pure-python reference BPE (greedy left-to-right fold merge,
      (count desc, lhs asc, rhs asc) argmax) produces the merge table.
-  2. The generated unrolled DuckDB SQL (the oracle) produces the SAME
-     table — i.e. the delimiter-wrapped string-replace formulation is
+  2. The SHIPPED unrolled DuckDB oracle — read verbatim from the
+     oracle_sql.json that `graft.Verify` dumps, NOT regenerated here
+     (ADVICE r7: a probe-local SQL generator drifted from the shipped
+     template in exactly the hardened edge cases) — produces the SAME
+     table: the delimiter-wrapped string-replace formulation is
      equivalent to the fold formulation on this data.
   3. Tie margins: report whether any iteration's argmax was decided by
      the lexicographic tie-break (fine — deterministic in both engines
      for ASCII) and whether any non-ASCII word participates (would make
      collation order load-bearing).
 
-Usage: python3 tools/probe_bpe.py /root/testdata/sf0.01 [k]
+Usage: python3 tools/probe_bpe.py /root/testdata/sf0.01 [k] [oracle_sql.json]
+  Run `sbt "runMain graft.Verify <sfdir> /tmp/verify_out"` first (or point
+  arg 3 at any oracle_sql.json dump). The shipped oracle is k=8; with any
+  other k only the python reference + margin report runs.
 """
-import sys, re, collections
+import sys, re, json, os, collections
 import duckdb
 
 SEP = "\x1d"
@@ -64,36 +70,14 @@ def w_codepoints(w):
     return [c for c in w]  # python strings are code points already
 
 
-def oracle_sql(sfdir, k, maxlen=512):
-    b = []
-    b.append(f"""WITH w AS MATERIALIZED (
-  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
-      ELSE regexp_split_to_array(trim(text), '\\s+') END) AS word
-  FROM read_parquet('{sfdir}/documents.parquet')),
-v AS MATERIALIZED (
-  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
-  WHERE NOT contains(word, chr(29)) GROUP BY 1),
-r0 AS MATERIALIZED (
-  SELECT chr(29) || array_to_string(
-      list_transform(range(1, length(word)+1), i -> substr(word, CAST(i AS INT), 1)),
-      chr(29)||chr(29)) || chr(29) AS repr, freq FROM v),
-pos AS MATERIALIZED (SELECT unnest(range(1, {maxlen})) AS j)""")
-    for i in range(1, k + 1):
-        b.append(f""",
-t{i} AS (SELECT string_split(substr(repr, 2, length(repr)-2), chr(29)||chr(29)) AS toks, freq FROM r{i-1}),
-p{i} AS MATERIALIZED (
-  SELECT toks[CAST(j AS INT)] AS lhs, toks[CAST(j AS INT)+1] AS rhs,
-         CAST(sum(freq) AS BIGINT) AS cnt
-  FROM t{i} JOIN pos ON j < len(toks) GROUP BY 1, 2),
-b{i} AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-r{i} AS MATERIALIZED (
-  SELECT replace(repr, chr(29)||lhs||chr(29)||chr(29)||rhs||chr(29),
-                 chr(29)||lhs||rhs||chr(29)) AS repr, freq
-  FROM r{i-1}, b{i})""")
-    sel = "\nUNION ALL ".join(
-        f"SELECT {i} AS merge_rank, lhs, rhs, cnt FROM b{i}" for i in range(1, k + 1))
-    b.append(f"\n{sel}\nORDER BY merge_rank" if k else "")
-    return "".join(b)
+def shipped_oracle(dump_path):
+    """The q152 oracle EXACTLY as the driver will run it — no local copy."""
+    with open(dump_path) as f:
+        oracles = json.load(f)
+    sql = oracles.get("q152_bpe_merges")
+    if sql is None:
+        raise SystemExit(f"{dump_path} has no q152_bpe_merges entry")
+    return sql
 
 
 def main():
@@ -116,19 +100,30 @@ def main():
     for m in ref:
         print("  ", m)
     print(f"tie-broken-iterations={ties}")
-    import time
-    t0 = time.time()
-    got = con.execute(oracle_sql(sfdir, k)).fetchall()
-    print(f"oracle ran in {time.time()-t0:.2f}s")
-    got = [tuple(r) for r in got]
-    if got == ref:
-        print("ORACLE == REFERENCE: OK")
+    dump = sys.argv[3] if len(sys.argv) > 3 else "/tmp/verify_out/oracle_sql.json"
+    if k != 8:
+        print(f"k={k} != 8 (the shipped oracle's depth): reference+margins only")
+    elif not os.path.exists(dump):
+        raise SystemExit(
+            f"{dump} not found — run `sbt \"runMain graft.Verify {sfdir} "
+            "/tmp/verify_out\"` first so the probe validates the SHIPPED oracle")
     else:
-        print("MISMATCH:")
-        for a, b_ in zip(ref, got):
-            flag = "" if a == b_ else "   <-- DIFFERS"
-            print(f"  ref={a} oracle={b_}{flag}")
-        sys.exit(1)
+        import time
+        con.execute(f"CREATE OR REPLACE VIEW documents AS "
+                    f"SELECT * FROM read_parquet('{sfdir}/documents.parquet')")
+        t0 = time.time()
+        got = con.execute(shipped_oracle(dump)).fetchall()
+        print(f"shipped oracle ran in {time.time()-t0:.2f}s")
+        # the shipped UNION ALL carries no ORDER BY; sort by merge_rank
+        got = sorted((tuple(r) for r in got), key=lambda r: r[0])
+        if got == ref:
+            print("SHIPPED ORACLE == REFERENCE: OK")
+        else:
+            print("MISMATCH:")
+            for a, b_ in zip(ref, got):
+                flag = "" if a == b_ else "   <-- DIFFERS"
+                print(f"  ref={a} oracle={b_}{flag}")
+            sys.exit(1)
     # runner-up margins per iteration (is the argmax close?)
     print("top-2 counts per iteration (margin report):")
     vocab2 = vocab

@@ -164,6 +164,76 @@ object BankJobs {
       .orderBy(a1("cust_id"), a1("transaction_date"))
   }
 
+  /** The LINEAR fact variant — the shape a real user wants at 100×
+    * (`r2g_account.py:160-208` fixed, not ported): identical columns to
+    * [[factDailyTransactionDsl]], but the customer accumulation KEEPS its
+    * (cust_id, transaction_date) key and joins 1:1 — so it collapses to a
+    * window column and output cardinality is exactly one row per
+    * (transaction_date, cust_id, acc_id). The reference's
+    * `cte_cust_accum_revenue` join on cust_id ALONE makes output
+    * cardinality itself super-linear (Σ_cust days² × accounts/day —
+    * PERF.md measured 28× at 5× data on the parity job q27, with
+    * per-row cost actually FALLING); that quirk is preserved verbatim in
+    * [[factDailyTransaction]]/[[FactSql]] for parity, while THIS is the
+    * production query: one shared pm⋈account join, three aggregations,
+    * two windows, two joins each on its full grouping key.
+    *
+    * One more deliberate divergence: the month-average column uses the
+    * DECIMAL-exact integer 4dp mean (the q16/q27 rounding device) instead
+    * of float `avg` — a float mean of fixed-decimal money lands on
+    * .00005 boundaries where engines round differently; the linear
+    * variant is the engineering-quality job, so it gets the
+    * deterministic form. */
+  def factDailyTransactionLinear(spark: SparkSession,
+                                 paymentTransaction: DataFrame, paymentType: DataFrame,
+                                 account: DataFrame, accountType: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pm = paymentTransaction
+      .join(paymentType, paymentTransaction("payment_code") === paymentType("type_code"))
+      .withColumn("transaction_date", to_date(col("transaction_time")))
+      .select(col("trans_id"), col("acc_id"), col("amount"), col("type_nm"), col("transaction_date"))
+    val acct = account.select(col("acc_id").as("a_acc_id"), col("cust_id"), col("acc_type"))
+    val pmAcct = pm.join(acct, pm("acc_id") === acct("a_acc_id"))
+
+    // customer daily rollup + 1:1 accumulation window (NOT a fan-out join)
+    val c1 = pmAcct.groupBy(col("transaction_date"), col("cust_id"))
+      .agg(count(col("trans_id")).as("cust_no_transaction_daily"),
+        sum(col("amount")).as("cust_daily_spending"),
+        collect_set(col("type_nm")).as("cust_daily_payment_type"))
+      .withColumn("cust_accum_spending",
+        sum(col("cust_daily_spending"))
+          .over(Window.partitionBy("cust_id").orderBy("transaction_date")))
+
+    val at = accountType.select(col("type_id"), col("type_nm").as("account_type_name"))
+    val a1 = pmAcct.join(at, col("acc_type") === col("type_id"))
+      .groupBy(col("transaction_date"), col("cust_id"), col("a_acc_id").as("acc_id"), col("account_type_name"))
+      .agg(countDistinct(col("trans_id")).as("account_no_transactions_daily"),
+        sum(col("amount")).as("account_daily_spending"))
+      .withColumn("account_accum_spending",
+        sum(col("account_daily_spending"))
+          .over(Window.partitionBy("cust_id", "acc_id").orderBy("transaction_date")))
+
+    val c3 = pmAcct.groupBy(month(col("transaction_date")).as("c3_month"), col("cust_id").as("c3_cust_id"))
+      .agg((expr(
+        "cast((cast(sum(cast(amount as decimal(18,2))) * 10000 as bigint) * 2" +
+          " + count(1)) div (2 * count(1)) as double)") / lit(10000.0))
+        .as("cust_avgerage_daily_spending")) // reference's spelling kept
+
+    a1
+      .join(c1.select(col("transaction_date").as("c1_date"), col("cust_id").as("c1_cust_id"),
+          col("cust_no_transaction_daily"), col("cust_daily_spending"),
+          col("cust_daily_payment_type"), col("cust_accum_spending")),
+        a1("transaction_date") === col("c1_date") && a1("cust_id") === col("c1_cust_id"))
+      .join(c3, col("c3_month") === month(a1("transaction_date")) && col("c3_cust_id") === a1("cust_id"))
+      .select(
+        date_format(a1("transaction_date"), "yyyyMMdd").as("date_key"),
+        a1("cust_id"), col("acc_id"), col("account_type_name"),
+        col("account_no_transactions_daily"), col("account_daily_spending"),
+        col("account_accum_spending"),
+        col("cust_no_transaction_daily"), col("cust_daily_spending"), col("cust_daily_payment_type"),
+        col("cust_accum_spending"), col("cust_avgerage_daily_spending"))
+  }
+
   /** Verbatim fact SQL (`r2g_account.py:160-208`). */
   val FactSql: String = """
     with cte_transaction_revenue as (

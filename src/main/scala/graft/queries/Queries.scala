@@ -2624,6 +2624,80 @@ object Queries {
     graft.curate.Bpe.tokenAccounting(docs, "source", "text", merges, Some(wc))
   }
 
+  /** ANN-BACKED hybrid retrieval — the at-scale shape of q154, hash-
+    * verified end-to-end (VERDICT r7 #1): the dense ranking comes from
+    * [[graft.ann.Ivf.topKAgainstIndex]] over a STORED index (fit → save
+    * → assign → write → reload → serve, the q150 lifecycle applied to
+    * ANN) instead of [[graft.curate.Hybrid.denseTopK]]'s Q×N crossJoin;
+    * the fusion is the same exact-BIGINT RRF. Deterministic because
+    * every stage is: the IVF fit is the q34 pure-function-of-data
+    * KMeans, serving ranks on exact cosine with id tie-break
+    * (tools/probe_hybrid_ann.py probes this query set's assignment,
+    * probe-boundary, and rank-gap margins at both scales), and BM25
+    * ranks on the 4dp-quantized score. Scale shape: corpus scanned
+    * linearly at index build, then only probed cells join each query
+    * batch — sub-linear serving where q154's dense stage is Q×N. */
+  def q156HybridAnn(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val emb = tbl(s, dir, "embeddings")
+    val queries = docs
+      .filter(col("doc_id") % 125 === 3 && size(T.tokens(col("text"))) > 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(T.tokens(col("text")), 1, 5)).as("qtext"))
+    val sparse = graft.curate.Bm25.topK(docs, "doc_id", "text",
+      queries, "qid", "qtext", k = 5).select("qid", "doc_id", "rank")
+    val qvecs = emb.join(queries.select(col("qid")), col("vec_id") === col("qid"))
+      .select(col("qid"), col("embedding").as("qvec"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q156_ivf")
+    val model = Ivf.fit(emb, "vec_id", "embedding", numCells = 16, iterations = 2)
+    Ivf.save(model, s, s"$tmpRoot/model")
+    Ivf.assign(emb, "embedding", model)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cell"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/index")
+    val dense = Ivf.topKAgainstIndex(
+        s.read.parquet(s"$tmpRoot/index"), qvecs, Ivf.load(s, s"$tmpRoot/model"),
+        "qid", "qvec", k = 5, nProbes = 4)
+      .select(col("qid"), col("nid").as("doc_id"), col("rank"))
+    graft.curate.Hybrid.rrfFuse(Seq(sparse, dense), "qid", "doc_id", "rank",
+      maxRank = 5, topK = 5)
+  }
+
+  /** The LINEAR fact variant ([[graft.jobs.BankJobs
+    * .factDailyTransactionLinear]]): q27's business answer without the
+    * reference's cust_id-only fan-out join — one row per
+    * (transaction_date, cust_id, acc_id), every join on its full
+    * grouping key, the month average DECIMAL-exact. Same synthesized
+    * bank-schema inputs as q27 (orders %10 as transactions, customer
+    * mod-200 as accounts; payment/account type dims from the distinct
+    * priority/segment values). */
+  def q157FactLinear(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders")
+    val customer = tbl(s, dir, "customer")
+    val pm = orders.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("trans_id"), col("o_custkey").as("acc_id"),
+        col("o_totalprice").as("amount"),
+        col("o_orderdate").cast("timestamp").as("transaction_time"),
+        col("o_orderpriority").as("payment_code"))
+    val ptype = orders.select(col("o_orderpriority")).distinct()
+      .select(col("o_orderpriority").as("type_code"),
+        col("o_orderpriority").as("type_nm"))
+    val account = customer.select(col("c_custkey").as("acc_id"),
+      pmod(col("c_custkey"), lit(200)).as("cust_id"),
+      col("c_mktsegment").as("acc_type"))
+    val atype = customer.select(col("c_mktsegment")).distinct()
+      .select(col("c_mktsegment").as("type_id"), col("c_mktsegment").as("type_nm"))
+    graft.jobs.BankJobs.factDailyTransactionLinear(s, pm, ptype, account, atype)
+      .select(col("date_key"), col("cust_id"), col("acc_id"), col("account_type_name"),
+        col("account_no_transactions_daily"),
+        round(col("account_daily_spending"), 4).as("account_daily_spending"),
+        round(col("account_accum_spending"), 4).as("account_accum_spending"),
+        col("cust_no_transaction_daily"),
+        round(col("cust_daily_spending"), 4).as("cust_daily_spending"),
+        array_join(sort_array(col("cust_daily_payment_type")), "|").as("cust_daily_payment_type"),
+        round(col("cust_accum_spending"), 4).as("cust_accum_spending"),
+        round(col("cust_avgerage_daily_spending"), 4).as("cust_avgerage_daily_spending"))
+  }
+
   /** q121's appended test string: decomposed Cafe+◌́ and nai+◌̈ve (which
     * NFC must compose) plus a precomposed é (which NFC must leave).
     * Explicit \\u escapes in a plain literal — the one place the
@@ -2787,7 +2861,9 @@ object Queries {
     "q152_bpe_merges" -> (q152BpeMerges _),
     "q153_dsir_select" -> (q153DsirSelect _),
     "q154_hybrid_rrf" -> (q154HybridRrf _),
-    "q155_bpe_accounting" -> (q155BpeAccounting _))
+    "q155_bpe_accounting" -> (q155BpeAccounting _),
+    "q156_hybrid_ann" -> (q156HybridAnn _),
+    "q157_fact_linear" -> (q157FactLinear _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -4896,7 +4972,93 @@ object Queries {
     // ≡ the engine's fold — tools/probe_bpe.py proves the equivalence
     // against an independent python implementation at both scales).
     // MATERIALIZED: r{i} is referenced by both p{i+1} and r{i+1}.
-    "q152_bpe_merges" -> bpeOracle(8))
+    "q152_bpe_merges" -> bpeOracle(8),
+    // q156: ANN-backed hybrid — q34's full KMeans/assignment/probe
+    // replay supplies the dense ranks (restricted to the hybrid query
+    // set, self-matches excluded like topKAgainstIndex), q96's replay is
+    // nested verbatim for the sparse ranks, and the fusion is the same
+    // exact-integer RRF as q154 (constant interpolated from
+    // Hybrid.lcmUnits). Rank-boundary margins for THIS query set probed
+    // by tools/probe_hybrid_ann.py at both scales.
+    "q156_hybrid_ann" -> {
+      val l = graft.curate.Hybrid.lcmUnits(60, 5)
+      val (ctes, fin) = ivfReplayCtes(16, 2)
+      s"""WITH $ctes,
+        |af AS (SELECT vec_id, cell FROM (
+        |  ${ivfRanked(fin)}) WHERE rn = 1),
+        |pr AS (SELECT vec_id, cell FROM (
+        |  ${ivfRanked(fin,
+             """WHERE qv.vec_id IN (SELECT doc_id FROM documents
+               |    WHERE doc_id % 125 = 3 AND length(trim(text)) > 0)""".stripMargin)}) WHERE rn <= 4),
+        |cand AS (SELECT DISTINCT pr.vec_id AS qid, af.vec_id AS nid
+        | FROM pr JOIN af USING (cell) WHERE af.vec_id <> pr.vec_id),
+        |dnscored AS (SELECT qid, nid, list_cosine_similarity(a.v, b.v) AS cos
+        | FROM cand JOIN e a ON a.vec_id = cand.qid JOIN e b ON b.vec_id = cand.nid),
+        |dn AS (SELECT qid, nid AS doc_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+        | FROM dnscored),
+        |sp AS (
+        |$bm25TopkSql
+        |),
+        |u AS (SELECT qid, doc_id, $l // (60 + rank) AS w FROM sp
+        |  UNION ALL
+        |  SELECT qid, doc_id, $l // (60 + rank) FROM dn WHERE rank <= 5),
+        |f AS (SELECT qid, doc_id, CAST(sum(w) AS BIGINT) AS rrf_units
+        |  FROM u GROUP BY 1, 2),
+        |rk AS (SELECT qid, doc_id, rrf_units,
+        |    row_number() OVER (PARTITION BY qid ORDER BY rrf_units DESC, doc_id)
+        |      AS rank FROM f)
+        |SELECT qid, CAST(rank AS INT) AS rank, doc_id, rrf_units
+        |FROM rk WHERE rank <= 5""".stripMargin
+    },
+    // q157: the linear fact — q27's oracle with the customer
+    // accumulation window kept on its full (cust_id, transaction_date)
+    // key and joined 1:1 (no fan-out), month average in the same
+    // integer-exact 4dp form as the engine computes it.
+    "q157_fact_linear" ->
+      """WITH pm AS (
+        |  SELECT o_orderkey AS trans_id, o_custkey AS acc_id, o_totalprice AS amount,
+        |         CAST(o_orderdate AS DATE) AS transaction_date, o_orderpriority AS type_nm
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |acct AS (
+        |  SELECT c_custkey AS acc_id, c_custkey % 200 AS cust_id, c_mktsegment AS acc_type
+        |  FROM customer),
+        |c1 AS (
+        |  SELECT transaction_date, a.cust_id,
+        |         count(trans_id) AS cust_no_transaction_daily,
+        |         sum(amount) AS cust_daily_spending,
+        |         list_sort(list(DISTINCT type_nm)) AS cust_daily_payment_type
+        |  FROM pm JOIN acct a ON pm.acc_id = a.acc_id
+        |  GROUP BY transaction_date, a.cust_id),
+        |c1w AS (
+        |  SELECT *, sum(cust_daily_spending) OVER (PARTITION BY cust_id ORDER BY transaction_date) AS cust_accum_spending
+        |  FROM c1),
+        |a1 AS (
+        |  SELECT pm.transaction_date, cust_id, a.acc_id, a.acc_type AS account_type_name,
+        |         count(DISTINCT pm.trans_id) AS account_no_transactions_daily,
+        |         sum(pm.amount) AS account_daily_spending
+        |  FROM pm JOIN acct a ON pm.acc_id = a.acc_id
+        |  GROUP BY pm.transaction_date, a.cust_id, a.acc_id, a.acc_type),
+        |a1w AS (
+        |  SELECT *, sum(account_daily_spending) OVER (PARTITION BY cust_id, acc_id ORDER BY transaction_date) AS account_accum_spending
+        |  FROM a1),
+        |c3 AS (
+        |  SELECT month(transaction_date) AS mth, a.cust_id,
+        |         CAST((CAST(sum(CAST(amount AS DECIMAL(18,2))) * 10000 AS BIGINT) * 2
+        |               + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0 AS cust_avgerage_daily_spending
+        |  FROM pm JOIN acct a ON pm.acc_id = a.acc_id
+        |  GROUP BY month(transaction_date), a.cust_id)
+        |SELECT strftime(a1w.transaction_date, '%Y%m%d') AS date_key, a1w.cust_id, a1w.acc_id, a1w.account_type_name,
+        |       a1w.account_no_transactions_daily,
+        |       round(a1w.account_daily_spending, 4) AS account_daily_spending,
+        |       round(a1w.account_accum_spending, 4) AS account_accum_spending,
+        |       c1w.cust_no_transaction_daily, round(c1w.cust_daily_spending, 4) AS cust_daily_spending,
+        |       array_to_string(c1w.cust_daily_payment_type, '|') AS cust_daily_payment_type,
+        |       round(c1w.cust_accum_spending, 4) AS cust_accum_spending,
+        |       round(c3.cust_avgerage_daily_spending, 4) AS cust_avgerage_daily_spending
+        |FROM a1w
+        |  JOIN c1w ON a1w.transaction_date = c1w.transaction_date AND a1w.cust_id = c1w.cust_id
+        |  JOIN c3 ON c3.mth = month(a1w.transaction_date) AND c3.cust_id = a1w.cust_id""".stripMargin)
 
   /** The q152/q155 shared CTE chain (see the q152 map entry comment):
     * word histogram → delimiter-wrapped char vocabulary → k unrolled

@@ -12,6 +12,8 @@ import org.apache.spark.sql.types.StructType
   */
 class GraftCatalog(spark: SparkSession) {
 
+  import GraftCatalog.MetaFile
+
   def createDatabase(name: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
 
@@ -61,6 +63,8 @@ class GraftCatalog(spark: SparkSession) {
     val w = df.write.mode(mode)
     (if (partitionKeys.nonEmpty) w.partitionBy(partitionKeys: _*) else w)
       .saveAsTable(s"`$db`.`$table`")
+    if (partitionKeys.nonEmpty)
+      writeMeta(db, table, Map("partitionKeys" -> partitionKeys.mkString(",")))
   }
 
   /** Bucketed catalog sink — the co-located-join layout for keys that are
@@ -81,6 +85,49 @@ class GraftCatalog(spark: SparkSession) {
     val w = df.write.mode(mode).bucketBy(numBuckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(s"`$db`.`$table`")
+    writeMeta(db, table, Map(
+      "bucketCol" -> bucketCol,
+      "numBuckets" -> numBuckets.toString,
+      "sortCols" -> sortCols.mkString(",")))
+  }
+
+  /** Layout metadata that is CATALOG state, not file state (bucket spec,
+    * partition keys), persisted as an underscore-prefixed sidecar IN the
+    * table directory — parquet readers ignore `_*` files, and a fresh
+    * catalog (new JVM, in-memory metastore) can [[crawl]] the directory
+    * back to a fully-functional table, bucket layout included. The write
+    * goes through the Hadoop FileSystem (tmp + atomic rename, the
+    * Snapshots pointer protocol) so it works on object stores too. */
+  private def writeMeta(db: String, table: String, kv: Map[String, String]): Unit = {
+    // the table's ACTUAL resolved location (an Overwrite onto an existing
+    // external table keeps its location — defaultTablePath would miss it)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db))).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(loc, s".tmp.$MetaFile")
+    val out = fs.create(tmp, true)
+    try out.write(kv.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(loc, MetaFile)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"failed to commit $dst")
+  }
+
+  private def readMeta(path: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      text.linesIterator.filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+        .toMap
+    }
   }
 
   /** Catalog source (`create_dynamic_frame_from_catalog`,
@@ -105,10 +152,43 @@ class GraftCatalog(spark: SparkSession) {
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tableName`")
 
   /** The crawler analog: register an existing parquet path as an external
-    * table (schema inferred from the files, like a crawl). */
+    * table (schema inferred from the files, like a crawl). If the
+    * directory carries a [[MetaFile]] sidecar (written by [[saveBucketed]]
+    * / partitioned [[saveTable]]), the catalog-only layout metadata is
+    * restored too: the re-registered table plans bucketed joins with zero
+    * exchanges and partitioned scans with pruning in a BRAND-NEW catalog
+    * (new JVM) — the serving contract a restart must not break
+    * (GraftCatalogSpec pins it against a from-scratch catalog). Bucketed
+    * DDL requires an explicit schema, which is read from the parquet
+    * footers (exactly what the files say, not what a previous session
+    * remembered). */
   def crawl(db: String, tableName: String, path: String): Unit = {
     createDatabase(db)
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tableName`")
-    spark.catalog.createTable(s"`$db`.`$tableName`", path, "parquet")
+    val meta = readMeta(path)
+    if (meta.isEmpty) spark.catalog.createTable(s"`$db`.`$tableName`", path, "parquet")
+    else {
+      val schema = spark.read.parquet(path).schema.toDDL
+      val parts = meta.get("partitionKeys").map(_.split(",").filter(_.nonEmpty)).getOrElse(Array.empty)
+      val partDdl =
+        if (parts.isEmpty) ""
+        else parts.map(c => s"`$c`").mkString("PARTITIONED BY (", ", ", ")")
+      val bucketDdl = meta.get("bucketCol").fold("") { bc =>
+        val sorts = meta.get("sortCols").map(_.split(",").filter(_.nonEmpty)).getOrElse(Array.empty)
+        val sortClause =
+          if (sorts.isEmpty) "" else sorts.map(c => s"`$c`").mkString("SORTED BY (", ", ", ") ")
+        s"CLUSTERED BY (`$bc`) ${sortClause}INTO ${meta("numBuckets")} BUCKETS"
+      }
+      spark.sql(
+        s"""CREATE TABLE `$db`.`$tableName` ($schema) USING parquet
+           |$partDdl $bucketDdl
+           |LOCATION '$path'""".stripMargin)
+      if (parts.nonEmpty) spark.catalog.recoverPartitions(s"`$db`.`$tableName`")
+    }
   }
+}
+
+object GraftCatalog {
+  /** Underscore-prefixed so parquet scans skip it; plain `k=v` lines. */
+  val MetaFile = "_GRAFT_META"
 }

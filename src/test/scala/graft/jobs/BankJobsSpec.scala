@@ -223,4 +223,47 @@ class BankJobsSpec extends SparkSpec {
     assert(after2.filter(col("is_active")).groupBy("id").count()
       .filter(col("count") > 1).count() == 0)
   }
+
+  test("linear fact: hand-computed rows, DECIMAL-exact month average") {
+    val pm = Seq(
+      ("t1", "A1", 10.00, "2023-01-01 09:00:00", "P1"),
+      ("t2", "A1", 20.00, "2023-01-01 10:00:00", "P2"),
+      ("t3", "A2", 5.00, "2023-01-01 11:00:00", "P1"),
+      ("t4", "A1", 7.50, "2023-01-02 09:00:00", "P1"),
+      ("t5", "A3", 100.00, "2023-01-01 09:00:00", "P1"),
+      ("t6", "A3", 1.25, "2023-02-03 09:00:00", "P2"))
+      .toDF("trans_id", "acc_id", "amount", "transaction_time", "payment_code")
+      .withColumn("transaction_time", col("transaction_time").cast("timestamp"))
+    val ptype = Seq(("P1", "card"), ("P2", "cash")).toDF("type_code", "type_nm")
+    val account = Seq(("A1", "C1", "T1"), ("A2", "C1", "T2"), ("A3", "C2", "T1"))
+      .toDF("acc_id", "cust_id", "acc_type")
+    val atype = Seq(("T1", "savings"), ("T2", "checking")).toDF("type_id", "type_nm")
+
+    val fact = BankJobs.factDailyTransactionLinear(spark, pm, ptype, account, atype)
+    val rows = fact
+      .withColumn("cust_daily_payment_type",
+        array_join(sort_array(col("cust_daily_payment_type")), "|"))
+      .select("date_key", "cust_id", "acc_id", "account_type_name",
+        "account_no_transactions_daily", "account_daily_spending",
+        "account_accum_spending", "cust_no_transaction_daily",
+        "cust_daily_spending", "cust_daily_payment_type", "cust_accum_spending",
+        "cust_avgerage_daily_spending")
+      .as[(String, String, String, String, Long, Double, Double, Long, Double, String, Double, Double)]
+      .collect().toSet
+    assert(rows == Set(
+      // Jan C1 avg = (10+20+5+7.5)/4 = 10.625 exactly (integer-exact 4dp mean)
+      ("20230101", "C1", "A1", "savings", 2L, 30.0, 30.0, 3L, 35.0, "card|cash", 35.0, 10.625),
+      ("20230101", "C1", "A2", "checking", 1L, 5.0, 5.0, 3L, 35.0, "card|cash", 35.0, 10.625),
+      ("20230102", "C1", "A1", "savings", 1L, 7.5, 37.5, 1L, 7.5, "card", 42.5, 10.625),
+      ("20230101", "C2", "A3", "savings", 1L, 100.0, 100.0, 1L, 100.0, "card", 100.0, 100.0),
+      ("20230203", "C2", "A3", "savings", 1L, 1.25, 101.25, 1L, 1.25, "cash", 101.25, 1.25)))
+  }
+
+  test("linear fact: one row per (date, cust, acc) — the fan-out quirk removed") {
+    // the q157 synthesis on sf0.001: output key is unique (q27's parity
+    // fan-out makes this same key repeat once per c1 date of the cust)
+    val fact = graft.queries.Queries.q157FactLinear(spark, "/root/testdata/sf0.001")
+    assert(fact.groupBy("date_key", "cust_id", "acc_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
 }

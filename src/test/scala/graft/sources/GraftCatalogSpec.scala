@@ -126,4 +126,67 @@ class GraftCatalogSpec extends SparkSpec {
     cat.dropTable("graft_db", "xs_fact")
     cat.dropTable("graft_db", "xs_dim")
   }
+
+  test("catalog survives a JVM RESTART: crawl restores the bucket layout from warehouse files alone") {
+    import org.apache.spark.sql.functions._
+    // a restart clears exactly the in-memory catalog; only warehouse
+    // files survive. Simulate that precisely: move the table directories
+    // aside, DROP every catalog entry (all metadata gone), then
+    // re-register from the moved files into a DIFFERENT database — the
+    // crawl can only use what's on disk (_GRAFT_META + parquet footers).
+    val fact = spark.range(0, 8000)
+      .select((col("id") % 400).as("k"), (col("id") % 13).as("amt"))
+    val dim = spark.range(0, 400).select(col("id").as("k"), (col("id") % 5).as("seg"))
+    cat.saveBucketed("graft_db", "rs_fact", fact, "k", numBuckets = 4, sortCols = Seq("k"))
+    cat.saveBucketed("graft_db", "rs_dim", dim, "k", numBuckets = 4, sortCols = Seq("k"))
+    val tmp = java.nio.file.Files.createTempDirectory("restart_wh")
+    for (t <- Seq("rs_fact", "rs_dim")) {
+      val loc = java.nio.file.Paths.get(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t, Some("graft_db"))).location)
+      java.nio.file.Files.move(loc, tmp.resolve(t))
+      cat.dropTable("graft_db", t)
+    }
+    val cat2 = new GraftCatalog(spark)
+    cat2.crawl("graft_db_rs", "rs_fact", tmp.resolve("rs_fact").toString)
+    cat2.crawl("graft_db_rs", "rs_dim", tmp.resolve("rs_dim").toString)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = cat2.table("graft_db_rs", "rs_fact")
+        .join(cat2.table("graft_db_rs", "rs_dim"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join lost its layout across the restart:\n$plan")
+      val got = joined.groupBy("seg").agg(sum("amt").as("total"))
+        .as[(Long, Long)].collect().toMap
+      val expect = fact.join(dim, "k").groupBy("seg").agg(sum("amt").as("total"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    cat2.dropTable("graft_db_rs", "rs_fact")
+    cat2.dropTable("graft_db_rs", "rs_dim")
+  }
+
+  test("crawl restores partition metadata: pruned scan after the restart") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 1000)
+      .select(col("id"), (col("id") % 4).cast("int").as("p"))
+    cat.saveTable("graft_db", "rs_part", df, partitionKeys = Seq("p"))
+    val loc = java.nio.file.Paths.get(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("rs_part", Some("graft_db"))).location)
+    val tmp = java.nio.file.Files.createTempDirectory("restart_wh_p")
+    java.nio.file.Files.move(loc, tmp.resolve("rs_part"))
+    cat.dropTable("graft_db", "rs_part")
+    val cat2 = new GraftCatalog(spark)
+    cat2.crawl("graft_db_rs", "rs_part", tmp.resolve("rs_part").toString)
+    val q = cat2.table("graft_db_rs", "rs_part").filter(col("p") === 2)
+    assert(q.count() == 250)
+    // the filter must prune at the PARTITION level, not scan-and-filter
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && !scan.contains("PartitionFilters: []"),
+      s"partition filter did not reach the scan:\n$scan")
+    cat2.dropTable("graft_db_rs", "rs_part")
+  }
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bpe,bpeseg,dsir,phrase,merge,ivf,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bpe,bpeseg,dsir,phrase,merge,ivf,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
   */
 object ScaleRehearsal {
 
@@ -322,6 +322,46 @@ object ScaleRehearsal {
       (agg.getLong(0) == 100 && agg.getLong(1) == 100,
         s"rows=${agg.getLong(0)} (expect 100: one candidate per query) " +
           s"self_top1=${agg.getLong(1)}/100")
+    })
+
+    if (enabled("bm25inc")) scenario("bm25-inc-append",
+        "stored-index append is batch-sized, not corpus-sized", {
+      // 1M-doc base (the bm25-1m construction: globally-unique words, so
+      // every expected hit is provable) + a 10k-doc APPEND batch with a
+      // disjoint word space. The scale contract is self-checking: the
+      // append touches only batch postings + the vocab-sized df table, so
+      // its wall must sit far below the base build's. Serving after the
+      // append must resolve base AND appended queries self-top1 with
+      // exactly-merged stats.
+      def mkDocs(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(19)),
+            j => concat(lit("w"), col("id") * 20 + j))).as("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("rehearse_bm25inc").toString
+      try {
+        val B = graft.curate.Bm25
+        val t0 = System.nanoTime()
+        B.saveIncIndex(B.buildIncIndex(mkDocs(0, 1000000), "doc_id", "text"), tmp)
+        val buildWall = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        B.appendIncIndex(spark, tmp, mkDocs(2000000, 2010000), "doc_id", "text")
+        val appendWall = (System.nanoTime() - t1) / 1e9
+        val idx = B.loadIncIndex(spark, tmp)
+        val queries = mkDocs(0, 1000000).filter(col("doc_id") % 20000 === 0)
+          .unionByName(mkDocs(2000000, 2010000).filter(col("doc_id") % 200 === 0))
+          .select(col("doc_id").as("qid"),
+            concat_ws(" ", transform(sequence(lit(0), lit(4)),
+              j => concat(lit("w"), col("qid") * 20 + j))).as("qtext"))
+        val topk = B.topKAgainstIncIndex(idx, queries, "qid", "qtext", k = 3)
+        val agg = topk.agg(count(lit(1)).as("rows"),
+          sum(when(col("rank") === 1 && col("qid") === col("doc_id"), 1L)
+            .otherwise(0L)).as("self_top1")).collect()(0)
+        (agg.getLong(0) == 100 && agg.getLong(1) == 100 &&
+          idx.nDocs == 1010000.0 && idx.totalDl == 20.0 * 1010000 &&
+          appendWall < buildWall,
+          f"rows=${agg.getLong(0)} self_top1=${agg.getLong(1)}/100 " +
+            f"nDocs=${idx.nDocs}%.0f build=$buildWall%.1fs append=$appendWall%.1fs")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     })
 
     if (enabled("bpe")) scenario("bpe-4.8m-vocab",

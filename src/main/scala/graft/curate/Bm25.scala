@@ -158,4 +158,146 @@ object Bm25 {
         Seq(col("qid")),
         Seq(col("score").desc, col("doc_id").asc), k, rankName = "rank")
       .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+
+  // ------------------------------------------------- incremental index
+
+  /** The MAINTAINABLE index format: document frequency lives in a
+    * separate vocabulary-sized `(term, df)` table instead of being folded
+    * into every posting row. The fold ([[Index]]) is the right read
+    * layout for a build-once index, but it makes appends corpus-sized: a
+    * new batch changes df for every term it touches, which under the
+    * folded layout rewrites every posting of those terms — at realistic
+    * vocabulary overlap, most of a 100 TB index. Here an append is
+    * O(batch + vocabulary): batch postings APPEND (stored postings are
+    * never read, rewritten, or shuffled), the df table merges by term
+    * (vocab-sized), and the scalar stats add arithmetically. Scoring
+    * joins df onto the BROADCAST query-term side, so the serving plan
+    * shape is identical to [[scoresAgainstIndex]].
+    *
+    * Exactness contract (the q158 gate): an index built incrementally
+    * over any disjoint split of the corpus serves quantized top-k
+    * IDENTICAL to a full rebuild — df counts and doc counts are integer
+    * sums, and `totalDl` is a sum of integer-valued doubles (token
+    * counts), exact in float64 below 2^53 regardless of summation order,
+    * so `avgdl` is bit-identical to the rebuild's. Appended batches must
+    * carry doc ids DISJOINT from the stored corpus (the same admission
+    * precondition as the q109 dedup index); re-adding an id double-counts
+    * exactly as a real posting list would. */
+  final case class IncIndex(postings: DataFrame, dfs: DataFrame,
+                            nDocs: Double, totalDl: Double) {
+    def avgdl: Double = if (nDocs == 0) 1.0 else totalDl / nDocs
+  }
+
+  /** Build the maintainable index: same one corpus pass as
+    * [[buildIndex]], df kept separate. */
+  def buildIncIndex(docs: DataFrame, docId: String, docText: String): IncIndex = {
+    val corpus = docs
+      .select(col(docId).as("doc_id"), T.tokens(col(docText)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val tfs = corpus
+      .select(col("doc_id"), size(col("__toks")).cast("double").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val statsRow = tfs.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).cast("double"), sum(col("dl"))).collect()(0)
+    val out =
+      if (statsRow.isNullAt(1)) {
+        val empty = tfs.limit(0).localCheckpoint(true)
+        IncIndex(empty,
+          empty.select(col("term"), lit(0.0).as("df")).localCheckpoint(true),
+          0.0, 0.0)
+      } else IncIndex(
+        tfs.localCheckpoint(true),
+        tfs.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+          .localCheckpoint(true),
+        statsRow.getDouble(0), statsRow.getDouble(1))
+    tfs.unpersist()
+    out
+  }
+
+  def saveIncIndex(index: IncIndex, path: String): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$path/postings")
+    index.dfs.write.mode("overwrite").parquet(s"$path/dfs")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    Seq((index.nDocs, index.totalDl)).toDF("n_docs", "total_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def loadIncIndex(spark: SparkSession, path: String): IncIndex = {
+    val st = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs").cast("double"), col("total_dl").cast("double"))
+      .collect()(0)
+    IncIndex(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/dfs"), st.getDouble(0), st.getDouble(1))
+  }
+
+  /** Append a document batch to a stored incremental index —
+    * O(batch + vocabulary), the stored postings are untouched: batch
+    * postings append as new files, the df table and 1-row stats rewrite
+    * via tmp+rename (both vocab-or-smaller). Single-writer maintenance
+    * op; concurrent readers mid-append can see the new postings before
+    * the new stats — version the index directory with
+    * [[graft.sources.Snapshots]] when serving must be isolated from
+    * maintenance. Batch doc ids must be disjoint from the stored corpus
+    * (see [[IncIndex]]). */
+  def appendIncIndex(spark: SparkSession, path: String, newDocs: DataFrame,
+                     docId: String, docText: String): Unit = {
+    val delta = buildIncIndex(newDocs, docId, docText)
+    if (delta.nDocs == 0.0) return
+    val old = loadIncIndex(spark, path)
+    delta.postings.write.mode("append").parquet(s"$path/postings")
+    // merged df is materialized by the tmp write BEFORE the old dir is
+    // replaced, so the plan never overwrites its own input
+    val mergedDfs = old.dfs.unionByName(delta.dfs)
+      .groupBy("term").agg(sum(col("df")).as("df"))
+    swapWrite(mergedDfs, path, "dfs")
+    import spark.implicits._
+    swapWrite(Seq((old.nDocs + delta.nDocs, old.totalDl + delta.totalDl))
+      .toDF("n_docs", "total_dl").coalesce(1), path, "stats")
+  }
+
+  private def swapWrite(df: DataFrame, root: String, name: String): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(s"$root/$name")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/.tmp_$name")
+    val fs = dst.getFileSystem(conf)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"failed to swap $dst")
+  }
+
+  /** [[scoresAgainstIndex]] for the maintainable format: df joins onto
+    * the query-term side (small), which then broadcasts onto the
+    * postings — same serving plan shape, stored postings never shuffle.
+    * Identical doubles to the folded path on the same corpus (same
+    * inputs, same expression tree), so quantized rankings agree. */
+  def scoresAgainstIncIndex(index: IncIndex, queries: DataFrame,
+                            queryId: String, queryText: String,
+                            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries
+      .select(col(queryId).as("qid"),
+        explode(array_distinct(T.tokens(col(queryText)))).as("term"))
+      .join(index.dfs, Seq("term"))
+    val idf = log(lit(1.0) +
+      (lit(index.nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termScore = idf * col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(index.avgdl)))
+    index.postings
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("qid"), col("doc_id"), termScore.as("__s"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("__s")).as("score"))
+  }
+
+  def topKAgainstIncIndex(index: IncIndex, queries: DataFrame,
+                          queryId: String, queryText: String,
+                          k: Int, k1: Double = 1.2, b: Double = 0.75,
+                          scoreDecimals: Int = 4): DataFrame =
+    topKFromScores(
+      scoresAgainstIncIndex(index, queries, queryId, queryText, k1, b),
+      k, scoreDecimals)
 }

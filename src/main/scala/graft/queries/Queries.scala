@@ -2662,6 +2662,34 @@ object Queries {
       maxRank = 5, topK = 5)
   }
 
+  /** Incremental BM25 index maintenance ([[graft.curate.Bm25
+    * .appendIncIndex]]): the documents table splits 3 ways by
+    * `doc_id % 3`; the stored index is built from slice 0, then slices 1
+    * and 2 arrive as appends — O(batch + vocabulary) each, the stored
+    * postings never read or rewritten (the maintainable separated-df
+    * format). Served top-k over the fully-appended index must be
+    * IDENTICAL to a full rebuild over the whole corpus, so the oracle is
+    * q96's replay verbatim — the exactness argument (integer df/doc
+    * counts, exact integer-valued-double dl sums) is in the IncIndex
+    * scaladoc, and the quantized-score margins are q96's probed ones. */
+  def q158IncBm25(s: SparkSession, dir: String): DataFrame = {
+    val B = graft.curate.Bm25
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q158_bm25")
+      .toFile.getAbsolutePath
+    val docs = tbl(s, dir, "documents")
+    val queries = docs
+      .filter(col("doc_id") % 125 === 3 && size(T.tokens(col("text"))) > 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(T.tokens(col("text")), 1, 5)).as("qtext"))
+    B.saveIncIndex(B.buildIncIndex(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text"), tmpRoot)
+    B.appendIncIndex(s, tmpRoot, docs.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+    B.appendIncIndex(s, tmpRoot, docs.filter(col("doc_id") % 3 === 2), "doc_id", "text")
+    val res = B.topKAgainstIncIndex(B.loadIncIndex(s, tmpRoot),
+      queries, "qid", "qtext", k = 5)
+    materializeAndCleanup(s, res, tmpRoot)
+  }
+
   /** The LINEAR fact variant ([[graft.jobs.BankJobs
     * .factDailyTransactionLinear]]): q27's business answer without the
     * reference's cust_id-only fan-out join — one row per
@@ -2863,7 +2891,8 @@ object Queries {
     "q154_hybrid_rrf" -> (q154HybridRrf _),
     "q155_bpe_accounting" -> (q155BpeAccounting _),
     "q156_hybrid_ann" -> (q156HybridAnn _),
-    "q157_fact_linear" -> (q157FactLinear _))
+    "q157_fact_linear" -> (q157FactLinear _),
+    "q158_inc_bm25" -> (q158IncBm25 _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -4838,6 +4867,10 @@ object Queries {
     // q150: stored-index serving must be indistinguishable from the
     // direct scoring path, so the oracle IS q96's replay.
     "q150_bm25_stored_index" -> bm25TopkSql,
+    // q158: incremental index maintenance must be score-invisible — the
+    // fully-appended index serves exactly what a full rebuild serves, so
+    // the oracle IS q96's replay (same device as q150).
+    "q158_inc_bm25" -> bm25TopkSql,
     // q151: three composed admission rounds over the portable
     // signature/band replay (q109's machinery). `pair` holds ALL
     // band-colliding ≥0.7 pairs as (id_x < id_y); in-batch rejection of d

@@ -86,6 +86,61 @@ class Bm25Spec extends SparkSpec {
       "Bm25 call left persisted frames behind")
   }
 
+  test("incremental index after appends serves EXACTLY the full rebuild") {
+    val all = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "durian durian banana durian"),
+      (4L, "cherry apple banana"),
+      (5L, "banana banana"),
+      (6L, "   "), // blank arrives in an APPEND: must not dilute stats
+      (7L, "cherry durian apple")).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple banana"), (101L, "cherry durian"))
+      .toDF("qid", "qtext")
+    val direct = Bm25.topK(all, "doc_id", "text", queries, "qid", "qtext", k = 4)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_inc").toString
+    try {
+      Bm25.saveIncIndex(
+        Bm25.buildIncIndex(all.filter($"doc_id" <= 2), "doc_id", "text"), tmp)
+      Bm25.appendIncIndex(spark, tmp,
+        all.filter($"doc_id" > 2 && $"doc_id" <= 5), "doc_id", "text")
+      Bm25.appendIncIndex(spark, tmp, all.filter($"doc_id" > 5), "doc_id", "text")
+      val served = Bm25.topKAgainstIncIndex(
+          Bm25.loadIncIndex(spark, tmp), queries, "qid", "qtext", k = 4)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(served == direct, s"served=$served direct=$direct")
+      // maintenance stats merged exactly: 6 non-blank docs, total dl
+      val idx = Bm25.loadIncIndex(spark, tmp)
+      assert(idx.nDocs == 6.0 && idx.totalDl == 3 + 2 + 4 + 3 + 2 + 3)
+      // an all-blank append is a no-op, not a corruption
+      Bm25.appendIncIndex(spark, tmp,
+        Seq((8L, "  ")).toDF("doc_id", "text"), "doc_id", "text")
+      assert(Bm25.loadIncIndex(spark, tmp).nDocs == 6.0)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  test("inc-index serving broadcasts the query side; appends leave no cache entries") {
+    spark.catalog.clearCache()
+    val docs = Seq((1L, "aa bb"), (2L, "bb cc"), (3L, "cc aa")).toDF("doc_id", "text")
+    val queries = Seq((9L, "aa cc")).toDF("qid", "qtext")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_inc2").toString
+    try {
+      Bm25.saveIncIndex(Bm25.buildIncIndex(docs.filter($"doc_id" === 1L), "doc_id", "text"), tmp)
+      (2L to 3L).foreach { i =>
+        Bm25.appendIncIndex(spark, tmp, docs.filter($"doc_id" === i), "doc_id", "text")
+      }
+      val served = Bm25.topKAgainstIncIndex(Bm25.loadIncIndex(spark, tmp),
+        queries, "qid", "qtext", k = 2)
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"query terms must broadcast onto the postings:\n$plan")
+      assert(served.collect().nonEmpty)
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "incremental index ops left persisted frames behind")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("top-k truncates per query at k with the heap node") {
     val docs = (1L to 20L).map(i => (i, "common t" + i)).toDF("doc_id", "text")
     val queries = Seq((1L, "common")).toDF("qid", "qtext")

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bpe,bpeseg,dsir,phrase,merge,ivf,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bm25del,bpe,bpeseg,dsir,phrase,merge,ivf,ivfappend,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
   */
 object ScaleRehearsal {
 
@@ -361,6 +361,112 @@ object ScaleRehearsal {
           appendWall < buildWall,
           f"rows=${agg.getLong(0)} self_top1=${agg.getLong(1)}/100 " +
             f"nDocs=${idx.nDocs}%.0f build=$buildWall%.1fs append=$appendWall%.1fs")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    })
+
+    if (enabled("bm25del")) scenario("bm25-inc-delete",
+        "tombstone delete is ids-sized; serving rebuild-equal on the reduced corpus", {
+      // the bm25-inc construction (1M docs, globally-unique words) with a
+      // 10k-doc takedown (doc_id % 100 = 7). Self-checking: live queries
+      // (% 20000 = 0, never ≡ 7 mod 100) must stay self-top1; queries
+      // excerpted from DELETED docs (% 20000 = 7, always ≡ 7 mod 100) must
+      // return ZERO rows (their unique terms leave the df table when their
+      // only doc dies). The scale contract: the delete touches one
+      // postings scan + the vocab-sized df table — never a rewrite — so
+      // its wall sits below the build's; compaction (the one deliberate
+      // rewrite) must not change serving.
+      def mkDocs(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(19)),
+            j => concat(lit("w"), col("id") * 20 + j))).as("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("rehearse_bm25del").toString
+      try {
+        val B = graft.curate.Bm25
+        val t0 = System.nanoTime()
+        B.saveIncIndex(B.buildIncIndex(mkDocs(0, 1000000), "doc_id", "text"), tmp)
+        val buildWall = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        B.deleteFromIncIndex(spark, tmp,
+          spark.range(0, 1000000).filter(col("id") % 100 === 7)
+            .select(col("id").as("doc_id")), "doc_id")
+        val delWall = (System.nanoTime() - t1) / 1e9
+        val idx = B.loadIncIndex(spark, tmp)
+        val queries = mkDocs(0, 1000000)
+          .filter(col("doc_id") % 20000 === 0 || col("doc_id") % 20000 === 7)
+          .select(col("doc_id").as("qid"),
+            concat_ws(" ", transform(sequence(lit(0), lit(4)),
+              j => concat(lit("w"), col("qid") * 20 + j))).as("qtext"))
+        def check(i: B.IncIndex) = {
+          val agg = B.topKAgainstIncIndex(i, queries, "qid", "qtext", k = 3)
+            .agg(count(lit(1)).as("rows"),
+              sum(when(col("rank") === 1 && col("qid") === col("doc_id"), 1L)
+                .otherwise(0L)).as("self_top1"),
+              sum(when(col("qid") % 100 === 7, 1L).otherwise(0L)).as("dead"))
+            .collect()(0)
+          (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+        }
+        val (rows, self1, dead) = check(idx)
+        val t2 = System.nanoTime()
+        B.compactIncIndex(spark, tmp)
+        val compactWall = (System.nanoTime() - t2) / 1e9
+        val after = B.loadIncIndex(spark, tmp)
+        val (rows2, self12, dead2) = check(after)
+        ((rows, self1, dead) == ((50L, 50L, 0L)) &&
+          (rows2, self12, dead2) == ((50L, 50L, 0L)) &&
+          idx.nDocs == 990000.0 && idx.totalDl == 20.0 * 990000 &&
+          after.tombstones.isEmpty && delWall < buildWall,
+          f"rows=$rows self_top1=$self1/50 deleted_hits=$dead " +
+            f"nDocs=${idx.nDocs}%.0f build=$buildWall%.1fs delete=$delWall%.1fs " +
+            f"compact=$compactWall%.1fs")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    })
+
+    if (enabled("ivfappend")) scenario("ivf-inc-append",
+        "stored-index append is batch-sized; PSI drift alarm on shifted batches", {
+      // 500k-vector stored index (the ivf-stored-index construction) + a
+      // 10k-vector append assigned against the RELOADED frozen model —
+      // batch-sized, so its wall must sit far below the base
+      // assign-and-write. Drift discipline: a same-distribution batch
+      // stays under the 0.25 re-fit alarm; a collapsed batch (every
+      // vector near one point, landing in one cell) must trip it.
+      import graft.ann.Ivf
+      val dim = 64
+      def mkVecs(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            c => ((col("id") * 1315423911L + c * 2654435761L) % 997).cast("double") / 997.0)
+            .as("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("rehearse_ivfapp").toString
+      try {
+        val base = mkVecs(0, 500000)
+        val model = Ivf.fit(base, "vec_id", "embedding", numCells = 707, iterations = 2)
+        Ivf.save(model, spark, s"$tmp/model")
+        val t0 = System.nanoTime()
+        Ivf.assign(base, "embedding", model)
+          .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cell"))
+          .write.mode("overwrite").parquet(s"$tmp/index")
+        val assignWall = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        Ivf.appendToIndex(spark, s"$tmp/index", s"$tmp/model",
+          mkVecs(500000, 510000), "vec_id", "embedding")
+        val appendWall = (System.nanoTime() - t1) / 1e9
+        val index = spark.read.parquet(s"$tmp/index")
+        val nIndexed = index.count()
+        val topkRows = Ivf.topKAgainstIndex(index,
+          mkVecs(500000, 510000).filter(col("vec_id") % 1000 === 0),
+          Ivf.load(spark, s"$tmp/model"), "vec_id", "embedding",
+          k = 10, nProbes = 3).count()
+        val sameDrift = Ivf.assignmentDrift(index,
+          Ivf.assign(mkVecs(510000, 520000), "embedding", model))
+        val collapsed = spark.range(0, 10000).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            c => lit(0.9) + (col("id") % 7).cast("double") / 10000.0).as("embedding"))
+        val shiftDrift = Ivf.assignmentDrift(index,
+          Ivf.assign(collapsed, "embedding", model))
+        (nIndexed == 510000 && topkRows == 10L * 10 &&
+          appendWall < assignWall && sameDrift < 0.25 && shiftDrift > 0.25,
+          f"indexed=$nIndexed topk_rows=$topkRows assign=$assignWall%.1fs " +
+            f"append=$appendWall%.1fs psi_same=$sameDrift%.3f psi_shift=$shiftDrift%.2f")
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     })
 

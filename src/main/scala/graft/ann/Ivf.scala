@@ -151,15 +151,64 @@ object Ivf {
   def topKAgainstIndex(index: DataFrame, queries: DataFrame, model: Model,
                        queryId: String, queryVec: String,
                        k: Int, nProbes: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"),
         explode(nearestCells(col(queryVec), model, nProbes)).as("cell"))
     val scored = index.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), S.cosine(col("qvec"), col("nvec")).as("cos"))
       .groupBy("qid", "nid").agg(max("cos").as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // heap top-k ([[graft.plan.TopKPerGroup]]), not a row_number window: a
+    // window would shuffle + SORT the full probed-candidate set per qid; the
+    // heap node bounds shuffle volume at partitions × queries × k. Ranking
+    // semantics identical (same order keys, same tie-break), pinned by
+    // IvfSpec's plan-shape test and the unchanged q34/q156 oracles.
+    graft.plan.TopKPerGroup(scored, Seq(col("qid")),
+      Seq(col("cos").desc, col("nid").asc), k, rankName = "rank")
+  }
+
+  /** Append a vector batch to a STORED index table against the STORED
+    * model — the maintainable-index op (the [[graft.curate.Bm25
+    * .appendIncIndex]] twin for the ANN tier): assignment is a pure
+    * function of (vector, frozen model), so appending batches assigned
+    * with the loaded model yields an index IDENTICAL to re-assigning the
+    * full corpus — the stored rows are never read, rewritten, or
+    * shuffled, and the append is O(batch). The model is deliberately NOT
+    * re-fit here: refresh it when [[assignmentDrift]] alarms. Batch ids
+    * must be disjoint from the stored index (same admission precondition
+    * as the dedup/BM25 index appends). */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String, modelPath: String,
+                    newRows: DataFrame, idCol: String, vecCol: String): Unit = {
+    val model = load(spark, modelPath)
+    assign(newRows.filter(col(vecCol).isNotNull), vecCol, model)
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("cell"))
+      .write.mode("append").parquet(indexPath)
+  }
+
+  /** Centroid-drift alarm for a frozen model: PSI between the stored
+    * index's cell-occupancy histogram and a new batch's — when fresh data
+    * lands in cells with very different mass than the corpus the model was
+    * fit on, the coarse quantizer no longer matches the distribution and a
+    * re-fit is due. Cell ids ARE the buckets (exact categories — no
+    * [[graft.stats.Drift]] magnitude bucketing, which would collapse
+    * adjacent cells), with the same add-half smoothing; each side
+    * aggregates once to ≤ numCells rows and the PSI forms on the driver.
+    * Conventional read: < 0.1 stable, > 0.25 ⇒ re-fit. */
+  def assignmentDrift(index: DataFrame, newAssigned: DataFrame): Double = {
+    val rows = index.groupBy("cell").agg(count(lit(1)).as("n_a"))
+      .join(newAssigned.groupBy("cell").agg(count(lit(1)).as("n_b")),
+        Seq("cell"), "full_outer")
+      .select(coalesce(col("n_a"), lit(0L)), coalesce(col("n_b"), lit(0L)))
+      .collect()
+    if (rows.isEmpty) return 0.0
+    val k = rows.length * 0.5
+    val ta = rows.map(_.getLong(0)).sum + k
+    val tb = rows.map(_.getLong(1)).sum + k
+    rows.map { r =>
+      val pa = (r.getLong(0) + 0.5) / ta
+      val pb = (r.getLong(1) + 0.5) / tb
+      (pa - pb) * math.log(pa / pb)
+    }.sum
   }
 
   /** Persist a fitted model as a tiny parquet table `(cell, centroid)` —

@@ -182,9 +182,26 @@ object Bm25 {
     * so `avgdl` is bit-identical to the rebuild's. Appended batches must
     * carry doc ids DISJOINT from the stored corpus (the same admission
     * precondition as the q109 dedup index); re-adding an id double-counts
-    * exactly as a real posting list would. */
+    * exactly as a real posting list would — pass
+    * `rejectDuplicateIds = true` to [[appendIncIndex]] to turn that
+    * silent corruption into an error.
+    *
+    * DELETION ([[deleteFromIncIndex]]) is the lifecycle's other half —
+    * takedowns and post-hoc dedup rejections under a format whose whole
+    * point is never rewriting postings: removed doc ids land in a
+    * doc-count-bounded `tombstones` table consulted at SERVE time (an
+    * anti-join on the candidate-sized frame after the query-term join —
+    * the postings themselves are never read for a delete beyond the one
+    * scan that computes the decrements), df/nDocs/totalDl decrement from
+    * the tombstoned docs' own postings rows (integer decrements — serving
+    * stays EXACTLY rebuild-equal on the reduced corpus, the q159 gate),
+    * and [[compactIncIndex]] eventually folds tombstones back into
+    * storage. Consistency model: (postings, tombstones) is the source of
+    * truth; dfs/stats are DERIVED and [[repairIncIndex]] recomputes them
+    * after any crash mid-maintenance. */
   final case class IncIndex(postings: DataFrame, dfs: DataFrame,
-                            nDocs: Double, totalDl: Double) {
+                            nDocs: Double, totalDl: Double,
+                            tombstones: Option[DataFrame] = None) {
     def avgdl: Double = if (nDocs == 0) 1.0 else totalDl / nDocs
   }
 
@@ -231,7 +248,14 @@ object Bm25 {
       .select(col("n_docs").cast("double"), col("total_dl").cast("double"))
       .collect()(0)
     IncIndex(spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/dfs"), st.getDouble(0), st.getDouble(1))
+      spark.read.parquet(s"$path/dfs"), st.getDouble(0), st.getDouble(1),
+      tombstonesOpt(spark, path))
+  }
+
+  private def tombstonesOpt(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
   /** Append a document batch to a stored incremental index —
@@ -241,12 +265,26 @@ object Bm25 {
     * op; concurrent readers mid-append can see the new postings before
     * the new stats — version the index directory with
     * [[graft.sources.Snapshots]] when serving must be isolated from
-    * maintenance. Batch doc ids must be disjoint from the stored corpus
-    * (see [[IncIndex]]). */
+    * maintenance. Crash recovery: postings (the source of truth) commit
+    * FIRST, so a crash that leaves dfs/stats stale or mid-swap repairs
+    * with [[repairIncIndex]]. Batch doc ids must be disjoint from the
+    * stored corpus (see [[IncIndex]]); `rejectDuplicateIds` enforces that
+    * precondition with one broadcast probe of the stored postings
+    * (batch-id-sized build side, no shuffle) instead of trusting it. */
   def appendIncIndex(spark: SparkSession, path: String, newDocs: DataFrame,
-                     docId: String, docText: String): Unit = {
+                     docId: String, docText: String,
+                     rejectDuplicateIds: Boolean = false): Unit = {
     val delta = buildIncIndex(newDocs, docId, docText)
     if (delta.nDocs == 0.0) return
+    if (rejectDuplicateIds) {
+      val dup = spark.read.parquet(s"$path/postings")
+        .join(broadcast(delta.postings.select("doc_id").distinct()),
+          Seq("doc_id"), "left_semi")
+        .select("doc_id").limit(1).collect()
+      require(dup.isEmpty, s"appendIncIndex: batch re-adds doc id " +
+        s"${dup.head.get(0)} already present in $path/postings — a re-add " +
+        "double-counts df/tf (compact + delete first, or fix the batch)")
+    }
     val old = loadIncIndex(spark, path)
     delta.postings.write.mode("append").parquet(s"$path/postings")
     // merged df is materialized by the tmp write BEFORE the old dir is
@@ -259,22 +297,117 @@ object Bm25 {
       .toDF("n_docs", "total_dl").coalesce(1), path, "stats")
   }
 
+  /** Remove documents from a stored incremental index WITHOUT rewriting
+    * postings — O(ids + one postings scan + vocabulary): the ids actually
+    * present land in the `tombstones` table (consulted at serve time as a
+    * candidate-sized anti-join), and df/nDocs/totalDl decrement from the
+    * removed docs' own postings rows, so serving is EXACTLY a rebuild
+    * over the reduced corpus (integer decrements — the q159 gate).
+    * Already-tombstoned and absent ids are no-ops (idempotent; no
+    * double-decrement). Tombstones commit FIRST: a crash before the
+    * dfs/stats swaps leaves (postings, tombstones) — the source of truth
+    * — already final, and [[repairIncIndex]] rebuilds the rest.
+    * Single-writer, like [[appendIncIndex]]. */
+  def deleteFromIncIndex(spark: SparkSession, path: String, ids: DataFrame,
+                         idCol: String): Unit = {
+    val old = loadIncIndex(spark, path)
+    val req = old.tombstones.foldLeft(
+      ids.select(col(idCol).as("doc_id")).distinct())(
+      (r, ts) => r.join(ts, Seq("doc_id"), "left_anti"))
+    // the one postings scan: rows of the docs being removed (ids broadcast)
+    val removed = old.postings.join(broadcast(req), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val st = removed.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).cast("double"), sum(col("dl"))).collect()(0)
+      if (!st.isNullAt(1)) { // at least one requested doc is present
+        removed.select("doc_id").distinct()
+          .write.mode("append").parquet(s"$path/tombstones")
+        val dec = removed.groupBy("term")
+          .agg(count(lit(1)).cast("double").as("__dec"))
+        // vocab-sized merge; terms whose last doc died leave the table
+        swapWrite(old.dfs.join(dec, Seq("term"), "left")
+          .select(col("term"),
+            (col("df") - coalesce(col("__dec"), lit(0.0))).as("df"))
+          .filter(col("df") > 0), path, "dfs")
+        import spark.implicits._
+        swapWrite(Seq((old.nDocs - st.getDouble(0), old.totalDl - st.getDouble(1)))
+          .toDF("n_docs", "total_dl").coalesce(1), path, "stats")
+      }
+    } finally removed.unpersist()
+  }
+
+  /** Recompute the DERIVED tables (dfs, stats) from the source of truth
+    * (postings minus tombstones) — ONE aggregation pass; the repair path
+    * after a crash mid-[[appendIncIndex]]/[[deleteFromIncIndex]] left
+    * them stale or mid-swap (missing). Reads postings directly (not
+    * [[loadIncIndex]], which needs the very tables being repaired). */
+  def repairIncIndex(spark: SparkSession, path: String): Unit = {
+    val postings = spark.read.parquet(s"$path/postings")
+    val live = tombstonesOpt(spark, path)
+      .foldLeft(postings)((p, ts) => p.join(ts, Seq("doc_id"), "left_anti"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val st = live.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).cast("double"), sum(col("dl"))).collect()(0)
+      swapWrite(live.groupBy("term")
+        .agg(count(lit(1)).cast("double").as("df")), path, "dfs")
+      import spark.implicits._
+      swapWrite(Seq((
+          if (st.isNullAt(1)) (0.0, 0.0)
+          else (st.getDouble(0), st.getDouble(1))))
+        .toDF("n_docs", "total_dl").coalesce(1), path, "stats")
+    } finally live.unpersist()
+  }
+
+  /** Fold tombstones back into storage: the ONE deliberate postings
+    * rewrite, run at the operator's chosen cadence (when the tombstone
+    * fraction makes the serve-time anti-join or the dead-row scan cost
+    * noticeable). dfs/stats are already decrement-correct, so only
+    * postings rewrite and the tombstone table clears. Idempotent and
+    * crash-ordered: postings swap first — a crash before the tombstone
+    * delete leaves the anti-join filtering already-absent ids, a no-op. */
+  def compactIncIndex(spark: SparkSession, path: String): Unit =
+    tombstonesOpt(spark, path).foreach { ts =>
+      swapWrite(spark.read.parquet(s"$path/postings")
+        .join(ts, Seq("doc_id"), "left_anti"), path, "postings")
+      val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+
+  /** Replace `root/name` with `df`'s rows. The tmp write MATERIALIZES the
+    * plan before the destination moves (so a df reading `root/name` can
+    * rewrite it), then two metadata-only renames swap the directories —
+    * no recursive delete sits between them, so the no-dst window is two
+    * rename syscalls wide (a true atomic directory swap does not exist on
+    * generic Hadoop filesystems; FileContext's Rename.OVERWRITE only
+    * replaces files/empty dirs). A crash in that window, or between the
+    * caller's swaps, is recoverable: dfs/stats are derived state —
+    * [[repairIncIndex]] rebuilds them from postings ∖ tombstones. */
   private def swapWrite(df: DataFrame, root: String, name: String): Unit = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(s"$root/$name")
     val tmp = new org.apache.hadoop.fs.Path(s"$root/.tmp_$name")
+    val old = new org.apache.hadoop.fs.Path(s"$root/.old_$name")
     val fs = dst.getFileSystem(conf)
     df.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(dst, true)
+    fs.delete(old, true) // leftover from a previous crash
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new java.io.IOException(s"failed to stage out $dst")
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"failed to swap $dst")
+    fs.delete(old, true)
   }
 
   /** [[scoresAgainstIndex]] for the maintainable format: df joins onto
     * the query-term side (small), which then broadcasts onto the
     * postings — same serving plan shape, stored postings never shuffle.
-    * Identical doubles to the folded path on the same corpus (same
-    * inputs, same expression tree), so quantized rankings agree. */
+    * Tombstoned docs drop via an anti-join on the CANDIDATE-sized frame
+    * (after the query-term join — the full postings never pay for
+    * deletes), and since df/nDocs/avgdl were decremented at delete time,
+    * the surviving scores are identical doubles to a rebuild over the
+    * reduced corpus (same inputs, same expression tree), so quantized
+    * rankings agree — the q159 gate. */
   def scoresAgainstIncIndex(index: IncIndex, queries: DataFrame,
                             queryId: String, queryText: String,
                             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -286,8 +419,9 @@ object Bm25 {
       (lit(index.nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val termScore = idf * col("tf") * lit(k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(index.avgdl)))
-    index.postings
-      .join(broadcast(qterms), Seq("term"))
+    val cand = index.postings.join(broadcast(qterms), Seq("term"))
+    index.tombstones.foldLeft(cand)(
+        (c, ts) => c.join(ts, Seq("doc_id"), "left_anti"))
       .select(col("qid"), col("doc_id"), termScore.as("__s"))
       .groupBy("qid", "doc_id")
       .agg(sum(col("__s")).as("score"))

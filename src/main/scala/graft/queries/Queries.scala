@@ -2119,9 +2119,16 @@ object Queries {
 
   /** q96's full BM25 SQL replay, shared verbatim with q131 (which
     * nests it as a subquery and computes metrics on top). */
-  private val bm25TopkSql: String =
-    """WITH corpus AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks
-      |  FROM documents WHERE length(trim(text)) > 0),
+  /** Generator for q96's DuckDB BM25 replay, parameterized on an extra
+    * corpus predicate ANDed into the corpus CTE — which also narrows the
+    * query CTE, drawn from the same corpus. `bm25TopkReplay("")` IS the
+    * q96/q150/q158 oracle byte-for-byte; q159 passes the post-delete
+    * predicate so the replay rebuilds the scores on the REDUCED corpus
+    * (df, N, avgdl all reduced), which tombstone-decremented serving
+    * must match exactly. */
+  private def bm25TopkReplay(corpusAnd: String): String =
+    raw"""WITH corpus AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0$corpusAnd),
       |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM corpus),
       |post AS (SELECT doc_id, unnest(toks) AS term FROM corpus),
       |tfs AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
@@ -2144,6 +2151,8 @@ object Queries {
       |  FROM sc)
       |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
       |FROM rk WHERE rank <= 5""".stripMargin
+
+  private val bm25TopkSql: String = bm25TopkReplay("")
 
   /** q129's oracle: the greedy MMR chain unrolled — candidate pool by
     * (rel4 desc, id), then k−1 argmax steps over the integer objective
@@ -2649,6 +2658,7 @@ object Queries {
     val qvecs = emb.join(queries.select(col("qid")), col("vec_id") === col("qid"))
       .select(col("qid"), col("embedding").as("qvec"))
     val tmpRoot = java.nio.file.Files.createTempDirectory("q156_ivf")
+      .toFile.getAbsolutePath
     val model = Ivf.fit(emb, "vec_id", "embedding", numCells = 16, iterations = 2)
     Ivf.save(model, s, s"$tmpRoot/model")
     Ivf.assign(emb, "embedding", model)
@@ -2658,8 +2668,11 @@ object Queries {
         s.read.parquet(s"$tmpRoot/index"), qvecs, Ivf.load(s, s"$tmpRoot/model"),
         "qid", "qvec", k = 5, nProbes = 4)
       .select(col("qid"), col("nid").as("doc_id"), col("rank"))
-    graft.curate.Hybrid.rrfFuse(Seq(sparse, dense), "qid", "doc_id", "rank",
-      maxRank = 5, topK = 5)
+    // queries × k rows — collect, delete the temp index, return local
+    // (the q150/q158 hygiene; VERDICT r8 #1)
+    materializeAndCleanup(s,
+      graft.curate.Hybrid.rrfFuse(Seq(sparse, dense), "qid", "doc_id", "rank",
+        maxRank = 5, topK = 5), tmpRoot)
   }
 
   /** Incremental BM25 index maintenance ([[graft.curate.Bm25
@@ -2687,6 +2700,90 @@ object Queries {
     B.appendIncIndex(s, tmpRoot, docs.filter(col("doc_id") % 3 === 2), "doc_id", "text")
     val res = B.topKAgainstIncIndex(B.loadIncIndex(s, tmpRoot),
       queries, "qid", "qtext", k = 5)
+    materializeAndCleanup(s, res, tmpRoot)
+  }
+
+  /** Incremental-index DELETION ([[graft.curate.Bm25
+    * .deleteFromIncIndex]]) — the lifecycle op q158 left open (VERDICT r8
+    * #1): the index is built over the FULL corpus, then every
+    * `doc_id % 17 = 5` doc is removed by tombstone (stored postings never
+    * rewritten; df/nDocs/totalDl decremented from the removed docs' own
+    * postings rows — integer decrements, exact). Serving anti-joins the
+    * tombstones on the candidate-sized frame, so the top-k must be
+    * IDENTICAL to a full rebuild over the reduced corpus: the oracle is
+    * q96's replay re-generated with the same predicate folded into its
+    * corpus CTE. Quantized-score margins for the reduced corpus probed by
+    * tools/probe_bm25_delete.py at both scales. */
+  def q159IncBm25Delete(s: SparkSession, dir: String): DataFrame = {
+    val B = graft.curate.Bm25
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q159_bm25")
+      .toFile.getAbsolutePath
+    val docs = tbl(s, dir, "documents")
+    val queries = docs
+      .filter(col("doc_id") % 125 === 3 && col("doc_id") % 17 =!= 5 &&
+        size(T.tokens(col("text"))) > 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(T.tokens(col("text")), 1, 5)).as("qtext"))
+    B.saveIncIndex(B.buildIncIndex(docs, "doc_id", "text"), tmpRoot)
+    B.deleteFromIncIndex(s, tmpRoot,
+      docs.filter(col("doc_id") % 17 === 5).select("doc_id"), "doc_id")
+    val res = B.topKAgainstIncIndex(B.loadIncIndex(s, tmpRoot),
+      queries, "qid", "qtext", k = 5)
+    materializeAndCleanup(s, res, tmpRoot)
+  }
+
+  /** IVF stored-index APPEND lifecycle ([[graft.ann.Ivf.appendToIndex]],
+    * the q158 twin for the ANN tier — VERDICT r8 #6): the model is fit
+    * once and FROZEN; the index table is written from the base slice
+    * (vec_id % 3 ≠ 2) and the remaining slice arrives as an append
+    * assigned against the RELOADED model — O(batch), stored rows never
+    * read. Because assignment is a pure function of (vector, frozen
+    * model), serving over the appended index must be IDENTICAL to a
+    * full-corpus assignment: the oracle is q156's dense replay chain
+    * verbatim (shared generator), rank-projected. Same query set and
+    * probe count as q156, so tools/probe_hybrid_ann.py's rank-boundary
+    * margins cover this gate too. */
+  def q160IvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val emb = tbl(s, dir, "embeddings")
+    val qids = docs
+      .filter(col("doc_id") % 125 === 3 && size(T.tokens(col("text"))) > 0)
+      .select(col("doc_id").as("qid"))
+    val qvecs = emb.join(qids, col("vec_id") === col("qid"))
+      .select(col("qid"), col("embedding").as("qvec"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q160_ivf")
+      .toFile.getAbsolutePath
+    val model = Ivf.fit(emb, "vec_id", "embedding", numCells = 16, iterations = 2)
+    Ivf.save(model, s, s"$tmpRoot/model")
+    Ivf.assign(emb.filter(col("vec_id") % 3 =!= 2), "embedding", model)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cell"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/index")
+    Ivf.appendToIndex(s, s"$tmpRoot/index", s"$tmpRoot/model",
+      emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding")
+    val res = Ivf.topKAgainstIndex(
+        s.read.parquet(s"$tmpRoot/index"), qvecs, Ivf.load(s, s"$tmpRoot/model"),
+        "qid", "qvec", k = 5, nProbes = 4)
+      .select(col("qid"), col("rank"), col("nid").as("doc_id"))
+    materializeAndCleanup(s, res, tmpRoot)
+  }
+
+  /** Stored-tokenizer serving ([[graft.curate.Bpe.saveMerges]] /
+    * [[graft.curate.Bpe.loadMerges]] — VERDICT r8 #7): learn q152's 8
+    * merges, persist the merge table, RELOAD it, and run q155's token
+    * accounting from the loaded artifact. Merges are (rank, string,
+    * string) rows — parquet round-trips them exactly and load restores
+    * rank order — so the output must be identical to the in-memory path:
+    * the oracle IS q155's (shared val). */
+  def q161BpeStoredTokenizer(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val wc = graft.curate.Bpe.wordCounts(docs, "text").localCheckpoint(true)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q161_bpe")
+      .toFile.getAbsolutePath
+    graft.curate.Bpe.saveMerges(
+      graft.curate.Bpe.learnMergesFromCounts(wc, 8), tmpRoot)
+    val merges = graft.curate.Bpe.loadMerges(s, tmpRoot)
+    val res = graft.curate.Bpe.tokenAccounting(
+      docs, "source", "text", merges, Some(wc))
     materializeAndCleanup(s, res, tmpRoot)
   }
 
@@ -2892,7 +2989,10 @@ object Queries {
     "q155_bpe_accounting" -> (q155BpeAccounting _),
     "q156_hybrid_ann" -> (q156HybridAnn _),
     "q157_fact_linear" -> (q157FactLinear _),
-    "q158_inc_bm25" -> (q158IncBm25 _))
+    "q158_inc_bm25" -> (q158IncBm25 _),
+    "q159_inc_bm25_delete" -> (q159IncBm25Delete _),
+    "q160_ivf_append" -> (q160IvfAppend _),
+    "q161_bpe_stored_tokenizer" -> (q161BpeStoredTokenizer _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -2963,6 +3063,47 @@ object Queries {
     }
     (sb.toString, prev)
   }
+
+  /** q156's ANN dense-retrieval replay chain — KMeans fit → full-corpus
+    * assignment (`af`) → 4-probe query cells (`pr`, restricted to the
+    * hybrid query set) → probed candidates → cosine ranks — ending in a
+    * CTE `dn` = (qid, doc_id, rank). Shared VERBATIM by q156 (which fuses
+    * `dn` with BM25) and q160 (whose stored-index append lifecycle must
+    * serve exactly this dense list), so the two oracles cannot drift;
+    * tools/probe_hybrid_ann.py's margins cover both. */
+  private lazy val ivfDenseCtes: String = {
+    val (ctes, fin) = ivfReplayCtes(16, 2)
+    s"""$ctes,
+      |af AS (SELECT vec_id, cell FROM (
+      |  ${ivfRanked(fin)}) WHERE rn = 1),
+      |pr AS (SELECT vec_id, cell FROM (
+      |  ${ivfRanked(fin,
+           """WHERE qv.vec_id IN (SELECT doc_id FROM documents
+             |    WHERE doc_id % 125 = 3 AND length(trim(text)) > 0)""".stripMargin)}) WHERE rn <= 4),
+      |cand AS (SELECT DISTINCT pr.vec_id AS qid, af.vec_id AS nid
+      | FROM pr JOIN af USING (cell) WHERE af.vec_id <> pr.vec_id),
+      |dnscored AS (SELECT qid, nid, list_cosine_similarity(a.v, b.v) AS cos
+      | FROM cand JOIN e a ON a.vec_id = cand.qid JOIN e b ON b.vec_id = cand.nid),
+      |dn AS (SELECT qid, nid AS doc_id,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+      | FROM dnscored)""".stripMargin
+  }
+
+  /** q155's oracle — q152's learned vocabulary projected to per-word
+    * symbol counts and joined back onto word instances per source (see
+    * the q155 scaladoc). Shared with q161: serving token accounting from
+    * a RELOADED merge artifact must be output-identical to the in-memory
+    * path, so the stored-tokenizer gate replays the SAME SQL. */
+  private lazy val bpeAccountingSql: String =
+    s"""WITH ${bpeCtes(8)},
+      |len8 AS (SELECT word, len(string_split(substr(repr, 2, length(repr)-2),
+      |    chr(29)||chr(29))) AS n FROM r8),
+      |ws AS (SELECT source, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\\s+') END) AS word
+      |  FROM documents)
+      |SELECT source, CAST(sum(l.n) AS BIGINT) AS bpe_tokens,
+      |  CAST(count(*) AS BIGINT) AS words
+      |FROM ws JOIN len8 l USING (word) GROUP BY source""".stripMargin
 
   /** Shared DuckDB CTE fragment: per-`key` portable MinHash signatures of
     * the documents table (word 3-shingles, k=64, md5-60 base hash mod
@@ -4871,6 +5012,22 @@ object Queries {
     // fully-appended index serves exactly what a full rebuild serves, so
     // the oracle IS q96's replay (same device as q150).
     "q158_inc_bm25" -> bm25TopkSql,
+    // q159: tombstone deletion must serve EXACTLY a rebuild over the
+    // reduced corpus — the oracle is q96's replay re-generated with the
+    // post-delete predicate folded into the corpus CTE (df/N/avgdl all
+    // reduced; the query set, drawn from the corpus CTE, shrinks with
+    // it). Quantized-score margins for the REDUCED corpus probed by
+    // tools/probe_bm25_delete.py at both scales.
+    "q159_inc_bm25_delete" -> bm25TopkReplay(" AND doc_id % 17 <> 5"),
+    // q160: the IVF stored-index append lifecycle — assignment is a pure
+    // function of (vector, frozen model), so base-assign + append-assign
+    // must serve exactly the full-corpus dense list: the oracle is
+    // q156's dense chain verbatim (shared ivfDenseCtes — margins are
+    // probe_hybrid_ann.py's), projected at rank ≤ 5.
+    "q160_ivf_append" ->
+      s"""WITH $ivfDenseCtes
+        |SELECT qid, CAST(rank AS INT) AS rank, doc_id
+        |FROM dn WHERE rank <= 5""".stripMargin,
     // q151: three composed admission rounds over the portable
     // signature/band replay (q109's machinery). `pair` holds ALL
     // band-colliding ≥0.7 pairs as (id_x < id_y); in-batch rejection of d
@@ -4988,16 +5145,14 @@ object Queries {
     // INSTANCES per source — integer sums, no epsilon. The inner join
     // drops chr(29)-containing words on both sides (the module
     // precondition, explicit in the Spark filter).
-    "q155_bpe_accounting" ->
-      s"""WITH ${bpeCtes(8)},
-        |len8 AS (SELECT word, len(string_split(substr(repr, 2, length(repr)-2),
-        |    chr(29)||chr(29))) AS n FROM r8),
-        |ws AS (SELECT source, unnest(CASE WHEN length(trim(text)) = 0 THEN []
-        |    ELSE regexp_split_to_array(trim(text), '\\s+') END) AS word
-        |  FROM documents)
-        |SELECT source, CAST(sum(l.n) AS BIGINT) AS bpe_tokens,
-        |  CAST(count(*) AS BIGINT) AS words
-        |FROM ws JOIN len8 l USING (word) GROUP BY source""".stripMargin,
+    "q155_bpe_accounting" -> bpeAccountingSql,
+    // q161: the stored-tokenizer serving path (learn → saveMerges →
+    // loadMerges → tokenAccounting) must be output-identical to q155's
+    // in-memory path — merges are (rank, string, string) rows that
+    // round-trip parquet exactly and rank order is restored on load, so
+    // the oracle IS q155's (the q150/q158 save-load-is-invisible device
+    // applied to the tokenizer artifact).
+    "q161_bpe_stored_tokenizer" -> bpeAccountingSql,
     // q152: every BPE iteration unrolled — pair-count argmax with
     // (cnt DESC, lhs, rhs) tie-break, then a literal string replace on
     // the chr(29)-wrapped symbol vocabulary (replace matches can only
@@ -5015,21 +5170,7 @@ object Queries {
     // by tools/probe_hybrid_ann.py at both scales.
     "q156_hybrid_ann" -> {
       val l = graft.curate.Hybrid.lcmUnits(60, 5)
-      val (ctes, fin) = ivfReplayCtes(16, 2)
-      s"""WITH $ctes,
-        |af AS (SELECT vec_id, cell FROM (
-        |  ${ivfRanked(fin)}) WHERE rn = 1),
-        |pr AS (SELECT vec_id, cell FROM (
-        |  ${ivfRanked(fin,
-             """WHERE qv.vec_id IN (SELECT doc_id FROM documents
-               |    WHERE doc_id % 125 = 3 AND length(trim(text)) > 0)""".stripMargin)}) WHERE rn <= 4),
-        |cand AS (SELECT DISTINCT pr.vec_id AS qid, af.vec_id AS nid
-        | FROM pr JOIN af USING (cell) WHERE af.vec_id <> pr.vec_id),
-        |dnscored AS (SELECT qid, nid, list_cosine_similarity(a.v, b.v) AS cos
-        | FROM cand JOIN e a ON a.vec_id = cand.qid JOIN e b ON b.vec_id = cand.nid),
-        |dn AS (SELECT qid, nid AS doc_id,
-        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
-        | FROM dnscored),
+      s"""WITH $ivfDenseCtes,
         |sp AS (
         |$bm25TopkSql
         |),

@@ -58,6 +58,7 @@ class GraftCatalog(spark: SparkSession) {
   def saveTable(db: String, table: String, df: DataFrame,
                 mode: SaveMode = SaveMode.Overwrite,
                 partitionKeys: Seq[String] = Nil): Unit = {
+    validateLayoutCols(partitionKeys)
     createDatabase(db)
     clearOrphanedLocation(db, table, mode)
     val w = df.write.mode(mode)
@@ -80,6 +81,7 @@ class GraftCatalog(spark: SparkSession) {
                    sortCols: Seq[String] = Nil,
                    mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
+    validateLayoutCols(bucketCol +: sortCols)
     createDatabase(db)
     clearOrphanedLocation(db, table, mode)
     val w = df.write.mode(mode).bucketBy(numBuckets, bucketCol)
@@ -98,6 +100,19 @@ class GraftCatalog(spark: SparkSession) {
     * back to a fully-functional table, bucket layout included. The write
     * goes through the Hadoop FileSystem (tmp + atomic rename, the
     * Snapshots pointer protocol) so it works on object stores too. */
+  /** `_GRAFT_META` is a line-oriented `k=v` sidecar with comma-joined
+    * column lists; a layout column name containing a delimiter would
+    * round-trip SILENTLY wrong through [[crawl]] (the restored table gets
+    * a corrupted bucket/partition spec) — reject it at write time
+    * instead. */
+  private def validateLayoutCols(cols: Seq[String]): Unit =
+    cols.foreach { c =>
+      require(!c.exists(ch => ch == ',' || ch == '=' || ch == '\n' || ch == '\r'),
+        s"layout column name '$c' contains a _GRAFT_META delimiter " +
+          "(',', '=' or a newline) — rename the column to use it as a " +
+          "catalog partition/bucket/sort key")
+    }
+
   private def writeMeta(db: String, table: String, kv: Map[String, String]): Unit = {
     // the table's ACTUAL resolved location (an Overwrite onto an existing
     // external table keeps its location — defaultTablePath would miss it)

@@ -70,4 +70,60 @@ class IvfSpec extends SparkSpec {
       .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
     assert(fromStored == direct)
   }
+
+  test("serving ranks through the heap node, never a window sort") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_plan").toString
+    try {
+      val m = Ivf.fit(e, "vec_id", "embedding", numCells = 8, iterations = 1)
+      Ivf.assign(e, "embedding", m)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cell"))
+        .write.mode("overwrite").parquet(s"$dir/index")
+      val served = Ivf.topKAgainstIndex(spark.read.parquet(s"$dir/index"),
+        e.filter(col("vec_id") % 100 === 0), m, "vec_id", "embedding", 5, nProbes = 4)
+      val plan = served.queryExecution.executedPlan.toString
+      // a row_number window would shuffle + SORT the full probed-candidate
+      // set per qid; the heap node bounds it (VERDICT r8 #2)
+      assert(plan.contains("TopKPerGroup"), s"heap node missing:\n$plan")
+      assert(!plan.contains("Window"), s"window rank leaked back in:\n$plan")
+      assert(served.count() > 0)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("appendToIndex against the frozen stored model equals full-corpus assignment") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    try {
+      val m = Ivf.fit(e, "vec_id", "embedding", numCells = 8, iterations = 2)
+      Ivf.save(m, spark, s"$dir/model")
+      Ivf.assign(e.filter(col("vec_id") % 3 =!= 2), "embedding", m)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cell"))
+        .write.mode("overwrite").parquet(s"$dir/index")
+      Ivf.appendToIndex(spark, s"$dir/index", s"$dir/model",
+        e.filter(col("vec_id") % 3 === 2), "vec_id", "embedding")
+      val appended = spark.read.parquet(s"$dir/index")
+        .select("nid", "cell").as[(Long, Int)].collect().toSet
+      val full = Ivf.assign(e, "embedding", m)
+        .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toSet
+      assert(appended == full)
+      // and the serving path over the appended index ≡ the one-shot path
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val served = Ivf.topKAgainstIndex(spark.read.parquet(s"$dir/index"),
+          q, Ivf.load(spark, s"$dir/model"), "vec_id", "embedding", 5, nProbes = 4)
+        .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+      val direct = Ivf.topK(e, q, m, "vec_id", "embedding", "vec_id", "embedding",
+          5, nProbes = 4)
+        .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+      assert(served == direct)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("assignmentDrift: stable distribution ~0, shifted distribution alarms") {
+    val idx = Seq(0, 0, 0, 1).toDF("cell")
+    assert(math.abs(Ivf.assignmentDrift(idx, idx)) < 1e-12)
+    val shifted = Seq(1, 1, 1, 1).toDF("cell")
+    val psi = Ivf.assignmentDrift(idx, shifted)
+    assert(psi > 0.25, s"expected re-fit alarm, psi=$psi") // > action threshold
+    // a mild rebalance stays under the alarm
+    val mild = Seq(0, 0, 1, 1).toDF("cell")
+    assert(Ivf.assignmentDrift(idx, mild) < 0.25)
+  }
 }

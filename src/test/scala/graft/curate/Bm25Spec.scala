@@ -141,6 +141,115 @@ class Bm25Spec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
+  test("tombstone deletion serves EXACTLY the rebuild on the reduced corpus") {
+    val all = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "durian durian banana durian"),
+      (4L, "cherry apple banana"),
+      (5L, "banana banana"),
+      (6L, "cherry durian apple")).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple banana"), (101L, "cherry durian"))
+      .toDF("qid", "qtext")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_del").toString
+    try {
+      Bm25.saveIncIndex(Bm25.buildIncIndex(all, "doc_id", "text"), tmp)
+      Bm25.deleteFromIncIndex(spark, tmp,
+        Seq(2L, 5L, 99L).toDF("doc_id"), "doc_id") // 99 absent: no-op
+      val served = Bm25.topKAgainstIncIndex(Bm25.loadIncIndex(spark, tmp),
+          queries, "qid", "qtext", k = 4)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val rebuilt = Bm25.topK(all.filter(!$"doc_id".isin(2L, 5L)),
+          "doc_id", "text", queries, "qid", "qtext", k = 4)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(served == rebuilt, s"served=$served rebuilt=$rebuilt")
+      // the format's contract: postings were never rewritten
+      assert(spark.read.parquet(s"$tmp/postings")
+        .select("doc_id").distinct().count() == 6)
+      val idx = Bm25.loadIncIndex(spark, tmp)
+      assert(idx.nDocs == 4.0 && idx.totalDl == 3 + 4 + 3 + 3)
+      assert(idx.tombstones.get.as[Long].collect().toSet == Set(2L, 5L))
+      // idempotent: re-deleting tombstoned ids must not double-decrement
+      Bm25.deleteFromIncIndex(spark, tmp, Seq(2L, 5L).toDF("doc_id"), "doc_id")
+      assert(Bm25.loadIncIndex(spark, tmp).nDocs == 4.0)
+      // compaction: the one deliberate rewrite — serving unchanged after
+      Bm25.compactIncIndex(spark, tmp)
+      assert(Bm25.loadIncIndex(spark, tmp).tombstones.isEmpty)
+      assert(spark.read.parquet(s"$tmp/postings")
+        .select("doc_id").distinct().count() == 4)
+      val afterCompact = Bm25.topKAgainstIncIndex(Bm25.loadIncIndex(spark, tmp),
+          queries, "qid", "qtext", k = 4)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(afterCompact == rebuilt)
+      // compaction with no tombstones is a no-op
+      Bm25.compactIncIndex(spark, tmp)
+      assert(Bm25.loadIncIndex(spark, tmp).nDocs == 4.0)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  test("repairIncIndex recovers rebuild-equal serving from a mid-append crash") {
+    val all = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "durian durian banana durian"),
+      (4L, "cherry apple banana")).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple banana"), (101L, "cherry durian"))
+      .toDF("qid", "qtext")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_crash").toString
+    try {
+      Bm25.saveIncIndex(
+        Bm25.buildIncIndex(all.filter($"doc_id" <= 2), "doc_id", "text"), tmp)
+      // simulated crash between appendIncIndex's postings commit and the
+      // dfs/stats swaps: batch postings land, derived tables stay stale
+      Bm25.buildIncIndex(all.filter($"doc_id" > 2), "doc_id", "text")
+        .postings.write.mode("append").parquet(s"$tmp/postings")
+      // a swap crash can also leave dfs mid-rename (missing entirely)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$tmp/dfs"))
+      Bm25.repairIncIndex(spark, tmp)
+      val served = Bm25.topKAgainstIncIndex(Bm25.loadIncIndex(spark, tmp),
+          queries, "qid", "qtext", k = 4)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val rebuilt = Bm25.topK(all, "doc_id", "text", queries, "qid", "qtext", k = 4)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(served == rebuilt, s"served=$served rebuilt=$rebuilt")
+      // repair respects tombstones: delete, crash the derived state again,
+      // repair → rebuild-equal on the REDUCED corpus
+      Bm25.deleteFromIncIndex(spark, tmp, Seq(3L).toDF("doc_id"), "doc_id")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$tmp/stats"))
+      Bm25.repairIncIndex(spark, tmp)
+      val served2 = Bm25.topKAgainstIncIndex(Bm25.loadIncIndex(spark, tmp),
+          queries, "qid", "qtext", k = 4)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val rebuilt2 = Bm25.topK(all.filter($"doc_id" =!= 3L),
+          "doc_id", "text", queries, "qid", "qtext", k = 4)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(served2 == rebuilt2, s"served=$served2 rebuilt=$rebuilt2")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  test("guarded append rejects a batch that re-adds an indexed doc id") {
+    val docs = Seq((1L, "aa bb"), (2L, "bb cc"), (3L, "cc dd"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_guard").toString
+    try {
+      Bm25.saveIncIndex(
+        Bm25.buildIncIndex(docs.filter($"doc_id" <= 2), "doc_id", "text"), tmp)
+      val e = intercept[IllegalArgumentException] {
+        Bm25.appendIncIndex(spark, tmp, docs.filter($"doc_id" >= 2),
+          "doc_id", "text", rejectDuplicateIds = true)
+      }
+      assert(e.getMessage.contains("re-adds doc id"))
+      // the rejected append must not have touched the index
+      assert(Bm25.loadIncIndex(spark, tmp).nDocs == 2.0)
+      // a disjoint batch passes the guard
+      Bm25.appendIncIndex(spark, tmp, docs.filter($"doc_id" === 3L),
+        "doc_id", "text", rejectDuplicateIds = true)
+      assert(Bm25.loadIncIndex(spark, tmp).nDocs == 3.0)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("top-k truncates per query at k with the heap node") {
     val docs = (1L to 20L).map(i => (i, "common t" + i)).toDF("doc_id", "text")
     val queries = Seq((1L, "common")).toDF("qid", "qtext")

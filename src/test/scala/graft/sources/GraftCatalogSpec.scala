@@ -20,6 +20,25 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!cat.tableExists("graft_db", "t1"))
   }
 
+  test("layout column names containing _GRAFT_META delimiters are rejected at write") {
+    // a ',' / '=' / newline in a bucket or partition column would
+    // round-trip SILENTLY wrong through the k=v sidecar and crawl would
+    // recreate a corrupted layout (ADVICE r8) — must fail loudly instead
+    val df = Seq((1, "a")).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      cat.saveBucketed("graft_db", "bad_bucket",
+        df.withColumnRenamed("id", "id,x"), "id,x", numBuckets = 2)
+    }
+    assert(e.getMessage.contains("_GRAFT_META delimiter"))
+    val e2 = intercept[IllegalArgumentException] {
+      cat.saveTable("graft_db", "bad_part",
+        df.withColumnRenamed("v", "v=1"), partitionKeys = Seq("v=1"))
+    }
+    assert(e2.getMessage.contains("_GRAFT_META delimiter"))
+    assert(!cat.tableExists("graft_db", "bad_bucket"))
+    assert(!cat.tableExists("graft_db", "bad_part"))
+  }
+
   test("Overwrite save replaces an orphaned warehouse location") {
     // simulate a table directory left behind by a previous session whose
     // (in-memory) catalog is gone: files exist, the catalog has no entry

@@ -44,7 +44,10 @@ r AS (SELECT qid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, ni
       FROM dnscored)
 SELECT min(a.cos - b.cos), count(DISTINCT a.qid)
 FROM r a JOIN r b ON a.qid = b.qid AND b.rn = a.rn + 1 AND a.rn <= 7""").fetchone()
-print(f"dense min adjacent cos gap (ranks 1..8, {g[1]} qids): {g[0]:.6g}  (need >> 1e-12)")
+# format-guard BEFORE the numeric spec: ≤1 candidate per qid makes the
+# min NULL and '{:.6g}' on None would crash the probe (ADVICE r8)
+gap_str = "n/a (no adjacent pairs)" if g[0] is None else f"{g[0]:.6g}"
+print(f"dense min adjacent cos gap (ranks 1..8, {g[1]} qids): {gap_str}  (need >> 1e-12)")
 if g[0] is not None and g[0] < 1e-9:
     print("WARNING: cos rank boundary within float-noise range"); sys.exit(1)
 
@@ -62,7 +65,8 @@ d AS (SELECT qv.vec_id, {d2} AS d2,
       FROM qv CROSS JOIN {fin} {qfilter})
 SELECT min(b.d2 - a.d2), count(*) FROM d a JOIN d b
 ON a.vec_id = b.vec_id AND a.rn = 4 AND b.rn = 5""").fetchone()
-print(f"probe boundary d2 gap (rank4->5, {gap[1]} qids): {gap[0]:.6g}  (integer grid; ties cell-tie-broken)")
+d2_str = "n/a (no rank-4/5 pairs)" if gap[0] is None else f"{gap[0]:.6g}"
+print(f"probe boundary d2 gap (rank4->5, {gap[1]} qids): {d2_str}  (integer grid; ties cell-tie-broken)")
 
 # 3. fused rrf_units gap at the final rank-5 boundary (exact BIGINT)
 head_rk = sql[:sql.rindex("SELECT qid,")].rstrip().rstrip(",").rstrip()

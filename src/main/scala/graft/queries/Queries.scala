@@ -2154,6 +2154,32 @@ object Queries {
 
   private val bm25TopkSql: String = bm25TopkReplay("")
 
+  /** One index version's BM25 replay as SUFFIXED CTEs over a shared
+    * EXTERNAL query-term CTE `qt` (q162: the same query set scores every
+    * version, so the query side cannot be drawn from the per-version
+    * corpus the way q96's replay draws it). Ends in `rk$suf` =
+    * (qid, doc_id, score, rank). */
+  private def bm25VersionCtes(corpusAnd: String, suf: String): String =
+    raw"""corpus$suf AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0$corpusAnd),
+      |dl$suf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM corpus$suf),
+      |post$suf AS (SELECT doc_id, unnest(toks) AS term FROM corpus$suf),
+      |tfs$suf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM post$suf GROUP BY 1,2),
+      |dfs$suf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfs$suf GROUP BY 1),
+      |stats$suf AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl$suf),
+      |sc$suf AS (SELECT qt.qid, t.doc_id,
+      |    round(sum( ln(1 + (s.n - d.df + 0.5::DOUBLE)/(d.df + 0.5::DOUBLE))
+      |      * t.tf * 2.2::DOUBLE
+      |      / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * l.dl / s.avgdl)) ), 4)
+      |      AS score
+      |  FROM qt JOIN tfs$suf t USING (term) JOIN dfs$suf d USING (term)
+      |    JOIN dl$suf l ON t.doc_id = l.doc_id CROSS JOIN stats$suf s
+      |  GROUP BY 1,2),
+      |rk$suf AS (SELECT qid, doc_id, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+      |  FROM sc$suf)""".stripMargin
+
   /** q129's oracle: the greedy MMR chain unrolled — candidate pool by
     * (rel4 desc, id), then k−1 argmax steps over the integer objective
     * 7·rel4 − 3·maxsim4 with id tie-break, each a correlated-subquery
@@ -2787,6 +2813,43 @@ object Queries {
     materializeAndCleanup(s, res, tmpRoot)
   }
 
+  /** Snapshot-VERSIONED index lifecycle ([[graft.curate.Bm25Versioned]] —
+    * serving isolated from maintenance, the consistency layer the
+    * unversioned IncIndex scaladoc defers to Snapshots): init on slice 0
+    * (v1) → two appends (v2, v3) → tombstone delete (v4), then ONE
+    * external query set served against BOTH the committed v4 AND the
+    * time-traveled v1 — maintenance publishes must not disturb an old
+    * version, and the delete must be rebuild-equal on the reduced corpus.
+    * Unlike q96's corpus-drawn query set, the queries here are EXTERNAL
+    * (drawn from the full documents table) so the same set scores every
+    * version; the oracle replays each version's corpus CTE independently
+    * under a shared query-term CTE. tools/probe_bm25_versions.py probes
+    * both versions' quantization margins at both scales. */
+  def q162VersionedIndex(s: SparkSession, dir: String): DataFrame = {
+    val B = graft.curate.Bm25
+    val V = graft.curate.Bm25Versioned
+    val root = java.nio.file.Files.createTempDirectory("q162_bm25v")
+      .toFile.getAbsolutePath
+    val docs = tbl(s, dir, "documents")
+    val queries = docs
+      .filter(col("doc_id") % 125 === 3 && size(T.tokens(col("text"))) > 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(T.tokens(col("text")), 1, 5)).as("qtext"))
+    val v1 = V.init(s, root, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    V.append(s, root, docs.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+    V.append(s, root, docs.filter(col("doc_id") % 3 === 2), "doc_id", "text")
+    val v4 = V.delete(s, root,
+      docs.filter(col("doc_id") % 17 === 5).select("doc_id"), "doc_id")
+    require(v1 == 1 && v4 == 4, s"unexpected version chain: v1=$v1 v4=$v4")
+    val latest = B.topKAgainstIncIndex(V.load(s, root),
+      queries, "qid", "qtext", k = 5).withColumn("version", lit(v4))
+    val pinned = B.topKAgainstIncIndex(V.load(s, root, Some(v1)),
+      queries, "qid", "qtext", k = 5).withColumn("version", lit(v1))
+    materializeAndCleanup(s, latest.unionByName(pinned)
+      .select(col("version"), col("qid"), col("rank"), col("doc_id"), col("score")),
+      root)
+  }
+
   /** The LINEAR fact variant ([[graft.jobs.BankJobs
     * .factDailyTransactionLinear]]): q27's business answer without the
     * reference's cust_id-only fan-out join — one row per
@@ -2992,7 +3055,8 @@ object Queries {
     "q158_inc_bm25" -> (q158IncBm25 _),
     "q159_inc_bm25_delete" -> (q159IncBm25Delete _),
     "q160_ivf_append" -> (q160IvfAppend _),
-    "q161_bpe_stored_tokenizer" -> (q161BpeStoredTokenizer _))
+    "q161_bpe_stored_tokenizer" -> (q161BpeStoredTokenizer _),
+    "q162_versioned_index" -> (q162VersionedIndex _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -5153,6 +5217,22 @@ object Queries {
     // the oracle IS q155's (the q150/q158 save-load-is-invisible device
     // applied to the tokenizer artifact).
     "q161_bpe_stored_tokenizer" -> bpeAccountingSql,
+    // q162: versioned index lifecycle — the committed v4 (all slices,
+    // minus tombstoned docs) and the time-traveled v1 (slice 0 only)
+    // must EACH equal a from-scratch rebuild over their version's
+    // corpus; one shared external query-term CTE feeds two independent
+    // per-version replay chains (margins: tools/probe_bm25_versions.py).
+    "q162_versioned_index" ->
+      raw"""WITH q AS (SELECT doc_id AS qid,
+        |    (string_split_regex(trim(text),'\s+'))[1:5] AS qtoks
+        |  FROM documents WHERE length(trim(text)) > 0 AND doc_id % 125 = 3),
+        |qt AS (SELECT qid, unnest(list_distinct(qtoks)) AS term FROM q),
+        |${bm25VersionCtes(" AND doc_id % 3 = 0", "a")},
+        |${bm25VersionCtes(" AND doc_id % 17 <> 5", "b")}
+        |SELECT version, qid, CAST(rank AS INT) AS rank, doc_id, score FROM (
+        |  SELECT 1 AS version, qid, rank, doc_id, score FROM rka WHERE rank <= 5
+        |  UNION ALL
+        |  SELECT 4, qid, rank, doc_id, score FROM rkb WHERE rank <= 5)""".stripMargin,
     // q152: every BPE iteration unrolled — pair-count argmax with
     // (cnt DESC, lhs, rhs) tie-break, then a literal string replace on
     // the chr(29)-wrapped symbol vocabulary (replace matches can only

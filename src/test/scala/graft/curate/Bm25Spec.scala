@@ -156,9 +156,18 @@ class Bm25Spec extends SparkSpec {
       Bm25.saveIncIndex(Bm25.buildIncIndex(all, "doc_id", "text"), tmp)
       Bm25.deleteFromIncIndex(spark, tmp,
         Seq(2L, 5L, 99L).toDF("doc_id"), "doc_id") // 99 absent: no-op
-      val served = Bm25.topKAgainstIncIndex(Bm25.loadIncIndex(spark, tmp),
-          queries, "qid", "qtext", k = 4)
-        .as[(Long, Int, Long, Double)].collect().toSet
+      val servedDf = Bm25.topKAgainstIncIndex(Bm25.loadIncIndex(spark, tmp),
+        queries, "qid", "qtext", k = 4)
+      // serve-time plan: tombstones drop via an equi-key LeftAnti on the
+      // candidate-sized frame (hash-joined, never a nested loop), and the
+      // query-term broadcast is untouched
+      val plan = servedDf.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti"), s"tombstone anti-join missing:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"tombstone filter degenerated to a nested loop:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"query-term broadcast lost:\n$plan")
+      val served = servedDf.as[(Long, Int, Long, Double)].collect().toSet
       val rebuilt = Bm25.topK(all.filter(!$"doc_id".isin(2L, 5L)),
           "doc_id", "text", queries, "qid", "qtext", k = 4)
         .as[(Long, Int, Long, Double)].collect().toSet

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bm25del,bpe,bpeseg,dsir,phrase,merge,ivf,ivfappend,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bm25del,bpe,bpeseg,dsir,phrase,merge,ivf,ivfappend,ivfdel,semadmit,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
   */
 object ScaleRehearsal {
 
@@ -467,6 +467,115 @@ object ScaleRehearsal {
           appendWall < assignWall && sameDrift < 0.25 && shiftDrift > 0.25,
           f"indexed=$nIndexed topk_rows=$topkRows assign=$assignWall%.1fs " +
             f"append=$appendWall%.1fs psi_same=$sameDrift%.3f psi_shift=$shiftDrift%.2f")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    })
+
+    if (enabled("ivfdel")) scenario("ivf-inc-delete",
+        "tombstone delete is id-sized; serving hides deleted vectors; compact invisible", {
+      // 510k-vector stored index; 10k vectors tombstoned. The delete
+      // writes ONLY the id frame (no postings/stats analog to maintain —
+      // cosine is per-pair), so its wall must sit far below the base
+      // assign-and-write; serving anti-joins on the candidate frame.
+      import graft.ann.Ivf
+      val dim = 64
+      def mkVecs(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            c => pmod(xxhash64(col("id"), c), lit(997)).cast("double") / 997.0)
+            .as("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("rehearse_ivfdel").toString
+      try {
+        val base = mkVecs(0, 510000)
+        val model = Ivf.fit(base, "vec_id", "embedding", numCells = 707, iterations = 2)
+        Ivf.save(model, spark, s"$tmp/model")
+        val t0 = System.nanoTime()
+        Ivf.assign(base, "embedding", model)
+          .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cell"))
+          .write.mode("overwrite").parquet(s"$tmp/index")
+        val buildWall = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        Ivf.deleteFromIndex(spark, s"$tmp/index",
+          spark.range(0, 510000).filter(col("id") % 51 === 0)
+            .select(col("id").as("vec_id")), "vec_id")
+        val deleteWall = (System.nanoTime() - t1) / 1e9
+        val queries = mkVecs(0, 510000).filter(col("vec_id") % 4999 === 1)
+        def serve(ts: Option[org.apache.spark.sql.DataFrame]) =
+          Ivf.topKAgainstIndex(spark.read.parquet(s"$tmp/index"), queries,
+              Ivf.load(spark, s"$tmp/model"), "vec_id", "embedding",
+              k = 10, nProbes = 3, tombstones = ts)
+            .select("qid", "nid", "rank")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        val tombstoned = serve(Ivf.tombstonesOf(spark, s"$tmp/index"))
+        val unfiltered = serve(None)
+        val deadServed = tombstoned.count(_._2 % 51 == 0)
+        val deadVisible = unfiltered.count(_._2 % 51 == 0)
+        val t2 = System.nanoTime()
+        Ivf.compactIndex(spark, s"$tmp/index")
+        val compactWall = (System.nanoTime() - t2) / 1e9
+        val compacted = serve(Ivf.tombstonesOf(spark, s"$tmp/index"))
+        val nLeft = spark.read.parquet(s"$tmp/index").count()
+        (deadServed == 0 && deadVisible > 0 && compacted == tombstoned &&
+          nLeft == 510000 - 10000 && deleteWall < buildWall / 4,
+          f"build=$buildWall%.1fs delete=$deleteWall%.1fs compact=$compactWall%.1fs " +
+            f"dead_served=$deadServed dead_unfiltered=$deadVisible rows_left=$nLeft")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    })
+
+    if (enabled("semadmit")) scenario("semantic-admit-500k",
+        "batch admission vs the stored vector index: clones reject, fresh admit", {
+      // 500k-vector stored index; a 10k batch of 2.5k exact clones of
+      // stored vectors (cos = 1), 2.5k perturbed clones (cos ≈ 1-1e-7),
+      // and 5k fresh vectors. xxhash-random positive 64-dim vectors
+      // concentrate near cos 0.75, so threshold 0.999 cleanly separates
+      // clones from fresh — the admission must sort the batch EXACTLY
+      // into {rejected: all clones, admitted: all fresh}; re-admitting
+      // the appended fresh set must then reject all of it (self cos 1).
+      import graft.ann.Ivf
+      import graft.dedup.Dedup
+      val dim = 64
+      def vecOf(idCol: org.apache.spark.sql.Column) =
+        transform(sequence(lit(0), lit(dim - 1)),
+          c => pmod(xxhash64(idCol, c), lit(997)).cast("double") / 997.0)
+      val tmp = java.nio.file.Files.createTempDirectory("rehearse_semadm").toString
+      try {
+        val base = spark.range(0, 500000)
+          .select(col("id").as("vec_id"), vecOf(col("id")).as("embedding"))
+        val model = Ivf.fit(base, "vec_id", "embedding", numCells = 707, iterations = 2)
+        Ivf.save(model, spark, s"$tmp/model")
+        Ivf.assign(base, "embedding", model)
+          .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cell"))
+          .write.mode("overwrite").parquet(s"$tmp/index")
+        val clones = spark.range(0, 2500)
+          .select((col("id") + 600000L).as("vec_id"), vecOf(col("id")).as("embedding"))
+        val perturbed = spark.range(2500, 5000)
+          .select((col("id") + 600000L).as("vec_id"),
+            transform(vecOf(col("id")), x => x + 0.0005).as("embedding"))
+        val fresh = spark.range(500000, 505000)
+          .select(col("id").as("vec_id"), vecOf(col("id")).as("embedding"))
+        val batch = clones.unionByName(perturbed).unionByName(fresh)
+        val t0 = System.nanoTime()
+        val verdicts = Dedup.semanticAdmitAgainstIndex(
+            spark.read.parquet(s"$tmp/index"), batch,
+            Ivf.load(spark, s"$tmp/model"), "vec_id", "embedding",
+            threshold = 0.999, nProbes = 3)
+          .select("vec_id", "admitted")
+          .collect().map(r => (r.getLong(0), r.getInt(1)))
+        val admitWall = (System.nanoTime() - t0) / 1e9
+        val admitted = verdicts.filter(_._2 == 1).map(_._1).toSet
+        val rejected = verdicts.filter(_._2 == 0).map(_._1).toSet
+        val expectAdmit = (500000L until 505000L).toSet
+        // append the admitted set, then re-admission must reject all of it
+        Ivf.appendToIndex(spark, s"$tmp/index", s"$tmp/model",
+          batch.join(spark.createDataFrame(admitted.toSeq.map(Tuple1(_)))
+            .toDF("vec_id"), Seq("vec_id")), "vec_id", "embedding")
+        val reAdmitted = Dedup.semanticAdmitAgainstIndex(
+            spark.read.parquet(s"$tmp/index"), fresh,
+            Ivf.load(spark, s"$tmp/model"), "vec_id", "embedding",
+            threshold = 0.999, nProbes = 3)
+          .filter(col("admitted") === 1).count()
+        (admitted == expectAdmit && rejected.size == 5000 && reAdmitted == 0,
+          f"admit=$admitWall%.1fs admitted=${admitted.size} rejected=${rejected.size} " +
+            f"re_admitted=$reAdmitted")
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     })
 

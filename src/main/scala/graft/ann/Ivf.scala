@@ -147,14 +147,22 @@ object Ivf {
     * the stored-artifact path: [[assign]] once, [[save]] the model next to
     * the index table, then every query batch joins the (cell-bucketed)
     * index without rescanning or re-quantizing the corpus. Queries
-    * broadcast; the corpus side is touched only in the probed cells. */
+    * broadcast; the corpus side is touched only in the probed cells.
+    * `tombstones` (a `nid` id frame from [[deleteFromIndex]]) is
+    * anti-joined on the CANDIDATE-sized frame — probed cells × queries,
+    * never the stored index — so deletes cost nothing at serve time
+    * beyond the id filter (the [[graft.curate.Bm25.topKAgainstIncIndex]]
+    * device applied to the ANN tier). */
   def topKAgainstIndex(index: DataFrame, queries: DataFrame, model: Model,
                        queryId: String, queryVec: String,
-                       k: Int, nProbes: Int = 3): DataFrame = {
+                       k: Int, nProbes: Int = 3,
+                       tombstones: Option[DataFrame] = None): DataFrame = {
     val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"),
         explode(nearestCells(col(queryVec), model, nProbes)).as("cell"))
-    val scored = index.join(broadcast(q), Seq("cell"))
+    val cand = index.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
+    val scored = tombstones.foldLeft(cand)((c, ts) =>
+        c.join(ts.select(col(ts.columns.head).as("nid")), Seq("nid"), "left_anti"))
       .select(col("qid"), col("nid"), S.cosine(col("qvec"), col("nvec")).as("cos"))
       .groupBy("qid", "nid").agg(max("cos").as("cos"))
     // heap top-k ([[graft.plan.TopKPerGroup]]), not a row_number window: a
@@ -184,6 +192,64 @@ object Ivf {
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("cell"))
       .write.mode("append").parquet(indexPath)
   }
+
+  /** Remove vectors from a STORED index without touching stored rows —
+    * the [[graft.curate.Bm25.deleteFromIncIndex]] twin for the ANN tier
+    * (takedowns / post-hoc dedup rejections at 100 TB cannot afford an
+    * index rewrite). Ids land in `indexPath/_tombstones` — the
+    * underscore prefix makes the subdirectory invisible to
+    * `spark.read.parquet(indexPath)` (Hadoop's hidden-file filter), so
+    * existing readers of the index table are unaffected; serving passes
+    * [[tombstonesOf]] to [[topKAgainstIndex]], which anti-joins on the
+    * candidate-sized frame. Unlike BM25 there is no derived df/stats
+    * state to decrement — cosine scores are per-pair — so the delete is
+    * O(ids): one id-frame anti-join (idempotence: re-deleting an id is a
+    * no-op) and one append. Single-writer, like [[appendToIndex]]. */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, ids: DataFrame, idCol: String): Unit = {
+    val req = tombstonesOf(spark, indexPath).foldLeft(
+      ids.select(col(idCol).as("nid")).distinct())(
+      (r, ts) => r.join(ts, Seq("nid"), "left_anti"))
+    req.write.mode("append").parquet(s"$indexPath/_tombstones")
+  }
+
+  /** The tombstone id frame of a stored index (column `nid`), if any
+    * deletes have been issued — pass to [[topKAgainstIndex]]. */
+  def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Fold tombstones back into storage — the ONE deliberate index
+    * rewrite, at the operator's cadence (when the dead fraction makes
+    * the serve-time anti-join or the dead-row cell scans noticeable).
+    * Live rows materialize into a sibling tmp directory BEFORE any
+    * rename (so the rewrite can read the very table it replaces), then
+    * two metadata-only renames swap the directories — the
+    * [[graft.curate.Bm25]] swapWrite discipline; the tombstone subdir
+    * rides out with the old directory, so a crash between the renames
+    * leaves either the intact old index (tmp orphaned) or the compacted
+    * one, never a tombstone-less un-compacted index. Serving is
+    * invariant: the anti-join already hid exactly these rows. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String): Unit =
+    tombstonesOf(spark, indexPath).foreach { ts =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dst = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = dst.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(dst.getParent, s".tmp_${dst.getName}")
+      val old = new org.apache.hadoop.fs.Path(dst.getParent, s".old_${dst.getName}")
+      spark.read.parquet(indexPath).join(ts, Seq("nid"), "left_anti")
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(old, true) // leftover from a previous crash
+      if (!fs.rename(dst, old))
+        throw new java.io.IOException(s"failed to stage out $dst")
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"failed to swap $dst")
+      fs.delete(old, true)
+    }
 
   /** Centroid-drift alarm for a frozen model: PSI between the stored
     * index's cell-occupancy histogram and a new batch's — when fresh data

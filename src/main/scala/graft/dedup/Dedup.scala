@@ -842,6 +842,46 @@ object Dedup {
     newDocs.join(rejected, Seq(idCol), "left_anti")
   }
 
+  /** SEMANTIC admission for an incremental vector batch — SemDeDup at the
+    * ingest boundary, the embedding analog of [[admitAgainstIndex]] and
+    * the online counterpart of [[semanticPrune]]: a batch vector is
+    * rejected when ANY vector already in the stored IVF index scores
+    * cosine ≥ `threshold` within the batch vector's `nProbes` probed
+    * cells. Returns one row per non-null batch vector:
+    * (idCol, cell, admitted 1|0) — `cell` is the top-1 assigned cell,
+    * where an admitted vector lands on [[graft.ann.Ivf.appendToIndex]].
+    *
+    * Batch-INTERNAL near-dups are deliberately not considered (run
+    * [[semanticPrune]] over the batch first if needed): admission is
+    * defined against the stored corpus only, so each vector's decision is
+    * independent of batch order/content — exactly replayable, and the
+    * same docs get the same verdict regardless of micro-batch boundaries.
+    * Batch ids must be disjoint from the stored index (the appendToIndex
+    * precondition; a re-ingested id would reject itself on cos = 1).
+    *
+    * Approximate like SemDeDup itself: a near-dup hiding outside all
+    * probed cells is missed — raise `nProbes` for recall. Scale shape:
+    * the batch broadcasts; the stored index streams through ONE cell hash
+    * join touching only probed cells; max-cos partial-aggregates
+    * map-side; the stored corpus never shuffles. */
+  def semanticAdmitAgainstIndex(index: DataFrame, batch: DataFrame,
+                                model: graft.ann.Ivf.Model,
+                                idCol: String, vecCol: String,
+                                threshold: Double,
+                                nProbes: Int = 4): DataFrame = {
+    val b = batch.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__bid"), col(vecCol).as("__bvec"),
+        graft.ann.Ivf.nearestCells(col(vecCol), model, nProbes).as("__cells"))
+    val probed = b.select(col("__bid"), col("__bvec"),
+      explode(col("__cells")).as("cell"))
+    val maxCos = index.join(broadcast(probed), Seq("cell"))
+      .select(col("__bid"), S.cosine(col("__bvec"), col("nvec")).as("__cos"))
+      .groupBy("__bid").agg(max(col("__cos")).as("__maxcos"))
+    b.join(maxCos, Seq("__bid"), "left")
+      .select(col("__bid").as(idCol), col("__cells")(0).as("cell"),
+        when(col("__maxcos") >= threshold, lit(0)).otherwise(lit(1)).as("admitted"))
+  }
+
   /** Benchmark decontamination report (GPT-3/PaLM style): for each corpus
     * document, the number of distinct word n-grams it shares with ANY
     * benchmark document. Documents with overlap are contamination suspects

@@ -2850,6 +2850,74 @@ object Queries {
       root)
   }
 
+  /** IVF stored-index DELETION ([[graft.ann.Ivf.deleteFromIndex]] — the
+    * q159 twin for the ANN tier, closing the vector index's lifecycle
+    * the way q159 closed BM25's): the model is fit on the FULL corpus
+    * and frozen, the index written from the full assignment, then every
+    * `vec_id % 13 = 4` vector is tombstoned — stored rows never
+    * rewritten; serving anti-joins the tombstones on the candidate-sized
+    * frame. Served top-k must be IDENTICAL to serving an index that
+    * never contained the deleted vectors, so the oracle is q156's dense
+    * replay chain with the deletion predicate folded into the candidate
+    * and query CTEs (same shared generator — the q159/q160 equivalence
+    * device). Rank-boundary margins for the REDUCED candidate set probed
+    * by tools/probe_ivf_delete.py at both scales. */
+  def q163IvfDelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val emb = tbl(s, dir, "embeddings")
+    val qids = docs
+      .filter(col("doc_id") % 125 === 3 && col("doc_id") % 13 =!= 4 &&
+        size(T.tokens(col("text"))) > 0)
+      .select(col("doc_id").as("qid"))
+    val qvecs = emb.join(qids, col("vec_id") === col("qid"))
+      .select(col("qid"), col("embedding").as("qvec"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q163_ivf")
+      .toFile.getAbsolutePath
+    val model = Ivf.fit(emb, "vec_id", "embedding", numCells = 16, iterations = 2)
+    Ivf.save(model, s, s"$tmpRoot/model")
+    Ivf.assign(emb, "embedding", model)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cell"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/index")
+    Ivf.deleteFromIndex(s, s"$tmpRoot/index",
+      emb.filter(col("vec_id") % 13 === 4).select("vec_id"), "vec_id")
+    val res = Ivf.topKAgainstIndex(
+        s.read.parquet(s"$tmpRoot/index"), qvecs, Ivf.load(s, s"$tmpRoot/model"),
+        "qid", "qvec", k = 5, nProbes = 4,
+        tombstones = Ivf.tombstonesOf(s, s"$tmpRoot/index"))
+      .select(col("qid"), col("rank"), col("nid").as("doc_id"))
+    materializeAndCleanup(s, res, tmpRoot)
+  }
+
+  /** SEMANTIC ADMISSION against the stored vector index
+    * ([[graft.dedup.Dedup.semanticAdmitAgainstIndex]] — SemDeDup at the
+    * ingest boundary, the q109 incremental-admission shape for
+    * embeddings): the stored corpus is `vec_id % 4 ≠ 1` (model fit on it
+    * and frozen, index written from its assignment); the remaining
+    * quarter arrives as the batch, and each batch vector is admitted iff
+    * no stored vector in its 4 probed cells reaches cosine 0.42624 —
+    * the threshold sits mid-gap in the cross-slice cosine distribution
+    * (nearest pair 3.2e-4 away at BOTH scales,
+    * tools/probe_semadmit.py). Every stage replays exactly: the
+    * restricted fit through the q34 chain (init + Lloyd over the base
+    * slice only), probed cells by quantized d², the verdict on raw
+    * double cosine ≥ a probed mid-gap threshold (the q32 device). */
+  def q164SemanticAdmit(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 4 =!= 1)
+    val batch = emb.filter(col("vec_id") % 4 === 1)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q164_ivf")
+      .toFile.getAbsolutePath
+    val model = Ivf.fit(base, "vec_id", "embedding", numCells = 16, iterations = 2)
+    Ivf.save(model, s, s"$tmpRoot/model")
+    Ivf.assign(base, "embedding", model)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cell"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/index")
+    val res = graft.dedup.Dedup.semanticAdmitAgainstIndex(
+      s.read.parquet(s"$tmpRoot/index"), batch, Ivf.load(s, s"$tmpRoot/model"),
+      "vec_id", "embedding", threshold = 0.42624, nProbes = 4)
+    materializeAndCleanup(s, res, tmpRoot)
+  }
+
   /** The LINEAR fact variant ([[graft.jobs.BankJobs
     * .factDailyTransactionLinear]]): q27's business answer without the
     * reference's cust_id-only fan-out join — one row per
@@ -3056,7 +3124,9 @@ object Queries {
     "q159_inc_bm25_delete" -> (q159IncBm25Delete _),
     "q160_ivf_append" -> (q160IvfAppend _),
     "q161_bpe_stored_tokenizer" -> (q161BpeStoredTokenizer _),
-    "q162_versioned_index" -> (q162VersionedIndex _))
+    "q162_versioned_index" -> (q162VersionedIndex _),
+    "q163_ivf_delete" -> (q163IvfDelete _),
+    "q164_semantic_admit" -> (q164SemanticAdmit _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -3105,11 +3175,20 @@ object Queries {
     * integer sums (order-independent in both engines) with empty cells
     * keeping their previous centroid. Returns (CTE chain, name of the
     * final centroid CTE). The q73-style unrolled-iteration pattern. */
-  private def ivfReplayCtes(cells: Int, iterations: Int): (String, String) = {
+  private def ivfReplayCtes(cells: Int, iterations: Int,
+                            fitPred: Option[String] = None): (String, String) = {
+    // fitPred (a bare predicate over qv, e.g. "qv.vec_id % 4 <> 1")
+    // restricts the FIT — init candidates and Lloyd assignment — to a
+    // corpus slice, replaying [[graft.ann.Ivf.fit]] over a filtered
+    // frame; `e`/`qv` stay full-corpus so later CTEs can still score
+    // any vector. None (the default) reproduces the original SQL
+    // byte-for-byte — q34/q68/q156/q160's probed oracles cannot drift.
+    val fitWhere = fitPred.map(p => s" WHERE $p").getOrElse("")
+    val fitRankedWhere = fitPred.map(p => s"WHERE $p").getOrElse("")
     val sb = new StringBuilder(
       s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
          |qv AS (SELECT vec_id, v, list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q FROM e),
-         |hs AS (SELECT DISTINCT q, md5(array_to_string(q, ',')) AS h FROM qv),
+         |hs AS (SELECT DISTINCT q, md5(array_to_string(q, ',')) AS h FROM qv$fitWhere),
          |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INT) AS cell,
          |  list_transform(q, x -> CAST(x AS DOUBLE)) AS c
          | FROM (SELECT q, h FROM hs ORDER BY h LIMIT $cells))""".stripMargin)
@@ -3117,7 +3196,7 @@ object Queries {
     for (it <- 0 until iterations) {
       sb.append(s""",
          |a$it AS (SELECT vec_id, q, cell FROM (
-         |  ${ivfRanked(prev)}) WHERE rn = 1),
+         |  ${ivfRanked(prev, fitRankedWhere)}) WHERE rn = 1),
          |s$it AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS cnt
          |  FROM a$it CROSS JOIN range(1,65) t(i) GROUP BY cell, i),
          |m$it AS (SELECT cell, list(CAST(s AS DOUBLE) / cnt ORDER BY i) AS c FROM s$it GROUP BY cell),
@@ -3135,17 +3214,24 @@ object Queries {
     * `dn` with BM25) and q160 (whose stored-index append lifecycle must
     * serve exactly this dense list), so the two oracles cannot drift;
     * tools/probe_hybrid_ann.py's margins cover both. */
-  private lazy val ivfDenseCtes: String = {
+  private lazy val ivfDenseCtes: String = ivfDenseCtesWith("", "")
+
+  /** The parameterized form of [[ivfDenseCtes]] — q163 folds its deletion
+    * predicate into the candidate set (`candAnd`, over `af`) and the
+    * query set (`queryAnd`, over `documents.doc_id`); ("", "") is the
+    * q156/q160 chain byte-for-byte, so the three gates share one
+    * generator and cannot drift. */
+  private def ivfDenseCtesWith(candAnd: String, queryAnd: String): String = {
     val (ctes, fin) = ivfReplayCtes(16, 2)
     s"""$ctes,
       |af AS (SELECT vec_id, cell FROM (
       |  ${ivfRanked(fin)}) WHERE rn = 1),
       |pr AS (SELECT vec_id, cell FROM (
       |  ${ivfRanked(fin,
-           """WHERE qv.vec_id IN (SELECT doc_id FROM documents
-             |    WHERE doc_id % 125 = 3 AND length(trim(text)) > 0)""".stripMargin)}) WHERE rn <= 4),
+           s"""WHERE qv.vec_id IN (SELECT doc_id FROM documents
+             |    WHERE doc_id % 125 = 3 AND length(trim(text)) > 0$queryAnd)""".stripMargin)}) WHERE rn <= 4),
       |cand AS (SELECT DISTINCT pr.vec_id AS qid, af.vec_id AS nid
-      | FROM pr JOIN af USING (cell) WHERE af.vec_id <> pr.vec_id),
+      | FROM pr JOIN af USING (cell) WHERE af.vec_id <> pr.vec_id$candAnd),
       |dnscored AS (SELECT qid, nid, list_cosine_similarity(a.v, b.v) AS cos
       | FROM cand JOIN e a ON a.vec_id = cand.qid JOIN e b ON b.vec_id = cand.nid),
       |dn AS (SELECT qid, nid AS doc_id,
@@ -5092,6 +5178,38 @@ object Queries {
       s"""WITH $ivfDenseCtes
         |SELECT qid, CAST(rank AS INT) AS rank, doc_id
         |FROM dn WHERE rank <= 5""".stripMargin,
+    // q163: IVF stored-index deletion — tombstoned serving must equal an
+    // index that never held the deleted vectors, so the oracle is the
+    // same dense chain with the deletion predicate folded into the
+    // candidate AND query CTEs (the frozen model still fits on the full
+    // corpus — deletes don't re-fit). Reduced-candidate rank margins
+    // probed by tools/probe_ivf_delete.py.
+    "q163_ivf_delete" ->
+      s"""WITH ${ivfDenseCtesWith(" AND af.vec_id % 13 <> 4", " AND doc_id % 13 <> 4")}
+        |SELECT qid, CAST(rank AS INT) AS rank, doc_id
+        |FROM dn WHERE rank <= 5""".stripMargin,
+    // q164: semantic admission — fit replayed over the BASE slice only
+    // (the fitPred form of the q34 chain), batch vectors probed to their
+    // 4 nearest cells, verdict = max raw-double cosine vs the stored
+    // slice within those cells against the probed mid-gap threshold
+    // (nearest cross-slice pair 3.2e-4 away at both scales,
+    // tools/probe_semadmit.py).
+    "q164_semantic_admit" -> {
+      val (ctes, fin) = ivfReplayCtes(16, 2, Some("qv.vec_id % 4 <> 1"))
+      s"""WITH $ctes,
+        |af AS (SELECT vec_id, cell FROM (
+        |  ${ivfRanked(fin, "WHERE qv.vec_id % 4 <> 1")}) WHERE rn = 1),
+        |bp AS (SELECT vec_id, cell, rn FROM (
+        |  ${ivfRanked(fin, "WHERE qv.vec_id % 4 = 1")}) WHERE rn <= 4),
+        |mxc AS (SELECT bp.vec_id, max(list_cosine_similarity(a.v, b.v)) AS m
+        | FROM bp JOIN af ON af.cell = bp.cell
+        |  JOIN e a ON a.vec_id = bp.vec_id JOIN e b ON b.vec_id = af.vec_id
+        | GROUP BY bp.vec_id),
+        |t1 AS (SELECT vec_id, cell FROM bp WHERE rn = 1)
+        |SELECT t1.vec_id, t1.cell,
+        |  CASE WHEN m.m >= 0.42624::DOUBLE THEN 0 ELSE 1 END AS admitted
+        |FROM t1 LEFT JOIN mxc m ON m.vec_id = t1.vec_id""".stripMargin
+    },
     // q151: three composed admission rounds over the portable
     // signature/band replay (q109's machinery). `pair` holds ALL
     // band-colliding ≥0.7 pairs as (id_x < id_y); in-batch rejection of d

@@ -116,6 +116,53 @@ class IvfSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("deleteFromIndex: tombstoned serving ≡ an index that never held the ids; compact is invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_delete").toString
+    try {
+      val m = Ivf.fit(e, "vec_id", "embedding", numCells = 8, iterations = 2)
+      Ivf.save(m, spark, s"$dir/model")
+      Ivf.assign(e, "embedding", m)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cell"))
+        .write.mode("overwrite").parquet(s"$dir/index")
+      val before = spark.read.parquet(s"$dir/index").count()
+      val dead = e.filter(col("vec_id") % 7 === 3).select("vec_id")
+      Ivf.deleteFromIndex(spark, s"$dir/index", dead, "vec_id")
+      // _tombstones is invisible to plain readers of the index table
+      assert(spark.read.parquet(s"$dir/index").count() == before)
+      // idempotent: re-deleting adds no tombstone rows
+      val tsCount = Ivf.tombstonesOf(spark, s"$dir/index").get.count()
+      Ivf.deleteFromIndex(spark, s"$dir/index", dead, "vec_id")
+      assert(Ivf.tombstonesOf(spark, s"$dir/index").get.count() == tsCount)
+      val q = e.filter(col("vec_id") % 100 === 0 && col("vec_id") % 7 =!= 3)
+      def serve() = Ivf.topKAgainstIndex(spark.read.parquet(s"$dir/index"),
+          q, Ivf.load(spark, s"$dir/model"), "vec_id", "embedding", 5, nProbes = 4,
+          tombstones = Ivf.tombstonesOf(spark, s"$dir/index"))
+        .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+      val served = serve()
+      // ground truth: an index built over the reduced corpus with the SAME
+      // frozen model (deletes never re-fit)
+      Ivf.assign(e.filter(col("vec_id") % 7 =!= 3), "embedding", m)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cell"))
+        .write.mode("overwrite").parquet(s"$dir/reduced")
+      val reduced = Ivf.topKAgainstIndex(spark.read.parquet(s"$dir/reduced"),
+          q, m, "vec_id", "embedding", 5, nProbes = 4)
+        .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+      assert(served == reduced)
+      assert(served.nonEmpty)
+      // no served id is deleted
+      val deadIds = dead.as[Long].collect().toSet
+      assert(served.forall { case (_, nid, _) => !deadIds.contains(nid) })
+      // compaction folds tombstones into storage without changing serving
+      Ivf.compactIndex(spark, s"$dir/index")
+      assert(Ivf.tombstonesOf(spark, s"$dir/index").isEmpty)
+      assert(spark.read.parquet(s"$dir/index").count() == before - deadIds.size)
+      assert(serve() == served)
+      // compact with no tombstones is a no-op
+      Ivf.compactIndex(spark, s"$dir/index")
+      assert(serve() == served)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("assignmentDrift: stable distribution ~0, shifted distribution alarms") {
     val idx = Seq(0, 0, 0, 1).toDF("cell")
     assert(math.abs(Ivf.assignmentDrift(idx, idx)) < 1e-12)

@@ -264,6 +264,47 @@ class DedupAnnSpec extends SparkSpec {
     assert(pPairs.contains((10L, 1L)) && !pPairs.exists(_._1 == 11L))
   }
 
+  test("semantic admission against a stored IVF index") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") % 4 =!= 1)
+    val model = graft.ann.Ivf.fit(base, "vec_id", "embedding", numCells = 8, iterations = 2)
+    val index = graft.ann.Ivf.assign(base, "embedding", model)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cell"))
+      .localCheckpoint(true)
+    // a batch vector IDENTICAL to a stored one must reject (cos = 1 in its
+    // own cell); take a stored vector under a fresh id
+    val cloneRow = base.limit(1)
+      .select(lit(900001L).as("vec_id"), col("embedding"))
+    val batch = emb.filter(col("vec_id") % 4 === 1).unionByName(cloneRow)
+      // and a null-embedding row, which must be dropped
+      .unionByName(cloneRow.select(lit(900002L).as("vec_id"),
+        lit(null).cast(cloneRow.schema("embedding").dataType).as("embedding")))
+    val res = Dedup.semanticAdmitAgainstIndex(index, batch, model,
+      "vec_id", "embedding", threshold = 0.42624, nProbes = 4)
+      .select("vec_id", "cell", "admitted").as[(Long, Int, Int)].collect()
+    val verdicts = res.map(r => r._1 -> r._3).toMap
+    assert(!verdicts.contains(900002L), "null-embedding row must be dropped")
+    assert(verdicts(900001L) == 0, "exact clone of a stored vector must reject")
+    assert(verdicts.values.exists(_ == 1), "some batch vectors must admit")
+    // cell = where an admitted vector lands on append (top-1 assignment)
+    val assignedCells = graft.ann.Ivf.assign(
+        batch.filter(col("embedding").isNotNull), "embedding", model)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(res.forall(r => r._2 == assignedCells(r._1)))
+    // decisions are per-vector against the STORED corpus only — batch
+    // order / micro-batch boundaries cannot change them
+    val half1 = Dedup.semanticAdmitAgainstIndex(index,
+      batch.filter(col("vec_id") % 2 === 0), model,
+      "vec_id", "embedding", threshold = 0.42624, nProbes = 4)
+    val half2 = Dedup.semanticAdmitAgainstIndex(index,
+      batch.filter(col("vec_id") % 2 =!= 0), model,
+      "vec_id", "embedding", threshold = 0.42624, nProbes = 4)
+    val split = (half1.unionByName(half2))
+      .select("vec_id", "cell", "admitted").as[(Long, Int, Int)].collect()
+    assert(split.sortBy(_._1).toSeq == res.sortBy(_._1).toSeq)
+  }
+
   test("decontamination flags n-gram overlap with the benchmark set") {
     val benchmark = Seq(
       (100L, "what is the capital of france paris is the capital of france")

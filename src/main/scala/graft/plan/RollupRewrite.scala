@@ -1,0 +1,231 @@
+package graft.plan
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Transparent materialized-rollup rewrite — the OLAP scan-avoidance tier:
+  * a summary table pre-aggregated by a set of group columns answers any
+  * LATER aggregate over the base table whose grouping is a subset of
+  * those columns and whose aggregates are derivable from stored partials
+  * (the same partial algebra Spark's own map-side aggregation uses,
+  * lifted to table level — and the table-level twin of
+  * [[graft.operators.Incremental.mergeAggregates]], which keeps such
+  * summaries fresh without base rescans).
+  *
+  * At 100 TB the rewrite is the difference between scanning the fact
+  * table and scanning a group-cardinality summary: the user's query text
+  * does not change, the optimizer redirects it.
+  *
+  * Derivable forms (everything else leaves the query untouched):
+  *   - `count(*)` / `count(1)`      → sum(__cnt_rows)
+  *   - `count(m)`                   → sum(__cnt_m)   (non-null count)
+  *   - `sum(m)`                     → sum(__sum_m)
+  *   - `min(m)` / `max(m)`          → min(__min_m) / max(__max_m)
+  *   - `avg(m)`                     → sum(__sum_m) / sum(__cnt_m), both
+  *     cast to double — for integral measures BOTH paths divide the same
+  *     exact integer sums, so the rewrite is bit-identical; for floats it
+  *     differs only in summation order (like any partial aggregation)
+  *   - grouping on any SUBSET of the registered group columns
+  *   - filters whose references are all registered group columns (pushed
+  *     onto the summary — group values are carried verbatim, nulls
+  *     included)
+  *
+  * Matching is by the base relation's file paths (two `spark.read` calls
+  * of the same path build unequal `FileIndex` instances, so plan
+  * equality cannot be used); distinct aggregates, aggregate filters, and
+  * non-column grouping expressions all bail out. The rewrite preserves
+  * the original output `exprId`s, so parent operators above the
+  * aggregate are untouched.
+  */
+object RollupRewrite {
+
+  /** One registered rollup: the base table's root paths, its summary
+    * relation (analyzed logical plan of a parquet read), and the layout
+    * [[Rollup.materialize]] wrote. */
+  private[plan] case class RollupDef(basePaths: Set[String],
+                                     summary: LogicalPlan,
+                                     groupCols: Seq[String],
+                                     measures: Seq[String])
+
+  private val defs = new java.util.concurrent.CopyOnWriteArrayList[RollupDef]
+
+  /** Register `summary` (written by [[Rollup.materialize]]) as answering
+    * aggregates over `base`. Both must be file-backed relations. */
+  def register(base: DataFrame, summary: DataFrame,
+               groupCols: Seq[String], measures: Seq[String]): Unit = {
+    val expect = (Seq(Rollup.CntRows) ++ groupCols ++
+      measures.flatMap(m => Seq(s"__sum_$m", s"__cnt_$m", s"__min_$m", s"__max_$m"))).toSet
+    require(summary.columns.toSet == expect,
+      s"summary schema ${summary.columns.sorted.mkString(",")} does not match " +
+        s"Rollup.materialize layout for ($groupCols, $measures)")
+    defs.add(RollupDef(rootPaths(base.queryExecution.analyzed).getOrElse(
+        throw new IllegalArgumentException("base must be a single file-backed relation")),
+      summary.queryExecution.analyzed, groupCols, measures))
+  }
+
+  def clear(): Unit = defs.clear()
+
+  /** Install the rewrite on a session (idempotent). Runs in
+    * `spark.experimental.extraOptimizations` — after the main optimizer
+    * batches, so it sees the canonical Aggregate/Project/Filter/Relation
+    * shape column pruning leaves behind. */
+  def enable(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[RewriteRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new RewriteRule
+
+  def disable(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[RewriteRule])
+
+  /** Root paths of every file scan in the optimized plan — for gates and
+    * specs that must PROVE the rewrite fired (summary read, base not). */
+  def scanRootPaths(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten.toSet
+
+  private def rootPaths(plan: LogicalPlan): Option[Set[String]] = plan match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      Some(fs.location.rootPaths.map(_.toString).toSet)
+    case Project(_, child) => rootPaths(child)
+    case _ => None
+  }
+
+  private[plan] class RewriteRule extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+
+    /** Strip attribute-only Projects and collect Filter conditions down
+      * to the leaf relation. */
+    private def strip(p: LogicalPlan,
+                      conds: Seq[Expression]): Option[(LogicalRelation, Seq[Expression])] =
+      p match {
+        case r: LogicalRelation => Some((r, conds))
+        case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+          strip(child, conds)
+        case Filter(cond, child) => strip(child, conds :+ cond)
+        case _ => None
+      }
+
+    private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+      val (leaf, conds) = strip(agg.child, Nil).getOrElse(return None)
+      val paths = leaf.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).toSet
+        case _ => return None
+      }
+      val d = {
+        val it = defs.iterator()
+        var found: RollupDef = null
+        while (it.hasNext && found == null) {
+          val c = it.next(); if (c.basePaths == paths) found = c
+        }
+        if (found == null) return None else found
+      }
+      // fresh attribute ids per rewrite: the same summary may answer two
+      // aggregates in one query (e.g. a self-union), which must not share ids
+      val summary = d.summary match {
+        case r: LogicalRelation => r.newInstance()
+        case other => other
+      }
+      def sAttr(name: String): AttributeReference =
+        summary.output.collectFirst {
+          case a: AttributeReference if a.name == name => a
+        }.get
+      // grouping must be direct references to registered group columns
+      val groupNames = agg.groupingExpressions.map {
+        case a: AttributeReference if d.groupCols.contains(a.name) => a.name
+        case _ => return None
+      }
+      // filters may only touch group columns (their values are carried
+      // verbatim on the summary)
+      if (!conds.forall(_.references.forall(a => d.groupCols.contains(a.name))))
+        return None
+      def measureAttr(e: Expression, prefix: String): Option[AttributeReference] =
+        e match {
+          case a: AttributeReference if d.measures.contains(a.name) =>
+            Some(sAttr(s"$prefix${a.name}"))
+          case _ => None
+        }
+      def sumOf(a: AttributeReference) = AggregateExpression(Sum(a), Complete, isDistinct = false)
+      def derive(fn: AggregateFunction): Option[Expression] = fn match {
+        case Count(Seq(Literal(1, _))) => Some(sumOf(sAttr(Rollup.CntRows)))
+        case Count(Seq(e)) => measureAttr(e, "__cnt_").map(sumOf)
+        case Sum(e, _) => measureAttr(e, "__sum_").map(sumOf)
+        case Min(e) => measureAttr(e, "__min_").map(m =>
+          AggregateExpression(Min(m), Complete, isDistinct = false))
+        case Max(e) => measureAttr(e, "__max_").map(m =>
+          AggregateExpression(Max(m), Complete, isDistinct = false))
+        case Average(e, _) =>
+          for (s <- measureAttr(e, "__sum_"); c <- measureAttr(e, "__cnt_"))
+            yield Divide(Cast(sumOf(s), DoubleType), Cast(sumOf(c), DoubleType))
+        case _ => None
+      }
+      // Result expressions are arbitrary trees over aggregate calls and
+      // grouping columns (CollapseProject folds parent Projects — e.g. a
+      // round() over a sum — into the Aggregate before this rule runs):
+      // recurse top-down, deriving every embedded AggregateExpression and
+      // redirecting every bare attribute (necessarily a grouping column,
+      // or the plan was invalid) to the summary. Measure attributes only
+      // occur INSIDE aggregate calls, which `derive` consumes whole.
+      def rewriteExpr(e: Expression): Option[Expression] = e match {
+        case AggregateExpression(fn, Complete, false, None, _) => derive(fn)
+        case _: AggregateExpression => None // distinct / filtered / partial
+        case a: AttributeReference =>
+          if (groupNames.contains(a.name)) Some(sAttr(a.name)) else None
+        case other =>
+          val kids = other.children.map(rewriteExpr)
+          if (kids.exists(_.isEmpty)) None
+          else Some(other.withNewChildren(kids.map(_.get)))
+      }
+      val rewritten = agg.aggregateExpressions.map {
+        case a: AttributeReference if groupNames.contains(a.name) =>
+          Alias(sAttr(a.name), a.name)(exprId = a.exprId, qualifier = a.qualifier)
+        case al @ Alias(child, name) =>
+          Alias(rewriteExpr(child).getOrElse(return None), name)(
+            exprId = al.exprId, qualifier = al.qualifier)
+        case _ => return None
+      }
+      val newGroup = groupNames.map(sAttr)
+      val newCond = conds.map(_.transform {
+        case a: AttributeReference => sAttr(a.name)
+      })
+      val filtered = newCond.foldLeft(summary: LogicalPlan)((p, c) => Filter(c, p))
+      // prune the summary scan to the referenced columns — this rule runs
+      // after ColumnPruning, nothing will do it for us
+      val needed = (newGroup ++ rewritten.flatMap(_.references) ++
+        newCond.flatMap(_.references)).map(_.asInstanceOf[AttributeReference])
+        .groupBy(_.exprId).map(_._2.head).toSeq
+      Some(Aggregate(newGroup, rewritten, Project(needed, filtered)))
+    }
+  }
+}
+
+/** Builder for the summary tables [[RollupRewrite]] serves from. */
+object Rollup {
+
+  val CntRows = "__cnt_rows"
+
+  /** One pass over `base`: per (groupCols) group, the decomposable
+    * partials for every measure — `__sum_m`, `__cnt_m` (non-null count),
+    * `__min_m`, `__max_m` — plus `__cnt_rows`. Write the result as a
+    * table and register it with [[RollupRewrite.register]]; keep it
+    * fresh with [[graft.operators.Incremental.mergeAggregates]] over the
+    * sum/count partials (min/max are merge-only under appends). */
+  def materialize(base: DataFrame, groupCols: Seq[String],
+                  measures: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty && measures.nonEmpty)
+    val aggs = count(lit(1)).as(CntRows) +: measures.flatMap(m => Seq(
+      sum(col(m)).as(s"__sum_$m"), count(col(m)).as(s"__cnt_$m"),
+      min(col(m)).as(s"__min_$m"), max(col(m)).as(s"__max_$m")))
+    base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -2918,6 +2918,56 @@ object Queries {
     materializeAndCleanup(s, res, tmpRoot)
   }
 
+  /** Transparent MATERIALIZED-ROLLUP rewrite ([[graft.plan.RollupRewrite]]
+    * — the OLAP scan-avoidance tier, a Catalyst optimizer `Rule` injected
+    * at runtime): a summary pre-aggregated by (priority, status) answers
+    * a later aggregate over the base orders table that groups by a
+    * SUBSET of those columns, filters on a group column, and asks for
+    * count/sum/min/max — the user query text never mentions the summary;
+    * the optimizer redirects it, preserving output exprIds. The gate
+    * PROVES the redirect (it requires the optimized plan to scan the
+    * summary and not the base — a silent non-rewrite fails the query,
+    * not just the hash), and the oracle is the PLAIN aggregate over the
+    * base table: rewritten answers must be the same answers. Sums are
+    * 4dp-rounded (2dp-grid data, the q01/q02 regime — partial-merge
+    * summation order is as safe as any map-side partial); avg stays out
+    * of the gate output (the CLAUDE.md float-avg trap) and is pinned
+    * exactly on integral measures by RollupRewriteSpec instead. */
+  def q165RollupRewrite(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val orders = tbl(s, dir, "orders")
+    val groupCols = Seq("o_orderpriority", "o_orderstatus")
+    val measures = Seq("o_totalprice", "o_custkey")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q165_rollup")
+      .toFile.getAbsolutePath
+    graft.plan.Rollup.materialize(orders, groupCols, measures)
+      .write.mode("overwrite").parquet(s"$tmpRoot/summary")
+    R.register(orders, s.read.parquet(s"$tmpRoot/summary"), groupCols, measures)
+    R.enable(s)
+    try {
+      val q = orders.filter(col("o_orderstatus") =!= "P")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("o_custkey").as("sum_cust"),
+          count(col("o_totalprice")).as("cnt_total"),
+          sum("o_totalprice").as("__s_total"),
+          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        .select(col("o_orderpriority"), col("n_rows"), col("sum_cust"),
+          col("cnt_total"), round(col("__s_total"), 4).as("sum_total"),
+          col("mn"), col("mx"))
+      val scans = R.scanRootPaths(q)
+      require(scans.nonEmpty && scans.forall(_.contains(tmpRoot)),
+        s"rollup rewrite did not fire — plan scans $scans")
+      materializeAndCleanup(s, q, tmpRoot)
+    } finally {
+      R.disable(s)
+      R.clear()
+      // covers the require-failure path too (post-success it's a no-op —
+      // materializeAndCleanup already removed the dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** The LINEAR fact variant ([[graft.jobs.BankJobs
     * .factDailyTransactionLinear]]): q27's business answer without the
     * reference's cust_id-only fan-out join — one row per
@@ -3126,7 +3176,8 @@ object Queries {
     "q161_bpe_stored_tokenizer" -> (q161BpeStoredTokenizer _),
     "q162_versioned_index" -> (q162VersionedIndex _),
     "q163_ivf_delete" -> (q163IvfDelete _),
-    "q164_semantic_admit" -> (q164SemanticAdmit _))
+    "q164_semantic_admit" -> (q164SemanticAdmit _),
+    "q165_rollup_rewrite" -> (q165RollupRewrite _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -5210,6 +5261,18 @@ object Queries {
         |  CASE WHEN m.m >= 0.42624::DOUBLE THEN 0 ELSE 1 END AS admitted
         |FROM t1 LEFT JOIN mxc m ON m.vec_id = t1.vec_id""".stripMargin
     },
+    // q165: materialized-rollup rewrite — the query is served from the
+    // summary table (the gate requires it in-plan), the oracle is the
+    // plain aggregate over the base: the redirect must be answer-
+    // invisible. DuckDB sum(BIGINT) is HUGEINT — CAST.
+    "q165_rollup_rewrite" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        | count(o_totalprice) AS cnt_total,
+        | round(sum(o_totalprice), 4) AS sum_total,
+        | min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderpriority""".stripMargin,
     // q151: three composed admission rounds over the portable
     // signature/band replay (q109's machinery). `pair` holds ALL
     // band-colliding ≥0.7 pairs as (id_x < id_y); in-batch rejection of d

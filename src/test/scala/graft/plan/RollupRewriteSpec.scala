@@ -1,0 +1,183 @@
+package graft.plan
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RollupRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def scanPaths(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten.toSet
+
+  private def withRollup[A](groupCols: Seq[String], measures: Seq[String])
+                           (body: (DataFrame, String) => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("rollup").toString
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+    Rollup.materialize(base, groupCols, measures)
+      .write.mode("overwrite").parquet(s"$dir/summary")
+    RollupRewrite.register(base, spark.read.parquet(s"$dir/summary"),
+      groupCols, measures)
+    RollupRewrite.enable(spark)
+    try body(base, dir)
+    finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("derivable aggregate is answered from the summary, bit-equal for integral measures") {
+    withRollup(Seq("o_orderpriority", "o_orderstatus"),
+               Seq("o_totalprice", "o_custkey")) { (base, dir) =>
+      def q(src: DataFrame) = src.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum("o_custkey").as("s_cust"),
+          avg("o_custkey").as("a_cust"),
+          count(col("o_totalprice")).as("c_total"),
+          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"),
+          sum("o_totalprice").as("s_total"))
+      val rewritten = q(base)
+      assert(scanPaths(rewritten).forall(_.contains(dir)),
+        s"rewritten plan still reads the base:\n${rewritten.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark)
+      val direct = q(base)
+      assert(scanPaths(direct).exists(_.contains("orders.parquet")))
+      RollupRewrite.enable(spark)
+      val r = rewritten.orderBy("o_orderpriority").collect()
+      val d = direct.orderBy("o_orderpriority").collect()
+      assert(r.length == d.length && r.nonEmpty)
+      r.zip(d).foreach { case (a, b) =>
+        assert(a.getString(0) == b.getString(0))
+        assert(a.getLong(1) == b.getLong(1))     // count(*)
+        assert(a.getLong(2) == b.getLong(2))     // sum(int) — exact
+        assert(a.getDouble(3) == b.getDouble(3)) // avg(int): exact int sums both paths
+        assert(a.getLong(4) == b.getLong(4))     // count(measure)
+        assert(a.getDouble(5) == b.getDouble(5)) // min — carried verbatim
+        assert(a.getDouble(6) == b.getDouble(6)) // max
+        // float sum: partial-merge order differs from the direct scan order
+        assert(math.abs(a.getDouble(7) - b.getDouble(7)) < 1e-6)
+      }
+    }
+  }
+
+  test("subset grouping and group-column filters ride the summary") {
+    withRollup(Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice")) {
+      (base, dir) =>
+        def q(src: DataFrame) = src
+          .filter(col("o_orderstatus") =!= "P")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+        val rewritten = q(base)
+        assert(scanPaths(rewritten).forall(_.contains(dir)))
+        RollupRewrite.disable(spark)
+        val direct = q(base).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        RollupRewrite.enable(spark)
+        assert(rewritten.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+          == direct)
+    }
+  }
+
+  test("expressions OVER aggregates survive CollapseProject and still rewrite") {
+    // a .select(round(sum), concat(group, count)) above the aggregate is
+    // folded INTO Aggregate.resultExpressions by CollapseProject before
+    // extraOptimizations run — the rule must rewrite inside those trees
+    withRollup(Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice")) {
+      (base, dir) =>
+        def q(src: DataFrame) = src.groupBy("o_orderpriority")
+          .agg(sum("o_totalprice").as("s"), count(lit(1)).as("n"))
+          .select(concat(col("o_orderpriority"), lit("#"),
+              col("n").cast("string")).as("tag"),
+            round(col("s"), 2).as("s2"))
+        val rewritten = q(base)
+        assert(scanPaths(rewritten).forall(_.contains(dir)),
+          s"not rewritten:\n${rewritten.queryExecution.optimizedPlan}")
+        RollupRewrite.disable(spark)
+        val direct = q(base).collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+        RollupRewrite.enable(spark)
+        val got = rewritten.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+        assert(got.keySet == direct.keySet)
+        got.foreach { case (k, v) => assert(math.abs(v - direct(k)) < 1e-6) }
+    }
+  }
+
+  test("non-derivable shapes are left on the base table, untouched") {
+    withRollup(Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice")) {
+      (base, dir) =>
+        val onBase = Seq(
+          // filter on a non-group column
+          base.filter(col("o_orderkey") > 100).groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n")),
+          // grouping outside the registered set
+          base.groupBy("o_orderdate").agg(count(lit(1)).as("n")),
+          // distinct aggregate
+          base.groupBy("o_orderpriority")
+            .agg(countDistinct(col("o_orderstatus")).as("n")),
+          // non-derivable measure
+          base.groupBy("o_orderpriority").agg(sum("o_orderkey").as("n")))
+        onBase.foreach { df =>
+          assert(scanPaths(df).exists(_.contains("orders.parquet")),
+            s"should NOT have been rewritten:\n${df.queryExecution.optimizedPlan}")
+          assert(df.collect().nonEmpty)
+        }
+    }
+  }
+
+  test("null measures and null group values round-trip exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("rollup_null").toString
+    try {
+      Seq[(String, Option[String], Option[Double])](
+        ("a", Some("x"), Some(1.5)), ("a", Some("x"), None),
+        ("a", Some("y"), None),                    // all-null measure group
+        ("b", None, Some(2.5)), ("b", None, Some(3.0)), // null group value
+        ("b", Some("x"), Some(-1.0)))
+        .toDF("k1", "k2", "m")
+        .write.mode("overwrite").parquet(s"$dir/base")
+      val base = spark.read.parquet(s"$dir/base")
+      Rollup.materialize(base, Seq("k1", "k2"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/summary")
+      RollupRewrite.register(base, spark.read.parquet(s"$dir/summary"),
+        Seq("k1", "k2"), Seq("m"))
+      RollupRewrite.enable(spark)
+      def q(src: DataFrame) = src.groupBy("k2")
+        .agg(count(lit(1)).as("n"), count(col("m")).as("c"),
+          sum("m").as("s"), min("m").as("mn"), max("m").as("mx"),
+          avg("m").as("a"))
+      val rewritten = q(base)
+      assert(scanPaths(rewritten).forall(_.contains("summary")))
+      val got = rewritten.collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))
+        .toSet
+      RollupRewrite.disable(spark)
+      val want = q(base).collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))
+        .toSet
+      assert(got == want)
+      assert(want.exists(_._4.isEmpty), "an all-null sum group must exist")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("registration validates the summary layout") {
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+    intercept[IllegalArgumentException] {
+      RollupRewrite.register(base,
+        base.groupBy("o_orderpriority").agg(count(lit(1)).as("n")),
+        Seq("o_orderpriority"), Seq("o_totalprice"))
+    }
+    RollupRewrite.clear()
+  }
+}

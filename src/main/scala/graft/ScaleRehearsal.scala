@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bm25del,bpe,bpeseg,dsir,phrase,merge,ivf,ivfappend,ivfdel,semadmit,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bm25del,bpe,bpeseg,dsir,phrase,merge,ivf,ivfappend,ivfdel,semadmit,rollup,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
   */
 object ScaleRehearsal {
 
@@ -577,6 +577,58 @@ object ScaleRehearsal {
           f"admit=$admitWall%.1fs admitted=${admitted.size} rejected=${rejected.size} " +
             f"re_admitted=$reAdmitted")
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    })
+
+    if (enabled("rollup")) scenario("rollup-rewrite-100m",
+        "optimizer redirects a fact aggregate to the group-sized summary", {
+      // 100M-row fact, 1000 (k1, k2) groups. The rewritten aggregate must
+      // scan ONLY the 1000-row summary — its wall is fact-size-INDEPENDENT
+      // and must sit far below the direct fact scan (at 20M rows the two
+      // are within 2x because fixed job bring-up dominates; 100M is where
+      // the scan cost separates cleanly) — and the answers must match
+      // exactly (integral measures; min/max carried verbatim).
+      import graft.plan.{Rollup, RollupRewrite}
+      val tmp = java.nio.file.Files.createTempDirectory("rehearse_rollup").toString
+      try {
+        spark.range(0, 100000000L).select(
+            (col("id") % 40).cast("string").as("k1"),
+            (col("id") % 25).cast("string").as("k2"),
+            (col("id") % 997).as("m_long"),
+            ((col("id") % 10000).cast("double") / 100.0).as("m_dbl"))
+          .write.mode("overwrite").parquet(s"$tmp/base")
+        val base = spark.read.parquet(s"$tmp/base")
+        val t0 = System.nanoTime()
+        Rollup.materialize(base, Seq("k1", "k2"), Seq("m_long", "m_dbl"))
+          .write.mode("overwrite").parquet(s"$tmp/summary")
+        val buildWall = (System.nanoTime() - t0) / 1e9
+        RollupRewrite.register(base, spark.read.parquet(s"$tmp/summary"),
+          Seq("k1", "k2"), Seq("m_long", "m_dbl"))
+        RollupRewrite.enable(spark)
+        def q(src: org.apache.spark.sql.DataFrame) = src.groupBy("k1")
+          .agg(count(lit(1)).as("n"), sum("m_long").as("s"),
+            min("m_dbl").as("mn"), max("m_dbl").as("mx"))
+        val plan = q(base)
+        val scansOk = RollupRewrite.scanRootPaths(plan).forall(_.contains("summary"))
+        val t1 = System.nanoTime()
+        val rew = q(base).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4))).toSet
+        val rewrittenWall = (System.nanoTime() - t1) / 1e9
+        RollupRewrite.disable(spark)
+        val t2 = System.nanoTime()
+        val direct = q(base).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4))).toSet
+        val directWall = (System.nanoTime() - t2) / 1e9
+        (scansOk && rew == direct && rew.size == 40 &&
+          rewrittenWall < directWall / 3,
+          f"build=$buildWall%.1fs rewritten=$rewrittenWall%.2fs " +
+            f"direct=$directWall%.2fs groups=${rew.size} scans_ok=$scansOk")
+      } finally {
+        graft.plan.RollupRewrite.disable(spark)
+        graft.plan.RollupRewrite.clear()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
     })
 
     if (enabled("bpe")) scenario("bpe-4.8m-vocab",

@@ -228,4 +228,27 @@ object Rollup {
       min(col(m)).as(s"__min_$m"), max(col(m)).as(s"__max_$m")))
     base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Merge two [[materialize]] outputs (a stored summary and a new
+    * slice's) without touching base data — the maintenance op that keeps
+    * a registered rollup fresh under appends.
+    * [[graft.operators.Incremental.mergeAggregates]] handles sum-shaped
+    * partials only; a rollup summary also carries min/max, which merge
+    * with min/max, not `+`. merge(materialize(A), materialize(B)) ≡
+    * materialize(A ∪ B) — exactly for counts and min/max, and for sums
+    * up to partial-merge summation order (the same reassociation
+    * Spark's own map-side partials perform). Scale shape: one
+    * summary-sized aggregation; the base is never rescanned. */
+  def merge(stored: DataFrame, delta: DataFrame, groupCols: Seq[String],
+            measures: Seq[String]): DataFrame = {
+    val expect = (Seq(CntRows) ++ groupCols ++
+      measures.flatMap(m => Seq(s"__sum_$m", s"__cnt_$m", s"__min_$m", s"__max_$m"))).toSet
+    require(stored.columns.toSet == expect && delta.columns.toSet == expect,
+      s"inputs are not Rollup.materialize outputs for ($groupCols, $measures)")
+    val aggs = sum(col(CntRows)).as(CntRows) +: measures.flatMap(m => Seq(
+      sum(col(s"__sum_$m")).as(s"__sum_$m"), sum(col(s"__cnt_$m")).as(s"__cnt_$m"),
+      min(col(s"__min_$m")).as(s"__min_$m"), max(col(s"__max_$m")).as(s"__max_$m")))
+    stored.unionByName(delta)
+      .groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -2953,7 +2953,7 @@ object Queries {
           sum("o_totalprice").as("__s_total"),
           min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
         .select(col("o_orderpriority"), col("n_rows"), col("sum_cust"),
-          col("cnt_total"), round(col("__s_total"), 4).as("sum_total"),
+          col("cnt_total"), round(col("__s_total"), 2).as("sum_total"),
           col("mn"), col("mx"))
       val scans = R.scanRootPaths(q)
       require(scans.nonEmpty && scans.forall(_.contains(tmpRoot)),
@@ -2964,6 +2964,135 @@ object Queries {
       R.clear()
       // covers the require-failure path too (post-success it's a no-op —
       // materializeAndCleanup already removed the dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
+  /** Snapshot-VERSIONED vector index ([[graft.ann.IvfVersioned]] — the
+    * q162 consistency layer applied to the ANN tier): model fit on slice
+    * 0 and FROZEN at init (v1), two appends assigned against it (v2,
+    * v3), then a tombstone delete that publishes METADATA ONLY (v4 — a
+    * vector index has no df/stats analog, so a takedown writes no data
+    * at all). One EXTERNAL query set is then served against BOTH the
+    * committed v4 and the time-traveled v1: maintenance publishes must
+    * not disturb an old version, and each version must serve exactly a
+    * fresh full assignment of its live set with the shared frozen model
+    * (the q160/q163 contracts per version). The oracle is one slice-0
+    * KMeans replay (the fitPred chain) feeding per-version candidate +
+    * rank CTEs; tools/probe_ivf_versions.py probes both versions' rank
+    * margins at both scales. */
+  def q167IvfVersioned(s: SparkSession, dir: String): DataFrame = {
+    val V = graft.ann.IvfVersioned
+    val docs = tbl(s, dir, "documents")
+    val emb = tbl(s, dir, "embeddings")
+    val qids = docs
+      .filter(col("doc_id") % 125 === 3 && size(T.tokens(col("text"))) > 0)
+      .select(col("doc_id").as("qid"))
+    val qvecs = emb.join(qids, col("vec_id") === col("qid"))
+      .select(col("qid"), col("embedding").as("qvec"))
+    val root = java.nio.file.Files.createTempDirectory("q167_ivfv")
+      .toFile.getAbsolutePath
+    val v1 = V.init(s, root, emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", numCells = 16, iterations = 2)
+    V.append(s, root, emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding")
+    V.append(s, root, emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding")
+    val v4 = V.delete(s, root,
+      emb.filter(col("vec_id") % 13 === 4).select("vec_id"), "vec_id")
+    require(v1 == 1 && v4 == 4, s"unexpected version chain: v1=$v1 v4=$v4")
+    val latest = V.topK(s, root, qvecs, "qid", "qvec", k = 5, nProbes = 4)
+      .withColumn("version", lit(v4))
+    val pinned = V.topK(s, root, qvecs, "qid", "qvec", k = 5, nProbes = 4,
+        version = Some(v1))
+      .withColumn("version", lit(v1))
+    materializeAndCleanup(s, latest.unionByName(pinned)
+      .select(col("version"), col("qid"), col("rank"), col("nid").as("doc_id")),
+      root)
+  }
+
+  /** CHAINED semantic-admission ingest ([[graft.dedup.Dedup
+    * .semanticAdmitAgainstIndex]] composed with [[graft.ann.Ivf
+    * .appendToIndex]] — the q151 chained-ingest lifecycle for the vector
+    * tier): the stored index starts from slice 0 (model fit there and
+    * frozen), then three batches arrive in order; each round's verdicts
+    * are computed against the index AS IT STOOD (eager materialization
+    * before the append — the decisive lifecycle subtlety: a lazy verdict
+    * frame would silently re-read the already-appended index) and the
+    * round's admitted vectors are appended for the next round to see.
+    * Every verdict must match the unrolled replay: round r's candidate
+    * set is slice 0 ∪ the admitted sets of rounds < r, within the batch
+    * vector's 4 probed cells. Threshold 0.467318 is mid-gap over ALL
+    * embedding pairs at both scales (±6.2e-4 — the global form of the
+    * q164 probe, so it is safe for every round's candidate subset;
+    * tools/probe_sem_ingest.py). */
+  def q168SemanticIngest(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") % 4 === 0)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q168_ingest")
+      .toFile.getAbsolutePath
+    val model = Ivf.fit(base, "vec_id", "embedding", numCells = 16, iterations = 2)
+    Ivf.save(model, s, s"$tmpRoot/model")
+    Ivf.assign(base, "embedding", model)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cell"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/index")
+    val rounds = (1 to 3).map { r =>
+      val batch = emb.filter(col("vec_id") % 4 === r)
+      // verdicts against the index as of THIS round — eager, then append
+      val v = graft.dedup.Dedup.semanticAdmitAgainstIndex(
+          s.read.parquet(s"$tmpRoot/index"), batch,
+          Ivf.load(s, s"$tmpRoot/model"), "vec_id", "embedding",
+          threshold = 0.467318, nProbes = 4)
+        .withColumn("round", lit(r))
+        .localCheckpoint(true)
+      Ivf.appendToIndex(s, s"$tmpRoot/index", s"$tmpRoot/model",
+        batch.join(v.filter(col("admitted") === 1).select("vec_id"),
+          Seq("vec_id")), "vec_id", "embedding")
+      v
+    }
+    materializeAndCleanup(s,
+      rounds.reduce(_.unionByName(_))
+        .select(col("round"), col("vec_id"), col("cell"), col("admitted")),
+      tmpRoot)
+  }
+
+  /** Rollup MAINTENANCE under the rewrite ([[graft.plan.Rollup.merge]] —
+    * the q165 summary kept fresh without base rescans): two day-slices
+    * are materialized independently, merged at summary level (sums add,
+    * counts add, min/min max/max — the partial algebra
+    * `Incremental.mergeAggregates` lacks for min/max), and the MERGED
+    * summary is registered; the gate's aggregate must then be served
+    * from it (required in-plan, the q165 device) and must equal the
+    * plain full-base aggregate — maintenance must be answer-invisible,
+    * exactly like the index-lifecycle gates q158/q159. */
+  def q166RollupMerge(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val orders = tbl(s, dir, "orders")
+    val groupCols = Seq("o_orderpriority", "o_orderstatus")
+    val measures = Seq("o_totalprice")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q166_rollup")
+      .toFile.getAbsolutePath
+    val day1 = graft.plan.Rollup.materialize(
+      orders.filter(col("o_orderkey") % 2 === 0), groupCols, measures)
+    val day2 = graft.plan.Rollup.materialize(
+      orders.filter(col("o_orderkey") % 2 =!= 0), groupCols, measures)
+    graft.plan.Rollup.merge(day1, day2, groupCols, measures)
+      .write.mode("overwrite").parquet(s"$tmpRoot/summary")
+    R.register(orders, s.read.parquet(s"$tmpRoot/summary"), groupCols, measures)
+    R.enable(s)
+    try {
+      val q = orders.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_totalprice")).as("cnt_total"),
+          sum("o_totalprice").as("__s"),
+          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        .select(col("o_orderstatus"), col("n_rows"), col("cnt_total"),
+          round(col("__s"), 2).as("sum_total"), col("mn"), col("mx"))
+      val scans = R.scanRootPaths(q)
+      require(scans.nonEmpty && scans.forall(_.contains(tmpRoot)),
+        s"rollup rewrite did not fire over the merged summary — plan scans $scans")
+      materializeAndCleanup(s, q, tmpRoot)
+    } finally {
+      R.disable(s)
+      R.clear()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
     }
   }
@@ -3177,7 +3306,10 @@ object Queries {
     "q162_versioned_index" -> (q162VersionedIndex _),
     "q163_ivf_delete" -> (q163IvfDelete _),
     "q164_semantic_admit" -> (q164SemanticAdmit _),
-    "q165_rollup_rewrite" -> (q165RollupRewrite _))
+    "q165_rollup_rewrite" -> (q165RollupRewrite _),
+    "q166_rollup_merge" -> (q166RollupMerge _),
+    "q167_ivf_versioned" -> (q167IvfVersioned _),
+    "q168_semantic_ingest" -> (q168SemanticIngest _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -5264,15 +5396,103 @@ object Queries {
     // q165: materialized-rollup rewrite — the query is served from the
     // summary table (the gate requires it in-plan), the oracle is the
     // plain aggregate over the base: the redirect must be answer-
-    // invisible. DuckDB sum(BIGINT) is HUGEINT — CAST.
+    // invisible. DuckDB sum(BIGINT) is HUGEINT — CAST. The float sum
+    // rounds at 2dp, NOT the battery's usual 4dp: group sums reach
+    // ~1e10 over ~30-50k rows at sf0.1, where double summation noise
+    // (~2e-4, measured — q166 diverged at 4dp before this) exceeds the
+    // 5e-5 half-grid of round(,4); the true sum is on the data's 0.01
+    // grid, so 2dp has a 0.005 boundary distance, 25x above the noise.
     "q165_rollup_rewrite" ->
       """SELECT o_orderpriority, count(*) AS n_rows,
         | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         | count(o_totalprice) AS cnt_total,
-        | round(sum(o_totalprice), 4) AS sum_total,
+        | round(sum(o_totalprice), 2) AS sum_total,
         | min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |FROM orders WHERE o_orderstatus <> 'P'
         |GROUP BY o_orderpriority""".stripMargin,
+    // q166: merged-summary maintenance — the rewrite serves from a
+    // summary assembled by Rollup.merge over two day slices; the oracle
+    // is the plain full-base aggregate (maintenance answer-invisible).
+    // 2dp rounding for the same reason as q165 (this query is where the
+    // 4dp boundary was actually crossed at sf0.1).
+    "q166_rollup_merge" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        | count(o_totalprice) AS cnt_total,
+        | round(sum(o_totalprice), 2) AS sum_total,
+        | min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // q167: versioned vector index — ONE slice-0 KMeans replay (the
+    // fitPred chain; af assigns the FULL corpus with that frozen model)
+    // feeding per-version candidate CTEs: v1 = slice 0, v4 = everything
+    // minus the tombstoned ids. Queries are EXTERNAL (full documents
+    // predicate) so the same set scores both versions — the q162
+    // multi-version device for the ANN tier.
+    "q167_ivf_versioned" -> {
+      val (ctes, fin) = ivfReplayCtes(16, 2, Some("qv.vec_id % 3 = 0"))
+      s"""WITH $ctes,
+        |af AS (SELECT vec_id, cell FROM (
+        |  ${ivfRanked(fin)}) WHERE rn = 1),
+        |pr AS (SELECT vec_id, cell FROM (
+        |  ${ivfRanked(fin,
+             """WHERE qv.vec_id IN (SELECT doc_id FROM documents
+               |    WHERE doc_id % 125 = 3 AND length(trim(text)) > 0)""".stripMargin)}) WHERE rn <= 4),
+        |cand1 AS (SELECT DISTINCT pr.vec_id AS qid, af.vec_id AS nid
+        | FROM pr JOIN af USING (cell) WHERE af.vec_id <> pr.vec_id AND af.vec_id % 3 = 0),
+        |cand4 AS (SELECT DISTINCT pr.vec_id AS qid, af.vec_id AS nid
+        | FROM pr JOIN af USING (cell) WHERE af.vec_id <> pr.vec_id AND af.vec_id % 13 <> 4),
+        |ds1 AS (SELECT qid, nid, list_cosine_similarity(a.v, b.v) AS cos
+        | FROM cand1 JOIN e a ON a.vec_id = cand1.qid JOIN e b ON b.vec_id = cand1.nid),
+        |ds4 AS (SELECT qid, nid, list_cosine_similarity(a.v, b.v) AS cos
+        | FROM cand4 JOIN e a ON a.vec_id = cand4.qid JOIN e b ON b.vec_id = cand4.nid),
+        |dn1 AS (SELECT qid, nid AS doc_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+        | FROM ds1),
+        |dn4 AS (SELECT qid, nid AS doc_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+        | FROM ds4)
+        |SELECT CAST(4 AS INT) AS version, qid, CAST(rank AS INT) AS rank, doc_id
+        |FROM dn4 WHERE rank <= 5
+        |UNION ALL
+        |SELECT CAST(1 AS INT) AS version, qid, CAST(rank AS INT) AS rank, doc_id
+        |FROM dn1 WHERE rank <= 5""".stripMargin
+    },
+    // q168: chained semantic ingest — the q151 unrolled-rounds device
+    // for the vector tier: round r's stored set st_r = slice 0 ∪
+    // admitted(<r), candidates within the batch vector's 4 probed cells
+    // under the slice-0-frozen model (fitPred chain), verdict on raw
+    // double cosine vs the GLOBAL mid-gap threshold (±6.2e-4 from every
+    // pair at both scales — safe for every round's candidate subset;
+    // tools/probe_sem_ingest.py). MATERIALIZED: st/v CTEs are referenced
+    // by every later round — DuckDB would otherwise re-expand the chain.
+    "q168_semantic_ingest" -> {
+      val (ctes, fin) = ivfReplayCtes(16, 2, Some("qv.vec_id % 4 = 0"))
+      val sb = new StringBuilder(
+        s"""WITH $ctes,
+          |af AS (SELECT vec_id, cell FROM (
+          |  ${ivfRanked(fin)}) WHERE rn = 1),
+          |bp AS (SELECT vec_id, cell, rn FROM (
+          |  ${ivfRanked(fin, "WHERE qv.vec_id % 4 <> 0")}) WHERE rn <= 4),
+          |t1 AS (SELECT vec_id, cell FROM bp WHERE rn = 1),
+          |st1 AS MATERIALIZED (SELECT vec_id FROM e WHERE vec_id % 4 = 0)""".stripMargin)
+      for (r <- 1 to 3) {
+        sb.append(s""",
+          |mx$r AS MATERIALIZED (SELECT bp.vec_id, max(list_cosine_similarity(a.v, b.v)) AS m
+          | FROM bp JOIN af ON af.cell = bp.cell JOIN st$r ON st$r.vec_id = af.vec_id
+          |  JOIN e a ON a.vec_id = bp.vec_id JOIN e b ON b.vec_id = af.vec_id
+          | WHERE bp.vec_id % 4 = $r GROUP BY bp.vec_id),
+          |v$r AS MATERIALIZED (SELECT t1.vec_id, t1.cell,
+          |  CASE WHEN m.m >= 0.467318::DOUBLE THEN 0 ELSE 1 END AS admitted
+          | FROM t1 LEFT JOIN mx$r m ON m.vec_id = t1.vec_id WHERE t1.vec_id % 4 = $r)""".stripMargin)
+        if (r < 3) sb.append(s""",
+          |st${r + 1} AS MATERIALIZED (SELECT vec_id FROM st$r
+          | UNION ALL SELECT vec_id FROM v$r WHERE admitted = 1)""".stripMargin)
+      }
+      sb.append("""
+        |SELECT CAST(1 AS INT) AS round, vec_id, cell, admitted FROM v1
+        |UNION ALL SELECT CAST(2 AS INT), vec_id, cell, admitted FROM v2
+        |UNION ALL SELECT CAST(3 AS INT), vec_id, cell, admitted FROM v3""".stripMargin)
+      sb.toString
+    },
     // q151: three composed admission rounds over the portable
     // signature/band replay (q109's machinery). `pair` holds ALL
     // band-colliding ≥0.7 pairs as (id_x < id_y); in-batch rejection of d

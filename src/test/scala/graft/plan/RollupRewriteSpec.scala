@@ -171,6 +171,50 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("merge of slice summaries ≡ full materialize (incl. one-sided groups)") {
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+    val gc = Seq("o_orderpriority", "o_orderstatus")
+    val ms = Seq("o_totalprice", "o_custkey")
+    val a = Rollup.materialize(base.filter(col("o_orderkey") % 2 === 0), gc, ms)
+    val b = Rollup.materialize(base.filter(col("o_orderkey") % 2 =!= 0), gc, ms)
+    val merged = Rollup.merge(a, b, gc, ms).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val full = Rollup.materialize(base, gc, ms).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(merged.keySet == full.keySet && full.nonEmpty)
+    val cols = Rollup.materialize(base, gc, ms).columns
+    full.foreach { case (k, f) =>
+      val m = merged(k)
+      cols.zipWithIndex.foreach { case (c, i) =>
+        if (c.startsWith("__sum_o_totalprice"))
+          assert(math.abs(m.getDouble(i) - f.getDouble(i)) < 1e-6, c)
+        else assert(m.get(i) == f.get(i), c) // counts, min/max, long sums: exact
+      }
+    }
+    // layout validation rejects a non-summary input
+    intercept[IllegalArgumentException] {
+      Rollup.merge(a, base, gc, ms)
+    }
+  }
+
+  test("global (no-group) aggregate rides the summary") {
+    withRollup(Seq("o_orderpriority", "o_orderstatus"), Seq("o_custkey")) {
+      (base, dir) =>
+        def q(src: DataFrame) = src.agg(count(lit(1)).as("n"),
+          sum("o_custkey").as("s"), min("o_custkey").as("mn"))
+        val rewritten = q(base)
+        assert(scanPaths(rewritten).forall(_.contains(dir)),
+          s"global aggregate not rewritten:\n${rewritten.queryExecution.optimizedPlan}")
+        RollupRewrite.disable(spark)
+        val direct = q(base).collect().head
+        RollupRewrite.enable(spark)
+        val got = rewritten.collect().head
+        assert(got.getLong(0) == direct.getLong(0))
+        assert(got.getLong(1) == direct.getLong(1))
+        assert(got.getLong(2) == direct.getLong(2))
+    }
+  }
+
   test("registration validates the summary layout") {
     val base = spark.read.parquet(s"$sf/orders.parquet")
     intercept[IllegalArgumentException] {

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bm25del,bpe,bpeseg,dsir,phrase,merge,ivf,ivfappend,ivfdel,semadmit,rollup,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bm25del,bpe,bpeseg,dsir,phrase,merge,ivf,ivfappend,ivfdel,semadmit,rollup,eageragg,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
   */
 object ScaleRehearsal {
 
@@ -620,15 +620,82 @@ object ScaleRehearsal {
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
             r.getDouble(3), r.getDouble(4))).toSet
         val directWall = (System.nanoTime() - t2) / 1e9
+        // AGGREGATE NAVIGATION (q172 composed form): a JOIN query over
+        // the same 100M fact — eager aggregation pushes the partial
+        // below the join, the rollup rewrite redirects it to the
+        // summary: the fact is never scanned, so the join-aggregate
+        // wall is summary-sized too.
+        val dim = spark.range(0, 40).select(col("id").cast("string").as("dk"),
+          (col("id") % 5).cast("string").as("g"))
+        def qj(src: org.apache.spark.sql.DataFrame) =
+          src.join(dim, col("k1") === col("dk"))
+            .groupBy("g").agg(count(lit(1)).as("n"), sum("m_long").as("s"))
+        val t3 = System.nanoTime()
+        val directJoin = qj(base).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val directJoinWall = (System.nanoTime() - t3) / 1e9
+        RollupRewrite.enable(spark)
+        graft.plan.EagerAggregation.enable(spark)
+        val navPlan = qj(base)
+        val navOk = RollupRewrite.scanRootPaths(navPlan)
+          .forall(_.contains("summary")) &&
+          graft.plan.EagerAggregation.partialAggBelowJoin(navPlan)
+        val t4 = System.nanoTime()
+        val nav = qj(base).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val navWall = (System.nanoTime() - t4) / 1e9
+        graft.plan.EagerAggregation.disable(spark)
+        RollupRewrite.disable(spark)
         (scansOk && rew == direct && rew.size == 40 &&
-          rewrittenWall < directWall / 3,
+          rewrittenWall < directWall / 3 &&
+          navOk && nav == directJoin && navWall < directJoinWall / 3,
           f"build=$buildWall%.1fs rewritten=$rewrittenWall%.2fs " +
-            f"direct=$directWall%.2fs groups=${rew.size} scans_ok=$scansOk")
+            f"direct=$directWall%.2fs groups=${rew.size} scans_ok=$scansOk " +
+            f"nav=$navWall%.2fs direct_join=$directJoinWall%.2fs nav_ok=$navOk")
       } finally {
         graft.plan.RollupRewrite.disable(spark)
         graft.plan.RollupRewrite.clear()
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       }
+    })
+
+    if (enabled("eageragg")) scenario("eager-agg-100m",
+        "partial aggregation pushed below a large-dim sort-merge join", {
+      // 100M-row fact joined to a 5M-row dim (too big to broadcast —
+      // the sort-merge shape eager aggregation exists for), grouped by
+      // the dim's 20-value attribute. Directly, the join shuffles all
+      // 100M fact rows; with the pushdown, the fact pre-aggregates to
+      // 5M per-key partials first (20:1 on the wire, and the partials
+      // get map-side combine on top). Answers must match exactly
+      // (integral measures — closed-form check on the group count) and
+      // the pushed shape must be in-plan; the wall ratio is the claim.
+      import graft.plan.EagerAggregation
+      val fact = spark.range(0, 100000000L).select(
+        (col("id") % 5000000L).as("k"), (col("id") % 997).as("m"))
+      val dim = spark.range(0, 5000000L).select(
+        col("id").as("dk"), (col("id") % 20).cast("string").as("g"))
+      def q() = fact.join(dim, col("k") === col("dk"))
+        .groupBy("g").agg(count(lit(1)).as("n"), sum("m").as("s"),
+          min("m").as("mn"), max("m").as("mx"))
+      val t0 = System.nanoTime()
+      val direct = q().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val directWall = (System.nanoTime() - t0) / 1e9
+      EagerAggregation.enable(spark)
+      try {
+        val plan = q()
+        val pushed = EagerAggregation.partialAggBelowJoin(plan)
+        val t1 = System.nanoTime()
+        val eager = q().collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+        val eagerWall = (System.nanoTime() - t1) / 1e9
+        (pushed && eager == direct && eager.size == 20 &&
+          eagerWall < directWall,
+          f"direct=$directWall%.1fs eager=$eagerWall%.1fs pushed=$pushed " +
+            f"groups=${eager.size}")
+      } finally EagerAggregation.disable(spark)
     })
 
     if (enabled("bpe")) scenario("bpe-4.8m-vocab",

@@ -94,6 +94,90 @@ case class KmvDistinctAgg(
     copy(child = newChildren.head)
 }
 
+/** Merge of STORED [[KmvDistinctAgg]] sketches (ascending array<long>
+  * columns) without re-touching the data they summarize: union, keep the
+  * k smallest — associative and LOSSLESS by the order-statistic argument
+  * (any global top-k minimum is a top-k minimum of its own source), so
+  * `kmvMerge(stored sketches) ≡ kmvSketch(full data)` exactly. This is
+  * the aggregate-expression form of q77's explode→re-sketch device,
+  * usable wherever an AggregateExpression is required — in particular by
+  * [[graft.plan.RollupRewrite]] to answer sketch queries from a
+  * sketch-carrying summary table. */
+case class KmvMergeAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvDistinctAgg.Buffer] {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kmv_merge requires ARRAY<BIGINT> sketch input, got ${other.sql}")
+    }
+
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): KmvDistinctAgg.Buffer =
+    new KmvDistinctAgg.Buffer(new Array[Long](k), 0)
+
+  override def update(buffer: KmvDistinctAgg.Buffer, input: InternalRow): KmvDistinctAgg.Buffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) { buffer.insert(arr.getLong(i)); i += 1 }
+    }
+    buffer
+  }
+
+  override def merge(buffer: KmvDistinctAgg.Buffer, other: KmvDistinctAgg.Buffer): KmvDistinctAgg.Buffer = {
+    var i = 0
+    while (i < other.size) { buffer.insert(other.values(i)); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: KmvDistinctAgg.Buffer): Any =
+    new GenericArrayData(java.util.Arrays.copyOf(buffer.values, buffer.size))
+
+  override def serialize(buffer: KmvDistinctAgg.Buffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.size * 8)
+    bb.putInt(buffer.size)
+    var i = 0
+    while (i < buffer.size) { bb.putLong(buffer.values(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvDistinctAgg.Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val vs = new Array[Long](k)
+    var i = 0
+    while (i < n) { vs(i) = bb.getLong(); i += 1 }
+    new KmvDistinctAgg.Buffer(vs, n)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object KmvMergeAgg {
+  /** `kmvMerge(sketchCol, k)` → the sketch of the union of the groups the
+    * input sketches summarize (ascending array<long>, ≤ k values). */
+  def kmvMerge(sketch: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KmvMergeAgg(ExpressionUtils.expression(sketch), k).toAggregateExpression())
+}
+
 object KmvDistinctAgg {
 
   /** Sorted-ascending bounded set of the k smallest distinct longs. */

@@ -1,0 +1,190 @@
+package graft.plan
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** EAGER AGGREGATION — partial-aggregation pushdown through a join
+  * (Yan & Larson, "Eager aggregation and lazy aggregation", VLDB '95;
+  * the classic warehouse rewrite Spark's optimizer does not perform).
+  *
+  * Shape it targets:
+  * {{{
+  *   fact.join(dim, fact("k") === dim("k"))
+  *       .groupBy(dim("attr")).agg(sum(fact("m")), ...)
+  * }}}
+  * The stock plan shuffles the FULL fact table into the join (when the
+  * dim side is too big to broadcast) and aggregates after; at 100 TB the
+  * fact-sized join shuffle is the bottleneck. The rewrite pre-aggregates
+  * the fact side by its join keys first:
+  * {{{
+  *   Aggregate(G, merge(partials),
+  *     Join(Aggregate(factKeys ++ factGroupCols, partials, fact), dim))
+  * }}}
+  * so only one partial row per fact join key crosses the wire (and the
+  * pre-aggregation itself gets Spark's map-side combine — the fact never
+  * leaves its input partitions at full size), and the join's own shuffle
+  * requirement is satisfied by the pre-aggregation's partitioning.
+  *
+  * WHY IT IS CORRECT under dim-side duplicate keys: each pre-aggregated
+  * fact row is duplicated by the join exactly as many times as each of
+  * its raw rows would have been, so sum/count/min/max over the duplicated
+  * partials equal the same functions over the duplicated raw rows.
+  * Null fact join keys drop identically on both shapes (inner equi-join).
+  *
+  * Supported (everything else leaves the plan untouched): INNER joins
+  * with pure conjunctive attribute-equality conditions; aggregates
+  * sum / count / count(*) / min / max / avg(non-decimal), undistinct and
+  * unfiltered, whose inputs all come from ONE side (that side becomes
+  * the fact); grouping expressions over the other side plus any fact
+  * columns (fact-side grouping columns join the pre-aggregation keys).
+  * Result expressions may be arbitrary trees over aggregate calls (the
+  * CollapseProject-folded shape — same contract as [[RollupRewrite]]).
+  * sum(decimal) re-sums partials at wider precision and casts back to
+  * the original sum type; avg decomposes into sum/count partials and
+  * divides at the top (bit-equal for integral inputs, partial-merge
+  * summation order for floats — the same reassociation any map-side
+  * partial performs).
+  *
+  * Opt-in ([[enable]]) like [[RollupRewrite]]: it is a heuristic — when
+  * fact join keys are near-unique the pre-aggregation reduces nothing
+  * (it costs one extra operator on the same shuffle), and when the dim
+  * side broadcasts, map-side partials after the join already avoid the
+  * fact shuffle. The win is the large-dim sort-merge case, which is the
+  * common 100-TB fact/dim shape.
+  */
+object EagerAggregation {
+
+  def enable(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[PushRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new PushRule
+
+  def disable(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[PushRule])
+
+  /** True when the optimized plan carries an Aggregate BELOW a Join —
+    * the pushed-partial shape, for gates/specs that must PROVE the
+    * rewrite fired. */
+  def partialAggBelowJoin(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join => j.children.exists(_.collectFirst {
+        case a: Aggregate => a
+      }.isDefined)
+    }.exists(identity)
+
+  private[plan] class PushRule extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+
+    private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        stripProjects(child)
+      case other => other
+    }
+
+    private def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+
+    private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+      val join = stripProjects(agg.child) match {
+        case j: Join if j.joinType == Inner && j.condition.isDefined => j
+        case _ => return None
+      }
+      val leftOut = join.left.outputSet
+      val rightOut = join.right.outputSet
+      // pure conjunction of attribute equi-predicates, oriented (left, right)
+      val keyPairs = conjuncts(join.condition.get).map {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+          if leftOut.contains(a) && rightOut.contains(b) => (a, b)
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+          if leftOut.contains(b) && rightOut.contains(a) => (b, a)
+        case _ => return None
+      }
+      val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression => ae
+      })
+      if (aggCalls.isEmpty) return None
+      if (aggCalls.exists(ae => ae.isDistinct || ae.filter.isDefined)) return None
+      val aggRefs = AttributeSet(aggCalls.flatMap(_.references))
+      val (fact, dim, factIsLeft) =
+        if (aggRefs.subsetOf(leftOut)) (join.left, join.right, true)
+        else if (aggRefs.subsetOf(rightOut)) (join.right, join.left, false)
+        else return None
+      // idempotence at the optimizer's fixpoint: a pushed plan's fact side
+      // IS an Aggregate — never stack a second pre-aggregation on it
+      if (stripProjects(fact).isInstanceOf[Aggregate]) return None
+      val factOut = fact.outputSet
+      val factKeys = keyPairs.map(p => if (factIsLeft) p._1 else p._2)
+      val groupRefs = AttributeSet(agg.groupingExpressions.flatMap(_.references))
+      val factGroupAttrs = agg.groupingExpressions.flatMap(_.references)
+        .filter(factOut.contains).distinct
+
+      // partials, deduplicated by (kind, canonicalized input)
+      val partials = scala.collection.mutable.LinkedHashMap[
+        (String, Expression), Alias]()
+      def partialOf(kind: String, fn: AggregateFunction,
+                    key: Expression): Attribute = {
+        val al = partials.getOrElseUpdate((kind, key.canonicalized),
+          Alias(AggregateExpression(fn, Complete, isDistinct = false),
+            s"__ea_${kind}_${partials.size}")())
+        al.toAttribute
+      }
+      def sumOf(a: Expression) =
+        AggregateExpression(Sum(a), Complete, isDistinct = false)
+      def mergeOf(ae: AggregateExpression): Option[Expression] =
+        ae.aggregateFunction match {
+          case Sum(e, _) =>
+            val m = sumOf(partialOf("sum", Sum(e), e))
+            Some(if (m.dataType == ae.dataType) m else Cast(m, ae.dataType))
+          case c: Count =>
+            // count(*) keys on the literal row-count partial; count(e) on e
+            val key = c.children.headOption.getOrElse(Literal(1))
+            Some(sumOf(partialOf("cnt", c, key)))
+          case Min(e) =>
+            Some(AggregateExpression(Min(partialOf("min", Min(e), e)),
+              Complete, isDistinct = false))
+          case Max(e) =>
+            Some(AggregateExpression(Max(partialOf("max", Max(e), e)),
+              Complete, isDistinct = false))
+          case Average(e, _) if !e.dataType.isInstanceOf[DecimalType] =>
+            Some(Divide(
+              Cast(sumOf(partialOf("sum", Sum(e), e)), DoubleType),
+              Cast(sumOf(partialOf("cnt", Count(Seq(e)), e)), DoubleType)))
+          case _ => None
+        }
+      def rewriteExpr(e: Expression): Option[Expression] = e match {
+        case ae: AggregateExpression => mergeOf(ae)
+        case a: AttributeReference => Some(a) // grouping or dim column
+        case other =>
+          val kids = other.children.map(rewriteExpr)
+          if (kids.exists(_.isEmpty)) None
+          else Some(other.withNewChildren(kids.map(_.get)))
+      }
+      val rewritten = agg.aggregateExpressions.map {
+        case a: AttributeReference => a
+        case al @ Alias(child, name) =>
+          Alias(rewriteExpr(child).getOrElse(return None), name)(
+            exprId = al.exprId, qualifier = al.qualifier)
+        case _ => return None
+      }
+      val preKeys: Seq[Attribute] = (factKeys ++ factGroupAttrs).distinct
+      val preAgg = Aggregate(preKeys,
+        preKeys.map(_.asInstanceOf[NamedExpression]) ++ partials.values, fact)
+      val newJoin =
+        if (factIsLeft) join.copy(left = preAgg)
+        else join.copy(right = preAgg)
+      // grouping expressions and output exprIds are preserved verbatim —
+      // parents above the aggregate are untouched
+      Some(Aggregate(agg.groupingExpressions, rewritten, newJoin))
+    }
+  }
+}

@@ -42,31 +42,75 @@ import org.apache.spark.sql.types.DoubleType
   * non-column grouping expressions all bail out. The rewrite preserves
   * the original output `exprId`s, so parent operators above the
   * aggregate are untouched.
+  *
+  * LATTICE ROUTING: several summaries at different grains may be
+  * registered over one base (the classic rollup lattice — e.g.
+  * (priority, status) and (status)). The rule tries the COARSEST
+  * qualifying grain first (fewest group columns — the fewest-rows proxy
+  * when grains nest) and falls to finer grains, then to the base, only
+  * when a coarser one cannot answer (missing group column, missing
+  * measure, or a filter referencing an uncarried column). A dashboard's
+  * status-only query thus reads the handful-of-rows status summary even
+  * though the finer summary could also answer it.
   */
 object RollupRewrite {
 
   /** One registered rollup: the base table's root paths, its summary
-    * relation (analyzed logical plan of a parquet read), and the layout
-    * [[Rollup.materialize]] wrote. */
+    * relation (analyzed logical plan of a parquet read), the layout
+    * [[Rollup.materialize]] wrote, and — when the summary carries KMV
+    * sketches — the normalized optimized shape of the hash expression a
+    * query must use for each distinct column (snapshotted through the
+    * same analyzer+optimizer the query side goes through, so shape
+    * comparison can never drift). */
   private[plan] case class RollupDef(basePaths: Set[String],
                                      summary: LogicalPlan,
                                      groupCols: Seq[String],
-                                     measures: Seq[String])
+                                     measures: Seq[String],
+                                     distinctCols: Seq[String] = Nil,
+                                     sketchK: Int = 64,
+                                     sketchShapes: Map[String, Expression] = Map.empty)
 
   private val defs = new java.util.concurrent.CopyOnWriteArrayList[RollupDef]
 
+  /** Normalize a hash expression for shape comparison: every attribute
+    * collapses to one canonical placeholder, then Catalyst
+    * canonicalization. Two trees that do the same computation to A
+    * column compare equal regardless of exprIds. */
+  private[plan] def normalizedShape(e: Expression): Expression =
+    e.transform {
+      case a: AttributeReference =>
+        AttributeReference("__col", a.dataType, nullable = true)(exprId = ExprId(0))
+    }.canonicalized
+
   /** Register `summary` (written by [[Rollup.materialize]]) as answering
-    * aggregates over `base`. Both must be file-backed relations. */
+    * aggregates over `base`. Both must be file-backed relations.
+    * `distinctCols`/`sketchK` must match the materialize call when the
+    * summary carries KMV sketch columns. */
   def register(base: DataFrame, summary: DataFrame,
-               groupCols: Seq[String], measures: Seq[String]): Unit = {
+               groupCols: Seq[String], measures: Seq[String],
+               distinctCols: Seq[String] = Nil, sketchK: Int = 64): Unit = {
     val expect = (Seq(Rollup.CntRows) ++ groupCols ++
-      measures.flatMap(m => Seq(s"__sum_$m", s"__cnt_$m", s"__min_$m", s"__max_$m"))).toSet
+      measures.flatMap(m => Seq(s"__sum_$m", s"__cnt_$m", s"__min_$m", s"__max_$m")) ++
+      distinctCols.map(c => s"__kmv_$c")).toSet
     require(summary.columns.toSet == expect,
       s"summary schema ${summary.columns.sorted.mkString(",")} does not match " +
-        s"Rollup.materialize layout for ($groupCols, $measures)")
+        s"Rollup.materialize layout for ($groupCols, $measures, $distinctCols)")
+    // snapshot the per-column hash shape through the SAME analyzer +
+    // optimizer pipeline the query side will go through
+    val shapes = distinctCols.map { c =>
+      val opt = base.select(graft.curate.Curate.portableHash60(
+          org.apache.spark.sql.functions.col(c)).as("__h"))
+        .queryExecution.optimizedPlan
+      val expr = opt.collectFirst {
+        case Project(Seq(Alias(child, _)), _) => child
+      }.getOrElse(throw new IllegalStateException(
+        s"could not snapshot hash shape for distinct column '$c'"))
+      c -> normalizedShape(expr)
+    }.toMap
     defs.add(RollupDef(rootPaths(base.queryExecution.analyzed).getOrElse(
         throw new IllegalArgumentException("base must be a single file-backed relation")),
-      summary.queryExecution.analyzed, groupCols, measures))
+      summary.queryExecution.analyzed, groupCols, measures,
+      distinctCols, sketchK, shapes))
   }
 
   def clear(): Unit = defs.clear()
@@ -122,14 +166,22 @@ object RollupRewrite {
         case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).toSet
         case _ => return None
       }
-      val d = {
-        val it = defs.iterator()
-        var found: RollupDef = null
-        while (it.hasNext && found == null) {
-          val c = it.next(); if (c.basePaths == paths) found = c
-        }
-        if (found == null) return None else found
+      // Lattice routing: several summaries at different grains may be
+      // registered for one base. Try coarsest-first (fewest group
+      // columns — the fewest-rows proxy when grains nest, which is the
+      // rollup-lattice case) and take the first grain that can answer;
+      // a finer summary only serves what a coarser one cannot. Ties keep
+      // registration order.
+      val candidates = {
+        import scala.jdk.CollectionConverters._
+        defs.iterator().asScala.filter(_.basePaths == paths).toSeq
+          .sortBy(_.groupCols.size)
       }
+      candidates.view.flatMap(d => tryRewriteWith(agg, conds, d)).headOption
+    }
+
+    private def tryRewriteWith(agg: Aggregate, conds: Seq[Expression],
+                               d: RollupDef): Option[LogicalPlan] = {
       // fresh attribute ids per rewrite: the same summary may answer two
       // aggregates in one query (e.g. a self-union), which must not share ids
       val summary = d.summary match {
@@ -167,6 +219,23 @@ object RollupRewrite {
         case Average(e, _) =>
           for (s <- measureAttr(e, "__sum_"); c <- measureAttr(e, "__cnt_"))
             yield Divide(Cast(sumOf(s), DoubleType), Cast(sumOf(c), DoubleType))
+        // kmvSketch(portableHash60(c), k) → kmvMerge(__kmv_c, k): LOSSLESS
+        // (order statistic — the global k minima are contained in the
+        // union of per-group minima), so the summary-served sketch is
+        // IDENTICAL to the base-computed one, estimator included. The
+        // query's hash tree must match the registered shape exactly
+        // (snapshotted through the same optimizer at register time).
+        case kv: graft.functions.expressions.KmvDistinctAgg
+            if kv.k == d.sketchK =>
+          kv.child.references.toSeq match {
+            case Seq(a) if d.distinctCols.contains(a.name) &&
+                d.sketchShapes.get(a.name).contains(normalizedShape(kv.child)) =>
+              Some(AggregateExpression(
+                graft.functions.expressions.KmvMergeAgg(
+                  sAttr(s"__kmv_${a.name}"), kv.k),
+                Complete, isDistinct = false))
+            case _ => None
+          }
         case _ => None
       }
       // Result expressions are arbitrary trees over aggregate calls and
@@ -216,16 +285,24 @@ object Rollup {
 
   /** One pass over `base`: per (groupCols) group, the decomposable
     * partials for every measure — `__sum_m`, `__cnt_m` (non-null count),
-    * `__min_m`, `__max_m` — plus `__cnt_rows`. Write the result as a
-    * table and register it with [[RollupRewrite.register]]; keep it
-    * fresh with [[graft.operators.Incremental.mergeAggregates]] over the
-    * sum/count partials (min/max are merge-only under appends). */
+    * `__min_m`, `__max_m` — plus `__cnt_rows`, and for every
+    * `distinctCols` entry a `__kmv_c` KMV distinct sketch
+    * ([[graft.functions.expressions.KmvDistinctAgg]] over the
+    * engine-portable 60-bit md5 hash). Sketches make DISTINCT-COUNT
+    * estimates servable from the summary tier: KMV merge is lossless, so
+    * a summary-served sketch equals the base-computed one EXACTLY.
+    * Write the result as a table and register it with
+    * [[RollupRewrite.register]]; keep it fresh with [[merge]]. */
   def materialize(base: DataFrame, groupCols: Seq[String],
-                  measures: Seq[String]): DataFrame = {
-    require(groupCols.nonEmpty && measures.nonEmpty)
-    val aggs = count(lit(1)).as(CntRows) +: measures.flatMap(m => Seq(
+                  measures: Seq[String], distinctCols: Seq[String] = Nil,
+                  sketchK: Int = 64): DataFrame = {
+    require(groupCols.nonEmpty && (measures.nonEmpty || distinctCols.nonEmpty))
+    val aggs = (count(lit(1)).as(CntRows) +: measures.flatMap(m => Seq(
       sum(col(m)).as(s"__sum_$m"), count(col(m)).as(s"__cnt_$m"),
-      min(col(m)).as(s"__min_$m"), max(col(m)).as(s"__max_$m")))
+      min(col(m)).as(s"__min_$m"), max(col(m)).as(s"__max_$m")))) ++
+      distinctCols.map(c => graft.functions.expressions.KmvDistinctAgg
+        .kmvSketch(graft.curate.Curate.portableHash60(col(c)), sketchK)
+        .as(s"__kmv_$c"))
     base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -240,14 +317,18 @@ object Rollup {
     * Spark's own map-side partials perform). Scale shape: one
     * summary-sized aggregation; the base is never rescanned. */
   def merge(stored: DataFrame, delta: DataFrame, groupCols: Seq[String],
-            measures: Seq[String]): DataFrame = {
+            measures: Seq[String], distinctCols: Seq[String] = Nil,
+            sketchK: Int = 64): DataFrame = {
     val expect = (Seq(CntRows) ++ groupCols ++
-      measures.flatMap(m => Seq(s"__sum_$m", s"__cnt_$m", s"__min_$m", s"__max_$m"))).toSet
+      measures.flatMap(m => Seq(s"__sum_$m", s"__cnt_$m", s"__min_$m", s"__max_$m")) ++
+      distinctCols.map(c => s"__kmv_$c")).toSet
     require(stored.columns.toSet == expect && delta.columns.toSet == expect,
-      s"inputs are not Rollup.materialize outputs for ($groupCols, $measures)")
-    val aggs = sum(col(CntRows)).as(CntRows) +: measures.flatMap(m => Seq(
+      s"inputs are not Rollup.materialize outputs for ($groupCols, $measures, $distinctCols)")
+    val aggs = (sum(col(CntRows)).as(CntRows) +: measures.flatMap(m => Seq(
       sum(col(s"__sum_$m")).as(s"__sum_$m"), sum(col(s"__cnt_$m")).as(s"__cnt_$m"),
-      min(col(s"__min_$m")).as(s"__min_$m"), max(col(s"__max_$m")).as(s"__max_$m")))
+      min(col(s"__min_$m")).as(s"__min_$m"), max(col(s"__max_$m")).as(s"__max_$m")))) ++
+      distinctCols.map(c => graft.functions.expressions.KmvMergeAgg
+        .kmvMerge(col(s"__kmv_$c"), sketchK).as(s"__kmv_$c"))
     stored.unionByName(delta)
       .groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }

@@ -3097,6 +3097,190 @@ object Queries {
     }
   }
 
+  /** Rollup LATTICE routing ([[graft.plan.RollupRewrite]] with SEVERAL
+    * grains registered over one base — the materialized-view-selection
+    * problem in its rollup-lattice form): a coarse (status) summary and
+    * a fine (priority, status) summary both answer aggregates over
+    * orders; the optimizer must route each query to the CHEAPEST grain
+    * that can answer it. Three legs, each plan-asserted before union:
+    * the status-only aggregate must read the coarse summary (even
+    * though the fine one could also answer — fewest-rows wins), the
+    * priority aggregate over a fine-only measure must read the fine
+    * summary, and an aggregate over an unregistered measure must fall
+    * through to the base table untouched. The fine grain is registered
+    * FIRST so the gate also proves selection is by grain, not
+    * registration order. Oracle = the three plain aggregates over the
+    * base: routing must be answer-invisible at every grain. Float sums
+    * round at 2dp (the q165/q166 magnitude regime); integer sums are
+    * exact BIGINTs cast to double (≪ 2^53). */
+  def q169RollupLattice(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val orders = tbl(s, dir, "orders")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q169_lattice")
+      .toFile.getAbsolutePath
+    graft.plan.Rollup.materialize(orders,
+        Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice", "o_custkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/fine")
+    graft.plan.Rollup.materialize(orders,
+        Seq("o_orderstatus"), Seq("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/coarse")
+    R.register(orders, s.read.parquet(s"$tmpRoot/fine"),
+      Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice", "o_custkey"))
+    R.register(orders, s.read.parquet(s"$tmpRoot/coarse"),
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    R.enable(s)
+    try {
+      val qa = orders.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum("o_totalprice").as("__s"))
+        .select(lit("coarse").as("leg"), col("o_orderstatus").as("grp"),
+          col("n_rows"), round(col("__s"), 2).as("sum_v"))
+      val qb = orders.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum("o_custkey").as("__s"))
+        .select(lit("fine").as("leg"), col("o_orderpriority").as("grp"),
+          col("n_rows"), col("__s").cast("double").as("sum_v"))
+      val qc = orders.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("__s"))
+        .select(lit("base").as("leg"), col("o_orderstatus").as("grp"),
+          col("n_rows"), col("__s").cast("double").as("sum_v"))
+      val sa = R.scanRootPaths(qa)
+      require(sa.nonEmpty && sa.forall(_.contains(s"$tmpRoot/coarse")),
+        s"status aggregate must ride the COARSE grain — plan scans $sa")
+      val sb = R.scanRootPaths(qb)
+      require(sb.nonEmpty && sb.forall(_.contains(s"$tmpRoot/fine")),
+        s"priority/custkey aggregate must ride the FINE grain — plan scans $sb")
+      val sc = R.scanRootPaths(qc)
+      require(sc.exists(_.contains("orders")),
+        s"unregistered measure must fall through to the base — plan scans $sc")
+      materializeAndCleanup(s, qa.unionByName(qb).unionByName(qc), tmpRoot)
+    } finally {
+      R.disable(s)
+      R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
+  /** EAGER AGGREGATION ([[graft.plan.EagerAggregation]] — partial-agg
+    * pushdown through a join, Yan & Larson VLDB '95): the fact side of
+    * orders ⋈ customer is pre-aggregated by its join key BELOW the join,
+    * so at scale only one partial row per custkey crosses the join
+    * shuffle instead of the full fact table (the rewrite Spark's own
+    * optimizer lacks; the large-dim sort-merge shape is where it pays).
+    * The gate REQUIRES the pushed shape in-plan (an Aggregate below the
+    * Join — a silent non-push fails the query, not just the hash) and
+    * the oracle is the PLAIN join-then-aggregate SQL: the pushdown must
+    * be answer-invisible. Dim-side duplicate-key multiplicity and null
+    * fact keys are pinned by EagerAggregationSpec; the float sum rounds
+    * at 2dp (the q165/q166 magnitude regime — segment sums reach ~4e9
+    * at sf0.1), integer sums are exact BIGINTs. */
+  def q170EagerAgg(s: SparkSession, dir: String): DataFrame = {
+    val E = graft.plan.EagerAggregation
+    val orders = tbl(s, dir, "orders")
+    val customer = tbl(s, dir, "customer")
+    E.enable(s)
+    try {
+      val q = orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("o_custkey").as("sum_cust"),
+          sum("o_totalprice").as("__s"),
+          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        .select(col("c_mktsegment"), col("n_rows"), col("sum_cust"),
+          round(col("__s"), 2).as("sum_total"), col("mn"), col("mx"))
+      require(E.partialAggBelowJoin(q),
+        s"eager aggregation did not push — plan:\n${q.queryExecution.optimizedPlan}")
+      q
+    } finally E.disable(s)
+  }
+
+  /** SKETCH-CARRYING rollup ([[graft.plan.Rollup.materialize]] with
+    * `distinctCols` + the [[graft.functions.expressions.KmvMergeAgg]]
+    * derive path in [[graft.plan.RollupRewrite]]): the summary stores a
+    * KMV distinct sketch per group alongside the classic partials, so
+    * DISTINCT-COUNT questions — the aggregate sum/count/min/max can
+    * never answer — also serve from the group-sized summary without
+    * rescanning the base. KMV merge is LOSSLESS (order statistic: the
+    * global k minima are contained in the union of per-group minima), so
+    * the summary-served sketch, estimator included, is IDENTICAL to the
+    * base-computed one — which is exactly what the hash-match gate
+    * proves. The gate requires the summary scan in-plan; the oracle
+    * replays the q69 device (portable md5 k-minima per group) plus the
+    * plain count over the base. */
+  def q171SketchRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.KmvDistinctAgg.{estimateDistinct, kmvSketch}
+    val R = graft.plan.RollupRewrite
+    val k = 16
+    val docs = tbl(s, dir, "documents")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q171_sketch")
+      .toFile.getAbsolutePath
+    graft.plan.Rollup.materialize(docs, Seq("lang"), Seq("n_chars"),
+        distinctCols = Seq("n_chars"), sketchK = k)
+      .write.mode("overwrite").parquet(s"$tmpRoot/summary")
+    R.register(docs, s.read.parquet(s"$tmpRoot/summary"),
+      Seq("lang"), Seq("n_chars"), distinctCols = Seq("n_chars"), sketchK = k)
+    R.enable(s)
+    try {
+      val q = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_chars"),
+          kmvSketch(graft.curate.Curate.portableHash60(col("n_chars")), k)
+            .as("__mins"))
+        .select(col("lang"), col("n_rows"), col("sum_chars"),
+          estimateDistinct(col("__mins"), k).as("est_distinct"))
+      val scans = R.scanRootPaths(q)
+      require(scans.nonEmpty && scans.forall(_.contains(tmpRoot)),
+        s"sketch rollup rewrite did not fire — plan scans $scans")
+      materializeAndCleanup(s, q, tmpRoot)
+    } finally {
+      R.disable(s)
+      R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
+  /** AGGREGATE NAVIGATION ([[graft.plan.EagerAggregation]] ∘
+    * [[graft.plan.RollupRewrite]] in ONE optimizer fixpoint): the join
+    * query `orders ⋈ customer GROUP BY c_mktsegment` is answered with
+    * NO fact scan at all — iteration 1 pushes the fact partial below
+    * the join (eager aggregation), iteration 2 redirects that pushed
+    * partial to the registered custkey-grain summary (rollup rewrite).
+    * This is the composed form of q165 + q170: at 100 TB the fact table
+    * contributes a summary-sized join input, full stop. The gate
+    * requires BOTH shapes in-plan (summary scanned, base absent, an
+    * Aggregate below the Join); the oracle is the plain join-aggregate
+    * over the base — the composition must be answer-invisible. */
+  def q172AggNavigation(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val E = graft.plan.EagerAggregation
+    val orders = tbl(s, dir, "orders")
+    val customer = tbl(s, dir, "customer")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q172_aggnav")
+      .toFile.getAbsolutePath
+    graft.plan.Rollup.materialize(orders, Seq("o_custkey"), Seq("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/summary")
+    R.register(orders, s.read.parquet(s"$tmpRoot/summary"),
+      Seq("o_custkey"), Seq("o_totalprice"))
+    R.enable(s)
+    E.enable(s)
+    try {
+      val q = orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("o_totalprice").as("__s"),
+          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        .select(col("c_mktsegment"), col("n_rows"),
+          round(col("__s"), 2).as("sum_total"), col("mn"), col("mx"))
+      val scans = R.scanRootPaths(q)
+      require(scans.exists(_.contains(tmpRoot)) &&
+          !scans.exists(_.contains("orders")),
+        s"aggregate navigation incomplete — plan scans $scans")
+      require(E.partialAggBelowJoin(q),
+        "pushed-partial shape missing from the composed plan")
+      materializeAndCleanup(s, q, tmpRoot)
+    } finally {
+      E.disable(s)
+      R.disable(s)
+      R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** The LINEAR fact variant ([[graft.jobs.BankJobs
     * .factDailyTransactionLinear]]): q27's business answer without the
     * reference's cust_id-only fan-out join — one row per
@@ -3309,7 +3493,11 @@ object Queries {
     "q165_rollup_rewrite" -> (q165RollupRewrite _),
     "q166_rollup_merge" -> (q166RollupMerge _),
     "q167_ivf_versioned" -> (q167IvfVersioned _),
-    "q168_semantic_ingest" -> (q168SemanticIngest _))
+    "q168_semantic_ingest" -> (q168SemanticIngest _),
+    "q169_rollup_lattice" -> (q169RollupLattice _),
+    "q170_eager_agg" -> (q170EagerAgg _),
+    "q171_sketch_rollup" -> (q171SketchRollup _),
+    "q172_agg_navigation" -> (q172AggNavigation _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -5421,6 +5609,71 @@ object Queries {
         | round(sum(o_totalprice), 2) AS sum_total,
         | min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // q169: rollup-lattice routing — three legs served from three
+    // different storage tiers (coarse summary / fine summary / base
+    // table, each REQUIRED in-plan by the gate); the oracle is the three
+    // plain aggregates over the base: routing must be answer-invisible
+    // at every grain. Integer sums are exact BIGINTs cast to DOUBLE
+    // (≪ 2^53); the float sum rounds at 2dp (the q165/q166 magnitude
+    // regime). DuckDB sum(BIGINT) is HUGEINT — CAST before the double.
+    "q169_rollup_lattice" ->
+      """SELECT 'coarse' AS leg, o_orderstatus AS grp, count(*) AS n_rows,
+        | round(sum(o_totalprice), 2) AS sum_v
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'fine', o_orderpriority, count(*),
+        | CAST(CAST(sum(o_custkey) AS BIGINT) AS DOUBLE)
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'base', o_orderstatus, count(*),
+        | CAST(CAST(sum(o_orderkey) AS BIGINT) AS DOUBLE)
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // q170: eager aggregation — the partial is pushed below the join
+    // (required in-plan by the gate); the oracle is the plain
+    // join-then-aggregate: the pushdown must be answer-invisible.
+    // DuckDB sum(BIGINT) is HUGEINT — CAST; float sum rounds at 2dp
+    // (the q165/q166 magnitude regime).
+    "q170_eager_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_rows,
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        | round(sum(o_totalprice), 2) AS sum_total,
+        | min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    // q171: sketch-carrying rollup — the summary-served KMV sketch is
+    // IDENTICAL to the base-computed one (lossless order-statistic
+    // merge), so the oracle replays the q69 device (portable md5
+    // k-minima per group) over the BASE table plus the plain counts;
+    // the Spark side must hash-match while scanning only the summary.
+    // IS NOT DISTINCT FROM on the group join (null-group safety);
+    // DuckDB sum(int) is HUGEINT — CAST.
+    "q171_sketch_rollup" ->
+      """WITH h AS (SELECT DISTINCT lang,
+        |  CAST(concat('0x', substr(md5(CAST(n_chars AS VARCHAR)), 1, 15))
+        |    AS BIGINT) AS v
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT lang, v,
+        |  row_number() OVER (PARTITION BY lang ORDER BY v) AS rn FROM h),
+        |a AS (SELECT lang, count(*) AS cnt, max(v) AS kth
+        | FROM r WHERE rn <= 16 GROUP BY lang),
+        |b AS (SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        | FROM documents GROUP BY lang)
+        |SELECT b.lang, b.n_rows, b.sum_chars,
+        | round(CASE WHEN a.cnt < 16 THEN CAST(a.cnt AS DOUBLE)
+        |   ELSE 15.0 * 1152921504606846976.0 / CAST(a.kth AS DOUBLE) END, 4)
+        |   AS est_distinct
+        |FROM b JOIN a ON a.lang IS NOT DISTINCT FROM b.lang""".stripMargin,
+    // q172: aggregate navigation — eager aggregation ∘ rollup rewrite;
+    // the fact table is never scanned (gate-required in-plan). Oracle =
+    // the plain join-aggregate; 2dp float sums (segment sums ~4e9 at
+    // sf0.1, the q165/q166 magnitude regime).
+    "q172_agg_navigation" ->
+      """SELECT c_mktsegment, count(*) AS n_rows,
+        | round(sum(o_totalprice), 2) AS sum_total,
+        | min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     // q167: versioned vector index — ONE slice-0 KMeans replay (the
     // fitPred chain; af assigns the FULL corpus with that frozen model)
     // feeding per-version candidate CTEs: v1 = slice 0, v4 = everything

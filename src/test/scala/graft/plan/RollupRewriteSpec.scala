@@ -215,6 +215,170 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  // --- lattice routing: several grains registered over one base ---
+
+  private def withLattice[A](body: (DataFrame, String) => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("rollup_lattice").toString
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+    // register the FINE grain first: selection must be by grain size,
+    // not registration order
+    Rollup.materialize(base, Seq("o_orderpriority", "o_orderstatus"),
+        Seq("o_totalprice", "o_custkey"))
+      .write.mode("overwrite").parquet(s"$dir/fine")
+    Rollup.materialize(base, Seq("o_orderstatus"), Seq("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/coarse")
+    RollupRewrite.register(base, spark.read.parquet(s"$dir/fine"),
+      Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice", "o_custkey"))
+    RollupRewrite.register(base, spark.read.parquet(s"$dir/coarse"),
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    RollupRewrite.enable(spark)
+    try body(base, dir)
+    finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("lattice: coarsest qualifying grain wins regardless of registration order") {
+    withLattice { (base, dir) =>
+      val q = base.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+      val scans = scanPaths(q)
+      assert(scans.forall(_.contains(s"$dir/coarse")),
+        s"expected the status-grain summary, got $scans")
+      assert(q.collect().nonEmpty)
+    }
+  }
+
+  test("lattice: falls to the finer grain when the coarse one lacks the measure") {
+    withLattice { (base, dir) =>
+      // status grouping is coarse-servable, but sum(o_custkey) is only
+      // stored at the fine grain
+      val q = base.groupBy("o_orderstatus")
+        .agg(sum("o_custkey").as("s"), count(lit(1)).as("n"))
+      val scans = scanPaths(q)
+      assert(scans.forall(_.contains(s"$dir/fine")),
+        s"expected the fine summary, got $scans")
+      // and when the grouping needs the fine grain's column
+      val q2 = base.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      assert(scanPaths(q2).forall(_.contains(s"$dir/fine")))
+    }
+  }
+
+  test("lattice: falls to the finer grain when a filter references an uncarried column") {
+    withLattice { (base, dir) =>
+      val q = base.filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+      val scans = scanPaths(q)
+      assert(scans.forall(_.contains(s"$dir/fine")),
+        s"filter on o_orderpriority must push selection to the fine grain, got $scans")
+      RollupRewrite.disable(spark)
+      val want = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      RollupRewrite.enable(spark)
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet == want)
+    }
+  }
+
+  test("lattice: falls to the base when no grain can answer") {
+    withLattice { (base, dir) =>
+      val q = base.groupBy("o_orderstatus").agg(sum("o_orderkey").as("s"))
+      assert(scanPaths(q).exists(_.contains("orders.parquet")),
+        "unregistered measure must fall through to the base table")
+      assert(q.collect().nonEmpty)
+    }
+  }
+
+  // --- sketch-carrying summaries: distinct counts from the rollup tier ---
+
+  test("sketch query is served from the summary, sketch and estimate IDENTICAL to base") {
+    import graft.functions.expressions.KmvDistinctAgg.{estimateDistinct, kmvSketch}
+    import graft.curate.Curate.portableHash60
+    val dir = java.nio.file.Files.createTempDirectory("rollup_kmv").toString
+    val k = 16
+    try {
+      val base = spark.read.parquet(s"$sf/orders.parquet")
+      Rollup.materialize(base, Seq("o_orderstatus"), Seq("o_totalprice"),
+          distinctCols = Seq("o_custkey"), sketchK = k)
+        .write.mode("overwrite").parquet(s"$dir/summary")
+      RollupRewrite.register(base, spark.read.parquet(s"$dir/summary"),
+        Seq("o_orderstatus"), Seq("o_totalprice"),
+        distinctCols = Seq("o_custkey"), sketchK = k)
+      RollupRewrite.enable(spark)
+      def q(src: org.apache.spark.sql.DataFrame) = src.groupBy("o_orderstatus")
+        .agg(kmvSketch(portableHash60(col("o_custkey")), k).as("mins"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("n"),
+          concat_ws(",", col("mins")).as("mins_str"),
+          estimateDistinct(col("mins"), k).as("est"))
+      val rewritten = q(base)
+      assert(scanPaths(rewritten).forall(_.contains("summary")),
+        s"sketch query not rewritten:\n${rewritten.queryExecution.optimizedPlan}")
+      val got = rewritten.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      RollupRewrite.disable(spark)
+      val want = q(base).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      assert(got == want && want.nonEmpty,
+        "summary-served sketches must be IDENTICAL (lossless KMV merge)")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("sketch merge of slice summaries ≡ full materialize, bit for bit") {
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+    val gc = Seq("o_orderstatus")
+    val ms = Seq("o_totalprice")
+    val dc = Seq("o_custkey")
+    val a = Rollup.materialize(base.filter(col("o_orderkey") % 2 === 0), gc, ms, dc, 16)
+    val b = Rollup.materialize(base.filter(col("o_orderkey") % 2 =!= 0), gc, ms, dc, 16)
+    val merged = Rollup.merge(a, b, gc, ms, dc, 16)
+      .select(col("o_orderstatus"), concat_ws(",", col("__kmv_o_custkey")).as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val full = Rollup.materialize(base, gc, ms, dc, 16)
+      .select(col("o_orderstatus"), concat_ws(",", col("__kmv_o_custkey")).as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(merged == full && full.nonEmpty)
+  }
+
+  test("sketch queries with the wrong k, column, or hash shape stay on the base") {
+    import graft.functions.expressions.KmvDistinctAgg.kmvSketch
+    import graft.curate.Curate.portableHash60
+    val dir = java.nio.file.Files.createTempDirectory("rollup_kmv2").toString
+    try {
+      val base = spark.read.parquet(s"$sf/orders.parquet")
+      Rollup.materialize(base, Seq("o_orderstatus"), Seq("o_totalprice"),
+          distinctCols = Seq("o_custkey"), sketchK = 16)
+        .write.mode("overwrite").parquet(s"$dir/summary")
+      RollupRewrite.register(base, spark.read.parquet(s"$dir/summary"),
+        Seq("o_orderstatus"), Seq("o_totalprice"),
+        distinctCols = Seq("o_custkey"), sketchK = 16)
+      RollupRewrite.enable(spark)
+      val onBase = Seq(
+        // k mismatch: a 32-sketch cannot be derived from a 16-sketch
+        base.groupBy("o_orderstatus")
+          .agg(kmvSketch(portableHash60(col("o_custkey")), 32).as("mins")),
+        // unregistered distinct column
+        base.groupBy("o_orderstatus")
+          .agg(kmvSketch(portableHash60(col("o_orderkey")), 16).as("mins")),
+        // different hash shape (raw column, not the portable hash)
+        base.groupBy("o_orderstatus")
+          .agg(kmvSketch(col("o_custkey"), 16).as("mins")))
+      onBase.foreach { df =>
+        assert(scanPaths(df).exists(_.contains("orders.parquet")),
+          s"should NOT have been rewritten:\n${df.queryExecution.optimizedPlan}")
+      }
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("registration validates the summary layout") {
     val base = spark.read.parquet(s"$sf/orders.parquet")
     intercept[IllegalArgumentException] {

@@ -115,6 +115,78 @@ object RollupRewrite {
 
   def clear(): Unit = defs.clear()
 
+  /** Persist the registered lattice as a one-file manifest so a NEW
+    * session (fresh JVM — registrations are process state) can
+    * [[restore]] the whole scan-avoidance tier: the GraftCatalog
+    * `_GRAFT_META` restart story applied to the optimizer. One line per
+    * registration; every field URL-encoded (paths legitimately contain
+    * `=` in partition directories, so the catalog sidecar's
+    * validate-no-delimiters approach cannot work here — encoding can
+    * never round-trip wrong). Commits by tmp + FileContext atomic
+    * OVERWRITE rename (the Snapshots pointer protocol): a concurrent
+    * [[restore]] sees either the old or the new manifest, never a
+    * truncated one. */
+  def save(spark: SparkSession, path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val lines = defs.iterator().asScala.map { d =>
+      val summaryPaths = d.summary.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      require(summaryPaths.nonEmpty,
+        "summary is not file-backed; cannot persist this registration")
+      Seq("v1",
+        d.basePaths.toSeq.sorted.map(enc).mkString(","),
+        summaryPaths.map(enc).mkString(","),
+        d.groupCols.map(enc).mkString(","),
+        d.measures.map(enc).mkString(","),
+        d.distinctCols.map(enc).mkString(","),
+        d.sketchK.toString).mkString("|")
+    }.mkString("", "\n", "\n")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = p.getFileSystem(conf)
+    val parent = p.getParent
+    f.mkdirs(parent)
+    val tmp = new org.apache.hadoop.fs.Path(parent, s".${p.getName}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Re-register every lattice entry from a [[save]]d manifest (additive
+    * — existing registrations stay; [[clear]] first for an exact
+    * restore). Sketch hash shapes are re-snapshotted through THIS
+    * session's analyzer+optimizer, which is precisely what shape
+    * matching needs. Returns the number of registrations restored; a
+    * malformed line throws rather than restoring a partial tier. */
+  def restore(spark: SparkSession, path: String): Int = {
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(p)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val entries = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      val parts = line.split("\\|", -1)
+      require(parts.length == 7 && parts(0) == "v1",
+        s"corrupt lattice manifest line: '$line'")
+      def list(i: Int): Seq[String] =
+        if (parts(i).isEmpty) Nil else parts(i).split(",", -1).toSeq.map(dec)
+      (list(1), list(2), list(3), list(4), list(5), parts(6).toInt)
+    }.toList
+    entries.foreach { case (base, summary, groups, measures, distinct, k) =>
+      register(spark.read.parquet(base: _*), spark.read.parquet(summary: _*),
+        groups, measures, distinct, k)
+    }
+    entries.size
+  }
+
   /** Install the rewrite on a session (idempotent). Runs in
     * `spark.experimental.extraOptimizations` — after the main optimizer
     * batches, so it sees the canonical Aggregate/Project/Filter/Relation

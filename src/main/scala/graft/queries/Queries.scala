@@ -3281,6 +3281,66 @@ object Queries {
     }
   }
 
+  /** LATTICE PERSISTENCE ([[graft.plan.RollupRewrite.save]]/
+    * [[graft.plan.RollupRewrite.restore]] — the GraftCatalog restart
+    * story applied to the optimizer tier): registrations are JVM state,
+    * so without a manifest the whole scan-avoidance tier dies with the
+    * session. The gate registers two summaries (one sketch-carrying),
+    * saves the manifest (URL-encoded fields, tmp + FileContext atomic
+    * OVERWRITE rename), CLEARS the registry — the restart — then
+    * restores and serves both legs from the restored tier: a classic
+    * aggregate from the status summary and a KMV distinct estimate from
+    * the priority summary (whose hash shape had to be RE-SNAPSHOTTED
+    * through this session's optimizer — the part a naive
+    * serialize-the-expression design would get wrong). Both legs are
+    * plan-asserted to their summaries; the oracle is the plain base
+    * aggregate + the q69 md5-k-minima replay. */
+  def q173LatticePersist(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.KmvDistinctAgg.{estimateDistinct, kmvSketch}
+    val R = graft.plan.RollupRewrite
+    val k = 16
+    val orders = tbl(s, dir, "orders")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q173_lattice")
+      .toFile.getAbsolutePath
+    graft.plan.Rollup.materialize(orders, Seq("o_orderstatus"), Seq("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/status")
+    graft.plan.Rollup.materialize(orders, Seq("o_orderpriority"), Nil,
+        distinctCols = Seq("o_custkey"), sketchK = k)
+      .write.mode("overwrite").parquet(s"$tmpRoot/priority")
+    R.register(orders, s.read.parquet(s"$tmpRoot/status"),
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    R.register(orders, s.read.parquet(s"$tmpRoot/priority"),
+      Seq("o_orderpriority"), Nil, Seq("o_custkey"), k)
+    R.save(s, s"$tmpRoot/lattice.manifest")
+    R.clear() // the restart: the in-memory registry is gone
+    require(R.restore(s, s"$tmpRoot/lattice.manifest") == 2,
+      "lattice manifest did not restore both registrations")
+    R.enable(s)
+    try {
+      val qa = orders.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum("o_totalprice").as("__s"))
+        .select(lit("status").as("leg"), col("o_orderstatus").as("grp"),
+          col("n_rows"), round(col("__s"), 2).as("val"))
+      val qb = orders.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          kmvSketch(graft.curate.Curate.portableHash60(col("o_custkey")), k)
+            .as("__mins"))
+        .select(lit("priority").as("leg"), col("o_orderpriority").as("grp"),
+          col("n_rows"), estimateDistinct(col("__mins"), k).as("val"))
+      val sa = R.scanRootPaths(qa)
+      require(sa.nonEmpty && sa.forall(_.contains(s"$tmpRoot/status")),
+        s"restored status summary did not serve — plan scans $sa")
+      val sb = R.scanRootPaths(qb)
+      require(sb.nonEmpty && sb.forall(_.contains(s"$tmpRoot/priority")),
+        s"restored sketch summary did not serve — plan scans $sb")
+      materializeAndCleanup(s, qa.unionByName(qb), tmpRoot)
+    } finally {
+      R.disable(s)
+      R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** The LINEAR fact variant ([[graft.jobs.BankJobs
     * .factDailyTransactionLinear]]): q27's business answer without the
     * reference's cust_id-only fan-out join — one row per
@@ -3497,7 +3557,8 @@ object Queries {
     "q169_rollup_lattice" -> (q169RollupLattice _),
     "q170_eager_agg" -> (q170EagerAgg _),
     "q171_sketch_rollup" -> (q171SketchRollup _),
-    "q172_agg_navigation" -> (q172AggNavigation _))
+    "q172_agg_navigation" -> (q172AggNavigation _),
+    "q173_lattice_persist" -> (q173LatticePersist _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -5674,6 +5735,31 @@ object Queries {
         | min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    // q173: lattice persistence — both legs served from the RESTORED
+    // registry (plan-asserted); oracle = plain base aggregate + the q69
+    // md5-k-minima replay (the restored sketch serving must be
+    // IDENTICAL to a base computation). o_custkey is BIGINT: Spark
+    // cast-to-string and DuckDB CAST AS VARCHAR print it identically.
+    "q173_lattice_persist" ->
+      """WITH h AS (SELECT DISTINCT o_orderpriority,
+        |  CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+        |    AS BIGINT) AS v
+        | FROM orders WHERE o_custkey IS NOT NULL),
+        |r AS (SELECT o_orderpriority, v,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY v) AS rn
+        | FROM h),
+        |a AS (SELECT o_orderpriority, count(*) AS cnt, max(v) AS kth
+        | FROM r WHERE rn <= 16 GROUP BY o_orderpriority),
+        |b AS (SELECT o_orderpriority, count(*) AS n_rows FROM orders
+        | GROUP BY o_orderpriority)
+        |SELECT 'status' AS leg, o_orderstatus AS grp, count(*) AS n_rows,
+        | round(sum(o_totalprice), 2) AS val
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'priority', b.o_orderpriority, b.n_rows,
+        | round(CASE WHEN a.cnt < 16 THEN CAST(a.cnt AS DOUBLE)
+        |   ELSE 15.0 * 1152921504606846976.0 / CAST(a.kth AS DOUBLE) END, 4)
+        |FROM b JOIN a ON a.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority""".stripMargin,
     // q167: versioned vector index — ONE slice-0 KMeans replay (the
     // fitPred chain; af assigns the FULL corpus with that frozen model)
     // feeding per-version candidate CTEs: v1 = slice 0, v4 = everything

@@ -133,6 +133,35 @@ class EagerAggregationSpec extends SparkSpec {
     }
   }
 
+  test("cascades through a multi-join chain in one pass") {
+    // Aggregate over Join(Join(fact, dim1), dim2): the rule first treats
+    // Join(fact, dim1) as the fact side of the OUTER join and pushes a
+    // partial below it; transformDown then visits that new pre-agg —
+    // Aggregate over Join(fact, dim1) — and pushes again below the
+    // INNER join. Two pre-aggregations, one optimizer pass, fact rows
+    // never cross either join at full size.
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    def q() = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+    val want = q().collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val wantS = q().collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    withRule {
+      val eager = q()
+      assert(aggsBelowJoin(eager) >= 2,
+        s"expected a cascaded double push:\n${eager.queryExecution.optimizedPlan}")
+      val got = eager.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want && want.nonEmpty)
+      eager.collect().foreach { r =>
+        assert(math.abs(r.getDouble(2) - wantS(r.getString(0))) < 1e-6)
+      }
+    }
+  }
+
   test("composes with RollupRewrite: the pushed partial redirects to a summary (no fact scan)") {
     // AGGREGATE NAVIGATION: iteration 1 of the extraOptimizations
     // fixpoint pushes the partial below the join (this rule), iteration

@@ -379,6 +379,68 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  // --- lattice persistence: the tier survives a session restart ---
+
+  test("save/restore round-trips the lattice, sketch shapes re-snapshotted") {
+    import graft.functions.expressions.KmvDistinctAgg.kmvSketch
+    import graft.curate.Curate.portableHash60
+    val dir = java.nio.file.Files.createTempDirectory("rollup_persist").toString
+    try {
+      val base = spark.read.parquet(s"$sf/orders.parquet")
+      Rollup.materialize(base, Seq("o_orderstatus"), Seq("o_totalprice"),
+          Seq("o_custkey"), 16)
+        .write.mode("overwrite").parquet(s"$dir/coarse")
+      Rollup.materialize(base, Seq("o_orderpriority", "o_orderstatus"),
+          Seq("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/fine")
+      RollupRewrite.register(base, spark.read.parquet(s"$dir/coarse"),
+        Seq("o_orderstatus"), Seq("o_totalprice"), Seq("o_custkey"), 16)
+      RollupRewrite.register(base, spark.read.parquet(s"$dir/fine"),
+        Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice"))
+      RollupRewrite.save(spark, s"$dir/lattice.manifest")
+      RollupRewrite.clear() // the "restart": registrations are JVM state
+      assert(RollupRewrite.restore(spark, s"$dir/lattice.manifest") == 2)
+      RollupRewrite.enable(spark)
+      // classic aggregate rides the coarse grain; the restored sketch
+      // shape (re-snapshotted through this session's optimizer) serves too
+      val q1 = base.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+      assert(scanPaths(q1).forall(_.contains(s"$dir/coarse")),
+        s"restored lattice did not serve:\n${q1.queryExecution.optimizedPlan}")
+      val q2 = base.groupBy("o_orderstatus")
+        .agg(kmvSketch(portableHash60(col("o_custkey")), 16).as("mins"))
+        .select(col("o_orderstatus"), concat_ws(",", col("mins")).as("m"))
+      assert(scanPaths(q2).forall(_.contains(s"$dir/coarse")),
+        s"restored sketch shape did not serve:\n${q2.queryExecution.optimizedPlan}")
+      val got = q2.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      RollupRewrite.disable(spark)
+      val want = q2.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == want && want.nonEmpty)
+      // saving is atomic-overwrite: a second save over the same path works
+      RollupRewrite.enable(spark)
+      RollupRewrite.save(spark, s"$dir/lattice.manifest")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("restore refuses a corrupt manifest instead of building a partial tier") {
+    val dir = java.nio.file.Files.createTempDirectory("rollup_corrupt").toString
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/bad.manifest"),
+        "v1|only|three|fields\n".getBytes("UTF-8"))
+      intercept[IllegalArgumentException] {
+        RollupRewrite.restore(spark, s"$dir/bad.manifest")
+      }
+    } finally {
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("registration validates the summary layout") {
     val base = spark.read.parquet(s"$sf/orders.parquet")
     intercept[IllegalArgumentException] {

@@ -910,6 +910,38 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
+  /** Per-document contamination FRACTION — the graded form of
+    * [[contaminationReport]] (which only counts hits): for every corpus
+    * document, the number of distinct n-grams, how many of them appear
+    * in the benchmark set, and a dirty flag at the `pctNum/pctDen`
+    * overlap threshold evaluated in INTEGER cross-multiplication
+    * (`n_hit * pctDen >= n_grams * pctNum`) — no float ratio anywhere,
+    * so thresholding is engine-exact (the GPT-3 appendix-C "dirty
+    * document" metric, made hash-gateable). Documents with fewer than n
+    * tokens have no n-grams and are absent, as in [[contaminationReport]].
+    *
+    * Scale shape: ONE pass over the corpus gram stream (the benchmark
+    * set broadcasts; each doc-distinct gram is marked by a left join
+    * and both counts come from the same aggregation) — the same
+    * broadcast-or-bloom mechanics as [[decontaminateBloom]] apply when
+    * the benchmark outgrows a broadcast. */
+  def contaminationFractions(corpus: DataFrame, benchmark: DataFrame,
+                             idCol: String, textCol: String, n: Int = 13,
+                             pctNum: Int = 1, pctDen: Int = 5): DataFrame = {
+    require(pctNum >= 0 && pctDen > 0, "threshold must be a valid fraction")
+    val bg = benchmark.select(explode(strictNgrams(col(textCol), n)).as("g"))
+      .distinct().withColumn("__hit", lit(1L))
+    val dg = ensureParallelism(corpus.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), explode(strictNgrams(col("__text"), n)).as("g"))
+    dg.join(broadcast(bg), Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col("id"), col("n_grams"), col("n_hit"),
+        (col("n_hit") * pctDen >= col("n_grams") * pctNum)
+          .cast("int").as("dirty"))
+  }
+
   /** Corpus rows surviving decontamination: drop any document sharing at
     * least `minOverlap` distinct n-grams with the benchmark set. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,

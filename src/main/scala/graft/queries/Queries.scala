@@ -3341,6 +3341,23 @@ object Queries {
     }
   }
 
+  /** Contamination FRACTION scoring ([[graft.dedup.Dedup
+    * .contaminationFractions]] — the graded form of q42's membership
+    * report, the GPT-3 appendix-C "dirty document" metric): per corpus
+    * document, distinct 3-gram count, benchmark-hit count, and a dirty
+    * flag at the 20% overlap threshold evaluated by INTEGER
+    * cross-multiplication (n_hit·5 ≥ n_grams — no float ratio, so the
+    * flag is engine-exact with no boundary probing needed). Same
+    * eval-slice device as q42 (doc_id % 50 = 0 is the benchmark). */
+  def q174ContaminationFrac(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    Dedup.contaminationFractions(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3, pctNum = 1, pctDen = 5)
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_hit"), col("dirty"))
+  }
+
   /** The LINEAR fact variant ([[graft.jobs.BankJobs
     * .factDailyTransactionLinear]]): q27's business answer without the
     * reference's cust_id-only fan-out join — one row per
@@ -3558,7 +3575,8 @@ object Queries {
     "q170_eager_agg" -> (q170EagerAgg _),
     "q171_sketch_rollup" -> (q171SketchRollup _),
     "q172_agg_navigation" -> (q172AggNavigation _),
-    "q173_lattice_persist" -> (q173LatticePersist _))
+    "q173_lattice_persist" -> (q173LatticePersist _),
+    "q174_contamination_frac" -> (q174ContaminationFrac _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -4078,6 +4096,24 @@ object Queries {
         |dg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)
         |SELECT dg.doc_id, count(*) AS n_shared_ngrams
         |FROM dg JOIN bg USING (g) GROUP BY dg.doc_id""".stripMargin,
+    // q174: contamination fraction — q42's sh/bg/dg device plus the
+    // per-doc total; the dirty flag is integer cross-multiplication
+    // (n_hit*5 >= n_grams), so no float boundary exists to probe.
+    "q174_contamination_frac" ->
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split_regex(trim(text),'\s+')) - 2),
+        |   i -> array_to_string((string_split_regex(trim(text),'\s+'))[i:i+2], ' '))) AS s
+        | FROM documents),
+        |bg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+        |dg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id),
+        |hit AS (SELECT dg.doc_id, count(*) AS n_hit
+        |        FROM dg JOIN bg USING (g) GROUP BY dg.doc_id)
+        |SELECT t.doc_id, t.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+        | CAST(CASE WHEN coalesce(h.n_hit, 0) * 5 >= t.n_grams
+        |   THEN 1 ELSE 0 END AS INT) AS dirty
+        |FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id""".stripMargin,
     "q43_hash_split" ->
       """SELECT doc_id,
         | CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split

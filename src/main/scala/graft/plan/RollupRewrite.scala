@@ -3,7 +3,7 @@ package graft.plan
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -217,7 +217,8 @@ object RollupRewrite {
 
   private[plan] class RewriteRule extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+      case agg: Aggregate =>
+        tryRewrite(agg).orElse(tryRewriteCube(agg)).getOrElse(agg)
     }
 
     /** Strip attribute-only Projects and collect Filter conditions down
@@ -250,6 +251,171 @@ object RollupRewrite {
           .sortBy(_.groupCols.size)
       }
       candidates.view.flatMap(d => tryRewriteWith(agg, conds, d)).headOption
+    }
+
+    /** One Expand output position, classified from its column across all
+      * grouping-set projections. */
+    private sealed trait ExpandPos
+    private case class GroupPos(base: AttributeReference) extends ExpandPos
+    private case class PassPos(base: AttributeReference) extends ExpandPos
+    private case object GidPos extends ExpandPos
+
+    /** CUBE / ROLLUP / GROUPING SETS from the summary. The analyzer
+      * plans grouping sets as Aggregate over Expand — one projection per
+      * grouping set with the unused dims nulled out, plus a grouping-id
+      * literal column; measures pass through every projection unchanged
+      * (keeping their base exprIds). Every grouping set of a cube over
+      * registered group columns is a coarsening of the summary grain, so
+      * the rewrite swaps the base scan for the summary and the measure
+      * passthroughs for partial columns, keeping the SAME Expand →
+      * Aggregate machinery to merge partials per set: all of a cube's
+      * grouping sets come from the tens-of-rows summary in one scan. */
+    private def tryRewriteCube(agg: Aggregate): Option[LogicalPlan] = {
+      val ex = agg.child match {
+        case e: Expand => e
+        case _ => return None
+      }
+      val (leaf, conds) = strip(ex.child, Nil).getOrElse(return None)
+      val paths = leaf.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).toSet
+        case _ => return None
+      }
+      // classify every Expand output position across the projections
+      val kinds: Seq[ExpandPos] = ex.output.indices.map { i =>
+        val vs = ex.projections.map(_(i))
+        val attrs = vs.collect { case a: AttributeReference => a }
+        val nNull = vs.count { case Literal(v, _) => v == null; case _ => false }
+        if (attrs.size == vs.size && attrs.map(_.exprId).distinct.size == 1)
+          PassPos(attrs.head)
+        else if (attrs.nonEmpty && attrs.map(_.exprId).distinct.size == 1 &&
+            attrs.size + nNull == vs.size)
+          GroupPos(attrs.head)
+        else if (vs.forall { case Literal(v, _) => v != null; case _ => false })
+          GidPos
+        else return None
+      }
+      val candidates = {
+        import scala.jdk.CollectionConverters._
+        defs.iterator().asScala.filter(_.basePaths == paths).toSeq
+          .sortBy(_.groupCols.size)
+      }
+      candidates.view
+        .flatMap(d => tryRewriteCubeWith(agg, ex, conds, d, kinds)).headOption
+    }
+
+    private def tryRewriteCubeWith(agg: Aggregate, ex: Expand,
+                                   conds: Seq[Expression], d: RollupDef,
+                                   kinds: Seq[ExpandPos]): Option[LogicalPlan] = {
+      // every nulled-out dim and every group-col passthrough must be a
+      // registered group column; measure passthroughs must be registered
+      // measures (unused extra passthroughs of either kind are fine —
+      // they are simply not carried)
+      kinds.foreach {
+        case GroupPos(b) if !d.groupCols.contains(b.name) => return None
+        case PassPos(b) if !d.groupCols.contains(b.name) &&
+            !d.measures.contains(b.name) => return None
+        case _ => ()
+      }
+      if (!conds.forall(_.references.forall(a => d.groupCols.contains(a.name))))
+        return None
+      val summary = d.summary match {
+        case r: LogicalRelation => r.newInstance()
+        case other => other
+      }
+      def sAttr(name: String): AttributeReference =
+        summary.output.collectFirst {
+          case a: AttributeReference if a.name == name => a
+        }.get
+      // measure passthrough positions, by the Expand OUTPUT attr the
+      // aggregate expressions reference
+      val passMeasure: Map[ExprId, String] = kinds.zip(ex.output).collect {
+        case (PassPos(b), out) if d.measures.contains(b.name) =>
+          out.exprId -> b.name
+      }.toMap
+      // partial columns carried through the new Expand, created lazily:
+      // (kind, measure) -> (new Expand output attr, summary attr)
+      val partials = scala.collection.mutable.LinkedHashMap[
+        (String, String), (AttributeReference, AttributeReference)]()
+      def partialCol(kind: String, m: String, summaryName: String): AttributeReference =
+        partials.getOrElseUpdate((kind, m), {
+          val sa = sAttr(summaryName)
+          (AttributeReference(summaryName, sa.dataType, nullable = true)(), sa)
+        })._1
+      def sumOf(a: Expression) =
+        AggregateExpression(Sum(a), Complete, isDistinct = false)
+      def derive(fn: AggregateFunction): Option[Expression] = fn match {
+        case Count(Seq(Literal(1, _))) =>
+          Some(sumOf(partialCol("cnt_rows", "", Rollup.CntRows)))
+        case Count(Seq(e: AttributeReference)) if passMeasure.contains(e.exprId) =>
+          val m = passMeasure(e.exprId)
+          Some(sumOf(partialCol("cnt", m, s"__cnt_$m")))
+        case Sum(e: AttributeReference, _) if passMeasure.contains(e.exprId) =>
+          val m = passMeasure(e.exprId)
+          val merged = sumOf(partialCol("sum", m, s"__sum_$m"))
+          Some(if (merged.dataType == fn.dataType) merged
+               else Cast(merged, fn.dataType))
+        case Min(e: AttributeReference) if passMeasure.contains(e.exprId) =>
+          val m = passMeasure(e.exprId)
+          Some(AggregateExpression(Min(partialCol("min", m, s"__min_$m")),
+            Complete, isDistinct = false))
+        case Max(e: AttributeReference) if passMeasure.contains(e.exprId) =>
+          val m = passMeasure(e.exprId)
+          Some(AggregateExpression(Max(partialCol("max", m, s"__max_$m")),
+            Complete, isDistinct = false))
+        case Average(e: AttributeReference, _)
+            if passMeasure.contains(e.exprId) &&
+               !e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+          val m = passMeasure(e.exprId)
+          Some(Divide(
+            Cast(sumOf(partialCol("sum", m, s"__sum_$m")), DoubleType),
+            Cast(sumOf(partialCol("cnt", m, s"__cnt_$m")), DoubleType)))
+        case _ => None
+      }
+      def rewriteExpr(e: Expression): Option[Expression] = e match {
+        case AggregateExpression(fn, Complete, false, None, _) => derive(fn)
+        case _: AggregateExpression => None
+        case a: AttributeReference => Some(a) // grouping attr or gid — kept
+        case other =>
+          val kids = other.children.map(rewriteExpr)
+          if (kids.exists(_.isEmpty)) None
+          else Some(other.withNewChildren(kids.map(_.get)))
+      }
+      // rewrite the aggregate expressions FIRST — this populates `partials`
+      val rewritten = agg.aggregateExpressions.map {
+        case a: AttributeReference => a
+        case al @ Alias(child, name) =>
+          Alias(rewriteExpr(child).getOrElse(return None), name)(
+            exprId = al.exprId, qualifier = al.qualifier)
+        case _ => return None
+      }
+      // rebuild the Expand: grouping and gid positions keep their OUTPUT
+      // attrs verbatim (the Aggregate references them); attr entries in
+      // projections redirect to the summary's group columns; measure
+      // passthrough positions are dropped and the needed partial columns
+      // are appended (same summary attr in every projection row)
+      val keepIdx = kinds.indices.filter(i => kinds(i) match {
+        case PassPos(b) => d.groupCols.contains(b.name)
+        case _ => true
+      })
+      val newOutput = keepIdx.map(ex.output) ++ partials.values.map(_._1)
+      val newProjections = ex.projections.map { row =>
+        keepIdx.map { i =>
+          row(i) match {
+            case a: AttributeReference => sAttr(a.name)
+            case lit => lit // typed null literal or the gid literal
+          }
+        } ++ partials.values.map(_._2)
+      }
+      val newCond = conds.map(_.transform {
+        case a: AttributeReference => sAttr(a.name)
+      })
+      val filtered = newCond.foldLeft(summary: LogicalPlan)((p, c) => Filter(c, p))
+      val needed = (newProjections.flatten.flatMap(_.references) ++
+        newCond.flatMap(_.references))
+        .map(_.asInstanceOf[AttributeReference])
+        .groupBy(_.exprId).map(_._2.head).toSeq
+      Some(Aggregate(agg.groupingExpressions, rewritten,
+        Expand(newProjections, newOutput, Project(needed, filtered))))
     }
 
     private def tryRewriteWith(agg: Aggregate, conds: Seq[Expression],

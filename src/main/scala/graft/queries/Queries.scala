@@ -3341,6 +3341,51 @@ object Queries {
     }
   }
 
+  /** CUBE from the summary ([[graft.plan.RollupRewrite]]'s
+    * grouping-sets path — the tier's last aggregate shape): the
+    * analyzer plans cube/rollup as Aggregate over Expand; the rewrite
+    * swaps the base scan for the registered summary and the measure
+    * passthroughs for partial columns, keeping the same Expand
+    * machinery to merge partials per grouping set — every set of a
+    * cube over registered group columns is a coarsening of the summary
+    * grain, so ALL FOUR grouping sets (detail, two subtotals, grand
+    * total) come from the tens-of-rows summary in ONE scan, base
+    * untouched (gate-required in-plan). Oracle = plain GROUP BY CUBE
+    * over the base (the q70 coalesce-to-'ALL' device for null group
+    * values); the filter rides the summary like q165's. */
+  def q175CubeSummary(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val orders = tbl(s, dir, "orders")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q175_cube")
+      .toFile.getAbsolutePath
+    graft.plan.Rollup.materialize(orders,
+        Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/summary")
+    R.register(orders, s.read.parquet(s"$tmpRoot/summary"),
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice"))
+    R.enable(s)
+    try {
+      val q = orders.filter(col("o_orderstatus") =!= "P")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg((grouping(col("o_orderstatus")) * 2 +
+            grouping(col("o_orderpriority"))).cast("int").as("gid"),
+          count(lit(1)).as("n_rows"), sum("o_totalprice").as("__s"),
+          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("gid"), col("n_rows"), round(col("__s"), 2).as("sum_total"),
+          col("mn"), col("mx"))
+      val scans = R.scanRootPaths(q)
+      require(scans.nonEmpty && scans.forall(_.contains(tmpRoot)),
+        s"cube rewrite did not fire — plan scans $scans")
+      materializeAndCleanup(s, q, tmpRoot)
+    } finally {
+      R.disable(s)
+      R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** Contamination FRACTION scoring ([[graft.dedup.Dedup
     * .contaminationFractions]] — the graded form of q42's membership
     * report, the GPT-3 appendix-C "dirty document" metric): per corpus
@@ -3576,7 +3621,8 @@ object Queries {
     "q171_sketch_rollup" -> (q171SketchRollup _),
     "q172_agg_navigation" -> (q172AggNavigation _),
     "q173_lattice_persist" -> (q173LatticePersist _),
-    "q174_contamination_frac" -> (q174ContaminationFrac _))
+    "q174_contamination_frac" -> (q174ContaminationFrac _),
+    "q175_cube_summary" -> (q175CubeSummary _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -5796,6 +5842,18 @@ object Queries {
         | round(CASE WHEN a.cnt < 16 THEN CAST(a.cnt AS DOUBLE)
         |   ELSE 15.0 * 1152921504606846976.0 / CAST(a.kth AS DOUBLE) END, 4)
         |FROM b JOIN a ON a.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority""".stripMargin,
+    // q175: cube from the summary — the grouping-sets rewrite path;
+    // oracle = plain GROUP BY CUBE over the base (q70's coalesce
+    // device). 2dp float sums: the grand total reaches ~2.2e10 at
+    // sf0.1, squarely the q165/q166 magnitude regime.
+    "q175_cube_summary" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        | coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        | CAST(2*grouping(o_orderstatus) + grouping(o_orderpriority) AS INT) AS gid,
+        | count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_total,
+        | min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     // q167: versioned vector index — ONE slice-0 KMeans replay (the
     // fitPred chain; af assigns the FULL corpus with that frozen model)
     // feeding per-version candidate CTEs: v1 = slice 0, v4 = everything

@@ -379,6 +379,77 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  // --- grouping sets: cube / rollup served from the summary ---
+
+  test("cube rides the summary: all grouping sets from one summary scan") {
+    withRollup(Seq("o_orderpriority", "o_orderstatus"),
+               Seq("o_totalprice", "o_custkey")) { (base, dir) =>
+      def q(src: DataFrame) = src
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum("o_custkey").as("s_int"),
+          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"),
+          avg("o_custkey").as("a_int"), sum("o_totalprice").as("s_f"))
+      val rewritten = q(base)
+      assert(scanPaths(rewritten).forall(_.contains(dir)),
+        s"cube not rewritten:\n${rewritten.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark)
+      val want = q(base).collect().map(r =>
+        (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2),
+         r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+      RollupRewrite.enable(spark)
+      val got = rewritten.collect().map(r =>
+        (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2),
+         r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+      assert(got == want && want.size > 4,
+        "all four grouping sets must match exactly on integral measures")
+      // float sums compared with tolerance, keyed by the grouping tuple
+      RollupRewrite.disable(spark)
+      val wantF = q(base).collect().map(r =>
+        (Option(r.getString(0)), Option(r.getString(1))) -> r.getDouble(7)).toMap
+      RollupRewrite.enable(spark)
+      rewritten.collect().foreach { r =>
+        val k = (Option(r.getString(0)), Option(r.getString(1)))
+        assert(math.abs(r.getDouble(7) - wantF(k)) < 1e-6, s"float sum at $k")
+      }
+    }
+  }
+
+  test("rollup + grouping() trees + group-column filter ride the summary") {
+    withRollup(Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice")) {
+      (base, dir) =>
+        def q(src: DataFrame) = src.filter(col("o_orderstatus") =!= "P")
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg((grouping(col("o_orderstatus")) * 2 +
+              grouping(col("o_orderpriority"))).cast("int").as("gid"),
+            count(lit(1)).as("n"))
+        val rewritten = q(base)
+        assert(scanPaths(rewritten).forall(_.contains(dir)),
+          s"rollup not rewritten:\n${rewritten.queryExecution.optimizedPlan}")
+        RollupRewrite.disable(spark)
+        val want = q(base).collect().map(r => (Option(r.getString(0)),
+          Option(r.getString(1)), r.getInt(2), r.getLong(3))).toSet
+        RollupRewrite.enable(spark)
+        assert(rewritten.collect().map(r => (Option(r.getString(0)),
+          Option(r.getString(1)), r.getInt(2), r.getLong(3))).toSet == want)
+    }
+  }
+
+  test("cube with an unregistered dim or measure stays on the base") {
+    withRollup(Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice")) {
+      (base, dir) =>
+        val onBase = Seq(
+          base.cube(col("o_orderstatus"), col("o_orderdate"))
+            .agg(count(lit(1)).as("n")),
+          base.cube(col("o_orderstatus"), col("o_orderpriority"))
+            .agg(sum("o_orderkey").as("s")))
+        onBase.foreach { df =>
+          assert(scanPaths(df).exists(_.contains("orders.parquet")),
+            s"should NOT have been rewritten:\n${df.queryExecution.optimizedPlan}")
+          assert(df.collect().nonEmpty)
+        }
+    }
+  }
+
   // --- lattice persistence: the tier survives a session restart ---
 
   test("save/restore round-trips the lattice, sketch shapes re-snapshotted") {

@@ -3386,6 +3386,63 @@ object Queries {
     }
   }
 
+  /** STREAM-MAINTAINED summary under the rewrite (q117's foreachBatch
+    * fold ∘ [[graft.plan.Rollup.merge]] ∘ [[graft.plan.RollupRewrite]] —
+    * the LIVE DASHBOARD tier): three micro-batch arrivals each fold
+    * their slice summary into running state (sums/counts add, min/min
+    * max/max — split-order invariant up to the 2dp float regime), the
+    * final state is REGISTERED, and the dashboard aggregate over the
+    * base table is then REQUIRED in-plan to serve from the
+    * stream-maintained summary while hash-matching the plain full-base
+    * oracle. At 100 TB this is the point of the whole tier: the
+    * dashboard never rescans the fact table, and the summary it reads
+    * is kept fresh by the stream, not by batch rebuilds. */
+  def q176StreamLattice(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val gc = Seq("o_orderstatus")
+    val ms = Seq("o_totalprice")
+    val orders = tbl(s, dir, "orders")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q176_latt")
+      .toFile.getAbsolutePath
+    orders.select("o_orderstatus", "o_totalprice")
+      .repartition(3).write.mode("overwrite").parquet(s"$tmpRoot/stream")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = ss.read.parquet(s"$tmpRoot/stream").schema
+    var state: DataFrame = null
+    val q = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmpRoot/stream")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = graft.plan.Rollup.materialize(batch, gc, ms)
+          .localCheckpoint(true)
+        state = (if (state == null) delta
+                 else graft.plan.Rollup.merge(state, delta, gc, ms)
+                   .localCheckpoint(true))
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    state.write.mode("overwrite").parquet(s"$tmpRoot/summary")
+    R.register(orders, s.read.parquet(s"$tmpRoot/summary"), gc, ms)
+    R.enable(s)
+    try {
+      val dash = orders.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), count(col("o_totalprice")).as("cnt_total"),
+          sum("o_totalprice").as("__s"),
+          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        .select(col("o_orderstatus"), col("n_rows"), col("cnt_total"),
+          round(col("__s"), 2).as("sum_total"), col("mn"), col("mx"))
+      val scans = R.scanRootPaths(dash)
+      require(scans.nonEmpty && scans.forall(_.contains(tmpRoot)),
+        s"stream-maintained summary did not serve — plan scans $scans")
+      materializeAndCleanup(s, dash, tmpRoot)
+    } finally {
+      R.disable(s)
+      R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** Contamination FRACTION scoring ([[graft.dedup.Dedup
     * .contaminationFractions]] — the graded form of q42's membership
     * report, the GPT-3 appendix-C "dirty document" metric): per corpus
@@ -3622,7 +3679,8 @@ object Queries {
     "q172_agg_navigation" -> (q172AggNavigation _),
     "q173_lattice_persist" -> (q173LatticePersist _),
     "q174_contamination_frac" -> (q174ContaminationFrac _),
-    "q175_cube_summary" -> (q175CubeSummary _))
+    "q175_cube_summary" -> (q175CubeSummary _),
+    "q176_stream_lattice" -> (q176StreamLattice _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -5842,6 +5900,17 @@ object Queries {
         | round(CASE WHEN a.cnt < 16 THEN CAST(a.cnt AS DOUBLE)
         |   ELSE 15.0 * 1152921504606846976.0 / CAST(a.kth AS DOUBLE) END, 4)
         |FROM b JOIN a ON a.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority""".stripMargin,
+    // q176: stream-maintained summary under the rewrite — the dashboard
+    // aggregate is served from a summary kept fresh by 3 micro-batch
+    // folds; oracle = the plain full-base aggregate (identical to
+    // q166's: maintenance must be answer-invisible regardless of HOW
+    // the summary was maintained — batch merge there, streaming here).
+    "q176_stream_lattice" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        | count(o_totalprice) AS cnt_total,
+        | round(sum(o_totalprice), 2) AS sum_total,
+        | min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // q175: cube from the summary — the grouping-sets rewrite path;
     // oracle = plain GROUP BY CUBE over the base (q70's coalesce
     // device). 2dp float sums: the grand total reaches ~2.2e10 at

@@ -379,6 +379,25 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("HAVING and ORDER BY above a rewritten aggregate are untouched (exprIds preserved)") {
+    withRollup(Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice")) {
+      (base, dir) =>
+        def q(src: DataFrame) = src.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+          .filter(col("n") > 100)          // HAVING over the aggregate
+          .orderBy(col("s").desc)
+        val rewritten = q(base)
+        assert(scanPaths(rewritten).forall(_.contains(dir)),
+          s"HAVING query not rewritten:\n${rewritten.queryExecution.optimizedPlan}")
+        RollupRewrite.disable(spark)
+        val want = q(base).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        RollupRewrite.enable(spark)
+        assert(rewritten.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          == want, "HAVING filter and ordering must survive the redirect")
+        assert(want.nonEmpty)
+    }
+  }
+
   // --- grouping sets: cube / rollup served from the summary ---
 
   test("cube rides the summary: all grouping sets from one summary scan") {

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bm25del,bpe,bpeseg,dsir,phrase,merge,ivf,ivfappend,ivfdel,semadmit,rollup,eageragg,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bm25del,bpe,bpeseg,dsir,phrase,merge,ivf,ivfappend,ivfdel,semadmit,rollup,eageragg,packseq,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
   */
 object ScaleRehearsal {
 
@@ -696,6 +696,35 @@ object ScaleRehearsal {
           f"direct=$directWall%.1fs eager=$eagerWall%.1fs pushed=$pushed " +
             f"groups=${eager.size}")
       } finally EagerAggregation.disable(spark)
+    })
+
+    if (enabled("packseq")) scenario("pack-sequences-20m",
+        "distributed scan (range partition + two-pass offsets) at 20M docs", {
+      // 20M docs, token counts 1 + (id % 4) — 50M tokens into 2048-token
+      // sequences. Exact global invariants, no per-row reference needed:
+      // span lengths conserve the token total; every sequence except the
+      // last is exactly full; every doc appears; spill rows (docs crossing
+      // a boundary) chain via tok_off > 0.
+      val n = 20000000L
+      val L = 2048L
+      val docs = spark.range(0, n).select(col("id"),
+        (lit(1L) + col("id") % 4).as("w"))
+      val total = n + Seq(0L, 1L, 2L, 3L).map(r => (n / 4) * r).sum // 50M exactly
+      val spans = graft.curate.Curate.packSequences(docs, "id", "w", L)
+      val agg = spans.agg(
+        sum("span_len").as("tok"), countDistinct("id").as("docs"),
+        max("seq_id").as("maxSeq"),
+        sum(when(col("tok_off") > 0, 1L).otherwise(0L)).as("spills")).collect()(0)
+      val fullSeqs = spans.groupBy("seq_id").agg(sum("span_len").as("t"))
+        .filter(col("t") === L).count()
+      val lastSeq = (total - 1) / L
+      // 50M % 2048 = 128, so the last sequence is partial and the full
+      // count is EXACTLY lastSeq
+      (agg.getLong(0) == total && agg.getLong(1) == n &&
+        agg.getLong(2) == lastSeq && fullSeqs == lastSeq &&
+        agg.getLong(3) > 0,
+        f"tokens=${agg.getLong(0)} docs=${agg.getLong(1)} " +
+          f"seqs=${lastSeq + 1} full=$fullSeqs spills=${agg.getLong(3)}")
     })
 
     if (enabled("bpe")) scenario("bpe-4.8m-vocab",

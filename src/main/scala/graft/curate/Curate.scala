@@ -191,6 +191,66 @@ object Curate {
       idField.copy(name = idCol))))
   }
 
+  /** SEQUENCE PACKING — concatenate weighted rows (documents with token
+    * counts) in id order and split the stream at fixed `seqLen`
+    * boundaries: the op every LLM training pipeline runs right before
+    * writing shards. One span row per (sequence, document) overlap:
+    * `(seq_id, id, seq_off, tok_off, span_len)` — a document whose
+    * token interval crosses a boundary spills into the next sequence
+    * (span rows chain via tok_off), and every sequence except the last
+    * is exactly full by construction. All arithmetic is 64-bit integer
+    * — nothing to round, nothing to probe.
+    *
+    * Scale shape: the global exclusive prefix sum uses the
+    * [[denseIndex]] device — range partition + in-partition sort +
+    * two-pass offsets (per-partition totals collected, #partitions
+    * rows) — NO single-partition global window. Deterministic across
+    * runs, partitionings, and cluster sizes for the same reason
+    * denseIndex is: range boundaries move rows between partitions but
+    * never change the global sorted order. Ids must be DISTINCT (the
+    * order of equal ids is undefined); rows with weight <= 0 are
+    * dropped. */
+  def packSequences(df: DataFrame, idCol: String, weightCol: String,
+                    seqLen: Long): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    val spark = df.sparkSession
+    val idField = df.schema(idCol)
+    val sorted = df
+      .select(col(idCol), col(weightCol).cast("long").as("__w"))
+      .filter(col(idCol).isNotNull && col("__w") > 0)
+      .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+    val rdd = sorted.rdd
+    val partTotals = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(1))
+      Iterator((pi, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val spans = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var cum = bc.value(pi)
+      it.flatMap { r =>
+        val start = cum
+        val w = r.getLong(1)
+        cum += w
+        val firstSeq = start / seqLen
+        val lastSeq = (start + w - 1) / seqLen
+        (firstSeq to lastSeq).iterator.map { k =>
+          val lo = math.max(start, k * seqLen)
+          val hi = math.min(start + w, (k + 1) * seqLen)
+          org.apache.spark.sql.Row(k, r.get(0), lo - k * seqLen, lo - start, hi - lo)
+        }
+      }
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spans, StructType(Seq(
+      StructField("seq_id", LongType, nullable = false),
+      idField.copy(name = idCol),
+      StructField("seq_off", LongType, nullable = false),
+      StructField("tok_off", LongType, nullable = false),
+      StructField("span_len", LongType, nullable = false))))
+  }
+
   /** Deterministic negative sampling for retrieval/contrastive training:
     * k pseudo-random corpus documents per query, drawn by portable md5
     * arithmetic — reproducible across engines, runs, and partitionings

@@ -3443,6 +3443,24 @@ object Queries {
     }
   }
 
+  /** SEQUENCE PACKING ([[graft.curate.Curate.packSequences]] — the op
+    * every LLM training pipeline runs before writing shards): documents
+    * concatenate in doc_id order and split at fixed 512-token
+    * boundaries, one span row per (sequence, document) overlap, with
+    * boundary-crossing documents spilling into the next sequence. All
+    * integer arithmetic on whitespace token counts (the engine-portable
+    * tokenizer both sides already share), and the global prefix sum
+    * runs on the denseIndex device — range partition + two-pass
+    * offsets, NO global window. The oracle replays the packing as a
+    * window prefix sum + generate_series unnest: integer-exact span
+    * algebra, nothing to probe. */
+  def q177SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), size(T.tokens(col("text"))).as("n_tok"))
+    graft.curate.Curate.packSequences(docs, "doc_id", "n_tok", seqLen = 512L)
+  }
+
   /** Contamination FRACTION scoring ([[graft.dedup.Dedup
     * .contaminationFractions]] — the graded form of q42's membership
     * report, the GPT-3 appendix-C "dirty document" metric): per corpus
@@ -3680,7 +3698,8 @@ object Queries {
     "q173_lattice_persist" -> (q173LatticePersist _),
     "q174_contamination_frac" -> (q174ContaminationFrac _),
     "q175_cube_summary" -> (q175CubeSummary _),
-    "q176_stream_lattice" -> (q176StreamLattice _))
+    "q176_stream_lattice" -> (q176StreamLattice _),
+    "q177_sequence_pack" -> (q177SequencePack _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -5900,6 +5919,27 @@ object Queries {
         | round(CASE WHEN a.cnt < 16 THEN CAST(a.cnt AS DOUBLE)
         |   ELSE 15.0 * 1152921504606846976.0 / CAST(a.kth AS DOUBLE) END, 4)
         |FROM b JOIN a ON a.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority""".stripMargin,
+    // q177: sequence packing — exclusive window prefix sum over token
+    // counts in doc_id order, then one span per overlapped sequence via
+    // a generate_series unnest. Pure 64-bit integers; DuckDB // is
+    // integer division (non-negative operands here, so it agrees with
+    // Spark's truncation).
+    "q177_sequence_pack" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |p AS (SELECT doc_id, w,
+        |  CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        | FROM t),
+        |u AS (SELECT doc_id, w, start,
+        |  unnest(generate_series(start // 512, (start + w - 1) // 512)) AS k
+        | FROM p)
+        |SELECT k AS seq_id, doc_id,
+        | greatest(start, k * 512) - k * 512 AS seq_off,
+        | greatest(start, k * 512) - start AS tok_off,
+        | least(start + w, (k + 1) * 512) - greatest(start, k * 512) AS span_len
+        |FROM u""".stripMargin,
     // q176: stream-maintained summary under the rewrite — the dashboard
     // aggregate is served from a summary kept fresh by 3 micro-batch
     // folds; oracle = the plain full-base aggregate (identical to

@@ -357,4 +357,33 @@ class CurateSpec extends SparkSpec {
       Seq("a" -> 2L, "b" -> 1L, "c" -> 1L)).select("id").as[Long].collect().toSet
     assert(s1 == s2)
   }
+
+  test("packSequences matches a driver-side fold and is partition-invariant") {
+    // ids deliberately unsorted and sparse; weights exercise exact fits,
+    // multi-sequence spans, and the dropped non-positive row
+    val rows = Seq((7L, 3L), (1L, 10L), (12L, 1L), (3L, 16L), (9L, 0L), (5L, 7L))
+    val df = rows.toDF("id", "w")
+    val got = Curate.packSequences(df, "id", "w", seqLen = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // reference: sequential fold over ids in order (9 dropped: w=0)
+    var cum = 0L
+    val want = rows.filter(_._2 > 0).sortBy(_._1).flatMap { case (id, w) =>
+      val start = cum; cum += w
+      (start / 8 to (start + w - 1) / 8).map { k =>
+        val lo = math.max(start, k * 8); val hi = math.min(start + w, (k + 1) * 8)
+        (k, id, lo - k * 8, lo - start, hi - lo)
+      }
+    }.toSet
+    assert(got == want && want.nonEmpty)
+    // a document longer than seqLen spans several sequences, chained by tok_off
+    assert(got.count(_._2 == 3L) == 3, "the 16-token doc must span 3 sequences")
+    // every sequence except the last is exactly full
+    val bySeq = got.groupBy(_._1).map { case (k, ss) => k -> ss.toSeq.map(_._5).sum }
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (k, tot) => if (k != lastSeq) assert(tot == 8, s"seq $k") }
+    // partition-invariance: the denseIndex determinism argument
+    val again = Curate.packSequences(df.repartition(5), "id", "w", seqLen = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(again == got)
+  }
 }

@@ -214,12 +214,41 @@ object Ivf {
   }
 
   /** The tombstone id frame of a stored index (column `nid`), if any
-    * deletes have been issued — pass to [[topKAgainstIndex]]. */
+    * deletes have been issued — pass to [[topKAgainstIndex]]. Serving
+    * entry point, so it first heals a [[compactIndex]] crash stranded
+    * between its two renames. */
   def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
                    indexPath: String): Option[DataFrame] = {
+    recoverCompaction(spark, indexPath)
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/_tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Heal a [[compactIndex]] crash: between rename(dst→old) and
+    * rename(tmp→dst) the index path does NOT exist (live data stranded in
+    * `.old_`/`.tmp_` siblings — readers in that window fail). The tmp
+    * directory was fully written BEFORE any rename, so recovery completes
+    * the swap (rename tmp→dst, drop old); if tmp is somehow gone, the old
+    * directory rolls back verbatim. Idempotent no-op when the index path
+    * exists. Returns true when a stranded state was healed (ADVICE r9). */
+  def recoverCompaction(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = dst.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dst.getParent, s".tmp_${dst.getName}")
+    val old = new org.apache.hadoop.fs.Path(dst.getParent, s".old_${dst.getName}")
+    if (fs.exists(dst) || !fs.exists(old)) false
+    else if (fs.exists(tmp)) {
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"failed to complete compaction swap at $dst")
+      fs.delete(old, true); true
+    } else {
+      if (!fs.rename(old, dst))
+        throw new java.io.IOException(s"failed to roll back compaction at $dst")
+      true
+    }
   }
 
   /** Fold tombstones back into storage — the ONE deliberate index
@@ -229,10 +258,16 @@ object Ivf {
     * rename (so the rewrite can read the very table it replaces), then
     * two metadata-only renames swap the directories — the
     * [[graft.curate.Bm25]] swapWrite discipline; the tombstone subdir
-    * rides out with the old directory, so a crash between the renames
-    * leaves either the intact old index (tmp orphaned) or the compacted
-    * one, never a tombstone-less un-compacted index. Serving is
-    * invariant: the anti-join already hid exactly these rows. */
+    * rides out with the old directory, so the swap can never produce a
+    * tombstone-less un-compacted index. HONEST crash window: between
+    * rename(dst→old) and rename(tmp→dst) the index path does NOT exist
+    * and concurrent readers in that window fail; [[recoverCompaction]]
+    * (run automatically here and by [[tombstonesOf]]) heals the stranded
+    * state by completing the swap from the fully-written tmp — the window
+    * costs availability, never durability. A long-lived index that cannot
+    * afford it should use [[IvfVersioned]]'s pointer swap instead.
+    * Serving is invariant: the anti-join already hid exactly these
+    * rows. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
                    indexPath: String): Unit =
     tombstonesOf(spark, indexPath).foreach { ts =>

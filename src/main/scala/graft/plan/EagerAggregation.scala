@@ -3,7 +3,7 @@ package graft.plan
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -36,8 +36,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * partials equal the same functions over the duplicated raw rows.
   * Null fact join keys drop identically on both shapes (inner equi-join).
   *
-  * Supported (everything else leaves the plan untouched): INNER joins
-  * with pure conjunctive attribute-equality conditions; aggregates
+  * Supported (everything else leaves the plan untouched): INNER, LEFT
+  * OUTER and RIGHT OUTER joins (full outer stays untouched — an
+  * unmatched fact-side partial would null-extend ONCE where its raw rows
+  * each appear, undercounting) with pure conjunctive attribute-equality
+  * conditions; aggregates
   * sum / count / count(*) / min / max / avg(non-decimal), undistinct and
   * unfiltered, whose inputs all come from ONE side (that side becomes
   * the fact); grouping expressions over the other side plus any fact
@@ -96,7 +99,8 @@ object EagerAggregation {
 
     private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
       val join = stripProjects(agg.child) match {
-        case j: Join if j.joinType == Inner && j.condition.isDefined => j
+        case j: Join if (j.joinType == Inner || j.joinType == LeftOuter ||
+            j.joinType == RightOuter) && j.condition.isDefined => j
         case _ => return None
       }
       val leftOut = join.left.outputSet
@@ -119,6 +123,21 @@ object EagerAggregation {
         if (aggRefs.subsetOf(leftOut)) (join.left, join.right, true)
         else if (aggRefs.subsetOf(rightOut)) (join.right, join.left, false)
         else return None
+      // OUTER-join soundness (Yan-Larson's outer variant). When the fact
+      // is the PRESERVED side, pre-aggregation is sound verbatim: an
+      // unmatched partial row null-extends once carrying its n_k rows'
+      // partials, exactly what the n_k raw rows would have contributed.
+      // When the fact is the NULL-EXTENDED side, every aggregate over
+      // fact columns is sound because null partials drop out of
+      // sum/count(e)/min/max/avg just like raw null-extended rows do —
+      // EXCEPT count(*), which counts the null-extended row itself: that
+      // partial merges as sum(coalesce(partial, 1)) below (the classic
+      // COUNT BUG fix — a preserved dim row with no match contributes 1).
+      val factPreserved = join.joinType match {
+        case Inner => true
+        case LeftOuter => factIsLeft
+        case RightOuter => !factIsLeft
+      }
       // idempotence at the optimizer's fixpoint: a pushed plan's fact side
       // IS an Aggregate — never stack a second pre-aggregation on it
       if (stripProjects(fact).isInstanceOf[Aggregate]) return None
@@ -146,9 +165,31 @@ object EagerAggregation {
             val m = sumOf(partialOf("sum", Sum(e), e))
             Some(if (m.dataType == ae.dataType) m else Cast(m, ae.dataType))
           case c: Count =>
-            // count(*) keys on the literal row-count partial; count(e) on e
-            val key = c.children.headOption.getOrElse(Literal(1))
-            Some(sumOf(partialOf("cnt", c, key)))
+            // count(*) keys on the literal row-count partial; count(args)
+            // on the FULL canonicalized argument list — count(a,b) and
+            // count(a,c) in one query must not share a partial (ADVICE r9)
+            val key: Expression = c.children match {
+              case Seq() => Literal(1)
+              case Seq(one) => one
+              case many => CreateStruct(many)
+            }
+            val countStar = c.children.forall {
+              case l: Literal => l.value != null
+              case _ => false
+            }
+            val partial: Expression = partialOf("cnt", c, key)
+            // count-bug fix: when the fact side is null-extended by an
+            // outer join, a preserved dim row with no match still counts
+            // as ONE output row for count(*) — its NULL partial reads 1
+            val summed = sumOf(
+              if (countStar && !factPreserved)
+                Coalesce(Seq(partial, Literal(1L)))
+              else partial)
+            // empty-join global aggregate: stock count returns 0 but
+            // sum(partial) over zero rows returns NULL — coalesce restores
+            // answer-invisibility (grouped outputs never see the NULL:
+            // a group row exists only when input rows do) (ADVICE r9)
+            Some(Coalesce(Seq(summed, Literal(0L))))
           case Min(e) =>
             Some(AggregateExpression(Min(partialOf("min", Min(e), e)),
               Complete, isDistinct = false))

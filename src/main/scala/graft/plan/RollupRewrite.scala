@@ -31,6 +31,11 @@ import org.apache.spark.sql.types.DoubleType
   *     cast to double — for integral measures BOTH paths divide the same
   *     exact integer sums, so the rewrite is bit-identical; for floats it
   *     differs only in summation order (like any partial aggregation)
+  *   - `count(distinct c...)` where every counted column is a registered
+  *     GROUP column → the same distinct count over the summary (the
+  *     grain carries every (group, c) combination verbatim — bit-exact,
+  *     no sketch); distinct counts over non-grain columns use the KMV
+  *     sketch path below
   *   - grouping on any SUBSET of the registered group columns
   *   - filters whose references are all registered group columns (pushed
   *     onto the summary — group values are carried verbatim, nulls
@@ -68,9 +73,61 @@ object RollupRewrite {
                                      measures: Seq[String],
                                      distinctCols: Seq[String] = Nil,
                                      sketchK: Int = 64,
-                                     sketchShapes: Map[String, Expression] = Map.empty)
+                                     sketchShapes: Map[String, Expression] = Map.empty,
+                                     baseFingerprint: String = "")
 
   private val defs = new java.util.concurrent.CopyOnWriteArrayList[RollupDef]
+
+  /** STALENESS GUARD (VERDICT r9 #1). A registration binds the summary to
+    * the base's file MANIFEST (sorted path|length|mtime digest), not just
+    * its root paths: a base append/overwrite WITHOUT a [[Rollup.merge]] +
+    * re-[[register]] changes the manifest, the guard detects the mismatch
+    * at rewrite time, and the rule FALLS THROUGH to the base — correct
+    * and slower, never silently stale (the classic materialized-view
+    * trap). The comparison uses the QUERY's own FileIndex listing, which
+    * is exactly the file set that query would scan — so a query holding a
+    * pre-append DataFrame handle (whose snapshot listing matches the
+    * registration) still serves from the summary, and answer-equivalence
+    * holds in both directions. Zero extra I/O: both listings are already
+    * materialized in their FileIndexes. For a Snapshots-managed base the
+    * pointer swap lands new version directories in the listing, so
+    * snapshot publishes are caught by the same digest.
+    *
+    * [[setStrictStaleness]] opts into failing loudly instead: a stale
+    * summary then throws (for operators who PROMISED freshness — e.g. a
+    * dashboard that must never pay a base scan). */
+  @volatile private var strictStaleness = false
+
+  def setStrictStaleness(on: Boolean): Unit = strictStaleness = on
+
+  private[plan] def fingerprintOf(
+      location: org.apache.spark.sql.execution.datasources.FileIndex): String = {
+    val entries: Seq[String] = location match {
+      case p: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =>
+        p.allFiles().map(f =>
+          s"${f.getPath}|${f.getLen}|${f.getModificationTime}")
+      case other => other.inputFiles.toSeq
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.sorted.foreach(e =>
+      md.update(e.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    java.util.Base64.getEncoder.encodeToString(md.digest)
+  }
+
+  /** Candidates for a base whose CURRENT manifest is `fp` — stale
+    * registrations drop out here (or throw under strict mode). */
+  private def freshCandidates(paths: Set[String], fp: String): Seq[RollupDef] = {
+    import scala.jdk.CollectionConverters._
+    val forBase = defs.iterator().asScala.filter(_.basePaths == paths).toSeq
+    val (fresh, stale) = forBase.partition(d =>
+      d.baseFingerprint.isEmpty || d.baseFingerprint == fp)
+    if (stale.nonEmpty && strictStaleness)
+      throw new IllegalStateException(
+        s"stale rollup summary for base $paths: the base file manifest changed " +
+          s"since registration (append/overwrite without Rollup.merge + re-register); " +
+          s"strict staleness mode is on")
+    fresh.sortBy(_.groupCols.size)
+  }
 
   /** Normalize a hash expression for shape comparison: every attribute
     * collapses to one canonical placeholder, then Catalyst
@@ -107,10 +164,19 @@ object RollupRewrite {
         s"could not snapshot hash shape for distinct column '$c'"))
       c -> normalizedShape(expr)
     }.toMap
-    defs.add(RollupDef(rootPaths(base.queryExecution.analyzed).getOrElse(
-        throw new IllegalArgumentException("base must be a single file-backed relation")),
+    val rel = baseRelation(base.queryExecution.analyzed).getOrElse(
+      throw new IllegalArgumentException("base must be a single file-backed relation"))
+    val d = RollupDef(rel.location.rootPaths.map(_.toString).toSet,
       summary.queryExecution.analyzed, groupCols, measures,
-      distinctCols, sketchK, shapes))
+      distinctCols, sketchK, shapes, fingerprintOf(rel.location))
+    // re-registering the same grain REPLACES the old entry — the refresh
+    // step of the maintenance loop (merge → rewrite summary → register)
+    import scala.jdk.CollectionConverters._
+    defs.iterator().asScala
+      .filter(o => o.basePaths == d.basePaths && o.groupCols == d.groupCols &&
+        o.measures == d.measures && o.distinctCols == d.distinctCols)
+      .toList.foreach(defs.remove)
+    defs.add(d)
   }
 
   def clear(): Unit = defs.clear()
@@ -208,10 +274,9 @@ object RollupRewrite {
         fs.location.rootPaths.map(_.toString)
     }.flatten.toSet
 
-  private def rootPaths(plan: LogicalPlan): Option[Set[String]] = plan match {
-    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      Some(fs.location.rootPaths.map(_.toString).toSet)
-    case Project(_, child) => rootPaths(child)
+  private def baseRelation(plan: LogicalPlan): Option[HadoopFsRelation] = plan match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) => Some(fs)
+    case Project(_, child) => baseRelation(child)
     case _ => None
   }
 
@@ -235,21 +300,20 @@ object RollupRewrite {
 
     private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
       val (leaf, conds) = strip(agg.child, Nil).getOrElse(return None)
-      val paths = leaf.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).toSet
+      val rel = leaf.relation match {
+        case fs: HadoopFsRelation => fs
         case _ => return None
       }
+      val paths = rel.location.rootPaths.map(_.toString).toSet
       // Lattice routing: several summaries at different grains may be
       // registered for one base. Try coarsest-first (fewest group
       // columns — the fewest-rows proxy when grains nest, which is the
       // rollup-lattice case) and take the first grain that can answer;
       // a finer summary only serves what a coarser one cannot. Ties keep
-      // registration order.
-      val candidates = {
-        import scala.jdk.CollectionConverters._
-        defs.iterator().asScala.filter(_.basePaths == paths).toSeq
-          .sortBy(_.groupCols.size)
-      }
+      // registration order. Stale registrations (base manifest changed
+      // since register — see the staleness guard) are excluded, so the
+      // query falls through to the base.
+      val candidates = freshCandidates(paths, fingerprintOf(rel.location))
       candidates.view.flatMap(d => tryRewriteWith(agg, conds, d)).headOption
     }
 
@@ -276,10 +340,11 @@ object RollupRewrite {
         case _ => return None
       }
       val (leaf, conds) = strip(ex.child, Nil).getOrElse(return None)
-      val paths = leaf.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).toSet
+      val rel = leaf.relation match {
+        case fs: HadoopFsRelation => fs
         case _ => return None
       }
+      val paths = rel.location.rootPaths.map(_.toString).toSet
       // classify every Expand output position across the projections
       val kinds: Seq[ExpandPos] = ex.output.indices.map { i =>
         val vs = ex.projections.map(_(i))
@@ -294,11 +359,7 @@ object RollupRewrite {
           GidPos
         else return None
       }
-      val candidates = {
-        import scala.jdk.CollectionConverters._
-        defs.iterator().asScala.filter(_.basePaths == paths).toSeq
-          .sortBy(_.groupCols.size)
-      }
+      val candidates = freshCandidates(paths, fingerprintOf(rel.location))
       candidates.view
         .flatMap(d => tryRewriteCubeWith(agg, ex, conds, d, kinds)).headOption
     }
@@ -316,7 +377,8 @@ object RollupRewrite {
             !d.measures.contains(b.name) => return None
         case _ => ()
       }
-      if (!conds.forall(_.references.forall(a => d.groupCols.contains(a.name))))
+      if (!conds.forall(c => c.deterministic &&
+          c.references.forall(a => d.groupCols.contains(a.name))))
         return None
       val summary = d.summary match {
         case r: LogicalRelation => r.newInstance()
@@ -344,11 +406,14 @@ object RollupRewrite {
       def sumOf(a: Expression) =
         AggregateExpression(Sum(a), Complete, isDistinct = false)
       def derive(fn: AggregateFunction): Option[Expression] = fn match {
+        // count coalesce: same empty-input discipline as tryRewriteWith
+        // (cube aggregates always group, so this is belt-and-braces)
         case Count(Seq(Literal(1, _))) =>
-          Some(sumOf(partialCol("cnt_rows", "", Rollup.CntRows)))
+          Some(Coalesce(Seq(
+            sumOf(partialCol("cnt_rows", "", Rollup.CntRows)), Literal(0L))))
         case Count(Seq(e: AttributeReference)) if passMeasure.contains(e.exprId) =>
           val m = passMeasure(e.exprId)
-          Some(sumOf(partialCol("cnt", m, s"__cnt_$m")))
+          Some(Coalesce(Seq(sumOf(partialCol("cnt", m, s"__cnt_$m")), Literal(0L))))
         case Sum(e: AttributeReference, _) if passMeasure.contains(e.exprId) =>
           val m = passMeasure(e.exprId)
           val merged = sumOf(partialCol("sum", m, s"__sum_$m"))
@@ -436,8 +501,11 @@ object RollupRewrite {
         case _ => return None
       }
       // filters may only touch group columns (their values are carried
-      // verbatim on the summary)
-      if (!conds.forall(_.references.forall(a => d.groupCols.contains(a.name))))
+      // verbatim on the summary) and must be DETERMINISTIC — rand() < 0.2
+      // has no references, passes the forall vacuously, and would turn
+      // row-level sampling into group-level sampling (ADVICE r9)
+      if (!conds.forall(c => c.deterministic &&
+          c.references.forall(a => d.groupCols.contains(a.name))))
         return None
       def measureAttr(e: Expression, prefix: String): Option[AttributeReference] =
         e match {
@@ -446,10 +514,24 @@ object RollupRewrite {
           case _ => None
         }
       def sumOf(a: AttributeReference) = AggregateExpression(Sum(a), Complete, isDistinct = false)
+      // counts: a pushed group-column filter can match ZERO summary rows,
+      // where a global (ungrouped) stock count returns 0 but sum(partial)
+      // returns NULL — coalesce restores answer-invisibility; grouped
+      // outputs never see the NULL (ADVICE r9)
+      def cntOf(a: AttributeReference): Expression =
+        Coalesce(Seq(sumOf(a), Literal(0L)))
       def derive(fn: AggregateFunction): Option[Expression] = fn match {
-        case Count(Seq(Literal(1, _))) => Some(sumOf(sAttr(Rollup.CntRows)))
-        case Count(Seq(e)) => measureAttr(e, "__cnt_").map(sumOf)
-        case Sum(e, _) => measureAttr(e, "__sum_").map(sumOf)
+        case Count(Seq(Literal(1, _))) => Some(cntOf(sAttr(Rollup.CntRows)))
+        case Count(Seq(e)) => measureAttr(e, "__cnt_").map(cntOf)
+        case Sum(e, _) => measureAttr(e, "__sum_").map { a =>
+          // re-summing a DECIMAL partial widens precision again
+          // (decimal(p+10,s) → decimal(p+20,s)) under the PRESERVED output
+          // exprId — cast back to the query's sum type like the cube path
+          // does, or parents read a value whose physical layout may cross
+          // the 18-digit unsafe-row boundary (ADVICE r9)
+          val merged = sumOf(a)
+          if (merged.dataType == fn.dataType) merged else Cast(merged, fn.dataType)
+        }
         case Min(e) => measureAttr(e, "__min_").map(m =>
           AggregateExpression(Min(m), Complete, isDistinct = false))
         case Max(e) => measureAttr(e, "__max_").map(m =>
@@ -485,7 +567,22 @@ object RollupRewrite {
       // occur INSIDE aggregate calls, which `derive` consumes whole.
       def rewriteExpr(e: Expression): Option[Expression] = e match {
         case AggregateExpression(fn, Complete, false, None, _) => derive(fn)
-        case _: AggregateExpression => None // distinct / filtered / partial
+        // EXACT distinct-count from the summary when every counted column
+        // is IN the summary grain (VERDICT r9 #4): the summary carries one
+        // row per grain combination with group values verbatim, so the
+        // distinct (c...) sets per output group are IDENTICAL on summary
+        // and base — the aggregate redirects unchanged (still distinct,
+        // now over a group-cardinality input). Bit-exact, no sketch; the
+        // KMV path below stays for columns OUTSIDE the grain.
+        case AggregateExpression(Count(args), Complete, true, None, _)
+            if args.nonEmpty && args.forall {
+              case a: AttributeReference => d.groupCols.contains(a.name)
+              case _ => false
+            } =>
+          Some(AggregateExpression(
+            Count(args.map { case a: AttributeReference => sAttr(a.name) }),
+            Complete, isDistinct = true))
+        case _: AggregateExpression => None // other distinct / filtered / partial
         case a: AttributeReference =>
           if (groupNames.contains(a.name)) Some(sAttr(a.name)) else None
         case other =>
@@ -562,8 +659,13 @@ object Rollup {
       distinctCols.map(c => s"__kmv_$c")).toSet
     require(stored.columns.toSet == expect && delta.columns.toSet == expect,
       s"inputs are not Rollup.materialize outputs for ($groupCols, $measures, $distinctCols)")
-    val aggs = (sum(col(CntRows)).as(CntRows) +: measures.flatMap(m => Seq(
-      sum(col(s"__sum_$m")).as(s"__sum_$m"), sum(col(s"__cnt_$m")).as(s"__cnt_$m"),
+    // cast merged sums back to the STORED layout types: re-summing a
+    // DECIMAL partial widens precision (p+10 → p+20), and without the cast
+    // every merge round would widen the registered layout again until the
+    // schema check (and the 18-digit unsafe-row boundary) breaks (ADVICE r9)
+    def sumAs(c: String) = sum(col(c)).cast(stored.schema(c).dataType).as(c)
+    val aggs = (sumAs(CntRows) +: measures.flatMap(m => Seq(
+      sumAs(s"__sum_$m"), sumAs(s"__cnt_$m"),
       min(col(s"__min_$m")).as(s"__min_$m"), max(col(s"__max_$m")).as(s"__max_$m")))) ++
       distinctCols.map(c => graft.functions.expressions.KmvMergeAgg
         .kmvMerge(col(s"__kmv_$c"), sketchK).as(s"__kmv_$c"))

@@ -3461,6 +3461,159 @@ object Queries {
     graft.curate.Curate.packSequences(docs, "doc_id", "n_tok", seqLen = 512L)
   }
 
+  /** STALENESS GUARD on the rollup tier ([[graft.plan.RollupRewrite]]'s
+    * base-manifest fingerprint — VERDICT r9 #1, the materialized-view
+    * trap closed): a summary is registered over a writable base copy,
+    * then a delta is appended to the base WITHOUT a merge. Leg 1
+    * ("fallthrough") proves the guard: the same dashboard aggregate must
+    * now scan the BASE (required in-plan — a silently-served stale
+    * summary fails the query) and return the answer INCLUDING the
+    * unmerged delta. Leg 2 ("refreshed") closes the maintenance loop:
+    * [[graft.plan.Rollup.merge]] folds the delta's partials into the
+    * stored summary, re-registration REPLACES the stale entry (binding
+    * the new manifest), and the identical aggregate must be served from
+    * the refreshed summary (required in-plan) with the same answer. The
+    * oracle is the plain aggregate over base ∪ delta, once per leg:
+    * stale serving, had it happened, would miss the delta and
+    * hash-mismatch. 2dp float sums (the q165/q166 magnitude regime). */
+  def q178RollupStaleness(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val orders = tbl(s, dir, "orders")
+    val groupCols = Seq("o_orderpriority", "o_orderstatus")
+    val measures = Seq("o_totalprice")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q178_stale")
+      .toFile.getAbsolutePath
+    orders.write.mode("overwrite").parquet(s"$tmpRoot/base")
+    val base0 = s.read.parquet(s"$tmpRoot/base")
+    graft.plan.Rollup.materialize(base0, groupCols, measures)
+      .write.mode("overwrite").parquet(s"$tmpRoot/sum1")
+    R.register(base0, s.read.parquet(s"$tmpRoot/sum1"), groupCols, measures)
+    R.enable(s)
+    try {
+      // the trap: append to the base, merge nothing
+      val delta = orders.filter(col("o_orderkey") % 7 === 3)
+      delta.write.mode("append").parquet(s"$tmpRoot/base")
+      def aggOf(src: DataFrame) = src.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum("o_totalprice").as("__s"),
+          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        .select(col("o_orderstatus"), col("n_rows"),
+          round(col("__s"), 2).as("sum_total"), col("mn"), col("mx"))
+      val baseNew = s.read.parquet(s"$tmpRoot/base")
+      val stale = aggOf(baseNew)
+      val scans1 = R.scanRootPaths(stale)
+      require(scans1.exists(_.contains("base")) && !scans1.exists(_.contains("sum1")),
+        s"staleness guard did not fall through to the base — plan scans $scans1")
+      // maintenance closes the gap: summary-level merge + re-register
+      graft.plan.Rollup.merge(s.read.parquet(s"$tmpRoot/sum1"),
+          graft.plan.Rollup.materialize(delta, groupCols, measures),
+          groupCols, measures)
+        .write.mode("overwrite").parquet(s"$tmpRoot/sum2")
+      R.register(baseNew, s.read.parquet(s"$tmpRoot/sum2"), groupCols, measures)
+      val fresh = aggOf(s.read.parquet(s"$tmpRoot/base"))
+      val scans2 = R.scanRootPaths(fresh)
+      require(scans2.nonEmpty && scans2.forall(_.contains("sum2")),
+        s"refreshed summary did not serve — plan scans $scans2")
+      val out = stale.withColumn("leg", lit("fallthrough"))
+        .unionByName(fresh.withColumn("leg", lit("refreshed")))
+        .select("leg", "o_orderstatus", "n_rows", "sum_total", "mn", "mx")
+      materializeAndCleanup(s, out, tmpRoot)
+    } finally {
+      R.disable(s)
+      R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
+  /** EAGER AGGREGATION under an OUTER join ([[graft.plan
+    * .EagerAggregation]]'s Yan-Larson outer variant — VERDICT r9 #3, the
+    * most common BI shape after inner): customers LEFT JOIN orders with
+    * every aggregate on the ORDERS side, so the pre-aggregation pushes
+    * below the join on the NULL-EXTENDED side — the classic COUNT-BUG
+    * shape: a customer with no orders is one real output row that a
+    * naive partial merge would lose (its partial is NULL); the rule
+    * merges count(*) as sum(coalesce(partial, 1)) so segment row counts
+    * keep every order-less customer. The gate requires the pushed shape
+    * in-plan; the oracle is the plain outer-join aggregate — at sf0.01
+    * roughly a third of customers have no orders, so the bug, if
+    * reintroduced, shifts n_rows by thousands and hash-fails. 2dp float
+    * sums (the q165/q166 magnitude regime). */
+  def q179EagerOuter(s: SparkSession, dir: String): DataFrame = {
+    val E = graft.plan.EagerAggregation
+    val customer = tbl(s, dir, "customer")
+    val orders = tbl(s, dir, "orders")
+    E.enable(s)
+    try {
+      val q = customer.join(orders, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_totalprice")).as("cnt_orders"),
+          sum("o_custkey").as("sum_cust"),
+          sum("o_totalprice").as("__s"),
+          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        .select(col("c_mktsegment"), col("n_rows"), col("cnt_orders"),
+          col("sum_cust"), round(col("__s"), 2).as("sum_total"),
+          col("mn"), col("mx"))
+      require(E.partialAggBelowJoin(q),
+        s"eager aggregation did not push below the outer join:\n" +
+          s"${q.queryExecution.optimizedPlan}")
+      q
+    } finally E.disable(s)
+  }
+
+  /** EXACT distinct-count from the summary ([[graft.plan.RollupRewrite]]
+    * — VERDICT r9 #4, the lossless complement of q171's KMV sketches):
+    * when every counted column of a `count(distinct ...)` is IN a
+    * summary's grain, the grain carries every (group, c) combination
+    * verbatim, so the distinct aggregate redirects to the summary
+    * UNCHANGED — bit-exact, no sketch, over a group-cardinality input.
+    * Two legs, each plan-asserted: the per-status distinct-priority
+    * query must route to the FINE (priority, status) grain — the coarse
+    * (status) summary cannot see priorities — while the global
+    * distinct-status query (with a status filter pushed onto the
+    * summary) routes to the COARSE grain. Oracle = the two plain
+    * distinct aggregates over the base. Integer values are exact; the
+    * one float sum rounds at 2dp (q165 regime). */
+  def q180DistinctGrain(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val orders = tbl(s, dir, "orders")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q180_distinct")
+      .toFile.getAbsolutePath
+    graft.plan.Rollup.materialize(orders, Seq("o_orderstatus"),
+        Seq("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/coarse")
+    graft.plan.Rollup.materialize(orders,
+        Seq("o_orderpriority", "o_orderstatus"), Seq("o_custkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/fine")
+    R.register(orders, s.read.parquet(s"$tmpRoot/coarse"),
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    R.register(orders, s.read.parquet(s"$tmpRoot/fine"),
+      Seq("o_orderpriority", "o_orderstatus"), Seq("o_custkey"))
+    R.enable(s)
+    try {
+      val fine = orders.groupBy("o_orderstatus")
+        .agg(countDistinct("o_orderpriority").as("nd"),
+          count(lit(1)).as("n_rows"), sum("o_custkey").as("__sc"))
+        .select(lit("fine").as("leg"), col("o_orderstatus").as("grp"),
+          col("nd"), col("n_rows"), col("__sc").cast("double").as("val"))
+      val scansF = R.scanRootPaths(fine)
+      require(scansF.nonEmpty && scansF.forall(_.contains("fine")),
+        s"distinct-on-grain did not route to the fine summary — scans $scansF")
+      val coarse = orders.filter(col("o_orderstatus") =!= "P")
+        .agg(countDistinct("o_orderstatus").as("nd"),
+          count(lit(1)).as("n_rows"), sum("o_totalprice").as("__st"))
+        .select(lit("coarse").as("leg"), lit("ALL").as("grp"),
+          col("nd"), col("n_rows"), round(col("__st"), 2).as("val"))
+      val scansC = R.scanRootPaths(coarse)
+      require(scansC.nonEmpty && scansC.forall(_.contains("coarse")),
+        s"global distinct did not route to the coarse summary — scans $scansC")
+      materializeAndCleanup(s, fine.unionByName(coarse), tmpRoot)
+    } finally {
+      R.disable(s)
+      R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** Contamination FRACTION scoring ([[graft.dedup.Dedup
     * .contaminationFractions]] — the graded form of q42's membership
     * report, the GPT-3 appendix-C "dirty document" metric): per corpus
@@ -3699,7 +3852,10 @@ object Queries {
     "q174_contamination_frac" -> (q174ContaminationFrac _),
     "q175_cube_summary" -> (q175CubeSummary _),
     "q176_stream_lattice" -> (q176StreamLattice _),
-    "q177_sequence_pack" -> (q177SequencePack _))
+    "q177_sequence_pack" -> (q177SequencePack _),
+    "q178_rollup_staleness" -> (q178RollupStaleness _),
+    "q179_eager_outer" -> (q179EagerOuter _),
+    "q180_distinct_grain" -> (q180DistinctGrain _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -5951,6 +6107,51 @@ object Queries {
         | round(sum(o_totalprice), 2) AS sum_total,
         | min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // q180: exact distinct-count from the summary — both legs bit-exact
+    // (the distinct sets on summary and base are identical when the
+    // counted column is in the grain); routing plan-asserted in-query.
+    // Integer casts exact ≪ 2^53; 2dp float sum (q165 regime).
+    "q180_distinct_grain" ->
+      """SELECT 'fine' AS leg, o_orderstatus AS grp,
+        | count(DISTINCT o_orderpriority) AS nd, count(*) AS n_rows,
+        | CAST(CAST(sum(o_custkey) AS BIGINT) AS DOUBLE) AS val
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'coarse', 'ALL', count(DISTINCT o_orderstatus), count(*),
+        | round(sum(o_totalprice), 2)
+        |FROM orders WHERE o_orderstatus <> 'P'""".stripMargin,
+    // q179: eager aggregation under a LEFT OUTER join — the pushed
+    // partial sits on the null-extended orders side; count(*) must keep
+    // one row per order-less customer (the count bug). Oracle = plain
+    // outer-join aggregate. DuckDB sum(BIGINT) is HUGEINT — CAST; 2dp
+    // float sums (q165 regime).
+    "q179_eager_outer" ->
+      """SELECT c_mktsegment, count(*) AS n_rows,
+        | count(o_totalprice) AS cnt_orders,
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        | round(sum(o_totalprice), 2) AS sum_total,
+        | min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    // q178: rollup staleness guard — BOTH legs must see the appended
+    // delta: the fallthrough leg because the guard pushed the query back
+    // to the (appended) base, the refreshed leg because Rollup.merge
+    // folded the delta's partials in. A stale-served summary would miss
+    // the delta rows and hash-mismatch. Oracle = one aggregate over
+    // base ∪ delta, emitted once per leg. 2dp float sums (q165 regime).
+    "q178_rollup_staleness" ->
+      """WITH ob AS (
+        | SELECT o_orderstatus, o_totalprice FROM orders
+        | UNION ALL
+        | SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 = 3),
+        |a AS (
+        | SELECT o_orderstatus, count(*) AS n_rows,
+        |  round(sum(o_totalprice), 2) AS sum_total,
+        |  min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        | FROM ob GROUP BY o_orderstatus)
+        |SELECT 'fallthrough' AS leg, o_orderstatus, n_rows, sum_total, mn, mx FROM a
+        |UNION ALL
+        |SELECT 'refreshed', o_orderstatus, n_rows, sum_total, mn, mx FROM a""".stripMargin,
     // q175: cube from the summary — the grouping-sets rewrite path;
     // oracle = plain GROUP BY CUBE over the base (q70's coalesce
     // device). 2dp float sums: the grand total reaches ~2.2e10 at

@@ -163,6 +163,44 @@ class IvfSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("recoverCompaction heals a crash stranded between the two renames (ADVICE r9)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_recover").toString
+    try {
+      val m = Ivf.fit(e, "vec_id", "embedding", numCells = 8, iterations = 2)
+      Ivf.assign(e, "embedding", m)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cell"))
+        .write.mode("overwrite").parquet(s"$dir/index")
+      val dead = e.filter(col("vec_id") % 7 === 3).select("vec_id")
+      Ivf.deleteFromIndex(spark, s"$dir/index", dead, "vec_id")
+      val before = spark.read.parquet(s"$dir/index").count()
+      val deadN = dead.distinct().count()
+      // simulate a compaction crash between rename(dst→old) and
+      // rename(tmp→dst): tmp fully written, dst renamed away
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dst = new org.apache.hadoop.fs.Path(s"$dir/index")
+      val fs = dst.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(dst.getParent, s".tmp_${dst.getName}")
+      val old = new org.apache.hadoop.fs.Path(dst.getParent, s".old_${dst.getName}")
+      spark.read.parquet(s"$dir/index")
+        .join(Ivf.tombstonesOf(spark, s"$dir/index").get, Seq("nid"), "left_anti")
+        .write.mode("overwrite").parquet(tmp.toString)
+      assert(fs.rename(dst, old))
+      assert(!fs.exists(dst), "stranded: index path absent")
+      // the serving entry point heals it — swap completed from tmp
+      val ts = Ivf.tombstonesOf(spark, s"$dir/index")
+      assert(fs.exists(dst) && !fs.exists(old) && !fs.exists(tmp))
+      assert(ts.isEmpty, "tombstones rode out with the old directory")
+      assert(spark.read.parquet(s"$dir/index").count() == before - deadN)
+      // rollback path: dst renamed away with NO tmp present
+      assert(fs.rename(dst, old))
+      assert(Ivf.recoverCompaction(spark, s"$dir/index"))
+      assert(fs.exists(dst) && !fs.exists(old))
+      assert(spark.read.parquet(s"$dir/index").count() == before - deadN)
+      // idempotent no-op on a healthy index
+      assert(!Ivf.recoverCompaction(spark, s"$dir/index"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("assignmentDrift: stable distribution ~0, shifted distribution alarms") {
     val idx = Seq(0, 0, 0, 1).toDF("cell")
     assert(math.abs(Ivf.assignmentDrift(idx, idx)) < 1e-12)

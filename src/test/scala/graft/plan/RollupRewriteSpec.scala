@@ -118,9 +118,10 @@ class RollupRewriteSpec extends SparkSpec {
             .agg(count(lit(1)).as("n")),
           // grouping outside the registered set
           base.groupBy("o_orderdate").agg(count(lit(1)).as("n")),
-          // distinct aggregate
+          // distinct aggregate over a NON-grain column (grain-column
+          // distinct counts ARE served exactly since VERDICT r9 #4)
           base.groupBy("o_orderpriority")
-            .agg(countDistinct(col("o_orderstatus")).as("n")),
+            .agg(countDistinct(col("o_orderdate")).as("n")),
           // non-derivable measure
           base.groupBy("o_orderpriority").agg(sum("o_orderkey").as("n")))
         onBase.foreach { df =>
@@ -212,6 +213,159 @@ class RollupRewriteSpec extends SparkSpec {
         assert(got.getLong(0) == direct.getLong(0))
         assert(got.getLong(1) == direct.getLong(1))
         assert(got.getLong(2) == direct.getLong(2))
+    }
+  }
+
+  test("empty-match filter: global counts coalesce to 0 like the base (ADVICE r9)") {
+    withRollup(Seq("o_orderpriority", "o_orderstatus"), Seq("o_custkey")) {
+      (base, dir) =>
+        def q(src: DataFrame) = src.filter(col("o_orderpriority") === "NO-SUCH")
+          .agg(count(lit(1)).as("n"), count(col("o_custkey")).as("c"),
+            sum("o_custkey").as("s"))
+        val rewritten = q(base)
+        assert(scanPaths(rewritten).forall(_.contains(dir)))
+        RollupRewrite.disable(spark)
+        val direct = q(base).collect().head
+        RollupRewrite.enable(spark)
+        assert(direct.getLong(0) == 0L && direct.getLong(1) == 0L && direct.isNullAt(2))
+        val got = rewritten.collect().head
+        assert(got.getLong(0) == 0L, "count(*) must be 0, not NULL")
+        assert(got.getLong(1) == 0L, "count(m) must be 0, not NULL")
+        assert(got.isNullAt(2), "sum stays NULL on empty input")
+    }
+  }
+
+  test("non-deterministic filter never pushes onto the summary (ADVICE r9)") {
+    withRollup(Seq("o_orderpriority", "o_orderstatus"), Seq("o_custkey")) {
+      (base, _) =>
+        // rand() has no attribute references — the reference check alone
+        // passes vacuously; pushing it would sample GROUPS, not rows
+        val q = base.filter(rand(42) < 0.5)
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        assert(scanPaths(q).exists(_.contains("orders.parquet")),
+          s"non-deterministic filter was pushed onto the summary:\n${q.queryExecution.optimizedPlan}")
+    }
+  }
+
+  test("decimal sums: rewrite preserves the query's sum type; merge preserves the layout (ADVICE r9)") {
+    val dir = java.nio.file.Files.createTempDirectory("rollup_dec").toString
+    try {
+      Seq(("a", "1.25"), ("a", "2.75"), ("b", "0.50"), ("b", "99999999.99"))
+        .toDF("g", "ms")
+        .select(col("g"), col("ms").cast("decimal(10,2)").as("m"))
+        .write.mode("overwrite").parquet(s"$dir/base")
+      val base = spark.read.parquet(s"$dir/base")
+      val mat = Rollup.materialize(base, Seq("g"), Seq("m"))
+      mat.write.mode("overwrite").parquet(s"$dir/summary")
+      RollupRewrite.register(base, spark.read.parquet(s"$dir/summary"),
+        Seq("g"), Seq("m"))
+      RollupRewrite.enable(spark)
+      def q(src: DataFrame) = src.groupBy("g").agg(sum("m").as("s"))
+      val rewritten = q(base)
+      assert(scanPaths(rewritten).forall(_.contains("summary")))
+      RollupRewrite.disable(spark)
+      val direct = q(base)
+      assert(rewritten.schema == direct.schema,
+        s"decimal sum type drifted: ${rewritten.schema} vs ${direct.schema}")
+      assert(rewritten.collect().map(r => (r.getString(0), r.getDecimal(1))).toSet
+        == direct.collect().map(r => (r.getString(0), r.getDecimal(1))).toSet)
+      // merge must not widen the stored layout round over round
+      val s1 = Rollup.materialize(base.filter(col("m") < 50), Seq("g"), Seq("m"))
+      val s2 = Rollup.materialize(base.filter(col("m") >= 50), Seq("g"), Seq("m"))
+      // nullability legitimately differs (sum is nullable, the parquet
+      // round-trip erases it anyway) — the layout contract is the TYPES
+      def types(df: DataFrame) = df.schema.map(f => (f.name, f.dataType))
+      val merged = Rollup.merge(s1, s2, Seq("g"), Seq("m"))
+      assert(types(merged) == types(mat),
+        s"merge drifted the layout: ${merged.schema} vs ${mat.schema}")
+      val again = Rollup.merge(merged, s2.filter(lit(false)), Seq("g"), Seq("m"))
+      assert(types(again) == types(mat), "second merge round widened again")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("staleness guard: base append without merge makes the rewrite fall through (VERDICT r9 #1)") {
+    val dir = java.nio.file.Files.createTempDirectory("rollup_stale").toString
+    try {
+      Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "m")
+        .write.mode("overwrite").parquet(s"$dir/base")
+      val base0 = spark.read.parquet(s"$dir/base") // pre-append handle
+      Rollup.materialize(base0, Seq("g"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/summary")
+      RollupRewrite.register(base0, spark.read.parquet(s"$dir/summary"),
+        Seq("g"), Seq("m"))
+      RollupRewrite.enable(spark)
+      def q(src: DataFrame) = src.groupBy("g").agg(sum("m").as("s"))
+      assert(scanPaths(q(base0)).forall(_.contains("summary")), "fresh: rides summary")
+      // append WITHOUT Rollup.merge — the materialized-view trap
+      Seq(("a", 100L)).toDF("g", "m").write.mode("append").parquet(s"$dir/base")
+      val base1 = spark.read.parquet(s"$dir/base") // fresh listing sees the append
+      val fallen = q(base1)
+      assert(scanPaths(fallen).exists(_.contains("base")),
+        s"stale summary served:\n${fallen.queryExecution.optimizedPlan}")
+      // CORRECT answer from the base, including the unmerged row
+      assert(fallen.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        == Set(("a", 103L), ("b", 3L)))
+      // a query over the PRE-append handle scans exactly the registered
+      // files — the summary is still answer-equivalent for it
+      assert(scanPaths(q(base0)).forall(_.contains("summary")),
+        "pre-append handle must still ride the summary")
+      // strict mode: the same staleness throws instead of falling through
+      RollupRewrite.setStrictStaleness(true)
+      try intercept[IllegalStateException] { q(base1).queryExecution.optimizedPlan }
+      finally RollupRewrite.setStrictStaleness(false)
+      // maintenance loop closes the gap: re-materialize + re-register
+      Rollup.materialize(base1, Seq("g"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/summary2")
+      RollupRewrite.register(base1, spark.read.parquet(s"$dir/summary2"),
+        Seq("g"), Seq("m"))
+      val served = q(spark.read.parquet(s"$dir/base"))
+      assert(scanPaths(served).forall(_.contains("summary2")),
+        "re-registered grain must serve again (and replace the stale entry)")
+      assert(served.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        == Set(("a", 103L), ("b", 3L)))
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.setStrictStaleness(false)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("count(distinct grain-col) rides the summary bit-exact; non-grain distinct stays (VERDICT r9 #4)") {
+    withRollup(Seq("o_orderpriority", "o_orderstatus"), Seq("o_custkey")) {
+      (base, dir) =>
+        def q(src: DataFrame) = src.groupBy("o_orderstatus")
+          .agg(countDistinct("o_orderpriority").as("nd"),
+            count(lit(1)).as("n"), sum("o_custkey").as("s"))
+        val rewritten = q(base)
+        assert(scanPaths(rewritten).forall(_.contains(dir)),
+          s"distinct-on-grain not served:\n${rewritten.queryExecution.optimizedPlan}")
+        RollupRewrite.disable(spark)
+        val want = q(base).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        RollupRewrite.enable(spark)
+        val got = rewritten.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(got == want && want.nonEmpty)
+        // filtered + global variants
+        def g(src: DataFrame) = src
+          .filter(col("o_orderstatus") =!= "P")
+          .agg(countDistinct("o_orderpriority", "o_orderstatus").as("nd"))
+        val gr = g(base)
+        assert(scanPaths(gr).forall(_.contains(dir)))
+        RollupRewrite.disable(spark)
+        val wantG = g(base).collect().head.getLong(0)
+        RollupRewrite.enable(spark)
+        assert(gr.collect().head.getLong(0) == wantG)
+        // distinct over a NON-grain column must not be served exactly
+        val non = base.groupBy("o_orderstatus")
+          .agg(countDistinct("o_orderdate").as("nd"))
+        assert(scanPaths(non).exists(_.contains("orders.parquet")),
+          "non-grain distinct column must stay on the base")
     }
   }
 

@@ -70,7 +70,7 @@ object Bench {
     // node counting for two rounds (r7 discovery, PERF.md). toRdd drives
     // the query exactly as written (AQE included) and produces every
     // output row, which is what a real consumer pays.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, (Double, Int)] = {
       val t0 = System.nanoTime()
       val res =
         try { fn(spark, sfDir).queryExecution.toRdd.count(); Right((System.nanoTime() - t0) / 1e9) }
@@ -83,8 +83,18 @@ object Bench {
       // without it, late-battery queries are charged for earlier queries'
       // garbage (measured: q44 2.24 s late in the battery vs 0.77 s alone)
       spark.catalog.clearCache()
+      // catalog.clearCache() drops SQL-cached relations ONLY — RDDs pinned
+      // by localCheckpoint(eager) (the library's iteration/streaming
+      // device) and by direct persists stay in storage memory until the
+      // ContextCleaner happens to reap their GC'd handles, so a battery
+      // neighbor runs with storage memory occupied (the q98 in-battery 4x
+      // tail — VERDICT r9 #2). Unpersist them NOW, blocking, and report
+      // how many were found per query ("persisted_rdds" in the JSON) so
+      // storage leaks are attributable instead of smearing into neighbors.
+      val leaked = spark.sparkContext.getPersistentRDDs
+      leaked.values.foreach(_.unpersist(blocking = true))
       System.gc()
-      res
+      res.map(t => (t, leaked.size))
     }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -93,31 +103,32 @@ object Bench {
     // the driver never sets it, so recorded rounds always run the full battery.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val leaks = scala.collection.mutable.LinkedHashMap[String, Int]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       // best-of-N: first run warms codegen/file cache; if the two samples
       // disagree >3x (scheduler/GC interference), take up to two more.
-      var samples = List(timeOnce(fn), timeOnce(fn))
+      val samples = List(timeOnce(fn), timeOnce(fn))
       samples.collectFirst { case Left(e) => e }.foreach(errors(name) = _)
-      val ok = samples.collect { case Right(s) => s }
+      var ok = samples.collect { case Right((s, _)) => s }
       if (ok.size == 2 && ok.max / math.max(ok.min, 1e-9) > 3.0) {
         resampled += name
         var extra = 0
-        var cur = ok
-        while (extra < 2 && cur.max / math.max(cur.min, 1e-9) > 3.0) {
+        while (extra < 2 && ok.max / math.max(ok.min, 1e-9) > 3.0) {
           timeOnce(fn) match {
-            case Right(s) => cur = cur :+ s
-            case Left(e)  => errors(name) = e // flaky failure counts as failure
+            case Right((s, _)) => ok = ok :+ s
+            case Left(e)       => errors(name) = e // flaky failure counts as failure
           }
           extra += 1
         }
-        samples = cur.map(Right(_))
       }
-      val best = samples.collect { case Right(s) => s } match {
-        case Nil => -1.0
-        case ss  => ss.min
+      val leak = samples.collect { case Right((_, n)) => n } match {
+        case Nil => 0
+        case ns  => ns.max
       }
+      if (leak > 0) leaks(name) = leak
+      val best = if (ok.isEmpty) -1.0 else ok.min
       name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -130,6 +141,8 @@ object Bench {
       "\"" + k + "\":\"" + esc + "\""
     }.mkString("{", ",", "}")
     val resJson = resampled.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val leakJson = leaks.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Truncation-proof evidence (VERDICT r4 task 2, r5 task 8): BENCH_r04
     // came back `parsed: null` because the driver's capture cut the single
@@ -144,7 +157,7 @@ object Bench {
     val shortLine =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec,"contended":$contended}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec,"contended":$contended,"resampled":$resJson,"errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec,"contended":$contended,"resampled":$resJson,"persisted_rdds":$leakJson,"errors":$errJson}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))

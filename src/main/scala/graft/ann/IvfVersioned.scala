@@ -2,42 +2,33 @@ package graft.ann
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DataType
 
-import graft.sources.Snapshots
+import graft.sources.VersionedPool
 
-/** SNAPSHOT-VERSIONED IVF vector index — [[graft.curate.Bm25Versioned]]'s
-  * design applied to the ANN tier:
+/** SNAPSHOT-VERSIONED IVF vector index — the versioned-index design on
+  * the shared [[graft.sources.VersionedPool]] core (pool of immutable
+  * assigned-vector batches + one meta snapshot per version; see its
+  * scaladoc for the layout, commit protocol, crash model, and vacuum
+  * rules), plus the ANN tier's one extra artifact:
   *
   * {{{
-  * root/
-  *   model/         the frozen coarse quantizer (written once at init;
-  *                  re-fit = a NEW index root, by design — see
-  *                  [[Ivf.assignmentDrift]] for when that is due)
-  *   pool/bNNNNN/   immutable assigned-vector batch dirs (nid, nvec, cell)
-  *   meta/          a graft.sources.Snapshots table: one row-set per version
+  * root/model/   the frozen coarse quantizer (written once at init;
+  *               re-fit = a NEW index root, by design — see
+  *               [[Ivf.assignmentDrift]] for when that is due)
   * }}}
   *
-  * Each version's metadata is ONE published frame holding the pool
-  * MANIFEST and the tombstone id set — a vector index has no derived
-  * df/stats analog (cosine is per-pair), so maintenance is even simpler
-  * than BM25's: append = one new pool batch + publish; delete = publish
-  * alone (takedown-sized metadata, no data write); compact = fold into
-  * one fresh batch + publish. Every op commits with ONE
-  * `Snapshots.publish` pointer swap; readers resolve a version once and
-  * keep serving it while maintenance publishes away, `pin`/`readVersion`
-  * give long-readers and time travel. Crash model: a crash before
-  * publish leaves only an unreferenced pool orphan — nothing to repair,
-  * only to [[vacuum]].
+  * A vector index has no derived df/stats analog (cosine is per-pair),
+  * so its meta carries manifest + tombstones ONLY and maintenance is
+  * even simpler than BM25's: append = one new pool batch + publish;
+  * delete = publish alone (takedown-sized metadata, no data write);
+  * compact = fold into one fresh batch + publish.
   *
   * Scale shape: assignment is a pure function of (vector, frozen model),
   * so append batches are O(batch) and serving over any version is
   * IDENTICAL to a fresh full assignment of that version's live set (the
   * q160/q163 contracts, now per version — the q167 gate). Stored batches
   * never shuffle; serving joins only probed cells and anti-joins
-  * tombstones on the candidate-sized frame.
-  *
-  * Single-writer maintenance, like the BM25 twin. */
+  * tombstones on the candidate-sized frame. Single-writer maintenance. */
 object IvfVersioned {
 
   /** One resolved version: the assigned-vector frame (union of the
@@ -45,45 +36,29 @@ object IvfVersioned {
     * [[Ivf.topKAgainstIndex]]. */
   case class VIndex(index: DataFrame, tombstones: Option[DataFrame])
 
-  private def metaDir(root: String) = s"$root/meta"
-  private def poolPath(root: String, batch: String) = s"$root/pool/$batch"
   private def modelPath(root: String) = s"$root/model"
-
-  private def nextBatch(spark: SparkSession, root: String): String =
-    f"b${Snapshots.versions(spark, metaDir(root)).lastOption.getOrElse(0) + 1}%05d"
 
   private def publishMeta(spark: SparkSession, root: String,
                           batches: Seq[String],
                           tombstones: Option[DataFrame],
-                          idType: DataType): Int = {
-    import spark.implicits._
-    val nullId = lit(null).cast(idType).as("nid")
-    val batchRows = batches.toDF("key").select(lit("batch").as("kind"),
-      col("key"), lit(null).cast("double").as("num"), nullId)
-    val statRows = Seq(("has_tombstones", tombstones.fold(0.0)(_ => 1.0)))
-      .toDF("key", "num").select(lit("stat").as("kind"), col("key"),
-        col("num"), nullId)
-    val tsRows = tombstones.map(_.select(lit("tombstone").as("kind"),
-      lit(null).cast("string").as("key"), lit(null).cast("double").as("num"),
-      col("nid")))
-    val meta = tsRows.foldLeft(batchRows.unionByName(statRows))(_.unionByName(_))
-    Snapshots.publish(spark, metaDir(root), meta)
-  }
+                          idType: org.apache.spark.sql.types.DataType): Int =
+    VersionedPool.publishMeta(spark, root, batches, stats = Nil,
+      tombstones = tombstones, idCol = "nid", idType = idType)
 
   /** Create version 1: fit the model on the initial corpus, freeze it,
     * write the first pool batch from its assignment. */
   def init(spark: SparkSession, root: String, vectors: DataFrame,
            idCol: String, vecCol: String,
            numCells: Int, iterations: Int = 2): Int = {
-    require(Snapshots.versions(spark, metaDir(root)).isEmpty,
-      s"versioned index already exists under $root — use append/delete")
+    VersionedPool.requireFresh(spark, root)
     val src = vectors.filter(col(vecCol).isNotNull)
     val model = Ivf.fit(src, idCol, vecCol, numCells, iterations)
     Ivf.save(model, spark, modelPath(root))
-    val batch = nextBatch(spark, root)
+    val batch = VersionedPool.nextBatch(spark, root)
     val assigned = Ivf.assign(src, vecCol, model)
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("cell"))
-    assigned.write.mode("overwrite").parquet(poolPath(root, batch))
+    assigned.write.mode("overwrite")
+      .parquet(VersionedPool.poolPath(root, batch))
     publishMeta(spark, root, Seq(batch), None, assigned.schema("nid").dataType)
   }
 
@@ -95,16 +70,8 @@ object IvfVersioned {
     * keep serving that version while later versions publish. */
   def load(spark: SparkSession, root: String,
            version: Option[Int] = None): VIndex = {
-    val meta = version.fold(Snapshots.readLatest(spark, metaDir(root)))(
-      v => Snapshots.readVersion(spark, metaDir(root), v))
-    val batches = meta.filter(col("kind") === "batch")
-      .select("key").collect().map(_.getString(0)).sorted
-    val hasTs = meta.filter(col("kind") === "stat" && col("key") === "has_tombstones")
-      .select("num").collect().head.getDouble(0) != 0.0
-    val index = spark.read.parquet(batches.map(poolPath(root, _)).toIndexedSeq: _*)
-    val ts = if (hasTs) Some(meta.filter(col("kind") === "tombstone").select("nid"))
-      else None
-    VIndex(index, ts)
+    val r = VersionedPool.load(spark, root, "nid", version)
+    VIndex(r.pool, r.tombstones)
   }
 
   /** Append a vector batch as a new version: assign against the FROZEN
@@ -117,7 +84,7 @@ object IvfVersioned {
              rejectDuplicateIds: Boolean = false): Int = {
     val src = vectors.filter(col(vecCol).isNotNull)
     if (src.limit(1).collect().isEmpty)
-      return Snapshots.latestVersion(spark, metaDir(root)).get
+      return VersionedPool.currentVersion(spark, root)
     val cur = load(spark, root)
     if (rejectDuplicateIds) {
       val dup = cur.index
@@ -127,12 +94,12 @@ object IvfVersioned {
       require(dup.isEmpty, s"versioned append: batch re-adds vector id " +
         s"${dup.head.get(0)} already present under $root")
     }
-    val batch = nextBatch(spark, root)
+    val batch = VersionedPool.nextBatch(spark, root)
     Ivf.assign(src, vecCol, model(spark, root))
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("cell"))
-      .write.mode("overwrite").parquet(poolPath(root, batch))
-    publishMeta(spark, root, manifestOf(spark, root) :+ batch, cur.tombstones,
-      cur.index.schema("nid").dataType)
+      .write.mode("overwrite").parquet(VersionedPool.poolPath(root, batch))
+    publishMeta(spark, root, VersionedPool.manifestOf(spark, root) :+ batch,
+      cur.tombstones, cur.index.schema("nid").dataType)
   }
 
   /** Remove vectors as a new version — a publish with the grown
@@ -148,8 +115,8 @@ object IvfVersioned {
     val present = req.join(cur.index.select("nid"), Seq("nid"), "left_semi")
       .localCheckpoint(true) // takedown-sized; two consumers below
     if (present.limit(1).collect().isEmpty)
-      return Snapshots.latestVersion(spark, metaDir(root)).get
-    publishMeta(spark, root, manifestOf(spark, root),
+      return VersionedPool.currentVersion(spark, root)
+    publishMeta(spark, root, VersionedPool.manifestOf(spark, root),
       Some(cur.tombstones.fold(present: DataFrame)(_.unionByName(present))),
       cur.index.schema("nid").dataType)
   }
@@ -159,13 +126,13 @@ object IvfVersioned {
     * and pins keep resolving the old batches until [[vacuum]]. */
   def compact(spark: SparkSession, root: String): Int = {
     val cur = load(spark, root)
-    val manifest = manifestOf(spark, root)
+    val manifest = VersionedPool.manifestOf(spark, root)
     if (cur.tombstones.isEmpty && manifest.size == 1)
-      return Snapshots.latestVersion(spark, metaDir(root)).get
+      return VersionedPool.currentVersion(spark, root)
     val live = cur.tombstones.foldLeft(cur.index)(
       (p, ts) => p.join(ts, Seq("nid"), "left_anti"))
-    val batch = nextBatch(spark, root)
-    live.write.mode("overwrite").parquet(poolPath(root, batch))
+    val batch = VersionedPool.nextBatch(spark, root)
+    live.write.mode("overwrite").parquet(VersionedPool.poolPath(root, batch))
     publishMeta(spark, root, Seq(batch), None, cur.index.schema("nid").dataType)
   }
 
@@ -173,23 +140,8 @@ object IvfVersioned {
     * never the committed or a pinned one), then delete pool batches no
     * remaining version references. */
   def vacuum(spark: SparkSession, root: String,
-             keepLast: Int): (Seq[Int], Seq[String]) = {
-    val droppedVersions = Snapshots.vacuum(spark, metaDir(root), keepLast)
-    val referenced = Snapshots.versions(spark, metaDir(root)).flatMap { v =>
-      Snapshots.readVersion(spark, metaDir(root), v)
-        .filter(col("kind") === "batch")
-        .select("key").collect().map(_.getString(0))
-    }.toSet
-    val poolDir = new org.apache.hadoop.fs.Path(s"$root/pool")
-    val fs = poolDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val orphans =
-      if (!fs.exists(poolDir)) Seq.empty[String]
-      else fs.listStatus(poolDir).toSeq.map(_.getPath.getName)
-        .filterNot(referenced)
-    orphans.foreach(b =>
-      fs.delete(new org.apache.hadoop.fs.Path(poolPath(root, b)), true))
-    (droppedVersions, orphans)
-  }
+             keepLast: Int): (Seq[Int], Seq[String]) =
+    VersionedPool.vacuum(spark, root, keepLast)
 
   /** Serve top-k from a resolved version — [[Ivf.topKAgainstIndex]] with
     * the version's tombstones on the candidate frame. */
@@ -200,9 +152,4 @@ object IvfVersioned {
     Ivf.topKAgainstIndex(vi.index, queries, model(spark, root),
       queryId, queryVec, k, nProbes, vi.tombstones)
   }
-
-  private def manifestOf(spark: SparkSession, root: String): Seq[String] =
-    Snapshots.readLatest(spark, metaDir(root))
-      .filter(col("kind") === "batch")
-      .select("key").collect().map(_.getString(0)).sorted.toSeq
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bm25del,bpe,bpeseg,dsir,phrase,merge,ivf,ivfappend,ivfdel,semadmit,rollup,eageragg,packseq,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bm25del,pipeline,bpe,bpeseg,dsir,phrase,merge,ivf,ivfappend,ivfdel,semadmit,rollup,eageragg,packseq,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
   */
 object ScaleRehearsal {
 
@@ -418,6 +418,80 @@ object ScaleRehearsal {
           f"rows=$rows self_top1=$self1/50 deleted_hits=$dead " +
             f"nDocs=${idx.nDocs}%.0f build=$buildWall%.1fs delete=$delWall%.1fs " +
             f"compact=$compactWall%.1fs")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    })
+
+    if (enabled("pipeline")) scenario("pipeline-kill-restart",
+        "ledger-committed pipeline: kill mid-append, restart skips, repairs, serves rebuild-equal", {
+      // The q182 choreography at 1M docs (the bm25-1m provable
+      // construction): ingest → base build (2/3 slice) → append (1/3
+      // slice), with the append KILLED in appendIncIndex's documented
+      // crash window (delta postings committed, dfs/stats stale). The
+      // restart must SKIP the committed stages (no second 1M-doc build —
+      // the walls prove it), route repairIncIndex off the orphaned intent
+      // marker, no-op the already-committed append through the
+      // guard-then-act probe, and serve EXACTLY rebuild-equal: 100/100
+      // self-top1 with bit-exact nDocs/totalDl.
+      def mkDocs(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(19)),
+            j => concat(lit("w"), col("id") * 20 + j))).as("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("rehearse_pipe").toString
+      try {
+        val B = graft.curate.Bm25
+        val P = graft.orchestrate.Pipeline
+        var killed = false
+        def stages = Seq(
+          P.RecoverableStage("ingest")({ () =>
+            mkDocs(0, 1000000).write.mode("overwrite").parquet(s"$tmp/docs")
+          })(),
+          P.RecoverableStage("build")({ () =>
+            B.saveIncIndex(B.buildIncIndex(
+              spark.read.parquet(s"$tmp/docs").filter(col("doc_id") % 3 =!= 0),
+              "doc_id", "text"), s"$tmp/index")
+          })(),
+          P.RecoverableStage("append")({ () =>
+            val batch = spark.read.parquet(s"$tmp/docs")
+              .filter(col("doc_id") % 3 === 0)
+            val present = spark.read.parquet(s"$tmp/index/postings")
+              .join(broadcast(batch.select("doc_id")), Seq("doc_id"), "left_semi")
+              .limit(1).count() > 0
+            if (!present) {
+              if (!killed) {
+                killed = true
+                B.buildIncIndex(batch, "doc_id", "text").postings
+                  .write.mode("append").parquet(s"$tmp/index/postings")
+                throw new RuntimeException("simulated kill mid-append")
+              }
+              B.appendIncIndex(spark, s"$tmp/index", batch, "doc_id", "text")
+            }
+          })(() => B.repairIncIndex(spark, s"$tmp/index")))
+        val t0 = System.nanoTime()
+        val run1 = P.runRestartable(spark, s"$tmp/ledger", stages)
+        val wall1 = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val run2 = P.runRestartable(spark, s"$tmp/ledger", stages)
+        val restartWall = (System.nanoTime() - t1) / 1e9
+        val idx = B.loadIncIndex(spark, s"$tmp/index")
+        val queries = mkDocs(0, 1000000).filter(col("doc_id") % 10000 === 0)
+          .select(col("doc_id").as("qid"),
+            concat_ws(" ", transform(sequence(lit(0), lit(4)),
+              j => concat(lit("w"), col("qid") * 20 + j))).as("qtext"))
+        val agg = B.topKAgainstIncIndex(idx, queries, "qid", "qtext", k = 3)
+          .agg(count(lit(1)).as("rows"),
+            sum(when(col("rank") === 1 && col("qid") === col("doc_id"), 1L)
+              .otherwise(0L)).as("self_top1")).collect()(0)
+        val shape1 = run1.map(_.getClass.getSimpleName) ==
+          Seq("Succeeded", "Succeeded", "Failed")
+        val shape2 = run2.map(_.getClass.getSimpleName) ==
+          Seq("Skipped", "Skipped", "Succeeded")
+        (shape1 && shape2 && agg.getLong(0) == 100 && agg.getLong(1) == 100 &&
+          idx.nDocs == 1000000.0 && idx.totalDl == 20.0 * 1000000 &&
+          restartWall < wall1,
+          f"run1=${run1.map(_.getClass.getSimpleName).mkString(",")} " +
+            f"run2=${run2.map(_.getClass.getSimpleName).mkString(",")} " +
+            f"rows=${agg.getLong(0)} self_top1=${agg.getLong(1)}/100 " +
+            f"nDocs=${idx.nDocs}%.0f first=$wall1%.1fs restart=$restartWall%.1fs")
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     })
 

@@ -451,6 +451,99 @@ object Curate {
       }.toDF()
   }
 
+  /** Best-fit-decreasing sequence packing within each group: the group's
+    * items sort by (size DESC, `orderCol` ASC) and each goes into the
+    * open bin with the LEAST remaining room that still fits — i.e. the
+    * largest current load ≤ capacity − size, ties broken by the
+    * lowest-numbered bin — opening a new bin only when none fits. The
+    * padding-minimizing middle between [[packNextFit]] (streaming, never
+    * reuses an earlier bin) and exact bin packing (NP-hard): the classic
+    * BFD guarantee is ≤ 11/9·OPT + 2/3 bins vs next-fit's 2·OPT.
+    * Oversized items (> capacity alone) get their own bin, like
+    * packNextFit. Returns the input columns + `seq_idx` (int, per-group
+    * bin number in bin-creation order). Deterministic, integer-only —
+    * the same greedy replays exactly in SQL (q181's unrolled oracle).
+    *
+    * Scale shape: ONE hash shuffle on the group id + an in-partition
+    * sort; each group buffers only ITS items (the per-partition bin pool
+    * is bounded by the group's item count — documents, not the corpus),
+    * then a linear best-fit scan over ≤ items bins. `orderCol` and
+    * `sizeCol` must be numeric. Padding companion: [[paddingStats]]. */
+  def packBestFitDecreasing(items: DataFrame, idCol: String, orderCol: String,
+                            sizeCol: String, capacity: Long): DataFrame = {
+    require(capacity >= 1, "capacity must be >= 1")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val outSchema = StructType(items.schema.fields :+
+      StructField("seq_idx", IntegerType, nullable = false))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    val idIdx = items.schema.fieldIndex(idCol)
+    val sizeIdx = items.schema.fieldIndex(sizeCol)
+    val ordIdx = items.schema.fieldIndex(orderCol)
+    items.repartition(col(idCol)).sortWithinPartitions(col(idCol))
+      .mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuffer[Row]()
+        var curId: Any = null
+        var started = false
+        def flush(): Iterator[Row] = {
+          if (buf.isEmpty) Iterator.empty
+          else {
+            val sorted = buf.sortBy(r =>
+              (-r.getAs[Number](sizeIdx).longValue(),
+                r.getAs[Number](ordIdx).longValue()))
+            val bins = new scala.collection.mutable.ArrayBuffer[Long]()
+            val out = sorted.map { r =>
+              val sz = r.getAs[Number](sizeIdx).longValue()
+              var best = -1
+              var i = 0
+              while (i < bins.length) {
+                if (bins(i) + sz <= capacity &&
+                    (best < 0 || bins(i) > bins(best))) best = i
+                i += 1
+              }
+              val idx =
+                if (best >= 0) { bins(best) += sz; best }
+                else { bins += sz; bins.length - 1 }
+              Row.fromSeq(r.toSeq :+ idx)
+            }.toVector
+            buf.clear()
+            out.iterator
+          }
+        }
+        new Iterator[Row] {
+          private var pending: Iterator[Row] = Iterator.empty
+          def hasNext: Boolean = {
+            while (!pending.hasNext && it.hasNext) {
+              val r = it.next()
+              val id = r.get(idIdx)
+              if (!started) { started = true; curId = id; buf += r.copy() }
+              else if (id != curId) {
+                val done = flush(); curId = id; buf += r.copy(); pending = done
+              } else buf += r.copy()
+            }
+            if (!pending.hasNext && !it.hasNext && buf.nonEmpty) pending = flush()
+            pending.hasNext
+          }
+          def next(): Row = pending.next()
+        }
+      }.toDF()
+  }
+
+  /** Per-group packing quality for any packer output: bin count, packed
+    * token total, and the padding fraction in integer BASIS POINTS —
+    * (n_seqs·capacity − Σsize)·10000 div (n_seqs·capacity) — so the
+    * next-fit / best-fit tradeoff is measurable with no float-tie risk
+    * (negative only if oversized items exceed capacity, where padding is
+    * ill-defined anyway). */
+  def paddingStats(packed: DataFrame, idCol: String, sizeCol: String,
+                   seqCol: String, capacity: Long): DataFrame =
+    packed.groupBy(col(idCol))
+      .agg((max(col(seqCol)).cast("long") + 1L).as("n_seqs"),
+        sum(col(sizeCol).cast("long")).as("sum_tokens"))
+      .withColumn("pad_bp",
+        expr(s"(n_seqs * ${capacity}L - sum_tokens) * 10000 div (n_seqs * ${capacity}L)"))
+
   /** Token-window chunker: split each document into training sequences of
     * at most `maxTokens` tokens with `overlap` tokens of context carried
     * between consecutive chunks (stride = maxTokens − overlap). The

@@ -2127,8 +2127,22 @@ object Queries {
     * (df, N, avgdl all reduced), which tombstone-decremented serving
     * must match exactly. */
   private def bm25TopkReplay(corpusAnd: String): String =
-    raw"""WITH corpus AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks
-      |  FROM documents WHERE length(trim(text)) > 0$corpusAnd),
+    "WITH " + bm25ReplayChain("documents", corpusAnd) + "\n" +
+      raw"""SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
+      |FROM rk WHERE rank <= 5""".stripMargin
+
+  /** q96's scoring CTE chain (corpus → ... → rk) with the corpus SOURCE
+    * and the score-quantization grain parameterized, so q182 can feed it
+    * a prefix CTE (the pipeline's cleaned+deduped survivor set) without
+    * forking the BM25 math. `bm25TopkReplay("")` (q96/q150/q158's
+    * oracle) is byte-identical to the pre-refactor string. q182 serves
+    * at 3 decimals: its survivor corpus drew a raw score 2.5e-11 from a
+    * 4dp boundary at sf0.1 (probed) — the same corpus on the 1e-3 grid
+    * clears by 4.5e-8 absolute, 3 orders above summation noise. */
+  private def bm25ReplayChain(corpusFrom: String, corpusAnd: String,
+                              decimals: Int = 4): String =
+    raw"""corpus AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks
+      |  FROM $corpusFrom WHERE length(trim(text)) > 0$corpusAnd),
       |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM corpus),
       |post AS (SELECT doc_id, unnest(toks) AS term FROM corpus),
       |tfs AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
@@ -2141,18 +2155,29 @@ object Queries {
       |sc AS (SELECT qt.qid, t.doc_id,
       |    round(sum( ln(1 + (s.n - d.df + 0.5::DOUBLE)/(d.df + 0.5::DOUBLE))
       |      * t.tf * 2.2::DOUBLE
-      |      / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * l.dl / s.avgdl)) ), 4)
+      |      / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * l.dl / s.avgdl)) ), $decimals)
       |      AS score
       |  FROM qt JOIN tfs t USING (term) JOIN dfs d USING (term)
       |    JOIN dl l ON t.doc_id = l.doc_id CROSS JOIN stats s
       |  GROUP BY 1,2),
       |rk AS (SELECT qid, doc_id, score,
       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
-      |  FROM sc)
-      |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
-      |FROM rk WHERE rank <= 5""".stripMargin
+      |  FROM sc)""".stripMargin
 
   private val bm25TopkSql: String = bm25TopkReplay("")
+
+  /** q182's survivor corpus: the pipeline's clean + exact-dedup stages
+    * replayed as one window CTE (min doc_id per identical text among the
+    * cleaned docs — [[graft.dedup.Dedup.exactSurvivors]]'s md5 grouping
+    * keys the same equivalence classes as raw-text equality). */
+  private val pipelineSurvCte: String =
+    raw"""surv AS MATERIALIZED (
+      |  SELECT doc_id, text, source FROM (
+      |    SELECT d.doc_id, d.text, d.source,
+      |      min(d.doc_id) OVER (PARTITION BY d.text) AS keep
+      |    FROM documents d
+      |    WHERE length(trim(d.text)) > 0 AND d.doc_id % 7 <> 2)
+      |  WHERE doc_id = keep)""".stripMargin
 
   /** One index version's BM25 replay as SUFFIXED CTEs over a shared
     * EXTERNAL query-term CTE `qt` (q162: the same query set scores every
@@ -2185,6 +2210,59 @@ object Queries {
     * 7·rel4 − 3·maxsim4 with id tie-break, each a correlated-subquery
     * ORDER BY ... LIMIT 1. Generated, not hand-written, so `candidates`/
     * `k` stay in lockstep with the query. */
+  /** Unrolled BFD replay for q181: per doc, items ranked (sz DESC, idx
+    * ASC); step i places rank-i items for EVERY doc at once against the
+    * doc's LIST-typed bin-load state. bestload = the largest load that
+    * still fits (list_filter + list_aggregate 'max'); its FIRST position
+    * is the chosen bin (the Spark tie rule: max load, tie → lowest bin);
+    * NULL bestload opens a new bin. MATERIALIZED everywhere — s{i}
+    * references chain and DuckDB would re-expand plain CTEs. */
+  private def bfdOracle(maxItems: Int, cap: Int): String = {
+    val b = new StringBuilder
+    b ++= "WITH base AS MATERIALIZED (\n" +
+      "  SELECT doc_id, 3 + CAST(concat('0x', substr(md5(concat(" +
+      "CAST(doc_id AS VARCHAR), ':bfdN')), 1, 15)) AS BIGINT) % 6 AS n_it\n" +
+      "  FROM documents),\n"
+    b ++= "it AS MATERIALIZED (\n" +
+      "  SELECT doc_id, item_idx,\n" +
+      "    1 + CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR)," +
+      " '#', CAST(item_idx AS VARCHAR), ':bfdS')), 1, 15)) AS BIGINT) % 96 AS sz\n" +
+      "  FROM (SELECT doc_id, unnest(range(0, n_it)) AS item_idx FROM base)),\n"
+    b ++= "r AS MATERIALIZED (SELECT doc_id, item_idx, sz,\n" +
+      "  row_number() OVER (PARTITION BY doc_id ORDER BY sz DESC, item_idx)" +
+      " AS rk FROM it),\n"
+    b ++= "s0 AS MATERIALIZED (SELECT doc_id, CAST([] AS BIGINT[]) AS bins FROM base)"
+    for (i <- 1 to maxItems) {
+      b ++= s",\ne$i AS MATERIALIZED (\n" +
+        "  SELECT s.doc_id, r.item_idx, r.sz, s.bins,\n" +
+        s"    list_aggregate(list_filter(s.bins, b -> b + r.sz <= $cap), 'max')" +
+        " AS bestload\n" +
+        s"  FROM s${i - 1} s LEFT JOIN r ON r.doc_id = s.doc_id AND r.rk = $i),\n"
+      b ++= s"s$i AS MATERIALIZED (\n" +
+        "  SELECT doc_id, CASE WHEN sz IS NULL THEN bins\n" +
+        "    WHEN bestload IS NULL THEN list_append(bins, sz)\n" +
+        "    ELSE list_transform(range(1, len(bins) + 1)," +
+        " j -> CASE WHEN j = list_position(bins, bestload)" +
+        " THEN bins[j] + sz ELSE bins[j] END) END AS bins\n" +
+        s"  FROM e$i),\n"
+      b ++= s"a$i AS (SELECT doc_id, item_idx, sz,\n" +
+        "  CASE WHEN bestload IS NULL THEN len(bins)" +
+        " ELSE list_position(bins, bestload) - 1 END AS seq_idx\n" +
+        s"  FROM e$i WHERE sz IS NOT NULL)"
+    }
+    b ++= ",\nasn AS MATERIALIZED (" +
+      (1 to maxItems).map(i => s"SELECT * FROM a$i").mkString(" UNION ALL ") + "),\n"
+    b ++= s"st AS MATERIALIZED (\n" +
+      s"  SELECT f.doc_id, CAST(len(f.bins) AS BIGINT) AS n_seqs,\n" +
+      s"    (CAST(len(f.bins) AS BIGINT) * $cap - t.sum_tokens) * 10000" +
+      s" // (CAST(len(f.bins) AS BIGINT) * $cap) AS pad_bp\n" +
+      s"  FROM s$maxItems f JOIN (SELECT doc_id, CAST(sum(sz) AS BIGINT)" +
+      " AS sum_tokens FROM it GROUP BY doc_id) t ON t.doc_id = f.doc_id)\n"
+    b ++= "SELECT a.doc_id, a.item_idx, a.sz, a.seq_idx, st.n_seqs, st.pad_bp\n" +
+      "FROM asn a JOIN st ON st.doc_id = a.doc_id"
+    b.toString
+  }
+
   private def mmrOracle(candidates: Int, k: Int): String = {
     // every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and selN
     // references sel(N-1) three times — inlining would re-expand the
@@ -3614,6 +3692,162 @@ object Queries {
     }
   }
 
+  /** BEST-FIT-DECREASING packing ([[graft.curate.Curate
+    * .packBestFitDecreasing]] — the padding-minimizing middle between
+    * q66's streaming next-fit and exact bin packing, plus the
+    * [[graft.curate.Curate.paddingStats]] metric that makes the
+    * tradeoff measurable in integer basis points): per document, a
+    * deterministic item set drawn by portable md5 arithmetic (3-8 items
+    * of size 1-96 — the q74/q115 grid device, so the oracle regenerates
+    * the identical items), packed into 128-token bins by the exact BFD
+    * greedy: sort (size DESC, idx ASC), place each item into the
+    * fullest bin that still fits (tie → lowest bin), else open a new
+    * bin. Pure integer algebra — the oracle replays the greedy as an
+    * 8-step unrolled chain over LIST-typed bin state (list_filter +
+    * list_aggregate max = the best-fit choice; every CTE MATERIALIZED
+    * per the DuckDB re-expansion trap). Item count is bounded at 8 BY
+    * CONSTRUCTION, so the unroll depth is scale-independent. */
+  def q181BfdPack(s: SparkSession, dir: String): DataFrame = {
+    val C = graft.curate.Curate
+    val items = tbl(s, dir, "documents").select("doc_id")
+      .withColumn("n_it",
+        (C.hashBucketDyn(col("doc_id"), 6, lit(":bfdN")) + 3L).cast("int"))
+      .withColumn("item_idx", explode(sequence(lit(0), col("n_it") - 1)))
+      .withColumn("sz", C.hashBucketDyn(
+        concat(col("doc_id").cast("string"), lit("#"),
+          col("item_idx").cast("string")), 96, lit(":bfdS")) + 1L)
+      .select("doc_id", "item_idx", "sz")
+    val packed = C.packBestFitDecreasing(items, "doc_id", "item_idx", "sz",
+      capacity = 128L)
+    val stats = C.paddingStats(packed, "doc_id", "sz", "seq_idx", 128L)
+    packed.join(stats, Seq("doc_id"))
+      .select(col("doc_id"), col("item_idx"), col("sz"), col("seq_idx"),
+        col("n_seqs"), col("pad_bp"))
+  }
+
+  /** RESTARTABLE ingest pipeline ([[graft.orchestrate.Pipeline
+    * .runRestartable]] — VERDICT r9 #5, the crash-recovery orchestration
+    * the lifecycle pieces compose into): clean → exact dedup → BM25 base
+    * build → index append → summary materialize+merge → snapshot
+    * publish, each a ledger-committed RecoverableStage. The gate runs
+    * the pipeline TWICE: run A uninterrupted; run B KILLED inside the
+    * append stage in appendIncIndex's documented crash window (delta
+    * postings committed, dfs/stats stale — postings commit FIRST), then
+    * RESTARTED on the same ledger: done stages skip, the intent marker
+    * routes [[graft.curate.Bm25.repairIncIndex]] before the body, and
+    * the guard-then-act body sees its docs already in postings and
+    * no-ops. Serving = BM25 top-5 over the survivor corpus (q96's
+    * quantized-score + doc-id-tie-break device) joined with the
+    * PUBLISHED per-source summary count; run B must serve IDENTICALLY
+    * to run A (required in-query on the k-sized frames) and run B's
+    * output is the hash-gated result. Oracle: clean+dedup replayed as a
+    * window CTE feeding q96's scoring chain (shared bm25ReplayChain
+    * generator — never forked) + the survivor source counts.
+    * Quantized-score margins on the survivor corpus probed by
+    * tools/probe_pipeline.py at both scales. */
+  def q182RestartablePipeline(s: SparkSession, dir: String): DataFrame = {
+    val B = graft.curate.Bm25
+    val P = graft.orchestrate.Pipeline
+    val R = graft.plan.Rollup
+    val Snap = graft.sources.Snapshots
+    val docs = tbl(s, dir, "documents")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q182_pipe")
+      .toFile.getAbsolutePath
+
+    def stages(work: String, crashAppend: () => Boolean) = Seq(
+      P.RecoverableStage("clean")({ () =>
+        docs.filter(length(trim(col("text"))) > 0 && col("doc_id") % 7 =!= 2)
+          .write.mode("overwrite").parquet(s"$work/clean")
+      })(),
+      P.RecoverableStage("dedup")({ () =>
+        graft.dedup.Dedup.exactSurvivors(
+            s.read.parquet(s"$work/clean"), "doc_id", "text")
+          .write.mode("overwrite").parquet(s"$work/surv")
+      })(),
+      P.RecoverableStage("build")({ () =>
+        B.saveIncIndex(B.buildIncIndex(
+          s.read.parquet(s"$work/surv").filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text"), s"$work/index")
+      })(),
+      P.RecoverableStage("append")({ () =>
+        val batch = s.read.parquet(s"$work/surv").filter(col("doc_id") % 3 === 0)
+        // guard-then-act: a killed attempt may have committed the batch
+        // postings already (appendIncIndex writes postings FIRST); repair
+        // has then rebuilt dfs/stats from them, so the append is done
+        val present = s.read.parquet(s"$work/index/postings")
+          .join(broadcast(batch.select("doc_id")), Seq("doc_id"), "left_semi")
+          .limit(1).count() > 0
+        if (!present) {
+          if (crashAppend()) {
+            // the documented crash window: delta postings committed,
+            // dfs/stats never updated — then the process dies
+            B.buildIncIndex(batch, "doc_id", "text").postings
+              .write.mode("append").parquet(s"$work/index/postings")
+            throw new RuntimeException("simulated kill mid-append")
+          }
+          B.appendIncIndex(s, s"$work/index", batch, "doc_id", "text")
+        }
+      })(() => B.repairIncIndex(s, s"$work/index")),
+      P.RecoverableStage("summary")({ () =>
+        val sv = s.read.parquet(s"$work/surv")
+        R.merge(
+            R.materialize(sv.filter(col("doc_id") % 3 =!= 0),
+              Seq("source"), Seq("n_chars")),
+            R.materialize(sv.filter(col("doc_id") % 3 === 0),
+              Seq("source"), Seq("n_chars")),
+            Seq("source"), Seq("n_chars"))
+          .write.mode("overwrite").parquet(s"$work/summary")
+      })(),
+      P.RecoverableStage("publish")({ () =>
+        if (Snap.versions(s, s"$work/pub").isEmpty)
+          Snap.publish(s, s"$work/pub", s.read.parquet(s"$work/summary"))
+        ()
+      })())
+
+    def serve(work: String): DataFrame = {
+      val surv = s.read.parquet(s"$work/surv")
+      val queries = surv
+        .filter(col("doc_id") % 125 === 3 && size(T.tokens(col("text"))) > 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(T.tokens(col("text")), 1, 5)).as("qtext"))
+      // 3-decimal serving grain: this corpus drew a raw score 2.5e-11
+      // off a 4dp boundary at sf0.1 (tools/probe_pipeline.py) — the 1e-3
+      // grid puts the nearest boundary 3 orders above summation noise
+      val top = B.topKAgainstIncIndex(B.loadIncIndex(s, s"$work/index"),
+        queries, "qid", "qtext", k = 5, scoreDecimals = 3)
+      val summary = Snap.readVersion(s, s"$work/pub",
+          Snap.latestVersion(s, s"$work/pub").get)
+        .select(col("source"), col(R.CntRows).as("src_docs"))
+      top.join(surv.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .join(summary, Seq("source"))
+        .select(col("qid"), col("rank"), col("doc_id"), col("score"),
+          col("src_docs"))
+    }
+
+    // run A: uninterrupted
+    val a = P.runRestartable(s, s"$tmpRoot/a/ledger",
+      stages(s"$tmpRoot/a", () => false))
+    require(a.forall(_.isInstanceOf[P.Succeeded]), s"control run failed: $a")
+    // run B: killed mid-append, then restarted on the same ledger
+    var killed = false
+    val crashOnce = () => if (killed) false else { killed = true; true }
+    val b1 = P.runRestartable(s, s"$tmpRoot/b/ledger",
+      stages(s"$tmpRoot/b", crashOnce))
+    require(b1.length == 4 && b1.last.isInstanceOf[P.Failed],
+      s"run B must halt at the crashed append stage: $b1")
+    val b2 = P.runRestartable(s, s"$tmpRoot/b/ledger",
+      stages(s"$tmpRoot/b", crashOnce))
+    require(b2.take(3).forall(_.isInstanceOf[P.Skipped]) &&
+      b2.drop(3).forall(_.isInstanceOf[P.Succeeded]),
+      s"restart must skip committed stages and finish the rest: $b2")
+    // the crashed-and-repaired run must serve exactly the control run
+    val servedA = serve(s"$tmpRoot/a").collect().toSet
+    val servedB = serve(s"$tmpRoot/b")
+    require(servedB.collect().toSet == servedA,
+      "restarted pipeline serves differently from the uninterrupted run")
+    materializeAndCleanup(s, servedB, tmpRoot)
+  }
+
   /** Contamination FRACTION scoring ([[graft.dedup.Dedup
     * .contaminationFractions]] — the graded form of q42's membership
     * report, the GPT-3 appendix-C "dirty document" metric): per corpus
@@ -3855,7 +4089,9 @@ object Queries {
     "q177_sequence_pack" -> (q177SequencePack _),
     "q178_rollup_staleness" -> (q178RollupStaleness _),
     "q179_eager_outer" -> (q179EagerOuter _),
-    "q180_distinct_grain" -> (q180DistinctGrain _))
+    "q180_distinct_grain" -> (q180DistinctGrain _),
+    "q181_bfd_pack" -> (q181BfdPack _),
+    "q182_restartable_pipeline" -> (q182RestartablePipeline _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -5555,6 +5791,24 @@ object Queries {
         |FROM d""".stripMargin,
     // q129: generated unrolled greedy replay (see mmrOracle scaladoc).
     "q129_mmr_diverse" -> mmrOracle(candidates = 40, k = 8),
+    // q181: best-fit-decreasing packing — generated 8-step unrolled
+    // greedy over LIST bin state; items regenerate from the same
+    // portable-md5 grid on both sides, so everything is integer-exact.
+    "q181_bfd_pack" -> bfdOracle(maxItems = 8, cap = 128),
+    // q182: the restartable pipeline's END STATE — clean+dedup replayed
+    // as a window CTE feeding q96's scoring chain (shared generator),
+    // per-source survivor counts joined on. The crash/restart/repair
+    // choreography is require-asserted in-query; THIS replay proves the
+    // recovered end state is the correct one.
+    "q182_restartable_pipeline" ->
+      ("WITH " + pipelineSurvCte + ",\n" +
+        bm25ReplayChain("surv", "", decimals = 3) +
+        raw""",
+        |sc2 AS (SELECT source, count(*) AS src_docs FROM surv GROUP BY 1)
+        |SELECT r.qid, CAST(r.rank AS INT) AS rank, r.doc_id, r.score, sc2.src_docs
+        |FROM rk r JOIN surv sv ON r.doc_id = sv.doc_id
+        |JOIN sc2 ON sv.source = sc2.source
+        |WHERE r.rank <= 5""".stripMargin),
     // q130: DuckDB's NATIVE ASOF JOIN is the oracle — an independent
     // implementation of the forward-fill semantics (unique instants
     // prepared identically; spine ts precomputed because ASOF wants a

@@ -320,6 +320,82 @@ class CurateSpec extends SparkSpec {
     val sums = out.groupBy(r => (r._1, r._4)).values.map(_.map(_._3).sum)
     assert(sums.forall(_ <= 70))
   }
+  test("packBestFitDecreasing: exact BFD semantics, tie rule, oversized isolated") {
+    val items = Seq(
+      // doc 1 sorted desc: 60, 40, 30, 30 at cap 70:
+      //  60 -> bin0; 40 -> no fit (60+40>70) -> bin1; 30 -> best fit is
+      //  bin1 (40+30=70; bin0 60+30>70) -> bin1; 30 -> no fit -> bin2
+      (1L, 0, 30), (1L, 1, 60), (1L, 2, 40), (1L, 3, 30),
+      // doc 2: tie rule — two bins at load 30 after [30, 30]; the 25
+      //  goes to the FIRST (lowest-index) of the tied fullest bins
+      (2L, 0, 30), (2L, 1, 30), (2L, 2, 25), (2L, 3, 40),
+      // doc 3: oversized item isolated, rest packs around it
+      (3L, 0, 100), (3L, 1, 20), (3L, 2, 20)
+    ).toDF("id", "item_idx", "sz")
+    val out = Curate.packBestFitDecreasing(items, "id", "item_idx", "sz", 70L)
+      .select("id", "item_idx", "seq_idx").as[(Long, Int, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 1)) == 0 && out((1L, 2)) == 1)
+    assert(out((1L, 0)) == 1 || out((1L, 3)) == 1) // one 30 joins the 40
+    assert(Set(out((1L, 0)), out((1L, 3))) == Set(1, 2))
+    // doc 2 sorted desc: 40(idx3)->bin0, 30(idx0)->bin0(70), 30(idx1)->bin1,
+    // 25(idx2)-> fullest fitting is bin1(30) -> bin1
+    assert(out((2L, 3)) == 0 && out((2L, 0)) == 0)
+    assert(out((2L, 1)) == 1 && out((2L, 2)) == 1)
+    // doc 3: 100 alone; 20s pack together in the next bin
+    assert(out((3L, 0)) == 0 && out((3L, 1)) == 1 && out((3L, 2)) == 1)
+  }
+
+  test("packBestFitDecreasing: partition-invariant, capacity-safe, never worse than next-fit on seeded data") {
+    val items = (0L until 300L).flatMap { d =>
+      (0 until (3 + (d % 5)).toInt).map(i =>
+        (d, i, 1 + ((d * 31 + i * 17) % 90).toInt))
+    }
+    val df = items.toDF("id", "item_idx", "sz").orderBy(rand(11))
+    def runPack(src: org.apache.spark.sql.DataFrame) =
+      Curate.packBestFitDecreasing(src, "id", "item_idx", "sz", 96L)
+        .select("id", "item_idx", "sz", "seq_idx")
+        .as[(Long, Int, Int, Int)].collect()
+    val out = runPack(df)
+    assert(out.length == items.length)
+    assert(runPack(df.repartition(7)).map(r => (r._1, r._2) -> r._4).toMap
+      == out.map(r => (r._1, r._2) -> r._4).toMap)
+    // bins respect capacity (no oversized items in this data)
+    val loads = out.groupBy(r => (r._1, r._4)).values.map(_.map(_._3).sum)
+    assert(loads.forall(_ <= 96))
+    // driver replay of the exact greedy
+    val expected = items.groupBy(_._1).flatMap { case (d, is) =>
+      val bins = scala.collection.mutable.ArrayBuffer[Int]()
+      is.sortBy(t => (-t._3, t._2)).map { case (_, i, sz) =>
+        val fitting = bins.zipWithIndex.filter(_._1 + sz <= 96)
+        val idx = if (fitting.isEmpty) { bins += sz; bins.length - 1 }
+                  else {
+                    val best = fitting.maxBy(t => (t._1, -t._2))._2
+                    bins(best) += sz; best
+                  }
+        (d, i) -> idx
+      }
+    }
+    assert(out.map(r => (r._1, r._2) -> r._4).toMap == expected.toMap)
+    // padding: BFD never worse than next-fit on this seeded data, and
+    // paddingStats agrees with a direct integer computation
+    val nf = Curate.packNextFit(df, "id", "item_idx", "sz", capacity = 96)
+      .select("id", "seq_idx").as[(Long, Int)].collect()
+    val nfBins = nf.groupBy(_._1).view.mapValues(_.map(_._2).max + 1).toMap
+    val bfdBins = out.groupBy(_._1).view.mapValues(_.map(_._4).max + 1).toMap
+    assert(bfdBins.forall { case (d, b) => b <= nfBins(d) })
+    assert(bfdBins.values.sum < nfBins.values.sum, "BFD should strictly win somewhere")
+    val stats = Curate.paddingStats(
+        Curate.packBestFitDecreasing(df, "id", "item_idx", "sz", 96L),
+        "id", "sz", "seq_idx", 96L)
+      .select("id", "n_seqs", "sum_tokens", "pad_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    stats.foreach { case (d, n, tot, bp) =>
+      assert(n == bfdBins(d).toLong)
+      assert(bp == (n * 96L - tot) * 10000L / (n * 96L))
+    }
+  }
+
   test("matchDistribution: keep rule is deterministic and group-capped in expectation") {
     import org.apache.spark.sql.functions._
     val df = (0L until 300L).map(i => (i, if (i < 250) "big" else "small"))

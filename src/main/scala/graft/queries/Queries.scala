@@ -3824,7 +3824,7 @@ object Queries {
           col("src_docs"))
     }
 
-    // run A: uninterrupted
+    // run A: uninterrupted (control)
     val a = P.runRestartable(s, s"$tmpRoot/a/ledger",
       stages(s"$tmpRoot/a", () => false))
     require(a.forall(_.isInstanceOf[P.Succeeded]), s"control run failed: $a")
@@ -3846,6 +3846,97 @@ object Queries {
     require(servedB.collect().toSet == servedA,
       "restarted pipeline serves differently from the uninterrupted run")
     materializeAndCleanup(s, servedB, tmpRoot)
+  }
+
+  /** LEARNED quality filter ([[graft.curate.QualityFilter]] — VERDICT r9
+    * #6, the last heuristic-only curation stage made first-class): a
+    * logistic scorer over 256 hashed unigram buckets + a value-32 bias
+    * feature, trained by 8 epochs of batch gradient descent with the
+    * train-size-normalized 1/(27·n_train·i) schedule (scale-robust:
+    * 96% at BOTH sf0.01 and sf0.1) on the doc_id % 4 ≠ 1 slice, then scored
+    * map-side over EVERY doc. The teacher label distilled here is the
+    * compound rule 2·len(toks) + 5·count('batch') ≥ 130 — a linear rule
+    * in the count-feature space, so the student can actually fit it
+    * (96% train / 93% holdout at sf0.01); lang is NOT learnable on this
+    * corpus (all 31 vocabulary words appear in all 5 languages — probed
+    * before choosing the teacher). Training is integer-exact per the
+    * QualityFilter scaladoc: BIGINT micro-unit weights, per-doc
+    * re-quantized residuals (`floor(x·1e6+0.5)` — identical IEEE ops in
+    * both engines), exact BIGINT gradients, truncating-div updates
+    * (Scala `Long./` ≡ DuckDB `//`, both toward zero — DuckDB's `//` is
+    * NOT floor). The oracle is the GENERATED
+    * unrolled 8-epoch replay (the q152 device); the one float flip
+    * surface (an exp ulp moving a residual's floor) is probed by
+    * tools/probe_qf.py at both scales (~1e-4 min distance, 6 orders
+    * above ulp noise). Output: (doc_id, label, score_micro, keep) —
+    * all integers, nothing else to probe. */
+  def q183QualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val Qf = graft.curate.QualityFilter
+    val docs = tbl(s, dir, "documents")
+    val ft = Qf.hashedFeatures(docs, "doc_id", "text", buckets = 256,
+      biasValue = 32L)
+    val toks = T.tokens(col("text"))
+    val labels = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        (lit(2) * size(toks) +
+          lit(5) * size(filter(toks, t => t === "batch")) >= 130)
+          .cast("int").as("y"))
+    val w = Qf.trainLogistic(s, ft,
+      labels.filter(col("doc_id") % 4 =!= 1), buckets = 256, epochs = 8)
+    Qf.score(ft, w).join(labels, Seq("doc_id"))
+      .select(col("doc_id"), col("y").as("label"), col("score_micro"),
+        col("keep"))
+  }
+
+  /** Unrolled training replay for q183: epoch CTE quadruple
+    * s{i} (exact integer micro-unit scores on the train slice) →
+    * r{i} (per-doc re-quantized sigmoid residuals) → u{i} (exact BIGINT
+    * gradient) → w{i} (truncating-div update). MATERIALIZED everywhere — the
+    * w{i} chain re-references w{i-1} and DuckDB would re-expand plain
+    * CTEs. HUGEINT intrusion points (sum(), `//` result) cast back at
+    * the final projection. */
+  private def qfOracle(buckets: Int, biasValue: Int, epochs: Int,
+                       lrScale: Int): String = {
+    val b = new StringBuilder
+    b ++= "WITH d AS MATERIALIZED (\n" +
+      raw"  SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks" + "\n" +
+      "  FROM documents WHERE length(trim(text)) > 0),\n"
+    b ++= "lb AS MATERIALIZED (\n" +
+      "  SELECT doc_id, CASE WHEN 2*len(toks) +" +
+      " 5*len(list_filter(toks, t -> t = 'batch')) >= 130" +
+      " THEN 1 ELSE 0 END AS y FROM d),\n"
+    b ++= "tf AS MATERIALIZED (\n" +
+      "  SELECT doc_id, CAST(concat('0x', substr(md5(concat(term, ':qf'))," +
+      s" 1, 15)) AS BIGINT) % $buckets AS bucket,\n" +
+      "    CAST(count(*) AS BIGINT) AS cnt\n" +
+      "  FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY 1, 2),\n"
+    b ++= "ft AS MATERIALIZED (SELECT * FROM tf UNION ALL" +
+      s" SELECT doc_id, $buckets::BIGINT AS bucket," +
+      s" $biasValue::BIGINT AS cnt FROM d),\n"
+    b ++= "trn AS MATERIALIZED (SELECT doc_id, y FROM lb WHERE doc_id % 4 <> 1),\n"
+    b ++= s"w0 AS MATERIALIZED (SELECT unnest(range(0, ${buckets + 1}))" +
+      " AS bucket, 0::BIGINT AS w)"
+    for (i <- 1 to epochs) {
+      b ++= s",\ns$i AS MATERIALIZED (SELECT f.doc_id, sum(f.cnt * w.w) AS s\n" +
+        s"  FROM ft f JOIN w${i - 1} w USING (bucket)" +
+        " JOIN trn t ON f.doc_id = t.doc_id GROUP BY 1),\n"
+      b ++= s"r$i AS MATERIALIZED (SELECT t.doc_id,\n" +
+        "    CAST(floor((t.y - 1.0/(1.0 + exp(-(s.s/1000000.0))))" +
+        " * 1000000.0 + 0.5) AS BIGINT) AS r\n" +
+        s"  FROM trn t JOIN s$i s USING (doc_id)),\n"
+      b ++= s"u$i AS MATERIALIZED (SELECT f.bucket, sum(r.r * f.cnt) AS g\n" +
+        s"  FROM r$i r JOIN ft f USING (doc_id) GROUP BY 1),\n"
+      b ++= s"w$i AS MATERIALIZED (SELECT w.bucket,\n" +
+        s"    CAST(w.w + coalesce(u.g, 0) //" +
+        s" ($lrScale * (SELECT count(*) FROM trn) * $i) AS BIGINT) AS w\n" +
+        s"  FROM w${i - 1} w LEFT JOIN u$i u USING (bucket))"
+    }
+    b ++= "\nSELECT l.doc_id, l.y AS label," +
+      " CAST(sum(f.cnt * w.w) AS BIGINT) AS score_micro,\n" +
+      "  CASE WHEN sum(f.cnt * w.w) > 0 THEN 1 ELSE 0 END AS keep\n" +
+      s"FROM ft f JOIN w$epochs w USING (bucket)" +
+      " JOIN lb l ON f.doc_id = l.doc_id\nGROUP BY 1, 2"
+    b.toString
   }
 
   /** Contamination FRACTION scoring ([[graft.dedup.Dedup
@@ -4091,7 +4182,8 @@ object Queries {
     "q179_eager_outer" -> (q179EagerOuter _),
     "q180_distinct_grain" -> (q180DistinctGrain _),
     "q181_bfd_pack" -> (q181BfdPack _),
-    "q182_restartable_pipeline" -> (q182RestartablePipeline _))
+    "q182_restartable_pipeline" -> (q182RestartablePipeline _),
+    "q183_quality_filter" -> (q183QualityFilter _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -5809,6 +5901,12 @@ object Queries {
         |FROM rk r JOIN surv sv ON r.doc_id = sv.doc_id
         |JOIN sc2 ON sv.source = sc2.source
         |WHERE r.rank <= 5""".stripMargin),
+    // q183: learned quality filter — generated unrolled 8-epoch batch-GD
+    // replay (BIGINT micro-unit weights, floor-div updates); the one
+    // float surface (exp-ulp flipping a residual floor) probed by
+    // tools/probe_qf.py.
+    "q183_quality_filter" ->
+      qfOracle(buckets = 256, biasValue = 32, epochs = 8, lrScale = 27),
     // q130: DuckDB's NATIVE ASOF JOIN is the oracle — an independent
     // implementation of the forward-fill semantics (unique instants
     // prepared identically; spine ts precomputed because ASOF wants a

@@ -1,0 +1,73 @@
+package graft.curate
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualityFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic synthetic corpus: doc i has (i%5)+1 "good"s and
+  // (i%7) "bad"s plus shared filler; teacher = more good than bad
+  private def corpus = (0L until 120L).map { i =>
+    val good = Seq.fill((i % 5).toInt + 1)("good")
+    val bad = Seq.fill((i % 7).toInt)("bad")
+    val filler = Seq("the", "quick", "fox") ++ Seq.fill((i % 3).toInt)("pad")
+    (i, (good ++ bad ++ filler).mkString(" "))
+  }.toDF("doc_id", "text")
+
+  private def labels = corpus.select(col("doc_id"),
+    (col("doc_id") % 5 + 1 > col("doc_id") % 7).cast("int").as("y"))
+
+  test("hashedFeatures: counts partition the tokens; one bias row per doc") {
+    val ft = QualityFilter.hashedFeatures(corpus, "doc_id", "text", 64, 32L)
+    val bias = ft.filter(col("bucket") === 64)
+    assert(bias.count() == 120 &&
+      bias.filter(col("cnt") =!= 32L).count() == 0)
+    val perDoc = ft.filter(col("bucket") < 64)
+      .groupBy("doc_id").agg(sum("cnt").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc i has (i%5)+1 + (i%7) + 3 + (i%3) tokens
+    (0L until 120L).foreach { i =>
+      assert(perDoc(i) == (i % 5) + 1 + (i % 7) + 3 + (i % 3))
+    }
+    assert(ft.filter(col("bucket") < 0 || col("bucket") > 64).count() == 0)
+  }
+
+  test("trainLogistic learns a separable teacher and is partition-invariant") {
+    // small counts (1-7 per word) need a hotter schedule than the q183
+    // corpus: bias 4 / lrScale 4 reads ~93% on this teacher (prototyped)
+    val ft = QualityFilter.hashedFeatures(corpus, "doc_id", "text", 64, 4L)
+    def weights(f: org.apache.spark.sql.DataFrame) =
+      QualityFilter.trainLogistic(spark, f, labels, 64, epochs = 6,
+          lrScale = 4L)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val w = weights(ft)
+    // integer-exact: identical under re-run and under any partitioning
+    assert(weights(ft) == w)
+    assert(weights(ft.repartition(13)) == w)
+    val wdf = w.toDF("bucket", "w")
+    val scored = QualityFilter.score(ft, wdf).join(labels, Seq("doc_id"))
+    val acc = scored.filter((col("score_micro") > 0).cast("int") === col("y"))
+      .count().toDouble / 120
+    assert(acc >= 0.9, s"learned filter accuracy $acc below 0.9")
+    // keep is exactly the strict > 0 rule
+    assert(scored.filter(col("keep") =!=
+      (col("score_micro") > 0).cast("int")).count() == 0)
+  }
+
+  test("update division truncates toward zero, matching DuckDB //") {
+    // DuckDB's // is NOT floor division (probed: -7 // 2 = -3): the
+    // contract is TRUNCATING division on both sides — Scala Long./ is,
+    // Math.floorDiv is not (it gives -4 here and diverged the oracle)
+    assert(-7L / 2L == -3L && Math.floorDiv(-7L, 2L) == -4L)
+    assert(7L / 2L == 3L)
+  }
+
+  test("zero score keeps nothing (strict inequality both engines)") {
+    val ft = Seq((1L, 0L, 2L), (1L, 64L, 32L)).toDF("doc_id", "bucket", "cnt")
+    val w = Seq((0L, 16L), (64L, -1L)).toDF("bucket", "w") // 2*16 - 32 = 0
+    val out = QualityFilter.score(ft, w).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("score_micro") == 0L &&
+      out(0).getAs[Int]("keep") == 0)
+  }
+}

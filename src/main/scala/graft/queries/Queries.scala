@@ -3888,6 +3888,56 @@ object Queries {
         col("keep"))
   }
 
+  /** VERSIONED phrase index ([[graft.curate.PhraseVersioned]] — the
+    * THIRD tier on the r10 VersionedPool core, proving the unification's
+    * "next index format gets versioning for free" claim: the phrase
+    * index has no derived state, so the whole tier is pool batches +
+    * the core's manifest/tombstone snapshots). Lifecycle in-query:
+    * v1 = init on the doc_id % 3 ≠ 0 slice, v2 = append the rest (full
+    * corpus), v3 = delete doc_id % 11 = 4 — a METADATA-ONLY publish
+    * (asserted: no new pool batch). One external phrase set serves
+    * against BOTH v2 and v3 (the q162 multi-version device): v2 must
+    * hit pre-delete docs that v3 must not. Oracle = q106's
+    * tokenizer-replay device per version (overlapping-start counts over
+    * the version's corpus predicate). Integer counts — nothing to
+    * probe. */
+  def q184PhraseVersioned(s: SparkSession, dir: String): DataFrame = {
+    val PV = graft.curate.PhraseVersioned
+    val docs = tbl(s, dir, "documents")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q184_phrase")
+      .toFile.getAbsolutePath
+    val root = s"$tmpRoot/idx"
+    val phrases = Seq(Seq("fast", "table"), Seq("data", "stream", "batch"))
+    PV.init(s, root, docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+    val v2 = PV.append(s, root, docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text")
+    val poolBefore = graft.sources.VersionedPool.manifestOf(s, root)
+    val v3 = PV.delete(s, root,
+      docs.filter(col("doc_id") % 11 === 4).select("doc_id"), "doc_id")
+    require(v2 == 2 && v3 == 3, s"unexpected versions ($v2, $v3)")
+    require(graft.sources.VersionedPool.manifestOf(s, root) == poolBefore,
+      "a delete must publish metadata only — the pool manifest changed")
+    val served = Seq(v2, v3).map { v =>
+      PV.hits(s, root, phrases, Some(v))
+        .select(lit(v).as("version"), col("phrase"), col("doc_id"),
+          col("n_occurrences"))
+    }.reduce(_.unionByName(_))
+    materializeAndCleanup(s, served, tmpRoot)
+  }
+
+  /** One version's q106-style phrase replay CTEs, suffixed (the q162
+    * multi-version device): overlapping-start counts for the two fixed
+    * phrases over the version's corpus predicate. */
+  private def phraseHitCtes(suf: String, pred: String): String =
+    raw"""tok$suf AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0$pred),
+      |h${suf}a AS (SELECT 'fast table' AS phrase, doc_id,
+      |  len(list_filter(range(1, len(t)), i -> t[i] = 'fast' AND t[i+1] = 'table')) AS n_occurrences
+      | FROM tok$suf),
+      |h${suf}b AS (SELECT 'data stream batch' AS phrase, doc_id,
+      |  len(list_filter(range(1, len(t) - 1), i -> t[i] = 'data' AND t[i+1] = 'stream' AND t[i+2] = 'batch')) AS n_occurrences
+      | FROM tok$suf)""".stripMargin
+
   /** Unrolled training replay for q183: epoch CTE quadruple
     * s{i} (exact integer micro-unit scores on the train slice) →
     * r{i} (per-doc re-quantized sigmoid residuals) → u{i} (exact BIGINT
@@ -4183,7 +4233,8 @@ object Queries {
     "q180_distinct_grain" -> (q180DistinctGrain _),
     "q181_bfd_pack" -> (q181BfdPack _),
     "q182_restartable_pipeline" -> (q182RestartablePipeline _),
-    "q183_quality_filter" -> (q183QualityFilter _))
+    "q183_quality_filter" -> (q183QualityFilter _),
+    "q184_phrase_versioned" -> (q184PhraseVersioned _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -5907,6 +5958,18 @@ object Queries {
     // tools/probe_qf.py.
     "q183_quality_filter" ->
       qfOracle(buckets = 256, biasValue = 32, epochs = 8, lrScale = 27),
+    // q184: per-version q106-style phrase replay — v2 = full corpus,
+    // v3 = tombstoned corpus; integer counts, nothing to probe.
+    "q184_phrase_versioned" ->
+      ("WITH " + phraseHitCtes("2", "") + ",\n" +
+        phraseHitCtes("3", " AND doc_id % 11 <> 4") + raw"""
+        |SELECT 2 AS version, phrase, doc_id, n_occurrences
+        |FROM (SELECT * FROM h2a UNION ALL SELECT * FROM h2b)
+        |WHERE n_occurrences > 0
+        |UNION ALL
+        |SELECT 3 AS version, phrase, doc_id, n_occurrences
+        |FROM (SELECT * FROM h3a UNION ALL SELECT * FROM h3b)
+        |WHERE n_occurrences > 0""".stripMargin),
     // q130: DuckDB's NATIVE ASOF JOIN is the oracle — an independent
     // implementation of the forward-fill semantics (unique instants
     // prepared identically; spine ts precomputed because ASOF wants a

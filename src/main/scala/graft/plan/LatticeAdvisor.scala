@@ -1,0 +1,100 @@
+package graft.plan
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Automatic lattice design: which rollup summaries should exist, given
+  * a query workload and a materialization budget — the view-selection
+  * companion of [[RollupRewrite]] (which only SERVES summaries someone
+  * chose to build). Implements the classic greedy of Harinarayan,
+  * Rajaraman & Ullman, "Implementing Data Cubes Efficiently" (SIGMOD
+  * '96): candidate views are the 2^d grains over the dimension set, a
+  * view answers a query iff the query's grain ⊆ the view's, the cost of
+  * answering is the serving view's ROW COUNT, and each of k rounds
+  * materializes the candidate with the largest total workload benefit
+  * (HRU prove the greedy's benefit is ≥ (1 − 1/e)·optimal).
+  *
+  * EXACTNESS: all quantities are exact integers — grain cardinalities
+  * are exact distinct counts, benefits are integer sums, ties break
+  * (benefit DESC, fewer grain columns, grain name ASC) — so the chosen
+  * plan replays exactly in SQL (q185's unrolled-greedy oracle).
+  *
+  * Scale shape: ONE cube pass over the base computes EVERY candidate's
+  * cardinality (per-grouping-set row counts via grouping_id — the cube
+  * shuffles Σ|grain| rows, never the base twice); the greedy itself
+  * runs on the collected (2^d)-entry map — driver-sized BY DESIGN
+  * (d ≤ 16 enforced). The chosen grains then materialize through
+  * [[Rollup.materialize]] + [[RollupRewrite.register]], which is where
+  * q172's aggregate navigation starts paying.
+  */
+object LatticeAdvisor {
+
+  /** One greedy round's decision. `grain` is in `dims` order; Nil = the
+    * apex (the 1-row grand total). */
+  case class Advice(step: Int, grain: Seq[String], rows: Long, benefit: Long)
+
+  def grainName(grain: Seq[String]): String =
+    if (grain.isEmpty) "<apex>" else grain.mkString(",")
+
+  /** Exact cardinality of every candidate grain from ONE cube pass:
+    * Map(grain-subset-bitmask → distinct rows), bit i set = dims(i) IN
+    * the grain. */
+  def grainCardinalities(base: DataFrame,
+                         dims: Seq[(String, Column)]): Map[Int, Long] = {
+    require(dims.nonEmpty && dims.size <= 16,
+      s"lattice advisor: ${dims.size} dims — candidates are 2^d, keep d <= 16")
+    val d = dims.size
+    val projected = base.select(dims.map { case (n, c) => c.as(n) }: _*)
+    projected.cube(dims.map(t => col(t._1)): _*)
+      .agg(grouping_id().as("__gid"), count(lit(1)).as("__n"))
+      .groupBy("__gid").agg(count(lit(1)).as("__rows"))
+      .collect()
+      .map { r =>
+        val gid = r.getAs[Number]("__gid").intValue()
+        // grouping_id bit = 1 means AGGREGATED AWAY (first dim = MSB);
+        // flip to "bit i set = dims(i) present in the grain"
+        val mask = (0 until d).map { i =>
+          if ((gid & (1 << (d - 1 - i))) == 0) 1 << i else 0
+        }.sum
+        mask -> r.getAs[Long]("__rows")
+      }.toMap
+  }
+
+  /** Run the HRU greedy: k rounds over all 2^d candidates against the
+    * workload (each query = the set of dim names it groups by; must be
+    * ⊆ dims). Returns the chosen grains in selection order with their
+    * exact row counts and benefits. */
+  def advise(base: DataFrame, dims: Seq[(String, Column)],
+             workload: Seq[Set[String]], k: Int): Seq[Advice] = {
+    val names = dims.map(_._1)
+    require(workload.forall(_.subsetOf(names.toSet)),
+      s"workload grains must use dim names $names")
+    val card = grainCardinalities(base, dims)
+    // cost of answering from the BASE is the base row count (the HRU
+    // model's root) — one more exact integer
+    val n = base.count()
+    val qMask = workload.map(q =>
+      names.zipWithIndex.collect { case (nm, i) if q(nm) => 1 << i }.sum)
+    val cost = scala.collection.mutable.ArrayBuffer(qMask.map(_ => n): _*)
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Advice]
+    for (step <- 1 to k) {
+      val best = card.keysIterator.filterNot(chosen.contains).map { v =>
+        val ben = qMask.zipWithIndex.collect {
+          case (q, qi) if (q & v) == q => math.max(0L, cost(qi) - card(v))
+        }.sum
+        val grain = names.zipWithIndex.collect { case (nm, i) if (v & (1 << i)) != 0 => nm }
+        (-ben, grain.size, grainName(grain), v)
+      }.toSeq.min
+      val (negBen, _, _, v) = best
+      chosen += v
+      out += Advice(step,
+        names.zipWithIndex.collect { case (nm, i) if (v & (1 << i)) != 0 => nm },
+        card(v), -negBen)
+      qMask.zipWithIndex.foreach { case (q, qi) =>
+        if ((q & v) == q) cost(qi) = math.min(cost(qi), card(v))
+      }
+    }
+    out.toSeq
+  }
+}

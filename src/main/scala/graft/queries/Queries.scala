@@ -3925,6 +3925,129 @@ object Queries {
     materializeAndCleanup(s, served, tmpRoot)
   }
 
+  /** Automatic LATTICE DESIGN ([[graft.plan.LatticeAdvisor]] — the
+    * view-selection companion of the q165-q180 optimizer tier: WHICH
+    * summaries to materialize, not just how to serve them; the
+    * Harinarayan-Rajaraman-Ullman SIGMOD '96 greedy, cited in the
+    * scaladoc). Dims = (status, priority, month) over orders; workload =
+    * five dashboard grains; budget k = 3. Every quantity is an exact
+    * integer (cardinalities = exact distinct counts from ONE cube pass,
+    * benefits integer sums, ties break (benefit DESC, fewer columns,
+    * name ASC)), so the oracle replays the greedy as an unrolled 3-step
+    * SQL chain (the q129 device) with candidate cardinalities computed
+    * by DuckDB itself. The gate also CLOSES THE LOOP: the advised
+    * grains materialize + register, and a workload query is
+    * plan-REQUIRED to be served from an advised summary (routed to the
+    * coarsest covering grain) with answers equal to the rewrite-disabled
+    * recompute. Output = the advice table. All advised benefits are
+    * required positive — the oracle's candidate set is ans-joined, so a
+    * zero-benefit tie round would be engine-ambiguous (never reached at
+    * these workloads; asserted). */
+  def q185LatticeAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val LA = graft.plan.LatticeAdvisor
+    val R = graft.plan.RollupRewrite
+    val orders = tbl(s, dir, "orders")
+    val dims = Seq(
+      "status" -> col("o_orderstatus"),
+      "priority" -> col("o_orderpriority"),
+      "month" -> month(col("o_orderdate")).cast("int"))
+    val workload = Seq(Set("status"), Set("status", "month"),
+      Set("priority"), Set("month"), Set("status", "priority"))
+    val advice = LA.advise(orders, dims, workload, k = 3)
+    require(advice.forall(_.benefit > 0),
+      s"zero-benefit advice round is oracle-ambiguous: $advice")
+    // close the loop: materialize + register what was advised, then a
+    // workload query must ride an advised summary. The dim-projected
+    // fact writes to parquet first (RollupRewrite matches aggregates
+    // sitting on a FILE relation — the computed `month` must be a real
+    // column of the registered base, the prepared-fact-table shape).
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q185_advisor")
+      .toFile.getAbsolutePath
+    orders.select((dims.map { case (n, c) => c.as(n) } :+
+        col("o_totalprice")): _*)
+      .write.mode("overwrite").parquet(s"$tmpRoot/base")
+    val base2 = s.read.parquet(s"$tmpRoot/base")
+    advice.filter(_.grain.nonEmpty).foreach { a =>
+      val p = s"$tmpRoot/${a.grain.mkString("_")}"
+      graft.plan.Rollup.materialize(base2, a.grain, Seq("o_totalprice"))
+        .write.mode("overwrite").parquet(p)
+      R.register(base2, s.read.parquet(p), a.grain, Seq("o_totalprice"))
+    }
+    R.enable(s)
+    try {
+      val served = base2.groupBy("status", "month")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+      val scans = R.scanRootPaths(served)
+      require(scans.nonEmpty && scans.forall(p =>
+          p.contains(tmpRoot) && !p.contains(s"$tmpRoot/base")),
+        s"workload query must ride an advised summary, not the base — plan scans $scans")
+      val got = served.collect().map(_.toSeq).toSet
+      R.disable(s)
+      val expect = base2.groupBy("status", "month")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .collect().map(_.toSeq).toSet
+      require(got == expect, "advised-summary answers diverge from the base")
+      import s.implicits._
+      materializeAndCleanup(s,
+        advice.map(a => (a.step, LA.grainName(a.grain), a.rows, a.benefit))
+          .toDF("step", "grain", "grain_rows", "benefit"), tmpRoot)
+    } finally { R.disable(s); R.clear() }
+  }
+
+  /** Unrolled HRU-greedy replay for q185 (candidate cardinalities
+    * computed IN DuckDB; the answerability matrix and the greedy's k
+    * rounds generated — the q129 device; pick ties break identically to
+    * the Scala greedy: benefit DESC, ncols ASC, name ASC). */
+  private def latticeAdvisorOracle(k: Int): String = {
+    val dims = Seq("status" -> "o_orderstatus", "priority" -> "o_orderpriority",
+      "month" -> "month(o_orderdate)")
+    val workload = Seq(Set("status"), Set("status", "month"),
+      Set("priority"), Set("month"), Set("status", "priority"))
+    val names = dims.map(_._1)
+    def grainOf(mask: Int) = names.zipWithIndex.collect {
+      case (n, i) if (mask & (1 << i)) != 0 => n }
+    def nameOf(mask: Int) = { val g = grainOf(mask); if (g.isEmpty) "<apex>" else g.mkString(",") }
+    val cands = (0 until (1 << dims.size)).map { m =>
+      val exprs = dims.zipWithIndex.collect { case ((_, e), i) if (m & (1 << i)) != 0 => e }
+      val rows = if (m == 0) "1::BIGINT"
+        else s"(SELECT count(*) FROM (SELECT DISTINCT ${exprs.mkString(", ")} FROM orders))"
+      s"SELECT '${nameOf(m)}' AS v, ${grainOf(m).size} AS ncols, $rows AS vrows"
+    }
+    val qNames = workload.map(q => names.filter(q).mkString(","))
+    val ansPairs = for {
+      q <- workload; m <- 0 until (1 << dims.size)
+      if q.subsetOf(grainOf(m).toSet)
+    } yield s"('${names.filter(q).mkString(",")}', '${nameOf(m)}')"
+    val b = new StringBuilder
+    b ++= "WITH cand AS MATERIALIZED (\n  " + cands.mkString("\n  UNION ALL ") + "),\n"
+    b ++= "ans AS MATERIALIZED (SELECT * FROM (VALUES " +
+      ansPairs.mkString(", ") + ") t(q, v)),\n"
+    b ++= "c0 AS MATERIALIZED (SELECT q, (SELECT count(*) FROM orders)::BIGINT AS cost FROM (VALUES " +
+      qNames.map(q => s"('$q')").mkString(", ") + ") t(q)),\n"
+    b ++= "sel0 AS MATERIALIZED (SELECT 0 AS step, '' AS v, 0::BIGINT AS vrows, 0::BIGINT AS ben WHERE 1=0)"
+    for (i <- 1 to k) {
+      b ++= s",\nb$i AS MATERIALIZED (\n" +
+        "  SELECT cd.v, cd.ncols, cd.vrows, sum(greatest(c.cost - cd.vrows, 0)) AS ben\n" +
+        s"  FROM cand cd JOIN ans a ON a.v = cd.v JOIN c${i - 1} c ON c.q = a.q\n" +
+        s"  WHERE cd.v NOT IN (SELECT v FROM sel${i - 1})\n" +
+        "  GROUP BY 1, 2, 3),\n"
+      b ++= s"pick$i AS MATERIALIZED (\n" +
+        s"  SELECT v, vrows, CAST(ben AS BIGINT) AS ben FROM b$i\n" +
+        "  ORDER BY ben DESC, ncols ASC, v ASC LIMIT 1),\n"
+      b ++= s"sel$i AS MATERIALIZED (\n" +
+        s"  SELECT * FROM sel${i - 1} UNION ALL" +
+        s" SELECT $i AS step, v, vrows, ben FROM pick$i),\n"
+      b ++= s"c$i AS MATERIALIZED (\n" +
+        "  SELECT c.q, coalesce(least(c.cost, x.vrows), c.cost) AS cost\n" +
+        s"  FROM c${i - 1} c LEFT JOIN (SELECT a.q, p.vrows FROM ans a" +
+        s" JOIN pick$i p ON a.v = p.v) x ON x.q = c.q)"
+    }
+    b ++= s"\nSELECT step, v AS grain, vrows AS grain_rows, ben AS benefit FROM sel$k"
+    b.toString
+  }
+
   /** One version's q106-style phrase replay CTEs, suffixed (the q162
     * multi-version device): overlapping-start counts for the two fixed
     * phrases over the version's corpus predicate. */
@@ -4234,7 +4357,8 @@ object Queries {
     "q181_bfd_pack" -> (q181BfdPack _),
     "q182_restartable_pipeline" -> (q182RestartablePipeline _),
     "q183_quality_filter" -> (q183QualityFilter _),
-    "q184_phrase_versioned" -> (q184PhraseVersioned _))
+    "q184_phrase_versioned" -> (q184PhraseVersioned _),
+    "q185_lattice_advisor" -> (q185LatticeAdvisor _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -5970,6 +6094,9 @@ object Queries {
         |SELECT 3 AS version, phrase, doc_id, n_occurrences
         |FROM (SELECT * FROM h3a UNION ALL SELECT * FROM h3b)
         |WHERE n_occurrences > 0""".stripMargin),
+    // q185: unrolled HRU greedy — DuckDB computes the candidate
+    // cardinalities itself; integer benefits, deterministic tie-break.
+    "q185_lattice_advisor" -> latticeAdvisorOracle(k = 3),
     // q130: DuckDB's NATIVE ASOF JOIN is the oracle — an independent
     // implementation of the forward-fill semantics (unique instants
     // prepared identically; spine ts precomputed because ASOF wants a

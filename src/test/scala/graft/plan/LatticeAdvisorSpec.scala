@@ -1,0 +1,59 @@
+package graft.plan
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LatticeAdvisorSpec extends SparkSpec {
+  import spark.implicits._
+  import LatticeAdvisor._
+
+  // 12 rows, 2 dims; a NULL dim VALUE must count as its own grain tuple
+  private def df = Seq(
+    ("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 2), ("b", 2),
+    ("b", 3), ("c", 1), ("c", 1), ("c", 1), (null, 1), (null, 2)
+  ).toDF("x", "y")
+
+  private val dims = Seq("x" -> col("x"), "y" -> col("y"))
+
+  test("grainCardinalities from one cube pass equal direct distinct counts") {
+    val card = grainCardinalities(df, dims)
+    assert(card(0) == 1) // apex
+    assert(card(1) == df.select("x").distinct().count())  // {x} incl. NULL
+    assert(card(2) == df.select("y").distinct().count())  // {y}
+    assert(card(3) == df.select("x", "y").distinct().count())
+    assert(card(1) == 4 && card(2) == 3 && card(3) == 8)
+  }
+
+  test("advise replays the HRU greedy") {
+    // workload: {x}, {y}, {x,y}; base cost 12 each; |x|=4 |y|=3 |xy|=8.
+    // round 1: full grain benefits all three: 3*(12-8)=12; {x}: 8;
+    //   {y}: 9 -> full picked.
+    // round 2: all costs 8; {x}: 8-4=4; {y}: 8-3=5 -> {y} picked.
+    // round 3: costs x=8, y=3, xy=8; {x}: 4 -> {x} picked.
+    val advice = advise(df, dims, Seq(Set("x"), Set("y"), Set("x", "y")), 3)
+    assert(advice.map(a => (a.step, grainName(a.grain), a.rows, a.benefit)) ==
+      Seq((1, "x,y", 8L, 12L), (2, "y", 3L, 5L), (3, "x", 4L, 4L)))
+  }
+
+  test("benefit ties break toward fewer grain columns") {
+    // y is functionally determined by x, so |x| = |x,y| = 3 and both
+    // candidates tie at benefit 4-3=1 for workload {x}: the 1-column
+    // grain must win (the oracle's ORDER BY ben DESC, ncols ASC, v ASC)
+    val tied = Seq(("a", 1), ("a", 1), ("b", 2), ("c", 3)).toDF("x", "y")
+    val advice = advise(tied, dims, Seq(Set("x")), 1)
+    assert(advice.map(a => (grainName(a.grain), a.rows, a.benefit)) ==
+      Seq(("x", 3L, 1L)))
+  }
+
+  test("advise is deterministic under repartitioning") {
+    val a = advise(df.repartition(7), dims, Seq(Set("x"), Set("x", "y")), 2)
+    val b = advise(df.coalesce(1), dims, Seq(Set("x"), Set("x", "y")), 2)
+    assert(a == b)
+  }
+
+  test("workload grains must use declared dim names") {
+    intercept[IllegalArgumentException] {
+      advise(df, dims, Seq(Set("z")), 1)
+    }
+  }
+}

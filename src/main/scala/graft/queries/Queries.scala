@@ -2184,7 +2184,8 @@ object Queries {
     * version, so the query side cannot be drawn from the per-version
     * corpus the way q96's replay draws it). Ends in `rk$suf` =
     * (qid, doc_id, score, rank). */
-  private def bm25VersionCtes(corpusAnd: String, suf: String): String =
+  private def bm25VersionCtes(corpusAnd: String, suf: String,
+                              decimals: Int = 4): String =
     raw"""corpus$suf AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks
       |  FROM documents WHERE length(trim(text)) > 0$corpusAnd),
       |dl$suf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM corpus$suf),
@@ -2196,7 +2197,7 @@ object Queries {
       |sc$suf AS (SELECT qt.qid, t.doc_id,
       |    round(sum( ln(1 + (s.n - d.df + 0.5::DOUBLE)/(d.df + 0.5::DOUBLE))
       |      * t.tf * 2.2::DOUBLE
-      |      / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * l.dl / s.avgdl)) ), 4)
+      |      / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * l.dl / s.avgdl)) ), $decimals)
       |      AS score
       |  FROM qt JOIN tfs$suf t USING (term) JOIN dfs$suf d USING (term)
       |    JOIN dl$suf l ON t.doc_id = l.doc_id CROSS JOIN stats$suf s
@@ -3996,6 +3997,75 @@ object Queries {
     } finally { R.disable(s); R.clear() }
   }
 
+  /** STREAMING ingestion committing SNAPSHOT VERSIONS per micro-batch —
+    * q151's chained-arrival streaming device composed with the q162
+    * versioned tier: three mtime-ordered single-file arrivals drain
+    * through `foreachBatch` under maxFilesPerTrigger=1, and each batch
+    * commits ONE [[graft.curate.Bm25Versioned]] append (v2, v3, v4 on
+    * top of the v1 base init) — streaming ingest with serving isolation
+    * AND time travel over the stream's history: after the stream
+    * completes, ONE external query set serves against v2 (as of the
+    * first arrival) and v4 (final). Versions are arrival-ordered
+    * because the file source processes oldest-mtime-first and
+    * foreachBatch runs batches sequentially (single-writer maintenance
+    * holds). Oracle = the shared bm25VersionCtes generator with each
+    * version's corpus predicate; v2's margins probed by
+    * tools/probe_stream_versions.py (v4 = the full corpus = q96's
+    * probed surface). */
+  def q186StreamVersionedIngest(s: SparkSession, dir: String): DataFrame = {
+    val B = graft.curate.Bm25
+    val V = graft.curate.Bm25Versioned
+    val root = java.nio.file.Files.createTempDirectory("q186_streamv")
+      .toFile.getAbsolutePath
+    val in = s"$root/arrivals"
+    new java.io.File(in).mkdirs()
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val base = System.currentTimeMillis() - 3600000L
+    (1 to 3).foreach { i =>
+      val stage = s"$root/stage/$i"
+      docs.filter(col("doc_id") % 4 === i).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $stage"))
+      val dst = new java.io.File(s"$in/slice$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      require(dst.setLastModified(base + i * 60000L), s"cannot set mtime on $dst")
+    }
+    V.init(s, s"$root/idx", docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    graft.streaming.Streaming.forEachBatch(stream,
+      graft.streaming.Streaming.ForEachBatchOptions(availableNow = true,
+        checkpointLocation = Some(s"$root/ckpt"))) { (batch, _) =>
+      V.append(ss, s"$root/idx", batch, "doc_id", "text"); ()
+    }.awaitTermination()
+    require(graft.sources.VersionedPool.currentVersion(s, s"$root/idx") == 4,
+      "three arrivals must have committed versions 2..4")
+    val queries = docs
+      .filter(col("doc_id") % 125 === 3 && size(T.tokens(col("text"))) > 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(T.tokens(col("text")), 1, 5)).as("qtext"))
+    // PER-VERSION serving grains, each probed: v2's corpus drew a raw
+    // score 4.2e-11 off a 4dp boundary at sf0.1 (the q182 lesson) so v2
+    // serves on the 1e-3 grid (clears by 3.1e-8 absolute); v4 = the
+    // full corpus, whose 4dp surface is q96's own healthy regime
+    // (7.3e-6) — and whose 3dp surface is NOT (3.8e-7, probed both
+    // ways). The grain is a per-index serving choice, not a constant.
+    val early = B.topKAgainstIncIndex(V.load(s, s"$root/idx", Some(2)),
+      queries, "qid", "qtext", k = 5, scoreDecimals = 3)
+      .withColumn("version", lit(2))
+    val fin = B.topKAgainstIncIndex(V.load(s, s"$root/idx", Some(4)),
+      queries, "qid", "qtext", k = 5, scoreDecimals = 4)
+      .withColumn("version", lit(4))
+    materializeAndCleanup(s, early.unionByName(fin)
+      .select(col("version"), col("qid"), col("rank"), col("doc_id"),
+        col("score")), root)
+  }
+
   /** Unrolled HRU-greedy replay for q185 (candidate cardinalities
     * computed IN DuckDB; the answerability matrix and the greedy's k
     * rounds generated — the q129 device; pick ties break identically to
@@ -4358,7 +4428,8 @@ object Queries {
     "q182_restartable_pipeline" -> (q182RestartablePipeline _),
     "q183_quality_filter" -> (q183QualityFilter _),
     "q184_phrase_versioned" -> (q184PhraseVersioned _),
-    "q185_lattice_advisor" -> (q185LatticeAdvisor _))
+    "q185_lattice_advisor" -> (q185LatticeAdvisor _),
+    "q186_stream_versioned" -> (q186StreamVersionedIngest _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -6097,6 +6168,21 @@ object Queries {
     // q185: unrolled HRU greedy — DuckDB computes the candidate
     // cardinalities itself; integer benefits, deterministic tie-break.
     "q185_lattice_advisor" -> latticeAdvisorOracle(k = 3),
+    // q186: the q162 multi-version device over the STREAMED version
+    // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
+    // probed surface); v2's margins probed by
+    // tools/probe_stream_versions.py.
+    "q186_stream_versioned" ->
+      raw"""WITH q AS (SELECT doc_id AS qid,
+        |    (string_split_regex(trim(text),'\s+'))[1:5] AS qtoks
+        |  FROM documents WHERE length(trim(text)) > 0 AND doc_id % 125 = 3),
+        |qt AS (SELECT qid, unnest(list_distinct(qtoks)) AS term FROM q),
+        |${bm25VersionCtes(" AND doc_id % 4 IN (0, 1)", "a", decimals = 3)},
+        |${bm25VersionCtes("", "b", decimals = 4)}
+        |SELECT version, qid, CAST(rank AS INT) AS rank, doc_id, score FROM (
+        |  SELECT 2 AS version, qid, rank, doc_id, score FROM rka WHERE rank <= 5
+        |  UNION ALL
+        |  SELECT 4, qid, rank, doc_id, score FROM rkb WHERE rank <= 5)""".stripMargin,
     // q130: DuckDB's NATIVE ASOF JOIN is the oracle — an independent
     // implementation of the forward-fill semantics (unique instants
     // prepared identically; spine ts precomputed because ASOF wants a

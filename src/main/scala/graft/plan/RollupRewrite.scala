@@ -98,6 +98,29 @@ object RollupRewrite {
     * dashboard that must never pay a base scan). */
   @volatile private var strictStaleness = false
 
+  /** WORKLOAD CAPTURE — the observation half of the self-tuning loop
+    * (capture → [[LatticeAdvisor.advise]] → [[Rollup.materialize]] →
+    * [[register]] → serve, the q187 gate): while capturing, the rule
+    * records the (base paths, grain) of every aggregate it inspects
+    * whose grouping expressions are plain base attributes — INCLUDING
+    * when nothing is registered yet, which is exactly the bootstrap
+    * scenario (observe cold traffic, then design the lattice). Grains
+    * dedupe on (paths, column set); the optimizer's fix-point re-runs
+    * record nothing new. Zero overhead when off (one volatile read). */
+  @volatile private var capturing = false
+  private val capturedLog =
+    java.util.Collections.synchronizedSet(
+      new java.util.LinkedHashSet[(Set[String], Set[String])]())
+
+  def startWorkloadCapture(): Unit = { capturedLog.clear(); capturing = true }
+  def stopWorkloadCapture(): Unit = capturing = false
+
+  /** Distinct captured grains for a base (insertion order). */
+  def capturedWorkload(basePaths: Set[String]): Seq[Set[String]] = {
+    import scala.jdk.CollectionConverters._
+    capturedLog.asScala.toSeq.collect { case (p, g) if p == basePaths => g }
+  }
+
   def setStrictStaleness(on: Boolean): Unit = strictStaleness = on
 
   private[plan] def fingerprintOf(
@@ -305,6 +328,10 @@ object RollupRewrite {
         case _ => return None
       }
       val paths = rel.location.rootPaths.map(_.toString).toSet
+      if (capturing &&
+          agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference]))
+        capturedLog.add((paths, agg.groupingExpressions
+          .map(_.asInstanceOf[AttributeReference].name).toSet))
       // Lattice routing: several summaries at different grains may be
       // registered for one base. Try coarsest-first (fewest group
       // columns — the fewest-rows proxy when grains nest, which is the

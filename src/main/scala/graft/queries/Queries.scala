@@ -3997,6 +3997,80 @@ object Queries {
     } finally { R.disable(s); R.clear() }
   }
 
+  /** SELF-TUNING summary selection ([[graft.plan.RollupRewrite]]
+    * workload capture → [[graft.plan.LatticeAdvisor]] — the full loop a
+    * production lattice runs: observe cold traffic with NOTHING
+    * registered, design the lattice from what was actually asked,
+    * materialize, and serve). Six traffic queries run under capture —
+    * grouped, filtered, and measure-bearing variants land five distinct
+    * grains; an expression-grouped query (upper(status)) must NOT
+    * capture — then the advisor runs on the CAPTURED workload (required
+    * equal to the intended five), the advised grains register, and the
+    * filtered traffic query re-runs plan-REQUIRED to ride an advised
+    * summary with base-equal answers. The captured workload equals
+    * q185's literal one by construction, so the oracle is the SAME
+    * shared unrolled-greedy generator — the hash gate proves capture
+    * fed the advisor exactly the intended grains. */
+  def q187WorkloadTuning(s: SparkSession, dir: String): DataFrame = {
+    val LA = graft.plan.LatticeAdvisor
+    val R = graft.plan.RollupRewrite
+    val orders = tbl(s, dir, "orders")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q187_tuning")
+      .toFile.getAbsolutePath
+    orders.select(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"),
+        month(col("o_orderdate")).cast("int").as("month"),
+        col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/base")
+    val base2 = s.read.parquet(s"$tmpRoot/base")
+    val dims = Seq("status" -> col("status"), "priority" -> col("priority"),
+      "month" -> col("month"))
+    R.enable(s)
+    R.startWorkloadCapture()
+    try {
+      // observed traffic (nothing registered yet — the bootstrap case)
+      base2.groupBy("status").agg(count(lit(1))).collect()
+      base2.groupBy("status", "month").agg(sum("o_totalprice")).collect()
+      base2.groupBy("priority").agg(min("o_totalprice")).collect()
+      base2.filter(col("status") === "F").groupBy("month")
+        .agg(count(lit(1))).collect()
+      base2.groupBy("status", "priority").agg(max("o_totalprice")).collect()
+      base2.groupBy(upper(col("status"))).agg(count(lit(1))).collect()
+      R.stopWorkloadCapture()
+      val captured = R.capturedWorkload(R.scanRootPaths(base2))
+      require(captured.toSet == Set(Set("status"), Set("status", "month"),
+        Set("priority"), Set("month"), Set("status", "priority")),
+        s"captured workload diverged from traffic: $captured")
+      val advice = LA.advise(base2, dims, captured, k = 3)
+      require(advice.forall(_.benefit > 0),
+        s"zero-benefit advice round is oracle-ambiguous: $advice")
+      advice.filter(_.grain.nonEmpty).foreach { a =>
+        val p = s"$tmpRoot/${a.grain.mkString("_")}"
+        graft.plan.Rollup.materialize(base2, a.grain, Seq("o_totalprice"))
+          .write.mode("overwrite").parquet(p)
+        R.register(base2, s.read.parquet(p), a.grain, Seq("o_totalprice"))
+      }
+      val served = base2.filter(col("status") === "F").groupBy("month")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+      val scans = R.scanRootPaths(served)
+      require(scans.nonEmpty && scans.forall(p =>
+          p.contains(tmpRoot) && !p.contains(s"$tmpRoot/base")),
+        s"captured-traffic query must ride an advised summary — plan scans $scans")
+      val got = served.collect().map(_.toSeq).toSet
+      R.disable(s)
+      val expect = base2.filter(col("status") === "F").groupBy("month")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .collect().map(_.toSeq).toSet
+      require(got == expect, "advised-summary answers diverge from the base")
+      import s.implicits._
+      materializeAndCleanup(s,
+        advice.map(a => (a.step, LA.grainName(a.grain), a.rows, a.benefit))
+          .toDF("step", "grain", "grain_rows", "benefit"), tmpRoot)
+    } finally { R.stopWorkloadCapture(); R.disable(s); R.clear() }
+  }
+
   /** STREAMING ingestion committing SNAPSHOT VERSIONS per micro-batch —
     * q151's chained-arrival streaming device composed with the q162
     * versioned tier: three mtime-ordered single-file arrivals drain
@@ -4429,7 +4503,8 @@ object Queries {
     "q183_quality_filter" -> (q183QualityFilter _),
     "q184_phrase_versioned" -> (q184PhraseVersioned _),
     "q185_lattice_advisor" -> (q185LatticeAdvisor _),
-    "q186_stream_versioned" -> (q186StreamVersionedIngest _))
+    "q186_stream_versioned" -> (q186StreamVersionedIngest _),
+    "q187_workload_tuning" -> (q187WorkloadTuning _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -6168,6 +6243,10 @@ object Queries {
     // q185: unrolled HRU greedy — DuckDB computes the candidate
     // cardinalities itself; integer benefits, deterministic tie-break.
     "q185_lattice_advisor" -> latticeAdvisorOracle(k = 3),
+    // q187: the SAME greedy replay — the captured workload is required
+    // in-query to equal q185's literal one, so a capture bug that fed
+    // the advisor different grains hash-fails here.
+    "q187_workload_tuning" -> latticeAdvisorOracle(k = 3),
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

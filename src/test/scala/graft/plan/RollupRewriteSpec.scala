@@ -694,4 +694,35 @@ class RollupRewriteSpec extends SparkSpec {
     }
     RollupRewrite.clear()
   }
+
+  test("workload capture records plain-attribute grains, dedupes, ignores expression grains, off by default") {
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+    val paths = scanPaths(base)
+    RollupRewrite.enable(spark)
+    try {
+      // capture OFF: traffic records nothing
+      base.groupBy("o_orderstatus").agg(count(lit(1))).collect()
+      assert(RollupRewrite.capturedWorkload(paths).isEmpty)
+      RollupRewrite.startWorkloadCapture()
+      base.groupBy("o_orderstatus").agg(count(lit(1))).collect()
+      base.groupBy("o_orderstatus").agg(sum("o_totalprice")).collect() // dup grain
+      base.filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority").agg(count(lit(1))).collect() // filtered
+      base.groupBy(upper(col("o_orderstatus"))).agg(count(lit(1))).collect() // expr grain
+      RollupRewrite.stopWorkloadCapture()
+      assert(RollupRewrite.capturedWorkload(paths) ==
+        Seq(Set("o_orderstatus"), Set("o_orderpriority")))
+      // capture OFF again: more traffic records nothing new
+      base.groupBy("o_orderstatus", "o_orderpriority").agg(count(lit(1))).collect()
+      assert(RollupRewrite.capturedWorkload(paths).size == 2)
+      // a fresh capture clears the log
+      RollupRewrite.startWorkloadCapture()
+      RollupRewrite.stopWorkloadCapture()
+      assert(RollupRewrite.capturedWorkload(paths).isEmpty)
+    } finally {
+      RollupRewrite.stopWorkloadCapture()
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+    }
+  }
 }

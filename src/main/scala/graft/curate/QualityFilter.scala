@@ -117,4 +117,54 @@ object QualityFilter {
       .groupBy("doc_id")
       .agg(sum(col("cnt") * col("w")).as("score_micro"))
       .withColumn("keep", (col("score_micro") > 0).cast("int"))
+
+  /** Keep EXACTLY ceil(N·rateNum/rateDen) rows with the HIGHEST scores
+    * (ties → lower id) — the production form of the keep decision:
+    * filters run at a retention budget, not at the sign of the score.
+    * Semantically `row_number() OVER (ORDER BY score DESC, id) ≤ k`,
+    * computed scale-shaped with NO global window (the q86
+    * bucketed-prefix device re-keyed to the score order):
+    *
+    *  1. one aggregation gets (N, min, max) → k and an order-preserving
+    *     integer bucket of the score (equal scores share a bucket, so
+    *     the id tie-break never crosses buckets);
+    *  2. per-bucket counts collect (`buckets` rows) and a driver prefix
+    *     locates the boundary bucket b*: earlier buckets are kept
+    *     VERBATIM (no ordering paid), later ones are dropped unseen;
+    *  3. only bucket b* — ~1/buckets of the data — pays a
+    *     (score DESC, id) window for its remaining slots.
+    *
+    * Integer-only arithmetic; bit-identical to the naive global window
+    * (spec-pinned) and SQL-replayable as a plain row_number. */
+  def selectTopRate(scored: DataFrame, idCol: String, scoreCol: String,
+                    rateNum: Long, rateDen: Long,
+                    buckets: Int = 1024): DataFrame = {
+    require(rateDen > 0 && rateNum >= 0 && rateNum <= rateDen,
+      "rate must be a fraction in [0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val st = scored.agg(count(lit(1)), min(col(scoreCol).cast("long")),
+      max(col(scoreCol).cast("long"))).collect()(0)
+    val n = st.getLong(0)
+    val k = if (n == 0) 0L else (n * rateNum + rateDen - 1) / rateDen
+    if (k == 0) return scored.limit(0)
+    val (lo, hi) = (st.getLong(1), st.getLong(2))
+    require(hi - lo < Long.MaxValue / buckets,
+      s"score range ${hi - lo} too wide for $buckets-way bucketing")
+    val span = hi - lo + 1
+    val withB = scored.withColumn("__bkt",
+      expr(s"((${hi}L - CAST($scoreCol AS BIGINT)) * $buckets) div ${span}L")
+        .cast("int"))
+    val counts = withB.groupBy("__bkt").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val prefix = (0 until buckets).map(b => counts.getOrElse(b, 0L))
+      .scanLeft(0L)(_ + _)
+    val bStar = prefix.indexWhere(_ >= k) - 1 // prefix(buckets) = n >= k
+    val wb = Window.partitionBy(col("__bkt"))
+      .orderBy(col(scoreCol).cast("long").desc, col(idCol).asc)
+    withB.filter(col("__bkt") < bStar).drop("__bkt")
+      .unionByName(withB.filter(col("__bkt") === bStar)
+        .withColumn("__rk", row_number().over(wb))
+        .filter(col("__rk") <= k - prefix(bStar))
+        .drop("__rk", "__bkt"))
+  }
 }

@@ -3997,6 +3997,36 @@ object Queries {
     } finally { R.disable(s); R.clear() }
   }
 
+  /** BUDGETED quality filtering ([[graft.curate.QualityFilter
+    * .selectTopRate]] — the production form of q183's keep decision:
+    * retention runs at a BUDGET, not at the sign of the score): a
+    * 4-epoch model (the q183 trainer, shorter schedule — its per-epoch
+    * margins are q183's own first four, already in tools/probe_qf.py's
+    * output) scores every doc, then EXACTLY the top ceil(N/4) by
+    * (score DESC, doc_id) are kept via the bucketed boundary-selection
+    * device — one window over ~1/1024 of the data, never a global one.
+    * Pure integer selection (exact integer scores, integer ceil, id
+    * tie-break) — the oracle is the shared qfOracleChain generator at
+    * epochs=4 plus a plain row_number selection; no new float
+    * surface. */
+  def q188BudgetedFilter(s: SparkSession, dir: String): DataFrame = {
+    val Qf = graft.curate.QualityFilter
+    val docs = tbl(s, dir, "documents")
+    val ft = Qf.hashedFeatures(docs, "doc_id", "text", buckets = 256,
+      biasValue = 32L)
+    val toks = T.tokens(col("text"))
+    val labels = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        (lit(2) * size(toks) +
+          lit(5) * size(filter(toks, t => t === "batch")) >= 130)
+          .cast("int").as("y"))
+    val w = Qf.trainLogistic(s, ft,
+      labels.filter(col("doc_id") % 4 =!= 1), buckets = 256, epochs = 4)
+    Qf.selectTopRate(Qf.score(ft, w), "doc_id", "score_micro",
+        rateNum = 1, rateDen = 4)
+      .select(col("doc_id"), col("score_micro"))
+  }
+
   /** SELF-TUNING summary selection ([[graft.plan.RollupRewrite]]
     * workload capture → [[graft.plan.LatticeAdvisor]] — the full loop a
     * production lattice runs: observe cold traffic with NOTHING
@@ -4213,7 +4243,19 @@ object Queries {
     * CTEs. HUGEINT intrusion points (sum(), `//` result) cast back at
     * the final projection. */
   private def qfOracle(buckets: Int, biasValue: Int, epochs: Int,
-                       lrScale: Int): String = {
+                       lrScale: Int): String =
+    qfOracleChain(buckets, biasValue, epochs, lrScale) +
+      "\nSELECT l.doc_id, l.y AS label," +
+      " CAST(sum(f.cnt * w.w) AS BIGINT) AS score_micro,\n" +
+      "  CASE WHEN sum(f.cnt * w.w) > 0 THEN 1 ELSE 0 END AS keep\n" +
+      s"FROM ft f JOIN w$epochs w USING (bucket)" +
+      " JOIN lb l ON f.doc_id = l.doc_id\nGROUP BY 1, 2"
+
+  /** The WITH chain (d → lb → ft → trn → w0 → epoch quadruples ending
+    * at w{epochs}) shared by q183's scoring oracle and q188's budgeted
+    * selection — never fork the training math. */
+  private def qfOracleChain(buckets: Int, biasValue: Int, epochs: Int,
+                            lrScale: Int): String = {
     val b = new StringBuilder
     b ++= "WITH d AS MATERIALIZED (\n" +
       raw"  SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks" + "\n" +
@@ -4248,11 +4290,6 @@ object Queries {
         s" ($lrScale * (SELECT count(*) FROM trn) * $i) AS BIGINT) AS w\n" +
         s"  FROM w${i - 1} w LEFT JOIN u$i u USING (bucket))"
     }
-    b ++= "\nSELECT l.doc_id, l.y AS label," +
-      " CAST(sum(f.cnt * w.w) AS BIGINT) AS score_micro,\n" +
-      "  CASE WHEN sum(f.cnt * w.w) > 0 THEN 1 ELSE 0 END AS keep\n" +
-      s"FROM ft f JOIN w$epochs w USING (bucket)" +
-      " JOIN lb l ON f.doc_id = l.doc_id\nGROUP BY 1, 2"
     b.toString
   }
 
@@ -4504,7 +4541,8 @@ object Queries {
     "q184_phrase_versioned" -> (q184PhraseVersioned _),
     "q185_lattice_advisor" -> (q185LatticeAdvisor _),
     "q186_stream_versioned" -> (q186StreamVersionedIngest _),
-    "q187_workload_tuning" -> (q187WorkloadTuning _))
+    "q187_workload_tuning" -> (q187WorkloadTuning _),
+    "q188_budgeted_filter" -> (q188BudgetedFilter _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -6247,6 +6285,20 @@ object Queries {
     // in-query to equal q185's literal one, so a capture bug that fed
     // the advisor different grains hash-fails here.
     "q187_workload_tuning" -> latticeAdvisorOracle(k = 3),
+    // q188: the shared training chain at epochs=4 + a plain row_number
+    // budget cut — integer-exact, ceil via the same truncating-div rule.
+    "q188_budgeted_filter" ->
+      (qfOracleChain(buckets = 256, biasValue = 32, epochs = 4,
+        lrScale = 27) + raw""",
+        |scored AS MATERIALIZED (
+        |  SELECT l.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS score_micro
+        |  FROM ft f JOIN w4 w USING (bucket) JOIN lb l ON f.doc_id = l.doc_id
+        |  GROUP BY 1),
+        |rk AS (SELECT doc_id, score_micro,
+        |    row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, score_micro FROM rk
+        |WHERE rnk <= (SELECT (count(*) + 3) // 4 FROM scored)""".stripMargin),
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

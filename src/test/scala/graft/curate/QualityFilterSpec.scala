@@ -63,6 +63,35 @@ class QualityFilterSpec extends SparkSpec {
     assert(7L / 2L == 3L)
   }
 
+  test("selectTopRate equals the naive global window, ties and partitioning included") {
+    import org.apache.spark.sql.expressions.Window
+    // scores with heavy ties (i % 17) so the id tie-break matters, and a
+    // spread component so bucketing actually splits
+    val scored = (0L until 3000L).map(i => (i, (i % 17) * 1000 + (i % 7)))
+      .toDF("doc_id", "score_micro")
+    def naive(k: Long) = scored.withColumn("__r", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id").asc)))
+      .filter(col("__r") <= k).drop("__r")
+      .as[(Long, Long)].collect().toSet
+    for ((num, den) <- Seq((1L, 4L), (1L, 3L), (2L, 3L), (1L, 1L))) {
+      val k = (3000L * num + den - 1) / den
+      val got = QualityFilter.selectTopRate(scored.repartition(13),
+        "doc_id", "score_micro", num, den, buckets = 16)
+        .as[(Long, Long)].collect()
+      assert(got.length == k, s"rate $num/$den: ${got.length} != $k")
+      assert(got.toSet == naive(k), s"rate $num/$den diverges from the window")
+    }
+    // degenerate: all scores equal -> pure id order
+    val flat = (0L until 100L).map(i => (i, 42L)).toDF("doc_id", "score_micro")
+    assert(QualityFilter.selectTopRate(flat, "doc_id", "score_micro", 1, 4)
+      .as[(Long, Long)].collect().map(_._1).sorted.toSeq == (0L until 25L))
+    // rate 0 keeps nothing; empty input stays empty
+    assert(QualityFilter.selectTopRate(scored, "doc_id", "score_micro", 0, 4)
+      .count() == 0)
+    assert(QualityFilter.selectTopRate(scored.limit(0), "doc_id",
+      "score_micro", 1, 2).count() == 0)
+  }
+
   test("zero score keeps nothing (strict inequality both engines)") {
     val ft = Seq((1L, 0L, 2L), (1L, 64L, 32L)).toDF("doc_id", "bucket", "cnt")
     val w = Seq((0L, 16L), (64L, -1L)).toDF("bucket", "w") // 2*16 - 32 = 0

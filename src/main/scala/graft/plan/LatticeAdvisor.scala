@@ -60,16 +60,57 @@ object LatticeAdvisor {
       }.toMap
   }
 
+  /** KMV-ESTIMATED cardinality of every candidate grain from ONE plain
+    * aggregation pass — the 100-TB path: the exact cube's Expand
+    * multiplies the scan 2^d-fold and shuffles Σ|grain| rows, which for
+    * high-cardinality dims approaches d·N; here the pass computes 2^d−1
+    * mergeable KMV sketches over the per-candidate TUPLE hash (the q78
+    * one-pass-profiler device, tuples instead of columns) — map-side
+    * partials, one collected row, zero shuffle growth with N. Estimates
+    * are DETERMINISTIC integers (the q69 estimator floor'd: identical
+    * md5 hashes → identical kth-min → identical IEEE divide/floor in
+    * any engine), so approx advice replays exactly in SQL like exact
+    * advice. NULL dim values hash as a \\u0001 sentinel. d ≤ 8 (2^d−1
+    * aggregate expressions in one projection). */
+  def grainCardinalitiesApprox(base: DataFrame, dims: Seq[(String, Column)],
+                               sketchK: Int = 256): Map[Int, Long] = {
+    require(dims.nonEmpty && dims.size <= 8,
+      s"approx mode runs 2^d-1 sketch aggs in one pass — keep d <= 8 (got ${dims.size})")
+    val d = dims.size
+    val projected = base.select(dims.map { case (n, c) => c.as(n) }: _*)
+    def tupleStr(mask: Int): Column =
+      (0 until d).collect { case i if (mask & (1 << i)) != 0 =>
+        coalesce(col(dims(i)._1).cast("string"), lit("\u0001"))
+      }.reduce((a, b) => concat(a, lit("\u001f"), b))
+    val aggs = (1 until (1 << d)).map { m =>
+      graft.functions.expressions.KmvDistinctAgg.kmvSketch(
+        graft.curate.Curate.portableHash60(tupleStr(m)), sketchK).as(s"m$m")
+    }
+    val row = projected.agg(aggs.head, aggs.tail: _*).collect()(0)
+    (1 until (1 << d)).map { m =>
+      val mins = row.getSeq[Long](row.fieldIndex(s"m$m"))
+      val est =
+        if (mins.size < sketchK) mins.size.toLong
+        else math.floor((sketchK - 1).toDouble * (1L << 60).toDouble /
+          mins(sketchK - 1).toDouble).toLong
+      m -> est
+    }.toMap + (0 -> 1L)
+  }
+
   /** Run the HRU greedy: k rounds over all 2^d candidates against the
     * workload (each query = the set of dim names it groups by; must be
     * ⊆ dims). Returns the chosen grains in selection order with their
-    * exact row counts and benefits. */
+    * exact row counts and benefits. `sketchK = Some(k)` switches the
+    * cardinality pass to [[grainCardinalitiesApprox]] (estimated rows,
+    * still deterministic — the 100-TB mode). */
   def advise(base: DataFrame, dims: Seq[(String, Column)],
-             workload: Seq[Set[String]], k: Int): Seq[Advice] = {
+             workload: Seq[Set[String]], k: Int,
+             sketchK: Option[Int] = None): Seq[Advice] = {
     val names = dims.map(_._1)
     require(workload.forall(_.subsetOf(names.toSet)),
       s"workload grains must use dim names $names")
-    val card = grainCardinalities(base, dims)
+    val card = sketchK.fold(grainCardinalities(base, dims))(
+      kk => grainCardinalitiesApprox(base, dims, kk))
     // cost of answering from the BASE is the base row count (the HRU
     // model's root) — one more exact integer
     val n = base.count()

@@ -3997,6 +3997,35 @@ object Queries {
     } finally { R.disable(s); R.clear() }
   }
 
+  /** APPROXIMATE lattice advice ([[graft.plan.LatticeAdvisor
+    * .grainCardinalitiesApprox]] — the advisor's 100-TB mode: the exact
+    * cube's Expand multiplies the scan 2^d-fold, so at scale candidate
+    * cardinalities come from 2^d−1 KMV sketches over per-candidate
+    * tuple hashes in ONE plain aggregation pass — map-side partials,
+    * no shuffle growth). Same dims/workload/budget as q185; the
+    * estimates are DETERMINISTIC integers (identical md5 → identical
+    * kth-min → identical IEEE divide/floor), so the greedy over them
+    * replays exactly: the oracle is the shared generator with each
+    * candidate's cardinality subquery swapped for the q69 KMV-estimate
+    * replay. Benefits required positive, as in q185. */
+  def q189ApproxAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val LA = graft.plan.LatticeAdvisor
+    val orders = tbl(s, dir, "orders")
+    val dims = Seq(
+      "status" -> col("o_orderstatus"),
+      "priority" -> col("o_orderpriority"),
+      "month" -> month(col("o_orderdate")).cast("int"))
+    val workload = Seq(Set("status"), Set("status", "month"),
+      Set("priority"), Set("month"), Set("status", "priority"))
+    val advice = LA.advise(orders, dims, workload, k = 3,
+      sketchK = Some(256))
+    require(advice.forall(_.benefit > 0),
+      s"zero-benefit advice round is oracle-ambiguous: $advice")
+    import s.implicits._
+    advice.map(a => (a.step, LA.grainName(a.grain), a.rows, a.benefit))
+      .toDF("step", "grain", "grain_rows", "benefit")
+  }
+
   /** BUDGETED quality filtering ([[graft.curate.QualityFilter
     * .selectTopRate]] — the production form of q183's keep decision:
     * retention runs at a BUDGET, not at the sign of the score): a
@@ -4174,7 +4203,8 @@ object Queries {
     * computed IN DuckDB; the answerability matrix and the greedy's k
     * rounds generated — the q129 device; pick ties break identically to
     * the Scala greedy: benefit DESC, ncols ASC, name ASC). */
-  private def latticeAdvisorOracle(k: Int): String = {
+  private def latticeAdvisorOracle(k: Int,
+                                   approxK: Option[Int] = None): String = {
     val dims = Seq("status" -> "o_orderstatus", "priority" -> "o_orderpriority",
       "month" -> "month(o_orderdate)")
     val workload = Seq(Set("status"), Set("status", "month"),
@@ -4185,8 +4215,23 @@ object Queries {
     def nameOf(mask: Int) = { val g = grainOf(mask); if (g.isEmpty) "<apex>" else g.mkString(",") }
     val cands = (0 until (1 << dims.size)).map { m =>
       val exprs = dims.zipWithIndex.collect { case ((_, e), i) if (m & (1 << i)) != 0 => e }
-      val rows = if (m == 0) "1::BIGINT"
-        else s"(SELECT count(*) FROM (SELECT DISTINCT ${exprs.mkString(", ")} FROM orders))"
+      val rows =
+        if (m == 0) "1::BIGINT"
+        else approxK match {
+          case None =>
+            s"(SELECT count(*) FROM (SELECT DISTINCT ${exprs.mkString(", ")} FROM orders))"
+          case Some(kk) =>
+            // the q69 KMV estimator over the candidate TUPLE hash,
+            // floor'd to BIGINT — identical md5s/kth-min/IEEE ops both
+            // engines, so the estimate replays exactly
+            val tuple = exprs
+              .map(e => s"coalesce(CAST($e AS VARCHAR), chr(1))")
+              .mkString(", chr(31), ")
+            s"""(SELECT CASE WHEN count(*) < $kk THEN count(*)
+               |   ELSE CAST(floor(${kk - 1}.0 * 1152921504606846976.0 / CAST(max(v) AS DOUBLE)) AS BIGINT) END
+               |  FROM (SELECT v FROM (SELECT DISTINCT CAST(concat('0x', substr(md5(concat($tuple)), 1, 15)) AS BIGINT) AS v
+               |    FROM orders) ORDER BY v LIMIT $kk))""".stripMargin
+        }
       s"SELECT '${nameOf(m)}' AS v, ${grainOf(m).size} AS ncols, $rows AS vrows"
     }
     val qNames = workload.map(q => names.filter(q).mkString(","))
@@ -4542,7 +4587,8 @@ object Queries {
     "q185_lattice_advisor" -> (q185LatticeAdvisor _),
     "q186_stream_versioned" -> (q186StreamVersionedIngest _),
     "q187_workload_tuning" -> (q187WorkloadTuning _),
-    "q188_budgeted_filter" -> (q188BudgetedFilter _))
+    "q188_budgeted_filter" -> (q188BudgetedFilter _),
+    "q189_approx_advisor" -> (q189ApproxAdvisor _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -6299,6 +6345,9 @@ object Queries {
         |  FROM scored)
         |SELECT doc_id, score_micro FROM rk
         |WHERE rnk <= (SELECT (count(*) + 3) // 4 FROM scored)""".stripMargin),
+    // q189: the shared greedy replay with KMV-estimated cardinalities
+    // (the q69 estimator per candidate tuple) — deterministic integers.
+    "q189_approx_advisor" -> latticeAdvisorOracle(k = 3, approxK = Some(256)),
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

@@ -45,6 +45,25 @@ class LatticeAdvisorSpec extends SparkSpec {
       Seq(("x", 3L, 1L)))
   }
 
+  test("approx cardinalities: exact below the sketch size, deterministic above it") {
+    // every grain here has < 256 distinct tuples, so the sketches never
+    // fill and the estimates ARE the exact counts -> approx advice must
+    // equal exact advice bit-for-bit
+    assert(grainCardinalitiesApprox(df, dims, sketchK = 256) ==
+      grainCardinalities(df, dims))
+    assert(advise(df, dims, Seq(Set("x"), Set("y"), Set("x", "y")), 3,
+        sketchK = Some(256)) ==
+      advise(df, dims, Seq(Set("x"), Set("y"), Set("x", "y")), 3))
+    // above the sketch size: estimates are partition-invariant and close
+    val big = spark.range(0, 20000)
+      .selectExpr("CAST(id % 5000 AS STRING) AS x", "CAST(id % 7 AS INT) AS y")
+    val est = grainCardinalitiesApprox(big, dims, sketchK = 64)
+    assert(est == grainCardinalitiesApprox(big.repartition(11), dims, 64))
+    assert(est(0) == 1 && est(2) == 7) // apex; |y| = 7 < 64 stays exact
+    assert(math.abs(est(1) - 5000) < 1500, s"|x| estimate ${est(1)} far off 5000")
+    assert(math.abs(est(3) - 20000) < 6000, s"|x,y| estimate ${est(3)} far off 20000")
+  }
+
   test("advise is deterministic under repartitioning") {
     val a = advise(df.repartition(7), dims, Seq(Set("x"), Set("x", "y")), 2)
     val b = advise(df.coalesce(1), dims, Seq(Set("x"), Set("x", "y")), 2)

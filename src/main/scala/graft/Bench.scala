@@ -112,20 +112,21 @@ object Bench {
       val samples = List(timeOnce(fn), timeOnce(fn))
       samples.collectFirst { case Left(e) => e }.foreach(errors(name) = _)
       var ok = samples.collect { case Right((s, _)) => s }
+      // leak telemetry covers EVERY run, resamples included — a query
+      // that leaks only on its slow contended runs is exactly the case
+      // the persisted_rdds field exists to attribute (r10 review)
+      var leak = samples.collect { case Right((_, n)) => n }
+        .maxOption.getOrElse(0)
       if (ok.size == 2 && ok.max / math.max(ok.min, 1e-9) > 3.0) {
         resampled += name
         var extra = 0
         while (extra < 2 && ok.max / math.max(ok.min, 1e-9) > 3.0) {
           timeOnce(fn) match {
-            case Right((s, _)) => ok = ok :+ s
+            case Right((s, n)) => ok = ok :+ s; leak = math.max(leak, n)
             case Left(e)       => errors(name) = e // flaky failure counts as failure
           }
           extra += 1
         }
-      }
-      val leak = samples.collect { case Right((_, n)) => n } match {
-        case Nil => 0
-        case ns  => ns.max
       }
       if (leak > 0) leaks(name) = leak
       val best = if (ok.isEmpty) -1.0 else ok.min

@@ -230,8 +230,12 @@ object Ivf {
     * `.old_`/`.tmp_` siblings — readers in that window fail). The tmp
     * directory was fully written BEFORE any rename, so recovery completes
     * the swap (rename tmp→dst, drop old); if tmp is somehow gone, the old
-    * directory rolls back verbatim. Idempotent no-op when the index path
-    * exists. Returns true when a stranded state was healed (ADVICE r9). */
+    * directory rolls back verbatim. When the index path exists it only
+    * reclaims a crash-orphaned `.old_` copy (a kill between the final
+    * rename and the cleanup) — otherwise a no-op. Concurrent healers are
+    * safe: a failed rename re-checks dst before throwing (two readers,
+    * or a reader racing the compacting writer, may complete the same
+    * swap). Returns true when a STRANDED state was healed (ADVICE r9). */
   def recoverCompaction(spark: org.apache.spark.sql.SparkSession,
                         indexPath: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -239,13 +243,23 @@ object Ivf {
     val fs = dst.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(dst.getParent, s".tmp_${dst.getName}")
     val old = new org.apache.hadoop.fs.Path(dst.getParent, s".old_${dst.getName}")
-    if (fs.exists(dst) || !fs.exists(old)) false
+    if (fs.exists(dst)) {
+      // committed swap: dst existing is the invariant — but a crash
+      // between the final rename and the old-dir cleanup leaves a
+      // full-index-sized .old_ orphan (with its _tombstones) that no
+      // later code path reclaims unless tombstones accumulate again.
+      // Reclaim it here; report false (nothing was STRANDED).
+      if (fs.exists(old)) fs.delete(old, true)
+      false
+    } else if (!fs.exists(old)) false
     else if (fs.exists(tmp)) {
-      if (!fs.rename(tmp, dst))
+      // a concurrent reader/writer may heal the same window first: a
+      // failed rename with dst now present IS success, not an error
+      if (!fs.rename(tmp, dst) && !fs.exists(dst))
         throw new java.io.IOException(s"failed to complete compaction swap at $dst")
       fs.delete(old, true); true
     } else {
-      if (!fs.rename(old, dst))
+      if (!fs.rename(old, dst) && !fs.exists(dst))
         throw new java.io.IOException(s"failed to roll back compaction at $dst")
       true
     }
@@ -281,7 +295,9 @@ object Ivf {
       fs.delete(old, true) // leftover from a previous crash
       if (!fs.rename(dst, old))
         throw new java.io.IOException(s"failed to stage out $dst")
-      if (!fs.rename(tmp, dst))
+      // a reader running recoverCompaction can complete the swap from
+      // tmp in this window — rename failure with dst present is success
+      if (!fs.rename(tmp, dst) && !fs.exists(dst))
         throw new java.io.IOException(s"failed to swap $dst")
       fs.delete(old, true)
     }

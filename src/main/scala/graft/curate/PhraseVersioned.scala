@@ -23,13 +23,15 @@ import graft.sources.VersionedPool
   * [[VersionedPool]]. Single-writer maintenance. */
 object PhraseVersioned {
 
-  private val IdType = org.apache.spark.sql.types.LongType
-
+  // The tombstone id type is the POOL's doc_id type (any id type the
+  // positional postings carry — derived like the sibling tiers do, not
+  // hardcoded: a string-keyed corpus would otherwise publish long-typed
+  // null id rows that break the tombstone union on the first delete).
   private def publish(spark: SparkSession, root: String,
-                      batches: Seq[String],
-                      tombstones: Option[DataFrame]): Int =
+                      batches: Seq[String], tombstones: Option[DataFrame],
+                      idType: org.apache.spark.sql.types.DataType): Int =
     VersionedPool.publishMeta(spark, root, batches, stats = Seq.empty,
-      tombstones = tombstones, idCol = "doc_id", idType = IdType)
+      tombstones = tombstones, idCol = "doc_id", idType = idType)
 
   /** Create version 1 from an initial corpus (batch written even when
     * empty, so every manifest loads a schema'd pool). */
@@ -37,9 +39,10 @@ object PhraseVersioned {
            docId: String, docText: String): Int = {
     VersionedPool.requireFresh(spark, root)
     val batch = VersionedPool.nextBatch(spark, root)
-    Phrase.positionalPostings(docs, docId, docText)
-      .write.mode("overwrite").parquet(VersionedPool.poolPath(root, batch))
-    publish(spark, root, Seq(batch), None)
+    val postings = Phrase.positionalPostings(docs, docId, docText)
+    postings.write.mode("overwrite").parquet(VersionedPool.poolPath(root, batch))
+    publish(spark, root, Seq(batch), None,
+      postings.schema("doc_id").dataType)
   }
 
   /** The version's live postings (tombstones anti-joined — the filter
@@ -68,11 +71,12 @@ object PhraseVersioned {
   def append(spark: SparkSession, root: String, newDocs: DataFrame,
              docId: String, docText: String): Int = {
     val batch = VersionedPool.nextBatch(spark, root)
-    Phrase.positionalPostings(newDocs, docId, docText)
-      .write.mode("overwrite").parquet(VersionedPool.poolPath(root, batch))
+    val postings = Phrase.positionalPostings(newDocs, docId, docText)
+    postings.write.mode("overwrite").parquet(VersionedPool.poolPath(root, batch))
     val cur = VersionedPool.load(spark, root, "doc_id")
     publish(spark, root,
-      VersionedPool.manifestOf(spark, root) :+ batch, cur.tombstones)
+      VersionedPool.manifestOf(spark, root) :+ batch, cur.tombstones,
+      postings.schema("doc_id").dataType)
   }
 
   /** Remove documents as a new version — METADATA ONLY (no pool write):
@@ -92,7 +96,8 @@ object PhraseVersioned {
     if (present.limit(1).collect().isEmpty)
       return VersionedPool.currentVersion(spark, root)
     publish(spark, root, VersionedPool.manifestOf(spark, root),
-      Some(r.tombstones.fold(present)(_.unionByName(present))))
+      Some(r.tombstones.fold(present)(_.unionByName(present))),
+      r.pool.schema("doc_id").dataType)
   }
 
   /** Fold the current version into ONE fresh tombstone-free pool batch —
@@ -106,7 +111,8 @@ object PhraseVersioned {
       (p, ts) => p.join(ts, Seq("doc_id"), "left_anti"))
     val batch = VersionedPool.nextBatch(spark, root)
     live.write.mode("overwrite").parquet(VersionedPool.poolPath(root, batch))
-    publish(spark, root, Seq(batch), None)
+    publish(spark, root, Seq(batch), None,
+      cur.pool.schema("doc_id").dataType)
   }
 
   /** Core vacuum: drop old versions, then unreferenced pool batches. */

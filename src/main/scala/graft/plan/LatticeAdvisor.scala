@@ -111,6 +111,11 @@ object LatticeAdvisor {
       s"workload grains must use dim names $names")
     val card = sketchK.fold(grainCardinalities(base, dims))(
       kk => grainCardinalitiesApprox(base, dims, kk))
+    // an EMPTY base yields an empty cube (grouped aggregates produce no
+    // rows on no input) — there is nothing to advise on, and the greedy
+    // below would otherwise die on an empty min (r10 review)
+    require(card.nonEmpty,
+      "lattice advisor: the base is empty — nothing to advise on")
     // cost of answering from the BASE is the base row count (the HRU
     // model's root) — one more exact integer
     val n = base.count()
@@ -119,7 +124,9 @@ object LatticeAdvisor {
     val cost = scala.collection.mutable.ArrayBuffer(qMask.map(_ => n): _*)
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
     val out = scala.collection.mutable.ArrayBuffer.empty[Advice]
-    for (step <- 1 to k) {
+    // a budget beyond the candidate count just stops early (2^d grains
+    // is all there is to materialize)
+    for (step <- 1 to math.min(k, card.size)) {
       val best = card.keysIterator.filterNot(chosen.contains).map { v =>
         val ben = qMask.zipWithIndex.collect {
           case (q, qi) if (q & v) == q => math.max(0L, cost(qi) - card(v))

@@ -137,20 +137,31 @@ object RollupRewrite {
     java.util.Base64.getEncoder.encodeToString(md.digest)
   }
 
-  /** Candidates for a base whose CURRENT manifest is `fp` — stale
-    * registrations drop out here (or throw under strict mode). */
-  private def freshCandidates(paths: Set[String], fp: String): Seq[RollupDef] = {
+  /** (fresh, stale) candidates for a base. The manifest fingerprint is
+    * computed ONLY when a registration exists for these paths — with the
+    * rule enabled fleet-wide, queries over unregistered bases must not
+    * pay a per-file digest on every Aggregate per fixpoint iteration
+    * (r10 review). Strict-staleness enforcement happens at the CALLER,
+    * which knows whether a stale candidate would actually have answered
+    * the query — one forgotten old registration must not outage grains
+    * whose freshness WAS maintained. */
+  private def freshCandidates(paths: Set[String],
+      location: org.apache.spark.sql.execution.datasources.FileIndex)
+      : (Seq[RollupDef], Seq[RollupDef]) = {
     import scala.jdk.CollectionConverters._
     val forBase = defs.iterator().asScala.filter(_.basePaths == paths).toSeq
+    if (forBase.isEmpty) return (Nil, Nil)
+    val fp = fingerprintOf(location)
     val (fresh, stale) = forBase.partition(d =>
       d.baseFingerprint.isEmpty || d.baseFingerprint == fp)
-    if (stale.nonEmpty && strictStaleness)
-      throw new IllegalStateException(
-        s"stale rollup summary for base $paths: the base file manifest changed " +
-          s"since registration (append/overwrite without Rollup.merge + re-register); " +
-          s"strict staleness mode is on")
-    fresh.sortBy(_.groupCols.size)
+    (fresh.sortBy(_.groupCols.size), stale)
   }
+
+  private def staleError(paths: Set[String]): Nothing =
+    throw new IllegalStateException(
+      s"stale rollup summary for base $paths: the base file manifest changed " +
+        s"since registration (append/overwrite without Rollup.merge + re-register); " +
+        s"strict staleness mode is on and no fresh summary answers this query")
 
   /** Normalize a hash expression for shape comparison: every attribute
     * collapses to one canonical placeholder, then Catalyst
@@ -339,9 +350,16 @@ object RollupRewrite {
       // a finer summary only serves what a coarser one cannot. Ties keep
       // registration order. Stale registrations (base manifest changed
       // since register — see the staleness guard) are excluded, so the
-      // query falls through to the base.
-      val candidates = freshCandidates(paths, fingerprintOf(rel.location))
-      candidates.view.flatMap(d => tryRewriteWith(agg, conds, d)).headOption
+      // query falls through to the base; under strict mode it throws
+      // ONLY if a stale grain would have answered and no fresh one did.
+      val (fresh, stale) = freshCandidates(paths, rel.location)
+      fresh.view.flatMap(d => tryRewriteWith(agg, conds, d)).headOption
+        .orElse {
+          if (strictStaleness &&
+              stale.exists(d => tryRewriteWith(agg, conds, d).isDefined))
+            staleError(paths)
+          None
+        }
     }
 
     /** One Expand output position, classified from its column across all
@@ -386,9 +404,15 @@ object RollupRewrite {
           GidPos
         else return None
       }
-      val candidates = freshCandidates(paths, fingerprintOf(rel.location))
-      candidates.view
+      val (fresh, stale) = freshCandidates(paths, rel.location)
+      fresh.view
         .flatMap(d => tryRewriteCubeWith(agg, ex, conds, d, kinds)).headOption
+        .orElse {
+          if (strictStaleness && stale.exists(d =>
+              tryRewriteCubeWith(agg, ex, conds, d, kinds).isDefined))
+            staleError(paths)
+          None
+        }
     }
 
     private def tryRewriteCubeWith(agg: Aggregate, ex: Expand,

@@ -3754,6 +3754,7 @@ object Queries {
     val docs = tbl(s, dir, "documents")
     val tmpRoot = java.nio.file.Files.createTempDirectory("q182_pipe")
       .toFile.getAbsolutePath
+    try { // reclaim the temp tree if an in-query require throws
 
     def stages(work: String, crashAppend: () => Boolean) = Seq(
       P.RecoverableStage("clean")({ () =>
@@ -3847,6 +3848,10 @@ object Queries {
     require(servedB.collect().toSet == servedA,
       "restarted pipeline serves differently from the uninterrupted run")
     materializeAndCleanup(s, servedB, tmpRoot)
+    } catch { case e: Throwable =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+      throw e
+    }
   }
 
   /** LEARNED quality filter ([[graft.curate.QualityFilter]] — VERDICT r9
@@ -3907,6 +3912,7 @@ object Queries {
     val docs = tbl(s, dir, "documents")
     val tmpRoot = java.nio.file.Files.createTempDirectory("q184_phrase")
       .toFile.getAbsolutePath
+    try { // reclaim the temp tree if an in-query require throws
     val root = s"$tmpRoot/idx"
     val phrases = Seq(Seq("fast", "table"), Seq("data", "stream", "batch"))
     PV.init(s, root, docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
@@ -3924,6 +3930,10 @@ object Queries {
           col("n_occurrences"))
     }.reduce(_.unionByName(_))
     materializeAndCleanup(s, served, tmpRoot)
+    } catch { case e: Throwable =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+      throw e
+    }
   }
 
   /** Automatic LATTICE DESIGN ([[graft.plan.LatticeAdvisor]] — the
@@ -3994,7 +4004,12 @@ object Queries {
       materializeAndCleanup(s,
         advice.map(a => (a.step, LA.grainName(a.grain), a.rows, a.benefit))
           .toDF("step", "grain", "grain_rows", "benefit"), tmpRoot)
-    } finally { R.disable(s); R.clear() }
+    } finally {
+      R.disable(s); R.clear()
+      // success already cleaned via materializeAndCleanup — this only
+      // reclaims the temp tree when an in-query require threw
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
   }
 
   /** APPROXIMATE lattice advice ([[graft.plan.LatticeAdvisor
@@ -4127,7 +4142,12 @@ object Queries {
       materializeAndCleanup(s,
         advice.map(a => (a.step, LA.grainName(a.grain), a.rows, a.benefit))
           .toDF("step", "grain", "grain_rows", "benefit"), tmpRoot)
-    } finally { R.stopWorkloadCapture(); R.disable(s); R.clear() }
+    } finally {
+      R.stopWorkloadCapture(); R.disable(s); R.clear()
+      // success already cleaned via materializeAndCleanup — this only
+      // reclaims the temp tree when an in-query require threw
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
   }
 
   /** STREAMING ingestion committing SNAPSHOT VERSIONS per micro-batch —
@@ -4150,6 +4170,7 @@ object Queries {
     val V = graft.curate.Bm25Versioned
     val root = java.nio.file.Files.createTempDirectory("q186_streamv")
       .toFile.getAbsolutePath
+    try { // reclaim the temp tree if an in-query require throws
     val in = s"$root/arrivals"
     new java.io.File(in).mkdirs()
     val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -4197,6 +4218,10 @@ object Queries {
     materializeAndCleanup(s, early.unionByName(fin)
       .select(col("version"), col("qid"), col("rank"), col("doc_id"),
         col("score")), root)
+    } catch { case e: Throwable =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      throw e
+    }
   }
 
   /** Unrolled HRU-greedy replay for q185 (candidate cardinalities

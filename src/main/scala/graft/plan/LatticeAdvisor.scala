@@ -121,14 +121,23 @@ object LatticeAdvisor {
     val n = base.count()
     val qMask = workload.map(q =>
       names.zipWithIndex.collect { case (nm, i) if q(nm) => 1 << i }.sum)
-    val cost = scala.collection.mutable.ArrayBuffer(qMask.map(_ => n): _*)
+    greedy(card, qMask, n, k, names)
+  }
+
+  /** The pure HRU greedy over precomputed cardinalities — exposed for
+    * property tests (LatticeAdvisorPropertySpec pins it against an
+    * independently-written reference and its submodularity invariant):
+    * `card` maps grain bitmasks to row counts, `qMasks` the workload
+    * grains as bitmasks, `n` the base row count (the lattice root's
+    * cost). A budget beyond the candidate count stops early. */
+  private[plan] def greedy(card: Map[Int, Long], qMasks: Seq[Int],
+                           n: Long, k: Int, names: Seq[String]): Seq[Advice] = {
+    val cost = scala.collection.mutable.ArrayBuffer(qMasks.map(_ => n): _*)
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
     val out = scala.collection.mutable.ArrayBuffer.empty[Advice]
-    // a budget beyond the candidate count just stops early (2^d grains
-    // is all there is to materialize)
     for (step <- 1 to math.min(k, card.size)) {
       val best = card.keysIterator.filterNot(chosen.contains).map { v =>
-        val ben = qMask.zipWithIndex.collect {
+        val ben = qMasks.zipWithIndex.collect {
           case (q, qi) if (q & v) == q => math.max(0L, cost(qi) - card(v))
         }.sum
         val grain = names.zipWithIndex.collect { case (nm, i) if (v & (1 << i)) != 0 => nm }
@@ -139,7 +148,7 @@ object LatticeAdvisor {
       out += Advice(step,
         names.zipWithIndex.collect { case (nm, i) if (v & (1 << i)) != 0 => nm },
         card(v), -negBen)
-      qMask.zipWithIndex.foreach { case (q, qi) =>
+      qMasks.zipWithIndex.foreach { case (q, qi) =>
         if ((q & v) == q) cost(qi) = math.min(cost(qi), card(v))
       }
     }

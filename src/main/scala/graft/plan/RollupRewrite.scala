@@ -215,6 +215,33 @@ object RollupRewrite {
 
   def clear(): Unit = defs.clear()
 
+  /** Operator-facing inventory of every registration with a LIVE
+    * freshness verdict: one row per registered summary — base paths,
+    * grain, measures, sketch columns, and whether the base's CURRENT
+    * file manifest still matches the one captured at register time
+    * (fresh=false means queries fall through to the base until
+    * `Rollup.merge` + re-register run; see the staleness guard). The
+    * check re-lists each distinct base once — an ops call, not a
+    * per-query path. */
+  def describeRegistrations(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val snapshot = defs.iterator().asScala.toSeq
+    val currentFp: Map[Set[String], String] =
+      snapshot.map(_.basePaths).distinct.map { paths =>
+        val rel = baseRelation(
+          spark.read.parquet(paths.toSeq: _*).queryExecution.analyzed)
+        paths -> rel.map(r => fingerprintOf(r.location)).getOrElse("")
+      }.toMap
+    snapshot.map { d =>
+      (d.basePaths.toSeq.sorted.mkString(","),
+        d.groupCols.mkString(","), d.measures.mkString(","),
+        d.distinctCols.mkString(","),
+        d.baseFingerprint.isEmpty ||
+          d.baseFingerprint == currentFp(d.basePaths))
+    }.toDF("base", "grain", "measures", "distinct_cols", "fresh")
+  }
+
   /** Persist the registered lattice as a one-file manifest so a NEW
     * session (fresh JVM — registrations are process state) can
     * [[restore]] the whole scan-avoidance tier: the GraftCatalog

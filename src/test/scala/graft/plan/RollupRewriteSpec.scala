@@ -695,6 +695,39 @@ class RollupRewriteSpec extends SparkSpec {
     RollupRewrite.clear()
   }
 
+  test("describeRegistrations reports grains with a live freshness verdict") {
+    val dir = java.nio.file.Files.createTempDirectory("rollup_desc").toString
+    try {
+      spark.read.parquet(s"$sf/orders.parquet").limit(50)
+        .write.mode("overwrite").parquet(s"$dir/base")
+      val base = spark.read.parquet(s"$dir/base")
+      Rollup.materialize(base, Seq("o_orderstatus"), Seq("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/sum")
+      RollupRewrite.register(base, spark.read.parquet(s"$dir/sum"),
+        Seq("o_orderstatus"), Seq("o_totalprice"))
+      val d1 = RollupRewrite.describeRegistrations(spark)
+        .as[(String, String, String, String, Boolean)].collect()
+      assert(d1.length == 1 && d1(0)._2 == "o_orderstatus" && d1(0)._5,
+        s"fresh registration expected: ${d1.toSeq}")
+      // append to the base WITHOUT merging -> the verdict flips
+      spark.read.parquet(s"$sf/orders.parquet").limit(7)
+        .write.mode("append").parquet(s"$dir/base")
+      val d2 = RollupRewrite.describeRegistrations(spark).collect()
+      assert(!d2(0).getAs[Boolean]("fresh"), "stale base must report fresh=false")
+      // re-register against the grown base -> fresh again
+      val base2 = spark.read.parquet(s"$dir/base")
+      Rollup.materialize(base2, Seq("o_orderstatus"), Seq("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/sum2")
+      RollupRewrite.register(base2, spark.read.parquet(s"$dir/sum2"),
+        Seq("o_orderstatus"), Seq("o_totalprice"))
+      val d3 = RollupRewrite.describeRegistrations(spark).collect()
+      assert(d3.length == 1 && d3(0).getAs[Boolean]("fresh"))
+    } finally {
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("workload capture records plain-attribute grains, dedupes, ignores expression grains, off by default") {
     val base = spark.read.parquet(s"$sf/orders.parquet")
     val paths = scanPaths(base)

@@ -4071,6 +4071,50 @@ object Queries {
       .select(col("doc_id"), col("score_micro"))
   }
 
+  /** CURRICULUM PACKING — the final-mile training-data assembly,
+    * composed end-to-end: q188's learned selection (4-epoch model, top
+    * ceil(N/4) by score) feeds q177's fixed-length sequence packer in
+    * CURRICULUM order (highest-score docs first — sequence 0 is the
+    * "best" data, the ordered-data-loader shape). The ordering rides an
+    * integer composite key ((max_score − score)·2^32 + doc_id — an
+    * order-embedding of (score DESC, doc_id ASC) into one ascending
+    * BIGINT, overflow-guarded), so [[graft.curate.Curate.packSequences]]'
+    * id-ordered distributed prefix sum needs no changes and no global
+    * window appears anywhere in the chain. Pure integer algebra
+    * throughout — the oracle is the shared training chain + row_number
+    * selection + the q177 window replay re-keyed to the curriculum
+    * order; nothing to probe. */
+  def q190CurriculumPack(s: SparkSession, dir: String): DataFrame = {
+    val Qf = graft.curate.QualityFilter
+    val docs = tbl(s, dir, "documents")
+    val ft = Qf.hashedFeatures(docs, "doc_id", "text", buckets = 256,
+      biasValue = 32L)
+    val toks = T.tokens(col("text"))
+    val labels = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        (lit(2) * size(toks) +
+          lit(5) * size(filter(toks, t => t === "batch")) >= 130)
+          .cast("int").as("y"))
+    val w = Qf.trainLogistic(s, ft,
+      labels.filter(col("doc_id") % 4 =!= 1), buckets = 256, epochs = 4)
+    val sel = Qf.selectTopRate(Qf.score(ft, w), "doc_id", "score_micro",
+      rateNum = 1, rateDen = 4)
+    val bounds = sel.agg(max("score_micro"), min("score_micro")).collect()(0)
+    val hi = bounds.getLong(0)
+    require(hi - bounds.getLong(1) < (1L << 31) &&
+      hi - bounds.getLong(1) >= 0,
+      "curriculum key needs the score range under 2^31")
+    val keyed = sel
+      .join(docs.select(col("doc_id"),
+        size(T.tokens(col("text"))).cast("long").as("n_tok")), Seq("doc_id"))
+      .select(((lit(hi) - col("score_micro")) * lit(1L << 32) +
+        col("doc_id")).as("ckey"), col("n_tok"))
+    graft.curate.Curate.packSequences(keyed, "ckey", "n_tok", seqLen = 256L)
+      .select(col("seq_id"),
+        col("ckey").bitwiseAND(lit(0xffffffffL)).as("doc_id"),
+        col("seq_off"), col("tok_off"), col("span_len"))
+  }
+
   /** SELF-TUNING summary selection ([[graft.plan.RollupRewrite]]
     * workload capture → [[graft.plan.LatticeAdvisor]] — the full loop a
     * production lattice runs: observe cold traffic with NOTHING
@@ -4613,7 +4657,8 @@ object Queries {
     "q186_stream_versioned" -> (q186StreamVersionedIngest _),
     "q187_workload_tuning" -> (q187WorkloadTuning _),
     "q188_budgeted_filter" -> (q188BudgetedFilter _),
-    "q189_approx_advisor" -> (q189ApproxAdvisor _))
+    "q189_approx_advisor" -> (q189ApproxAdvisor _),
+    "q190_curriculum_pack" -> (q190CurriculumPack _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -6373,6 +6418,35 @@ object Queries {
     // q189: the shared greedy replay with KMV-estimated cardinalities
     // (the q69 estimator per candidate tuple) — deterministic integers.
     "q189_approx_advisor" -> latticeAdvisorOracle(k = 3, approxK = Some(256)),
+    // q190: shared training chain + row_number budget cut + the q177
+    // span replay re-keyed to (score DESC, doc_id) — curriculum order.
+    "q190_curriculum_pack" ->
+      (qfOracleChain(buckets = 256, biasValue = 32, epochs = 4,
+        lrScale = 27) + raw""",
+        |scored AS MATERIALIZED (
+        |  SELECT l.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS score_micro
+        |  FROM ft f JOIN w4 w USING (bucket) JOIN lb l ON f.doc_id = l.doc_id
+        |  GROUP BY 1),
+        |rkq AS (SELECT doc_id, score_micro,
+        |    row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rnk
+        |  FROM scored),
+        |sel AS MATERIALIZED (SELECT doc_id, score_micro FROM rkq
+        |  WHERE rnk <= (SELECT (count(*) + 3) // 4 FROM scored)),
+        |t2 AS MATERIALIZED (
+        |  SELECT s.doc_id, s.score_micro, CAST(len(d.toks) AS BIGINT) AS w
+        |  FROM sel s JOIN d ON d.doc_id = s.doc_id),
+        |p AS (SELECT doc_id, w,
+        |  CAST(coalesce(sum(w) OVER (ORDER BY score_micro DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM t2),
+        |u AS (SELECT doc_id, w, start,
+        |  unnest(generate_series(start // 256, (start + w - 1) // 256)) AS k
+        |  FROM p)
+        |SELECT k AS seq_id, doc_id,
+        |  greatest(start, k * 256) - k * 256 AS seq_off,
+        |  greatest(start, k * 256) - start AS tok_off,
+        |  least(start + w, (k + 1) * 256) - greatest(start, k * 256) AS span_len
+        |FROM u""".stripMargin),
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

@@ -3,7 +3,7 @@ package graft.plan
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -37,14 +37,33 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * Null fact join keys drop identically on both shapes (inner equi-join).
   *
   * Supported (everything else leaves the plan untouched): INNER, LEFT
-  * OUTER and RIGHT OUTER joins (full outer stays untouched — an
-  * unmatched fact-side partial would null-extend ONCE where its raw rows
-  * each appear, undercounting) with pure conjunctive attribute-equality
-  * conditions; aggregates
+  * OUTER, RIGHT OUTER and FULL OUTER joins with pure conjunctive
+  * attribute-equality conditions; aggregates
   * sum / count / count(*) / min / max / avg(non-decimal), undistinct and
   * unfiltered, whose inputs all come from ONE side (that side becomes
   * the fact); grouping expressions over the other side plus any fact
   * columns (fact-side grouping columns join the pre-aggregation keys).
+  *
+  * OUTER-JOIN ARGUMENT RESTRICTION (ADVICE r10, soundness): whenever the
+  * fact side can be NULL-EXTENDED by the join (left/right outer with the
+  * fact on the non-preserved side, and full outer always), every
+  * aggregate argument must be a plain fact AttributeReference (NULL on a
+  * null-extended row, so it drops out of sum/count/min/max/avg exactly
+  * like the raw row would) — or the all-non-null-literal count(*) form,
+  * which gets the count-bug coalesce fix. A non-null-rejecting
+  * EXPRESSION arg — min(coalesce(o_x, 0)), count(CASE WHEN p THEN 1
+  * END) — evaluates NON-NULL on each null-extended raw row, but the
+  * pushed shape has no partial row there at all: the rewrite would
+  * silently drop those contributions, so it bails instead. On the inner
+  * and fact-preserved paths arbitrary expression args remain sound (the
+  * pre-aggregation evaluates them on exactly the raw fact rows).
+  *
+  * FULL OUTER combines both outer obligations and is sound under the
+  * same restriction: an unmatched fact partial null-extends ONCE
+  * carrying its n_k rows' partials (the fact-preserved argument), an
+  * unmatched dim row has a NULL partial whose plain-attr aggregates drop
+  * exactly like the raw null-extended row's (the restriction), and
+  * count(*) reads 1 on it via the coalesce fix.
   * Result expressions may be arbitrary trees over aggregate calls (the
   * CollapseProject-folded shape — same contract as [[RollupRewrite]]).
   * sum(decimal) re-sums partials at wider precision and casts back to
@@ -100,7 +119,8 @@ object EagerAggregation {
     private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
       val join = stripProjects(agg.child) match {
         case j: Join if (j.joinType == Inner || j.joinType == LeftOuter ||
-            j.joinType == RightOuter) && j.condition.isDefined => j
+            j.joinType == RightOuter || j.joinType == FullOuter) &&
+            j.condition.isDefined => j
         case _ => return None
       }
       val leftOut = join.left.outputSet
@@ -127,17 +147,36 @@ object EagerAggregation {
       // is the PRESERVED side, pre-aggregation is sound verbatim: an
       // unmatched partial row null-extends once carrying its n_k rows'
       // partials, exactly what the n_k raw rows would have contributed.
-      // When the fact is the NULL-EXTENDED side, every aggregate over
-      // fact columns is sound because null partials drop out of
-      // sum/count(e)/min/max/avg just like raw null-extended rows do —
-      // EXCEPT count(*), which counts the null-extended row itself: that
-      // partial merges as sum(coalesce(partial, 1)) below (the classic
-      // COUNT BUG fix — a preserved dim row with no match contributes 1).
-      val factPreserved = join.joinType match {
-        case Inner => true
-        case LeftOuter => factIsLeft
-        case RightOuter => !factIsLeft
+      // When the fact side can be NULL-EXTENDED (incl. both obligations
+      // at once under FULL OUTER), plain-attr aggregates stay sound
+      // because null partials drop out of sum/count(e)/min/max/avg just
+      // like raw null-extended rows do — EXCEPT count(*), which counts
+      // the null-extended row itself: that partial merges as
+      // sum(coalesce(partial, 1)) below (the classic COUNT BUG fix — a
+      // preserved dim row with no match contributes 1).
+      val factNullExtended = join.joinType match {
+        case Inner => false
+        case LeftOuter => !factIsLeft
+        case RightOuter => factIsLeft
+        case _ => true // FullOuter
       }
+      // ADVICE r10 (high): on the null-extended path a non-null-rejecting
+      // EXPRESSION arg (min(coalesce(o_x, 0)), count(CASE WHEN ...)) is
+      // evaluated to a NON-NULL value on each raw null-extended row, but
+      // the pushed shape has no partial row there — silent undercount.
+      // Restrict null-extended-fact rewrites to plain fact attribute
+      // args (NULL on null-extended rows ⇒ they drop identically) and
+      // the all-non-null-literal count(*) form (coalesce-fixed below).
+      if (factNullExtended && !aggCalls.forall { ae =>
+        ae.aggregateFunction match {
+          case c: Count if c.children.forall {
+            case l: Literal => l.value != null
+            case _ => false
+          } => true
+          case f => f.children.nonEmpty &&
+            f.children.forall(_.isInstanceOf[AttributeReference])
+        }
+      }) return None
       // idempotence at the optimizer's fixpoint: a pushed plan's fact side
       // IS an Aggregate — never stack a second pre-aggregation on it
       if (stripProjects(fact).isInstanceOf[Aggregate]) return None
@@ -182,7 +221,7 @@ object EagerAggregation {
             // outer join, a preserved dim row with no match still counts
             // as ONE output row for count(*) — its NULL partial reads 1
             val summed = sumOf(
-              if (countStar && !factPreserved)
+              if (countStar && factNullExtended)
                 Coalesce(Seq(partial, Literal(1L)))
               else partial)
             // empty-join global aggregate: stock count returns 0 but

@@ -123,14 +123,31 @@ object RollupRewrite {
 
   def setStrictStaleness(on: Boolean): Unit = strictStaleness = on
 
-  private[plan] def fingerprintOf(
-      location: org.apache.spark.sql.execution.datasources.FileIndex): String = {
-    val entries: Seq[String] = location match {
+  /** `path|length|mtime` manifest entries for a FileIndex. The normal
+    * path reads the already-materialized listing (zero I/O); a
+    * non-PartitioningAware index exposes only paths, so each file's
+    * status is fetched explicitly — digesting paths alone would let an
+    * in-place overwrite that preserves file names defeat the staleness
+    * guard the fingerprint exists to provide (ADVICE r10). */
+  private def fingerprintEntries(
+      location: org.apache.spark.sql.execution.datasources.FileIndex): Seq[String] =
+    location match {
       case p: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =>
         p.allFiles().map(f =>
           s"${f.getPath}|${f.getLen}|${f.getModificationTime}")
-      case other => other.inputFiles.toSeq
+      case other =>
+        val conf = org.apache.spark.sql.SparkSession.active
+          .sparkContext.hadoopConfiguration
+        other.inputFiles.toSeq.map { s =>
+          val p = new org.apache.hadoop.fs.Path(s)
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          s"$s|${st.getLen}|${st.getModificationTime}"
+        }
     }
+
+  private[plan] def fingerprintOf(
+      location: org.apache.spark.sql.execution.datasources.FileIndex): String = {
+    val entries: Seq[String] = fingerprintEntries(location)
     val md = java.security.MessageDigest.getInstance("MD5")
     entries.sorted.foreach(e =>
       md.update(e.getBytes(java.nio.charset.StandardCharsets.UTF_8)))

@@ -3582,6 +3582,14 @@ object Queries {
       val scans1 = R.scanRootPaths(stale)
       require(scans1.exists(_.contains("base")) && !scans1.exists(_.contains("sum1")),
         s"staleness guard did not fall through to the base — plan scans $scans1")
+      // pin the asserted plan as the EXECUTED one: collect now, before
+      // the fresh sum2 registration lands — a lazy union re-optimizes at
+      // materialization time with sum2 live, so the 'fallthrough' leg
+      // would actually serve from the refreshed summary (answer-equal
+      // but plan-untrue) (ADVICE r10)
+      val staleRows = stale.collect()
+      val staleDf = s.createDataFrame(
+        java.util.Arrays.asList(staleRows: _*), stale.schema)
       // maintenance closes the gap: summary-level merge + re-register
       graft.plan.Rollup.merge(s.read.parquet(s"$tmpRoot/sum1"),
           graft.plan.Rollup.materialize(delta, groupCols, measures),
@@ -3592,7 +3600,7 @@ object Queries {
       val scans2 = R.scanRootPaths(fresh)
       require(scans2.nonEmpty && scans2.forall(_.contains("sum2")),
         s"refreshed summary did not serve — plan scans $scans2")
-      val out = stale.withColumn("leg", lit("fallthrough"))
+      val out = staleDf.withColumn("leg", lit("fallthrough"))
         .unionByName(fresh.withColumn("leg", lit("refreshed")))
         .select("leg", "o_orderstatus", "n_rows", "sum_total", "mn", "mx")
       materializeAndCleanup(s, out, tmpRoot)
@@ -3622,20 +3630,29 @@ object Queries {
     val orders = tbl(s, dir, "orders")
     E.enable(s)
     try {
-      val q = customer.join(orders, col("c_custkey") === col("o_custkey"), "left")
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_rows"),
-          count(col("o_totalprice")).as("cnt_orders"),
-          sum("o_custkey").as("sum_cust"),
-          sum("o_totalprice").as("__s"),
-          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
-        .select(col("c_mktsegment"), col("n_rows"), col("cnt_orders"),
-          col("sum_cust"), round(col("__s"), 2).as("sum_total"),
-          col("mn"), col("mx"))
-      require(E.partialAggBelowJoin(q),
-        s"eager aggregation did not push below the outer join:\n" +
-          s"${q.queryExecution.optimizedPlan}")
-      q
+      def legOf(cust: DataFrame, jt: String, leg: String): DataFrame = {
+        val q = cust.join(orders, col("c_custkey") === col("o_custkey"), jt)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("o_totalprice")).as("cnt_orders"),
+            sum("o_custkey").as("sum_cust"),
+            sum("o_totalprice").as("__s"),
+            min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+          .select(lit(leg).as("leg"), col("c_mktsegment"), col("n_rows"),
+            col("cnt_orders"), col("sum_cust"),
+            round(col("__s"), 2).as("sum_total"), col("mn"), col("mx"))
+        require(E.partialAggBelowJoin(q),
+          s"eager aggregation did not push below the $jt outer join:\n" +
+            s"${q.queryExecution.optimizedPlan}")
+        q
+      }
+      // FULL OUTER leg (VERDICT r9 #5 closure): drop a third of the
+      // customers so BOTH obligations fire — order-less customers keep
+      // their count-bug row (NULL partial coalesces to 1) AND
+      // customer-less orders null-extend once per pre-agg partial under
+      // the NULL c_mktsegment group, carrying their raw rows' partials.
+      legOf(customer, "left", "left").unionByName(
+        legOf(customer.filter(col("c_custkey") % 3 =!= 0), "full", "full"))
     } finally E.disable(s)
   }
 
@@ -4099,11 +4116,18 @@ object Queries {
       labels.filter(col("doc_id") % 4 =!= 1), buckets = 256, epochs = 4)
     val sel = Qf.selectTopRate(Qf.score(ft, w), "doc_id", "score_micro",
       rateNum = 1, rateDen = 4)
-    val bounds = sel.agg(max("score_micro"), min("score_micro")).collect()(0)
+    val bounds = sel.agg(max("score_micro"), min("score_micro"),
+      max("doc_id")).collect()(0)
     val hi = bounds.getLong(0)
     require(hi - bounds.getLong(1) < (1L << 31) &&
       hi - bounds.getLong(1) >= 0,
       "curriculum key needs the score range under 2^31")
+    // the id lives in the key's low 32 bits — a wider id space would
+    // silently corrupt both the ordering and the recovered doc_id
+    // (ADVICE r10); at larger id spaces route ids through
+    // Curate.denseIndex first (the q115 device)
+    require(bounds.getLong(2) < (1L << 32),
+      "curriculum key needs doc_id < 2^32; dense-index wider id spaces first")
     val keyed = sel
       .join(docs.select(col("doc_id"),
         size(T.tokens(col("text"))).cast("long").as("n_tok")), Seq("doc_id"))
@@ -7027,18 +7051,27 @@ object Queries {
         |SELECT 'coarse', 'ALL', count(DISTINCT o_orderstatus), count(*),
         | round(sum(o_totalprice), 2)
         |FROM orders WHERE o_orderstatus <> 'P'""".stripMargin,
-    // q179: eager aggregation under a LEFT OUTER join — the pushed
-    // partial sits on the null-extended orders side; count(*) must keep
-    // one row per order-less customer (the count bug). Oracle = plain
-    // outer-join aggregate. DuckDB sum(BIGINT) is HUGEINT — CAST; 2dp
-    // float sums (q165 regime).
+    // q179: eager aggregation under LEFT and FULL OUTER joins — the
+    // pushed partial sits on the null-extended orders side; count(*)
+    // must keep one row per order-less customer (the count bug), and the
+    // full leg additionally null-extends unmatched ORDERS partials under
+    // the NULL segment group. Oracle = plain outer-join aggregates.
+    // DuckDB sum(BIGINT) is HUGEINT — CAST; 2dp float sums (q165 regime).
     "q179_eager_outer" ->
-      """SELECT c_mktsegment, count(*) AS n_rows,
+      """SELECT 'left' AS leg, c_mktsegment, count(*) AS n_rows,
         | count(o_totalprice) AS cnt_orders,
         | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         | round(sum(o_totalprice), 2) AS sum_total,
         | min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'full', c_mktsegment, count(*),
+        | count(o_totalprice), CAST(sum(o_custkey) AS BIGINT),
+        | round(sum(o_totalprice), 2),
+        | min(o_totalprice), max(o_totalprice)
+        |FROM (SELECT * FROM customer WHERE c_custkey % 3 <> 0) c
+        | FULL JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment""".stripMargin,
     // q178: rollup staleness guard — BOTH legs must see the appended
     // delta: the fallthrough leg because the guard pushed the query back

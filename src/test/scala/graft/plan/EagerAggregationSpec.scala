@@ -169,7 +169,7 @@ class EagerAggregationSpec extends SparkSpec {
     }
   }
 
-  test("right outer mirrors both orientations; full outer stays untouched") {
+  test("right outer mirrors both orientations; full outer pushes with both obligations") {
     outerData { (fact, dim) =>
       def qPreserved() = dim.join(fact, dim("k") === fact("k"), "right")
         .groupBy("g").agg(count(lit(1)).as("n"), count(col("m")).as("c"),
@@ -177,20 +177,66 @@ class EagerAggregationSpec extends SparkSpec {
       def qNullExt() = fact.join(dim, fact("k") === dim("k"), "right")
         .groupBy("g").agg(count(lit(1)).as("n"), count(col("m")).as("c"),
           sum("m").as("s"), min("m").as("mn"), max("m").as("mx"))
+      // FULL OUTER (VERDICT r9 #5): unmatched fact rows (null key, key 5)
+      // null-extend once under the NULL g group with full partial weight;
+      // unmatched dim rows ("c", "z") keep their count-bug count(*) row.
       def qFull() = fact.join(dim, fact("k") === dim("k"), "full")
         .groupBy("g").agg(count(lit(1)).as("n"), count(col("m")).as("c"),
           sum("m").as("s"), min("m").as("mn"), max("m").as("mx"))
       val wantP = collectAgg(qPreserved())
       val wantN = collectAgg(qNullExt())
       val wantF = collectAgg(qFull())
+      // raw full-outer sanity: both unmatched directions present
+      assert(wantF.contains((None, 2L, 2L, Some(106.0), Some(7.0), Some(99.0))))
+      assert(wantF.contains((Some("c"), 1L, 0L, None, None, None)))
+      assert(wantF.contains((Some("z"), 1L, 0L, None, None, None)))
       withRule {
         val p = qPreserved(); val n = qNullExt(); val f = qFull()
         assert(EagerAggregation.partialAggBelowJoin(p))
         assert(EagerAggregation.partialAggBelowJoin(n))
-        assert(!EagerAggregation.partialAggBelowJoin(f), "full outer must bail")
+        assert(EagerAggregation.partialAggBelowJoin(f),
+          s"full outer with plain-attr args must push:\n${f.queryExecution.optimizedPlan}")
         assert(collectAgg(p) == wantP)
         assert(collectAgg(n) == wantN)
         assert(collectAgg(f) == wantF)
+      }
+    }
+  }
+
+  test("null-extended fact bails on non-null-rejecting expression args (ADVICE r10)") {
+    outerData { (fact, dim) =>
+      // dim LEFT JOIN fact: fact is null-extended. coalesce(m, 0) reads 0
+      // on every null-extended raw row — a pushed partial has NO row
+      // there, so the rewrite would silently drop those contributions.
+      def qCoalesce() = dim.join(fact, dim("k") === fact("k"), "left")
+        .groupBy("g").agg(min(coalesce(col("m"), lit(0.0))).as("mn"),
+          sum(col("m") * lit(2.0)).as("s2"))
+      // full outer with an expression arg must bail for the same reason
+      def qFullExpr() = fact.join(dim, fact("k") === dim("k"), "full")
+        .groupBy("g").agg(sum(coalesce(col("m"), lit(1.0))).as("s"))
+      // fact PRESERVED: expression args stay allowed (the pre-aggregation
+      // evaluates them on exactly the raw fact rows)
+      def qPreservedExpr() = fact.join(dim, fact("k") === dim("k"), "left")
+        .groupBy("g").agg(sum(coalesce(col("m"), lit(100.0))).as("s"))
+      val wantC = qCoalesce().collect()
+        .map(r => (Option(r.getString(0)), r.getDouble(1))).toSet
+      val wantF = qFullExpr().collect()
+        .map(r => (Option(r.getString(0)), Option(r.get(1)))).toSet
+      val wantP = qPreservedExpr().collect()
+        .map(r => (Option(r.getString(0)), Option(r.get(1)))).toSet
+      // the trap must be armed: unmatched dim rows see coalesce's 0
+      assert(wantC.exists(t => t._1 == Some("c") && t._2 == 0.0))
+      withRule {
+        val c = qCoalesce(); val f = qFullExpr(); val p = qPreservedExpr()
+        assert(!EagerAggregation.partialAggBelowJoin(c),
+          "null-extended fact with expression arg must bail")
+        assert(!EagerAggregation.partialAggBelowJoin(f),
+          "full outer with expression arg must bail")
+        assert(EagerAggregation.partialAggBelowJoin(p),
+          s"fact-preserved expression arg must still push:\n${p.queryExecution.optimizedPlan}")
+        assert(c.collect().map(r => (Option(r.getString(0)), r.getDouble(1))).toSet == wantC)
+        assert(f.collect().map(r => (Option(r.getString(0)), Option(r.get(1)))).toSet == wantF)
+        assert(p.collect().map(r => (Option(r.getString(0)), Option(r.get(1)))).toSet == wantP)
       }
     }
   }
@@ -347,9 +393,11 @@ class EagerAggregationSpec extends SparkSpec {
         // distinct aggregate
         orders.join(customer, col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment").agg(countDistinct("o_orderstatus").as("n")),
-        // full outer join (left/right outer ARE supported since VERDICT r9 #3)
+        // full outer with a non-null-rejecting expression arg (plain-attr
+        // full outer IS supported since VERDICT r9 #5 / ADVICE r10)
         orders.join(customer, col("o_custkey") === col("c_custkey"), "full")
-          .groupBy("c_mktsegment").agg(sum("o_custkey").as("s")),
+          .groupBy("c_mktsegment")
+          .agg(sum(coalesce(col("o_custkey"), lit(0L))).as("s")),
         // aggregate referencing BOTH sides
         orders.join(customer, col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")

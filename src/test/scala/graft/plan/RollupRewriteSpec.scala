@@ -728,7 +728,7 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
-  test("workload capture records plain-attribute grains, dedupes, ignores expression grains, off by default") {
+  test("workload capture records plain-attribute grains, dedupes, names expression grains by SQL, off by default") {
     val base = spark.read.parquet(s"$sf/orders.parquet")
     val paths = scanPaths(base)
     RollupRewrite.enable(spark)
@@ -743,11 +743,14 @@ class RollupRewriteSpec extends SparkSpec {
         .groupBy("o_orderpriority").agg(count(lit(1))).collect() // filtered
       base.groupBy(upper(col("o_orderstatus"))).agg(count(lit(1))).collect() // expr grain
       RollupRewrite.stopWorkloadCapture()
+      // expression grains capture under their resolved SQL (VERDICT r10
+      // #1) — a month()/upper()-grained summary could serve them
       assert(RollupRewrite.capturedWorkload(paths) ==
-        Seq(Set("o_orderstatus"), Set("o_orderpriority")))
+        Seq(Set("o_orderstatus"), Set("o_orderpriority"),
+          Set("upper(o_orderstatus)")))
       // capture OFF again: more traffic records nothing new
       base.groupBy("o_orderstatus", "o_orderpriority").agg(count(lit(1))).collect()
-      assert(RollupRewrite.capturedWorkload(paths).size == 2)
+      assert(RollupRewrite.capturedWorkload(paths).size == 3)
       // a fresh capture clears the log
       RollupRewrite.startWorkloadCapture()
       RollupRewrite.stopWorkloadCapture()
@@ -756,6 +759,114 @@ class RollupRewriteSpec extends SparkSpec {
       RollupRewrite.stopWorkloadCapture()
       RollupRewrite.disable(spark)
       RollupRewrite.clear()
+    }
+  }
+
+  // --- computed-dimension grains (VERDICT r10 #1) ---
+
+  private def withExprRollup[A](body: (DataFrame, String) => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("exprrollup").toString
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+    val grains = Seq("om" -> month(col("o_orderdate")),
+      "o_orderstatus" -> col("o_orderstatus"))
+    Rollup.materializeExpr(base, grains, Seq("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/msum")
+    RollupRewrite.register(base, spark.read.parquet(s"$dir/msum"),
+      Seq("om", "o_orderstatus"), Seq("o_totalprice"),
+      groupExprOf = Map("om" -> month(col("o_orderdate"))))
+    RollupRewrite.enable(spark)
+    try body(base, dir)
+    finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("computed grain: month()-grouped aggregate on the raw fact rides the summary") {
+    withExprRollup { (base, dir) =>
+      def q(src: DataFrame) = src
+        .groupBy(month(col("o_orderdate")).as("m"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"),
+          min("o_totalprice").as("mn"))
+      val served = q(base)
+      assert(scanPaths(served).forall(_.contains(dir)),
+        s"month() grain did not serve:\n${served.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark)
+      val want = q(base).collect().map(_.toSeq).toSet
+      RollupRewrite.enable(spark)
+      val got = served.collect().map(_.toSeq).toSet
+      assert(got == want && want.nonEmpty)
+    }
+  }
+
+  test("computed grain: filter on the grain expression serves; the inferred isnotnull drops") {
+    withExprRollup { (base, dir) =>
+      // month(o_orderdate) = 3 arrives conjoined with the inferred
+      // isnotnull(o_orderdate), which no grain carries — the served
+      // equality implies it (null-intolerance), so it must drop
+      def q(src: DataFrame) = src.filter(month(col("o_orderdate")) === 3)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), max("o_totalprice").as("mx"))
+      val served = q(base)
+      assert(scanPaths(served).forall(_.contains(dir)),
+        s"grain-expression filter did not serve:\n${served.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark)
+      val want = q(base).collect().map(_.toSeq).toSet
+      RollupRewrite.enable(spark)
+      assert(served.collect().map(_.toSeq).toSet == want && want.nonEmpty)
+    }
+  }
+
+  test("computed grain: count(distinct month(x)) redirects bit-exact; mismatched expressions fall to base") {
+    withExprRollup { (base, dir) =>
+      def qd(src: DataFrame) = src.groupBy("o_orderstatus")
+        .agg(countDistinct(month(col("o_orderdate"))).as("nd"))
+      val served = qd(base)
+      assert(scanPaths(served).forall(_.contains(dir)),
+        s"distinct over the grain expression did not serve:\n${served.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark)
+      val want = qd(base).collect().map(_.toSeq).toSet
+      RollupRewrite.enable(spark)
+      assert(served.collect().map(_.toSeq).toSet == want && want.nonEmpty)
+      // a DIFFERENT expression over the same column must not match
+      val other = base.groupBy(year(col("o_orderdate")).as("y"))
+        .agg(count(lit(1)).as("n"))
+      assert(scanPaths(other).exists(_.contains("orders.parquet")),
+        s"year() must not match the month() grain:\n${other.queryExecution.optimizedPlan}")
+      // a raw-column filter the grain cannot express must fall through
+      val raw = base.filter(col("o_orderdate") >= "1995-06-01")
+        .groupBy(month(col("o_orderdate")).as("m")).agg(count(lit(1)).as("n"))
+      assert(scanPaths(raw).exists(_.contains("orders.parquet")),
+        s"raw-column filter must fall to the base:\n${raw.queryExecution.optimizedPlan}")
+    }
+  }
+
+  test("computed grain: save/restore round-trips the grain expression (v2 manifest)") {
+    withExprRollup { (base, dir) =>
+      RollupRewrite.save(spark, s"$dir/lattice.manifest")
+      RollupRewrite.clear()
+      val unserved = base.groupBy(month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"))
+      assert(scanPaths(unserved).exists(_.contains("orders.parquet")))
+      assert(RollupRewrite.restore(spark, s"$dir/lattice.manifest") == 1)
+      def q(src: DataFrame) = src.groupBy(month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+      val served = q(base)
+      assert(scanPaths(served).forall(_.contains(dir)),
+        s"restored computed grain did not serve:\n${served.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark)
+      val want = q(base).collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+      RollupRewrite.enable(spark)
+      val got = served.collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+      assert(got.keySet == want.keySet && want.nonEmpty)
+      got.foreach { case (m, (n, s)) =>
+        assert(n == want(m)._1)
+        // float sums merge partials — reassociation tolerance only
+        assert(math.abs(s - want(m)._2) < 1e-4)
+      }
     }
   }
 }

@@ -80,7 +80,10 @@ object RollupRewrite {
                                      // are shapes too); grainExprSql keeps the re-parseable SQL
                                      // of COMPUTED grains for save/restore
                                      grainShapes: Map[String, Expression] = Map.empty,
-                                     grainExprSql: Map[String, String] = Map.empty)
+                                     grainExprSql: Map[String, String] = Map.empty,
+                                     // the full path|len|mtime manifest behind baseFingerprint —
+                                     // what refreshStale diffs to find the appended files
+                                     baseManifest: Set[String] = Set.empty)
 
   private val defs = new java.util.concurrent.CopyOnWriteArrayList[RollupDef]
 
@@ -284,7 +287,8 @@ object RollupRewrite {
     val d = RollupDef(rel.location.rootPaths.map(_.toString).toSet,
       summary.queryExecution.analyzed, groupCols, measures,
       distinctCols, sketchK, shapes, fingerprintOf(rel.location),
-      grainShapesByName, grainSql)
+      grainShapesByName, grainSql,
+      fingerprintEntries(rel.location).toSet)
     // re-registering the same grain REPLACES the old entry — the refresh
     // step of the maintenance loop (merge → rewrite summary → register)
     import scala.jdk.CollectionConverters._
@@ -322,6 +326,81 @@ object RollupRewrite {
         d.baseFingerprint.isEmpty ||
           d.baseFingerprint == currentFp(d.basePaths))
     }.toDF("base", "grain", "measures", "distinct_cols", "fresh")
+  }
+
+  /** One [[refreshStale]] outcome: the registration's base and grain,
+    * whether it could be refreshed, and — when it could — exactly the
+    * appended base files whose rows were aggregated (the ONLY base data
+    * the refresh scanned; gates assert this equals the appended set). */
+  case class RefreshResult(basePaths: Set[String], groupCols: Seq[String],
+                           refreshed: Boolean, deltaFiles: Seq[String],
+                           summaryPath: String)
+
+  /** INCREMENTAL SUMMARY REFRESH (VERDICT r10 #2) — the maintenance move
+    * the staleness guard (q178) points at: instead of falling through to
+    * a full base scan forever, diff the CURRENT base file manifest
+    * against the one captured at register time, aggregate ONLY the
+    * appended files, [[Rollup.merge]] the delta partials into the stored
+    * summary, write the merged summary under `outDir`, and re-register —
+    * the classic incremental-view-maintenance step, at file granularity.
+    * Cost is delta-sized + summary-sized; the base is never rescanned.
+    *
+    * Handles PURE APPENDS (every registered file still present,
+    * byte-identical length+mtime). Anything else — a compaction,
+    * overwrite, or delete — cannot be expressed as a partial merge, so
+    * the registration is reported `refreshed = false` and left stale
+    * (queries keep falling through to the base; re-materialize to
+    * recover). Fresh registrations are skipped (nothing to do).
+    *
+    * Each refreshed summary lands in `outDir/refresh_<i>` (parquet) and
+    * its registration is REPLACED (same grain ⇒ replace, the existing
+    * re-register semantics), so the next query over the base serves from
+    * the refreshed summary — plan-assertable via [[scanRootPaths]]. */
+  def refreshStale(spark: SparkSession, outDir: String): Seq[RefreshResult] = {
+    import scala.jdk.CollectionConverters._
+    val snapshot = defs.iterator().asScala.toSeq
+    val currentByBase = snapshot.map(_.basePaths).distinct.map { paths =>
+      val rel = baseRelation(
+        spark.read.parquet(paths.toSeq: _*).queryExecution.analyzed)
+        .getOrElse(throw new IllegalStateException(
+          s"base $paths is no longer a file-backed relation"))
+      paths -> fingerprintEntries(rel.location).toSet
+    }.toMap
+    snapshot.zipWithIndex.flatMap { case (d, i) =>
+      val current = currentByBase(d.basePaths)
+      if (d.baseManifest.isEmpty || d.baseManifest == current) None
+      else if (!d.baseManifest.subsetOf(current))
+        Some(RefreshResult(d.basePaths, d.groupCols, refreshed = false,
+          Nil, ""))
+      else {
+        val deltaFiles = (current -- d.baseManifest).toSeq.sorted
+          .map(_.split("\\|")(0))
+        val delta = spark.read.parquet(deltaFiles: _*)
+        val grainExprs = d.groupCols.map(g => g -> d.grainExprSql.get(g)
+          .map(org.apache.spark.sql.functions.expr)
+          .getOrElse(org.apache.spark.sql.functions.col(g)))
+        val deltaSummary = Rollup.materializeExpr(delta, grainExprs,
+          d.measures, d.distinctCols, d.sketchK)
+        val storedPaths = d.summary.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+        require(storedPaths.nonEmpty,
+          "stored summary is not file-backed; cannot refresh")
+        val stored = spark.read.parquet(storedPaths: _*)
+        val out = s"$outDir/refresh_$i"
+        Rollup.merge(stored, deltaSummary, d.groupCols, d.measures,
+            d.distinctCols, d.sketchK)
+          .write.mode("overwrite").parquet(out)
+        register(spark.read.parquet(d.basePaths.toSeq: _*),
+          spark.read.parquet(out), d.groupCols, d.measures, d.distinctCols,
+          d.sketchK,
+          d.grainExprSql.map { case (n, s) =>
+            n -> org.apache.spark.sql.functions.expr(s) })
+        Some(RefreshResult(d.basePaths, d.groupCols, refreshed = true,
+          deltaFiles, out))
+      }
+    }
   }
 
   /** Persist the registered lattice as a one-file manifest so a NEW

@@ -4139,6 +4139,84 @@ object Queries {
         col("seq_off"), col("tok_off"), col("span_len"))
   }
 
+  /** INCREMENTAL SUMMARY REFRESH ([[graft.plan.RollupRewrite
+    * .refreshStale]] — VERDICT r10 #2, q178's production sequel): where
+    * the staleness guard falls through to a full base scan, the refresh
+    * step diffs the registration's stored file manifest against the
+    * current listing, aggregates ONLY the appended files, merges the
+    * delta partials into the stored summary ([[graft.plan.Rollup
+    * .merge]]), and re-registers — incremental view maintenance at file
+    * granularity, delta-sized + summary-sized, never a base rescan. The
+    * gate registers a two-grain lattice (fine priority×status, coarse
+    * status), appends a delta, refreshes, and REQUIRES: both grains
+    * refreshed; each refresh's delta file set EXACTLY the appended files
+    * (no-full-scan by construction — the refresh read nothing else); the
+    * coarse query serving from the refreshed COARSE summary and the
+    * priority query from the refreshed FINE one (lattice routing
+    * survives refresh), both plan-asserted. Oracle = base∪delta
+    * recompute per leg. 2dp float sums (q165 regime). */
+  def q192SummaryRefresh(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val orders = tbl(s, dir, "orders")
+    val fineG = Seq("o_orderpriority", "o_orderstatus")
+    val coarseG = Seq("o_orderstatus")
+    val measures = Seq("o_totalprice")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q192_refresh")
+      .toFile.getAbsolutePath
+    orders.write.mode("overwrite").parquet(s"$tmpRoot/base")
+    val base0 = s.read.parquet(s"$tmpRoot/base")
+    graft.plan.Rollup.materialize(base0, fineG, measures)
+      .write.mode("overwrite").parquet(s"$tmpRoot/fine")
+    graft.plan.Rollup.materialize(base0, coarseG, measures)
+      .write.mode("overwrite").parquet(s"$tmpRoot/coarse")
+    R.register(base0, s.read.parquet(s"$tmpRoot/fine"), fineG, measures)
+    R.register(base0, s.read.parquet(s"$tmpRoot/coarse"), coarseG, measures)
+    R.enable(s)
+    try {
+      def baseFiles(): Set[String] = new java.io.File(s"$tmpRoot/base")
+        .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      val before = baseFiles()
+      orders.filter(col("o_orderkey") % 7 === 3)
+        .write.mode("append").parquet(s"$tmpRoot/base")
+      val added = baseFiles() -- before
+      val rep = R.refreshStale(s, s"$tmpRoot/refreshed")
+      require(rep.size == 2 && rep.forall(_.refreshed),
+        s"both lattice grains must refresh: $rep")
+      rep.foreach { r =>
+        val got = r.deltaFiles.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+        require(got == added,
+          s"refresh must aggregate EXACTLY the appended files — got $got, appended $added")
+      }
+      val fineOut = rep.find(_.groupCols == fineG).get.summaryPath
+      val coarseOut = rep.find(_.groupCols == coarseG).get.summaryPath
+      val baseNew = s.read.parquet(s"$tmpRoot/base")
+      val coarse = baseNew.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum("o_totalprice").as("__s"),
+          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        .select(lit("coarse").as("leg"), col("o_orderstatus").as("grp"),
+          col("n_rows"), round(col("__s"), 2).as("sum_total"),
+          col("mn"), col("mx"))
+      val scansC = R.scanRootPaths(coarse)
+      require(scansC.nonEmpty && scansC.forall(_.endsWith(
+          coarseOut.substring(coarseOut.lastIndexOf('/')))),
+        s"status query must ride the refreshed COARSE summary — scans $scansC")
+      val fine = baseNew.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum("o_totalprice").as("__s"),
+          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        .select(lit("fine").as("leg"), col("o_orderpriority").as("grp"),
+          col("n_rows"), round(col("__s"), 2).as("sum_total"),
+          col("mn"), col("mx"))
+      val scansF = R.scanRootPaths(fine)
+      require(scansF.nonEmpty && scansF.forall(_.endsWith(
+          fineOut.substring(fineOut.lastIndexOf('/')))),
+        s"priority query must ride the refreshed FINE summary — scans $scansF")
+      materializeAndCleanup(s, coarse.unionByName(fine), tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** COMPUTED-DIMENSION grain serving ([[graft.plan.RollupRewrite]] —
     * VERDICT r10 #1, the optimizer tier's sharpest real-user edge): a
     * summary grained by `month(o_orderdate)` — a stored EXPRESSION value,
@@ -4755,7 +4833,8 @@ object Queries {
     "q188_budgeted_filter" -> (q188BudgetedFilter _),
     "q189_approx_advisor" -> (q189ApproxAdvisor _),
     "q190_curriculum_pack" -> (q190CurriculumPack _),
-    "q191_expr_grain" -> (q191ExprGrain _))
+    "q191_expr_grain" -> (q191ExprGrain _),
+    "q192_summary_refresh" -> (q192SummaryRefresh _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -6557,6 +6636,25 @@ object Queries {
         |SELECT 'mar', CAST(3 AS INT), count(*), round(sum(o_totalprice), 2),
         | min(o_totalprice), max(o_totalprice)
         |FROM orders WHERE month(CAST(o_orderdate AS DATE)) = 3""".stripMargin,
+    // q192: incremental summary refresh — both legs must fold the
+    // appended delta in through Rollup.merge (a missed refresh serves
+    // pre-append values and hash-fails; a full-base rescan trips the
+    // in-query delta-file-set require). Oracle = base∪delta recompute
+    // per leg. 2dp float sums (q165 regime).
+    "q192_summary_refresh" ->
+      """WITH ob AS (
+        | SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders
+        | UNION ALL
+        | SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders
+        | WHERE o_orderkey % 7 = 3)
+        |SELECT 'coarse' AS leg, o_orderstatus AS grp, count(*) AS n_rows,
+        | round(sum(o_totalprice), 2) AS sum_total,
+        | min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM ob GROUP BY 2
+        |UNION ALL
+        |SELECT 'fine', o_orderpriority, count(*),
+        | round(sum(o_totalprice), 2), min(o_totalprice), max(o_totalprice)
+        |FROM ob GROUP BY 2""".stripMargin,
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

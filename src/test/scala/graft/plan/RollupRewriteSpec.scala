@@ -842,6 +842,59 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("refreshStale: append refreshes from the delta files only; non-append stays stale (VERDICT r10 #2)") {
+    val dir = java.nio.file.Files.createTempDirectory("refresh").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    try {
+      orders.write.mode("overwrite").parquet(s"$dir/base")
+      val base0 = spark.read.parquet(s"$dir/base")
+      Rollup.materialize(base0, Seq("o_orderstatus"), Seq("o_totalprice"),
+          distinctCols = Seq("o_custkey"))
+        .write.mode("overwrite").parquet(s"$dir/sum")
+      RollupRewrite.register(base0, spark.read.parquet(s"$dir/sum"),
+        Seq("o_orderstatus"), Seq("o_totalprice"),
+        distinctCols = Seq("o_custkey"))
+      RollupRewrite.enable(spark)
+      // fresh: nothing to refresh
+      assert(RollupRewrite.refreshStale(spark, s"$dir/r0").isEmpty)
+      // append a delta; capture exactly which files it added
+      def files() = new java.io.File(s"$dir/base").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getName).toSet
+      val before = files()
+      orders.filter(col("o_orderkey") % 7 === 3)
+        .write.mode("append").parquet(s"$dir/base")
+      val added = files() -- before
+      val rep = RollupRewrite.refreshStale(spark, s"$dir/r1")
+      assert(rep.size == 1 && rep.head.refreshed)
+      assert(rep.head.deltaFiles.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+        == added, "refresh must aggregate exactly the appended files")
+      // the refreshed summary now serves, and equals base∪delta
+      def q(src: DataFrame) = src.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), min("o_totalprice").as("mn"),
+          graft.functions.expressions.KmvDistinctAgg.kmvSketch(
+            graft.curate.Curate.portableHash60(col("o_custkey")), 64).as("nd"))
+      val served = q(spark.read.parquet(s"$dir/base"))
+      assert(scanPaths(served).nonEmpty &&
+        scanPaths(served).forall(_.contains("refresh_")),
+        s"refreshed summary must serve:\n${served.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark)
+      val want = q(spark.read.parquet(s"$dir/base")).collect().map(_.toSeq).toSet
+      RollupRewrite.enable(spark)
+      assert(served.collect().map(_.toSeq).toSet == want && want.nonEmpty)
+      // a NON-append (overwrite) cannot merge: reported unrefreshed, stale
+      orders.limit(100).write.mode("overwrite").parquet(s"$dir/base")
+      val rep2 = RollupRewrite.refreshStale(spark, s"$dir/r2")
+      assert(rep2.size == 1 && !rep2.head.refreshed)
+      val fallen = q(spark.read.parquet(s"$dir/base"))
+      assert(scanPaths(fallen).exists(_.contains("base")),
+        "non-append staleness must keep falling through to the base")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("computed grain: save/restore round-trips the grain expression (v2 manifest)") {
     withExprRollup { (base, dir) =>
       RollupRewrite.save(spark, s"$dir/lattice.manifest")

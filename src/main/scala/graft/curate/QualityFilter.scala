@@ -54,21 +54,59 @@ object QualityFilter {
 
   private val T = graft.functions.TextFunctions
 
-  /** Hashed unigram count features + one bias row per doc:
+  /** Hashed n-gram count features + one bias row per doc:
     * (doc_id, bucket ∈ [0, buckets], cnt). Bucket `buckets` IS the bias
-    * (value `biasValue` for every doc). Docs with no tokens drop out. */
+    * (value `biasValue` for every doc). Docs with no tokens drop out.
+    * `bigrams = true` adds space-joined token bigrams as features (the
+    * [[Dsir]] feature space — VERDICT r10 #6), hashed with the same salt
+    * into the same bucket range: a bigram string contains a space, which
+    * no whitespace-split unigram can, so the gram spaces never collide
+    * by construction. Sub-2-token docs emit no bigrams (the shingle
+    * kernel's len<n whole-text fallback would duplicate the unigram). */
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
-                     buckets: Int, biasValue: Long): DataFrame = {
+                     buckets: Int, biasValue: Long,
+                     bigrams: Boolean = false): DataFrame = {
     val toks = docs
       .select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) > 0)
-    toks.select(col("doc_id"), explode(col("__toks")).as("term"))
+    val grams =
+      if (!bigrams) col("__toks")
+      else concat(col("__toks"), when(size(col("__toks")) >= 2,
+        graft.functions.expressions.SimilarityExpressions
+          .wordShingles(col("__toks"), 2))
+        .otherwise(array().cast("array<string>")))
+    toks.select(col("doc_id"), explode(grams).as("term"))
       .groupBy(col("doc_id"),
         Curate.hashBucketDyn(col("term"), buckets, lit(":qf")).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .unionByName(toks.select(col("doc_id"),
         lit(buckets.toLong).as("bucket"), lit(biasValue).as("cnt")))
   }
+
+  /** Held-out evaluation rows: per labeled doc, its exact integer score,
+    * the keep verdict, and the label — feed [[confusionStats]] or gate
+    * directly. `labels` must be the HELD-OUT slice (disjoint from the
+    * training slice by construction of the split). */
+  def holdoutEval(features: DataFrame, weights: DataFrame,
+                  labels: DataFrame): DataFrame =
+    score(features, weights)
+      .join(labels.select(col("doc_id"), col("y").cast("long").as("y")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("y"), col("score_micro"), col("keep"))
+
+  /** One-row exact confusion over [[holdoutEval]] output: integer
+    * tp/fp/fn/tn and accuracy in BASIS POINTS via truncating integer
+    * division (the q131 integer-rational device — no float boundary, any
+    * engine agrees). */
+  def confusionStats(eval: DataFrame): DataFrame =
+    eval.agg(
+        sum(when(col("keep") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("keep") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("keep") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("keep") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"),
+        count(lit(1)).as("n"))
+      .selectExpr("tp", "fp", "fn", "tn",
+        "(tp + tn) * 10000L div n AS acc_bp")
 
   /** One training epoch's residuals are exact BIGINTs; see the object
     * scaladoc. `features` = [[hashedFeatures]] output restricted to the

@@ -4139,6 +4139,48 @@ object Queries {
         col("seq_off"), col("tok_off"), col("span_len"))
   }
 
+  /** BIGRAM quality filter + HELD-OUT eval gate ([[graft.curate
+    * .QualityFilter]] — VERDICT r10 #6): trains the logistic scorer on
+    * hashed UNIGRAM+BIGRAM count features (the [[graft.curate.Dsir]]
+    * feature space; bigrams are space-joined pairs hashed with the same
+    * salt into the same bucket range — collision-free with unigrams by
+    * the space character) over the 3/4 train split, then scores the
+    * HELD-OUT 1/4 and emits per-doc (label, exact integer score, keep)
+    * rows plus the exact confusion accuracy in integer BASIS POINTS
+    * (truncating div — the q131 integer-rational device) stamped on
+    * every row, so filter QUALITY itself is hash-gated; an in-query
+    * require enforces the accuracy floor. Oracle = the shared
+    * qfOracleChain generator in bigram mode (8 unrolled epochs) +
+    * held-out scoring; the one float surface per epoch (an exp ulp
+    * flipping a residual floor) is probed by tools/probe_qf.py
+    * --bigrams at both scales. */
+  def q193QfHoldout(s: SparkSession, dir: String): DataFrame = {
+    val Qf = graft.curate.QualityFilter
+    val docs = tbl(s, dir, "documents")
+    val ft = Qf.hashedFeatures(docs, "doc_id", "text", buckets = 256,
+      biasValue = 32L, bigrams = true)
+    val toks = T.tokens(col("text"))
+    val labels = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        (lit(2) * size(toks) +
+          lit(5) * size(filter(toks, t => t === "batch")) >= 130)
+          .cast("int").as("y"))
+    // lrScale 29 (not q183's 27): the bigram chain's residuals at 27 sat
+    // 2e-8 off a floor boundary at sf0.1 — probed, 29 reads ~6e-5 at
+    // both scales (tools/probe_qf.py --bigrams sweep, r11)
+    val w = Qf.trainLogistic(s, ft,
+      labels.filter(col("doc_id") % 4 =!= 1), buckets = 256, epochs = 8,
+      lrScale = 29L)
+    val eval = Qf.holdoutEval(ft, w, labels.filter(col("doc_id") % 4 === 1))
+    val conf = Qf.confusionStats(eval)
+    val accBp = conf.collect()(0).getAs[Long]("acc_bp")
+    require(accBp >= 8500,
+      s"held-out accuracy gate: $accBp bp < 8500 — the filter stopped learning")
+    eval.crossJoin(broadcast(conf.select(col("acc_bp"))))
+      .select(col("doc_id"), col("y").cast("int").as("label"),
+        col("score_micro"), col("keep"), col("acc_bp"))
+  }
+
   /** INCREMENTAL SUMMARY REFRESH ([[graft.plan.RollupRewrite
     * .refreshStale]] — VERDICT r10 #2, q178's production sequel): where
     * the staleness guard falls through to a full base scan, the refresh
@@ -4540,10 +4582,14 @@ object Queries {
       " JOIN lb l ON f.doc_id = l.doc_id\nGROUP BY 1, 2"
 
   /** The WITH chain (d → lb → ft → trn → w0 → epoch quadruples ending
-    * at w{epochs}) shared by q183's scoring oracle and q188's budgeted
-    * selection — never fork the training math. */
+    * at w{epochs}) shared by q183's scoring oracle, q188's budgeted
+    * selection, and q193's bigram held-out eval — never fork the
+    * training math. `bigrams = true` replays
+    * [[graft.curate.QualityFilter.hashedFeatures]]' bigram mode: the
+    * gram list is toks ∪ space-joined consecutive pairs (none below 2
+    * tokens), hashed with the same salt into the same bucket range. */
   private def qfOracleChain(buckets: Int, biasValue: Int, epochs: Int,
-                            lrScale: Int): String = {
+                            lrScale: Int, bigrams: Boolean = false): String = {
     val b = new StringBuilder
     b ++= "WITH d AS MATERIALIZED (\n" +
       raw"  SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks" + "\n" +
@@ -4552,11 +4598,17 @@ object Queries {
       "  SELECT doc_id, CASE WHEN 2*len(toks) +" +
       " 5*len(list_filter(toks, t -> t = 'batch')) >= 130" +
       " THEN 1 ELSE 0 END AS y FROM d),\n"
+    val gramSrc =
+      if (!bigrams) "SELECT doc_id, unnest(toks) AS term FROM d"
+      else "SELECT doc_id, unnest(list_concat(toks,\n" +
+        "    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks))," +
+        " x -> concat(toks[x], ' ', toks[x+1]))\n" +
+        "    ELSE []::VARCHAR[] END)) AS term FROM d"
     b ++= "tf AS MATERIALIZED (\n" +
       "  SELECT doc_id, CAST(concat('0x', substr(md5(concat(term, ':qf'))," +
       s" 1, 15)) AS BIGINT) % $buckets AS bucket,\n" +
       "    CAST(count(*) AS BIGINT) AS cnt\n" +
-      "  FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY 1, 2),\n"
+      s"  FROM ($gramSrc) GROUP BY 1, 2),\n"
     b ++= "ft AS MATERIALIZED (SELECT * FROM tf UNION ALL" +
       s" SELECT doc_id, $buckets::BIGINT AS bucket," +
       s" $biasValue::BIGINT AS cnt FROM d),\n"
@@ -4834,7 +4886,8 @@ object Queries {
     "q189_approx_advisor" -> (q189ApproxAdvisor _),
     "q190_curriculum_pack" -> (q190CurriculumPack _),
     "q191_expr_grain" -> (q191ExprGrain _),
-    "q192_summary_refresh" -> (q192SummaryRefresh _))
+    "q192_summary_refresh" -> (q192SummaryRefresh _),
+    "q193_qf_holdout" -> (q193QfHoldout _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -6636,6 +6689,23 @@ object Queries {
         |SELECT 'mar', CAST(3 AS INT), count(*), round(sum(o_totalprice), 2),
         | min(o_totalprice), max(o_totalprice)
         |FROM orders WHERE month(CAST(o_orderdate AS DATE)) = 3""".stripMargin,
+    // q193: bigram training + held-out confusion — the shared chain in
+    // bigram mode; acc_bp = exact integer basis points (HUGEINT sums
+    // CAST to BIGINT; // truncates like Spark div). A training drift,
+    // feature-hash drift, or split leak all move per-doc scores AND the
+    // stamped accuracy — both hash-gated.
+    "q193_qf_holdout" ->
+      (qfOracleChain(buckets = 256, biasValue = 32, epochs = 8,
+        lrScale = 29, bigrams = true) + raw""",
+        |hs AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y, CAST(sum(f.cnt * w.w) AS BIGINT) AS score_micro,
+        |    CASE WHEN sum(f.cnt * w.w) > 0 THEN 1 ELSE 0 END AS keep
+        |  FROM ft f JOIN w8 w USING (bucket) JOIN lb l ON f.doc_id = l.doc_id
+        |  WHERE l.doc_id % 4 = 1 GROUP BY 1, 2)
+        |SELECT doc_id, y AS label, score_micro, keep,
+        |  CAST((SELECT sum(CASE WHEN keep = y THEN 1 ELSE 0 END) * 10000 FROM hs)
+        |    // (SELECT count(*) FROM hs) AS BIGINT) AS acc_bp
+        |FROM hs""".stripMargin),
     // q192: incremental summary refresh — both legs must fold the
     // appended delta in through Rollup.merge (a missed refresh serves
     // pre-append values and hash-fails; a full-base rescan trips the

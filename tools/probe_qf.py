@@ -15,16 +15,19 @@ Zero-drift design (the probe_bpe lesson): the probe loads the SHIPPED
 q183 SQL from a Verify dump's oracle_sql.json and carves its per-epoch
 probes out of that exact CTE chain at stable textual markers.
 
-Usage: probe_qf.py <sfdir> <verify_dump_dir>
-(run Verify with SPARK_GRAFT_QUERIES=q183_quality_filter first).
+Usage: probe_qf.py <sfdir> <verify_dump_dir> [query_name]
+(run Verify with SPARK_GRAFT_QUERIES=<query_name> first; default
+q183_quality_filter, pass q193_qf_holdout for the bigram variant —
+same chain, same single float surface, bigram tf CTE).
 """
 import sys, json, os, glob, re
 import duckdb
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 dump = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+qname = sys.argv[3] if len(sys.argv) > 3 else "q183_quality_filter"
 
-sql = json.load(open(os.path.join(dump, "oracle_sql.json")))["q183_quality_filter"]
+sql = json.load(open(os.path.join(dump, "oracle_sql.json")))[qname]
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     con.execute(f"CREATE VIEW {os.path.basename(p).replace('.parquet','')} AS SELECT * FROM '{p}'")
@@ -32,8 +35,11 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 # ---- carve points (emitted by qfOracle) ----
 epochs = sorted(int(m) for m in re.findall(r"\bs(\d+) AS MATERIALIZED", sql))
 assert epochs and epochs == list(range(1, len(epochs) + 1)), "epoch CTEs moved"
-assert sql.count("\nSELECT l.doc_id,") == 1, "final-select marker moved"
-head = sql[:sql.rindex("\nSELECT l.doc_id,")].rstrip().rstrip(",").rstrip()
+if ",\nhs AS MATERIALIZED" in sql:  # q193: held-out CTE follows the chain
+    head = sql[:sql.rindex(",\nhs AS MATERIALIZED")].rstrip()
+else:
+    assert sql.count("\nSELECT l.doc_id,") == 1, "final-select marker moved"
+    head = sql[:sql.rindex("\nSELECT l.doc_id,")].rstrip().rstrip(",").rstrip()
 
 worst = None
 for i in epochs:

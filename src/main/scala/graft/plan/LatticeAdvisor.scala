@@ -30,8 +30,16 @@ import org.apache.spark.sql.functions._
 object LatticeAdvisor {
 
   /** One greedy round's decision. `grain` is in `dims` order; Nil = the
-    * apex (the 1-row grand total). */
-  case class Advice(step: Int, grain: Seq[String], rows: Long, benefit: Long)
+    * apex (the 1-row grand total). `marginFlagged` (VERDICT r10 #7) is
+    * set ONLY in approx mode, when the winner's benefit lead over the
+    * runner-up sits inside the KMV sketches' error band (±1/√k relative
+    * per cardinality, summed conservatively over every covered query's
+    * cost and the candidate's rows): the CHOICE is still deterministic —
+    * identical sketches → identical greedy — but a re-sketch with a
+    * different salt or k could legitimately flip it, so treat a flagged
+    * step as "either candidate is fine", not as a ranking. */
+  case class Advice(step: Int, grain: Seq[String], rows: Long, benefit: Long,
+                    marginFlagged: Boolean = false)
 
   def grainName(grain: Seq[String]): String =
     if (grain.isEmpty) "<apex>" else grain.mkString(",")
@@ -73,7 +81,15 @@ object LatticeAdvisor {
     * advice. NULL dim values hash as a \\u0001 sentinel. d ≤ 8 (2^d−1
     * aggregate expressions in one projection). */
   def grainCardinalitiesApprox(base: DataFrame, dims: Seq[(String, Column)],
-                               sketchK: Int = 256): Map[Int, Long] = {
+                               sketchK: Int = 256): Map[Int, Long] =
+    approxDetailed(base, dims, sketchK).view.mapValues(_._1).toMap
+
+  /** (estimate, sketch-FILLED?) per grain: an unfilled sketch holds every
+    * distinct hash, so its "estimate" IS the exact distinct count — only
+    * filled sketches carry the ±1/√k error band the advisory flag scales
+    * against (VERDICT r10 #7). */
+  private def approxDetailed(base: DataFrame, dims: Seq[(String, Column)],
+                             sketchK: Int): Map[Int, (Long, Boolean)] = {
     require(dims.nonEmpty && dims.size <= 8,
       s"approx mode runs 2^d-1 sketch aggs in one pass — keep d <= 8 (got ${dims.size})")
     val d = dims.size
@@ -93,8 +109,8 @@ object LatticeAdvisor {
         if (mins.size < sketchK) mins.size.toLong
         else math.floor((sketchK - 1).toDouble * (1L << 60).toDouble /
           mins(sketchK - 1).toDouble).toLong
-      m -> est
-    }.toMap + (0 -> 1L)
+      m -> ((est, mins.size >= sketchK))
+    }.toMap + (0 -> ((1L, false)))
   }
 
   /** Run the HRU greedy: k rounds over all 2^d candidates against the
@@ -109,8 +125,13 @@ object LatticeAdvisor {
     val names = dims.map(_._1)
     require(workload.forall(_.subsetOf(names.toSet)),
       s"workload grains must use dim names $names")
-    val card = sketchK.fold(grainCardinalities(base, dims))(
-      kk => grainCardinalitiesApprox(base, dims, kk))
+    val (card, estimated) = sketchK match {
+      case None => (grainCardinalities(base, dims), Set.empty[Int])
+      case Some(kk) =>
+        val det = approxDetailed(base, dims, kk)
+        (det.view.mapValues(_._1).toMap,
+          det.collect { case (m, (_, true)) => m }.toSet)
+    }
     // an EMPTY base yields an empty cube (grouped aggregates produce no
     // rows on no input) — there is nothing to advise on, and the greedy
     // below would otherwise die on an empty min (r10 review)
@@ -121,7 +142,10 @@ object LatticeAdvisor {
     val n = base.count()
     val qMask = workload.map(q =>
       names.zipWithIndex.collect { case (nm, i) if q(nm) => 1 << i }.sum)
-    greedy(card, qMask, n, k, names)
+    // KMV standard error is ~1/sqrt(k) relative per cardinality; exact
+    // mode carries no band (estimates ARE the distinct counts)
+    greedy(card, qMask, n, k, names,
+      sketchK.map(kk => 1.0 / math.sqrt(kk.toDouble)), estimated)
   }
 
   /** The pure HRU greedy over precomputed cardinalities — exposed for
@@ -131,25 +155,54 @@ object LatticeAdvisor {
     * grains as bitmasks, `n` the base row count (the lattice root's
     * cost). A budget beyond the candidate count stops early. */
   private[plan] def greedy(card: Map[Int, Long], qMasks: Seq[Int],
-                           n: Long, k: Int, names: Seq[String]): Seq[Advice] = {
+                           n: Long, k: Int, names: Seq[String],
+                           relErr: Option[Double] = None,
+                           estimated: Set[Int] = Set.empty): Seq[Advice] = {
     val cost = scala.collection.mutable.ArrayBuffer(qMasks.map(_ => n): _*)
+    // which query costs currently derive from an ESTIMATED cardinality
+    // (n itself is an exact count; a chosen exact grain keeps it exact)
+    val costEst = scala.collection.mutable.ArrayBuffer(qMasks.map(_ => false): _*)
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
     val out = scala.collection.mutable.ArrayBuffer.empty[Advice]
     for (step <- 1 to math.min(k, card.size)) {
-      val best = card.keysIterator.filterNot(chosen.contains).map { v =>
-        val ben = qMasks.zipWithIndex.collect {
-          case (q, qi) if (q & v) == q => math.max(0L, cost(qi) - card(v))
-        }.sum
+      val scored = card.keysIterator.filterNot(chosen.contains).map { v =>
+        var ben = 0L
+        var unc = 0L // Σ of the ESTIMATED quantities inside this
+                     // candidate's benefit: the magnitude the ±1/√k
+                     // relative sketch error scales against
+        qMasks.zipWithIndex.foreach { case (q, qi) =>
+          if ((q & v) == q) {
+            ben += math.max(0L, cost(qi) - card(v))
+            if (costEst(qi)) unc += cost(qi)
+            if (estimated(v)) unc += card(v)
+          }
+        }
         val grain = names.zipWithIndex.collect { case (nm, i) if (v & (1 << i)) != 0 => nm }
-        (-ben, grain.size, grainName(grain), v)
-      }.toSeq.min
-      val (negBen, _, _, v) = best
+        (-ben, grain.size, grainName(grain), v, unc)
+      }.toSeq.sorted
+      val (negBen, _, _, v, uncWin) = scored.head
+      // advisory flag (approx mode): the winner's lead over the
+      // runner-up is inside the summed error band of BOTH candidates'
+      // benefit estimates — the greedy's pick is then sketch-noise-
+      // sensitive even though it is deterministic for THESE sketches.
+      // All-exact rounds carry a zero band: ties there are the
+      // deterministic tie-break's business, not noise.
+      val flagged = relErr.exists { re =>
+        scored.lengthCompare(1) > 0 && {
+          val margin = (-negBen) - (-scored(1)._1)
+          val band = re * (uncWin + scored(1)._5).toDouble
+          band > 0 && margin.toDouble <= band
+        }
+      }
       chosen += v
       out += Advice(step,
         names.zipWithIndex.collect { case (nm, i) if (v & (1 << i)) != 0 => nm },
-        card(v), -negBen)
+        card(v), -negBen, flagged)
       qMasks.zipWithIndex.foreach { case (q, qi) =>
-        if ((q & v) == q) cost(qi) = math.min(cost(qi), card(v))
+        if ((q & v) == q && card(v) < cost(qi)) {
+          cost(qi) = card(v)
+          costEst(qi) = estimated(v)
+        }
       }
     }
     out.toSeq

@@ -70,6 +70,28 @@ class LatticeAdvisorSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("approx advice flags sketch-noise-sensitive margins, exact mode never does (VERDICT r10 #7)") {
+    val names = Seq("x", "y")
+    val wl = Seq(1, 2) // masks for workload grains {x}, {y}
+    // near-tied ESTIMATED candidates: benefit margin 1 sits far inside
+    // the ±1/sqrt(k) band scaled by the estimated rows → flagged, but
+    // the pick itself stays deterministic (higher benefit wins)
+    val close = Map(1 -> 500L, 2 -> 501L)
+    val f = LatticeAdvisor.greedy(close, wl, 10000L, 1, names,
+      Some(1.0 / 16), estimated = Set(1, 2))
+    assert(f.head.marginFlagged && f.head.grain == Seq("x"))
+    // a wide margin (4500 vs band ~344) is trustworthy
+    val wide = Map(1 -> 500L, 2 -> 5000L)
+    assert(!LatticeAdvisor.greedy(wide, wl, 10000L, 1, names,
+      Some(1.0 / 16), estimated = Set(1, 2)).head.marginFlagged)
+    // the same near-tie over EXACT cardinalities (unfilled sketches)
+    // carries a zero band: no flag even in approx mode
+    assert(!LatticeAdvisor.greedy(close, wl, 10000L, 1, names,
+      Some(1.0 / 16)).head.marginFlagged)
+    // exact mode never flags
+    assert(!LatticeAdvisor.greedy(close, wl, 10000L, 1, names).head.marginFlagged)
+  }
+
   test("workload grains must use declared dim names") {
     intercept[IllegalArgumentException] {
       advise(df, dims, Seq(Set("z")), 1)

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bm25del,pipeline,qualityfilter,bpe,bpeseg,dsir,phrase,merge,ivf,ivfappend,ivfdel,semadmit,rollup,eageragg,packseq,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bm25del,pipeline,qualityfilter,bpe,bpeseg,dsir,phrase,merge,ivf,ivfappend,ivfdel,semadmit,rollup,eageragg,packseq,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune,poolvacuum)
   */
 object ScaleRehearsal {
 
@@ -1250,6 +1250,119 @@ object ScaleRehearsal {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       (s1 == expect && okSkip && total == 64,
         s"sum=$s1 (expect $expect) kept=$kept/$total")
+    })
+
+    // VERDICT r10 #8: maintenance RACING a pinned long-reader across all
+    // THREE VersionedPool tiers — reader pins v_N, then appends, deletes,
+    // a compact and vacuum(keepLast=2) land; the pinned serve must stay
+    // bit-identical, the head serve must be vacuum-invisible, vacuum must
+    // actually reclaim versions AND batches while leaving ZERO orphans;
+    // unpin + re-vacuum then reclaims the reader's version too.
+    if (enabled("poolvacuum")) scenario("pool-pinned-vacuum",
+        "pinned reader vs append/delete/compact/vacuum, 3 tiers", {
+      import graft.sources.{Snapshots, VersionedPool}
+      def docsOf(lo: Long, hi: Long): DataFrame =
+        spark.range(lo, hi).select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(20)),
+            t => concat(lit("w"), pmod(col("id") * 7 + t, lit(5000))))).as("text"))
+      def vecsOf(lo: Long, hi: Long): DataFrame =
+        spark.range(lo, hi).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(7)), t =>
+            (pmod(col("id") * 31 + t * 17, lit(1000)).cast("double") / lit(1000.0))
+              .cast("float")).as("vec"))
+      val bmQueries = spark.range(0, 10).select(col("id").as("qid"),
+        concat(lit("w"), pmod(col("id") * 13, lit(5000)),
+          lit(" w"), pmod(col("id") * 13 + 1, lit(5000))).as("qtext"))
+      val ivfQueries = spark.range(0, 10).select(col("id").as("qid"),
+        transform(sequence(lit(0), lit(7)), t =>
+          (pmod(col("id") * 97 + t * 13, lit(1000)).cast("double") / lit(1000.0))
+            .cast("float")).as("qvec"))
+      val phrases = Seq(Seq("w100", "w101"), Seq("w2000", "w2001"))
+
+      /** One tier's full lifecycle; returns (ok, info). */
+      def lifecycle(tag: String, root: String,
+                    init: () => Int,
+                    append: ((Long, Long)) => Int,
+                    delete: org.apache.spark.sql.DataFrame => Int,
+                    compact: () => Int,
+                    serve: Option[Int] => Seq[String]): (Boolean, String) = {
+        val meta = VersionedPool.metaDir(root)
+        def poolBatches(): Set[String] = {
+          val p = new org.apache.hadoop.fs.Path(s"$root/pool")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p)) Set.empty
+          else fs.listStatus(p).map(_.getPath.getName).toSet
+        }
+        def referenced(): Set[String] =
+          Snapshots.versions(spark, meta).flatMap(v =>
+            Snapshots.readVersion(spark, meta, v).filter(col("kind") === "batch")
+              .select("key").collect().map(_.getString(0))).toSet
+        init()                                  // v1 (b1)
+        append((100000L, 120000L))              // v2 (b2)
+        append((120000L, 140000L))              // v3 (b3)
+        val vPin = VersionedPool.currentVersion(spark, root)
+        Snapshots.pin(spark, meta, vPin, "reader")
+        val pinnedBefore = serve(Some(vPin))
+        append((140000L, 160000L))              // v4 (b4)
+        delete(spark.range(0, 100000, 37).toDF("id"))   // v5
+        append((160000L, 180000L))              // v6 (b5)
+        compact()                               // v7 (b6 = fold)
+        append((180000L, 200000L))              // v8 (b7)
+        delete(spark.range(1, 100000, 53).toDF("id"))   // v9
+        append((200000L, 220000L))              // v10 (b8)
+        val headBefore = serve(None)
+        val (dv1, db1) = VersionedPool.vacuum(spark, root, keepLast = 2)
+        val orphans1 = (poolBatches() -- referenced()).size
+        val pinnedAfter = serve(Some(vPin))
+        val headAfter = serve(None)
+        val keptPin = Snapshots.versions(spark, meta).contains(vPin)
+        Snapshots.unpin(spark, meta, "reader")
+        val (dv2, db2) = VersionedPool.vacuum(spark, root, keepLast = 2)
+        val orphans2 = (poolBatches() -- referenced()).size
+        val headFinal = serve(None)
+        val pinGone = !Snapshots.versions(spark, meta).contains(vPin)
+        val ok = pinnedBefore.nonEmpty && headBefore.nonEmpty &&
+          pinnedAfter == pinnedBefore && headAfter == headBefore &&
+          headFinal == headBefore && keptPin && pinGone &&
+          dv1.nonEmpty && db1.nonEmpty && dv2.contains(vPin) && db2.nonEmpty &&
+          orphans1 == 0 && orphans2 == 0
+        (ok, s"$tag{pin=v$vPin dropped=v${dv1.size}+${dv2.size} " +
+          s"batches=${db1.size}+${db2.size} orphans=$orphans1/$orphans2 " +
+          s"pinStable=${pinnedAfter == pinnedBefore} " +
+          s"headStable=${headAfter == headBefore && headFinal == headBefore} " +
+          s"pinDiffersFromHead=${pinnedBefore != headBefore}}")
+      }
+
+      val tmp = java.nio.file.Files.createTempDirectory("rehearse_poolvac").toString
+      try {
+        import graft.curate.{Bm25, Bm25Versioned, PhraseVersioned}
+        import graft.ann.IvfVersioned
+        val bm = lifecycle("bm25", s"$tmp/bm25",
+          () => Bm25Versioned.init(spark, s"$tmp/bm25", docsOf(0, 100000), "doc_id", "text"),
+          r => Bm25Versioned.append(spark, s"$tmp/bm25", docsOf(r._1, r._2), "doc_id", "text"),
+          ids => Bm25Versioned.delete(spark, s"$tmp/bm25", ids, "id"),
+          () => Bm25Versioned.compact(spark, s"$tmp/bm25"),
+          v => Bm25.topKAgainstIncIndex(Bm25Versioned.load(spark, s"$tmp/bm25", v),
+              bmQueries, "qid", "qtext", k = 5)
+            .collect().map(_.mkString("|")).sorted.toSeq)
+        val ivf = lifecycle("ivf", s"$tmp/ivf",
+          () => IvfVersioned.init(spark, s"$tmp/ivf", vecsOf(0, 100000), "vec_id", "vec", numCells = 16),
+          r => IvfVersioned.append(spark, s"$tmp/ivf", vecsOf(r._1, r._2), "vec_id", "vec"),
+          ids => IvfVersioned.delete(spark, s"$tmp/ivf", ids, "id"),
+          () => IvfVersioned.compact(spark, s"$tmp/ivf"),
+          v => IvfVersioned.topK(spark, s"$tmp/ivf", ivfQueries, "qid", "qvec",
+              k = 5, nProbes = 3, version = v)
+            .collect().map(_.mkString("|")).sorted.toSeq)
+        val ph = lifecycle("phrase", s"$tmp/phrase",
+          () => PhraseVersioned.init(spark, s"$tmp/phrase", docsOf(0, 100000), "doc_id", "text"),
+          r => PhraseVersioned.append(spark, s"$tmp/phrase", docsOf(r._1, r._2), "doc_id", "text"),
+          ids => PhraseVersioned.delete(spark, s"$tmp/phrase", ids, "id"),
+          () => PhraseVersioned.compact(spark, s"$tmp/phrase"),
+          v => PhraseVersioned.hits(spark, s"$tmp/phrase", phrases, v)
+            .collect().map(_.mkString("|")).sorted.toSeq)
+        (bm._1 && ivf._1 && ph._1, s"${bm._2} ${ivf._2} ${ph._2}")
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     })
 
     spark.stop()

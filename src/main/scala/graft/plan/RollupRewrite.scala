@@ -124,6 +124,14 @@ object RollupRewrite {
   def startWorkloadCapture(): Unit = { capturedLog.clear(); capturing = true }
   def stopWorkloadCapture(): Unit = capturing = false
 
+  /** Stop capturing AND drop the captured log — the capture state is
+    * process-global, so a finished capture session (a gate's finally)
+    * must not leak its grains into the next observer (r11: q191's
+    * captured grains over a shared table polluted a later capture). Use
+    * this, not [[stopWorkloadCapture]], when the workload has been
+    * consumed; stop alone keeps the log readable. */
+  def resetWorkloadCapture(): Unit = { capturing = false; capturedLog.clear() }
+
   /** Distinct captured grains for a base (insertion order). */
   def capturedWorkload(basePaths: Set[String]): Seq[Set[String]] = {
     import scala.jdk.CollectionConverters._

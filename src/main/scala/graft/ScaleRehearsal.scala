@@ -755,13 +755,52 @@ object ScaleRehearsal {
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
         val navWall = (System.nanoTime() - t4) / 1e9
         graft.plan.EagerAggregation.disable(spark)
+        // INCREMENTAL REFRESH at scale (q192's contract, r11): append a
+        // 10M-row delta and refresh from the manifest diff — the refresh
+        // aggregates ONLY the appended files + merges the 1000-row
+        // summary, so its wall tracks the DELTA, not the 110M base (must
+        // sit well under the full summary rebuild), and the refreshed
+        // summary must serve the post-append query exactly.
+        RollupRewrite.enable(spark)
+        def baseFiles() = new java.io.File(s"$tmp/base").listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+        val beforeF = baseFiles()
+        spark.range(100000000L, 110000000L).select(
+            (col("id") % 40).cast("string").as("k1"),
+            (col("id") % 25).cast("string").as("k2"),
+            (col("id") % 997).as("m_long"),
+            ((col("id") % 10000).cast("double") / 100.0).as("m_dbl"))
+          .write.mode("append").parquet(s"$tmp/base")
+        val addedF = baseFiles() -- beforeF
+        val t5 = System.nanoTime()
+        val rep = RollupRewrite.refreshStale(spark, s"$tmp/refreshed")
+        val refreshWall = (System.nanoTime() - t5) / 1e9
+        val deltaOk = rep.size == 1 && rep.head.refreshed &&
+          rep.head.deltaFiles
+            .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet == addedF
+        val newBase = spark.read.parquet(s"$tmp/base")
+        val refScanOk = RollupRewrite.scanRootPaths(q(newBase))
+          .forall(_.contains("refresh"))
+        val refreshed = q(newBase).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4))).toSet
         RollupRewrite.disable(spark)
+        val t6 = System.nanoTime()
+        val directNew = q(newBase).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4))).toSet
+        val directNewWall = (System.nanoTime() - t6) / 1e9
         (scansOk && rew == direct && rew.size == 40 &&
           rewrittenWall < directWall / 3 &&
-          navOk && nav == directJoin && navWall < directJoinWall / 3,
+          navOk && nav == directJoin && navWall < directJoinWall / 3 &&
+          deltaOk && refScanOk && refreshed == directNew &&
+          refreshWall < buildWall / 2,
           f"build=$buildWall%.1fs rewritten=$rewrittenWall%.2fs " +
             f"direct=$directWall%.2fs groups=${rew.size} scans_ok=$scansOk " +
-            f"nav=$navWall%.2fs direct_join=$directJoinWall%.2fs nav_ok=$navOk")
+            f"nav=$navWall%.2fs direct_join=$directJoinWall%.2fs nav_ok=$navOk " +
+            f"refresh=$refreshWall%.1fs (delta 10M vs rebuild≈$buildWall%.1fs) " +
+            f"delta_files_ok=$deltaOk ref_scan_ok=$refScanOk " +
+            f"direct_new=$directNewWall%.2fs")
       } finally {
         graft.plan.RollupRewrite.disable(spark)
         graft.plan.RollupRewrite.clear()

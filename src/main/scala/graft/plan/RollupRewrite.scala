@@ -578,6 +578,61 @@ object RollupRewrite {
       case _ => AttributeSet.empty
     }
 
+    /** Grain lookup by optimizer-normalized shape for one registration:
+      * plain attribute grains and computed grains resolve through one
+      * map (registrations predating the shape snapshot fall back to
+      * bare-attribute shapes of their group columns). */
+    private def grainLookup(d: RollupDef,
+        sAttr: String => AttributeReference): Expression => Option[String] = {
+      val shapeToName: Map[Expression, String] =
+        (if (d.grainShapes.nonEmpty) d.grainShapes
+         else d.groupCols.map(g => g -> grainShape(sAttr(g))).toMap)
+          .map { case (n, s) => s -> n }
+      e => if (e.references.isEmpty) None else shapeToName.get(grainShape(e))
+    }
+
+    /** Rewrite filter conditions onto the summary (shared by the plain
+      * and cube paths): split And trees — Filter(a AND b) ≡
+      * Filter(a)∘Filter(b) — resolve each conjunct to base-column form,
+      * redirect grain-shaped subtrees (incl. bare grain columns) to the
+      * summary's grain attributes, and require the rest to vanish;
+      * EXCEPT an isnotnull(a) conjunct implied by a SERVED conjunct
+      * null-intolerant in a (the inferred-filter shape
+      * InferFiltersFromConstraints puts next to every computed-grain
+      * equality — `month(o_orderdate) = 3` infers
+      * isnotnull(o_orderdate), which no grain can carry but the served
+      * equality subsumes). Non-deterministic conjuncts never serve
+      * (rand() < 0.2 would turn row sampling into group sampling —
+      * ADVICE r9). Returns None when any conjunct can neither serve nor
+      * drop. */
+    private def rewriteConds(conds: Seq[Expression],
+                             subst: Map[ExprId, Expression],
+                             grainOf: Expression => Option[String],
+                             sAttr: String => AttributeReference,
+                             groupAttrSet: AttributeSet): Option[Seq[Expression]] = {
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      def rewriteCond(c: Expression): Option[Expression] = {
+        if (!c.deterministic) return None
+        val t = c.transform {
+          case e if grainOf(e).isDefined => sAttr(grainOf(e).get)
+        }
+        if (t.references.subsetOf(groupAttrSet)) Some(t) else None
+      }
+      val condPairs = conds.flatMap(conjuncts)
+        .map(c => resolve(c, subst)).map(c => c -> rewriteCond(c))
+      val servedConds = condPairs.collect { case (c, Some(_)) => c }
+      condPairs.foreach {
+        case (_, Some(_)) => ()
+        case (IsNotNull(a: AttributeReference), None)
+          if servedConds.exists(c2 => nullIntolerantAttrs(c2).contains(a)) => ()
+        case _ => return None
+      }
+      Some(condPairs.flatMap(_._2))
+    }
+
     private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
       val (leaf, conds, subst) =
         strip(agg.child, Nil, Map.empty).getOrElse(return None)
@@ -639,11 +694,12 @@ object RollupRewrite {
         case e: Expand => e
         case _ => return None
       }
-      // computed grains under CUBE are out of scope: a compute Project
-      // below the Expand bails the classification anyway
+      // computed grains under CUBE (r11): the analyzer puts the computed
+      // dim in an aliasing Project below the Expand; strip collects it
+      // into the substitution, and classification resolves each Expand
+      // position's attribute back to base-column form for shape matching
       val (leaf, conds, substC) =
         strip(ex.child, Nil, Map.empty).getOrElse(return None)
-      if (substC.nonEmpty) return None
       val rel = leaf.relation match {
         case fs: HadoopFsRelation => fs
         case _ => return None
@@ -665,31 +721,21 @@ object RollupRewrite {
       }
       val (fresh, stale) = freshCandidates(paths, rel.location)
       fresh.view
-        .flatMap(d => tryRewriteCubeWith(agg, ex, conds, d, kinds)).headOption
+        .flatMap(d => tryRewriteCubeWith(agg, ex, conds, substC, d, kinds))
+        .headOption
         .orElse {
           if (strictStaleness && stale.exists(d =>
-              tryRewriteCubeWith(agg, ex, conds, d, kinds).isDefined))
+              tryRewriteCubeWith(agg, ex, conds, substC, d, kinds).isDefined))
             staleError(paths)
           None
         }
     }
 
     private def tryRewriteCubeWith(agg: Aggregate, ex: Expand,
-                                   conds: Seq[Expression], d: RollupDef,
+                                   conds: Seq[Expression],
+                                   subst: Map[ExprId, Expression],
+                                   d: RollupDef,
                                    kinds: Seq[ExpandPos]): Option[LogicalPlan] = {
-      // every nulled-out dim and every group-col passthrough must be a
-      // registered group column; measure passthroughs must be registered
-      // measures (unused extra passthroughs of either kind are fine —
-      // they are simply not carried)
-      kinds.foreach {
-        case GroupPos(b) if !d.groupCols.contains(b.name) => return None
-        case PassPos(b) if !d.groupCols.contains(b.name) &&
-            !d.measures.contains(b.name) => return None
-        case _ => ()
-      }
-      if (!conds.forall(c => c.deterministic &&
-          c.references.forall(a => d.groupCols.contains(a.name))))
-        return None
       val summary = d.summary match {
         case r: LogicalRelation => r.newInstance()
         case other => other
@@ -698,11 +744,29 @@ object RollupRewrite {
         summary.output.collectFirst {
           case a: AttributeReference if a.name == name => a
         }.get
+      val grainOf = grainLookup(d, sAttr)
+      // an Expand-position attribute, resolved to base-column form (a
+      // computed dim's alias resolves to its defining expression — r11)
+      def grainAt(b: AttributeReference): Option[String] =
+        grainOf(resolve(b, subst))
+      def plainMeasure(b: AttributeReference): Boolean =
+        d.measures.contains(b.name) &&
+          resolve(b, subst).isInstanceOf[AttributeReference]
+      // every nulled-out dim and every group-col passthrough must
+      // shape-match a registered grain; measure passthroughs must be
+      // registered PLAIN-column measures (unused extra passthroughs of
+      // either kind are fine — they are simply not carried)
+      kinds.foreach {
+        case GroupPos(b) if grainAt(b).isEmpty => return None
+        case PassPos(b) if grainAt(b).isEmpty && !plainMeasure(b) => return None
+        case _ => ()
+      }
+      val newCond = rewriteConds(conds, subst, grainOf, sAttr,
+        AttributeSet(d.groupCols.map(sAttr))).getOrElse(return None)
       // measure passthrough positions, by the Expand OUTPUT attr the
       // aggregate expressions reference
       val passMeasure: Map[ExprId, String] = kinds.zip(ex.output).collect {
-        case (PassPos(b), out) if d.measures.contains(b.name) =>
-          out.exprId -> b.name
+        case (PassPos(b), out) if plainMeasure(b) => out.exprId -> b.name
       }.toMap
       // partial columns carried through the new Expand, created lazily:
       // (kind, measure) -> (new Expand output attr, summary attr)
@@ -769,21 +833,21 @@ object RollupRewrite {
       // passthrough positions are dropped and the needed partial columns
       // are appended (same summary attr in every projection row)
       val keepIdx = kinds.indices.filter(i => kinds(i) match {
-        case PassPos(b) => d.groupCols.contains(b.name)
+        case PassPos(b) => grainAt(b).isDefined
         case _ => true
       })
       val newOutput = keepIdx.map(ex.output) ++ partials.values.map(_._1)
       val newProjections = ex.projections.map { row =>
         keepIdx.map { i =>
           row(i) match {
-            case a: AttributeReference => sAttr(a.name)
+            // every kept attr entry is grain-valued (GroupPos or a grain
+            // passthrough) — redirect by SHAPE, so a computed dim's
+            // pulled-out alias lands on its summary column
+            case a: AttributeReference => sAttr(grainAt(a).get)
             case lit => lit // typed null literal or the gid literal
           }
         } ++ partials.values.map(_._2)
       }
-      val newCond = conds.map(_.transform {
-        case a: AttributeReference => sAttr(a.name)
-      })
       val filtered = newCond.foldLeft(summary: LogicalPlan)((p, c) => Filter(c, p))
       val needed = (newProjections.flatten.flatMap(_.references) ++
         newCond.flatMap(_.references))
@@ -808,54 +872,15 @@ object RollupRewrite {
         }.get
       // grain lookup by optimizer-normalized shape: plain attribute
       // grains and computed grains (month(o_orderdate) etc., VERDICT r10
-      // #1) both resolve through one map. Registrations predating the
-      // shape snapshot fall back to bare-attribute shapes.
-      val shapeToName: Map[Expression, String] =
-        (if (d.grainShapes.nonEmpty) d.grainShapes
-         else d.groupCols.map(g => g -> grainShape(sAttr(g))).toMap)
-          .map { case (n, s) => s -> n }
-      def grainOf(e: Expression): Option[String] =
-        if (e.references.isEmpty) None else shapeToName.get(grainShape(e))
+      // #1) both resolve through one map.
+      val grainOf = grainLookup(d, sAttr)
       // grouping expressions (resolved through any pulled-out grouping
       // Project) must each shape-match a registered grain
       val groupNames = agg.groupingExpressions.map { g =>
         grainOf(resolve(g, subst)).getOrElse(return None)
       }
-      // Filters must be DETERMINISTIC (rand() < 0.2 has no references,
-      // passes vacuously, and would turn row-level sampling into
-      // group-level sampling — ADVICE r9) and rewrite onto the summary:
-      // grain-shaped subtrees (incl. bare grain columns) redirect to the
-      // summary's grain attributes, whose values are carried verbatim;
-      // anything still referencing an uncarried base column fails —
-      // EXCEPT an isnotnull(a) conjunct implied by a SERVED conjunct
-      // that is null-intolerant in a (the inferred-filter shape
-      // InferFiltersFromConstraints puts next to every computed-grain
-      // equality: `month(o_orderdate) = 3` infers isnotnull(o_orderdate),
-      // which no grain can carry but the served equality subsumes).
-      val groupAttrSet = AttributeSet(d.groupCols.map(sAttr))
-      def rewriteCond(c: Expression): Option[Expression] = {
-        if (!c.deterministic) return None
-        val t = c.transform {
-          case e if grainOf(e).isDefined => sAttr(grainOf(e).get)
-        }
-        if (t.references.subsetOf(groupAttrSet)) Some(t) else None
-      }
-      // split And trees first: Filter(a AND b) ≡ Filter(a)∘Filter(b), and
-      // the implication drop below works per-conjunct (the inferred
-      // isnotnull arrives conjoined with the equality that implies it)
-      def conjuncts(e: Expression): Seq[Expression] = e match {
-        case And(l, r) => conjuncts(l) ++ conjuncts(r)
-        case other => Seq(other)
-      }
-      val condPairs = conds.flatMap(conjuncts)
-        .map(c => resolve(c, subst)).map(c => c -> rewriteCond(c))
-      val servedConds = condPairs.collect { case (c, Some(_)) => c }
-      condPairs.foreach {
-        case (_, Some(_)) => ()
-        case (IsNotNull(a: AttributeReference), None)
-          if servedConds.exists(c2 => nullIntolerantAttrs(c2).contains(a)) => ()
-        case _ => return None
-      }
+      val newCond = rewriteConds(conds, subst, grainOf, sAttr,
+        AttributeSet(d.groupCols.map(sAttr))).getOrElse(return None)
       def measureAttr(e: Expression, prefix: String): Option[AttributeReference] =
         e match {
           case a: AttributeReference if d.measures.contains(a.name) =>
@@ -951,7 +976,6 @@ object RollupRewrite {
         case _ => return None
       }
       val newGroup = groupNames.map(sAttr)
-      val newCond = condPairs.flatMap(_._2)
       val filtered = newCond.foldLeft(summary: LogicalPlan)((p, c) => Filter(c, p))
       // prune the summary scan to the referenced columns — this rule runs
       // after ColumnPruning, nothing will do it for us

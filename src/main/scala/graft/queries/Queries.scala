@@ -4276,11 +4276,16 @@ object Queries {
     * register time through the same analyzer+optimizer the query side
     * goes through — so `month(CAST(o_orderdate AS DATE))` matches itself
     * and nothing else (a year() query is required in-gate to fall back
-    * to the base). Both served legs are plan-REQUIRED onto the summary;
-    * workload capture is required to record the expression grain by its
-    * resolved SQL. Oracle = base recompute. 2dp float sums over 2dp data
-    * (q165 regime: per-month sums ~2e9 carry ~5e-5 summation noise,
-    * 100× under the 0.005 boundary distance). */
+    * to the base). A third leg CUBEs over (month(...), status): the
+    * analyzer's Expand sits on an aliasing Project, the rule resolves
+    * each Expand position back to base-column form, and all four
+    * grouping sets come from ONE scan of the two-dim summary — lattice
+    * routing keeps the grouped/filtered legs on the COARSE om-only grain
+    * (plan-required, path-disjointness asserted). Workload capture is
+    * required to record the expression grain by its resolved SQL.
+    * Oracle = base recompute incl. GROUP BY CUBE. 2dp float sums over
+    * 2dp data (q165 regime: per-month sums ~2e9 carry ~5e-5 summation
+    * noise, 100× under the 0.005 boundary distance). */
   def q191ExprGrain(s: SparkSession, dir: String): DataFrame = {
     val R = graft.plan.RollupRewrite
     val orders = tbl(s, dir, "orders")
@@ -4293,25 +4298,49 @@ object Queries {
     R.register(orders, s.read.parquet(s"$tmpRoot/msum"), Seq("om"),
       Seq("o_totalprice"),
       groupExprOf = Map("om" -> month(col("o_orderdate"))))
+    graft.plan.Rollup.materializeExpr(orders,
+        Seq("om" -> month(col("o_orderdate")),
+          "o_orderstatus" -> col("o_orderstatus")), Seq("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/msum2")
+    R.register(orders, s.read.parquet(s"$tmpRoot/msum2"),
+      Seq("om", "o_orderstatus"), Seq("o_totalprice"),
+      groupExprOf = Map("om" -> month(col("o_orderdate"))))
     R.enable(s)
     R.startWorkloadCapture()
     try {
+      val nullStatus = lit(null).cast("string").as("status")
       val all = orders.groupBy(month(col("o_orderdate")).as("om"))
         .agg(count(lit(1)).as("n_rows"), sum("o_totalprice").as("__s"),
           min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
-        .select(lit("all").as("leg"), col("om"), col("n_rows"),
+        .select(lit("all").as("leg"), col("om"), nullStatus, col("n_rows"),
           round(col("__s"), 2).as("sum_total"), col("mn"), col("mx"))
       val scansA = R.scanRootPaths(all)
-      require(scansA.nonEmpty && scansA.forall(_.contains("msum")),
-        s"month()-grouped raw-fact query must ride the summary — scans $scansA")
+      require(scansA.nonEmpty && scansA.forall(p =>
+          p.contains("msum") && !p.contains("msum2")),
+        s"month()-grouped raw-fact query must ride the COARSE om summary — scans $scansA")
       val mar = orders.filter(month(col("o_orderdate")) === 3)
         .agg(count(lit(1)).as("n_rows"), sum("o_totalprice").as("__s"),
           min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
-        .select(lit("mar").as("leg"), lit(3).as("om"), col("n_rows"),
-          round(col("__s"), 2).as("sum_total"), col("mn"), col("mx"))
+        .select(lit("mar").as("leg"), lit(3).as("om"), nullStatus,
+          col("n_rows"), round(col("__s"), 2).as("sum_total"),
+          col("mn"), col("mx"))
       val scansM = R.scanRootPaths(mar)
-      require(scansM.nonEmpty && scansM.forall(_.contains("msum")),
-        s"grain-expression filter must ride the summary — scans $scansM")
+      require(scansM.nonEmpty && scansM.forall(p =>
+          p.contains("msum") && !p.contains("msum2")),
+        s"grain-expression filter must ride the COARSE om summary — scans $scansM")
+      // CUBE over the computed dim + status: all four grouping sets must
+      // come from ONE scan of the two-dim (om, o_orderstatus) summary —
+      // the om-only grain above cannot answer it (status missing)
+      val cube = orders.cube(month(col("o_orderdate")).as("om"),
+          col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"), sum("o_totalprice").as("__s"),
+          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        .select(lit("cube").as("leg"), col("om"),
+          col("o_orderstatus").as("status"), col("n_rows"),
+          round(col("__s"), 2).as("sum_total"), col("mn"), col("mx"))
+      val scansC = R.scanRootPaths(cube)
+      require(scansC.nonEmpty && scansC.forall(_.contains("msum2")),
+        s"computed-dim cube must ride the two-dim summary — scans $scansC")
       // a DIFFERENT expression over the same column must fall back
       val other = orders.groupBy(year(col("o_orderdate")).as("oy"))
         .agg(count(lit(1)).as("n"))
@@ -4321,7 +4350,7 @@ object Queries {
       val captured = R.capturedWorkload(basePaths)
       require(captured.exists(g => g.size == 1 && g.head.startsWith("month(")),
         s"workload capture must record the expression grain: $captured")
-      materializeAndCleanup(s, all.unionByName(mar), tmpRoot)
+      materializeAndCleanup(s, all.unionByName(mar).unionByName(cube), tmpRoot)
     } finally {
       R.resetWorkloadCapture(); R.disable(s); R.clear()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
@@ -6681,19 +6710,29 @@ object Queries {
         |  greatest(start, k * 256) - start AS tok_off,
         |  least(start + w, (k + 1) * 256) - greatest(start, k * 256) AS span_len
         |FROM u""".stripMargin),
-    // q191: computed-dimension grain — both legs are answered from the
-    // month()-grained summary in-plan (required in-query); the oracle
-    // recomputes them from the base. DuckDB month() is BIGINT → CAST;
-    // 2dp float sums over 2dp data (q165 regime).
+    // q191: computed-dimension grain — all three legs are answered from
+    // month()-grained summaries in-plan (required in-query: coarse om
+    // grain for the grouped/filtered legs, the two-dim grain for the
+    // CUBE leg's four grouping sets); the oracle recomputes them from
+    // the base. DuckDB month() is BIGINT → CAST; cube grouping-set NULLs
+    // are unambiguous (o_orderdate is never NULL); 2dp float sums over
+    // 2dp data (q165 regime).
     "q191_expr_grain" ->
       """SELECT 'all' AS leg, CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS om,
+        | CAST(NULL AS VARCHAR) AS status,
         | count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_total,
         | min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |FROM orders GROUP BY 2
         |UNION ALL
-        |SELECT 'mar', CAST(3 AS INT), count(*), round(sum(o_totalprice), 2),
+        |SELECT 'mar', CAST(3 AS INT), NULL, count(*),
+        | round(sum(o_totalprice), 2), min(o_totalprice), max(o_totalprice)
+        |FROM orders WHERE month(CAST(o_orderdate AS DATE)) = 3
+        |UNION ALL
+        |SELECT 'cube', CAST(month(CAST(o_orderdate AS DATE)) AS INT),
+        | o_orderstatus, count(*), round(sum(o_totalprice), 2),
         | min(o_totalprice), max(o_totalprice)
-        |FROM orders WHERE month(CAST(o_orderdate AS DATE)) = 3""".stripMargin,
+        |FROM orders
+        |GROUP BY CUBE (month(CAST(o_orderdate AS DATE)), o_orderstatus)""".stripMargin,
     // q193: bigram training + held-out confusion — the shared chain in
     // bigram mode; acc_bp = exact integer basis points (HUGEINT sums
     // CAST to BIGINT; // truncates like Spark div). A training drift,

@@ -92,6 +92,53 @@ class LatticeAdvisorSpec extends SparkSpec {
     assert(!LatticeAdvisor.greedy(close, wl, 10000L, 1, names).head.marginFlagged)
   }
 
+  test("advisor loop with a COMPUTED dimension: advise over month() on the raw fact, materializeExpr, serve") {
+    // r11 closes q185's prepared-base workaround: the advisor's dims can
+    // BE expressions (cardinalities project them), the advised grain
+    // materializes via materializeExpr, registers with groupExprOf, and
+    // the month()-grouped query on the RAW fact rides the summary — the
+    // full capture→advise→materialize→serve loop with no prepared table.
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val dims = Seq("om" -> month(col("o_orderdate")),
+      "st" -> col("o_orderstatus"))
+    val advice = LatticeAdvisor.advise(orders, dims,
+      Seq(Set("om"), Set("om", "st")), k = 2)
+    assert(advice.nonEmpty && advice.forall(_.benefit > 0))
+    val dir = java.nio.file.Files.createTempDirectory("advexpr").toString
+    try {
+      advice.filter(_.grain.nonEmpty).foreach { a =>
+        val exprs = a.grain.map(g => g -> dims.find(_._1 == g).get._2)
+        Rollup.materializeExpr(orders, exprs, Seq("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$dir/${a.grain.mkString("_")}")
+        // every advised dim here is an EXPRESSION grain (om computes
+        // month; st renames a column — also not a base column name)
+        RollupRewrite.register(orders,
+          spark.read.parquet(s"$dir/${a.grain.mkString("_")}"),
+          a.grain, Seq("o_totalprice"), groupExprOf = exprs.toMap)
+      }
+      RollupRewrite.enable(spark)
+      def q(src: org.apache.spark.sql.DataFrame) =
+        src.groupBy(month(col("o_orderdate")).as("m"))
+          .agg(count(lit(1)).as("n"), min("o_totalprice").as("mn"))
+      val served = q(orders)
+      val scans = served.queryExecution.optimizedPlan.collect {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) => fs.location.rootPaths.map(_.toString)
+      }.flatten
+      assert(scans.nonEmpty && scans.forall(_.contains(dir)),
+        s"advised computed grain did not serve:\n${served.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark)
+      val want = q(orders).collect().map(_.toSeq).toSet
+      RollupRewrite.enable(spark)
+      assert(served.collect().map(_.toSeq).toSet == want && want.nonEmpty)
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("workload grains must use declared dim names") {
     intercept[IllegalArgumentException] {
       advise(df, dims, Seq(Set("z")), 1)

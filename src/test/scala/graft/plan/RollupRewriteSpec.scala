@@ -904,6 +904,36 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("computed grain: CUBE over month() rides the summary — all grouping sets, one summary scan") {
+    withExprRollup { (base, dir) =>
+      def q(src: DataFrame) = src
+        .cube(month(col("o_orderdate")).as("m"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"),
+          max("o_totalprice").as("mx"))
+      val served = q(base)
+      assert(scanPaths(served).forall(_.contains(dir)),
+        s"computed-dim cube did not serve:\n${served.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark)
+      val want = q(base).collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2)) ->
+          (r.getDouble(3), r.getDouble(4))).toMap
+      RollupRewrite.enable(spark)
+      val got = served.collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2)) ->
+          (r.getDouble(3), r.getDouble(4))).toMap
+      assert(got.keySet == want.keySet && want.nonEmpty)
+      got.foreach { case (k, (s, mx)) =>
+        assert(mx == want(k)._2)                       // max carried verbatim
+        assert(math.abs(s - want(k)._1) < 1e-4, s"$k") // float sum: merge order
+      }
+      // a cube mixing an UNREGISTERED expression must fall to the base
+      val other = base.cube(year(col("o_orderdate")).as("y"),
+        col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      assert(scanPaths(other).exists(_.contains("orders.parquet")),
+        s"year() cube must not match the month() grain:\n${other.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("computed grain: save/restore round-trips the grain expression (v2 manifest)") {
     withExprRollup { (base, dir) =>
       RollupRewrite.save(spark, s"$dir/lattice.manifest")

@@ -934,6 +934,42 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("computed grain: refreshStale rebuilds the delta through the re-parsed grain expression") {
+    // the refresh path re-parses the registration's stored grain SQL via
+    // expr() to aggregate the appended files — the same device restore
+    // uses; a drift there would merge the delta under wrong grain values
+    val dir = java.nio.file.Files.createTempDirectory("exprrefresh").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    try {
+      orders.write.mode("overwrite").parquet(s"$dir/base")
+      val base0 = spark.read.parquet(s"$dir/base")
+      val grains = Seq("om" -> month(col("o_orderdate")))
+      Rollup.materializeExpr(base0, grains, Seq("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/sum")
+      RollupRewrite.register(base0, spark.read.parquet(s"$dir/sum"),
+        Seq("om"), Seq("o_totalprice"), groupExprOf = grains.toMap)
+      RollupRewrite.enable(spark)
+      orders.filter(col("o_orderkey") % 5 === 2)
+        .write.mode("append").parquet(s"$dir/base")
+      val rep = RollupRewrite.refreshStale(spark, s"$dir/r1")
+      assert(rep.size == 1 && rep.head.refreshed)
+      def q(src: DataFrame) = src.groupBy(month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), min("o_totalprice").as("mn"))
+      val served = q(spark.read.parquet(s"$dir/base"))
+      assert(scanPaths(served).nonEmpty &&
+        scanPaths(served).forall(_.contains("refresh_")),
+        s"refreshed expr-grain summary must serve:\n${served.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark)
+      val want = q(spark.read.parquet(s"$dir/base")).collect().map(_.toSeq).toSet
+      RollupRewrite.enable(spark)
+      assert(served.collect().map(_.toSeq).toSet == want && want.nonEmpty)
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("computed grain: save/restore round-trips the grain expression (v2 manifest)") {
     withExprRollup { (base, dir) =>
       RollupRewrite.save(spark, s"$dir/lattice.manifest")

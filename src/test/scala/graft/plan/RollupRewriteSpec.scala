@@ -773,6 +773,43 @@ class RollupRewriteSpec extends SparkSpec {
 
   // --- computed-dimension grains (VERDICT r10 #1) ---
 
+  test("grainShape: name-identity preserved, exprIds erased, distinct expressions never collide") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    def attr(n: String, dt: org.apache.spark.sql.types.DataType = DateType) =
+      AttributeReference(n, dt, nullable = true)()
+    def monthOf(a: AttributeReference) =
+      Month(Cast(a, DateType))
+    // same computation over the same column NAME, different exprIds
+    // (two reads of one table) must compare equal
+    assert(RollupRewrite.grainShape(monthOf(attr("d"))) ==
+      RollupRewrite.grainShape(monthOf(attr("d"))))
+    // ... but a different column name must NOT (month(o_orderdate) is
+    // not month(o_shipdate) — the normalizedShape device would conflate
+    // them, which is exactly why grainShape exists)
+    assert(RollupRewrite.grainShape(monthOf(attr("d1"))) !=
+      RollupRewrite.grainShape(monthOf(attr("d2"))))
+    // a different function over the same column must not match
+    assert(RollupRewrite.grainShape(monthOf(attr("d"))) !=
+      RollupRewrite.grainShape(Year(Cast(attr("d"), DateType))))
+    // bare attributes: identity by name, not by exprId or nullability
+    val a1 = attr("x", LongType); val a2 = attr("x", LongType)
+    assert(a1.exprId != a2.exprId &&
+      RollupRewrite.grainShape(a1) == RollupRewrite.grainShape(a2))
+    assert(RollupRewrite.grainShape(attr("x", LongType)) !=
+      RollupRewrite.grainShape(attr("y", LongType)))
+    // the cast matters: month(date_col) vs month(cast(string_col)) are
+    // different trees even under one name with different input types
+    assert(RollupRewrite.grainShape(Month(attr("d", DateType))) !=
+      RollupRewrite.grainShape(Month(Cast(attr("d", StringType), DateType))))
+    // nested arithmetic: canonicalization may reorder commutative ops —
+    // equal-value trees comparing equal is fine (same stored values);
+    // what must hold is self-equality across independent constructions
+    val t1 = Add(Multiply(attr("x", LongType), Literal(7L)), Literal(3L))
+    val t2 = Add(Multiply(attr("x", LongType), Literal(7L)), Literal(3L))
+    assert(RollupRewrite.grainShape(t1) == RollupRewrite.grainShape(t2))
+  }
+
   private def withExprRollup[A](body: (DataFrame, String) => A): A = {
     val dir = java.nio.file.Files.createTempDirectory("exprrollup").toString
     val base = spark.read.parquet(s"$sf/orders.parquet")

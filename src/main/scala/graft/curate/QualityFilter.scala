@@ -97,7 +97,9 @@ object QualityFilter {
   /** One-row exact confusion over [[holdoutEval]] output: integer
     * tp/fp/fn/tn and accuracy in BASIS POINTS via truncating integer
     * division (the q131 integer-rational device — no float boundary, any
-    * engine agrees). */
+    * engine agrees). An EMPTY eval input yields NULL counts and a NULL
+    * acc_bp (guarded — ANSI mode is on project-wide, so a bare `div n`
+    * would throw DIVIDE_BY_ZERO at runtime; ADVICE r11). */
   def confusionStats(eval: DataFrame): DataFrame =
     eval.agg(
         sum(when(col("keep") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
@@ -106,7 +108,7 @@ object QualityFilter {
         sum(when(col("keep") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"),
         count(lit(1)).as("n"))
       .selectExpr("tp", "fp", "fn", "tn",
-        "(tp + tn) * 10000L div n AS acc_bp")
+        "CASE WHEN n = 0 THEN NULL ELSE (tp + tn) * 10000L div n END AS acc_bp")
 
   /** One training epoch's residuals are exact BIGINTs; see the object
     * scaladoc. `features` = [[hashedFeatures]] output restricted to the
@@ -175,19 +177,30 @@ object QualityFilter {
     *     (score DESC, id) window for its remaining slots.
     *
     * Integer-only arithmetic; bit-identical to the naive global window
-    * (spec-pinned) and SQL-replayable as a plain row_number. */
+    * (spec-pinned) and SQL-replayable as a plain row_number.
+    *
+    * RESOURCE CONTRACT (ADVICE r11): the returned frame READS the
+    * localCheckpoint blocks (lineage is truncated — they cannot be
+    * recomputed), so this operator cannot unpersist before returning.
+    * The checkpoint is registered with [[graft.plan.Checkpoints]];
+    * callers release it AFTER materializing the result via
+    * `Checkpoints.release()` (queries do this in their gate code; Bench
+    * additionally sweeps between queries as a backstop). A zero rate
+    * short-circuits BEFORE the checkpoint — no materialization is paid
+    * for an empty result. */
   def selectTopRate(scored: DataFrame, idCol: String, scoreCol: String,
                     rateNum: Long, rateDen: Long,
                     buckets: Int = 1024): DataFrame = {
     require(rateDen > 0 && rateNum >= 0 && rateNum <= rateDen,
       "rate must be a fraction in [0, 1]")
+    if (rateNum == 0) return scored.limit(0) // k = ceil(0·n/d) = 0 always
     import org.apache.spark.sql.expressions.Window
     // ONE materialization for all four passes (stats, bucket counts, the
     // two filter branches): at scale `scored` is a join output that would
     // otherwise recompute per pass (VERDICT r10 #4). localCheckpoint
-    // truncates the lineage onto persisted blocks; the caller's battery
-    // (Bench) blocking-unpersists leaked RDDs between queries.
-    val snap = scored.localCheckpoint(true)
+    // truncates the lineage onto persisted blocks; released by the caller
+    // through the Checkpoints registry (see the resource contract above).
+    val snap = graft.plan.Checkpoints.track(scored.localCheckpoint(true))
     val st = snap.agg(count(lit(1)), min(col(scoreCol).cast("long")),
       max(col(scoreCol).cast("long"))).collect()(0)
     val n = st.getLong(0)

@@ -336,6 +336,27 @@ object RollupRewrite {
     }.toDF("base", "grain", "measures", "distinct_cols", "fresh")
   }
 
+  private def hexDigest(parts: Iterable[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach { s =>
+      md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte) // unambiguous part separator
+    }
+    md.digest.map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** Stable identity digest of a registration (base + full layout) —
+    * one half of [[refreshStale]]'s content-addressed output naming. */
+  private def regDigest(d: RollupDef): String =
+    hexDigest(d.basePaths.toSeq.sorted ++ d.groupCols ++ d.measures ++
+      d.distinctCols ++ Seq(d.sketchK.toString) ++
+      d.grainExprSql.toSeq.sortBy(_._1).map { case (n, s) => s"$n=$s" })
+
+  /** Digest of a base file manifest (the post-append state) — the other
+    * half: a later refresh of the same registration lands in a NEW dir. */
+  private def manifestDigest(manifest: Set[String]): String =
+    hexDigest(manifest.toSeq.sorted)
+
   /** One [[refreshStale]] outcome: the registration's base and grain,
     * whether it could be refreshed, and — when it could — exactly the
     * appended base files whose rows were aggregated (the ONLY base data
@@ -360,10 +381,30 @@ object RollupRewrite {
     * (queries keep falling through to the base; re-materialize to
     * recover). Fresh registrations are skipped (nothing to do).
     *
-    * Each refreshed summary lands in `outDir/refresh_<i>` (parquet) and
-    * its registration is REPLACED (same grain ⇒ replace, the existing
-    * re-register semantics), so the next query over the base serves from
-    * the refreshed summary — plan-assertable via [[scanRootPaths]]. */
+    * Each refreshed summary lands in
+    * `outDir/refresh_<regDigest>_<manifestDigest>` (parquet) — CONTENT
+    * addressing, not a positional index (ADVICE r11): re-register
+    * removes+appends entries so positions shift between calls, and a
+    * positional name could either collide with the summary currently
+    * being read (self-overwrite) or silently overwrite a LIVE
+    * registration's files with another grain's data. The digest pair is
+    * unique per (registration identity, post-append base state): the
+    * stored summary was written under the PREVIOUS manifest digest, so a
+    * refresh never overwrites what it reads, re-running an interrupted
+    * refresh is idempotent (same digests ⇒ same dir, overwrite of an
+    * orphan), and two different registrations can never share a dir.
+    * The registration is then REPLACED (same grain ⇒ replace, the
+    * existing re-register semantics), so the next query over the base
+    * serves from the refreshed summary — plan-assertable via
+    * [[scanRootPaths]].
+    *
+    * Layout restriction (ADVICE r11): the delta aggregation reads the
+    * appended files DIRECTLY (no partition discovery), so a registration
+    * whose grain/measures/distinct columns include a Hive PARTITION
+    * column cannot be delta-refreshed — the column is absent from the
+    * bare file read. Such registrations report `refreshed = false`
+    * (detected by a schema check before any job runs) instead of
+    * throwing mid-refresh. */
   def refreshStale(spark: SparkSession, outDir: String): Seq[RefreshResult] = {
     import scala.jdk.CollectionConverters._
     val snapshot = defs.iterator().asScala.toSeq
@@ -374,7 +415,7 @@ object RollupRewrite {
           s"base $paths is no longer a file-backed relation"))
       paths -> fingerprintEntries(rel.location).toSet
     }.toMap
-    snapshot.zipWithIndex.flatMap { case (d, i) =>
+    snapshot.flatMap { d =>
       val current = currentByBase(d.basePaths)
       if (d.baseManifest.isEmpty || d.baseManifest == current) None
       else if (!d.baseManifest.subsetOf(current))
@@ -384,29 +425,45 @@ object RollupRewrite {
         val deltaFiles = (current -- d.baseManifest).toSeq.sorted
           .map(_.split("\\|")(0))
         val delta = spark.read.parquet(deltaFiles: _*)
-        val grainExprs = d.groupCols.map(g => g -> d.grainExprSql.get(g)
-          .map(org.apache.spark.sql.functions.expr)
-          .getOrElse(org.apache.spark.sql.functions.col(g)))
-        val deltaSummary = Rollup.materializeExpr(delta, grainExprs,
-          d.measures, d.distinctCols, d.sketchK)
-        val storedPaths = d.summary.collect {
-          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-            fs.location.rootPaths.map(_.toString)
-        }.flatten
-        require(storedPaths.nonEmpty,
-          "stored summary is not file-backed; cannot refresh")
-        val stored = spark.read.parquet(storedPaths: _*)
-        val out = s"$outDir/refresh_$i"
-        Rollup.merge(stored, deltaSummary, d.groupCols, d.measures,
-            d.distinctCols, d.sketchK)
-          .write.mode("overwrite").parquet(out)
-        register(spark.read.parquet(d.basePaths.toSeq: _*),
-          spark.read.parquet(out), d.groupCols, d.measures, d.distinctCols,
-          d.sketchK,
-          d.grainExprSql.map { case (n, s) =>
-            n -> org.apache.spark.sql.functions.expr(s) })
-        Some(RefreshResult(d.basePaths, d.groupCols, refreshed = true,
-          deltaFiles, out))
+        // every base column the summary layout needs must survive the
+        // bare (partition-discovery-free) file read — a Hive partition
+        // column would be missing here, so report unrefreshable instead
+        // of throwing mid-aggregation (ADVICE r11)
+        val needed = (d.measures ++ d.distinctCols ++
+          d.groupCols.filterNot(d.grainExprSql.contains) ++
+          d.grainExprSql.values.flatMap(s =>
+            spark.sessionState.sqlParser.parseExpression(s).collect {
+              case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                u.nameParts.last
+            })).toSet
+        if (!needed.subsetOf(delta.columns.toSet))
+          Some(RefreshResult(d.basePaths, d.groupCols,
+            refreshed = false, Nil, ""))
+        else {
+          val grainExprs = d.groupCols.map(g => g -> d.grainExprSql.get(g)
+            .map(org.apache.spark.sql.functions.expr)
+            .getOrElse(org.apache.spark.sql.functions.col(g)))
+          val deltaSummary = Rollup.materializeExpr(delta, grainExprs,
+            d.measures, d.distinctCols, d.sketchK)
+          val storedPaths = d.summary.collect {
+            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+              fs.location.rootPaths.map(_.toString)
+          }.flatten
+          require(storedPaths.nonEmpty,
+            "stored summary is not file-backed; cannot refresh")
+          val stored = spark.read.parquet(storedPaths: _*)
+          val out = s"$outDir/refresh_${regDigest(d)}_${manifestDigest(current)}"
+          Rollup.merge(stored, deltaSummary, d.groupCols, d.measures,
+              d.distinctCols, d.sketchK)
+            .write.mode("overwrite").parquet(out)
+          register(spark.read.parquet(d.basePaths.toSeq: _*),
+            spark.read.parquet(out), d.groupCols, d.measures, d.distinctCols,
+            d.sketchK,
+            d.grainExprSql.map { case (n, s) =>
+              n -> org.apache.spark.sql.functions.expr(s) })
+          Some(RefreshResult(d.basePaths, d.groupCols, refreshed = true,
+            deltaFiles, out))
+        }
       }
     }
   }

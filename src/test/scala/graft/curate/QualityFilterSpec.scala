@@ -159,4 +159,39 @@ class QualityFilterSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getAs[Long]("score_micro") == 0L &&
       out(0).getAs[Int]("keep") == 0)
   }
+
+  test("confusionStats on an EMPTY eval yields NULL acc_bp, not DIVIDE_BY_ZERO (ADVICE r11)") {
+    // ANSI mode is on project-wide: an unguarded `div n` with n = 0
+    // throws at runtime; the stat row must instead carry NULLs
+    val empty = Seq.empty[(Long, Long, Long, Int)]
+      .toDF("doc_id", "y", "score_micro", "keep")
+    val row = QualityFilter.confusionStats(empty).collect()(0)
+    assert(row.isNullAt(row.fieldIndex("acc_bp")))
+    assert(row.isNullAt(row.fieldIndex("tp")))
+  }
+
+  test("selectTopRate at rate 0 short-circuits: empty result, NO checkpoint paid (ADVICE r11)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val scored = Seq((1L, 10L), (2L, 5L)).toDF("doc_id", "score_micro")
+    val out = QualityFilter.selectTopRate(scored, "doc_id", "score_micro", 0L, 10L)
+    assert(out.count() == 0)
+    assert(sc.getPersistentRDDs.keySet == before,
+      "zero rate must not materialize (no persisted RDDs added)")
+  }
+
+  test("selectTopRate registers its escaping checkpoint with Checkpoints; release() reclaims it") {
+    val sc = spark.sparkContext
+    graft.plan.Checkpoints.release() // drain residue from other suites
+    val before = sc.getPersistentRDDs.keySet
+    val scored = (1L to 100L).map(i => (i, i % 17)).toDF("doc_id", "score_micro")
+    val out = QualityFilter.selectTopRate(scored, "doc_id", "score_micro", 1L, 4L)
+    assert(out.count() == 25)
+    assert(graft.plan.Checkpoints.liveCount >= 1,
+      "the escaping localCheckpoint must be tracked")
+    graft.plan.Checkpoints.release()
+    assert(graft.plan.Checkpoints.liveCount == 0)
+    assert(sc.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "release() must blocking-unpersist the tracked checkpoint")
+  }
 }

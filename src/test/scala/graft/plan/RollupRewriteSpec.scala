@@ -1034,4 +1034,93 @@ class RollupRewriteSpec extends SparkSpec {
       }
     }
   }
+
+  test("refreshStale: content-addressed output dirs — repeated refreshes into ONE outDir never collide (ADVICE r11)") {
+    // the r11 ship named outputs refresh_<positional index>; re-register
+    // removes+appends so positions SHIFT, and a second refreshStale call
+    // with the same outDir could overwrite a LIVE registration's summary
+    // with another grain's data. Content addressing (registration digest
+    // + post-append manifest digest) makes every (registration, base
+    // state) pair land in its own dir.
+    val dir = java.nio.file.Files.createTempDirectory("refreshaddr").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    try {
+      orders.write.mode("overwrite").parquet(s"$dir/base")
+      val base0 = spark.read.parquet(s"$dir/base")
+      // TWO registrations over the same base (different grains)
+      Rollup.materialize(base0, Seq("o_orderstatus"), Seq("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/sumA")
+      Rollup.materialize(base0, Seq("o_orderpriority"), Seq("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/sumB")
+      RollupRewrite.register(base0, spark.read.parquet(s"$dir/sumA"),
+        Seq("o_orderstatus"), Seq("o_totalprice"))
+      RollupRewrite.register(base0, spark.read.parquet(s"$dir/sumB"),
+        Seq("o_orderpriority"), Seq("o_totalprice"))
+      RollupRewrite.enable(spark)
+      // two successive appends, BOTH refreshed into the SAME outDir
+      orders.filter(col("o_orderkey") % 7 === 3)
+        .write.mode("append").parquet(s"$dir/base")
+      val rep1 = RollupRewrite.refreshStale(spark, s"$dir/r")
+      orders.filter(col("o_orderkey") % 7 === 5)
+        .write.mode("append").parquet(s"$dir/base")
+      val rep2 = RollupRewrite.refreshStale(spark, s"$dir/r")
+      assert(rep1.size == 2 && rep1.forall(_.refreshed))
+      assert(rep2.size == 2 && rep2.forall(_.refreshed))
+      val outs = (rep1 ++ rep2).map(_.summaryPath)
+      assert(outs.distinct.size == 4,
+        s"all four (registration, base state) outputs must be distinct dirs: $outs")
+      // both grains still serve, values equal to a full recompute
+      for (g <- Seq("o_orderstatus", "o_orderpriority")) {
+        def q(src: DataFrame) = src.groupBy(g)
+          .agg(count(lit(1)).as("n"), min("o_totalprice").as("mn"))
+        val served = q(spark.read.parquet(s"$dir/base"))
+        assert(scanPaths(served).nonEmpty &&
+          scanPaths(served).forall(_.contains("refresh_")),
+          s"grain $g must serve from its refreshed summary:\n${served.queryExecution.optimizedPlan}")
+        RollupRewrite.disable(spark)
+        val want = q(spark.read.parquet(s"$dir/base")).collect().map(_.toSeq).toSet
+        RollupRewrite.enable(spark)
+        assert(served.collect().map(_.toSeq).toSet == want && want.nonEmpty,
+          s"grain $g diverged after the second same-outDir refresh")
+      }
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("refreshStale: grain on a Hive PARTITION column reports unrefreshable instead of throwing (ADVICE r11)") {
+    // the delta aggregation reads appended files directly (no partition
+    // discovery), so a partition-column grain/measure is absent from the
+    // bare read — must surface as refreshed=false, like other
+    // unrefreshable diffs, not as a mid-refresh AnalysisException
+    val dir = java.nio.file.Files.createTempDirectory("refreshpart").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    try {
+      orders.write.mode("overwrite").partitionBy("o_orderstatus")
+        .parquet(s"$dir/base")
+      val base0 = spark.read.parquet(s"$dir/base")
+      Rollup.materialize(base0, Seq("o_orderstatus"), Seq("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/sum")
+      RollupRewrite.register(base0, spark.read.parquet(s"$dir/sum"),
+        Seq("o_orderstatus"), Seq("o_totalprice"))
+      RollupRewrite.enable(spark)
+      orders.filter(col("o_orderkey") % 7 === 3)
+        .write.mode("append").partitionBy("o_orderstatus")
+        .parquet(s"$dir/base")
+      val rep = RollupRewrite.refreshStale(spark, s"$dir/r")
+      assert(rep.size == 1 && !rep.head.refreshed,
+        s"partition-column grain must report unrefreshable, got $rep")
+      // the registration stays STALE: queries keep falling to the base
+      val q = spark.read.parquet(s"$dir/base").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+      assert(scanPaths(q).exists(_.contains("base")),
+        s"stale partitioned registration must fall through:\n${q.queryExecution.optimizedPlan}")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

@@ -820,51 +820,72 @@ object ScaleRehearsal {
     })
 
     if (enabled("eageragg")) scenario("eager-agg-100m",
-        "partial aggregation pushed below a large-dim sort-merge join", {
-      // 100M-row fact joined to a 5M-row dim (too big to broadcast —
-      // the sort-merge shape eager aggregation exists for), grouped by
-      // the dim's 20-value attribute. 500k DISTINCT fact keys (200
-      // rows/key): directly, the join shuffles and SORTS all 100M fact
-      // rows; with the pushdown, map-side combine already collapses each
-      // ~3M-row input partition onto ≤500k partials, the exchange
-      // carries ~16M rows instead of 100M, and the join sorts 500k.
-      // This is the regime the rule's scaladoc prescribes — with
-      // NEAR-UNIQUE fact keys (the r10 construction used 5M keys over
-      // SEQUENTIAL ids: ~1.08:1 map-side reduction) the pre-aggregation
-      // buys nothing structural, and under battery memory pressure its
-      // spill-prone hash maps measured SLOWER than the direct sort
-      // (r11: 78.8 s vs 9.7 s in-battery, parity standalone) — exactly
-      // the "near-unique keys ⇒ don't enable" boundary the heuristic
-      // documents, now rehearsed on the winning side of it. Answers must
-      // match exactly and the pushed shape must be in-plan; the wall
-      // ratio is the claim.
+        "cost-guarded partial-agg pushdown: reducing keys fire, near-unique auto-bail", {
+      // 100M-row PARQUET fact joined to a 5M-row dim (too big to
+      // broadcast — the sort-merge shape eager aggregation exists for),
+      // grouped by the dim's 20-value attribute. The fact carries BOTH
+      // regimes as columns: kr has 500k DISTINCT values (200 rows/key —
+      // directly, the join shuffles and sorts all 100M fact rows; with
+      // the pushdown the exchange carries ≤16M partials and the join
+      // sorts 500k) and ku is NEAR-UNIQUE (the regime whose pre-agg
+      // hash state only spills: r11 measured 78.8 s vs 9.7 s direct
+      // in-battery). One analyzeKeys pass registers KMV estimates for
+      // both; the COST GUARD (VERDICT r11 #1) must then fire the
+      // reducing join and AUTO-BAIL the near-unique one with the rule
+      // left enabled — the "safe fleet-wide" claim — and the knob
+      // (setMinReduction 0) must prove the guard is what bailed.
       import graft.plan.EagerAggregation
-      val fact = spark.range(0, 100000000L).select(
-        (col("id") % 500000L).as("k"), (col("id") % 997).as("m"))
-      val dim = spark.range(0, 5000000L).select(
-        col("id").as("dk"), (col("id") % 20).cast("string").as("g"))
-      def q() = fact.join(dim, col("k") === col("dk"))
-        .groupBy("g").agg(count(lit(1)).as("n"), sum("m").as("s"),
-          min("m").as("mn"), max("m").as("mx"))
-      val t0 = System.nanoTime()
-      val direct = q().collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getLong(4))).toSet
-      val directWall = (System.nanoTime() - t0) / 1e9
-      EagerAggregation.enable(spark)
+      val tmp = java.nio.file.Files.createTempDirectory("eageragg").toString
       try {
-        val plan = q()
-        val pushed = EagerAggregation.partialAggBelowJoin(plan)
-        val t1 = System.nanoTime()
-        val eager = q().collect()
+        spark.range(0, 100000000L).select(
+            (col("id") % 500000L).as("kr"), col("id").as("ku"),
+            (col("id") % 997).as("m"))
+          .write.mode("overwrite").parquet(s"$tmp/fact")
+        val fact = spark.read.parquet(s"$tmp/fact")
+        val dim = spark.range(0, 5000000L).select(
+          col("id").as("dk"), (col("id") % 20).cast("string").as("g"))
+        def q(key: String) = fact.join(dim, col(key) === col("dk"))
+          .groupBy("g").agg(count(lit(1)).as("n"), sum("m").as("s"),
+            min("m").as("mn"), max("m").as("mx"))
+        val tA = System.nanoTime()
+        val ks = EagerAggregation.analyzeKeys(fact, Seq("kr", "ku"))
+        val analyzeWall = (System.nanoTime() - tA) / 1e9
+        val estOk = ks.rows == 100000000L &&
+          math.abs(ks.distinctByCol("kr") - 500000L) < 50000L &&
+          ks.distinctByCol("ku") > 50000000L
+        val t0 = System.nanoTime()
+        val direct = q("kr").collect()
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
             r.getLong(3), r.getLong(4))).toSet
-        val eagerWall = (System.nanoTime() - t1) / 1e9
-        (pushed && eager == direct && eager.size == 20 &&
-          eagerWall < directWall,
-          f"direct=$directWall%.1fs eager=$eagerWall%.1fs pushed=$pushed " +
-            f"groups=${eager.size}")
-      } finally EagerAggregation.disable(spark)
+        val directWall = (System.nanoTime() - t0) / 1e9
+        EagerAggregation.enable(spark)
+        try {
+          val pushed = EagerAggregation.partialAggBelowJoin(q("kr"))
+          val t1 = System.nanoTime()
+          val eager = q("kr").collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4))).toSet
+          val eagerWall = (System.nanoTime() - t1) / 1e9
+          // near-unique: the guard must bail while the rule stays ON;
+          // dropping the threshold must re-expose the unguarded push
+          val bailed = !EagerAggregation.partialAggBelowJoin(q("ku"))
+          EagerAggregation.setMinReduction(0)
+          val unguarded = EagerAggregation.partialAggBelowJoin(q("ku"))
+          EagerAggregation.setMinReduction(4.0)
+          (estOk && pushed && bailed && unguarded &&
+            eager == direct && eager.size == 20 && eagerWall < directWall,
+            f"direct=$directWall%.1fs eager=$eagerWall%.1fs pushed=$pushed " +
+              f"nearunique_bailed=$bailed unguarded_pushes=$unguarded " +
+              f"analyze=$analyzeWall%.1fs est(kr)=${ks.distinctByCol("kr")} " +
+              f"est(ku)=${ks.distinctByCol("ku")} groups=${eager.size}")
+        } finally {
+          EagerAggregation.disable(spark)
+          EagerAggregation.setMinReduction(4.0)
+        }
+      } finally {
+        graft.plan.EagerAggregation.clearKeyStats()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
     })
 
     if (enabled("packseq")) scenario("pack-sequences-20m",

@@ -78,8 +78,110 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * side broadcasts, map-side partials after the join already avoid the
   * fact shuffle. The win is the large-dim sort-merge case, which is the
   * common 100-TB fact/dim shape.
+  *
+  * COST GUARD (VERDICT r11 #1) — what makes "enabled fleet-wide" safe:
+  * the downside regime is real and severe (measured in-battery: a
+  * near-unique-key 100M pre-aggregation SPILLED its hash state, 78.8 s
+  * vs 9.7 s direct — 8×), so before firing the rule estimates the fact
+  * side's ROWS PER PRE-AGG KEY and bails below [[setMinReduction]]
+  * (default 4 rows/key — under that, the partial map approaches fact
+  * size and the extra operator can only cost). Estimate sources, in
+  * order:
+  *
+  *  1. logical-plan statistics (CBO `rowCount` + per-column
+  *     `distinctCount`, when ANALYZE-style stats exist in the catalog);
+  *  2. the [[analyzeKeys]] registry: one aggregation pass over the base
+  *     records exact row count + KMV distinct estimates per key column
+  *     (the q69/q171 sketch machinery) keyed by the base's file paths —
+  *     the rule matches the fact subtree's single file relation and its
+  *     pre-agg key COLUMN NAMES against it.
+  *
+  * Multi-column key sets use max(per-column distinct) — a true LOWER
+  * bound on the tuple distinct count, hence an UPPER bound on the
+  * reduction: the rule bails only when even the optimistic reduction is
+  * below threshold (never guards away a genuinely reducing regime).
+  * When NEITHER source covers the keys the rule fires as before —
+  * estimate-free behavior is unchanged, so enabling the guard cannot
+  * silently un-push a workload that was relying on the rewrite; the
+  * registry row count describes the base at analyze time (a filtered
+  * fact usually loses rows and keys together, keeping the RATIO
+  * representative — the same approximation every cardinality-estimating
+  * optimizer makes).
   */
 object EagerAggregation {
+
+  /** [[analyzeKeys]] output: base row count + per-column distinct-count
+    * estimates (KMV k=1024 ⇒ ~3% error; exact below 1024 distinct). */
+  case class KeyStats(rows: Long, distinctByCol: Map[String, Long])
+
+  private val keyStats =
+    new java.util.concurrent.ConcurrentHashMap[Set[String], KeyStats]()
+
+  @volatile private var minReduction: Double = 4.0
+
+  /** Reduction threshold (rows per pre-agg key) below which the rewrite
+    * bails when an estimate is available. 0 disables the guard. */
+  def setMinReduction(r: Double): Unit = minReduction = r
+
+  def clearKeyStats(): Unit = keyStats.clear()
+
+  /** ANALYZE-style stats pass: ONE aggregation over `df` (count(*) plus
+    * a KMV sketch per column) recorded against the frame's single
+    * file-backed relation. Columns accumulate across calls — analyze the
+    * join-key and fact-grouping columns a workload actually uses. */
+  def analyzeKeys(df: DataFrame, cols: Seq[String], k: Int = 1024): KeyStats = {
+    import org.apache.spark.sql.functions._
+    val paths = df.queryExecution.analyzed.collect {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString).toSet
+    }
+    require(paths.size == 1,
+      s"analyzeKeys needs a single file-backed relation, found ${paths.size}")
+    val sketches = cols.map(c =>
+      graft.functions.expressions.KmvDistinctAgg.kmvSketch(
+        graft.curate.Curate.portableHash60(col(c)), k).as(s"__s_$c"))
+    val row = df.agg(count(lit(1)).as("__n"), sketches: _*).collect()(0)
+    val rows = row.getLong(0)
+    val dist = cols.zipWithIndex.map { case (c, i) =>
+      val arr = row.getSeq[Long](i + 1)
+      val est =
+        if (arr.length < k) arr.length.toDouble
+        else (k - 1).toDouble * (1L << 60).toDouble / arr(k - 1).toDouble
+      c -> math.max(1L, est.toLong)
+    }.toMap
+    val merged = keyStats.merge(paths.head, KeyStats(rows, dist),
+      (old, nw) => KeyStats(nw.rows, old.distinctByCol ++ nw.distinctByCol))
+    merged
+  }
+
+  /** Estimated rows-per-key for aggregating `fact` by `keys`; None when
+    * neither plan stats nor the [[analyzeKeys]] registry cover them. */
+  private[plan] def estimatedReduction(fact: LogicalPlan,
+                                       keys: Seq[Attribute]): Option[Double] = {
+    if (keys.isEmpty) return None // global pre-agg: always maximally reducing
+    val st = fact.stats
+    val fromPlan = st.rowCount.flatMap { rc =>
+      val ds = keys.flatMap(a => st.attributeStats.get(a).flatMap(_.distinctCount))
+      if (ds.isEmpty) None
+      else Some(rc.toDouble / math.max(1.0, ds.max.toDouble))
+    }
+    fromPlan.orElse {
+      val rels = fact.collect {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString).toSet
+      }
+      if (rels.size != 1) None
+      else Option(keyStats.get(rels.head)).flatMap { ks =>
+        val ds = keys.flatMap(a => ks.distinctByCol.get(a.name))
+        if (ds.isEmpty) None
+        else Some(ks.rows.toDouble / math.max(1.0, ds.max.toDouble))
+      }
+    }
+  }
 
   def enable(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[PushRule]))
@@ -185,6 +287,17 @@ object EagerAggregation {
       val groupRefs = AttributeSet(agg.groupingExpressions.flatMap(_.references))
       val factGroupAttrs = agg.groupingExpressions.flatMap(_.references)
         .filter(factOut.contains).distinct
+      // COST GUARD: bail when the pre-aggregation provably reduces too
+      // little (rows per key below the threshold) — the near-unique-key
+      // regime where its hash state approaches fact size and spills.
+      // No estimate ⇒ fire (estimate-free behavior unchanged).
+      if (minReduction > 0) {
+        val guardKeys = (factKeys ++ factGroupAttrs).distinct
+        estimatedReduction(fact, guardKeys) match {
+          case Some(r) if r < minReduction => return None
+          case _ => ()
+        }
+      }
 
       // partials, deduplicated by (kind, canonicalized input)
       val partials = scala.collection.mutable.LinkedHashMap[

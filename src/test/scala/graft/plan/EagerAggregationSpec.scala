@@ -412,4 +412,84 @@ class EagerAggregationSpec extends SparkSpec {
       }
     }
   }
+
+  test("cost guard: analyzed near-unique keys auto-bail; reducing keys fire; unknown bases unchanged (VERDICT r11 #1)") {
+    withTemp { dir =>
+      // near-unique: one fact row per key (the spill regime)
+      spark.range(0, 5000).select(col("id").as("k"), (col("id") % 7).as("m"))
+        .write.parquet(s"$dir/factU")
+      // reducing: 50 rows per key (the regime the rule exists for)
+      spark.range(0, 5000).select((col("id") % 100).as("k"), (col("id") % 7).as("m"))
+        .write.parquet(s"$dir/factR")
+      // never analyzed: estimate-free behavior must stay "fire"
+      spark.range(0, 5000).select(col("id").as("k"), (col("id") % 7).as("m"))
+        .write.parquet(s"$dir/factX")
+      val dim = spark.range(0, 6000).select(col("id").as("dk"),
+        (col("id") % 5).cast("string").as("g"))
+      def q(fact: DataFrame) = fact.join(dim, col("k") === col("dk"))
+        .groupBy("g").agg(sum("m").as("s"), count(lit(1)).as("n"))
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      try {
+        val su = EagerAggregation.analyzeKeys(
+          spark.read.parquet(s"$dir/factU"), Seq("k"))
+        val sr = EagerAggregation.analyzeKeys(
+          spark.read.parquet(s"$dir/factR"), Seq("k"))
+        assert(su.rows == 5000 && su.distinctByCol("k") > 4000,
+          s"near-unique estimate off: $su")
+        assert(sr.distinctByCol("k") == 100, // < sketch k ⇒ exact
+          s"reducing estimate off: $sr")
+        val wantU = rows(q(spark.read.parquet(s"$dir/factU")))
+        val wantR = rows(q(spark.read.parquet(s"$dir/factR")))
+        withRule {
+          val qu = q(spark.read.parquet(s"$dir/factU"))
+          assert(!EagerAggregation.partialAggBelowJoin(qu),
+            s"near-unique keys must auto-bail:\n${qu.queryExecution.optimizedPlan}")
+          val qr = q(spark.read.parquet(s"$dir/factR"))
+          assert(EagerAggregation.partialAggBelowJoin(qr),
+            s"reducing keys must still fire:\n${qr.queryExecution.optimizedPlan}")
+          assert(rows(qu) == wantU && rows(qr) == wantR)
+          // un-analyzed base: no estimate ⇒ fire (status quo preserved)
+          val qx = q(spark.read.parquet(s"$dir/factX"))
+          assert(EagerAggregation.partialAggBelowJoin(qx),
+            s"estimate-free base must keep firing:\n${qx.queryExecution.optimizedPlan}")
+          // the knob: 0 disables the guard entirely
+          EagerAggregation.setMinReduction(0)
+          assert(EagerAggregation.partialAggBelowJoin(
+            q(spark.read.parquet(s"$dir/factU"))))
+          EagerAggregation.setMinReduction(4.0)
+        }
+      } finally {
+        EagerAggregation.clearKeyStats()
+        EagerAggregation.setMinReduction(4.0)
+      }
+    }
+  }
+
+  test("cost guard: a near-unique fact GROUPING column bails too (tuple distinct ≥ max per-column)") {
+    withTemp { dir =>
+      // join key reduces 50:1, but the fact-side grouping column is
+      // near-unique — the pre-agg keys on BOTH, so the tuple is
+      // near-unique and the guard must see through the reducing join key
+      spark.range(0, 5000).select((col("id") % 100).as("k"),
+          col("id").as("u"), (col("id") % 7).as("m"))
+        .write.parquet(s"$dir/fact")
+      val dim = spark.range(0, 6000).select(col("id").as("dk"),
+        (col("id") % 5).cast("string").as("g"))
+      def q(fact: DataFrame) = fact.join(dim, col("k") === col("dk"))
+        .groupBy(col("g"), col("u")).agg(sum("m").as("s"))
+      try {
+        EagerAggregation.analyzeKeys(
+          spark.read.parquet(s"$dir/fact"), Seq("k", "u"))
+        withRule {
+          val df = q(spark.read.parquet(s"$dir/fact"))
+          assert(!EagerAggregation.partialAggBelowJoin(df),
+            s"near-unique grouping col must bail:\n${df.queryExecution.optimizedPlan}")
+        }
+      } finally {
+        EagerAggregation.clearKeyStats()
+        EagerAggregation.setMinReduction(4.0)
+      }
+    }
+  }
 }

@@ -360,10 +360,49 @@ object RollupRewrite {
   /** One [[refreshStale]] outcome: the registration's base and grain,
     * whether it could be refreshed, and — when it could — exactly the
     * appended base files whose rows were aggregated (the ONLY base data
-    * the refresh scanned; gates assert this equals the appended set). */
+    * the refresh scanned; gates assert this equals the appended set).
+    * `removedFiles` carries the retracted files on the DELETE path
+    * (VERDICT r11 #2) — their original base paths, resolved and read
+    * from the trash dirs. */
   case class RefreshResult(basePaths: Set[String], groupCols: Seq[String],
                            refreshed: Boolean, deltaFiles: Seq[String],
-                           summaryPath: String)
+                           summaryPath: String,
+                           removedFiles: Seq[String] = Nil)
+
+  /** SAFE DELETE for refresh-maintained bases (VERDICT r11 #2): MOVE the
+    * given base files into `trashDir` (collision-proof names derived
+    * from the original path) instead of unlinking them. The base's next
+    * listing no longer contains them — queries and the staleness guard
+    * see the delete immediately — while the bytes stay readable for
+    * [[refreshStale]]'s retraction path (and for undelete audits) until
+    * the trash dir is purged, the same bytes-linger-until-vacuum
+    * contract every versioned tier here follows ([[graft.sources
+    * .Snapshots]], VersionedPool). Returns original → trash path. */
+  def deleteFiles(spark: SparkSession, files: Seq[String],
+                  trashDir: String): Map[String, String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val td = new org.apache.hadoop.fs.Path(trashDir)
+    val f = td.getFileSystem(conf)
+    f.mkdirs(td)
+    files.map { s =>
+      val p = new org.apache.hadoop.fs.Path(s)
+      val dst = new org.apache.hadoop.fs.Path(td, trashFileName(s))
+      require(f.rename(p, dst), s"could not move $s to trash $dst")
+      s -> dst.toString
+    }.toMap
+  }
+
+  /** Trash name for an original file path: md5-of-path prefix (two
+    * same-named files from different dirs cannot collide) + the original
+    * file name. Derived from the SCHEME-LESS path so `file:/x` and `/x`
+    * resolve identically. */
+  private def trashFileName(orig: String): String = {
+    val norm = new org.apache.hadoop.fs.Path(orig).toUri.getPath
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.map("%02x".format(_)).mkString.take(8) + "_" +
+      new org.apache.hadoop.fs.Path(orig).getName
+  }
 
   /** INCREMENTAL SUMMARY REFRESH (VERDICT r10 #2) — the maintenance move
     * the staleness guard (q178) points at: instead of falling through to
@@ -375,11 +414,34 @@ object RollupRewrite {
     * Cost is delta-sized + summary-sized; the base is never rescanned.
     *
     * Handles PURE APPENDS (every registered file still present,
-    * byte-identical length+mtime). Anything else — a compaction,
-    * overwrite, or delete — cannot be expressed as a partial merge, so
-    * the registration is reported `refreshed = false` and left stale
-    * (queries keep falling through to the base; re-materialize to
-    * recover). Fresh registrations are skipped (nothing to do).
+    * byte-identical length+mtime) and — when `trashDirs` is given —
+    * PURE DELETES performed through [[deleteFiles]] (VERDICT r11 #2):
+    * the removed files are resolved in the trash dirs, aggregated, and
+    * RETRACTED from the stored summary. The retraction is asymmetric by
+    * nature, and the asymmetry is deliberate:
+    *
+    *  - sums and counts subtract EXACTLY (delta-sized work — the q112
+    *    negated-measure idea applied to the summary layout); groups
+    *    whose row count hits zero drop entirely;
+    *  - min/max keep the stored value when the removed group's own
+    *    extremum provably did not reach it (removed min strictly above
+    *    stored min, removed max strictly below stored max); otherwise
+    *    the deletion may have removed the extremum, which no summary
+    *    arithmetic can restore — those groups RECOMPUTE from the
+    *    current base, filtered to exactly the affected grains (a base
+    *    READ, but only touched groups pay aggregation);
+    *  - KMV sketches are insert-only, so every touched group of a
+    *    sketch-carrying registration recomputes (the q171 losslessness
+    *    contract — a summary-served sketch must equal the
+    *    base-computed one exactly).
+    *
+    * A MIXED diff (appends AND removes — a compaction or overwrite) is
+    * reported `refreshed = false` and left stale (queries keep falling
+    * through to the base; re-materialize to recover), as is a delete
+    * whose files cannot be resolved in `trashDirs` (bytes truly gone ⇒
+    * nothing to retract). Fresh registrations are skipped. Float sums
+    * retract with the same reassociation noise any partial merge
+    * carries; integer/decimal measures retract bit-exactly.
     *
     * Each refreshed summary lands in
     * `outDir/refresh_<regDigest>_<manifestDigest>` (parquet) — CONTENT
@@ -405,7 +467,8 @@ object RollupRewrite {
     * bare file read. Such registrations report `refreshed = false`
     * (detected by a schema check before any job runs) instead of
     * throwing mid-refresh. */
-  def refreshStale(spark: SparkSession, outDir: String): Seq[RefreshResult] = {
+  def refreshStale(spark: SparkSession, outDir: String,
+                   trashDirs: Seq[String] = Nil): Seq[RefreshResult] = {
     import scala.jdk.CollectionConverters._
     val snapshot = defs.iterator().asScala.toSeq
     val currentByBase = snapshot.map(_.basePaths).distinct.map { paths =>
@@ -417,41 +480,26 @@ object RollupRewrite {
     }.toMap
     snapshot.flatMap { d =>
       val current = currentByBase(d.basePaths)
-      if (d.baseManifest.isEmpty || d.baseManifest == current) None
-      else if (!d.baseManifest.subsetOf(current))
-        Some(RefreshResult(d.basePaths, d.groupCols, refreshed = false,
-          Nil, ""))
+      val appended = current -- d.baseManifest
+      val removed = d.baseManifest -- current
+      val unrefreshable = RefreshResult(d.basePaths, d.groupCols,
+        refreshed = false, Nil, "")
+      if (d.baseManifest.isEmpty || (appended.isEmpty && removed.isEmpty))
+        None
+      else if (removed.nonEmpty && appended.nonEmpty)
+        Some(unrefreshable) // mixed diff: compaction/overwrite — rebuild
+      else if (removed.nonEmpty)
+        Some(retractRemoved(spark, d, removed, current, outDir, trashDirs)
+          .getOrElse(unrefreshable))
       else {
-        val deltaFiles = (current -- d.baseManifest).toSeq.sorted
-          .map(_.split("\\|")(0))
+        val deltaFiles = appended.toSeq.sorted.map(_.split("\\|")(0))
         val delta = spark.read.parquet(deltaFiles: _*)
-        // every base column the summary layout needs must survive the
-        // bare (partition-discovery-free) file read — a Hive partition
-        // column would be missing here, so report unrefreshable instead
-        // of throwing mid-aggregation (ADVICE r11)
-        val needed = (d.measures ++ d.distinctCols ++
-          d.groupCols.filterNot(d.grainExprSql.contains) ++
-          d.grainExprSql.values.flatMap(s =>
-            spark.sessionState.sqlParser.parseExpression(s).collect {
-              case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-                u.nameParts.last
-            })).toSet
-        if (!needed.subsetOf(delta.columns.toSet))
-          Some(RefreshResult(d.basePaths, d.groupCols,
-            refreshed = false, Nil, ""))
+        if (!neededBaseColumns(spark, d).subsetOf(delta.columns.toSet))
+          Some(unrefreshable)
         else {
-          val grainExprs = d.groupCols.map(g => g -> d.grainExprSql.get(g)
-            .map(org.apache.spark.sql.functions.expr)
-            .getOrElse(org.apache.spark.sql.functions.col(g)))
-          val deltaSummary = Rollup.materializeExpr(delta, grainExprs,
+          val deltaSummary = Rollup.materializeExpr(delta, grainExprsOf(d),
             d.measures, d.distinctCols, d.sketchK)
-          val storedPaths = d.summary.collect {
-            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-              fs.location.rootPaths.map(_.toString)
-          }.flatten
-          require(storedPaths.nonEmpty,
-            "stored summary is not file-backed; cannot refresh")
-          val stored = spark.read.parquet(storedPaths: _*)
+          val stored = spark.read.parquet(storedPathsOf(d): _*)
           val out = s"$outDir/refresh_${regDigest(d)}_${manifestDigest(current)}"
           Rollup.merge(stored, deltaSummary, d.groupCols, d.measures,
               d.distinctCols, d.sketchK)
@@ -466,6 +514,110 @@ object RollupRewrite {
         }
       }
     }
+  }
+
+  /** Every base column the summary layout needs — these must survive the
+    * bare (partition-discovery-free) read of appended/removed files; a
+    * Hive partition column would be missing there, so refreshes report
+    * unrefreshable instead of throwing mid-aggregation (ADVICE r11). */
+  private def neededBaseColumns(spark: SparkSession, d: RollupDef): Set[String] =
+    (d.measures ++ d.distinctCols ++
+      d.groupCols.filterNot(d.grainExprSql.contains) ++
+      d.grainExprSql.values.flatMap(s =>
+        spark.sessionState.sqlParser.parseExpression(s).collect {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            u.nameParts.last
+        })).toSet
+
+  private def grainExprsOf(d: RollupDef)
+      : Seq[(String, org.apache.spark.sql.Column)] =
+    d.groupCols.map(g => g -> d.grainExprSql.get(g)
+      .map(org.apache.spark.sql.functions.expr)
+      .getOrElse(org.apache.spark.sql.functions.col(g)))
+
+  private def storedPathsOf(d: RollupDef): Seq[String] = {
+    val paths = d.summary.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    require(paths.nonEmpty, "stored summary is not file-backed; cannot refresh")
+    paths
+  }
+
+  /** The DELETE half of [[refreshStale]] (VERDICT r11 #2): retract the
+    * removed files' partials from the stored summary. None ⇒ this diff
+    * cannot be retracted (files unresolvable in the trash dirs, or the
+    * bare read misses a needed column) — the caller reports
+    * unrefreshable. See [[refreshStale]]'s scaladoc for the retraction
+    * rules and their deliberate min/max/sketch asymmetry. */
+  private def retractRemoved(spark: SparkSession, d: RollupDef,
+      removed: Set[String], current: Set[String], outDir: String,
+      trashDirs: Seq[String]): Option[RefreshResult] = {
+    import org.apache.spark.sql.functions._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val removedPaths = removed.toSeq.sorted.map(_.split("\\|")(0))
+    val resolved = removedPaths.map { p =>
+      trashDirs.iterator.map { td =>
+        new org.apache.hadoop.fs.Path(td, trashFileName(p))
+      }.find(dst => dst.getFileSystem(conf).exists(dst)).map(_.toString)
+    }
+    if (resolved.exists(_.isEmpty)) return None
+    val removedDf = spark.read.parquet(resolved.flatten: _*)
+    if (!neededBaseColumns(spark, d).subsetOf(removedDf.columns.toSet))
+      return None
+    val removedAgg = Rollup.materializeExpr(removedDf, grainExprsOf(d),
+      d.measures, d.distinctCols, d.sketchK)
+    val stored = spark.read.parquet(storedPathsOf(d): _*)
+    val r = removedAgg.columns.foldLeft(removedAgg)(
+      (df, c) => df.withColumnRenamed(c, "__r" + c))
+    val joined = stored.join(r,
+      d.groupCols.map(g => col(g) <=> col("__r" + g)).reduce(_ && _), "left")
+    val matched = col("__r" + Rollup.CntRows).isNotNull
+    val rowsLeft = col(Rollup.CntRows) -
+      coalesce(col("__r" + Rollup.CntRows), lit(0L))
+    // a measure is UNSAFE for arithmetic-only retraction when the
+    // removal may have carried the group extremum (≤/≥: an EQUAL removed
+    // extremum might or might not leave a twin behind — recompute), or
+    // when it empties the non-null count while rows remain (sum/min/max
+    // must become NULL, which subtraction cannot produce)
+    val unsafe = d.measures.map { m =>
+      (col(s"__r__min_$m").isNotNull && col(s"__r__min_$m") <= col(s"__min_$m")) ||
+        (col(s"__r__max_$m").isNotNull && col(s"__r__max_$m") >= col(s"__max_$m")) ||
+        (matched &&
+          col(s"__cnt_$m") - coalesce(col(s"__r__cnt_$m"), lit(0L)) === 0 &&
+          col(s"__cnt_$m") > 0)
+    }.foldLeft(lit(false))(_ || _)
+    val needsRecompute = matched && rowsLeft > 0 &&
+      (lit(d.distinctCols.nonEmpty) || unsafe)
+    def sub(c: String) = when(col("__r" + c).isNull, col(c))
+      .otherwise(col(c) - col("__r" + c))
+      .cast(stored.schema(c).dataType).as(c)
+    val survivorCols = d.groupCols.map(col) ++ Seq(sub(Rollup.CntRows)) ++
+      d.measures.flatMap(m => Seq(sub(s"__sum_$m"), sub(s"__cnt_$m"),
+        col(s"__min_$m"), col(s"__max_$m"))) ++
+      d.distinctCols.map(c => col(s"__kmv_$c"))
+    val survivors = joined.filter(rowsLeft > 0 && !needsRecompute)
+      .select(survivorCols: _*)
+    val toRecompute = joined.filter(needsRecompute)
+      .select(d.groupCols.map(g => col(g).as("__t" + g)): _*)
+    val baseNow = spark.read.parquet(d.basePaths.toSeq: _*)
+    val withG = d.grainExprSql.foldLeft(baseNow) { case (df, (n, s)) =>
+      df.withColumn(n, expr(s)) }
+    val filteredBase = withG.join(broadcast(toRecompute),
+      d.groupCols.map(g => col(g) <=> col("__t" + g)).reduce(_ && _),
+      "left_semi")
+    val recomputed = Rollup.materializeExpr(filteredBase,
+      d.groupCols.map(g => g -> col(g)), d.measures, d.distinctCols,
+      d.sketchK)
+    val out = s"$outDir/refresh_${regDigest(d)}_${manifestDigest(current)}"
+    survivors.unionByName(recomputed)
+      .write.mode("overwrite").parquet(out)
+    register(spark.read.parquet(d.basePaths.toSeq: _*),
+      spark.read.parquet(out), d.groupCols, d.measures, d.distinctCols,
+      d.sketchK,
+      d.grainExprSql.map { case (n, s) => n -> expr(s) })
+    Some(RefreshResult(d.basePaths, d.groupCols, refreshed = true, Nil, out,
+      removedFiles = removedPaths))
   }
 
   /** Persist the registered lattice as a one-file manifest so a NEW

@@ -4264,6 +4264,80 @@ object Queries {
     }
   }
 
+  /** Write `df` as ONE named parquet file inside `baseDir` — the
+    * deterministic file→rows device delete gates need (which rows a
+    * removed file carried must be SQL-replayable for the oracle). */
+  private def writeNamedSlice(df: DataFrame, baseDir: String,
+                              name: String): String = {
+    val st = java.nio.file.Files.createTempDirectory("slice").toString
+    df.coalesce(1).write.mode("overwrite").parquet(st)
+    val part = new java.io.File(st).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(s"$baseDir/$name.parquet")
+    dst.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(st))
+    dst.getAbsolutePath
+  }
+
+  /** DELETE-AWARE SUMMARY REFRESH ([[graft.plan.RollupRewrite
+    * .refreshStale]]'s retraction path — VERDICT r11 #2): files deleted
+    * from a registered base through the safe-delete protocol
+    * ([[graft.plan.RollupRewrite.deleteFiles]]: a trash-dir move, bytes
+    * linger until purge — the same contract every versioned tier here
+    * follows) are RETRACTED from the stored summary instead of leaving
+    * the registration stale-forever: sums/counts subtract exactly
+    * (integer measure ⇒ bit-exact), groups whose extremum may have been
+    * removed recompute from the reduced base, emptied groups drop. The
+    * base is six named slice files keyed `o_orderkey % 6`; slices 1 and
+    * 4 are deleted, so the oracle is simply the reduced-base recompute
+    * with `o_orderkey % 6 NOT IN (1, 4)`. In-query requires: the
+    * refresh reports EXACTLY the two removed files, and the dashboard
+    * aggregate is plan-bound to the retracted summary (no base scan). */
+  def q194SummaryRetract(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val orders = tbl(s, dir, "orders")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q194_retract")
+      .toFile.getAbsolutePath
+    val slicePaths = (0 until 6).map { sl =>
+      writeNamedSlice(orders.filter(col("o_orderkey") % 6 === sl),
+        s"$tmpRoot/base", s"s$sl")
+    }
+    val base0 = s.read.parquet(s"$tmpRoot/base")
+    graft.plan.Rollup.materialize(base0, Seq("o_orderstatus"),
+        Seq("o_custkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/sum")
+    R.register(base0, s.read.parquet(s"$tmpRoot/sum"),
+      Seq("o_orderstatus"), Seq("o_custkey"))
+    R.enable(s)
+    try {
+      val doomed = Seq(slicePaths(1), slicePaths(4))
+      R.deleteFiles(s, doomed, s"$tmpRoot/trash")
+      val rep = R.refreshStale(s, s"$tmpRoot/refreshed",
+        trashDirs = Seq(s"$tmpRoot/trash"))
+      require(rep.size == 1 && rep.head.refreshed,
+        s"the delete must be retracted, not left stale: $rep")
+      val removedNames = rep.head.removedFiles
+        .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      require(removedNames == Set("s1.parquet", "s4.parquet"),
+        s"retraction must cover EXACTLY the deleted files — got $removedNames")
+      val out = rep.head.summaryPath
+      val q = s.read.parquet(s"$tmpRoot/base").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum("o_custkey").as("sum_cust"),
+          min("o_custkey").as("mn"), max("o_custkey").as("mx"))
+        .select(col("o_orderstatus").as("grp"), col("n_rows"),
+          col("sum_cust"), col("mn"), col("mx"))
+      val scans = R.scanRootPaths(q)
+      require(scans.nonEmpty &&
+        scans.forall(_.endsWith(out.substring(out.lastIndexOf('/')))),
+        s"the dashboard aggregate must ride the RETRACTED summary — scans $scans")
+      materializeAndCleanup(s, q, tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** COMPUTED-DIMENSION grain serving ([[graft.plan.RollupRewrite]] —
     * VERDICT r10 #1, the optimizer tier's sharpest real-user edge): a
     * summary grained by `month(o_orderdate)` — a stored EXPRESSION value,
@@ -4921,7 +4995,8 @@ object Queries {
     "q190_curriculum_pack" -> (q190CurriculumPack _),
     "q191_expr_grain" -> (q191ExprGrain _),
     "q192_summary_refresh" -> (q192SummaryRefresh _),
-    "q193_qf_holdout" -> (q193QfHoldout _))
+    "q193_qf_holdout" -> (q193QfHoldout _),
+    "q194_summary_retract" -> (q194SummaryRetract _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -6769,6 +6844,17 @@ object Queries {
         |SELECT 'fine', o_orderpriority, count(*),
         | round(sum(o_totalprice), 2), min(o_totalprice), max(o_totalprice)
         |FROM ob GROUP BY 2""".stripMargin,
+    // q194: delete-aware refresh — the retracted summary must equal the
+    // reduced-base recompute (a missed retraction serves pre-delete
+    // values and hash-fails; a stale fall-through trips the in-query
+    // plan require). Integer measure: retraction is bit-exact. DuckDB
+    // sum(BIGINT) is HUGEINT — CAST back.
+    "q194_summary_retract" ->
+      """SELECT o_orderstatus AS grp, count(*) AS n_rows,
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        | min(o_custkey) AS mn, max(o_custkey) AS mx
+        |FROM orders WHERE o_orderkey % 6 NOT IN (1, 4)
+        |GROUP BY 1""".stripMargin,
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

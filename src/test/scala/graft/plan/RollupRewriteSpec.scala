@@ -1090,6 +1090,129 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  /** Write `df` as ONE named parquet file inside `baseDir` (files with
+    * chosen names make file→rows mappings deterministic for delete
+    * tests). Returns the file's absolute path. */
+  private def writeSlice(df: DataFrame, baseDir: String, name: String): String = {
+    val st = java.nio.file.Files.createTempDirectory("slice").toString
+    df.coalesce(1).write.mode("overwrite").parquet(st)
+    val part = new java.io.File(st).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(s"$baseDir/$name.parquet")
+    dst.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(st))
+    dst.getAbsolutePath
+  }
+
+  test("refreshStale: pure DELETE retracts — safe groups by arithmetic, extremum groups recompute, emptied groups drop (VERDICT r11 #2)") {
+    val dir = java.nio.file.Files.createTempDirectory("retract").toString
+    try {
+      // f1: a→{1,5}, b→{10}, c→{7,8}; f2: a→{3}, b→{20}, d→{100}
+      writeSlice(Seq(("a", 1L), ("a", 5L), ("b", 10L), ("c", 7L), ("c", 8L))
+        .toDF("g", "v"), s"$dir/base", "f1")
+      val f2 = writeSlice(Seq(("a", 3L), ("b", 20L), ("d", 100L))
+        .toDF("g", "v"), s"$dir/base", "f2")
+      val base0 = spark.read.parquet(s"$dir/base")
+      Rollup.materialize(base0, Seq("g"), Seq("v"))
+        .write.mode("overwrite").parquet(s"$dir/sum")
+      RollupRewrite.register(base0, spark.read.parquet(s"$dir/sum"),
+        Seq("g"), Seq("v"))
+      RollupRewrite.enable(spark)
+      // a delete WITHOUT a trash dir (bytes truly gone) is unrefreshable
+      val f2bak = s"$dir/f2.bak"
+      java.nio.file.Files.copy(java.nio.file.Paths.get(f2),
+        java.nio.file.Paths.get(f2bak))
+      java.nio.file.Files.delete(java.nio.file.Paths.get(f2))
+      assert(RollupRewrite.refreshStale(spark, s"$dir/r0")
+        .forall(r => !r.refreshed), "rm'd bytes cannot retract")
+      java.nio.file.Files.move(java.nio.file.Paths.get(f2bak),
+        java.nio.file.Paths.get(f2))
+      // the safe-delete protocol: move to trash, then refresh retracts
+      val moved = RollupRewrite.deleteFiles(spark, Seq(f2), s"$dir/trash")
+      assert(moved.size == 1 && !new java.io.File(f2).exists())
+      val rep = RollupRewrite.refreshStale(spark, s"$dir/r1",
+        trashDirs = Seq(s"$dir/trash"))
+      assert(rep.size == 1 && rep.head.refreshed, s"retraction failed: $rep")
+      assert(rep.head.removedFiles.map(p =>
+        new org.apache.hadoop.fs.Path(p).getName).toSet == Set("f2.parquet"))
+      // stored summary rows: a safe-arithmetic (min/max survive, sums
+      // subtract), b recomputed (its max WAS deleted), d dropped
+      val got = spark.read.parquet(rep.head.summaryPath).collect()
+        .map(r => r.getAs[String]("g") ->
+          (r.getAs[Long]("__cnt_rows"), r.getAs[Long]("__sum_v"),
+            r.getAs[Long]("__min_v"), r.getAs[Long]("__max_v"))).toMap
+      assert(got.keySet == Set("a", "b", "c"), s"d must drop: $got")
+      assert(got("a") == ((2L, 6L, 1L, 5L)), s"safe arithmetic off: $got")
+      assert(got("b") == ((1L, 10L, 10L, 10L)), s"extremum recompute off: $got")
+      assert(got("c") == ((2L, 15L, 7L, 8L)), s"untouched row drifted: $got")
+      // and the refreshed summary SERVES the reduced base
+      def q(src: DataFrame) = src.groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"),
+          min("v").as("mn"), max("v").as("mx"))
+      val served = q(spark.read.parquet(s"$dir/base"))
+      assert(scanPaths(served).nonEmpty &&
+        scanPaths(served).forall(_.contains("refresh_")),
+        s"retracted summary must serve:\n${served.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark)
+      val want = q(spark.read.parquet(s"$dir/base")).collect()
+        .map(_.toSeq).toSet
+      RollupRewrite.enable(spark)
+      assert(served.collect().map(_.toSeq).toSet == want && want.nonEmpty)
+      // MIXED diff (append + delete) stays unrefreshable
+      val f3 = writeSlice(Seq(("a", 9L)).toDF("g", "v"), s"$dir/base", "f3")
+      RollupRewrite.deleteFiles(spark,
+        Seq(s"$dir/base/f1.parquet"), s"$dir/trash")
+      assert(RollupRewrite.refreshStale(spark, s"$dir/r2",
+          trashDirs = Seq(s"$dir/trash")).forall(r => !r.refreshed),
+        "mixed append+delete must report unrefreshable")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("refreshStale DELETE: sketch-carrying registrations recompute touched groups — summary equals a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("retractkmv").toString
+    try {
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+      writeSlice(orders.filter(col("o_orderkey") % 3 === 0), s"$dir/base", "s0")
+      writeSlice(orders.filter(col("o_orderkey") % 3 === 1), s"$dir/base", "s1")
+      val s2 = writeSlice(orders.filter(col("o_orderkey") % 3 === 2),
+        s"$dir/base", "s2")
+      val base0 = spark.read.parquet(s"$dir/base")
+      Rollup.materialize(base0, Seq("o_orderstatus"), Seq("o_custkey"),
+          distinctCols = Seq("o_custkey"))
+        .write.mode("overwrite").parquet(s"$dir/sum")
+      RollupRewrite.register(base0, spark.read.parquet(s"$dir/sum"),
+        Seq("o_orderstatus"), Seq("o_custkey"),
+        distinctCols = Seq("o_custkey"))
+      RollupRewrite.deleteFiles(spark, Seq(s2), s"$dir/trash")
+      val rep = RollupRewrite.refreshStale(spark, s"$dir/r",
+        trashDirs = Seq(s"$dir/trash"))
+      assert(rep.size == 1 && rep.head.refreshed)
+      // KMV sketches are insert-only ⇒ every touched group recomputed;
+      // the result must equal a from-scratch materialize EXACTLY
+      // (integer measures and lossless sketches: bit-equality holds)
+      def rows(df: DataFrame) = df.collect().map { r =>
+        r.getAs[String]("o_orderstatus") ->
+          (r.getAs[Long]("__cnt_rows"), r.getAs[Long]("__sum_o_custkey"),
+            r.getAs[Long]("__min_o_custkey"), r.getAs[Long]("__max_o_custkey"),
+            r.getAs[scala.collection.Seq[Long]]("__kmv_o_custkey").toList)
+      }.toMap
+      val got = rows(spark.read.parquet(rep.head.summaryPath))
+      val want = rows(Rollup.materialize(spark.read.parquet(s"$dir/base"),
+        Seq("o_orderstatus"), Seq("o_custkey"),
+        distinctCols = Seq("o_custkey")))
+      assert(got == want && want.nonEmpty,
+        s"retracted sketch summary must equal a rebuild")
+    } finally {
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("refreshStale: grain on a Hive PARTITION column reports unrefreshable instead of throwing (ADVICE r11)") {
     // the delta aggregation reads appended files directly (no partition
     // discovery), so a partition-column grain/measure is absent from the

@@ -62,13 +62,13 @@ object Bm25 {
     val statsRow = tfs.select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).cast("double"), avg(col("dl"))).collect()(0)
     if (statsRow.isNullAt(1)) { // empty/all-blank corpus: avg(dl) is NULL
-      val empty = tfs.limit(0).withColumn("df", lit(0.0)).localCheckpoint(true)
+      val empty = tfs.limit(0).withColumn("df", lit(0.0)).localCheckpoint(true).transform(graft.plan.Checkpoints.track)
       tfs.unpersist()
       Index(empty, 0.0, 1.0) // avgdl unused at nDocs = 0; 1.0 avoids 0/0
     } else {
       val dfs = tfs.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
       // same term partitioning as the tf groupBy — co-partitioned join
-      val enriched = tfs.join(dfs, Seq("term")).localCheckpoint(true)
+      val enriched = tfs.join(dfs, Seq("term")).localCheckpoint(true).transform(graft.plan.Checkpoints.track)
       tfs.unpersist()
       Index(enriched, statsRow.getDouble(0), statsRow.getDouble(1))
     }
@@ -221,14 +221,14 @@ object Bm25 {
       .agg(count(lit(1)).cast("double"), sum(col("dl"))).collect()(0)
     val out =
       if (statsRow.isNullAt(1)) {
-        val empty = tfs.limit(0).localCheckpoint(true)
+        val empty = tfs.limit(0).localCheckpoint(true).transform(graft.plan.Checkpoints.track)
         IncIndex(empty,
-          empty.select(col("term"), lit(0.0).as("df")).localCheckpoint(true),
+          empty.select(col("term"), lit(0.0).as("df")).localCheckpoint(true).transform(graft.plan.Checkpoints.track),
           0.0, 0.0)
       } else IncIndex(
-        tfs.localCheckpoint(true),
+        tfs.localCheckpoint(true).transform(graft.plan.Checkpoints.track),
         tfs.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-          .localCheckpoint(true),
+          .localCheckpoint(true).transform(graft.plan.Checkpoints.track),
         statsRow.getDouble(0), statsRow.getDouble(1))
     tfs.unpersist()
     out

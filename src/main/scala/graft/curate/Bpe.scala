@@ -74,8 +74,13 @@ object Bpe {
     // materialize the histogram once: the vocab-sized frame is read again
     // by whichever regime runs (and `count` must not re-run the corpus
     // tokenize). Eager localCheckpoint: nothing stays in the cache manager.
-    learnMergesFromCounts(wordCounts(df, textCol).localCheckpoint(true),
-      numMerges, driverMaxVocab)
+    {
+      val wc = wordCounts(df, textCol).localCheckpoint(true)
+      // merges land driver-side, so the histogram checkpoint is INTERNAL:
+      // release it before returning (checkpoint hygiene, VERDICT r11 #1)
+      try learnMergesFromCounts(wc, numMerges, driverMaxVocab)
+      finally graft.plan.Checkpoints.releaseNow(wc)
+    }
 
   /** [[learnMerges]] from a precomputed (word, freq) histogram — the
     * entry for composing training + accounting (or any other
@@ -392,12 +397,17 @@ object Bpe {
       else {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += ((rank, l, r, c))
+        val prev = vocab
         vocab = vocab.withColumn("repr",
           replace(col("repr"), lit(Sep + l + SepSep + r + Sep), lit(Sep + l + r + Sep)))
           .localCheckpoint(true) // constant plan depth across merges
+        // the eager checkpoint above materialized through prev's blocks —
+        // release each superseded round (checkpoint hygiene, VERDICT r11 #1)
+        graft.plan.Checkpoints.releaseNow(prev)
         rank += 1
       }
     }
+    graft.plan.Checkpoints.releaseNow(vocab) // merges are driver-side
     out.result()
   }
 }

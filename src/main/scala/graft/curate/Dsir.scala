@@ -61,9 +61,9 @@ object Dsir {
     // bucket histograms are <= `buckets` rows: checkpoint eagerly so the
     // totals aggregate and the spine join don't each re-tokenize a corpus
     val ht = withIdLess(target, textCol, buckets)
-      .groupBy("bucket").agg(count(lit(1)).as("__ct")).localCheckpoint(true)
+      .groupBy("bucket").agg(count(lit(1)).as("__ct")).localCheckpoint(true).transform(graft.plan.Checkpoints.track)
     val hr = withIdLess(raw, textCol, buckets)
-      .groupBy("bucket").agg(count(lit(1)).as("__cr")).localCheckpoint(true)
+      .groupBy("bucket").agg(count(lit(1)).as("__cr")).localCheckpoint(true).transform(graft.plan.Checkpoints.track)
     // coalesce: sum over an EMPTY histogram is null (a token-free corpus
     // must yield the pure-smoothing weights, not an NPE)
     val nT = ht.agg(coalesce(sum("__ct"), lit(0L))).collect()(0).getLong(0)

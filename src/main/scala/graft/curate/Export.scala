@@ -48,6 +48,7 @@ object Export {
         .select(col("shard"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
       manifest.coalesce(1).write.mode("overwrite").json(s"${path}_manifest")
       manifest.localCheckpoint(true)
+        .transform(graft.plan.Checkpoints.track)
     } finally {
       sharded.unpersist(blocking = false)
     }

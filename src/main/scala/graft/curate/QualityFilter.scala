@@ -66,21 +66,62 @@ object QualityFilter {
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
                      buckets: Int, biasValue: Long,
                      bigrams: Boolean = false): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("__toks"))
-      .filter(size(col("__toks")) > 0)
-    val grams =
-      if (!bigrams) col("__toks")
-      else concat(col("__toks"), when(size(col("__toks")) >= 2,
-        graft.functions.expressions.SimilarityExpressions
-          .wordShingles(col("__toks"), 2))
-        .otherwise(array().cast("array<string>")))
-    toks.select(col("doc_id"), explode(grams).as("term"))
+    val toks = tokFrame(docs, idCol, textCol)
+    toks.select(col("doc_id"), explode(gramsOf(bigrams)).as("term"))
       .groupBy(col("doc_id"),
         Curate.hashBucketDyn(col("term"), buckets, lit(":qf")).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .unionByName(toks.select(col("doc_id"),
         lit(buckets.toLong).as("bucket"), lit(biasValue).as("cnt")))
+  }
+
+  private def tokFrame(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+
+  private def gramsOf(bigrams: Boolean) =
+    if (!bigrams) col("__toks")
+    else concat(col("__toks"), when(size(col("__toks")) >= 2,
+      graft.functions.expressions.SimilarityExpressions
+        .wordShingles(col("__toks"), 2))
+      .otherwise(array().cast("array<string>")))
+
+  /** The (doc_id, term) gram stream [[hashedFeatures]] buckets — exposed
+    * so [[deriveBuckets]] estimates vocabulary over EXACTLY the feature
+    * grams (unigrams, optionally + bigrams). */
+  def gramStream(docs: DataFrame, idCol: String, textCol: String,
+                 bigrams: Boolean = false): DataFrame =
+    tokFrame(docs, idCol, textCol)
+      .select(col("doc_id"), explode(gramsOf(bigrams)).as("term"))
+
+  /** VOCABULARY-ADAPTIVE feature-space sizing (VERDICT r11 #4): the
+    * fixed-bucket filter SATURATES when vocabulary outgrows its feature
+    * space (measured: 256 buckets tripped the q193 learning floor at 10×
+    * grow-vocab BY CONSTRUCTION). Derive the bucket count at train time
+    * instead: one KMV pass (k smallest portable-md5 hashes of the
+    * DISTINCT grams — the q69 estimator) estimates the vocabulary, and
+    * the bucket count is the smallest power of two ≥ the estimate,
+    * clamped to [minBuckets, maxBuckets]. Deterministic and
+    * ENGINE-REPLAYABLE: the hash set is md5-exact, the single float op
+    * (the estimator division) has bit-identical IEEE operands on any
+    * engine, and its floor feeds only INTEGER comparisons against the
+    * power-of-two ladder — so a DuckDB replay derives the same count
+    * (the q195 oracle does exactly that). */
+  def deriveBuckets(docs: DataFrame, idCol: String, textCol: String,
+                    bigrams: Boolean = false, k: Int = 1024,
+                    minBuckets: Int = 256, maxBuckets: Int = 1 << 20): Int = {
+    require(Integer.bitCount(minBuckets) == 1 && Integer.bitCount(maxBuckets) == 1
+      && minBuckets <= maxBuckets, "bucket bounds must be powers of two")
+    val arr = gramStream(docs, idCol, textCol, bigrams)
+      .select(graft.functions.expressions.KmvDistinctAgg.kmvSketch(
+        Curate.portableHash60(col("term")), k).as("s"))
+      .collect()(0).getSeq[Long](0)
+    val est: Long =
+      if (arr.length < k) arr.length.toLong
+      else ((k - 1).toDouble * (1L << 60).toDouble / arr(k - 1).toDouble).toLong
+    var b = minBuckets
+    while (b < maxBuckets && b < est) b <<= 1
+    b
   }
 
   /** Held-out evaluation rows: per labeled doc, its exact integer score,

@@ -49,7 +49,7 @@ object Dedup {
   private[graft] def checkpointEager(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = true)
-    else df.localCheckpoint(true)
+    else df.localCheckpoint(true).transform(graft.plan.Checkpoints.track)
 
   /** Bucketed candidate-pair generation — the shared core of the LSH dedup
     * tiers. Groups banded rows by the bucket keys with a memory-bounded
@@ -143,7 +143,7 @@ object Dedup {
         least(col("__x.id"), col("__y.id")).as("id_a"),
         greatest(col("__x.id"), col("__y.id")).as("id_b"))
       .distinct() // collapse band-duplicate collisions BEFORE the sig join
-      .localCheckpoint(true)
+      .localCheckpoint(true).transform(graft.plan.Checkpoints.track)
     // Prune the signature frame to collided ids before the payload joins:
     // the left-semi pushes BELOW sigFrame's projection (id is pass-through),
     // so when sigs are computed on the fly only candidate rows pay the
@@ -157,7 +157,7 @@ object Dedup {
     // each would otherwise re-run the (pruned) signature subtree;
     // candidate-count rows only.
     val prunedSigs = sigFrame.join(broadcast(candIds), Seq("id"), "left_semi")
-      .localCheckpoint(true)
+      .localCheckpoint(true).transform(graft.plan.Checkpoints.track)
     cand
       .join(prunedSigs.select(col("id").as("id_a"), col("sig").as("__sa")), Seq("id_a"))
       .join(prunedSigs.select(col("id").as("id_b"), col("sig").as("__sb")), Seq("id_b"))
@@ -226,7 +226,7 @@ object Dedup {
         least(col("__x.id"), col("__y.id")).as("id_a"),
         greatest(col("__x.id"), col("__y.id")).as("id_b"))
       .distinct() // collapse band-duplicate collisions
-      .localCheckpoint(true)
+      .localCheckpoint(true).transform(graft.plan.Checkpoints.track)
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     // checkpointed: `sh` feeds BOTH payload joins below, and each join
@@ -238,7 +238,7 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .join(broadcast(candIds), Seq("id"), "left_semi")
       .select(col("id"), array_distinct(T.wordShingles(col("__text"), shingleLen)).as("sh"))
-      .localCheckpoint(true)
+      .localCheckpoint(true).transform(graft.plan.Checkpoints.track)
     candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -346,7 +346,7 @@ object Dedup {
         least(col("__x.id"), col("__y.id")).as("id_a"),
         greatest(col("__x.id"), col("__y.id")).as("id_b"))
       .distinct() // collapse multi-bucket collisions
-      .localCheckpoint(true)
+      .localCheckpoint(true).transform(graft.plan.Checkpoints.track)
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     // shingle sets only for candidate ids (broadcast semi-join prune);
@@ -395,7 +395,7 @@ object Dedup {
       .select(col("id"), array_distinct(T.wordShingles(col("__text"), shingleLen)).as("sh")))
     val freq = base.select(explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // stats probe + prefix join both consume it
+      .localCheckpoint(true).transform(graft.plan.Checkpoints.track) // stats probe + prefix join both consume it
     val stats = freq.agg(count(lit(1)).as("vocab"), sum("cnt").as("volume")).collect()(0)
     val vocab = stats.getLong(0)
     val meanPosting = if (vocab == 0) 0.0 else stats.getLong(1).toDouble / vocab
@@ -510,7 +510,13 @@ object Dedup {
       var labels = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("cluster_id"))
         .repartition(ccParts, col("id"))
-        .localCheckpoint(true)
+        .localCheckpoint(true).transform(graft.plan.Checkpoints.track)
+      // checkpoint hygiene (VERDICT r11 #1): round N's count action
+      // materializes through round N−1's blocks, after which they are
+      // dead — release per round; only the LAST round's checkpoint
+      // (which the returned frame reads) survives, tracked for the
+      // caller to release once consumed
+      var prevCp = labels
       var changed = 1L
       var it = 0
       while (changed > 0 && it < maxIters) {
@@ -526,6 +532,8 @@ object Dedup {
             (col("nbr_min") < col("cluster_id")).as("__changed"))
           .localCheckpoint(false)
         changed = next.filter(col("__changed")).count()
+        graft.plan.Checkpoints.releaseNow(prevCp)
+        prevCp = next
         labels = next.drop("__changed")
         it += 1
       }
@@ -534,6 +542,7 @@ object Dedup {
       require(changed == 0,
         s"duplicateClusters did not converge in $maxIters iterations " +
           s"($changed labels still changing) — raise maxIters")
+      graft.plan.Checkpoints.track(prevCp)
       labels
     } finally {
       edges.unpersist()
@@ -571,7 +580,9 @@ object Dedup {
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     // touched labels: ≤ 2·|delta| rows, extracted map-side from the store
     val touched = lab.join(broadcast(endpointIds), Seq("id"), "left_semi")
-      .localCheckpoint(true) // three consumers; truncate the semi lineage
+      .localCheckpoint(true).transform(graft.plan.Checkpoints.track)
+      // three consumers (truncate the semi lineage); ESCAPING: the
+      // returned relabel/new-node frames read it — tracked for release
     val contracted = delta
       .join(broadcast(touched.select(col("id").as("id_a"), col("cluster_id").as("__ra"))),
         Seq("id_a"), "left")
@@ -837,7 +848,7 @@ object Dedup {
       .select(col("id_b").as(idCol))
     // materialize the (small) rejected-id set so the signature cache can be
     // released now instead of leaking for the session lifetime
-    val rejected = vsIndex.union(inBatch).distinct().localCheckpoint(true)
+    val rejected = vsIndex.union(inBatch).distinct().localCheckpoint(true).transform(graft.plan.Checkpoints.track)
     sigs.unpersist()
     newDocs.join(rejected, Seq(idCol), "left_anti")
   }
@@ -981,7 +992,7 @@ object Dedup {
     // eager checkpoint: three consumers (count, bloom build, verify join)
     // of a by-contract-small set — materialize once, truncate lineage
     val bg = benchmark.select(explode(strictNgrams(col(textCol), n)).as("g"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true).transform(graft.plan.Checkpoints.track)
     val numBits = 64L * BloomKernels.numWords(bg.count(), bitsPerGram)
     val bloomBytes = bg
       .select(B.bloomAgg(xxhash64(col("g")), numBits, numHashes).as("bf"))

@@ -94,6 +94,7 @@ object Graph {
       val nodes = if (bcastRanks) nodes0
         else nodes0.repartition(parts, col("id")).localCheckpoint(true)
       var ranks = nodes.select(col("id"), lit(1.0).as("pr"))
+      val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var it = 0
       while (it < iterations) {
         val msgs0 =
@@ -116,6 +117,7 @@ object Graph {
               lit(damping) * coalesce(col("__in"), lit(0.0))).as("pr"))
           .localCheckpoint(false) // lazy: materialized by the next round /
                                   // the caller's action, truncating lineage
+        rounds += ranks
         it += 1
       }
       // ONE action drains the whole lazy-checkpoint chain while adj is
@@ -123,7 +125,15 @@ object Graph {
       // checkpoint + the cache); without it, releasing adj below would
       // make every round re-derive the adjacency from raw edges at the
       // caller's first action — iterations × the full edge build
-      ranks.localCheckpoint(true)
+      val out = graft.plan.Checkpoints.track(ranks.localCheckpoint(true))
+      // checkpoint hygiene (VERDICT r11 #1): the eager final checkpoint
+      // just re-materialized the result through every round's blocks —
+      // they are dead now; only the tracked output survives (released by
+      // the caller via Checkpoints.release once consumed)
+      rounds.foreach(graft.plan.Checkpoints.releaseNow)
+      if (!(nodes eq nodes0)) graft.plan.Checkpoints.releaseNow(nodes)
+      graft.plan.Checkpoints.releaseNow(nodes0)
+      out
     } finally {
       adj.unpersist(blocking = false)
     }
@@ -154,6 +164,7 @@ object Graph {
       var all = seeds.select(col(seedCol).as("id")).distinct()
         .select(col("id"), lit(0).as("dist"))
         .localCheckpoint(true)
+      val pieces = scala.collection.mutable.ArrayBuffer(all)
       var frontier = all
       var hop = 0
       var drained = false
@@ -167,10 +178,16 @@ object Graph {
         // `all` stays a union of checkpointed pieces — already materialized,
         // so no further checkpointing and no lineage growth
         if (!drained) all = all.unionByName(next)
+        pieces += next
         frontier = next
         hop += 1
       }
-      all
+      // checkpoint hygiene (VERDICT r11 #1): one reached-set-sized eager
+      // re-checkpoint frees every per-hop piece; only the tracked output
+      // survives (caller releases via Checkpoints.release once consumed)
+      val out = graft.plan.Checkpoints.track(all.localCheckpoint(true))
+      pieces.foreach(graft.plan.Checkpoints.releaseNow)
+      out
     } finally {
       e0.unpersist(blocking = false)
     }
@@ -270,9 +287,9 @@ object Graph {
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
     val nodes = deg.select(col("n").as("node"))
-    val out = nodes.join(tri, Seq("node"), "left")
+    val out = graft.plan.Checkpoints.track(nodes.join(tri, Seq("node"), "left")
       .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
-      .localCheckpoint(true) // node-sized; materializes through the caches
+      .localCheckpoint(true)) // node-sized; materializes through the caches
     und.unpersist()
     oriented.unpersist()
     out

@@ -53,10 +53,12 @@ object Hierarchy {
     // seed with an empty same-schema frame: an empty `nodes` input must
     // return an empty result, not NPE on a never-assigned accumulator
     var done: DataFrame = walking.limit(0)
+    val hops = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var hop = 0
     var remaining = walking.count()
     while (hop < maxDepth && remaining > 0) {
       val joined = walking.join(par, Seq("cur"), "left").localCheckpoint(true)
+      hops += joined
       val finished = joined.filter(col("__p").isNull).drop("__p")
       done = done.unionByName(finished)
       walking = joined.filter(col("__p").isNotNull)
@@ -69,6 +71,15 @@ object Hierarchy {
     require(remaining == 0,
       s"flattenToRoot: $remaining nodes still walking after $maxDepth hops " +
         "(cycle in the edge list, or raise maxDepth)")
-    done.select(col("node"), col("cur").as("root"), col("depth"), col("path"))
+    // checkpoint hygiene (VERDICT r11 #1): `done` unions slices of every
+    // hop's checkpoint — one node-sized eager re-checkpoint frees them
+    // all plus the edge frame; only the tracked output survives
+    val out = graft.plan.Checkpoints.track(
+      done.select(col("node"), col("cur").as("root"), col("depth"),
+          col("path"))
+        .localCheckpoint(true))
+    hops.foreach(graft.plan.Checkpoints.releaseNow)
+    graft.plan.Checkpoints.releaseNow(par)
+    out
   }
 }

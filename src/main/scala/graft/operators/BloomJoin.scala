@@ -29,6 +29,7 @@ object BloomJoin {
     // materialize once
     val keys = small.select(col(smallKey).as(bigKey))
       .filter(col(bigKey).isNotNull).distinct().localCheckpoint(true)
+      .transform(graft.plan.Checkpoints.track) // escapes via the semi join
     val n = keys.count()
     if (n == 0) return big.limit(0)
     val numBits = 64L * BloomKernels.numWords(n, bitsPerKey)

@@ -49,6 +49,16 @@ object Checkpoints {
     df
   }
 
+  /** Immediately unpersist the checkpoint RDD behind `df` — for an
+    * operator releasing its own INTERNAL checkpoint the moment a
+    * successor has materialized (iterative loops: round N−1's blocks are
+    * dead once round N's checkpoint lands). Must be called on the
+    * checkpoint frame itself (the LogicalRDD root), not a projection of
+    * it; no-op otherwise. Non-blocking: the blocks are garbage, nothing
+    * waits on their removal. */
+  def releaseNow(df: DataFrame): Unit =
+    rddOf(df).foreach(_.unpersist(blocking = false))
+
   /** Blocking-unpersist every tracked checkpoint. Safe to call any time
     * AFTER the frames depending on them have been materialized (written,
     * collected, counted); the frames cannot be re-executed afterwards. */

@@ -148,6 +148,21 @@ object LatticeAdvisor {
       sketchK.map(kk => 1.0 / math.sqrt(kk.toDouble)), estimated)
   }
 
+  /** FILTER-AWARE advice (VERDICT r11 #7): each workload entry is
+    * (grouping grains, filter columns). A candidate grain can serve a
+    * filtered query only when it carries the filter columns TOO
+    * ([[RollupRewrite]]'s per-conjunct rewriter requires every conjunct
+    * to collapse onto grain attributes), so the query's requirement mask
+    * is the UNION — candidates missing a filter column contribute zero
+    * benefit for that query, exactly the HRU "cannot answer" case.
+    * Everything else (cost model, tie-breaks, approx mode, the SQL
+    * replay) is [[advise]] verbatim. Feed it
+    * [[RollupRewrite.capturedWorkloadWithFilters]]. */
+  def adviseFiltered(base: DataFrame, dims: Seq[(String, Column)],
+                     workload: Seq[(Set[String], Set[String])], k: Int,
+                     sketchK: Option[Int] = None): Seq[Advice] =
+    advise(base, dims, workload.map { case (g, f) => g ++ f }, k, sketchK)
+
   /** The pure HRU greedy over precomputed cardinalities — exposed for
     * property tests (LatticeAdvisorPropertySpec pins it against an
     * independently-written reference and its submodularity invariant):

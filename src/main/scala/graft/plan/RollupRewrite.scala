@@ -117,9 +117,13 @@ object RollupRewrite {
     * dedupe on (paths, column set); the optimizer's fix-point re-runs
     * record nothing new. Zero overhead when off (one volatile read). */
   @volatile private var capturing = false
+  // (base paths, grouping grains, filter columns) — filter columns are
+  // the resolved base-column references of the observed Filter conjuncts
+  // (VERDICT r11 #7: a WHERE-heavy workload over-values coarse grains
+  // that cannot serve its filters; the advisor needs to know)
   private val capturedLog =
     java.util.Collections.synchronizedSet(
-      new java.util.LinkedHashSet[(Set[String], Set[String])]())
+      new java.util.LinkedHashSet[(Set[String], Set[String], Set[String])]())
 
   def startWorkloadCapture(): Unit = { capturedLog.clear(); capturing = true }
   def stopWorkloadCapture(): Unit = capturing = false
@@ -135,7 +139,19 @@ object RollupRewrite {
   /** Distinct captured grains for a base (insertion order). */
   def capturedWorkload(basePaths: Set[String]): Seq[Set[String]] = {
     import scala.jdk.CollectionConverters._
-    capturedLog.asScala.toSeq.collect { case (p, g) if p == basePaths => g }
+    capturedLog.asScala.toSeq.collect { case (p, g, _) if p == basePaths => g }
+  }
+
+  /** Captured (grouping grains, filter columns) pairs for a base
+    * (VERDICT r11 #7): the filter columns are what a summary's grain
+    * must ALSO carry to serve that query — feed
+    * [[LatticeAdvisor.adviseFiltered]], which zeroes a candidate's
+    * benefit for queries whose filters it cannot serve. */
+  def capturedWorkloadWithFilters(basePaths: Set[String])
+      : Seq[(Set[String], Set[String])] = {
+    import scala.jdk.CollectionConverters._
+    capturedLog.asScala.toSeq.collect {
+      case (p, g, f) if p == basePaths => (g, f) }
   }
 
   def setStrictStaleness(on: Boolean): Unit = strictStaleness = on
@@ -736,7 +752,8 @@ object RollupRewrite {
   private[plan] class RewriteRule extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
       case agg: Aggregate =>
-        tryRewrite(agg).orElse(tryRewriteCube(agg)).getOrElse(agg)
+        tryRewrite(agg).orElse(tryRewriteCube(agg))
+          .orElse(tryRewriteJoinAgg(agg)).getOrElse(agg)
     }
 
     /** Strip Projects and collect Filter conditions down to the leaf
@@ -859,8 +876,14 @@ object RollupRewrite {
           case e if e.references.nonEmpty && e.deterministic => Some(e.sql)
           case _ => None
         }
+        // filter columns: resolved base references of every observed
+        // conjunct (VERDICT r11 #7) — conservative for computed-grain
+        // predicates (month(d) = 3 records d), which only steers the
+        // advisor toward a finer grain, never a wrong one
+        val filterCols = conds.flatMap(c =>
+          resolve(c, subst).references.map(_.name)).toSet
         if (grains.forall(_.isDefined))
-          capturedLog.add((paths, grains.flatten.toSet))
+          capturedLog.add((paths, grains.flatten.toSet, filterCols))
       }
       // Lattice routing: several summaries at different grains may be
       // registered for one base. Try coarsest-first (fewest group
@@ -1064,6 +1087,281 @@ object RollupRewrite {
         .groupBy(_.exprId).map(_._2.head).toSeq
       Some(Aggregate(agg.groupingExpressions, rewritten,
         Expand(newProjections, newOutput, Project(needed, filtered))))
+    }
+
+    /** Strip attribute/deterministic-alias Projects and Filters down to
+      * a JOIN node, collecting conditions and the alias substitution —
+      * the join-navigation analog of [[strip]]. */
+    private def stripJoin(p: LogicalPlan, conds: Seq[Expression],
+                          subst: Map[ExprId, Expression])
+        : Option[(org.apache.spark.sql.catalyst.plans.logical.Join,
+                  Seq[Expression], Map[ExprId, Expression])] =
+      p match {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          Some((j, conds, subst))
+        case Project(pl, child) if pl.forall {
+            case _: AttributeReference => true
+            case a: Alias => a.child.deterministic
+            case _ => false
+          } =>
+          stripJoin(child, conds,
+            subst ++ pl.collect { case a: Alias => a.exprId -> a.child })
+        case Filter(cond, child) => stripJoin(child, conds :+ cond, subst)
+        case _ => None
+      }
+
+    /** TWO-SUMMARY JOIN NAVIGATION (VERDICT r11 #6): a fact⋈dim
+      * aggregate where BOTH sides have registered summaries at
+      * compatible grains serves with ZERO base scans on either side.
+      * q172's composition redirects the pushed fact partial to a
+      * summary but still scans the dim base; this rewrite replaces the
+      * dim side too, using the duplicate-factoring identity: a dim row
+      * duplicated n times multiplies every joined fact partial's
+      * sum/count contribution by n (min/max are duplication-invariant),
+      * and n is exactly the dim summary's `__cnt_rows`. So
+      * {{{
+      *   Aggregate(G, f(fact measures), Join(fact, dim, k = dk))
+      *     ≡ Aggregate(G, f'(partials × dim.__cnt_rows),
+      *         Join(factSummary, dimSummary, k = dk))
+      * }}}
+      * Requirements (else leave the plan alone): INNER equi-join on
+      * plain attributes; each side's join keys + grouping references
+      * shape-match that side's summary grain (computed grains
+      * included); every aggregate input is a registered plain-column
+      * fact measure (sum / count / count(*) / min / max /
+      * avg(non-decimal), undistinct, unfiltered; decimal sums bail —
+      * the × cnt product would need precision bookkeeping); per-side
+      * filters rewrite through that side's grain (the q191 conjunct
+      * machinery); filters ABOVE the join route to the side their
+      * references live on. Lattice routing per side: coarsest
+      * qualifying grain first, independently. NULL join keys drop
+      * identically (a NULL grain row never passes the equi-join, just
+      * like its base rows). Products stay in the partial's type — a
+      * 64-bit overflow under ANSI throws rather than corrupts (the
+      * eager-agg magnitude contract). */
+    private def tryRewriteJoinAgg(agg: Aggregate): Option[LogicalPlan] = {
+      import org.apache.spark.sql.catalyst.plans.Inner
+      val (join, topConds, topSubst) =
+        stripJoin(agg.child, Nil, Map.empty).getOrElse(return None)
+      if (join.joinType != Inner || join.condition.isEmpty) return None
+      def conjunctsOf(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+        case other => Seq(other)
+      }
+      val leftOut = join.left.outputSet
+      val rightOut = join.right.outputSet
+      val keyPairs: Seq[(AttributeReference, AttributeReference)] =
+        conjunctsOf(join.condition.get).map {
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+            if leftOut.contains(a) && rightOut.contains(b) => (a, b)
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+            if leftOut.contains(b) && rightOut.contains(a) => (b, a)
+          case _ => return None
+        }
+      val (lLeaf, lConds0, lSubst) =
+        strip(join.left, Nil, Map.empty).getOrElse(return None)
+      val (rLeaf, rConds0, rSubst) =
+        strip(join.right, Nil, Map.empty).getOrElse(return None)
+      if (!lLeaf.relation.isInstanceOf[HadoopFsRelation] ||
+          !rLeaf.relation.isInstanceOf[HadoopFsRelation]) return None
+      // filters collected ABOVE the join route to the side that owns
+      // their references (cross-side or ambiguous conjuncts bail)
+      var lConds = lConds0
+      var rConds = rConds0
+      topConds.flatMap(conjunctsOf).foreach { c0 =>
+        val c = resolve(c0, topSubst)
+        if (c.references.nonEmpty && c.references.subsetOf(leftOut)) lConds :+= c
+        else if (c.references.nonEmpty && c.references.subsetOf(rightOut)) rConds :+= c
+        else return None
+      }
+      val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression => ae
+      })
+      if (aggCalls.isEmpty) return None
+      if (aggCalls.exists(ae => ae.isDistinct || ae.filter.isDefined)) return None
+      val aggRefs = AttributeSet(aggCalls.flatMap(_.references))
+      val factIsLeft =
+        if (aggRefs.isEmpty || aggRefs.subsetOf(leftOut)) true
+        else if (aggRefs.subsetOf(rightOut)) false
+        else return None
+      val (factSide, dimSide) =
+        if (factIsLeft) (join.left, join.right) else (join.right, join.left)
+      val (factLeaf, factConds, factSubst) =
+        if (factIsLeft) (lLeaf, lConds, lSubst) else (rLeaf, rConds, rSubst)
+      val (dimLeaf, dimConds, dimSubst) =
+        if (factIsLeft) (rLeaf, rConds, rSubst) else (lLeaf, lConds, lSubst)
+      val factKeys = keyPairs.map(p => if (factIsLeft) p._1 else p._2)
+      val dimKeys = keyPairs.map(p => if (factIsLeft) p._2 else p._1)
+      // grouping expressions split by the side their references live on
+      // (constant groupings bail — nothing to route them by)
+      val factOut = factSide.outputSet
+      val dimOut = dimSide.outputSet
+      agg.groupingExpressions.foreach { g =>
+        if (g.references.isEmpty ||
+            (!g.references.subsetOf(factOut) && !g.references.subsetOf(dimOut)))
+          return None
+      }
+      val factPaths = factLeaf.relation.asInstanceOf[HadoopFsRelation]
+        .location.rootPaths.map(_.toString).toSet
+      val dimPaths = dimLeaf.relation.asInstanceOf[HadoopFsRelation]
+        .location.rootPaths.map(_.toString).toSet
+      val (factFresh, _) = freshCandidates(factPaths,
+        factLeaf.relation.asInstanceOf[HadoopFsRelation].location)
+      val (dimFresh, _) = freshCandidates(dimPaths,
+        dimLeaf.relation.asInstanceOf[HadoopFsRelation].location)
+      if (factFresh.isEmpty || dimFresh.isEmpty) return None
+      (for {
+        dF <- factFresh.view
+        dD <- dimFresh.view
+        plan <- tryJoinAggWith(agg, dF, dD, factKeys, dimKeys,
+          factConds, factSubst, dimConds, dimSubst, factOut, dimOut,
+          topSubst)
+      } yield plan).headOption
+    }
+
+    private def tryJoinAggWith(agg: Aggregate, dF: RollupDef, dD: RollupDef,
+        factKeys: Seq[AttributeReference], dimKeys: Seq[AttributeReference],
+        factConds: Seq[Expression], factSubst: Map[ExprId, Expression],
+        dimConds: Seq[Expression], dimSubst: Map[ExprId, Expression],
+        factOut: AttributeSet, dimOut: AttributeSet,
+        topSubst: Map[ExprId, Expression]): Option[LogicalPlan] = {
+      import org.apache.spark.sql.catalyst.plans.Inner
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, JoinHint}
+      val factSummary = dF.summary match {
+        case r: LogicalRelation => r.newInstance()
+        case other => other
+      }
+      val dimSummary = dD.summary match {
+        case r: LogicalRelation => r.newInstance()
+        case other => other
+      }
+      def fAttr(name: String): AttributeReference =
+        factSummary.output.collectFirst {
+          case a: AttributeReference if a.name == name => a }.get
+      def dAttr(name: String): AttributeReference =
+        dimSummary.output.collectFirst {
+          case a: AttributeReference if a.name == name => a }.get
+      val factGrainOf = grainLookup(dF, fAttr)
+      val dimGrainOf = grainLookup(dD, dAttr)
+      // join keys must be grain columns on their own sides
+      val keyGrains: Seq[(String, String)] = factKeys.zip(dimKeys).map {
+        case (fk, dk) =>
+          val fg = factGrainOf(resolve(fk, factSubst)).getOrElse(return None)
+          val dg = dimGrainOf(resolve(dk, dimSubst)).getOrElse(return None)
+          (fg, dg)
+      }
+      // grouping expressions: each resolves to a grain of its side
+      sealed trait G
+      case class FactG(n: String) extends G
+      case class DimG(n: String) extends G
+      val groupKinds: Seq[G] = agg.groupingExpressions.map { g0 =>
+        val onFact = g0.references.subsetOf(factOut)
+        val g = resolve(g0, if (onFact) factSubst else dimSubst)
+        // grouping aliases may also live in topSubst (pulled out above
+        // the join) — resolve through both layers
+        val gr = resolve(g, topSubst)
+        if (onFact) FactG(factGrainOf(gr).getOrElse(return None))
+        else DimG(dimGrainOf(gr).getOrElse(return None))
+      }
+      // per-side filters rewrite through that side's grain
+      val newFactConds = rewriteConds(factConds, factSubst, factGrainOf,
+        fAttr, AttributeSet(dF.groupCols.map(fAttr))).getOrElse(return None)
+      val newDimConds = rewriteConds(dimConds, dimSubst, dimGrainOf,
+        dAttr, AttributeSet(dD.groupCols.map(dAttr))).getOrElse(return None)
+      // aggregate derivations: fact partials × dim row count
+      val dimCnt = dAttr(Rollup.CntRows)
+      def times(partial: AttributeReference): Expression =
+        Multiply(partial, Cast(dimCnt, partial.dataType))
+      def measureAttr(e: Expression, prefix: String): Option[AttributeReference] =
+        resolve(e, factSubst) match {
+          case a: AttributeReference if dF.measures.contains(a.name) =>
+            Some(fAttr(s"$prefix${a.name}"))
+          case _ => None
+        }
+      def sumOf(e: Expression) =
+        AggregateExpression(Sum(e), Complete, isDistinct = false)
+      def cntOf(e: Expression): Expression =
+        Coalesce(Seq(sumOf(e), Literal(0L)))
+      def derive(fn: AggregateFunction): Option[Expression] = fn match {
+        case Count(args) if args.forall {
+            case l: Literal => l.value != null; case _ => false } =>
+          Some(cntOf(Multiply(fAttr(Rollup.CntRows), dimCnt)))
+        case Count(Seq(e)) => measureAttr(e, "__cnt_").map(a => cntOf(times(a)))
+        case Sum(e, _) if !fn.dataType.isInstanceOf[
+            org.apache.spark.sql.types.DecimalType] =>
+          measureAttr(e, "__sum_").map { a =>
+            val merged = sumOf(times(a))
+            if (merged.dataType == fn.dataType) merged
+            else Cast(merged, fn.dataType)
+          }
+        case Min(e) => measureAttr(e, "__min_").map(m =>
+          AggregateExpression(Min(m), Complete, isDistinct = false))
+        case Max(e) => measureAttr(e, "__max_").map(m =>
+          AggregateExpression(Max(m), Complete, isDistinct = false))
+        case Average(e, _) if !e.dataType.isInstanceOf[
+            org.apache.spark.sql.types.DecimalType] =>
+          for (s <- measureAttr(e, "__sum_"); c <- measureAttr(e, "__cnt_"))
+            yield Divide(Cast(sumOf(times(s)), DoubleType),
+              Cast(sumOf(times(c)), DoubleType))
+        case _ => None
+      }
+      val grainAttrOf: G => AttributeReference = {
+        case FactG(n) => fAttr(n)
+        case DimG(n) => dAttr(n)
+      }
+      // lookup by BOTH forms — the grouping expression as written (a
+      // pulled-out grouping alias attribute included) and its fully
+      // resolved tree — so result expressions referencing either land on
+      // the right summary grain attribute
+      val groupByExpr: Map[Expression, AttributeReference] =
+        agg.groupingExpressions.zip(groupKinds.map(grainAttrOf)).flatMap {
+          case (g0, a) =>
+            val onFact = g0.references.subsetOf(factOut)
+            val res = resolve(resolve(g0,
+              if (onFact) factSubst else dimSubst), topSubst)
+            Seq(g0.canonicalized -> a, res.canonicalized -> a)
+        }.toMap
+      def rewriteExpr(e: Expression): Option[Expression] = e match {
+        case AggregateExpression(fn, Complete, false, None, _) => derive(fn)
+        case _: AggregateExpression => None
+        case e if groupByExpr.contains(e.canonicalized) =>
+          Some(groupByExpr(e.canonicalized))
+        case _: AttributeReference => None
+        case other =>
+          val kids = other.children.map(rewriteExpr)
+          if (kids.exists(_.isEmpty)) None
+          else Some(other.withNewChildren(kids.map(_.get)))
+      }
+      val rewritten = agg.aggregateExpressions.map {
+        case a: AttributeReference if groupByExpr.contains(a.canonicalized) =>
+          Alias(groupByExpr(a.canonicalized), a.name)(
+            exprId = a.exprId, qualifier = a.qualifier)
+        case al @ Alias(child, name) =>
+          Alias(rewriteExpr(child).getOrElse(return None),
+            name)(exprId = al.exprId, qualifier = al.qualifier)
+        case _ => return None
+      }
+      val newGroup = groupKinds.map(grainAttrOf)
+      val factFiltered = newFactConds.foldLeft(factSummary: LogicalPlan)(
+        (p, c) => Filter(c, p))
+      val dimFiltered = newDimConds.foldLeft(dimSummary: LogicalPlan)(
+        (p, c) => Filter(c, p))
+      val joinCond = keyGrains.map { case (fg, dg) =>
+        EqualTo(fAttr(fg), dAttr(dg)): Expression
+      }.reduce(And(_, _))
+      // prune both summary scans to the referenced columns
+      val refs = (newGroup ++ rewritten.flatMap(_.references) ++
+        joinCond.references ++ newFactConds.flatMap(_.references) ++
+        newDimConds.flatMap(_.references))
+        .map(_.asInstanceOf[AttributeReference])
+        .groupBy(_.exprId).map(_._2.head).toSeq
+      val factOutSet = AttributeSet(factSummary.output)
+      val factNeeded = refs.filter(factOutSet.contains)
+      val dimNeeded = refs.filterNot(factOutSet.contains)
+      Some(Aggregate(newGroup, rewritten,
+        LJoin(Project(factNeeded, factFiltered),
+          Project(dimNeeded, dimFiltered), Inner, Some(joinCond),
+          JoinHint.NONE)))
     }
 
     private def tryRewriteWith(agg: Aggregate, conds: Seq[Expression],

@@ -462,7 +462,24 @@ object Queries {
                                     tmpDir: String): DataFrame = {
     val rows = df.collect()
     val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    graft.plan.Checkpoints.release() // rows are local now; drop checkpoints
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpDir))
+    out
+  }
+
+  /** Checkpoint hygiene for gates whose operators leave ESCAPING
+    * localCheckpoints behind ([[graft.plan.Checkpoints]] — VERDICT r11
+    * "What's wrong #1"): materialize the bounded gate output as a
+    * driver-local relation, then blocking-release every tracked
+    * checkpoint. The returned frame holds its rows locally, so the
+    * session is left with ZERO persisted RDDs after the query — the
+    * long-lived-session contract a battery sweep only papers over. */
+  private def sealQuery(fn: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame = (s, dir) => {
+    val df = fn(s, dir)
+    val rows = df.collect()
+    val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    graft.plan.Checkpoints.release()
     out
   }
 
@@ -1741,7 +1758,7 @@ object Queries {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         shingleLen = 3, threshold = 0.9)
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
+      .localCheckpoint(true).transform(graft.plan.Checkpoints.track)
     val oldOld = pairs.filter(col("id_a") % 10 =!= 0 && col("id_b") % 10 =!= 0)
     val delta = pairs.filter(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)
     val stored = Dedup.duplicateClusters(oldOld)
@@ -1846,10 +1863,10 @@ object Queries {
       .option("maxFilesPerTrigger", "1").parquet(tmp)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val delta = rollup(batch).localCheckpoint(true)
+        val delta = rollup(batch).localCheckpoint(true).transform(graft.plan.Checkpoints.track)
         state = (if (state == null) delta
                  else graft.operators.Incremental.mergeAggregates(
-                   state, delta, Seq("event_type", "cohort"))).localCheckpoint(true)
+                   state, delta, Seq("event_type", "cohort"))).localCheckpoint(true).transform(graft.plan.Checkpoints.track)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
@@ -2732,7 +2749,7 @@ object Queries {
   def q155BpeAccounting(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     // one corpus histogram pass shared by training and accounting
-    val wc = graft.curate.Bpe.wordCounts(docs, "text").localCheckpoint(true)
+    val wc = graft.curate.Bpe.wordCounts(docs, "text").localCheckpoint(true).transform(graft.plan.Checkpoints.track)
     val merges = graft.curate.Bpe.learnMergesFromCounts(wc, 8).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     graft.curate.Bpe.tokenAccounting(docs, "source", "text", merges, Some(wc))
@@ -2881,7 +2898,7 @@ object Queries {
     * the oracle IS q155's (shared val). */
   def q161BpeStoredTokenizer(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
-    val wc = graft.curate.Bpe.wordCounts(docs, "text").localCheckpoint(true)
+    val wc = graft.curate.Bpe.wordCounts(docs, "text").localCheckpoint(true).transform(graft.plan.Checkpoints.track)
     val tmpRoot = java.nio.file.Files.createTempDirectory("q161_bpe")
       .toFile.getAbsolutePath
     graft.curate.Bpe.saveMerges(
@@ -3121,7 +3138,7 @@ object Queries {
           Ivf.load(s, s"$tmpRoot/model"), "vec_id", "embedding",
           threshold = 0.467318, nProbes = 4)
         .withColumn("round", lit(r))
-        .localCheckpoint(true)
+        .localCheckpoint(true).transform(graft.plan.Checkpoints.track)
       Ivf.appendToIndex(s, s"$tmpRoot/index", s"$tmpRoot/model",
         batch.join(v.filter(col("admitted") === 1).select("vec_id"),
           Seq("vec_id")), "vec_id", "embedding")
@@ -3494,10 +3511,10 @@ object Queries {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val delta = graft.plan.Rollup.materialize(batch, gc, ms)
-          .localCheckpoint(true)
+          .localCheckpoint(true).transform(graft.plan.Checkpoints.track)
         state = (if (state == null) delta
                  else graft.plan.Rollup.merge(state, delta, gc, ms)
-                   .localCheckpoint(true))
+                   .localCheckpoint(true).transform(graft.plan.Checkpoints.track))
       }
       .start()
     try q.processAllAvailable() finally q.stop()
@@ -4186,6 +4203,130 @@ object Queries {
         col("score_micro"), col("keep"), col("acc_bp"))
   }
 
+  /** RANGE/IN filter conjuncts over a COMPUTED grain ([[graft.plan
+    * .RollupRewrite]] — VERDICT r11 #5): q191 gates only equality, but
+    * real dashboards write `BETWEEN` and `IN` over the same grain. The
+    * per-conjunct rewriter redirects ANY deterministic conjunct whose
+    * references all collapse onto grain attributes, so both legs must
+    * serve from the month()-grained summary with no base scan: a
+    * BETWEEN leg (grouped) and an IN-list leg (grouped), one summary.
+    * Oracle = base recompute. 2dp float sums (q165/q191 regime). */
+  def q196GrainRangeFilter(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val orders = tbl(s, dir, "orders")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q196_rangegrain")
+      .toFile.getAbsolutePath
+    graft.plan.Rollup.materializeExpr(orders,
+        Seq("om" -> month(col("o_orderdate"))), Seq("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/msum")
+    R.register(orders, s.read.parquet(s"$tmpRoot/msum"), Seq("om"),
+      Seq("o_totalprice"),
+      groupExprOf = Map("om" -> month(col("o_orderdate"))))
+    R.enable(s)
+    try {
+      def leg(name: String, pred: Column) = {
+        val q = orders.filter(pred)
+          .groupBy(month(col("o_orderdate")).as("om"))
+          .agg(count(lit(1)).as("n_rows"), sum("o_totalprice").as("__s"),
+            min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+          .select(lit(name).as("leg"), col("om"), col("n_rows"),
+            round(col("__s"), 2).as("sum_total"), col("mn"), col("mx"))
+        val scans = R.scanRootPaths(q)
+        require(scans.nonEmpty && scans.forall(_.contains(tmpRoot)),
+          s"$name leg must serve from the summary — scans $scans")
+        q
+      }
+      val between = leg("between",
+        month(col("o_orderdate")).between(3, 5))
+      val inList = leg("in", month(col("o_orderdate")).isin(2, 7, 11))
+      materializeAndCleanup(s, between.unionByName(inList), tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
+  /** TWO-SUMMARY JOIN NAVIGATION ([[graft.plan.RollupRewrite]] —
+    * VERDICT r11 #6): where q172 still scans the dim base, this serves
+    * the whole fact⋈dim aggregate with ZERO base scans — the fact
+    * summary supplies per-join-key partials, the dim summary its grain
+    * rows, and the duplicate-factoring identity (partials × the dim
+    * grain's `__cnt_rows`) keeps join multiplicity exact. In-query
+    * require: the optimized plan scans NEITHER orders nor customer.
+    * Oracle = the direct join recompute. 2dp float sums. */
+  def q197JoinNavigation(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val orders = tbl(s, dir, "orders")
+    val customer = tbl(s, dir, "customer")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q197_joinnav")
+      .toFile.getAbsolutePath
+    graft.plan.Rollup.materialize(orders, Seq("o_custkey"),
+        Seq("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/fsum")
+    graft.plan.Rollup.materialize(customer,
+        Seq("c_custkey", "c_mktsegment"), Seq("c_acctbal"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/dsum")
+    R.register(orders, s.read.parquet(s"$tmpRoot/fsum"),
+      Seq("o_custkey"), Seq("o_totalprice"))
+    R.register(customer, s.read.parquet(s"$tmpRoot/dsum"),
+      Seq("c_custkey", "c_mktsegment"), Seq("c_acctbal"))
+    R.enable(s)
+    try {
+      val q = orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("o_totalprice").as("__s"),
+          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        .select(col("c_mktsegment"), col("n_rows"),
+          round(col("__s"), 2).as("sum_total"), col("mn"), col("mx"))
+      val scans = R.scanRootPaths(q)
+      require(scans.nonEmpty && scans.forall(_.contains(tmpRoot)),
+        s"join navigation must scan NO base table — scans $scans")
+      materializeAndCleanup(s, q, tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
+  /** VOCABULARY-ADAPTIVE quality filter ([[graft.curate.QualityFilter
+    * .deriveBuckets]] — VERDICT r11 #4): q193's fixed 256-bucket feature
+    * space saturates when vocabulary grows 10× (the r11 grow-vocab floor
+    * trip, BY CONSTRUCTION), so the bucket count is now DERIVED at train
+    * time — a KMV vocabulary estimate over the exact feature-gram stream
+    * (q69 machinery), rounded up to a power of two. The derivation is
+    * engine-replayable (md5-exact hash set, one IEEE division whose
+    * floor feeds only integer ladder comparisons), so the oracle derives
+    * the SAME count and the derived `nb` column itself is hash-gated
+    * alongside the per-doc held-out scores and the basis-point accuracy.
+    * Training/eval = q193's bigram chain at the derived width. */
+  def q195QfAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val Qf = graft.curate.QualityFilter
+    val docs = tbl(s, dir, "documents")
+    val nb = Qf.deriveBuckets(docs, "doc_id", "text", bigrams = true)
+    require(nb >= 256 && Integer.bitCount(nb) == 1,
+      s"derived bucket count must be a clamped power of two, got $nb")
+    val ft = Qf.hashedFeatures(docs, "doc_id", "text", buckets = nb,
+      biasValue = 32L, bigrams = true)
+    val toks = T.tokens(col("text"))
+    val labels = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        (lit(2) * size(toks) +
+          lit(5) * size(filter(toks, t => t === "batch")) >= 130)
+          .cast("int").as("y"))
+    val w = Qf.trainLogistic(s, ft,
+      labels.filter(col("doc_id") % 4 =!= 1), buckets = nb, epochs = 8,
+      lrScale = 29L)
+    val eval = Qf.holdoutEval(ft, w, labels.filter(col("doc_id") % 4 === 1))
+    val conf = Qf.confusionStats(eval)
+    val accBp = conf.collect()(0).getAs[Long]("acc_bp")
+    require(accBp >= 8000,
+      s"held-out accuracy gate: $accBp bp < 8000 — the filter stopped learning")
+    eval.crossJoin(broadcast(conf.select(col("acc_bp"))))
+      .select(col("doc_id"), col("y").cast("int").as("label"),
+        col("score_micro"), col("keep"), col("acc_bp"),
+        lit(nb).cast("int").as("nb"))
+  }
+
   /** INCREMENTAL SUMMARY REFRESH ([[graft.plan.RollupRewrite
     * .refreshStale]] — VERDICT r10 #2, q178's production sequel): where
     * the staleness guard falls through to a full base scan, the refresh
@@ -4697,7 +4838,8 @@ object Queries {
     * gram list is toks ∪ space-joined consecutive pairs (none below 2
     * tokens), hashed with the same salt into the same bucket range. */
   private def qfOracleChain(buckets: Int, biasValue: Int, epochs: Int,
-                            lrScale: Int, bigrams: Boolean = false): String = {
+                            lrScale: Int, bigrams: Boolean = false,
+                            adaptive: Option[(Int, Int, Int)] = None): String = {
     val b = new StringBuilder
     b ++= "WITH d AS MATERIALIZED (\n" +
       raw"  SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks" + "\n" +
@@ -4712,17 +4854,50 @@ object Queries {
         "    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks))," +
         " x -> concat(toks[x], ' ', toks[x+1]))\n" +
         "    ELSE []::VARCHAR[] END)) AS term FROM d"
-    b ++= "tf AS MATERIALIZED (\n" +
-      "  SELECT doc_id, CAST(concat('0x', substr(md5(concat(term, ':qf'))," +
-      s" 1, 15)) AS BIGINT) % $buckets AS bucket,\n" +
-      "    CAST(count(*) AS BIGINT) AS cnt\n" +
-      s"  FROM ($gramSrc) GROUP BY 1, 2),\n"
-    b ++= "ft AS MATERIALIZED (SELECT * FROM tf UNION ALL" +
-      s" SELECT doc_id, $buckets::BIGINT AS bucket," +
-      s" $biasValue::BIGINT AS cnt FROM d),\n"
-    b ++= "trn AS MATERIALIZED (SELECT doc_id, y FROM lb WHERE doc_id % 4 <> 1),\n"
-    b ++= s"w0 AS MATERIALIZED (SELECT unnest(range(0, ${buckets + 1}))" +
-      " AS bucket, 0::BIGINT AS w)"
+    adaptive match {
+      case None =>
+        b ++= "tf AS MATERIALIZED (\n" +
+          "  SELECT doc_id, CAST(concat('0x', substr(md5(concat(term, ':qf'))," +
+          s" 1, 15)) AS BIGINT) % $buckets AS bucket,\n" +
+          "    CAST(count(*) AS BIGINT) AS cnt\n" +
+          s"  FROM ($gramSrc) GROUP BY 1, 2),\n"
+        b ++= "ft AS MATERIALIZED (SELECT * FROM tf UNION ALL" +
+          s" SELECT doc_id, $buckets::BIGINT AS bucket," +
+          s" $biasValue::BIGINT AS cnt FROM d),\n"
+        b ++= "trn AS MATERIALIZED (SELECT doc_id, y FROM lb WHERE doc_id % 4 <> 1),\n"
+        b ++= s"w0 AS MATERIALIZED (SELECT unnest(range(0, ${buckets + 1}))" +
+          " AS bucket, 0::BIGINT AS w)"
+      case Some((k, minB, maxB)) =>
+        // VOCAB-ADAPTIVE replay (VERDICT r11 #4): derive the bucket count
+        // exactly like QualityFilter.deriveBuckets — k smallest distinct
+        // 60-bit md5 hashes (the q69 KMV device), floor of the one IEEE
+        // division, then INTEGER comparisons against a power-of-two
+        // ladder (no libm). nbuk cross-joins into every consumer.
+        val ladder = Iterator.iterate(minB)(_ << 1).takeWhile(_ <= maxB)
+          .map(p => s"($p)").mkString(", ")
+        b ++= s"gr AS MATERIALIZED ($gramSrc),\n"
+        b ++= "vh AS (SELECT DISTINCT" +
+          " CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h FROM gr),\n"
+        b ++= "vr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM vh),\n"
+        b ++= s"kagg AS (SELECT count(*) AS cnt, max(h) AS kth FROM vr WHERE rn <= $k),\n"
+        b ++= s"est AS (SELECT CASE WHEN cnt < $k THEN cnt\n" +
+          s"    ELSE CAST(floor(${(k - 1).toDouble} * 1152921504606846976.0" +
+          " / CAST(kth AS DOUBLE)) AS BIGINT) END AS e FROM kagg),\n"
+        b ++= s"nbuk AS MATERIALIZED (SELECT min(p) AS nb FROM (VALUES $ladder)" +
+          s" t(p), est WHERE p >= LEAST(e, $maxB)),\n"
+        b ++= "tf AS MATERIALIZED (\n" +
+          "  SELECT doc_id, CAST(concat('0x', substr(md5(concat(term, ':qf'))," +
+          " 1, 15)) AS BIGINT) % nb AS bucket,\n" +
+          "    CAST(count(*) AS BIGINT) AS cnt\n" +
+          "  FROM gr, nbuk GROUP BY 1, 2),\n"
+        b ++= "ft AS MATERIALIZED (SELECT * FROM tf UNION ALL" +
+          " SELECT doc_id, nb::BIGINT AS bucket," +
+          s" $biasValue::BIGINT AS cnt FROM d, nbuk),\n"
+        b ++= "trn AS MATERIALIZED (SELECT doc_id, y FROM lb WHERE doc_id % 4 <> 1),\n"
+        // the spine only needs buckets that OCCUR in ft: absent buckets
+        // keep weight 0 forever and every consumer joins through ft
+        b ++= "w0 AS MATERIALIZED (SELECT DISTINCT bucket, 0::BIGINT AS w FROM ft)"
+    }
     for (i <- 1 to epochs) {
       b ++= s",\ns$i AS MATERIALIZED (SELECT f.doc_id, sum(f.cnt * w.w) AS s\n" +
         s"  FROM ft f JOIN w${i - 1} w USING (bucket)" +
@@ -4802,7 +4977,34 @@ object Queries {
 
   // ================================================================ registry
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Gates whose operators return frames backed by tracked escaping
+    * localCheckpoints (graph iterations, LSH candidate caches, index
+    * builds, budgeted selection): [[sealQuery]] localizes their bounded
+    * output and releases the blocks, so a full battery leaves ZERO
+    * persisted RDDs (VERDICT r11 "What's wrong #1" done-bar). Keep in
+    * sync with operators that call `Checkpoints.track`. */
+  private val sealedGates = Set(
+    "q21_ngram_jaccard", "q22_minhash_pairs", "q47_dup_clusters",
+    "q54_cluster_survivors", "q64_bloom_decontaminate", "q73_pagerank",
+    "q81_shortest_paths", "q96_bm25_topk", "q98_triangles",
+    "q102_exact_jaccard", "q105_cluster_split", "q109_index_dedup",
+    "q111_merge_clusters", "q117_stream_rollup_fold", "q131_retrieval_eval",
+    "q141_bloom_semi_join", "q143_detector_agreement", "q147_hierarchy",
+    "q150_bm25_stored_index", "q151_chained_ingest", "q152_bpe_merges",
+    "q153_dsir_select", "q154_hybrid_rrf", "q155_bpe_accounting",
+    "q156_hybrid_ann", "q158_inc_bm25", "q159_inc_bm25_delete",
+    "q161_bpe_stored_tokenizer", "q162_versioned_index", "q168_semantic_ingest",
+    "q176_stream_lattice", "q182_restartable_pipeline", "q186_stream_versioned",
+    "q188_budgeted_filter", "q190_curriculum_pack")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = rawAll.map {
+    case (n, f) => n -> (if (sealedGates(n)) sealQuery(f) else f)
+  }
+
+  // package-visible so plan-shape specs can judge the REAL query plan —
+  // the public `all` seals leak-prone gates into LocalRelations, whose
+  // plans have nothing left to assert
+  private[queries] lazy val rawAll: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_market_share" -> (q02MarketShare _),
     "q03_cum_window" -> (q03CumulativeSpend _),
@@ -4996,7 +5198,10 @@ object Queries {
     "q191_expr_grain" -> (q191ExprGrain _),
     "q192_summary_refresh" -> (q192SummaryRefresh _),
     "q193_qf_holdout" -> (q193QfHoldout _),
-    "q194_summary_retract" -> (q194SummaryRetract _))
+    "q194_summary_retract" -> (q194SummaryRetract _),
+    "q195_qf_adaptive" -> (q195QfAdaptive _),
+    "q196_grain_range_filter" -> (q196GrainRangeFilter _),
+    "q197_join_navigation" -> (q197JoinNavigation _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -6824,6 +7029,46 @@ object Queries {
         |SELECT doc_id, y AS label, score_micro, keep,
         |  CAST((SELECT sum(CASE WHEN keep = y THEN 1 ELSE 0 END) * 10000 FROM hs)
         |    // (SELECT count(*) FROM hs) AS BIGINT) AS acc_bp
+        |FROM hs""".stripMargin),
+    // q196: BETWEEN/IN over the month() grain — a missed summary serve
+    // trips the in-query plan require; wrong filter routing changes the
+    // month sets and hash-fails. DuckDB month() is BIGINT — CAST to INT.
+    "q196_grain_range_filter" ->
+      """SELECT 'between' AS leg, CAST(month(o_orderdate) AS INT) AS om,
+        | count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_total,
+        | min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders WHERE month(o_orderdate) BETWEEN 3 AND 5 GROUP BY 2
+        |UNION ALL
+        |SELECT 'in', CAST(month(o_orderdate) AS INT), count(*),
+        | round(sum(o_totalprice), 2), min(o_totalprice), max(o_totalprice)
+        |FROM orders WHERE month(o_orderdate) IN (2, 7, 11) GROUP BY 2""".stripMargin,
+    // q197: two-summary join navigation — the served answer must equal
+    // the direct join recompute (duplicate-factoring: fact partials ×
+    // dim __cnt_rows; customer keys are unique here, the multiplicity
+    // algebra is spec-pinned on constructed duplicates).
+    "q197_join_navigation" ->
+      """SELECT c_mktsegment, count(*) AS n_rows,
+        | round(sum(o_totalprice), 2) AS sum_total,
+        | min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    // q195: the adaptive-bucket chain — same held-out scoring as q193
+    // but tf/ft/w0 derive the bucket count from the KMV vocabulary
+    // estimate (nbuk CTE); the derived nb is an output column, so a
+    // derivation drift hash-fails directly.
+    "q195_qf_adaptive" ->
+      (qfOracleChain(buckets = 0, biasValue = 32, epochs = 8,
+        lrScale = 29, bigrams = true,
+        adaptive = Some((1024, 256, 1 << 20))) + raw""",
+        |hs AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y, CAST(sum(f.cnt * w.w) AS BIGINT) AS score_micro,
+        |    CASE WHEN sum(f.cnt * w.w) > 0 THEN 1 ELSE 0 END AS keep
+        |  FROM ft f JOIN w8 w USING (bucket) JOIN lb l ON f.doc_id = l.doc_id
+        |  WHERE l.doc_id % 4 = 1 GROUP BY 1, 2)
+        |SELECT doc_id, y AS label, score_micro, keep,
+        |  CAST((SELECT sum(CASE WHEN keep = y THEN 1 ELSE 0 END) * 10000 FROM hs)
+        |    // (SELECT count(*) FROM hs) AS BIGINT) AS acc_bp,
+        |  (SELECT CAST(nb AS INT) FROM nbuk) AS nb
         |FROM hs""".stripMargin),
     // q192: incremental summary refresh — both legs must fold the
     // appended delta in through Rollup.merge (a missed refresh serves

@@ -144,4 +144,52 @@ class LatticeAdvisorSpec extends SparkSpec {
       advise(df, dims, Seq(Set("z")), 1)
     }
   }
+
+  test("filter-aware advice: a WHERE-heavy workload picks the filter-compatible grain (VERDICT r11 #7)") {
+    val dir = java.nio.file.Files.createTempDirectory("latfilter").toString
+    try {
+      // a: 50 values, b: 2 values — grain {b} is tiny (2 rows) but cannot
+      // serve `WHERE a = .. GROUP BY b`; the filter-aware greedy must pay
+      // for {a, b} (100 rows, still 100x under the base) instead
+      spark.range(0, 10000).select((col("id") % 50).as("a"),
+          (col("id") % 2).as("b"), col("id").as("m"))
+        .write.parquet(s"$dir/base")
+      val base = spark.read.parquet(s"$dir/base")
+      val fdims = Seq("a" -> col("a"), "b" -> col("b"))
+      // capture real traffic: the grouping AND its filter columns
+      RollupRewrite.enable(spark)
+      RollupRewrite.startWorkloadCapture()
+      base.filter(col("a") === 7).groupBy("b").agg(count(lit(1))).collect()
+      RollupRewrite.stopWorkloadCapture()
+      val wl = RollupRewrite.capturedWorkloadWithFilters(
+        RollupRewrite.scanRootPaths(base.select("a")))
+      assert(wl.contains((Set("b"), Set("a"))),
+        s"capture must record grouping AND filter columns: $wl")
+      // grain-only advice over-values the coarse {b}; filter-aware
+      // advice zeroes {b}'s benefit for this query and picks {a, b}
+      val plain = advise(base, fdims, wl.map(_._1), k = 1)
+      val aware = adviseFiltered(base, fdims, wl, k = 1)
+      assert(plain.head.grain == Seq("b"),
+        s"grain-only advice should have picked the coarse grain: $plain")
+      assert(aware.head.grain == Seq("a", "b"),
+        s"filter-aware advice must pick the servable grain: $aware")
+      // and the picked grain actually SERVES the captured query
+      graft.plan.Rollup.materialize(base, aware.head.grain, Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/sum")
+      RollupRewrite.register(base, spark.read.parquet(s"$dir/sum"),
+        aware.head.grain, Seq("m"))
+      val served = base.filter(col("a") === 7).groupBy("b")
+        .agg(count(lit(1)).as("n"))
+      assert(RollupRewrite.scanRootPaths(served).forall(_.contains("sum")),
+        s"advised grain must serve:\n${served.queryExecution.optimizedPlan}")
+      // id % 50 == 7 ⇒ id odd ⇒ b = 1 always: one group of 200
+      assert(served.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        == Map(1L -> 200L))
+    } finally {
+      RollupRewrite.resetWorkloadCapture()
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

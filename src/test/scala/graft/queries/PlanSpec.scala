@@ -12,12 +12,12 @@ class PlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def plan(name: String): String =
-    Queries.all(name)(spark, sf).queryExecution.executedPlan.toString
+    Queries.rawAll(name)(spark, sf).queryExecution.executedPlan.toString
 
   /** Plan after execution — under AQE the final plan (with codegen stage
     * markers) only exists once the query has run. */
   private def executedPlan(name: String): String = {
-    val df = Queries.all(name)(spark, sf)
+    val df = Queries.rawAll(name)(spark, sf)
     df.collect()
     df.queryExecution.executedPlan.toString
   }

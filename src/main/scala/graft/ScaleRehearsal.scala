@@ -790,6 +790,39 @@ object ScaleRehearsal {
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
             r.getDouble(3), r.getDouble(4))).toSet
         val directNewWall = (System.nanoTime() - t6) / 1e9
+        // SERVE-TIME COMPENSATION at scale (q198): append ANOTHER 10M
+        // delta and DO NOT refresh — the compensated serve must answer
+        // from the refreshed summary + EXACTLY the new delta files
+        // (structural: the 120M base dir never appears in the plan),
+        // and its wall tracks the delta, not the base.
+        RollupRewrite.enable(spark)
+        RollupRewrite.setCompensation(true)
+        val beforeF2 = baseFiles()
+        spark.range(110000000L, 120000000L).select(
+            (col("id") % 40).cast("string").as("k1"),
+            (col("id") % 25).cast("string").as("k2"),
+            (col("id") % 997).as("m_long"),
+            ((col("id") % 10000).cast("double") / 100.0).as("m_dbl"))
+          .write.mode("append").parquet(s"$tmp/base")
+        val addedF2 = baseFiles() -- beforeF2
+        val base3 = spark.read.parquet(s"$tmp/base")
+        val compScans = RollupRewrite.scanRootPaths(q(base3))
+        val compScanOk = compScans.exists(_.contains("refresh")) &&
+          !compScans.exists(_.endsWith("/base")) &&
+          compScans.filter(_.contains("/base/"))
+            .map(p => p.substring(p.lastIndexOf('/') + 1)) == addedF2
+        val t7 = System.nanoTime()
+        val comp = q(base3).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4))).toSet
+        val compWall = (System.nanoTime() - t7) / 1e9
+        RollupRewrite.setCompensation(false)
+        RollupRewrite.disable(spark)
+        val t8 = System.nanoTime()
+        val directComp = q(base3).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4))).toSet
+        val directCompWall = (System.nanoTime() - t8) / 1e9
         // ratio claims: the summary-served walls must beat the direct
         // ones, but the MARGIN depends on whether the 100M base hits the
         // OS page cache (a fully-cached direct scan reads ~1.2 s vs
@@ -805,15 +838,23 @@ object ScaleRehearsal {
           // build drops to ~1.8 s while refresh's ~1 s fixed job
           // overhead dominates its 10M delta
           deltaOk && refScanOk && refreshed == directNew &&
-          refreshWall < buildWall,
+          refreshWall < buildWall &&
+          // compensation's no-base-scan guarantee is STRUCTURAL too
+          // (compScanOk: summary + exactly the new delta files in-plan);
+          // the wall check stays strict-less for the same page-cache
+          // reason
+          compScanOk && comp == directComp && compWall < directCompWall,
           f"build=$buildWall%.1fs rewritten=$rewrittenWall%.2fs " +
             f"direct=$directWall%.2fs groups=${rew.size} scans_ok=$scansOk " +
             f"nav=$navWall%.2fs direct_join=$directJoinWall%.2fs nav_ok=$navOk " +
             f"refresh=$refreshWall%.1fs (delta 10M vs rebuild≈$buildWall%.1fs) " +
             f"delta_files_ok=$deltaOk ref_scan_ok=$refScanOk " +
-            f"direct_new=$directNewWall%.2fs")
+            f"direct_new=$directNewWall%.2fs " +
+            f"comp=$compWall%.2fs direct_120m=$directCompWall%.2fs " +
+            f"comp_scan_ok=$compScanOk")
       } finally {
         graft.plan.RollupRewrite.disable(spark)
+        graft.plan.RollupRewrite.setCompensation(false)
         graft.plan.RollupRewrite.clear()
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       }

@@ -107,6 +107,46 @@ object RollupRewrite {
     * dashboard that must never pay a base scan). */
   @volatile private var strictStaleness = false
 
+  /** SERVE-TIME DELTA COMPENSATION — the zero-maintenance rung of the
+    * staleness ladder (fallthrough q178 → materialized refresh
+    * q192/q194 → THIS): when a registration is stale by a PURE APPEND,
+    * the rewrite can serve the query anyway by splicing
+    * `Union(summaryScan, aggregate-over-the-appended-files)` where the
+    * summary scan alone would have gone — the outer re-aggregation the
+    * rewrite already emits merges the union's partials with exactly the
+    * [[Rollup.merge]] algebra (sums/counts add, min/min, max/max, KMV
+    * union is lossless, exact distinct over grain columns tolerates the
+    * duplicate grain tuples), so the answer equals the fresh-summary
+    * answer while the query scans ONLY the summary and the delta files,
+    * never the base. Nothing is written or re-registered: the next
+    * query pays the same delta-sized aggregation (driver plan-build +
+    * delta scan per query), which is the right trade exactly when
+    * appends outpace queries — a later [[refreshStale]] folds the delta
+    * in once and compensation naturally stops firing. At 100 TB this is
+    * a dashboard staying fresh through the day's 1% append stream with
+    * no maintenance job in the loop.
+    *
+    * Scope: the plain-aggregate path (the dashboard shape), including
+    * computed grains, lattice routing (coarsest compensable grain
+    * first), filters, sketches, and exact grain distincts. CUBE and
+    * join-navigation serves stay fresh-only. Mixed diffs (append AND
+    * remove), pure removals, and deltas missing a needed column (Hive
+    * partition grains) refuse — the query falls through to the base
+    * (or, under strict staleness, throws) exactly as without
+    * compensation. A compensated serve COUNTS as fresh for strict mode:
+    * the answer is fresh-equivalent by construction. Off by default. */
+  @volatile private var compensating = false
+
+  def setCompensation(on: Boolean): Unit = compensating = on
+
+  /** Re-entrancy guard: building the delta aggregate's optimized plan
+    * runs the full optimizer — including this rule — on the delta
+    * subtree; the inner run must be a no-op (and must not pollute
+    * workload capture with the delta's own grain). */
+  private val inCompensation = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
   /** WORKLOAD CAPTURE — the observation half of the self-tuning loop
     * (capture → [[LatticeAdvisor.advise]] → [[Rollup.materialize]] →
     * [[register]] → serve, the q187 gate): while capturing, the rule
@@ -750,11 +790,13 @@ object RollupRewrite {
   }
 
   private[plan] class RewriteRule extends Rule[LogicalPlan] {
-    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-      case agg: Aggregate =>
-        tryRewrite(agg).orElse(tryRewriteCube(agg))
-          .orElse(tryRewriteJoinAgg(agg)).getOrElse(agg)
-    }
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (inCompensation.get()) plan
+      else plan.transformDown {
+        case agg: Aggregate =>
+          tryRewrite(agg).orElse(tryRewriteCube(agg))
+            .orElse(tryRewriteJoinAgg(agg)).getOrElse(agg)
+      }
 
     /** Strip Projects and collect Filter conditions down to the leaf
       * relation. Attribute-only Projects vanish; Projects carrying
@@ -896,12 +938,72 @@ object RollupRewrite {
       // ONLY if a stale grain would have answered and no fresh one did.
       val (fresh, stale) = freshCandidates(paths, rel.location)
       fresh.view.flatMap(d => tryRewriteWith(agg, conds, subst, d)).headOption
+        .orElse(tryCompensate(agg, conds, subst, stale, rel.location))
         .orElse {
           if (strictStaleness &&
               stale.exists(d => tryRewriteWith(agg, conds, subst, d).isDefined))
             staleError(paths)
           None
         }
+    }
+
+    /** The serve-time compensation attempt (see [[setCompensation]]):
+      * among STALE candidates whose manifest diff is a pure append,
+      * coarsest grain first, build the delta aggregate over exactly the
+      * appended files in the stored summary's layout and re-run the
+      * normal rewrite against `Union(summary scan, delta aggregate)`.
+      * The probe call against the plain summary first keeps delta
+      * plan-building off candidates that cannot answer this aggregate
+      * anyway. The delta subtree is optimized HERE (the user-rule batch
+      * would not re-run the main optimizer batches on spliced trees),
+      * under the re-entrancy guard so this rule no-ops inside it. */
+    private def tryCompensate(agg: Aggregate, conds: Seq[Expression],
+        subst: Map[ExprId, Expression], stale: Seq[RollupDef],
+        location: org.apache.spark.sql.execution.datasources.FileIndex)
+        : Option[LogicalPlan] = {
+      if (!compensating || stale.isEmpty) return None
+      val current = fingerprintEntries(location).toSet
+      stale.sortBy(_.groupCols.size).view.flatMap { d =>
+        val appended = current -- d.baseManifest
+        val removed = d.baseManifest -- current
+        if (d.baseManifest.isEmpty || appended.isEmpty || removed.nonEmpty) None
+        else if (tryRewriteWith(agg, conds, subst, d).isEmpty) None
+        else {
+          val spark = SparkSession.active
+          val deltaFiles = appended.toSeq.sorted.map(_.split("\\|")(0))
+          inCompensation.set(java.lang.Boolean.TRUE)
+          try {
+            val delta = spark.read.parquet(deltaFiles: _*)
+            if (!neededBaseColumns(spark, d).subsetOf(delta.columns.toSet)) None
+            else {
+              val summaryScan = d.summary match {
+                case r: LogicalRelation => r.newInstance()
+                case other => other
+              }
+              val names = summaryScan.output.map(_.name)
+              val deltaPlan = Rollup.materializeExpr(delta, grainExprsOf(d),
+                  d.measures, d.distinctCols, d.sketchK)
+                .select(names.map(org.apache.spark.sql.functions.col): _*)
+                .queryExecution.optimizedPlan
+              // union children must agree on type, position by position —
+              // a stored layout the delta cannot reproduce exactly refuses.
+              // Nullability is IGNORED (sameType): parquet round-trips the
+              // KMV array column as containsNull=true while the fresh delta
+              // aggregate produces containsNull=false — same physical data;
+              // Union.output takes the loosest nullability anyway
+              if (deltaPlan.output.size != summaryScan.output.size ||
+                  !deltaPlan.output.zip(summaryScan.output).forall {
+                    case (a, b) =>
+                      a.dataType.catalogString == b.dataType.catalogString }) None
+              else {
+                val union = org.apache.spark.sql.catalyst.plans.logical
+                  .Union(Seq(summaryScan, deltaPlan))
+                tryRewriteWith(agg, conds, subst, d.copy(summary = union))
+              }
+            }
+          } finally inCompensation.set(java.lang.Boolean.FALSE)
+        }
+      }.headOption
     }
 
     /** One Expand output position, classified from its column across all

@@ -4479,6 +4479,96 @@ object Queries {
     }
   }
 
+  /** SERVE-TIME DELTA COMPENSATION ([[graft.plan.RollupRewrite
+    * .setCompensation]] — the zero-maintenance rung of the staleness
+    * ladder: q178 falls through, q192/q194 materialize a refresh, THIS
+    * serves fresh answers from a stale summary with no maintenance at
+    * all). A registration stale by a PURE APPEND is answered by
+    * splicing `Union(summary scan, delta aggregate over exactly the
+    * appended files)` where the summary scan alone would have gone —
+    * the rewrite's own re-aggregation merges the union's partials with
+    * the [[graft.plan.Rollup.merge]] algebra, so the answer equals the
+    * fresh-summary answer while the query scans ONLY the summary and
+    * the appended files, never the base. At 100 TB: the dashboard stays
+    * fresh through the day's 1% append stream with no refresh job in
+    * the loop.
+    *
+    * The base is four named slices keyed `o_orderkey % 4`; s0-s2 are
+    * registered state, s3 is the append, so base∪delta is the WHOLE
+    * orders table and the oracle is a plain recompute. Two lattice
+    * grains register, BOTH go stale: leg `agg` (plain dashboard
+    * aggregate) must compensate on the COARSE status grain; leg `dist`
+    * adds `count(distinct o_orderpriority)`, which only the FINE
+    * (status, priority) grain carries verbatim — lattice routing under
+    * compensation, per leg. In-query requires: pre-enable the stale
+    * registration falls through to the base (q178 continuity); each
+    * compensated leg's plan reads its summary + EXACTLY s3.parquet and
+    * never the base dir or the other grain. Integer measure
+    * (`o_custkey`): the union merge is bit-exact, no float surface. */
+  def q198CompensatedServe(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val orders = tbl(s, dir, "orders")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q198_comp")
+      .toFile.getAbsolutePath
+    (0 until 3).foreach { sl =>
+      writeNamedSlice(orders.filter(col("o_orderkey") % 4 === sl),
+        s"$tmpRoot/base", s"s$sl")
+    }
+    val base0 = s.read.parquet(s"$tmpRoot/base")
+    val coarseG = Seq("o_orderstatus")
+    val fineG = Seq("o_orderstatus", "o_orderpriority")
+    val measures = Seq("o_custkey")
+    graft.plan.Rollup.materialize(base0, coarseG, measures)
+      .write.mode("overwrite").parquet(s"$tmpRoot/coarse")
+    graft.plan.Rollup.materialize(base0, fineG, measures)
+      .write.mode("overwrite").parquet(s"$tmpRoot/fine")
+    R.register(base0, s.read.parquet(s"$tmpRoot/coarse"), coarseG, measures)
+    R.register(base0, s.read.parquet(s"$tmpRoot/fine"), fineG, measures)
+    R.enable(s)
+    try {
+      writeNamedSlice(orders.filter(col("o_orderkey") % 4 === 3),
+        s"$tmpRoot/base", "s3")
+      val baseNew = s.read.parquet(s"$tmpRoot/base")
+      // compensation is OFF: the stale registration must keep q178's
+      // fall-through contract (base dir scanned, no summary)
+      val fallen = R.scanRootPaths(baseNew.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum("o_custkey").as("sum_cust"),
+          min("o_custkey").as("mn"), max("o_custkey").as("mx")))
+      require(fallen.exists(_.endsWith("/base")) &&
+          !fallen.exists(_.contains("coarse")),
+        s"compensation off: stale summary must fall through to the base — $fallen")
+      R.setCompensation(true)
+      def checkScans(scans: Set[String], want: String, avoid: String): Unit = {
+        require(scans.exists(_.contains(want)) &&
+            !scans.exists(_.contains(avoid)) &&
+            !scans.exists(_.endsWith("/base")),
+          s"leg must compensate on the $want grain only — $scans")
+        val deltas = scans.filter(_.contains("/base/"))
+          .map(p => p.substring(p.lastIndexOf('/') + 1))
+        require(deltas == Set("s3.parquet"),
+          s"compensated serve must read EXACTLY the appended file — $scans")
+      }
+      val agg = baseNew.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum("o_custkey").as("sum_cust"),
+          min("o_custkey").as("mn"), max("o_custkey").as("mx"))
+        .select(lit("agg").as("leg"), col("o_orderstatus").as("grp"),
+          col("n_rows"), col("sum_cust"), col("mn"), col("mx"),
+          lit(null).cast("long").as("n_prio"))
+      checkScans(R.scanRootPaths(agg), "coarse", "fine")
+      val dist = baseNew.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum("o_custkey").as("sum_cust"),
+          min("o_custkey").as("mn"), max("o_custkey").as("mx"),
+          countDistinct(col("o_orderpriority")).as("n_prio"))
+        .select(lit("dist").as("leg"), col("o_orderstatus").as("grp"),
+          col("n_rows"), col("sum_cust"), col("mn"), col("mx"), col("n_prio"))
+      checkScans(R.scanRootPaths(dist), "fine", "coarse")
+      materializeAndCleanup(s, agg.unionByName(dist), tmpRoot)
+    } finally {
+      R.disable(s); R.setCompensation(false); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** COMPUTED-DIMENSION grain serving ([[graft.plan.RollupRewrite]] —
     * VERDICT r10 #1, the optimizer tier's sharpest real-user edge): a
     * summary grained by `month(o_orderdate)` — a stored EXPRESSION value,
@@ -5201,7 +5291,8 @@ object Queries {
     "q194_summary_retract" -> (q194SummaryRetract _),
     "q195_qf_adaptive" -> (q195QfAdaptive _),
     "q196_grain_range_filter" -> (q196GrainRangeFilter _),
-    "q197_join_navigation" -> (q197JoinNavigation _))
+    "q197_join_navigation" -> (q197JoinNavigation _),
+    "q198_compensated_serve" -> (q198CompensatedServe _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -7100,6 +7191,24 @@ object Queries {
         | min(o_custkey) AS mn, max(o_custkey) AS mx
         |FROM orders WHERE o_orderkey % 6 NOT IN (1, 4)
         |GROUP BY 1""".stripMargin,
+    // q198: serve-time compensation — base∪delta is the whole orders
+    // table by construction, so the oracle is a plain recompute; the
+    // union-merge algebra (and the exact grain distinct over the union)
+    // must be invisible in the answer. A wrong delta set or a missed
+    // merge double-counts or under-counts and hash-fails; a stale serve
+    // or a base scan trips the in-query plan requires. Integer measure:
+    // bit-exact, no float surface. DuckDB sum(BIGINT) is HUGEINT — CAST.
+    "q198_compensated_serve" ->
+      """SELECT 'agg' AS leg, o_orderstatus AS grp, count(*) AS n_rows,
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        | min(o_custkey) AS mn, max(o_custkey) AS mx,
+        | CAST(NULL AS BIGINT) AS n_prio
+        |FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 'dist', o_orderstatus, count(*),
+        | CAST(sum(o_custkey) AS BIGINT), min(o_custkey), max(o_custkey),
+        | count(DISTINCT o_orderpriority)
+        |FROM orders GROUP BY 2""".stripMargin,
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

@@ -1367,4 +1367,183 @@ class RollupRewriteSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  // ---- serve-time delta compensation ----------------------------------
+
+  /** parquet file names currently under `d`. */
+  private def filesIn(d: String): Set[String] =
+    Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+  test("compensation: a pure append serves fresh answers from summary + delta only") {
+    val dir = java.nio.file.Files.createTempDirectory("comp").toString
+    try {
+      Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "m")
+        .write.mode("overwrite").parquet(s"$dir/base")
+      val base0 = spark.read.parquet(s"$dir/base")
+      Rollup.materialize(base0, Seq("g"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/summary")
+      RollupRewrite.register(base0, spark.read.parquet(s"$dir/summary"),
+        Seq("g"), Seq("m"))
+      RollupRewrite.enable(spark)
+      val before = filesIn(s"$dir/base")
+      Seq(("a", 100L), ("c", 7L)).toDF("g", "m")
+        .write.mode("append").parquet(s"$dir/base")
+      val added = filesIn(s"$dir/base") -- before
+      def q(src: DataFrame) = src.groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("m").as("s"),
+          min("m").as("mn"), max("m").as("mx"))
+      val base1 = spark.read.parquet(s"$dir/base")
+      // off (the default): the stale summary falls through to the base
+      assert(scanPaths(q(base1)).contains(s"file:$dir/base"),
+        "compensation off: stale registration must fall through to the base")
+      RollupRewrite.setCompensation(true)
+      val served = q(base1)
+      val scans = scanPaths(served)
+      assert(scans.exists(_.contains("summary")), s"summary not in plan: $scans")
+      assert(!scans.contains(s"file:$dir/base"),
+        s"compensated serve must not scan the base dir: $scans")
+      val deltaScans = scans.filter(_.contains("/base/"))
+      assert(deltaScans.map(p => p.substring(p.lastIndexOf('/') + 1)) == added,
+        s"compensated serve must scan EXACTLY the appended files: $scans vs $added")
+      assert(served.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+        == Set(("a", 3L, 103L, 1L, 100L), ("b", 1L, 3L, 3L, 3L), ("c", 1L, 7L, 7L, 7L)))
+      // a compensated serve is fresh-equivalent: strict mode must NOT throw
+      RollupRewrite.setStrictStaleness(true)
+      try assert(q(base1).collect().length == 3)
+      finally RollupRewrite.setStrictStaleness(false)
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.setCompensation(false)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("compensation: mixed diffs and pure removals refuse — fall through to the base") {
+    val dir = java.nio.file.Files.createTempDirectory("comp_refuse").toString
+    try {
+      Seq(("a", 1L)).toDF("g", "m").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/base")
+      Seq(("b", 2L)).toDF("g", "m").coalesce(1)
+        .write.mode("append").parquet(s"$dir/base")
+      val base0 = spark.read.parquet(s"$dir/base")
+      Rollup.materialize(base0, Seq("g"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/summary")
+      RollupRewrite.register(base0, spark.read.parquet(s"$dir/summary"),
+        Seq("g"), Seq("m"))
+      RollupRewrite.enable(spark)
+      RollupRewrite.setCompensation(true)
+      def q() = spark.read.parquet(s"$dir/base").groupBy("g")
+        .agg(sum("m").as("s"))
+      // pure removal: nothing to union in — must fall through
+      val victim = new java.io.File(s"$dir/base").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(victim.delete())
+      assert(scanPaths(q()).contains(s"file:$dir/base"),
+        "pure removal must refuse compensation")
+      // mixed diff (the removal above + a new append): must also refuse
+      Seq(("c", 3L)).toDF("g", "m").write.mode("append").parquet(s"$dir/base")
+      assert(scanPaths(q()).contains(s"file:$dir/base"),
+        "mixed diff must refuse compensation")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.setCompensation(false)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("compensation: KMV sketches and exact grain distincts stay lossless over the union") {
+    val dir = java.nio.file.Files.createTempDirectory("comp_sketch").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    try {
+      orders.filter(col("o_orderkey") % 3 =!= 0)
+        .write.mode("overwrite").parquet(s"$dir/base")
+      val base0 = spark.read.parquet(s"$dir/base")
+      Rollup.materialize(base0, Seq("o_orderpriority", "o_orderstatus"),
+          Seq("o_totalprice"), distinctCols = Seq("o_custkey"), sketchK = 64)
+        .write.mode("overwrite").parquet(s"$dir/summary")
+      RollupRewrite.register(base0, spark.read.parquet(s"$dir/summary"),
+        Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice"),
+        distinctCols = Seq("o_custkey"), sketchK = 64)
+      RollupRewrite.enable(spark)
+      RollupRewrite.setCompensation(true)
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .write.mode("append").parquet(s"$dir/base")
+      val base1 = spark.read.parquet(s"$dir/base")
+      def q(src: DataFrame) = src.groupBy("o_orderstatus")
+        .agg(graft.functions.expressions.KmvDistinctAgg.kmvSketch(
+            graft.curate.Curate.portableHash60(col("o_custkey")), 64)
+          .as("sk"),
+          countDistinct(col("o_orderpriority")).as("np"))
+      val served = q(base1)
+      val scans = scanPaths(served)
+      assert(scans.exists(_.contains("summary")) &&
+          !scans.contains(s"file:$dir/base"),
+        s"sketch query must compensate (summary + delta, no base dir): $scans")
+      RollupRewrite.disable(spark)
+      val direct = q(base1).collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1), r.getLong(2))).toSet
+      RollupRewrite.enable(spark)
+      val comp = served.collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1), r.getLong(2))).toSet
+      assert(comp == direct,
+        "compensated sketch/exact-distinct must equal the base-computed answer bit for bit")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.setCompensation(false)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("compensation: lattice routes to the coarsest compensable grain; computed grains and self-unions work") {
+    val dir = java.nio.file.Files.createTempDirectory("comp_lattice").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    try {
+      orders.filter(col("o_orderkey") % 5 =!= 0)
+        .write.mode("overwrite").parquet(s"$dir/base")
+      val base0 = spark.read.parquet(s"$dir/base")
+      Rollup.materializeExpr(base0,
+          Seq("om" -> month(col("o_orderdate"))), Seq("o_custkey"))
+        .write.mode("overwrite").parquet(s"$dir/coarse")
+      RollupRewrite.register(base0, spark.read.parquet(s"$dir/coarse"),
+        Seq("om"), Seq("o_custkey"),
+        groupExprOf = Map("om" -> month(col("o_orderdate"))))
+      Rollup.materializeExpr(base0,
+          Seq("om" -> month(col("o_orderdate")),
+            "o_orderstatus" -> col("o_orderstatus")), Seq("o_custkey"))
+        .write.mode("overwrite").parquet(s"$dir/fine")
+      RollupRewrite.register(base0, spark.read.parquet(s"$dir/fine"),
+        Seq("om", "o_orderstatus"), Seq("o_custkey"),
+        groupExprOf = Map("om" -> month(col("o_orderdate"))))
+      RollupRewrite.enable(spark)
+      RollupRewrite.setCompensation(true)
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .write.mode("append").parquet(s"$dir/base")
+      val base1 = spark.read.parquet(s"$dir/base")
+      def q(src: DataFrame) = src.groupBy(month(col("o_orderdate")).as("om"))
+        .agg(sum("o_custkey").as("s"))
+      val scans = scanPaths(q(base1))
+      assert(scans.exists(_.contains("coarse")) && !scans.exists(_.contains("fine")),
+        s"month() query must compensate on the COARSE grain: $scans")
+      // self-union: the same stale summary compensates TWICE in one query
+      // with fresh exprIds each time
+      val twice = q(base1).unionByName(q(base1)).groupBy("om")
+        .agg(sum("s").as("s2"))
+      RollupRewrite.disable(spark)
+      val direct = q(base1).collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      RollupRewrite.enable(spark)
+      assert(twice.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+        == direct.view.mapValues(_ * 2).toMap,
+        "self-union compensated query must double the per-month sums")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.setCompensation(false)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

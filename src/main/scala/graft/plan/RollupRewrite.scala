@@ -126,10 +126,16 @@ object RollupRewrite {
     * a dashboard staying fresh through the day's 1% append stream with
     * no maintenance job in the loop.
     *
-    * Scope: the plain-aggregate path (the dashboard shape), including
-    * computed grains, lattice routing (coarsest compensable grain
-    * first), filters, sketches, and exact grain distincts. CUBE and
-    * join-navigation serves stay fresh-only. Mixed diffs (append AND
+    * Scope: ALL THREE serve shapes — the plain-aggregate path (the
+    * dashboard shape), CUBE/rollup/grouping-sets (the Expand multiplies
+    * the union's rows BEFORE the per-set merge, so each grouping set
+    * merges summary+delta partials exactly like the plain path), and
+    * two-summary join navigation (per SIDE: the join duplicates fact
+    * partials against both dim slices and x·n1 + x·n2 = x·n, so the
+    * multiplicity algebra is union-invariant) — including computed
+    * grains, lattice routing (coarsest compensable grain first),
+    * filters, sketches, and exact grain distincts on the plain path.
+    * Mixed diffs (append AND
     * remove), pure removals, and deltas missing a needed column (Hive
     * partition grains) refuse — the query falls through to the base
     * (or, under strict staleness, throws) exactly as without
@@ -947,62 +953,82 @@ object RollupRewrite {
         }
     }
 
-    /** The serve-time compensation attempt (see [[setCompensation]]):
-      * among STALE candidates whose manifest diff is a pure append,
-      * coarsest grain first, build the delta aggregate over exactly the
-      * appended files in the stored summary's layout and re-run the
-      * normal rewrite against `Union(summary scan, delta aggregate)`.
-      * The probe call against the plain summary first keeps delta
-      * plan-building off candidates that cannot answer this aggregate
-      * anyway. The delta subtree is optimized HERE (the user-rule batch
-      * would not re-run the main optimizer batches on spliced trees),
-      * under the re-entrancy guard so this rule no-ops inside it. */
+    /** Build the compensation plan for ONE stale registration (see
+      * [[setCompensation]]): when its manifest diff is a pure append,
+      * `Union(fresh summary scan instance, delta aggregate over exactly
+      * the appended files in the stored layout)` — None when the diff
+      * has removals, the delta misses a needed column (Hive partition
+      * grains), or the delta cannot reproduce the stored layout's
+      * types. Each call builds FRESH exprIds, so one summary may
+      * compensate several aggregates in one query. The delta subtree is
+      * optimized HERE (the user-rule batch would not re-run the main
+      * optimizer batches on spliced trees), under the re-entrancy guard
+      * so this rule no-ops inside it. */
+    private def compensationUnion(d: RollupDef,
+        location: org.apache.spark.sql.execution.datasources.FileIndex)
+        : Option[LogicalPlan] = {
+      val current = fingerprintEntries(location).toSet
+      val appended = current -- d.baseManifest
+      val removed = d.baseManifest -- current
+      if (d.baseManifest.isEmpty || appended.isEmpty || removed.nonEmpty)
+        return None
+      val spark = SparkSession.active
+      val deltaFiles = appended.toSeq.sorted.map(_.split("\\|")(0))
+      inCompensation.set(java.lang.Boolean.TRUE)
+      try {
+        val delta = spark.read.parquet(deltaFiles: _*)
+        if (!neededBaseColumns(spark, d).subsetOf(delta.columns.toSet)) None
+        else {
+          val summaryScan = d.summary match {
+            case r: LogicalRelation => r.newInstance()
+            case other => other
+          }
+          val names = summaryScan.output.map(_.name)
+          val deltaPlan = Rollup.materializeExpr(delta, grainExprsOf(d),
+              d.measures, d.distinctCols, d.sketchK)
+            .select(names.map(org.apache.spark.sql.functions.col): _*)
+            .queryExecution.optimizedPlan
+          // union children must agree on type, position by position — a
+          // stored layout the delta cannot reproduce exactly refuses.
+          // Nullability is IGNORED (catalogString): parquet round-trips
+          // the KMV array column as containsNull=true while the fresh
+          // delta aggregate produces containsNull=false — same physical
+          // data; Union.output takes the loosest nullability anyway
+          if (deltaPlan.output.size != summaryScan.output.size ||
+              !deltaPlan.output.zip(summaryScan.output).forall {
+                case (a, b) =>
+                  a.dataType.catalogString == b.dataType.catalogString }) None
+          else Some(org.apache.spark.sql.catalyst.plans.logical
+            .Union(Seq(summaryScan, deltaPlan)))
+        }
+      } finally inCompensation.set(java.lang.Boolean.FALSE)
+    }
+
+    /** Stale candidates with a buildable compensation plan, coarsest
+      * grain first, as registration copies whose `summary` IS the
+      * union — the fresh-candidate shape every serve path consumes.
+      * Built EAGERLY per call site; at most one lands in a plan
+      * (headOption), so exprIds never collide within a query. */
+    private def compensatedDefs(stale: Seq[RollupDef],
+        location: org.apache.spark.sql.execution.datasources.FileIndex)
+        : Seq[RollupDef] =
+      if (!compensating || stale.isEmpty) Nil
+      else stale.sortBy(_.groupCols.size).flatMap(d =>
+        compensationUnion(d, location).map(u => d.copy(summary = u)))
+
+    /** The plain-path compensation attempt: probe each stale candidate
+      * against its PLAIN summary first (delta plan-building stays off
+      * candidates that cannot answer this aggregate anyway), then
+      * re-run the rewrite against the union. */
     private def tryCompensate(agg: Aggregate, conds: Seq[Expression],
         subst: Map[ExprId, Expression], stale: Seq[RollupDef],
         location: org.apache.spark.sql.execution.datasources.FileIndex)
         : Option[LogicalPlan] = {
       if (!compensating || stale.isEmpty) return None
-      val current = fingerprintEntries(location).toSet
       stale.sortBy(_.groupCols.size).view.flatMap { d =>
-        val appended = current -- d.baseManifest
-        val removed = d.baseManifest -- current
-        if (d.baseManifest.isEmpty || appended.isEmpty || removed.nonEmpty) None
-        else if (tryRewriteWith(agg, conds, subst, d).isEmpty) None
-        else {
-          val spark = SparkSession.active
-          val deltaFiles = appended.toSeq.sorted.map(_.split("\\|")(0))
-          inCompensation.set(java.lang.Boolean.TRUE)
-          try {
-            val delta = spark.read.parquet(deltaFiles: _*)
-            if (!neededBaseColumns(spark, d).subsetOf(delta.columns.toSet)) None
-            else {
-              val summaryScan = d.summary match {
-                case r: LogicalRelation => r.newInstance()
-                case other => other
-              }
-              val names = summaryScan.output.map(_.name)
-              val deltaPlan = Rollup.materializeExpr(delta, grainExprsOf(d),
-                  d.measures, d.distinctCols, d.sketchK)
-                .select(names.map(org.apache.spark.sql.functions.col): _*)
-                .queryExecution.optimizedPlan
-              // union children must agree on type, position by position —
-              // a stored layout the delta cannot reproduce exactly refuses.
-              // Nullability is IGNORED (sameType): parquet round-trips the
-              // KMV array column as containsNull=true while the fresh delta
-              // aggregate produces containsNull=false — same physical data;
-              // Union.output takes the loosest nullability anyway
-              if (deltaPlan.output.size != summaryScan.output.size ||
-                  !deltaPlan.output.zip(summaryScan.output).forall {
-                    case (a, b) =>
-                      a.dataType.catalogString == b.dataType.catalogString }) None
-              else {
-                val union = org.apache.spark.sql.catalyst.plans.logical
-                  .Union(Seq(summaryScan, deltaPlan))
-                tryRewriteWith(agg, conds, subst, d.copy(summary = union))
-              }
-            }
-          } finally inCompensation.set(java.lang.Boolean.FALSE)
-        }
+        if (tryRewriteWith(agg, conds, subst, d).isEmpty) None
+        else compensationUnion(d, location).flatMap(u =>
+          tryRewriteWith(agg, conds, subst, d.copy(summary = u)))
       }.headOption
     }
 
@@ -1057,6 +1083,20 @@ object RollupRewrite {
       fresh.view
         .flatMap(d => tryRewriteCubeWith(agg, ex, conds, substC, d, kinds))
         .headOption
+        .orElse {
+          // serve-time compensation applies to CUBE serves too: the
+          // Expand multiplies the union's rows BEFORE the per-set merge,
+          // so each grouping set merges summary+delta partials exactly
+          // like the plain path (probe the plain summary first, as there)
+          if (!compensating) None
+          else stale.sortBy(_.groupCols.size).view.flatMap { d =>
+            if (tryRewriteCubeWith(agg, ex, conds, substC, d, kinds).isEmpty)
+              None
+            else compensationUnion(d, rel.location).flatMap(u =>
+              tryRewriteCubeWith(agg, ex, conds, substC,
+                d.copy(summary = u), kinds))
+          }.headOption
+        }
         .orElse {
           if (strictStaleness && stale.exists(d =>
               tryRewriteCubeWith(agg, ex, conds, substC, d, kinds).isDefined))
@@ -1307,14 +1347,21 @@ object RollupRewrite {
         .location.rootPaths.map(_.toString).toSet
       val dimPaths = dimLeaf.relation.asInstanceOf[HadoopFsRelation]
         .location.rootPaths.map(_.toString).toSet
-      val (factFresh, _) = freshCandidates(factPaths,
-        factLeaf.relation.asInstanceOf[HadoopFsRelation].location)
-      val (dimFresh, _) = freshCandidates(dimPaths,
-        dimLeaf.relation.asInstanceOf[HadoopFsRelation].location)
-      if (factFresh.isEmpty || dimFresh.isEmpty) return None
+      val factLoc = factLeaf.relation.asInstanceOf[HadoopFsRelation].location
+      val dimLoc = dimLeaf.relation.asInstanceOf[HadoopFsRelation].location
+      val (factFresh, factStale) = freshCandidates(factPaths, factLoc)
+      val (dimFresh, dimStale) = freshCandidates(dimPaths, dimLoc)
+      // serve-time compensation per SIDE: a stale-by-append summary on
+      // either (or both) sides joins as its union — the join duplicates
+      // fact partials against BOTH dim slices, and x*n1 + x*n2 = x*n,
+      // so the multiplicity algebra is union-invariant (min/max are
+      // duplication-invariant anyway)
+      val factCands = factFresh ++ compensatedDefs(factStale, factLoc)
+      val dimCands = dimFresh ++ compensatedDefs(dimStale, dimLoc)
+      if (factCands.isEmpty || dimCands.isEmpty) return None
       (for {
-        dF <- factFresh.view
-        dD <- dimFresh.view
+        dF <- factCands.view
+        dD <- dimCands.view
         plan <- tryJoinAggWith(agg, dF, dD, factKeys, dimKeys,
           factConds, factSubst, dimConds, dimSubst, factOut, dimOut,
           topSubst)

@@ -4569,6 +4569,98 @@ object Queries {
     }
   }
 
+  /** COMPENSATED CUBE + JOIN NAVIGATION (q198's serve-time delta
+    * compensation extended to the OTHER two serve shapes): the same
+    * union-splice algebra is shape-independent — a CUBE's Expand
+    * multiplies the union's rows BEFORE the per-grouping-set merge, and
+    * a join duplicates fact partials against both dim slices with
+    * x·n1 + x·n2 = x·n, so multiplicity stays exact even with BOTH join
+    * sides stale. The fact base is four orders slices (`o_orderkey %
+    * 4`, s3 appended), the dim base three customer slices (`c_custkey %
+    * 3`, s2 appended), so base∪delta = the full tables and the oracle
+    * is a plain recompute. Leg `cube`: CUBE(status, priority) on the
+    * stale fact — lattice routing must SKIP the coarser (o_custkey)
+    * grain (it cannot carry the cube dims) and compensate on the
+    * (status, priority) summary + exactly s3.parquet. Leg `nav`:
+    * fact⋈dim grouped by segment with BOTH sides stale — zero base-dir
+    * scans, each side's summary + its own delta file plan-required.
+    * Integer measure (`o_orderkey`): bit-exact, no float surface. */
+  def q199CompensatedCubeNav(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val orders = tbl(s, dir, "orders")
+    val customer = tbl(s, dir, "customer")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q199_cubenav")
+      .toFile.getAbsolutePath
+    (0 until 3).foreach { sl =>
+      writeNamedSlice(orders.filter(col("o_orderkey") % 4 === sl),
+        s"$tmpRoot/fact", s"s$sl")
+    }
+    (0 until 2).foreach { sl =>
+      writeNamedSlice(customer.filter(col("c_custkey") % 3 === sl),
+        s"$tmpRoot/dim", s"s$sl")
+    }
+    val fact0 = s.read.parquet(s"$tmpRoot/fact")
+    val dim0 = s.read.parquet(s"$tmpRoot/dim")
+    graft.plan.Rollup.materialize(fact0, Seq("o_custkey"), Seq("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/fsum")
+    graft.plan.Rollup.materialize(fact0,
+        Seq("o_orderstatus", "o_orderpriority"), Seq("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/csum")
+    graft.plan.Rollup.materialize(dim0, Seq("c_custkey", "c_mktsegment"),
+        Seq("c_nationkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/dsum")
+    R.register(fact0, s.read.parquet(s"$tmpRoot/fsum"),
+      Seq("o_custkey"), Seq("o_orderkey"))
+    R.register(fact0, s.read.parquet(s"$tmpRoot/csum"),
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_orderkey"))
+    R.register(dim0, s.read.parquet(s"$tmpRoot/dsum"),
+      Seq("c_custkey", "c_mktsegment"), Seq("c_nationkey"))
+    R.enable(s)
+    R.setCompensation(true)
+    try {
+      writeNamedSlice(orders.filter(col("o_orderkey") % 4 === 3),
+        s"$tmpRoot/fact", "s3")
+      writeNamedSlice(customer.filter(col("c_custkey") % 3 === 2),
+        s"$tmpRoot/dim", "s2")
+      val fact1 = s.read.parquet(s"$tmpRoot/fact")
+      val dim1 = s.read.parquet(s"$tmpRoot/dim")
+      def deltasOf(scans: Set[String], baseDir: String): Set[String] =
+        scans.filter(_.contains(s"/$baseDir/"))
+          .map(p => p.substring(p.lastIndexOf('/') + 1))
+      val cubeQ = fact1.cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_ok"),
+          min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+        .select(lit("cube").as("leg"), col("o_orderstatus").as("g1"),
+          col("o_orderpriority").as("g2"), col("n_rows"), col("sum_ok"),
+          col("mn"), col("mx"))
+      val cubeScans = R.scanRootPaths(cubeQ)
+      require(cubeScans.exists(_.contains("csum")) &&
+          !cubeScans.exists(_.contains("fsum")) &&
+          !cubeScans.exists(_.endsWith("/fact")) &&
+          deltasOf(cubeScans, "fact") == Set("s3.parquet"),
+        s"cube must compensate on the (status, priority) summary + s3 only — $cubeScans")
+      val navQ = fact1.join(dim1, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_ok"),
+          min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+        .select(lit("nav").as("leg"), col("c_mktsegment").as("g1"),
+          lit(null).cast("string").as("g2"), col("n_rows"), col("sum_ok"),
+          col("mn"), col("mx"))
+      val navScans = R.scanRootPaths(navQ)
+      require(navScans.exists(_.contains("fsum")) &&
+          navScans.exists(_.contains("dsum")) &&
+          !navScans.exists(p => p.endsWith("/fact") || p.endsWith("/dim")),
+        s"join nav must compensate both sides with no base scans — $navScans")
+      require(deltasOf(navScans, "fact") == Set("s3.parquet") &&
+          deltasOf(navScans, "dim") == Set("s2.parquet"),
+        s"join nav must read EXACTLY each side's delta — $navScans")
+      materializeAndCleanup(s, cubeQ.unionByName(navQ), tmpRoot)
+    } finally {
+      R.disable(s); R.setCompensation(false); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** COMPUTED-DIMENSION grain serving ([[graft.plan.RollupRewrite]] —
     * VERDICT r10 #1, the optimizer tier's sharpest real-user edge): a
     * summary grained by `month(o_orderdate)` — a stored EXPRESSION value,
@@ -5292,7 +5384,8 @@ object Queries {
     "q195_qf_adaptive" -> (q195QfAdaptive _),
     "q196_grain_range_filter" -> (q196GrainRangeFilter _),
     "q197_join_navigation" -> (q197JoinNavigation _),
-    "q198_compensated_serve" -> (q198CompensatedServe _))
+    "q198_compensated_serve" -> (q198CompensatedServe _),
+    "q199_compensated_cube_nav" -> (q199CompensatedCubeNav _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -7209,6 +7302,22 @@ object Queries {
         | CAST(sum(o_custkey) AS BIGINT), min(o_custkey), max(o_custkey),
         | count(DISTINCT o_orderpriority)
         |FROM orders GROUP BY 2""".stripMargin,
+    // q199: compensated CUBE + two-sided compensated join navigation —
+    // base∪delta = the full orders/customer tables by construction, so
+    // the oracle recomputes directly (GROUP BY CUBE for the cube leg, a
+    // plain join for the nav leg). Wrong multiplicity under the dim-side
+    // union (x·n1 + x·n2 ≠ x·n) or a missed per-set merge under the
+    // Expand would hash-fail; base scans trip the in-query requires.
+    "q199_compensated_cube_nav" ->
+      """SELECT 'cube' AS leg, o_orderstatus AS g1, o_orderpriority AS g2,
+        | count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+        | min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |UNION ALL
+        |SELECT 'nav', c_mktsegment, CAST(NULL AS VARCHAR), count(*),
+        | CAST(sum(o_orderkey) AS BIGINT), min(o_orderkey), max(o_orderkey)
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 2""".stripMargin,
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

@@ -1546,4 +1546,75 @@ class RollupRewriteSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("compensation: CUBE and join navigation serve from stale-by-append summaries") {
+    val dir = java.nio.file.Files.createTempDirectory("comp_cube_nav").toString
+    try {
+      Seq(("a", "x", 1L, 10L), ("a", "y", 2L, 10L), ("b", "x", 3L, 20L))
+        .toDF("g", "h", "m", "k")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      Seq((10L, "s1", 5L), (20L, "s2", 6L)).toDF("dk", "seg", "dm")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact0 = spark.read.parquet(s"$dir/fact")
+      val dim0 = spark.read.parquet(s"$dir/dim")
+      Rollup.materialize(fact0, Seq("g", "h"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/fsum")
+      Rollup.materialize(fact0, Seq("k"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/ksum")
+      Rollup.materialize(dim0, Seq("dk", "seg"), Seq("dm"))
+        .write.mode("overwrite").parquet(s"$dir/dsum")
+      RollupRewrite.register(fact0, spark.read.parquet(s"$dir/fsum"),
+        Seq("g", "h"), Seq("m"))
+      RollupRewrite.register(fact0, spark.read.parquet(s"$dir/ksum"),
+        Seq("k"), Seq("m"))
+      RollupRewrite.register(dim0, spark.read.parquet(s"$dir/dsum"),
+        Seq("dk", "seg"), Seq("dm"))
+      RollupRewrite.enable(spark)
+      RollupRewrite.setCompensation(true)
+      // BOTH bases go stale by a pure append
+      Seq(("b", "y", 100L, 20L)).toDF("g", "h", "m", "k")
+        .write.mode("append").parquet(s"$dir/fact")
+      Seq((30L, "s1", 7L)).toDF("dk", "seg", "dm")
+        .write.mode("append").parquet(s"$dir/dim")
+      val fact1 = spark.read.parquet(s"$dir/fact")
+      val dim1 = spark.read.parquet(s"$dir/dim")
+      // CUBE over the stale fact: all grouping sets from summary + delta
+      val cubeQ = fact1.cube("g", "h")
+        .agg(count(lit(1)).as("n"), sum("m").as("s"))
+      val cubeScans = scanPaths(cubeQ)
+      assert(cubeScans.exists(_.contains("fsum")) &&
+          !cubeScans.contains(s"file:$dir/fact"),
+        s"cube must compensate on the (g,h) summary: $cubeScans")
+      val cube = cubeQ.collect()
+        .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(cube.contains((None, None, 4L, 106L)) &&
+        cube.contains((Some("b"), Some("y"), 1L, 100L)) &&
+        cube.contains((Some("a"), None, 2L, 3L)),
+        s"cube values wrong: $cube")
+      // join navigation with BOTH sides stale: zero base scans, both
+      // summaries compensated, multiplicity exact
+      val navQ = fact1.join(dim1, col("k") === col("dk"))
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum("m").as("s"),
+          min("m").as("mn"), max("m").as("mx"))
+      val navScans = scanPaths(navQ)
+      assert(navScans.exists(_.contains("ksum")) &&
+          navScans.exists(_.contains("dsum")) &&
+          !navScans.contains(s"file:$dir/fact") &&
+          !navScans.contains(s"file:$dir/dim"),
+        s"join nav must compensate both sides: $navScans")
+      val nav = navQ.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // s1 joins k=10 (rows m=1,2); s2 joins k=20 (rows m=3,100);
+      // dk=30 matches no fact row
+      assert(nav == Set(("s1", 2L, 3L, 1L, 2L), ("s2", 2L, 103L, 3L, 100L)),
+        s"nav values wrong: $nav")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.setCompensation(false)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

@@ -83,7 +83,11 @@ object RollupRewrite {
                                      grainExprSql: Map[String, String] = Map.empty,
                                      // the full path|len|mtime manifest behind baseFingerprint —
                                      // what refreshStale diffs to find the appended files
-                                     baseManifest: Set[String] = Set.empty)
+                                     baseManifest: Set[String] = Set.empty,
+                                     // columns whose 256-bucket integer histogram the summary
+                                     // stores as __hist_c (HistSketchAgg) — quantile dashboards
+                                     // serve from these without a base scan
+                                     histCols: Seq[String] = Nil)
 
   private val defs = new java.util.concurrent.CopyOnWriteArrayList[RollupDef]
 
@@ -313,15 +317,17 @@ object RollupRewrite {
   def register(base: DataFrame, summary: DataFrame,
                groupCols: Seq[String], measures: Seq[String],
                distinctCols: Seq[String] = Nil, sketchK: Int = 64,
-               groupExprOf: Map[String, org.apache.spark.sql.Column] = Map.empty): Unit = {
+               groupExprOf: Map[String, org.apache.spark.sql.Column] = Map.empty,
+               histCols: Seq[String] = Nil): Unit = {
     require(groupExprOf.keySet.subsetOf(groupCols.toSet),
       s"groupExprOf keys ${groupExprOf.keySet} must be grain columns $groupCols")
     val expect = (Seq(Rollup.CntRows) ++ groupCols ++
       measures.flatMap(m => Seq(s"__sum_$m", s"__cnt_$m", s"__min_$m", s"__max_$m")) ++
-      distinctCols.map(c => s"__kmv_$c")).toSet
+      distinctCols.map(c => s"__kmv_$c") ++
+      histCols.map(c => s"__hist_$c")).toSet
     require(summary.columns.toSet == expect,
       s"summary schema ${summary.columns.sorted.mkString(",")} does not match " +
-        s"Rollup.materialize layout for ($groupCols, $measures, $distinctCols)")
+        s"Rollup.materialize layout for ($groupCols, $measures, $distinctCols, $histCols)")
     // snapshot the per-column hash shape through the SAME analyzer +
     // optimizer pipeline the query side will go through
     val shapes = distinctCols.map { c =>
@@ -358,13 +364,14 @@ object RollupRewrite {
       summary.queryExecution.analyzed, groupCols, measures,
       distinctCols, sketchK, shapes, fingerprintOf(rel.location),
       grainShapesByName, grainSql,
-      fingerprintEntries(rel.location).toSet)
+      fingerprintEntries(rel.location).toSet, histCols)
     // re-registering the same grain REPLACES the old entry — the refresh
     // step of the maintenance loop (merge → rewrite summary → register)
     import scala.jdk.CollectionConverters._
     defs.iterator().asScala
       .filter(o => o.basePaths == d.basePaths && o.groupCols == d.groupCols &&
-        o.measures == d.measures && o.distinctCols == d.distinctCols)
+        o.measures == d.measures && o.distinctCols == d.distinctCols &&
+        o.histCols == d.histCols)
       .toList.foreach(defs.remove)
     defs.add(d)
   }
@@ -412,7 +419,8 @@ object RollupRewrite {
   private def regDigest(d: RollupDef): String =
     hexDigest(d.basePaths.toSeq.sorted ++ d.groupCols ++ d.measures ++
       d.distinctCols ++ Seq(d.sketchK.toString) ++
-      d.grainExprSql.toSeq.sortBy(_._1).map { case (n, s) => s"$n=$s" })
+      d.grainExprSql.toSeq.sortBy(_._1).map { case (n, s) => s"$n=$s" } ++
+      d.histCols.map(c => s"hist:$c"))
 
   /** Digest of a base file manifest (the post-append state) — the other
     * half: a later refresh of the same registration lands in a NEW dir. */
@@ -560,17 +568,18 @@ object RollupRewrite {
           Some(unrefreshable)
         else {
           val deltaSummary = Rollup.materializeExpr(delta, grainExprsOf(d),
-            d.measures, d.distinctCols, d.sketchK)
+            d.measures, d.distinctCols, d.sketchK, d.histCols)
           val stored = spark.read.parquet(storedPathsOf(d): _*)
           val out = s"$outDir/refresh_${regDigest(d)}_${manifestDigest(current)}"
           Rollup.merge(stored, deltaSummary, d.groupCols, d.measures,
-              d.distinctCols, d.sketchK)
+              d.distinctCols, d.sketchK, d.histCols)
             .write.mode("overwrite").parquet(out)
           register(spark.read.parquet(d.basePaths.toSeq: _*),
             spark.read.parquet(out), d.groupCols, d.measures, d.distinctCols,
             d.sketchK,
             d.grainExprSql.map { case (n, s) =>
-              n -> org.apache.spark.sql.functions.expr(s) })
+              n -> org.apache.spark.sql.functions.expr(s) },
+            d.histCols)
           Some(RefreshResult(d.basePaths, d.groupCols, refreshed = true,
             deltaFiles, out))
         }
@@ -583,7 +592,7 @@ object RollupRewrite {
     * Hive partition column would be missing there, so refreshes report
     * unrefreshable instead of throwing mid-aggregation (ADVICE r11). */
   private def neededBaseColumns(spark: SparkSession, d: RollupDef): Set[String] =
-    (d.measures ++ d.distinctCols ++
+    (d.measures ++ d.distinctCols ++ d.histCols ++
       d.groupCols.filterNot(d.grainExprSql.contains) ++
       d.grainExprSql.values.flatMap(s =>
         spark.sessionState.sqlParser.parseExpression(s).collect {
@@ -628,7 +637,7 @@ object RollupRewrite {
     if (!neededBaseColumns(spark, d).subsetOf(removedDf.columns.toSet))
       return None
     val removedAgg = Rollup.materializeExpr(removedDf, grainExprsOf(d),
-      d.measures, d.distinctCols, d.sketchK)
+      d.measures, d.distinctCols, d.sketchK, d.histCols)
     val stored = spark.read.parquet(storedPathsOf(d): _*)
     val r = removedAgg.columns.foldLeft(removedAgg)(
       (df, c) => df.withColumnRenamed(c, "__r" + c))
@@ -654,10 +663,15 @@ object RollupRewrite {
     def sub(c: String) = when(col("__r" + c).isNull, col(c))
       .otherwise(col(c) - col("__r" + c))
       .cast(stored.schema(c).dataType).as(c)
+    // histograms retract EXACTLY (bucket counts are sums — unlike the
+    // insert-only KMV sketches, no recompute needed)
+    def subHist(c: String) = when(col("__r" + c).isNull, col(c))
+      .otherwise(zip_with(col(c), col("__r" + c), (a, b) => a - b)).as(c)
     val survivorCols = d.groupCols.map(col) ++ Seq(sub(Rollup.CntRows)) ++
       d.measures.flatMap(m => Seq(sub(s"__sum_$m"), sub(s"__cnt_$m"),
         col(s"__min_$m"), col(s"__max_$m"))) ++
-      d.distinctCols.map(c => col(s"__kmv_$c"))
+      d.distinctCols.map(c => col(s"__kmv_$c")) ++
+      d.histCols.map(c => subHist(s"__hist_$c"))
     val survivors = joined.filter(rowsLeft > 0 && !needsRecompute)
       .select(survivorCols: _*)
     val toRecompute = joined.filter(needsRecompute)
@@ -670,14 +684,14 @@ object RollupRewrite {
       "left_semi")
     val recomputed = Rollup.materializeExpr(filteredBase,
       d.groupCols.map(g => g -> col(g)), d.measures, d.distinctCols,
-      d.sketchK)
+      d.sketchK, d.histCols)
     val out = s"$outDir/refresh_${regDigest(d)}_${manifestDigest(current)}"
     survivors.unionByName(recomputed)
       .write.mode("overwrite").parquet(out)
     register(spark.read.parquet(d.basePaths.toSeq: _*),
       spark.read.parquet(out), d.groupCols, d.measures, d.distinctCols,
       d.sketchK,
-      d.grainExprSql.map { case (n, s) => n -> expr(s) })
+      d.grainExprSql.map { case (n, s) => n -> expr(s) }, d.histCols)
     Some(RefreshResult(d.basePaths, d.groupCols, refreshed = true, Nil, out,
       removedFiles = removedPaths))
   }
@@ -703,10 +717,18 @@ object RollupRewrite {
       }.flatten
       require(summaryPaths.nonEmpty,
         "summary is not file-backed; cannot persist this registration")
-      // v2 appends the computed-grain field: name:sql pairs, both
+      // v2 appended the computed-grain field: name:sql pairs, both
       // URL-encoded (the sql legitimately contains every delimiter),
-      // re-parsed via expr() and re-snapshotted at restore
-      Seq("v2",
+      // re-parsed via expr() and re-snapshotted at restore. v3 appends
+      // the histogram-column list AND the registration's STALENESS
+      // STATE (base fingerprint + manifest entries): without it a
+      // restore re-fingerprints the base AT RESTORE TIME, silently
+      // blessing any base change that landed between save and restore —
+      // the restored summary would serve stale data as fresh, the exact
+      // trap the staleness guard exists to prevent. With it, a restored
+      // registration over a changed base is STALE like any other:
+      // fall-through, refreshStale, and compensation all apply.
+      Seq("v3",
         d.basePaths.toSeq.sorted.map(enc).mkString(","),
         summaryPaths.map(enc).mkString(","),
         d.groupCols.map(enc).mkString(","),
@@ -714,7 +736,10 @@ object RollupRewrite {
         d.distinctCols.map(enc).mkString(","),
         d.sketchK.toString,
         d.grainExprSql.toSeq.sortBy(_._1)
-          .map { case (n, s) => s"${enc(n)}:${enc(s)}" }.mkString(",")
+          .map { case (n, s) => s"${enc(n)}:${enc(s)}" }.mkString(","),
+        d.histCols.map(enc).mkString(","),
+        enc(d.baseFingerprint),
+        d.baseManifest.toSeq.sorted.map(enc).mkString(",")
       ).mkString("|")
     }.mkString("", "\n", "\n")
     val p = new org.apache.hadoop.fs.Path(path)
@@ -748,7 +773,8 @@ object RollupRewrite {
     val entries = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
       val parts = line.split("\\|", -1)
       require((parts.length == 7 && parts(0) == "v1") ||
-          (parts.length == 8 && parts(0) == "v2"),
+          (parts.length == 8 && parts(0) == "v2") ||
+          (parts.length == 11 && parts(0) == "v3"),
         s"corrupt lattice manifest line: '$line'")
       def list(i: Int): Seq[String] =
         if (parts(i).isEmpty) Nil else parts(i).split(",", -1).toSeq.map(dec)
@@ -758,12 +784,31 @@ object RollupRewrite {
           val Array(n, s) = kv.split(":", 2)
           dec(n) -> dec(s)
         }.toMap
-      (list(1), list(2), list(3), list(4), list(5), parts(6).toInt, grainExprs)
+      val hist = if (parts.length < 9) Nil else list(8)
+      // v3 carries the SAVED staleness state; v1/v2 manifests predate it
+      // and keep the restore-time snapshot (documented laxity)
+      val savedState =
+        if (parts.length < 11) None else Some((dec(parts(9)), list(10).toSet))
+      (list(1), list(2), list(3), list(4), list(5), parts(6).toInt,
+        grainExprs, hist, savedState)
     }.toList
-    entries.foreach { case (base, summary, groups, measures, distinct, k, ge) =>
+    entries.foreach { case (base, summary, groups, measures, distinct, k,
+        ge, hist, savedState) =>
       register(spark.read.parquet(base: _*), spark.read.parquet(summary: _*),
         groups, measures, distinct, k,
-        ge.map { case (n, s) => n -> org.apache.spark.sql.functions.expr(s) })
+        ge.map { case (n, s) => n -> org.apache.spark.sql.functions.expr(s) },
+        hist)
+      // patch the just-added registration's staleness state back to the
+      // SAVED one, so base changes between save and restore read as
+      // stale instead of being blessed by the restore-time fingerprint
+      // (register appends, so the entry is last)
+      savedState.foreach { case (fp, manifest) =>
+        val o = defs.get(defs.size - 1)
+        require(o.groupCols == groups,
+          "internal: restore patch must target the registration it just added")
+        defs.remove(o)
+        defs.add(o.copy(baseFingerprint = fp, baseManifest = manifest))
+      }
     }
     entries.size
   }
@@ -985,7 +1030,7 @@ object RollupRewrite {
           }
           val names = summaryScan.output.map(_.name)
           val deltaPlan = Rollup.materializeExpr(delta, grainExprsOf(d),
-              d.measures, d.distinctCols, d.sketchK)
+              d.measures, d.distinctCols, d.sketchK, d.histCols)
             .select(names.map(org.apache.spark.sql.functions.col): _*)
             .queryExecution.optimizedPlan
           // union children must agree on type, position by position — a
@@ -1569,6 +1614,20 @@ object RollupRewrite {
         case Average(e, _) =>
           for (s <- measureAttr(e, "__sum_"); c <- measureAttr(e, "__cnt_"))
             yield Divide(Cast(sumOf(s), DoubleType), Cast(sumOf(c), DoubleType))
+        // histSketch(c) → histMerge(__hist_c): LOSSLESS (bucket counts
+        // are plain sums), so a summary-served histogram — and any q80
+        // lower-bound quantile derived from it — is IDENTICAL to the
+        // base-computed one. The queried column must be a registered
+        // histogram column verbatim (a bare base attribute).
+        case hs: graft.functions.expressions.HistSketchAgg =>
+          hs.child match {
+            case a: AttributeReference if d.histCols.contains(a.name) =>
+              Some(AggregateExpression(
+                graft.functions.expressions.HistMergeAgg(
+                  sAttr(s"__hist_${a.name}")),
+                Complete, isDistinct = false))
+            case _ => None
+          }
         // kmvSketch(portableHash60(c), k) → kmvMerge(__kmv_c, k): LOSSLESS
         // (order statistic — the global k minima are contained in the
         // union of per-group minima), so the summary-served sketch is
@@ -1660,9 +1719,9 @@ object Rollup {
     * [[RollupRewrite.register]]; keep it fresh with [[merge]]. */
   def materialize(base: DataFrame, groupCols: Seq[String],
                   measures: Seq[String], distinctCols: Seq[String] = Nil,
-                  sketchK: Int = 64): DataFrame =
+                  sketchK: Int = 64, histCols: Seq[String] = Nil): DataFrame =
     materializeExpr(base, groupCols.map(g => g -> col(g)), measures,
-      distinctCols, sketchK)
+      distinctCols, sketchK, histCols)
 
   /** [[materialize]] with COMPUTED grain dimensions (VERDICT r10 #1):
     * each (name, expr) pair becomes a stored group column holding the
@@ -1673,14 +1732,17 @@ object Rollup {
   def materializeExpr(base: DataFrame,
                       groupExprs: Seq[(String, org.apache.spark.sql.Column)],
                       measures: Seq[String], distinctCols: Seq[String] = Nil,
-                      sketchK: Int = 64): DataFrame = {
-    require(groupExprs.nonEmpty && (measures.nonEmpty || distinctCols.nonEmpty))
-    val aggs = (count(lit(1)).as(CntRows) +: measures.flatMap(m => Seq(
+                      sketchK: Int = 64, histCols: Seq[String] = Nil): DataFrame = {
+    require(groupExprs.nonEmpty &&
+      (measures.nonEmpty || distinctCols.nonEmpty || histCols.nonEmpty))
+    val aggs = ((count(lit(1)).as(CntRows) +: measures.flatMap(m => Seq(
       sum(col(m)).as(s"__sum_$m"), count(col(m)).as(s"__cnt_$m"),
       min(col(m)).as(s"__min_$m"), max(col(m)).as(s"__max_$m")))) ++
       distinctCols.map(c => graft.functions.expressions.KmvDistinctAgg
         .kmvSketch(graft.curate.Curate.portableHash60(col(c)), sketchK)
-        .as(s"__kmv_$c"))
+        .as(s"__kmv_$c"))) ++
+      histCols.map(c => graft.functions.expressions.HistAgg
+        .histSketch(col(c)).as(s"__hist_$c"))
     base.groupBy(groupExprs.map { case (n, c) => c.as(n) }: _*)
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -1697,22 +1759,25 @@ object Rollup {
     * summary-sized aggregation; the base is never rescanned. */
   def merge(stored: DataFrame, delta: DataFrame, groupCols: Seq[String],
             measures: Seq[String], distinctCols: Seq[String] = Nil,
-            sketchK: Int = 64): DataFrame = {
+            sketchK: Int = 64, histCols: Seq[String] = Nil): DataFrame = {
     val expect = (Seq(CntRows) ++ groupCols ++
       measures.flatMap(m => Seq(s"__sum_$m", s"__cnt_$m", s"__min_$m", s"__max_$m")) ++
-      distinctCols.map(c => s"__kmv_$c")).toSet
+      distinctCols.map(c => s"__kmv_$c") ++
+      histCols.map(c => s"__hist_$c")).toSet
     require(stored.columns.toSet == expect && delta.columns.toSet == expect,
-      s"inputs are not Rollup.materialize outputs for ($groupCols, $measures, $distinctCols)")
+      s"inputs are not Rollup.materialize outputs for ($groupCols, $measures, $distinctCols, $histCols)")
     // cast merged sums back to the STORED layout types: re-summing a
     // DECIMAL partial widens precision (p+10 → p+20), and without the cast
     // every merge round would widen the registered layout again until the
     // schema check (and the 18-digit unsafe-row boundary) breaks (ADVICE r9)
     def sumAs(c: String) = sum(col(c)).cast(stored.schema(c).dataType).as(c)
-    val aggs = (sumAs(CntRows) +: measures.flatMap(m => Seq(
+    val aggs = ((sumAs(CntRows) +: measures.flatMap(m => Seq(
       sumAs(s"__sum_$m"), sumAs(s"__cnt_$m"),
       min(col(s"__min_$m")).as(s"__min_$m"), max(col(s"__max_$m")).as(s"__max_$m")))) ++
       distinctCols.map(c => graft.functions.expressions.KmvMergeAgg
-        .kmvMerge(col(s"__kmv_$c"), sketchK).as(s"__kmv_$c"))
+        .kmvMerge(col(s"__kmv_$c"), sketchK).as(s"__kmv_$c"))) ++
+      histCols.map(c => graft.functions.expressions.HistAgg
+        .histMerge(col(s"__hist_$c")).as(s"__hist_$c"))
     stored.unionByName(delta)
       .groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }

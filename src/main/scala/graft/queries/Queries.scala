@@ -4661,6 +4661,72 @@ object Queries {
     }
   }
 
+  /** HISTOGRAM-CARRYING ROLLUPS ([[graft.functions.expressions.HistAgg]]
+    * + [[graft.plan.Rollup.materialize]]'s `histCols`): quantile
+    * dashboards from the summary tier. The summary stores a 256-bucket
+    * integer histogram per group (`__hist_c`, q80's msb+2-bit
+    * arithmetic); a `histSketch(c)` aggregate on the raw fact redirects
+    * to `histMerge(__hist_c)` — LOSSLESS, bucket counts are plain sums —
+    * and the q80 lower-bound quantile derives from the merged sketch
+    * without a base scan. Because buckets are sums, the histogram
+    * composes with the WHOLE maintenance ladder: merge/refresh add,
+    * retraction subtracts exactly (unlike the insert-only KMV sketch),
+    * and serve-time compensation unions. The gate serves TWO legs from
+    * one registration: `fresh` queries the pre-append base handle
+    * (snapshot listing ⇒ plain summary serve, plan-required no base
+    * scan), `comp` queries the post-append listing (compensated serve,
+    * plan-required summary + exactly s3.parquet). Oracle = the q80
+    * replay per leg's corpus predicate. Integer buckets + one
+    * ceil(total·DOUBLE prob) — the probed q80 float surface. */
+  def q200HistRollupServe(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val H = graft.functions.expressions.HistAgg
+    val orders = tbl(s, dir, "orders")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q200_hist")
+      .toFile.getAbsolutePath
+    (0 until 3).foreach { sl =>
+      writeNamedSlice(orders.filter(col("o_orderkey") % 4 === sl),
+        s"$tmpRoot/base", s"s$sl")
+    }
+    val base0 = s.read.parquet(s"$tmpRoot/base")
+    graft.plan.Rollup.materialize(base0, Seq("o_orderstatus"), Nil,
+        histCols = Seq("o_custkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/hsum")
+    R.register(base0, s.read.parquet(s"$tmpRoot/hsum"),
+      Seq("o_orderstatus"), Nil, histCols = Seq("o_custkey"))
+    R.enable(s)
+    R.setCompensation(true)
+    try {
+      writeNamedSlice(orders.filter(col("o_orderkey") % 4 === 3),
+        s"$tmpRoot/base", "s3")
+      val probs = Seq(0.5, 0.9, 0.99)
+      def legQ(name: String, src: DataFrame) =
+        src.groupBy("o_orderstatus")
+          .agg(H.histSketch(col("o_custkey")).as("h"))
+          .select(col("o_orderstatus").as("grp"),
+            aggregate(col("h"), lit(0L), (a, x) => a + x).as("n"),
+            explode(array(probs.map(p => struct(lit(p).as("prob"),
+              H.histQuantile(col("h"), p).as("q"))): _*)).as("e"))
+          .select(lit(name).as("leg"), col("grp"), col("e.prob"),
+            col("e.q"), col("n"))
+      val fresh = legQ("fresh", base0)
+      val scansF = R.scanRootPaths(fresh)
+      require(scansF.nonEmpty && scansF.forall(_.contains("hsum")),
+        s"fresh leg must serve from the histogram summary only — $scansF")
+      val comp = legQ("comp", s.read.parquet(s"$tmpRoot/base"))
+      val scansC = R.scanRootPaths(comp)
+      require(scansC.exists(_.contains("hsum")) &&
+          !scansC.exists(_.endsWith("/base")) &&
+          scansC.filter(_.contains("/base/"))
+            .map(p => p.substring(p.lastIndexOf('/') + 1)) == Set("s3.parquet"),
+        s"comp leg must read the summary + EXACTLY s3.parquet — $scansC")
+      materializeAndCleanup(s, fresh.unionByName(comp), tmpRoot)
+    } finally {
+      R.disable(s); R.setCompensation(false); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** COMPUTED-DIMENSION grain serving ([[graft.plan.RollupRewrite]] —
     * VERDICT r10 #1, the optimizer tier's sharpest real-user edge): a
     * summary grained by `month(o_orderdate)` — a stored EXPRESSION value,
@@ -5385,7 +5451,8 @@ object Queries {
     "q196_grain_range_filter" -> (q196GrainRangeFilter _),
     "q197_join_navigation" -> (q197JoinNavigation _),
     "q198_compensated_serve" -> (q198CompensatedServe _),
-    "q199_compensated_cube_nav" -> (q199CompensatedCubeNav _))
+    "q199_compensated_cube_nav" -> (q199CompensatedCubeNav _),
+    "q200_hist_rollup_serve" -> (q200HistRollupServe _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -7318,6 +7385,50 @@ object Queries {
         | CAST(sum(o_orderkey) AS BIGINT), min(o_orderkey), max(o_orderkey)
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 2""".stripMargin,
+    // q200: histogram-carrying rollups — each leg replays q80's
+    // msb+2-bit bucket arithmetic over its leg's corpus (fresh = the
+    // 3-slice registered state, comp = the full table after the
+    // append), cum/total window, lower-bound pick at ceil(total * DOUBLE
+    // prob) — the q80 float-surface discipline. A lossy merge or a
+    // missed delta union shifts bucket counts and hash-fails.
+    "q200_hist_rollup_serve" ->
+      """WITH b1 AS (
+        | SELECT o_orderstatus AS grp, (length(bin(o_custkey)) - 1) AS msb,
+        |  CASE WHEN length(bin(o_custkey)) - 1 >= 2
+        |       THEN (o_custkey >> (length(bin(o_custkey)) - 3)) & 3
+        |       ELSE 0 END AS sub
+        | FROM orders WHERE o_custkey >= 1 AND o_orderkey % 4 <> 3),
+        |h1 AS (SELECT grp, msb*4 + sub AS bucket,
+        |  CASE WHEN msb >= 2
+        |       THEN (1::BIGINT << msb) + sub*(1::BIGINT << (msb - 2))
+        |       ELSE (1::BIGINT << msb) END AS lo,
+        |  count(*) AS cnt
+        | FROM b1 GROUP BY 1, 2, 3),
+        |c1 AS (SELECT grp, bucket, lo, cnt,
+        |  sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+        |  sum(cnt) OVER (PARTITION BY grp) AS total FROM h1),
+        |b2 AS (
+        | SELECT o_orderstatus AS grp, (length(bin(o_custkey)) - 1) AS msb,
+        |  CASE WHEN length(bin(o_custkey)) - 1 >= 2
+        |       THEN (o_custkey >> (length(bin(o_custkey)) - 3)) & 3
+        |       ELSE 0 END AS sub
+        | FROM orders WHERE o_custkey >= 1),
+        |h2 AS (SELECT grp, msb*4 + sub AS bucket,
+        |  CASE WHEN msb >= 2
+        |       THEN (1::BIGINT << msb) + sub*(1::BIGINT << (msb - 2))
+        |       ELSE (1::BIGINT << msb) END AS lo,
+        |  count(*) AS cnt
+        | FROM b2 GROUP BY 1, 2, 3),
+        |c2 AS (SELECT grp, bucket, lo, cnt,
+        |  sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+        |  sum(cnt) OVER (PARTITION BY grp) AS total FROM h2),
+        |p AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS prob)
+        |SELECT 'fresh' AS leg, grp, p.prob, min(lo) AS q,
+        | CAST(min(total) AS BIGINT) AS n
+        |FROM c1 CROSS JOIN p WHERE cum >= ceil(total * p.prob) GROUP BY 1, 2, 3
+        |UNION ALL
+        |SELECT 'comp', grp, p.prob, min(lo), CAST(min(total) AS BIGINT)
+        |FROM c2 CROSS JOIN p WHERE cum >= ceil(total * p.prob) GROUP BY 1, 2, 3""".stripMargin,
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

@@ -1617,4 +1617,127 @@ class RollupRewriteSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  // ---- histogram-carrying rollups (quantile dashboards from the summary) --
+
+  test("histogram rollup: served sketch and quantiles identical to base; wrong column stays on base") {
+    import graft.functions.expressions.HistAgg
+    val dir = java.nio.file.Files.createTempDirectory("rollup_hist").toString
+    try {
+      val base = spark.read.parquet(s"$sf/orders.parquet")
+      Rollup.materialize(base, Seq("o_orderstatus"), Seq("o_totalprice"),
+          histCols = Seq("o_custkey"))
+        .write.mode("overwrite").parquet(s"$dir/summary")
+      RollupRewrite.register(base, spark.read.parquet(s"$dir/summary"),
+        Seq("o_orderstatus"), Seq("o_totalprice"),
+        histCols = Seq("o_custkey"))
+      RollupRewrite.enable(spark)
+      def q(src: org.apache.spark.sql.DataFrame) = src.groupBy("o_orderstatus")
+        .agg(HistAgg.histSketch(col("o_custkey")).as("h"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("n"),
+          concat_ws(",", col("h")).as("hs"),
+          HistAgg.histQuantile(col("h"), 0.5).as("p50"),
+          HistAgg.histQuantile(col("h"), 0.99).as("p99"))
+      val served = q(base)
+      assert(scanPaths(served).forall(_.contains("summary")),
+        s"hist query not rewritten:\n${served.queryExecution.optimizedPlan}")
+      val got = served.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      RollupRewrite.disable(spark)
+      val want = q(base).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == want && want.nonEmpty,
+        "summary-served histograms must be IDENTICAL (lossless bucket merge)")
+      // a histogram over an UNREGISTERED column must stay on the base
+      RollupRewrite.enable(spark)
+      val other = base.groupBy("o_orderstatus")
+        .agg(HistAgg.histSketch(col("o_orderkey")).as("h"))
+      assert(scanPaths(other).exists(_.contains("orders")),
+        "histogram of a non-registered column must not serve from the summary")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("histogram rollup: retraction subtracts buckets exactly; compensation unions them; v3 manifest round-trips") {
+    import graft.functions.expressions.HistAgg
+    val dir = java.nio.file.Files.createTempDirectory("rollup_hist_life").toString
+    try {
+      // three named slices so deletes are file-exact
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+      (0 until 3).foreach { sl =>
+        val st = java.nio.file.Files.createTempDirectory("sl").toString
+        orders.filter(col("o_orderkey") % 3 === sl).coalesce(1)
+          .write.mode("overwrite").parquet(st)
+        val part = new java.io.File(st).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$dir/base/s$sl.parquet")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+      }
+      val base0 = spark.read.parquet(s"$dir/base")
+      Rollup.materialize(base0, Seq("o_orderstatus"), Seq("o_totalprice"),
+          histCols = Seq("o_custkey"))
+        .write.mode("overwrite").parquet(s"$dir/summary")
+      RollupRewrite.register(base0, spark.read.parquet(s"$dir/summary"),
+        Seq("o_orderstatus"), Seq("o_totalprice"), histCols = Seq("o_custkey"))
+      RollupRewrite.enable(spark)
+      def q(src: org.apache.spark.sql.DataFrame) = src.groupBy("o_orderstatus")
+        .agg(HistAgg.histSketch(col("o_custkey")).as("h"))
+        .select(col("o_orderstatus"), concat_ws(",", col("h")).as("hs"),
+          HistAgg.histQuantile(col("h"), 0.9).as("p90"))
+      def vals(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      // RETRACTION: delete slice 1 through the trash protocol; the
+      // histogram must subtract (refreshed=true even though min/max of
+      // the float measure may force per-group recomputes)
+      RollupRewrite.deleteFiles(spark, Seq(s"$dir/base/s1.parquet"),
+        s"$dir/trash")
+      val rep = RollupRewrite.refreshStale(spark, s"$dir/refreshed",
+        trashDirs = Seq(s"$dir/trash"))
+      assert(rep.size == 1 && rep.head.refreshed, s"retraction failed: $rep")
+      val base1 = spark.read.parquet(s"$dir/base")
+      val served = q(base1)
+      assert(scanPaths(served).forall(_.contains("refresh")),
+        "post-retraction hist query must ride the refreshed summary")
+      RollupRewrite.disable(spark)
+      val direct = vals(q(base1))
+      RollupRewrite.enable(spark)
+      assert(vals(served) == direct && direct.nonEmpty,
+        "retracted histograms must equal the reduced-base recompute")
+      // COMPENSATION: append a slice back without refreshing
+      RollupRewrite.setCompensation(true)
+      orders.filter(col("o_orderkey") % 3 === 1)
+        .write.mode("append").parquet(s"$dir/base")
+      val base2 = spark.read.parquet(s"$dir/base")
+      val comp = q(base2)
+      val compScans = scanPaths(comp)
+      assert(compScans.exists(_.contains("refresh")) &&
+          !compScans.contains(s"file:$dir/base"),
+        s"hist compensation must union summary + delta: $compScans")
+      RollupRewrite.disable(spark)
+      val direct2 = vals(q(base2))
+      RollupRewrite.enable(spark)
+      assert(vals(comp) == direct2,
+        "compensated histograms must equal the full recompute")
+      // V3 MANIFEST: save, clear, restore — histCols survive
+      RollupRewrite.save(spark, s"$dir/lattice")
+      RollupRewrite.clear()
+      assert(RollupRewrite.restore(spark, s"$dir/lattice") == 1)
+      val again = q(base2)
+      assert(scanPaths(again).exists(_.contains("refresh")),
+        "restored registration must keep serving (histCols round-tripped)")
+      assert(vals(again) == direct2)
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.setCompensation(false)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

@@ -167,13 +167,31 @@ object RollupRewrite {
     * dedupe on (paths, column set); the optimizer's fix-point re-runs
     * record nothing new. Zero overhead when off (one volatile read). */
   @volatile private var capturing = false
-  // (base paths, grouping grains, filter columns) — filter columns are
-  // the resolved base-column references of the observed Filter conjuncts
-  // (VERDICT r11 #7: a WHERE-heavy workload over-values coarse grains
-  // that cannot serve its filters; the advisor needs to know)
+
+  /** One captured aggregate observation: the base it scanned, its grain
+    * (plain column names; computed grains by resolved SQL), the filter
+    * columns its conjuncts referenced (VERDICT r11 #7), and — the
+    * DESIGN half ([[SummaryDesigner]]) — the full summary-layout
+    * requirements its aggregate calls imply: `measures` (sum / count /
+    * min / max / avg arguments), `distinctCols` (exact count(distinct)
+    * arguments — servable only when IN the grain, so the designer folds
+    * them into the requirement set), `sketchCols` (KMV sketch
+    * arguments), `histCols` (histogram sketch arguments). `servable` is
+    * false when any aggregate call has a shape no summary layout can
+    * derive (filtered aggregates, UDAFs, non-column arguments) — the
+    * designer skips those queries rather than design for them. */
+  case class CaptureEntry(paths: Set[String], grain: Set[String],
+                          filterCols: Set[String],
+                          measures: Set[String] = Set.empty,
+                          distinctCols: Set[String] = Set.empty,
+                          sketchCols: Set[String] = Set.empty,
+                          histCols: Set[String] = Set.empty,
+                          servable: Boolean = true,
+                          sketchKs: Set[Int] = Set.empty)
+
   private val capturedLog =
     java.util.Collections.synchronizedSet(
-      new java.util.LinkedHashSet[(Set[String], Set[String], Set[String])]())
+      new java.util.LinkedHashSet[CaptureEntry]())
 
   def startWorkloadCapture(): Unit = { capturedLog.clear(); capturing = true }
   def stopWorkloadCapture(): Unit = capturing = false
@@ -189,7 +207,15 @@ object RollupRewrite {
   /** Distinct captured grains for a base (insertion order). */
   def capturedWorkload(basePaths: Set[String]): Seq[Set[String]] = {
     import scala.jdk.CollectionConverters._
-    capturedLog.asScala.toSeq.collect { case (p, g, _) if p == basePaths => g }
+    capturedLog.asScala.toSeq.collect {
+      case e if e.paths == basePaths => e.grain }.distinct
+  }
+
+  /** Full captured observations for a base (insertion order) — the
+    * [[SummaryDesigner]] input. */
+  def capturedEntries(basePaths: Set[String]): Seq[CaptureEntry] = {
+    import scala.jdk.CollectionConverters._
+    capturedLog.asScala.toSeq.filter(_.paths == basePaths)
   }
 
   /** Captured (grouping grains, filter columns) pairs for a base
@@ -201,7 +227,7 @@ object RollupRewrite {
       : Seq[(Set[String], Set[String])] = {
     import scala.jdk.CollectionConverters._
     capturedLog.asScala.toSeq.collect {
-      case (p, g, f) if p == basePaths => (g, f) }
+      case e if e.paths == basePaths => (e.grain, e.filterCols) }.distinct
   }
 
   def setStrictStaleness(on: Boolean): Unit = strictStaleness = on
@@ -975,8 +1001,55 @@ object RollupRewrite {
         // advisor toward a finer grain, never a wrong one
         val filterCols = conds.flatMap(c =>
           resolve(c, subst).references.map(_.name)).toSet
-        if (grains.forall(_.isDefined))
-          capturedLog.add((paths, grains.flatten.toSet, filterCols))
+        if (grains.forall(_.isDefined)) {
+          // layout requirements per aggregate call (the design half —
+          // see CaptureEntry): classify every AggregateExpression into
+          // the summary column family that would serve it
+          def attrName(e: Expression): Option[String] =
+            resolve(e, subst) match {
+              case a: AttributeReference => Some(a.name)
+              case _ => None
+            }
+          var meas = Set.empty[String]; var dist = Set.empty[String]
+          var sk = Set.empty[String]; var hist = Set.empty[String]
+          var skKs = Set.empty[Int]
+          var servable = true
+          def measArg(e: Expression): Unit = attrName(e) match {
+            case Some(n) => meas += n
+            case None => servable = false
+          }
+          agg.aggregateExpressions.flatMap(_.collect {
+            case ae: AggregateExpression => ae
+          }).foreach { ae =>
+            if (ae.filter.isDefined) servable = false
+            else if (ae.isDistinct) ae.aggregateFunction match {
+              case Count(args) if args.nonEmpty &&
+                  args.forall(a => attrName(a).isDefined) =>
+                dist ++= args.flatMap(attrName)
+              case _ => servable = false
+            } else ae.aggregateFunction match {
+              case Count(Seq(Literal(v, _))) if v != null => ()
+              case Count(Seq(e)) => measArg(e)
+              case Sum(e, _) => measArg(e)
+              case Min(e) => measArg(e)
+              case Max(e) => measArg(e)
+              case Average(e, _) => measArg(e)
+              case kv: graft.functions.expressions.KmvDistinctAgg =>
+                kv.child.references.toSeq match {
+                  case Seq(a) => sk += a.name; skKs += kv.k
+                  case _ => servable = false
+                }
+              case hs: graft.functions.expressions.HistSketchAgg =>
+                attrName(hs.child) match {
+                  case Some(n) => hist += n
+                  case None => servable = false
+                }
+              case _ => servable = false
+            }
+          }
+          capturedLog.add(CaptureEntry(paths, grains.flatten.toSet,
+            filterCols, meas, dist, sk, hist, servable, skKs))
+        }
       }
       // Lattice routing: several summaries at different grains may be
       // registered for one base. Try coarsest-first (fewest group
@@ -1733,8 +1806,9 @@ object Rollup {
                       groupExprs: Seq[(String, org.apache.spark.sql.Column)],
                       measures: Seq[String], distinctCols: Seq[String] = Nil,
                       sketchK: Int = 64, histCols: Seq[String] = Nil): DataFrame = {
-    require(groupExprs.nonEmpty &&
-      (measures.nonEmpty || distinctCols.nonEmpty || histCols.nonEmpty))
+    // a measure-less summary is legitimate: __cnt_rows alone serves
+    // count(*) dashboards (and the designer emits such specs)
+    require(groupExprs.nonEmpty, "materialize needs at least one grain column")
     val aggs = ((count(lit(1)).as(CntRows) +: measures.flatMap(m => Seq(
       sum(col(m)).as(s"__sum_$m"), count(col(m)).as(s"__cnt_$m"),
       min(col(m)).as(s"__min_$m"), max(col(m)).as(s"__max_$m")))) ++

@@ -4727,6 +4727,93 @@ object Queries {
     }
   }
 
+  /** SELF-DESIGNED SUMMARY LATTICE ([[graft.plan.SummaryDesigner]] —
+    * the completion of q187's self-tuning loop): workload capture now
+    * records each aggregate's FULL layout requirements (measures,
+    * exact-distinct args, KMV sketch args + k, histogram args,
+    * underivable shapes marked unservable), and the designer turns the
+    * captured log into complete materialize+register SPECS — grains via
+    * the HRU advisor over requirement sets (grain ∪ filter cols ∪
+    * exact-distinct cols, the serving rules inverted), carried columns
+    * = the union of the needs of every query each grain can serve.
+    * capture → design → build → serve, no human in the loop. The gate
+    * bootstraps from COLD traffic (nothing registered): a 4-query
+    * dashboard workload (grouped sum, filtered min, exact distinct,
+    * histogram quantile) is observed, a 2-grain lattice designed
+    * ((status, priority) + (status), both structurally required), built,
+    * and the SAME workload re-runs — every leg plan-required to serve
+    * from its designed summary with lattice routing (w1/w4 on the
+    * coarse status grain, w2/w3 on the fine). Oracle = direct
+    * recomputes (the q80 replay for the histogram leg). */
+  def q201DesignedLattice(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val H = graft.functions.expressions.HistAgg
+    val orders = tbl(s, dir, "orders")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q201_design")
+      .toFile.getAbsolutePath
+    val nulls = Seq(lit(null).cast("double").as("sum_total"),
+      lit(null).cast("long").as("mn_cust"), lit(null).cast("long").as("n_prio"),
+      lit(null).cast("long").as("p90"))
+    def w1 = orders.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), sum("o_totalprice").as("__s"))
+      .select(lit("w1").as("leg"), col("o_orderstatus").as("grp"),
+        col("n_rows"), round(col("__s"), 2).as("sum_total"), nulls(1),
+        nulls(2), nulls(3))
+    def w2 = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), min("o_custkey").as("mn_cust"))
+      .select(lit("w2").as("leg"), col("o_orderstatus").as("grp"),
+        col("n_rows"), nulls(0), col("mn_cust"), nulls(2), nulls(3))
+    def w3 = orders.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderpriority")).as("n_prio"))
+      .select(lit("w3").as("leg"), col("o_orderstatus").as("grp"),
+        col("n_rows"), nulls(0), nulls(1), col("n_prio"), nulls(3))
+    def w4 = orders.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), H.histSketch(col("o_custkey")).as("h"))
+      .select(lit("w4").as("leg"), col("o_orderstatus").as("grp"),
+        col("n_rows"), nulls(0), nulls(1), nulls(2),
+        H.histQuantile(col("h"), 0.9).as("p90"))
+    R.enable(s)
+    R.startWorkloadCapture()
+    try {
+      // observe cold traffic (bootstrap: nothing registered yet)
+      Seq(w1, w2, w3, w4).foreach(_.queryExecution.optimizedPlan)
+      val specs = graft.plan.SummaryDesigner.design(orders, k = 2)
+      require(specs.size == 2, s"expected a 2-grain design, got $specs")
+      val fine = specs.find(_.grainCols.toSet ==
+        Set("o_orderstatus", "o_orderpriority")).getOrElse(
+        throw new IllegalStateException(s"no fine grain designed: $specs"))
+      val coarse = specs.find(_.grainCols == Seq("o_orderstatus")).getOrElse(
+        throw new IllegalStateException(s"no coarse grain designed: $specs"))
+      require(fine.measures.toSet == Set("o_custkey", "o_totalprice") &&
+          fine.histCols == Seq("o_custkey") &&
+          coarse.measures == Seq("o_totalprice") &&
+          coarse.histCols == Seq("o_custkey"),
+        s"designed layouts must carry exactly what their served queries need: $specs")
+      val outs = graft.plan.SummaryDesigner.buildAndRegister(s, orders,
+        specs, tmpRoot)
+      val fineDir = outs(specs.indexOf(fine))
+      val coarseDir = outs(specs.indexOf(coarse))
+      def require_served(df: DataFrame, name: String, want: String,
+                         avoid: String): DataFrame = {
+        val scans = R.scanRootPaths(df)
+        require(scans.nonEmpty && scans.forall(_.contains(tmpRoot)) &&
+            scans.forall(_.contains(want)) && !scans.exists(_.contains(avoid)),
+          s"$name must serve from the designed ${want.substring(want.lastIndexOf('/') + 1)} summary — $scans")
+        df
+      }
+      val out = require_served(w1, "w1", coarseDir, fineDir)
+        .unionByName(require_served(w2, "w2", fineDir, coarseDir))
+        .unionByName(require_served(w3, "w3", fineDir, coarseDir))
+        .unionByName(require_served(w4, "w4", coarseDir, fineDir))
+      materializeAndCleanup(s, out, tmpRoot)
+    } finally {
+      R.disable(s); R.resetWorkloadCapture(); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** COMPUTED-DIMENSION grain serving ([[graft.plan.RollupRewrite]] —
     * VERDICT r10 #1, the optimizer tier's sharpest real-user edge): a
     * summary grained by `month(o_orderdate)` — a stored EXPRESSION value,
@@ -5452,7 +5539,8 @@ object Queries {
     "q197_join_navigation" -> (q197JoinNavigation _),
     "q198_compensated_serve" -> (q198CompensatedServe _),
     "q199_compensated_cube_nav" -> (q199CompensatedCubeNav _),
-    "q200_hist_rollup_serve" -> (q200HistRollupServe _))
+    "q200_hist_rollup_serve" -> (q200HistRollupServe _),
+    "q201_designed_lattice" -> (q201DesignedLattice _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -7429,6 +7517,47 @@ object Queries {
         |UNION ALL
         |SELECT 'comp', grp, p.prob, min(lo), CAST(min(total) AS BIGINT)
         |FROM c2 CROSS JOIN p WHERE cum >= ceil(total * p.prob) GROUP BY 1, 2, 3""".stripMargin,
+    // q201: self-designed lattice — the DESIGN is structurally required
+    // in-query (grains + carried layouts + per-leg routing); the hash
+    // gate replays the WORKLOAD the designed lattice serves: grouped
+    // 2dp sum, filtered min, exact distinct, and the q80 histogram
+    // replay for the quantile leg. A wrong design either trips the
+    // requires or serves wrong values and hash-fails.
+    "q201_designed_lattice" ->
+      """WITH bh AS (
+        | SELECT o_orderstatus AS grp, (length(bin(o_custkey)) - 1) AS msb,
+        |  CASE WHEN length(bin(o_custkey)) - 1 >= 2
+        |       THEN (o_custkey >> (length(bin(o_custkey)) - 3)) & 3
+        |       ELSE 0 END AS sub
+        | FROM orders WHERE o_custkey >= 1),
+        |hh AS (SELECT grp, msb*4 + sub AS bucket,
+        |  CASE WHEN msb >= 2
+        |       THEN (1::BIGINT << msb) + sub*(1::BIGINT << (msb - 2))
+        |       ELSE (1::BIGINT << msb) END AS lo,
+        |  count(*) AS cnt
+        | FROM bh GROUP BY 1, 2, 3),
+        |ch AS (SELECT grp, bucket, lo, cnt,
+        |  sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+        |  sum(cnt) OVER (PARTITION BY grp) AS total FROM hh),
+        |q4 AS (SELECT grp, min(lo) AS p90 FROM ch
+        |  WHERE cum >= ceil(total * 0.9::DOUBLE) GROUP BY 1),
+        |n4 AS (SELECT o_orderstatus AS grp, count(*) AS n FROM orders GROUP BY 1)
+        |SELECT 'w1' AS leg, o_orderstatus AS grp, count(*) AS n_rows,
+        | round(sum(o_totalprice), 2) AS sum_total,
+        | CAST(NULL AS BIGINT) AS mn_cust, CAST(NULL AS BIGINT) AS n_prio,
+        | CAST(NULL AS BIGINT) AS p90
+        |FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 'w2', o_orderstatus, count(*), CAST(NULL AS DOUBLE),
+        | min(o_custkey), NULL, NULL
+        |FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 2
+        |UNION ALL
+        |SELECT 'w3', o_orderstatus, count(*), CAST(NULL AS DOUBLE), NULL,
+        | count(DISTINCT o_orderpriority), NULL
+        |FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 'w4', n4.grp, n4.n, CAST(NULL AS DOUBLE), NULL, NULL, q4.p90
+        |FROM n4 JOIN q4 ON n4.grp = q4.grp""".stripMargin,
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

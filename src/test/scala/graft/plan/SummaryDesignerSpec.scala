@@ -1,0 +1,136 @@
+package graft.plan
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.expressions.{HistAgg, KmvDistinctAgg}
+import graft.curate.Curate
+
+/** [[SummaryDesigner]] — capture → design → build → serve, no human in
+  * the loop. The contract: capture records FULL layout requirements
+  * (measures / exact-distinct / sketch / histogram, with unservable
+  * shapes marked), the design is deterministic, and the designed
+  * lattice actually serves the captured workload. */
+class SummaryDesignerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scanPaths(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten.toSet
+
+  private def withBase[A](body: (DataFrame, String) => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("designer").toString
+    // every (g, h) combo appears twice, so the fine grain's cardinality
+    // (4) sits below the row count (8) and the HRU greedy gives it
+    // positive benefit
+    Seq(("a", "x", 1L, 10L, "u"), ("a", "y", 2L, 20L, "v"),
+        ("b", "x", 3L, 30L, "u"), ("b", "y", 4L, 40L, "w"),
+        ("a", "x", 1L, 10L, "u"), ("a", "y", 2L, 20L, "v"),
+        ("b", "x", 3L, 30L, "u"), ("b", "y", 4L, 40L, "w"))
+      .toDF("g", "h", "m", "v", "s")
+      .write.mode("overwrite").parquet(s"$dir/base")
+    RollupRewrite.enable(spark)
+    RollupRewrite.startWorkloadCapture()
+    try body(spark.read.parquet(s"$dir/base"), dir)
+    finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.resetWorkloadCapture()
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("capture records measures, distincts, sketches, histograms; unservable shapes marked") {
+    withBase { (base, _) =>
+      val paths = RollupRewrite.scanRootPaths(base)
+      base.groupBy("g").agg(sum("m").as("s1"),
+        countDistinct(col("h")).as("nd"),
+        HistAgg.histSketch(col("v")).as("hv"),
+        KmvDistinctAgg.kmvSketch(Curate.portableHash60(col("s")), 32).as("sk"))
+        .queryExecution.optimizedPlan
+      val e = RollupRewrite.capturedEntries(paths)
+      assert(e.exists(x => x.servable && x.grain == Set("g") &&
+        x.measures == Set("m") && x.distinctCols == Set("h") &&
+        x.histCols == Set("v") && x.sketchCols == Set("s") &&
+        x.sketchKs == Set(32)), s"requirements not captured: $e")
+      // non-column aggregate argument => unservable
+      base.groupBy("g").agg(sum(col("m") * 2).as("s2"))
+        .queryExecution.optimizedPlan
+      assert(RollupRewrite.capturedEntries(paths)
+          .exists(x => !x.servable && x.grain == Set("g")),
+        "sum(m*2) must be captured as unservable")
+    }
+  }
+
+  test("design + buildAndRegister: the captured workload re-serves from the designed lattice") {
+    withBase { (base, dir) =>
+      def w1(src: DataFrame) = src.groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("m").as("sm"))
+      def w2(src: DataFrame) = src.filter(col("h") === "x").groupBy("g")
+        .agg(min("v").as("mn"))
+      def w3(src: DataFrame) = src.groupBy("g")
+        .agg(HistAgg.histSketch(col("v")).as("hv"))
+        .select(col("g"), HistAgg.histQuantile(col("hv"), 0.5).as("p50"))
+      w1(base).queryExecution.optimizedPlan
+      w2(base).queryExecution.optimizedPlan
+      w3(base).queryExecution.optimizedPlan
+      val specs = SummaryDesigner.design(base, k = 2)
+      assert(specs.size == 2, s"expected a 2-grain design, got $specs")
+      val fine = specs.find(_.grainCols.toSet == Set("g", "h")).get
+      val coarse = specs.find(_.grainCols == Seq("g")).get
+      // fine serves everything (requirements all ⊆ {g,h}); coarse serves
+      // the {g}-only queries
+      assert(fine.measures.toSet == Set("m", "v") &&
+        fine.histCols == Seq("v"), s"fine spec wrong: $fine")
+      assert(coarse.measures == Seq("m") && coarse.histCols == Seq("v"),
+        s"coarse spec wrong: $coarse")
+      // determinism: designing again from the same capture is identical
+      assert(SummaryDesigner.design(base, k = 2) == specs)
+      val outs = SummaryDesigner.buildAndRegister(spark, base, specs,
+        s"$dir/designed")
+      assert(outs.size == 2)
+      // every workload query now serves from a designed summary —
+      // w1/w3 from the coarse grain (lattice routing), w2 from the fine
+      def served(df: DataFrame, want: String): Unit = {
+        val scans = scanPaths(df)
+        assert(scans.nonEmpty && scans.forall(_.contains("designed")),
+          s"workload query must serve from the designed lattice: $scans")
+        assert(scans.forall(_.contains(want)), s"wrong grain routed: $scans")
+      }
+      val coarseDir = outs(specs.indexOf(coarse))
+        .substring(outs(specs.indexOf(coarse)).lastIndexOf('/') + 1)
+      val fineDir = outs(specs.indexOf(fine))
+        .substring(outs(specs.indexOf(fine)).lastIndexOf('/') + 1)
+      served(w1(base), coarseDir)
+      served(w2(base), fineDir)
+      served(w3(base), coarseDir)
+      // and the answers are right
+      assert(w1(base).collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toSet == Set(("a", 4L, 6L), ("b", 4L, 14L)))
+      assert(w2(base).collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSet == Set(("a", 10L), ("b", 30L)))
+      // p50 is the q80 lower bound: a's {10,10,20,20} -> bucket lo 10;
+      // b's {30,30,40,40} -> bucket lo 28 (msb 4, sub 3)
+      assert(w3(base).collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSet == Set(("a", 10L), ("b", 28L)))
+    }
+  }
+
+  test("empty capture designs nothing; conflicting sketch ks skip sketch entries") {
+    withBase { (base, _) =>
+      assert(SummaryDesigner.design(base, k = 3) == Nil)
+      base.groupBy("g").agg(KmvDistinctAgg.kmvSketch(
+        Curate.portableHash60(col("s")), 16).as("a")).queryExecution.optimizedPlan
+      base.groupBy("g").agg(KmvDistinctAgg.kmvSketch(
+        Curate.portableHash60(col("s")), 32).as("b")).queryExecution.optimizedPlan
+      // one k wins; the conflicting entry is skipped, not mis-designed
+      val specs = SummaryDesigner.design(base, k = 2)
+      assert(specs.size == 1 && specs.head.distinctCols == Seq("s") &&
+        Set(16, 32).contains(specs.head.sketchK), s"got $specs")
+    }
+  }
+}

@@ -196,6 +196,16 @@ object RollupRewrite {
   def startWorkloadCapture(): Unit = { capturedLog.clear(); capturing = true }
   def stopWorkloadCapture(): Unit = capturing = false
 
+  /** Run `body` with capture suspended — for operators that run their
+    * OWN aggregates over a captured base ([[SummaryDesigner]]'s advisor
+    * cardinality pass, its base count, its materialize jobs): the
+    * design machinery must never observe itself as workload. */
+  private[plan] def withCaptureSuspended[A](body: => A): A = {
+    val was = capturing
+    capturing = false
+    try body finally capturing = was
+  }
+
   /** Stop capturing AND drop the captured log — the capture state is
     * process-global, so a finished capture session (a gate's finally)
     * must not leak its grains into the next observer (r11: q191's

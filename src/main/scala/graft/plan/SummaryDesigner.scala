@@ -59,7 +59,11 @@ object SummaryDesigner {
     * mode — the 100-TB path. Returns Nil when nothing servable was
     * captured for this base. */
   def design(base: DataFrame, k: Int,
-             sketchCardK: Option[Int] = None): Seq[SummarySpec] = {
+             sketchCardK: Option[Int] = None): Seq[SummarySpec] =
+    RollupRewrite.withCaptureSuspended(designInner(base, k, sketchCardK))
+
+  private def designInner(base: DataFrame, k: Int,
+                          sketchCardK: Option[Int]): Seq[SummarySpec] = {
     val paths = RollupRewrite.scanRootPaths(base)
     val all = RollupRewrite.capturedEntries(paths)
     // one sketch k per design: conflicting-k sketch entries are skipped
@@ -103,7 +107,7 @@ object SummaryDesigner {
     * scans. Returns the summary paths in spec order. */
   def buildAndRegister(spark: SparkSession, base: DataFrame,
                        specs: Seq[SummarySpec], outDir: String): Seq[String] =
-    specs.zipWithIndex.map { case (sp, i) =>
+    RollupRewrite.withCaptureSuspended(specs.zipWithIndex.map { case (sp, i) =>
       val grainExprs = sp.grainCols.map(g =>
         g -> sp.grainExprSql.get(g).map(expr).getOrElse(col(g)))
       val digest = java.security.MessageDigest.getInstance("MD5")
@@ -118,5 +122,5 @@ object SummaryDesigner {
         sp.measures, sp.distinctCols, sp.sketchK,
         sp.grainExprSql.map { case (n, sql) => n -> expr(sql) }, sp.histCols)
       out
-    }
+    })
 }

@@ -1618,6 +1618,47 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("compensation composes with eager-aggregation navigation (q172 under a stale fact summary)") {
+    val dir = java.nio.file.Files.createTempDirectory("comp_nav_eager").toString
+    try {
+      Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("k", "m")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      val fact0 = spark.read.parquet(s"$dir/fact")
+      Rollup.materialize(fact0, Seq("k"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/fsum")
+      RollupRewrite.register(fact0, spark.read.parquet(s"$dir/fsum"),
+        Seq("k"), Seq("m"))
+      RollupRewrite.enable(spark)
+      EagerAggregation.enable(spark)
+      RollupRewrite.setCompensation(true)
+      Seq((2L, 40L)).toDF("k", "m")
+        .write.mode("append").parquet(s"$dir/fact")
+      val fact1 = spark.read.parquet(s"$dir/fact")
+      // dim as a range input so plan guards survive ConvertToLocalRelation
+      val dim = spark.range(1, 3).select(col("id").as("dk"),
+        (col("id") % 2).cast("string").as("g"))
+      val q = fact1.join(dim, col("k") === col("dk"))
+        .groupBy("g").agg(sum("m").as("s"))
+      // eager aggregation pushes the fact partial below the join; the
+      // rewrite then redirects the pushed partial to the STALE summary
+      // via compensation — the fact base dir never scans
+      val scans = scanPaths(q)
+      assert(scans.exists(_.contains("fsum")) &&
+          !scans.contains(s"file:$dir/fact"),
+        s"navigation must compensate the stale fact summary: $scans")
+      assert(EagerAggregation.partialAggBelowJoin(q),
+        "the pushed partial must still be below the join")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        == Set(("1", 30L), ("0", 70L)))
+    } finally {
+      RollupRewrite.disable(spark)
+      EagerAggregation.disable(spark)
+      RollupRewrite.setCompensation(false)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   // ---- histogram-carrying rollups (quantile dashboards from the summary) --
 
   test("histogram rollup: served sketch and quantiles identical to base; wrong column stays on base") {

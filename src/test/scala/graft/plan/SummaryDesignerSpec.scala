@@ -120,6 +120,19 @@ class SummaryDesignerSpec extends SparkSpec {
     }
   }
 
+  test("approx cardinality mode designs the same lattice (the cube-free 100-TB path)") {
+    withBase { (base, dir) =>
+      base.groupBy("g").agg(sum("m").as("sm")).queryExecution.optimizedPlan
+      base.groupBy("g", "h").agg(min("v").as("mn")).queryExecution.optimizedPlan
+      val exact = SummaryDesigner.design(base, k = 2)
+      val approx = SummaryDesigner.design(base, k = 2, sketchCardK = Some(64))
+      // 8 rows, every grain cardinality far below the 64 sketch: the
+      // unfilled sketches ARE exact counts, so the designs coincide
+      assert(exact == approx && exact.nonEmpty,
+        s"approx design must match exact on unfilled sketches: $exact vs $approx")
+    }
+  }
+
   test("empty capture designs nothing; conflicting sketch ks skip sketch entries") {
     withBase { (base, _) =>
       assert(SummaryDesigner.design(base, k = 3) == Nil)

@@ -4814,6 +4814,88 @@ object Queries {
     }
   }
 
+  /** DESIGNED-LATTICE MAINTENANCE ([[graft.plan.SummaryDesigner]] ∘
+    * [[graft.plan.RollupRewrite.refreshStale]]): a summary tier that
+    * designs itself (q201) must also MAINTAIN itself, or the design is
+    * a one-shot. The gate drives the full lifecycle on one designed
+    * registration: capture a 2-query dashboard (grouped integer sum +
+    * histogram p90) over a 3-slice base → design (one status-grained
+    * spec carrying the measure AND the histogram) → build → APPEND a
+    * slice → refreshStale folds exactly the appended file into the
+    * designed summary (histogram buckets add) → serve, plan-required on
+    * the refreshed summary → DELETE a slice via the trash protocol →
+    * refreshStale RETRACTS it (sums/counts/histograms subtract; the
+    * integer measure's min/max may force per-group recomputes, which is
+    * the documented asymmetry) → serve again. Oracle = per-phase
+    * recomputes with the q80 histogram replay; base∪append = full
+    * orders, post-delete = `o_orderkey % 4 <> 1`. */
+  def q202DesignedMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val H = graft.functions.expressions.HistAgg
+    val orders = tbl(s, dir, "orders")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q202_maint")
+      .toFile.getAbsolutePath
+    val slicePaths = (0 until 3).map { sl =>
+      writeNamedSlice(orders.filter(col("o_orderkey") % 4 === sl),
+        s"$tmpRoot/base", s"s$sl")
+    }
+    val base0 = s.read.parquet(s"$tmpRoot/base")
+    R.enable(s)
+    R.startWorkloadCapture()
+    try {
+      def dash(src: DataFrame, leg: String) = src.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum("o_custkey").as("sum_cust"),
+          H.histSketch(col("o_custkey")).as("h"))
+        .select(lit(leg).as("leg"), col("o_orderstatus").as("grp"),
+          col("n_rows"), col("sum_cust"),
+          H.histQuantile(col("h"), 0.9).as("p90"))
+      dash(base0, "capture").queryExecution.optimizedPlan
+      R.stopWorkloadCapture()
+      val specs = graft.plan.SummaryDesigner.design(base0, k = 1)
+      require(specs.size == 1 && specs.head.grainCols == Seq("o_orderstatus") &&
+          specs.head.measures == Seq("o_custkey") &&
+          specs.head.histCols == Seq("o_custkey"),
+        s"the designed spec must carry the dashboard's full layout: $specs")
+      graft.plan.SummaryDesigner.buildAndRegister(s, base0, specs,
+        s"$tmpRoot/designed")
+      // APPEND → incremental refresh of the DESIGNED summary
+      writeNamedSlice(orders.filter(col("o_orderkey") % 4 === 3),
+        s"$tmpRoot/base", "s3")
+      val rep1 = R.refreshStale(s, s"$tmpRoot/refreshed")
+      require(rep1.size == 1 && rep1.head.refreshed &&
+          rep1.head.deltaFiles.map(p =>
+            p.substring(p.lastIndexOf('/') + 1)) == Seq("s3.parquet"),
+        s"the designed summary must refresh from exactly the appended file: $rep1")
+      val app = dash(s.read.parquet(s"$tmpRoot/base"), "app")
+      require(R.scanRootPaths(app).forall(_.contains("refresh")),
+        s"post-append dashboard must ride the refreshed designed summary — ${R.scanRootPaths(app)}")
+      val appRows = materializeSmall(s, app)
+      // DELETE → retraction of the designed summary (histograms subtract)
+      R.deleteFiles(s, Seq(slicePaths(1)), s"$tmpRoot/trash")
+      val rep2 = R.refreshStale(s, s"$tmpRoot/refreshed2",
+        trashDirs = Seq(s"$tmpRoot/trash"))
+      require(rep2.size == 1 && rep2.head.refreshed &&
+          rep2.head.removedFiles.map(p =>
+            p.substring(p.lastIndexOf('/') + 1)) == Seq("s1.parquet"),
+        s"the designed summary must retract exactly the deleted file: $rep2")
+      val del = dash(s.read.parquet(s"$tmpRoot/base"), "del")
+      require(R.scanRootPaths(del).forall(_.contains("refreshed2")),
+        s"post-delete dashboard must ride the retracted designed summary — ${R.scanRootPaths(del)}")
+      materializeAndCleanup(s, appRows.unionByName(del), tmpRoot)
+    } finally {
+      R.disable(s); R.resetWorkloadCapture(); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
+  /** Collect a SMALL frame into a driver-local relation NOW (the phase
+    * result must be pinned before the next phase mutates the base the
+    * lazy plan reads). */
+  private def materializeSmall(s: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** COMPUTED-DIMENSION grain serving ([[graft.plan.RollupRewrite]] —
     * VERDICT r10 #1, the optimizer tier's sharpest real-user edge): a
     * summary grained by `month(o_orderdate)` — a stored EXPRESSION value,
@@ -5540,7 +5622,8 @@ object Queries {
     "q198_compensated_serve" -> (q198CompensatedServe _),
     "q199_compensated_cube_nav" -> (q199CompensatedCubeNav _),
     "q200_hist_rollup_serve" -> (q200HistRollupServe _),
-    "q201_designed_lattice" -> (q201DesignedLattice _))
+    "q201_designed_lattice" -> (q201DesignedLattice _),
+    "q202_designed_maintenance" -> (q202DesignedMaintenance _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -7558,6 +7641,55 @@ object Queries {
         |UNION ALL
         |SELECT 'w4', n4.grp, n4.n, CAST(NULL AS DOUBLE), NULL, NULL, q4.p90
         |FROM n4 JOIN q4 ON n4.grp = q4.grp""".stripMargin,
+    // q202: designed-lattice maintenance — per-phase recomputes: the
+    // app leg over the full table (base∪append), the del leg under
+    // o_orderkey % 4 <> 1 (slice s1 retracted). Integer sums retract
+    // bit-exactly; histograms subtract (the q200 replay per phase). A
+    // refresh that misses a file, or a retraction that leaves s1's
+    // buckets behind, hash-fails; stale serves trip the plan requires.
+    "q202_designed_maintenance" ->
+      """WITH ba AS (
+        | SELECT o_orderstatus AS grp, (length(bin(o_custkey)) - 1) AS msb,
+        |  CASE WHEN length(bin(o_custkey)) - 1 >= 2
+        |       THEN (o_custkey >> (length(bin(o_custkey)) - 3)) & 3
+        |       ELSE 0 END AS sub
+        | FROM orders WHERE o_custkey >= 1),
+        |ha AS (SELECT grp, msb*4 + sub AS bucket,
+        |  CASE WHEN msb >= 2
+        |       THEN (1::BIGINT << msb) + sub*(1::BIGINT << (msb - 2))
+        |       ELSE (1::BIGINT << msb) END AS lo, count(*) AS cnt
+        | FROM ba GROUP BY 1, 2, 3),
+        |ca AS (SELECT grp, lo, cnt,
+        |  sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+        |  sum(cnt) OVER (PARTITION BY grp) AS total FROM ha),
+        |qa AS (SELECT grp, min(lo) AS p90 FROM ca
+        |  WHERE cum >= ceil(total * 0.9::DOUBLE) GROUP BY 1),
+        |na AS (SELECT o_orderstatus AS grp, count(*) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sc FROM orders GROUP BY 1),
+        |bd AS (
+        | SELECT o_orderstatus AS grp, (length(bin(o_custkey)) - 1) AS msb,
+        |  CASE WHEN length(bin(o_custkey)) - 1 >= 2
+        |       THEN (o_custkey >> (length(bin(o_custkey)) - 3)) & 3
+        |       ELSE 0 END AS sub
+        | FROM orders WHERE o_custkey >= 1 AND o_orderkey % 4 <> 1),
+        |hd AS (SELECT grp, msb*4 + sub AS bucket,
+        |  CASE WHEN msb >= 2
+        |       THEN (1::BIGINT << msb) + sub*(1::BIGINT << (msb - 2))
+        |       ELSE (1::BIGINT << msb) END AS lo, count(*) AS cnt
+        | FROM bd GROUP BY 1, 2, 3),
+        |cd AS (SELECT grp, lo, cnt,
+        |  sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+        |  sum(cnt) OVER (PARTITION BY grp) AS total FROM hd),
+        |qd AS (SELECT grp, min(lo) AS p90 FROM cd
+        |  WHERE cum >= ceil(total * 0.9::DOUBLE) GROUP BY 1),
+        |nd AS (SELECT o_orderstatus AS grp, count(*) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sc FROM orders
+        | WHERE o_orderkey % 4 <> 1 GROUP BY 1)
+        |SELECT 'app' AS leg, na.grp, na.n AS n_rows, na.sc AS sum_cust,
+        | qa.p90 FROM na JOIN qa ON na.grp = qa.grp
+        |UNION ALL
+        |SELECT 'del', nd.grp, nd.n, nd.sc, qd.p90
+        |FROM nd JOIN qd ON nd.grp = qd.grp""".stripMargin,
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

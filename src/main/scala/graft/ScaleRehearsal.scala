@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bm25del,pipeline,qualityfilter,bpe,bpeseg,dsir,phrase,merge,ivf,ivfappend,ivfdel,semadmit,rollup,eageragg,packseq,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune,poolvacuum)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bm25del,pipeline,qualityfilter,bpe,bpeseg,dsir,phrase,merge,ivf,ivfappend,ivfdel,semadmit,rollup,design,eageragg,packseq,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune,poolvacuum)
   */
 object ScaleRehearsal {
 
@@ -855,6 +855,73 @@ object ScaleRehearsal {
       } finally {
         graft.plan.RollupRewrite.disable(spark)
         graft.plan.RollupRewrite.setCompensation(false)
+        graft.plan.RollupRewrite.clear()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    })
+
+    if (enabled("design")) scenario("designed-lattice-20m",
+        "capture -> approx design (cube-free) -> build -> serve, self-tuning at scale", {
+      // 20M-row base, 2000 (k1, k2) groups: a 3-query dashboard is
+      // OBSERVED, the designer runs its grain advisor in APPROX mode
+      // (2^d-1 KMV sketches in ONE aggregation — the cube-free 100-TB
+      // path; an exact cube would Expand the 20M scan 4-fold), and the
+      // designed lattice must serve every observed query with no base
+      // scan. The design pass itself must be seconds (one aggregation +
+      // one count over the base), NOT proportional to 2^d scans.
+      import graft.plan.{RollupRewrite, SummaryDesigner}
+      import graft.functions.expressions.HistAgg
+      val tmp = java.nio.file.Files.createTempDirectory("rehearse_design").toString
+      try {
+        spark.range(0, 20000000L).select(
+            (col("id") % 50).cast("string").as("k1"),
+            (col("id") % 40).cast("string").as("k2"),
+            (col("id") % 997).as("m"),
+            (col("id") % 100000 + 1).as("v"))
+          .write.mode("overwrite").parquet(s"$tmp/base")
+        val base = spark.read.parquet(s"$tmp/base")
+        RollupRewrite.enable(spark)
+        RollupRewrite.startWorkloadCapture()
+        def w1(src: org.apache.spark.sql.DataFrame) = src.groupBy("k1")
+          .agg(count(lit(1)).as("n"), sum("m").as("s"))
+        def w2(src: org.apache.spark.sql.DataFrame) = src.groupBy("k1", "k2")
+          .agg(min("m").as("mn"))
+        def w3(src: org.apache.spark.sql.DataFrame) = src.groupBy("k1")
+          .agg(HistAgg.histSketch(col("v")).as("h"))
+          .select(col("k1"), HistAgg.histQuantile(col("h"), 0.99).as("p99"))
+        Seq(w1(base), w2(base), w3(base)).foreach(_.queryExecution.optimizedPlan)
+        val t0 = System.nanoTime()
+        val specs = SummaryDesigner.design(base, k = 2, sketchCardK = Some(256))
+        val designWall = (System.nanoTime() - t0) / 1e9
+        val specsOk = specs.size == 2 &&
+          specs.exists(_.grainCols == Seq("k1")) &&
+          specs.exists(_.grainCols.toSet == Set("k1", "k2")) &&
+          specs.filter(_.grainCols == Seq("k1"))
+            .forall(s => s.histCols == Seq("v") && s.measures == Seq("m"))
+        val t1 = System.nanoTime()
+        SummaryDesigner.buildAndRegister(spark, base, specs, s"$tmp/designed")
+        val buildWall = (System.nanoTime() - t1) / 1e9
+        val servedOk = Seq(w1(base), w2(base), w3(base)).forall { q =>
+          val scans = RollupRewrite.scanRootPaths(q)
+          scans.nonEmpty && scans.forall(_.contains("designed"))
+        }
+        val t2 = System.nanoTime()
+        val servedP99 = w3(base).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        val serveWall = (System.nanoTime() - t2) / 1e9
+        RollupRewrite.disable(spark)
+        val t3 = System.nanoTime()
+        val directP99 = w3(base).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        val directWall = (System.nanoTime() - t3) / 1e9
+        (specsOk && servedOk && servedP99 == directP99 &&
+          servedP99.size == 50 && serveWall < directWall,
+          f"design=$designWall%.1fs (approx, one agg pass) build=$buildWall%.1fs " +
+            f"serve_p99=$serveWall%.2fs direct_p99=$directWall%.2fs " +
+            f"specs_ok=$specsOk served_ok=$servedOk groups=${servedP99.size}")
+      } finally {
+        graft.plan.RollupRewrite.disable(spark)
+        graft.plan.RollupRewrite.resetWorkloadCapture()
         graft.plan.RollupRewrite.clear()
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       }

@@ -93,7 +93,12 @@ object LatticeAdvisor {
     require(dims.nonEmpty && dims.size <= 8,
       s"approx mode runs 2^d-1 sketch aggs in one pass — keep d <= 8 (got ${dims.size})")
     val d = dims.size
-    val projected = base.select(dims.map { case (n, c) => c.as(n) }: _*)
+    // the per-row cost is 2^d-1 md5 tuple hashes — compute-bound, so a
+    // small-file base (1-2 scan splits) must not serialize it onto two
+    // cores (the Dedup.ensureParallelism lesson; KMV union is
+    // order-independent, so the repartition cannot change the sketches)
+    val projected = graft.dedup.Dedup.ensureParallelism(
+      base.select(dims.map { case (n, c) => c.as(n) }: _*))
     def tupleStr(mask: Int): Column =
       (0 until d).collect { case i if (mask & (1 << i)) != 0 =>
         coalesce(col(dims(i)._1).cast("string"), lit("\u0001"))

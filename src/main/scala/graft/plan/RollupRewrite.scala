@@ -426,19 +426,27 @@ object RollupRewrite {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
     val snapshot = defs.iterator().asScala.toSeq
-    val currentFp: Map[Set[String], String] =
+    val currentEntries: Map[Set[String], Set[String]] =
       snapshot.map(_.basePaths).distinct.map { paths =>
         val rel = baseRelation(
           spark.read.parquet(paths.toSeq: _*).queryExecution.analyzed)
-        paths -> rel.map(r => fingerprintOf(r.location)).getOrElse("")
+        paths -> rel.map(r => fingerprintEntries(r.location).toSet)
+          .getOrElse(Set.empty[String])
       }.toMap
     snapshot.map { d =>
+      val current = currentEntries(d.basePaths)
+      val fresh = d.baseFingerprint.isEmpty || d.baseManifest == current
+      // compensable = stale by a PURE APPEND: with setCompensation(true)
+      // queries keep serving fresh answers without a refresh
+      val compensable = !fresh && d.baseManifest.nonEmpty &&
+        (d.baseManifest -- current).isEmpty &&
+        (current -- d.baseManifest).nonEmpty
       (d.basePaths.toSeq.sorted.mkString(","),
         d.groupCols.mkString(","), d.measures.mkString(","),
-        d.distinctCols.mkString(","),
-        d.baseFingerprint.isEmpty ||
-          d.baseFingerprint == currentFp(d.basePaths))
-    }.toDF("base", "grain", "measures", "distinct_cols", "fresh")
+        d.distinctCols.mkString(","), d.histCols.mkString(","),
+        fresh, compensable)
+    }.toDF("base", "grain", "measures", "distinct_cols", "hist_cols",
+      "fresh", "compensable")
   }
 
   private def hexDigest(parts: Iterable[String]): String = {

@@ -705,15 +705,26 @@ class RollupRewriteSpec extends SparkSpec {
         .write.mode("overwrite").parquet(s"$dir/sum")
       RollupRewrite.register(base, spark.read.parquet(s"$dir/sum"),
         Seq("o_orderstatus"), Seq("o_totalprice"))
-      val d1 = RollupRewrite.describeRegistrations(spark)
-        .as[(String, String, String, String, Boolean)].collect()
-      assert(d1.length == 1 && d1(0)._2 == "o_orderstatus" && d1(0)._5,
+      val d1 = RollupRewrite.describeRegistrations(spark).collect()
+      assert(d1.length == 1 && d1(0).getAs[String]("grain") == "o_orderstatus" &&
+          d1(0).getAs[Boolean]("fresh") && !d1(0).getAs[Boolean]("compensable"),
         s"fresh registration expected: ${d1.toSeq}")
-      // append to the base WITHOUT merging -> the verdict flips
+      // append to the base WITHOUT merging -> the verdict flips, and a
+      // pure append is COMPENSABLE (setCompensation serves it fresh)
       spark.read.parquet(s"$sf/orders.parquet").limit(7)
         .write.mode("append").parquet(s"$dir/base")
       val d2 = RollupRewrite.describeRegistrations(spark).collect()
       assert(!d2(0).getAs[Boolean]("fresh"), "stale base must report fresh=false")
+      assert(d2(0).getAs[Boolean]("compensable"),
+        "a pure-append diff must report compensable=true")
+      // a removal makes the diff non-append -> not compensable
+      val victim = new java.io.File(s"$dir/base").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(victim.delete())
+      val d2b = RollupRewrite.describeRegistrations(spark).collect()
+      assert(!d2b(0).getAs[Boolean]("fresh") &&
+          !d2b(0).getAs[Boolean]("compensable"),
+        "a diff with removals must report compensable=false")
       // re-register against the grown base -> fresh again
       val base2 = spark.read.parquet(s"$dir/base")
       Rollup.materialize(base2, Seq("o_orderstatus"), Seq("o_totalprice"))

@@ -122,13 +122,18 @@ object RollupRewrite {
     * union is lossless, exact distinct over grain columns tolerates the
     * duplicate grain tuples), so the answer equals the fresh-summary
     * answer while the query scans ONLY the summary and the delta files,
-    * never the base. Nothing is written or re-registered: the next
-    * query pays the same delta-sized aggregation (driver plan-build +
-    * delta scan per query), which is the right trade exactly when
-    * appends outpace queries — a later [[refreshStale]] folds the delta
-    * in once and compensation naturally stops firing. At 100 TB this is
-    * a dashboard staying fresh through the day's 1% append stream with
-    * no maintenance job in the loop.
+    * never the base. Nothing is written or re-registered. The FIRST
+    * serve per (registration, base state) splices the delta scan —
+    * paying and structurally proving the exactly-the-appended-files
+    * read; from the second serve on, the GROUP-sized delta summary is
+    * collected once into [[compCache]] and spliced as a driver-local
+    * relation, so steady-state queries scan NOTHING but the stored
+    * summary. A further append rotates the manifest digest and the
+    * cycle repeats; a later [[refreshStale]] folds the delta in
+    * durably and compensation naturally stops firing. At 100 TB this
+    * is a dashboard staying fresh through the day's 1% append stream
+    * with no maintenance job in the loop — and no repeated delta
+    * scans either.
     *
     * Scope: ALL THREE serve shapes — the plain-aggregate path (the
     * dashboard shape), CUBE/rollup/grouping-sets (the Expand multiplies
@@ -147,7 +152,42 @@ object RollupRewrite {
     * the answer is fresh-equivalent by construction. Off by default. */
   @volatile private var compensating = false
 
-  def setCompensation(on: Boolean): Unit = compensating = on
+  def setCompensation(on: Boolean): Unit = {
+    compensating = on
+    if (!on) { compCache.clear(); compPending.clear() }
+  }
+
+  /** Keys that have served ONCE with a spliced delta scan — the next
+    * serve for the key fills [[compCache]]. First-serve-scans keeps the
+    * exactly-the-appended-files read structurally visible (and
+    * plan-assertable) before the steady state goes scan-free. */
+  private val compPending =
+    java.util.Collections.synchronizedSet(
+      new java.util.LinkedHashSet[(String, String)]())
+
+  /** Delta-aggregate result cache: the compensation delta summary is
+    * GROUP-sized, so the FIRST compensated query for a given
+    * (registration, base state) collects it once and later queries
+    * splice a driver-local relation — they scan NOTHING but the stored
+    * summary until the next append rotates the manifest digest (a new
+    * key; old entries age out LRU). Bounded: at most
+    * [[CompCacheMaxEntries]] entries of ≤ [[CompCacheMaxRows]] rows each
+    * (a bigger delta summary skips the cache and splices the scan plan,
+    * today's behavior). Cleared on [[setCompensation]](false) and
+    * [[clear]]. Cached rows are immutable UnsafeRow copies; each use
+    * builds FRESH attribute ids. */
+  private val CompCacheMaxEntries = 8
+  private val CompCacheMaxRows = 65536
+  private val compCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String),
+        (Seq[(String, org.apache.spark.sql.types.DataType, Boolean)],
+         Seq[org.apache.spark.sql.catalyst.InternalRow])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String),
+            (Seq[(String, org.apache.spark.sql.types.DataType, Boolean)],
+             Seq[org.apache.spark.sql.catalyst.InternalRow])]): Boolean =
+        size > CompCacheMaxEntries
+    })
 
   /** Re-entrancy guard: building the delta aggregate's optimized plan
     * runs the full optimizer — including this rule — on the delta
@@ -412,7 +452,7 @@ object RollupRewrite {
     defs.add(d)
   }
 
-  def clear(): Unit = defs.clear()
+  def clear(): Unit = { defs.clear(); compCache.clear(); compPending.clear() }
 
   /** Operator-facing inventory of every registration with a LIVE
     * freshness verdict: one row per registered summary — base paths,
@@ -1112,30 +1152,70 @@ object RollupRewrite {
       val deltaFiles = appended.toSeq.sorted.map(_.split("\\|")(0))
       inCompensation.set(java.lang.Boolean.TRUE)
       try {
-        val delta = spark.read.parquet(deltaFiles: _*)
-        if (!neededBaseColumns(spark, d).subsetOf(delta.columns.toSet)) None
-        else {
-          val summaryScan = d.summary match {
-            case r: LogicalRelation => r.newInstance()
-            case other => other
-          }
-          val names = summaryScan.output.map(_.name)
-          val deltaPlan = Rollup.materializeExpr(delta, grainExprsOf(d),
-              d.measures, d.distinctCols, d.sketchK, d.histCols)
-            .select(names.map(org.apache.spark.sql.functions.col): _*)
-            .queryExecution.optimizedPlan
-          // union children must agree on type, position by position — a
-          // stored layout the delta cannot reproduce exactly refuses.
-          // Nullability is IGNORED (catalogString): parquet round-trips
-          // the KMV array column as containsNull=true while the fresh
-          // delta aggregate produces containsNull=false — same physical
-          // data; Union.output takes the loosest nullability anyway
-          if (deltaPlan.output.size != summaryScan.output.size ||
-              !deltaPlan.output.zip(summaryScan.output).forall {
-                case (a, b) =>
-                  a.dataType.catalogString == b.dataType.catalogString }) None
+        val summaryScan = d.summary match {
+          case r: LogicalRelation => r.newInstance()
+          case other => other
+        }
+        val names = summaryScan.output.map(_.name)
+        def localRel(schema: Seq[(String, org.apache.spark.sql.types.DataType, Boolean)],
+                     rows: Seq[org.apache.spark.sql.catalyst.InternalRow])
+            : LogicalPlan =
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+            schema.map { case (n, dt, nl) => AttributeReference(n, dt, nl)() },
+            rows)
+        def typeOk(out: Seq[Attribute]): Boolean =
+          out.size == summaryScan.output.size &&
+            out.zip(summaryScan.output).forall { case (a, b) =>
+              // nullability IGNORED (catalogString): parquet round-trips
+              // the KMV/hist array columns as containsNull=true while a
+              // fresh delta aggregate produces containsNull=false — same
+              // physical data; Union.output takes the loosest anyway
+              a.dataType.catalogString == b.dataType.catalogString }
+        val key = (regDigest(d), manifestDigest(current))
+        val hit = compCache.get(key)
+        if (hit != null) {
+          val rel = localRel(hit._1, hit._2)
+          if (!typeOk(rel.output)) None
           else Some(org.apache.spark.sql.catalyst.plans.logical
-            .Union(Seq(summaryScan, deltaPlan)))
+            .Union(Seq(summaryScan, rel)))
+        } else {
+          val delta = spark.read.parquet(deltaFiles: _*)
+          if (!neededBaseColumns(spark, d).subsetOf(delta.columns.toSet)) None
+          else {
+            val deltaDf = Rollup.materializeExpr(delta, grainExprsOf(d),
+                d.measures, d.distinctCols, d.sketchK, d.histCols)
+              .select(names.map(org.apache.spark.sql.functions.col): _*)
+            val deltaPlan = deltaDf.queryExecution.optimizedPlan
+            // union children must agree on type, position by position —
+            // a stored layout the delta cannot reproduce exactly refuses
+            if (!typeOk(deltaPlan.output)) None
+            else if (!compPending.contains(key)) {
+              // FIRST serve for this (registration, base state): splice
+              // the delta SCAN — the query pays and structurally PROVES
+              // the exactly-the-appended-files read — and mark the key
+              // so the next serve fills the cache
+              compPending.add(key)
+              Some(org.apache.spark.sql.catalyst.plans.logical
+                .Union(Seq(summaryScan, deltaPlan)))
+            } else {
+              // steady state: collect the GROUP-sized delta summary once
+              // and cache it — this and later queries splice a
+              // driver-local relation, scanning NOTHING but the summary.
+              // A larger-than-cap result keeps splicing the scan plan
+              // (still correct, never cached).
+              val rows = deltaDf.queryExecution.executedPlan
+                .executeTake(CompCacheMaxRows + 1)
+              val child: LogicalPlan =
+                if (rows.length <= CompCacheMaxRows) {
+                  val schema = deltaPlan.output.map(a =>
+                    (a.name, a.dataType, a.nullable))
+                  compCache.put(key, (schema, rows.toSeq))
+                  localRel(schema, rows.toSeq)
+                } else deltaPlan
+              Some(org.apache.spark.sql.catalyst.plans.logical
+                .Union(Seq(summaryScan, child)))
+            }
+          }
         }
       } finally inCompensation.set(java.lang.Boolean.FALSE)
     }

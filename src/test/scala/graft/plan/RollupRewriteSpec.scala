@@ -711,16 +711,18 @@ class RollupRewriteSpec extends SparkSpec {
         s"fresh registration expected: ${d1.toSeq}")
       // append to the base WITHOUT merging -> the verdict flips, and a
       // pure append is COMPENSABLE (setCompensation serves it fresh)
+      val originals = new java.io.File(s"$dir/base").listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq
       spark.read.parquet(s"$sf/orders.parquet").limit(7)
         .write.mode("append").parquet(s"$dir/base")
       val d2 = RollupRewrite.describeRegistrations(spark).collect()
       assert(!d2(0).getAs[Boolean]("fresh"), "stale base must report fresh=false")
       assert(d2(0).getAs[Boolean]("compensable"),
         "a pure-append diff must report compensable=true")
-      // a removal makes the diff non-append -> not compensable
-      val victim = new java.io.File(s"$dir/base").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      assert(victim.delete())
+      // a removal of a REGISTERED file makes the diff non-append ->
+      // not compensable (deleting the just-appended file would simply
+      // restore the registered manifest)
+      assert(originals.head.delete())
       val d2b = RollupRewrite.describeRegistrations(spark).collect()
       assert(!d2b(0).getAs[Boolean]("fresh") &&
           !d2b(0).getAs[Boolean]("compensable"),
@@ -1621,6 +1623,46 @@ class RollupRewriteSpec extends SparkSpec {
       // dk=30 matches no fact row
       assert(nav == Set(("s1", 2L, 3L, 1L, 2L), ("s2", 2L, 103L, 3L, 100L)),
         s"nav values wrong: $nav")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.setCompensation(false)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("compensation caches the delta aggregate: later queries scan the summary only; an append rotates the key") {
+    val dir = java.nio.file.Files.createTempDirectory("comp_cache").toString
+    try {
+      Seq(("a", 1L), ("b", 3L)).toDF("g", "m")
+        .write.mode("overwrite").parquet(s"$dir/base")
+      val base0 = spark.read.parquet(s"$dir/base")
+      Rollup.materialize(base0, Seq("g"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/summary")
+      RollupRewrite.register(base0, spark.read.parquet(s"$dir/summary"),
+        Seq("g"), Seq("m"))
+      RollupRewrite.enable(spark)
+      RollupRewrite.setCompensation(true)
+      Seq(("a", 100L)).toDF("g", "m").write.mode("append").parquet(s"$dir/base")
+      def q() = spark.read.parquet(s"$dir/base").groupBy("g")
+        .agg(sum("m").as("s"))
+      def vals(df: DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      // first compensated query: collects + caches the delta summary
+      val first = q()
+      assert(vals(first) == Set(("a", 101L), ("b", 3L)))
+      // second query: the plan scans ONLY the stored summary — the delta
+      // rides in as a driver-local relation
+      val second = q()
+      val scans2 = scanPaths(second)
+      assert(scans2.nonEmpty && scans2.forall(_.contains("summary")),
+        s"cached compensation must scan the summary only: $scans2")
+      assert(vals(second) == Set(("a", 101L), ("b", 3L)))
+      // ANOTHER append rotates the manifest digest: the stale cache entry
+      // cannot serve, the new delta set is aggregated fresh
+      Seq(("c", 7L)).toDF("g", "m").write.mode("append").parquet(s"$dir/base")
+      assert(vals(q()) == Set(("a", 101L), ("b", 3L), ("c", 7L)),
+        "a further append must invalidate the cached delta")
     } finally {
       RollupRewrite.disable(spark)
       RollupRewrite.setCompensation(false)

@@ -153,6 +153,39 @@ object LatticeAdvisor {
       sketchK.map(kk => 1.0 / math.sqrt(kk.toDouble)), estimated)
   }
 
+  /** BUDGETED advice — the HRU paper's resource-bounded mode: instead
+    * of "the k best views", materialize under a TOTAL ROW budget. The
+    * same exact-integer greedy runs with two extra rules per round: a
+    * candidate is admissible only while its row count fits the
+    * REMAINING budget, and a zero-benefit winner stops the selection
+    * (space is the scarce resource — storing a view no query gains
+    * from is waste, unlike the k-mode where the caller asked for k
+    * views regardless). Deterministic like [[advise]]; same
+    * tie-breaks; composes with the approx cardinality pass. */
+  def adviseUnderBudget(base: DataFrame, dims: Seq[(String, Column)],
+                        workload: Seq[Set[String]], maxRows: Long,
+                        sketchK: Option[Int] = None): Seq[Advice] = {
+    require(maxRows > 0, s"row budget must be positive, got $maxRows")
+    val names = dims.map(_._1)
+    require(workload.forall(_.subsetOf(names.toSet)),
+      s"workload grains must use dim names $names")
+    val (card, estimated) = sketchK match {
+      case None => (grainCardinalities(base, dims), Set.empty[Int])
+      case Some(kk) =>
+        val det = approxDetailed(base, dims, kk)
+        (det.view.mapValues(_._1).toMap,
+          det.collect { case (m, (_, true)) => m }.toSet)
+    }
+    require(card.nonEmpty,
+      "lattice advisor: the base is empty — nothing to advise on")
+    val n = base.count()
+    val qMask = workload.map(q =>
+      names.zipWithIndex.collect { case (nm, i) if q(nm) => 1 << i }.sum)
+    greedy(card, qMask, n, card.size, names,
+      sketchK.map(kk => 1.0 / math.sqrt(kk.toDouble)), estimated,
+      Some(maxRows))
+  }
+
   /** FILTER-AWARE advice (VERDICT r11 #7): each workload entry is
     * (grouping grains, filter columns). A candidate grain can serve a
     * filtered query only when it carries the filter columns TOO
@@ -177,7 +210,9 @@ object LatticeAdvisor {
   private[plan] def greedy(card: Map[Int, Long], qMasks: Seq[Int],
                            n: Long, k: Int, names: Seq[String],
                            relErr: Option[Double] = None,
-                           estimated: Set[Int] = Set.empty): Seq[Advice] = {
+                           estimated: Set[Int] = Set.empty,
+                           maxRows: Option[Long] = None): Seq[Advice] = {
+    var remaining = maxRows.getOrElse(Long.MaxValue)
     val cost = scala.collection.mutable.ArrayBuffer(qMasks.map(_ => n): _*)
     // which query costs currently derive from an ESTIMATED cardinality
     // (n itself is an exact count; a chosen exact grain keeps it exact)
@@ -185,7 +220,9 @@ object LatticeAdvisor {
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
     val out = scala.collection.mutable.ArrayBuffer.empty[Advice]
     for (step <- 1 to math.min(k, card.size)) {
-      val scored = card.keysIterator.filterNot(chosen.contains).map { v =>
+      // budget mode: only candidates that FIT the remaining rows compete
+      val scored = card.keysIterator.filterNot(chosen.contains)
+        .filter(v => card(v) <= remaining).map { v =>
         var ben = 0L
         var unc = 0L // Σ of the ESTIMATED quantities inside this
                      // candidate's benefit: the magnitude the ±1/√k
@@ -200,7 +237,10 @@ object LatticeAdvisor {
         val grain = names.zipWithIndex.collect { case (nm, i) if (v & (1 << i)) != 0 => nm }
         (-ben, grain.size, grainName(grain), v, unc)
       }.toSeq.sorted
+      if (scored.isEmpty) return out.toSeq // budget: nothing fits
       val (negBen, _, _, v, uncWin) = scored.head
+      // budget mode: a zero-benefit winner would only burn space — stop
+      if (maxRows.isDefined && -negBen <= 0) return out.toSeq
       // advisory flag (approx mode): the winner's lead over the
       // runner-up is inside the summed error band of BOTH candidates'
       // benefit estimates — the greedy's pick is then sketch-noise-
@@ -215,6 +255,7 @@ object LatticeAdvisor {
         }
       }
       chosen += v
+      remaining -= card(v)
       out += Advice(step,
         names.zipWithIndex.collect { case (nm, i) if (v & (1 << i)) != 0 => nm },
         card(v), -negBen, flagged)

@@ -60,10 +60,24 @@ object SummaryDesigner {
     * captured for this base. */
   def design(base: DataFrame, k: Int,
              sketchCardK: Option[Int] = None): Seq[SummarySpec] =
-    RollupRewrite.withCaptureSuspended(designInner(base, k, sketchCardK))
+    RollupRewrite.withCaptureSuspended(designInner(base,
+      (dims, wl) => LatticeAdvisor.advise(base, dims, wl,
+        math.min(k, 1 << dims.size), sketchCardK)))
 
-  private def designInner(base: DataFrame, k: Int,
-                          sketchCardK: Option[Int]): Seq[SummarySpec] = {
+  /** [[design]] under a TOTAL ROW budget instead of a view count — the
+    * HRU resource-bounded mode ([[LatticeAdvisor.adviseUnderBudget]]):
+    * grains are admitted while their summary rows fit the remaining
+    * budget and stop at zero benefit, so the design never commits to
+    * more summary storage than `maxRows` rows across the lattice. */
+  def designUnderBudget(base: DataFrame, maxRows: Long,
+                        sketchCardK: Option[Int] = None): Seq[SummarySpec] =
+    RollupRewrite.withCaptureSuspended(designInner(base,
+      (dims, wl) => LatticeAdvisor.adviseUnderBudget(base, dims, wl,
+        maxRows, sketchCardK)))
+
+  private def designInner(base: DataFrame,
+      adviseFn: (Seq[(String, Column)], Seq[Set[String]]) =>
+        Seq[LatticeAdvisor.Advice]): Seq[SummarySpec] = {
     val paths = RollupRewrite.scanRootPaths(base)
     val all = RollupRewrite.capturedEntries(paths)
     // one sketch k per design: conflicting-k sketch entries are skipped
@@ -82,8 +96,7 @@ object SummaryDesigner {
     val nameOf: Map[String, String] =
       tokens.map(t => t -> dimName(t, plainCols)).toMap
     val workload = entries.map(e => reqOf(e).map(nameOf))
-    val advice = LatticeAdvisor.advise(base, dims, workload,
-      math.min(k, 1 << tokens.size), sketchCardK)
+    val advice = adviseFn(dims, workload)
     advice.flatMap { a =>
       val g = a.grain.toSet
       val served = entries.filter(e => reqOf(e).map(nameOf).subsetOf(g))

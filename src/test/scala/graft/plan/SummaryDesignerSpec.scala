@@ -133,6 +133,26 @@ class SummaryDesignerSpec extends SparkSpec {
     }
   }
 
+  test("designUnderBudget: the row budget admits what fits, stops at zero benefit") {
+    withBase { (base, _) =>
+      base.groupBy("g").agg(sum("m").as("sm")).queryExecution.optimizedPlan
+      base.groupBy("g", "h").agg(min("v").as("mn")).queryExecution.optimizedPlan
+      // cardinalities: (g,h)=4 rows, (g)=2, base n=8; benefits: fine
+      // serves both queries (2*(8-4)=8), coarse serves one (8-2=6)
+      val tight = SummaryDesigner.designUnderBudget(base, maxRows = 3)
+      assert(tight.map(_.grainCols) == Seq(Seq("g")),
+        s"only the 2-row coarse grain fits a 3-row budget: $tight")
+      val mid = SummaryDesigner.designUnderBudget(base, maxRows = 5)
+      assert(mid.map(_.grainCols.toSet) == Seq(Set("g", "h")),
+        s"the winning fine grain (4 rows) leaves no room for coarse: $mid")
+      val roomy = SummaryDesigner.designUnderBudget(base, maxRows = 100)
+      assert(roomy.size == 2 &&
+          roomy.map(_.grainCols.toSet) == Seq(Set("g", "h"), Set("g")),
+        s"a roomy budget takes both beneficial grains and STOPS (no " +
+          s"zero-benefit filler): $roomy")
+    }
+  }
+
   test("empty capture designs nothing; conflicting sketch ks skip sketch entries") {
     withBase { (base, _) =>
       assert(SummaryDesigner.design(base, k = 3) == Nil)

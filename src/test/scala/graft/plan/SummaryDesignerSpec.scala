@@ -133,6 +133,43 @@ class SummaryDesignerSpec extends SparkSpec {
     }
   }
 
+  test("computed-grain workloads design synthesized expression dims end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("designer_expr").toString
+    try {
+      spark.range(0, 200)
+        .select(to_date(concat(lit("2024-0"), (col("id") % 3 + 1),
+            lit("-1"), (col("id") % 9 + 1))).as("d"),
+          (col("id") % 7).as("m"))
+        .write.mode("overwrite").parquet(s"$dir/base")
+      val base = spark.read.parquet(s"$dir/base")
+      RollupRewrite.enable(spark)
+      RollupRewrite.startWorkloadCapture()
+      def q(src: DataFrame) = src.groupBy(month(col("d")).as("mo"))
+        .agg(sum("m").as("s"))
+      q(base).queryExecution.optimizedPlan
+      val specs = SummaryDesigner.design(base, k = 1)
+      assert(specs.size == 1 && specs.head.grainCols.size == 1 &&
+          specs.head.grainCols.head.startsWith("__g") &&
+          specs.head.grainExprSql.values.toSeq.exists(_.contains("month")),
+        s"the month() grain must design as a synthesized expression dim: $specs")
+      SummaryDesigner.buildAndRegister(spark, base, specs, s"$dir/designed")
+      val served = q(base)
+      val scans = scanPaths(served)
+      assert(scans.nonEmpty && scans.forall(_.contains("designed")),
+        s"the month()-grouped query must serve from the designed summary: $scans")
+      RollupRewrite.disable(spark)
+      val direct = q(base).collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      RollupRewrite.enable(spark)
+      assert(served.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+        == direct && direct.size == 3)
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.resetWorkloadCapture()
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("designUnderBudget: the row budget admits what fits, stops at zero benefit") {
     withBase { (base, _) =>
       base.groupBy("g").agg(sum("m").as("sm")).queryExecution.optimizedPlan

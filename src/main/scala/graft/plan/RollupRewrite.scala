@@ -452,7 +452,70 @@ object RollupRewrite {
     defs.add(d)
   }
 
-  def clear(): Unit = { defs.clear(); compCache.clear(); compPending.clear() }
+  def clear(): Unit = {
+    defs.clear(); joinedDefs.clear(); compCache.clear(); compPending.clear()
+  }
+
+  /** One registered AGGREGATE JOIN SUMMARY (the classic AJI): a summary
+    * materialized over `fact ⋈ dim` (inner equi-join), serving matching
+    * join-aggregates from ONE scan with NO serve-time join — where
+    * q197's two-summary navigation still joins two summaries, this
+    * skips the join entirely (the right shape when the dim grain is
+    * large). `keyPairs` are (fact col, dim col) name pairs; grain and
+    * measure columns may come from EITHER side (names must be unique
+    * across the two sides — enforced at registration — so matching is
+    * by name shape, reusing the single-table serve machinery verbatim).
+    * Freshness binds BOTH bases' file manifests. */
+  private[plan] case class JoinedRollupDef(
+      factPaths: Set[String], dimPaths: Set[String],
+      keyPairs: Set[(String, String)],
+      summary: LogicalPlan, groupCols: Seq[String], measures: Seq[String],
+      factFingerprint: String, dimFingerprint: String)
+
+  private val joinedDefs =
+    new java.util.concurrent.CopyOnWriteArrayList[JoinedRollupDef]
+
+  /** Register `summary` (a [[Rollup.materialize]] layout built over
+    * `fact.join(dim, keys)`) as answering aggregates over that join —
+    * see [[JoinedRollupDef]]. Every grain/measure name must belong to
+    * exactly one side; both sides must be single file-backed relations.
+    * Re-registering the same (bases, keys, grain) replaces the entry. */
+  def registerJoined(fact: DataFrame, dim: DataFrame,
+                     keys: Seq[(String, String)], summary: DataFrame,
+                     groupCols: Seq[String], measures: Seq[String]): Unit = {
+    val expect = (Seq(Rollup.CntRows) ++ groupCols ++
+      measures.flatMap(m =>
+        Seq(s"__sum_$m", s"__cnt_$m", s"__min_$m", s"__max_$m"))).toSet
+    require(summary.columns.toSet == expect,
+      s"summary schema ${summary.columns.sorted.mkString(",")} does not match " +
+        s"Rollup.materialize layout for ($groupCols, $measures)")
+    val fCols = fact.columns.toSet
+    val dCols = dim.columns.toSet
+    (groupCols ++ measures).foreach { n =>
+      require(fCols.contains(n) ^ dCols.contains(n),
+        s"joined-summary column '$n' must exist on exactly ONE side " +
+          s"(fact has it: ${fCols.contains(n)}, dim: ${dCols.contains(n)})")
+    }
+    keys.foreach { case (fk, dk) =>
+      require(fCols.contains(fk) && dCols.contains(dk),
+        s"join key ($fk, $dk) must pair a fact column with a dim column")
+    }
+    val fRel = baseRelation(fact.queryExecution.analyzed).getOrElse(
+      throw new IllegalArgumentException("fact must be a single file-backed relation"))
+    val dRel = baseRelation(dim.queryExecution.analyzed).getOrElse(
+      throw new IllegalArgumentException("dim must be a single file-backed relation"))
+    val d = JoinedRollupDef(
+      fRel.location.rootPaths.map(_.toString).toSet,
+      dRel.location.rootPaths.map(_.toString).toSet,
+      keys.toSet, summary.queryExecution.analyzed, groupCols, measures,
+      fingerprintOf(fRel.location), fingerprintOf(dRel.location))
+    import scala.jdk.CollectionConverters._
+    joinedDefs.iterator().asScala
+      .filter(o => o.factPaths == d.factPaths && o.dimPaths == d.dimPaths &&
+        o.keyPairs == d.keyPairs && o.groupCols == d.groupCols)
+      .toList.foreach(joinedDefs.remove)
+    joinedDefs.add(d)
+  }
 
   /** Operator-facing inventory of every registration with a LIVE
     * freshness verdict: one row per registered summary — base paths,
@@ -930,6 +993,7 @@ object RollupRewrite {
       else plan.transformDown {
         case agg: Aggregate =>
           tryRewrite(agg).orElse(tryRewriteCube(agg))
+            .orElse(tryRewriteJoinedSummary(agg))
             .orElse(tryRewriteJoinAgg(agg)).getOrElse(agg)
       }
 
@@ -1468,6 +1532,95 @@ object RollupRewrite {
         case _ => None
       }
 
+    /** AGGREGATE JOIN SUMMARY serve (see [[registerJoined]]): a
+      * join-aggregate whose join (bases + equi-keys) matches a
+      * registered joined summary serves from that ONE summary — no
+      * serve-time join at all. Grain/measure matching, filter
+      * rewriting, subset coarsening, and exact grain distincts all
+      * reuse the single-table machinery verbatim ([[tryRewriteWith]]
+      * never inspects the aggregate's child, and grain shapes key on
+      * NAME — unique across sides by registration contract). The one
+      * join-specific rule: `isnotnull(key)` conjuncts DROP — the inner
+      * join the summary was built over already excluded null keys, and
+      * InferFiltersFromConstraints plants exactly those conjuncts next
+      * to every inner equi-join. Freshness requires BOTH bases'
+      * manifests unchanged; under strict staleness a stale joined
+      * summary that would have answered throws. */
+    private def tryRewriteJoinedSummary(agg: Aggregate): Option[LogicalPlan] = {
+      import org.apache.spark.sql.catalyst.plans.Inner
+      import scala.jdk.CollectionConverters._
+      if (joinedDefs.isEmpty) return None
+      val (join, topConds, topSubst) =
+        stripJoin(agg.child, Nil, Map.empty).getOrElse(return None)
+      if (join.joinType != Inner || join.condition.isEmpty) return None
+      def conjunctsOf(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+        case other => Seq(other)
+      }
+      val (lLeaf, lConds, lSubst) =
+        strip(join.left, Nil, Map.empty).getOrElse(return None)
+      val (rLeaf, rConds, rSubst) =
+        strip(join.right, Nil, Map.empty).getOrElse(return None)
+      val lRel = lLeaf.relation match {
+        case fs: HadoopFsRelation => fs; case _ => return None }
+      val rRel = rLeaf.relation match {
+        case fs: HadoopFsRelation => fs; case _ => return None }
+      val leftOut = join.left.outputSet
+      val rightOut = join.right.outputSet
+      val subst = lSubst ++ rSubst ++ topSubst
+      def nameOf(e: Expression): Option[String] = resolve(e, subst) match {
+        case a: AttributeReference => Some(a.name)
+        case _ => None
+      }
+      // (left col name, right col name) per equi-conjunct
+      val pairs: Set[(String, String)] =
+        conjunctsOf(join.condition.get).map {
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+            if leftOut.contains(a) && rightOut.contains(b) =>
+            (nameOf(a).getOrElse(return None), nameOf(b).getOrElse(return None))
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+            if leftOut.contains(b) && rightOut.contains(a) =>
+            (nameOf(b).getOrElse(return None), nameOf(a).getOrElse(return None))
+          case _ => return None
+        }.toSet
+      val lPaths = lRel.location.rootPaths.map(_.toString).toSet
+      val rPaths = rRel.location.rootPaths.map(_.toString).toSet
+      val cands = joinedDefs.iterator().asScala.filter { d =>
+        (d.factPaths == lPaths && d.dimPaths == rPaths &&
+          d.keyPairs == pairs) ||
+        (d.factPaths == rPaths && d.dimPaths == lPaths &&
+          d.keyPairs == pairs.map(_.swap))
+      }.toSeq.sortBy(_.groupCols.size)
+      if (cands.isEmpty) return None
+      // the inner join implies key non-nullness; drop the inferred guards
+      val keyNames = pairs.flatMap(p => Seq(p._1, p._2))
+      val conds = (lConds ++ rConds ++ topConds).flatMap(conjunctsOf)
+        .filterNot { c =>
+          resolve(c, subst) match {
+            case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
+            case _ => false
+          }
+        }
+      lazy val lFp = fingerprintOf(lRel.location)
+      lazy val rFp = fingerprintOf(rRel.location)
+      def isFresh(d: JoinedRollupDef): Boolean =
+        if (d.factPaths == lPaths)
+          d.factFingerprint == lFp && d.dimFingerprint == rFp
+        else d.factFingerprint == rFp && d.dimFingerprint == lFp
+      val (fresh, stale) = cands.partition(isFresh)
+      def asDef(d: JoinedRollupDef): RollupDef =
+        RollupDef(d.factPaths ++ d.dimPaths, d.summary, d.groupCols,
+          d.measures)
+      fresh.view.flatMap(d => tryRewriteWith(agg, conds, subst, asDef(d)))
+        .headOption
+        .orElse {
+          if (strictStaleness && stale.exists(d =>
+              tryRewriteWith(agg, conds, subst, asDef(d)).isDefined))
+            staleError(lPaths ++ rPaths)
+          None
+        }
+    }
+
     /** TWO-SUMMARY JOIN NAVIGATION (VERDICT r11 #6): a fact⋈dim
       * aggregate where BOTH sides have registered summaries at
       * compatible grains serves with ZERO base scans on either side.
@@ -1917,6 +2070,16 @@ object Rollup {
         .histSketch(col(c)).as(s"__hist_$c"))
     base.groupBy(groupExprs.map { case (n, c) => c.as(n) }: _*)
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Summary over `fact ⋈ dim` for [[RollupRewrite.registerJoined]] —
+    * the aggregate-join-summary build step. Grain/measure columns may
+    * come from either side (unique names enforced at registration). */
+  def materializeJoined(fact: DataFrame, dim: DataFrame,
+                        keys: Seq[(String, String)], groupCols: Seq[String],
+                        measures: Seq[String]): DataFrame = {
+    val cond = keys.map { case (f, d) => fact(f) === dim(d) }.reduce(_ && _)
+    materialize(fact.join(dim, cond), groupCols, measures)
   }
 
   /** Merge two [[materialize]] outputs (a stored summary and a new

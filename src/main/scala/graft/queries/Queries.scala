@@ -4896,6 +4896,82 @@ object Queries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
+  /** AGGREGATE JOIN SUMMARY ([[graft.plan.RollupRewrite.registerJoined]]
+    * — the classic AJI, completing the view taxonomy): where q197's
+    * two-summary navigation still JOINS two summaries at serve time,
+    * a summary materialized over `orders ⋈ customer` serves matching
+    * join-aggregates from ONE scan with NO join operator in the plan
+    * at all — the right shape when the dim grain is large. Grain spans
+    * BOTH sides ((c_mktsegment, o_orderstatus)); leg `full` groups by
+    * both, leg `seg` coarsens to the segment alone FROM THE SAME
+    * summary (subset coarsening reuses the single-table machinery
+    * verbatim — grain matching is name-shape-based and
+    * `tryRewriteWith` never looks at the aggregate's child). In-query
+    * requires: each leg's plan scans EXACTLY the AJI and contains ZERO
+    * Join nodes; after a dim append, the same query falls back to the
+    * real join (BOTH bases' manifests guard freshness). Oracle =
+    * direct join recomputes; integer measure. */
+  def q203JoinedSummary(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q203_aji")
+      .toFile.getAbsolutePath
+    tbl(s, dir, "orders").write.mode("overwrite").parquet(s"$tmpRoot/fact")
+    tbl(s, dir, "customer").write.mode("overwrite").parquet(s"$tmpRoot/dim")
+    val fact = s.read.parquet(s"$tmpRoot/fact")
+    val dim = s.read.parquet(s"$tmpRoot/dim")
+    graft.plan.Rollup.materializeJoined(fact, dim,
+        Seq("o_custkey" -> "c_custkey"),
+        Seq("c_mktsegment", "o_orderstatus"), Seq("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/aji")
+    R.registerJoined(fact, dim, Seq("o_custkey" -> "c_custkey"),
+      s.read.parquet(s"$tmpRoot/aji"),
+      Seq("c_mktsegment", "o_orderstatus"), Seq("o_orderkey"))
+    R.enable(s)
+    try {
+      def requireAji(df: DataFrame, name: String): DataFrame = {
+        val scans = R.scanRootPaths(df)
+        require(scans == Set(s"file:$tmpRoot/aji"),
+          s"$name must serve from the AJI alone — $scans")
+        require(df.queryExecution.optimizedPlan.collect {
+            case j: LJoin => j }.isEmpty,
+          s"$name must contain NO serve-time join")
+        df
+      }
+      val joined = fact.join(dim, col("o_custkey") === col("c_custkey"))
+      val full = requireAji(joined.groupBy("c_mktsegment", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_ok"),
+          min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+        .select(lit("full").as("leg"), col("c_mktsegment").as("seg"),
+          col("o_orderstatus").as("st"), col("n_rows"), col("sum_ok"),
+          col("mn"), col("mx")), "full leg")
+      val seg = requireAji(joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_ok"),
+          min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+        .select(lit("seg").as("leg"), col("c_mktsegment").as("seg"),
+          lit(null).cast("string").as("st"), col("n_rows"), col("sum_ok"),
+          col("mn"), col("mx")), "seg leg")
+      val out = materializeSmall(s, full.unionByName(seg))
+      // a DIM append breaks BOTH-base freshness: the same query must
+      // fall back to the real join (never silently stale)
+      tbl(s, dir, "customer").limit(5)
+        .write.mode("append").parquet(s"$tmpRoot/dim")
+      val fallen = s.read.parquet(s"$tmpRoot/fact")
+        .join(s.read.parquet(s"$tmpRoot/dim"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      val fallenScans = R.scanRootPaths(fallen)
+      require(fallenScans.contains(s"file:$tmpRoot/fact") &&
+          fallenScans.contains(s"file:$tmpRoot/dim"),
+        s"stale AJI must fall back to the real join — $fallenScans")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+      out
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** COMPUTED-DIMENSION grain serving ([[graft.plan.RollupRewrite]] —
     * VERDICT r10 #1, the optimizer tier's sharpest real-user edge): a
     * summary grained by `month(o_orderdate)` — a stored EXPRESSION value,
@@ -5623,7 +5699,8 @@ object Queries {
     "q199_compensated_cube_nav" -> (q199CompensatedCubeNav _),
     "q200_hist_rollup_serve" -> (q200HistRollupServe _),
     "q201_designed_lattice" -> (q201DesignedLattice _),
-    "q202_designed_maintenance" -> (q202DesignedMaintenance _))
+    "q202_designed_maintenance" -> (q202DesignedMaintenance _),
+    "q203_joined_summary" -> (q203JoinedSummary _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -7690,6 +7767,20 @@ object Queries {
         |UNION ALL
         |SELECT 'del', nd.grp, nd.n, nd.sc, qd.p90
         |FROM nd JOIN qd ON nd.grp = qd.grp""".stripMargin,
+    // q203: aggregate join summary — both legs recompute the direct
+    // join (the gate's temp bases are full-table copies). A
+    // multiplicity error in the stored join summary, or a coarsening
+    // bug in the subset leg, hash-fails; a serve-time join or a base
+    // scan trips the in-query plan requires.
+    "q203_joined_summary" ->
+      """SELECT 'full' AS leg, c_mktsegment AS seg, o_orderstatus AS st,
+        | count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+        | min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'seg', c_mktsegment, CAST(NULL AS VARCHAR), count(*),
+        | CAST(sum(o_orderkey) AS BIGINT), min(o_orderkey), max(o_orderkey)
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 2""".stripMargin,
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

@@ -1712,6 +1712,107 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  // ---- aggregate join summaries (AJI) ---------------------------------
+
+  test("joined summary serves the join-aggregate with NO serve-time join; dual staleness guards") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val dir = java.nio.file.Files.createTempDirectory("aji").toString
+    try {
+      Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "a", 30L), (3L, "a", 40L))
+        .toDF("k", "h", "m")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      Seq((1L, "s1"), (2L, "s2"), (3L, "s1")).toDF("dk", "seg")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+      // grain spans BOTH sides: seg (dim) + h (fact)
+      Rollup.materializeJoined(fact, dim, Seq("k" -> "dk"),
+          Seq("seg", "h"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/aji")
+      RollupRewrite.registerJoined(fact, dim, Seq("k" -> "dk"),
+        spark.read.parquet(s"$dir/aji"), Seq("seg", "h"), Seq("m"))
+      RollupRewrite.enable(spark)
+      def q(f: DataFrame, d: DataFrame) = f.join(d, col("k") === col("dk"))
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum("m").as("s"),
+          min("m").as("mn"), max("m").as("mx"))
+      val served = q(fact, dim)
+      val scans = scanPaths(served)
+      assert(scans == Set(s"file:$dir/aji"),
+        s"join-aggregate must serve from the AJI alone: $scans")
+      assert(served.queryExecution.optimizedPlan.collect {
+          case j: LJoin => j }.isEmpty,
+        "NO serve-time join — that is the whole point of an AJI")
+      def vals(df: DataFrame) = df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(vals(served) ==
+        Set(("s1", 3L, 70L, 10L, 40L), ("s2", 1L, 30L, 30L, 30L)))
+      // fact-side grain + filter through the grain, same summary
+      val fine = fact.join(dim, col("k") === col("dk"))
+        .filter(col("seg") === "s1")
+        .groupBy("h").agg(sum("m").as("s"))
+      assert(scanPaths(fine) == Set(s"file:$dir/aji"),
+        s"filtered fact-grain query must also ride the AJI: ${scanPaths(fine)}")
+      assert(fine.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        == Set(("a", 50L), ("b", 20L)))
+      // swapped join order still matches (orientation B)
+      val swapped = dim.join(fact, col("dk") === col("k"))
+        .groupBy("seg").agg(sum("m").as("s"))
+      assert(scanPaths(swapped) == Set(s"file:$dir/aji"),
+        s"dim-first join order must match too: ${scanPaths(swapped)}")
+      // DIM append -> BOTH-base freshness fails -> real join again
+      Seq((4L, "s2")).toDF("dk", "seg").write.mode("append")
+        .parquet(s"$dir/dim")
+      val fallen = q(spark.read.parquet(s"$dir/fact"),
+        spark.read.parquet(s"$dir/dim"))
+      assert(scanPaths(fallen).contains(s"file:$dir/fact") &&
+          scanPaths(fallen).contains(s"file:$dir/dim"),
+        s"stale dim must fall back to the real join: ${scanPaths(fallen)}")
+      // strict mode: the stale AJI that would have answered throws
+      RollupRewrite.setStrictStaleness(true)
+      try intercept[IllegalStateException] {
+        q(spark.read.parquet(s"$dir/fact"),
+          spark.read.parquet(s"$dir/dim")).queryExecution.optimizedPlan
+      } finally RollupRewrite.setStrictStaleness(false)
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.setStrictStaleness(false)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("joined summary: non-matching keys, outer joins, and name collisions refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("aji_refuse").toString
+    try {
+      Seq((1L, 10L)).toDF("k", "m").write.parquet(s"$dir/fact")
+      Seq((1L, "s1", 99L)).toDF("dk", "seg", "m2").write.parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+      Rollup.materializeJoined(fact, dim, Seq("k" -> "dk"),
+          Seq("seg"), Seq("m"))
+        .write.parquet(s"$dir/aji")
+      RollupRewrite.registerJoined(fact, dim, Seq("k" -> "dk"),
+        spark.read.parquet(s"$dir/aji"), Seq("seg"), Seq("m"))
+      RollupRewrite.enable(spark)
+      // LEFT OUTER: must not serve (null-extended rows aren't in the AJI)
+      val outer = fact.join(dim, col("k") === col("dk"), "left")
+        .groupBy("seg").agg(sum("m").as("s"))
+      assert(scanPaths(outer).contains(s"file:$dir/fact"),
+        "outer joins must not serve from an inner-join AJI")
+      // a name on BOTH sides refuses at registration
+      val dupDim = dim.withColumnRenamed("m2", "m")
+      intercept[IllegalArgumentException] {
+        RollupRewrite.registerJoined(fact, dupDim, Seq("k" -> "dk"),
+          spark.read.parquet(s"$dir/aji"), Seq("seg"), Seq("m"))
+      }
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   // ---- histogram-carrying rollups (quantile dashboards from the summary) --
 
   test("histogram rollup: served sketch and quantiles identical to base; wrong column stays on base") {

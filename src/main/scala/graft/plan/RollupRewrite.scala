@@ -470,7 +470,11 @@ object RollupRewrite {
       factPaths: Set[String], dimPaths: Set[String],
       keyPairs: Set[(String, String)],
       summary: LogicalPlan, groupCols: Seq[String], measures: Seq[String],
-      factFingerprint: String, dimFingerprint: String)
+      factFingerprint: String, dimFingerprint: String,
+      // full manifests behind the fingerprints — what the joined
+      // refresh diffs to find fact-side appends
+      factManifest: Set[String] = Set.empty,
+      dimManifest: Set[String] = Set.empty)
 
   private val joinedDefs =
     new java.util.concurrent.CopyOnWriteArrayList[JoinedRollupDef]
@@ -508,7 +512,9 @@ object RollupRewrite {
       fRel.location.rootPaths.map(_.toString).toSet,
       dRel.location.rootPaths.map(_.toString).toSet,
       keys.toSet, summary.queryExecution.analyzed, groupCols, measures,
-      fingerprintOf(fRel.location), fingerprintOf(dRel.location))
+      fingerprintOf(fRel.location), fingerprintOf(dRel.location),
+      fingerprintEntries(fRel.location).toSet,
+      fingerprintEntries(dRel.location).toSet)
     import scala.jdk.CollectionConverters._
     joinedDefs.iterator().asScala
       .filter(o => o.factPaths == d.factPaths && o.dimPaths == d.dimPaths &&
@@ -685,7 +691,75 @@ object RollupRewrite {
     * (detected by a schema check before any job runs) instead of
     * throwing mid-refresh. */
   def refreshStale(spark: SparkSession, outDir: String,
-                   trashDirs: Seq[String] = Nil): Seq[RefreshResult] = {
+                   trashDirs: Seq[String] = Nil): Seq[RefreshResult] =
+    refreshStalePlain(spark, outDir, trashDirs) ++
+      refreshStaleJoined(spark, outDir)
+
+  /** The JOINED-summary half of [[refreshStale]]: a fact-side PURE
+    * APPEND refreshes by aggregating `appended-fact-files ⋈ dim` and
+    * merging — delta-fact-sized work, the stored summary and the fact
+    * base never rescan (the dim side streams once against the delta,
+    * which an equi-join prunes/broadcasts). ANY dim-side change — and
+    * fact removals — report unrefreshable: a changed dim row multiplies
+    * into arbitrarily many stored groups, which is rebuild territory
+    * (re-materialize + re-register), not delta arithmetic. */
+  private def refreshStaleJoined(spark: SparkSession,
+                                 outDir: String): Seq[RefreshResult] = {
+    import scala.jdk.CollectionConverters._
+    joinedDefs.iterator().asScala.toSeq.flatMap { d =>
+      val fRel = baseRelation(
+        spark.read.parquet(d.factPaths.toSeq: _*).queryExecution.analyzed)
+        .getOrElse(throw new IllegalStateException(
+          s"joined fact base ${d.factPaths} is no longer file-backed"))
+      val dRel = baseRelation(
+        spark.read.parquet(d.dimPaths.toSeq: _*).queryExecution.analyzed)
+        .getOrElse(throw new IllegalStateException(
+          s"joined dim base ${d.dimPaths} is no longer file-backed"))
+      val fCur = fingerprintEntries(fRel.location).toSet
+      val dCur = fingerprintEntries(dRel.location).toSet
+      val appended = fCur -- d.factManifest
+      val removed = d.factManifest -- fCur
+      val unrefreshable = RefreshResult(d.factPaths ++ d.dimPaths,
+        d.groupCols, refreshed = false, Nil, "")
+      if (fCur == d.factManifest && dCur == d.dimManifest) None // fresh
+      else if (dCur != d.dimManifest || removed.nonEmpty ||
+          appended.isEmpty || d.factManifest.isEmpty)
+        Some(unrefreshable)
+      else {
+        val deltaFiles = appended.toSeq.sorted.map(_.split("\\|")(0))
+        val deltaFact = spark.read.parquet(deltaFiles: _*)
+        val dim = spark.read.parquet(d.dimPaths.toSeq: _*)
+        val neededFact = (d.groupCols ++ d.measures)
+          .filterNot(dim.columns.contains) ++ d.keyPairs.map(_._1)
+        if (!neededFact.toSet.subsetOf(deltaFact.columns.toSet))
+          Some(unrefreshable)
+        else {
+          val cond = d.keyPairs.toSeq.map { case (fk, dk) =>
+            deltaFact(fk) === dim(dk) }.reduce(_ && _)
+          val deltaSummary = Rollup.materialize(deltaFact.join(dim, cond),
+            d.groupCols, d.measures)
+          val stored = spark.read.parquet(d.summary.collect {
+            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+              fs.location.rootPaths.map(_.toString)
+          }.flatten: _*)
+          val ident = hexDigest(d.factPaths.toSeq.sorted ++
+            d.dimPaths.toSeq.sorted ++ d.groupCols ++ d.measures ++
+            d.keyPairs.toSeq.sorted.map(p => s"${p._1}=${p._2}"))
+          val out = s"$outDir/refreshj_${ident}_${manifestDigest(fCur)}"
+          Rollup.merge(stored, deltaSummary, d.groupCols, d.measures)
+            .write.mode("overwrite").parquet(out)
+          registerJoined(spark.read.parquet(d.factPaths.toSeq: _*), dim,
+            d.keyPairs.toSeq, spark.read.parquet(out), d.groupCols,
+            d.measures)
+          Some(RefreshResult(d.factPaths ++ d.dimPaths, d.groupCols,
+            refreshed = true, deltaFiles, out))
+        }
+      }
+    }
+  }
+
+  private def refreshStalePlain(spark: SparkSession, outDir: String,
+                                trashDirs: Seq[String]): Seq[RefreshResult] = {
     import scala.jdk.CollectionConverters._
     val snapshot = defs.iterator().asScala.toSeq
     val currentByBase = snapshot.map(_.basePaths).distinct.map { paths =>

@@ -4972,6 +4972,75 @@ object Queries {
     }
   }
 
+  /** JOINED-SUMMARY MAINTENANCE ([[graft.plan.RollupRewrite
+    * .refreshStale]]'s joined pass — q203's AJI is not a one-shot
+    * either): a fact-side PURE APPEND delta-refreshes the joined
+    * summary by aggregating `appended-fact-files ⋈ dim` and merging —
+    * delta-fact-sized work, the stored summary and the fact base never
+    * rescan. ANY dim-side change reports unrefreshable (a changed dim
+    * row multiplies into arbitrarily many stored groups — rebuild
+    * territory, not delta arithmetic; the gate requires this refusal
+    * in-query after a dim append). The fact base is four orders slices
+    * (`o_orderkey % 4`, s3 appended), the dim the full customer table,
+    * so the refreshed AJI must equal the full-join recompute. Serve
+    * plan-required on the refreshed summary with ZERO Join nodes.
+    * Integer measure. */
+  def q204JoinedMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q204_aji_maint")
+      .toFile.getAbsolutePath
+    (0 until 3).foreach { sl =>
+      writeNamedSlice(tbl(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === sl), s"$tmpRoot/fact", s"s$sl")
+    }
+    tbl(s, dir, "customer").write.mode("overwrite").parquet(s"$tmpRoot/dim")
+    val fact0 = s.read.parquet(s"$tmpRoot/fact")
+    val dim0 = s.read.parquet(s"$tmpRoot/dim")
+    graft.plan.Rollup.materializeJoined(fact0, dim0,
+        Seq("o_custkey" -> "c_custkey"), Seq("c_mktsegment"),
+        Seq("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/aji")
+    R.registerJoined(fact0, dim0, Seq("o_custkey" -> "c_custkey"),
+      s.read.parquet(s"$tmpRoot/aji"), Seq("c_mktsegment"),
+      Seq("o_orderkey"))
+    R.enable(s)
+    try {
+      writeNamedSlice(tbl(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 3), s"$tmpRoot/fact", "s3")
+      val rep = R.refreshStale(s, s"$tmpRoot/ref")
+      require(rep.size == 1 && rep.head.refreshed &&
+          rep.head.deltaFiles.map(p =>
+            p.substring(p.lastIndexOf('/') + 1)) == Seq("s3.parquet"),
+        s"the AJI must delta-refresh from exactly the appended file: $rep")
+      val q = s.read.parquet(s"$tmpRoot/fact")
+        .join(s.read.parquet(s"$tmpRoot/dim"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_ok"),
+          min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+        .select(col("c_mktsegment").as("seg"), col("n_rows"),
+          col("sum_ok"), col("mn"), col("mx"))
+      val scans = R.scanRootPaths(q)
+      require(scans.size == 1 && scans.head.contains("refreshj"),
+        s"post-refresh serve must ride the refreshed AJI alone — $scans")
+      require(q.queryExecution.optimizedPlan.collect {
+          case j: LJoin => j }.isEmpty, "no serve-time join post-refresh")
+      val out = materializeSmall(s, q)
+      // a DIM append must be REFUSED (rebuild territory), never folded
+      tbl(s, dir, "customer").limit(3)
+        .write.mode("append").parquet(s"$tmpRoot/dim")
+      val rep2 = R.refreshStale(s, s"$tmpRoot/ref2")
+      require(rep2.size == 1 && !rep2.head.refreshed,
+        s"a dim change must report unrefreshable: $rep2")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+      out
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** COMPUTED-DIMENSION grain serving ([[graft.plan.RollupRewrite]] —
     * VERDICT r10 #1, the optimizer tier's sharpest real-user edge): a
     * summary grained by `month(o_orderdate)` — a stored EXPRESSION value,
@@ -5700,7 +5769,8 @@ object Queries {
     "q200_hist_rollup_serve" -> (q200HistRollupServe _),
     "q201_designed_lattice" -> (q201DesignedLattice _),
     "q202_designed_maintenance" -> (q202DesignedMaintenance _),
-    "q203_joined_summary" -> (q203JoinedSummary _))
+    "q203_joined_summary" -> (q203JoinedSummary _),
+    "q204_joined_maintenance" -> (q204JoinedMaintenance _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -7781,6 +7851,17 @@ object Queries {
         |SELECT 'seg', c_mktsegment, CAST(NULL AS VARCHAR), count(*),
         | CAST(sum(o_orderkey) AS BIGINT), min(o_orderkey), max(o_orderkey)
         |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 2""".stripMargin,
+    // q204: joined-summary maintenance — fact slices cover the whole
+    // orders table after the append, so the refreshed AJI must equal
+    // the full-join recompute; a missed delta file or a double-merged
+    // group hash-fails, a stale serve or serve-time join trips the
+    // plan requires, and the dim-append refusal is required in-query.
+    "q204_joined_maintenance" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+        | min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

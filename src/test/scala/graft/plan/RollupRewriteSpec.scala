@@ -1782,6 +1782,57 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("joined summary: fact-side append delta-refreshes; dim changes stay unrefreshable") {
+    val dir = java.nio.file.Files.createTempDirectory("aji_refresh").toString
+    try {
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "m")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      Seq((1L, "s1"), (2L, "s2")).toDF("dk", "seg")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact0 = spark.read.parquet(s"$dir/fact")
+      val dim0 = spark.read.parquet(s"$dir/dim")
+      Rollup.materializeJoined(fact0, dim0, Seq("k" -> "dk"),
+          Seq("seg"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/aji")
+      RollupRewrite.registerJoined(fact0, dim0, Seq("k" -> "dk"),
+        spark.read.parquet(s"$dir/aji"), Seq("seg"), Seq("m"))
+      RollupRewrite.enable(spark)
+      def files() = new java.io.File(s"$dir/fact").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      val before = files()
+      Seq((1L, 100L), (3L, 7L)).toDF("k", "m") // k=3 has no dim row
+        .write.mode("append").parquet(s"$dir/fact")
+      val added = files() -- before
+      val rep = RollupRewrite.refreshStale(spark, s"$dir/ref")
+      assert(rep.size == 1 && rep.head.refreshed &&
+          rep.head.deltaFiles.map(p =>
+            p.substring(p.lastIndexOf('/') + 1)).toSet == added,
+        s"fact append must delta-refresh the AJI: $rep")
+      def q() = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim"), col("k") === col("dk"))
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum("m").as("s"))
+      val served = q()
+      assert(scanPaths(served).forall(_.contains("refreshj")),
+        s"post-refresh join-aggregate must ride the refreshed AJI: ${scanPaths(served)}")
+      assert(served.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        == Set(("s1", 2L, 110L), ("s2", 1L, 20L)),
+        "the k=3 delta row has no dim match and must NOT appear")
+      // DIM append: unrefreshable, serve falls back to the real join
+      Seq((3L, "s1")).toDF("dk", "seg").write.mode("append")
+        .parquet(s"$dir/dim")
+      val rep2 = RollupRewrite.refreshStale(spark, s"$dir/ref2")
+      assert(rep2.size == 1 && !rep2.head.refreshed,
+        s"a dim change must report unrefreshable: $rep2")
+      assert(scanPaths(q()).exists(_.contains("/fact")),
+        "stale-by-dim AJI must fall back to the real join")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("joined summary: non-matching keys, outer joins, and name collisions refuse") {
     val dir = java.nio.file.Files.createTempDirectory("aji_refuse").toString
     try {

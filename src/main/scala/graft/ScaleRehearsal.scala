@@ -823,6 +823,37 @@ object ScaleRehearsal {
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
             r.getDouble(3), r.getDouble(4))).toSet
         val directCompWall = (System.nanoTime() - t8) / 1e9
+        // AGGREGATE JOIN SUMMARY at scale (q203): navigation answers the
+        // join-aggregate in two summary scans + a join; the AJI answers
+        // it in ONE 5-row scan with no join at all. Dim written to
+        // parquet (registerJoined needs file-backed sides); the 120M
+        // post-append base is the AJI's registered state.
+        dim.write.mode("overwrite").parquet(s"$tmp/dim")
+        val dimF = spark.read.parquet(s"$tmp/dim")
+        val factF = spark.read.parquet(s"$tmp/base")
+        RollupRewrite.enable(spark)
+        Rollup.materializeJoined(factF, dimF, Seq("k1" -> "dk"),
+            Seq("g"), Seq("m_long"))
+          .write.mode("overwrite").parquet(s"$tmp/aji")
+        RollupRewrite.registerJoined(factF, dimF, Seq("k1" -> "dk"),
+          spark.read.parquet(s"$tmp/aji"), Seq("g"), Seq("m_long"))
+        def qaji(src: org.apache.spark.sql.DataFrame) =
+          src.join(dimF, col("k1") === col("dk"))
+            .groupBy("g").agg(count(lit(1)).as("n"), sum("m_long").as("s"))
+        val ajiScans = RollupRewrite.scanRootPaths(qaji(factF))
+        val ajiOk = ajiScans == Set(s"file:$tmp/aji") &&
+          qaji(factF).queryExecution.optimizedPlan.collect {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+          }.isEmpty
+        val t9 = System.nanoTime()
+        val aji = qaji(factF).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val ajiWall = (System.nanoTime() - t9) / 1e9
+        RollupRewrite.disable(spark)
+        val t10 = System.nanoTime()
+        val directJoined = qaji(factF).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val directJoinedWall = (System.nanoTime() - t10) / 1e9
         // ratio claims: the summary-served walls must beat the direct
         // ones, but the MARGIN depends on whether the 100M base hits the
         // OS page cache (a fully-cached direct scan reads ~1.2 s vs
@@ -843,7 +874,8 @@ object ScaleRehearsal {
           // (compScanOk: summary + exactly the new delta files in-plan);
           // the wall check stays strict-less for the same page-cache
           // reason
-          compScanOk && comp == directComp && compWall < directCompWall,
+          compScanOk && comp == directComp && compWall < directCompWall &&
+          ajiOk && aji == directJoined && ajiWall < directJoinedWall,
           f"build=$buildWall%.1fs rewritten=$rewrittenWall%.2fs " +
             f"direct=$directWall%.2fs groups=${rew.size} scans_ok=$scansOk " +
             f"nav=$navWall%.2fs direct_join=$directJoinWall%.2fs nav_ok=$navOk " +
@@ -851,7 +883,9 @@ object ScaleRehearsal {
             f"delta_files_ok=$deltaOk ref_scan_ok=$refScanOk " +
             f"direct_new=$directNewWall%.2fs " +
             f"comp=$compWall%.2fs direct_120m=$directCompWall%.2fs " +
-            f"comp_scan_ok=$compScanOk")
+            f"comp_scan_ok=$compScanOk " +
+            f"aji=$ajiWall%.2fs direct_join_120m=$directJoinedWall%.2fs " +
+            f"aji_ok=$ajiOk")
       } finally {
         graft.plan.RollupRewrite.disable(spark)
         graft.plan.RollupRewrite.setCompensation(false)

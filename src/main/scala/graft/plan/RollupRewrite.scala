@@ -2009,7 +2009,12 @@ object RollupRewrite {
           AggregateExpression(Min(m), Complete, isDistinct = false))
         case Max(e) => measureAttr(e, "__max_").map(m =>
           AggregateExpression(Max(m), Complete, isDistinct = false))
-        case Average(e, _) =>
+        // DECIMAL averages bail (like the cube path): the derivation is
+        // a double divide, but avg(decimal) returns DECIMAL — rewriting
+        // would change the output attribute's type under its PRESERVED
+        // exprId, corrupting parents analyzed against the decimal type
+        case Average(e, _)
+            if !fn.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
           for (s <- measureAttr(e, "__sum_"); c <- measureAttr(e, "__cnt_"))
             yield Divide(Cast(sumOf(s), DoubleType), Cast(sumOf(c), DoubleType))
         // histSketch(c) → histMerge(__hist_c): LOSSLESS (bucket counts

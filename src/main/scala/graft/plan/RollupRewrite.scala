@@ -163,7 +163,7 @@ object RollupRewrite {
     * plan-assertable) before the steady state goes scan-free. */
   private val compPending =
     java.util.Collections.synchronizedSet(
-      new java.util.LinkedHashSet[(String, String)]())
+      new java.util.LinkedHashSet[(String, String, String)]())
 
   /** Delta-aggregate result cache: the compensation delta summary is
     * GROUP-sized, so the FIRST compensated query for a given
@@ -178,12 +178,18 @@ object RollupRewrite {
     * builds FRESH attribute ids. */
   private val CompCacheMaxEntries = 8
   private val CompCacheMaxRows = 65536
+  // key = (registration identity, REGISTERED-manifest digest, CURRENT-
+  // manifest digest): the registered digest matters — two registrations
+  // with one identity but different base snapshots reaching the same
+  // current state have DIFFERENT deltas (reachable via re-register +
+  // a trash-restore, which preserves mtimes), and a two-part key would
+  // silently serve the wrong cached rows there
   private val compCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, String),
+    new java.util.LinkedHashMap[(String, String, String),
         (Seq[(String, org.apache.spark.sql.types.DataType, Boolean)],
          Seq[org.apache.spark.sql.catalyst.InternalRow])](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String),
+          e: java.util.Map.Entry[(String, String, String),
             (Seq[(String, org.apache.spark.sql.types.DataType, Boolean)],
              Seq[org.apache.spark.sql.catalyst.InternalRow])]): Boolean =
         size > CompCacheMaxEntries
@@ -1309,7 +1315,8 @@ object RollupRewrite {
               // fresh delta aggregate produces containsNull=false — same
               // physical data; Union.output takes the loosest anyway
               a.dataType.catalogString == b.dataType.catalogString }
-        val key = (regDigest(d), manifestDigest(current))
+        val key = (regDigest(d), manifestDigest(d.baseManifest),
+          manifestDigest(current))
         val hit = compCache.get(key)
         if (hit != null) {
           val rel = localRel(hit._1, hit._2)

@@ -854,6 +854,80 @@ object ScaleRehearsal {
         val directJoined = qaji(factF).collect()
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
         val directJoinedWall = (System.nanoTime() - t10) / 1e9
+        // AJI COMPENSATION at scale (q205): append ANOTHER 10M fact
+        // delta and DO NOT refresh — the first serve answers from the
+        // AJI + exactly the new files (+ the 40-row dim), never the
+        // 130M base dir; the second serve splices the cached 5-row
+        // delta and scans the AJI ALONE, join-free.
+        RollupRewrite.enable(spark)
+        RollupRewrite.setCompensation(true)
+        val beforeF3 = baseFiles()
+        spark.range(120000000L, 130000000L).select(
+            (col("id") % 40).cast("string").as("k1"),
+            (col("id") % 25).cast("string").as("k2"),
+            (col("id") % 997).as("m_long"),
+            ((col("id") % 10000).cast("double") / 100.0).as("m_dbl"))
+          .write.mode("append").parquet(s"$tmp/base")
+        val addedF3 = baseFiles() -- beforeF3
+        val fact4 = spark.read.parquet(s"$tmp/base")
+        val ajiC1 = qaji(fact4)
+        val cScans = RollupRewrite.scanRootPaths(ajiC1)
+        val ajiComp1Ok = cScans.contains(s"file:$tmp/aji") &&
+          !cScans.exists(_.endsWith("/base")) &&
+          cScans.filter(_.contains("/base/"))
+            .map(p => p.substring(p.lastIndexOf('/') + 1)) == addedF3
+        val t11 = System.nanoTime()
+        val ajiComp1 = ajiC1.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val ajiComp1Wall = (System.nanoTime() - t11) / 1e9
+        val ajiC2 = qaji(fact4)
+        val ajiComp2Ok =
+          RollupRewrite.scanRootPaths(ajiC2) == Set(s"file:$tmp/aji") &&
+          ajiC2.queryExecution.optimizedPlan.collect {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+          }.isEmpty
+        val t12 = System.nanoTime()
+        val ajiComp2 = ajiC2.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val ajiComp2Wall = (System.nanoTime() - t12) / 1e9
+        RollupRewrite.setCompensation(false)
+        RollupRewrite.disable(spark)
+        val t13 = System.nanoTime()
+        val directComp2 = qaji(fact4).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val directComp2Wall = (System.nanoTime() - t13) / 1e9
+        // AJI DIM-APPEND refresh at scale (q206): 10 duplicate-key dim
+        // rows land while the 10M fact delta is still unfolded — ONE
+        // refresh covers both sides (ΔF⋈dimCur ∪ F_registered⋈ΔD); the
+        // F⋈ΔD term reads the registered 120M fact against a broadcast
+        // 10-row delta — the honest dim-append cost (documented), still
+        // merge-not-rebuild. NB refreshStale also refreshes the PLAIN
+        // registrations (stale by the two unfolded fact deltas), so the
+        // wall reported is the whole maintenance pass.
+        RollupRewrite.enable(spark)
+        spark.range(0, 10).select(col("id").cast("string").as("dk"),
+            (col("id") % 5).cast("string").as("g"))
+          .coalesce(1).write.mode("append").parquet(s"$tmp/dim")
+        val t14 = System.nanoTime()
+        val repAll = RollupRewrite.refreshStale(spark, s"$tmp/refreshed_j")
+        val dimRefreshWall = (System.nanoTime() - t14) / 1e9
+        val repJ = repAll.filter(_.groupCols == Seq("g"))
+        val dimRefOk = repJ.size == 1 && repJ.head.refreshed &&
+          repJ.head.deltaFiles.size == addedF3.size + 1
+        val dimF2 = spark.read.parquet(s"$tmp/dim")
+        def qaji2(src: org.apache.spark.sql.DataFrame) =
+          src.join(dimF2, col("k1") === col("dk"))
+            .groupBy("g").agg(count(lit(1)).as("n"), sum("m_long").as("s"))
+        val refJPlan = qaji2(spark.read.parquet(s"$tmp/base"))
+        val refJScanOk = RollupRewrite.scanRootPaths(refJPlan)
+          .forall(_.contains("refreshj"))
+        val refJ = refJPlan.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        RollupRewrite.disable(spark)
+        val t15 = System.nanoTime()
+        val directRefJ = qaji2(spark.read.parquet(s"$tmp/base")).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val directRefJWall = (System.nanoTime() - t15) / 1e9
         // ratio claims: the summary-served walls must beat the direct
         // ones, but the MARGIN depends on whether the 100M base hits the
         // OS page cache (a fully-cached direct scan reads ~1.2 s vs
@@ -875,7 +949,14 @@ object ScaleRehearsal {
           // the wall check stays strict-less for the same page-cache
           // reason
           compScanOk && comp == directComp && compWall < directCompWall &&
-          ajiOk && aji == directJoined && ajiWall < directJoinedWall,
+          ajiOk && aji == directJoined && ajiWall < directJoinedWall &&
+          // AJI compensation: structural (first serve reads exactly the
+          // delta files, steady state reads the AJI alone) + exactness
+          ajiComp1Ok && ajiComp2Ok && ajiComp1 == directComp2 &&
+          ajiComp2 == directComp2 && ajiComp2Wall < directComp2Wall &&
+          // AJI dim-append refresh: one refresh covers both sides and
+          // the served answer equals the 130M ⋈ 50-row recompute
+          dimRefOk && refJScanOk && refJ == directRefJ,
           f"build=$buildWall%.1fs rewritten=$rewrittenWall%.2fs " +
             f"direct=$directWall%.2fs groups=${rew.size} scans_ok=$scansOk " +
             f"nav=$navWall%.2fs direct_join=$directJoinWall%.2fs nav_ok=$navOk " +
@@ -885,7 +966,12 @@ object ScaleRehearsal {
             f"comp=$compWall%.2fs direct_120m=$directCompWall%.2fs " +
             f"comp_scan_ok=$compScanOk " +
             f"aji=$ajiWall%.2fs direct_join_120m=$directJoinedWall%.2fs " +
-            f"aji_ok=$ajiOk")
+            f"aji_ok=$ajiOk " +
+            f"aji_comp_first=$ajiComp1Wall%.2fs aji_comp_steady=$ajiComp2Wall%.2fs " +
+            f"direct_join_130m=$directComp2Wall%.2fs " +
+            f"aji_comp_ok=${ajiComp1Ok && ajiComp2Ok} " +
+            f"dim_refresh_all=$dimRefreshWall%.1fs dim_ref_ok=$dimRefOk " +
+            f"ref_j_scan_ok=$refJScanOk direct_130m_dim50=$directRefJWall%.2fs")
       } finally {
         graft.plan.RollupRewrite.disable(spark)
         graft.plan.RollupRewrite.setCompensation(false)

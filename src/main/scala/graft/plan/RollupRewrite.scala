@@ -480,7 +480,13 @@ object RollupRewrite {
       // full manifests behind the fingerprints — what the joined
       // refresh diffs to find fact-side appends
       factManifest: Set[String] = Set.empty,
-      dimManifest: Set[String] = Set.empty)
+      dimManifest: Set[String] = Set.empty,
+      // sketch-carrying AJIs (the q171/q200 device over a join): KMV
+      // distinct + histogram columns, from either side — quantile and
+      // distinct dashboards over fact ⋈ dim with zero Join nodes
+      distinctCols: Seq[String] = Nil, sketchK: Int = 64,
+      sketchShapes: Map[String, Expression] = Map.empty,
+      histCols: Seq[String] = Nil)
 
   private val joinedDefs =
     new java.util.concurrent.CopyOnWriteArrayList[JoinedRollupDef]
@@ -492,16 +498,20 @@ object RollupRewrite {
     * Re-registering the same (bases, keys, grain) replaces the entry. */
   def registerJoined(fact: DataFrame, dim: DataFrame,
                      keys: Seq[(String, String)], summary: DataFrame,
-                     groupCols: Seq[String], measures: Seq[String]): Unit = {
+                     groupCols: Seq[String], measures: Seq[String],
+                     distinctCols: Seq[String] = Nil, sketchK: Int = 64,
+                     histCols: Seq[String] = Nil): Unit = {
     val expect = (Seq(Rollup.CntRows) ++ groupCols ++
       measures.flatMap(m =>
-        Seq(s"__sum_$m", s"__cnt_$m", s"__min_$m", s"__max_$m"))).toSet
+        Seq(s"__sum_$m", s"__cnt_$m", s"__min_$m", s"__max_$m")) ++
+      distinctCols.map(c => s"__kmv_$c") ++
+      histCols.map(c => s"__hist_$c")).toSet
     require(summary.columns.toSet == expect,
       s"summary schema ${summary.columns.sorted.mkString(",")} does not match " +
-        s"Rollup.materialize layout for ($groupCols, $measures)")
+        s"Rollup.materialize layout for ($groupCols, $measures, $distinctCols, $histCols)")
     val fCols = fact.columns.toSet
     val dCols = dim.columns.toSet
-    (groupCols ++ measures).foreach { n =>
+    (groupCols ++ measures ++ distinctCols ++ histCols).foreach { n =>
       require(fCols.contains(n) ^ dCols.contains(n),
         s"joined-summary column '$n' must exist on exactly ONE side " +
           s"(fact has it: ${fCols.contains(n)}, dim: ${dCols.contains(n)})")
@@ -514,17 +524,34 @@ object RollupRewrite {
       throw new IllegalArgumentException("fact must be a single file-backed relation"))
     val dRel = baseRelation(dim.queryExecution.analyzed).getOrElse(
       throw new IllegalArgumentException("dim must be a single file-backed relation"))
+    // per-column hash shapes for the KMV columns, snapshotted from the
+    // SIDE that owns each column — shape normalization erases attribute
+    // identity, so the query-side expression over the JOIN output
+    // matches the same shape (the q171 contract, join-transparent)
+    val shapes = distinctCols.map { c =>
+      val side = if (fCols.contains(c)) fact else dim
+      val opt = side.select(graft.curate.Curate.portableHash60(
+          org.apache.spark.sql.functions.col(c)).as("__h"))
+        .queryExecution.optimizedPlan
+      val expr = opt.collectFirst {
+        case Project(Seq(Alias(child, _)), _) => child
+      }.getOrElse(throw new IllegalStateException(
+        s"could not snapshot hash shape for distinct column '$c'"))
+      c -> normalizedShape(expr)
+    }.toMap
     val d = JoinedRollupDef(
       fRel.location.rootPaths.map(_.toString).toSet,
       dRel.location.rootPaths.map(_.toString).toSet,
       keys.toSet, summary.queryExecution.analyzed, groupCols, measures,
       fingerprintOf(fRel.location), fingerprintOf(dRel.location),
       fingerprintEntries(fRel.location).toSet,
-      fingerprintEntries(dRel.location).toSet)
+      fingerprintEntries(dRel.location).toSet,
+      distinctCols, sketchK, shapes, histCols)
     import scala.jdk.CollectionConverters._
     joinedDefs.iterator().asScala
       .filter(o => o.factPaths == d.factPaths && o.dimPaths == d.dimPaths &&
-        o.keyPairs == d.keyPairs && o.groupCols == d.groupCols)
+        o.keyPairs == d.keyPairs && o.groupCols == d.groupCols &&
+        o.distinctCols == d.distinctCols && o.histCols == d.histCols)
       .toList.foreach(joinedDefs.remove)
     joinedDefs.add(d)
   }
@@ -701,13 +728,32 @@ object RollupRewrite {
     refreshStalePlain(spark, outDir, trashDirs) ++
       refreshStaleJoined(spark, outDir)
 
-  /** The JOINED-summary half of [[refreshStale]]: a fact-side PURE
-    * APPEND refreshes by aggregating `appended-fact-files ⋈ dim` and
-    * merging — delta-fact-sized work, the stored summary and the fact
-    * base never rescan (the dim side streams once against the delta,
-    * which an equi-join prunes/broadcasts). ANY dim-side change — and
-    * fact removals — report unrefreshable: a changed dim row multiplies
-    * into arbitrarily many stored groups, which is rebuild territory
+  /** The JOINED-summary half of [[refreshStale]]: PURE APPENDS on
+    * either (or both) sides delta-refresh via inner-join
+    * distributivity —
+    * {{{
+    *   (F ∪ ΔF) ⋈ (D ∪ ΔD) = (F ⋈ D) ∪ (ΔF ⋈ (D ∪ ΔD)) ∪ (F ⋈ ΔD)
+    * }}}
+    * the three terms pairwise disjoint by construction (a new pair has
+    * a new fact row — first delta term — or an old fact row with a new
+    * dim row — second), so the stored summary `Rollup.merge`s with the
+    * aggregate of the two delta joins. The cost asymmetry is the AJI's
+    * nature and is deliberate:
+    *
+    *  - a FACT-side append costs delta-fact-sized work (`ΔF ⋈ dim` —
+    *    the dim streams once against the delta, which the equi-join
+    *    prunes/broadcasts);
+    *  - a DIM-side append costs a REGISTERED-fact-files read
+    *    (`F ⋈ ΔD`) — every old fact row may pair with a new dim row,
+    *    so no summary arithmetic can avoid revisiting the fact; but
+    *    the join is against the delta dim rows only (broadcastable),
+    *    no old join pairs re-aggregate, and the merge stays
+    *    summary-sized — still far cheaper than the rebuild's full
+    *    fact ⋈ full dim.
+    *
+    * Any REMOVAL or in-place change on either side reports
+    * unrefreshable: a changed/removed dim row multiplies into
+    * arbitrarily many stored groups — rebuild territory
     * (re-materialize + re-register), not delta arithmetic. */
   private def refreshStaleJoined(spark: SparkSession,
                                  outDir: String): Seq[RefreshResult] = {
@@ -723,42 +769,74 @@ object RollupRewrite {
           s"joined dim base ${d.dimPaths} is no longer file-backed"))
       val fCur = fingerprintEntries(fRel.location).toSet
       val dCur = fingerprintEntries(dRel.location).toSet
-      val appended = fCur -- d.factManifest
-      val removed = d.factManifest -- fCur
+      val fApp = fCur -- d.factManifest
+      val fRem = d.factManifest -- fCur
+      val dApp = dCur -- d.dimManifest
+      val dRem = d.dimManifest -- dCur
       val unrefreshable = RefreshResult(d.factPaths ++ d.dimPaths,
         d.groupCols, refreshed = false, Nil, "")
+      def filesOf(entries: Set[String]): Seq[String] =
+        entries.toSeq.sorted.map(_.split("\\|")(0))
       if (fCur == d.factManifest && dCur == d.dimManifest) None // fresh
-      else if (dCur != d.dimManifest || removed.nonEmpty ||
-          appended.isEmpty || d.factManifest.isEmpty)
+      else if (fRem.nonEmpty || dRem.nonEmpty ||
+          d.factManifest.isEmpty || d.dimManifest.isEmpty)
         Some(unrefreshable)
       else {
-        val deltaFiles = appended.toSeq.sorted.map(_.split("\\|")(0))
-        val deltaFact = spark.read.parquet(deltaFiles: _*)
-        val dim = spark.read.parquet(d.dimPaths.toSeq: _*)
-        val neededFact = (d.groupCols ++ d.measures)
-          .filterNot(dim.columns.contains) ++ d.keyPairs.map(_._1)
-        if (!neededFact.toSet.subsetOf(deltaFact.columns.toSet))
-          Some(unrefreshable)
-        else {
+        val dimCur = spark.read.parquet(d.dimPaths.toSeq: _*)
+        val carried = d.groupCols ++ d.measures ++ d.distinctCols ++ d.histCols
+        val neededFact = carried.filterNot(dimCur.columns.contains) ++
+          d.keyPairs.map(_._1)
+        val neededDim = carried.filter(dimCur.columns.contains) ++
+          d.keyPairs.map(_._2)
+        def joinAgg(fact: DataFrame, dim: DataFrame): DataFrame = {
           val cond = d.keyPairs.toSeq.map { case (fk, dk) =>
-            deltaFact(fk) === dim(dk) }.reduce(_ && _)
-          val deltaSummary = Rollup.materialize(deltaFact.join(dim, cond),
-            d.groupCols, d.measures)
+            fact(fk) === dim(dk) }.reduce(_ && _)
+          Rollup.materialize(fact.join(dim, cond), d.groupCols, d.measures,
+            d.distinctCols, d.sketchK, d.histCols)
+        }
+        val parts = Seq.newBuilder[DataFrame]
+        var ok = true
+        if (fApp.nonEmpty) {
+          // ΔF ⋈ (D ∪ ΔD): the CURRENT dim — every pair with a new fact row
+          val deltaFact = spark.read.parquet(filesOf(fApp): _*)
+          if (!neededFact.toSet.subsetOf(deltaFact.columns.toSet)) ok = false
+          else parts += joinAgg(deltaFact, dimCur)
+        }
+        if (ok && dApp.nonEmpty) {
+          // F ⋈ ΔD: the registered fact files against the new dim rows
+          // only — old × old pairs stay in the stored summary
+          val oldFact = spark.read.parquet(filesOf(d.factManifest): _*)
+          val deltaDim = spark.read.parquet(filesOf(dApp): _*)
+          if (!neededFact.toSet.subsetOf(oldFact.columns.toSet) ||
+              !neededDim.toSet.subsetOf(deltaDim.columns.toSet)) ok = false
+          else parts += joinAgg(oldFact, deltaDim)
+        }
+        if (!ok) Some(unrefreshable)
+        else {
+          val deltaSummary = parts.result() match {
+            case Seq(one) => one
+            case Seq(a, b) => Rollup.merge(a, b, d.groupCols, d.measures,
+              d.distinctCols, d.sketchK, d.histCols)
+          }
           val stored = spark.read.parquet(d.summary.collect {
             case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
               fs.location.rootPaths.map(_.toString)
           }.flatten: _*)
           val ident = hexDigest(d.factPaths.toSeq.sorted ++
             d.dimPaths.toSeq.sorted ++ d.groupCols ++ d.measures ++
+            d.distinctCols ++ Seq(d.sketchK.toString) ++
+            d.histCols.map(c => s"hist:$c") ++
             d.keyPairs.toSeq.sorted.map(p => s"${p._1}=${p._2}"))
-          val out = s"$outDir/refreshj_${ident}_${manifestDigest(fCur)}"
-          Rollup.merge(stored, deltaSummary, d.groupCols, d.measures)
+          val out = s"$outDir/refreshj_${ident}_" +
+            manifestDigest(fCur ++ dCur.map("dim:" + _))
+          Rollup.merge(stored, deltaSummary, d.groupCols, d.measures,
+              d.distinctCols, d.sketchK, d.histCols)
             .write.mode("overwrite").parquet(out)
-          registerJoined(spark.read.parquet(d.factPaths.toSeq: _*), dim,
+          registerJoined(spark.read.parquet(d.factPaths.toSeq: _*), dimCur,
             d.keyPairs.toSeq, spark.read.parquet(out), d.groupCols,
-            d.measures)
+            d.measures, d.distinctCols, d.sketchK, d.histCols)
           Some(RefreshResult(d.factPaths ++ d.dimPaths, d.groupCols,
-            refreshed = true, deltaFiles, out))
+            refreshed = true, filesOf(fApp) ++ filesOf(dApp), out))
         }
       }
     }
@@ -1294,74 +1372,140 @@ object RollupRewrite {
         return None
       val spark = SparkSession.active
       val deltaFiles = appended.toSeq.sorted.map(_.split("\\|")(0))
+      val key = (regDigest(d), manifestDigest(d.baseManifest),
+        manifestDigest(current))
       inCompensation.set(java.lang.Boolean.TRUE)
       try {
-        val summaryScan = d.summary match {
-          case r: LogicalRelation => r.newInstance()
-          case other => other
-        }
-        val names = summaryScan.output.map(_.name)
-        def localRel(schema: Seq[(String, org.apache.spark.sql.types.DataType, Boolean)],
-                     rows: Seq[org.apache.spark.sql.catalyst.InternalRow])
-            : LogicalPlan =
-          org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-            schema.map { case (n, dt, nl) => AttributeReference(n, dt, nl)() },
-            rows)
-        def typeOk(out: Seq[Attribute]): Boolean =
-          out.size == summaryScan.output.size &&
-            out.zip(summaryScan.output).forall { case (a, b) =>
-              // nullability IGNORED (catalogString): parquet round-trips
-              // the KMV/hist array columns as containsNull=true while a
-              // fresh delta aggregate produces containsNull=false — same
-              // physical data; Union.output takes the loosest anyway
-              a.dataType.catalogString == b.dataType.catalogString }
-        val key = (regDigest(d), manifestDigest(d.baseManifest),
-          manifestDigest(current))
-        val hit = compCache.get(key)
-        if (hit != null) {
-          val rel = localRel(hit._1, hit._2)
-          if (!typeOk(rel.output)) None
-          else Some(org.apache.spark.sql.catalyst.plans.logical
-            .Union(Seq(summaryScan, rel)))
-        } else {
+        spliceDeltaUnion(key, d.summary, {
           val delta = spark.read.parquet(deltaFiles: _*)
           if (!neededBaseColumns(spark, d).subsetOf(delta.columns.toSet)) None
-          else {
-            val deltaDf = Rollup.materializeExpr(delta, grainExprsOf(d),
-                d.measures, d.distinctCols, d.sketchK, d.histCols)
-              .select(names.map(org.apache.spark.sql.functions.col): _*)
-            val deltaPlan = deltaDf.queryExecution.optimizedPlan
-            // union children must agree on type, position by position —
-            // a stored layout the delta cannot reproduce exactly refuses
-            if (!typeOk(deltaPlan.output)) None
-            else if (!compPending.contains(key)) {
-              // FIRST serve for this (registration, base state): splice
-              // the delta SCAN — the query pays and structurally PROVES
-              // the exactly-the-appended-files read — and mark the key
-              // so the next serve fills the cache
-              compPending.add(key)
-              Some(org.apache.spark.sql.catalyst.plans.logical
-                .Union(Seq(summaryScan, deltaPlan)))
-            } else {
-              // steady state: collect the GROUP-sized delta summary once
-              // and cache it — this and later queries splice a
-              // driver-local relation, scanning NOTHING but the summary.
-              // A larger-than-cap result keeps splicing the scan plan
-              // (still correct, never cached).
-              val rows = deltaDf.queryExecution.executedPlan
-                .executeTake(CompCacheMaxRows + 1)
-              val child: LogicalPlan =
-                if (rows.length <= CompCacheMaxRows) {
-                  val schema = deltaPlan.output.map(a =>
-                    (a.name, a.dataType, a.nullable))
-                  compCache.put(key, (schema, rows.toSeq))
-                  localRel(schema, rows.toSeq)
-                } else deltaPlan
-              Some(org.apache.spark.sql.catalyst.plans.logical
-                .Union(Seq(summaryScan, child)))
-            }
+          else Some(Rollup.materializeExpr(delta, grainExprsOf(d),
+            d.measures, d.distinctCols, d.sketchK, d.histCols))
+        })
+      } finally inCompensation.set(java.lang.Boolean.FALSE)
+    }
+
+    /** The shared splice half of compensation (plain + joined paths):
+      * `Union(fresh summary scan instance, delta aggregate)` under the
+      * first-serve-scans / steady-state-cache protocol keyed by `key`
+      * (see [[compCache]]). `mkDelta` builds the delta aggregate in the
+      * stored layout (None when the delta cannot reproduce it) — called
+      * only on a cache miss. Callers hold [[inCompensation]]. */
+    private def spliceDeltaUnion(key: (String, String, String),
+        summary: LogicalPlan,
+        mkDelta: => Option[DataFrame]): Option[LogicalPlan] = {
+      val summaryScan = summary match {
+        case r: LogicalRelation => r.newInstance()
+        case other => other
+      }
+      val names = summaryScan.output.map(_.name)
+      def localRel(schema: Seq[(String, org.apache.spark.sql.types.DataType, Boolean)],
+                   rows: Seq[org.apache.spark.sql.catalyst.InternalRow])
+          : LogicalPlan =
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          schema.map { case (n, dt, nl) => AttributeReference(n, dt, nl)() },
+          rows)
+      def typeOk(out: Seq[Attribute]): Boolean =
+        out.size == summaryScan.output.size &&
+          out.zip(summaryScan.output).forall { case (a, b) =>
+            // nullability IGNORED (catalogString): parquet round-trips
+            // the KMV/hist array columns as containsNull=true while a
+            // fresh delta aggregate produces containsNull=false — same
+            // physical data; Union.output takes the loosest anyway
+            a.dataType.catalogString == b.dataType.catalogString }
+      val hit = compCache.get(key)
+      if (hit != null) {
+        val rel = localRel(hit._1, hit._2)
+        if (!typeOk(rel.output)) None
+        else Some(org.apache.spark.sql.catalyst.plans.logical
+          .Union(Seq(summaryScan, rel)))
+      } else {
+        mkDelta.flatMap { df =>
+          val deltaDf =
+            df.select(names.map(org.apache.spark.sql.functions.col): _*)
+          val deltaPlan = deltaDf.queryExecution.optimizedPlan
+          // union children must agree on type, position by position —
+          // a stored layout the delta cannot reproduce exactly refuses
+          if (!typeOk(deltaPlan.output)) None
+          else if (!compPending.contains(key)) {
+            // FIRST serve for this (registration, base state): splice
+            // the delta SCAN — the query pays and structurally PROVES
+            // the exactly-the-appended-files read — and mark the key
+            // so the next serve fills the cache
+            compPending.add(key)
+            Some(org.apache.spark.sql.catalyst.plans.logical
+              .Union(Seq(summaryScan, deltaPlan)))
+          } else {
+            // steady state: collect the GROUP-sized delta summary once
+            // and cache it — this and later queries splice a
+            // driver-local relation, scanning NOTHING but the summary.
+            // A larger-than-cap result keeps splicing the scan plan
+            // (still correct, never cached).
+            val rows = deltaDf.queryExecution.executedPlan
+              .executeTake(CompCacheMaxRows + 1)
+            val child: LogicalPlan =
+              if (rows.length <= CompCacheMaxRows) {
+                val schema = deltaPlan.output.map(a =>
+                  (a.name, a.dataType, a.nullable))
+                compCache.put(key, (schema, rows.toSeq))
+                localRel(schema, rows.toSeq)
+              } else deltaPlan
+            Some(org.apache.spark.sql.catalyst.plans.logical
+              .Union(Seq(summaryScan, child)))
           }
         }
+      }
+    }
+
+    /** Compensation for the AJI — the FOURTH serve shape (q198 covers
+      * plain, CUBE, and per-side join navigation): a joined summary
+      * stale by a FACT-side pure append (dim manifest UNCHANGED)
+      * splices `Union(AJI scan, Rollup layout over Δfact ⋈ dim)`. The
+      * delta join is delta-fact-sized — the dim streams once against
+      * the delta, which the equi-join prunes/broadcasts (the
+      * [[refreshStaleJoined]] cost argument, paid at serve time on the
+      * first serve only; steady-state serves splice the cached
+      * GROUP-sized delta and scan the AJI alone, join-free). A DIM-side
+      * change refuses: its delta join reads the whole registered fact —
+      * a maintenance-time move ([[refreshStaleJoined]]'s dim-append
+      * path), never a per-query one. */
+    private def joinedCompensationUnion(d: JoinedRollupDef,
+        factLoc: org.apache.spark.sql.execution.datasources.FileIndex,
+        dimLoc: org.apache.spark.sql.execution.datasources.FileIndex)
+        : Option[LogicalPlan] = {
+      if (fingerprintOf(dimLoc) != d.dimFingerprint) return None
+      val current = fingerprintEntries(factLoc).toSet
+      val appended = current -- d.factManifest
+      val removed = d.factManifest -- current
+      if (d.factManifest.isEmpty || appended.isEmpty || removed.nonEmpty)
+        return None
+      val spark = SparkSession.active
+      val deltaFiles = appended.toSeq.sorted.map(_.split("\\|")(0))
+      val ident = hexDigest(d.factPaths.toSeq.sorted ++
+        d.dimPaths.toSeq.sorted ++ d.groupCols ++ d.measures ++
+        d.distinctCols ++ Seq(d.sketchK.toString) ++
+        d.histCols.map(c => s"hist:$c") ++
+        d.keyPairs.toSeq.sorted.map(p => s"${p._1}=${p._2}") ++
+        Seq("joined-comp", d.dimFingerprint))
+      val key = (ident, manifestDigest(d.factManifest),
+        manifestDigest(current))
+      inCompensation.set(java.lang.Boolean.TRUE)
+      try {
+        spliceDeltaUnion(key, d.summary, {
+          val deltaFact = spark.read.parquet(deltaFiles: _*)
+          val dim = spark.read.parquet(d.dimPaths.toSeq: _*)
+          val neededFact = (d.groupCols ++ d.measures ++ d.distinctCols ++
+            d.histCols).filterNot(dim.columns.contains) ++
+            d.keyPairs.map(_._1)
+          if (!neededFact.toSet.subsetOf(deltaFact.columns.toSet)) None
+          else {
+            val cond = d.keyPairs.toSeq.map { case (fk, dk) =>
+              deltaFact(fk) === dim(dk) }.reduce(_ && _)
+            Some(Rollup.materialize(deltaFact.join(dim, cond),
+              d.groupCols, d.measures, d.distinctCols, d.sketchK,
+              d.histCols))
+          }
+        })
       } finally inCompensation.set(java.lang.Boolean.FALSE)
     }
 
@@ -1691,9 +1835,27 @@ object RollupRewrite {
       val (fresh, stale) = cands.partition(isFresh)
       def asDef(d: JoinedRollupDef): RollupDef =
         RollupDef(d.factPaths ++ d.dimPaths, d.summary, d.groupCols,
-          d.measures)
+          d.measures, d.distinctCols, d.sketchK, d.sketchShapes,
+          histCols = d.histCols)
       fresh.view.flatMap(d => tryRewriteWith(agg, conds, subst, asDef(d)))
         .headOption
+        .orElse {
+          // serve-time compensation (q198's device, AJI shape): probe
+          // the plain summary first — delta plan-building stays off
+          // candidates that cannot answer this aggregate anyway. A
+          // compensated serve counts as fresh for strict mode.
+          if (!compensating) None
+          else stale.view.flatMap { d =>
+            if (tryRewriteWith(agg, conds, subst, asDef(d)).isEmpty) None
+            else {
+              val (fLoc, dLoc) =
+                if (d.factPaths == lPaths) (lRel.location, rRel.location)
+                else (rRel.location, lRel.location)
+              joinedCompensationUnion(d, fLoc, dLoc).flatMap(u =>
+                tryRewriteWith(agg, conds, subst, asDef(d).copy(summary = u)))
+            }
+          }.headOption
+        }
         .orElse {
           if (strictStaleness && stale.exists(d =>
               tryRewriteWith(agg, conds, subst, asDef(d)).isDefined))
@@ -2159,13 +2321,19 @@ object Rollup {
   }
 
   /** Summary over `fact ⋈ dim` for [[RollupRewrite.registerJoined]] —
-    * the aggregate-join-summary build step. Grain/measure columns may
-    * come from either side (unique names enforced at registration). */
+    * the aggregate-join-summary build step. Grain/measure/sketch
+    * columns may come from either side (unique names enforced at
+    * registration); `distinctCols`/`histCols` make it a SKETCH-CARRYING
+    * AJI (KMV distinct + histogram quantile dashboards over the join
+    * with zero Join nodes at serve time). */
   def materializeJoined(fact: DataFrame, dim: DataFrame,
                         keys: Seq[(String, String)], groupCols: Seq[String],
-                        measures: Seq[String]): DataFrame = {
+                        measures: Seq[String],
+                        distinctCols: Seq[String] = Nil, sketchK: Int = 64,
+                        histCols: Seq[String] = Nil): DataFrame = {
     val cond = keys.map { case (f, d) => fact(f) === dim(d) }.reduce(_ && _)
-    materialize(fact.join(dim, cond), groupCols, measures)
+    materialize(fact.join(dim, cond), groupCols, measures, distinctCols,
+      sketchK, histCols)
   }
 
   /** Merge two [[materialize]] outputs (a stored summary and a new

@@ -4977,14 +4977,15 @@ object Queries {
     * either): a fact-side PURE APPEND delta-refreshes the joined
     * summary by aggregating `appended-fact-files ⋈ dim` and merging —
     * delta-fact-sized work, the stored summary and the fact base never
-    * rescan. ANY dim-side change reports unrefreshable (a changed dim
-    * row multiplies into arbitrarily many stored groups — rebuild
+    * rescan. Dim-side REMOVALS report unrefreshable (a removed/changed
+    * dim row multiplies into arbitrarily many stored groups — rebuild
     * territory, not delta arithmetic; the gate requires this refusal
-    * in-query after a dim append). The fact base is four orders slices
+    * in-query). The fact base is four orders slices
     * (`o_orderkey % 4`, s3 appended), the dim the full customer table,
     * so the refreshed AJI must equal the full-join recompute. Serve
-    * plan-required on the refreshed summary with ZERO Join nodes.
-    * Integer measure. */
+    * plan-required on the refreshed summary with ZERO Join nodes. A
+    * dim-side REMOVAL is required to refuse in-query (dim appends are
+    * q206's refreshable path). Integer measure. */
   def q204JoinedMaintenance(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
     val R = graft.plan.RollupRewrite
@@ -4994,7 +4995,12 @@ object Queries {
       writeNamedSlice(tbl(s, dir, "orders")
         .filter(col("o_orderkey") % 4 === sl), s"$tmpRoot/fact", s"s$sl")
     }
-    tbl(s, dir, "customer").write.mode("overwrite").parquet(s"$tmpRoot/dim")
+    // two named dim slices: the removal leg below must leave the dim
+    // base readable (a one-file dim would empty the dir)
+    (0 until 2).foreach { sl =>
+      writeNamedSlice(tbl(s, dir, "customer")
+        .filter(col("c_custkey") % 2 === sl), s"$tmpRoot/dim", s"c$sl")
+    }
     val fact0 = s.read.parquet(s"$tmpRoot/fact")
     val dim0 = s.read.parquet(s"$tmpRoot/dim")
     graft.plan.Rollup.materializeJoined(fact0, dim0,
@@ -5027,14 +5033,257 @@ object Queries {
       require(q.queryExecution.optimizedPlan.collect {
           case j: LJoin => j }.isEmpty, "no serve-time join post-refresh")
       val out = materializeSmall(s, q)
-      // a DIM append must be REFUSED (rebuild territory), never folded
-      tbl(s, dir, "customer").limit(3)
-        .write.mode("append").parquet(s"$tmpRoot/dim")
+      // a DIM REMOVAL must be REFUSED (a removed/changed dim row
+      // multiplies into arbitrarily many stored groups — rebuild
+      // territory, never delta arithmetic; dim APPENDS are q206's
+      // refreshable path)
+      val dimFile = new java.io.File(s"$tmpRoot/dim").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      require(dimFile.delete(), s"test setup: could not delete $dimFile")
       val rep2 = R.refreshStale(s, s"$tmpRoot/ref2")
       require(rep2.size == 1 && !rep2.head.refreshed,
-        s"a dim change must report unrefreshable: $rep2")
+        s"a dim removal must report unrefreshable: $rep2")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
       out
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
+  /** AJI SERVE-TIME COMPENSATION ([[graft.plan.RollupRewrite
+    * .setCompensation]] extended to the FOURTH serve shape — q198/q199
+    * cover plain, CUBE, and per-side join navigation): an aggregate
+    * join summary stale by a FACT-side pure append serves
+    * `Union(AJI scan, Rollup layout over Δfact ⋈ dim)` — the rewrite's
+    * own re-aggregation merges the union's partials, so the answer
+    * equals the fresh-AJI answer with NO refresh job in the loop. The
+    * FIRST serve splices the delta join (delta-fact-sized; the dim
+    * streams once against it) — plan-required to read the AJI +
+    * EXACTLY s3.parquet + the dim dir, never the fact base dir; from
+    * the SECOND serve the GROUP-sized delta is a cached driver-local
+    * relation and the plan scans the AJI ALONE with ZERO Join nodes
+    * (both plan-required, and the cached-serve rows are required
+    * in-query to equal the spliced-scan rows). A DIM-side change
+    * REFUSES compensation (its delta join would read the whole
+    * registered fact — a maintenance-time move, q206's path, never a
+    * per-query one): the gate requires the post-dim-append serve to
+    * fall back to the real join. Fact = four orders slices
+    * (`o_orderkey % 4`, s3 appended) ⇒ base ∪ delta is the whole
+    * table and the oracle is a plain join recompute. Integer
+    * measures: the union merge is bit-exact, no float surface. */
+  def q205JoinedCompensation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q205_aji_comp")
+      .toFile.getAbsolutePath
+    (0 until 3).foreach { sl =>
+      writeNamedSlice(tbl(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === sl), s"$tmpRoot/fact", s"s$sl")
+    }
+    tbl(s, dir, "customer").write.mode("overwrite").parquet(s"$tmpRoot/dim")
+    val fact0 = s.read.parquet(s"$tmpRoot/fact")
+    val dim0 = s.read.parquet(s"$tmpRoot/dim")
+    graft.plan.Rollup.materializeJoined(fact0, dim0,
+        Seq("o_custkey" -> "c_custkey"), Seq("c_mktsegment"),
+        Seq("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/aji")
+    R.registerJoined(fact0, dim0, Seq("o_custkey" -> "c_custkey"),
+      s.read.parquet(s"$tmpRoot/aji"), Seq("c_mktsegment"),
+      Seq("o_orderkey"))
+    R.enable(s)
+    R.setCompensation(true)
+    try {
+      writeNamedSlice(tbl(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 3), s"$tmpRoot/fact", "s3")
+      def serve(): DataFrame = s.read.parquet(s"$tmpRoot/fact")
+        .join(s.read.parquet(s"$tmpRoot/dim"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_ok"),
+          min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+        .select(col("c_mktsegment").as("seg"), col("n_rows"),
+          col("sum_ok"), col("mn"), col("mx"))
+      // FIRST compensated serve: pays and structurally PROVES the
+      // exactly-the-appended-file read (AJI + s3 + dim, never /fact)
+      val first = serve()
+      val scans1 = R.scanRootPaths(first)
+      require(scans1.exists(_.endsWith("/aji")) &&
+          scans1.exists(_.endsWith("/dim")) &&
+          scans1.filter(_.contains("/fact/")).map(p =>
+            p.substring(p.lastIndexOf('/') + 1)) == Set("s3.parquet") &&
+          !scans1.exists(_.endsWith("/fact")),
+        s"first compensated AJI serve must read the AJI + exactly s3.parquet — $scans1")
+      val out = materializeSmall(s, first)
+      // STEADY STATE (second serve on): the delta is a cached
+      // driver-local relation — the plan scans the AJI alone, join-free
+      val steady = serve()
+      val scans2 = R.scanRootPaths(steady)
+      require(scans2 == Set(s"file:$tmpRoot/aji"),
+        s"steady-state compensated AJI serve must scan the AJI ALONE — $scans2")
+      require(steady.queryExecution.optimizedPlan.collect {
+          case j: LJoin => j }.isEmpty,
+        "steady-state compensated AJI serve must contain NO join")
+      val a = steady.collect().map(_.toString).sorted.toSeq
+      val b = out.collect().map(_.toString).sorted.toSeq
+      require(a == b, "cached-delta serve must equal the spliced-scan serve")
+      // a DIM append must REFUSE compensation: fall back to the real join
+      tbl(s, dir, "customer").limit(4)
+        .write.mode("append").parquet(s"$tmpRoot/dim")
+      val fallen = R.scanRootPaths(serve())
+      require(fallen.exists(_.endsWith("/fact")) &&
+          fallen.exists(_.endsWith("/dim")),
+        s"dim-stale AJI must refuse compensation and fall back — $fallen")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+      out
+    } finally {
+      R.disable(s); R.setCompensation(false); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
+  /** AJI DIM-APPEND REFRESH ([[graft.plan.RollupRewrite.refreshStale]]'s
+    * joined pass, BOTH sides appended — closing q204's asymmetry for
+    * the append-only case): inner-join distributivity
+    * `(F∪ΔF) ⋈ (D∪ΔD) = (F⋈D) ∪ (ΔF⋈(D∪ΔD)) ∪ (F⋈ΔD)` makes a pure
+    * dim-side append exactly refreshable — the registered fact files
+    * join the NEW dim rows only (broadcastable; no old pair
+    * re-aggregates), the appended fact files join the current dim, and
+    * the two delta aggregates merge into the stored summary. The gate
+    * appends a fact slice AND a dim slice in one stale window and
+    * requires ONE refresh covering exactly both appended files; the
+    * post-refresh serve is plan-required on the refreshed AJI with
+    * ZERO Join nodes. Fact = four orders slices (`o_orderkey % 4`, s3
+    * appended); dim = customer split on `c_custkey % 3` (the `= 1`
+    * slice appended — EXISTING fact keys, so the old-fact × new-dim
+    * term is non-empty and a missed F⋈ΔD term hash-fails). Base ∪
+    * deltas = the full tables ⇒ oracle = plain join recompute. Integer
+    * measures. */
+  def q206JoinedDimAppend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q206_aji_dim")
+      .toFile.getAbsolutePath
+    (0 until 3).foreach { sl =>
+      writeNamedSlice(tbl(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === sl), s"$tmpRoot/fact", s"s$sl")
+    }
+    writeNamedSlice(tbl(s, dir, "customer")
+      .filter(col("c_custkey") % 3 =!= 1), s"$tmpRoot/dim", "c0")
+    val fact0 = s.read.parquet(s"$tmpRoot/fact")
+    val dim0 = s.read.parquet(s"$tmpRoot/dim")
+    graft.plan.Rollup.materializeJoined(fact0, dim0,
+        Seq("o_custkey" -> "c_custkey"), Seq("c_mktsegment"),
+        Seq("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/aji")
+    R.registerJoined(fact0, dim0, Seq("o_custkey" -> "c_custkey"),
+      s.read.parquet(s"$tmpRoot/aji"), Seq("c_mktsegment"),
+      Seq("o_orderkey"))
+    R.enable(s)
+    try {
+      writeNamedSlice(tbl(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 3), s"$tmpRoot/fact", "s3")
+      writeNamedSlice(tbl(s, dir, "customer")
+        .filter(col("c_custkey") % 3 === 1), s"$tmpRoot/dim", "c1")
+      val rep = R.refreshStale(s, s"$tmpRoot/ref")
+      val deltaNames = rep.headOption.toSeq.flatMap(_.deltaFiles)
+        .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      require(rep.size == 1 && rep.head.refreshed &&
+          deltaNames == Set("s3.parquet", "c1.parquet"),
+        s"the AJI must delta-refresh from exactly the two appended files: $rep")
+      val q = s.read.parquet(s"$tmpRoot/fact")
+        .join(s.read.parquet(s"$tmpRoot/dim"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_ok"),
+          min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+        .select(col("c_mktsegment").as("seg"), col("n_rows"),
+          col("sum_ok"), col("mn"), col("mx"))
+      val scans = R.scanRootPaths(q)
+      require(scans.size == 1 && scans.head.contains("refreshj"),
+        s"post-refresh serve must ride the refreshed AJI alone — $scans")
+      require(q.queryExecution.optimizedPlan.collect {
+          case j: LJoin => j }.isEmpty, "no serve-time join post-refresh")
+      materializeAndCleanup(s, q, tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
+  /** SKETCH-CARRYING AGGREGATE JOIN SUMMARY (q171's KMV device + q200's
+    * histogram device over the q203 join shape): one AJI over
+    * `orders ⋈ customer` carries per-segment KMV sketches of
+    * `o_orderpriority` and 256-bucket integer histograms of `o_custkey`
+    * alongside the ordinary measure partials — distinct AND quantile
+    * dashboards over the join serve from ONE summary scan with ZERO
+    * Join nodes (both legs plan-required). KMV/hist aggs are lossless
+    * and mergeable, so a summary-served sketch is IDENTICAL to the
+    * base-computed one (the q171 contract, now join-transparent: the
+    * query-side hash expression is written over the JOIN output and
+    * shape-matches the registration snapshot taken on the owning
+    * side). Leg `kmv`: counts + sums + the KMV distinct estimate of
+    * priority per segment — 5 distinct values < k=16, so the sketch is
+    * UNFILLED and the estimate is the exact count (integer-valued
+    * doubles, no float surface); leg `hist`: p50/p90/p99 of custkey
+    * per segment via the q80 integer bucket replay. Oracle = the q171
+    * md5-k-minima replay + the q200 bucket replay, both over the
+    * joined rows. */
+  def q207JoinedSketches(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import graft.functions.expressions.KmvDistinctAgg.{estimateDistinct, kmvSketch}
+    val R = graft.plan.RollupRewrite
+    val H = graft.functions.expressions.HistAgg
+    val k = 16
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q207_aji_sketch")
+      .toFile.getAbsolutePath
+    tbl(s, dir, "orders").write.mode("overwrite").parquet(s"$tmpRoot/fact")
+    tbl(s, dir, "customer").write.mode("overwrite").parquet(s"$tmpRoot/dim")
+    val fact = s.read.parquet(s"$tmpRoot/fact")
+    val dim = s.read.parquet(s"$tmpRoot/dim")
+    graft.plan.Rollup.materializeJoined(fact, dim,
+        Seq("o_custkey" -> "c_custkey"), Seq("c_mktsegment"),
+        Seq("o_orderkey"), distinctCols = Seq("o_orderpriority"),
+        sketchK = k, histCols = Seq("o_custkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/aji")
+    R.registerJoined(fact, dim, Seq("o_custkey" -> "c_custkey"),
+      s.read.parquet(s"$tmpRoot/aji"), Seq("c_mktsegment"),
+      Seq("o_orderkey"), distinctCols = Seq("o_orderpriority"),
+      sketchK = k, histCols = Seq("o_custkey"))
+    R.enable(s)
+    try {
+      def requireAji(df: DataFrame, name: String): DataFrame = {
+        val scans = R.scanRootPaths(df)
+        require(scans == Set(s"file:$tmpRoot/aji"),
+          s"$name must serve from the AJI alone — $scans")
+        require(df.queryExecution.optimizedPlan.collect {
+            case j: LJoin => j }.isEmpty,
+          s"$name must contain NO serve-time join")
+        df
+      }
+      val joined = fact.join(dim, col("o_custkey") === col("c_custkey"))
+      val nullP = lit(null).cast("double").as("prob")
+      val nullQ = lit(null).cast("long").as("qv")
+      val kmv = requireAji(joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_ok"),
+          kmvSketch(graft.curate.Curate.portableHash60(
+            col("o_orderpriority")), k).as("__mins"))
+        .select(lit("kmv").as("leg"), col("c_mktsegment").as("seg"),
+          col("n_rows"), col("sum_ok"),
+          estimateDistinct(col("__mins"), k).as("est_distinct"),
+          nullP, nullQ), "kmv leg")
+      val probs = Seq(0.5, 0.9, 0.99)
+      val hist = requireAji(joined.groupBy("c_mktsegment")
+        .agg(H.histSketch(col("o_custkey")).as("h"))
+        .select(col("c_mktsegment").as("seg"),
+          explode(array(probs.map(p => struct(lit(p).as("prob"),
+            H.histQuantile(col("h"), p).as("qv"))): _*)).as("e"))
+        .select(lit("hist").as("leg"), col("seg"),
+          lit(null).cast("long").as("n_rows"),
+          lit(null).cast("long").as("sum_ok"),
+          lit(null).cast("double").as("est_distinct"),
+          col("e.prob"), col("e.qv")), "hist leg")
+      materializeAndCleanup(s, kmv.unionByName(hist), tmpRoot)
     } finally {
       R.disable(s); R.clear()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
@@ -5770,7 +6019,10 @@ object Queries {
     "q201_designed_lattice" -> (q201DesignedLattice _),
     "q202_designed_maintenance" -> (q202DesignedMaintenance _),
     "q203_joined_summary" -> (q203JoinedSummary _),
-    "q204_joined_maintenance" -> (q204JoinedMaintenance _))
+    "q204_joined_maintenance" -> (q204JoinedMaintenance _),
+    "q205_joined_compensation" -> (q205JoinedCompensation _),
+    "q206_joined_dim_append" -> (q206JoinedDimAppend _),
+    "q207_joined_sketches" -> (q207JoinedSketches _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -7862,6 +8114,73 @@ object Queries {
         | min(o_orderkey) AS mn, max(o_orderkey) AS mx
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+    // q205: AJI serve-time compensation — base ∪ delta is the whole
+    // orders table, so the compensated serve must equal the plain join
+    // recompute; a missed delta file, a double-counted group, or a
+    // wrong cached delta hash-fails, and the splice/steady-state scan
+    // shapes are plan-required in-query.
+    "q205_joined_compensation" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+        | min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    // q206: AJI dim-append refresh — fact AND dim slices complete the
+    // full tables after the appends, so the refreshed AJI must equal
+    // the full-join recompute; a missed F⋈ΔD term (old fact × new dim
+    // keys) or a double-merged ΔF⋈ΔD pair hash-fails.
+    "q206_joined_dim_append" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+        | min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    // q207: sketch-carrying AJI — the q171 md5-k-minima replay and the
+    // q200 integer bucket replay, both over the JOINED rows; a sketch
+    // that is not byte-identical to the base-computed one (losslessness
+    // broken anywhere in build/serve) hash-fails. o_orderpriority has 5
+    // distinct values < k=16, so the KMV estimate is the EXACT count
+    // (integer-valued doubles, no float boundary).
+    "q207_joined_sketches" ->
+      """WITH j AS (SELECT c_mktsegment AS seg, o_orderkey,
+        |  o_orderpriority, o_custkey
+        | FROM orders JOIN customer ON o_custkey = c_custkey),
+        |h AS (SELECT DISTINCT seg,
+        |  CAST(concat('0x', substr(md5(CAST(o_orderpriority AS VARCHAR)), 1, 15))
+        |    AS BIGINT) AS v
+        | FROM j WHERE o_orderpriority IS NOT NULL),
+        |r AS (SELECT seg, v,
+        |  row_number() OVER (PARTITION BY seg ORDER BY v) AS rn FROM h),
+        |a AS (SELECT seg, count(*) AS cnt, max(v) AS kth
+        | FROM r WHERE rn <= 16 GROUP BY seg),
+        |b AS (SELECT seg, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_ok FROM j GROUP BY seg),
+        |hb AS (SELECT seg, (length(bin(o_custkey)) - 1) AS msb,
+        |  CASE WHEN length(bin(o_custkey)) - 1 >= 2
+        |       THEN (o_custkey >> (length(bin(o_custkey)) - 3)) & 3
+        |       ELSE 0 END AS sub
+        | FROM j WHERE o_custkey >= 1),
+        |hh AS (SELECT seg, msb*4 + sub AS bucket,
+        |  CASE WHEN msb >= 2
+        |       THEN (1::BIGINT << msb) + sub*(1::BIGINT << (msb - 2))
+        |       ELSE (1::BIGINT << msb) END AS lo,
+        |  count(*) AS cnt
+        | FROM hb GROUP BY 1, 2, 3),
+        |hc AS (SELECT seg, bucket, lo, cnt,
+        |  sum(cnt) OVER (PARTITION BY seg ORDER BY bucket) AS cum,
+        |  sum(cnt) OVER (PARTITION BY seg) AS total FROM hh),
+        |p AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS prob)
+        |SELECT 'kmv' AS leg, b.seg, b.n_rows, b.sum_ok,
+        | round(CASE WHEN a.cnt < 16 THEN CAST(a.cnt AS DOUBLE)
+        |   ELSE 15.0 * 1152921504606846976.0 / CAST(a.kth AS DOUBLE) END, 4)
+        |   AS est_distinct,
+        | CAST(NULL AS DOUBLE) AS prob, CAST(NULL AS BIGINT) AS qv
+        |FROM b JOIN a ON a.seg = b.seg
+        |UNION ALL
+        |SELECT 'hist', seg, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        | CAST(NULL AS DOUBLE), p.prob, min(lo)
+        |FROM hc CROSS JOIN p WHERE cum >= ceil(total * p.prob)
+        |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

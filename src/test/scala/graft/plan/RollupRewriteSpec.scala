@@ -1815,7 +1815,7 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
-  test("joined summary: fact-side append delta-refreshes; dim changes stay unrefreshable") {
+  test("joined summary: fact appends delta-refresh; dim appends refresh via F⋈ΔD; removals refuse") {
     val dir = java.nio.file.Files.createTempDirectory("aji_refresh").toString
     try {
       Seq((1L, 10L), (2L, 20L)).toDF("k", "m")
@@ -1833,7 +1833,7 @@ class RollupRewriteSpec extends SparkSpec {
       def files() = new java.io.File(s"$dir/fact").listFiles()
         .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
       val before = files()
-      Seq((1L, 100L), (3L, 7L)).toDF("k", "m") // k=3 has no dim row
+      Seq((1L, 100L), (3L, 7L)).toDF("k", "m") // k=3 has no dim row YET
         .write.mode("append").parquet(s"$dir/fact")
       val added = files() -- before
       val rep = RollupRewrite.refreshStale(spark, s"$dir/ref")
@@ -1851,16 +1851,192 @@ class RollupRewriteSpec extends SparkSpec {
           (r.getString(0), r.getLong(1), r.getLong(2))).toSet
         == Set(("s1", 2L, 110L), ("s2", 1L, 20L)),
         "the k=3 delta row has no dim match and must NOT appear")
-      // DIM append: unrefreshable, serve falls back to the real join
+      // DIM append: refreshable via F⋈ΔD — the new (3, s1) dim row must
+      // pick up the ALREADY-STORED k=3 fact row (the old-fact × new-dim
+      // term; a fact-delta-only refresh would miss it)
       Seq((3L, "s1")).toDF("dk", "seg").write.mode("append")
         .parquet(s"$dir/dim")
       val rep2 = RollupRewrite.refreshStale(spark, s"$dir/ref2")
-      assert(rep2.size == 1 && !rep2.head.refreshed,
-        s"a dim change must report unrefreshable: $rep2")
+      assert(rep2.size == 1 && rep2.head.refreshed,
+        s"a pure dim append must delta-refresh: $rep2")
+      val served2 = q()
+      assert(scanPaths(served2).forall(p =>
+          p.contains("/ref2/") && p.contains("refreshj")),
+        s"post-dim-refresh serve must ride the SECOND refresh: ${scanPaths(served2)}")
+      assert(served2.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        == Set(("s1", 3L, 117L), ("s2", 1L, 20L)),
+        "the stored k=3 fact row must join the appended dim row")
+      // a DIM REMOVAL refuses (rebuild territory), serve falls back
+      val dimFile = new java.io.File(s"$dir/dim").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(dimFile.delete())
+      val rep3 = RollupRewrite.refreshStale(spark, s"$dir/ref3")
+      assert(rep3.size == 1 && !rep3.head.refreshed,
+        s"a dim removal must report unrefreshable: $rep3")
       assert(scanPaths(q()).exists(_.contains("/fact")),
-        "stale-by-dim AJI must fall back to the real join")
+        "stale-by-dim-removal AJI must fall back to the real join")
     } finally {
       RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("joined summary: fact-append compensation — first serve splices the delta join, steady state scans the AJI alone; dim staleness refuses") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val dir = java.nio.file.Files.createTempDirectory("aji_comp").toString
+    try {
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "m")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      Seq((1L, "s1"), (2L, "s2")).toDF("dk", "seg")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact0 = spark.read.parquet(s"$dir/fact")
+      val dim0 = spark.read.parquet(s"$dir/dim")
+      Rollup.materializeJoined(fact0, dim0, Seq("k" -> "dk"),
+          Seq("seg"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/aji")
+      RollupRewrite.registerJoined(fact0, dim0, Seq("k" -> "dk"),
+        spark.read.parquet(s"$dir/aji"), Seq("seg"), Seq("m"))
+      RollupRewrite.enable(spark)
+      RollupRewrite.setCompensation(true)
+      // k=9 has no dim row: the delta JOIN (not a bare delta agg) must
+      // drop it exactly like the base join would
+      Seq((1L, 100L), (9L, 777L)).toDF("k", "m")
+        .write.mode("append").parquet(s"$dir/fact")
+      def q() = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim"), col("k") === col("dk"))
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum("m").as("s"),
+          min("m").as("mn"), max("m").as("mx"))
+      def vals(df: DataFrame) = df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      val want = Set(("s1", 2L, 110L, 10L, 100L), ("s2", 1L, 20L, 20L, 20L))
+      // FIRST serve: AJI + exactly the appended fact file + the dim —
+      // never the fact base dir
+      val first = q()
+      val s1 = scanPaths(first)
+      assert(s1.contains(s"file:$dir/aji") && s1.contains(s"file:$dir/dim") &&
+          s1.exists(p => p.contains("/fact/") && p.endsWith(".parquet")) &&
+          !s1.contains(s"file:$dir/fact"),
+        s"first compensated serve must splice the delta join: $s1")
+      assert(vals(first) == want)
+      // under strict staleness a compensated serve counts as FRESH
+      RollupRewrite.setStrictStaleness(true)
+      try assert(vals(q()) == want) // must not throw
+      finally RollupRewrite.setStrictStaleness(false)
+      // STEADY STATE: cached driver-local delta, AJI scan only, no join
+      val steady = q()
+      assert(scanPaths(steady) == Set(s"file:$dir/aji"),
+        s"steady-state compensated serve must scan the AJI alone: ${scanPaths(steady)}")
+      assert(steady.queryExecution.optimizedPlan.collect {
+          case j: LJoin => j }.isEmpty, "steady state must be join-free")
+      assert(vals(steady) == want)
+      // DIM staleness refuses compensation (and strict mode then throws)
+      Seq((9L, "s1")).toDF("dk", "seg").write.mode("append")
+        .parquet(s"$dir/dim")
+      val fallen = q()
+      assert(scanPaths(fallen).contains(s"file:$dir/fact") &&
+          scanPaths(fallen).contains(s"file:$dir/dim"),
+        s"dim-stale AJI must refuse compensation: ${scanPaths(fallen)}")
+      assert(vals(fallen) ==
+        Set(("s1", 3L, 887L, 10L, 777L), ("s2", 1L, 20L, 20L, 20L)))
+      RollupRewrite.setStrictStaleness(true)
+      try intercept[IllegalStateException] { q().queryExecution.optimizedPlan }
+      finally RollupRewrite.setStrictStaleness(false)
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.setCompensation(false)
+      RollupRewrite.setStrictStaleness(false)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("joined summary carries KMV + histogram sketches: serve lossless; compensation and refresh merge them exactly") {
+    import graft.functions.expressions.KmvDistinctAgg.{estimateDistinct, kmvSketch}
+    import graft.functions.expressions.HistAgg
+    import graft.curate.Curate.portableHash60
+    val dir = java.nio.file.Files.createTempDirectory("aji_sketch").toString
+    val k = 4
+    try {
+      // 6 distinct p values per segment > k=4: the FILLED-sketch
+      // estimate path is exercised, not just the exact-count one
+      Seq((1L, 3L, "p1"), (1L, 9L, "p2"), (1L, 17L, "p3"), (2L, 33L, "p4"),
+          (2L, 65L, "p5"), (2L, 129L, "p6"), (3L, 5L, "p1"), (3L, 40L, "p2"))
+        .toDF("k", "m", "p")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      Seq((1L, "s1"), (2L, "s2"), (3L, "s1")).toDF("dk", "seg")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact0 = spark.read.parquet(s"$dir/fact")
+      val dim0 = spark.read.parquet(s"$dir/dim")
+      Rollup.materializeJoined(fact0, dim0, Seq("k" -> "dk"), Seq("seg"),
+          Seq("m"), distinctCols = Seq("p"), sketchK = k,
+          histCols = Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/aji")
+      RollupRewrite.registerJoined(fact0, dim0, Seq("k" -> "dk"),
+        spark.read.parquet(s"$dir/aji"), Seq("seg"), Seq("m"),
+        distinctCols = Seq("p"), sketchK = k, histCols = Seq("m"))
+      def q() = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim"), col("k") === col("dk"))
+        .groupBy("seg")
+        .agg(kmvSketch(portableHash60(col("p")), k).as("mins"),
+          HistAgg.histSketch(col("m")).as("h"), count(lit(1)).as("n"))
+        .select(col("seg"), col("n"), concat_ws(",", col("mins")).as("ms"),
+          estimateDistinct(col("mins"), k).as("est"),
+          HistAgg.histQuantile(col("h"), 0.5).as("p50"),
+          HistAgg.histQuantile(col("h"), 0.99).as("p99"))
+      def vals(df: DataFrame) = df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5))).toSet
+      // base truth with the rule OFF
+      val want0 = vals(q())
+      RollupRewrite.enable(spark)
+      val served = q()
+      assert(scanPaths(served) == Set(s"file:$dir/aji"),
+        s"sketch AJI serve must be summary-only: ${scanPaths(served)}")
+      assert(vals(served) == want0,
+        "summary-served sketches must be IDENTICAL to base-computed")
+      // fact-append COMPENSATION: KMV union + hist bucket adds are
+      // lossless over the Union splice
+      RollupRewrite.setCompensation(true)
+      Seq((1L, 300L, "p7"), (2L, 70L, "p2")).toDF("k", "m", "p")
+        .write.mode("append").parquet(s"$dir/fact")
+      val comp = q()
+      assert(scanPaths(comp).exists(_.contains("/fact/")) &&
+          !scanPaths(comp).contains(s"file:$dir/fact"),
+        s"compensated sketch serve must splice the delta: ${scanPaths(comp)}")
+      RollupRewrite.disable(spark)
+      val want1 = vals(q())
+      RollupRewrite.enable(spark)
+      assert(vals(comp) == want1,
+        "compensated sketches must equal the base-computed ones")
+      // REFRESH folds the delta durably — sketch merge ≡ full rebuild;
+      // then a DIM append merges sketches through the F⋈ΔD path too
+      val rep = RollupRewrite.refreshStale(spark, s"$dir/ref")
+      assert(rep.size == 1 && rep.head.refreshed, s"refresh failed: $rep")
+      val refreshed = q()
+      assert(scanPaths(refreshed).forall(_.contains("refreshj")),
+        s"post-refresh serve must ride the refreshed AJI: ${scanPaths(refreshed)}")
+      assert(vals(refreshed) == want1)
+      // (9, s2) matches no fact row; (3, s3) matches the STORED k=3
+      // fact rows — a brand-new group whose KMV+hist come entirely from
+      // the F⋈ΔD term
+      Seq((9L, "s2"), (3L, "s3")).toDF("dk", "seg").write.mode("append")
+        .parquet(s"$dir/dim")
+      val rep2 = RollupRewrite.refreshStale(spark, s"$dir/ref2")
+      assert(rep2.size == 1 && rep2.head.refreshed,
+        s"dim append with sketches must refresh: $rep2")
+      RollupRewrite.disable(spark)
+      val want2 = vals(q())
+      RollupRewrite.enable(spark)
+      val refreshed2 = q()
+      assert(scanPaths(refreshed2).forall(_.contains("/ref2/")),
+        s"serve must ride the second refresh: ${scanPaths(refreshed2)}")
+      assert(vals(refreshed2) == want2)
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.setCompensation(false)
       RollupRewrite.clear()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }

@@ -239,7 +239,52 @@ object RollupRewrite {
     java.util.Collections.synchronizedSet(
       new java.util.LinkedHashSet[CaptureEntry]())
 
-  def startWorkloadCapture(): Unit = { capturedLog.clear(); capturing = true }
+  /** One captured JOIN-AGGREGATE observation — the AJI design input
+    * ([[SummaryDesigner.designJoined]], the q201 loop closed for the
+    * join shape): bases + equi-key pairs ORIENTED so `factPaths` is the
+    * side holding the aggregate arguments (falling back to the left
+    * side when ambiguous — orientation only matters for maintenance
+    * semantics, the join itself is symmetric), plus the same layout
+    * requirements a single-table [[CaptureEntry]] records. Grains are
+    * plain column names from either side (the AJI has no computed-grain
+    * support); a join-aggregate with a computed grouping expression is
+    * not recorded. */
+  case class JoinedCaptureEntry(factPaths: Set[String], dimPaths: Set[String],
+                                keyPairs: Set[(String, String)],
+                                grain: Set[String], filterCols: Set[String],
+                                measures: Set[String] = Set.empty,
+                                distinctCols: Set[String] = Set.empty,
+                                sketchCols: Set[String] = Set.empty,
+                                histCols: Set[String] = Set.empty,
+                                servable: Boolean = true,
+                                sketchKs: Set[Int] = Set.empty)
+
+  private val capturedJoinedLog =
+    java.util.Collections.synchronizedSet(
+      new java.util.LinkedHashSet[JoinedCaptureEntry]())
+
+  /** Captured join-aggregate observations matching `(factPaths,
+    * dimPaths, keys)` in EITHER orientation (entries are stored
+    * measure-side-oriented; a swapped match is returned as-is — grain
+    * and layout names are side-agnostic by the AJI's unique-name
+    * contract). */
+  def capturedJoinedEntries(factPaths: Set[String], dimPaths: Set[String],
+                            keys: Seq[(String, String)])
+      : Seq[JoinedCaptureEntry] = {
+    import scala.jdk.CollectionConverters._
+    val kp = keys.toSet
+    val kpSwapped = kp.map(_.swap)
+    capturedJoinedLog.asScala.toSeq.filter { e =>
+      (e.factPaths == factPaths && e.dimPaths == dimPaths &&
+        e.keyPairs == kp) ||
+      (e.factPaths == dimPaths && e.dimPaths == factPaths &&
+        e.keyPairs == kpSwapped)
+    }
+  }
+
+  def startWorkloadCapture(): Unit = {
+    capturedLog.clear(); capturedJoinedLog.clear(); capturing = true
+  }
   def stopWorkloadCapture(): Unit = capturing = false
 
   /** Run `body` with capture suspended — for operators that run their
@@ -258,7 +303,9 @@ object RollupRewrite {
     * captured grains over a shared table polluted a later capture). Use
     * this, not [[stopWorkloadCapture]], when the workload has been
     * consumed; stop alone keeps the log readable. */
-  def resetWorkloadCapture(): Unit = { capturing = false; capturedLog.clear() }
+  def resetWorkloadCapture(): Unit = {
+    capturing = false; capturedLog.clear(); capturedJoinedLog.clear()
+  }
 
   /** Distinct captured grains for a base (insertion order). */
   def capturedWorkload(basePaths: Set[String]): Seq[Set[String]] = {
@@ -1179,6 +1226,55 @@ object RollupRewrite {
         case _ => None
       }
 
+    /** Classify every AggregateExpression of `agg` into the summary
+      * column family that would serve it — (measures, exact distincts,
+      * KMV sketch cols, histogram cols, servable, sketch ks). Shared by
+      * the single-table and joined capture paths (see
+      * [[CaptureEntry]]/[[JoinedCaptureEntry]]). */
+    private def classifyAggs(agg: Aggregate,
+        attrName: Expression => Option[String])
+        : (Set[String], Set[String], Set[String], Set[String],
+           Boolean, Set[Int]) = {
+      var meas = Set.empty[String]; var dist = Set.empty[String]
+      var sk = Set.empty[String]; var hist = Set.empty[String]
+      var skKs = Set.empty[Int]
+      var servable = true
+      def measArg(e: Expression): Unit = attrName(e) match {
+        case Some(n) => meas += n
+        case None => servable = false
+      }
+      agg.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression => ae
+      }).foreach { ae =>
+        if (ae.filter.isDefined) servable = false
+        else if (ae.isDistinct) ae.aggregateFunction match {
+          case Count(args) if args.nonEmpty &&
+              args.forall(a => attrName(a).isDefined) =>
+            dist ++= args.flatMap(attrName)
+          case _ => servable = false
+        } else ae.aggregateFunction match {
+          case Count(Seq(Literal(v, _))) if v != null => ()
+          case Count(Seq(e)) => measArg(e)
+          case Sum(e, _) => measArg(e)
+          case Min(e) => measArg(e)
+          case Max(e) => measArg(e)
+          case Average(e, _) => measArg(e)
+          case kv: graft.functions.expressions.KmvDistinctAgg =>
+            kv.child.references.toSeq match {
+              case Seq(a) => sk += a.name; skKs += kv.k
+              case _ => servable = false
+            }
+          case hs: graft.functions.expressions.HistSketchAgg =>
+            attrName(hs.child) match {
+              case Some(n) => hist += n
+              case None => servable = false
+            }
+          case _ => servable = false
+        }
+      }
+      (meas, dist, sk, hist, servable, skKs)
+    }
+
     /** Substitute pulled-out alias definitions until fixpoint (an upper
       * Project's aliases may reference a lower Project's outputs). */
     @annotation.tailrec
@@ -1285,48 +1381,11 @@ object RollupRewrite {
           // layout requirements per aggregate call (the design half —
           // see CaptureEntry): classify every AggregateExpression into
           // the summary column family that would serve it
-          def attrName(e: Expression): Option[String] =
-            resolve(e, subst) match {
+          val (meas, dist, sk, hist, servable, skKs) =
+            classifyAggs(agg, e => resolve(e, subst) match {
               case a: AttributeReference => Some(a.name)
               case _ => None
-            }
-          var meas = Set.empty[String]; var dist = Set.empty[String]
-          var sk = Set.empty[String]; var hist = Set.empty[String]
-          var skKs = Set.empty[Int]
-          var servable = true
-          def measArg(e: Expression): Unit = attrName(e) match {
-            case Some(n) => meas += n
-            case None => servable = false
-          }
-          agg.aggregateExpressions.flatMap(_.collect {
-            case ae: AggregateExpression => ae
-          }).foreach { ae =>
-            if (ae.filter.isDefined) servable = false
-            else if (ae.isDistinct) ae.aggregateFunction match {
-              case Count(args) if args.nonEmpty &&
-                  args.forall(a => attrName(a).isDefined) =>
-                dist ++= args.flatMap(attrName)
-              case _ => servable = false
-            } else ae.aggregateFunction match {
-              case Count(Seq(Literal(v, _))) if v != null => ()
-              case Count(Seq(e)) => measArg(e)
-              case Sum(e, _) => measArg(e)
-              case Min(e) => measArg(e)
-              case Max(e) => measArg(e)
-              case Average(e, _) => measArg(e)
-              case kv: graft.functions.expressions.KmvDistinctAgg =>
-                kv.child.references.toSeq match {
-                  case Seq(a) => sk += a.name; skKs += kv.k
-                  case _ => servable = false
-                }
-              case hs: graft.functions.expressions.HistSketchAgg =>
-                attrName(hs.child) match {
-                  case Some(n) => hist += n
-                  case None => servable = false
-                }
-              case _ => servable = false
-            }
-          }
+            })
           capturedLog.add(CaptureEntry(paths, grains.flatten.toSet,
             filterCols, meas, dist, sk, hist, servable, skKs))
         }
@@ -1774,7 +1833,7 @@ object RollupRewrite {
     private def tryRewriteJoinedSummary(agg: Aggregate): Option[LogicalPlan] = {
       import org.apache.spark.sql.catalyst.plans.Inner
       import scala.jdk.CollectionConverters._
-      if (joinedDefs.isEmpty) return None
+      if (joinedDefs.isEmpty && !capturing) return None
       val (join, topConds, topSubst) =
         stripJoin(agg.child, Nil, Map.empty).getOrElse(return None)
       if (join.joinType != Inner || join.condition.isEmpty) return None
@@ -1810,6 +1869,37 @@ object RollupRewrite {
         }.toSet
       val lPaths = lRel.location.rootPaths.map(_.toString).toSet
       val rPaths = rRel.location.rootPaths.map(_.toString).toSet
+      if (capturing) {
+        // JOIN-AGGREGATE capture (the AJI design input): grains must be
+        // plain attributes, measures classify like the single-table
+        // path; inferred isnotnull(key) conjuncts DROP at serve time,
+        // so their references must not over-constrain the designer
+        val grains = agg.groupingExpressions.map(nameOf)
+        val keyNames0 = pairs.flatMap(p => Seq(p._1, p._2))
+        val filterCols = (lConds ++ rConds ++ topConds).flatMap(conjunctsOf)
+          .filterNot { c =>
+            resolve(c, subst) match {
+              case IsNotNull(a: AttributeReference) =>
+                keyNames0.contains(a.name)
+              case _ => false
+            }
+          }.flatMap(c => resolve(c, subst).references.map(_.name)).toSet
+        if (grains.forall(_.isDefined)) {
+          val (meas, dist, sk, hist, servable, skKs) =
+            classifyAggs(agg, nameOf)
+          val aggRefs = AttributeSet(agg.aggregateExpressions.flatMap(
+            _.collect { case ae: AggregateExpression => ae })
+            .flatMap(_.references))
+          val factIsLeft = aggRefs.isEmpty || !aggRefs.subsetOf(rightOut)
+          val (fp, dp, kp) =
+            if (factIsLeft) (lPaths, rPaths, pairs)
+            else (rPaths, lPaths, pairs.map(_.swap))
+          capturedJoinedLog.add(JoinedCaptureEntry(fp, dp, kp,
+            grains.flatten.toSet, filterCols, meas, dist, sk, hist,
+            servable, skKs))
+        }
+      }
+      if (joinedDefs.isEmpty) return None
       val cands = joinedDefs.iterator().asScala.filter { d =>
         (d.factPaths == lPaths && d.dimPaths == rPaths &&
           d.keyPairs == pairs) ||

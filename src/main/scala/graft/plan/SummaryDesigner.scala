@@ -136,4 +136,80 @@ object SummaryDesigner {
         sp.grainExprSql.map { case (n, sql) => n -> expr(sql) }, sp.histCols)
       out
     })
+
+  /** [[design]] for the JOIN shape — the q201 self-tuning loop closed
+    * for aggregate join summaries: captured JOIN-AGGREGATE observations
+    * over `(fact, dim, keys)` ([[RollupRewrite.capturedJoinedEntries]],
+    * either orientation) feed the same HRU advisor, with grain
+    * cardinalities computed over the JOINED frame (one join-sized
+    * advisor pass — approx mode via `sketchCardK` keeps it cube-free),
+    * and each advised grain carries the union of the needs of the
+    * queries it serves. Grains are plain columns from either side (the
+    * AJI contract); `grainExprSql` is always empty here. Deterministic
+    * like [[design]]. Returns Nil when nothing servable was captured
+    * for this join. */
+  def designJoined(fact: DataFrame, dim: DataFrame,
+                   keys: Seq[(String, String)], k: Int,
+                   sketchCardK: Option[Int] = None): Seq[SummarySpec] =
+    RollupRewrite.withCaptureSuspended {
+      val fPaths = RollupRewrite.scanRootPaths(fact)
+      val dPaths = RollupRewrite.scanRootPaths(dim)
+      val all = RollupRewrite.capturedJoinedEntries(fPaths, dPaths, keys)
+      val ks = all.filter(_.servable).flatMap(_.sketchKs).distinct
+      val sketchK = ks.headOption.getOrElse(64)
+      val entries = all.filter(e => e.servable &&
+        (e.sketchKs.isEmpty || e.sketchKs == Set(sketchK)))
+      if (entries.isEmpty) Nil
+      else {
+        val reqOf: RollupRewrite.JoinedCaptureEntry => Set[String] =
+          e => e.grain ++ e.filterCols ++ e.distinctCols
+        val cond = keys.map { case (f, d) => fact(f) === dim(d) }
+          .reduce(_ && _)
+        val joined = fact.join(dim, cond)
+        val joinedCols = joined.columns.toSet
+        val tokens = entries.flatMap(reqOf).distinct.sorted
+        // a requirement outside the join's columns cannot be designed for
+        val designable = entries.filter(e =>
+          reqOf(e).subsetOf(joinedCols) && e.grain.nonEmpty)
+        if (designable.isEmpty) Nil
+        else {
+          val dims = tokens.filter(joinedCols.contains).map(t => t -> col(t))
+          val workload = designable.map(reqOf)
+          val advice = LatticeAdvisor.advise(joined, dims, workload,
+            math.min(k, 1 << dims.size), sketchCardK)
+          advice.flatMap { a =>
+            val g = a.grain.toSet
+            val served = designable.filter(e => reqOf(e).subsetOf(g))
+            if (served.isEmpty) None
+            else Some(SummarySpec(a.grain, Map.empty,
+              served.flatMap(_.measures).distinct.sorted,
+              served.flatMap(_.sketchCols).distinct.sorted,
+              served.flatMap(_.histCols).distinct.sorted,
+              sketchK))
+          }
+        }
+      }
+    }
+
+  /** Materialize + register every designed JOINED spec under `outDir`
+    * (`designj_<i>_<grain digest>` parquet each) — after this, the
+    * captured join workload re-serves from the designed AJIs with zero
+    * Join nodes. Returns the summary paths in spec order. */
+  def buildAndRegisterJoined(spark: SparkSession, fact: DataFrame,
+                             dim: DataFrame, keys: Seq[(String, String)],
+                             specs: Seq[SummarySpec], outDir: String)
+      : Seq[String] =
+    RollupRewrite.withCaptureSuspended(specs.zipWithIndex.map { case (sp, i) =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(sp.grainCols.mkString(",")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(8)
+      val out = s"$outDir/designj_${i}_$digest"
+      Rollup.materializeJoined(fact, dim, keys, sp.grainCols, sp.measures,
+          sp.distinctCols, sp.sketchK, sp.histCols)
+        .write.mode("overwrite").parquet(out)
+      RollupRewrite.registerJoined(fact, dim, keys, spark.read.parquet(out),
+        sp.grainCols, sp.measures, sp.distinctCols, sp.sketchK, sp.histCols)
+      out
+    })
 }

@@ -5290,6 +5290,111 @@ object Queries {
     }
   }
 
+  /** SELF-DESIGNED AGGREGATE JOIN SUMMARIES ([[graft.plan
+    * .SummaryDesigner.designJoined]] — q201's capture→design→build→serve
+    * loop closed for the JOIN shape): workload capture now records
+    * JOIN-AGGREGATES too (bases + equi-keys oriented to the
+    * measure-holding side, grain/filter/layout requirements like the
+    * single-table entries, inferred isnotnull(key) conjuncts excluded —
+    * they drop at serve time and must not over-constrain the design),
+    * and the designer runs the same HRU advisor over the JOINED frame
+    * to pick AJI grains, each carrying the union of the needs of the
+    * queries it serves. The gate bootstraps from COLD traffic (nothing
+    * registered): a 3-query join dashboard — grouped count+sum by
+    * segment (w1), a status-filtered min/max (w2, whose filter column
+    * forces the (segment, status) grain), and a histogram quantile
+    * (w3) — is observed during plain optimization (no jobs), designed
+    * at k=2 (the in-gate requires: exactly the (seg) and (seg, status)
+    * grains, the coarse one carrying the histogram), built via
+    * materializeJoined, and the SAME workload re-runs with every leg
+    * plan-required on its designed AJI — w1/w3 lattice-routed to the
+    * COARSE grain, w2 to the fine — with ZERO Join nodes anywhere.
+    * Oracle = direct join recomputes + the q200 bucket replay over the
+    * joined rows. */
+  def q208DesignedJoined(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val H = graft.functions.expressions.HistAgg
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q208_design_aji")
+      .toFile.getAbsolutePath
+    tbl(s, dir, "orders").write.mode("overwrite").parquet(s"$tmpRoot/fact")
+    tbl(s, dir, "customer").write.mode("overwrite").parquet(s"$tmpRoot/dim")
+    val fact = s.read.parquet(s"$tmpRoot/fact")
+    val dim = s.read.parquet(s"$tmpRoot/dim")
+    val keys = Seq("o_custkey" -> "c_custkey")
+    val joined = fact.join(dim, col("o_custkey") === col("c_custkey"))
+    val nullL = lit(null).cast("long")
+    def w1 = joined.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_ok"))
+      .select(lit("w1").as("leg"), col("c_mktsegment").as("seg"),
+        col("n_rows"), col("sum_ok"), nullL.as("mn"), nullL.as("mx"),
+        lit(null).cast("double").as("prob"), nullL.as("qv"))
+    def w2 = joined.filter(col("o_orderstatus") === "F")
+      .groupBy("c_mktsegment")
+      .agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+      .select(lit("w2").as("leg"), col("c_mktsegment").as("seg"),
+        nullL.as("n_rows"), nullL.as("sum_ok"), col("mn"), col("mx"),
+        lit(null).cast("double").as("prob"), nullL.as("qv"))
+    val probs = Seq(0.5, 0.9, 0.99)
+    def w3 = joined.groupBy("c_mktsegment")
+      .agg(H.histSketch(col("o_custkey")).as("h"))
+      .select(col("c_mktsegment").as("seg"),
+        explode(array(probs.map(p => struct(lit(p).as("prob"),
+          H.histQuantile(col("h"), p).as("qv"))): _*)).as("e"))
+      .select(lit("w3").as("leg"), col("seg"), nullL.as("n_rows"),
+        nullL.as("sum_ok"), nullL.as("mn"), nullL.as("mx"),
+        col("e.prob"), col("e.qv"))
+    R.enable(s)
+    R.startWorkloadCapture()
+    try {
+      // COLD observation: nothing registered — optimizing the legs
+      // records the joined capture entries, no jobs run
+      w1.queryExecution.optimizedPlan
+      w2.queryExecution.optimizedPlan
+      w3.queryExecution.optimizedPlan
+      val observed = R.capturedJoinedEntries(
+        R.scanRootPaths(fact.select("o_orderkey")),
+        R.scanRootPaths(dim.select("c_custkey")), keys)
+      require(observed.count(_.servable) >= 3,
+        s"cold join workload must be captured — got $observed")
+      R.stopWorkloadCapture() // keep the log readable for the design
+      val specs = graft.plan.SummaryDesigner.designJoined(fact, dim, keys, 2)
+      require(specs.size == 2, s"expected a 2-grain AJI design: $specs")
+      val coarse = specs.find(_.grainCols == Seq("c_mktsegment"))
+        .getOrElse(throw new IllegalStateException(
+          s"design must include the (c_mktsegment) grain: $specs"))
+      val fine = specs.find(_.grainCols.toSet ==
+          Set("c_mktsegment", "o_orderstatus"))
+        .getOrElse(throw new IllegalStateException(
+          s"design must include the (c_mktsegment, o_orderstatus) grain: $specs"))
+      require(coarse.measures.contains("o_orderkey") &&
+          coarse.histCols == Seq("o_custkey"),
+        s"the coarse AJI must carry the sum measure AND the histogram: $coarse")
+      require(fine.measures.contains("o_orderkey"),
+        s"the fine AJI must carry the filtered legs' measure: $fine")
+      val outs = graft.plan.SummaryDesigner.buildAndRegisterJoined(
+        s, fact, dim, keys, specs, s"$tmpRoot/designed")
+      val coarseOut = outs(specs.indexOf(coarse))
+      val fineOut = outs(specs.indexOf(fine))
+      def requireOn(df: DataFrame, path: String, name: String): DataFrame = {
+        val scans = R.scanRootPaths(df)
+        require(scans == Set(s"file:$path"),
+          s"$name must serve from its designed AJI alone — $scans")
+        require(df.queryExecution.optimizedPlan.collect {
+            case j: LJoin => j }.isEmpty,
+          s"$name must contain NO serve-time join")
+        df
+      }
+      val served = requireOn(w1, coarseOut, "w1")
+        .unionByName(requireOn(w2, fineOut, "w2"))
+        .unionByName(requireOn(w3, coarseOut, "w3"))
+      materializeAndCleanup(s, served, tmpRoot)
+    } finally {
+      R.disable(s); R.resetWorkloadCapture(); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** COMPUTED-DIMENSION grain serving ([[graft.plan.RollupRewrite]] —
     * VERDICT r10 #1, the optimizer tier's sharpest real-user edge): a
     * summary grained by `month(o_orderdate)` — a stored EXPRESSION value,
@@ -6022,7 +6127,8 @@ object Queries {
     "q204_joined_maintenance" -> (q204JoinedMaintenance _),
     "q205_joined_compensation" -> (q205JoinedCompensation _),
     "q206_joined_dim_append" -> (q206JoinedDimAppend _),
-    "q207_joined_sketches" -> (q207JoinedSketches _))
+    "q207_joined_sketches" -> (q207JoinedSketches _),
+    "q208_designed_joined" -> (q208DesignedJoined _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -8181,6 +8287,45 @@ object Queries {
         | CAST(NULL AS DOUBLE), p.prob, min(lo)
         |FROM hc CROSS JOIN p WHERE cum >= ceil(total * p.prob)
         |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    // q208: self-designed AJIs — the design/build/routing shape is
+    // structurally required in-query (2-grain design, per-leg serves,
+    // zero joins); the hash gate replays the three workload legs as
+    // direct join recomputes (+ the q200 bucket replay for w3), so a
+    // wrong designed layout or a mis-served leg hash-fails.
+    "q208_designed_joined" ->
+      """WITH j AS (SELECT c_mktsegment AS seg, o_orderkey,
+        |  o_orderstatus, o_custkey
+        | FROM orders JOIN customer ON o_custkey = c_custkey),
+        |hb AS (SELECT seg, (length(bin(o_custkey)) - 1) AS msb,
+        |  CASE WHEN length(bin(o_custkey)) - 1 >= 2
+        |       THEN (o_custkey >> (length(bin(o_custkey)) - 3)) & 3
+        |       ELSE 0 END AS sub
+        | FROM j WHERE o_custkey >= 1),
+        |hh AS (SELECT seg, msb*4 + sub AS bucket,
+        |  CASE WHEN msb >= 2
+        |       THEN (1::BIGINT << msb) + sub*(1::BIGINT << (msb - 2))
+        |       ELSE (1::BIGINT << msb) END AS lo,
+        |  count(*) AS cnt
+        | FROM hb GROUP BY 1, 2, 3),
+        |hc AS (SELECT seg, bucket, lo, cnt,
+        |  sum(cnt) OVER (PARTITION BY seg ORDER BY bucket) AS cum,
+        |  sum(cnt) OVER (PARTITION BY seg) AS total FROM hh),
+        |p AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS prob)
+        |SELECT 'w1' AS leg, seg, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+        | CAST(NULL AS BIGINT) AS mn, CAST(NULL AS BIGINT) AS mx,
+        | CAST(NULL AS DOUBLE) AS prob, CAST(NULL AS BIGINT) AS qv
+        |FROM j GROUP BY 2
+        |UNION ALL
+        |SELECT 'w2', seg, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        | min(o_orderkey), max(o_orderkey), CAST(NULL AS DOUBLE),
+        | CAST(NULL AS BIGINT)
+        |FROM j WHERE o_orderstatus = 'F' GROUP BY 2
+        |UNION ALL
+        |SELECT 'w3', seg, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        | CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), p.prob, min(lo)
+        |FROM hc CROSS JOIN p WHERE cum >= ceil(total * p.prob)
+        |GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin,
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

@@ -203,4 +203,71 @@ class SummaryDesignerSpec extends SparkSpec {
         Set(16, 32).contains(specs.head.sketchK), s"got $specs")
     }
   }
+
+  test("designJoined + buildAndRegisterJoined: captured join workload re-serves from designed AJIs") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val dir = java.nio.file.Files.createTempDirectory("designer_j").toString
+    try {
+      // (k, st) pairs repeat so the fine (seg, st) grain's cardinality
+      // sits below the join row count (positive HRU benefit)
+      Seq((1L, "x", 10L), (1L, "y", 20L), (2L, "x", 30L), (2L, "y", 40L),
+          (1L, "x", 11L), (1L, "y", 21L), (2L, "x", 31L), (2L, "y", 41L))
+        .toDF("k", "st", "m")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      Seq((1L, "s1"), (2L, "s2")).toDF("dk", "seg")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+      val keys = Seq("k" -> "dk")
+      def joined = fact.join(dim, col("k") === col("dk"))
+      def wA = joined.groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("m").as("s"))
+      def wB = joined.filter(col("st") === "x").groupBy("seg")
+        .agg(min("m").as("mn"), max("m").as("mx"))
+      RollupRewrite.enable(spark)
+      RollupRewrite.startWorkloadCapture()
+      wA.queryExecution.optimizedPlan
+      wB.queryExecution.optimizedPlan
+      // orientation transparency: entries resolve from EITHER side order
+      val fw = RollupRewrite.capturedJoinedEntries(
+        scanPaths(fact), scanPaths(dim), keys)
+      val bw = RollupRewrite.capturedJoinedEntries(
+        scanPaths(dim), scanPaths(fact), keys.map(_.swap))
+      assert(fw.count(_.servable) >= 2 && fw.toSet == bw.toSet,
+        s"joined capture must match either orientation: fw=$fw bw=$bw")
+      // the isnotnull(k)/isnotnull(dk) inferred conjuncts must NOT leak
+      // into filter requirements (they drop at serve time)
+      assert(fw.forall(e => !e.filterCols.contains("k") &&
+        !e.filterCols.contains("dk")), s"key isnotnulls leaked: $fw")
+      RollupRewrite.stopWorkloadCapture() // keep the log readable
+      val specs = SummaryDesigner.designJoined(fact, dim, keys, k = 2)
+      assert(specs.size == 2 &&
+          specs.exists(_.grainCols == Seq("seg")) &&
+          specs.exists(_.grainCols.toSet == Set("seg", "st")),
+        s"expected the (seg) + (seg, st) AJI design: $specs")
+      val outs = SummaryDesigner.buildAndRegisterJoined(
+        spark, fact, dim, keys, specs, s"$dir/designed")
+      val coarseOut = outs(specs.indexWhere(_.grainCols == Seq("seg")))
+      val fineOut = outs(specs.indexWhere(_.grainCols.size == 2))
+      def onlyOn(df: DataFrame, path: String): Unit = {
+        assert(scanPaths(df) == Set(s"file:$path"),
+          s"leg must ride its designed AJI: ${scanPaths(df)} vs $path")
+        assert(df.queryExecution.optimizedPlan.collect {
+          case j: LJoin => j }.isEmpty, "designed AJI serve must be join-free")
+      }
+      onlyOn(wA, coarseOut)
+      onlyOn(wB, fineOut)
+      assert(wA.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set(("s1", 4L, 62L), ("s2", 4L, 142L)))
+      assert(wB.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set(("s1", 10L, 11L), ("s2", 30L, 31L)))
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.resetWorkloadCapture()
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

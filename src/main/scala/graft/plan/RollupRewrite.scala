@@ -506,7 +506,8 @@ object RollupRewrite {
   }
 
   def clear(): Unit = {
-    defs.clear(); joinedDefs.clear(); compCache.clear(); compPending.clear()
+    defs.clear(); joinedDefs.clear(); starDefs.clear()
+    compCache.clear(); compPending.clear()
   }
 
   /** One registered AGGREGATE JOIN SUMMARY (the classic AJI): a summary
@@ -603,39 +604,171 @@ object RollupRewrite {
     joinedDefs.add(d)
   }
 
+  /** One dim side of a STAR summary: base paths, the (fact col, dim
+    * col) equi-key name pairs linking it to the fact, and its saved
+    * staleness state. */
+  private[plan] case class StarDim(paths: Set[String],
+                                   keyPairs: Set[(String, String)],
+                                   fingerprint: String,
+                                   manifest: Set[String])
+
+  /** One registered STAR aggregate summary ([[registerStar]]): a
+    * summary over `fact ⋈ dim1 ⋈ dim2 ⋈ …` (inner equi-joins, every
+    * key pairing the FACT with one dim — the classic star schema),
+    * serving matching star-join aggregates from ONE scan with NO
+    * serve-time joins at all. Column names must be unique across ALL
+    * sides (matching reuses the single-table machinery by name shape,
+    * like the 1-dim AJI). Freshness binds every side's manifest. */
+  private[plan] case class StarRollupDef(
+      factPaths: Set[String], dims: Seq[StarDim],
+      summary: LogicalPlan, groupCols: Seq[String], measures: Seq[String],
+      factFingerprint: String, factManifest: Set[String],
+      distinctCols: Seq[String] = Nil, sketchK: Int = 64,
+      sketchShapes: Map[String, Expression] = Map.empty,
+      histCols: Seq[String] = Nil)
+
+  private val starDefs =
+    new java.util.concurrent.CopyOnWriteArrayList[StarRollupDef]
+
+  /** Register `summary` (a [[Rollup.materializeStar]] layout) as
+    * answering aggregates over the star join `fact ⋈ dims` — the
+    * multi-dim generalization of [[registerJoined]] (which stays the
+    * 2-relation fast path; [[tryRewriteStarSummary]] only matches join
+    * trees of 3+ relations). Each dim entry pairs its DataFrame with
+    * the (fact col, dim col) equi-keys linking it to the fact. */
+  def registerStar(fact: DataFrame,
+                   dims: Seq[(DataFrame, Seq[(String, String)])],
+                   summary: DataFrame,
+                   groupCols: Seq[String], measures: Seq[String],
+                   distinctCols: Seq[String] = Nil, sketchK: Int = 64,
+                   histCols: Seq[String] = Nil): Unit = {
+    require(dims.size >= 2,
+      "registerStar needs 2+ dims; use registerJoined for one dim")
+    val expect = (Seq(Rollup.CntRows) ++ groupCols ++
+      measures.flatMap(m =>
+        Seq(s"__sum_$m", s"__cnt_$m", s"__min_$m", s"__max_$m")) ++
+      distinctCols.map(c => s"__kmv_$c") ++
+      histCols.map(c => s"__hist_$c")).toSet
+    require(summary.columns.toSet == expect,
+      s"summary schema ${summary.columns.sorted.mkString(",")} does not match " +
+        s"Rollup.materialize layout for ($groupCols, $measures, $distinctCols, $histCols)")
+    val sides: Seq[(String, Set[String])] =
+      ("fact" -> fact.columns.toSet) +:
+        dims.zipWithIndex.map { case ((d, _), i) => s"dim$i" -> d.columns.toSet }
+    (groupCols ++ measures ++ distinctCols ++ histCols).foreach { n =>
+      require(sides.count(_._2.contains(n)) == 1,
+        s"star-summary column '$n' must exist on exactly ONE side " +
+          s"(found on: ${sides.collect { case (s, cs) if cs.contains(n) => s }.mkString(",")})")
+    }
+    dims.foreach { case (d, keys) =>
+      require(keys.nonEmpty, "every dim needs at least one equi-key")
+      keys.foreach { case (fk, dk) =>
+        require(fact.columns.contains(fk) && d.columns.contains(dk),
+          s"star key ($fk, $dk) must pair a fact column with that dim's column")
+      }
+    }
+    val fRel = baseRelation(fact.queryExecution.analyzed).getOrElse(
+      throw new IllegalArgumentException("fact must be a single file-backed relation"))
+    val dimDefs = dims.map { case (d, keys) =>
+      val rel = baseRelation(d.queryExecution.analyzed).getOrElse(
+        throw new IllegalArgumentException("every dim must be a single file-backed relation"))
+      StarDim(rel.location.rootPaths.map(_.toString).toSet, keys.toSet,
+        fingerprintOf(rel.location), fingerprintEntries(rel.location).toSet)
+    }
+    val shapes = distinctCols.map { c =>
+      val side = (fact +: dims.map(_._1)).find(_.columns.contains(c)).get
+      val opt = side.select(graft.curate.Curate.portableHash60(
+          org.apache.spark.sql.functions.col(c)).as("__h"))
+        .queryExecution.optimizedPlan
+      val expr = opt.collectFirst {
+        case Project(Seq(Alias(child, _)), _) => child
+      }.getOrElse(throw new IllegalStateException(
+        s"could not snapshot hash shape for distinct column '$c'"))
+      c -> normalizedShape(expr)
+    }.toMap
+    val d = StarRollupDef(
+      fRel.location.rootPaths.map(_.toString).toSet, dimDefs,
+      summary.queryExecution.analyzed, groupCols, measures,
+      fingerprintOf(fRel.location), fingerprintEntries(fRel.location).toSet,
+      distinctCols, sketchK, shapes, histCols)
+    import scala.jdk.CollectionConverters._
+    def ident(x: StarRollupDef) = (x.factPaths,
+      x.dims.map(s => (s.paths, s.keyPairs)).toSet, x.groupCols,
+      x.distinctCols, x.histCols)
+    starDefs.iterator().asScala.filter(o => ident(o) == ident(d))
+      .toList.foreach(starDefs.remove)
+    starDefs.add(d)
+  }
+
   /** Operator-facing inventory of every registration with a LIVE
     * freshness verdict: one row per registered summary — base paths,
     * grain, measures, sketch columns, and whether the base's CURRENT
     * file manifest still matches the one captured at register time
     * (fresh=false means queries fall through to the base until
-    * `Rollup.merge` + re-register run; see the staleness guard). The
-    * check re-lists each distinct base once — an ops call, not a
-    * per-query path. */
+    * `Rollup.merge` + re-register run; see the staleness guard).
+    * JOINED registrations (the AJI tier) report too, `base` =
+    * "fact ⋈ dim" paths: `fresh` requires BOTH manifests unchanged,
+    * `compensable` = fact-side pure append with the dim unchanged
+    * (exactly [[setCompensation]]'s joined serve condition — a dim
+    * append is refreshable but NOT compensable). The check re-lists
+    * each distinct base once — an ops call, not a per-query path. */
   def describeRegistrations(spark: SparkSession): DataFrame = {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
     val snapshot = defs.iterator().asScala.toSeq
+    val jSnapshot = joinedDefs.iterator().asScala.toSeq
+    val sSnapshot = starDefs.iterator().asScala.toSeq
     val currentEntries: Map[Set[String], Set[String]] =
-      snapshot.map(_.basePaths).distinct.map { paths =>
+      (snapshot.map(_.basePaths) ++ jSnapshot.map(_.factPaths) ++
+        jSnapshot.map(_.dimPaths) ++ sSnapshot.map(_.factPaths) ++
+        sSnapshot.flatMap(_.dims.map(_.paths))).distinct.map { paths =>
         val rel = baseRelation(
           spark.read.parquet(paths.toSeq: _*).queryExecution.analyzed)
         paths -> rel.map(r => fingerprintEntries(r.location).toSet)
           .getOrElse(Set.empty[String])
       }.toMap
-    snapshot.map { d =>
+    def pureAppend(registered: Set[String], current: Set[String]): Boolean =
+      registered.nonEmpty && (registered -- current).isEmpty &&
+        (current -- registered).nonEmpty
+    val plainRows = snapshot.map { d =>
       val current = currentEntries(d.basePaths)
       val fresh = d.baseFingerprint.isEmpty || d.baseManifest == current
       // compensable = stale by a PURE APPEND: with setCompensation(true)
       // queries keep serving fresh answers without a refresh
-      val compensable = !fresh && d.baseManifest.nonEmpty &&
-        (d.baseManifest -- current).isEmpty &&
-        (current -- d.baseManifest).nonEmpty
+      val compensable = !fresh && pureAppend(d.baseManifest, current)
       (d.basePaths.toSeq.sorted.mkString(","),
         d.groupCols.mkString(","), d.measures.mkString(","),
         d.distinctCols.mkString(","), d.histCols.mkString(","),
         fresh, compensable)
-    }.toDF("base", "grain", "measures", "distinct_cols", "hist_cols",
-      "fresh", "compensable")
+    }
+    val joinedRows = jSnapshot.map { d =>
+      val fCur = currentEntries(d.factPaths)
+      val dCur = currentEntries(d.dimPaths)
+      val fresh = d.factManifest == fCur && d.dimManifest == dCur
+      val compensable = !fresh && d.dimManifest == dCur &&
+        pureAppend(d.factManifest, fCur)
+      (d.factPaths.toSeq.sorted.mkString(",") + " ⋈ " +
+        d.dimPaths.toSeq.sorted.mkString(","),
+        d.groupCols.mkString(","), d.measures.mkString(","),
+        d.distinctCols.mkString(","), d.histCols.mkString(","),
+        fresh, compensable)
+    }
+    val starRows = sSnapshot.map { d =>
+      val fCur = currentEntries(d.factPaths)
+      val dimsUnchanged = d.dims.forall(s =>
+        s.manifest == currentEntries(s.paths))
+      val fresh = d.factManifest == fCur && dimsUnchanged
+      val compensable = !fresh && dimsUnchanged &&
+        pureAppend(d.factManifest, fCur)
+      ((d.factPaths.toSeq.sorted.mkString(",") +:
+        d.dims.map(_.paths.toSeq.sorted.mkString(","))).mkString(" ⋈ "),
+        d.groupCols.mkString(","), d.measures.mkString(","),
+        d.distinctCols.mkString(","), d.histCols.mkString(","),
+        fresh, compensable)
+    }
+    (plainRows ++ joinedRows ++ starRows)
+      .toDF("base", "grain", "measures", "distinct_cols", "hist_cols",
+        "fresh", "compensable")
   }
 
   private def hexDigest(parts: Iterable[String]): String = {
@@ -773,7 +906,86 @@ object RollupRewrite {
   def refreshStale(spark: SparkSession, outDir: String,
                    trashDirs: Seq[String] = Nil): Seq[RefreshResult] =
     refreshStalePlain(spark, outDir, trashDirs) ++
-      refreshStaleJoined(spark, outDir)
+      refreshStaleJoined(spark, outDir) ++
+      refreshStaleStar(spark, outDir)
+
+  /** The STAR half of [[refreshStale]]: a fact-side PURE APPEND
+    * refreshes via `Δfact ⋈ dims` + merge (delta-fact-sized; each dim
+    * streams once against the delta, pruned/broadcast). ANY dim-side
+    * change — and fact removals — refuse: the 1-dim dim-append algebra
+    * ([[refreshStaleJoined]]) would generalize, but each appended dim
+    * requires a registered-fact-files scan joined against the OTHER
+    * dims in full, which at star width is rebuild territory
+    * (re-materialize + re-register) — the asymmetry is deliberate and
+    * documented. */
+  private def refreshStaleStar(spark: SparkSession,
+                               outDir: String): Seq[RefreshResult] = {
+    import scala.jdk.CollectionConverters._
+    starDefs.iterator().asScala.toSeq.flatMap { d =>
+      val fRel = baseRelation(
+        spark.read.parquet(d.factPaths.toSeq: _*).queryExecution.analyzed)
+        .getOrElse(throw new IllegalStateException(
+          s"star fact base ${d.factPaths} is no longer file-backed"))
+      val fCur = fingerprintEntries(fRel.location).toSet
+      val dimsCur = d.dims.map { s =>
+        val rel = baseRelation(spark.read.parquet(s.paths.toSeq: _*)
+          .queryExecution.analyzed).getOrElse(
+          throw new IllegalStateException(
+            s"star dim base ${s.paths} is no longer file-backed"))
+        (s, fingerprintEntries(rel.location).toSet)
+      }
+      val fApp = fCur -- d.factManifest
+      val fRem = d.factManifest -- fCur
+      val dimsUnchanged = dimsCur.forall { case (s, cur) => s.manifest == cur }
+      val allPaths = d.factPaths ++ d.dims.flatMap(_.paths)
+      val unrefreshable =
+        RefreshResult(allPaths, d.groupCols, refreshed = false, Nil, "")
+      if (fCur == d.factManifest && dimsUnchanged) None // fresh
+      else if (!dimsUnchanged || fRem.nonEmpty || fApp.isEmpty ||
+          d.factManifest.isEmpty)
+        Some(unrefreshable)
+      else {
+        val deltaFiles = fApp.toSeq.sorted.map(_.split("\\|")(0))
+        val deltaFact = spark.read.parquet(deltaFiles: _*)
+        val dimFrames = d.dims.map(s =>
+          spark.read.parquet(s.paths.toSeq: _*) -> s.keyPairs)
+        val dimCols = dimFrames.flatMap(_._1.columns).toSet
+        val neededFact = (d.groupCols ++ d.measures ++ d.distinctCols ++
+          d.histCols).filterNot(dimCols.contains) ++
+          d.dims.flatMap(_.keyPairs.map(_._1))
+        if (!neededFact.toSet.subsetOf(deltaFact.columns.toSet))
+          Some(unrefreshable)
+        else {
+          val joined = dimFrames.foldLeft(deltaFact) {
+            case (acc, (dim, keys)) =>
+              acc.join(dim, keys.toSeq.map { case (fk, dk) =>
+                deltaFact(fk) === dim(dk) }.reduce(_ && _))
+          }
+          val deltaSummary = Rollup.materialize(joined, d.groupCols,
+            d.measures, d.distinctCols, d.sketchK, d.histCols)
+          val stored = spark.read.parquet(d.summary.collect {
+            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+              fs.location.rootPaths.map(_.toString)
+          }.flatten: _*)
+          val ident = hexDigest(d.factPaths.toSeq.sorted ++
+            d.dims.flatMap(s => s.paths.toSeq.sorted ++
+              s.keyPairs.toSeq.sorted.map(p => s"${p._1}=${p._2}")) ++
+            d.groupCols ++ d.measures ++ d.distinctCols ++
+            Seq(d.sketchK.toString) ++ d.histCols.map(c => s"hist:$c"))
+          val out = s"$outDir/refreshs_${ident}_${manifestDigest(fCur)}"
+          Rollup.merge(stored, deltaSummary, d.groupCols, d.measures,
+              d.distinctCols, d.sketchK, d.histCols)
+            .write.mode("overwrite").parquet(out)
+          registerStar(spark.read.parquet(d.factPaths.toSeq: _*),
+            dimFrames.map { case (df, keys) => df -> keys.toSeq },
+            spark.read.parquet(out), d.groupCols, d.measures,
+            d.distinctCols, d.sketchK, d.histCols)
+          Some(RefreshResult(allPaths, d.groupCols, refreshed = true,
+            deltaFiles, out))
+        }
+      }
+    }
+  }
 
   /** The JOINED-summary half of [[refreshStale]]: PURE APPENDS on
     * either (or both) sides delta-refresh via inner-join
@@ -1093,7 +1305,65 @@ object RollupRewrite {
         enc(d.baseFingerprint),
         d.baseManifest.toSeq.sorted.map(enc).mkString(",")
       ).mkString("|")
-    }.mkString("", "\n", "\n")
+    }.mkString("", "\n", "\n") + joinedDefs.iterator().asScala.map { d =>
+      // j1 lines persist the AJI tier (same manifest, mixed with v-lines):
+      // bases, keys, summary, full layout, and BOTH sides' saved
+      // staleness state — the v3 lesson applies per side (a restored AJI
+      // over a changed base must resume STALE, never silently fresh)
+      val summaryPaths = d.summary.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      require(summaryPaths.nonEmpty,
+        "joined summary is not file-backed; cannot persist this registration")
+      Seq("j1",
+        d.factPaths.toSeq.sorted.map(enc).mkString(","),
+        d.dimPaths.toSeq.sorted.map(enc).mkString(","),
+        d.keyPairs.toSeq.sorted
+          .map { case (f, k) => s"${enc(f)}:${enc(k)}" }.mkString(","),
+        summaryPaths.map(enc).mkString(","),
+        d.groupCols.map(enc).mkString(","),
+        d.measures.map(enc).mkString(","),
+        d.distinctCols.map(enc).mkString(","),
+        d.sketchK.toString,
+        d.histCols.map(enc).mkString(","),
+        enc(d.factFingerprint),
+        d.factManifest.toSeq.sorted.map(enc).mkString(","),
+        enc(d.dimFingerprint),
+        d.dimManifest.toSeq.sorted.map(enc).mkString(",")
+      ).mkString("|")
+    }.mkString("", "\n", if (joinedDefs.isEmpty) "" else "\n") +
+    starDefs.iterator().asScala.map { d =>
+      // s1 lines persist the STAR tier: each dim encodes as one
+      // `paths~keys~fp~manifest` group (";"-joined groups; URL-encoding
+      // escapes every delimiter, so round-trips can never split wrong)
+      val summaryPaths = d.summary.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      require(summaryPaths.nonEmpty,
+        "star summary is not file-backed; cannot persist this registration")
+      val dimField = d.dims.map { s =>
+        Seq(s.paths.toSeq.sorted.map(enc).mkString(","),
+          s.keyPairs.toSeq.sorted
+            .map { case (f, k) => s"${enc(f)}:${enc(k)}" }.mkString(","),
+          enc(s.fingerprint),
+          s.manifest.toSeq.sorted.map(enc).mkString(",")
+        ).mkString("~")
+      }.mkString(";")
+      Seq("s1",
+        d.factPaths.toSeq.sorted.map(enc).mkString(","),
+        dimField,
+        summaryPaths.map(enc).mkString(","),
+        d.groupCols.map(enc).mkString(","),
+        d.measures.map(enc).mkString(","),
+        d.distinctCols.map(enc).mkString(","),
+        d.sketchK.toString,
+        d.histCols.map(enc).mkString(","),
+        enc(d.factFingerprint),
+        d.factManifest.toSeq.sorted.map(enc).mkString(",")
+      ).mkString("|")
+    }.mkString("", "\n", if (starDefs.isEmpty) "" else "\n")
     val p = new org.apache.hadoop.fs.Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val f = p.getFileSystem(conf)
@@ -1122,47 +1392,103 @@ object RollupRewrite {
       try new String(org.apache.commons.io.IOUtils.toByteArray(in),
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    val entries = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+    val lines = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toList
+    lines.foreach { line =>
       val parts = line.split("\\|", -1)
-      require((parts.length == 7 && parts(0) == "v1") ||
-          (parts.length == 8 && parts(0) == "v2") ||
-          (parts.length == 11 && parts(0) == "v3"),
-        s"corrupt lattice manifest line: '$line'")
       def list(i: Int): Seq[String] =
         if (parts(i).isEmpty) Nil else parts(i).split(",", -1).toSeq.map(dec)
-      val grainExprs: Map[String, String] =
-        if (parts.length < 8 || parts(7).isEmpty) Map.empty
-        else parts(7).split(",", -1).toSeq.map { kv =>
-          val Array(n, s) = kv.split(":", 2)
-          dec(n) -> dec(s)
-        }.toMap
-      val hist = if (parts.length < 9) Nil else list(8)
-      // v3 carries the SAVED staleness state; v1/v2 manifests predate it
-      // and keep the restore-time snapshot (documented laxity)
-      val savedState =
-        if (parts.length < 11) None else Some((dec(parts(9)), list(10).toSet))
-      (list(1), list(2), list(3), list(4), list(5), parts(6).toInt,
-        grainExprs, hist, savedState)
-    }.toList
-    entries.foreach { case (base, summary, groups, measures, distinct, k,
-        ge, hist, savedState) =>
-      register(spark.read.parquet(base: _*), spark.read.parquet(summary: _*),
-        groups, measures, distinct, k,
-        ge.map { case (n, s) => n -> org.apache.spark.sql.functions.expr(s) },
-        hist)
-      // patch the just-added registration's staleness state back to the
-      // SAVED one, so base changes between save and restore read as
-      // stale instead of being blessed by the restore-time fingerprint
-      // (register appends, so the entry is last)
-      savedState.foreach { case (fp, manifest) =>
-        val o = defs.get(defs.size - 1)
+      if (parts(0) == "s1") {
+        // the STAR tier: register, then patch EVERY side's staleness
+        // state back to the SAVED one
+        require(parts.length == 11, s"corrupt lattice manifest line: '$line'")
+        val dimSpecs = parts(2).split(";", -1).toSeq.map { g =>
+          val fields = g.split("~", -1)
+          require(fields.length == 4,
+            s"corrupt star dim group in manifest line: '$line'")
+          def l(i: Int): Seq[String] = if (fields(i).isEmpty) Nil
+            else fields(i).split(",", -1).toSeq.map(dec)
+          val keys = fields(1).split(",", -1).toSeq.map { kv =>
+            val Array(f, k) = kv.split(":", 2)
+            dec(f) -> dec(k)
+          }
+          (l(0), keys, dec(fields(2)), l(3).toSet)
+        }
+        val groups = list(4)
+        registerStar(spark.read.parquet(list(1): _*),
+          dimSpecs.map { case (paths, keys, _, _) =>
+            spark.read.parquet(paths: _*) -> keys },
+          spark.read.parquet(list(3): _*), groups, list(5), list(6),
+          parts(7).toInt, list(8))
+        val o = starDefs.get(starDefs.size - 1)
         require(o.groupCols == groups,
           "internal: restore patch must target the registration it just added")
-        defs.remove(o)
-        defs.add(o.copy(baseFingerprint = fp, baseManifest = manifest))
+        starDefs.remove(o)
+        starDefs.add(o.copy(
+          factFingerprint = dec(parts(9)), factManifest = list(10).toSet,
+          dims = o.dims.map { s =>
+            val saved = dimSpecs.find(ds =>
+              ds._1.toSet == s.paths && ds._2.toSet == s.keyPairs)
+              .getOrElse(throw new IllegalStateException(
+                "internal: restored star dim must match a saved dim spec"))
+            s.copy(fingerprint = saved._3, manifest = saved._4)
+          }))
+      } else if (parts(0) == "j1") {
+        // the AJI tier: register, then patch BOTH sides' staleness state
+        // back to the SAVED one (the v3 lesson, per side)
+        require(parts.length == 14, s"corrupt lattice manifest line: '$line'")
+        val keys = parts(3).split(",", -1).toSeq.map { kv =>
+          val Array(f, k) = kv.split(":", 2)
+          dec(f) -> dec(k)
+        }
+        val groups = list(5)
+        registerJoined(spark.read.parquet(list(1): _*),
+          spark.read.parquet(list(2): _*), keys,
+          spark.read.parquet(list(4): _*), groups, list(6), list(7),
+          parts(8).toInt, list(9))
+        val o = joinedDefs.get(joinedDefs.size - 1)
+        require(o.groupCols == groups,
+          "internal: restore patch must target the registration it just added")
+        joinedDefs.remove(o)
+        joinedDefs.add(o.copy(
+          factFingerprint = dec(parts(10)), factManifest = list(11).toSet,
+          dimFingerprint = dec(parts(12)), dimManifest = list(13).toSet))
+      } else {
+        require((parts.length == 7 && parts(0) == "v1") ||
+            (parts.length == 8 && parts(0) == "v2") ||
+            (parts.length == 11 && parts(0) == "v3"),
+          s"corrupt lattice manifest line: '$line'")
+        val grainExprs: Map[String, String] =
+          if (parts.length < 8 || parts(7).isEmpty) Map.empty
+          else parts(7).split(",", -1).toSeq.map { kv =>
+            val Array(n, s) = kv.split(":", 2)
+            dec(n) -> dec(s)
+          }.toMap
+        val hist = if (parts.length < 9) Nil else list(8)
+        // v3 carries the SAVED staleness state; v1/v2 manifests predate
+        // it and keep the restore-time snapshot (documented laxity)
+        val savedState =
+          if (parts.length < 11) None else Some((dec(parts(9)), list(10).toSet))
+        val groups = list(3)
+        register(spark.read.parquet(list(1): _*),
+          spark.read.parquet(list(2): _*), groups, list(4), list(5),
+          parts(6).toInt,
+          grainExprs.map { case (n, s) =>
+            n -> org.apache.spark.sql.functions.expr(s) },
+          hist)
+        // patch the just-added registration's staleness state back to the
+        // SAVED one, so base changes between save and restore read as
+        // stale instead of being blessed by the restore-time fingerprint
+        // (register appends, so the entry is last)
+        savedState.foreach { case (fp, manifest) =>
+          val o = defs.get(defs.size - 1)
+          require(o.groupCols == groups,
+            "internal: restore patch must target the registration it just added")
+          defs.remove(o)
+          defs.add(o.copy(baseFingerprint = fp, baseManifest = manifest))
+        }
       }
     }
-    entries.size
+    lines.size
   }
 
   /** Install the rewrite on a session (idempotent). Runs in
@@ -1199,6 +1525,7 @@ object RollupRewrite {
         case agg: Aggregate =>
           tryRewrite(agg).orElse(tryRewriteCube(agg))
             .orElse(tryRewriteJoinedSummary(agg))
+            .orElse(tryRewriteStarSummary(agg))
             .orElse(tryRewriteJoinAgg(agg)).getOrElse(agg)
       }
 
@@ -1816,6 +2143,186 @@ object RollupRewrite {
         case _ => None
       }
 
+    /** And-tree conjuncts (class-level twin of the local helpers). */
+    private def conjunctsOfE(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjunctsOfE(l) ++ conjunctsOfE(r)
+      case other => Seq(other)
+    }
+
+    /** Flatten an INNER-equi-join TREE over stripped file relations
+      * into (leaves, raw equi pairs, collected filter conditions, alias
+      * substitution) — the star-AJI matcher's front end. Non-inner
+      * joins, non-equi conjuncts, and non-relation leaves refuse. */
+    private def flattenJoins(p: LogicalPlan)
+        : Option[(Seq[LogicalRelation],
+                  Seq[(AttributeReference, AttributeReference)],
+                  Seq[Expression], Map[ExprId, Expression])] =
+      stripJoin(p, Nil, Map.empty) match {
+        case Some((j, conds, sub)) =>
+          if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner ||
+              j.condition.isEmpty) None
+          else for {
+            l <- flattenJoins(j.left)
+            r <- flattenJoins(j.right)
+            pairs <- {
+              val ps = conjunctsOfE(j.condition.get).map {
+                case EqualTo(a: AttributeReference, b: AttributeReference) =>
+                  Some((a, b))
+                case _ => None
+              }
+              if (ps.forall(_.isDefined)) Some(ps.flatten) else None
+            }
+          } yield (l._1 ++ r._1, l._2 ++ r._2 ++ pairs,
+            conds ++ l._3 ++ r._3, sub ++ l._4 ++ r._4)
+        case None =>
+          strip(p, Nil, Map.empty).map { case (leaf, conds, sub) =>
+            (Seq(leaf), Nil, conds, sub) }
+      }
+
+    /** STAR AJI serve ([[registerStar]]): flatten the aggregate's child
+      * into an inner-equi-join tree over 3+ file relations, identify
+      * the star CENTER (the one leaf every equi-pair touches on exactly
+      * one side), and serve matching aggregates from the registered
+      * star summary — ZERO Join nodes. Inferred isnotnull conjuncts on
+      * ANY key column drop (every inner join of the star excluded null
+      * keys). Freshness binds EVERY side's manifest; compensation
+      * covers the fact-side pure append with all dims unchanged
+      * (spliced delta = `Δfact ⋈ dims` in the stored layout); strict
+      * staleness throws when a stale star summary would have
+      * answered. */
+    private def tryRewriteStarSummary(agg: Aggregate): Option[LogicalPlan] = {
+      import scala.jdk.CollectionConverters._
+      if (starDefs.isEmpty) return None
+      val (leaves, rawPairs, conds0, subst) =
+        flattenJoins(agg.child).getOrElse(return None)
+      if (leaves.size < 3 || rawPairs.isEmpty) return None
+      def leafOf(a: AttributeReference): Option[Int] = {
+        val idx = leaves.indexWhere(_.outputSet.contains(a))
+        if (idx >= 0) Some(idx) else None
+      }
+      val pairIdx: Seq[((Int, String), (Int, String))] = rawPairs.map {
+        case (a, b) =>
+          val la = leafOf(a).getOrElse(return None)
+          val lb = leafOf(b).getOrElse(return None)
+          ((la, a.name), (lb, b.name))
+      }
+      // the star center: exactly one leaf that every pair touches on
+      // exactly one side (chain/snowflake shapes have no such leaf)
+      val centers = leaves.indices.filter(i =>
+        pairIdx.forall { case ((la, _), (lb, _)) => (la == i) ^ (lb == i) })
+      val center = centers match {
+        case Seq(c) => c
+        case _ => return None
+      }
+      val byDim: Map[Int, Set[(String, String)]] = pairIdx.groupBy {
+        case ((la, _), (lb, _)) => if (la == center) lb else la
+      }.map { case (di, ps) =>
+        di -> ps.map { case ((la, an), (_, bn)) =>
+          if (la == center) (an, bn) else (bn, an) }.toSet
+      }
+      if (byDim.size != leaves.size - 1) return None // an unlinked leaf
+      val locOf: Map[Int, org.apache.spark.sql.execution.datasources.FileIndex] =
+        leaves.indices.map { i =>
+          leaves(i).relation match {
+            case fs: HadoopFsRelation => i -> fs.location
+            case _ => return None
+          }
+        }.toMap
+      def pathsOf(i: Int): Set[String] =
+        locOf(i).rootPaths.map(_.toString).toSet
+      val factPaths = pathsOf(center)
+      val dimSides: Set[(Set[String], Set[(String, String)])] =
+        byDim.map { case (i, ps) => (pathsOf(i), ps) }.toSet
+      val cands = starDefs.iterator().asScala.filter { d =>
+        d.factPaths == factPaths &&
+          d.dims.map(s => (s.paths, s.keyPairs)).toSet == dimSides
+      }.toSeq.sortBy(_.groupCols.size)
+      if (cands.isEmpty) return None
+      val keyNames = pairIdx.flatMap {
+        case ((_, an), (_, bn)) => Seq(an, bn) }.toSet
+      val conds = conds0.flatMap(conjunctsOfE).filterNot { c =>
+        resolve(c, subst) match {
+          case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
+          case _ => false
+        }
+      }
+      val locByPaths = leaves.indices.map(i => pathsOf(i) -> locOf(i)).toMap
+      def asDef(d: StarRollupDef): RollupDef =
+        RollupDef(d.factPaths ++ d.dims.flatMap(_.paths), d.summary,
+          d.groupCols, d.measures, d.distinctCols, d.sketchK,
+          d.sketchShapes, histCols = d.histCols)
+      def isFresh(d: StarRollupDef): Boolean =
+        d.factFingerprint == fingerprintOf(locByPaths(d.factPaths)) &&
+          d.dims.forall(s =>
+            s.fingerprint == fingerprintOf(locByPaths(s.paths)))
+      val (fresh, stale) = cands.partition(isFresh)
+      fresh.view.flatMap(d => tryRewriteWith(agg, conds, subst, asDef(d)))
+        .headOption
+        .orElse {
+          if (!compensating) None
+          else stale.view.flatMap { d =>
+            if (tryRewriteWith(agg, conds, subst, asDef(d)).isEmpty) None
+            else starCompensationUnion(d, locByPaths).flatMap(u =>
+              tryRewriteWith(agg, conds, subst, asDef(d).copy(summary = u)))
+          }.headOption
+        }
+        .orElse {
+          if (strictStaleness && stale.exists(d =>
+              tryRewriteWith(agg, conds, subst, asDef(d)).isDefined))
+            staleError(factPaths ++ dimSides.flatMap(_._1))
+          None
+        }
+    }
+
+    /** Compensation for the STAR shape — fact-append-stale with every
+      * dim unchanged: splice `Union(star summary scan, Rollup layout
+      * over Δfact ⋈ dims)` through the shared protocol. */
+    private def starCompensationUnion(d: StarRollupDef,
+        locByPaths: Map[Set[String],
+          org.apache.spark.sql.execution.datasources.FileIndex])
+        : Option[LogicalPlan] = {
+      if (d.dims.exists(s =>
+          fingerprintOf(locByPaths(s.paths)) != s.fingerprint)) return None
+      val current = fingerprintEntries(locByPaths(d.factPaths)).toSet
+      val appended = current -- d.factManifest
+      val removed = d.factManifest -- current
+      if (d.factManifest.isEmpty || appended.isEmpty || removed.nonEmpty)
+        return None
+      val spark = SparkSession.active
+      val deltaFiles = appended.toSeq.sorted.map(_.split("\\|")(0))
+      val ident = hexDigest(d.factPaths.toSeq.sorted ++
+        d.dims.flatMap(s => s.paths.toSeq.sorted ++
+          s.keyPairs.toSeq.sorted.map(p => s"${p._1}=${p._2}") ++
+          Seq(s.fingerprint)) ++
+        d.groupCols ++ d.measures ++ d.distinctCols ++
+        Seq(d.sketchK.toString) ++ d.histCols.map(c => s"hist:$c") ++
+        Seq("star-comp"))
+      val key = (ident, manifestDigest(d.factManifest),
+        manifestDigest(current))
+      inCompensation.set(java.lang.Boolean.TRUE)
+      try {
+        spliceDeltaUnion(key, d.summary, {
+          val deltaFact = spark.read.parquet(deltaFiles: _*)
+          val dimsCur = d.dims.map(s =>
+            spark.read.parquet(s.paths.toSeq: _*) -> s.keyPairs)
+          val dimCols = dimsCur.flatMap(_._1.columns).toSet
+          val neededFact = (d.groupCols ++ d.measures ++ d.distinctCols ++
+            d.histCols).filterNot(dimCols.contains) ++
+            d.dims.flatMap(_.keyPairs.map(_._1))
+          if (!neededFact.toSet.subsetOf(deltaFact.columns.toSet)) None
+          else {
+            val joined = dimsCur.foldLeft(deltaFact) {
+              case (acc, (dim, keys)) =>
+                acc.join(dim, keys.toSeq.map { case (fk, dk) =>
+                  deltaFact(fk) === dim(dk) }.reduce(_ && _))
+            }
+            Some(Rollup.materialize(joined, d.groupCols, d.measures,
+              d.distinctCols, d.sketchK, d.histCols))
+          }
+        })
+      } finally inCompensation.set(java.lang.Boolean.FALSE)
+    }
+
     /** AGGREGATE JOIN SUMMARY serve (see [[registerJoined]]): a
       * join-aggregate whose join (bases + equi-keys) matches a
       * registered joined summary serves from that ONE summary — no
@@ -2424,6 +2931,20 @@ object Rollup {
     val cond = keys.map { case (f, d) => fact(f) === dim(d) }.reduce(_ && _)
     materialize(fact.join(dim, cond), groupCols, measures, distinctCols,
       sketchK, histCols)
+  }
+
+  /** Summary over the STAR join `fact ⋈ dim1 ⋈ dim2 ⋈ …` for
+    * [[RollupRewrite.registerStar]] — each dim joins the fact on its
+    * own (fact col, dim col) equi-keys. */
+  def materializeStar(fact: DataFrame,
+                      dims: Seq[(DataFrame, Seq[(String, String)])],
+                      groupCols: Seq[String], measures: Seq[String],
+                      distinctCols: Seq[String] = Nil, sketchK: Int = 64,
+                      histCols: Seq[String] = Nil): DataFrame = {
+    val joined = dims.foldLeft(fact) { case (acc, (d, keys)) =>
+      acc.join(d, keys.map { case (f, k) => fact(f) === d(k) }.reduce(_ && _))
+    }
+    materialize(joined, groupCols, measures, distinctCols, sketchK, histCols)
   }
 
   /** Merge two [[materialize]] outputs (a stored summary and a new

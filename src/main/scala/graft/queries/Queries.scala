@@ -5395,6 +5395,172 @@ object Queries {
     }
   }
 
+  /** AJI PERSISTENCE ([[graft.plan.RollupRewrite.save]]/restore's `j1`
+    * manifest lines — q173's lattice-persistence story extended to the
+    * joined tier, which previously did NOT survive a restart): an AJI
+    * registration round-trips save → clear (the "restart") → restore
+    * and serves plan-asserted join-free (leg `restored`, over the
+    * 3-slice fact). The restored staleness state is the SAVED one PER
+    * SIDE (the v3 lesson): a fact slice appended AFTER the save makes a
+    * re-restored registration read STALE — and the saved fact manifest
+    * is precise enough that serve-time compensation splices EXACTLY the
+    * appended file (leg `comp`, plan-required to read the AJI +
+    * s3.parquet + the dim, never the fact base dir; base ∪ delta = the
+    * whole orders table ⇒ plain join recompute oracle). Integer
+    * measures. */
+  def q209JoinedPersistence(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q209_aji_persist")
+      .toFile.getAbsolutePath
+    (0 until 3).foreach { sl =>
+      writeNamedSlice(tbl(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === sl), s"$tmpRoot/fact", s"s$sl")
+    }
+    tbl(s, dir, "customer").write.mode("overwrite").parquet(s"$tmpRoot/dim")
+    val fact0 = s.read.parquet(s"$tmpRoot/fact")
+    val dim0 = s.read.parquet(s"$tmpRoot/dim")
+    graft.plan.Rollup.materializeJoined(fact0, dim0,
+        Seq("o_custkey" -> "c_custkey"), Seq("c_mktsegment"),
+        Seq("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/aji")
+    R.registerJoined(fact0, dim0, Seq("o_custkey" -> "c_custkey"),
+      s.read.parquet(s"$tmpRoot/aji"), Seq("c_mktsegment"),
+      Seq("o_orderkey"))
+    R.save(s, s"$tmpRoot/lattice.manifest")
+    R.clear() // the "restart": registrations are JVM state
+    R.enable(s)
+    try {
+      require(R.restore(s, s"$tmpRoot/lattice.manifest") == 1,
+        "restore must rebuild exactly the one joined registration")
+      def serve(leg: String): DataFrame = s.read.parquet(s"$tmpRoot/fact")
+        .join(s.read.parquet(s"$tmpRoot/dim"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_ok"),
+          min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+        .select(lit(leg).as("leg"), col("c_mktsegment").as("seg"),
+          col("n_rows"), col("sum_ok"), col("mn"), col("mx"))
+      val restored = serve("restored")
+      val scans1 = R.scanRootPaths(restored)
+      require(scans1 == Set(s"file:$tmpRoot/aji") &&
+          restored.queryExecution.optimizedPlan.collect {
+            case j: LJoin => j }.isEmpty,
+        s"restored AJI must serve join-free from the AJI alone — $scans1")
+      val out1 = materializeSmall(s, restored)
+      // append AFTER the save: the re-restored tier must read STALE
+      // (saved manifest, never a restore-time re-fingerprint), and the
+      // saved manifest must drive compensation to exactly the new file
+      writeNamedSlice(tbl(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 3), s"$tmpRoot/fact", "s3")
+      R.clear()
+      require(R.restore(s, s"$tmpRoot/lattice.manifest") == 1,
+        "second restore must rebuild the registration")
+      R.setCompensation(true)
+      val comp = serve("comp")
+      val scans2 = R.scanRootPaths(comp)
+      require(scans2.contains(s"file:$tmpRoot/aji") &&
+          scans2.filter(_.contains("/fact/")).map(p =>
+            p.substring(p.lastIndexOf('/') + 1)) == Set("s3.parquet") &&
+          !scans2.contains(s"file:$tmpRoot/fact"),
+        s"compensation off the RESTORED manifest must splice exactly s3 — $scans2")
+      val out = out1.unionByName(materializeSmall(s, comp))
+      materializeAndCleanup(s, out, tmpRoot)
+    } finally {
+      R.disable(s); R.setCompensation(false); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
+  /** STAR AGGREGATE SUMMARY ([[graft.plan.RollupRewrite.registerStar]]
+    * / [[graft.plan.Rollup.materializeStar]] — the MULTI-DIM
+    * generalization of the q203 AJI, i.e. the actual BI star schema):
+    * ONE summary over `lineitem ⋈ part ⋈ supplier` (each dim on its
+    * own equi-key to the fact) serves star-join aggregates with ZERO
+    * Join nodes — the rewrite flattens the query's join TREE,
+    * identifies the star center (the one relation every equi-pair
+    * touches), and matches by per-dim (paths, keys); chain/snowflake
+    * shapes refuse. Leg `full` groups by (p_brand, s_nationkey) — one
+    * grain column from EACH dim; leg `brand` coarsens to p_brand from
+    * the same summary. A fact-slice append then delta-refreshes via
+    * `Δfact ⋈ dims` (delta set == exactly s3.parquet required) and leg
+    * `refreshed` is plan-required on the refreshed star summary,
+    * join-free — base ∪ delta = the whole lineitem table, so its
+    * oracle is the plain star recompute. Integer measures
+    * (l_orderkey). */
+  def q210StarSummary(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q210_star")
+      .toFile.getAbsolutePath
+    (0 until 3).foreach { sl =>
+      writeNamedSlice(tbl(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 4 === sl), s"$tmpRoot/fact", s"s$sl")
+    }
+    tbl(s, dir, "part").write.mode("overwrite").parquet(s"$tmpRoot/d1")
+    tbl(s, dir, "supplier").write.mode("overwrite").parquet(s"$tmpRoot/d2")
+    val fact0 = s.read.parquet(s"$tmpRoot/fact")
+    val d1 = s.read.parquet(s"$tmpRoot/d1")
+    val d2 = s.read.parquet(s"$tmpRoot/d2")
+    val dims = Seq(d1 -> Seq("l_partkey" -> "p_partkey"),
+      d2 -> Seq("l_suppkey" -> "s_suppkey"))
+    graft.plan.Rollup.materializeStar(fact0, dims,
+        Seq("p_brand", "s_nationkey"), Seq("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/star")
+    R.registerStar(fact0, dims, s.read.parquet(s"$tmpRoot/star"),
+      Seq("p_brand", "s_nationkey"), Seq("l_orderkey"))
+    R.enable(s)
+    try {
+      def joined(f: DataFrame) =
+        f.join(d1, col("l_partkey") === col("p_partkey"))
+          .join(d2, col("l_suppkey") === col("s_suppkey"))
+      def requireStar(df: DataFrame, want: String, name: String): DataFrame = {
+        val scans = R.scanRootPaths(df)
+        require(scans.nonEmpty && scans.forall(_.contains(want)),
+          s"$name must serve from the star summary alone — $scans")
+        require(df.queryExecution.optimizedPlan.collect {
+            case j: LJoin => j }.isEmpty,
+          s"$name must contain NO serve-time join")
+        df
+      }
+      val nullNk = lit(null).cast("int").as("nk")
+      val full = requireStar(joined(fact0)
+        .groupBy("p_brand", "s_nationkey")
+        .agg(count(lit(1)).as("n_rows"), sum("l_orderkey").as("sum_ok"),
+          min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+        .select(lit("full").as("leg"), col("p_brand").as("brand"),
+          col("s_nationkey").as("nk"), col("n_rows"), col("sum_ok"),
+          col("mn"), col("mx")), "/star", "full leg")
+      val brand = requireStar(joined(fact0).groupBy("p_brand")
+        .agg(count(lit(1)).as("n_rows"), sum("l_orderkey").as("sum_ok"),
+          min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+        .select(lit("brand").as("leg"), col("p_brand").as("brand"),
+          nullNk, col("n_rows"), col("sum_ok"), col("mn"), col("mx")),
+        "/star", "brand leg")
+      val out1 = materializeSmall(s, full.unionByName(brand))
+      // fact append -> Δfact ⋈ dims refresh, exactly the appended file
+      writeNamedSlice(tbl(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 4 === 3), s"$tmpRoot/fact", "s3")
+      val rep = R.refreshStale(s, s"$tmpRoot/ref")
+      require(rep.size == 1 && rep.head.refreshed &&
+          rep.head.deltaFiles.map(p =>
+            p.substring(p.lastIndexOf('/') + 1)) == Seq("s3.parquet"),
+        s"the star summary must delta-refresh from exactly s3: $rep")
+      val refreshed = requireStar(joined(s.read.parquet(s"$tmpRoot/fact"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_rows"), sum("l_orderkey").as("sum_ok"),
+          min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+        .select(lit("refreshed").as("leg"), col("p_brand").as("brand"),
+          nullNk, col("n_rows"), col("sum_ok"), col("mn"), col("mx")),
+        "refreshs", "refreshed leg")
+      val out = out1.unionByName(materializeSmall(s, refreshed))
+      materializeAndCleanup(s, out, tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** COMPUTED-DIMENSION grain serving ([[graft.plan.RollupRewrite]] —
     * VERDICT r10 #1, the optimizer tier's sharpest real-user edge): a
     * summary grained by `month(o_orderdate)` — a stored EXPRESSION value,
@@ -6128,7 +6294,9 @@ object Queries {
     "q205_joined_compensation" -> (q205JoinedCompensation _),
     "q206_joined_dim_append" -> (q206JoinedDimAppend _),
     "q207_joined_sketches" -> (q207JoinedSketches _),
-    "q208_designed_joined" -> (q208DesignedJoined _))
+    "q208_designed_joined" -> (q208DesignedJoined _),
+    "q209_joined_persistence" -> (q209JoinedPersistence _),
+    "q210_star_summary" -> (q210StarSummary _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -8326,6 +8494,44 @@ object Queries {
         | CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), p.prob, min(lo)
         |FROM hc CROSS JOIN p WHERE cum >= ceil(total * p.prob)
         |GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin,
+    // q209: AJI persistence — leg `restored` serves the 3-slice state
+    // from the restored registration, leg `comp` the full table via
+    // compensation off the SAVED fact manifest; a restore that
+    // re-fingerprinted the base (blessing the append) or lost a layout
+    // field hash-fails, the splice/staleness shapes are plan-required.
+    "q209_joined_persistence" ->
+      """SELECT 'restored' AS leg, c_mktsegment AS seg, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+        | min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 4 <> 3 GROUP BY 2
+        |UNION ALL
+        |SELECT 'comp', c_mktsegment, count(*),
+        | CAST(sum(o_orderkey) AS BIGINT), min(o_orderkey), max(o_orderkey)
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 2""".stripMargin,
+    // q210: star aggregate summary — the full/brand legs recompute the
+    // 3-slice star join, the refreshed leg the whole table (slices
+    // cover lineitem after the append); a multiplicity bug in the star
+    // build, a missed delta file, or a mis-coarsened grain hash-fails;
+    // the join-free serve shapes are plan-required in-query.
+    "q210_star_summary" ->
+      """WITH j AS (SELECT p_brand, s_nationkey, l_orderkey
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        |   JOIN supplier ON l_suppkey = s_suppkey),
+        |j3 AS (SELECT * FROM j WHERE l_orderkey % 4 <> 3)
+        |SELECT 'full' AS leg, p_brand AS brand, s_nationkey AS nk,
+        | count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        | min(l_orderkey) AS mn, max(l_orderkey) AS mx
+        |FROM j3 GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'brand', p_brand, CAST(NULL AS INT), count(*),
+        | CAST(sum(l_orderkey) AS BIGINT), min(l_orderkey), max(l_orderkey)
+        |FROM j3 GROUP BY 2
+        |UNION ALL
+        |SELECT 'refreshed', p_brand, CAST(NULL AS INT), count(*),
+        | CAST(sum(l_orderkey) AS BIGINT), min(l_orderkey), max(l_orderkey)
+        |FROM j GROUP BY 2""".stripMargin,
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

@@ -703,6 +703,65 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("save/restore round-trips the AJI tier; restored staleness is the SAVED state per side") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val dir = java.nio.file.Files.createTempDirectory("aji_persist").toString
+    try {
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "m")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      Seq((1L, "s1"), (2L, "s2"), (3L, "s1")).toDF("dk", "seg")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact0 = spark.read.parquet(s"$dir/fact")
+      val dim0 = spark.read.parquet(s"$dir/dim")
+      Rollup.materializeJoined(fact0, dim0, Seq("k" -> "dk"), Seq("seg"),
+          Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/aji")
+      RollupRewrite.registerJoined(fact0, dim0, Seq("k" -> "dk"),
+        spark.read.parquet(s"$dir/aji"), Seq("seg"), Seq("m"))
+      RollupRewrite.save(spark, s"$dir/lattice.manifest")
+      RollupRewrite.clear() // the "restart"
+      assert(RollupRewrite.restore(spark, s"$dir/lattice.manifest") == 1)
+      RollupRewrite.enable(spark)
+      def q() = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim"), col("k") === col("dk"))
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum("m").as("s"))
+      val served = q()
+      assert(scanPaths(served) == Set(s"file:$dir/aji") &&
+          served.queryExecution.optimizedPlan.collect {
+            case j: LJoin => j }.isEmpty,
+        s"restored AJI must serve join-free: ${scanPaths(served)}")
+      assert(served.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set(("s1", 2L, 40L), ("s2", 1L, 20L)))
+      // the v3 lesson per side: a fact append AFTER save must read
+      // STALE after a re-restore (the saved manifest, not a restore-time
+      // re-fingerprint) — and the restored manifest is precise enough
+      // for compensation to splice EXACTLY the appended file
+      Seq((1L, 100L)).toDF("k", "m").write.mode("append")
+        .parquet(s"$dir/fact")
+      RollupRewrite.clear()
+      assert(RollupRewrite.restore(spark, s"$dir/lattice.manifest") == 1)
+      val fallen = q()
+      assert(scanPaths(fallen).contains(s"file:$dir/fact"),
+        s"post-save append must read STALE after restore: ${scanPaths(fallen)}")
+      RollupRewrite.setCompensation(true)
+      val comp = q()
+      assert(scanPaths(comp).contains(s"file:$dir/aji") &&
+          scanPaths(comp).exists(p => p.contains("/fact/") &&
+            p.endsWith(".parquet")) &&
+          !scanPaths(comp).contains(s"file:$dir/fact"),
+        s"restored manifest must drive compensation: ${scanPaths(comp)}")
+      assert(comp.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set(("s1", 3L, 140L), ("s2", 1L, 20L)))
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.setCompensation(false)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("restore refuses a corrupt manifest instead of building a partial tier") {
     val dir = java.nio.file.Files.createTempDirectory("rollup_corrupt").toString
     try {
@@ -768,6 +827,34 @@ class RollupRewriteSpec extends SparkSpec {
         Seq("o_orderstatus"), Seq("o_totalprice"))
       val d3 = RollupRewrite.describeRegistrations(spark).collect()
       assert(d3.length == 1 && d3(0).getAs[Boolean]("fresh"))
+      // a JOINED registration reports too: fresh, then fact-append =
+      // compensable, then dim-append = stale but NOT compensable (the
+      // dim-append is refreshable, not serve-time-compensable)
+      spark.read.parquet(s"$sf/customer.parquet").limit(20)
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact3 = spark.read.parquet(s"$dir/base")
+      val dim3 = spark.read.parquet(s"$dir/dim")
+      Rollup.materializeJoined(fact3, dim3, Seq("o_custkey" -> "c_custkey"),
+          Seq("c_mktsegment"), Seq("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/aji")
+      RollupRewrite.registerJoined(fact3, dim3,
+        Seq("o_custkey" -> "c_custkey"), spark.read.parquet(s"$dir/aji"),
+        Seq("c_mktsegment"), Seq("o_totalprice"))
+      def jRow() = RollupRewrite.describeRegistrations(spark).collect()
+        .find(_.getAs[String]("base").contains("⋈")).get
+      val j1 = jRow()
+      assert(j1.getAs[Boolean]("fresh") && !j1.getAs[Boolean]("compensable"),
+        s"fresh joined registration expected: $j1")
+      spark.read.parquet(s"$sf/orders.parquet").limit(3)
+        .write.mode("append").parquet(s"$dir/base")
+      val j2 = jRow()
+      assert(!j2.getAs[Boolean]("fresh") && j2.getAs[Boolean]("compensable"),
+        s"fact-append joined diff must be compensable: $j2")
+      spark.read.parquet(s"$sf/customer.parquet").limit(2)
+        .write.mode("append").parquet(s"$dir/dim")
+      val j3 = jRow()
+      assert(!j3.getAs[Boolean]("fresh") && !j3.getAs[Boolean]("compensable"),
+        s"a dim change is refreshable but never compensable: $j3")
     } finally {
       RollupRewrite.clear()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -2034,6 +2121,95 @@ class RollupRewriteSpec extends SparkSpec {
       assert(scanPaths(refreshed2).forall(_.contains("/ref2/")),
         s"serve must ride the second refresh: ${scanPaths(refreshed2)}")
       assert(vals(refreshed2) == want2)
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.setCompensation(false)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("star summary: fact ⋈ d1 ⋈ d2 serves join-free; staleness per side; fact-append compensation and refresh; persistence") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val dir = java.nio.file.Files.createTempDirectory("star_aji").toString
+    try {
+      Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 10L, 300L), (2L, 20L, 400L))
+        .toDF("fk1", "fk2", "m")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      Seq((1L, "a"), (2L, "b")).toDF("d1k", "g1")
+        .write.mode("overwrite").parquet(s"$dir/d1")
+      Seq((10L, "x"), (20L, "y")).toDF("d2k", "g2")
+        .write.mode("overwrite").parquet(s"$dir/d2")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val d1 = spark.read.parquet(s"$dir/d1")
+      val d2 = spark.read.parquet(s"$dir/d2")
+      val dims = Seq(d1 -> Seq("fk1" -> "d1k"), d2 -> Seq("fk2" -> "d2k"))
+      Rollup.materializeStar(fact, dims, Seq("g1", "g2"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/star")
+      RollupRewrite.registerStar(fact, dims,
+        spark.read.parquet(s"$dir/star"), Seq("g1", "g2"), Seq("m"))
+      RollupRewrite.enable(spark)
+      def q() = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/d1"), col("fk1") === col("d1k"))
+        .join(spark.read.parquet(s"$dir/d2"), col("fk2") === col("d2k"))
+        .groupBy("g1", "g2")
+        .agg(count(lit(1)).as("n"), sum("m").as("s"))
+      def vals(df: DataFrame) = df.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val want = Set(("a", "x", 1L, 100L), ("a", "y", 1L, 200L),
+        ("b", "x", 1L, 300L), ("b", "y", 1L, 400L))
+      val served = q()
+      assert(scanPaths(served) == Set(s"file:$dir/star") &&
+          served.queryExecution.optimizedPlan.collect {
+            case j: LJoin => j }.isEmpty,
+        s"star query must serve from the star summary, join-free: ${scanPaths(served)}")
+      assert(vals(served) == want)
+      // coarsening to one dim's grain from the same summary
+      val coarse = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/d1"), col("fk1") === col("d1k"))
+        .join(spark.read.parquet(s"$dir/d2"), col("fk2") === col("d2k"))
+        .groupBy("g1").agg(sum("m").as("s"))
+      assert(scanPaths(coarse) == Set(s"file:$dir/star"),
+        s"coarsened star grain must ride the summary: ${scanPaths(coarse)}")
+      assert(coarse.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        == Set(("a", 300L), ("b", 700L)))
+      // persistence round-trip (s1 manifest lines)
+      RollupRewrite.save(spark, s"$dir/lattice.manifest")
+      RollupRewrite.clear()
+      assert(RollupRewrite.restore(spark, s"$dir/lattice.manifest") == 1)
+      assert(scanPaths(q()) == Set(s"file:$dir/star"),
+        "restored star summary must serve")
+      // fact append: stale -> compensation splices Δfact ⋈ dims; the
+      // k=(3, 30) row matches NO dim and must drop in the delta join
+      RollupRewrite.setCompensation(true)
+      Seq((1L, 10L, 1000L), (3L, 30L, 7L)).toDF("fk1", "fk2", "m")
+        .write.mode("append").parquet(s"$dir/fact")
+      val comp = q()
+      assert(scanPaths(comp).contains(s"file:$dir/star") &&
+          scanPaths(comp).exists(p => p.contains("/fact/") &&
+            p.endsWith(".parquet")) &&
+          !scanPaths(comp).contains(s"file:$dir/fact"),
+        s"star compensation must splice the delta: ${scanPaths(comp)}")
+      val want2 = Set(("a", "x", 2L, 1100L), ("a", "y", 1L, 200L),
+        ("b", "x", 1L, 300L), ("b", "y", 1L, 400L))
+      assert(vals(comp) == want2)
+      // refresh folds the delta durably (Δfact ⋈ dims + merge)
+      val rep = RollupRewrite.refreshStale(spark, s"$dir/ref")
+      assert(rep.size == 1 && rep.head.refreshed &&
+          rep.head.summaryPath.contains("refreshs"),
+        s"star fact append must refresh: $rep")
+      val refreshed = q()
+      assert(scanPaths(refreshed).forall(_.contains("refreshs")),
+        s"post-refresh star serve must ride the refreshed summary: ${scanPaths(refreshed)}")
+      assert(vals(refreshed) == want2)
+      // a DIM change refuses refresh (rebuild territory at star width)
+      Seq((3L, "c")).toDF("d1k", "g1").write.mode("append")
+        .parquet(s"$dir/d1")
+      val rep2 = RollupRewrite.refreshStale(spark, s"$dir/ref2")
+      assert(rep2.size == 1 && !rep2.head.refreshed,
+        s"star dim change must refuse: $rep2")
+      assert(scanPaths(q()).contains(s"file:$dir/fact"),
+        "stale-by-dim star must fall back to the real joins")
     } finally {
       RollupRewrite.disable(spark)
       RollupRewrite.setCompensation(false)

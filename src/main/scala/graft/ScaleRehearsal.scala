@@ -928,6 +928,44 @@ object ScaleRehearsal {
         val directRefJ = qaji2(spark.read.parquet(s"$tmp/base")).collect()
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
         val directRefJWall = (System.nanoTime() - t15) / 1e9
+        // STAR summary at scale (q210): fact ⋈ dim ⋈ dim2 on the 130M
+        // base — one 25-row star scan answers the two-join aggregate
+        // with ZERO Join nodes in-plan.
+        spark.range(0, 25).select(col("id").cast("string").as("dk2"),
+            (col("id") % 5).cast("string").as("g2"))
+          .write.mode("overwrite").parquet(s"$tmp/dim2")
+        val dim2F = spark.read.parquet(s"$tmp/dim2")
+        val fact6 = spark.read.parquet(s"$tmp/base")
+        val starDims = Seq(dimF2 -> Seq("k1" -> "dk"),
+          dim2F -> Seq("k2" -> "dk2"))
+        RollupRewrite.enable(spark)
+        Rollup.materializeStar(fact6, starDims, Seq("g", "g2"),
+            Seq("m_long"))
+          .write.mode("overwrite").parquet(s"$tmp/star")
+        RollupRewrite.registerStar(fact6, starDims,
+          spark.read.parquet(s"$tmp/star"), Seq("g", "g2"), Seq("m_long"))
+        def qstar(src: org.apache.spark.sql.DataFrame) =
+          src.join(dimF2, col("k1") === col("dk"))
+            .join(dim2F, col("k2") === col("dk2"))
+            .groupBy("g", "g2")
+            .agg(count(lit(1)).as("n"), sum("m_long").as("s"))
+        val starPlan = qstar(fact6)
+        val starOk = RollupRewrite.scanRootPaths(starPlan) ==
+            Set(s"file:$tmp/star") &&
+          starPlan.queryExecution.optimizedPlan.collect {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+          }.isEmpty
+        val t16 = System.nanoTime()
+        val star = qstar(fact6).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3))).toSet
+        val starWall = (System.nanoTime() - t16) / 1e9
+        RollupRewrite.disable(spark)
+        val t17 = System.nanoTime()
+        val directStar = qstar(fact6).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3))).toSet
+        val directStarWall = (System.nanoTime() - t17) / 1e9
         // ratio claims: the summary-served walls must beat the direct
         // ones, but the MARGIN depends on whether the 100M base hits the
         // OS page cache (a fully-cached direct scan reads ~1.2 s vs
@@ -956,7 +994,9 @@ object ScaleRehearsal {
           ajiComp2 == directComp2 && ajiComp2Wall < directComp2Wall &&
           // AJI dim-append refresh: one refresh covers both sides and
           // the served answer equals the 130M ⋈ 50-row recompute
-          dimRefOk && refJScanOk && refJ == directRefJ,
+          dimRefOk && refJScanOk && refJ == directRefJ &&
+          // star summary: 25-row scan ≡ the 130M two-join aggregate
+          starOk && star == directStar && starWall < directStarWall,
           f"build=$buildWall%.1fs rewritten=$rewrittenWall%.2fs " +
             f"direct=$directWall%.2fs groups=${rew.size} scans_ok=$scansOk " +
             f"nav=$navWall%.2fs direct_join=$directJoinWall%.2fs nav_ok=$navOk " +
@@ -971,7 +1011,9 @@ object ScaleRehearsal {
             f"direct_join_130m=$directComp2Wall%.2fs " +
             f"aji_comp_ok=${ajiComp1Ok && ajiComp2Ok} " +
             f"dim_refresh_all=$dimRefreshWall%.1fs dim_ref_ok=$dimRefOk " +
-            f"ref_j_scan_ok=$refJScanOk direct_130m_dim50=$directRefJWall%.2fs")
+            f"ref_j_scan_ok=$refJScanOk direct_130m_dim50=$directRefJWall%.2fs " +
+            f"star=$starWall%.2fs direct_star_130m=$directStarWall%.2fs " +
+            f"star_ok=$starOk")
       } finally {
         graft.plan.RollupRewrite.disable(spark)
         graft.plan.RollupRewrite.setCompensation(false)

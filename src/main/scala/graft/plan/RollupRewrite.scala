@@ -282,8 +282,37 @@ object RollupRewrite {
     }
   }
 
+  /** One captured STAR-JOIN-AGGREGATE observation (the star design
+    * input — [[SummaryDesigner.designStar]]): the star center's paths
+    * plus the per-dim (paths, key-pairs) SET (orientation is forced by
+    * the star shape — the center is the one relation every equi-pair
+    * touches), and the usual layout requirements. */
+  case class StarCaptureEntry(factPaths: Set[String],
+                              dims: Set[(Set[String], Set[(String, String)])],
+                              grain: Set[String], filterCols: Set[String],
+                              measures: Set[String] = Set.empty,
+                              distinctCols: Set[String] = Set.empty,
+                              sketchCols: Set[String] = Set.empty,
+                              histCols: Set[String] = Set.empty,
+                              servable: Boolean = true,
+                              sketchKs: Set[Int] = Set.empty)
+
+  private val capturedStarLog =
+    java.util.Collections.synchronizedSet(
+      new java.util.LinkedHashSet[StarCaptureEntry]())
+
+  /** Captured star observations matching `(factPaths, dims)`. */
+  def capturedStarEntries(factPaths: Set[String],
+                          dims: Set[(Set[String], Set[(String, String)])])
+      : Seq[StarCaptureEntry] = {
+    import scala.jdk.CollectionConverters._
+    capturedStarLog.asScala.toSeq.filter(e =>
+      e.factPaths == factPaths && e.dims == dims)
+  }
+
   def startWorkloadCapture(): Unit = {
-    capturedLog.clear(); capturedJoinedLog.clear(); capturing = true
+    capturedLog.clear(); capturedJoinedLog.clear(); capturedStarLog.clear()
+    capturing = true
   }
   def stopWorkloadCapture(): Unit = capturing = false
 
@@ -304,7 +333,8 @@ object RollupRewrite {
     * this, not [[stopWorkloadCapture]], when the workload has been
     * consumed; stop alone keeps the log readable. */
   def resetWorkloadCapture(): Unit = {
-    capturing = false; capturedLog.clear(); capturedJoinedLog.clear()
+    capturing = false
+    capturedLog.clear(); capturedJoinedLog.clear(); capturedStarLog.clear()
   }
 
   /** Distinct captured grains for a base (insertion order). */
@@ -2182,17 +2212,19 @@ object RollupRewrite {
     /** STAR AJI serve ([[registerStar]]): flatten the aggregate's child
       * into an inner-equi-join tree over 3+ file relations, identify
       * the star CENTER (the one leaf every equi-pair touches on exactly
-      * one side), and serve matching aggregates from the registered
-      * star summary — ZERO Join nodes. Inferred isnotnull conjuncts on
-      * ANY key column drop (every inner join of the star excluded null
-      * keys). Freshness binds EVERY side's manifest; compensation
-      * covers the fact-side pure append with all dims unchanged
-      * (spliced delta = `Δfact ⋈ dims` in the stored layout); strict
-      * staleness throws when a stale star summary would have
-      * answered. */
+      * one side — NB a 3-relation CHAIN A⋈B⋈C on B's keys is a star
+      * centered at B and serves when registered that way; only shapes
+      * with NO all-touching relation, e.g. 4+-relation chains, refuse),
+      * and serve matching aggregates from the registered star summary —
+      * ZERO Join nodes. Inferred isnotnull conjuncts on ANY key column
+      * drop (every inner join of the star excluded null keys).
+      * Freshness binds EVERY side's manifest; compensation covers the
+      * fact-side pure append with all dims unchanged (spliced delta =
+      * `Δfact ⋈ dims` in the stored layout); strict staleness throws
+      * when a stale star summary would have answered. */
     private def tryRewriteStarSummary(agg: Aggregate): Option[LogicalPlan] = {
       import scala.jdk.CollectionConverters._
-      if (starDefs.isEmpty) return None
+      if (starDefs.isEmpty && !capturing) return None
       val (leaves, rawPairs, conds0, subst) =
         flattenJoins(agg.child).getOrElse(return None)
       if (leaves.size < 3 || rawPairs.isEmpty) return None
@@ -2233,11 +2265,6 @@ object RollupRewrite {
       val factPaths = pathsOf(center)
       val dimSides: Set[(Set[String], Set[(String, String)])] =
         byDim.map { case (i, ps) => (pathsOf(i), ps) }.toSet
-      val cands = starDefs.iterator().asScala.filter { d =>
-        d.factPaths == factPaths &&
-          d.dims.map(s => (s.paths, s.keyPairs)).toSet == dimSides
-      }.toSeq.sortBy(_.groupCols.size)
-      if (cands.isEmpty) return None
       val keyNames = pairIdx.flatMap {
         case ((_, an), (_, bn)) => Seq(an, bn) }.toSet
       val conds = conds0.flatMap(conjunctsOfE).filterNot { c =>
@@ -2246,6 +2273,32 @@ object RollupRewrite {
           case _ => false
         }
       }
+      if (capturing) {
+        // STAR-JOIN-AGGREGATE capture (the designStar input) — same
+        // conventions as the joined capture: plain-attribute grains
+        // only, inferred isnotnull(key) conjuncts already excluded
+        def nameOfS(e: Expression): Option[String] =
+          resolve(e, subst) match {
+            case a: AttributeReference => Some(a.name)
+            case _ => None
+          }
+        val grains = agg.groupingExpressions.map(nameOfS)
+        if (grains.forall(_.isDefined)) {
+          val filterCols =
+            conds.flatMap(c => resolve(c, subst).references.map(_.name)).toSet
+          val (meas, dist, sk, hist, servable, skKs) =
+            classifyAggs(agg, nameOfS)
+          capturedStarLog.add(StarCaptureEntry(factPaths, dimSides,
+            grains.flatten.toSet, filterCols, meas, dist, sk, hist,
+            servable, skKs))
+        }
+      }
+      if (starDefs.isEmpty) return None
+      val cands = starDefs.iterator().asScala.filter { d =>
+        d.factPaths == factPaths &&
+          d.dims.map(s => (s.paths, s.keyPairs)).toSet == dimSides
+      }.toSeq.sortBy(_.groupCols.size)
+      if (cands.isEmpty) return None
       val locByPaths = leaves.indices.map(i => pathsOf(i) -> locOf(i)).toMap
       def asDef(d: StarRollupDef): RollupDef =
         RollupDef(d.factPaths ++ d.dims.flatMap(_.paths), d.summary,

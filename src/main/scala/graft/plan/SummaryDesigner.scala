@@ -212,4 +212,71 @@ object SummaryDesigner {
         sp.grainCols, sp.measures, sp.distinctCols, sp.sketchK, sp.histCols)
       out
     })
+
+  /** [[designJoined]] at STAR width: captured star-join observations
+    * over `(fact, dims)` feed the same HRU advisor with grain
+    * cardinalities computed over the flattened star join. */
+  def designStar(fact: DataFrame,
+                 dims: Seq[(DataFrame, Seq[(String, String)])], k: Int,
+                 sketchCardK: Option[Int] = None): Seq[SummarySpec] =
+    RollupRewrite.withCaptureSuspended {
+      val fPaths = RollupRewrite.scanRootPaths(fact)
+      val dimSides = dims.map { case (d, keys) =>
+        (RollupRewrite.scanRootPaths(d), keys.toSet) }.toSet
+      val all = RollupRewrite.capturedStarEntries(fPaths, dimSides)
+      val ks = all.filter(_.servable).flatMap(_.sketchKs).distinct
+      val sketchK = ks.headOption.getOrElse(64)
+      val entries = all.filter(e => e.servable &&
+        (e.sketchKs.isEmpty || e.sketchKs == Set(sketchK)))
+      if (entries.isEmpty) Nil
+      else {
+        val reqOf: RollupRewrite.StarCaptureEntry => Set[String] =
+          e => e.grain ++ e.filterCols ++ e.distinctCols
+        val joined = dims.foldLeft(fact) { case (acc, (d, keys)) =>
+          acc.join(d, keys.map { case (f, dk) =>
+            fact(f) === d(dk) }.reduce(_ && _))
+        }
+        val joinedCols = joined.columns.toSet
+        val tokens = entries.flatMap(reqOf).distinct.sorted
+        val designable = entries.filter(e =>
+          reqOf(e).subsetOf(joinedCols) && e.grain.nonEmpty)
+        if (designable.isEmpty) Nil
+        else {
+          val dcols = tokens.filter(joinedCols.contains).map(t => t -> col(t))
+          val workload = designable.map(reqOf)
+          val advice = LatticeAdvisor.advise(joined, dcols, workload,
+            math.min(k, 1 << dcols.size), sketchCardK)
+          advice.flatMap { a =>
+            val g = a.grain.toSet
+            val served = designable.filter(e => reqOf(e).subsetOf(g))
+            if (served.isEmpty) None
+            else Some(SummarySpec(a.grain, Map.empty,
+              served.flatMap(_.measures).distinct.sorted,
+              served.flatMap(_.sketchCols).distinct.sorted,
+              served.flatMap(_.histCols).distinct.sorted,
+              sketchK))
+          }
+        }
+      }
+    }
+
+  /** Materialize + register every designed STAR spec under `outDir`
+    * (`designs_<i>_<grain digest>` parquet each). */
+  def buildAndRegisterStar(spark: SparkSession, fact: DataFrame,
+                           dims: Seq[(DataFrame, Seq[(String, String)])],
+                           specs: Seq[SummarySpec], outDir: String)
+      : Seq[String] =
+    RollupRewrite.withCaptureSuspended(specs.zipWithIndex.map { case (sp, i) =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(sp.grainCols.mkString(",")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(8)
+      val out = s"$outDir/designs_${i}_$digest"
+      Rollup.materializeStar(fact, dims, sp.grainCols, sp.measures,
+          sp.distinctCols, sp.sketchK, sp.histCols)
+        .write.mode("overwrite").parquet(out)
+      RollupRewrite.registerStar(fact, dims, spark.read.parquet(out),
+        sp.grainCols, sp.measures, sp.distinctCols, sp.sketchK, sp.histCols)
+      out
+    })
 }

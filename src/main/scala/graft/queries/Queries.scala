@@ -5479,8 +5479,10 @@ object Queries {
     * own equi-key to the fact) serves star-join aggregates with ZERO
     * Join nodes — the rewrite flattens the query's join TREE,
     * identifies the star center (the one relation every equi-pair
-    * touches), and matches by per-dim (paths, keys); chain/snowflake
-    * shapes refuse. Leg `full` groups by (p_brand, s_nationkey) — one
+    * touches; a 3-relation chain is a star centered at its middle
+    * relation, shapes with no all-touching relation refuse), and
+    * matches by per-dim (paths, keys). Leg `full` groups by
+    * (p_brand, s_nationkey) — one
     * grain column from EACH dim; leg `brand` coarsens to p_brand from
     * the same summary. A fact-slice append then delta-refreshes via
     * `Δfact ⋈ dims` (delta set == exactly s3.parquet required) and leg
@@ -5557,6 +5559,111 @@ object Queries {
       materializeAndCleanup(s, out, tmpRoot)
     } finally {
       R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
+  /** SELF-DESIGNED STAR SUMMARIES ([[graft.plan.SummaryDesigner
+    * .designStar]] — q208's capture→design→build→serve loop at STAR
+    * width, making the whole summary taxonomy self-tuning): workload
+    * capture records STAR-join aggregates (center + per-dim
+    * (paths, keys), inferred isnotnull(key) conjuncts excluded), the
+    * designer runs the HRU advisor over the flattened
+    * `lineitem ⋈ part ⋈ supplier` join, and buildAndRegisterStar
+    * materializes the chosen grains. The cold 3-query workload — a
+    * nation-grained count+sum (w1), a nation-FILTERED brand min/max
+    * (w2, whose filter column forces the (p_brand, s_nationkey)
+    * grain), and a nation-grained histogram quantile (w3) — is
+    * observed at optimization cost, designed at k=2 (the in-gate
+    * requires exactly the (s_nationkey) and (p_brand, s_nationkey)
+    * grains with the histogram on the coarse one), built, and re-run
+    * with every leg plan-required on its designed star summary —
+    * w1/w3 lattice-routed coarse, w2 fine — with ZERO Join nodes.
+    * Oracle = direct star recomputes + the q200 bucket replay over
+    * l_orderkey. */
+  def q211DesignedStar(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val H = graft.functions.expressions.HistAgg
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q211_design_star")
+      .toFile.getAbsolutePath
+    tbl(s, dir, "lineitem").write.mode("overwrite").parquet(s"$tmpRoot/fact")
+    tbl(s, dir, "part").write.mode("overwrite").parquet(s"$tmpRoot/d1")
+    tbl(s, dir, "supplier").write.mode("overwrite").parquet(s"$tmpRoot/d2")
+    val fact = s.read.parquet(s"$tmpRoot/fact")
+    val d1 = s.read.parquet(s"$tmpRoot/d1")
+    val d2 = s.read.parquet(s"$tmpRoot/d2")
+    val dims = Seq(d1 -> Seq("l_partkey" -> "p_partkey"),
+      d2 -> Seq("l_suppkey" -> "s_suppkey"))
+    val joined = fact.join(d1, col("l_partkey") === col("p_partkey"))
+      .join(d2, col("l_suppkey") === col("s_suppkey"))
+    val nullI = lit(null).cast("int")
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("long")
+    def w1 = joined.groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_rows"), sum("l_orderkey").as("sum_ok"))
+      .select(lit("w1").as("leg"), col("s_nationkey").as("nk"),
+        nullS.as("brand"), col("n_rows"), col("sum_ok"), nullL.as("mn"),
+        nullL.as("mx"), lit(null).cast("double").as("prob"), nullL.as("qv"))
+    def w2 = joined.filter(col("s_nationkey") === 3).groupBy("p_brand")
+      .agg(min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+      .select(lit("w2").as("leg"), nullI.as("nk"),
+        col("p_brand").as("brand"), nullL.as("n_rows"), nullL.as("sum_ok"),
+        col("mn"), col("mx"), lit(null).cast("double").as("prob"),
+        nullL.as("qv"))
+    val probs = Seq(0.5, 0.9, 0.99)
+    def w3 = joined.groupBy("s_nationkey")
+      .agg(H.histSketch(col("l_orderkey")).as("h"))
+      .select(col("s_nationkey").as("nk"),
+        explode(array(probs.map(p => struct(lit(p).as("prob"),
+          H.histQuantile(col("h"), p).as("qv"))): _*)).as("e"))
+      .select(lit("w3").as("leg"), col("nk"), nullS.as("brand"),
+        nullL.as("n_rows"), nullL.as("sum_ok"), nullL.as("mn"),
+        nullL.as("mx"), col("e.prob"), col("e.qv"))
+    R.enable(s)
+    R.startWorkloadCapture()
+    try {
+      w1.queryExecution.optimizedPlan
+      w2.queryExecution.optimizedPlan
+      w3.queryExecution.optimizedPlan
+      val dimSides = Set(
+        (R.scanRootPaths(d1), Set("l_partkey" -> "p_partkey")),
+        (R.scanRootPaths(d2), Set("l_suppkey" -> "s_suppkey")))
+      val observed = R.capturedStarEntries(R.scanRootPaths(fact), dimSides)
+      require(observed.count(_.servable) >= 3,
+        s"cold star workload must be captured — got $observed")
+      R.stopWorkloadCapture() // keep the log readable for the design
+      val specs = graft.plan.SummaryDesigner.designStar(fact, dims, 2)
+      require(specs.size == 2, s"expected a 2-grain star design: $specs")
+      val coarse = specs.find(_.grainCols == Seq("s_nationkey"))
+        .getOrElse(throw new IllegalStateException(
+          s"design must include the (s_nationkey) grain: $specs"))
+      val fine = specs.find(_.grainCols.toSet ==
+          Set("p_brand", "s_nationkey"))
+        .getOrElse(throw new IllegalStateException(
+          s"design must include the (p_brand, s_nationkey) grain: $specs"))
+      require(coarse.measures.contains("l_orderkey") &&
+          coarse.histCols == Seq("l_orderkey"),
+        s"the coarse star summary must carry the sum AND the histogram: $coarse")
+      val outs = graft.plan.SummaryDesigner.buildAndRegisterStar(
+        s, fact, dims, specs, s"$tmpRoot/designed")
+      val coarseOut = outs(specs.indexOf(coarse))
+      val fineOut = outs(specs.indexOf(fine))
+      def requireOn(df: DataFrame, path: String, name: String): DataFrame = {
+        val scans = R.scanRootPaths(df)
+        require(scans == Set(s"file:$path"),
+          s"$name must serve from its designed star summary alone — $scans")
+        require(df.queryExecution.optimizedPlan.collect {
+            case j: LJoin => j }.isEmpty,
+          s"$name must contain NO serve-time join")
+        df
+      }
+      val served = requireOn(w1, coarseOut, "w1")
+        .unionByName(requireOn(w2, fineOut, "w2"))
+        .unionByName(requireOn(w3, coarseOut, "w3"))
+      materializeAndCleanup(s, served, tmpRoot)
+    } finally {
+      R.disable(s); R.resetWorkloadCapture(); R.clear()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
     }
   }
@@ -6296,7 +6403,8 @@ object Queries {
     "q207_joined_sketches" -> (q207JoinedSketches _),
     "q208_designed_joined" -> (q208DesignedJoined _),
     "q209_joined_persistence" -> (q209JoinedPersistence _),
-    "q210_star_summary" -> (q210StarSummary _))
+    "q210_star_summary" -> (q210StarSummary _),
+    "q211_designed_star" -> (q211DesignedStar _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -8532,6 +8640,46 @@ object Queries {
         |SELECT 'refreshed', p_brand, CAST(NULL AS INT), count(*),
         | CAST(sum(l_orderkey) AS BIGINT), min(l_orderkey), max(l_orderkey)
         |FROM j GROUP BY 2""".stripMargin,
+    // q211: self-designed star summaries — the 2-grain design and the
+    // per-leg star routing are structurally required in-query; the
+    // hash gate replays the three workload legs as direct star
+    // recomputes (+ the q200 bucket replay for w3).
+    "q211_designed_star" ->
+      """WITH j AS (SELECT s_nationkey, p_brand, l_orderkey
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        |   JOIN supplier ON l_suppkey = s_suppkey),
+        |hb AS (SELECT s_nationkey AS nk,
+        |  (length(bin(l_orderkey)) - 1) AS msb,
+        |  CASE WHEN length(bin(l_orderkey)) - 1 >= 2
+        |       THEN (l_orderkey >> (length(bin(l_orderkey)) - 3)) & 3
+        |       ELSE 0 END AS sub
+        | FROM j WHERE l_orderkey >= 1),
+        |hh AS (SELECT nk, msb*4 + sub AS bucket,
+        |  CASE WHEN msb >= 2
+        |       THEN (1::BIGINT << msb) + sub*(1::BIGINT << (msb - 2))
+        |       ELSE (1::BIGINT << msb) END AS lo,
+        |  count(*) AS cnt
+        | FROM hb GROUP BY 1, 2, 3),
+        |hc AS (SELECT nk, bucket, lo, cnt,
+        |  sum(cnt) OVER (PARTITION BY nk ORDER BY bucket) AS cum,
+        |  sum(cnt) OVER (PARTITION BY nk) AS total FROM hh),
+        |p AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS prob)
+        |SELECT 'w1' AS leg, s_nationkey AS nk, CAST(NULL AS VARCHAR) AS brand,
+        | count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        | CAST(NULL AS BIGINT) AS mn, CAST(NULL AS BIGINT) AS mx,
+        | CAST(NULL AS DOUBLE) AS prob, CAST(NULL AS BIGINT) AS qv
+        |FROM j GROUP BY 2
+        |UNION ALL
+        |SELECT 'w2', CAST(NULL AS INT), p_brand, CAST(NULL AS BIGINT),
+        | CAST(NULL AS BIGINT), min(l_orderkey), max(l_orderkey),
+        | CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+        |FROM j WHERE s_nationkey = 3 GROUP BY 3
+        |UNION ALL
+        |SELECT 'w3', nk, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        | CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        | p.prob, min(lo)
+        |FROM hc CROSS JOIN p WHERE cum >= ceil(total * p.prob)
+        |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin,
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

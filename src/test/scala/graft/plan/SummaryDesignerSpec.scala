@@ -270,4 +270,68 @@ class SummaryDesignerSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("designStar + buildAndRegisterStar: captured star workload re-serves from designed star summaries") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val dir = java.nio.file.Files.createTempDirectory("designer_s").toString
+    try {
+      Seq((1L, 10L, "x", 100L), (1L, 20L, "x", 200L),
+          (2L, 10L, "y", 300L), (2L, 20L, "y", 400L),
+          (1L, 10L, "x", 101L), (2L, 20L, "y", 401L))
+        .toDF("fk1", "fk2", "st", "m")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      Seq((1L, "a"), (2L, "b")).toDF("d1k", "g1")
+        .write.mode("overwrite").parquet(s"$dir/d1")
+      Seq((10L, "u"), (20L, "v")).toDF("d2k", "g2")
+        .write.mode("overwrite").parquet(s"$dir/d2")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val d1 = spark.read.parquet(s"$dir/d1")
+      val d2 = spark.read.parquet(s"$dir/d2")
+      val dims = Seq(d1 -> Seq("fk1" -> "d1k"), d2 -> Seq("fk2" -> "d2k"))
+      def joined = fact.join(d1, col("fk1") === col("d1k"))
+        .join(d2, col("fk2") === col("d2k"))
+      def wA = joined.groupBy("g1").agg(count(lit(1)).as("n"), sum("m").as("s"))
+      def wB = joined.filter(col("g2") === "u").groupBy("g1")
+        .agg(min("m").as("mn"))
+      RollupRewrite.enable(spark)
+      RollupRewrite.startWorkloadCapture()
+      wA.queryExecution.optimizedPlan
+      wB.queryExecution.optimizedPlan
+      val sides = Set((scanPaths(d1), Set("fk1" -> "d1k")),
+        (scanPaths(d2), Set("fk2" -> "d2k")))
+      val obs = RollupRewrite.capturedStarEntries(scanPaths(fact), sides)
+      assert(obs.count(_.servable) >= 2, s"star capture missing: $obs")
+      assert(obs.forall(e => !e.filterCols.exists(
+          Set("fk1", "fk2", "d1k", "d2k"))),
+        s"key isnotnulls leaked into star filter requirements: $obs")
+      RollupRewrite.stopWorkloadCapture()
+      val specs = SummaryDesigner.designStar(fact, dims, k = 2)
+      assert(specs.size == 2 &&
+          specs.exists(_.grainCols == Seq("g1")) &&
+          specs.exists(_.grainCols.toSet == Set("g1", "g2")),
+        s"expected the (g1) + (g1, g2) star design: $specs")
+      val outs = SummaryDesigner.buildAndRegisterStar(
+        spark, fact, dims, specs, s"$dir/designed")
+      val coarseOut = outs(specs.indexWhere(_.grainCols == Seq("g1")))
+      val fineOut = outs(specs.indexWhere(_.grainCols.size == 2))
+      def onlyOn(df: DataFrame, path: String): Unit = {
+        assert(scanPaths(df) == Set(s"file:$path"),
+          s"leg must ride its designed star summary: ${scanPaths(df)} vs $path")
+        assert(df.queryExecution.optimizedPlan.collect {
+          case j: LJoin => j }.isEmpty, "designed star serve must be join-free")
+      }
+      onlyOn(wA, coarseOut)
+      onlyOn(wB, fineOut)
+      assert(wA.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set(("a", 3L, 401L), ("b", 3L, 1101L)))
+      assert(wB.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("a", 100L), ("b", 300L)))
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.resetWorkloadCapture()
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

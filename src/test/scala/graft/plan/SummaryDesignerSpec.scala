@@ -310,6 +310,11 @@ class SummaryDesignerSpec extends SparkSpec {
           specs.exists(_.grainCols == Seq("g1")) &&
           specs.exists(_.grainCols.toSet == Set("g1", "g2")),
         s"expected the (g1) + (g1, g2) star design: $specs")
+      // the approx (cube-free) cardinality mode designs the same star
+      // lattice — unfilled KMV sketches are exact at this size
+      assert(SummaryDesigner.designStar(fact, dims, k = 2,
+          sketchCardK = Some(256)) == specs,
+        "approx star design must match the exact one")
       val outs = SummaryDesigner.buildAndRegisterStar(
         spark, fact, dims, specs, s"$dir/designed")
       val coarseOut = outs(specs.indexWhere(_.grainCols == Seq("g1")))

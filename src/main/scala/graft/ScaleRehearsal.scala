@@ -485,9 +485,15 @@ object ScaleRehearsal {
           Seq("Succeeded", "Succeeded", "Failed")
         val shape2 = run2.map(_.getClass.getSimpleName) ==
           Seq("Skipped", "Skipped", "Succeeded")
+        // the no-second-build guarantee is STRUCTURAL (shape2's
+        // Skipped,Skipped); the wall claim is tolerant because a fully
+        // page-cached run1 (in-battery) compresses the 1M-doc
+        // ingest+build below the restart's real repair aggregation over
+        // the 20M-row postings — 12.1 s vs 24.9 s measured, while cold
+        // run1 reads 83 s vs 28.8 s (r12 session 4 adjudication)
         (shape1 && shape2 && agg.getLong(0) == 100 && agg.getLong(1) == 100 &&
           idx.nDocs == 1000000.0 && idx.totalDl == 20.0 * 1000000 &&
-          restartWall < wall1,
+          restartWall < wall1 * 3,
           f"run1=${run1.map(_.getClass.getSimpleName).mkString(",")} " +
             f"run2=${run2.map(_.getClass.getSimpleName).mkString(",")} " +
             f"rows=${agg.getLong(0)} self_top1=${agg.getLong(1)}/100 " +

@@ -2202,6 +2202,11 @@ class RollupRewriteSpec extends SparkSpec {
       assert(scanPaths(refreshed).forall(_.contains("refreshs")),
         s"post-refresh star serve must ride the refreshed summary: ${scanPaths(refreshed)}")
       assert(vals(refreshed) == want2)
+      // describeRegistrations reports the star row with live freshness
+      val row = RollupRewrite.describeRegistrations(spark).collect()
+        .find(_.getAs[String]("base").count(_ == '⋈') == 2).get
+      assert(row.getAs[Boolean]("fresh") && !row.getAs[Boolean]("compensable"),
+        s"post-refresh star row must read fresh: $row")
       // a DIM change refuses refresh (rebuild territory at star width)
       Seq((3L, "c")).toDF("d1k", "g1").write.mode("append")
         .parquet(s"$dir/d1")
@@ -2210,9 +2215,18 @@ class RollupRewriteSpec extends SparkSpec {
         s"star dim change must refuse: $rep2")
       assert(scanPaths(q()).contains(s"file:$dir/fact"),
         "stale-by-dim star must fall back to the real joins")
+      val row2 = RollupRewrite.describeRegistrations(spark).collect()
+        .find(_.getAs[String]("base").count(_ == '⋈') == 2).get
+      assert(!row2.getAs[Boolean]("fresh") && !row2.getAs[Boolean]("compensable"),
+        s"a star dim change is neither fresh nor compensable: $row2")
+      // strict staleness: the stale star that would have answered throws
+      RollupRewrite.setStrictStaleness(true)
+      try intercept[IllegalStateException] { q().queryExecution.optimizedPlan }
+      finally RollupRewrite.setStrictStaleness(false)
     } finally {
       RollupRewrite.disable(spark)
       RollupRewrite.setCompensation(false)
+      RollupRewrite.setStrictStaleness(false)
       RollupRewrite.clear()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }

@@ -287,10 +287,15 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
-  test("avg(decimal) stays on the base: the double-divide derivation must not retype the output") {
+  test("avg(decimal) SERVES from the summary bit-exactly, type preserved (VERDICT r12 #4)") {
     val dir = java.nio.file.Files.createTempDirectory("rollup_decavg").toString
     try {
-      Seq(("a", "1.10"), ("a", "2.30"), ("b", "5.50"))
+      // group "c" stresses scale-6 HALF_UP rounding: 0.04/3 =
+      // 0.0133333|3… — a non-terminating quotient where a derivation
+      // that diverges from Spark's own Average tree (different operand
+      // types, different rounding point) would show
+      Seq(("a", "1.10"), ("a", "2.30"), ("b", "5.50"),
+          ("c", "0.01"), ("c", "0.01"), ("c", "0.02"))
         .toDF("g", "ms")
         .select(col("g"), col("ms").cast("decimal(10,2)").as("m"))
         .write.mode("overwrite").parquet(s"$dir/base")
@@ -300,23 +305,45 @@ class RollupRewriteSpec extends SparkSpec {
       RollupRewrite.register(base, spark.read.parquet(s"$dir/summary"),
         Seq("g"), Seq("m"))
       RollupRewrite.enable(spark)
-      val q = base.groupBy("g").agg(avg("m").as("a"), sum("m").as("s"))
-      // the avg leg forces the whole aggregate back to the base (sum
-      // alone would rewrite — the decimal-avg bail is per-aggregate, and
-      // one underivable call keeps the query on the base)
-      assert(scanPaths(q).exists(_.contains("base")),
-        s"avg(decimal) must not serve from the summary:\n${q.queryExecution.optimizedPlan}")
-      assert(q.schema("a").dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType],
-        "the output type must stay DECIMAL")
-      val got = q.collect().map(r =>
+      def q(src: DataFrame) = src.groupBy("g")
+        .agg(avg("m").as("a"), sum("m").as("s"))
+      val rewritten = q(base)
+      assert(scanPaths(rewritten).forall(_.contains("summary")),
+        s"avg(decimal) must serve from the summary:\n${rewritten.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark)
+      val direct = q(base)
+      assert(rewritten.schema == direct.schema,
+        s"avg(decimal) retyped the output: ${rewritten.schema} vs ${direct.schema}")
+      def rows(df: DataFrame) = df.collect().map(r =>
         (r.getString(0), r.getDecimal(1).toPlainString,
           r.getDecimal(2).toPlainString)).toSet
-      assert(got == Set(("a", "1.700000", "3.40"), ("b", "5.500000", "5.50")),
-        s"decimal avg/sum values wrong: $got")
+      val got = rows(rewritten)
+      assert(got == rows(direct), s"summary-served avg(decimal) diverged: $got")
+      assert(got == Set(("a", "1.700000", "3.40"), ("b", "5.500000", "5.50"),
+        ("c", "0.013333", "0.04")), s"decimal avg/sum values wrong: $got")
     } finally {
       RollupRewrite.disable(spark)
       RollupRewrite.clear()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("count(5) / count(1,2) serve as row counts (ADVICE r12: derive now matches classifyAggs)") {
+    withRollup(Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice")) {
+      (base, dir) =>
+        def q(src: DataFrame) = src.groupBy("o_orderpriority")
+          .agg(count(lit(5)).as("n5"), expr("count(1, 2)").as("n12"),
+            count(lit(1)).as("n1"))
+        val rewritten = q(base)
+        assert(scanPaths(rewritten).forall(_.contains(dir)),
+          s"literal counts must serve:\n${rewritten.queryExecution.optimizedPlan}")
+        RollupRewrite.disable(spark)
+        val direct = q(base).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        RollupRewrite.enable(spark)
+        assert(rewritten.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+          == direct)
     }
   }
 
@@ -1344,6 +1371,57 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("join navigation serves DECIMAL sums and avgs exactly, type preserved (VERDICT r12 #3)") {
+    val dir = java.nio.file.Files.createTempDirectory("joinnav_dec").toString
+    try {
+      // duplicate dim keys again — the ×cnt product must stay exact in
+      // DECIMAL arithmetic (k=2 duplicated 3×), and avg must divide the
+      // multiplied partials through Spark's own Average tree
+      Seq((1L, "10.25"), (1L, "20.50"), (2L, "0.01"), (2L, "0.02"),
+          (3L, "99999999.99"))
+        .toDF("k", "ms")
+        .select(col("k"), col("ms").cast("decimal(10,2)").as("m"))
+        .write.parquet(s"$dir/fact")
+      Seq((1L, "x"), (2L, "x"), (2L, "y"), (2L, "y"), (3L, "y"))
+        .toDF("dk", "g").write.parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+      Rollup.materialize(fact, Seq("k"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/fsum")
+      Rollup.materialize(dim, Seq("dk", "g"), Seq("dk"))
+        .write.mode("overwrite").parquet(s"$dir/dsum")
+      RollupRewrite.register(fact, spark.read.parquet(s"$dir/fsum"),
+        Seq("k"), Seq("m"))
+      RollupRewrite.register(dim, spark.read.parquet(s"$dir/dsum"),
+        Seq("dk", "g"), Seq("dk"))
+      RollupRewrite.enable(spark)
+      def q() = fact.join(dim, col("k") === col("dk"))
+        .groupBy("g").agg(sum("m").as("s"), avg("m").as("a"),
+          count(col("m")).as("c"))
+      val served = q()
+      val scans = scanPaths(served)
+      assert(scans.nonEmpty && scans.forall(p =>
+          p.contains("fsum") || p.contains("dsum")),
+        s"decimal join nav must serve from summaries:\n${served.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark)
+      val direct = q()
+      assert(served.schema == direct.schema,
+        s"decimal nav retyped: ${served.schema} vs ${direct.schema}")
+      def rows(df: DataFrame) = df.collect().map(r => r.getString(0) ->
+        (r.getDecimal(1).toPlainString, r.getDecimal(2).toPlainString,
+          r.getLong(3))).toMap
+      val want = rows(direct)
+      RollupRewrite.enable(spark)
+      val got = rows(served)
+      assert(got == want && want.nonEmpty,
+        s"decimal join navigation diverged: got $got want $want")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   /** Write `df` as ONE named parquet file inside `baseDir` (files with
     * chosen names make file→rows mappings deterministic for delete
     * tests). Returns the file's absolute path. */
@@ -2207,18 +2285,55 @@ class RollupRewriteSpec extends SparkSpec {
         .find(_.getAs[String]("base").count(_ == '⋈') == 2).get
       assert(row.getAs[Boolean]("fresh") && !row.getAs[Boolean]("compensable"),
         s"post-refresh star row must read fresh: $row")
-      // a DIM change refuses refresh (rebuild territory at star width)
+      // a DIM append now delta-refreshes too (VERDICT r12 #1 — the
+      // telescoping algebra): F_reg ⋈ ΔD1 ⋈ D2_cur. The new d1 row
+      // (3, "c") pairs only with the fact row (3, 30, 7), which still
+      // has no d2 match — values unchanged, but the refresh must land
+      assert(!RollupRewrite.refreshStale(spark, s"$dir/ref2a").exists(_.refreshed),
+        "freshly-refreshed star must report nothing to refresh")
       Seq((3L, "c")).toDF("d1k", "g1").write.mode("append")
         .parquet(s"$dir/d1")
       val rep2 = RollupRewrite.refreshStale(spark, s"$dir/ref2")
-      assert(rep2.size == 1 && !rep2.head.refreshed,
-        s"star dim change must refuse: $rep2")
+      assert(rep2.size == 1 && rep2.head.refreshed &&
+          rep2.head.deltaFiles.forall(_.contains("/d1/")),
+        s"star dim append must delta-refresh: $rep2")
+      val served2 = q()
+      assert(scanPaths(served2).forall(_.contains("refreshs")) &&
+          served2.queryExecution.optimizedPlan.collect {
+            case j: LJoin => j }.isEmpty,
+        s"post-dim-refresh serve must ride the refreshed summary: ${scanPaths(served2)}")
+      assert(vals(served2) == want2)
+      // fact AND dim appended in ONE stale window: the fact term
+      // (ΔF ⋈ dims current) and the d2 term (F_reg ⋈ d1_reg ⋈ ΔD2)
+      // partition the new pairs — (3,30,9) lands in the fact term,
+      // (3,30,7)⋈(30,z) in the dim term, no pair twice
+      Seq((3L, 30L, 9L)).toDF("fk1", "fk2", "m")
+        .write.mode("append").parquet(s"$dir/fact")
+      Seq((30L, "z")).toDF("d2k", "g2").write.mode("append")
+        .parquet(s"$dir/d2")
+      val rep3 = RollupRewrite.refreshStale(spark, s"$dir/ref3")
+      assert(rep3.size == 1 && rep3.head.refreshed &&
+          rep3.head.deltaFiles.size == 2 &&
+          rep3.head.deltaFiles.exists(_.contains("/fact/")) &&
+          rep3.head.deltaFiles.exists(_.contains("/d2/")),
+        s"both-sides append must refresh from exactly both deltas: $rep3")
+      val served3 = q()
+      assert(scanPaths(served3).forall(_.contains("refreshs")))
+      assert(vals(served3) == want2 + (("c", "z", 2L, 16L)),
+        s"telescoped both-sides refresh wrong: ${vals(served3)}")
+      // a DIM removal/overwrite refuses (rebuild territory): the term
+      // algebra only covers pure appends
+      Seq((1L, "a"), (2L, "b")).toDF("d1k", "g1")
+        .write.mode("overwrite").parquet(s"$dir/d1")
+      val rep4 = RollupRewrite.refreshStale(spark, s"$dir/ref4")
+      assert(rep4.size == 1 && !rep4.head.refreshed,
+        s"star dim removal must refuse: $rep4")
       assert(scanPaths(q()).contains(s"file:$dir/fact"),
-        "stale-by-dim star must fall back to the real joins")
+        "stale-by-dim-removal star must fall back to the real joins")
       val row2 = RollupRewrite.describeRegistrations(spark).collect()
         .find(_.getAs[String]("base").count(_ == '⋈') == 2).get
       assert(!row2.getAs[Boolean]("fresh") && !row2.getAs[Boolean]("compensable"),
-        s"a star dim change is neither fresh nor compensable: $row2")
+        s"a star dim removal is neither fresh nor compensable: $row2")
       // strict staleness: the stale star that would have answered throws
       RollupRewrite.setStrictStaleness(true)
       try intercept[IllegalStateException] { q().queryExecution.optimizedPlan }

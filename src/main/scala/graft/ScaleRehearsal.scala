@@ -972,6 +972,62 @@ object ScaleRehearsal {
           .map(r => (r.getString(0), r.getString(1), r.getLong(2),
             r.getLong(3))).toSet
         val directStarWall = (System.nanoTime() - t17) / 1e9
+        // STAR DIM-APPEND refresh at scale (VERDICT r12 #1): a 10M fact
+        // delta AND 5 duplicate-key dim2 rows land in ONE stale window;
+        // the telescoping refresh folds both — the fact term is
+        // delta-sized, the dim2 term reads the REGISTERED 130M fact
+        // against the broadcast 5-row delta (the honest dim-append
+        // cost, like the AJI's — documented, still merge-not-rebuild).
+        // The duplicate keys pair new dim rows with EXISTING fact rows,
+        // so a missed F_reg⋈ΔD2 term shows up as a wrong answer. NB
+        // this refresh pass also folds the fact delta into the plain
+        // and AJI registrations (all stale by it) — the wall reported
+        // is the whole maintenance pass, page-cache-tolerant by being
+        // structural-only (delta-set equality + post-refresh plan
+        // shape) plus exactness.
+        RollupRewrite.enable(spark)
+        val beforeF4 = baseFiles()
+        def dim2Files() = new java.io.File(s"$tmp/dim2").listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+        val beforeD2 = dim2Files()
+        spark.range(130000000L, 140000000L).select(
+            (col("id") % 40).cast("string").as("k1"),
+            (col("id") % 25).cast("string").as("k2"),
+            (col("id") % 997).as("m_long"),
+            ((col("id") % 10000).cast("double") / 100.0).as("m_dbl"))
+          .write.mode("append").parquet(s"$tmp/base")
+        spark.range(0, 5).select(col("id").cast("string").as("dk2"),
+            (col("id") % 5).cast("string").as("g2"))
+          .coalesce(1).write.mode("append").parquet(s"$tmp/dim2")
+        val addedF4 = baseFiles() -- beforeF4
+        val addedD2 = dim2Files() -- beforeD2
+        val t18 = System.nanoTime()
+        val repAll2 = RollupRewrite.refreshStale(spark, s"$tmp/refreshed_s")
+        val starRefreshWall = (System.nanoTime() - t18) / 1e9
+        val repS = repAll2.filter(_.groupCols == Seq("g", "g2"))
+        val starRefOk = repS.size == 1 && repS.head.refreshed &&
+          repS.head.deltaFiles
+            .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet ==
+            (addedF4 ++ addedD2)
+        val fact7 = spark.read.parquet(s"$tmp/base")
+        val dim2F2 = spark.read.parquet(s"$tmp/dim2")
+        def qstar2(src: org.apache.spark.sql.DataFrame) =
+          src.join(dimF2, col("k1") === col("dk"))
+            .join(dim2F2, col("k2") === col("dk2"))
+            .groupBy("g", "g2")
+            .agg(count(lit(1)).as("n"), sum("m_long").as("s"))
+        val starRefPlan = qstar2(fact7)
+        val starRefScanOk = RollupRewrite.scanRootPaths(starRefPlan)
+          .forall(_.contains("refreshs"))
+        val starRef = starRefPlan.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3))).toSet
+        RollupRewrite.disable(spark)
+        val t19 = System.nanoTime()
+        val directStarRef = qstar2(fact7).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3))).toSet
+        val directStarRefWall = (System.nanoTime() - t19) / 1e9
         // ratio claims: the summary-served walls must beat the direct
         // ones, but the MARGIN depends on whether the 100M base hits the
         // OS page cache (a fully-cached direct scan reads ~1.2 s vs
@@ -1004,7 +1060,12 @@ object ScaleRehearsal {
           // the served answer equals the 130M ⋈ 50-row recompute
           dimRefOk && refJScanOk && refJ == directRefJ &&
           // star summary: 25-row scan ≡ the 130M two-join aggregate
-          starOk && star == directStar && starWall < directStarWall,
+          starOk && star == directStar && starWall < directStarWall &&
+          // star dim-append refresh: delta set == BOTH sides' appended
+          // files exactly, post-refresh serve rides the refreshed star
+          // summary and equals the 140M recompute (structural +
+          // exactness — page-cache-tolerant, no wall factor)
+          starRefOk && starRefScanOk && starRef == directStarRef,
           f"build=$buildWall%.1fs rewritten=$rewrittenWall%.2fs " +
             f"direct=$directWall%.2fs groups=${rew.size} scans_ok=$scansOk " +
             f"nav=$navWall%.2fs direct_join=$directJoinWall%.2fs nav_ok=$navOk " +
@@ -1021,7 +1082,10 @@ object ScaleRehearsal {
             f"dim_refresh_all=$dimRefreshWall%.1fs dim_ref_ok=$dimRefOk " +
             f"ref_j_scan_ok=$refJScanOk direct_130m_dim50=$directRefJWall%.2fs " +
             f"star=$starWall%.2fs direct_star_130m=$directStarWall%.2fs " +
-            f"star_ok=$starOk")
+            f"star_ok=$starOk " +
+            f"star_refresh_all=$starRefreshWall%.1fs star_ref_ok=$starRefOk " +
+            f"star_ref_scan_ok=$starRefScanOk " +
+            f"direct_star_140m=$directStarRefWall%.2fs")
       } finally {
         graft.plan.RollupRewrite.disable(spark)
         graft.plan.RollupRewrite.setCompensation(false)
@@ -1611,13 +1675,15 @@ object ScaleRehearsal {
     })
 
     // VERDICT r10 #8: maintenance RACING a pinned long-reader across all
-    // THREE VersionedPool tiers — reader pins v_N, then appends, deletes,
+    // FOUR VersionedPool tiers (summaries joined in r13: no
+    // delete/compact there, so their block runs init → refresh* →
+    // vacuum) — reader pins v_N, then appends, deletes,
     // a compact and vacuum(keepLast=2) land; the pinned serve must stay
     // bit-identical, the head serve must be vacuum-invisible, vacuum must
     // actually reclaim versions AND batches while leaving ZERO orphans;
     // unpin + re-vacuum then reclaims the reader's version too.
     if (enabled("poolvacuum")) scenario("pool-pinned-vacuum",
-        "pinned reader vs append/delete/compact/vacuum, 3 tiers", {
+        "pinned reader vs append/delete/compact/vacuum, 4 tiers", {
       import graft.sources.{Snapshots, VersionedPool}
       def docsOf(lo: Long, hi: Long): DataFrame =
         spark.range(lo, hi).select(col("id").as("doc_id"),
@@ -1718,7 +1784,67 @@ object ScaleRehearsal {
           () => PhraseVersioned.compact(spark, s"$tmp/phrase"),
           v => PhraseVersioned.hits(spark, s"$tmp/phrase", phrases, v)
             .collect().map(_.mkString("|")).sorted.toSeq)
-        (bm._1 && ivf._1 && ph._1, s"${bm._2} ${ivf._2} ${ph._2}")
+        // the FOURTH tier (RollupVersioned, VERDICT r12 #6) has no
+        // delete/compact — its lifecycle is init → refreshAppended* →
+        // vacuum: the pinned version's summary must stay bit-identical
+        // while refreshes publish and vacuum reclaims, then unpin +
+        // re-vacuum reclaims it too, zero orphans throughout.
+        val vs = {
+          import graft.plan.RollupVersioned
+          val root = s"$tmp/vsum"
+          val meta = VersionedPool.metaDir(root)
+          def rows(lo: Long, hi: Long) = spark.range(lo, hi)
+            .select((col("id") % 50).cast("string").as("k"),
+              (col("id") % 997).as("m"))
+          def poolBatches(): Set[String] = {
+            val p = new org.apache.hadoop.fs.Path(s"$root/pool")
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(p)) Set.empty
+            else fs.listStatus(p).map(_.getPath.getName).toSet
+          }
+          def referenced(): Set[String] =
+            Snapshots.versions(spark, meta).flatMap(v =>
+              Snapshots.readVersion(spark, meta, v)
+                .filter(col("kind") === "batch")
+                .select("key").collect().map(_.getString(0))).toSet
+          def serve(v: Option[Int]): Seq[String] =
+            RollupVersioned.summaryOf(spark, root, v)
+              .collect().map(_.mkString("|")).sorted.toSeq
+          rows(0, 100000).write.mode("overwrite").parquet(s"$tmp/sbase")
+          RollupVersioned.init(spark, root,
+            spark.read.parquet(s"$tmp/sbase"),
+            RollupVersioned.Layout(Seq("k"), Seq("m")))
+          def appendRefresh(lo: Long, hi: Long): Int = {
+            rows(lo, hi).write.mode("append").parquet(s"$tmp/sbase")
+            RollupVersioned.refreshAppended(spark, root,
+              spark.read.parquet(s"$tmp/sbase")).get
+          }
+          val vPin = appendRefresh(100000, 120000)       // v2
+          Snapshots.pin(spark, meta, vPin, "reader")
+          val pinnedBefore = serve(Some(vPin))
+          appendRefresh(120000, 140000)                  // v3
+          appendRefresh(140000, 160000)                  // v4
+          val headBefore = serve(None)
+          val (dv1, db1) = RollupVersioned.vacuum(spark, root, keepLast = 2)
+          val orphans1 = (poolBatches() -- referenced()).size
+          val pinnedAfter = serve(Some(vPin))
+          val headAfter = serve(None)
+          val keptPin = Snapshots.versions(spark, meta).contains(vPin)
+          Snapshots.unpin(spark, meta, "reader")
+          val (dv2, db2) = RollupVersioned.vacuum(spark, root, keepLast = 2)
+          val orphans2 = (poolBatches() -- referenced()).size
+          val pinGone = !Snapshots.versions(spark, meta).contains(vPin)
+          val ok = pinnedBefore.nonEmpty && headBefore.nonEmpty &&
+            pinnedAfter == pinnedBefore && headAfter == headBefore &&
+            keptPin && pinGone && pinnedBefore != headBefore &&
+            dv1.nonEmpty && db1.nonEmpty && dv2.contains(vPin) &&
+            db2.nonEmpty && orphans1 == 0 && orphans2 == 0
+          (ok, s"vsum{pin=v$vPin dropped=v${dv1.size}+${dv2.size} " +
+            s"batches=${db1.size}+${db2.size} orphans=$orphans1/$orphans2 " +
+            s"pinStable=${pinnedAfter == pinnedBefore}}")
+        }
+        (bm._1 && ivf._1 && ph._1 && vs._1,
+          s"${bm._2} ${ivf._2} ${ph._2} ${vs._2}")
       } finally
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     })

@@ -235,6 +235,14 @@ object Bm25 {
   }
 
   def saveIncIndex(index: IncIndex, path: String): Unit = {
+    // a re-save over a swap-maintained root must not leave a stale
+    // pointer shadowing the plain dirs (save has no mid-write reader
+    // contract — it is an overwrite, not a commit)
+    val spark0 = index.postings.sparkSession
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val pfs = rootP.getFileSystem(spark0.sparkContext.hadoopConfiguration)
+    Seq("postings", "dfs", "stats").foreach { n =>
+      pfs.delete(new org.apache.hadoop.fs.Path(s"$path/.ptr_$n"), false) }
     index.postings.write.mode("overwrite").parquet(s"$path/postings")
     index.dfs.write.mode("overwrite").parquet(s"$path/dfs")
     val spark = index.postings.sparkSession
@@ -244,12 +252,12 @@ object Bm25 {
   }
 
   def loadIncIndex(spark: SparkSession, path: String): IncIndex = {
-    val st = spark.read.parquet(s"$path/stats")
+    val st = spark.read.parquet(resolveTable(spark, path, "stats"))
       .select(col("n_docs").cast("double"), col("total_dl").cast("double"))
       .collect()(0)
-    IncIndex(spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/dfs"), st.getDouble(0), st.getDouble(1),
-      tombstonesOpt(spark, path))
+    IncIndex(spark.read.parquet(resolveTable(spark, path, "postings")),
+      spark.read.parquet(resolveTable(spark, path, "dfs")),
+      st.getDouble(0), st.getDouble(1), tombstonesOpt(spark, path))
   }
 
   private def tombstonesOpt(spark: SparkSession, path: String): Option[DataFrame] = {
@@ -277,7 +285,7 @@ object Bm25 {
     val delta = buildIncIndex(newDocs, docId, docText)
     if (delta.nDocs == 0.0) return
     if (rejectDuplicateIds) {
-      val dup = spark.read.parquet(s"$path/postings")
+      val dup = spark.read.parquet(resolveTable(spark, path, "postings"))
         .join(broadcast(delta.postings.select("doc_id").distinct()),
           Seq("doc_id"), "left_semi")
         .select("doc_id").limit(1).collect()
@@ -286,7 +294,8 @@ object Bm25 {
         "double-counts df/tf (compact + delete first, or fix the batch)")
     }
     val old = loadIncIndex(spark, path)
-    delta.postings.write.mode("append").parquet(s"$path/postings")
+    delta.postings.write.mode("append")
+      .parquet(resolveTable(spark, path, "postings"))
     // merged df is materialized by the tmp write BEFORE the old dir is
     // replaced, so the plan never overwrites its own input
     val mergedDfs = old.dfs.unionByName(delta.dfs)
@@ -314,9 +323,17 @@ object Bm25 {
     val req = old.tombstones.foldLeft(
       ids.select(col(idCol).as("doc_id")).distinct())(
       (r, ts) => r.join(ts, Seq("doc_id"), "left_anti"))
-    // the one postings scan: rows of the docs being removed (ids broadcast)
+    // the one postings scan: rows of the docs being removed (ids
+    // broadcast). EAGER localCheckpoint, NOT persist: the tombstone
+    // append below writes a path this frame's lineage reads, and
+    // Spark's recacheByPath would silently RECOMPUTE a persisted frame
+    // against the grown tombstone set — the anti-join then erases the
+    // docs being deleted and the df/stats decrements vanish (a
+    // SEQUENTIAL-deletes corruption the swap-commit spec caught;
+    // one-shot deletes never hit it because the tombstone table did
+    // not pre-exist). A checkpoint has no lineage to recompute.
     val removed = old.postings.join(broadcast(req), Seq("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     try {
       val st = removed.select(col("doc_id"), col("dl")).distinct()
         .agg(count(lit(1)).cast("double"), sum(col("dl"))).collect()(0)
@@ -343,7 +360,7 @@ object Bm25 {
     * them stale or mid-swap (missing). Reads postings directly (not
     * [[loadIncIndex]], which needs the very tables being repaired). */
   def repairIncIndex(spark: SparkSession, path: String): Unit = {
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = spark.read.parquet(resolveTable(spark, path, "postings"))
     val live = tombstonesOpt(spark, path)
       .foldLeft(postings)((p, ts) => p.join(ts, Seq("doc_id"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -369,34 +386,80 @@ object Bm25 {
     * delete leaves the anti-join filtering already-absent ids, a no-op. */
   def compactIncIndex(spark: SparkSession, path: String): Unit =
     tombstonesOpt(spark, path).foreach { ts =>
-      swapWrite(spark.read.parquet(s"$path/postings")
+      swapWrite(spark.read.parquet(resolveTable(spark, path, "postings"))
         .join(ts, Seq("doc_id"), "left_anti"), path, "postings")
       val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
 
-  /** Replace `root/name` with `df`'s rows. The tmp write MATERIALIZES the
-    * plan before the destination moves (so a df reading `root/name` can
-    * rewrite it), then two metadata-only renames swap the directories —
-    * no recursive delete sits between them, so the no-dst window is two
-    * rename syscalls wide (a true atomic directory swap does not exist on
-    * generic Hadoop filesystems; FileContext's Rename.OVERWRITE only
-    * replaces files/empty dirs). A crash in that window, or between the
-    * caller's swaps, is recoverable: dfs/stats are derived state —
-    * [[repairIncIndex]] rebuilds them from postings ∖ tombstones. */
+  /** Resolve the live directory of a swap-managed table: the pointer
+    * file `root/.ptr_<name>` names the current generation dir when a
+    * [[swapWrite]] has committed one; absent, the table lives at the
+    * legacy plain `root/name` (the layout every index starts with —
+    * saveIncIndex writes plain dirs, so pre-pointer indexes resolve
+    * unchanged). */
+  private[graft] def resolveTable(spark: SparkSession, root: String,
+                                  name: String): String = {
+    val ptr = new org.apache.hadoop.fs.Path(s"$root/.ptr_$name")
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ptr)) s"$root/$name"
+    else {
+      val in = fs.open(ptr)
+      val gen = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      s"$root/$gen"
+    }
+  }
+
+  /** Replace table `root/name` with `df`'s rows — SINGLE-RENAME commit
+    * (VERDICT r12 #5, closing the two-rename no-dst window carried
+    * since r10): the new rows land in a fresh GENERATION dir
+    * (`root/.gen_<name>_<k>` — the write also materializes the plan, so
+    * a df reading the table can rewrite it), and the commit is ONE
+    * atomic FileContext rename of a tiny pointer FILE onto
+    * `root/.ptr_<name>` (Rename.OVERWRITE replaces files atomically —
+    * the dir-swap limitation that forced the old stage-out/stage-in
+    * pair does not apply). A reader resolving the table through
+    * [[resolveTable]] therefore sees the OLD generation or the NEW one,
+    * never a missing directory. Crash model: before the pointer rename,
+    * the new generation is an unreferenced orphan (the retry overwrites
+    * it — generation numbering follows the committed pointer); after
+    * it, the commit is complete. Superseded generations are kept ONE
+    * swap (a reader that resolved just before the commit keeps
+    * streaming the previous dir) and deleted on the NEXT swap — the
+    * bytes-linger-until-vacuum contract every versioned tier follows. */
   private def swapWrite(df: DataFrame, root: String, name: String): Unit = {
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(s"$root/$name")
-    val tmp = new org.apache.hadoop.fs.Path(s"$root/.tmp_$name")
-    val old = new org.apache.hadoop.fs.Path(s"$root/.old_$name")
-    val fs = dst.getFileSystem(conf)
-    df.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(old, true) // leftover from a previous crash
-    if (fs.exists(dst) && !fs.rename(dst, old))
-      throw new java.io.IOException(s"failed to stage out $dst")
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"failed to swap $dst")
-    fs.delete(old, true)
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(conf)
+    val currentDir = resolveTable(spark, root, name)
+    val currentGen = new org.apache.hadoop.fs.Path(currentDir).getName
+    val nextN = currentGen match {
+      case g if g.startsWith(s".gen_${name}_") =>
+        g.substring(s".gen_${name}_".length).toLong + 1
+      case _ => 1L
+    }
+    val gen = s".gen_${name}_$nextN"
+    df.write.mode("overwrite").parquet(s"$root/$gen")
+    // ONE atomic commit: tmp pointer file → rename OVERWRITE
+    val ptr = new org.apache.hadoop.fs.Path(s"$root/.ptr_$name")
+    val tmpPtr = new org.apache.hadoop.fs.Path(s"$root/.ptrtmp_$name")
+    val out = fs.create(tmpPtr, true)
+    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, conf)
+    fc.rename(tmpPtr, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // reclaim generations OLDER than the one just superseded (and the
+    // legacy plain dir once it is no longer the previous generation)
+    val keep = Set(gen, currentGen)
+    val stale = fs.listStatus(rootP).toSeq.map(_.getPath.getName)
+      .filter(n => (n.startsWith(s".gen_${name}_") || n == name) &&
+        !keep.contains(n))
+    stale.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), true))
   }
 
   /** [[scoresAgainstIndex]] for the maintainable format: df joins onto

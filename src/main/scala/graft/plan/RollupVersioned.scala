@@ -1,0 +1,190 @@
+package graft.plan
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Snapshots, VersionedPool}
+
+/** SNAPSHOT-VERSIONED rollup summaries — the FOURTH
+  * [[graft.sources.VersionedPool]] tier (after BM25 / IVF / phrase,
+  * q162/q167/q184), closing VERDICT r12 #6: today a refresh
+  * RE-REGISTERS in place, so a dashboard mid-flight over a refreshed
+  * summary has no pinned snapshot to keep reading. Here every summary
+  * state is an immutable pool batch and every maintenance op commits
+  * with ONE [[Snapshots.publish]] pointer swap:
+  *
+  * {{{
+  * root/
+  *   pool/bNNNNN/   one FULL summary (Rollup.materialize layout) per
+  *                  version — summaries are group-cardinality-sized, so
+  *                  a whole-summary batch per version is the honest and
+  *                  CHEAP cost (unlike postings, there is nothing big to
+  *                  share between versions)
+  *   meta/          Snapshots table: manifest (the one batch) + layout
+  *                  rows (grain/measure/sketch/hist columns in order) +
+  *                  the BASE FILE MANIFEST the version aggregates —
+  *                  `kind='basefile'`, the time-travel key
+  * }}}
+  *
+  * TIME TRAVEL is staleness-guard-shaped: [[registerVersion]] registers
+  * version v's batch against the AS-OF base frame (an explicit read of
+  * exactly v's basefile manifest), whose own FileIndex fingerprint
+  * matches by construction — so a dashboard holding the as-of frame
+  * serves v forever, a dashboard over the live base dir serves the
+  * CURRENT version, and neither can ever read the other's data as
+  * fresh (the guard falls through on any mismatch, as always).
+  * [[Snapshots.pin]]/[[VersionedPool.vacuum]] give long-readers the
+  * same bytes-linger-until-vacuum contract as every other tier.
+  * Crash model: a crash before publish leaves an unreferenced pool
+  * orphan — nothing to repair, only to vacuum. Single-writer
+  * maintenance. */
+object RollupVersioned {
+
+  /** The summary layout, fixed at [[init]] and carried in every
+    * version's meta. */
+  case class Layout(groupCols: Seq[String], measures: Seq[String],
+                    distinctCols: Seq[String] = Nil, sketchK: Int = 64,
+                    histCols: Seq[String] = Nil)
+
+  private def layoutRows(spark: SparkSession, layout: Layout,
+                         baseEntries: Seq[String]): DataFrame = {
+    import spark.implicits._
+    def rows(kind: String, cols: Seq[String]) =
+      cols.zipWithIndex.map { case (c, i) => (kind, c, i.toDouble) }
+    (rows("grain", layout.groupCols) ++ rows("measure", layout.measures) ++
+      rows("distinct", layout.distinctCols) ++ rows("hist", layout.histCols) ++
+      baseEntries.sorted.zipWithIndex.map { case (e, i) =>
+        ("basefile", e, i.toDouble) })
+      .toDF("kind", "key", "num")
+  }
+
+  private def layoutOf(meta: DataFrame): Layout = {
+    def cols(kind: String): Seq[String] = meta
+      .filter(col("kind") === kind).orderBy("num")
+      .select("key").collect().map(_.getString(0)).toSeq
+    Layout(cols("grain"), cols("measure"), cols("distinct"), 64, cols("hist"))
+  }
+
+  private def baseEntriesOf(meta: DataFrame): Set[String] =
+    meta.filter(col("kind") === "basefile")
+      .select("key").collect().map(_.getString(0)).toSet
+
+  private def baseEntries(base: DataFrame): Seq[String] = {
+    val rel = base.queryExecution.analyzed.collectFirst {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) => fs
+    }.getOrElse(throw new IllegalArgumentException(
+      "base must be a file-backed relation"))
+    rel.location match {
+      case p: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =>
+        p.allFiles().map(f =>
+          s"${f.getPath}|${f.getLen}|${f.getModificationTime}").toSeq
+      case other => other.inputFiles.toSeq.map { s =>
+        val pth = new org.apache.hadoop.fs.Path(s)
+        val st = pth.getFileSystem(
+          base.sparkSession.sparkContext.hadoopConfiguration).getFileStatus(pth)
+        s"$s|${st.getLen}|${st.getModificationTime}"
+      }
+    }
+  }
+
+  private def writeBatch(spark: SparkSession, root: String,
+                         summary: DataFrame): String = {
+    val batch = VersionedPool.nextBatch(spark, root)
+    summary.write.mode("overwrite")
+      .parquet(VersionedPool.poolPath(root, batch))
+    batch
+  }
+
+  /** Aggregate `base` under `layout`, commit it as version 1. */
+  def init(spark: SparkSession, root: String, base: DataFrame,
+           layout: Layout): Int = {
+    VersionedPool.requireFresh(spark, root)
+    val batch = writeBatch(spark, root,
+      Rollup.materialize(base, layout.groupCols, layout.measures,
+        layout.distinctCols, layout.sketchK, layout.histCols))
+    VersionedPool.publishMeta(spark, root, Seq(batch),
+      Seq("sketch_k" -> layout.sketchK.toDouble), None, "doc_id",
+      org.apache.spark.sql.types.LongType,
+      Some(layoutRows(spark, layout, baseEntries(base))))
+  }
+
+  /** Fold a PURE APPEND of `base` (vs the committed version's basefile
+    * manifest) into a NEW version: aggregate exactly the appended
+    * files, [[Rollup.merge]] with the committed summary, commit one new
+    * batch + publish. Old versions stay readable/pinned. Returns None —
+    * publishing nothing — when the diff is not a pure append (removals
+    * / in-place changes: rebuild via [[init]] on a fresh root) or is
+    * empty. */
+  def refreshAppended(spark: SparkSession, root: String,
+                      base: DataFrame): Option[Int] = {
+    val meta = Snapshots.readLatest(spark, VersionedPool.metaDir(root))
+    val layout = layoutOf(meta)
+    val saved = baseEntriesOf(meta)
+    val sketchK = meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
+      .select("num").collect().headOption.map(_.getDouble(0).toInt).getOrElse(64)
+    val current = baseEntries(base).toSet
+    val appended = current -- saved
+    val removed = saved -- current
+    if (appended.isEmpty || removed.nonEmpty || saved.isEmpty) return None
+    val deltaFiles = appended.toSeq.sorted.map(_.split("\\|")(0))
+    val delta = spark.read.parquet(deltaFiles: _*)
+    val needed = (layout.groupCols ++ layout.measures ++
+      layout.distinctCols ++ layout.histCols).toSet
+    if (!needed.subsetOf(delta.columns.toSet)) return None
+    val stored = summaryOf(spark, root, None)
+    val deltaAgg = Rollup.materialize(delta, layout.groupCols,
+      layout.measures, layout.distinctCols, sketchK, layout.histCols)
+    val merged = Rollup.merge(stored, deltaAgg, layout.groupCols,
+      layout.measures, layout.distinctCols, sketchK, layout.histCols)
+    val batch = writeBatch(spark, root, merged)
+    Some(VersionedPool.publishMeta(spark, root, Seq(batch),
+      Seq("sketch_k" -> sketchK.toDouble), None, "doc_id",
+      org.apache.spark.sql.types.LongType,
+      Some(layoutRows(spark, layout.copy(sketchK = sketchK),
+        current.toSeq))))
+  }
+
+  /** Version v's summary frame (latest when None) — a plain scan of its
+    * immutable pool batch, serving-stable while maintenance publishes. */
+  def summaryOf(spark: SparkSession, root: String,
+                version: Option[Int]): DataFrame = {
+    val meta = version.fold(
+      Snapshots.readLatest(spark, VersionedPool.metaDir(root)))(
+      v => Snapshots.readVersion(spark, VersionedPool.metaDir(root), v))
+    val batches = meta.filter(col("kind") === "batch")
+      .select("key").collect().map(_.getString(0)).sorted
+    spark.read.parquet(batches.map(VersionedPool.poolPath(root, _)).toIndexedSeq: _*)
+  }
+
+  /** Register version v (latest when None) with [[RollupRewrite]] and
+    * return the AS-OF base frame its dashboards should query: an
+    * explicit read of exactly the basefile manifest the version
+    * aggregated, whose FileIndex fingerprint matches the registration
+    * by construction — so aggregates over the returned frame serve from
+    * this version's batch, aggregates over a moved-on base dir fall
+    * through (or serve a LATER registered version). Registrations for
+    * different versions coexist: their base path sets differ. */
+  def registerVersion(spark: SparkSession, root: String,
+                      version: Option[Int] = None): DataFrame = {
+    val meta = version.fold(
+      Snapshots.readLatest(spark, VersionedPool.metaDir(root)))(
+      v => Snapshots.readVersion(spark, VersionedPool.metaDir(root), v))
+    val layout = layoutOf(meta)
+    val sketchK = meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
+      .select("num").collect().headOption.map(_.getDouble(0).toInt).getOrElse(64)
+    val files = baseEntriesOf(meta).toSeq.sorted.map(_.split("\\|")(0))
+    val asOf = spark.read.parquet(files: _*)
+    RollupRewrite.register(asOf, summaryOf(spark, root, version),
+      layout.groupCols, layout.measures, layout.distinctCols, sketchK,
+      histCols = layout.histCols)
+    asOf
+  }
+
+  /** [[VersionedPool.vacuum]]: drop unpinned meta versions past
+    * `keepLast`, delete pool batches no remaining version references. */
+  def vacuum(spark: SparkSession, root: String,
+             keepLast: Int): (Seq[Int], Seq[String]) =
+    VersionedPool.vacuum(spark, root, keepLast)
+}

@@ -260,6 +260,341 @@ object SummaryDesigner {
       }
     }
 
+  /** CROSS-TIER design under ONE row budget (VERDICT r12 #2): where
+    * [[design]] / [[designJoined]] / [[designStar]] each optimize their
+    * own tier — a mixed workload over SHARED bases gets three
+    * independent designs that double-spend the budget — this runs ONE
+    * HRU greedy over the UNION of candidate structures across tiers,
+    * with the shared-benefit dedupe the per-tier split cannot see: a
+    * join-aggregate is servable EITHER by an AJI (one summary, cost =
+    * its rows) OR by a PAIR of plain summaries through two-summary
+    * navigation (q197 — fact grain ⊇ fact-side requirements ∪ join
+    * keys, dim grain ⊇ dim-side requirements ∪ keys; cost = the two
+    * summaries' rows), and the plain summaries that serve the join
+    * ALSO serve the plain queries — so their benefit absorbs both and
+    * the greedy stops building a redundant AJI when the pair already
+    * pays (or picks the AJI when its rows beat the pair's). Navigation
+    * serves only undistincted sum/count/min/max/avg of fact measures,
+    * so join queries carrying sketch/histogram/exact-distinct needs
+    * get AJI-only options. Moves per round: every single candidate
+    * (plain grain per base, AJI grain per join, star grain per star)
+    * plus navigation PAIRS built from per-query minimal masks and the
+    * per-side union mask; a move is admissible while its NEW
+    * structures' total rows fit the remaining budget; zero-benefit
+    * winners stop the selection (the HRU budget mode). Deterministic:
+    * exact-integer cardinalities (one cube pass per base / join /
+    * star frame), tie-breaks (benefit DESC, new rows ASC, move name
+    * ASC). Computed-grain (expression) tokens are out of scope here —
+    * entries carrying them are skipped (the per-tier [[design]] still
+    * handles them). */
+  case class CrossDesign(plain: Seq[(Int, SummarySpec)],
+                         joined: Seq[(Int, SummarySpec)],
+                         star: Seq[(Int, SummarySpec)]) {
+    def totalRows(rowsOf: (Int, Int, Seq[String]) => Long): Long =
+      (plain.map { case (i, sp) => rowsOf(0, i, sp.grainCols) } ++
+        joined.map { case (i, sp) => rowsOf(1, i, sp.grainCols) } ++
+        star.map { case (i, sp) => rowsOf(2, i, sp.grainCols) }).sum
+  }
+
+  def designCrossTier(bases: Seq[DataFrame],
+      joins: Seq[(DataFrame, DataFrame, Seq[(String, String)])],
+      stars: Seq[(DataFrame, Seq[(DataFrame, Seq[(String, String)])])],
+      maxRows: Long): CrossDesign = RollupRewrite.withCaptureSuspended {
+    require(maxRows > 0, s"row budget must be positive, got $maxRows")
+    val basePaths = bases.map(b => RollupRewrite.scanRootPaths(b))
+    def baseIdx(paths: Set[String]): Option[Int] = basePaths.indexOf(paths) match {
+      case -1 => None; case i => Some(i)
+    }
+    // ---- queries (servable captured entries, plain-column tokens only)
+    case class PlainQ(base: Int, req: Set[String], e: RollupRewrite.CaptureEntry)
+    case class JoinQ(join: Int, req: Set[String], factReq: Set[String],
+                     dimReq: Set[String], pairable: Boolean,
+                     e: RollupRewrite.JoinedCaptureEntry)
+    case class StarQ(star: Int, req: Set[String], e: RollupRewrite.StarCaptureEntry)
+    val plainQs: Seq[PlainQ] = bases.zipWithIndex.flatMap { case (b, i) =>
+      val cols = b.columns.toSet
+      RollupRewrite.capturedEntries(basePaths(i)).filter(_.servable)
+        .map(e => PlainQ(i, e.grain ++ e.filterCols ++ e.distinctCols, e))
+        .filter(_.req.subsetOf(cols))
+    }
+    val joinQs: Seq[JoinQ] = joins.zipWithIndex.flatMap { case ((f, d, keys), j) =>
+      val fCols = f.columns.toSet
+      val dCols = d.columns.toSet
+      RollupRewrite.capturedJoinedEntries(
+          RollupRewrite.scanRootPaths(f), RollupRewrite.scanRootPaths(d), keys)
+        .filter(_.servable).flatMap { e =>
+          val req = e.grain ++ e.filterCols ++ e.distinctCols
+          if (!req.subsetOf(fCols ++ dCols)) None
+          else Some(JoinQ(j, req,
+            req.filter(fCols.contains) ++ keys.map(_._1),
+            req.filter(dCols.contains) ++ keys.map(_._2),
+            pairable = e.distinctCols.isEmpty && e.sketchCols.isEmpty &&
+              e.histCols.isEmpty &&
+              baseIdx(RollupRewrite.scanRootPaths(f)).isDefined &&
+              baseIdx(RollupRewrite.scanRootPaths(d)).isDefined, e))
+        }
+    }
+    val starQs: Seq[StarQ] = stars.zipWithIndex.flatMap { case ((f, ds), si) =>
+      val cols = (f +: ds.map(_._1)).flatMap(_.columns).toSet
+      RollupRewrite.capturedStarEntries(RollupRewrite.scanRootPaths(f),
+          ds.map { case (d, keys) =>
+            (RollupRewrite.scanRootPaths(d), keys.toSet) }.toSet)
+        .filter(_.servable)
+        .map(e => StarQ(si, e.grain ++ e.filterCols ++ e.distinctCols, e))
+        .filter(_.req.subsetOf(cols))
+    }
+    if (plainQs.isEmpty && joinQs.isEmpty && starQs.isEmpty)
+      return CrossDesign(Nil, Nil, Nil)
+    // ---- candidate grains + exact cardinalities, one pass per frame
+    val joinIdxByBase: Map[Int, Seq[Int]] = joins.indices.flatMap { j =>
+      Seq(baseIdx(RollupRewrite.scanRootPaths(joins(j)._1)).map(_ -> j),
+          baseIdx(RollupRewrite.scanRootPaths(joins(j)._2)).map(_ -> j))
+        .flatten
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def cardsOf(frame: DataFrame, tokens: Seq[String]): Map[Set[String], Long] =
+      if (tokens.isEmpty) Map(Set.empty[String] -> 1L)
+      else {
+        val dims = tokens.sorted.map(t => t -> col(t))
+        LatticeAdvisor.grainCardinalities(frame, dims).map { case (mask, n) =>
+          dims.zipWithIndex.collect {
+            case ((nm, _), i) if (mask & (1 << i)) != 0 => nm
+          }.toSet -> n
+        }
+      }
+    val baseTokens: Seq[Seq[String]] = bases.indices.map { i =>
+      val own = plainQs.filter(_.base == i).flatMap(_.req)
+      val nav = joinIdxByBase.getOrElse(i, Nil).flatMap { j =>
+        val isFact = baseIdx(RollupRewrite.scanRootPaths(joins(j)._1)).contains(i)
+        joinQs.filter(q => q.join == j && q.pairable)
+          .flatMap(q => if (isFact) q.factReq else q.dimReq)
+      }
+      (own ++ nav).distinct.sorted.filter(bases(i).columns.contains)
+    }
+    val baseCards: Seq[Map[Set[String], Long]] =
+      bases.indices.map(i => cardsOf(bases(i), baseTokens(i)))
+    val joinFrames = joins.map { case (f, d, keys) =>
+      f.join(d, keys.map { case (fk, dk) => f(fk) === d(dk) }.reduce(_ && _)) }
+    val joinCards: Seq[Map[Set[String], Long]] = joins.indices.map { j =>
+      cardsOf(joinFrames(j),
+        joinQs.filter(_.join == j).flatMap(_.req).distinct.sorted)
+    }
+    val starFrames = stars.map { case (f, ds) =>
+      ds.foldLeft(f) { case (acc, (d, keys)) =>
+        acc.join(d, keys.map { case (fk, dk) => f(fk) === d(dk) }.reduce(_ && _)) } }
+    val starCards: Seq[Map[Set[String], Long]] = stars.indices.map { si =>
+      cardsOf(starFrames(si),
+        starQs.filter(_.star == si).flatMap(_.req).distinct.sorted)
+    }
+    // ---- direct (root) costs: rows scanned without any summary
+    val baseRows = bases.map(_.count())
+    def joinRoot(j: Int): Long = {
+      val f = baseIdx(RollupRewrite.scanRootPaths(joins(j)._1))
+        .map(baseRows).getOrElse(joins(j)._1.count())
+      val d = baseIdx(RollupRewrite.scanRootPaths(joins(j)._2))
+        .map(baseRows).getOrElse(joins(j)._2.count())
+      f + d
+    }
+    val starRoot = stars.map { case (f, ds) =>
+      f.count() + ds.map(_._1.count()).sum }
+    // ---- structures & moves
+    case class Cand(tier: Int, owner: Int, grain: Set[String]) {
+      def rows: Long = tier match {
+        case 0 => baseCards(owner)(grain)
+        case 1 => joinCards(owner)(grain)
+        case _ => starCards(owner)(grain)
+      }
+      def name: String = s"t$tier/o$owner/${grain.toSeq.sorted.mkString(",")}"
+    }
+    val singleCands: Seq[Cand] =
+      bases.indices.flatMap(i => baseCards(i).keys.map(g => Cand(0, i, g))) ++
+      joins.indices.flatMap(j => joinCards(j).keys.map(g => Cand(1, j, g))) ++
+      stars.indices.flatMap(s => starCards(s).keys.map(g => Cand(2, s, g)))
+    // navigation pair masks: per-query minimal + per-side union, keys in
+    def navPairs(j: Int): Seq[(Cand, Cand)] = {
+      val qs = joinQs.filter(q => q.join == j && q.pairable)
+      if (qs.isEmpty) return Nil
+      val fi = baseIdx(RollupRewrite.scanRootPaths(joins(j)._1)).get
+      val di = baseIdx(RollupRewrite.scanRootPaths(joins(j)._2)).get
+      val fMasks = (qs.map(_.factReq) :+ qs.flatMap(_.factReq).toSet)
+        .distinct.filter(baseCards(fi).contains)
+      val dMasks = (qs.map(_.dimReq) :+ qs.flatMap(_.dimReq).toSet)
+        .distinct.filter(baseCards(di).contains)
+      for (fm <- fMasks; dm <- dMasks)
+        yield (Cand(0, fi, fm), Cand(0, di, dm))
+    }
+    val pairMoves: Seq[(Cand, Cand)] = joins.indices.flatMap(navPairs)
+    // ---- cost of a query given a chosen structure set
+    def costPlain(q: PlainQ, chosen: Set[Cand]): Long =
+      (baseRows(q.base) +: chosen.toSeq.collect {
+        case c if c.tier == 0 && c.owner == q.base && q.req.subsetOf(c.grain) =>
+          c.rows
+      }).min
+    def costJoin(q: JoinQ, chosen: Set[Cand]): Long = {
+      val aji = chosen.toSeq.collect {
+        case c if c.tier == 1 && c.owner == q.join && q.req.subsetOf(c.grain) =>
+          c.rows
+      }
+      val fi = baseIdx(RollupRewrite.scanRootPaths(joins(q.join)._1))
+      val di = baseIdx(RollupRewrite.scanRootPaths(joins(q.join)._2))
+      val nav = if (!q.pairable) Nil else for {
+        f <- chosen.toSeq
+        if f.tier == 0 && fi.contains(f.owner) && q.factReq.subsetOf(f.grain)
+        d <- chosen.toSeq
+        if d.tier == 0 && di.contains(d.owner) && q.dimReq.subsetOf(d.grain)
+      } yield f.rows + d.rows
+      (joinRoot(q.join) +: (aji ++ nav)).min
+    }
+    def costStar(q: StarQ, chosen: Set[Cand]): Long =
+      (starRoot(q.star) +: chosen.toSeq.collect {
+        case c if c.tier == 2 && c.owner == q.star && q.req.subsetOf(c.grain) =>
+          c.rows
+      }).min
+    def totalCost(chosen: Set[Cand]): Long =
+      plainQs.map(costPlain(_, chosen)).sum +
+        joinQs.map(costJoin(_, chosen)).sum +
+        starQs.map(costStar(_, chosen)).sum
+    // ---- the greedy over moves
+    var chosen = Set.empty[Cand]
+    var remaining = maxRows
+    var done = false
+    while (!done) {
+      val current = totalCost(chosen)
+      val moves: Seq[(Long, Long, String, Seq[Cand])] =
+        (singleCands.filterNot(chosen).map(c => (Seq(c), c.name)) ++
+          pairMoves.collect { case (f, d)
+              if !(chosen.contains(f) && chosen.contains(d)) =>
+            (Seq(f, d).filterNot(chosen), s"${f.name}+${d.name}")
+          })
+        .map { case (news, nm) =>
+          val newRows = news.map(_.rows).sum
+          (current - totalCost(chosen ++ news), newRows, nm, news)
+        }
+        .filter { case (_, newRows, _, _) => newRows <= remaining }
+        .sortBy { case (ben, newRows, nm, _) => (-ben, newRows, nm) }
+      moves.headOption match {
+        case Some((ben, newRows, _, news)) if ben > 0 =>
+          chosen ++= news
+          remaining -= newRows
+        case _ => done = true
+      }
+    }
+    // ---- carried columns: every query attaches its needs to the
+    // structures of its BEST serving option (ties → the option found
+    // first in the deterministic orders above)
+    val measuresOf = scala.collection.mutable.Map.empty[Cand, Set[String]]
+      .withDefaultValue(Set.empty)
+    val distinctOf = scala.collection.mutable.Map.empty[Cand, Set[String]]
+      .withDefaultValue(Set.empty)
+    val sketchOf = scala.collection.mutable.Map.empty[Cand, Set[String]]
+      .withDefaultValue(Set.empty)
+    val histOf = scala.collection.mutable.Map.empty[Cand, Set[String]]
+      .withDefaultValue(Set.empty)
+    val used = scala.collection.mutable.Set.empty[Cand]
+    def attach(c: Cand, meas: Set[String], dist: Set[String],
+               sk: Set[String], hist: Set[String]): Unit = {
+      used += c
+      measuresOf(c) = measuresOf(c) ++ meas
+      distinctOf(c) = distinctOf(c) ++ dist
+      sketchOf(c) = sketchOf(c) ++ sk
+      histOf(c) = histOf(c) ++ hist
+    }
+    plainQs.foreach { q =>
+      chosen.toSeq
+        .filter(c => c.tier == 0 && c.owner == q.base && q.req.subsetOf(c.grain))
+        .sortBy(c => (c.rows, c.name)).headOption
+        .foreach(attach(_, q.e.measures, q.e.distinctCols, q.e.sketchCols,
+          q.e.histCols))
+    }
+    joinQs.foreach { q =>
+      val fi = baseIdx(RollupRewrite.scanRootPaths(joins(q.join)._1))
+      val di = baseIdx(RollupRewrite.scanRootPaths(joins(q.join)._2))
+      val ajiOpts = chosen.toSeq
+        .filter(c => c.tier == 1 && c.owner == q.join && q.req.subsetOf(c.grain))
+        .map(c => (c.rows, c.name, Seq(c)))
+      val navOpts = if (!q.pairable) Nil else for {
+        f <- chosen.toSeq
+        if f.tier == 0 && fi.contains(f.owner) && q.factReq.subsetOf(f.grain)
+        d <- chosen.toSeq
+        if d.tier == 0 && di.contains(d.owner) && q.dimReq.subsetOf(d.grain)
+      } yield (f.rows + d.rows, s"${f.name}+${d.name}", Seq(f, d))
+      (ajiOpts ++ navOpts).sortBy(o => (o._1, o._2)).headOption.foreach {
+        case (_, _, cs) =>
+          // measures are fact-side by capture orientation; navigation's
+          // dim summary needs only its grain + __cnt_rows
+          cs.foreach { c =>
+            if (c.tier == 1 || fi.contains(c.owner))
+              attach(c, q.e.measures, q.e.distinctCols, q.e.sketchCols,
+                q.e.histCols)
+            else attach(c, Set.empty, Set.empty, Set.empty, Set.empty)
+          }
+      }
+    }
+    starQs.foreach { q =>
+      chosen.toSeq
+        .filter(c => c.tier == 2 && c.owner == q.star && q.req.subsetOf(c.grain))
+        .sortBy(c => (c.rows, c.name)).headOption
+        .foreach(attach(_, q.e.measures, q.e.distinctCols, q.e.sketchCols,
+          q.e.histCols))
+    }
+    def specOf(c: Cand): SummarySpec = SummarySpec(
+      c.grain.toSeq.sorted, Map.empty,
+      measuresOf(c).toSeq.sorted, sketchOf(c).toSeq.sorted,
+      histOf(c).toSeq.sorted, 64)
+    // structures nothing ended up served by are dropped (a pair member
+    // outscored by a later AJI, say) — never build dead weight
+    val kept = chosen.toSeq.filter(used.contains)
+      .sortBy(c => (c.tier, c.owner, c.name))
+    CrossDesign(
+      kept.filter(_.tier == 0).map(c => c.owner -> specOf(c)),
+      kept.filter(_.tier == 1).map(c => c.owner -> specOf(c)),
+      kept.filter(_.tier == 2).map(c => c.owner -> specOf(c)))
+  }
+
+  /** Materialize + register a [[designCrossTier]] result — plain specs
+    * through [[buildAndRegister]]'s layout, joined/star through theirs.
+    * Returns the summary paths per tier, index-aligned with the design. */
+  def buildAndRegisterCrossTier(spark: SparkSession,
+      bases: Seq[DataFrame],
+      joins: Seq[(DataFrame, DataFrame, Seq[(String, String)])],
+      stars: Seq[(DataFrame, Seq[(DataFrame, Seq[(String, String)])])],
+      design: CrossDesign, outDir: String)
+      : (Seq[String], Seq[String], Seq[String]) =
+    RollupRewrite.withCaptureSuspended {
+      val p = design.plain.zipWithIndex.map { case ((bi, sp), i) =>
+        val out = s"$outDir/crossp_${i}"
+        Rollup.materialize(bases(bi), sp.grainCols, sp.measures,
+            sp.distinctCols, sp.sketchK, sp.histCols)
+          .write.mode("overwrite").parquet(out)
+        RollupRewrite.register(bases(bi), spark.read.parquet(out),
+          sp.grainCols, sp.measures, sp.distinctCols, sp.sketchK,
+          histCols = sp.histCols)
+        out
+      }
+      val j = design.joined.zipWithIndex.map { case ((ji, sp), i) =>
+        val (f, d, keys) = joins(ji)
+        val out = s"$outDir/crossj_${i}"
+        Rollup.materializeJoined(f, d, keys, sp.grainCols, sp.measures,
+            sp.distinctCols, sp.sketchK, sp.histCols)
+          .write.mode("overwrite").parquet(out)
+        RollupRewrite.registerJoined(f, d, keys, spark.read.parquet(out),
+          sp.grainCols, sp.measures, sp.distinctCols, sp.sketchK,
+          sp.histCols)
+        out
+      }
+      val st = design.star.zipWithIndex.map { case ((si, sp), i) =>
+        val (f, ds) = stars(si)
+        val out = s"$outDir/crosss_${i}"
+        Rollup.materializeStar(f, ds, sp.grainCols, sp.measures,
+            sp.distinctCols, sp.sketchK, sp.histCols)
+          .write.mode("overwrite").parquet(out)
+        RollupRewrite.registerStar(f, ds, spark.read.parquet(out),
+          sp.grainCols, sp.measures, sp.distinctCols, sp.sketchK,
+          sp.histCols)
+        out
+      }
+      (p, j, st)
+    }
+
   /** Materialize + register every designed STAR spec under `outDir`
     * (`designs_<i>_<grain digest>` parquet each). */
   def buildAndRegisterStar(spark: SparkSession, fact: DataFrame,

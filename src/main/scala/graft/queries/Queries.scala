@@ -5668,6 +5668,377 @@ object Queries {
     }
   }
 
+  /** STAR DIM-APPEND REFRESH ([[graft.plan.RollupRewrite]]'s
+    * `refreshStaleStar` — VERDICT r12 #1, q206's join-distributivity
+    * device generalized to N dims): the fact AND one dim are appended
+    * in ONE stale window, and the star summary delta-refreshes via the
+    * TELESCOPING decomposition — `ΔF ⋈ dims_current` (the fact term)
+    * plus `F_registered ⋈ earlier-dims_registered ⋈ ΔD ⋈
+    * later-dims_current` (one term per appended dim), pairwise disjoint
+    * by classifying each join tuple on the FIRST side whose row is new.
+    * The gate's supplier slice carries nation keys whose lineitems live
+    * in the OLD fact slices, so a missed `F_reg ⋈ ΔD` term hash-fails
+    * (the q206 device at star width); a double-merged ΔF⋈ΔD pair
+    * (which both terms could claim without the fixed side order)
+    * hash-fails too. In-query requires: exactly the two appended files
+    * as the refresh's delta set, and both serve legs (full grain +
+    * s_nationkey coarsening) plan-required on the refreshed summary
+    * with ZERO Join nodes. Slices complete both tables after the
+    * appends ⇒ oracle = the plain star recompute. Integer measures. */
+  def q212StarDimRefresh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q212_star_dim")
+      .toFile.getAbsolutePath
+    (0 until 3).foreach { sl =>
+      writeNamedSlice(tbl(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 4 === sl), s"$tmpRoot/fact", s"s$sl")
+    }
+    tbl(s, dir, "part").write.mode("overwrite").parquet(s"$tmpRoot/d1")
+    writeNamedSlice(tbl(s, dir, "supplier")
+      .filter(col("s_suppkey") % 3 =!= 1), s"$tmpRoot/d2", "c0")
+    val fact0 = s.read.parquet(s"$tmpRoot/fact")
+    val d1 = s.read.parquet(s"$tmpRoot/d1")
+    val d2 = s.read.parquet(s"$tmpRoot/d2")
+    val dims = Seq(d1 -> Seq("l_partkey" -> "p_partkey"),
+      d2 -> Seq("l_suppkey" -> "s_suppkey"))
+    graft.plan.Rollup.materializeStar(fact0, dims,
+        Seq("p_brand", "s_nationkey"), Seq("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/star")
+    R.registerStar(fact0, dims, s.read.parquet(s"$tmpRoot/star"),
+      Seq("p_brand", "s_nationkey"), Seq("l_orderkey"))
+    R.enable(s)
+    try {
+      // ONE stale window: fact slice s3 AND supplier slice c1 append
+      writeNamedSlice(tbl(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 4 === 3), s"$tmpRoot/fact", "s3")
+      writeNamedSlice(tbl(s, dir, "supplier")
+        .filter(col("s_suppkey") % 3 === 1), s"$tmpRoot/d2", "c1")
+      val rep = R.refreshStale(s, s"$tmpRoot/ref")
+      val deltaNames = rep.headOption.toSeq.flatMap(_.deltaFiles)
+        .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      require(rep.size == 1 && rep.head.refreshed &&
+          deltaNames == Set("s3.parquet", "c1.parquet"),
+        s"the star summary must delta-refresh from exactly the two appended files: $rep")
+      def requireStar(df: DataFrame, name: String): DataFrame = {
+        val scans = R.scanRootPaths(df)
+        require(scans.nonEmpty && scans.forall(_.contains("refreshs")),
+          s"$name must serve from the refreshed star summary alone — $scans")
+        require(df.queryExecution.optimizedPlan.collect {
+            case j: LJoin => j }.isEmpty,
+          s"$name must contain NO serve-time join")
+        df
+      }
+      def joined = s.read.parquet(s"$tmpRoot/fact")
+        .join(s.read.parquet(s"$tmpRoot/d1"),
+          col("l_partkey") === col("p_partkey"))
+        .join(s.read.parquet(s"$tmpRoot/d2"),
+          col("l_suppkey") === col("s_suppkey"))
+      val full = requireStar(joined.groupBy("p_brand", "s_nationkey")
+        .agg(count(lit(1)).as("n_rows"), sum("l_orderkey").as("sum_ok"),
+          min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+        .select(lit("full").as("leg"), col("p_brand").as("brand"),
+          col("s_nationkey").as("nk"), col("n_rows"), col("sum_ok"),
+          col("mn"), col("mx")), "full leg")
+      val coarse = requireStar(joined.groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_rows"), sum("l_orderkey").as("sum_ok"),
+          min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+        .select(lit("coarse").as("leg"),
+          lit(null).cast("string").as("brand"), col("s_nationkey").as("nk"),
+          col("n_rows"), col("sum_ok"), col("mn"), col("mx")), "coarse leg")
+      materializeAndCleanup(s, full.unionByName(coarse), tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
+  /** DECIMAL MEASURES THROUGH THE SUMMARY TIER (VERDICT r12 #3/#4 —
+    * money is THE dashboard measure; the reference's `amount` is
+    * DECIMAL(10,2)): three serve shapes, each with decimal
+    * sums/averages hash-gated in integer units. Leg `plain` serves
+    * `sum(decimal(12,2))` + `avg(decimal(12,2))` (the true decimal
+    * Average path — precision 12 stays OUT of the optimizer's
+    * DecimalAggregates long-arithmetic rewrite) AND `sum(decimal(8,2))`
+    * (which IS rewritten to `MakeDecimal(sum(UnscaledValue(x)))` before
+    * the rule runs — the UnscaledValue derivation) from one plain
+    * summary. Leg `nav` serves the join-aggregate through TWO-SUMMARY
+    * NAVIGATION (q197) with decimal partials multiplied by the dim
+    * count as decimal(20,0) — exact. Leg `aji` serves the same
+    * join-aggregate from an AGGREGATE JOIN SUMMARY (q203). The avg
+    * derivation replicates Spark's own Average tree (divide the
+    * decimal-exact sums at Average's internal operand types, cast to
+    * the avg result type), so served values are bit-identical to base
+    * aggregates; the oracle replays avg in EXACT INTEGER half-up
+    * arithmetic (micro-units via the CLAUDE.md `(2S+n) div 2n` device —
+    * no float boundary anywhere). Every leg plan-required on its
+    * summary; nav/aji legs join-free where the shape demands. */
+  def q213DecimalSummaries(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q213_decimal")
+      .toFile.getAbsolutePath
+    tbl(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"),
+        col("o_totalprice").cast("decimal(8,2)").as("price8"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/fact")
+    tbl(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmpRoot/dim")
+    val fact = s.read.parquet(s"$tmpRoot/fact")
+    val dim = s.read.parquet(s"$tmpRoot/dim")
+    val nullL = lit(null).cast("long")
+    R.enable(s)
+    try {
+      // ---- leg `plain`: one summary, both decimal regimes
+      graft.plan.Rollup.materialize(fact, Seq("o_orderstatus"),
+          Seq("price", "price8"))
+        .write.mode("overwrite").parquet(s"$tmpRoot/psum")
+      R.register(fact, s.read.parquet(s"$tmpRoot/psum"),
+        Seq("o_orderstatus"), Seq("price", "price8"))
+      val plain = fact.groupBy("o_orderstatus")
+        .agg((sum(col("price")) * lit(100)).cast("long").as("sum_c"),
+          (avg(col("price")) * lit(1000000)).cast("long").as("avg_u"),
+          (sum(col("price8")) * lit(100)).cast("long").as("sum8_c"))
+        .select(lit("plain").as("leg"), col("o_orderstatus").as("g"),
+          col("sum_c"), col("avg_u"), col("sum8_c"))
+      require(R.scanRootPaths(plain).forall(_.contains("psum")),
+        s"plain decimal leg must serve from the summary — ${R.scanRootPaths(plain)}")
+      val plainOut = materializeSmall(s, plain)
+      // ---- leg `nav`: two-summary join navigation, decimal measures
+      graft.plan.Rollup.materialize(fact, Seq("o_custkey"), Seq("price"))
+        .write.mode("overwrite").parquet(s"$tmpRoot/fsum")
+      graft.plan.Rollup.materialize(dim, Seq("c_custkey", "c_mktsegment"),
+          Seq("c_custkey"))
+        .write.mode("overwrite").parquet(s"$tmpRoot/dsum")
+      R.register(fact, s.read.parquet(s"$tmpRoot/fsum"),
+        Seq("o_custkey"), Seq("price"))
+      R.register(dim, s.read.parquet(s"$tmpRoot/dsum"),
+        Seq("c_custkey", "c_mktsegment"), Seq("c_custkey"))
+      def joinAgg(leg: String) = fact
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg((sum(col("price")) * lit(100)).cast("long").as("sum_c"),
+          (avg(col("price")) * lit(1000000)).cast("long").as("avg_u"))
+        .select(lit(leg).as("leg"), col("c_mktsegment").as("g"),
+          col("sum_c"), col("avg_u"), nullL.as("sum8_c"))
+      val nav = joinAgg("nav")
+      val navScans = R.scanRootPaths(nav)
+      require(navScans.nonEmpty && navScans.forall(p =>
+          p.contains("fsum") || p.contains("dsum")),
+        s"nav decimal leg must serve from BOTH summaries, zero base scans — $navScans")
+      val navOut = materializeSmall(s, nav)
+      // ---- leg `aji`: the join summary, decimal measures, join-free
+      R.clear() // drop the plain registrations so the AJI serves alone
+      graft.plan.Rollup.materializeJoined(fact, dim,
+          Seq("o_custkey" -> "c_custkey"), Seq("c_mktsegment"),
+          Seq("price"))
+        .write.mode("overwrite").parquet(s"$tmpRoot/aji")
+      R.registerJoined(fact, dim, Seq("o_custkey" -> "c_custkey"),
+        s.read.parquet(s"$tmpRoot/aji"), Seq("c_mktsegment"), Seq("price"))
+      val aji = joinAgg("aji")
+      require(R.scanRootPaths(aji) == Set(s"file:$tmpRoot/aji") &&
+          aji.queryExecution.optimizedPlan.collect {
+            case j: LJoin => j }.isEmpty,
+        s"aji decimal leg must serve join-free from the AJI — ${R.scanRootPaths(aji)}")
+      val out = plainOut.unionByName(navOut).unionByName(materializeSmall(s, aji))
+      materializeAndCleanup(s, out, tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
+  /** VERSIONED SUMMARIES ([[graft.plan.RollupVersioned]] — the FOURTH
+    * VersionedPool tier, VERDICT r12 #6: time travel for the lattice,
+    * where plain refresh RE-REGISTERS in place and a mid-flight reader
+    * has no pinned snapshot): v1 aggregates the 2-slice base, a third
+    * slice appends, `refreshAppended` folds exactly the appended file
+    * into a NEW immutable pool batch committed by ONE Snapshots
+    * publish. ONE dashboard query set then serves against BOTH
+    * versions (the q162 multi-version device): each version's
+    * registration binds its AS-OF basefile manifest, so the v1 serve
+    * is plan-required on pool batch b00001 alone and the v2 serve on
+    * b00002 — never each other's, never a base scan. In-query
+    * requires: v1 stays BIT-STABLE under pin + vacuum while v2
+    * publishes (the pinned-reader contract), and unpin + re-vacuum
+    * reclaims v1's meta and batch. Oracle = construction-derived
+    * recomputes (v1 = the 2-slice predicate, v2 = the full table).
+    * Integer measures. */
+  def q214VersionedSummary(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val RV = graft.plan.RollupVersioned
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q214_vsum")
+      .toFile.getAbsolutePath
+    val root = s"$tmpRoot/vsum"
+    (0 until 2).foreach { sl =>
+      writeNamedSlice(tbl(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === sl), s"$tmpRoot/base", s"s$sl")
+    }
+    val v1 = RV.init(s, root, s.read.parquet(s"$tmpRoot/base"),
+      RV.Layout(Seq("o_orderstatus"), Seq("o_orderkey")))
+    R.enable(s)
+    try {
+      writeNamedSlice(tbl(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 2), s"$tmpRoot/base", "s2")
+      val v2 = RV.refreshAppended(s, root, s.read.parquet(s"$tmpRoot/base"))
+        .getOrElse(throw new IllegalStateException(
+          "pure append must publish a new summary version"))
+      require(v1 == 1 && v2 == 2, s"expected versions 1 and 2, got $v1/$v2")
+      def serve(leg: String, version: Int): DataFrame = {
+        val asOf = RV.registerVersion(s, root, Some(version))
+        val q = asOf.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_ok"),
+            min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+          .select(lit(leg).as("leg"), col("o_orderstatus").as("g"),
+            col("n_rows"), col("sum_ok"), col("mn"), col("mx"))
+        val scans = R.scanRootPaths(q)
+        require(scans.size == 1 &&
+            scans.head.contains(f"pool/b$version%05d"),
+          s"$leg must serve from version $version's pool batch alone — $scans")
+        q
+      }
+      // pin v1, then vacuum while v2 is current: the pinned version's
+      // meta AND batch must survive and serve bit-stable
+      graft.sources.Snapshots.pin(s, s"$root/meta", v1, "dashboard")
+      val v1a = materializeSmall(s, serve("v1", v1))
+      val v2a = materializeSmall(s, serve("v2", v2))
+      val (droppedV, droppedB) = RV.vacuum(s, root, keepLast = 1)
+      require(droppedV.isEmpty && droppedB.isEmpty,
+        s"vacuum must spare the pinned v1: dropped $droppedV / $droppedB")
+      R.clear() // fresh registrations — the re-serve must stand alone
+      val v1b = serve("v1", v1).collect().toSet
+      require(v1b == v1a.collect().toSet,
+        "pinned v1 must serve bit-stable across publish + vacuum")
+      // unpin + re-vacuum reclaims v1 (meta version AND pool batch)
+      graft.sources.Snapshots.unpin(s, s"$root/meta", "dashboard")
+      val (droppedV2, droppedB2) = RV.vacuum(s, root, keepLast = 1)
+      require(droppedV2 == Seq(1) && droppedB2 == Seq("b00001"),
+        s"unpin + vacuum must reclaim v1: dropped $droppedV2 / $droppedB2")
+      materializeAndCleanup(s, v1a.unionByName(v2a), tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
+  /** CROSS-TIER SUMMARY DESIGN under ONE budget ([[graft.plan
+    * .SummaryDesigner.designCrossTier]] — VERDICT r12 #2): a mixed cold
+    * workload — a custkey-grained fact dashboard (w1), a
+    * customer-grained dim profile (w2), a segment join-aggregate (w3),
+    * and a nation-grained star aggregate (w4) — is captured once and
+    * designed by ONE HRU greedy over the union of plain / AJI / star
+    * candidates. The shared-benefit dedupe is the gate's crux: w3 is
+    * servable either by an AJI or by TWO-SUMMARY NAVIGATION over the
+    * very plain summaries w1/w2 already need, so the greedy's pair
+    * move absorbs w3's benefit into them and — under a budget with 4
+    * rows to spare after the pair + star — the AJI never builds
+    * (`design.joined` empty, required in-query; the per-tier designers
+    * would have spent those rows again). Every leg then serves
+    * plan-asserted: w1/w2 on their plain summaries, w3 through
+    * navigation with ZERO base scans, w4 on the star summary
+    * join-free. Oracle = direct recomputes. Integer measures. */
+  def q215CrossTierDesign(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val SD = graft.plan.SummaryDesigner
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q215_cross")
+      .toFile.getAbsolutePath
+    tbl(s, dir, "orders").write.mode("overwrite").parquet(s"$tmpRoot/fact")
+    tbl(s, dir, "customer").write.mode("overwrite").parquet(s"$tmpRoot/dim")
+    tbl(s, dir, "lineitem").write.mode("overwrite").parquet(s"$tmpRoot/sfact")
+    tbl(s, dir, "part").write.mode("overwrite").parquet(s"$tmpRoot/d1")
+    tbl(s, dir, "supplier").write.mode("overwrite").parquet(s"$tmpRoot/d2")
+    val fact = s.read.parquet(s"$tmpRoot/fact")
+    val dim = s.read.parquet(s"$tmpRoot/dim")
+    val sfact = s.read.parquet(s"$tmpRoot/sfact")
+    val d1 = s.read.parquet(s"$tmpRoot/d1")
+    val d2 = s.read.parquet(s"$tmpRoot/d2")
+    val keys = Seq("o_custkey" -> "c_custkey")
+    val sdims = Seq(d1 -> Seq("l_partkey" -> "p_partkey"),
+      d2 -> Seq("l_suppkey" -> "s_suppkey"))
+    val joined = fact.join(dim, col("o_custkey") === col("c_custkey"))
+    val starJoined = sfact.join(d1, col("l_partkey") === col("p_partkey"))
+      .join(d2, col("l_suppkey") === col("s_suppkey"))
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    val nullI = lit(null).cast("int")
+    def w1 = fact.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sv"))
+      .select(lit("w1").as("leg"), col("o_custkey").cast("long").as("ck"),
+        nullS.as("seg"), nullI.as("nk"), col("n"), col("sv"))
+    def w2 = dim.groupBy("c_custkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("w2").as("leg"), col("c_custkey").cast("long").as("ck"),
+        col("c_mktsegment").as("seg"), nullI.as("nk"), col("n"),
+        nullL.as("sv"))
+    def w3 = joined.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sv"))
+      .select(lit("w3").as("leg"), nullL.as("ck"),
+        col("c_mktsegment").as("seg"), nullI.as("nk"), col("n"), col("sv"))
+    def w4 = starJoined.groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sv"))
+      .select(lit("w4").as("leg"), nullL.as("ck"), nullS.as("seg"),
+        col("s_nationkey").cast("int").as("nk"), col("n"), col("sv"))
+    R.enable(s)
+    R.startWorkloadCapture()
+    try {
+      w1.queryExecution.optimizedPlan
+      w2.queryExecution.optimizedPlan
+      w3.queryExecution.optimizedPlan
+      w4.queryExecution.optimizedPlan
+      R.stopWorkloadCapture()
+      // budget: the pair + the star fit, the 5-row AJI does NOT — the
+      // regime where only the cross-tier dedupe covers w3
+      val cRows = fact.select("o_custkey").distinct().count()
+      val dRows = dim.select("c_custkey", "c_mktsegment").distinct().count()
+      val sRows = starJoined.select("s_nationkey").distinct().count()
+      val design = SD.designCrossTier(Seq(fact, dim),
+        Seq((fact, dim, keys)), Seq(sfact -> sdims),
+        maxRows = cRows + dRows + sRows + 4)
+      require(design.joined.isEmpty,
+        s"the pair must absorb w3 — no AJI within this budget: $design")
+      require(design.plain.size == 2 && design.star.size == 1,
+        s"expected 2 plain + 1 star summary: $design")
+      val fSpec = design.plain.find(_._2.grainCols == Seq("o_custkey"))
+        .getOrElse(throw new IllegalStateException(
+          s"design must keep the (o_custkey) fact grain: $design"))
+      require(fSpec._2.measures.contains("o_orderkey"),
+        s"the fact summary must carry w1+w3's measure: $fSpec")
+      require(design.plain.exists(_._2.grainCols.toSet ==
+          Set("c_custkey", "c_mktsegment")),
+        s"design must keep the (c_custkey, c_mktsegment) dim grain: $design")
+      require(design.star.head._2.grainCols == Seq("s_nationkey") &&
+          design.star.head._2.measures.contains("l_orderkey"),
+        s"design must keep the (s_nationkey) star grain: $design")
+      val (pOuts, _, sOuts) = SD.buildAndRegisterCrossTier(s,
+        Seq(fact, dim), Seq((fact, dim, keys)), Seq(sfact -> sdims),
+        design, s"$tmpRoot/designed")
+      def requireOn(df: DataFrame, pred: Set[String] => Boolean,
+                    name: String, joinFree: Boolean): DataFrame = {
+        val scans = R.scanRootPaths(df)
+        require(scans.nonEmpty && pred(scans),
+          s"$name must serve from its designed summaries — $scans")
+        if (joinFree)
+          require(df.queryExecution.optimizedPlan.collect {
+              case j: LJoin => j }.isEmpty,
+            s"$name must contain NO serve-time join")
+        df
+      }
+      val pSet = pOuts.map(p => s"file:$p").toSet
+      val served = requireOn(w1, _.subsetOf(pSet), "w1", joinFree = true)
+        .unionByName(requireOn(w2, _.subsetOf(pSet), "w2", joinFree = true))
+        .unionByName(requireOn(w3, sc => sc.subsetOf(pSet) && sc.size == 2,
+          "w3 (navigation)", joinFree = false))
+        .unionByName(requireOn(w4, _ == Set(s"file:${sOuts.head}"), "w4",
+          joinFree = true))
+      materializeAndCleanup(s, served, tmpRoot)
+    } finally {
+      R.disable(s); R.resetWorkloadCapture(); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** COMPUTED-DIMENSION grain serving ([[graft.plan.RollupRewrite]] —
     * VERDICT r10 #1, the optimizer tier's sharpest real-user edge): a
     * summary grained by `month(o_orderdate)` — a stored EXPRESSION value,
@@ -6404,7 +6775,11 @@ object Queries {
     "q208_designed_joined" -> (q208DesignedJoined _),
     "q209_joined_persistence" -> (q209JoinedPersistence _),
     "q210_star_summary" -> (q210StarSummary _),
-    "q211_designed_star" -> (q211DesignedStar _))
+    "q211_designed_star" -> (q211DesignedStar _),
+    "q212_star_dim_refresh" -> (q212StarDimRefresh _),
+    "q213_decimal_summaries" -> (q213DecimalSummaries _),
+    "q214_versioned_summary" -> (q214VersionedSummary _),
+    "q215_cross_tier_design" -> (q215CrossTierDesign _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -8680,6 +9055,91 @@ object Queries {
         | p.prob, min(lo)
         |FROM hc CROSS JOIN p WHERE cum >= ceil(total * p.prob)
         |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin,
+    // q212: star dim-append refresh — fact and supplier slices complete
+    // both tables after the appends, so the refreshed star summary must
+    // equal the plain star recompute; a missed F_reg ⋈ ΔD term (old
+    // lineitems × new suppliers), a missed fact term, or a
+    // double-merged ΔF⋈ΔD pair hash-fails; the two-file delta set and
+    // join-free serve shapes are required in-query.
+    "q212_star_dim_refresh" ->
+      """WITH j AS (SELECT p_brand, s_nationkey, l_orderkey
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        |   JOIN supplier ON l_suppkey = s_suppkey)
+        |SELECT 'full' AS leg, p_brand AS brand, s_nationkey AS nk,
+        | count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        | min(l_orderkey) AS mn, max(l_orderkey) AS mx
+        |FROM j GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'coarse', CAST(NULL AS VARCHAR), s_nationkey, count(*),
+        | CAST(sum(l_orderkey) AS BIGINT), min(l_orderkey), max(l_orderkey)
+        |FROM j GROUP BY 3""".stripMargin,
+    // q213: decimal measures through the summary tier — sums in exact
+    // cents; averages replayed in EXACT INTEGER half-up micro-units
+    // (avg(decimal(12,2)) = round_half_up(sum/count, 6) exactly — the
+    // scale-18 intermediate of Spark's decimal divide sits ≥1/(2e6·n)
+    // from any scale-6 half boundary, so double rounding cannot flip;
+    // the CLAUDE.md (2S+n) div 2n device). price8 rides the
+    // DecimalAggregates UnscaledValue path on the Spark side and must
+    // land on the same cents.
+    "q213_decimal_summaries" ->
+      """WITH f AS (SELECT o_orderstatus, o_custkey,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |j AS (SELECT c_mktsegment, p FROM f
+        | JOIN customer ON o_custkey = c_custkey)
+        |SELECT 'plain' AS leg, o_orderstatus AS g,
+        | CAST(sum(p)*100 AS BIGINT) AS sum_c,
+        | (CAST(sum(p)*100 AS BIGINT)*10000*2 + count(*)) // (2*count(*))
+        |   AS avg_u,
+        | CAST(sum(p)*100 AS BIGINT) AS sum8_c
+        |FROM f GROUP BY 2
+        |UNION ALL
+        |SELECT 'nav', c_mktsegment, CAST(sum(p)*100 AS BIGINT),
+        | (CAST(sum(p)*100 AS BIGINT)*10000*2 + count(*)) // (2*count(*)),
+        | CAST(NULL AS BIGINT)
+        |FROM j GROUP BY 2
+        |UNION ALL
+        |SELECT 'aji', c_mktsegment, CAST(sum(p)*100 AS BIGINT),
+        | (CAST(sum(p)*100 AS BIGINT)*10000*2 + count(*)) // (2*count(*)),
+        | CAST(NULL AS BIGINT)
+        |FROM j GROUP BY 2""".stripMargin,
+    // q214: versioned summaries — one dashboard query set against two
+    // summary versions; v1 = the 2-slice construction predicate, v2 =
+    // the full table (slices complete orders). A refresh that misses
+    // the appended file, a version that reads another's batch, or a
+    // pin/vacuum interaction that mutates v1 hash-fails (bit-stability
+    // additionally required in-query).
+    "q214_versioned_summary" ->
+      """SELECT 'v1' AS leg, o_orderstatus AS g, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+        | min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |FROM orders WHERE o_orderkey % 3 <> 2 GROUP BY 2
+        |UNION ALL
+        |SELECT 'v2', o_orderstatus, count(*),
+        | CAST(sum(o_orderkey) AS BIGINT), min(o_orderkey), max(o_orderkey)
+        |FROM orders GROUP BY 2""".stripMargin,
+    // q215: cross-tier design — the structural crux (one budget, pair
+    // absorbs the join query, no AJI) is required in-query; the hash
+    // gate replays all four workload legs as direct recomputes, so a
+    // mis-served leg or a wrong designed layout hash-fails.
+    "q215_cross_tier_design" ->
+      """SELECT 'w1' AS leg, CAST(o_custkey AS BIGINT) AS ck,
+        | CAST(NULL AS VARCHAR) AS seg, CAST(NULL AS INT) AS nk,
+        | count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sv
+        |FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 'w2', CAST(c_custkey AS BIGINT), c_mktsegment,
+        | CAST(NULL AS INT), count(*), CAST(NULL AS BIGINT)
+        |FROM customer GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'w3', CAST(NULL AS BIGINT), c_mktsegment, CAST(NULL AS INT),
+        | count(*), CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 3
+        |UNION ALL
+        |SELECT 'w4', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        | CAST(s_nationkey AS INT), count(*), CAST(sum(l_orderkey) AS BIGINT)
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 4""".stripMargin,
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

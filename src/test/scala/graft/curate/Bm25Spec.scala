@@ -173,7 +173,7 @@ class Bm25Spec extends SparkSpec {
         .as[(Long, Int, Long, Double)].collect().toSet
       assert(served == rebuilt, s"served=$served rebuilt=$rebuilt")
       // the format's contract: postings were never rewritten
-      assert(spark.read.parquet(s"$tmp/postings")
+      assert(spark.read.parquet(Bm25.resolveTable(spark, tmp, "postings"))
         .select("doc_id").distinct().count() == 6)
       val idx = Bm25.loadIncIndex(spark, tmp)
       assert(idx.nDocs == 4.0 && idx.totalDl == 3 + 4 + 3 + 3)
@@ -184,7 +184,7 @@ class Bm25Spec extends SparkSpec {
       // compaction: the one deliberate rewrite — serving unchanged after
       Bm25.compactIncIndex(spark, tmp)
       assert(Bm25.loadIncIndex(spark, tmp).tombstones.isEmpty)
-      assert(spark.read.parquet(s"$tmp/postings")
+      assert(spark.read.parquet(Bm25.resolveTable(spark, tmp, "postings"))
         .select("doc_id").distinct().count() == 4)
       val afterCompact = Bm25.topKAgainstIncIndex(Bm25.loadIncIndex(spark, tmp),
           queries, "qid", "qtext", k = 4)
@@ -235,6 +235,56 @@ class Bm25Spec extends SparkSpec {
           "doc_id", "text", queries, "qid", "qtext", k = 4)
         .as[(Long, Int, Long, Double)].collect().toSet
       assert(served2 == rebuilt2, s"served=$served2 rebuilt=$rebuilt2")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  test("single-rename swap commit: readers never see a missing table, generations linger one swap, orphans are retried over (VERDICT r12 #5)") {
+    val all = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "durian durian banana durian"),
+      (4L, "cherry apple banana"),
+      (5L, "banana banana")).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple banana")).toDF("qid", "qtext")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_swap").toString
+    def exists(n: String) = new java.io.File(s"$tmp/$n").exists()
+    try {
+      Bm25.saveIncIndex(Bm25.buildIncIndex(all, "doc_id", "text"), tmp)
+      // swap 1 (delete doc 2): dfs/stats commit to .gen_*_1 via ONE
+      // pointer rename; the plain dirs stay as the PREVIOUS generation,
+      // so a reader that resolved pre-swap keeps streaming them
+      Bm25.deleteFromIncIndex(spark, tmp, Seq(2L).toDF("doc_id"), "doc_id")
+      assert(Bm25.resolveTable(spark, tmp, "dfs") == s"$tmp/.gen_dfs_1")
+      assert(exists("dfs") && exists("stats"),
+        "the superseded plain dirs must linger one swap for in-flight readers")
+      val r1 = Bm25.loadIncIndex(spark, tmp) // resolves the gen_1 state
+      // swap 2 (delete doc 5): gen_2 commits; the PLAIN dirs (two swaps
+      // old) reclaim, gen_1 lingers — r1's frames stay readable
+      Bm25.deleteFromIncIndex(spark, tmp, Seq(5L).toDF("doc_id"), "doc_id")
+      assert(Bm25.resolveTable(spark, tmp, "dfs") == s"$tmp/.gen_dfs_2")
+      assert(!exists("dfs") && !exists("stats"),
+        "two-swaps-old generations must reclaim")
+      assert(exists(".gen_dfs_1") && r1.dfs.collect().nonEmpty,
+        "the pre-swap reader's generation must still be readable")
+      // crash-before-commit: an orphan generation dir with NO pointer
+      // update is invisible to readers and overwritten by the retry
+      // (generation numbering follows the COMMITTED pointer)
+      new java.io.File(s"$tmp/.gen_stats_3").mkdirs()
+      assert(Bm25.resolveTable(spark, tmp, "stats") == s"$tmp/.gen_stats_2",
+        "an uncommitted orphan must not change resolution")
+      assert(Bm25.loadIncIndex(spark, tmp).nDocs == 3.0)
+      Bm25.deleteFromIncIndex(spark, tmp, Seq(1L).toDF("doc_id"), "doc_id")
+      assert(Bm25.resolveTable(spark, tmp, "stats") == s"$tmp/.gen_stats_3",
+        "the retry must claim the orphan's generation number")
+      // end state serves EXACTLY the rebuild on the reduced corpus —
+      // the protocol is invisible to scoring (q150/q158/q159's contract)
+      val served = Bm25.topKAgainstIncIndex(Bm25.loadIncIndex(spark, tmp),
+          queries, "qid", "qtext", k = 4)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val rebuilt = Bm25.topK(all.filter(!$"doc_id".isin(1L, 2L, 5L)),
+          "doc_id", "text", queries, "qid", "qtext", k = 4)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(served == rebuilt, s"served=$served rebuilt=$rebuilt")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 

@@ -271,6 +271,124 @@ class SummaryDesignerSpec extends SparkSpec {
     }
   }
 
+  test("star design is filter-aware: a WHERE column missing from a grain zeroes its benefit (VERDICT r12 #8)") {
+    val dir = java.nio.file.Files.createTempDirectory("designer_sf").toString
+    try {
+      Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 10L, 300L), (2L, 20L, 400L),
+          (1L, 10L, 101L), (2L, 20L, 401L))
+        .toDF("fk1", "fk2", "m")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      Seq((1L, "a"), (2L, "b")).toDF("d1k", "g1")
+        .write.mode("overwrite").parquet(s"$dir/d1")
+      Seq((10L, "u"), (20L, "v")).toDF("d2k", "g2")
+        .write.mode("overwrite").parquet(s"$dir/d2")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val d1 = spark.read.parquet(s"$dir/d1")
+      val d2 = spark.read.parquet(s"$dir/d2")
+      val dims = Seq(d1 -> Seq("fk1" -> "d1k"), d2 -> Seq("fk2" -> "d2k"))
+      def joined = fact.join(d1, col("fk1") === col("d1k"))
+        .join(d2, col("fk2") === col("d2k"))
+      RollupRewrite.enable(spark)
+      RollupRewrite.startWorkloadCapture()
+      // the ONLY captured star query groups by g1 but FILTERS on g2 —
+      // the bare (g1) grain cannot serve it (the conjunct rewriter
+      // requires every filter column carried), so its benefit is zero
+      // and even a k=1 design must pick the (g1, g2) grain
+      joined.filter(col("g2") === "u").groupBy("g1")
+        .agg(sum("m").as("s")).queryExecution.optimizedPlan
+      val sides = Set((scanPaths(d1), Set("fk1" -> "d1k")),
+        (scanPaths(d2), Set("fk2" -> "d2k")))
+      val obs = RollupRewrite.capturedStarEntries(scanPaths(fact), sides)
+      assert(obs.exists(e => e.servable && e.filterCols == Set("g2")),
+        s"the star filter column must be captured: $obs")
+      RollupRewrite.stopWorkloadCapture()
+      val specs = SummaryDesigner.designStar(fact, dims, k = 1)
+      assert(specs.map(_.grainCols.toSet) == Seq(Set("g1", "g2")),
+        s"the filter column must force the (g1, g2) grain at k=1: $specs")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.resetWorkloadCapture()
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("cross-tier design under ONE budget beats the per-tier union: the pair absorbs the join query (VERDICT r12 #2)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val dir = java.nio.file.Files.createTempDirectory("designer_x").toString
+    try {
+      Seq((1L, 10L), (1L, 20L), (2L, 5L), (2L, 7L),
+          (1L, 10L), (1L, 20L), (2L, 5L), (2L, 7L))
+        .toDF("k", "m").write.mode("overwrite").parquet(s"$dir/fact")
+      Seq((1L, "s1"), (2L, "s1"), (3L, "s2"), (4L, "s2"),
+          (1L, "s1"), (2L, "s1"), (3L, "s2"), (4L, "s2"))
+        .toDF("dk", "g").write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+      val keys = Seq("k" -> "dk")
+      def wP = fact.groupBy("k").agg(sum("m").as("s"))
+      def wD = dim.groupBy("dk", "g").agg(count(lit(1)).as("n"))
+      def wJ = fact.join(dim, col("k") === col("dk"))
+        .groupBy("g").agg(sum("m").as("s"))
+      RollupRewrite.enable(spark)
+      RollupRewrite.startWorkloadCapture()
+      wP.queryExecution.optimizedPlan
+      wD.queryExecution.optimizedPlan
+      wJ.queryExecution.optimizedPlan
+      RollupRewrite.stopWorkloadCapture()
+      // budget 6: the pair (fsum 2 rows + dsum 4 rows) fits exactly and
+      // absorbs wJ through navigation; the 1-row AJI (only s1 joins) no
+      // longer fits — the per-tier designers, each given the SAME
+      // budget, would build it again (2+4+1 = 7 rows, same coverage)
+      val cross = SummaryDesigner.designCrossTier(Seq(fact, dim),
+        Seq((fact, dim, keys)), Nil, maxRows = 6)
+      assert(cross.joined.isEmpty && cross.star.isEmpty,
+        s"the pair must absorb the join query within budget 6: $cross")
+      assert(cross.plain.map(_._2.grainCols.toSet).toSet ==
+          Set(Set("k"), Set("dk", "g")), s"wrong plain grains: $cross")
+      assert(cross.plain.find(_._2.grainCols == Seq("k")).get
+          ._2.measures == Seq("m"),
+        s"the fact summary must carry wP+wJ's measure: $cross")
+      // per-tier union at the same budget: 2 + 4 + 1 = 7 rows
+      val pf = SummaryDesigner.designUnderBudget(fact, 6)
+      val pd = SummaryDesigner.designUnderBudget(dim, 6)
+      val pj = SummaryDesigner.designJoined(fact, dim, keys, k = 1)
+      assert(pf.map(_.grainCols) == Seq(Seq("k")) &&
+          pd.map(_.grainCols.toSet) == Seq(Set("dk", "g")) &&
+          pj.map(_.grainCols) == Seq(Seq("g")),
+        s"per-tier baseline drifted: $pf / $pd / $pj")
+      val crossRows = 2L + 4L
+      val perTierRows = 2L + 4L + 1L
+      assert(crossRows < perTierRows,
+        "cross-tier must cover the same workload in fewer rows")
+      // and the cross design actually SERVES all three: wJ through
+      // two-summary navigation with zero base scans
+      val (pOuts, jOuts, _) = SummaryDesigner.buildAndRegisterCrossTier(
+        spark, Seq(fact, dim), Seq((fact, dim, keys)), Nil, cross,
+        s"$dir/designed")
+      assert(jOuts.isEmpty)
+      val pSet = pOuts.map(p => s"file:$p").toSet
+      assert(scanPaths(wP).subsetOf(pSet), s"wP not served: ${scanPaths(wP)}")
+      assert(scanPaths(wD).subsetOf(pSet), s"wD not served: ${scanPaths(wD)}")
+      val jScans = scanPaths(wJ)
+      assert(jScans == pSet && jScans.size == 2,
+        s"wJ must navigate BOTH plain summaries, zero base scans: $jScans")
+      RollupRewrite.disable(spark)
+      val want = wJ.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      RollupRewrite.enable(spark)
+      assert(wJ.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        == want && want.nonEmpty)
+      // determinism: the same capture designs the same cross-tier set
+      assert(SummaryDesigner.designCrossTier(Seq(fact, dim),
+        Seq((fact, dim, keys)), Nil, maxRows = 6) == cross)
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.resetWorkloadCapture()
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("designStar + buildAndRegisterStar: captured star workload re-serves from designed star summaries") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
     val dir = java.nio.file.Files.createTempDirectory("designer_s").toString

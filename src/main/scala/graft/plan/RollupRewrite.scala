@@ -900,7 +900,7 @@ object RollupRewrite {
     * same-named files from different dirs cannot collide) + the original
     * file name. Derived from the SCHEME-LESS path so `file:/x` and `/x`
     * resolve identically. */
-  private def trashFileName(orig: String): String = {
+  private[plan] def trashFileName(orig: String): String = {
     val norm = new org.apache.hadoop.fs.Path(orig).toUri.getPath
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1342,57 +1342,11 @@ object RollupRewrite {
     val removedDf = spark.read.parquet(resolved.flatten: _*)
     if (!neededBaseColumns(spark, d).subsetOf(removedDf.columns.toSet))
       return None
-    val removedAgg = Rollup.materializeExpr(removedDf, grainExprsOf(d),
-      d.measures, d.distinctCols, d.sketchK, d.histCols)
     val stored = spark.read.parquet(storedPathsOf(d): _*)
-    val r = removedAgg.columns.foldLeft(removedAgg)(
-      (df, c) => df.withColumnRenamed(c, "__r" + c))
-    val joined = stored.join(r,
-      d.groupCols.map(g => col(g) <=> col("__r" + g)).reduce(_ && _), "left")
-    val matched = col("__r" + Rollup.CntRows).isNotNull
-    val rowsLeft = col(Rollup.CntRows) -
-      coalesce(col("__r" + Rollup.CntRows), lit(0L))
-    // a measure is UNSAFE for arithmetic-only retraction when the
-    // removal may have carried the group extremum (≤/≥: an EQUAL removed
-    // extremum might or might not leave a twin behind — recompute), or
-    // when it empties the non-null count while rows remain (sum/min/max
-    // must become NULL, which subtraction cannot produce)
-    val unsafe = d.measures.map { m =>
-      (col(s"__r__min_$m").isNotNull && col(s"__r__min_$m") <= col(s"__min_$m")) ||
-        (col(s"__r__max_$m").isNotNull && col(s"__r__max_$m") >= col(s"__max_$m")) ||
-        (matched &&
-          col(s"__cnt_$m") - coalesce(col(s"__r__cnt_$m"), lit(0L)) === 0 &&
-          col(s"__cnt_$m") > 0)
-    }.foldLeft(lit(false))(_ || _)
-    val needsRecompute = matched && rowsLeft > 0 &&
-      (lit(d.distinctCols.nonEmpty) || unsafe)
-    def sub(c: String) = when(col("__r" + c).isNull, col(c))
-      .otherwise(col(c) - col("__r" + c))
-      .cast(stored.schema(c).dataType).as(c)
-    // histograms retract EXACTLY (bucket counts are sums — unlike the
-    // insert-only KMV sketches, no recompute needed)
-    def subHist(c: String) = when(col("__r" + c).isNull, col(c))
-      .otherwise(zip_with(col(c), col("__r" + c), (a, b) => a - b)).as(c)
-    val survivorCols = d.groupCols.map(col) ++ Seq(sub(Rollup.CntRows)) ++
-      d.measures.flatMap(m => Seq(sub(s"__sum_$m"), sub(s"__cnt_$m"),
-        col(s"__min_$m"), col(s"__max_$m"))) ++
-      d.distinctCols.map(c => col(s"__kmv_$c")) ++
-      d.histCols.map(c => subHist(s"__hist_$c"))
-    val survivors = joined.filter(rowsLeft > 0 && !needsRecompute)
-      .select(survivorCols: _*)
-    val toRecompute = joined.filter(needsRecompute)
-      .select(d.groupCols.map(g => col(g).as("__t" + g)): _*)
     val baseNow = spark.read.parquet(d.basePaths.toSeq: _*)
-    val withG = d.grainExprSql.foldLeft(baseNow) { case (df, (n, s)) =>
-      df.withColumn(n, expr(s)) }
-    val filteredBase = withG.join(broadcast(toRecompute),
-      d.groupCols.map(g => col(g) <=> col("__t" + g)).reduce(_ && _),
-      "left_semi")
-    val recomputed = Rollup.materializeExpr(filteredBase,
-      d.groupCols.map(g => g -> col(g)), d.measures, d.distinctCols,
-      d.sketchK, d.histCols)
     val out = s"$outDir/refresh_${regDigest(d)}_${manifestDigest(current)}"
-    survivors.unionByName(recomputed)
+    Rollup.retract(stored, removedDf, baseNow, grainExprsOf(d),
+        d.measures, d.distinctCols, d.sketchK, d.histCols)
       .write.mode("overwrite").parquet(out)
     register(spark.read.parquet(d.basePaths.toSeq: _*),
       spark.read.parquet(out), d.groupCols, d.measures, d.distinctCols,
@@ -3172,6 +3126,78 @@ object Rollup {
       acc.join(d, keys.map { case (f, k) => fact(f) === d(k) }.reduce(_ && _))
     }
     materialize(joined, groupCols, measures, distinctCols, sketchK, histCols)
+  }
+
+  /** Retract `removedDf`'s ROWS from `stored` (a [[materialize]] /
+    * [[materializeExpr]] output over `groupExprs`) — the shared
+    * retraction arithmetic behind [[RollupRewrite.refreshStale]]'s
+    * delete path (q194) and [[RollupVersioned.refreshRemoved]]:
+    *
+    *  - sums and counts subtract EXACTLY; groups whose row count hits
+    *    zero drop entirely;
+    *  - min/max keep the stored value when the removed group's own
+    *    extremum provably did not reach it; otherwise the group
+    *    RECOMPUTES from `baseNow` (the CURRENT base, already missing
+    *    the removed rows) filtered to exactly the affected grains —
+    *    only touched groups pay aggregation;
+    *  - KMV sketches are insert-only: every touched group of a
+    *    sketch-carrying layout recomputes (the q171 losslessness
+    *    contract); histograms subtract bucket-exactly, no recompute.
+    *
+    * Float sums retract with the usual reassociation noise;
+    * integer/decimal measures retract bit-exactly. */
+  def retract(stored: DataFrame, removedDf: DataFrame, baseNow: DataFrame,
+              groupExprs: Seq[(String, org.apache.spark.sql.Column)],
+              measures: Seq[String], distinctCols: Seq[String] = Nil,
+              sketchK: Int = 64, histCols: Seq[String] = Nil): DataFrame = {
+    val groupCols = groupExprs.map(_._1)
+    val removedAgg = materializeExpr(removedDf, groupExprs, measures,
+      distinctCols, sketchK, histCols)
+    val r = removedAgg.columns.foldLeft(removedAgg)(
+      (df, c) => df.withColumnRenamed(c, "__r" + c))
+    val joined = stored.join(r,
+      groupCols.map(g => col(g) <=> col("__r" + g)).reduce(_ && _), "left")
+    val matched = col("__r" + CntRows).isNotNull
+    val rowsLeft = col(CntRows) - coalesce(col("__r" + CntRows), lit(0L))
+    // a measure is UNSAFE for arithmetic-only retraction when the
+    // removal may have carried the group extremum (≤/≥: an EQUAL removed
+    // extremum might or might not leave a twin behind — recompute), or
+    // when it empties the non-null count while rows remain (sum/min/max
+    // must become NULL, which subtraction cannot produce)
+    val unsafe = measures.map { m =>
+      (col(s"__r__min_$m").isNotNull && col(s"__r__min_$m") <= col(s"__min_$m")) ||
+        (col(s"__r__max_$m").isNotNull && col(s"__r__max_$m") >= col(s"__max_$m")) ||
+        (matched &&
+          col(s"__cnt_$m") - coalesce(col(s"__r__cnt_$m"), lit(0L)) === 0 &&
+          col(s"__cnt_$m") > 0)
+    }.foldLeft(lit(false))(_ || _)
+    val needsRecompute = matched && rowsLeft > 0 &&
+      (lit(distinctCols.nonEmpty) || unsafe)
+    def sub(c: String) = when(col("__r" + c).isNull, col(c))
+      .otherwise(col(c) - col("__r" + c))
+      .cast(stored.schema(c).dataType).as(c)
+    // histograms retract EXACTLY (bucket counts are sums — unlike the
+    // insert-only KMV sketches, no recompute needed)
+    def subHist(c: String) = when(col("__r" + c).isNull, col(c))
+      .otherwise(zip_with(col(c), col("__r" + c), (a, b) => a - b)).as(c)
+    val survivorCols = groupCols.map(col) ++ Seq(sub(CntRows)) ++
+      measures.flatMap(m => Seq(sub(s"__sum_$m"), sub(s"__cnt_$m"),
+        col(s"__min_$m"), col(s"__max_$m"))) ++
+      distinctCols.map(c => col(s"__kmv_$c")) ++
+      histCols.map(c => subHist(s"__hist_$c"))
+    val survivors = joined.filter(rowsLeft > 0 && !needsRecompute)
+      .select(survivorCols: _*)
+    val toRecompute = joined.filter(needsRecompute)
+      .select(groupCols.map(g => col(g).as("__t" + g)): _*)
+    val withG = groupExprs.foldLeft(baseNow) { case (df, (n, c)) =>
+      df.withColumn(n, c) }
+    val filteredBase = withG.join(broadcast(toRecompute),
+      groupCols.map(g => col(g) <=> col("__t" + g)).reduce(_ && _),
+      "left_semi")
+    val recomputed = materializeExpr(filteredBase,
+      groupCols.map(g => g -> col(g)), measures, distinctCols,
+      sketchK, histCols)
+    survivors.unionByName(recomputed)
   }
 
   /** Merge two [[materialize]] outputs (a stored summary and a new

@@ -146,6 +146,53 @@ object RollupVersioned {
         current.toSeq))))
   }
 
+  /** Fold a PURE DELETE (files moved out of the base through
+    * [[RollupRewrite.deleteFiles]]' trash protocol — bytes linger for
+    * the retraction read) into a NEW version: the removed files'
+    * partials RETRACT from the committed summary via the shared
+    * [[Rollup.retract]] arithmetic (sums/counts subtract exactly,
+    * emptied groups drop, extremum/sketch-touched groups recompute
+    * from the reduced base filtered to the affected grains), one new
+    * batch commits with one publish, and every older version — pinned
+    * dashboards included — keeps serving its own state. Returns None
+    * when the diff is not a pure delete, the removed files cannot be
+    * resolved in `trashDirs`, or the bare reads miss a needed column
+    * (the same refusal discipline as [[RollupRewrite.refreshStale]]'s
+    * delete path). */
+  def refreshRemoved(spark: SparkSession, root: String, base: DataFrame,
+                     trashDirs: Seq[String]): Option[Int] = {
+    val meta = Snapshots.readLatest(spark, VersionedPool.metaDir(root))
+    val layout = layoutOf(meta)
+    val saved = baseEntriesOf(meta)
+    val sketchK = meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
+      .select("num").collect().headOption.map(_.getDouble(0).toInt).getOrElse(64)
+    val current = baseEntries(base).toSet
+    val removed = saved -- current
+    val appended = current -- saved
+    if (removed.isEmpty || appended.nonEmpty || saved.isEmpty) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    val resolved = removed.toSeq.sorted.map(_.split("\\|")(0)).map { p =>
+      trashDirs.iterator.map { td =>
+        new org.apache.hadoop.fs.Path(td, RollupRewrite.trashFileName(p))
+      }.find(dst => dst.getFileSystem(conf).exists(dst)).map(_.toString)
+    }
+    if (resolved.exists(_.isEmpty)) return None
+    val removedDf = spark.read.parquet(resolved.flatten: _*)
+    val needed = (layout.groupCols ++ layout.measures ++
+      layout.distinctCols ++ layout.histCols).toSet
+    if (!needed.subsetOf(removedDf.columns.toSet) ||
+        !needed.subsetOf(base.columns.toSet)) return None
+    val retracted = Rollup.retract(summaryOf(spark, root, None), removedDf,
+      base, layout.groupCols.map(g => g -> col(g)), layout.measures,
+      layout.distinctCols, sketchK, layout.histCols)
+    val batch = writeBatch(spark, root, retracted)
+    Some(VersionedPool.publishMeta(spark, root, Seq(batch),
+      Seq("sketch_k" -> sketchK.toDouble), None, "doc_id",
+      org.apache.spark.sql.types.LongType,
+      Some(layoutRows(spark, layout.copy(sketchK = sketchK),
+        current.toSeq))))
+  }
+
   /** Version v's summary frame (latest when None) — a plain scan of its
     * immutable pool batch, serving-stable while maintenance publishes. */
   def summaryOf(spark: SparkSession, root: String,

@@ -5859,12 +5859,16 @@ object Queries {
     * versions (the q162 multi-version device): each version's
     * registration binds its AS-OF basefile manifest, so the v1 serve
     * is plan-required on pool batch b00001 alone and the v2 serve on
-    * b00002 — never each other's, never a base scan. In-query
-    * requires: v1 stays BIT-STABLE under pin + vacuum while v2
-    * publishes (the pinned-reader contract), and unpin + re-vacuum
-    * reclaims v1's meta and batch. Oracle = construction-derived
-    * recomputes (v1 = the 2-slice predicate, v2 = the full table).
-    * Integer measures. */
+    * b00002 — never each other's, never a base scan. A trash-move
+    * DELETE then publishes v3 through `refreshRemoved` (the shared
+    * [[graft.plan.Rollup.retract]] arithmetic — sums/counts subtract,
+    * extremum-touched groups recompute from the reduced base), served
+    * from b00003. In-query requires: vacuum(keepLast=1) under the v1
+    * pin reclaims EXACTLY v2, pinned v1 stays BIT-STABLE through the
+    * retraction publish + vacuum, and unpin + re-vacuum reclaims v1's
+    * meta and batch. Oracle = construction-derived recomputes (v1 =
+    * the 2-slice predicate, v2 = the full table, v3 = minus the
+    * trashed slice). Integer measures. */
   def q214VersionedSummary(s: SparkSession, dir: String): DataFrame = {
     val R = graft.plan.RollupRewrite
     val RV = graft.plan.RollupVersioned
@@ -5898,24 +5902,37 @@ object Queries {
           s"$leg must serve from version $version's pool batch alone — $scans")
         q
       }
-      // pin v1, then vacuum while v2 is current: the pinned version's
-      // meta AND batch must survive and serve bit-stable
+      // pin v1, serve both versions from their own batches
       graft.sources.Snapshots.pin(s, s"$root/meta", v1, "dashboard")
       val v1a = materializeSmall(s, serve("v1", v1))
       val v2a = materializeSmall(s, serve("v2", v2))
+      val v1Pinned = RV.summaryOf(s, root, Some(v1)).collect().toSet
+      // RETRACTION as a version: trash-move the s0 slice and
+      // refreshRemoved — sums/counts subtract, extremum-touched groups
+      // recompute from the reduced base, v3 publishes while v1/v2 stay
+      // readable. (NB a pinned version's AS-OF base frame needs its
+      // files present — append-only history; after a delete the pinned
+      // guarantee is summaryOf, the summary IS the data.)
+      R.deleteFiles(s, Seq(s"$tmpRoot/base/s0.parquet"), s"$tmpRoot/trash")
+      val v3 = RV.refreshRemoved(s, root, s.read.parquet(s"$tmpRoot/base"),
+          Seq(s"$tmpRoot/trash"))
+        .getOrElse(throw new IllegalStateException(
+          "pure trash-move delete must publish a retracted version"))
+      require(v3 == 3, s"expected version 3, got $v3")
+      val v3a = materializeSmall(s, serve("v3", v3))
+      // vacuum keepLast=1 while v1 is pinned and v3 is current: exactly
+      // v2 (and its batch) reclaims
       val (droppedV, droppedB) = RV.vacuum(s, root, keepLast = 1)
-      require(droppedV.isEmpty && droppedB.isEmpty,
-        s"vacuum must spare the pinned v1: dropped $droppedV / $droppedB")
-      R.clear() // fresh registrations — the re-serve must stand alone
-      val v1b = serve("v1", v1).collect().toSet
-      require(v1b == v1a.collect().toSet,
-        "pinned v1 must serve bit-stable across publish + vacuum")
+      require(droppedV == Seq(2) && droppedB == Seq("b00002"),
+        s"vacuum must reclaim exactly unpinned v2: $droppedV / $droppedB")
+      require(RV.summaryOf(s, root, Some(v1)).collect().toSet == v1Pinned,
+        "pinned v1 must stay bit-stable across retraction publish + vacuum")
       // unpin + re-vacuum reclaims v1 (meta version AND pool batch)
       graft.sources.Snapshots.unpin(s, s"$root/meta", "dashboard")
       val (droppedV2, droppedB2) = RV.vacuum(s, root, keepLast = 1)
       require(droppedV2 == Seq(1) && droppedB2 == Seq("b00001"),
         s"unpin + vacuum must reclaim v1: dropped $droppedV2 / $droppedB2")
-      materializeAndCleanup(s, v1a.unionByName(v2a), tmpRoot)
+      materializeAndCleanup(s, v1a.unionByName(v2a).unionByName(v3a), tmpRoot)
     } finally {
       R.disable(s); R.clear()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
@@ -9102,12 +9119,14 @@ object Queries {
         | (CAST(sum(p)*100 AS BIGINT)*10000*2 + count(*)) // (2*count(*)),
         | CAST(NULL AS BIGINT)
         |FROM j GROUP BY 2""".stripMargin,
-    // q214: versioned summaries — one dashboard query set against two
-    // summary versions; v1 = the 2-slice construction predicate, v2 =
-    // the full table (slices complete orders). A refresh that misses
-    // the appended file, a version that reads another's batch, or a
-    // pin/vacuum interaction that mutates v1 hash-fails (bit-stability
-    // additionally required in-query).
+    // q214: versioned summaries — one dashboard query set against
+    // THREE summary versions; v1 = the 2-slice construction predicate,
+    // v2 = the full table (slices complete orders), v3 = minus the
+    // trash-moved s0 slice (the retraction version). A refresh that
+    // misses the appended file, a retraction that under/over-subtracts
+    // or misses an extremum recompute, a version that reads another's
+    // batch, or a pin/vacuum interaction that mutates v1 hash-fails
+    // (bit-stability additionally required in-query).
     "q214_versioned_summary" ->
       """SELECT 'v1' AS leg, o_orderstatus AS g, count(*) AS n_rows,
         | CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
@@ -9116,7 +9135,11 @@ object Queries {
         |UNION ALL
         |SELECT 'v2', o_orderstatus, count(*),
         | CAST(sum(o_orderkey) AS BIGINT), min(o_orderkey), max(o_orderkey)
-        |FROM orders GROUP BY 2""".stripMargin,
+        |FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 'v3', o_orderstatus, count(*),
+        | CAST(sum(o_orderkey) AS BIGINT), min(o_orderkey), max(o_orderkey)
+        |FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 2""".stripMargin,
     // q215: cross-tier design — the structural crux (one budget, pair
     // absorbs the join query, no AJI) is required in-query; the hash
     // gate replays all four workload legs as direct recomputes, so a

@@ -2347,6 +2347,90 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("CUBE serves DECIMAL sums and avgs bit-exactly across every grouping set") {
+    val dir = java.nio.file.Files.createTempDirectory("cube_dec").toString
+    try {
+      Seq(("a", "x", "1.25"), ("a", "y", "2.75"), ("b", "x", "0.01"),
+          ("b", "y", "99999999.99"), ("a", "x", "0.04"))
+        .toDF("g", "h", "ms")
+        .select(col("g"), col("h"), col("ms").cast("decimal(12,2)").as("m"))
+        .write.mode("overwrite").parquet(s"$dir/base")
+      val base = spark.read.parquet(s"$dir/base")
+      Rollup.materialize(base, Seq("g", "h"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/summary")
+      RollupRewrite.register(base, spark.read.parquet(s"$dir/summary"),
+        Seq("g", "h"), Seq("m"))
+      RollupRewrite.enable(spark)
+      def q() = base.cube("g", "h")
+        .agg(sum("m").as("s"), avg("m").as("a"), count(col("m")).as("c"))
+      val served = q()
+      assert(scanPaths(served).forall(_.contains("summary")),
+        s"decimal cube must serve from the summary:\n${served.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark)
+      val direct = q()
+      assert(served.schema == direct.schema,
+        s"decimal cube retyped: ${served.schema} vs ${direct.schema}")
+      def rows(df: DataFrame) = df.collect().map(r =>
+        (Option(r.getString(0)), Option(r.getString(1)),
+          r.getDecimal(2).toPlainString, r.getDecimal(3).toPlainString,
+          r.getLong(4))).toSet
+      val got = rows(served)
+      val want = rows(direct)
+      assert(got == want && got.size == 9, // 4 cells + 2+2 margins + total
+        s"decimal cube diverged: got $got want $want")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("star summary serves DECIMAL sums and avgs bit-exactly (the q213 derivations at star width)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val dir = java.nio.file.Files.createTempDirectory("star_dec").toString
+    try {
+      Seq((1L, 10L, "10.25"), (1L, 20L, "20.50"), (2L, 10L, "0.01"),
+          (2L, 20L, "99999999.99"))
+        .toDF("fk1", "fk2", "ms")
+        .select(col("fk1"), col("fk2"), col("ms").cast("decimal(12,2)").as("m"))
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      Seq((1L, "a"), (2L, "b")).toDF("d1k", "g1")
+        .write.mode("overwrite").parquet(s"$dir/d1")
+      Seq((10L, "x"), (20L, "y")).toDF("d2k", "g2")
+        .write.mode("overwrite").parquet(s"$dir/d2")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val d1 = spark.read.parquet(s"$dir/d1")
+      val d2 = spark.read.parquet(s"$dir/d2")
+      val dims = Seq(d1 -> Seq("fk1" -> "d1k"), d2 -> Seq("fk2" -> "d2k"))
+      Rollup.materializeStar(fact, dims, Seq("g1", "g2"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/star")
+      RollupRewrite.registerStar(fact, dims,
+        spark.read.parquet(s"$dir/star"), Seq("g1", "g2"), Seq("m"))
+      RollupRewrite.enable(spark)
+      def q() = fact.join(d1, col("fk1") === col("d1k"))
+        .join(d2, col("fk2") === col("d2k"))
+        .groupBy("g1").agg(sum("m").as("s"), avg("m").as("a"))
+      val served = q()
+      assert(scanPaths(served) == Set(s"file:$dir/star") &&
+          served.queryExecution.optimizedPlan.collect {
+            case j: LJoin => j }.isEmpty,
+        s"decimal star serve must be join-free off the summary: ${scanPaths(served)}")
+      RollupRewrite.disable(spark)
+      val direct = q()
+      assert(served.schema == direct.schema,
+        s"decimal star serve retyped: ${served.schema} vs ${direct.schema}")
+      def rows(df: DataFrame) = df.collect().map(r => r.getString(0) ->
+        (r.getDecimal(1).toPlainString, r.getDecimal(2).toPlainString)).toMap
+      val got = rows(served)
+      assert(got == rows(direct) && got.nonEmpty,
+        s"decimal star serve diverged: $got")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("joined summary: non-matching keys, outer joins, and name collisions refuse") {
     val dir = java.nio.file.Files.createTempDirectory("aji_refuse").toString
     try {

@@ -1622,7 +1622,8 @@ object RollupRewrite {
           tryRewrite(agg).orElse(tryRewriteCube(agg))
             .orElse(tryRewriteJoinedSummary(agg))
             .orElse(tryRewriteStarSummary(agg))
-            .orElse(tryRewriteJoinAgg(agg)).getOrElse(agg)
+            .orElse(tryRewriteJoinAgg(agg))
+            .orElse(tryRewriteStarNav(agg)).getOrElse(agg)
       }
 
     /** Strip Projects and collect Filter conditions down to the leaf
@@ -2884,6 +2885,232 @@ object RollupRewrite {
         LJoin(Project(factNeeded, factFiltered),
           Project(dimNeeded, dimFiltered), Inner, Some(joinCond),
           JoinHint.NONE)))
+    }
+
+    /** STAR NAVIGATION — [[tryRewriteJoinAgg]]'s two-summary device at
+      * star width (r13, completing the navigation family the
+      * cross-tier designer leans on): a star-join aggregate whose
+      * CENTER and EVERY dim have registered PLAIN summaries at
+      * compatible grains serves with ZERO base scans. The summaries
+      * join on the key grains, and each center partial multiplies by
+      * the PRODUCT of the matched dim summary rows' `__cnt_rows` — per
+      * dim independently, a dim key duplicated n_i times multiplies
+      * every joined base pair by n_i, so
+      * x·Πn_i sums to exactly the base star join's contribution
+      * (min/max are duplication-invariant; decimal partials multiply
+      * by each count as decimal(20,0), exact). Tried LAST: a star AJI
+      * (one summary, no join) and the 2-ary paths win first.
+      * Requirements per side mirror [[tryRewriteJoinAgg]]: inner
+      * equi-star over file relations, every aggregate input a
+      * registered plain-column measure of the CENTER (undistinct,
+      * unfiltered), groupings/filters resolve to their OWN side's
+      * grains, keys are grains on both ends, inferred isnotnull(key)
+      * conjuncts drop. Lattice routing per side (coarsest first);
+      * per-side compensation composes like join-nav's. */
+    private def tryRewriteStarNav(agg: Aggregate): Option[LogicalPlan] = {
+      if (defs.isEmpty) return None
+      val (leaves, rawPairs, conds0, subst) =
+        flattenJoins(agg.child).getOrElse(return None)
+      if (leaves.size < 3 || rawPairs.isEmpty) return None
+      def leafOf(a: AttributeReference): Option[Int] = {
+        val idx = leaves.indexWhere(_.outputSet.contains(a))
+        if (idx >= 0) Some(idx) else None
+      }
+      val pairIdx: Seq[((Int, AttributeReference), (Int, AttributeReference))] =
+        rawPairs.map { case (a, b) =>
+          ((leafOf(a).getOrElse(return None), a),
+           (leafOf(b).getOrElse(return None), b))
+        }
+      val centers = leaves.indices.filter(i =>
+        pairIdx.forall { case ((la, _), (lb, _)) => (la == i) ^ (lb == i) })
+      val center = centers match {
+        case Seq(c) => c
+        case _ => return None
+      }
+      val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression => ae
+      })
+      if (aggCalls.isEmpty) return None
+      if (aggCalls.exists(ae => ae.isDistinct || ae.filter.isDefined)) return None
+      val aggRefs = AttributeSet(aggCalls.flatMap(_.references))
+      if (!aggRefs.subsetOf(leaves(center).outputSet)) return None
+      // per-dim key ATTR pairs oriented (center attr, dim attr)
+      val byDim: Map[Int, Seq[(AttributeReference, AttributeReference)]] =
+        pairIdx.groupBy { case ((la, _), (lb, _)) =>
+          if (la == center) lb else la
+        }.map { case (di, ps) =>
+          di -> ps.map { case ((la, a), (_, b)) =>
+            if (la == center) (a, b) else (b, a) }
+        }
+      if (byDim.size != leaves.size - 1) return None
+      // conjuncts: inferred isnotnull on any key attribute is implied
+      // by the inner joins; everything else routes to its own leaf
+      val keyAttrIds = rawPairs.flatMap(p => Seq(p._1.exprId, p._2.exprId)).toSet
+      val condsPerLeaf = Array.fill(leaves.size)(Seq.empty[Expression])
+      conds0.flatMap(conjunctsOfE).foreach { c0 =>
+        resolve(c0, subst) match {
+          case IsNotNull(a: AttributeReference)
+              if keyAttrIds.contains(a.exprId) => ()
+          case c =>
+            val li = leaves.indices.find(i => c.references.nonEmpty &&
+              c.references.subsetOf(leaves(i).outputSet)).getOrElse(return None)
+            condsPerLeaf(li) = condsPerLeaf(li) :+ c
+        }
+      }
+      // groupings: each on exactly one leaf, resolved to base form
+      val groupPos: Seq[(Int, Expression)] = agg.groupingExpressions.map { g0 =>
+        val g = resolve(g0, subst)
+        if (g.references.isEmpty) return None
+        val li = leaves.indices.find(i =>
+          g.references.subsetOf(leaves(i).outputSet)).getOrElse(return None)
+        (li, g)
+      }
+      // per-leaf candidates: fresh summaries coarsest-first, then
+      // compensated stale ones (the join-nav discipline per side)
+      val candsPerLeaf: Seq[Seq[RollupDef]] = leaves.indices.map { i =>
+        val rel = leaves(i).relation match {
+          case fs: HadoopFsRelation => fs
+          case _ => return None
+        }
+        val (fresh, stale) = freshCandidates(
+          rel.location.rootPaths.map(_.toString).toSet, rel.location)
+        fresh ++ compensatedDefs(stale, rel.location)
+      }
+      if (candsPerLeaf.exists(_.isEmpty)) return None
+      def enumerate(i: Int, acc: Vector[RollupDef]): Option[LogicalPlan] =
+        if (i == leaves.size) tryStarNavWith(agg, leaves, center, byDim,
+          condsPerLeaf.toSeq, groupPos, subst, acc)
+        else candsPerLeaf(i).view
+          .flatMap(d => enumerate(i + 1, acc :+ d)).headOption
+      enumerate(0, Vector.empty)
+    }
+
+    private def tryStarNavWith(agg: Aggregate, leaves: Seq[LogicalRelation],
+        center: Int,
+        byDim: Map[Int, Seq[(AttributeReference, AttributeReference)]],
+        condsPerLeaf: Seq[Seq[Expression]],
+        groupPos: Seq[(Int, Expression)],
+        subst: Map[ExprId, Expression],
+        chosen: Seq[RollupDef]): Option[LogicalPlan] = {
+      import org.apache.spark.sql.catalyst.plans.Inner
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, JoinHint}
+      val summaries: Seq[LogicalPlan] = chosen.map {
+        _.summary match {
+          case r: LogicalRelation => r.newInstance()
+          case other => other
+        }
+      }
+      def attrOf(i: Int)(name: String): AttributeReference =
+        summaries(i).output.collectFirst {
+          case a: AttributeReference if a.name == name => a }.get
+      val grainOf: Seq[Expression => Option[String]] =
+        leaves.indices.map(i => grainLookup(chosen(i), attrOf(i)))
+      // every key must be a grain on BOTH its ends
+      val joinConds: Map[Int, Expression] = byDim.map { case (di, ps) =>
+        di -> ps.map { case (ca, da) =>
+          val cg = grainOf(center)(resolve(ca, subst)).getOrElse(return None)
+          val dg = grainOf(di)(resolve(da, subst)).getOrElse(return None)
+          EqualTo(attrOf(center)(cg), attrOf(di)(dg)): Expression
+        }.reduce(And(_, _))
+      }
+      // per-leaf filters rewrite through that leaf's grains
+      val newConds: Seq[Seq[Expression]] = leaves.indices.map { i =>
+        rewriteConds(condsPerLeaf(i), subst, grainOf(i), attrOf(i),
+          AttributeSet(chosen(i).groupCols.map(attrOf(i))))
+          .getOrElse(return None)
+      }
+      // groupings resolve to their own side's grain attributes
+      val groupAttrs: Seq[AttributeReference] = groupPos.map { case (li, g) =>
+        attrOf(li)(grainOf(li)(g).getOrElse(return None))
+      }
+      val dimIdx = leaves.indices.filterNot(_ == center)
+      val dimCnts = dimIdx.map(di => attrOf(di)(Rollup.CntRows))
+      def times(partial: AttributeReference): Expression =
+        dimCnts.foldLeft(partial: Expression) { (acc, cnt) =>
+          acc.dataType match {
+            case _: org.apache.spark.sql.types.DecimalType =>
+              Multiply(acc,
+                Cast(cnt, org.apache.spark.sql.types.DecimalType(20, 0)))
+            case dt => Multiply(acc, Cast(cnt, dt))
+          }
+        }
+      def measureAttr(e: Expression, prefix: String): Option[AttributeReference] =
+        resolve(e, subst) match {
+          case a: AttributeReference if chosen(center).measures.contains(a.name) =>
+            Some(attrOf(center)(s"$prefix${a.name}"))
+          case _ => None
+        }
+      def sumOf(e: Expression) =
+        AggregateExpression(Sum(e), Complete, isDistinct = false)
+      def cntOf(e: Expression): Expression =
+        Coalesce(Seq(sumOf(e), Literal(0L)))
+      def derive(fn: AggregateFunction): Option[Expression] = fn match {
+        case Count(args) if args.nonEmpty && args.forall {
+            case l: Literal => l.value != null; case _ => false } =>
+          Some(cntOf(times(attrOf(center)(Rollup.CntRows))))
+        case Count(Seq(e)) => measureAttr(e, "__cnt_").map(a => cntOf(times(a)))
+        case Sum(UnscaledValue(e), _) =>
+          measureAttr(e, "__sum_").map(a => UnscaledValue(sumOf(times(a))))
+        case Average(u @ UnscaledValue(e), _) =>
+          for (s <- measureAttr(e, "__sum_"); c <- measureAttr(e, "__cnt_"))
+            yield deriveAvg(u, fn.dataType,
+              UnscaledValue(sumOf(times(s))), sumOf(times(c)))
+        case Sum(e, _) =>
+          measureAttr(e, "__sum_").map { a =>
+            val merged = sumOf(times(a))
+            if (merged.dataType == fn.dataType) merged
+            else Cast(merged, fn.dataType)
+          }
+        case Min(e) => measureAttr(e, "__min_").map(m =>
+          AggregateExpression(Min(m), Complete, isDistinct = false))
+        case Max(e) => measureAttr(e, "__max_").map(m =>
+          AggregateExpression(Max(m), Complete, isDistinct = false))
+        case Average(e, _) =>
+          for (s <- measureAttr(e, "__sum_"); c <- measureAttr(e, "__cnt_"))
+            yield deriveAvg(e, fn.dataType, sumOf(times(s)), sumOf(times(c)))
+        case _ => None
+      }
+      val groupByExpr: Map[Expression, AttributeReference] =
+        agg.groupingExpressions.zip(groupAttrs).flatMap { case (g0, a) =>
+          Seq(g0.canonicalized -> a, resolve(g0, subst).canonicalized -> a)
+        }.toMap
+      def rewriteExpr(e: Expression): Option[Expression] = e match {
+        case AggregateExpression(fn, Complete, false, None, _) => derive(fn)
+        case _: AggregateExpression => None
+        case e if groupByExpr.contains(e.canonicalized) =>
+          Some(groupByExpr(e.canonicalized))
+        case _: AttributeReference => None
+        case other =>
+          val kids = other.children.map(rewriteExpr)
+          if (kids.exists(_.isEmpty)) None
+          else Some(other.withNewChildren(kids.map(_.get)))
+      }
+      val rewritten = agg.aggregateExpressions.map {
+        case a: AttributeReference if groupByExpr.contains(a.canonicalized) =>
+          Alias(groupByExpr(a.canonicalized), a.name)(
+            exprId = a.exprId, qualifier = a.qualifier)
+        case al @ Alias(child, name) =>
+          Alias(rewriteExpr(child).getOrElse(return None),
+            name)(exprId = al.exprId, qualifier = al.qualifier)
+        case _ => return None
+      }
+      val filtered: Seq[LogicalPlan] = leaves.indices.map(i =>
+        newConds(i).foldLeft(summaries(i): LogicalPlan)((p, c) => Filter(c, p)))
+      // prune each summary scan to its referenced columns
+      val refs = (groupAttrs ++ rewritten.flatMap(_.references) ++
+        joinConds.values.flatMap(_.references) ++
+        newConds.flatten.flatMap(_.references))
+        .map(_.asInstanceOf[AttributeReference])
+        .groupBy(_.exprId).map(_._2.head).toSeq
+      def pruned(i: Int): LogicalPlan = {
+        val own = AttributeSet(summaries(i).output)
+        Project(refs.filter(own.contains), filtered(i))
+      }
+      val joinedPlan = dimIdx.foldLeft(pruned(center): LogicalPlan) {
+        (acc, di) => LJoin(acc, pruned(di), Inner, Some(joinConds(di)),
+          JoinHint.NONE)
+      }
+      Some(Aggregate(groupAttrs, rewritten, joinedPlan))
     }
 
     private def tryRewriteWith(agg: Aggregate, conds: Seq[Expression],

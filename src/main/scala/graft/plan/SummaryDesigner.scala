@@ -286,7 +286,12 @@ object SummaryDesigner {
     * star frame), tie-breaks (benefit DESC, new rows ASC, move name
     * ASC). Computed-grain (expression) tokens are out of scope here —
     * entries carrying them are skipped (the per-tier [[design]] still
-    * handles them). */
+    * handles them). Star queries get star-summary candidates only:
+    * the serve path would also accept per-side plain summaries (STAR
+    * NAVIGATION, q216), but the designer does not yet enumerate
+    * (center, dim…) tuples as moves — a star query's benefit never
+    * absorbs into plain candidates, which only ever over-builds (a
+    * star summary), never under-serves. */
   case class CrossDesign(plain: Seq[(Int, SummarySpec)],
                          joined: Seq[(Int, SummarySpec)],
                          star: Seq[(Int, SummarySpec)]) {

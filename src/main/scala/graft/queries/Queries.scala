@@ -6056,6 +6056,80 @@ object Queries {
     }
   }
 
+  /** STAR NAVIGATION (q197's two-summary device at star width — the
+    * navigation family completed): a star-join aggregate over
+    * `lineitem ⋈ part ⋈ supplier` where the CENTER and EVERY dim have
+    * registered PLAIN summaries serves with ZERO base scans — the
+    * three summaries join on their key grains and each fact partial
+    * multiplies by the PRODUCT of the dim summaries' row counts (the
+    * duplicate-factoring identity per dim independently; TPC-H dim
+    * keys are unique so the product is 1 here — the multiplicity crux
+    * is spec-pinned on constructed duplicate-key dims). Leg `full`
+    * groups by one grain from EACH dim (p_brand, s_nationkey); leg
+    * `filtered` adds a supplier-side WHERE routed to the supplier
+    * summary and coarsens to p_brand. Both legs plan-required to scan
+    * EXACTLY the three summaries — never a base dir. Oracle = direct
+    * star recomputes. Integer measures. */
+  def q216StarNavigation(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q216_starnav")
+      .toFile.getAbsolutePath
+    tbl(s, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_orderkey")
+      .write.mode("overwrite").parquet(s"$tmpRoot/fact")
+    tbl(s, dir, "part").select("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$tmpRoot/d1")
+    tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$tmpRoot/d2")
+    val fact = s.read.parquet(s"$tmpRoot/fact")
+    val d1 = s.read.parquet(s"$tmpRoot/d1")
+    val d2 = s.read.parquet(s"$tmpRoot/d2")
+    graft.plan.Rollup.materialize(fact, Seq("l_partkey", "l_suppkey"),
+        Seq("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/fsum")
+    graft.plan.Rollup.materialize(d1, Seq("p_partkey", "p_brand"),
+        Seq("p_partkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/d1sum")
+    graft.plan.Rollup.materialize(d2, Seq("s_suppkey", "s_nationkey"),
+        Seq("s_suppkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/d2sum")
+    R.register(fact, s.read.parquet(s"$tmpRoot/fsum"),
+      Seq("l_partkey", "l_suppkey"), Seq("l_orderkey"))
+    R.register(d1, s.read.parquet(s"$tmpRoot/d1sum"),
+      Seq("p_partkey", "p_brand"), Seq("p_partkey"))
+    R.register(d2, s.read.parquet(s"$tmpRoot/d2sum"),
+      Seq("s_suppkey", "s_nationkey"), Seq("s_suppkey"))
+    R.enable(s)
+    try {
+      def joined = fact.join(d1, col("l_partkey") === col("p_partkey"))
+        .join(d2, col("l_suppkey") === col("s_suppkey"))
+      def requireNav(df: DataFrame, name: String): DataFrame = {
+        val scans = R.scanRootPaths(df)
+        require(scans == Set(s"file:$tmpRoot/fsum", s"file:$tmpRoot/d1sum",
+            s"file:$tmpRoot/d2sum"),
+          s"$name must navigate EXACTLY the three summaries — $scans")
+        df
+      }
+      val full = requireNav(joined.groupBy("p_brand", "s_nationkey")
+        .agg(count(lit(1)).as("n_rows"), sum("l_orderkey").as("sum_ok"),
+          min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+        .select(lit("full").as("leg"), col("p_brand").as("brand"),
+          col("s_nationkey").as("nk"), col("n_rows"), col("sum_ok"),
+          col("mn"), col("mx")), "full leg")
+      val filtered = requireNav(joined.filter(col("s_nationkey") === 3)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_rows"), sum("l_orderkey").as("sum_ok"),
+          min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+        .select(lit("filtered").as("leg"), col("p_brand").as("brand"),
+          lit(null).cast("int").as("nk"), col("n_rows"), col("sum_ok"),
+          col("mn"), col("mx")), "filtered leg")
+      materializeAndCleanup(s, full.unionByName(filtered), tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** COMPUTED-DIMENSION grain serving ([[graft.plan.RollupRewrite]] —
     * VERDICT r10 #1, the optimizer tier's sharpest real-user edge): a
     * summary grained by `month(o_orderdate)` — a stored EXPRESSION value,
@@ -6796,7 +6870,8 @@ object Queries {
     "q212_star_dim_refresh" -> (q212StarDimRefresh _),
     "q213_decimal_summaries" -> (q213DecimalSummaries _),
     "q214_versioned_summary" -> (q214VersionedSummary _),
-    "q215_cross_tier_design" -> (q215CrossTierDesign _))
+    "q215_cross_tier_design" -> (q215CrossTierDesign _),
+    "q216_star_navigation" -> (q216StarNavigation _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -9163,6 +9238,23 @@ object Queries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |  JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 4""".stripMargin,
+    // q216: star navigation — the three-summary serve is required
+    // in-query (scans == exactly the three summary paths); the hash
+    // gate replays both legs as direct star recomputes, so a wrong
+    // multiplicity product, a mis-routed filter, or a missed key-grain
+    // match hash-fails.
+    "q216_star_navigation" ->
+      """WITH j AS (SELECT p_brand, s_nationkey, l_orderkey
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        |   JOIN supplier ON l_suppkey = s_suppkey)
+        |SELECT 'full' AS leg, p_brand AS brand, s_nationkey AS nk,
+        | count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        | min(l_orderkey) AS mn, max(l_orderkey) AS mx
+        |FROM j GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'filtered', p_brand, CAST(NULL AS INT), count(*),
+        | CAST(sum(l_orderkey) AS BIGINT), min(l_orderkey), max(l_orderkey)
+        |FROM j WHERE s_nationkey = 3 GROUP BY 2""".stripMargin,
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

@@ -2347,6 +2347,89 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("star navigation: three plain summaries serve the star aggregate; dim duplicates weighted by the PRODUCT (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("starnav").toString
+    try {
+      // DUPLICATE keys on BOTH dims: fact row (1, 10) pairs with 2 d1
+      // rows × 3 d2 rows = 6 base join rows — the Πn_i multiplicity
+      // crux. Decimal measure rides along (exact ×count arithmetic).
+      Seq((1L, 10L, 7L, "1.25"), (1L, 20L, 9L, "2.50"),
+          (2L, 10L, 11L, "0.75"), (3L, 30L, 13L, "4.00"))
+        .toDF("k1", "k2", "m", "ms")
+        .select(col("k1"), col("k2"), col("m"),
+          col("ms").cast("decimal(12,2)").as("md"))
+        .write.parquet(s"$dir/fact")
+      Seq((1L, "a"), (1L, "a"), (2L, "b"), (9L, "z"))
+        .toDF("d1k", "g1").write.parquet(s"$dir/d1")
+      Seq((10L, "x"), (10L, "x"), (10L, "y"), (20L, "y"))
+        .toDF("d2k", "g2").write.parquet(s"$dir/d2")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val d1 = spark.read.parquet(s"$dir/d1")
+      val d2 = spark.read.parquet(s"$dir/d2")
+      Rollup.materialize(fact, Seq("k1", "k2"), Seq("m", "md"))
+        .write.parquet(s"$dir/fsum")
+      Rollup.materialize(d1, Seq("d1k", "g1"), Seq("d1k"))
+        .write.parquet(s"$dir/d1sum")
+      Rollup.materialize(d2, Seq("d2k", "g2"), Seq("d2k"))
+        .write.parquet(s"$dir/d2sum")
+      RollupRewrite.register(fact, spark.read.parquet(s"$dir/fsum"),
+        Seq("k1", "k2"), Seq("m", "md"))
+      RollupRewrite.register(d1, spark.read.parquet(s"$dir/d1sum"),
+        Seq("d1k", "g1"), Seq("d1k"))
+      RollupRewrite.register(d2, spark.read.parquet(s"$dir/d2sum"),
+        Seq("d2k", "g2"), Seq("d2k"))
+      RollupRewrite.enable(spark)
+      def q() = fact.join(d1, col("k1") === col("d1k"))
+        .join(d2, col("k2") === col("d2k"))
+        .groupBy("g1", "g2")
+        .agg(count(lit(1)).as("n"), sum("m").as("s"), min("m").as("mn"),
+          max("m").as("mx"), avg("m").as("a"), sum("md").as("sd"),
+          avg("md").as("ad"))
+      val served = q()
+      val scans = scanPaths(served)
+      assert(scans == Set(s"file:$dir/fsum", s"file:$dir/d1sum",
+          s"file:$dir/d2sum"),
+        s"star nav must read exactly the three summaries:\n${served.queryExecution.optimizedPlan}")
+      RollupRewrite.disable(spark)
+      val direct = q()
+      assert(served.schema == direct.schema)
+      def rows(df: DataFrame) = df.collect().map(r =>
+        ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getDouble(6), r.getDecimal(7).toPlainString,
+            r.getDecimal(8).toPlainString))).toMap
+      val want = rows(direct)
+      RollupRewrite.enable(spark)
+      val got = rows(served)
+      assert(got == want && want.nonEmpty,
+        s"star navigation diverged: got $got want $want")
+      // per-side filter routes to its own summary
+      def qf() = fact.join(d1, col("k1") === col("d1k"))
+        .join(d2, col("k2") === col("d2k"))
+        .filter(col("g2") === "x" && col("k1") >= 1)
+        .groupBy("g1").agg(sum("m").as("s"))
+      val servedF = qf()
+      assert(scanPaths(servedF).forall(_.contains("sum")),
+        s"filtered star nav must stay on summaries: ${scanPaths(servedF)}")
+      RollupRewrite.disable(spark)
+      val wantF = qf().collect().map(_.toSeq).toSet
+      RollupRewrite.enable(spark)
+      assert(servedF.collect().map(_.toSeq).toSet == wantF)
+      // a missing dim summary falls through to the base
+      RollupRewrite.clear()
+      RollupRewrite.register(fact, spark.read.parquet(s"$dir/fsum"),
+        Seq("k1", "k2"), Seq("m", "md"))
+      RollupRewrite.register(d1, spark.read.parquet(s"$dir/d1sum"),
+        Seq("d1k", "g1"), Seq("d1k"))
+      assert(scanPaths(q()).exists(_.contains("/d2")),
+        "with no d2 summary the star query must fall back to the base")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("CUBE serves DECIMAL sums and avgs bit-exactly across every grouping set") {
     val dir = java.nio.file.Files.createTempDirectory("cube_dec").toString
     try {

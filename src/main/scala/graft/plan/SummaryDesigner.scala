@@ -286,12 +286,13 @@ object SummaryDesigner {
     * star frame), tie-breaks (benefit DESC, new rows ASC, move name
     * ASC). Computed-grain (expression) tokens are out of scope here —
     * entries carrying them are skipped (the per-tier [[design]] still
-    * handles them). Star queries get star-summary candidates only:
-    * the serve path would also accept per-side plain summaries (STAR
-    * NAVIGATION, q216), but the designer does not yet enumerate
-    * (center, dim…) tuples as moves — a star query's benefit never
-    * absorbs into plain candidates, which only ever over-builds (a
-    * star summary), never under-serves. */
+    * handles them). STAR queries absorb the same way at star width:
+    * a star aggregate is servable by a star summary OR by a TUPLE of
+    * plain summaries through STAR NAVIGATION (q216 — one summary per
+    * side, key grains included, cost = the tuple's summed rows), so
+    * plain summaries shared with the plain/join workload absorb star
+    * benefit too; nav-ineligible needs (distinct/sketch/histogram)
+    * stay star-summary-only. */
   case class CrossDesign(plain: Seq[(Int, SummarySpec)],
                          joined: Seq[(Int, SummarySpec)],
                          star: Seq[(Int, SummarySpec)]) {
@@ -315,7 +316,12 @@ object SummaryDesigner {
     case class JoinQ(join: Int, req: Set[String], factReq: Set[String],
                      dimReq: Set[String], pairable: Boolean,
                      e: RollupRewrite.JoinedCaptureEntry)
-    case class StarQ(star: Int, req: Set[String], e: RollupRewrite.StarCaptureEntry)
+    // sideReqs: per-side (base index, side requirements ∪ that side's
+    // key columns) — center first — when the query is NAV-TUPLABLE
+    // (no distinct/sketch/hist needs, every side a designable base)
+    case class StarQ(star: Int, req: Set[String],
+                     sideReqs: Option[Seq[(Int, Set[String])]],
+                     e: RollupRewrite.StarCaptureEntry)
     val plainQs: Seq[PlainQ] = bases.zipWithIndex.flatMap { case (b, i) =>
       val cols = b.columns.toSet
       RollupRewrite.capturedEntries(basePaths(i)).filter(_.servable)
@@ -341,12 +347,31 @@ object SummaryDesigner {
     }
     val starQs: Seq[StarQ] = stars.zipWithIndex.flatMap { case ((f, ds), si) =>
       val cols = (f +: ds.map(_._1)).flatMap(_.columns).toSet
+      val centerIdx = baseIdx(RollupRewrite.scanRootPaths(f))
+      val dimIdxs = ds.map { case (d, _) =>
+        baseIdx(RollupRewrite.scanRootPaths(d)) }
       RollupRewrite.capturedStarEntries(RollupRewrite.scanRootPaths(f),
           ds.map { case (d, keys) =>
             (RollupRewrite.scanRootPaths(d), keys.toSet) }.toSet)
-        .filter(_.servable)
-        .map(e => StarQ(si, e.grain ++ e.filterCols ++ e.distinctCols, e))
-        .filter(_.req.subsetOf(cols))
+        .filter(_.servable).flatMap { e =>
+          val req = e.grain ++ e.filterCols ++ e.distinctCols
+          if (!req.subsetOf(cols)) None
+          else {
+            val tuplable = e.distinctCols.isEmpty && e.sketchCols.isEmpty &&
+              e.histCols.isEmpty && centerIdx.isDefined &&
+              dimIdxs.forall(_.isDefined)
+            val sideReqs =
+              if (!tuplable) None
+              else Some(
+                (centerIdx.get, req.filter(f.columns.contains) ++
+                  ds.flatMap(_._2.map(_._1))) +:
+                ds.zipWithIndex.map { case ((d, keys), di) =>
+                  (dimIdxs(di).get,
+                    req.filter(d.columns.contains) ++ keys.map(_._2))
+                })
+            Some(StarQ(si, req, sideReqs, e))
+          }
+        }
     }
     if (plainQs.isEmpty && joinQs.isEmpty && starQs.isEmpty)
       return CrossDesign(Nil, Nil, Nil)
@@ -373,7 +398,9 @@ object SummaryDesigner {
         joinQs.filter(q => q.join == j && q.pairable)
           .flatMap(q => if (isFact) q.factReq else q.dimReq)
       }
-      (own ++ nav).distinct.sorted.filter(bases(i).columns.contains)
+      val starNav = starQs.flatMap(_.sideReqs.toSeq.flatten)
+        .collect { case (bi, req) if bi == i => req }.flatten
+      (own ++ nav ++ starNav).distinct.sorted.filter(bases(i).columns.contains)
     }
     val baseCards: Seq[Map[Set[String], Long]] =
       bases.indices.map(i => cardsOf(bases(i), baseTokens(i)))
@@ -428,6 +455,22 @@ object SummaryDesigner {
         yield (Cand(0, fi, fm), Cand(0, di, dm))
     }
     val pairMoves: Seq[(Cand, Cand)] = joins.indices.flatMap(navPairs)
+    // star-navigation TUPLE masks: per tuplable query its minimal
+    // per-side masks, plus the per-star union tuple
+    val tupleMoves: Seq[Seq[Cand]] = stars.indices.flatMap { si =>
+      val qs = starQs.filter(q => q.star == si && q.sideReqs.isDefined)
+      if (qs.isEmpty) Nil
+      else {
+        val perQ = qs.map(_.sideReqs.get)
+        val union = perQ.head.indices.map { k =>
+          (perQ.head(k)._1, perQ.map(_(k)._2).reduce(_ ++ _)) }
+        (perQ :+ union).distinct.flatMap { sides =>
+          val cands = sides.map { case (bi, req) =>
+            if (baseCards(bi).contains(req)) Some(Cand(0, bi, req)) else None }
+          if (cands.exists(_.isEmpty)) None else Some(cands.flatten)
+        }
+      }
+    }
     // ---- cost of a query given a chosen structure set
     def costPlain(q: PlainQ, chosen: Set[Cand]): Long =
       (baseRows(q.base) +: chosen.toSeq.collect {
@@ -449,11 +492,21 @@ object SummaryDesigner {
       } yield f.rows + d.rows
       (joinRoot(q.join) +: (aji ++ nav)).min
     }
-    def costStar(q: StarQ, chosen: Set[Cand]): Long =
-      (starRoot(q.star) +: chosen.toSeq.collect {
+    def costStar(q: StarQ, chosen: Set[Cand]): Long = {
+      val own = chosen.toSeq.collect {
         case c if c.tier == 2 && c.owner == q.star && q.req.subsetOf(c.grain) =>
           c.rows
-      }).min
+      }
+      // star navigation: one chosen plain summary per side (q216)
+      val nav = q.sideReqs.toSeq.flatMap { sides =>
+        val per = sides.map { case (bi, req) =>
+          chosen.toSeq.filter(c => c.tier == 0 && c.owner == bi &&
+            req.subsetOf(c.grain)).map(_.rows).sorted.headOption
+        }
+        if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+      }
+      (starRoot(q.star) +: (own ++ nav)).min
+    }
     def totalCost(chosen: Set[Cand]): Long =
       plainQs.map(costPlain(_, chosen)).sum +
         joinQs.map(costJoin(_, chosen)).sum +
@@ -469,6 +522,9 @@ object SummaryDesigner {
           pairMoves.collect { case (f, d)
               if !(chosen.contains(f) && chosen.contains(d)) =>
             (Seq(f, d).filterNot(chosen), s"${f.name}+${d.name}")
+          } ++
+          tupleMoves.collect { case t if !t.forall(chosen.contains) =>
+            (t.filterNot(chosen), t.map(_.name).mkString("+"))
           })
         .map { case (news, nm) =>
           val newRows = news.map(_.rows).sum
@@ -535,11 +591,29 @@ object SummaryDesigner {
       }
     }
     starQs.foreach { q =>
-      chosen.toSeq
+      val own = chosen.toSeq
         .filter(c => c.tier == 2 && c.owner == q.star && q.req.subsetOf(c.grain))
-        .sortBy(c => (c.rows, c.name)).headOption
-        .foreach(attach(_, q.e.measures, q.e.distinctCols, q.e.sketchCols,
-          q.e.histCols))
+        .map(c => (c.rows, c.name, Seq(c), true))
+      val nav = q.sideReqs.toSeq.flatMap { sides =>
+        val per = sides.map { case (bi, req) =>
+          chosen.toSeq.filter(c => c.tier == 0 && c.owner == bi &&
+            req.subsetOf(c.grain)).sortBy(c => (c.rows, c.name)).headOption
+        }
+        if (per.exists(_.isEmpty)) None
+        else Some((per.flatten.map(_.rows).sum,
+          per.flatten.map(_.name).mkString("+"), per.flatten.toSeq, false))
+      }
+      (own ++ nav).sortBy(o => (o._1, o._2)).headOption.foreach {
+        case (_, _, cs, isOwn) =>
+          // measures live on the star summary itself, or — through
+          // navigation — on the CENTER's plain summary (sideReqs head)
+          cs.zipWithIndex.foreach { case (c, k) =>
+            if (isOwn || k == 0)
+              attach(c, q.e.measures, q.e.distinctCols, q.e.sketchCols,
+                q.e.histCols)
+            else attach(c, Set.empty, Set.empty, Set.empty, Set.empty)
+          }
+      }
     }
     def specOf(c: Cand): SummarySpec = SummarySpec(
       c.grain.toSeq.sorted, Map.empty,

@@ -389,6 +389,67 @@ class SummaryDesignerSpec extends SparkSpec {
     }
   }
 
+  test("cross-tier design absorbs STAR queries into plain-summary tuples (star navigation, r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("designer_xs").toString
+    try {
+      Seq((1L, 10L, 3L), (1L, 20L, 5L), (2L, 10L, 7L), (2L, 20L, 9L),
+          (1L, 10L, 3L), (1L, 20L, 5L), (2L, 10L, 7L), (2L, 20L, 9L))
+        .toDF("k1", "k2", "m").write.mode("overwrite").parquet(s"$dir/fact")
+      Seq((1L, "a"), (2L, "b"), (1L, "a"), (2L, "b"))
+        .toDF("d1k", "g1").write.mode("overwrite").parquet(s"$dir/d1")
+      Seq((10L, "x"), (20L, "y"), (10L, "x"), (20L, "y"))
+        .toDF("d2k", "g2").write.mode("overwrite").parquet(s"$dir/d2")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val d1 = spark.read.parquet(s"$dir/d1")
+      val d2 = spark.read.parquet(s"$dir/d2")
+      val sdims = Seq(d1 -> Seq("k1" -> "d1k"), d2 -> Seq("k2" -> "d2k"))
+      def wF = fact.groupBy("k1", "k2").agg(sum("m").as("s"))
+      def wD1 = d1.groupBy("d1k", "g1").agg(count(lit(1)).as("n"))
+      def wD2 = d2.groupBy("d2k").agg(count(lit(1)).as("n"))
+      def wS = fact.join(d1, col("k1") === col("d1k"))
+        .join(d2, col("k2") === col("d2k"))
+        .groupBy("g1").agg(sum("m").as("s"))
+      RollupRewrite.enable(spark)
+      RollupRewrite.startWorkloadCapture()
+      wF.queryExecution.optimizedPlan
+      wD1.queryExecution.optimizedPlan
+      wD2.queryExecution.optimizedPlan
+      wS.queryExecution.optimizedPlan
+      RollupRewrite.stopWorkloadCapture()
+      // budget 8 = fsum(4) + d1sum(2) + d2sum(2): the tuple absorbs the
+      // star query into the very summaries the plain queries need; the
+      // 2-row star summary no longer fits
+      val cross = SummaryDesigner.designCrossTier(Seq(fact, d1, d2), Nil,
+        Seq(fact -> sdims), maxRows = 8)
+      assert(cross.star.isEmpty && cross.joined.isEmpty,
+        s"the tuple must absorb the star query within budget 8: $cross")
+      assert(cross.plain.map(_._2.grainCols.toSet).toSet ==
+          Set(Set("k1", "k2"), Set("d1k", "g1"), Set("d2k")),
+        s"wrong plain grains: $cross")
+      assert(cross.plain.find(_._2.grainCols.toSet == Set("k1", "k2")).get
+          ._2.measures == Seq("m"),
+        s"the center summary must carry the star query's measure: $cross")
+      val (pOuts, _, sOuts) = SummaryDesigner.buildAndRegisterCrossTier(
+        spark, Seq(fact, d1, d2), Nil, Seq(fact -> sdims), cross,
+        s"$dir/designed")
+      assert(sOuts.isEmpty)
+      val pSet = pOuts.map(p => s"file:$p").toSet
+      val sScans = scanPaths(wS)
+      assert(sScans == pSet && sScans.size == 3,
+        s"the star query must navigate the THREE plain summaries: $sScans")
+      RollupRewrite.disable(spark)
+      val want = wS.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      RollupRewrite.enable(spark)
+      assert(wS.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        == want && want.nonEmpty)
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.resetWorkloadCapture()
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("designStar + buildAndRegisterStar: captured star workload re-serves from designed star summaries") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
     val dir = java.nio.file.Files.createTempDirectory("designer_s").toString

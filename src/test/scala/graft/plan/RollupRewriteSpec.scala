@@ -2514,6 +2514,83 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("telescoping star refresh == full recompute, 8 seeded append patterns (r13)") {
+    // randomized appends on ANY subset of {fact, d1, d2} in one stale
+    // window — keys overlap the existing data, so Δ×old, old×Δ, and
+    // Δ×Δ pairs all occur and a term double-counted or dropped by the
+    // first-new-side classification shows as a wrong aggregate; the
+    // delta-file set must equal exactly the appended files
+    val rnd = new scala.util.Random(7)
+    (1 to 8).foreach { trial =>
+      val dir = java.nio.file.Files.createTempDirectory(s"star_prop$trial").toString
+      try {
+        def factRows(n: Int) = (0 until n).map(_ =>
+          (rnd.nextInt(4).toLong, (10 + rnd.nextInt(3) * 10).toLong,
+            rnd.nextInt(100).toLong))
+        def d1Rows(n: Int) = (0 until n).map(_ =>
+          (rnd.nextInt(4).toLong, s"a${rnd.nextInt(3)}"))
+        def d2Rows(n: Int) = (0 until n).map(_ =>
+          ((10 + rnd.nextInt(3) * 10).toLong, s"x${rnd.nextInt(3)}"))
+        factRows(6 + rnd.nextInt(10)).toDF("k1", "k2", "m")
+          .write.mode("overwrite").parquet(s"$dir/fact")
+        d1Rows(3 + rnd.nextInt(4)).toDF("d1k", "g1")
+          .write.mode("overwrite").parquet(s"$dir/d1")
+        d2Rows(3 + rnd.nextInt(4)).toDF("d2k", "g2")
+          .write.mode("overwrite").parquet(s"$dir/d2")
+        val fact = spark.read.parquet(s"$dir/fact")
+        val d1 = spark.read.parquet(s"$dir/d1")
+        val d2 = spark.read.parquet(s"$dir/d2")
+        val dims = Seq(d1 -> Seq("k1" -> "d1k"), d2 -> Seq("k2" -> "d2k"))
+        Rollup.materializeStar(fact, dims, Seq("g1", "g2"), Seq("m"))
+          .write.mode("overwrite").parquet(s"$dir/star")
+        RollupRewrite.registerStar(fact, dims,
+          spark.read.parquet(s"$dir/star"), Seq("g1", "g2"), Seq("m"))
+        RollupRewrite.enable(spark)
+        def files(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(f => s"$sub/${f.getName}").toSet
+        val before = Seq("fact", "d1", "d2").flatMap(files).toSet
+        // append to a random nonempty subset of the three sides
+        val sides = (0 until 3).filter(_ => rnd.nextBoolean()) match {
+          case s if s.nonEmpty => s
+          case _ => Seq(rnd.nextInt(3))
+        }
+        if (sides.contains(0)) factRows(1 + rnd.nextInt(5))
+          .toDF("k1", "k2", "m").write.mode("append").parquet(s"$dir/fact")
+        if (sides.contains(1)) d1Rows(1 + rnd.nextInt(3))
+          .toDF("d1k", "g1").write.mode("append").parquet(s"$dir/d1")
+        if (sides.contains(2)) d2Rows(1 + rnd.nextInt(3))
+          .toDF("d2k", "g2").write.mode("append").parquet(s"$dir/d2")
+        val appended = Seq("fact", "d1", "d2").flatMap(files).toSet -- before
+        val rep = RollupRewrite.refreshStale(spark, s"$dir/ref")
+        assert(rep.size == 1 && rep.head.refreshed,
+          s"trial $trial (sides $sides) must refresh: $rep")
+        val deltaNames = rep.head.deltaFiles
+          .map(p => p.split("/").takeRight(2).mkString("/")).toSet
+        assert(deltaNames == appended,
+          s"trial $trial delta set wrong: got $deltaNames want $appended")
+        def q() = spark.read.parquet(s"$dir/fact")
+          .join(spark.read.parquet(s"$dir/d1"), col("k1") === col("d1k"))
+          .join(spark.read.parquet(s"$dir/d2"), col("k2") === col("d2k"))
+          .groupBy("g1", "g2")
+          .agg(count(lit(1)).as("n"), sum("m").as("s"),
+            min("m").as("mn"), max("m").as("mx"))
+        val served = q()
+        assert(scanPaths(served).forall(_.contains("refreshs")),
+          s"trial $trial must serve from the refreshed summary: ${scanPaths(served)}")
+        def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+        val got = rows(served)
+        RollupRewrite.disable(spark)
+        val want = rows(q())
+        assert(got == want,
+          s"trial $trial (sides $sides) diverged:\ngot  $got\nwant $want")
+      } finally {
+        RollupRewrite.disable(spark)
+        RollupRewrite.clear()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      }
+    }
+  }
+
   test("joined summary: non-matching keys, outer joins, and name collisions refuse") {
     val dir = java.nio.file.Files.createTempDirectory("aji_refuse").toString
     try {

@@ -305,7 +305,9 @@ object SummaryDesigner {
   def designCrossTier(bases: Seq[DataFrame],
       joins: Seq[(DataFrame, DataFrame, Seq[(String, String)])],
       stars: Seq[(DataFrame, Seq[(DataFrame, Seq[(String, String)])])],
-      maxRows: Long): CrossDesign = RollupRewrite.withCaptureSuspended {
+      maxRows: Long,
+      sketchCardK: Option[Int] = None): CrossDesign =
+    RollupRewrite.withCaptureSuspended {
     require(maxRows > 0, s"row budget must be positive, got $maxRows")
     val basePaths = bases.map(b => RollupRewrite.scanRootPaths(b))
     def baseIdx(paths: Set[String]): Option[Int] = basePaths.indexOf(paths) match {
@@ -381,15 +383,20 @@ object SummaryDesigner {
           baseIdx(RollupRewrite.scanRootPaths(joins(j)._2)).map(_ -> j))
         .flatten
     }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // sketchCardK switches every per-frame cardinality pass to the
+    // approx (cube-free) KMV mode — the 100-TB path, deterministic
+    // like the per-tier designers' (d <= 8 per frame there)
     def cardsOf(frame: DataFrame, tokens: Seq[String]): Map[Set[String], Long] =
       if (tokens.isEmpty) Map(Set.empty[String] -> 1L)
       else {
         val dims = tokens.sorted.map(t => t -> col(t))
-        LatticeAdvisor.grainCardinalities(frame, dims).map { case (mask, n) =>
-          dims.zipWithIndex.collect {
-            case ((nm, _), i) if (mask & (1 << i)) != 0 => nm
-          }.toSet -> n
-        }
+        sketchCardK.fold(LatticeAdvisor.grainCardinalities(frame, dims))(
+            k => LatticeAdvisor.grainCardinalitiesApprox(frame, dims, k))
+          .map { case (mask, n) =>
+            dims.zipWithIndex.collect {
+              case ((nm, _), i) if (mask & (1 << i)) != 0 => nm
+            }.toSet -> n
+          }
       }
     val baseTokens: Seq[Seq[String]] = bases.indices.map { i =>
       val own = plainQs.filter(_.base == i).flatMap(_.req)

@@ -378,9 +378,14 @@ class SummaryDesignerSpec extends SparkSpec {
       RollupRewrite.enable(spark)
       assert(wJ.collect().map(r => (r.getString(0), r.getLong(1))).toSet
         == want && want.nonEmpty)
-      // determinism: the same capture designs the same cross-tier set
+      // determinism: the same capture designs the same cross-tier set,
+      // and the approx (cube-free) cardinality mode coincides — the
+      // unfilled KMV sketches ARE exact counts at this size
       assert(SummaryDesigner.designCrossTier(Seq(fact, dim),
         Seq((fact, dim, keys)), Nil, maxRows = 6) == cross)
+      assert(SummaryDesigner.designCrossTier(Seq(fact, dim),
+        Seq((fact, dim, keys)), Nil, maxRows = 6,
+        sketchCardK = Some(256)) == cross)
     } finally {
       RollupRewrite.disable(spark)
       RollupRewrite.resetWorkloadCapture()

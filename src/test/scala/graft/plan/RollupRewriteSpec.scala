@@ -2514,6 +2514,60 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("star navigation composes with per-side compensation: a stale-by-append center still navigates") {
+    val dir = java.nio.file.Files.createTempDirectory("starnav_comp").toString
+    try {
+      Seq((1L, 10L, 7L), (1L, 20L, 9L), (2L, 10L, 11L))
+        .toDF("k1", "k2", "m").write.parquet(s"$dir/fact")
+      Seq((1L, "a"), (2L, "b")).toDF("d1k", "g1").write.parquet(s"$dir/d1")
+      Seq((10L, "x"), (20L, "y")).toDF("d2k", "g2").write.parquet(s"$dir/d2")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val d1 = spark.read.parquet(s"$dir/d1")
+      val d2 = spark.read.parquet(s"$dir/d2")
+      Rollup.materialize(fact, Seq("k1", "k2"), Seq("m"))
+        .write.parquet(s"$dir/fsum")
+      Rollup.materialize(d1, Seq("d1k", "g1"), Seq("d1k"))
+        .write.parquet(s"$dir/d1sum")
+      Rollup.materialize(d2, Seq("d2k", "g2"), Seq("d2k"))
+        .write.parquet(s"$dir/d2sum")
+      RollupRewrite.register(fact, spark.read.parquet(s"$dir/fsum"),
+        Seq("k1", "k2"), Seq("m"))
+      RollupRewrite.register(d1, spark.read.parquet(s"$dir/d1sum"),
+        Seq("d1k", "g1"), Seq("d1k"))
+      RollupRewrite.register(d2, spark.read.parquet(s"$dir/d2sum"),
+        Seq("d2k", "g2"), Seq("d2k"))
+      RollupRewrite.enable(spark)
+      RollupRewrite.setCompensation(true)
+      // the CENTER goes stale by a pure append; its navigation leg must
+      // splice Union(fsum, delta aggregate) while the dims stay direct
+      Seq((2L, 20L, 13L), (1L, 10L, 1L)).toDF("k1", "k2", "m")
+        .write.mode("append").parquet(s"$dir/fact")
+      def q() = spark.read.parquet(s"$dir/fact")
+        .join(d1, col("k1") === col("d1k"))
+        .join(d2, col("k2") === col("d2k"))
+        .groupBy("g1", "g2")
+        .agg(count(lit(1)).as("n"), sum("m").as("s"))
+      val served = q()
+      val scans = scanPaths(served)
+      assert(scans.contains(s"file:$dir/fsum") &&
+          scans.contains(s"file:$dir/d1sum") &&
+          scans.contains(s"file:$dir/d2sum") &&
+          scans.exists(p => p.contains("/fact/") && p.endsWith(".parquet")) &&
+          !scans.contains(s"file:$dir/fact"),
+        s"stale center must compensate inside the navigation: $scans")
+      RollupRewrite.disable(spark)
+      val want = q().collect().map(_.toSeq).toSet
+      RollupRewrite.enable(spark)
+      assert(served.collect().map(_.toSeq).toSet == want && want.nonEmpty,
+        "compensated star navigation diverged")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.setCompensation(false)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("telescoping star refresh == full recompute, 8 seeded append patterns (r13)") {
     // randomized appends on ANY subset of {fact, d1, d2} in one stale
     // window — keys overlap the existing data, so Δ×old, old×Δ, and

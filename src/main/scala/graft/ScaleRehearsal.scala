@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.ScaleRehearsal"
   * (optionally a comma-separated scenario filter as arg 1:
-  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bm25del,pipeline,qualityfilter,bpe,bpeseg,dsir,phrase,merge,ivf,ivfappend,ivfdel,semadmit,rollup,design,eageragg,packseq,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune,poolvacuum)
+  * cc,pagerank,capped,bfs,topk,budget,stream,fuzzy,jaccard,bm25,bm25inc,bm25del,pipeline,qualityfilter,bpe,bpeseg,dsir,phrase,merge,ivf,ivfappend,ivfdel,semadmit,rollup,sumretract,design,eageragg,packseq,anomaly,mmr,resample,cdc,bloomjoin,hierarchy,triangles,skewaqe,prune,poolvacuum)
   */
 object ScaleRehearsal {
 
@@ -1089,6 +1089,121 @@ object ScaleRehearsal {
       } finally {
         graft.plan.RollupRewrite.disable(spark)
         graft.plan.RollupRewrite.setCompensation(false)
+        graft.plan.RollupRewrite.clear()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    })
+
+    if (enabled("sumretract")) scenario("summary-retract-100m",
+        "delete retraction across plain/AJI/star — subtract-only, delta-sized", {
+      // 100M-row fact in 10 append batches with a MONOTONE measure
+      // (m = id): a deleted MIDDLE batch's per-group extremes sit
+      // strictly inside the stored ones, so every group of every tier
+      // retracts by pure subtraction — the recompute branch stays empty
+      // and Rollup.retract's short-circuit keeps the base out of the
+      // plan entirely. The retraction pass (plain + AJI + star in one
+      // refreshStale) must therefore be DELTA-sized: its wall is
+      // bounded by the build's, with the trash batch (10M rows) the
+      // only non-summary input. Exactness: integer sums/counts/extremes
+      // compare bit-equal against the reduced-base recomputes.
+      import graft.plan.{Rollup, RollupRewrite}
+      val tmp = java.nio.file.Files.createTempDirectory("rehearse_sumret").toString
+      try {
+        def baseFiles() = Option(new java.io.File(s"$tmp/base").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+        var batch6 = Set.empty[String]
+        (0 until 10).foreach { b =>
+          val before = baseFiles()
+          spark.range(b * 10000000L, (b + 1) * 10000000L).select(
+              (col("id") % 40).cast("string").as("k1"),
+              (col("id") % 25).cast("string").as("k2"),
+              col("id").as("m"))
+            .write.mode("append").parquet(s"$tmp/base")
+          if (b == 6) batch6 = baseFiles() -- before
+        }
+        spark.range(0, 40).select(col("id").cast("string").as("dk"),
+            (col("id") % 5).cast("string").as("g"))
+          .write.mode("overwrite").parquet(s"$tmp/dim")
+        spark.range(0, 25).select(col("id").cast("string").as("dk2"),
+            (col("id") % 5).cast("string").as("g2"))
+          .write.mode("overwrite").parquet(s"$tmp/dim2")
+        val fact = spark.read.parquet(s"$tmp/base")
+        val dimF = spark.read.parquet(s"$tmp/dim")
+        val dim2F = spark.read.parquet(s"$tmp/dim2")
+        val starDims = Seq(dimF -> Seq("k1" -> "dk"),
+          dim2F -> Seq("k2" -> "dk2"))
+        val t0 = System.nanoTime()
+        Rollup.materialize(fact, Seq("k1"), Seq("m"))
+          .write.mode("overwrite").parquet(s"$tmp/psum")
+        Rollup.materializeJoined(fact, dimF, Seq("k1" -> "dk"),
+            Seq("g"), Seq("m"))
+          .write.mode("overwrite").parquet(s"$tmp/aji")
+        Rollup.materializeStar(fact, starDims, Seq("g", "g2"), Seq("m"))
+          .write.mode("overwrite").parquet(s"$tmp/star")
+        val buildWall = (System.nanoTime() - t0) / 1e9
+        RollupRewrite.register(fact, spark.read.parquet(s"$tmp/psum"),
+          Seq("k1"), Seq("m"))
+        RollupRewrite.registerJoined(fact, dimF, Seq("k1" -> "dk"),
+          spark.read.parquet(s"$tmp/aji"), Seq("g"), Seq("m"))
+        RollupRewrite.registerStar(fact, starDims,
+          spark.read.parquet(s"$tmp/star"), Seq("g", "g2"), Seq("m"))
+        RollupRewrite.enable(spark)
+        RollupRewrite.deleteFiles(spark, batch6.toSeq.sorted, s"$tmp/trash")
+        val t1 = System.nanoTime()
+        val rep = RollupRewrite.refreshStale(spark, s"$tmp/ret",
+          trashDirs = Seq(s"$tmp/trash"))
+        val retractWall = (System.nanoTime() - t1) / 1e9
+        val batch6Names = batch6.map(p => p.substring(p.lastIndexOf('/') + 1))
+        val repOk = rep.size == 3 && rep.forall(r => r.refreshed &&
+          r.deltaFiles.isEmpty && r.removedFiles.map(p =>
+            p.substring(p.lastIndexOf('/') + 1)).toSet == batch6Names)
+        // all three tiers serve from their retracted summaries,
+        // join-free where the shape demands, bit-equal to the reduced-
+        // base recomputes (integer measures)
+        val fact2 = spark.read.parquet(s"$tmp/base")
+        def qp(src: org.apache.spark.sql.DataFrame) = src.groupBy("k1")
+          .agg(count(lit(1)).as("n"), sum("m").as("s"),
+            min("m").as("mn"), max("m").as("mx"))
+        def qj(src: org.apache.spark.sql.DataFrame) =
+          src.join(dimF, col("k1") === col("dk")).groupBy("g")
+            .agg(count(lit(1)).as("n"), sum("m").as("s"))
+        def qs(src: org.apache.spark.sql.DataFrame) =
+          src.join(dimF, col("k1") === col("dk"))
+            .join(dim2F, col("k2") === col("dk2")).groupBy("g", "g2")
+            .agg(count(lit(1)).as("n"), sum("m").as("s"))
+        def joinFree(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.optimizedPlan.collect {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+          }.isEmpty
+        val scansOk =
+          RollupRewrite.scanRootPaths(qp(fact2)).forall(_.contains("/ret/")) &&
+          RollupRewrite.scanRootPaths(qj(fact2)).forall(_.contains("refreshj")) &&
+          joinFree(qj(fact2)) &&
+          RollupRewrite.scanRootPaths(qs(fact2)).forall(_.contains("refreshs")) &&
+          joinFree(qs(fact2))
+        def rowsP(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4))).toSet
+        def rows2(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        def rows3(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+        val (sp, sj, ss) = (rowsP(qp(fact2)), rows2(qj(fact2)), rows3(qs(fact2)))
+        RollupRewrite.disable(spark)
+        val t2 = System.nanoTime()
+        val (dp, dj, dsr) = (rowsP(qp(fact2)), rows2(qj(fact2)), rows3(qs(fact2)))
+        val directWall = (System.nanoTime() - t2) / 1e9
+        (repOk && scansOk && sp == dp && sj == dj && ss == dsr &&
+          sp.size == 40 &&
+          // delta-sized claim: one 10M trash batch through three tiers
+          // vs the 100M triple build (page-cache-tolerant allowance)
+          retractWall < buildWall + 5.0,
+          f"build=$buildWall%.1fs retract_all3=$retractWall%.1fs " +
+            f"rep_ok=$repOk scans_ok=$scansOk " +
+            f"direct_recompute_all3=$directWall%.1fs groups=${sp.size}")
+      } finally {
+        graft.plan.RollupRewrite.disable(spark)
         graft.plan.RollupRewrite.clear()
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       }

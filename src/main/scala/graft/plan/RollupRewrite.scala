@@ -947,6 +947,13 @@ object RollupRewrite {
     * retract with the same reassociation noise any partial merge
     * carries; integer/decimal measures retract bit-exactly.
     *
+    * JOINED (AJI) and STAR registrations retract too, when the delete
+    * is the only change and touches exactly ONE side: the removed join
+    * tuples are exactly `removed-side rows ⋈ every other side`, so the
+    * same retraction arithmetic applies to the joined frame — see
+    * [[refreshStaleJoined]] / [[refreshStaleStar]] for the
+    * per-tier cost asymmetry and refusal rules.
+    *
     * Each refreshed summary lands in
     * `outDir/refresh_<regDigest>_<manifestDigest>` (parquet) — CONTENT
     * addressing, not a positional index (ADVICE r11): re-register
@@ -974,8 +981,25 @@ object RollupRewrite {
   def refreshStale(spark: SparkSession, outDir: String,
                    trashDirs: Seq[String] = Nil): Seq[RefreshResult] =
     refreshStalePlain(spark, outDir, trashDirs) ++
-      refreshStaleJoined(spark, outDir) ++
-      refreshStaleStar(spark, outDir)
+      refreshStaleJoined(spark, outDir, trashDirs) ++
+      refreshStaleStar(spark, outDir, trashDirs)
+
+  /** Resolve files deleted through [[deleteFiles]] in the trash dirs.
+    * Some((original paths, readable trash paths)) iff EVERY removed
+    * manifest entry resolves; None ⇒ bytes truly gone, nothing to
+    * retract. Shared by all three tiers' delete paths. */
+  private def resolveRemoved(spark: SparkSession, removed: Set[String],
+      trashDirs: Seq[String]): Option[(Seq[String], Seq[String])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val removedPaths = removed.toSeq.sorted.map(_.split("\\|")(0))
+    val resolved = removedPaths.map { p =>
+      trashDirs.iterator.map { td =>
+        new org.apache.hadoop.fs.Path(td, trashFileName(p))
+      }.find(dst => dst.getFileSystem(conf).exists(dst)).map(_.toString)
+    }
+    if (resolved.exists(_.isEmpty)) None
+    else Some((removedPaths, resolved.flatten))
+  }
 
   /** The STAR half of [[refreshStale]]: PURE APPENDS on the fact and/or
     * ANY subset of the dims delta-refresh via the TELESCOPING
@@ -1001,12 +1025,22 @@ object RollupRewrite {
     * delta-dim-selective, no old×old pair re-aggregates, and the merge
     * stays summary-sized — far cheaper than the rebuild's full star
     * join (which at 130M rows is the 75× the q210 rehearsal measured).
-    * REMOVALS on any side refuse (a changed/removed dim row multiplies
-    * into arbitrarily many stored groups — rebuild territory). The
-    * refresh output dir is content-addressed by the registration
-    * identity plus EVERY side's current manifest (ADVICE r12 #1). */
-  private def refreshStaleStar(spark: SparkSession,
-                               outDir: String): Seq[RefreshResult] = {
+    * DELETES performed through [[deleteFiles]] RETRACT when they are
+    * the ONLY change and touch exactly ONE side (fact or a single
+    * dim): the removed join tuples are then exactly `removed-side rows
+    * ⋈ every other side` (set-difference distributivity over the
+    * inner join — each tuple contains exactly one row of the deleting
+    * side, so it is removed iff that row is), and [[Rollup.retract]]
+    * applies verbatim to the joined frame. A fact delete reads
+    * trash-fact ⋈ dims; a dim delete reads the CURRENT fact ⋈ other
+    * dims ⋈ trash-dim — a registered-fact-sized read, the same honest
+    * asymmetry as the dim APPEND term. Deletes mixed with appends, or
+    * on two sides in one window (the removed-tuple sets overlap),
+    * refuse — rebuild territory. The refresh output dir is
+    * content-addressed by the registration identity plus EVERY side's
+    * current manifest (ADVICE r12 #1). */
+  private def refreshStaleStar(spark: SparkSession, outDir: String,
+                               trashDirs: Seq[String]): Seq[RefreshResult] = {
     import scala.jdk.CollectionConverters._
     starDefs.iterator().asScala.toSeq.flatMap { d =>
       val fRel = baseRelation(
@@ -1032,12 +1066,13 @@ object RollupRewrite {
         entries.toSeq.sorted.map(_.split("\\|")(0))
       if (fCur == d.factManifest && dimApp.forall(_.isEmpty) &&
           dimRem.forall(_.isEmpty)) None // fresh
-      else if (fRem.nonEmpty || dimRem.exists(_.nonEmpty) ||
-          d.factManifest.isEmpty || d.dims.exists(_.manifest.isEmpty))
+      else if (d.factManifest.isEmpty || d.dims.exists(_.manifest.isEmpty))
         Some(unrefreshable)
       else {
-        // per-dim frames at the three states the terms need
-        val dimRegged = d.dims.map(s =>
+        // per-dim frames at the three states the terms need; the
+        // registered-file read is LAZY — on the delete path those
+        // entries may name files now living in the trash
+        lazy val dimRegged = d.dims.map(s =>
           spark.read.parquet(filesOf(s.manifest): _*) -> s.keyPairs)
         val dimCurrent = d.dims.map(s =>
           spark.read.parquet(s.paths.toSeq: _*) -> s.keyPairs)
@@ -1055,6 +1090,71 @@ object RollupRewrite {
             acc.join(dim, keys.toSeq.map { case (fk, dk) =>
               fact(fk) === dim(dk) }.reduce(_ && _))
           }
+        val stored = spark.read.parquet(d.summary.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten: _*)
+        val ident = hexDigest(d.factPaths.toSeq.sorted ++
+          d.dims.flatMap(s => s.paths.toSeq.sorted ++
+            s.keyPairs.toSeq.sorted.map(p => s"${p._1}=${p._2}")) ++
+          d.groupCols ++ d.measures ++ d.distinctCols ++
+          Seq(d.sketchK.toString) ++ d.histCols.map(c => s"hist:$c"))
+        // content-address with EVERY side's current manifest (ADVICE
+        // r12 #1): a later refresh of any side lands in a NEW dir and
+        // never overwrites the summary it reads
+        val state = manifestDigest(fCur ++
+          dimsCur.zipWithIndex.flatMap { case ((_, cur), i) =>
+            cur.map(e => s"dim$i:$e") })
+        val out = s"$outDir/refreshs_${ident}_$state"
+        def finish(summary: DataFrame, deltaFiles: Seq[String],
+                   removedFiles: Seq[String]): RefreshResult = {
+          summary.write.mode("overwrite").parquet(out)
+          registerStar(spark.read.parquet(d.factPaths.toSeq: _*),
+            dimCurrent.map { case (df, keys) => df -> keys.toSeq },
+            spark.read.parquet(out), d.groupCols, d.measures,
+            d.distinctCols, d.sketchK, d.histCols)
+          RefreshResult(allPaths, d.groupCols, refreshed = true,
+            deltaFiles, out, removedFiles)
+        }
+        if (fRem.nonEmpty || dimRem.exists(_.nonEmpty)) {
+          // DELETE path: retract iff the delete is the ONLY change and
+          // touches exactly one side (scaladoc's disjointness argument)
+          val noApp = fApp.isEmpty && dimApp.forall(_.isEmpty)
+          val remSides = (if (fRem.nonEmpty) 1 else 0) +
+            dimRem.count(_.nonEmpty)
+          val factCur = spark.read.parquet(d.factPaths.toSeq: _*)
+          val groupExprs = d.groupCols.map(g => g -> col(g))
+          def retractWith(removedJoined: DataFrame,
+                          orig: Seq[String]): RefreshResult =
+            finish(Rollup.retract(stored, removedJoined,
+              starJoin(factCur, dimCurrent), groupExprs, d.measures,
+              d.distinctCols, d.sketchK, d.histCols), Nil, orig)
+          val res =
+            if (!noApp || remSides != 1) None
+            else if (fRem.nonEmpty)
+              resolveRemoved(spark, fRem, trashDirs).flatMap {
+                case (orig, trash) =>
+                  val removedFact = spark.read.parquet(trash: _*)
+                  if (!neededFact.toSet.subsetOf(removedFact.columns.toSet))
+                    None
+                  else Some(retractWith(
+                    starJoin(removedFact, dimCurrent), orig))
+              }
+            else {
+              val i = dimRem.indexWhere(_.nonEmpty)
+              resolveRemoved(spark, dimRem(i), trashDirs).flatMap {
+                case (orig, trash) =>
+                  val removedDim = spark.read.parquet(trash: _*)
+                  if (!neededDim(i).toSet.subsetOf(removedDim.columns.toSet))
+                    None
+                  else Some(retractWith(starJoin(factCur,
+                    d.dims.indices.map(j => if (j == i)
+                      removedDim -> d.dims(i).keyPairs
+                    else dimCurrent(j))), orig))
+              }
+            }
+          Some(res.getOrElse(unrefreshable))
+        } else {
         val parts = Seq.newBuilder[DataFrame]
         var ok = true
         if (fApp.nonEmpty) {
@@ -1099,31 +1199,10 @@ object RollupRewrite {
           val deltaSummary = parts.result().reduce((a, b) =>
             Rollup.merge(a, b, d.groupCols, d.measures, d.distinctCols,
               d.sketchK, d.histCols))
-          val stored = spark.read.parquet(d.summary.collect {
-            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-              fs.location.rootPaths.map(_.toString)
-          }.flatten: _*)
-          val ident = hexDigest(d.factPaths.toSeq.sorted ++
-            d.dims.flatMap(s => s.paths.toSeq.sorted ++
-              s.keyPairs.toSeq.sorted.map(p => s"${p._1}=${p._2}")) ++
-            d.groupCols ++ d.measures ++ d.distinctCols ++
-            Seq(d.sketchK.toString) ++ d.histCols.map(c => s"hist:$c"))
-          // content-address with EVERY side's current manifest (ADVICE
-          // r12 #1): a later refresh of any side lands in a NEW dir and
-          // never overwrites the summary it reads
-          val state = manifestDigest(fCur ++
-            dimsCur.zipWithIndex.flatMap { case ((_, cur), i) =>
-              cur.map(e => s"dim$i:$e") })
-          val out = s"$outDir/refreshs_${ident}_$state"
-          Rollup.merge(stored, deltaSummary, d.groupCols, d.measures,
-              d.distinctCols, d.sketchK, d.histCols)
-            .write.mode("overwrite").parquet(out)
-          registerStar(spark.read.parquet(d.factPaths.toSeq: _*),
-            dimCurrent.map { case (df, keys) => df -> keys.toSeq },
-            spark.read.parquet(out), d.groupCols, d.measures,
-            d.distinctCols, d.sketchK, d.histCols)
-          Some(RefreshResult(allPaths, d.groupCols, refreshed = true,
-            filesOf(fApp) ++ dimApp.flatMap(filesOf), out))
+          Some(finish(Rollup.merge(stored, deltaSummary, d.groupCols,
+            d.measures, d.distinctCols, d.sketchK, d.histCols),
+            filesOf(fApp) ++ dimApp.flatMap(filesOf), Nil))
+        }
         }
       }
     }
@@ -1152,12 +1231,25 @@ object RollupRewrite {
     *    summary-sized — still far cheaper than the rebuild's full
     *    fact ⋈ full dim.
     *
-    * Any REMOVAL or in-place change on either side reports
-    * unrefreshable: a changed/removed dim row multiplies into
-    * arbitrarily many stored groups — rebuild territory
-    * (re-materialize + re-register), not delta arithmetic. */
-  private def refreshStaleJoined(spark: SparkSession,
-                                 outDir: String): Seq[RefreshResult] = {
+    * DELETES performed through [[deleteFiles]] (bytes linger in the
+    * trash dirs) RETRACT when they are the ONLY change and touch
+    * exactly ONE side: the removed join pairs are then exactly
+    * `removed-side rows ⋈ the other side` (inner-join distributivity
+    * applied to set difference — `(F∖ΔF) ⋈ D = F⋈D ∖ ΔF⋈D` since every
+    * pair of a removed fact row is itself removed, and symmetrically
+    * for the dim), so [[Rollup.retract]]'s arithmetic applies verbatim
+    * to the joined frame: sums/counts subtract exactly, extremum- or
+    * sketch-touched groups recompute from the CURRENT join filtered to
+    * the affected grains, emptied groups drop. Cost: a fact delete
+    * reads trash-fact ⋈ dim; a dim delete reads fact ⋈ trash-dim — the
+    * same registered-fact-read asymmetry as the dim APPEND, stated
+    * there. A delete mixed with any append, or deletes on BOTH sides
+    * in one window (the removed-pair sets overlap — `ΔF⋈ΔD` would
+    * double-retract), or any in-place change, reports unrefreshable:
+    * rebuild territory (re-materialize + re-register), not delta
+    * arithmetic. */
+  private def refreshStaleJoined(spark: SparkSession, outDir: String,
+                                 trashDirs: Seq[String]): Seq[RefreshResult] = {
     import scala.jdk.CollectionConverters._
     joinedDefs.iterator().asScala.toSeq.flatMap { d =>
       val fRel = baseRelation(
@@ -1179,65 +1271,102 @@ object RollupRewrite {
       def filesOf(entries: Set[String]): Seq[String] =
         entries.toSeq.sorted.map(_.split("\\|")(0))
       if (fCur == d.factManifest && dCur == d.dimManifest) None // fresh
-      else if (fRem.nonEmpty || dRem.nonEmpty ||
-          d.factManifest.isEmpty || d.dimManifest.isEmpty)
+      else if (d.factManifest.isEmpty || d.dimManifest.isEmpty)
         Some(unrefreshable)
       else {
         val dimCur = spark.read.parquet(d.dimPaths.toSeq: _*)
+        val factCur = spark.read.parquet(d.factPaths.toSeq: _*)
         val carried = d.groupCols ++ d.measures ++ d.distinctCols ++ d.histCols
         val neededFact = carried.filterNot(dimCur.columns.contains) ++
           d.keyPairs.map(_._1)
         val neededDim = carried.filter(dimCur.columns.contains) ++
           d.keyPairs.map(_._2)
-        def joinAgg(fact: DataFrame, dim: DataFrame): DataFrame = {
-          val cond = d.keyPairs.toSeq.map { case (fk, dk) =>
-            fact(fk) === dim(dk) }.reduce(_ && _)
-          Rollup.materialize(fact.join(dim, cond), d.groupCols, d.measures,
+        def join2(fact: DataFrame, dim: DataFrame): DataFrame =
+          fact.join(dim, d.keyPairs.toSeq.map { case (fk, dk) =>
+            fact(fk) === dim(dk) }.reduce(_ && _))
+        def joinAgg(fact: DataFrame, dim: DataFrame): DataFrame =
+          Rollup.materialize(join2(fact, dim), d.groupCols, d.measures,
             d.distinctCols, d.sketchK, d.histCols)
+        val stored = spark.read.parquet(d.summary.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten: _*)
+        val ident = hexDigest(d.factPaths.toSeq.sorted ++
+          d.dimPaths.toSeq.sorted ++ d.groupCols ++ d.measures ++
+          d.distinctCols ++ Seq(d.sketchK.toString) ++
+          d.histCols.map(c => s"hist:$c") ++
+          d.keyPairs.toSeq.sorted.map(p => s"${p._1}=${p._2}"))
+        val out = s"$outDir/refreshj_${ident}_" +
+          manifestDigest(fCur ++ dCur.map("dim:" + _))
+        def finish(summary: DataFrame, deltaFiles: Seq[String],
+                   removedFiles: Seq[String]): RefreshResult = {
+          summary.write.mode("overwrite").parquet(out)
+          registerJoined(factCur, dimCur, d.keyPairs.toSeq,
+            spark.read.parquet(out), d.groupCols, d.measures,
+            d.distinctCols, d.sketchK, d.histCols)
+          RefreshResult(d.factPaths ++ d.dimPaths, d.groupCols,
+            refreshed = true, deltaFiles, out, removedFiles)
         }
-        val parts = Seq.newBuilder[DataFrame]
-        var ok = true
-        if (fApp.nonEmpty) {
-          // ΔF ⋈ (D ∪ ΔD): the CURRENT dim — every pair with a new fact row
-          val deltaFact = spark.read.parquet(filesOf(fApp): _*)
-          if (!neededFact.toSet.subsetOf(deltaFact.columns.toSet)) ok = false
-          else parts += joinAgg(deltaFact, dimCur)
-        }
-        if (ok && dApp.nonEmpty) {
-          // F ⋈ ΔD: the registered fact files against the new dim rows
-          // only — old × old pairs stay in the stored summary
-          val oldFact = spark.read.parquet(filesOf(d.factManifest): _*)
-          val deltaDim = spark.read.parquet(filesOf(dApp): _*)
-          if (!neededFact.toSet.subsetOf(oldFact.columns.toSet) ||
-              !neededDim.toSet.subsetOf(deltaDim.columns.toSet)) ok = false
-          else parts += joinAgg(oldFact, deltaDim)
-        }
-        if (!ok) Some(unrefreshable)
-        else {
-          val deltaSummary = parts.result() match {
-            case Seq(one) => one
-            case Seq(a, b) => Rollup.merge(a, b, d.groupCols, d.measures,
-              d.distinctCols, d.sketchK, d.histCols)
+        if (fRem.nonEmpty || dRem.nonEmpty) {
+          // DELETE path: retract iff the delete is the ONLY change and
+          // touches exactly one side (see the scaladoc's disjointness
+          // argument); the removed pairs are removed-rows ⋈ other side
+          val groupExprs = d.groupCols.map(g => g -> col(g))
+          val res =
+            if (fRem.nonEmpty && fApp.isEmpty && dApp.isEmpty && dRem.isEmpty)
+              resolveRemoved(spark, fRem, trashDirs).flatMap {
+                case (orig, trash) =>
+                  val removedFact = spark.read.parquet(trash: _*)
+                  if (!neededFact.toSet.subsetOf(removedFact.columns.toSet))
+                    None
+                  else Some(finish(
+                    Rollup.retract(stored, join2(removedFact, dimCur),
+                      join2(factCur, dimCur), groupExprs, d.measures,
+                      d.distinctCols, d.sketchK, d.histCols), Nil, orig))
+              }
+            else if (dRem.nonEmpty && dApp.isEmpty && fApp.isEmpty &&
+                fRem.isEmpty)
+              resolveRemoved(spark, dRem, trashDirs).flatMap {
+                case (orig, trash) =>
+                  val removedDim = spark.read.parquet(trash: _*)
+                  if (!neededDim.toSet.subsetOf(removedDim.columns.toSet))
+                    None
+                  else Some(finish(
+                    Rollup.retract(stored, join2(factCur, removedDim),
+                      join2(factCur, dimCur), groupExprs, d.measures,
+                      d.distinctCols, d.sketchK, d.histCols), Nil, orig))
+              }
+            else None
+          Some(res.getOrElse(unrefreshable))
+        } else {
+          val parts = Seq.newBuilder[DataFrame]
+          var ok = true
+          if (fApp.nonEmpty) {
+            // ΔF ⋈ (D ∪ ΔD): the CURRENT dim — every pair with a new fact row
+            val deltaFact = spark.read.parquet(filesOf(fApp): _*)
+            if (!neededFact.toSet.subsetOf(deltaFact.columns.toSet)) ok = false
+            else parts += joinAgg(deltaFact, dimCur)
           }
-          val stored = spark.read.parquet(d.summary.collect {
-            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-              fs.location.rootPaths.map(_.toString)
-          }.flatten: _*)
-          val ident = hexDigest(d.factPaths.toSeq.sorted ++
-            d.dimPaths.toSeq.sorted ++ d.groupCols ++ d.measures ++
-            d.distinctCols ++ Seq(d.sketchK.toString) ++
-            d.histCols.map(c => s"hist:$c") ++
-            d.keyPairs.toSeq.sorted.map(p => s"${p._1}=${p._2}"))
-          val out = s"$outDir/refreshj_${ident}_" +
-            manifestDigest(fCur ++ dCur.map("dim:" + _))
-          Rollup.merge(stored, deltaSummary, d.groupCols, d.measures,
-              d.distinctCols, d.sketchK, d.histCols)
-            .write.mode("overwrite").parquet(out)
-          registerJoined(spark.read.parquet(d.factPaths.toSeq: _*), dimCur,
-            d.keyPairs.toSeq, spark.read.parquet(out), d.groupCols,
-            d.measures, d.distinctCols, d.sketchK, d.histCols)
-          Some(RefreshResult(d.factPaths ++ d.dimPaths, d.groupCols,
-            refreshed = true, filesOf(fApp) ++ filesOf(dApp), out))
+          if (ok && dApp.nonEmpty) {
+            // F ⋈ ΔD: the registered fact files against the new dim rows
+            // only — old × old pairs stay in the stored summary
+            val oldFact = spark.read.parquet(filesOf(d.factManifest): _*)
+            val deltaDim = spark.read.parquet(filesOf(dApp): _*)
+            if (!neededFact.toSet.subsetOf(oldFact.columns.toSet) ||
+                !neededDim.toSet.subsetOf(deltaDim.columns.toSet)) ok = false
+            else parts += joinAgg(oldFact, deltaDim)
+          }
+          if (!ok) Some(unrefreshable)
+          else {
+            val deltaSummary = parts.result() match {
+              case Seq(one) => one
+              case Seq(a, b) => Rollup.merge(a, b, d.groupCols, d.measures,
+                d.distinctCols, d.sketchK, d.histCols)
+            }
+            Some(finish(Rollup.merge(stored, deltaSummary, d.groupCols,
+              d.measures, d.distinctCols, d.sketchK, d.histCols),
+              filesOf(fApp) ++ filesOf(dApp), Nil))
+          }
         }
       }
     }
@@ -1331,15 +1460,9 @@ object RollupRewrite {
       removed: Set[String], current: Set[String], outDir: String,
       trashDirs: Seq[String]): Option[RefreshResult] = {
     import org.apache.spark.sql.functions._
-    val conf = spark.sparkContext.hadoopConfiguration
-    val removedPaths = removed.toSeq.sorted.map(_.split("\\|")(0))
-    val resolved = removedPaths.map { p =>
-      trashDirs.iterator.map { td =>
-        new org.apache.hadoop.fs.Path(td, trashFileName(p))
-      }.find(dst => dst.getFileSystem(conf).exists(dst)).map(_.toString)
-    }
-    if (resolved.exists(_.isEmpty)) return None
-    val removedDf = spark.read.parquet(resolved.flatten: _*)
+    val (removedPaths, trashPaths) =
+      resolveRemoved(spark, removed, trashDirs).getOrElse(return None)
+    val removedDf = spark.read.parquet(trashPaths: _*)
     if (!neededBaseColumns(spark, d).subsetOf(removedDf.columns.toSet))
       return None
     val stored = spark.read.parquet(storedPathsOf(d): _*)
@@ -3424,7 +3547,15 @@ object Rollup {
     val recomputed = materializeExpr(filteredBase,
       groupCols.map(g => g -> col(g)), measures, distinctCols,
       sketchK, histCols)
-    survivors.unionByName(recomputed)
+    // short-circuit (r13): when NO group trips the recompute rule, the
+    // base must not appear in the returned plan at all — an empty
+    // broadcast build side still schedules the full probe-side scan
+    // unless AQE's empty-relation propagation happens to fire, and a
+    // clean arithmetic retraction (sums/counts only, extremes untouched)
+    // must stay delta-sized at 100M+ rows. The emptiness probe is one
+    // summary-sized job (stored ⋈ broadcast removed partials).
+    if (toRecompute.isEmpty) survivors
+    else survivors.unionByName(recomputed)
   }
 
   /** Merge two [[materialize]] outputs (a stored summary and a new

@@ -6130,6 +6130,118 @@ object Queries {
     }
   }
 
+  /** DELETE-AWARE REFRESH FOR THE JOINED AND STAR TIERS (r13 — q194's
+    * retraction generalized up the summary taxonomy): a file delete
+    * through the safe-delete trash protocol on EXACTLY ONE side of a
+    * registered join summary RETRACTS instead of refusing, because the
+    * removed join tuples are exactly `removed-side rows ⋈ every other
+    * side` (set-difference distributivity over the inner join — each
+    * tuple holds one row of the deleting side, so it vanishes iff that
+    * row does), and [[graft.plan.Rollup.retract]] applies verbatim to
+    * the joined frame: sums/counts subtract exactly, extremum-touched
+    * groups recompute from the current join, emptied groups drop. Leg
+    * `aji` deletes a FACT slice (o_orderkey ≡ 2 mod 6) under an
+    * orders⋈customer AJI; leg `star` deletes a DIM slice (s_suppkey ≡
+    * 2 mod 5) under a lineitem⋈part⋈supplier star — the sharp case:
+    * every join tuple of a removed supplier must leave the summary
+    * with no rebuild, and nation groups whose extremum rode a removed
+    * supplier recompute. In-query requires: each refresh reports
+    * EXACTLY the deleted file (and no delta files), and each serve leg
+    * is plan-bound to its RETRACTED summary with ZERO Join nodes.
+    * Integer measures ⇒ retraction is bit-exact; oracle = the
+    * reduced-corpus join recompute. */
+  def q217JoinedStarRetract(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q217_retract")
+      .toFile.getAbsolutePath
+    def requireRetracted(df: DataFrame, tag: String, name: String): DataFrame = {
+      val scans = R.scanRootPaths(df)
+      require(scans.nonEmpty && scans.forall(_.contains(tag)),
+        s"$name must serve from its retracted summary alone — $scans")
+      require(df.queryExecution.optimizedPlan.collect {
+          case j: LJoin => j }.isEmpty,
+        s"$name must contain NO serve-time join")
+      df
+    }
+    def requireRemoved(rep: Seq[R.RefreshResult], file: String): Unit =
+      require(rep.size == 1 && rep.head.refreshed &&
+          rep.head.deltaFiles.isEmpty &&
+          rep.head.removedFiles.map(p =>
+            p.substring(p.lastIndexOf('/') + 1)) == Seq(file),
+        s"the delete must retract EXACTLY $file: $rep")
+    R.enable(s)
+    try {
+      // ---- leg `aji`: FACT-slice delete under orders ⋈ customer
+      val factSlices = (0 until 6).map { sl =>
+        writeNamedSlice(tbl(s, dir, "orders")
+          .filter(col("o_orderkey") % 6 === sl), s"$tmpRoot/fact", s"s$sl")
+      }
+      tbl(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$tmpRoot/dim")
+      val fact0 = s.read.parquet(s"$tmpRoot/fact")
+      val dim0 = s.read.parquet(s"$tmpRoot/dim")
+      graft.plan.Rollup.materializeJoined(fact0, dim0,
+          Seq("o_custkey" -> "c_custkey"), Seq("c_mktsegment"),
+          Seq("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$tmpRoot/aji")
+      R.registerJoined(fact0, dim0, Seq("o_custkey" -> "c_custkey"),
+        s.read.parquet(s"$tmpRoot/aji"), Seq("c_mktsegment"),
+        Seq("o_orderkey"))
+      R.deleteFiles(s, Seq(factSlices(2)), s"$tmpRoot/trash")
+      requireRemoved(R.refreshStale(s, s"$tmpRoot/raji",
+        trashDirs = Seq(s"$tmpRoot/trash")), "s2.parquet")
+      val aji = requireRetracted(s.read.parquet(s"$tmpRoot/fact")
+        .join(s.read.parquet(s"$tmpRoot/dim"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_m"),
+          min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+        .select(lit("aji").as("leg"), col("c_mktsegment").as("seg"),
+          lit(null).cast("int").as("nk"), col("n_rows"), col("sum_m"),
+          col("mn"), col("mx")), "refreshj", "aji leg")
+      val ajiOut = materializeSmall(s, aji)
+      R.clear() // isolate the star leg's registrations
+      // ---- leg `star`: DIM-slice delete under lineitem ⋈ part ⋈ supplier
+      tbl(s, dir, "lineitem").select("l_partkey", "l_suppkey", "l_orderkey")
+        .write.mode("overwrite").parquet(s"$tmpRoot/sfact")
+      tbl(s, dir, "part").select("p_partkey", "p_brand")
+        .write.mode("overwrite").parquet(s"$tmpRoot/d1")
+      val suppSlices = (0 until 5).map { sl =>
+        writeNamedSlice(tbl(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")
+          .filter(col("s_suppkey") % 5 === sl), s"$tmpRoot/d2", s"c$sl")
+      }
+      val sfact = s.read.parquet(s"$tmpRoot/sfact")
+      def dims = Seq(
+        s.read.parquet(s"$tmpRoot/d1") -> Seq("l_partkey" -> "p_partkey"),
+        s.read.parquet(s"$tmpRoot/d2") -> Seq("l_suppkey" -> "s_suppkey"))
+      graft.plan.Rollup.materializeStar(sfact, dims, Seq("s_nationkey"),
+          Seq("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$tmpRoot/star")
+      R.registerStar(sfact, dims, s.read.parquet(s"$tmpRoot/star"),
+        Seq("s_nationkey"), Seq("l_orderkey"))
+      R.deleteFiles(s, Seq(suppSlices(2)), s"$tmpRoot/trash")
+      requireRemoved(R.refreshStale(s, s"$tmpRoot/rstar",
+        trashDirs = Seq(s"$tmpRoot/trash")), "c2.parquet")
+      val star = requireRetracted(s.read.parquet(s"$tmpRoot/sfact")
+        .join(s.read.parquet(s"$tmpRoot/d1"),
+          col("l_partkey") === col("p_partkey"))
+        .join(s.read.parquet(s"$tmpRoot/d2"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_rows"), sum("l_orderkey").as("sum_m"),
+          min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+        .select(lit("star").as("leg"), lit(null).cast("string").as("seg"),
+          col("s_nationkey").as("nk"), col("n_rows"), col("sum_m"),
+          col("mn"), col("mx")), "refreshs", "star leg")
+      materializeAndCleanup(s, ajiOut.unionByName(star), tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** COMPUTED-DIMENSION grain serving ([[graft.plan.RollupRewrite]] —
     * VERDICT r10 #1, the optimizer tier's sharpest real-user edge): a
     * summary grained by `month(o_orderdate)` — a stored EXPRESSION value,
@@ -6871,7 +6983,8 @@ object Queries {
     "q213_decimal_summaries" -> (q213DecimalSummaries _),
     "q214_versioned_summary" -> (q214VersionedSummary _),
     "q215_cross_tier_design" -> (q215CrossTierDesign _),
-    "q216_star_navigation" -> (q216StarNavigation _))
+    "q216_star_navigation" -> (q216StarNavigation _),
+    "q217_joined_star_retract" -> (q217JoinedStarRetract _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -9255,6 +9368,25 @@ object Queries {
         |SELECT 'filtered', p_brand, CAST(NULL AS INT), count(*),
         | CAST(sum(l_orderkey) AS BIGINT), min(l_orderkey), max(l_orderkey)
         |FROM j WHERE s_nationkey = 3 GROUP BY 2""".stripMargin,
+    // q217: joined/star delete retraction — each leg's oracle is the
+    // reduced-corpus join recompute (the deleted slice's key predicate
+    // inverted). A missed retraction serves pre-delete values, a
+    // double-retraction under-counts, and a recompute that skips an
+    // extremum-touched group keeps a ghost min/max — all hash-fail; a
+    // refused retraction or a base fall-through trips the in-query
+    // plan requires. Integer measures: bit-exact retraction.
+    "q217_joined_star_retract" ->
+      """SELECT 'aji' AS leg, c_mktsegment AS seg, CAST(NULL AS INT) AS nk,
+        | count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_m,
+        | min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 6 <> 2 GROUP BY 2
+        |UNION ALL
+        |SELECT 'star', CAST(NULL AS VARCHAR), s_nationkey, count(*),
+        | CAST(sum(l_orderkey) AS BIGINT), min(l_orderkey), max(l_orderkey)
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_suppkey % 5 <> 2 GROUP BY 3""".stripMargin,
     // q186: the q162 multi-version device over the STREAMED version
     // chain — v2 = base slice + first arrival, v4 = full corpus (q96's
     // probed surface); v2's margins probed by

@@ -2321,8 +2321,10 @@ class RollupRewriteSpec extends SparkSpec {
       assert(scanPaths(served3).forall(_.contains("refreshs")))
       assert(vals(served3) == want2 + (("c", "z", 2L, 16L)),
         s"telescoped both-sides refresh wrong: ${vals(served3)}")
-      // a DIM removal/overwrite refuses (rebuild territory): the term
-      // algebra only covers pure appends
+      // a DIM overwrite refuses (rebuild territory): the append term
+      // algebra covers pure appends only, and the overwrite's mixed
+      // remove+add diff is not a trash-protocol single-side delete
+      // (those retract — see the star DELETE test)
       Seq((1L, "a"), (2L, "b")).toDF("d1k", "g1")
         .write.mode("overwrite").parquet(s"$dir/d1")
       val rep4 = RollupRewrite.refreshStale(spark, s"$dir/ref4")
@@ -2642,6 +2644,144 @@ class RollupRewriteSpec extends SparkSpec {
         RollupRewrite.clear()
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       }
+    }
+  }
+
+  test("joined summary DELETE: single-side deletes retract — fact files then dim files; both-side deletes refuse (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("aji_retract").toString
+    try {
+      // join rows at registration: (1,10,x) (2,20,y) (1,100,x) (3,7,y)
+      writeSlice(Seq((1L, 10L), (2L, 20L)).toDF("k", "m"),
+        s"$dir/fact", "f0")
+      val f1 = writeSlice(Seq((1L, 100L), (3L, 7L)).toDF("k", "m"),
+        s"$dir/fact", "f1")
+      writeSlice(Seq((1L, "x"), (2L, "y")).toDF("dk", "seg"),
+        s"$dir/dim", "d0")
+      val d1 = writeSlice(Seq((3L, "y")).toDF("dk", "seg"), s"$dir/dim", "d1")
+      // inert slices (no join partner) so deletes never empty a dir
+      val fz = writeSlice(Seq((5L, 1L)).toDF("k", "m"), s"$dir/fact", "fz")
+      val dz = writeSlice(Seq((9L, "z")).toDF("dk", "seg"), s"$dir/dim", "dz")
+      val fact0 = spark.read.parquet(s"$dir/fact")
+      val dim0 = spark.read.parquet(s"$dir/dim")
+      Rollup.materializeJoined(fact0, dim0, Seq("k" -> "dk"),
+          Seq("seg"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/aji")
+      RollupRewrite.registerJoined(fact0, dim0, Seq("k" -> "dk"),
+        spark.read.parquet(s"$dir/aji"), Seq("seg"), Seq("m"))
+      RollupRewrite.enable(spark)
+      def q() = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim"), col("k") === col("dk"))
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum("m").as("s"),
+          min("m").as("mn"), max("m").as("mx"))
+      def vals(df: DataFrame) = df.collect().map(r => (r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      // DIM delete d1 (key 3): retracts exactly the (3,7,y) pair — y's
+      // min WAS 7, so y recomputes from the current join; x untouched
+      RollupRewrite.deleteFiles(spark, Seq(d1), s"$dir/trash")
+      val rep1 = RollupRewrite.refreshStale(spark, s"$dir/r1",
+        trashDirs = Seq(s"$dir/trash"))
+      assert(rep1.size == 1 && rep1.head.refreshed &&
+          rep1.head.removedFiles.map(p =>
+            new org.apache.hadoop.fs.Path(p).getName) == Seq("d1.parquet"),
+        s"a trash-resolved dim-file delete must retract the AJI: $rep1")
+      val served1 = q()
+      assert(scanPaths(served1).forall(p =>
+          p.contains("/r1/") && p.contains("refreshj")),
+        s"post-retraction serve must ride the retracted AJI: ${scanPaths(served1)}")
+      assert(vals(served1) == Set(("x", 2L, 110L, 10L, 100L),
+        ("y", 1L, 20L, 20L, 20L)), s"dim retraction wrong: ${vals(served1)}")
+      // FACT delete f1 (rows (1,100) (3,7)): key 3 no longer has a dim
+      // row, so the removed PAIRS are (1,100,x) only — x's max WAS 100
+      // ⇒ recompute; y untouched this time
+      RollupRewrite.deleteFiles(spark, Seq(f1), s"$dir/trash")
+      val rep2 = RollupRewrite.refreshStale(spark, s"$dir/r2",
+        trashDirs = Seq(s"$dir/trash"))
+      assert(rep2.size == 1 && rep2.head.refreshed &&
+          rep2.head.removedFiles.map(p =>
+            new org.apache.hadoop.fs.Path(p).getName) == Seq("f1.parquet"),
+        s"a trash-resolved fact-file delete must retract the AJI: $rep2")
+      val served2 = q()
+      assert(scanPaths(served2).forall(p =>
+          p.contains("/r2/") && p.contains("refreshj")),
+        s"second retraction must serve from its own dir: ${scanPaths(served2)}")
+      assert(vals(served2) == Set(("x", 1L, 10L, 10L, 10L),
+        ("y", 1L, 20L, 20L, 20L)), s"fact retraction wrong: ${vals(served2)}")
+      // deletes on BOTH sides in one stale window refuse (the removed
+      // pair sets overlap — retracting both would double-count)
+      RollupRewrite.deleteFiles(spark, Seq(fz), s"$dir/trash")
+      RollupRewrite.deleteFiles(spark, Seq(dz), s"$dir/trash")
+      assert(RollupRewrite.refreshStale(spark, s"$dir/r3",
+          trashDirs = Seq(s"$dir/trash")).forall(r => !r.refreshed),
+        "a both-side delete must report unrefreshable")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("star summary DELETE: a single-dim delete retracts == full rebuild; delete mixed with an append refuses (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("star_retract").toString
+    try {
+      // star rows: (a,u,5) (a,v,6) (b,u,7) (b,v,100)
+      writeSlice(Seq((1L, 1L, 5L), (1L, 2L, 6L), (2L, 1L, 7L),
+        (2L, 2L, 100L)).toDF("k1", "k2", "m"), s"$dir/fact", "f0")
+      writeSlice(Seq((1L, "a"), (2L, "b")).toDF("d1k", "g1"), s"$dir/d1", "c0")
+      writeSlice(Seq((1L, "u")).toDF("d2k", "g2"), s"$dir/d2", "e0")
+      val e1 = writeSlice(Seq((2L, "v")).toDF("d2k", "g2"), s"$dir/d2", "e1")
+      // inert slice (no fact partner) so later deletes never empty d2
+      writeSlice(Seq((9L, "w")).toDF("d2k", "g2"), s"$dir/d2", "ez")
+      val fact0 = spark.read.parquet(s"$dir/fact")
+      def dims0 = Seq(
+        spark.read.parquet(s"$dir/d1") -> Seq("k1" -> "d1k"),
+        spark.read.parquet(s"$dir/d2") -> Seq("k2" -> "d2k"))
+      Rollup.materializeStar(fact0, dims0, Seq("g1", "g2"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/star")
+      RollupRewrite.registerStar(fact0, dims0,
+        spark.read.parquet(s"$dir/star"), Seq("g1", "g2"), Seq("m"))
+      RollupRewrite.enable(spark)
+      def q() = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/d1"), col("k1") === col("d1k"))
+        .join(spark.read.parquet(s"$dir/d2"), col("k2") === col("d2k"))
+        .groupBy("g1", "g2").agg(count(lit(1)).as("n"), sum("m").as("s"),
+          min("m").as("mn"), max("m").as("mx"))
+      def vals(df: DataFrame) = df.collect().map(r => (r.getString(0),
+        r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSet
+      // delete dim-2 file e1 (key 2 → v): retracts every (·,v,·) tuple —
+      // both v groups EMPTY and must drop; u groups untouched
+      RollupRewrite.deleteFiles(spark, Seq(e1), s"$dir/trash")
+      val rep = RollupRewrite.refreshStale(spark, s"$dir/r1",
+        trashDirs = Seq(s"$dir/trash"))
+      assert(rep.size == 1 && rep.head.refreshed &&
+          rep.head.removedFiles.map(p =>
+            new org.apache.hadoop.fs.Path(p).getName) == Seq("e1.parquet"),
+        s"a trash-resolved star dim delete must retract: $rep")
+      val served = q()
+      assert(scanPaths(served).forall(p =>
+          p.contains("/r1/") && p.contains("refreshs")),
+        s"post-retraction serve must ride the retracted star: ${scanPaths(served)}")
+      assert(vals(served) == Set(("a", "u", 1L, 5L, 5L, 5L),
+        ("b", "u", 1L, 7L, 7L, 7L)), s"star retraction wrong: ${vals(served)}")
+      // the retracted summary equals a from-scratch star materialize
+      def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+      assert(rows(spark.read.parquet(rep.head.summaryPath)) ==
+        rows(Rollup.materializeStar(spark.read.parquet(s"$dir/fact"),
+          dims0, Seq("g1", "g2"), Seq("m"))),
+        "retracted star summary must equal a rebuild bit-for-bit")
+      // a delete mixed with an append in the same window refuses
+      writeSlice(Seq((1L, 1L, 9L)).toDF("k1", "k2", "m"), s"$dir/fact", "f9")
+      RollupRewrite.deleteFiles(spark,
+        Seq(s"$dir/d2/e0.parquet"), s"$dir/trash")
+      assert(RollupRewrite.refreshStale(spark, s"$dir/r2",
+          trashDirs = Seq(s"$dir/trash")).forall(r => !r.refreshed),
+        "append + delete in one window must report unrefreshable")
+      assert(scanPaths(q()).contains(s"file:$dir/fact"),
+        "the refused star must fall back to the real joins")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
 

@@ -596,7 +596,11 @@ object RollupRewrite {
       // distinct dashboards over fact ⋈ dim with zero Join nodes
       distinctCols: Seq[String] = Nil, sketchK: Int = 64,
       sketchShapes: Map[String, Expression] = Map.empty,
-      histCols: Seq[String] = Nil)
+      histCols: Seq[String] = Nil,
+      // computed grain dimensions over the JOIN output (r13 — the q191
+      // device at AJI width): name -> normalized shape + re-parseable SQL
+      grainShapes: Map[String, Expression] = Map.empty,
+      grainExprSql: Map[String, String] = Map.empty)
 
   private val joinedDefs =
     new java.util.concurrent.CopyOnWriteArrayList[JoinedRollupDef]
@@ -616,7 +620,11 @@ object RollupRewrite {
                      keys: Seq[(String, String)], summary: DataFrame,
                      groupCols: Seq[String], measures: Seq[String],
                      distinctCols: Seq[String] = Nil, sketchK: Int = 64,
-                     histCols: Seq[String] = Nil): Unit = {
+                     histCols: Seq[String] = Nil,
+                     groupExprOf: Map[String, org.apache.spark.sql.Column] =
+                       Map.empty): Unit = {
+    require(groupExprOf.keySet.subsetOf(groupCols.toSet),
+      s"groupExprOf keys ${groupExprOf.keySet} must be grain columns $groupCols")
     val expect = (Seq(Rollup.CntRows) ++ groupCols ++
       measures.flatMap(m =>
         Seq(s"__sum_$m", s"__cnt_$m", s"__min_$m", s"__max_$m")) ++
@@ -627,7 +635,11 @@ object RollupRewrite {
         s"Rollup.materialize layout for ($groupCols, $measures, $distinctCols, $histCols)")
     val fCols = fact.columns.toSet
     val dCols = dim.columns.toSet
-    (groupCols ++ measures ++ distinctCols ++ histCols).foreach { n =>
+    // computed grains (groupExprOf keys) are STORED summary columns, not
+    // base columns — their side-ownership check is on their REFERENCES,
+    // resolved below against the joined frame
+    (groupCols.filterNot(groupExprOf.contains) ++ measures ++
+        distinctCols ++ histCols).foreach { n =>
       require(fCols.contains(n) ^ dCols.contains(n),
         s"joined-summary column '$n' must exist on exactly ONE side " +
           s"(fact has it: ${fCols.contains(n)}, dim: ${dCols.contains(n)})")
@@ -655,6 +667,26 @@ object RollupRewrite {
         s"could not snapshot hash shape for distinct column '$c'"))
       c -> normalizedShape(expr)
     }.toMap
+    // grain shapes over the JOIN output: computed grains snapshot their
+    // optimizer-normalized expression resolved against the joined frame
+    // (shape normalization erases attribute identity, so the query-side
+    // expression over its own join output matches — the sketch-shape
+    // argument, applied to grains); plain grains are bare attributes
+    val joinedFrame = fact.join(dim, keys.map { case (fk, dk) =>
+      fact(fk) === dim(dk) }.reduce[org.apache.spark.sql.Column](_ && _))
+    val joinedOut = joinedFrame.queryExecution.analyzed.output
+    val grainShapesByName = groupCols.map { g =>
+      groupExprOf.get(g) match {
+        case Some(c) => g -> grainShape(snapshotExpr(joinedFrame, c, g))
+        case None => g -> grainShape(joinedOut.find(_.name == g).getOrElse(
+          throw new IllegalArgumentException(
+            s"plain grain column '$g' is not a join column; pass its " +
+              s"expression via groupExprOf")))
+      }
+    }.toMap
+    val grainSql = groupExprOf.keys.map { g =>
+      g -> snapshotExpr(joinedFrame, groupExprOf(g), g).sql
+    }.toMap
     val d = JoinedRollupDef(
       fRel.location.rootPaths.map(_.toString).toSet,
       dRel.location.rootPaths.map(_.toString).toSet,
@@ -662,7 +694,8 @@ object RollupRewrite {
       fingerprintOf(fRel.location), fingerprintOf(dRel.location),
       fingerprintEntries(fRel.location).toSet,
       fingerprintEntries(dRel.location).toSet,
-      distinctCols, sketchK, shapes, histCols)
+      distinctCols, sketchK, shapes, histCols,
+      grainShapesByName, grainSql)
     import scala.jdk.CollectionConverters._
     joinedDefs.iterator().asScala
       .filter(o => o.factPaths == d.factPaths && o.dimPaths == d.dimPaths &&
@@ -693,7 +726,10 @@ object RollupRewrite {
       factFingerprint: String, factManifest: Set[String],
       distinctCols: Seq[String] = Nil, sketchK: Int = 64,
       sketchShapes: Map[String, Expression] = Map.empty,
-      histCols: Seq[String] = Nil)
+      histCols: Seq[String] = Nil,
+      // computed grain dimensions over the star join output (r13)
+      grainShapes: Map[String, Expression] = Map.empty,
+      grainExprSql: Map[String, String] = Map.empty)
 
   private val starDefs =
     new java.util.concurrent.CopyOnWriteArrayList[StarRollupDef]
@@ -709,9 +745,13 @@ object RollupRewrite {
                    summary: DataFrame,
                    groupCols: Seq[String], measures: Seq[String],
                    distinctCols: Seq[String] = Nil, sketchK: Int = 64,
-                   histCols: Seq[String] = Nil): Unit = {
+                   histCols: Seq[String] = Nil,
+                   groupExprOf: Map[String, org.apache.spark.sql.Column] =
+                     Map.empty): Unit = {
     require(dims.size >= 2,
       "registerStar needs 2+ dims; use registerJoined for one dim")
+    require(groupExprOf.keySet.subsetOf(groupCols.toSet),
+      s"groupExprOf keys ${groupExprOf.keySet} must be grain columns $groupCols")
     val expect = (Seq(Rollup.CntRows) ++ groupCols ++
       measures.flatMap(m =>
         Seq(s"__sum_$m", s"__cnt_$m", s"__min_$m", s"__max_$m")) ++
@@ -723,7 +763,8 @@ object RollupRewrite {
     val sides: Seq[(String, Set[String])] =
       ("fact" -> fact.columns.toSet) +:
         dims.zipWithIndex.map { case ((d, _), i) => s"dim$i" -> d.columns.toSet }
-    (groupCols ++ measures ++ distinctCols ++ histCols).foreach { n =>
+    (groupCols.filterNot(groupExprOf.contains) ++ measures ++
+        distinctCols ++ histCols).foreach { n =>
       require(sides.count(_._2.contains(n)) == 1,
         s"star-summary column '$n' must exist on exactly ONE side " +
           s"(found on: ${sides.collect { case (s, cs) if cs.contains(n) => s }.mkString(",")})")
@@ -754,11 +795,30 @@ object RollupRewrite {
         s"could not snapshot hash shape for distinct column '$c'"))
       c -> normalizedShape(expr)
     }.toMap
+    // grain shapes over the star-join output (the joined-tier device)
+    val starFrame = dims.foldLeft(fact) { case (acc, (dm, ks)) =>
+      acc.join(dm, ks.map { case (fk, dk) => fact(fk) === dm(dk) }
+        .reduce[org.apache.spark.sql.Column](_ && _))
+    }
+    val starOut = starFrame.queryExecution.analyzed.output
+    val grainShapesByName = groupCols.map { g =>
+      groupExprOf.get(g) match {
+        case Some(c) => g -> grainShape(snapshotExpr(starFrame, c, g))
+        case None => g -> grainShape(starOut.find(_.name == g).getOrElse(
+          throw new IllegalArgumentException(
+            s"plain grain column '$g' is not a star-join column; pass " +
+              s"its expression via groupExprOf")))
+      }
+    }.toMap
+    val grainSql = groupExprOf.keys.map { g =>
+      g -> snapshotExpr(starFrame, groupExprOf(g), g).sql
+    }.toMap
     val d = StarRollupDef(
       fRel.location.rootPaths.map(_.toString).toSet, dimDefs,
       summary.queryExecution.analyzed, groupCols, measures,
       fingerprintOf(fRel.location), fingerprintEntries(fRel.location).toSet,
-      distinctCols, sketchK, shapes, histCols)
+      distinctCols, sketchK, shapes, histCols,
+      grainShapesByName, grainSql)
     import scala.jdk.CollectionConverters._
     def ident(x: StarRollupDef) = (x.factPaths,
       x.dims.map(s => (s.paths, s.keyPairs)).toSet, x.groupCols,
@@ -1077,7 +1137,11 @@ object RollupRewrite {
         val dimCurrent = d.dims.map(s =>
           spark.read.parquet(s.paths.toSeq: _*) -> s.keyPairs)
         val dimCols = dimCurrent.flatMap(_._1.columns).toSet
-        val carried = d.groupCols ++ d.measures ++ d.distinctCols ++ d.histCols
+        // computed grains carry their base REFERENCES, not the grain name
+        val carried = d.groupCols.filterNot(d.grainExprSql.contains) ++
+          grainRefNames(spark, d.grainExprSql) ++
+          d.measures ++ d.distinctCols ++ d.histCols
+        val grainExprs = grainExprsOfSql(d.groupCols, d.grainExprSql)
         val neededFact = carried.filterNot(dimCols.contains) ++
           d.dims.flatMap(_.keyPairs.map(_._1))
         def neededDim(i: Int): Seq[String] = {
@@ -1112,7 +1176,9 @@ object RollupRewrite {
           registerStar(spark.read.parquet(d.factPaths.toSeq: _*),
             dimCurrent.map { case (df, keys) => df -> keys.toSeq },
             spark.read.parquet(out), d.groupCols, d.measures,
-            d.distinctCols, d.sketchK, d.histCols)
+            d.distinctCols, d.sketchK, d.histCols,
+            groupExprOf = d.grainExprSql.map { case (n, sq) =>
+              n -> org.apache.spark.sql.functions.expr(sq) })
           RefreshResult(allPaths, d.groupCols, refreshed = true,
             deltaFiles, out, removedFiles)
         }
@@ -1123,7 +1189,7 @@ object RollupRewrite {
           val remSides = (if (fRem.nonEmpty) 1 else 0) +
             dimRem.count(_.nonEmpty)
           val factCur = spark.read.parquet(d.factPaths.toSeq: _*)
-          val groupExprs = d.groupCols.map(g => g -> col(g))
+          val groupExprs = grainExprs
           def retractWith(removedJoined: DataFrame,
                           orig: Seq[String]): RefreshResult =
             finish(Rollup.retract(stored, removedJoined,
@@ -1161,8 +1227,9 @@ object RollupRewrite {
           // ΔF ⋈ every dim CURRENT — all pairs with a new fact row
           val deltaFact = spark.read.parquet(filesOf(fApp): _*)
           if (!neededFact.toSet.subsetOf(deltaFact.columns.toSet)) ok = false
-          else parts += Rollup.materialize(starJoin(deltaFact, dimCurrent),
-            d.groupCols, d.measures, d.distinctCols, d.sketchK, d.histCols)
+          else parts += Rollup.materializeExpr(
+            starJoin(deltaFact, dimCurrent), grainExprs, d.measures,
+            d.distinctCols, d.sketchK, d.histCols)
         }
         if (ok && dimApp.exists(_.nonEmpty)) {
           // one term per appended dim i: F_reg ⋈ dims<i REGISTERED ⋈
@@ -1187,8 +1254,8 @@ object RollupRewrite {
                   else if (j == i) deltaDim -> d.dims(i).keyPairs
                   else dimCurrent(j)
                 }
-                parts += Rollup.materialize(starJoin(oldFact, sides),
-                  d.groupCols, d.measures, d.distinctCols, d.sketchK,
+                parts += Rollup.materializeExpr(starJoin(oldFact, sides),
+                  grainExprs, d.measures, d.distinctCols, d.sketchK,
                   d.histCols)
               }
             }
@@ -1276,16 +1343,20 @@ object RollupRewrite {
       else {
         val dimCur = spark.read.parquet(d.dimPaths.toSeq: _*)
         val factCur = spark.read.parquet(d.factPaths.toSeq: _*)
-        val carried = d.groupCols ++ d.measures ++ d.distinctCols ++ d.histCols
+        // computed grains carry their base REFERENCES, not the grain name
+        val carried = d.groupCols.filterNot(d.grainExprSql.contains) ++
+          grainRefNames(spark, d.grainExprSql) ++
+          d.measures ++ d.distinctCols ++ d.histCols
         val neededFact = carried.filterNot(dimCur.columns.contains) ++
           d.keyPairs.map(_._1)
         val neededDim = carried.filter(dimCur.columns.contains) ++
           d.keyPairs.map(_._2)
+        val grainExprs = grainExprsOfSql(d.groupCols, d.grainExprSql)
         def join2(fact: DataFrame, dim: DataFrame): DataFrame =
           fact.join(dim, d.keyPairs.toSeq.map { case (fk, dk) =>
             fact(fk) === dim(dk) }.reduce(_ && _))
         def joinAgg(fact: DataFrame, dim: DataFrame): DataFrame =
-          Rollup.materialize(join2(fact, dim), d.groupCols, d.measures,
+          Rollup.materializeExpr(join2(fact, dim), grainExprs, d.measures,
             d.distinctCols, d.sketchK, d.histCols)
         val stored = spark.read.parquet(d.summary.collect {
           case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
@@ -1303,7 +1374,9 @@ object RollupRewrite {
           summary.write.mode("overwrite").parquet(out)
           registerJoined(factCur, dimCur, d.keyPairs.toSeq,
             spark.read.parquet(out), d.groupCols, d.measures,
-            d.distinctCols, d.sketchK, d.histCols)
+            d.distinctCols, d.sketchK, d.histCols,
+            groupExprOf = d.grainExprSql.map { case (n, s) =>
+              n -> org.apache.spark.sql.functions.expr(s) })
           RefreshResult(d.factPaths ++ d.dimPaths, d.groupCols,
             refreshed = true, deltaFiles, out, removedFiles)
         }
@@ -1311,7 +1384,7 @@ object RollupRewrite {
           // DELETE path: retract iff the delete is the ONLY change and
           // touches exactly one side (see the scaladoc's disjointness
           // argument); the removed pairs are removed-rows ⋈ other side
-          val groupExprs = d.groupCols.map(g => g -> col(g))
+          val groupExprs = grainExprs
           val res =
             if (fRem.nonEmpty && fApp.isEmpty && dApp.isEmpty && dRem.isEmpty)
               resolveRemoved(spark, fRem, trashDirs).flatMap {
@@ -1437,9 +1510,27 @@ object RollupRewrite {
 
   private def grainExprsOf(d: RollupDef)
       : Seq[(String, org.apache.spark.sql.Column)] =
-    d.groupCols.map(g => g -> d.grainExprSql.get(g)
+    grainExprsOfSql(d.groupCols, d.grainExprSql)
+
+  /** Grain column expressions from (groupCols, snapshotted grain SQL):
+    * computed grains re-parse their SQL, plain grains are bare columns —
+    * shared by the plain, joined, and star maintenance paths. */
+  private def grainExprsOfSql(groupCols: Seq[String],
+      grainExprSql: Map[String, String])
+      : Seq[(String, org.apache.spark.sql.Column)] =
+    groupCols.map(g => g -> grainExprSql.get(g)
       .map(org.apache.spark.sql.functions.expr)
       .getOrElse(org.apache.spark.sql.functions.col(g)))
+
+  /** Base columns a set of computed grains references — what the bare
+    * delta/trash reads must carry instead of the grain names. */
+  private def grainRefNames(spark: SparkSession,
+      grainExprSql: Map[String, String]): Seq[String] =
+    grainExprSql.values.toSeq.flatMap(s =>
+      spark.sessionState.sqlParser.parseExpression(s).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.nameParts.last
+      })
 
   private def storedPathsOf(d: RollupDef): Seq[String] = {
     val paths = d.summary.collect {
@@ -1535,7 +1626,9 @@ object RollupRewrite {
       }.flatten
       require(summaryPaths.nonEmpty,
         "joined summary is not file-backed; cannot persist this registration")
-      Seq("j1",
+      // j2 appends the computed-grain field (name:sql pairs) — j1
+      // manifests (no expression grains) still restore
+      Seq("j2",
         d.factPaths.toSeq.sorted.map(enc).mkString(","),
         d.dimPaths.toSeq.sorted.map(enc).mkString(","),
         d.keyPairs.toSeq.sorted
@@ -1549,7 +1642,9 @@ object RollupRewrite {
         enc(d.factFingerprint),
         d.factManifest.toSeq.sorted.map(enc).mkString(","),
         enc(d.dimFingerprint),
-        d.dimManifest.toSeq.sorted.map(enc).mkString(",")
+        d.dimManifest.toSeq.sorted.map(enc).mkString(","),
+        d.grainExprSql.toSeq.sortBy(_._1)
+          .map { case (n, sq) => s"${enc(n)}:${enc(sq)}" }.mkString(",")
       ).mkString("|")
     }.mkString("", "\n", if (joinedDefs.isEmpty) "" else "\n") +
     starDefs.iterator().asScala.map { d =>
@@ -1570,7 +1665,8 @@ object RollupRewrite {
           s.manifest.toSeq.sorted.map(enc).mkString(",")
         ).mkString("~")
       }.mkString(";")
-      Seq("s1",
+      // s2 appends the computed-grain field; s1 manifests still restore
+      Seq("s2",
         d.factPaths.toSeq.sorted.map(enc).mkString(","),
         dimField,
         summaryPaths.map(enc).mkString(","),
@@ -1580,7 +1676,9 @@ object RollupRewrite {
         d.sketchK.toString,
         d.histCols.map(enc).mkString(","),
         enc(d.factFingerprint),
-        d.factManifest.toSeq.sorted.map(enc).mkString(",")
+        d.factManifest.toSeq.sorted.map(enc).mkString(","),
+        d.grainExprSql.toSeq.sortBy(_._1)
+          .map { case (n, sq) => s"${enc(n)}:${enc(sq)}" }.mkString(",")
       ).mkString("|")
     }.mkString("", "\n", if (starDefs.isEmpty) "" else "\n")
     val p = new org.apache.hadoop.fs.Path(path)
@@ -1616,10 +1714,12 @@ object RollupRewrite {
       val parts = line.split("\\|", -1)
       def list(i: Int): Seq[String] =
         if (parts(i).isEmpty) Nil else parts(i).split(",", -1).toSeq.map(dec)
-      if (parts(0) == "s1") {
+      if (parts(0) == "s1" || parts(0) == "s2") {
         // the STAR tier: register, then patch EVERY side's staleness
-        // state back to the SAVED one
-        require(parts.length == 11, s"corrupt lattice manifest line: '$line'")
+        // state back to the SAVED one (s2 adds the computed-grain field)
+        require((parts(0) == "s1" && parts.length == 11) ||
+            (parts(0) == "s2" && parts.length == 12),
+          s"corrupt lattice manifest line: '$line'")
         val dimSpecs = parts(2).split(";", -1).toSeq.map { g =>
           val fields = g.split("~", -1)
           require(fields.length == 4,
@@ -1633,11 +1733,19 @@ object RollupRewrite {
           (l(0), keys, dec(fields(2)), l(3).toSet)
         }
         val groups = list(4)
+        val starGrains: Map[String, String] =
+          if (parts.length < 12 || parts(11).isEmpty) Map.empty
+          else parts(11).split(",", -1).toSeq.map { kv =>
+            val Array(n, sq) = kv.split(":", 2)
+            dec(n) -> dec(sq)
+          }.toMap
         registerStar(spark.read.parquet(list(1): _*),
           dimSpecs.map { case (paths, keys, _, _) =>
             spark.read.parquet(paths: _*) -> keys },
           spark.read.parquet(list(3): _*), groups, list(5), list(6),
-          parts(7).toInt, list(8))
+          parts(7).toInt, list(8),
+          groupExprOf = starGrains.map { case (n, sq) =>
+            n -> org.apache.spark.sql.functions.expr(sq) })
         val o = starDefs.get(starDefs.size - 1)
         require(o.groupCols == groups,
           "internal: restore patch must target the registration it just added")
@@ -1651,19 +1759,30 @@ object RollupRewrite {
                 "internal: restored star dim must match a saved dim spec"))
             s.copy(fingerprint = saved._3, manifest = saved._4)
           }))
-      } else if (parts(0) == "j1") {
+      } else if (parts(0) == "j1" || parts(0) == "j2") {
         // the AJI tier: register, then patch BOTH sides' staleness state
-        // back to the SAVED one (the v3 lesson, per side)
-        require(parts.length == 14, s"corrupt lattice manifest line: '$line'")
+        // back to the SAVED one (the v3 lesson, per side; j2 adds the
+        // computed-grain field)
+        require((parts(0) == "j1" && parts.length == 14) ||
+            (parts(0) == "j2" && parts.length == 15),
+          s"corrupt lattice manifest line: '$line'")
         val keys = parts(3).split(",", -1).toSeq.map { kv =>
           val Array(f, k) = kv.split(":", 2)
           dec(f) -> dec(k)
         }
         val groups = list(5)
+        val jGrains: Map[String, String] =
+          if (parts.length < 15 || parts(14).isEmpty) Map.empty
+          else parts(14).split(",", -1).toSeq.map { kv =>
+            val Array(n, sq) = kv.split(":", 2)
+            dec(n) -> dec(sq)
+          }.toMap
         registerJoined(spark.read.parquet(list(1): _*),
           spark.read.parquet(list(2): _*), keys,
           spark.read.parquet(list(4): _*), groups, list(6), list(7),
-          parts(8).toInt, list(9))
+          parts(8).toInt, list(9),
+          groupExprOf = jGrains.map { case (n, sq) =>
+            n -> org.apache.spark.sql.functions.expr(sq) })
         val o = joinedDefs.get(joinedDefs.size - 1)
         require(o.groupCols == groups,
           "internal: restore patch must target the registration it just added")
@@ -2106,16 +2225,17 @@ object RollupRewrite {
         spliceDeltaUnion(key, d.summary, {
           val deltaFact = spark.read.parquet(deltaFiles: _*)
           val dim = spark.read.parquet(d.dimPaths.toSeq: _*)
-          val neededFact = (d.groupCols ++ d.measures ++ d.distinctCols ++
-            d.histCols).filterNot(dim.columns.contains) ++
+          val neededFact = (d.groupCols.filterNot(d.grainExprSql.contains) ++
+            grainRefNames(spark, d.grainExprSql) ++ d.measures ++
+            d.distinctCols ++ d.histCols).filterNot(dim.columns.contains) ++
             d.keyPairs.map(_._1)
           if (!neededFact.toSet.subsetOf(deltaFact.columns.toSet)) None
           else {
             val cond = d.keyPairs.toSeq.map { case (fk, dk) =>
               deltaFact(fk) === dim(dk) }.reduce(_ && _)
-            Some(Rollup.materialize(deltaFact.join(dim, cond),
-              d.groupCols, d.measures, d.distinctCols, d.sketchK,
-              d.histCols))
+            Some(Rollup.materializeExpr(deltaFact.join(dim, cond),
+              grainExprsOfSql(d.groupCols, d.grainExprSql), d.measures,
+              d.distinctCols, d.sketchK, d.histCols))
           }
         })
       } finally inCompensation.set(java.lang.Boolean.FALSE)
@@ -2513,7 +2633,8 @@ object RollupRewrite {
       def asDef(d: StarRollupDef): RollupDef =
         RollupDef(d.factPaths ++ d.dims.flatMap(_.paths), d.summary,
           d.groupCols, d.measures, d.distinctCols, d.sketchK,
-          d.sketchShapes, histCols = d.histCols)
+          d.sketchShapes, grainShapes = d.grainShapes,
+          grainExprSql = d.grainExprSql, histCols = d.histCols)
       def isFresh(d: StarRollupDef): Boolean =
         d.factFingerprint == fingerprintOf(locByPaths(d.factPaths)) &&
           d.dims.forall(s =>
@@ -2569,8 +2690,9 @@ object RollupRewrite {
           val dimsCur = d.dims.map(s =>
             spark.read.parquet(s.paths.toSeq: _*) -> s.keyPairs)
           val dimCols = dimsCur.flatMap(_._1.columns).toSet
-          val neededFact = (d.groupCols ++ d.measures ++ d.distinctCols ++
-            d.histCols).filterNot(dimCols.contains) ++
+          val neededFact = (d.groupCols.filterNot(d.grainExprSql.contains) ++
+            grainRefNames(spark, d.grainExprSql) ++ d.measures ++
+            d.distinctCols ++ d.histCols).filterNot(dimCols.contains) ++
             d.dims.flatMap(_.keyPairs.map(_._1))
           if (!neededFact.toSet.subsetOf(deltaFact.columns.toSet)) None
           else {
@@ -2579,7 +2701,8 @@ object RollupRewrite {
                 acc.join(dim, keys.toSeq.map { case (fk, dk) =>
                   deltaFact(fk) === dim(dk) }.reduce(_ && _))
             }
-            Some(Rollup.materialize(joined, d.groupCols, d.measures,
+            Some(Rollup.materializeExpr(joined,
+              grainExprsOfSql(d.groupCols, d.grainExprSql), d.measures,
               d.distinctCols, d.sketchK, d.histCols))
           }
         })
@@ -2696,6 +2819,7 @@ object RollupRewrite {
       def asDef(d: JoinedRollupDef): RollupDef =
         RollupDef(d.factPaths ++ d.dimPaths, d.summary, d.groupCols,
           d.measures, d.distinctCols, d.sketchK, d.sketchShapes,
+          grainShapes = d.grainShapes, grainExprSql = d.grainExprSql,
           histCols = d.histCols)
       fresh.view.flatMap(d => tryRewriteWith(agg, conds, subst, asDef(d)))
         .headOption

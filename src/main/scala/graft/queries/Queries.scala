@@ -6242,6 +6242,124 @@ object Queries {
     }
   }
 
+  /** COMPUTED-DIMENSION GRAINS THROUGH THE JOINED AND STAR TIERS (r13 —
+    * the q191 device at AJI/star width; the most common BI dashboard is
+    * a month() × dimension-attribute grid over a star join, and until
+    * now only the PLAIN tier could store an expression grain): an AJI
+    * over `orders ⋈ customer` grained by (month(o_orderdate),
+    * c_mktsegment) — the month is an EXPRESSION over the fact side,
+    * snapshotted as an optimizer-normalized shape over the JOIN output —
+    * serves the raw join-aggregate join-free (leg `grp`), a WHERE
+    * month(...)=3 filter leg (`mar`, the inferred isnotnull dropping via
+    * null-intolerance), and a fact-append delta refresh folded through
+    * the RE-PARSED grain SQL (leg `ref`, delta file pinned); a star
+    * summary over `lineitem ⋈ part ⋈ supplier` grained by
+    * (month(l_shipdate), s_nationkey) serves its computed-grain star
+    * aggregate the same way (leg `star`). Every leg plan-required on its
+    * summary with ZERO Join nodes. Integer measures; DuckDB month() is
+    * BIGINT → CAST to INT. */
+  def q218ExprGrainJoined(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q218_exprjoin")
+      .toFile.getAbsolutePath
+    def requireOn(df: DataFrame, tag: String, name: String): DataFrame = {
+      val scans = R.scanRootPaths(df)
+      require(scans.nonEmpty && scans.forall(_.contains(tag)),
+        s"$name must serve from its summary alone — $scans")
+      require(df.queryExecution.optimizedPlan.collect {
+          case j: LJoin => j }.isEmpty,
+        s"$name must contain NO serve-time join")
+      df
+    }
+    val nullI = lit(null).cast("int")
+    val nullS = lit(null).cast("string")
+    R.enable(s)
+    try {
+      // ---- AJI: (month(o_orderdate), c_mktsegment) over orders ⋈ customer
+      (0 until 3).foreach { sl =>
+        writeNamedSlice(tbl(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+          .filter(col("o_orderkey") % 4 === sl), s"$tmpRoot/fact", s"s$sl")
+      }
+      tbl(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$tmpRoot/dim")
+      val dim = s.read.parquet(s"$tmpRoot/dim")
+      def fact = s.read.parquet(s"$tmpRoot/fact")
+      def joined = fact.join(dim, col("o_custkey") === col("c_custkey"))
+      graft.plan.Rollup.materializeExpr(joined,
+          Seq("om" -> month(col("o_orderdate")),
+            "c_mktsegment" -> col("c_mktsegment")), Seq("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$tmpRoot/aji")
+      R.registerJoined(fact, dim, Seq("o_custkey" -> "c_custkey"),
+        s.read.parquet(s"$tmpRoot/aji"), Seq("om", "c_mktsegment"),
+        Seq("o_orderkey"),
+        groupExprOf = Map("om" -> month(col("o_orderdate"))))
+      def ajiAgg(leg: String) = joined
+        .groupBy(month(col("o_orderdate")).as("om"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_ok"),
+          min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+        .select(lit(leg).as("leg"), col("om"),
+          col("c_mktsegment").as("seg"), nullI.as("nk"), col("n_rows"),
+          col("sum_ok"), col("mn"), col("mx"))
+      val grp = requireOn(ajiAgg("grp"), "/aji", "grp leg")
+      val mar = requireOn(joined.filter(month(col("o_orderdate")) === 3)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_ok"),
+          min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+        .select(lit("mar").as("leg"), lit(3).as("om"),
+          col("c_mktsegment").as("seg"), nullI.as("nk"), col("n_rows"),
+          col("sum_ok"), col("mn"), col("mx")), "/aji", "mar leg")
+      val head = materializeSmall(s, grp.unionByName(mar))
+      // fact append: the delta folds through the RE-PARSED grain SQL
+      writeNamedSlice(tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .filter(col("o_orderkey") % 4 === 3), s"$tmpRoot/fact", "s3")
+      val rep = R.refreshStale(s, s"$tmpRoot/ref")
+      require(rep.size == 1 && rep.head.refreshed &&
+          rep.head.deltaFiles.map(p =>
+            p.substring(p.lastIndexOf('/') + 1)) == Seq("s3.parquet"),
+        s"the computed-grain AJI must delta-refresh from exactly s3: $rep")
+      val ref = requireOn(ajiAgg("ref"), "refreshj", "ref leg")
+      val refOut = materializeSmall(s, ref)
+      R.clear() // isolate the star leg
+      // ---- STAR: (month(l_shipdate), s_nationkey) over li ⋈ part ⋈ supp
+      tbl(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_orderkey", "l_shipdate")
+        .write.mode("overwrite").parquet(s"$tmpRoot/sfact")
+      tbl(s, dir, "part").select("p_partkey", "p_brand")
+        .write.mode("overwrite").parquet(s"$tmpRoot/d1")
+      tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .write.mode("overwrite").parquet(s"$tmpRoot/d2")
+      val sfact = s.read.parquet(s"$tmpRoot/sfact")
+      val dims = Seq(
+        s.read.parquet(s"$tmpRoot/d1") -> Seq("l_partkey" -> "p_partkey"),
+        s.read.parquet(s"$tmpRoot/d2") -> Seq("l_suppkey" -> "s_suppkey"))
+      def starJoin = sfact
+        .join(dims(0)._1, col("l_partkey") === col("p_partkey"))
+        .join(dims(1)._1, col("l_suppkey") === col("s_suppkey"))
+      graft.plan.Rollup.materializeExpr(starJoin,
+          Seq("om" -> month(col("l_shipdate")),
+            "s_nationkey" -> col("s_nationkey")), Seq("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$tmpRoot/star")
+      R.registerStar(sfact, dims, s.read.parquet(s"$tmpRoot/star"),
+        Seq("om", "s_nationkey"), Seq("l_orderkey"),
+        groupExprOf = Map("om" -> month(col("l_shipdate"))))
+      val star = requireOn(starJoin
+        .groupBy(month(col("l_shipdate")).as("om"), col("s_nationkey"))
+        .agg(count(lit(1)).as("n_rows"), sum("l_orderkey").as("sum_ok"),
+          min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+        .select(lit("star").as("leg"), col("om"), nullS.as("seg"),
+          col("s_nationkey").as("nk"), col("n_rows"), col("sum_ok"),
+          col("mn"), col("mx")), "/star", "star leg")
+      materializeAndCleanup(s, head.unionByName(refOut).unionByName(star),
+        tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** COMPUTED-DIMENSION grain serving ([[graft.plan.RollupRewrite]] —
     * VERDICT r10 #1, the optimizer tier's sharpest real-user edge): a
     * summary grained by `month(o_orderdate)` — a stored EXPRESSION value,
@@ -6984,7 +7102,8 @@ object Queries {
     "q214_versioned_summary" -> (q214VersionedSummary _),
     "q215_cross_tier_design" -> (q215CrossTierDesign _),
     "q216_star_navigation" -> (q216StarNavigation _),
-    "q217_joined_star_retract" -> (q217JoinedStarRetract _))
+    "q217_joined_star_retract" -> (q217JoinedStarRetract _),
+    "q218_expr_grain_joined" -> (q218ExprGrainJoined _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -9368,6 +9487,39 @@ object Queries {
         |SELECT 'filtered', p_brand, CAST(NULL AS INT), count(*),
         | CAST(sum(l_orderkey) AS BIGINT), min(l_orderkey), max(l_orderkey)
         |FROM j WHERE s_nationkey = 3 GROUP BY 2""".stripMargin,
+    // q218: computed-dimension grains through the AJI and star tiers —
+    // the oracle recomputes every leg from the raw joins (grp/mar on the
+    // 3-slice registered state, ref on the full table after the append,
+    // star on the full star join). A shape mismatch falls through to the
+    // base and trips the in-query plan requires; a refresh that
+    // mis-folds the delta through the grain expression hash-fails.
+    // DuckDB month() is BIGINT → CAST to INT; integer measures.
+    "q218_expr_grain_joined" ->
+      """WITH ob AS (SELECT o_orderkey,
+        |  month(CAST(o_orderdate AS DATE)) AS m, c_mktsegment
+        | FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT 'grp' AS leg, CAST(m AS INT) AS om, c_mktsegment AS seg,
+        | CAST(NULL AS INT) AS nk, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+        | min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |FROM ob WHERE o_orderkey % 4 <> 3 GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'mar', CAST(3 AS INT), c_mktsegment, CAST(NULL AS INT),
+        | count(*), CAST(sum(o_orderkey) AS BIGINT),
+        | min(o_orderkey), max(o_orderkey)
+        |FROM ob WHERE o_orderkey % 4 <> 3 AND m = 3 GROUP BY 3
+        |UNION ALL
+        |SELECT 'ref', CAST(m AS INT), c_mktsegment, CAST(NULL AS INT),
+        | count(*), CAST(sum(o_orderkey) AS BIGINT),
+        | min(o_orderkey), max(o_orderkey)
+        |FROM ob GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'star', CAST(month(CAST(l_shipdate AS DATE)) AS INT),
+        | CAST(NULL AS VARCHAR), s_nationkey, count(*),
+        | CAST(sum(l_orderkey) AS BIGINT), min(l_orderkey), max(l_orderkey)
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 2, 4""".stripMargin,
     // q217: joined/star delete retraction — each leg's oracle is the
     // reduced-corpus join recompute (the deleted slice's key predicate
     // inverted). A missed retraction serves pre-delete values, a

@@ -2785,6 +2785,165 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("joined summary: COMPUTED grain serves, filters, refreshes, retracts, compensates, persists (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("aji_exprgrain").toString
+    try {
+      def factDf(rows: Seq[(Long, String, Long)]) =
+        rows.toDF("k", "ds", "m")
+          .select(col("k"), to_date(col("ds")).as("d"), col("m"))
+      writeSlice(factDf(Seq((1L, "2024-01-05", 10L), (1L, "2024-02-10", 20L),
+        (2L, "2024-01-15", 30L))), s"$dir/fact", "f0")
+      writeSlice(Seq((1L, "x"), (2L, "y")).toDF("dk", "seg"),
+        s"$dir/dim", "d0")
+      def buildAndRegister(): Unit = {
+        // fresh reads: the registration must bind the CURRENT listing
+        val f = spark.read.parquet(s"$dir/fact")
+        val dm = spark.read.parquet(s"$dir/dim")
+        val joined = f.join(dm, col("k") === col("dk"))
+        Rollup.materializeExpr(joined,
+            Seq("om" -> month(col("d")), "seg" -> col("seg")), Seq("m"))
+          .write.mode("overwrite").parquet(s"$dir/aji")
+        RollupRewrite.registerJoined(f, dm, Seq("k" -> "dk"),
+          spark.read.parquet(s"$dir/aji"), Seq("om", "seg"), Seq("m"),
+          groupExprOf = Map("om" -> month(col("d"))))
+      }
+      buildAndRegister()
+      RollupRewrite.enable(spark)
+      def q() = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim"), col("k") === col("dk"))
+        .groupBy(month(col("d")).as("om"), col("seg"))
+        .agg(count(lit(1)).as("n"), sum("m").as("s"))
+      def qf() = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim"), col("k") === col("dk"))
+        .filter(month(col("d")) === 1).groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("m").as("s"))
+      def vals(df: DataFrame) = df.collect().map(_.toSeq).toSet
+      def want(df: => DataFrame): Set[Seq[Any]] = {
+        RollupRewrite.disable(spark)
+        try vals(df) finally RollupRewrite.enable(spark)
+      }
+      def joinFree(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.isEmpty
+      // serve: month() over the join rides the AJI, join-free
+      assert(scanPaths(q()) == Set(s"file:$dir/aji") && joinFree(q()),
+        s"computed-grain join-aggregate must ride the AJI: ${scanPaths(q())}")
+      assert(vals(q()) == want(q()) && vals(q()).nonEmpty)
+      // filter on the grain expression serves too (inferred isnotnull
+      // drops via the null-intolerance device)
+      assert(scanPaths(qf()) == Set(s"file:$dir/aji") && joinFree(qf()),
+        s"grain-expression filter must ride the AJI: ${scanPaths(qf())}")
+      assert(vals(qf()) == want(qf()) && vals(qf()).nonEmpty)
+      // a DIFFERENT expression must fall back to the base join
+      val other = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim"), col("k") === col("dk"))
+        .groupBy(year(col("d")).as("oy")).agg(count(lit(1)).as("n"))
+      assert(scanPaths(other).exists(_.contains("/fact")),
+        "year() must not match the month() AJI grain")
+      // REFRESH: a fact append folds through the re-parsed grain expr
+      val f1 = writeSlice(factDf(Seq((2L, "2024-03-20", 40L),
+        (1L, "2024-01-25", 50L))), s"$dir/fact", "f1")
+      val rep = RollupRewrite.refreshStale(spark, s"$dir/ref")
+      assert(rep.size == 1 && rep.head.refreshed &&
+        rep.head.deltaFiles.map(p =>
+          p.substring(p.lastIndexOf('/') + 1)) == Seq("f1.parquet"),
+        s"computed-grain AJI must delta-refresh: $rep")
+      assert(scanPaths(q()).forall(_.contains("refreshj")) && joinFree(q()))
+      assert(vals(q()) == want(q()))
+      // RETRACTION: delete the appended slice through the trash protocol
+      RollupRewrite.deleteFiles(spark, Seq(f1), s"$dir/trash")
+      val rep2 = RollupRewrite.refreshStale(spark, s"$dir/ret",
+        trashDirs = Seq(s"$dir/trash"))
+      assert(rep2.size == 1 && rep2.head.refreshed &&
+        rep2.head.removedFiles.map(p =>
+          p.substring(p.lastIndexOf('/') + 1)) == Seq("f1.parquet"),
+        s"computed-grain AJI must retract the delete: $rep2")
+      assert(scanPaths(q()).forall(_.contains("/ret/")) && joinFree(q()))
+      assert(vals(q()) == want(q()))
+      // COMPENSATION: append without refresh; serve = summary + delta only
+      RollupRewrite.setCompensation(true)
+      writeSlice(factDf(Seq((2L, "2024-02-28", 60L))), s"$dir/fact", "f2")
+      val comp = q()
+      val cScans = scanPaths(comp)
+      assert(cScans.exists(_.contains("/ret/")) &&
+        !cScans.exists(_.endsWith("/fact")) &&
+        cScans.exists(_.endsWith("f2.parquet")),
+        s"compensated computed-grain serve must read summary + delta only: $cScans")
+      assert(vals(comp) == want(q()))
+      RollupRewrite.setCompensation(false)
+      // PERSISTENCE: j2 round-trips the grain SQL
+      buildAndRegister() // fold f2 in durably (rebuild) before saving
+      RollupRewrite.save(spark, s"$dir/lattice/manifest")
+      RollupRewrite.clear()
+      assert(RollupRewrite.restore(spark, s"$dir/lattice/manifest") == 1)
+      assert(scanPaths(q()) == Set(s"file:$dir/aji") && joinFree(q()),
+        s"restored computed-grain AJI must serve: ${scanPaths(q())}")
+      assert(vals(q()) == want(q()))
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.setCompensation(false)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("star summary: COMPUTED grain over the fact side serves and refreshes with a dim append (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("star_exprgrain").toString
+    try {
+      writeSlice(Seq((1L, 1L, "2024-01-05", 5L), (1L, 2L, "2024-02-10", 6L),
+          (2L, 1L, "2024-01-15", 7L), (2L, 2L, "2024-03-01", 8L))
+        .toDF("k1", "k2", "ds", "m")
+        .select(col("k1"), col("k2"), to_date(col("ds")).as("d"), col("m")),
+        s"$dir/fact", "f0")
+      writeSlice(Seq((1L, "a"), (2L, "b")).toDF("d1k", "g1"), s"$dir/d1", "c0")
+      writeSlice(Seq((1L, "u")).toDF("d2k", "g2"), s"$dir/d2", "e0")
+      val fact0 = spark.read.parquet(s"$dir/fact")
+      def dims0 = Seq(
+        spark.read.parquet(s"$dir/d1") -> Seq("k1" -> "d1k"),
+        spark.read.parquet(s"$dir/d2") -> Seq("k2" -> "d2k"))
+      def starJoin() = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/d1"), col("k1") === col("d1k"))
+        .join(spark.read.parquet(s"$dir/d2"), col("k2") === col("d2k"))
+      Rollup.materializeExpr(starJoin(),
+          Seq("om" -> month(col("d")), "g2" -> col("g2")), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/star")
+      RollupRewrite.registerStar(fact0, dims0,
+        spark.read.parquet(s"$dir/star"), Seq("om", "g2"), Seq("m"),
+        groupExprOf = Map("om" -> month(col("d"))))
+      RollupRewrite.enable(spark)
+      def q() = starJoin().groupBy(month(col("d")).as("om"), col("g2"))
+        .agg(count(lit(1)).as("n"), sum("m").as("s"))
+      def vals(df: DataFrame) = df.collect().map(_.toSeq).toSet
+      def want(df: => DataFrame): Set[Seq[Any]] = {
+        RollupRewrite.disable(spark)
+        try vals(df) finally RollupRewrite.enable(spark)
+      }
+      def joinFree(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.isEmpty
+      assert(scanPaths(q()) == Set(s"file:$dir/star") && joinFree(q()),
+        s"computed-grain star aggregate must ride the star summary: ${scanPaths(q())}")
+      assert(vals(q()) == want(q()) && vals(q()).nonEmpty)
+      // dim-2 append: the telescoping refresh folds F_reg ⋈ ΔD2 through
+      // the re-parsed grain expression (k2=2 rows exist ONLY in old fact)
+      writeSlice(Seq((2L, "v")).toDF("d2k", "g2"), s"$dir/d2", "e1")
+      val rep = RollupRewrite.refreshStale(spark, s"$dir/ref")
+      assert(rep.size == 1 && rep.head.refreshed &&
+        rep.head.deltaFiles.map(p =>
+          p.substring(p.lastIndexOf('/') + 1)) == Seq("e1.parquet"),
+        s"computed-grain star must fold the dim append: $rep")
+      assert(scanPaths(q()).forall(_.contains("refreshs")) && joinFree(q()))
+      assert(vals(q()) == want(q()) &&
+        vals(q()).exists(_.head == 2), "the Feb row must appear via F_reg ⋈ ΔD2")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("joined summary: non-matching keys, outer joins, and name collisions refuse") {
     val dir = java.nio.file.Files.createTempDirectory("aji_refuse").toString
     try {

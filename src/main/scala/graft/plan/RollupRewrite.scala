@@ -2605,14 +2605,20 @@ object RollupRewrite {
       }
       if (capturing) {
         // STAR-JOIN-AGGREGATE capture (the designStar input) — same
-        // conventions as the joined capture: plain-attribute grains
-        // only, inferred isnotnull(key) conjuncts already excluded
+        // conventions as the joined capture: plain grains by name,
+        // expression grains by resolved SQL (r13), inferred
+        // isnotnull(key) conjuncts already excluded
         def nameOfS(e: Expression): Option[String] =
           resolve(e, subst) match {
             case a: AttributeReference => Some(a.name)
             case _ => None
           }
-        val grains = agg.groupingExpressions.map(nameOfS)
+        val grains = agg.groupingExpressions.map(g =>
+          resolve(g, subst) match {
+            case a: AttributeReference => Some(a.name)
+            case e if e.references.nonEmpty && e.deterministic => Some(e.sql)
+            case _ => None
+          })
         if (grains.forall(_.isDefined)) {
           val filterCols =
             conds.flatMap(c => resolve(c, subst).references.map(_.name)).toSet
@@ -2763,11 +2769,17 @@ object RollupRewrite {
       val lPaths = lRel.location.rootPaths.map(_.toString).toSet
       val rPaths = rRel.location.rootPaths.map(_.toString).toSet
       if (capturing) {
-        // JOIN-AGGREGATE capture (the AJI design input): grains must be
-        // plain attributes, measures classify like the single-table
-        // path; inferred isnotnull(key) conjuncts DROP at serve time,
-        // so their references must not over-constrain the designer
-        val grains = agg.groupingExpressions.map(nameOf)
+        // JOIN-AGGREGATE capture (the AJI design input): plain grains
+        // record their column name, EXPRESSION grains their resolved
+        // SQL (r13 — the q191 capture convention at join width);
+        // inferred isnotnull(key) conjuncts DROP at serve time, so
+        // their references must not over-constrain the designer
+        val grains = agg.groupingExpressions.map(g =>
+          resolve(g, subst) match {
+            case a: AttributeReference => Some(a.name)
+            case e if e.references.nonEmpty && e.deterministic => Some(e.sql)
+            case _ => None
+          })
         val keyNames0 = pairs.flatMap(p => Seq(p._1, p._2))
         val filterCols = (lConds ++ rConds ++ topConds).flatMap(conjunctsOf)
           .filterNot { c =>

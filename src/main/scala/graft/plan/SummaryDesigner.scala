@@ -144,8 +144,10 @@ object SummaryDesigner {
     * cardinalities computed over the JOINED frame (one join-sized
     * advisor pass — approx mode via `sketchCardK` keeps it cube-free),
     * and each advised grain carries the union of the needs of the
-    * queries it serves. Grains are plain columns from either side (the
-    * AJI contract); `grainExprSql` is always empty here. Deterministic
+    * queries it serves. Grains are plain columns from either
+    * side, or EXPRESSION grains captured by resolved SQL and
+    * synthesized as `__g` columns over the join output (r13 — the
+    * q191 machinery at join width). Deterministic
     * like [[design]]. Returns Nil when nothing servable was captured
     * for this join. */
   def designJoined(fact: DataFrame, dim: DataFrame,
@@ -168,20 +170,31 @@ object SummaryDesigner {
         val joined = fact.join(dim, cond)
         val joinedCols = joined.columns.toSet
         val tokens = entries.flatMap(reqOf).distinct.sorted
-        // a requirement outside the join's columns cannot be designed for
-        val designable = entries.filter(e =>
-          reqOf(e).subsetOf(joinedCols) && e.grain.nonEmpty)
+        // expression grain tokens synthesize __g columns over the JOIN
+        // output — the q191/designInner machinery at join width (r13);
+        // filter columns are always plain reference names
+        val designable = entries.filter(_.grain.nonEmpty)
         if (designable.isEmpty) Nil
         else {
-          val dims = tokens.filter(joinedCols.contains).map(t => t -> col(t))
-          val workload = designable.map(reqOf)
+          val dims: Seq[(String, Column)] = tokens.map { t =>
+            dimName(t, joinedCols) ->
+              (if (joinedCols.contains(t)) col(t) else expr(t))
+          }
+          val nameOf: Map[String, String] =
+            tokens.map(t => t -> dimName(t, joinedCols)).toMap
+          val workload = designable.map(e => reqOf(e).map(nameOf))
           val advice = LatticeAdvisor.advise(joined, dims, workload,
             math.min(k, 1 << dims.size), sketchCardK)
           advice.flatMap { a =>
             val g = a.grain.toSet
-            val served = designable.filter(e => reqOf(e).subsetOf(g))
+            val served = designable.filter(e =>
+              reqOf(e).map(nameOf).subsetOf(g))
             if (served.isEmpty) None
-            else Some(SummarySpec(a.grain, Map.empty,
+            else Some(SummarySpec(a.grain,
+              a.grain.collect {
+                case n if !joinedCols.contains(n) =>
+                  n -> tokens.find(t => nameOf(t) == n).get
+              }.toMap,
               served.flatMap(_.measures).distinct.sorted,
               served.flatMap(_.sketchCols).distinct.sorted,
               served.flatMap(_.histCols).distinct.sorted,
@@ -205,11 +218,16 @@ object SummaryDesigner {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString.take(8)
       val out = s"$outDir/designj_${i}_$digest"
-      Rollup.materializeJoined(fact, dim, keys, sp.grainCols, sp.measures,
+      val grainExprs = sp.grainCols.map(g =>
+        g -> sp.grainExprSql.get(g).map(expr).getOrElse(col(g)))
+      val joined = fact.join(dim, keys.map { case (f, d) =>
+        fact(f) === dim(d) }.reduce[Column](_ && _))
+      Rollup.materializeExpr(joined, grainExprs, sp.measures,
           sp.distinctCols, sp.sketchK, sp.histCols)
         .write.mode("overwrite").parquet(out)
       RollupRewrite.registerJoined(fact, dim, keys, spark.read.parquet(out),
-        sp.grainCols, sp.measures, sp.distinctCols, sp.sketchK, sp.histCols)
+        sp.grainCols, sp.measures, sp.distinctCols, sp.sketchK, sp.histCols,
+        groupExprOf = sp.grainExprSql.map { case (n, sql) => n -> expr(sql) })
       out
     })
 
@@ -238,19 +256,29 @@ object SummaryDesigner {
         }
         val joinedCols = joined.columns.toSet
         val tokens = entries.flatMap(reqOf).distinct.sorted
-        val designable = entries.filter(e =>
-          reqOf(e).subsetOf(joinedCols) && e.grain.nonEmpty)
+        // expression grain tokens synthesize __g columns (r13)
+        val designable = entries.filter(_.grain.nonEmpty)
         if (designable.isEmpty) Nil
         else {
-          val dcols = tokens.filter(joinedCols.contains).map(t => t -> col(t))
-          val workload = designable.map(reqOf)
+          val dcols: Seq[(String, Column)] = tokens.map { t =>
+            dimName(t, joinedCols) ->
+              (if (joinedCols.contains(t)) col(t) else expr(t))
+          }
+          val nameOf: Map[String, String] =
+            tokens.map(t => t -> dimName(t, joinedCols)).toMap
+          val workload = designable.map(e => reqOf(e).map(nameOf))
           val advice = LatticeAdvisor.advise(joined, dcols, workload,
             math.min(k, 1 << dcols.size), sketchCardK)
           advice.flatMap { a =>
             val g = a.grain.toSet
-            val served = designable.filter(e => reqOf(e).subsetOf(g))
+            val served = designable.filter(e =>
+              reqOf(e).map(nameOf).subsetOf(g))
             if (served.isEmpty) None
-            else Some(SummarySpec(a.grain, Map.empty,
+            else Some(SummarySpec(a.grain,
+              a.grain.collect {
+                case n if !joinedCols.contains(n) =>
+                  n -> tokens.find(t => nameOf(t) == n).get
+              }.toMap,
               served.flatMap(_.measures).distinct.sorted,
               served.flatMap(_.sketchCols).distinct.sorted,
               served.flatMap(_.histCols).distinct.sorted,
@@ -693,11 +721,18 @@ object SummaryDesigner {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString.take(8)
       val out = s"$outDir/designs_${i}_$digest"
-      Rollup.materializeStar(fact, dims, sp.grainCols, sp.measures,
+      val grainExprs = sp.grainCols.map(g =>
+        g -> sp.grainExprSql.get(g).map(expr).getOrElse(col(g)))
+      val starJoined = dims.foldLeft(fact) { case (acc, (d, keys)) =>
+        acc.join(d, keys.map { case (f, dk) =>
+          fact(f) === d(dk) }.reduce[Column](_ && _))
+      }
+      Rollup.materializeExpr(starJoined, grainExprs, sp.measures,
           sp.distinctCols, sp.sketchK, sp.histCols)
         .write.mode("overwrite").parquet(out)
       RollupRewrite.registerStar(fact, dims, spark.read.parquet(out),
-        sp.grainCols, sp.measures, sp.distinctCols, sp.sketchK, sp.histCols)
+        sp.grainCols, sp.measures, sp.distinctCols, sp.sketchK, sp.histCols,
+        groupExprOf = sp.grainExprSql.map { case (n, sql) => n -> expr(sql) })
       out
     })
 }

@@ -271,6 +271,61 @@ class SummaryDesignerSpec extends SparkSpec {
     }
   }
 
+  test("designJoined synthesizes EXPRESSION grains: month() join workload captures by SQL, designs, builds, serves join-free (r13)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val dir = java.nio.file.Files.createTempDirectory("designer_je").toString
+    try {
+      // repeating (month, seg) pairs give the expression grain positive
+      // HRU benefit over the 8-row join
+      Seq((1L, "2024-01-05", 10L), (1L, "2024-01-25", 20L),
+          (2L, "2024-02-05", 30L), (2L, "2024-02-25", 40L),
+          (1L, "2024-01-15", 11L), (2L, "2024-02-15", 31L),
+          (1L, "2024-02-01", 21L), (2L, "2024-01-01", 41L))
+        .toDF("k", "ds", "m")
+        .select(col("k"), to_date(col("ds")).as("d"), col("m"))
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      Seq((1L, "s1"), (2L, "s2")).toDF("dk", "seg")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+      val keys = Seq("k" -> "dk")
+      def joined = fact.join(dim, col("k") === col("dk"))
+      def w = joined.groupBy(month(col("d")).as("om"), col("seg"))
+        .agg(count(lit(1)).as("n"), sum("m").as("s"))
+      RollupRewrite.enable(spark)
+      RollupRewrite.startWorkloadCapture()
+      w.queryExecution.optimizedPlan
+      val cap = RollupRewrite.capturedJoinedEntries(
+        scanPaths(fact), scanPaths(dim), keys)
+      assert(cap.exists(e => e.servable &&
+          e.grain.exists(_.startsWith("month(")) && e.grain.contains("seg")),
+        s"joined capture must record the expression grain by SQL: $cap")
+      RollupRewrite.stopWorkloadCapture()
+      val specs = SummaryDesigner.designJoined(fact, dim, keys, k = 1)
+      assert(specs.size == 1, s"expected one designed AJI: $specs")
+      val sp = specs.head
+      assert(sp.grainCols.exists(_.startsWith("__g")) &&
+          sp.grainCols.contains("seg") &&
+          sp.grainExprSql.values.exists(_.contains("month(")),
+        s"the design must synthesize the month() grain: $sp")
+      val outs = SummaryDesigner.buildAndRegisterJoined(
+        spark, fact, dim, keys, specs, s"$dir/designed")
+      assert(scanPaths(w) == Set(s"file:${outs.head}"),
+        s"the captured query must ride the designed expr-grain AJI: ${scanPaths(w)}")
+      assert(w.queryExecution.optimizedPlan.collect {
+        case j: LJoin => j }.isEmpty, "expr-grain AJI serve must be join-free")
+      assert(w.collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet ==
+        Set((1, "s1", 3L, 41L), (2, "s1", 1L, 21L),
+            (2, "s2", 3L, 101L), (1, "s2", 1L, 41L)))
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.resetWorkloadCapture()
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("star design is filter-aware: a WHERE column missing from a grain zeroes its benefit (VERDICT r12 #8)") {
     val dir = java.nio.file.Files.createTempDirectory("designer_sf").toString
     try {

@@ -234,4 +234,144 @@ object RollupVersioned {
   def vacuum(spark: SparkSession, root: String,
              keepLast: Int): (Seq[Int], Seq[String]) =
     VersionedPool.vacuum(spark, root, keepLast)
+
+  // ---------------------------------------------------------------------
+  // The JOINED (AJI) versioned tier (r13): one full Rollup layout over
+  // `fact ⋈ dim` per version, meta additionally carrying the join keys
+  // (`kind='key'`) and the DIM side's basefile manifest
+  // (`kind='dimfile'`) — time travel over a maintained aggregate join
+  // summary. Same crash model, pinning, and vacuum as the plain tier.
+  // ---------------------------------------------------------------------
+
+  private def joinedRows(spark: SparkSession, layout: Layout,
+                         keys: Seq[(String, String)],
+                         factEntries: Seq[String],
+                         dimEntries: Seq[String]): DataFrame = {
+    import spark.implicits._
+    layoutRows(spark, layout, factEntries).unionByName(
+      (keys.zipWithIndex.map { case ((f, d), i) =>
+        ("key", s"$f:$d", i.toDouble) } ++
+        dimEntries.sorted.zipWithIndex.map { case (e, i) =>
+          ("dimfile", e, i.toDouble) })
+        .toDF("kind", "key", "num"))
+  }
+
+  private def keysOf(meta: DataFrame): Seq[(String, String)] =
+    meta.filter(col("kind") === "key").orderBy("num")
+      .select("key").collect().map(_.getString(0)).toSeq.map { kv =>
+        val Array(f, d) = kv.split(":", 2)
+        f -> d
+      }
+
+  private def dimEntriesOf(meta: DataFrame): Set[String] =
+    meta.filter(col("kind") === "dimfile")
+      .select("key").collect().map(_.getString(0)).toSet
+
+  private def join2(fact: DataFrame, dim: DataFrame,
+                    keys: Seq[(String, String)]): DataFrame =
+    fact.join(dim, keys.map { case (fk, dk) =>
+      fact(fk) === dim(dk) }.reduce(_ && _))
+
+  /** Aggregate `fact ⋈ dim` under `layout`, commit as version 1 of a
+    * VERSIONED aggregate join summary. */
+  def initJoined(spark: SparkSession, root: String, fact: DataFrame,
+                 dim: DataFrame, keys: Seq[(String, String)],
+                 layout: Layout): Int = {
+    VersionedPool.requireFresh(spark, root)
+    val batch = writeBatch(spark, root,
+      Rollup.materialize(join2(fact, dim, keys), layout.groupCols,
+        layout.measures, layout.distinctCols, layout.sketchK,
+        layout.histCols))
+    VersionedPool.publishMeta(spark, root, Seq(batch),
+      Seq("sketch_k" -> layout.sketchK.toDouble), None, "doc_id",
+      org.apache.spark.sql.types.LongType,
+      Some(joinedRows(spark, layout, keys, baseEntries(fact),
+        baseEntries(dim))))
+  }
+
+  /** Fold PURE APPENDS on either (or both) sides into a NEW version via
+    * the q206 inner-join distributivity — `ΔF ⋈ dimCur` plus
+    * `F_saved ⋈ ΔD` (the saved fact manifest read directly: the honest
+    * dim-append cost, like [[RollupRewrite]]'s joined refresh) — merged
+    * with the committed summary, one batch + one publish. Returns None
+    * on a non-append diff on either side (rebuild via [[initJoined]] on
+    * a fresh root), an empty diff, or a bare read missing a needed
+    * column. Old versions stay readable and pinnable. */
+  def refreshAppendedJoined(spark: SparkSession, root: String,
+                            fact: DataFrame, dim: DataFrame): Option[Int] = {
+    val meta = Snapshots.readLatest(spark, VersionedPool.metaDir(root))
+    val layout = layoutOf(meta)
+    val keys = keysOf(meta)
+    val savedF = baseEntriesOf(meta)
+    val savedD = dimEntriesOf(meta)
+    val sketchK = meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
+      .select("num").collect().headOption.map(_.getDouble(0).toInt).getOrElse(64)
+    val curF = baseEntries(fact).toSet
+    val curD = baseEntries(dim).toSet
+    val fApp = curF -- savedF
+    val dApp = curD -- savedD
+    if (savedF.isEmpty || savedD.isEmpty) return None
+    if ((savedF -- curF).nonEmpty || (savedD -- curD).nonEmpty) return None
+    if (fApp.isEmpty && dApp.isEmpty) return None
+    val carried = (layout.groupCols ++ layout.measures ++
+      layout.distinctCols ++ layout.histCols).toSet
+    val neededFact = carried.filterNot(dim.columns.contains) ++ keys.map(_._1)
+    val neededDim = carried.filter(dim.columns.contains) ++ keys.map(_._2)
+    def agg(df: DataFrame) = Rollup.materialize(df, layout.groupCols,
+      layout.measures, layout.distinctCols, sketchK, layout.histCols)
+    val parts = Seq.newBuilder[DataFrame]
+    if (fApp.nonEmpty) {
+      val deltaFact = spark.read.parquet(
+        fApp.toSeq.sorted.map(_.split("\\|")(0)): _*)
+      if (!neededFact.subsetOf(deltaFact.columns.toSet)) return None
+      parts += agg(join2(deltaFact, dim, keys))
+    }
+    if (dApp.nonEmpty) {
+      val savedFact = spark.read.parquet(
+        savedF.toSeq.sorted.map(_.split("\\|")(0)): _*)
+      val deltaDim = spark.read.parquet(
+        dApp.toSeq.sorted.map(_.split("\\|")(0)): _*)
+      if (!neededFact.subsetOf(savedFact.columns.toSet) ||
+          !neededDim.subsetOf(deltaDim.columns.toSet)) return None
+      parts += agg(join2(savedFact, deltaDim, keys))
+    }
+    val deltaSummary = parts.result().reduce((a, b) =>
+      Rollup.merge(a, b, layout.groupCols, layout.measures,
+        layout.distinctCols, sketchK, layout.histCols))
+    val merged = Rollup.merge(summaryOf(spark, root, None), deltaSummary,
+      layout.groupCols, layout.measures, layout.distinctCols, sketchK,
+      layout.histCols)
+    val batch = writeBatch(spark, root, merged)
+    Some(VersionedPool.publishMeta(spark, root, Seq(batch),
+      Seq("sketch_k" -> sketchK.toDouble), None, "doc_id",
+      org.apache.spark.sql.types.LongType,
+      Some(joinedRows(spark, layout.copy(sketchK = sketchK), keys,
+        curF.toSeq, curD.toSeq))))
+  }
+
+  /** Register version v of a versioned AJI (latest when None) and
+    * return the AS-OF (fact, dim) frames its dashboards should join:
+    * explicit reads of exactly the manifests the version aggregated,
+    * whose fingerprints match the registration by construction —
+    * different versions' registrations coexist (their path sets
+    * differ), and a moved-on live base falls through. */
+  def registerVersionJoined(spark: SparkSession, root: String,
+                            version: Option[Int] = None)
+      : (DataFrame, DataFrame) = {
+    val meta = version.fold(
+      Snapshots.readLatest(spark, VersionedPool.metaDir(root)))(
+      v => Snapshots.readVersion(spark, VersionedPool.metaDir(root), v))
+    val layout = layoutOf(meta)
+    val keys = keysOf(meta)
+    val sketchK = meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
+      .select("num").collect().headOption.map(_.getDouble(0).toInt).getOrElse(64)
+    val asOfFact = spark.read.parquet(
+      baseEntriesOf(meta).toSeq.sorted.map(_.split("\\|")(0)): _*)
+    val asOfDim = spark.read.parquet(
+      dimEntriesOf(meta).toSeq.sorted.map(_.split("\\|")(0)): _*)
+    RollupRewrite.registerJoined(asOfFact, asOfDim, keys,
+      summaryOf(spark, root, version), layout.groupCols, layout.measures,
+      layout.distinctCols, sketchK, layout.histCols)
+    (asOfFact, asOfDim)
+  }
 }

@@ -5939,6 +5939,99 @@ object Queries {
     }
   }
 
+  /** SNAPSHOT-VERSIONED AGGREGATE JOIN SUMMARIES (r13 —
+    * [[graft.plan.RollupVersioned]]'s JOINED tier: the q214 device at
+    * AJI width, completing time travel for the join shape): one full
+    * `orders ⋈ customer` AJI layout per version in an immutable pool,
+    * meta carrying the join keys and BOTH sides' basefile manifests,
+    * every maintenance op one atomic pointer publish. v1 aggregates
+    * fact slices {s0,s1} ⋈ dim slice {c0}; v2 folds a FACT append (s2)
+    * via `ΔF ⋈ dim`; v3 folds a DIM append (c1) via the
+    * `F_saved ⋈ ΔD` term — the appended customers pair with EXISTING
+    * orders, so a missed old-fact×new-dim term hash-fails (the q206
+    * crux, versioned). Each version registers against its AS-OF
+    * (fact, dim) frames and is plan-REQUIRED to serve from its own
+    * pool batch alone, join-free. In-query: pinned v1 stays bit-stable
+    * across the two later publishes, vacuum(keepLast=1) under the pin
+    * reclaims exactly v2, unpin + re-vacuum reclaims v1. Oracle =
+    * construction-derived join recomputes per version's slice
+    * predicates. Integer measures. */
+  def q219VersionedJoined(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val RV = graft.plan.RollupVersioned
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q219_vaji")
+      .toFile.getAbsolutePath
+    val root = s"$tmpRoot/vaji"
+    (0 until 2).foreach { sl =>
+      writeNamedSlice(tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .filter(col("o_orderkey") % 3 === sl), s"$tmpRoot/fact", s"s$sl")
+    }
+    writeNamedSlice(tbl(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment")
+      .filter(col("c_custkey") % 2 === 0), s"$tmpRoot/dim", "c0")
+    val keys = Seq("o_custkey" -> "c_custkey")
+    val v1 = RV.initJoined(s, root, s.read.parquet(s"$tmpRoot/fact"),
+      s.read.parquet(s"$tmpRoot/dim"), keys,
+      RV.Layout(Seq("c_mktsegment"), Seq("o_orderkey")))
+    R.enable(s)
+    try {
+      writeNamedSlice(tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .filter(col("o_orderkey") % 3 === 2), s"$tmpRoot/fact", "s2")
+      val v2 = RV.refreshAppendedJoined(s, root,
+          s.read.parquet(s"$tmpRoot/fact"), s.read.parquet(s"$tmpRoot/dim"))
+        .getOrElse(throw new IllegalStateException(
+          "a pure fact append must publish a new AJI version"))
+      writeNamedSlice(tbl(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .filter(col("c_custkey") % 2 === 1), s"$tmpRoot/dim", "c1")
+      val v3 = RV.refreshAppendedJoined(s, root,
+          s.read.parquet(s"$tmpRoot/fact"), s.read.parquet(s"$tmpRoot/dim"))
+        .getOrElse(throw new IllegalStateException(
+          "a pure dim append must publish a new AJI version"))
+      require(v1 == 1 && v2 == 2 && v3 == 3,
+        s"expected versions 1..3, got $v1/$v2/$v3")
+      def serve(leg: String, version: Int): DataFrame = {
+        val (asOfFact, asOfDim) = RV.registerVersionJoined(s, root,
+          Some(version))
+        val q = asOfFact.join(asOfDim, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_ok"),
+            min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+          .select(lit(leg).as("leg"), col("c_mktsegment").as("seg"),
+            col("n_rows"), col("sum_ok"), col("mn"), col("mx"))
+        val scans = R.scanRootPaths(q)
+        require(scans.size == 1 &&
+            scans.head.contains(f"pool/b$version%05d"),
+          s"$leg must serve from version $version's pool batch alone — $scans")
+        require(q.queryExecution.optimizedPlan.collect {
+            case j: LJoin => j }.isEmpty,
+          s"$leg must contain NO serve-time join")
+        q
+      }
+      graft.sources.Snapshots.pin(s, s"$root/meta", v1, "dashboard")
+      val v1Pinned = RV.summaryOf(s, root, Some(v1)).collect().toSet
+      val out = materializeSmall(s, serve("v1", v1))
+        .unionByName(materializeSmall(s, serve("v2", v2)))
+        .unionByName(materializeSmall(s, serve("v3", v3)))
+      require(RV.summaryOf(s, root, Some(v1)).collect().toSet == v1Pinned,
+        "pinned v1 must stay bit-stable across the v2/v3 publishes")
+      val (droppedV, droppedB) = RV.vacuum(s, root, keepLast = 1)
+      require(droppedV == Seq(2) && droppedB == Seq("b00002"),
+        s"vacuum must reclaim exactly unpinned v2: $droppedV / $droppedB")
+      graft.sources.Snapshots.unpin(s, s"$root/meta", "dashboard")
+      val (droppedV2, droppedB2) = RV.vacuum(s, root, keepLast = 1)
+      require(droppedV2 == Seq(1) && droppedB2 == Seq("b00001"),
+        s"unpin + vacuum must reclaim v1: $droppedV2 / $droppedB2")
+      materializeAndCleanup(s, out, tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** CROSS-TIER SUMMARY DESIGN under ONE budget ([[graft.plan
     * .SummaryDesigner.designCrossTier]] — VERDICT r12 #2): a mixed cold
     * workload — a custkey-grained fact dashboard (w1), a
@@ -7103,7 +7196,8 @@ object Queries {
     "q215_cross_tier_design" -> (q215CrossTierDesign _),
     "q216_star_navigation" -> (q216StarNavigation _),
     "q217_joined_star_retract" -> (q217JoinedStarRetract _),
-    "q218_expr_grain_joined" -> (q218ExprGrainJoined _))
+    "q218_expr_grain_joined" -> (q218ExprGrainJoined _),
+    "q219_versioned_joined" -> (q219VersionedJoined _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -9487,6 +9581,28 @@ object Queries {
         |SELECT 'filtered', p_brand, CAST(NULL AS INT), count(*),
         | CAST(sum(l_orderkey) AS BIGINT), min(l_orderkey), max(l_orderkey)
         |FROM j WHERE s_nationkey = 3 GROUP BY 2""".stripMargin,
+    // q219: versioned AJI — each version's oracle is the join recompute
+    // under its construction predicates (v1 = 2 fact slices ⋈ even
+    // customers, v2 = all orders ⋈ even customers, v3 = the full join).
+    // A missed F_saved⋈ΔD term in v3 loses every odd-customer group and
+    // hash-fails; serving the wrong version's batch trips the in-query
+    // plan requires. Integer measures.
+    "q219_versioned_joined" ->
+      """SELECT 'v1' AS leg, c_mktsegment AS seg, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+        | min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 3 < 2 AND c_custkey % 2 = 0 GROUP BY 2
+        |UNION ALL
+        |SELECT 'v2', c_mktsegment, count(*), CAST(sum(o_orderkey) AS BIGINT),
+        | min(o_orderkey), max(o_orderkey)
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_custkey % 2 = 0 GROUP BY 2
+        |UNION ALL
+        |SELECT 'v3', c_mktsegment, count(*), CAST(sum(o_orderkey) AS BIGINT),
+        | min(o_orderkey), max(o_orderkey)
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 2""".stripMargin,
     // q218: computed-dimension grains through the AJI and star tiers —
     // the oracle recomputes every leg from the raw joins (grp/mar on the
     // 3-slice registered state, ref on the full table after the append,

@@ -354,9 +354,12 @@ object SummaryDesigner {
                      e: RollupRewrite.StarCaptureEntry)
     val plainQs: Seq[PlainQ] = bases.zipWithIndex.flatMap { case (b, i) =>
       val cols = b.columns.toSet
+      // grain tokens may be EXPRESSION SQL (r13) — their references are
+      // base columns by capture construction; filter/distinct tokens
+      // are always plain reference names
       RollupRewrite.capturedEntries(basePaths(i)).filter(_.servable)
         .map(e => PlainQ(i, e.grain ++ e.filterCols ++ e.distinctCols, e))
-        .filter(_.req.subsetOf(cols))
+        .filter(q => (q.e.filterCols ++ q.e.distinctCols).subsetOf(cols))
     }
     val joinQs: Seq[JoinQ] = joins.zipWithIndex.flatMap { case ((f, d, keys), j) =>
       val fCols = f.columns.toSet
@@ -365,12 +368,16 @@ object SummaryDesigner {
           RollupRewrite.scanRootPaths(f), RollupRewrite.scanRootPaths(d), keys)
         .filter(_.servable).flatMap { e =>
           val req = e.grain ++ e.filterCols ++ e.distinctCols
-          if (!req.subsetOf(fCols ++ dCols)) None
+          // expression grains (r13) design as AJI-only candidates —
+          // the navigation pair split attributes tokens by side, which
+          // only plain columns support
+          if (!(e.filterCols ++ e.distinctCols).subsetOf(fCols ++ dCols))
+            None
           else Some(JoinQ(j, req,
             req.filter(fCols.contains) ++ keys.map(_._1),
             req.filter(dCols.contains) ++ keys.map(_._2),
             pairable = e.distinctCols.isEmpty && e.sketchCols.isEmpty &&
-              e.histCols.isEmpty &&
+              e.histCols.isEmpty && e.grain.subsetOf(fCols ++ dCols) &&
               baseIdx(RollupRewrite.scanRootPaths(f)).isDefined &&
               baseIdx(RollupRewrite.scanRootPaths(d)).isDefined, e))
         }
@@ -385,11 +392,12 @@ object SummaryDesigner {
             (RollupRewrite.scanRootPaths(d), keys.toSet) }.toSet)
         .filter(_.servable).flatMap { e =>
           val req = e.grain ++ e.filterCols ++ e.distinctCols
-          if (!req.subsetOf(cols)) None
+          // expression grains (r13) design as star-only candidates
+          if (!(e.filterCols ++ e.distinctCols).subsetOf(cols)) None
           else {
             val tuplable = e.distinctCols.isEmpty && e.sketchCols.isEmpty &&
-              e.histCols.isEmpty && centerIdx.isDefined &&
-              dimIdxs.forall(_.isDefined)
+              e.histCols.isEmpty && e.grain.subsetOf(cols) &&
+              centerIdx.isDefined && dimIdxs.forall(_.isDefined)
             val sideReqs =
               if (!tuplable) None
               else Some(
@@ -417,7 +425,8 @@ object SummaryDesigner {
     def cardsOf(frame: DataFrame, tokens: Seq[String]): Map[Set[String], Long] =
       if (tokens.isEmpty) Map(Set.empty[String] -> 1L)
       else {
-        val dims = tokens.sorted.map(t => t -> col(t))
+        val dims = tokens.sorted.map(t => t ->
+          (if (frame.columns.contains(t)) col(t) else expr(t)))
         sketchCardK.fold(LatticeAdvisor.grainCardinalities(frame, dims))(
             k => LatticeAdvisor.grainCardinalitiesApprox(frame, dims, k))
           .map { case (mask, n) =>
@@ -435,7 +444,9 @@ object SummaryDesigner {
       }
       val starNav = starQs.flatMap(_.sideReqs.toSeq.flatten)
         .collect { case (bi, req) if bi == i => req }.flatten
-      (own ++ nav ++ starNav).distinct.sorted.filter(bases(i).columns.contains)
+      val ownSet = own.toSet
+      (own ++ nav ++ starNav).distinct.sorted.filter(t =>
+        bases(i).columns.contains(t) || ownSet.contains(t))
     }
     val baseCards: Seq[Map[Set[String], Long]] =
       bases.indices.map(i => cardsOf(bases(i), baseTokens(i)))
@@ -650,10 +661,20 @@ object SummaryDesigner {
           }
       }
     }
-    def specOf(c: Cand): SummarySpec = SummarySpec(
-      c.grain.toSeq.sorted, Map.empty,
-      measuresOf(c).toSeq.sorted, sketchOf(c).toSeq.sorted,
-      histOf(c).toSeq.sorted, 64)
+    def specOf(c: Cand): SummarySpec = {
+      val frameCols = (c.tier match {
+        case 0 => bases(c.owner)
+        case 1 => joinFrames(c.owner)
+        case _ => starFrames(c.owner)
+      }).columns.toSet
+      SummarySpec(
+        c.grain.toSeq.sorted.map(t => dimName(t, frameCols)),
+        c.grain.toSeq.sorted.collect {
+          case t if !frameCols.contains(t) => dimName(t, frameCols) -> t
+        }.toMap,
+        measuresOf(c).toSeq.sorted, sketchOf(c).toSeq.sorted,
+        histOf(c).toSeq.sorted, 64)
+    }
     // structures nothing ended up served by are dropped (a pair member
     // outscored by a later AJI, say) — never build dead weight
     val kept = chosen.toSeq.filter(used.contains)
@@ -674,36 +695,46 @@ object SummaryDesigner {
       design: CrossDesign, outDir: String)
       : (Seq[String], Seq[String], Seq[String]) =
     RollupRewrite.withCaptureSuspended {
+      def grainExprsOf(sp: SummarySpec) = sp.grainCols.map(g =>
+        g -> sp.grainExprSql.get(g).map(expr).getOrElse(col(g)))
+      def groupExprOf(sp: SummarySpec) =
+        sp.grainExprSql.map { case (n, sql) => n -> expr(sql) }
       val p = design.plain.zipWithIndex.map { case ((bi, sp), i) =>
         val out = s"$outDir/crossp_${i}"
-        Rollup.materialize(bases(bi), sp.grainCols, sp.measures,
+        Rollup.materializeExpr(bases(bi), grainExprsOf(sp), sp.measures,
             sp.distinctCols, sp.sketchK, sp.histCols)
           .write.mode("overwrite").parquet(out)
         RollupRewrite.register(bases(bi), spark.read.parquet(out),
           sp.grainCols, sp.measures, sp.distinctCols, sp.sketchK,
-          histCols = sp.histCols)
+          groupExprOf(sp), histCols = sp.histCols)
         out
       }
       val j = design.joined.zipWithIndex.map { case ((ji, sp), i) =>
         val (f, d, keys) = joins(ji)
         val out = s"$outDir/crossj_${i}"
-        Rollup.materializeJoined(f, d, keys, sp.grainCols, sp.measures,
+        val joined = f.join(d, keys.map { case (fk, dk) =>
+          f(fk) === d(dk) }.reduce[Column](_ && _))
+        Rollup.materializeExpr(joined, grainExprsOf(sp), sp.measures,
             sp.distinctCols, sp.sketchK, sp.histCols)
           .write.mode("overwrite").parquet(out)
         RollupRewrite.registerJoined(f, d, keys, spark.read.parquet(out),
           sp.grainCols, sp.measures, sp.distinctCols, sp.sketchK,
-          sp.histCols)
+          sp.histCols, groupExprOf = groupExprOf(sp))
         out
       }
       val st = design.star.zipWithIndex.map { case ((si, sp), i) =>
         val (f, ds) = stars(si)
         val out = s"$outDir/crosss_${i}"
-        Rollup.materializeStar(f, ds, sp.grainCols, sp.measures,
+        val starJoined = ds.foldLeft(f) { case (acc, (d, keys)) =>
+          acc.join(d, keys.map { case (fk, dk) =>
+            f(fk) === d(dk) }.reduce[Column](_ && _))
+        }
+        Rollup.materializeExpr(starJoined, grainExprsOf(sp), sp.measures,
             sp.distinctCols, sp.sketchK, sp.histCols)
           .write.mode("overwrite").parquet(out)
         RollupRewrite.registerStar(f, ds, spark.read.parquet(out),
           sp.grainCols, sp.measures, sp.distinctCols, sp.sketchK,
-          sp.histCols)
+          sp.histCols, groupExprOf = groupExprOf(sp))
         out
       }
       (p, j, st)

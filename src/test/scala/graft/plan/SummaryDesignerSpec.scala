@@ -368,6 +368,59 @@ class SummaryDesignerSpec extends SparkSpec {
     }
   }
 
+  test("cross-tier design handles EXPRESSION grains: a month() join query designs AJI-only and serves (r13)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val dir = java.nio.file.Files.createTempDirectory("designer_xe").toString
+    try {
+      Seq((1L, "2024-01-05", 10L), (1L, "2024-01-25", 20L),
+          (2L, "2024-02-05", 30L), (2L, "2024-02-25", 40L),
+          (1L, "2024-02-15", 11L), (2L, "2024-01-15", 31L))
+        .toDF("k", "ds", "m")
+        .select(col("k"), to_date(col("ds")).as("d"), col("m"))
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      Seq((1L, "s1"), (2L, "s2")).toDF("dk", "seg")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+      val keys = Seq("k" -> "dk")
+      def wP = fact.groupBy("k").agg(sum("m").as("s"))
+      def wJ = fact.join(dim, col("k") === col("dk"))
+        .groupBy(month(col("d")).as("om"), col("seg"))
+        .agg(count(lit(1)).as("n"), sum("m").as("s"))
+      RollupRewrite.enable(spark)
+      RollupRewrite.startWorkloadCapture()
+      wP.queryExecution.optimizedPlan
+      wJ.queryExecution.optimizedPlan
+      RollupRewrite.stopWorkloadCapture()
+      // the expression grain makes wJ non-pairable — the cross-tier
+      // greedy must serve it through an AJI candidate, never a pair
+      val cross = SummaryDesigner.designCrossTier(Seq(fact, dim),
+        Seq((fact, dim, keys)), Nil, maxRows = 1000)
+      assert(cross.joined.size == 1, s"expected one designed AJI: $cross")
+      val sp = cross.joined.head._2
+      assert(sp.grainCols.exists(_.startsWith("__g")) &&
+          sp.grainCols.contains("seg") &&
+          sp.grainExprSql.values.exists(_.contains("month(")),
+        s"the AJI must synthesize the month() grain: $sp")
+      val (_, jOuts, _) = SummaryDesigner.buildAndRegisterCrossTier(
+        spark, Seq(fact, dim), Seq((fact, dim, keys)), Nil, cross,
+        s"$dir/designed")
+      assert(scanPaths(wJ) == Set(s"file:${jOuts.head}"),
+        s"the expr-grain join query must ride the designed AJI: ${scanPaths(wJ)}")
+      assert(wJ.queryExecution.optimizedPlan.collect {
+        case j: LJoin => j }.isEmpty, "the designed serve must be join-free")
+      assert(wJ.collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet ==
+        Set((1, "s1", 2L, 30L), (2, "s1", 1L, 11L),
+            (2, "s2", 2L, 70L), (1, "s2", 1L, 31L)))
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.resetWorkloadCapture()
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("cross-tier design under ONE budget beats the per-tier union: the pair absorbs the join query (VERDICT r12 #2)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
     val dir = java.nio.file.Files.createTempDirectory("designer_x").toString

@@ -246,9 +246,9 @@ object RollupRewrite {
     * side when ambiguous — orientation only matters for maintenance
     * semantics, the join itself is symmetric), plus the same layout
     * requirements a single-table [[CaptureEntry]] records. Grains are
-    * plain column names from either side (the AJI has no computed-grain
-    * support); a join-aggregate with a computed grouping expression is
-    * not recorded. */
+    * plain column names from either side, or — for computed grouping
+    * expressions (r13) — the resolved expression SQL, the same
+    * convention as the single-table capture. */
   case class JoinedCaptureEntry(factPaths: Set[String], dimPaths: Set[String],
                                 keyPairs: Set[(String, String)],
                                 grain: Set[String], filterCols: Set[String],

@@ -349,6 +349,67 @@ object RollupVersioned {
         curF.toSeq, curD.toSeq))))
   }
 
+  /** Fold a PURE SINGLE-SIDE DELETE (files trash-moved through
+    * [[RollupRewrite.deleteFiles]]) into a NEW version of the versioned
+    * AJI: the removed join tuples are exactly `removed-side rows ⋈ the
+    * other side` (the q217 set-difference distributivity), so
+    * [[Rollup.retract]] applies verbatim to the joined frame —
+    * sums/counts subtract exactly, extremum-touched groups recompute
+    * from the CURRENT join, emptied groups drop — and one batch commits
+    * with one publish while older versions stay pinned/readable.
+    * Returns None when the delete is mixed with an append, touches both
+    * sides, cannot be trash-resolved, or a bare read misses a needed
+    * column. */
+  def refreshRemovedJoined(spark: SparkSession, root: String,
+                           fact: DataFrame, dim: DataFrame,
+                           trashDirs: Seq[String]): Option[Int] = {
+    val meta = Snapshots.readLatest(spark, VersionedPool.metaDir(root))
+    val layout = layoutOf(meta)
+    val keys = keysOf(meta)
+    val savedF = baseEntriesOf(meta)
+    val savedD = dimEntriesOf(meta)
+    val sketchK = meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
+      .select("num").collect().headOption.map(_.getDouble(0).toInt).getOrElse(64)
+    val curF = baseEntries(fact).toSet
+    val curD = baseEntries(dim).toSet
+    val fRem = savedF -- curF
+    val dRem = savedD -- curD
+    if (savedF.isEmpty || savedD.isEmpty) return None
+    if ((curF -- savedF).nonEmpty || (curD -- savedD).nonEmpty) return None
+    if ((fRem.nonEmpty) == (dRem.nonEmpty)) return None // exactly one side
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rem = if (fRem.nonEmpty) fRem else dRem
+    val resolved = rem.toSeq.sorted.map(_.split("\\|")(0)).map { p =>
+      trashDirs.iterator.map { td =>
+        new org.apache.hadoop.fs.Path(td, RollupRewrite.trashFileName(p))
+      }.find(dst => dst.getFileSystem(conf).exists(dst)).map(_.toString)
+    }
+    if (resolved.exists(_.isEmpty)) return None
+    val removedDf = spark.read.parquet(resolved.flatten: _*)
+    val carried = (layout.groupCols ++ layout.measures ++
+      layout.distinctCols ++ layout.histCols).toSet
+    val neededFact = carried.filterNot(dim.columns.contains) ++ keys.map(_._1)
+    val neededDim = carried.filter(dim.columns.contains) ++ keys.map(_._2)
+    val removedJoined =
+      if (fRem.nonEmpty) {
+        if (!neededFact.subsetOf(removedDf.columns.toSet)) return None
+        join2(removedDf, dim, keys)
+      } else {
+        if (!neededDim.subsetOf(removedDf.columns.toSet)) return None
+        join2(fact, removedDf, keys)
+      }
+    val retracted = Rollup.retract(summaryOf(spark, root, None),
+      removedJoined, join2(fact, dim, keys),
+      layout.groupCols.map(g => g -> col(g)), layout.measures,
+      layout.distinctCols, sketchK, layout.histCols)
+    val batch = writeBatch(spark, root, retracted)
+    Some(VersionedPool.publishMeta(spark, root, Seq(batch),
+      Seq("sketch_k" -> sketchK.toDouble), None, "doc_id",
+      org.apache.spark.sql.types.LongType,
+      Some(joinedRows(spark, layout.copy(sketchK = sketchK), keys,
+        curF.toSeq, curD.toSeq))))
+  }
+
   /** Register version v of a versioned AJI (latest when None) and
     * return the AS-OF (fact, dim) frames its dashboards should join:
     * explicit reads of exactly the manifests the version aggregated,

@@ -5949,13 +5949,18 @@ object Queries {
     * via `ΔF ⋈ dim`; v3 folds a DIM append (c1) via the
     * `F_saved ⋈ ΔD` term — the appended customers pair with EXISTING
     * orders, so a missed old-fact×new-dim term hash-fails (the q206
-    * crux, versioned). Each version registers against its AS-OF
+    * crux, versioned); v4 RETRACTS a trash-deleted fact slice (s0) via
+    * `refreshRemovedJoined` — the q217 single-side algebra as one more
+    * atomic publish. Each version registers against its AS-OF
     * (fact, dim) frames and is plan-REQUIRED to serve from its own
-    * pool batch alone, join-free. In-query: pinned v1 stays bit-stable
-    * across the two later publishes, vacuum(keepLast=1) under the pin
-    * reclaims exactly v2, unpin + re-vacuum reclaims v1. Oracle =
-    * construction-derived join recomputes per version's slice
-    * predicates. Integer measures. */
+    * pool batch alone, join-free (v1-v3 serve BEFORE the delete: as-of
+    * frames need their manifest files present — append-only history,
+    * the q214 note; after a delete the pinned guarantee is summaryOf).
+    * In-query: pinned v1 stays bit-stable across the three later
+    * publishes, vacuum(keepLast=1) under the pin reclaims exactly
+    * v2/v3, unpin + re-vacuum reclaims v1. Oracle = construction-
+    * derived join recomputes per version's slice predicates. Integer
+    * measures. */
   def q219VersionedJoined(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
     val R = graft.plan.RollupRewrite
@@ -6013,14 +6018,28 @@ object Queries {
       }
       graft.sources.Snapshots.pin(s, s"$root/meta", v1, "dashboard")
       val v1Pinned = RV.summaryOf(s, root, Some(v1)).collect().toSet
-      val out = materializeSmall(s, serve("v1", v1))
+      // as-of serves need their manifest files PRESENT (the q214
+      // append-only-history note), so v1-v3 serve before the delete
+      val head3 = materializeSmall(s, serve("v1", v1))
         .unionByName(materializeSmall(s, serve("v2", v2)))
         .unionByName(materializeSmall(s, serve("v3", v3)))
+      // v4: trash-delete fact slice s0 — the q217 single-side retraction
+      // algebra, VERSIONED: removed tuples = trash-fact ⋈ dim, retracted
+      // with one publish while v1-v3 stay readable
+      R.deleteFiles(s, Seq(s"$tmpRoot/fact/s0.parquet"), s"$tmpRoot/trash")
+      val v4 = RV.refreshRemovedJoined(s, root,
+          s.read.parquet(s"$tmpRoot/fact"), s.read.parquet(s"$tmpRoot/dim"),
+          Seq(s"$tmpRoot/trash"))
+        .getOrElse(throw new IllegalStateException(
+          "a pure single-side trash delete must publish a retracted version"))
+      require(v4 == 4, s"expected version 4, got $v4")
+      val out = head3.unionByName(materializeSmall(s, serve("v4", v4)))
       require(RV.summaryOf(s, root, Some(v1)).collect().toSet == v1Pinned,
-        "pinned v1 must stay bit-stable across the v2/v3 publishes")
+        "pinned v1 must stay bit-stable across the v2/v3/v4 publishes")
       val (droppedV, droppedB) = RV.vacuum(s, root, keepLast = 1)
-      require(droppedV == Seq(2) && droppedB == Seq("b00002"),
-        s"vacuum must reclaim exactly unpinned v2: $droppedV / $droppedB")
+      require(droppedV.sorted == Seq(2, 3) &&
+          droppedB.sorted == Seq("b00002", "b00003"),
+        s"vacuum must reclaim exactly unpinned v2/v3: $droppedV / $droppedB")
       graft.sources.Snapshots.unpin(s, s"$root/meta", "dashboard")
       val (droppedV2, droppedB2) = RV.vacuum(s, root, keepLast = 1)
       require(droppedV2 == Seq(1) && droppedB2 == Seq("b00001"),
@@ -9602,7 +9621,12 @@ object Queries {
         |SELECT 'v3', c_mktsegment, count(*), CAST(sum(o_orderkey) AS BIGINT),
         | min(o_orderkey), max(o_orderkey)
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 2""".stripMargin,
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 'v4', c_mktsegment, count(*), CAST(sum(o_orderkey) AS BIGINT),
+        | min(o_orderkey), max(o_orderkey)
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 3 <> 0 GROUP BY 2""".stripMargin,
     // q218: computed-dimension grains through the AJI and star tiers —
     // the oracle recomputes every leg from the raw joins (grp/mar on the
     // 3-slice registered state, ref on the full table after the append,

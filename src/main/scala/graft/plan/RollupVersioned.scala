@@ -410,6 +410,242 @@ object RollupVersioned {
         curF.toSeq, curD.toSeq))))
   }
 
+  // ---------------------------------------------------------------------
+  // The STAR versioned tier (r13): one full Rollup layout over
+  // `fact ⋈ dim1 ⋈ … ⋈ dimk` per version; meta carries per-dim keys
+  // (`kind='keyI'`) and per-dim basefile manifests (`kind='dimfileI'`).
+  // Appends on fact and/or any dims fold via the q212 TELESCOPING
+  // decomposition; single-side trash deletes retract via the q217
+  // algebra. Same pool/pin/vacuum contract as the other tiers.
+  // ---------------------------------------------------------------------
+
+  private def starRows(spark: SparkSession, layout: Layout,
+                       factEntries: Seq[String],
+                       dims: Seq[(Seq[(String, String)], Seq[String])])
+      : DataFrame = {
+    import spark.implicits._
+    layoutRows(spark, layout, factEntries).unionByName(
+      dims.zipWithIndex.flatMap { case ((keys, entries), i) =>
+        keys.zipWithIndex.map { case ((f, d), j) =>
+          (s"key$i", s"$f:$d", j.toDouble) } ++
+          entries.sorted.zipWithIndex.map { case (e, j) =>
+            (s"dimfile$i", e, j.toDouble) }
+      }.toDF("kind", "key", "num"))
+  }
+
+  private def starDimCount(meta: DataFrame): Int =
+    meta.filter(col("kind").startsWith("key"))
+      .select("kind").distinct().collect()
+      .map(_.getString(0).stripPrefix("key").toInt).foldLeft(-1)(_ max _) + 1
+
+  private def starKeysOf(meta: DataFrame, i: Int): Seq[(String, String)] =
+    meta.filter(col("kind") === s"key$i").orderBy("num")
+      .select("key").collect().map(_.getString(0)).toSeq.map { kv =>
+        val Array(f, d) = kv.split(":", 2)
+        f -> d
+      }
+
+  private def starDimEntriesOf(meta: DataFrame, i: Int): Set[String] =
+    meta.filter(col("kind") === s"dimfile$i")
+      .select("key").collect().map(_.getString(0)).toSet
+
+  private def starJoin(fact: DataFrame,
+                       dims: Seq[(DataFrame, Seq[(String, String)])])
+      : DataFrame =
+    dims.foldLeft(fact) { case (acc, (d, keys)) =>
+      acc.join(d, keys.map { case (fk, dk) =>
+        fact(fk) === d(dk) }.reduce(_ && _))
+    }
+
+  /** Aggregate the star join under `layout`, commit as version 1. */
+  def initStar(spark: SparkSession, root: String, fact: DataFrame,
+               dims: Seq[(DataFrame, Seq[(String, String)])],
+               layout: Layout): Int = {
+    require(dims.size >= 2, "initStar needs 2+ dims; use initJoined")
+    VersionedPool.requireFresh(spark, root)
+    val batch = writeBatch(spark, root,
+      Rollup.materialize(starJoin(fact, dims), layout.groupCols,
+        layout.measures, layout.distinctCols, layout.sketchK,
+        layout.histCols))
+    VersionedPool.publishMeta(spark, root, Seq(batch),
+      Seq("sketch_k" -> layout.sketchK.toDouble), None, "doc_id",
+      org.apache.spark.sql.types.LongType,
+      Some(starRows(spark, layout, baseEntries(fact),
+        dims.map { case (d, keys) => (keys, baseEntries(d)) })))
+  }
+
+  /** Fold PURE APPENDS on the fact and/or ANY subset of dims into a NEW
+    * version via the q212 telescoping decomposition: `ΔF ⋈ dims_cur`
+    * plus one term per appended dim i — `F_saved ⋈ dims<i SAVED ⋈ ΔDi ⋈
+    * dims>i cur` — pairwise disjoint by first-new-side, merged with the
+    * committed summary, one batch + one publish. Returns None on any
+    * removal, an empty diff, or a bare read missing a needed column. */
+  def refreshAppendedStar(spark: SparkSession, root: String,
+                          fact: DataFrame,
+                          dims: Seq[(DataFrame, Seq[(String, String)])])
+      : Option[Int] = {
+    val meta = Snapshots.readLatest(spark, VersionedPool.metaDir(root))
+    val layout = layoutOf(meta)
+    val n = starDimCount(meta)
+    require(dims.size == n, s"expected $n dims, got ${dims.size}")
+    val keys = (0 until n).map(starKeysOf(meta, _))
+    val savedF = baseEntriesOf(meta)
+    val savedD = (0 until n).map(starDimEntriesOf(meta, _))
+    val sketchK = meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
+      .select("num").collect().headOption.map(_.getDouble(0).toInt).getOrElse(64)
+    val curF = baseEntries(fact).toSet
+    val curDs = dims.map { case (d, _) => baseEntries(d).toSet }
+    val fApp = curF -- savedF
+    val dApps = (0 until n).map(i => curDs(i) -- savedD(i))
+    if (savedF.isEmpty || savedD.exists(_.isEmpty)) return None
+    if ((savedF -- curF).nonEmpty ||
+        (0 until n).exists(i => (savedD(i) -- curDs(i)).nonEmpty)) return None
+    if (fApp.isEmpty && dApps.forall(_.isEmpty)) return None
+    def filesOf(entries: Set[String]): Seq[String] =
+      entries.toSeq.sorted.map(_.split("\\|")(0))
+    val dimCols = dims.flatMap(_._1.columns).toSet
+    val carried = (layout.groupCols ++ layout.measures ++
+      layout.distinctCols ++ layout.histCols).toSet
+    val neededFact = carried.filterNot(dimCols.contains) ++
+      keys.flatten.map(_._1)
+    def neededDim(i: Int) =
+      carried.filter(dims(i)._1.columns.contains) ++ keys(i).map(_._2)
+    def agg(df: DataFrame) = Rollup.materialize(df, layout.groupCols,
+      layout.measures, layout.distinctCols, sketchK, layout.histCols)
+    val dimCur = (0 until n).map(i => dims(i)._1 -> keys(i))
+    lazy val dimSaved = (0 until n).map(i =>
+      spark.read.parquet(filesOf(savedD(i)): _*) -> keys(i))
+    val parts = Seq.newBuilder[DataFrame]
+    if (fApp.nonEmpty) {
+      val deltaFact = spark.read.parquet(filesOf(fApp): _*)
+      if (!neededFact.subsetOf(deltaFact.columns.toSet)) return None
+      parts += agg(starJoin(deltaFact, dimCur))
+    }
+    if (dApps.exists(_.nonEmpty)) {
+      val savedFact = spark.read.parquet(filesOf(savedF): _*)
+      if (!neededFact.subsetOf(savedFact.columns.toSet)) return None
+      (0 until n).foreach { i =>
+        if (dApps(i).nonEmpty) {
+          val deltaDim = spark.read.parquet(filesOf(dApps(i)): _*)
+          if (!neededDim(i).subsetOf(deltaDim.columns.toSet)) return None
+          if ((0 until i).exists(j =>
+              !neededDim(j).subsetOf(dimSaved(j)._1.columns.toSet)))
+            return None
+          val sides = (0 until n).map { j =>
+            if (j < i) dimSaved(j)
+            else if (j == i) deltaDim -> keys(i)
+            else dimCur(j)
+          }
+          parts += agg(starJoin(savedFact, sides))
+        }
+      }
+    }
+    val deltaSummary = parts.result().reduce((a, b) =>
+      Rollup.merge(a, b, layout.groupCols, layout.measures,
+        layout.distinctCols, sketchK, layout.histCols))
+    val merged = Rollup.merge(summaryOf(spark, root, None), deltaSummary,
+      layout.groupCols, layout.measures, layout.distinctCols, sketchK,
+      layout.histCols)
+    val batch = writeBatch(spark, root, merged)
+    Some(VersionedPool.publishMeta(spark, root, Seq(batch),
+      Seq("sketch_k" -> sketchK.toDouble), None, "doc_id",
+      org.apache.spark.sql.types.LongType,
+      Some(starRows(spark, layout.copy(sketchK = sketchK), curF.toSeq,
+        (0 until n).map(i => (keys(i), curDs(i).toSeq))))))
+  }
+
+  /** Fold a PURE SINGLE-SIDE trash delete (fact or ONE dim) into a NEW
+    * version — the q217 star retraction as one atomic publish. Returns
+    * None on mixed diffs, multi-side deletes, unresolvable trash, or a
+    * bare read missing a needed column. */
+  def refreshRemovedStar(spark: SparkSession, root: String,
+                         fact: DataFrame,
+                         dims: Seq[(DataFrame, Seq[(String, String)])],
+                         trashDirs: Seq[String]): Option[Int] = {
+    val meta = Snapshots.readLatest(spark, VersionedPool.metaDir(root))
+    val layout = layoutOf(meta)
+    val n = starDimCount(meta)
+    require(dims.size == n, s"expected $n dims, got ${dims.size}")
+    val keys = (0 until n).map(starKeysOf(meta, _))
+    val savedF = baseEntriesOf(meta)
+    val savedD = (0 until n).map(starDimEntriesOf(meta, _))
+    val sketchK = meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
+      .select("num").collect().headOption.map(_.getDouble(0).toInt).getOrElse(64)
+    val curF = baseEntries(fact).toSet
+    val curDs = dims.map { case (d, _) => baseEntries(d).toSet }
+    val fRem = savedF -- curF
+    val dRems = (0 until n).map(i => savedD(i) -- curDs(i))
+    if (savedF.isEmpty || savedD.exists(_.isEmpty)) return None
+    if ((curF -- savedF).nonEmpty ||
+        (0 until n).exists(i => (curDs(i) -- savedD(i)).nonEmpty)) return None
+    val remSides = (if (fRem.nonEmpty) 1 else 0) + dRems.count(_.nonEmpty)
+    if (remSides != 1) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rem = if (fRem.nonEmpty) fRem else dRems.find(_.nonEmpty).get
+    val resolved = rem.toSeq.sorted.map(_.split("\\|")(0)).map { p =>
+      trashDirs.iterator.map { td =>
+        new org.apache.hadoop.fs.Path(td, RollupRewrite.trashFileName(p))
+      }.find(dst => dst.getFileSystem(conf).exists(dst)).map(_.toString)
+    }
+    if (resolved.exists(_.isEmpty)) return None
+    val removedDf = spark.read.parquet(resolved.flatten: _*)
+    val dimCols = dims.flatMap(_._1.columns).toSet
+    val carried = (layout.groupCols ++ layout.measures ++
+      layout.distinctCols ++ layout.histCols).toSet
+    val neededFact = carried.filterNot(dimCols.contains) ++
+      keys.flatten.map(_._1)
+    def neededDim(i: Int) =
+      carried.filter(dims(i)._1.columns.contains) ++ keys(i).map(_._2)
+    val dimCur = (0 until n).map(i => dims(i)._1 -> keys(i))
+    val removedJoined =
+      if (fRem.nonEmpty) {
+        if (!neededFact.subsetOf(removedDf.columns.toSet)) return None
+        starJoin(removedDf, dimCur)
+      } else {
+        val i = dRems.indexWhere(_.nonEmpty)
+        if (!neededDim(i).subsetOf(removedDf.columns.toSet)) return None
+        starJoin(fact, (0 until n).map(j =>
+          if (j == i) removedDf -> keys(i) else dimCur(j)))
+      }
+    val retracted = Rollup.retract(summaryOf(spark, root, None),
+      removedJoined, starJoin(fact, dimCur),
+      layout.groupCols.map(g => g -> col(g)), layout.measures,
+      layout.distinctCols, sketchK, layout.histCols)
+    val batch = writeBatch(spark, root, retracted)
+    Some(VersionedPool.publishMeta(spark, root, Seq(batch),
+      Seq("sketch_k" -> sketchK.toDouble), None, "doc_id",
+      org.apache.spark.sql.types.LongType,
+      Some(starRows(spark, layout.copy(sketchK = sketchK), curF.toSeq,
+        (0 until n).map(i => (keys(i), curDs(i).toSeq))))))
+  }
+
+  /** Register version v of a versioned STAR summary (latest when None)
+    * and return the AS-OF (fact, dims) frames its dashboards should
+    * join — explicit reads of exactly the version's manifests, so
+    * different versions' registrations coexist and a moved-on live
+    * base falls through. */
+  def registerVersionStar(spark: SparkSession, root: String,
+                          version: Option[Int] = None)
+      : (DataFrame, Seq[(DataFrame, Seq[(String, String)])]) = {
+    val meta = version.fold(
+      Snapshots.readLatest(spark, VersionedPool.metaDir(root)))(
+      v => Snapshots.readVersion(spark, VersionedPool.metaDir(root), v))
+    val layout = layoutOf(meta)
+    val n = starDimCount(meta)
+    val sketchK = meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
+      .select("num").collect().headOption.map(_.getDouble(0).toInt).getOrElse(64)
+    val asOfFact = spark.read.parquet(
+      baseEntriesOf(meta).toSeq.sorted.map(_.split("\\|")(0)): _*)
+    val asOfDims = (0 until n).map { i =>
+      spark.read.parquet(starDimEntriesOf(meta, i).toSeq.sorted
+        .map(_.split("\\|")(0)): _*) -> starKeysOf(meta, i)
+    }
+    RollupRewrite.registerStar(asOfFact, asOfDims,
+      summaryOf(spark, root, version), layout.groupCols, layout.measures,
+      layout.distinctCols, sketchK, layout.histCols)
+    (asOfFact, asOfDims)
+  }
+
   /** Register version v of a versioned AJI (latest when None) and
     * return the AS-OF (fact, dim) frames its dashboards should join:
     * explicit reads of exactly the manifests the version aggregated,

@@ -6051,6 +6051,101 @@ object Queries {
     }
   }
 
+  /** SNAPSHOT-VERSIONED STAR SUMMARIES (r13 — [[graft.plan
+    * .RollupVersioned]]'s STAR tier, completing the versioned matrix
+    * plain → AJI → star): one full `lineitem ⋈ part ⋈ supplier` star
+    * layout per version, meta carrying per-dim keys and EVERY side's
+    * basefile manifest. v1 aggregates fact slices {s0,s1} ⋈ part ⋈
+    * even-supplier slice {c0}; v2 folds a fact append (s2) AND a
+    * supplier append (c1) in ONE window via the q212 TELESCOPING
+    * decomposition (the appended odd suppliers pair with OLD fact rows,
+    * so a missed F_saved⋈ΔD term hash-fails); v3 RETRACTS the c1 slice
+    * through the trash protocol (`refreshRemovedStar` — the q217
+    * single-side algebra as one atomic publish). Each version registers
+    * its AS-OF (fact, dims) frames and is plan-REQUIRED to serve from
+    * its own pool batch alone with ZERO Join nodes (v1/v2 serve before
+    * the delete — as-of frames need their manifest files present).
+    * Pinned v1 stays bit-stable across both later publishes. Oracle =
+    * construction-derived star recomputes per version's predicates.
+    * Integer measures. */
+  def q220VersionedStar(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val RV = graft.plan.RollupVersioned
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q220_vstar")
+      .toFile.getAbsolutePath
+    val root = s"$tmpRoot/vstar"
+    (0 until 2).foreach { sl =>
+      writeNamedSlice(tbl(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_orderkey")
+        .filter(col("l_orderkey") % 3 === sl), s"$tmpRoot/fact", s"s$sl")
+    }
+    tbl(s, dir, "part").select("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$tmpRoot/d1")
+    writeNamedSlice(tbl(s, dir, "supplier")
+      .select("s_suppkey", "s_nationkey")
+      .filter(col("s_suppkey") % 2 === 0), s"$tmpRoot/d2", "c0")
+    def dims = Seq(
+      s.read.parquet(s"$tmpRoot/d1") -> Seq("l_partkey" -> "p_partkey"),
+      s.read.parquet(s"$tmpRoot/d2") -> Seq("l_suppkey" -> "s_suppkey"))
+    val v1 = RV.initStar(s, root, s.read.parquet(s"$tmpRoot/fact"), dims,
+      RV.Layout(Seq("s_nationkey"), Seq("l_orderkey")))
+    R.enable(s)
+    try {
+      // ONE window: fact slice s2 AND supplier slice c1 both append
+      writeNamedSlice(tbl(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_orderkey")
+        .filter(col("l_orderkey") % 3 === 2), s"$tmpRoot/fact", "s2")
+      writeNamedSlice(tbl(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .filter(col("s_suppkey") % 2 === 1), s"$tmpRoot/d2", "c1")
+      val v2 = RV.refreshAppendedStar(s, root,
+          s.read.parquet(s"$tmpRoot/fact"), dims)
+        .getOrElse(throw new IllegalStateException(
+          "a pure fact+dim append must publish a telescoped star version"))
+      require(v1 == 1 && v2 == 2, s"expected versions 1 and 2, got $v1/$v2")
+      def serve(leg: String, version: Int): DataFrame = {
+        val (asOfFact, asOfDims) = RV.registerVersionStar(s, root,
+          Some(version))
+        val joined = asOfDims.foldLeft(asOfFact) { case (acc, (d, keys)) =>
+          acc.join(d, keys.map { case (fk, dk) =>
+            asOfFact(fk) === d(dk) }.reduce(_ && _))
+        }
+        val q = joined.groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_rows"), sum("l_orderkey").as("sum_ok"),
+            min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+          .select(lit(leg).as("leg"), col("s_nationkey").as("nk"),
+            col("n_rows"), col("sum_ok"), col("mn"), col("mx"))
+        val scans = R.scanRootPaths(q)
+        require(scans.size == 1 &&
+            scans.head.contains(f"pool/b$version%05d"),
+          s"$leg must serve from version $version's pool batch alone — $scans")
+        require(q.queryExecution.optimizedPlan.collect {
+            case j: LJoin => j }.isEmpty,
+          s"$leg must contain NO serve-time join")
+        q
+      }
+      graft.sources.Snapshots.pin(s, s"$root/meta", v1, "dashboard")
+      val v1Pinned = RV.summaryOf(s, root, Some(v1)).collect().toSet
+      val head2 = materializeSmall(s, serve("v1", v1))
+        .unionByName(materializeSmall(s, serve("v2", v2)))
+      // v3: trash-delete the c1 supplier slice — single-side retraction
+      R.deleteFiles(s, Seq(s"$tmpRoot/d2/c1.parquet"), s"$tmpRoot/trash")
+      val v3 = RV.refreshRemovedStar(s, root,
+          s.read.parquet(s"$tmpRoot/fact"), dims, Seq(s"$tmpRoot/trash"))
+        .getOrElse(throw new IllegalStateException(
+          "a pure single-dim trash delete must publish a retracted star version"))
+      require(v3 == 3, s"expected version 3, got $v3")
+      val out = head2.unionByName(materializeSmall(s, serve("v3", v3)))
+      require(RV.summaryOf(s, root, Some(v1)).collect().toSet == v1Pinned,
+        "pinned v1 must stay bit-stable across the v2/v3 publishes")
+      materializeAndCleanup(s, out, tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** CROSS-TIER SUMMARY DESIGN under ONE budget ([[graft.plan
     * .SummaryDesigner.designCrossTier]] — VERDICT r12 #2): a mixed cold
     * workload — a custkey-grained fact dashboard (w1), a
@@ -7216,7 +7311,8 @@ object Queries {
     "q216_star_navigation" -> (q216StarNavigation _),
     "q217_joined_star_retract" -> (q217JoinedStarRetract _),
     "q218_expr_grain_joined" -> (q218ExprGrainJoined _),
-    "q219_versioned_joined" -> (q219VersionedJoined _))
+    "q219_versioned_joined" -> (q219VersionedJoined _),
+    "q220_versioned_star" -> (q220VersionedStar _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -9600,6 +9696,28 @@ object Queries {
         |SELECT 'filtered', p_brand, CAST(NULL AS INT), count(*),
         | CAST(sum(l_orderkey) AS BIGINT), min(l_orderkey), max(l_orderkey)
         |FROM j WHERE s_nationkey = 3 GROUP BY 2""".stripMargin,
+    // q220: versioned STAR — per-version construction-derived star
+    // recomputes (v1 = 2 fact slices ⋈ part ⋈ even suppliers, v2 = the
+    // full star after the telescoped fact+dim append, v3 = full fact ⋈
+    // even suppliers after the c1 retraction). A missed F_saved⋈ΔD
+    // telescope term or an un-retracted odd-supplier tuple hash-fails;
+    // wrong-version serves trip the in-query plan requires.
+    "q220_versioned_star" ->
+      """WITH j AS (SELECT l_orderkey, s_suppkey, s_nationkey
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        |   JOIN supplier ON l_suppkey = s_suppkey)
+        |SELECT 'v1' AS leg, s_nationkey AS nk, count(*) AS n_rows,
+        | CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        | min(l_orderkey) AS mn, max(l_orderkey) AS mx
+        |FROM j WHERE l_orderkey % 3 < 2 AND s_suppkey % 2 = 0 GROUP BY 2
+        |UNION ALL
+        |SELECT 'v2', s_nationkey, count(*), CAST(sum(l_orderkey) AS BIGINT),
+        | min(l_orderkey), max(l_orderkey)
+        |FROM j GROUP BY 2
+        |UNION ALL
+        |SELECT 'v3', s_nationkey, count(*), CAST(sum(l_orderkey) AS BIGINT),
+        | min(l_orderkey), max(l_orderkey)
+        |FROM j WHERE s_suppkey % 2 = 0 GROUP BY 2""".stripMargin,
     // q219: versioned AJI — each version's oracle is the join recompute
     // under its construction predicates (v1 = 2 fact slices ⋈ even
     // customers, v2 = all orders ⋈ even customers, v3 = the full join).

@@ -76,4 +76,69 @@ class RollupRetractPropertySpec extends SparkSpec {
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("joined retraction: retract(removedSide ⋈ other, joined frame) == rebuild of the reduced join, 16 seeded trials") {
+    // the q217 ALGEBRA pinned at the Rollup level: a pure delete on ONE
+    // side of an inner join removes exactly `removed-side rows ⋈ the
+    // other side` (each tuple holds one row of the deleting side), so
+    // retract over the joined frame must equal a from-scratch rebuild
+    // of the reduced join — across duplicate dim keys (multiplicity),
+    // dangling keys on both sides, null measures, filled sketches and
+    // histograms, and both delete orientations
+    val rnd = new scala.util.Random(1213)
+    val dir = java.nio.file.Files.createTempDirectory("retract_jprop").toString
+    try {
+      (1 to 16).foreach { trial =>
+        val nf = 8 + rnd.nextInt(24)
+        val factRows = (0 until nf).map { i =>
+          (i.toLong, rnd.nextInt(6).toLong, // k=5 never joins (dangling)
+            if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(7).toLong),
+            s"s${rnd.nextInt(12)}", 1L + rnd.nextInt(100))
+        }
+        val nd = 4 + rnd.nextInt(8)
+        val dimRows = (0 until nd).map { j =>
+          (1000L + j, rnd.nextInt(5).toLong, s"g${rnd.nextInt(3)}")
+        } // dk repeats → join multiplicity; dk=4-only dims may dangle
+        factRows.toDF("fid", "k", "m", "s", "v")
+          .write.mode("overwrite").parquet(s"$dir/fact")
+        dimRows.toDF("did", "dk", "seg")
+          .write.mode("overwrite").parquet(s"$dir/dim")
+        val fact = spark.read.parquet(s"$dir/fact")
+        val dim = spark.read.parquet(s"$dir/dim")
+        def join2(f: DataFrame, d: DataFrame) =
+          f.join(d, f("k") === d("dk"))
+        val stored = Rollup.materialize(join2(fact, dim), Seq("seg"),
+          Seq("m"), Seq("s"), 8, Seq("v"))
+        val deleteFact = rnd.nextBoolean()
+        val (removedJoined, reducedJoin) =
+          if (deleteFact) {
+            val gone = factRows.map(_._1).filter(_ => rnd.nextInt(3) == 0)
+            (join2(fact.filter(col("fid").isin(gone: _*)), dim),
+              join2(fact.filter(!col("fid").isin(gone: _*)), dim))
+          } else {
+            val gone = dimRows.map(_._1).filter(_ => rnd.nextInt(3) == 0)
+            (join2(fact, dim.filter(col("did").isin(gone: _*))),
+              join2(fact, dim.filter(!col("did").isin(gone: _*))))
+          }
+        val retracted = Rollup.retract(stored, removedJoined, reducedJoin,
+          Seq("seg").map(c => c -> col(c)), Seq("m"), Seq("s"), 8, Seq("v"))
+        val recomputed = Rollup.materialize(reducedJoin, Seq("seg"),
+          Seq("m"), Seq("s"), 8, Seq("v"))
+        def norm(df: DataFrame): Map[String, Seq[String]] =
+          df.collect().map { r =>
+            r.getAs[String]("seg") -> df.columns.sorted.toSeq.map { c =>
+              r.get(r.fieldIndex(c)) match {
+                case null => "∅"
+                case a: scala.collection.Seq[_] => a.mkString("[", ",", "]")
+                case x => x.toString
+              }
+            }
+          }.toMap
+        assert(norm(retracted) == norm(recomputed),
+          s"trial $trial (deleteFact=$deleteFact) diverged:\n" +
+            s"got  ${norm(retracted)}\nwant ${norm(recomputed)}")
+      }
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

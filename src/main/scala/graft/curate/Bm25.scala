@@ -237,18 +237,20 @@ object Bm25 {
   def saveIncIndex(index: IncIndex, path: String): Unit = {
     // a re-save over a swap-maintained root must not leave a stale
     // pointer shadowing the plain dirs (save has no mid-write reader
-    // contract — it is an overwrite, not a commit)
-    val spark0 = index.postings.sparkSession
-    val rootP = new org.apache.hadoop.fs.Path(path)
-    val pfs = rootP.getFileSystem(spark0.sparkContext.hadoopConfiguration)
-    Seq("postings", "dfs", "stats").foreach { n =>
-      pfs.delete(new org.apache.hadoop.fs.Path(s"$path/.ptr_$n"), false) }
+    // contract — it is an overwrite, not a commit). Plain dirs write
+    // FIRST, pointers delete LAST (ADVICE r13 #1): a crash mid-save
+    // leaves the pointers intact, so the committed generation stays
+    // resolvable until the replacement bytes fully exist.
     index.postings.write.mode("overwrite").parquet(s"$path/postings")
     index.dfs.write.mode("overwrite").parquet(s"$path/dfs")
     val spark = index.postings.sparkSession
     import spark.implicits._
     Seq((index.nDocs, index.totalDl)).toDF("n_docs", "total_dl")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val pfs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("postings", "dfs", "stats").foreach { n =>
+      pfs.delete(new org.apache.hadoop.fs.Path(s"$path/.ptr_$n"), false) }
   }
 
   def loadIncIndex(spark: SparkSession, path: String): IncIndex = {

@@ -434,8 +434,15 @@ object RollupRewrite {
     * operand types Spark's aggregate divides at, and the final cast
     * lands on `fn.dataType` — the avg result type — so the output
     * attribute keeps its analyzed type under its preserved exprId
-    * (the r12 corruption hazard) AND the served value is BIT-IDENTICAL
-    * to the base aggregate's, double rounding included. LEGACY division
+    * (the r12 corruption hazard) AND, for TRUE DecimalType children,
+    * the served value is BIT-IDENTICAL to the base aggregate's, double
+    * rounding included. The Average(UnscaledValue(e)) regime
+    * (DecimalAggregates' rewrite) instead routes through the non-decimal
+    * double divide: there the base plan's row-by-row DOUBLE summation of
+    * unscaled longs can lose ulps past 2^53 while the summary path sums
+    * exactly and casts once — that branch carries the usual
+    * summation-order last-ulp noise (the documented float-avg surface;
+    * ADVICE r13 #4), not a bit-exactness guarantee. LEGACY division
     * mode is what Average itself uses: an empty group divides by zero
     * to NULL instead of an ANSI error. */
   private[plan] def deriveAvg(avgChild: Expression, resultType: org.apache.spark.sql.types.DataType,
@@ -999,13 +1006,21 @@ object RollupRewrite {
     *    contract — a summary-served sketch must equal the
     *    base-computed one exactly).
     *
-    * A MIXED diff (appends AND removes — a compaction or overwrite) is
-    * reported `refreshed = false` and left stale (queries keep falling
-    * through to the base; re-materialize to recover), as is a delete
-    * whose files cannot be resolved in `trashDirs` (bytes truly gone ⇒
-    * nothing to retract). Fresh registrations are skipped. Float sums
-    * retract with the same reassociation noise any partial merge
-    * carries; integer/decimal measures retract bit-exactly.
+    * A MIXED diff (appends AND removes in one stale window — a
+    * compaction or overwrite performed through the trash protocol)
+    * COMPOSES the two proven algebras (VERDICT r13 #1): retract the
+    * removed files, then merge the appended files' delta aggregate —
+    * valid because `current = (registered ∖ removed) ∪ appended` with
+    * the file sets disjoint; the retraction's recompute groups read
+    * the SURVIVING registered files (not the current listing, which
+    * already holds the appended rows the merge adds). A routine
+    * [[graft.sources.PathLifecycle.compactParquetTrash]] run therefore
+    * refreshes instead of staleness-killing every summary over the
+    * base. Still unrefreshable: a delete whose files cannot be
+    * resolved in `trashDirs` (bytes truly gone ⇒ nothing to retract).
+    * Fresh registrations are skipped. Float sums retract with the same
+    * reassociation noise any partial merge carries; integer/decimal
+    * measures retract bit-exactly.
     *
     * JOINED (AJI) and STAR registrations retract too, when the delete
     * is the only change and touches exactly ONE side: the removed join
@@ -1094,9 +1109,13 @@ object RollupRewrite {
     * applies verbatim to the joined frame. A fact delete reads
     * trash-fact ⋈ dims; a dim delete reads the CURRENT fact ⋈ other
     * dims ⋈ trash-dim — a registered-fact-sized read, the same honest
-    * asymmetry as the dim APPEND term. Deletes mixed with appends, or
-    * on two sides in one window (the removed-tuple sets overlap),
-    * refuse — rebuild territory. The refresh output dir is
+    * asymmetry as the dim APPEND term. A SINGLE-SIDE mixed diff
+    * (removes and appends confined to one side — that side's
+    * compaction) composes retraction ∘ append-fold (r14, VERDICT r13
+    * #1), the recompute groups reading that side's SURVIVING
+    * registered rows joined to the others. Removals combined with
+    * changes on any OTHER side in one window (the removed-tuple sets
+    * overlap) refuse — rebuild territory. The refresh output dir is
     * content-addressed by the registration identity plus EVERY side's
     * current manifest (ADVICE r12 #1). */
   private def refreshStaleStar(spark: SparkSession, outDir: String,
@@ -1183,42 +1202,95 @@ object RollupRewrite {
             deltaFiles, out, removedFiles)
         }
         if (fRem.nonEmpty || dimRem.exists(_.nonEmpty)) {
-          // DELETE path: retract iff the delete is the ONLY change and
-          // touches exactly one side (scaladoc's disjointness argument)
-          val noApp = fApp.isEmpty && dimApp.forall(_.isEmpty)
+          // DELETE path: retract iff every change (removes, and — r14,
+          // VERDICT r13 #1 — any appends too) touches exactly ONE side:
+          // a single-side compaction composes retraction ∘ append-fold
+          // exactly as on the plain/joined paths (the removed and
+          // appended tuple sets are disjoint because the side's file
+          // sets are). Changes on two sides with any removal refuse.
           val remSides = (if (fRem.nonEmpty) 1 else 0) +
             dimRem.count(_.nonEmpty)
           val factCur = spark.read.parquet(d.factPaths.toSeq: _*)
           val groupExprs = grainExprs
-          def retractWith(removedJoined: DataFrame,
-                          orig: Seq[String]): RefreshResult =
-            finish(Rollup.retract(stored, removedJoined,
-              starJoin(factCur, dimCurrent), groupExprs, d.measures,
-              d.distinctCols, d.sketchK, d.histCols), Nil, orig)
+          def retractMergeStar(removedJoined: DataFrame,
+              reducedJoin: DataFrame, deltaJoinedOpt: Option[DataFrame],
+              deltaFiles: Seq[String], orig: Seq[String]): RefreshResult = {
+            val retracted = Rollup.retract(stored, removedJoined,
+              reducedJoin, groupExprs, d.measures, d.distinctCols,
+              d.sketchK, d.histCols)
+            val summary = deltaJoinedOpt match {
+              case None => retracted
+              case Some(deltaJoined) => Rollup.merge(retracted,
+                Rollup.materializeExpr(deltaJoined, groupExprs, d.measures,
+                  d.distinctCols, d.sketchK, d.histCols),
+                d.groupCols, d.measures, d.distinctCols, d.sketchK,
+                d.histCols)
+            }
+            finish(summary, deltaFiles, orig)
+          }
           val res =
-            if (!noApp || remSides != 1) None
-            else if (fRem.nonEmpty)
+            if (remSides != 1) None
+            else if (fRem.nonEmpty && dimApp.forall(_.isEmpty))
               resolveRemoved(spark, fRem, trashDirs).flatMap {
                 case (orig, trash) =>
                   val removedFact = spark.read.parquet(trash: _*)
-                  if (!neededFact.toSet.subsetOf(removedFact.columns.toSet))
+                  lazy val deltaFact =
+                    spark.read.parquet(filesOf(fApp): _*)
+                  if (!neededFact.toSet.subsetOf(removedFact.columns.toSet) ||
+                      (fApp.nonEmpty &&
+                        !neededFact.toSet.subsetOf(deltaFact.columns.toSet)))
                     None
-                  else Some(retractWith(
-                    starJoin(removedFact, dimCurrent), orig))
+                  else {
+                    val surviving = (d.factManifest -- fRem).toSeq.sorted
+                      .map(_.split("\\|")(0))
+                    val reducedFact =
+                      if (fApp.isEmpty) factCur
+                      else if (surviving.nonEmpty)
+                        spark.read.parquet(surviving: _*)
+                      else removedFact.limit(0)
+                    Some(retractMergeStar(starJoin(removedFact, dimCurrent),
+                      starJoin(reducedFact, dimCurrent),
+                      if (fApp.isEmpty) None
+                      else Some(starJoin(deltaFact, dimCurrent)),
+                      filesOf(fApp), orig))
+                  }
               }
-            else {
+            else if (fRem.isEmpty && fApp.isEmpty && {
+                val i = dimRem.indexWhere(_.nonEmpty)
+                d.dims.indices.forall(j => j == i || dimApp(j).isEmpty)
+              }) {
               val i = dimRem.indexWhere(_.nonEmpty)
               resolveRemoved(spark, dimRem(i), trashDirs).flatMap {
                 case (orig, trash) =>
                   val removedDim = spark.read.parquet(trash: _*)
-                  if (!neededDim(i).toSet.subsetOf(removedDim.columns.toSet))
+                  lazy val deltaDim =
+                    spark.read.parquet(filesOf(dimApp(i)): _*)
+                  if (!neededDim(i).toSet.subsetOf(removedDim.columns.toSet) ||
+                      (dimApp(i).nonEmpty &&
+                        !neededDim(i).toSet.subsetOf(deltaDim.columns.toSet)))
                     None
-                  else Some(retractWith(starJoin(factCur,
-                    d.dims.indices.map(j => if (j == i)
-                      removedDim -> d.dims(i).keyPairs
-                    else dimCurrent(j))), orig))
+                  else {
+                    def sidesWith(dimI: DataFrame) =
+                      d.dims.indices.map(j => if (j == i)
+                        dimI -> d.dims(i).keyPairs
+                      else dimCurrent(j))
+                    val surviving = (d.dims(i).manifest -- dimRem(i))
+                      .toSeq.sorted.map(_.split("\\|")(0))
+                    val reducedDim =
+                      if (dimApp(i).isEmpty) dimCurrent(i)._1
+                      else if (surviving.nonEmpty)
+                        spark.read.parquet(surviving: _*)
+                      else removedDim.limit(0)
+                    Some(retractMergeStar(
+                      starJoin(factCur, sidesWith(removedDim)),
+                      starJoin(factCur, sidesWith(reducedDim)),
+                      if (dimApp(i).isEmpty) None
+                      else Some(starJoin(factCur, sidesWith(deltaDim))),
+                      filesOf(dimApp(i)), orig))
+                  }
               }
             }
+            else None
           Some(res.getOrElse(unrefreshable))
         } else {
         val parts = Seq.newBuilder[DataFrame]
@@ -1310,11 +1382,15 @@ object RollupRewrite {
     * the affected grains, emptied groups drop. Cost: a fact delete
     * reads trash-fact ⋈ dim; a dim delete reads fact ⋈ trash-dim — the
     * same registered-fact-read asymmetry as the dim APPEND, stated
-    * there. A delete mixed with any append, or deletes on BOTH sides
-    * in one window (the removed-pair sets overlap — `ΔF⋈ΔD` would
-    * double-retract), or any in-place change, reports unrefreshable:
-    * rebuild territory (re-materialize + re-register), not delta
-    * arithmetic. */
+    * there. A SINGLE-SIDE MIXED diff (removes AND appends on the same
+    * side — that side's compaction) composes retraction ∘ append-fold
+    * (r14, VERDICT r13 #1): the removed and new pair sets are disjoint
+    * because the side's file sets are, and the retraction's recompute
+    * groups read the surviving registered rows of that side joined to
+    * the other. Changes touching BOTH sides with any removal (the
+    * removed-pair sets overlap — `ΔF⋈ΔD` would double-retract), or any
+    * in-place change, report unrefreshable: rebuild territory
+    * (re-materialize + re-register), not delta arithmetic. */
   private def refreshStaleJoined(spark: SparkSession, outDir: String,
                                  trashDirs: Seq[String]): Seq[RefreshResult] = {
     import scala.jdk.CollectionConverters._
@@ -1381,33 +1457,83 @@ object RollupRewrite {
             refreshed = true, deltaFiles, out, removedFiles)
         }
         if (fRem.nonEmpty || dRem.nonEmpty) {
-          // DELETE path: retract iff the delete is the ONLY change and
-          // touches exactly one side (see the scaladoc's disjointness
-          // argument); the removed pairs are removed-rows ⋈ other side
+          // DELETE path: retract iff every change (removes, and — r14,
+          // VERDICT r13 #1 — any appends too) touches exactly ONE side:
+          // the removed pairs are removed-rows ⋈ other side, the new
+          // pairs appended-rows ⋈ other side, and the two tuple sets
+          // are disjoint (a file is never both removed and appended),
+          // so retraction ∘ append-fold composes — a single-side
+          // compaction folds instead of staleness-killing the AJI.
+          // Cross-side mixes still refuse (ΔF⋈ΔD overlap).
           val groupExprs = grainExprs
+          def retractMerge(removedJoined: DataFrame, reducedJoin: DataFrame,
+              deltaJoinedOpt: Option[DataFrame], deltaFiles: Seq[String],
+              orig: Seq[String]): RefreshResult = {
+            val retracted = Rollup.retract(stored, removedJoined,
+              reducedJoin, groupExprs, d.measures, d.distinctCols,
+              d.sketchK, d.histCols)
+            val summary = deltaJoinedOpt match {
+              case None => retracted
+              case Some(deltaJoined) => Rollup.merge(retracted,
+                Rollup.materializeExpr(deltaJoined, groupExprs, d.measures,
+                  d.distinctCols, d.sketchK, d.histCols),
+                d.groupCols, d.measures, d.distinctCols, d.sketchK,
+                d.histCols)
+            }
+            finish(summary, deltaFiles, orig)
+          }
           val res =
-            if (fRem.nonEmpty && fApp.isEmpty && dApp.isEmpty && dRem.isEmpty)
+            if (fRem.nonEmpty && dApp.isEmpty && dRem.isEmpty)
               resolveRemoved(spark, fRem, trashDirs).flatMap {
                 case (orig, trash) =>
                   val removedFact = spark.read.parquet(trash: _*)
-                  if (!neededFact.toSet.subsetOf(removedFact.columns.toSet))
+                  lazy val deltaFact =
+                    spark.read.parquet(filesOf(fApp): _*)
+                  if (!neededFact.toSet.subsetOf(removedFact.columns.toSet) ||
+                      (fApp.nonEmpty &&
+                        !neededFact.toSet.subsetOf(deltaFact.columns.toSet)))
                     None
-                  else Some(finish(
-                    Rollup.retract(stored, join2(removedFact, dimCur),
-                      join2(factCur, dimCur), groupExprs, d.measures,
-                      d.distinctCols, d.sketchK, d.histCols), Nil, orig))
+                  else {
+                    // recompute groups read the SURVIVING registered
+                    // fact ⋈ dim — appended rows merge in afterwards
+                    val surviving = (d.factManifest -- fRem).toSeq.sorted
+                      .map(_.split("\\|")(0))
+                    val reducedFact =
+                      if (fApp.isEmpty) factCur
+                      else if (surviving.nonEmpty)
+                        spark.read.parquet(surviving: _*)
+                      else removedFact.limit(0)
+                    Some(retractMerge(join2(removedFact, dimCur),
+                      join2(reducedFact, dimCur),
+                      if (fApp.isEmpty) None
+                      else Some(join2(deltaFact, dimCur)),
+                      filesOf(fApp), orig))
+                  }
               }
-            else if (dRem.nonEmpty && dApp.isEmpty && fApp.isEmpty &&
-                fRem.isEmpty)
+            else if (dRem.nonEmpty && fApp.isEmpty && fRem.isEmpty)
               resolveRemoved(spark, dRem, trashDirs).flatMap {
                 case (orig, trash) =>
                   val removedDim = spark.read.parquet(trash: _*)
-                  if (!neededDim.toSet.subsetOf(removedDim.columns.toSet))
+                  lazy val deltaDim =
+                    spark.read.parquet(filesOf(dApp): _*)
+                  if (!neededDim.toSet.subsetOf(removedDim.columns.toSet) ||
+                      (dApp.nonEmpty &&
+                        !neededDim.toSet.subsetOf(deltaDim.columns.toSet)))
                     None
-                  else Some(finish(
-                    Rollup.retract(stored, join2(factCur, removedDim),
-                      join2(factCur, dimCur), groupExprs, d.measures,
-                      d.distinctCols, d.sketchK, d.histCols), Nil, orig))
+                  else {
+                    val surviving = (d.dimManifest -- dRem).toSeq.sorted
+                      .map(_.split("\\|")(0))
+                    val reducedDim =
+                      if (dApp.isEmpty) dimCur
+                      else if (surviving.nonEmpty)
+                        spark.read.parquet(surviving: _*)
+                      else removedDim.limit(0)
+                    Some(retractMerge(join2(factCur, removedDim),
+                      join2(factCur, reducedDim),
+                      if (dApp.isEmpty) None
+                      else Some(join2(factCur, deltaDim)),
+                      filesOf(dApp), orig))
+                  }
               }
             else None
           Some(res.getOrElse(unrefreshable))
@@ -1464,11 +1590,12 @@ object RollupRewrite {
         refreshed = false, Nil, "")
       if (d.baseManifest.isEmpty || (appended.isEmpty && removed.isEmpty))
         None
-      else if (removed.nonEmpty && appended.nonEmpty)
-        Some(unrefreshable) // mixed diff: compaction/overwrite — rebuild
       else if (removed.nonEmpty)
-        Some(retractRemoved(spark, d, removed, current, outDir, trashDirs)
-          .getOrElse(unrefreshable))
+        // pure delete retracts; a MIXED diff (a compaction/overwrite
+        // through the trash protocol) composes retraction ∘ append-fold
+        // (VERDICT r13 #1)
+        Some(retractRemoved(spark, d, removed, appended, current, outDir,
+          trashDirs).getOrElse(unrefreshable))
       else {
         val deltaFiles = appended.toSeq.sorted.map(_.split("\\|")(0))
         val delta = spark.read.parquet(deltaFiles: _*)
@@ -1541,33 +1668,75 @@ object RollupRewrite {
     paths
   }
 
-  /** The DELETE half of [[refreshStale]] (VERDICT r11 #2): retract the
-    * removed files' partials from the stored summary. None ⇒ this diff
-    * cannot be retracted (files unresolvable in the trash dirs, or the
-    * bare read misses a needed column) — the caller reports
-    * unrefreshable. See [[refreshStale]]'s scaladoc for the retraction
-    * rules and their deliberate min/max/sketch asymmetry. */
+  /** The DELETE (and MIXED-diff) half of [[refreshStale]] (VERDICT r11
+    * #2; mixed composition VERDICT r13 #1): retract the removed files'
+    * partials from the stored summary, then — when the same stale
+    * window ALSO appended files (a compaction or overwrite performed
+    * through the trash protocol) — [[Rollup.merge]] the appended
+    * files' delta aggregate into the retracted summary. The two halves
+    * compose because the file sets are disjoint:
+    * `current = (registered ∖ removed) ∪ appended`, so
+    * `summary(current) = merge(retract(stored, removed), Δ(appended))`.
+    * The retraction's extremum/sketch RECOMPUTE groups must read the
+    * REDUCED base — the surviving registered files, NOT the current
+    * listing, which already contains the appended rows the merge adds
+    * right after (a current-base recompute would double-count them).
+    * A full compaction (every registered file removed) degenerates
+    * honestly: the retraction drops every group and the "delta" IS the
+    * whole new base — one base aggregation, the cost of a
+    * re-materialize, but the registration stays alive instead of
+    * stale-forever. None ⇒ this diff cannot be folded (files
+    * unresolvable in the trash dirs, or a bare read misses a needed
+    * column) — the caller reports unrefreshable. See [[refreshStale]]'s
+    * scaladoc for the retraction rules and their deliberate
+    * min/max/sketch asymmetry. */
   private def retractRemoved(spark: SparkSession, d: RollupDef,
-      removed: Set[String], current: Set[String], outDir: String,
-      trashDirs: Seq[String]): Option[RefreshResult] = {
+      removed: Set[String], appended: Set[String], current: Set[String],
+      outDir: String, trashDirs: Seq[String]): Option[RefreshResult] = {
     import org.apache.spark.sql.functions._
     val (removedPaths, trashPaths) =
       resolveRemoved(spark, removed, trashDirs).getOrElse(return None)
     val removedDf = spark.read.parquet(trashPaths: _*)
-    if (!neededBaseColumns(spark, d).subsetOf(removedDf.columns.toSet))
+    val needed = neededBaseColumns(spark, d)
+    if (!needed.subsetOf(removedDf.columns.toSet))
       return None
+    val deltaFiles = appended.toSeq.sorted.map(_.split("\\|")(0))
+    val deltaOpt =
+      if (appended.isEmpty) None
+      else {
+        val delta = spark.read.parquet(deltaFiles: _*)
+        if (!needed.subsetOf(delta.columns.toSet)) return None
+        Some(delta)
+      }
     val stored = spark.read.parquet(storedPathsOf(d): _*)
-    val baseNow = spark.read.parquet(d.basePaths.toSeq: _*)
+    // reduced base for the recompute path: pure deletes read the current
+    // base (== the survivors); mixed diffs must read the surviving
+    // REGISTERED files explicitly so appended rows stay out until merge
+    val survivingFiles = (d.baseManifest -- removed).toSeq.sorted
+      .map(_.split("\\|")(0))
+    val reducedBase =
+      if (appended.isEmpty) spark.read.parquet(d.basePaths.toSeq: _*)
+      else if (survivingFiles.nonEmpty)
+        spark.read.parquet(survivingFiles: _*)
+      else removedDf.limit(0) // full compaction: retraction empties; never scanned
+    val retracted = Rollup.retract(stored, removedDf, reducedBase,
+      grainExprsOf(d), d.measures, d.distinctCols, d.sketchK, d.histCols)
+    val summary = deltaOpt match {
+      case None => retracted
+      case Some(delta) =>
+        val deltaSummary = Rollup.materializeExpr(delta, grainExprsOf(d),
+          d.measures, d.distinctCols, d.sketchK, d.histCols)
+        Rollup.merge(retracted, deltaSummary, d.groupCols, d.measures,
+          d.distinctCols, d.sketchK, d.histCols)
+    }
     val out = s"$outDir/refresh_${regDigest(d)}_${manifestDigest(current)}"
-    Rollup.retract(stored, removedDf, baseNow, grainExprsOf(d),
-        d.measures, d.distinctCols, d.sketchK, d.histCols)
-      .write.mode("overwrite").parquet(out)
+    summary.write.mode("overwrite").parquet(out)
     register(spark.read.parquet(d.basePaths.toSeq: _*),
       spark.read.parquet(out), d.groupCols, d.measures, d.distinctCols,
       d.sketchK,
       d.grainExprSql.map { case (n, s) => n -> expr(s) }, d.histCols)
-    Some(RefreshResult(d.basePaths, d.groupCols, refreshed = true, Nil, out,
-      removedFiles = removedPaths))
+    Some(RefreshResult(d.basePaths, d.groupCols, refreshed = true,
+      deltaFiles, out, removedFiles = removedPaths))
   }
 
   /** Persist the registered lattice as a one-file manifest so a NEW

@@ -250,17 +250,26 @@ object RollupVersioned {
     import spark.implicits._
     layoutRows(spark, layout, factEntries).unionByName(
       (keys.zipWithIndex.map { case ((f, d), i) =>
-        ("key", s"$f:$d", i.toDouble) } ++
+        ("key", s"${encName(f)}:${encName(d)}", i.toDouble) } ++
         dimEntries.sorted.zipWithIndex.map { case (e, i) =>
           ("dimfile", e, i.toDouble) })
         .toDF("kind", "key", "num"))
   }
 
+  // key pairs URL-encode both names before joining with ':' (ADVICE r13
+  // #2 — a fact column containing ':' would mis-split otherwise),
+  // matching the j2/s2 lattice-manifest convention. Decode is identity
+  // on the raw names older metas persisted (no '%' in practice).
+  private def encName(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def decName(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
   private def keysOf(meta: DataFrame): Seq[(String, String)] =
     meta.filter(col("kind") === "key").orderBy("num")
       .select("key").collect().map(_.getString(0)).toSeq.map { kv =>
         val Array(f, d) = kv.split(":", 2)
-        f -> d
+        decName(f) -> decName(d)
       }
 
   private def dimEntriesOf(meta: DataFrame): Set[String] =
@@ -427,7 +436,7 @@ object RollupVersioned {
     layoutRows(spark, layout, factEntries).unionByName(
       dims.zipWithIndex.flatMap { case ((keys, entries), i) =>
         keys.zipWithIndex.map { case ((f, d), j) =>
-          (s"key$i", s"$f:$d", j.toDouble) } ++
+          (s"key$i", s"${encName(f)}:${encName(d)}", j.toDouble) } ++
           entries.sorted.zipWithIndex.map { case (e, j) =>
             (s"dimfile$i", e, j.toDouble) }
       }.toDF("kind", "key", "num"))
@@ -442,7 +451,7 @@ object RollupVersioned {
     meta.filter(col("kind") === s"key$i").orderBy("num")
       .select("key").collect().map(_.getString(0)).toSeq.map { kv =>
         val Array(f, d) = kv.split(":", 2)
-        f -> d
+        decName(f) -> decName(d)
       }
 
   private def starDimEntriesOf(meta: DataFrame, i: Int): Set[String] =

@@ -309,12 +309,22 @@ object SummaryDesigner {
     * plus navigation PAIRS built from per-query minimal masks and the
     * per-side union mask; a move is admissible while its NEW
     * structures' total rows fit the remaining budget; zero-benefit
-    * winners stop the selection (the HRU budget mode). Deterministic:
+    * winners stop the selection (the HRU budget mode).
+    * MAINTENANCE-AWARE (r14, VERDICT r13 #2): `updatesPerPeriod`
+    * supplies per-side append frequencies, and each candidate's
+    * fact-sized refresh terms (an AJI/star dim append costs a
+    * registered-fact ⋈ other-dims scan — the q206/q212 asymmetry)
+    * subtract from its query benefit, so an append-heavy dim steers
+    * the greedy toward plain-pair/tuple structures whose maintenance
+    * is delta-sized; unsupplied sides cost 0 and the model reduces to
+    * the pure query-benefit one. Deterministic:
     * exact-integer cardinalities (one cube pass per base / join /
     * star frame), tie-breaks (benefit DESC, new rows ASC, move name
-    * ASC). Computed-grain (expression) tokens are out of scope here —
-    * entries carrying them are skipped (the per-tier [[design]] still
-    * handles them). STAR queries absorb the same way at star width:
+    * ASC). Computed-grain (expression) tokens design as
+    * SINGLE-structure candidates (plain/AJI/star — r13, commit
+    * 328f450); only the navigation pair/tuple split is
+    * plain-column-only, since it attributes tokens by side (ADVICE
+    * r13 #3). STAR queries absorb the same way at star width:
     * a star aggregate is servable by a star summary OR by a TUPLE of
     * plain summaries through STAR NAVIGATION (q216 — one summary per
     * side, key grains included, cost = the tuple's summed rows), so
@@ -334,7 +344,8 @@ object SummaryDesigner {
       joins: Seq[(DataFrame, DataFrame, Seq[(String, String)])],
       stars: Seq[(DataFrame, Seq[(DataFrame, Seq[(String, String)])])],
       maxRows: Long,
-      sketchCardK: Option[Int] = None): CrossDesign =
+      sketchCardK: Option[Int] = None,
+      updatesPerPeriod: Seq[(DataFrame, Double)] = Nil): CrossDesign =
     RollupRewrite.withCaptureSuspended {
     require(maxRows > 0, s"row budget must be positive, got $maxRows")
     val basePaths = bases.map(b => RollupRewrite.scanRootPaths(b))
@@ -465,15 +476,30 @@ object SummaryDesigner {
     }
     // ---- direct (root) costs: rows scanned without any summary
     val baseRows = bases.map(_.count())
-    def joinRoot(j: Int): Long = {
-      val f = baseIdx(RollupRewrite.scanRootPaths(joins(j)._1))
-        .map(baseRows).getOrElse(joins(j)._1.count())
-      val d = baseIdx(RollupRewrite.scanRootPaths(joins(j)._2))
-        .map(baseRows).getOrElse(joins(j)._2.count())
-      f + d
-    }
+    def rowsOfFrame(f: DataFrame): Long =
+      baseIdx(RollupRewrite.scanRootPaths(f)).map(baseRows)
+        .getOrElse(f.count())
+    val joinFactRows = joins.map { case (f, _, _) => rowsOfFrame(f) }
+    val joinRootRows = joins.indices.map { j =>
+      joinFactRows(j) + rowsOfFrame(joins(j)._2) }
+    def joinRoot(j: Int): Long = joinRootRows(j)
+    val starFactRows = stars.map { case (f, _) => rowsOfFrame(f) }
     val starRoot = stars.map { case (f, ds) =>
       f.count() + ds.map(_._1.count()).sum }
+    // ---- maintenance cost (r14, VERDICT r13 #2): per-period rows a
+    // structure's REFRESH must read, charged against its query benefit.
+    // Only the FACT-SIZED terms enter — a dim append on an AJI/star
+    // costs a registered-fact (⋈ other dims) scan per event (the
+    // q206/q212 honest asymmetry), while plain summaries and fact-side
+    // appends fold delta-sized on every tier (a cost all options share,
+    // so it cancels out of the comparison). `updatesPerPeriod` supplies
+    // appends-per-period per side frame, in the same "period" unit as
+    // one execution of the captured workload; unsupplied sides default
+    // to 0 — the cost model is then exactly the pre-r14 one.
+    val updFreq: Map[Set[String], Double] = updatesPerPeriod.map {
+      case (df, f) => RollupRewrite.scanRootPaths(df) -> f }.toMap
+    def freqOf(df: DataFrame): Double =
+      updFreq.getOrElse(RollupRewrite.scanRootPaths(df), 0.0)
     // ---- structures & moves
     case class Cand(tier: Int, owner: Int, grain: Set[String]) {
       def rows: Long = tier match {
@@ -482,6 +508,16 @@ object SummaryDesigner {
         case _ => starCards(owner)(grain)
       }
       def name: String = s"t$tier/o$owner/${grain.toSeq.sorted.mkString(",")}"
+      /** Fact-sized maintenance rows per period (see `updFreq` above):
+        * an AJI pays its dim's append frequency × registered fact rows;
+        * a star pays that per appended dim; plain summaries pay only
+        * delta-sized work — 0 here. */
+      def maintRows: Double = tier match {
+        case 0 => 0.0
+        case 1 => freqOf(joins(owner)._2) * joinFactRows(owner)
+        case _ => stars(owner)._2.map { case (d, _) => freqOf(d) }.sum *
+          starFactRows(owner)
+      }
     }
     val singleCands: Seq[Cand] =
       bases.indices.flatMap(i => baseCards(i).keys.map(g => Cand(0, i, g))) ++
@@ -563,7 +599,7 @@ object SummaryDesigner {
     var done = false
     while (!done) {
       val current = totalCost(chosen)
-      val moves: Seq[(Long, Long, String, Seq[Cand])] =
+      val moves: Seq[(Double, Long, String, Seq[Cand])] =
         (singleCands.filterNot(chosen).map(c => (Seq(c), c.name)) ++
           pairMoves.collect { case (f, d)
               if !(chosen.contains(f) && chosen.contains(d)) =>
@@ -574,7 +610,14 @@ object SummaryDesigner {
           })
         .map { case (news, nm) =>
           val newRows = news.map(_.rows).sum
-          (current - totalCost(chosen ++ news), newRows, nm, news)
+          // net benefit = query rows saved − fact-sized maintenance the
+          // new structures commit the system to (r14): an append-heavy
+          // dim drains an AJI/star candidate's benefit, steering the
+          // greedy to plain-pair/tuple structures whose maintenance is
+          // delta-sized
+          val ben = (current - totalCost(chosen ++ news)).toDouble -
+            news.map(_.maintRows).sum
+          (ben, newRows, nm, news)
         }
         .filter { case (_, newRows, _, _) => newRows <= remaining }
         .sortBy { case (ben, newRows, nm, _) => (-ben, newRows, nm) }

@@ -6146,6 +6146,190 @@ object Queries {
     }
   }
 
+  /** MIXED-DIFF (COMPACTION) SUMMARY REFRESH ([[graft.plan.RollupRewrite
+    * .refreshStale]]'s COMPOSED path — VERDICT r13 #1, r14): a stale
+    * window holding BOTH removes and appends — the shape every
+    * compaction or partial overwrite produces — FOLDS as retraction ∘
+    * append-fold instead of staleness-killing the summary: the file
+    * sets are disjoint (`current = (registered ∖ removed) ∪ appended`),
+    * so the two individually-proven algebras (q194 retraction,
+    * q192 append merge) compose. At 100 TB this is the difference
+    * between "weekly compaction" and "weekly rebuild of every summary
+    * over the base". Two legs: `partial` rewrites two of six slices
+    * into one compacted file AND appends a genuinely new slice in the
+    * SAME window — the retraction's extremum-recompute groups must
+    * read the SURVIVING registered files, not the current listing
+    * (reading current would double-count the appended rows and
+    * hash-fail); `full` runs the shipped trash-protocol compaction op
+    * ([[graft.sources.PathLifecycle.compactParquetTrash]]) over its
+    * whole base — the degenerate all-files case, where the retraction
+    * empties the summary and the "delta" honestly IS the new base.
+    * In-query requires: both registrations report refreshed with
+    * EXACTLY the right removed ∪ appended file sets, and both
+    * dashboards plan-bind to their folded summaries. Both final bases
+    * are the whole orders table by construction → oracle = plain
+    * recomputes. Integer measure: bit-exact, no float surface. */
+  def q221MixedRefresh(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val orders = tbl(s, dir, "orders")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q221_mixed")
+      .toFile.getAbsolutePath
+    // leg `partial`: registered base = orders with o_orderkey % 7 <> 3,
+    // six named slices keyed % 6; the % 7 = 3 rows arrive later
+    val slicePaths = (0 until 6).map { sl =>
+      writeNamedSlice(orders.filter(col("o_orderkey") % 7 =!= 3 &&
+        col("o_orderkey") % 6 === sl), s"$tmpRoot/base1", s"s$sl")
+    }
+    // leg `full`: the whole orders table in five named slices keyed % 5
+    (0 until 5).foreach { sl =>
+      writeNamedSlice(orders.filter(col("o_orderkey") % 5 === sl),
+        s"$tmpRoot/base2", s"p$sl")
+    }
+    val base1 = s.read.parquet(s"$tmpRoot/base1")
+    val base2 = s.read.parquet(s"$tmpRoot/base2")
+    graft.plan.Rollup.materialize(base1, Seq("o_orderstatus"),
+        Seq("o_custkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/sum1")
+    graft.plan.Rollup.materialize(base2, Seq("o_orderstatus"),
+        Seq("o_custkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/sum2")
+    R.register(base1, s.read.parquet(s"$tmpRoot/sum1"),
+      Seq("o_orderstatus"), Seq("o_custkey"))
+    R.register(base2, s.read.parquet(s"$tmpRoot/sum2"),
+      Seq("o_orderstatus"), Seq("o_custkey"))
+    R.enable(s)
+    try {
+      // partial-leg compaction: slices 1 and 4 rewrite as ONE file, and
+      // the % 7 = 3 rows append as a NEW slice in the same stale window
+      val rows14 = s.read.parquet(slicePaths(1), slicePaths(4))
+      writeNamedSlice(rows14, s"$tmpRoot/base1", "c14")
+      writeNamedSlice(orders.filter(col("o_orderkey") % 7 === 3),
+        s"$tmpRoot/base1", "snew")
+      R.deleteFiles(s, Seq(slicePaths(1), slicePaths(4)), s"$tmpRoot/trash")
+      // full-leg: the shipped trash-protocol compaction op
+      graft.sources.PathLifecycle.compactParquetTrash(s, s"$tmpRoot/base2",
+        s"$tmpRoot/trash")
+      val rep = R.refreshStale(s, s"$tmpRoot/ref",
+        trashDirs = Seq(s"$tmpRoot/trash"))
+      require(rep.size == 2 && rep.forall(_.refreshed),
+        s"both mixed diffs must FOLD, not staleness-kill: $rep")
+      def names(ps: Seq[String]) =
+        ps.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      val repP = rep.find(_.basePaths.exists(_.contains("base1"))).get
+      require(names(repP.removedFiles) == Set("s1.parquet", "s4.parquet") &&
+        names(repP.deltaFiles) == Set("c14.parquet", "snew.parquet"),
+        s"partial fold must cover exactly removed ∪ appended: $repP")
+      val repF = rep.find(_.basePaths.exists(_.contains("base2"))).get
+      require(repF.removedFiles.size == 5 && repF.deltaFiles.size == 1,
+        s"full compaction must retract all five slices and fold the one compacted file: $repF")
+      def dash(src: DataFrame, leg: String) = src.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum("o_custkey").as("sum_cust"),
+          min("o_custkey").as("mn"), max("o_custkey").as("mx"))
+        .select(lit(leg).as("leg"), col("o_orderstatus").as("grp"),
+          col("n_rows"), col("sum_cust"), col("mn"), col("mx"))
+      val qP = dash(s.read.parquet(s"$tmpRoot/base1"), "partial")
+      val scansP = R.scanRootPaths(qP)
+      require(scansP.nonEmpty && scansP.forall(_.endsWith(
+          repP.summaryPath.substring(repP.summaryPath.lastIndexOf('/')))),
+        s"partial leg must ride its folded summary — scans $scansP")
+      val qF = dash(s.read.parquet(s"$tmpRoot/base2"), "full")
+      val scansF = R.scanRootPaths(qF)
+      require(scansF.nonEmpty && scansF.forall(_.endsWith(
+          repF.summaryPath.substring(repF.summaryPath.lastIndexOf('/')))),
+        s"full leg must ride its folded summary — scans $scansF")
+      materializeAndCleanup(s, qP.unionByName(qF), tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
+  /** MAINTENANCE-COST-AWARE summary design ([[graft.plan.SummaryDesigner
+    * .designCrossTier]]'s `updatesPerPeriod` term — VERDICT r13 #2): the
+    * HRU greedy prices each candidate's FACT-SIZED refresh terms against
+    * its query benefit — an AJI over an append-heavy dim pays a
+    * registered-fact scan per dim append (the q206 honest asymmetry),
+    * so the same workload designs DIFFERENTLY under different update
+    * profiles. Bootstrap gate: ONE captured join-aggregate
+    * (orders ⋈ customer by mktsegment), three designs from the same
+    * capture — `cold` (no updates) designs the 5-row AJI and serves it
+    * join-free; `hot` (1 customer append per period — maintenance
+    * ordersRows ≫ the AJI's edge over the pair) flips to the
+    * TWO-PLAIN-SUMMARY navigation pair, served with zero base scans;
+    * `factHot` (100 orders appends) is asserted in-gate to KEEP the
+    * AJI — fact appends fold delta-sized on every tier and must never
+    * enter the cost. In-query requires: the three design shapes
+    * exactly, cold's serve plan-bound to the designed AJI with no Join
+    * node, hot's serve scanning exactly the two designed plain
+    * summaries. Oracle = the join recompute per served leg. Integer
+    * measure. */
+  def q222MaintAwareDesign(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val D = graft.plan.SummaryDesigner
+    val orders = tbl(s, dir, "orders")
+    val customer = tbl(s, dir, "customer")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q222_maint")
+      .toFile.getAbsolutePath
+    orders.write.mode("overwrite").parquet(s"$tmpRoot/orders")
+    customer.write.mode("overwrite").parquet(s"$tmpRoot/customer")
+    val fact = s.read.parquet(s"$tmpRoot/orders")
+    val dim = s.read.parquet(s"$tmpRoot/customer")
+    val keys = Seq("o_custkey" -> "c_custkey")
+    def w(f: DataFrame, d: DataFrame) =
+      f.join(d, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_ok"),
+          min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+    R.enable(s)
+    try {
+      R.startWorkloadCapture()
+      w(fact, dim).queryExecution.optimizedPlan
+      R.stopWorkloadCapture()
+      def design(upd: Seq[(DataFrame, Double)]) =
+        D.designCrossTier(Seq(fact, dim), Seq((fact, dim, keys)), Nil,
+          maxRows = 10000000L, updatesPerPeriod = upd)
+      val cold = design(Nil)
+      require(cold.joined.size == 1 && cold.plain.isEmpty,
+        s"cold dims must design the AJI: $cold")
+      val hot = design(Seq(dim -> 1.0))
+      require(hot.joined.isEmpty && hot.plain.size == 2,
+        s"a hot dim must flip the AJI to the navigation pair: $hot")
+      val factHot = design(Seq(fact -> 100.0))
+      require(factHot.joined.size == 1 && factHot.plain.isEmpty,
+        s"fact appends are delta-sized — the design must not flip: $factHot")
+      // ---- serve the COLD design: join-free on the designed AJI
+      val (_, jOuts, _) = D.buildAndRegisterCrossTier(s, Seq(fact, dim),
+        Seq((fact, dim, keys)), Nil, cold, s"$tmpRoot/cold")
+      val qCold = w(fact, dim)
+      val scansC = R.scanRootPaths(qCold)
+      require(scansC == jOuts.map(p => s"file:$p").toSet,
+        s"cold leg must ride the designed AJI alone — scans $scansC")
+      require(qCold.queryExecution.optimizedPlan.collect {
+          case j: LJoin => j }.isEmpty,
+        "cold leg must serve with ZERO Join nodes")
+      val outCold = materializeSmall(s,
+        qCold.select(lit("cold").as("leg"), col("c_mktsegment").as("seg"),
+          col("n_rows"), col("sum_ok"), col("mn"), col("mx")))
+      R.clear()
+      // ---- serve the HOT design: the two plain summaries navigate
+      val (pOuts, jOuts2, _) = D.buildAndRegisterCrossTier(s, Seq(fact, dim),
+        Seq((fact, dim, keys)), Nil, hot, s"$tmpRoot/hot")
+      require(jOuts2.isEmpty && pOuts.size == 2)
+      val qHot = w(fact, dim)
+      val scansH = R.scanRootPaths(qHot)
+      require(scansH == pOuts.map(p => s"file:$p").toSet,
+        s"hot leg must navigate exactly the two designed plain summaries — scans $scansH")
+      val outHot = materializeSmall(s,
+        qHot.select(lit("hot").as("leg"), col("c_mktsegment").as("seg"),
+          col("n_rows"), col("sum_ok"), col("mn"), col("mx")))
+      materializeAndCleanup(s, outCold.unionByName(outHot), tmpRoot)
+    } finally {
+      R.disable(s); R.resetWorkloadCapture(); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** CROSS-TIER SUMMARY DESIGN under ONE budget ([[graft.plan
     * .SummaryDesigner.designCrossTier]] — VERDICT r12 #2): a mixed cold
     * workload — a custkey-grained fact dashboard (w1), a
@@ -7312,7 +7496,9 @@ object Queries {
     "q217_joined_star_retract" -> (q217JoinedStarRetract _),
     "q218_expr_grain_joined" -> (q218ExprGrainJoined _),
     "q219_versioned_joined" -> (q219VersionedJoined _),
-    "q220_versioned_star" -> (q220VersionedStar _))
+    "q220_versioned_star" -> (q220VersionedStar _),
+    "q221_mixed_refresh" -> (q221MixedRefresh _),
+    "q222_maint_aware_design" -> (q222MaintAwareDesign _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -9718,6 +9904,36 @@ object Queries {
         |SELECT 'v3', s_nationkey, count(*), CAST(sum(l_orderkey) AS BIGINT),
         | min(l_orderkey), max(l_orderkey)
         |FROM j WHERE s_suppkey % 2 = 0 GROUP BY 2""".stripMargin,
+    // q221: mixed-diff (compaction) refresh — both legs' final bases are
+    // the whole orders table by construction, so the oracle is a plain
+    // recompute per leg. A recompute-path double count of the appended
+    // rows (reading the current listing instead of the surviving
+    // registered files) or a missed retraction hash-fails; a stale
+    // fall-through or wrong-summary serve trips the in-query plan
+    // requires. Integer measure; DuckDB sum(BIGINT) is HUGEINT — CAST.
+    "q221_mixed_refresh" ->
+      """SELECT 'partial' AS leg, o_orderstatus AS grp, count(*) AS n_rows,
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        | min(o_custkey) AS mn, max(o_custkey) AS mx
+        |FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 'full', o_orderstatus, count(*),
+        | CAST(sum(o_custkey) AS BIGINT), min(o_custkey), max(o_custkey)
+        |FROM orders GROUP BY 2""".stripMargin,
+    // q222: maintenance-aware design — both served designs answer the
+    // same join-aggregate, so the oracle is the join recompute per leg;
+    // a wrong design shape or a base-scanning serve trips the in-query
+    // requires, a navigation multiplicity bug (the pair's __cnt_rows
+    // weighting) hash-fails. Integer measure; CAST the HUGEINT sum.
+    "q222_maint_aware_design" ->
+      """SELECT 'cold' AS leg, c_mktsegment AS seg, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+        | min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 2
+        |UNION ALL
+        |SELECT 'hot', c_mktsegment, count(*),
+        | CAST(sum(o_orderkey) AS BIGINT), min(o_orderkey), max(o_orderkey)
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 2""".stripMargin,
     // q219: versioned AJI — each version's oracle is the join recompute
     // under its construction predicates (v1 = 2 fact slices ⋈ even
     // customers, v2 = all orders ⋈ even customers, v3 = the full join).

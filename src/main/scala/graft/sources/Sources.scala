@@ -351,6 +351,54 @@ object PathLifecycle {
     n
   }
 
+  /** Small-file compaction through the SAFE-DELETE protocol (r14,
+    * VERDICT r13 #1): like [[compactParquet]], but the replaced files
+    * move to `trashDir` via [[graft.plan.RollupRewrite.deleteFiles]]
+    * instead of being destroyed, and the compacted files land INSIDE
+    * `dir` as ordinary appends — so a registered summary over the base
+    * sees a resolvable MIXED diff (removed ∪ appended) that
+    * `refreshStale` FOLDS (retraction ∘ append-fold) instead of a
+    * permanent staleness kill. At 100 TB this is the difference
+    * between "weekly compaction" and "weekly summary rebuild".
+    * Sequence: write compacted files to a sibling tmp dir, MOVE them
+    * into `dir` under collision-proof names, then trash the originals
+    * — a crash between the two steps leaves duplicated rows visible
+    * (same non-transactional caveat as [[compactParquet]]: run in the
+    * maintenance window; a table format adds the atomic swap).
+    * Returns the new data file count. */
+  def compactParquetTrash(spark: SparkSession, dir: String,
+                          trashDir: String, targetFileMB: Int = 128): Long = {
+    val p = new Path(dir)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val it0 = fs.listFiles(p, true)
+    val old = Seq.newBuilder[String]
+    while (it0.hasNext) {
+      val f = it0.next().getPath
+      if (f.getName.endsWith(".parquet")) old += f.toString
+    }
+    val oldFiles = old.result()
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + targetFileMB.toLong * 1024 * 1024 - 1) /
+      (targetFileMB.toLong * 1024 * 1024))
+    val tmp = new Path(dir + "__compact_tmp")
+    spark.read.parquet(dir).repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val stamp = java.lang.Long.toHexString(System.nanoTime())
+    var n = 0L
+    val it1 = fs.listFiles(tmp, false)
+    while (it1.hasNext) {
+      val f = it1.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val dst = new Path(p, s"compact_${stamp}_${f.getName}")
+        require(fs.rename(f, dst), s"could not move $f into $dir")
+        n += 1
+      }
+    }
+    fs.delete(tmp, true)
+    graft.plan.RollupRewrite.deleteFiles(spark, oldFiles, trashDir)
+    n
+  }
+
   /** Delete files under `path` older than `retentionHours` (0 = all),
     * skipping files whose modeled storage class is excluded; optionally
     * writes the Success.csv manifest (`purge_s3_path`,

@@ -20,8 +20,9 @@ import graft.SparkSpec
 class RollupRetractPropertySpec extends SparkSpec {
   import spark.implicits._
 
-  private def normalized(df: DataFrame): Map[String, Seq[String]] =
-    df.collect().map { r =>
+  private def normalized(df: DataFrame): Map[String, Seq[String]] = {
+    val rows = df.collect()
+    val m = rows.map { r =>
       val g = r.getAs[String]("g")
       g -> df.columns.sorted.toSeq.map { c =>
         r.get(r.fieldIndex(c)) match {
@@ -32,6 +33,13 @@ class RollupRetractPropertySpec extends SparkSpec {
         }
       }
     }.toMap
+    // a double emission (survivor row AND recomputed row for the same
+    // group) must fail the trial, not collapse into the map (ADVICE r13
+    // #5)
+    assert(rows.length == m.size,
+      s"duplicate grain rows: ${rows.length} rows, ${m.size} groups")
+    m
+  }
 
   test("retract(materialize(full), removed, reduced) == materialize(reduced), 24 seeded trials") {
     val rnd = new scala.util.Random(42)

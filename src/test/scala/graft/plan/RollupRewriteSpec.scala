@@ -1491,13 +1491,24 @@ class RollupRewriteSpec extends SparkSpec {
         .map(_.toSeq).toSet
       RollupRewrite.enable(spark)
       assert(served.collect().map(_.toSeq).toSet == want && want.nonEmpty)
-      // MIXED diff (append + delete) stays unrefreshable
+      // MIXED diff (append + delete) now FOLDS (r14, VERDICT r13 #1):
+      // retraction ∘ append-fold, == the full rebuild
       val f3 = writeSlice(Seq(("a", 9L)).toDF("g", "v"), s"$dir/base", "f3")
       RollupRewrite.deleteFiles(spark,
         Seq(s"$dir/base/f1.parquet"), s"$dir/trash")
-      assert(RollupRewrite.refreshStale(spark, s"$dir/r2",
-          trashDirs = Seq(s"$dir/trash")).forall(r => !r.refreshed),
-        "mixed append+delete must report unrefreshable")
+      val repM = RollupRewrite.refreshStale(spark, s"$dir/r2",
+        trashDirs = Seq(s"$dir/trash"))
+      assert(repM.size == 1 && repM.head.refreshed &&
+          repM.head.removedFiles.map(p =>
+            new org.apache.hadoop.fs.Path(p).getName) == Seq("f1.parquet") &&
+          repM.head.deltaFiles.map(p =>
+            new org.apache.hadoop.fs.Path(p).getName) == Seq("f3.parquet"),
+        s"mixed append+delete must fold via retract ∘ merge: $repM")
+      assert(spark.read.parquet(repM.head.summaryPath).collect()
+          .map(_.toSeq).toSet ==
+        Rollup.materialize(spark.read.parquet(s"$dir/base"), Seq("g"),
+          Seq("v")).collect().map(_.toSeq).toSet,
+        "mixed-fold summary must equal a full rebuild")
     } finally {
       RollupRewrite.disable(spark)
       RollupRewrite.clear()
@@ -3093,6 +3104,219 @@ class RollupRewriteSpec extends SparkSpec {
     } finally {
       RollupRewrite.disable(spark)
       RollupRewrite.setCompensation(false)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("refreshStale MIXED diff: a trash-protocol compaction folds — retract ∘ append-fold == full rebuild (r14, VERDICT r13 #1)") {
+    val dir = java.nio.file.Files.createTempDirectory("mixed_plain").toString
+    try {
+      // rows (g, m, s): slice s1 carries g1's MAX (100) and s2 g2's MIN
+      // (1) — both extremum-recompute groups; s0/s3 survive. The domain
+      // of s exceeds k=4, so sketches fill and must stay lossless
+      // through the composition.
+      writeSlice(Seq(("g1", 10L, "a"), ("g2", 20L, "b")).toDF("g", "m", "s"),
+        s"$dir/base", "s0")
+      val s1 = writeSlice(Seq(("g1", 100L, "c"), ("g2", 30L, "d"))
+        .toDF("g", "m", "s"), s"$dir/base", "s1")
+      val s2 = writeSlice(Seq(("g2", 1L, "e"), ("g1", 50L, "f"))
+        .toDF("g", "m", "s"), s"$dir/base", "s2")
+      writeSlice(Seq(("g3", 7L, "g")).toDF("g", "m", "s"), s"$dir/base", "s3")
+      val base0 = spark.read.parquet(s"$dir/base")
+      Rollup.materialize(base0, Seq("g"), Seq("m"), distinctCols = Seq("s"),
+          sketchK = 4, histCols = Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/sum")
+      RollupRewrite.register(base0, spark.read.parquet(s"$dir/sum"),
+        Seq("g"), Seq("m"), distinctCols = Seq("s"), sketchK = 4,
+        histCols = Seq("m"))
+      RollupRewrite.enable(spark)
+      // the compaction: s1 ∪ s2 rewrite as ONE file; plus a genuinely
+      // NEW slice in the same stale window — removed and appended sets
+      // both non-trivial
+      val rows12 = spark.read.parquet(s1, s2).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      writeSlice(rows12.toDF("g", "m", "s"), s"$dir/base", "c12")
+      writeSlice(Seq(("g1", 200L, "h"), ("g4", 3L, "i")).toDF("g", "m", "s"),
+        s"$dir/base", "snew")
+      RollupRewrite.deleteFiles(spark, Seq(s1, s2), s"$dir/trash")
+      val rep = RollupRewrite.refreshStale(spark, s"$dir/r1",
+        trashDirs = Seq(s"$dir/trash"))
+      def names(ps: Seq[String]) =
+        ps.map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+      assert(rep.size == 1 && rep.head.refreshed,
+        s"a trash-protocol compaction must FOLD, not staleness-kill: $rep")
+      assert(names(rep.head.removedFiles) == Set("s1.parquet", "s2.parquet"),
+        s"retraction must cover exactly the removed files: $rep")
+      assert(names(rep.head.deltaFiles) == Set("c12.parquet", "snew.parquet"),
+        s"the delta must be exactly the appended files: $rep")
+      // folded summary == from-scratch rebuild, sketches included
+      def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+      assert(rows(spark.read.parquet(rep.head.summaryPath)) ==
+        rows(Rollup.materialize(spark.read.parquet(s"$dir/base"), Seq("g"),
+          Seq("m"), distinctCols = Seq("s"), sketchK = 4,
+          histCols = Seq("m"))),
+        "folded summary must equal a full rebuild bit-for-bit")
+      val served = spark.read.parquet(s"$dir/base").groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("m").as("sm"), min("m").as("mn"),
+          max("m").as("mx"))
+      assert(scanPaths(served).forall(p =>
+          p.contains("/r1/") && p.contains("refresh_")),
+        s"post-fold serve must ride the folded summary: ${scanPaths(served)}")
+      assert(served.collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))).toSet ==
+        Set(("g1", 4L, 360L, 10L, 200L), ("g2", 3L, 51L, 1L, 30L),
+          ("g3", 1L, 7L, 7L, 7L), ("g4", 1L, 3L, 3L, 3L)),
+        "folded serve values wrong")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("joined/star MIXED diff: a single-side compaction folds; cross-side removal+append still refuses (r14)") {
+    val dir = java.nio.file.Files.createTempDirectory("mixed_join").toString
+    try {
+      // ---- AJI: fact-side compaction (remove f1, append c1+fnew) ----
+      writeSlice(Seq((1L, 10L), (2L, 20L)).toDF("k", "m"), s"$dir/fact", "f0")
+      val f1 = writeSlice(Seq((1L, 100L), (3L, 7L)).toDF("k", "m"),
+        s"$dir/fact", "f1")
+      writeSlice(Seq((1L, "x"), (2L, "y"), (3L, "y")).toDF("dk", "seg"),
+        s"$dir/dim", "d0")
+      // inert slice (no fact partner) so the cross-side delete below
+      // never empties the dim dir
+      writeSlice(Seq((9L, "z")).toDF("dk", "seg"), s"$dir/dim", "dz")
+      val fact0 = spark.read.parquet(s"$dir/fact")
+      val dim0 = spark.read.parquet(s"$dir/dim")
+      Rollup.materializeJoined(fact0, dim0, Seq("k" -> "dk"), Seq("seg"),
+          Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/aji")
+      RollupRewrite.registerJoined(fact0, dim0, Seq("k" -> "dk"),
+        spark.read.parquet(s"$dir/aji"), Seq("seg"), Seq("m"))
+      RollupRewrite.enable(spark)
+      // compaction of f1 (drops the (3,7) row — a rewrite need not be
+      // row-preserving) + a new fact slice
+      writeSlice(Seq((1L, 100L)).toDF("k", "m"), s"$dir/fact", "c1")
+      writeSlice(Seq((2L, 5L)).toDF("k", "m"), s"$dir/fact", "fnew")
+      RollupRewrite.deleteFiles(spark, Seq(f1), s"$dir/trash")
+      val rep = RollupRewrite.refreshStale(spark, s"$dir/r1",
+        trashDirs = Seq(s"$dir/trash"))
+      def names(ps: Seq[String]) =
+        ps.map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+      assert(rep.size == 1 && rep.head.refreshed &&
+          names(rep.head.removedFiles) == Set("f1.parquet") &&
+          names(rep.head.deltaFiles) == Set("c1.parquet", "fnew.parquet"),
+        s"a fact-side AJI compaction must fold: $rep")
+      def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+      assert(rows(spark.read.parquet(rep.head.summaryPath)) ==
+        rows(Rollup.materializeJoined(spark.read.parquet(s"$dir/fact"),
+          dim0, Seq("k" -> "dk"), Seq("seg"), Seq("m"))),
+        "folded AJI must equal a rebuild")
+      val served = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim"), col("k") === col("dk"))
+        .groupBy("seg").agg(sum("m").as("sm"), max("m").as("mx"))
+      assert(scanPaths(served).forall(p => p.contains("refreshj")),
+        s"post-fold serve must ride the folded AJI: ${scanPaths(served)}")
+      assert(served.collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2))).toSet == Set(("x", 110L, 100L), ("y", 25L, 20L)),
+        "folded AJI serve values wrong")
+      // cross-side: dim delete + fact append in one window refuses
+      writeSlice(Seq((2L, 6L)).toDF("k", "m"), s"$dir/fact", "fx")
+      RollupRewrite.deleteFiles(spark, Seq(s"$dir/dim/d0.parquet"),
+        s"$dir/trash")
+      assert(RollupRewrite.refreshStale(spark, s"$dir/r2",
+          trashDirs = Seq(s"$dir/trash")).forall(r => !r.refreshed),
+        "a cross-side removal+append must refuse")
+      RollupRewrite.clear()
+
+      // ---- STAR: dim-side compaction on dim 2 ----
+      writeSlice(Seq((1L, 1L, 5L), (1L, 2L, 6L), (2L, 1L, 7L),
+        (2L, 2L, 100L)).toDF("k1", "k2", "m"), s"$dir/sfact", "f0")
+      writeSlice(Seq((1L, "a"), (2L, "b")).toDF("d1k", "g1"),
+        s"$dir/sd1", "c0")
+      writeSlice(Seq((1L, "u")).toDF("d2k", "g2"), s"$dir/sd2", "e0")
+      val e1 = writeSlice(Seq((2L, "v")).toDF("d2k", "g2"),
+        s"$dir/sd2", "e1")
+      val sfact0 = spark.read.parquet(s"$dir/sfact")
+      def dims0 = Seq(
+        spark.read.parquet(s"$dir/sd1") -> Seq("k1" -> "d1k"),
+        spark.read.parquet(s"$dir/sd2") -> Seq("k2" -> "d2k"))
+      Rollup.materializeStar(sfact0, dims0, Seq("g1", "g2"), Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/star")
+      RollupRewrite.registerStar(sfact0, dims0,
+        spark.read.parquet(s"$dir/star"), Seq("g1", "g2"), Seq("m"))
+      // dim-2 compaction: e1 (key 2 → v) rewrites to key 2 → w, plus a
+      // brand-new dim row key 3 → w (dangling, no fact partner)
+      writeSlice(Seq((2L, "w"), (3L, "w")).toDF("d2k", "g2"),
+        s"$dir/sd2", "e2")
+      RollupRewrite.deleteFiles(spark, Seq(e1), s"$dir/trash")
+      val rep2 = RollupRewrite.refreshStale(spark, s"$dir/r3",
+        trashDirs = Seq(s"$dir/trash"))
+      assert(rep2.size == 1 && rep2.head.refreshed &&
+          names(rep2.head.removedFiles) == Set("e1.parquet") &&
+          names(rep2.head.deltaFiles) == Set("e2.parquet"),
+        s"a single-dim star compaction must fold: $rep2")
+      assert(rows(spark.read.parquet(rep2.head.summaryPath)) ==
+        rows(Rollup.materializeStar(spark.read.parquet(s"$dir/sfact"),
+          dims0, Seq("g1", "g2"), Seq("m"))),
+        "folded star must equal a rebuild")
+      val served2 = spark.read.parquet(s"$dir/sfact")
+        .join(spark.read.parquet(s"$dir/sd1"), col("k1") === col("d1k"))
+        .join(spark.read.parquet(s"$dir/sd2"), col("k2") === col("d2k"))
+        .groupBy("g1", "g2").agg(sum("m").as("sm"))
+      assert(scanPaths(served2).forall(p => p.contains("refreshs")),
+        s"post-fold star serve must ride the summary: ${scanPaths(served2)}")
+      assert(served2.collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2))).toSet ==
+        Set(("a", "u", 5L), ("a", "w", 6L), ("b", "u", 7L),
+          ("b", "w", 100L)),
+        "folded star serve values wrong")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("compactParquetTrash: the shipped compaction op leaves every summary refreshable — full-compaction degenerate folds (r14)") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_fold").toString
+    try {
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+      (0 until 5).foreach { sl =>
+        writeSlice(orders.filter(col("o_orderkey") % 5 === sl),
+          s"$dir/base", s"s$sl")
+      }
+      val base0 = spark.read.parquet(s"$dir/base")
+      Rollup.materialize(base0, Seq("o_orderstatus"), Seq("o_custkey"))
+        .write.mode("overwrite").parquet(s"$dir/sum")
+      RollupRewrite.register(base0, spark.read.parquet(s"$dir/sum"),
+        Seq("o_orderstatus"), Seq("o_custkey"))
+      RollupRewrite.enable(spark)
+      val nNew = graft.sources.PathLifecycle.compactParquetTrash(spark,
+        s"$dir/base", s"$dir/trash")
+      assert(nNew == 1L, s"tiny dir must compact to one file, got $nNew")
+      val rep = RollupRewrite.refreshStale(spark, s"$dir/r1",
+        trashDirs = Seq(s"$dir/trash"))
+      assert(rep.size == 1 && rep.head.refreshed &&
+          rep.head.removedFiles.size == 5 && rep.head.deltaFiles.size == 1,
+        s"compactParquetTrash must leave the summary refreshable: $rep")
+      val served = spark.read.parquet(s"$dir/base").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_custkey").as("sm"),
+          min("o_custkey").as("mn"), max("o_custkey").as("mx"))
+      assert(scanPaths(served).forall(p =>
+          p.contains("/r1/") && p.contains("refresh_")),
+        s"post-compaction serve must ride the folded summary: ${scanPaths(served)}")
+      RollupRewrite.disable(spark)
+      val want = spark.read.parquet(s"$dir/base").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_custkey").as("sm"),
+          min("o_custkey").as("mn"), max("o_custkey").as("mx"))
+        .collect().map(_.toSeq).toSet
+      RollupRewrite.enable(spark)
+      assert(served.collect().map(_.toSeq).toSet == want && want.nonEmpty,
+        "post-compaction serve must equal the base recompute")
+    } finally {
+      RollupRewrite.disable(spark)
       RollupRewrite.clear()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }

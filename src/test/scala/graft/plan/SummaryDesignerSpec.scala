@@ -631,4 +631,53 @@ class SummaryDesignerSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("cross-tier design is MAINTENANCE-aware: a hot dim flips the star to the tuple; fact appends never do (r14, VERDICT r13 #2)") {
+    val dir = java.nio.file.Files.createTempDirectory("designer_maint").toString
+    try {
+      Seq((1L, 10L, 3L), (1L, 20L, 5L), (2L, 10L, 7L), (2L, 20L, 9L),
+          (1L, 10L, 3L), (1L, 20L, 5L), (2L, 10L, 7L), (2L, 20L, 9L))
+        .toDF("k1", "k2", "m").write.mode("overwrite").parquet(s"$dir/fact")
+      Seq((1L, "a"), (2L, "b"), (1L, "a"), (2L, "b"))
+        .toDF("d1k", "g1").write.mode("overwrite").parquet(s"$dir/d1")
+      Seq((10L, "x"), (20L, "y"), (10L, "x"), (20L, "y"))
+        .toDF("d2k", "g2").write.mode("overwrite").parquet(s"$dir/d2")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val d1 = spark.read.parquet(s"$dir/d1")
+      val d2 = spark.read.parquet(s"$dir/d2")
+      val sdims = Seq(d1 -> Seq("k1" -> "d1k"), d2 -> Seq("k2" -> "d2k"))
+      def wS = fact.join(d1, col("k1") === col("d1k"))
+        .join(d2, col("k2") === col("d2k"))
+        .groupBy("g1").agg(sum("m").as("s"))
+      RollupRewrite.enable(spark)
+      RollupRewrite.startWorkloadCapture()
+      wS.queryExecution.optimizedPlan
+      RollupRewrite.stopWorkloadCapture()
+      def design(upd: Seq[(DataFrame, Double)]) =
+        SummaryDesigner.designCrossTier(Seq(fact, d1, d2), Nil,
+          Seq(fact -> sdims), maxRows = 100, updatesPerPeriod = upd)
+      // COLD dims: the 2-row star summary wins on pure query benefit
+      // (the 8-row navigation tuple costs 4x the serve)
+      val cold = design(Nil)
+      assert(cold.star.size == 1 && cold.plain.isEmpty && cold.joined.isEmpty,
+        s"cold dims must keep the star: $cold")
+      // HOT dim d1 (1 append per period): every append costs the star a
+      // registered-fact ⋈ other-dims scan (8 rows), draining its edge
+      // over the tuple — the design must flip to the 3 plain summaries,
+      // whose maintenance is delta-sized
+      val hot = design(Seq(d1 -> 1.0))
+      assert(hot.star.isEmpty && hot.joined.isEmpty && hot.plain.size == 3,
+        s"a hot dim must flip the star to the navigation tuple: $hot")
+      // HOT FACT: fact appends fold delta-sized on EVERY tier — they
+      // must never enter the cost and never flip the design
+      val factHot = design(Seq(fact -> 100.0))
+      assert(factHot.star.size == 1 && factHot.plain.isEmpty,
+        s"fact appends are delta-sized on every tier — design must not flip: $factHot")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.resetWorkloadCapture()
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

@@ -3048,7 +3048,15 @@ object RollupRewrite {
       * shape-match that side's summary grain (computed grains
       * included); every aggregate input is a registered plain-column
       * fact measure (sum / count / count(*) / min / max / avg,
-      * undistinct, unfiltered; DECIMAL sums/avgs serve too — the
+      * unfiltered; `count(distinct c…)` ALSO serves — exactly — when
+      * every arg is a grain column of its own side (r14, VERDICT r13
+      * #4): distinct is duplication-insensitive and the summary join
+      * reproduces exactly the matched grain combinations, so no
+      * multiplicity weighting or unique-key precondition is needed;
+      * ONE distinct group per query — two or more get Expand-rewritten
+      * by RewriteDistinctAggregates before this rule runs and stay on
+      * the base; other distinct aggregates bail; DECIMAL sums/avgs
+      * serve too — the
       * partial × cnt product multiplies by the count as decimal(20,0),
       * stays exact, and casts back to the query's type, VERDICT r12
       * #3); per-side
@@ -3099,8 +3107,19 @@ object RollupRewrite {
         case ae: AggregateExpression => ae
       })
       if (aggCalls.isEmpty) return None
-      if (aggCalls.exists(ae => ae.isDistinct || ae.filter.isDefined)) return None
-      val aggRefs = AttributeSet(aggCalls.flatMap(_.references))
+      // distinct COUNTS pass through (r14, VERDICT r13 #4): they derive
+      // below iff every arg is a grain column of its own side — exact,
+      // since distinct is duplication-insensitive and the summary join
+      // reproduces exactly the matched grain combinations. Any other
+      // distinct aggregate (or a FILTER clause) bails.
+      if (aggCalls.exists(ae => (ae.isDistinct &&
+          !ae.aggregateFunction.isInstanceOf[Count]) ||
+          ae.filter.isDefined)) return None
+      // the fact side is where the UNDISTINCT aggregate inputs live;
+      // distinct-count args may sit on either side (grain-served, no
+      // partials needed), so they stay out of the orientation vote
+      val aggRefs = AttributeSet(
+        aggCalls.filterNot(_.isDistinct).flatMap(_.references))
       val factIsLeft =
         if (aggRefs.isEmpty || aggRefs.subsetOf(leftOut)) true
         else if (aggRefs.subsetOf(rightOut)) false
@@ -3272,8 +3291,31 @@ object RollupRewrite {
               if (onFact) factSubst else dimSubst), topSubst)
             Seq(g0.canonicalized -> a, res.canonicalized -> a)
         }.toMap
+      // EXACT count(distinct grain-col) through navigation (r14,
+      // VERDICT r13 #4): each arg must be a grain column of its own
+      // side's summary (the q180 rule at join width). Distinct is
+      // duplication-insensitive, and the summary join produces exactly
+      // the MATCHED grain combinations of the base join (a combo
+      // appears iff some base pair carried it), so counting distinct
+      // grain attrs over the joined summaries is bit-exact — no
+      // multiplicity weighting, no unique-dim-key requirement.
+      def deriveDistinctCount(args: Seq[Expression]): Option[Expression] = {
+        val newArgs = args.map { a =>
+          if (a.references.isEmpty) None
+          else if (a.references.subsetOf(factOut))
+            factGrainOf(resolve(resolve(a, factSubst), topSubst)).map(fAttr)
+          else if (a.references.subsetOf(dimOut))
+            dimGrainOf(resolve(resolve(a, dimSubst), topSubst)).map(dAttr)
+          else None
+        }
+        if (newArgs.exists(_.isEmpty) || newArgs.isEmpty) None
+        else Some(AggregateExpression(Count(newArgs.map(_.get)),
+          Complete, isDistinct = true))
+      }
       def rewriteExpr(e: Expression): Option[Expression] = e match {
         case AggregateExpression(fn, Complete, false, None, _) => derive(fn)
+        case AggregateExpression(Count(args), Complete, true, None, _) =>
+          deriveDistinctCount(args)
         case _: AggregateExpression => None
         case e if groupByExpr.contains(e.canonicalized) =>
           Some(groupByExpr(e.canonicalized))
@@ -3330,8 +3372,10 @@ object RollupRewrite {
       * (one summary, no join) and the 2-ary paths win first.
       * Requirements per side mirror [[tryRewriteJoinAgg]]: inner
       * equi-star over file relations, every aggregate input a
-      * registered plain-column measure of the CENTER (undistinct,
-      * unfiltered), groupings/filters resolve to their OWN side's
+      * registered plain-column measure of the CENTER (unfiltered;
+      * `count(distinct grain-col)` serves exactly from any leaf's
+      * grain — r14, VERDICT r13 #4), groupings/filters resolve to
+      * their OWN side's
       * grains, keys are grains on both ends, inferred isnotnull(key)
       * conjuncts drop. Lattice routing per side (coarsest first);
       * per-side compensation composes like join-nav's. */
@@ -3359,8 +3403,14 @@ object RollupRewrite {
         case ae: AggregateExpression => ae
       })
       if (aggCalls.isEmpty) return None
-      if (aggCalls.exists(ae => ae.isDistinct || ae.filter.isDefined)) return None
-      val aggRefs = AttributeSet(aggCalls.flatMap(_.references))
+      // distinct COUNTS pass through (r14, VERDICT r13 #4) — derived
+      // below iff every arg is a grain of its own leaf; other distinct
+      // shapes and FILTER clauses bail
+      if (aggCalls.exists(ae => (ae.isDistinct &&
+          !ae.aggregateFunction.isInstanceOf[Count]) ||
+          ae.filter.isDefined)) return None
+      val aggRefs = AttributeSet(
+        aggCalls.filterNot(_.isDistinct).flatMap(_.references))
       if (!aggRefs.subsetOf(leaves(center).outputSet)) return None
       // per-dim key ATTR pairs oriented (center attr, dim attr)
       val byDim: Map[Int, Seq[(AttributeReference, AttributeReference)]] =
@@ -3502,8 +3552,24 @@ object RollupRewrite {
         agg.groupingExpressions.zip(groupAttrs).flatMap { case (g0, a) =>
           Seq(g0.canonicalized -> a, resolve(g0, subst).canonicalized -> a)
         }.toMap
+      // exact count(distinct grain-col) at star width (r14, VERDICT r13
+      // #4) — see tryJoinAggWith's derivation note; each arg resolves
+      // on whichever leaf owns its references
+      def deriveDistinctCount(args: Seq[Expression]): Option[Expression] = {
+        val newArgs = args.map { a =>
+          leaves.indices
+            .find(i => a.references.nonEmpty &&
+              a.references.subsetOf(leaves(i).outputSet))
+            .flatMap(i => grainOf(i)(resolve(a, subst)).map(attrOf(i)))
+        }
+        if (newArgs.exists(_.isEmpty) || newArgs.isEmpty) None
+        else Some(AggregateExpression(Count(newArgs.map(_.get)),
+          Complete, isDistinct = true))
+      }
       def rewriteExpr(e: Expression): Option[Expression] = e match {
         case AggregateExpression(fn, Complete, false, None, _) => derive(fn)
+        case AggregateExpression(Count(args), Complete, true, None, _) =>
+          deriveDistinctCount(args)
         case _: AggregateExpression => None
         case e if groupByExpr.contains(e.canonicalized) =>
           Some(groupByExpr(e.canonicalized))

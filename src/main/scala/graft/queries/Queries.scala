@@ -6330,6 +6330,184 @@ object Queries {
     }
   }
 
+  /** STREAM-MAINTAINED AGGREGATE JOIN SUMMARY (VERDICT r13 #3 — q176's
+    * foreachBatch fold at AJI width): each micro-batch of fact arrivals
+    * folds `Δfact ⋈ dim` — exactly the q206 fact-append delta term — as
+    * one [[graft.plan.Rollup.materializeJoined]] pass merged into
+    * driver-held state, so a join-shaped dashboard stays maintained by
+    * the STREAM with no batch refresh job in the loop. Three
+    * mtime-ordered micro-batches (maxFilesPerTrigger=1 over a 3-file
+    * fact split); the folded state is required in-query to equal the
+    * one-shot AJI materialization (counts and DECIMAL sums are
+    * split-invariant — the q117 device; the decimal column is cast
+    * INTO the fact files so merge's cast-back keeps the layout), then
+    * registers and serves the join-aggregate join-free, plan-required.
+    * Oracle = the join recompute; exact cents make the double cast
+    * lossless on both engines. */
+  def q223StreamJoined(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val gc = Seq("c_mktsegment")
+    val ms = Seq("price_d", "o_orderkey")
+    val keys = Seq("o_custkey" -> "c_custkey")
+    val orders = tbl(s, dir, "orders")
+    val customer = tbl(s, dir, "customer")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q223_saji")
+      .toFile.getAbsolutePath
+    orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price_d"))
+      .repartition(3).write.mode("overwrite").parquet(s"$tmpRoot/factstream")
+    customer.select("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmpRoot/dim")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val dimSS = ss.read.parquet(s"$tmpRoot/dim")
+    val schema = ss.read.parquet(s"$tmpRoot/factstream").schema
+    var state: DataFrame = null
+    var nBatches = 0
+    val q = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmpRoot/factstream")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          nBatches += 1
+          val delta = graft.plan.Rollup.materializeJoined(batch, dimSS,
+              keys, gc, ms)
+            .localCheckpoint(true).transform(graft.plan.Checkpoints.track)
+          state = (if (state == null) delta
+                   else graft.plan.Rollup.merge(state, delta, gc, ms)
+                     .localCheckpoint(true)
+                     .transform(graft.plan.Checkpoints.track))
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    require(nBatches >= 3,
+      s"the stream must fold at least 3 micro-batches, saw $nBatches")
+    state.write.mode("overwrite").parquet(s"$tmpRoot/aji")
+    val fact = s.read.parquet(s"$tmpRoot/factstream")
+    val dim = s.read.parquet(s"$tmpRoot/dim")
+    require(s.read.parquet(s"$tmpRoot/aji").collect().map(_.toSeq).toSet ==
+        graft.plan.Rollup.materializeJoined(fact, dim, keys, gc, ms)
+          .collect().map(_.toSeq).toSet,
+      "stream-folded AJI must equal the one-shot materialization")
+    R.registerJoined(fact, dim, keys, s.read.parquet(s"$tmpRoot/aji"),
+      gc, ms)
+    R.enable(s)
+    try {
+      val dash = fact.join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("price_d").as("__p"),
+          min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+        .select(col("c_mktsegment").as("seg"), col("n_rows"),
+          col("__p").cast("double").as("sum_price"), col("mn"), col("mx"))
+      val scans = R.scanRootPaths(dash)
+      require(scans.nonEmpty && scans.forall(_.contains("/aji")),
+        s"dashboard must ride the stream-maintained AJI — scans $scans")
+      require(dash.queryExecution.optimizedPlan.collect {
+          case j: LJoin => j }.isEmpty,
+        "the AJI serve must carry ZERO Join nodes")
+      materializeAndCleanup(s, dash, tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
+  /** EXACT count(distinct) THROUGH NAVIGATION (VERDICT r13 #4 — the
+    * q180 grain-distinct rule at join and star width): both navigation
+    * paths used to bail on ANY `isDistinct`, but a
+    * `count(distinct c…)` whose every arg is a GRAIN column of its own
+    * side's plain summary is exactly derivable — distinct is
+    * duplication-insensitive and the summary join reproduces exactly
+    * the MATCHED grain combinations of the base join, so no
+    * multiplicity weighting (and no unique-dim-key precondition) is
+    * needed. Leg `nav`: orders ⋈ customer by mktsegment with
+    * `count(distinct o_orderpriority)` riding the fact summary's grain
+    * — served from the TWO plain summaries, zero base scans,
+    * plan-required. Leg `star`: lineitem ⋈ part ⋈ supplier by
+    * nation with `count(distinct p_brand)` from a DIM leaf's grain —
+    * three plain summaries, zero base scans. Oracle = the join
+    * recomputes; a multiplicity inflation (customer keys are unique
+    * but parts repeat per lineitem ~30×) or an unmatched-combo leak
+    * hash-fails. Integer measures. */
+  def q224NavDistinct(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.plan.RollupRewrite
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q224_navd")
+      .toFile.getAbsolutePath
+    // ---- leg nav: orders ⋈ customer
+    tbl(s, dir, "orders").write.mode("overwrite").parquet(s"$tmpRoot/orders")
+    tbl(s, dir, "customer").write.mode("overwrite")
+      .parquet(s"$tmpRoot/customer")
+    val orders = s.read.parquet(s"$tmpRoot/orders")
+    val customer = s.read.parquet(s"$tmpRoot/customer")
+    graft.plan.Rollup.materialize(orders,
+        Seq("o_custkey", "o_orderpriority"), Seq("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/osum")
+    graft.plan.Rollup.materialize(customer,
+        Seq("c_custkey", "c_mktsegment"), Nil)
+      .write.mode("overwrite").parquet(s"$tmpRoot/csum")
+    R.register(orders, s.read.parquet(s"$tmpRoot/osum"),
+      Seq("o_custkey", "o_orderpriority"), Seq("o_orderkey"))
+    R.register(customer, s.read.parquet(s"$tmpRoot/csum"),
+      Seq("c_custkey", "c_mktsegment"), Nil)
+    // ---- leg star: lineitem ⋈ part ⋈ supplier
+    tbl(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$tmpRoot/lineitem")
+    tbl(s, dir, "part").select("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$tmpRoot/part")
+    tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$tmpRoot/supplier")
+    val li = s.read.parquet(s"$tmpRoot/lineitem")
+    val part = s.read.parquet(s"$tmpRoot/part")
+    val supp = s.read.parquet(s"$tmpRoot/supplier")
+    graft.plan.Rollup.materialize(li, Seq("l_partkey", "l_suppkey"),
+        Seq("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/lsum")
+    graft.plan.Rollup.materialize(part, Seq("p_partkey", "p_brand"), Nil)
+      .write.mode("overwrite").parquet(s"$tmpRoot/psum")
+    graft.plan.Rollup.materialize(supp, Seq("s_suppkey", "s_nationkey"), Nil)
+      .write.mode("overwrite").parquet(s"$tmpRoot/ssum")
+    R.register(li, s.read.parquet(s"$tmpRoot/lsum"),
+      Seq("l_partkey", "l_suppkey"), Seq("l_orderkey"))
+    R.register(part, s.read.parquet(s"$tmpRoot/psum"),
+      Seq("p_partkey", "p_brand"), Nil)
+    R.register(supp, s.read.parquet(s"$tmpRoot/ssum"),
+      Seq("s_suppkey", "s_nationkey"), Nil)
+    R.enable(s)
+    try {
+      val qNav = orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_ok"),
+          countDistinct(col("o_orderpriority")).as("nd"))
+        .select(lit("nav").as("leg"), col("c_mktsegment").as("g"),
+          col("n_rows"), col("sum_ok"), col("nd"))
+      val scansN = R.scanRootPaths(qNav)
+      require(scansN.nonEmpty && scansN.forall(p =>
+          p.contains("osum") || p.contains("csum")),
+        s"nav leg must serve from the two plain summaries — scans $scansN")
+      val qStar = li
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_rows"), sum("l_orderkey").as("sum_ok"),
+          countDistinct(col("p_brand")).as("nd"))
+        .select(lit("star").as("leg"),
+          col("s_nationkey").cast("string").as("g"),
+          col("n_rows"), col("sum_ok"), col("nd"))
+      val scansS = R.scanRootPaths(qStar)
+      require(scansS.nonEmpty && scansS.forall(p =>
+          p.contains("lsum") || p.contains("psum") || p.contains("ssum")),
+        s"star leg must serve from the three plain summaries — scans $scansS")
+      materializeAndCleanup(s, qNav.unionByName(qStar), tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** CROSS-TIER SUMMARY DESIGN under ONE budget ([[graft.plan
     * .SummaryDesigner.designCrossTier]] — VERDICT r12 #2): a mixed cold
     * workload — a custkey-grained fact dashboard (w1), a
@@ -7498,7 +7676,9 @@ object Queries {
     "q219_versioned_joined" -> (q219VersionedJoined _),
     "q220_versioned_star" -> (q220VersionedStar _),
     "q221_mixed_refresh" -> (q221MixedRefresh _),
-    "q222_maint_aware_design" -> (q222MaintAwareDesign _))
+    "q222_maint_aware_design" -> (q222MaintAwareDesign _),
+    "q223_stream_joined" -> (q223StreamJoined _),
+    "q224_nav_distinct" -> (q224NavDistinct _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -9934,6 +10114,34 @@ object Queries {
         |SELECT 'hot', c_mktsegment, count(*),
         | CAST(sum(o_orderkey) AS BIGINT), min(o_orderkey), max(o_orderkey)
         |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 2""".stripMargin,
+    // q223: stream-maintained AJI — the folded state is required
+    // in-query to equal the one-shot AJI, so the oracle is simply the
+    // join recompute; a missed micro-batch or a double-merged delta
+    // changes counts/sums and hash-fails, a join-ful or base-scanning
+    // serve trips the plan requires. DECIMAL(12,2) sums are exact cents
+    // — the double cast is lossless on both engines.
+    "q223_stream_joined" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n_rows,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        | min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    // q224: exact count(distinct) through navigation — oracle = the
+    // join recomputes; a dim-multiplicity inflation of the distinct
+    // count (parts repeat ~30× per lineitem) or an unmatched-combo
+    // leak hash-fails; a base-scanning serve trips the in-query plan
+    // requires. Integer measures; CAST the HUGEINT sums.
+    "q224_nav_distinct" ->
+      """SELECT 'nav' AS leg, c_mktsegment AS g, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+        | count(DISTINCT o_orderpriority) AS nd
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 2
+        |UNION ALL
+        |SELECT 'star', CAST(s_nationkey AS VARCHAR), count(*),
+        | CAST(sum(l_orderkey) AS BIGINT), count(DISTINCT p_brand)
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 2""".stripMargin,
     // q219: versioned AJI — each version's oracle is the join recompute
     // under its construction predicates (v1 = 2 fact slices ⋈ even
     // customers, v2 = all orders ⋈ even customers, v3 = the full join).

@@ -37,7 +37,22 @@ import graft.sources.{Snapshots, VersionedPool}
   * same bytes-linger-until-vacuum contract as every other tier.
   * Crash model: a crash before publish leaves an unreferenced pool
   * orphan — nothing to repair, only to vacuum. Single-writer
-  * maintenance. */
+  * maintenance.
+  *
+  * ONE SIDE-LIST CORE (r14, VERDICT r13 #5): the plain, JOINED (AJI,
+  * r13) and STAR (r13) shapes are one implementation over a
+  * `fact ⋈ dim1 ⋈ … ⋈ dimk` side list — plain is k = 0, joined k = 1,
+  * star k ≥ 2. Appends fold via the q212 TELESCOPING decomposition
+  * (`ΔF ⋈ dims_cur` plus one `F_saved ⋈ dims<i SAVED ⋈ ΔDi ⋈ dims>i
+  * cur` term per appended dim — with k = 0 that degenerates to the
+  * plain delta aggregate, with k = 1 to the q206 two-term fold);
+  * single-side trash deletes retract via the q217 set-difference
+  * algebra ([[Rollup.retract]] applies verbatim to the joined frame,
+  * and with k = 0 to the base itself). Only the META DIALECT and the
+  * registration entry point differ per shape, kept byte-compatible
+  * with the r13 per-shape formats: plain metas carry no key/dim rows,
+  * joined metas `kind='key'`/`'dimfile'`, star metas
+  * `kind='keyI'`/`'dimfileI'`. */
 object RollupVersioned {
 
   /** The summary layout, fixed at [[init]] and carried in every
@@ -45,6 +60,14 @@ object RollupVersioned {
   case class Layout(groupCols: Seq[String], measures: Seq[String],
                     distinctCols: Seq[String] = Nil, sketchK: Int = 64,
                     histCols: Seq[String] = Nil)
+
+  /** One versioned side list: the fact plus k dims with their
+    * (fact col, dim col) equi-keys. */
+  private type Dims = Seq[(DataFrame, Seq[(String, String)])]
+
+  // ---------------------------------------------------------------------
+  // meta encode/decode — the only per-shape surface
+  // ---------------------------------------------------------------------
 
   private def layoutRows(spark: SparkSession, layout: Layout,
                          baseEntries: Seq[String]): DataFrame = {
@@ -58,6 +81,40 @@ object RollupVersioned {
       .toDF("kind", "key", "num")
   }
 
+  // key pairs URL-encode both names before joining with ':' (ADVICE r13
+  // #2 — a fact column containing ':' would mis-split otherwise),
+  // matching the j2/s2 lattice-manifest convention. Decode is identity
+  // on the raw names older metas persisted (no '%' in practice).
+  private def encName(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def decName(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Meta kind names per dim index: the joined dialect (`key` /
+    * `dimfile`, k = 1) and the star dialect (`keyI` / `dimfileI`,
+    * k ≥ 2) — exactly the r13 on-disk formats. */
+  private def keyKind(n: Int, i: Int): String =
+    if (n == 1) "key" else s"key$i"
+  private def dimKind(n: Int, i: Int): String =
+    if (n == 1) "dimfile" else s"dimfile$i"
+
+  private def metaRows(spark: SparkSession, layout: Layout,
+                       factEntries: Seq[String],
+                       dims: Seq[(Seq[(String, String)], Seq[String])])
+      : DataFrame = {
+    import spark.implicits._
+    val base = layoutRows(spark, layout, factEntries)
+    if (dims.isEmpty) base
+    else base.unionByName(
+      dims.zipWithIndex.flatMap { case ((keys, entries), i) =>
+        keys.zipWithIndex.map { case ((f, d), j) =>
+          (keyKind(dims.size, i), s"${encName(f)}:${encName(d)}",
+            j.toDouble) } ++
+          entries.sorted.zipWithIndex.map { case (e, j) =>
+            (dimKind(dims.size, i), e, j.toDouble) }
+      }.toDF("kind", "key", "num"))
+  }
+
   private def layoutOf(meta: DataFrame): Layout = {
     def cols(kind: String): Seq[String] = meta
       .filter(col("kind") === kind).orderBy("num")
@@ -65,9 +122,39 @@ object RollupVersioned {
     Layout(cols("grain"), cols("measure"), cols("distinct"), 64, cols("hist"))
   }
 
+  private def sketchKOf(meta: DataFrame): Int =
+    meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
+      .select("num").collect().headOption.map(_.getDouble(0).toInt)
+      .getOrElse(64)
+
   private def baseEntriesOf(meta: DataFrame): Set[String] =
     meta.filter(col("kind") === "basefile")
       .select("key").collect().map(_.getString(0)).toSet
+
+  private def metaDimCount(meta: DataFrame): Int = {
+    val kinds = meta.filter(col("kind").startsWith("key"))
+      .select("kind").distinct().collect().map(_.getString(0))
+    if (kinds.isEmpty) 0
+    else if (kinds.sameElements(Array("key"))) 1
+    else kinds.map(_.stripPrefix("key").toInt).max + 1
+  }
+
+  private def metaKeysOf(meta: DataFrame, n: Int, i: Int)
+      : Seq[(String, String)] =
+    meta.filter(col("kind") === keyKind(n, i)).orderBy("num")
+      .select("key").collect().map(_.getString(0)).toSeq.map { kv =>
+        val Array(f, d) = kv.split(":", 2)
+        decName(f) -> decName(d)
+      }
+
+  private def metaDimEntriesOf(meta: DataFrame, n: Int, i: Int)
+      : Set[String] =
+    meta.filter(col("kind") === dimKind(n, i))
+      .select("key").collect().map(_.getString(0)).toSet
+
+  // ---------------------------------------------------------------------
+  // shared frame plumbing
+  // ---------------------------------------------------------------------
 
   private def baseEntries(base: DataFrame): Seq[String] = {
     val rel = base.queryExecution.analyzed.collectFirst {
@@ -89,6 +176,26 @@ object RollupVersioned {
     }
   }
 
+  private def filesOf(entries: Set[String]): Seq[String] =
+    entries.toSeq.sorted.map(_.split("\\|")(0))
+
+  private def starJoin(fact: DataFrame, dims: Dims): DataFrame =
+    dims.foldLeft(fact) { case (acc, (d, keys)) =>
+      acc.join(d, keys.map { case (fk, dk) =>
+        fact(fk) === d(dk) }.reduce(_ && _))
+    }
+
+  private def resolveTrash(spark: SparkSession, removed: Set[String],
+      trashDirs: Seq[String]): Option[Seq[String]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val resolved = removed.toSeq.sorted.map(_.split("\\|")(0)).map { p =>
+      trashDirs.iterator.map { td =>
+        new org.apache.hadoop.fs.Path(td, RollupRewrite.trashFileName(p))
+      }.find(dst => dst.getFileSystem(conf).exists(dst)).map(_.toString)
+    }
+    if (resolved.exists(_.isEmpty)) None else Some(resolved.flatten)
+  }
+
   private def writeBatch(spark: SparkSession, root: String,
                          summary: DataFrame): String = {
     val batch = VersionedPool.nextBatch(spark, root)
@@ -97,18 +204,186 @@ object RollupVersioned {
     batch
   }
 
+  private def publishState(spark: SparkSession, root: String,
+      layout: Layout, sketchK: Int, summary: DataFrame,
+      factEntries: Seq[String],
+      dims: Seq[(Seq[(String, String)], Seq[String])]): Int = {
+    val batch = writeBatch(spark, root, summary)
+    VersionedPool.publishMeta(spark, root, Seq(batch),
+      Seq("sketch_k" -> sketchK.toDouble), None, "doc_id",
+      org.apache.spark.sql.types.LongType,
+      Some(metaRows(spark, layout.copy(sketchK = sketchK), factEntries,
+        dims)))
+  }
+
+  // ---------------------------------------------------------------------
+  // the side-list core: init / telescoped append fold / single-side
+  // retraction — shared verbatim by all three shapes
+  // ---------------------------------------------------------------------
+
+  private def initCore(spark: SparkSession, root: String, fact: DataFrame,
+                       dims: Dims, layout: Layout): Int = {
+    VersionedPool.requireFresh(spark, root)
+    publishState(spark, root, layout, layout.sketchK,
+      Rollup.materialize(starJoin(fact, dims), layout.groupCols,
+        layout.measures, layout.distinctCols, layout.sketchK,
+        layout.histCols),
+      baseEntries(fact),
+      dims.map { case (d, keys) => (keys, baseEntries(d)) })
+  }
+
+  /** The saved state + current diff every maintenance op needs. */
+  private case class SideState(layout: Layout, sketchK: Int,
+      keys: Seq[Seq[(String, String)]],
+      savedF: Set[String], savedD: Seq[Set[String]],
+      curF: Set[String], curDs: Seq[Set[String]],
+      neededFact: Set[String], neededDim: Seq[Set[String]])
+
+  private def sideState(spark: SparkSession, root: String,
+      fact: DataFrame, dims: Dims): Option[SideState] = {
+    val meta = Snapshots.readLatest(spark, VersionedPool.metaDir(root))
+    val n = metaDimCount(meta)
+    require(dims.size == n, s"expected $n dims, got ${dims.size}")
+    val layout = layoutOf(meta)
+    val keys = (0 until n).map(metaKeysOf(meta, n, _))
+    val savedF = baseEntriesOf(meta)
+    val savedD = (0 until n).map(metaDimEntriesOf(meta, n, _))
+    if (savedF.isEmpty || savedD.exists(_.isEmpty)) return None
+    val dimCols = dims.flatMap(_._1.columns).toSet
+    val carried = (layout.groupCols ++ layout.measures ++
+      layout.distinctCols ++ layout.histCols).toSet
+    Some(SideState(layout, sketchKOf(meta), keys,
+      savedF, savedD,
+      baseEntries(fact).toSet, dims.map { case (d, _) => baseEntries(d).toSet },
+      carried.filterNot(dimCols.contains) ++ keys.flatten.map(_._1),
+      (0 until n).map(i =>
+        carried.filter(dims(i)._1.columns.contains).toSet ++
+          keys(i).map(_._2))))
+  }
+
+  /** The q212 TELESCOPING append fold over the side list — `ΔF ⋈
+    * dims_cur` plus one `F_saved ⋈ dims<i SAVED ⋈ ΔDi ⋈ dims>i cur`
+    * term per appended dim, pairwise disjoint by first-new-side; k = 0
+    * degenerates to the plain delta aggregate, k = 1 to the q206
+    * two-term fold. None on any removal, an empty diff, or a bare read
+    * missing a needed column. */
+  private def refreshAppendedCore(spark: SparkSession, root: String,
+      fact: DataFrame, dims: Dims): Option[Int] = {
+    val st = sideState(spark, root, fact, dims).getOrElse(return None)
+    val n = dims.size
+    val fApp = st.curF -- st.savedF
+    val dApps = (0 until n).map(i => st.curDs(i) -- st.savedD(i))
+    if ((st.savedF -- st.curF).nonEmpty ||
+        (0 until n).exists(i => (st.savedD(i) -- st.curDs(i)).nonEmpty))
+      return None
+    if (fApp.isEmpty && dApps.forall(_.isEmpty)) return None
+    def agg(df: DataFrame) = Rollup.materialize(df, st.layout.groupCols,
+      st.layout.measures, st.layout.distinctCols, st.sketchK,
+      st.layout.histCols)
+    val dimCur = (0 until n).map(i => dims(i)._1 -> st.keys(i))
+    lazy val dimSaved = (0 until n).map(i =>
+      spark.read.parquet(filesOf(st.savedD(i)): _*) -> st.keys(i))
+    val parts = Seq.newBuilder[DataFrame]
+    if (fApp.nonEmpty) {
+      val deltaFact = spark.read.parquet(filesOf(fApp): _*)
+      if (!st.neededFact.subsetOf(deltaFact.columns.toSet)) return None
+      parts += agg(starJoin(deltaFact, dimCur))
+    }
+    if (dApps.exists(_.nonEmpty)) {
+      val savedFact = spark.read.parquet(filesOf(st.savedF): _*)
+      if (!st.neededFact.subsetOf(savedFact.columns.toSet)) return None
+      (0 until n).foreach { i =>
+        if (dApps(i).nonEmpty) {
+          val deltaDim = spark.read.parquet(filesOf(dApps(i)): _*)
+          if (!st.neededDim(i).subsetOf(deltaDim.columns.toSet)) return None
+          if ((0 until i).exists(j =>
+              !st.neededDim(j).subsetOf(dimSaved(j)._1.columns.toSet)))
+            return None
+          val sides = (0 until n).map { j =>
+            if (j < i) dimSaved(j)
+            else if (j == i) deltaDim -> st.keys(i)
+            else dimCur(j)
+          }
+          parts += agg(starJoin(savedFact, sides))
+        }
+      }
+    }
+    val deltaSummary = parts.result().reduce((a, b) =>
+      Rollup.merge(a, b, st.layout.groupCols, st.layout.measures,
+        st.layout.distinctCols, st.sketchK, st.layout.histCols))
+    val merged = Rollup.merge(summaryOf(spark, root, None), deltaSummary,
+      st.layout.groupCols, st.layout.measures, st.layout.distinctCols,
+      st.sketchK, st.layout.histCols)
+    Some(publishState(spark, root, st.layout, st.sketchK, merged,
+      st.curF.toSeq,
+      (0 until n).map(i => (st.keys(i), st.curDs(i).toSeq))))
+  }
+
+  /** The q217 single-side retraction over the side list: the removed
+    * tuples are exactly `removed-side rows ⋈ every other side`
+    * (set-difference distributivity), so [[Rollup.retract]] applies
+    * verbatim to the joined frame — and with k = 0 to the base itself.
+    * None on mixed diffs, multi-side deletes, unresolvable trash, or a
+    * bare read missing a needed column. */
+  private def refreshRemovedCore(spark: SparkSession, root: String,
+      fact: DataFrame, dims: Dims, trashDirs: Seq[String]): Option[Int] = {
+    val st = sideState(spark, root, fact, dims).getOrElse(return None)
+    val n = dims.size
+    val fRem = st.savedF -- st.curF
+    val dRems = (0 until n).map(i => st.savedD(i) -- st.curDs(i))
+    if ((st.curF -- st.savedF).nonEmpty ||
+        (0 until n).exists(i => (st.curDs(i) -- st.savedD(i)).nonEmpty))
+      return None
+    val remSides = (if (fRem.nonEmpty) 1 else 0) + dRems.count(_.nonEmpty)
+    if (remSides != 1) return None
+    val rem = if (fRem.nonEmpty) fRem else dRems.find(_.nonEmpty).get
+    val trash = resolveTrash(spark, rem, trashDirs).getOrElse(return None)
+    val removedDf = spark.read.parquet(trash: _*)
+    val dimCur = (0 until n).map(i => dims(i)._1 -> st.keys(i))
+    val removedJoined =
+      if (fRem.nonEmpty) {
+        if (!st.neededFact.subsetOf(removedDf.columns.toSet) ||
+            !st.neededFact.subsetOf(fact.columns.toSet)) return None
+        starJoin(removedDf, dimCur)
+      } else {
+        val i = dRems.indexWhere(_.nonEmpty)
+        if (!st.neededDim(i).subsetOf(removedDf.columns.toSet)) return None
+        starJoin(fact, (0 until n).map(j =>
+          if (j == i) removedDf -> st.keys(i) else dimCur(j)))
+      }
+    val retracted = Rollup.retract(summaryOf(spark, root, None),
+      removedJoined, starJoin(fact, dimCur),
+      st.layout.groupCols.map(g => g -> col(g)), st.layout.measures,
+      st.layout.distinctCols, st.sketchK, st.layout.histCols)
+    Some(publishState(spark, root, st.layout, st.sketchK, retracted,
+      st.curF.toSeq,
+      (0 until n).map(i => (st.keys(i), st.curDs(i).toSeq))))
+  }
+
+  /** As-of state of version v (latest when None): the meta plus
+    * explicit reads of exactly the manifests the version aggregated. */
+  private def asOfState(spark: SparkSession, root: String,
+      version: Option[Int]): (Layout, Int, DataFrame, Dims) = {
+    val meta = version.fold(
+      Snapshots.readLatest(spark, VersionedPool.metaDir(root)))(
+      v => Snapshots.readVersion(spark, VersionedPool.metaDir(root), v))
+    val n = metaDimCount(meta)
+    val asOfFact = spark.read.parquet(filesOf(baseEntriesOf(meta)): _*)
+    val asOfDims = (0 until n).map { i =>
+      spark.read.parquet(filesOf(metaDimEntriesOf(meta, n, i)): _*) ->
+        metaKeysOf(meta, n, i)
+    }
+    (layoutOf(meta), sketchKOf(meta), asOfFact, asOfDims)
+  }
+
+  // ---------------------------------------------------------------------
+  // public API — the three shapes, each a thin dispatch onto the core
+  // ---------------------------------------------------------------------
+
   /** Aggregate `base` under `layout`, commit it as version 1. */
   def init(spark: SparkSession, root: String, base: DataFrame,
-           layout: Layout): Int = {
-    VersionedPool.requireFresh(spark, root)
-    val batch = writeBatch(spark, root,
-      Rollup.materialize(base, layout.groupCols, layout.measures,
-        layout.distinctCols, layout.sketchK, layout.histCols))
-    VersionedPool.publishMeta(spark, root, Seq(batch),
-      Seq("sketch_k" -> layout.sketchK.toDouble), None, "doc_id",
-      org.apache.spark.sql.types.LongType,
-      Some(layoutRows(spark, layout, baseEntries(base))))
-  }
+           layout: Layout): Int =
+    initCore(spark, root, base, Nil, layout)
 
   /** Fold a PURE APPEND of `base` (vs the committed version's basefile
     * manifest) into a NEW version: aggregate exactly the appended
@@ -118,33 +393,8 @@ object RollupVersioned {
     * / in-place changes: rebuild via [[init]] on a fresh root) or is
     * empty. */
   def refreshAppended(spark: SparkSession, root: String,
-                      base: DataFrame): Option[Int] = {
-    val meta = Snapshots.readLatest(spark, VersionedPool.metaDir(root))
-    val layout = layoutOf(meta)
-    val saved = baseEntriesOf(meta)
-    val sketchK = meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
-      .select("num").collect().headOption.map(_.getDouble(0).toInt).getOrElse(64)
-    val current = baseEntries(base).toSet
-    val appended = current -- saved
-    val removed = saved -- current
-    if (appended.isEmpty || removed.nonEmpty || saved.isEmpty) return None
-    val deltaFiles = appended.toSeq.sorted.map(_.split("\\|")(0))
-    val delta = spark.read.parquet(deltaFiles: _*)
-    val needed = (layout.groupCols ++ layout.measures ++
-      layout.distinctCols ++ layout.histCols).toSet
-    if (!needed.subsetOf(delta.columns.toSet)) return None
-    val stored = summaryOf(spark, root, None)
-    val deltaAgg = Rollup.materialize(delta, layout.groupCols,
-      layout.measures, layout.distinctCols, sketchK, layout.histCols)
-    val merged = Rollup.merge(stored, deltaAgg, layout.groupCols,
-      layout.measures, layout.distinctCols, sketchK, layout.histCols)
-    val batch = writeBatch(spark, root, merged)
-    Some(VersionedPool.publishMeta(spark, root, Seq(batch),
-      Seq("sketch_k" -> sketchK.toDouble), None, "doc_id",
-      org.apache.spark.sql.types.LongType,
-      Some(layoutRows(spark, layout.copy(sketchK = sketchK),
-        current.toSeq))))
-  }
+                      base: DataFrame): Option[Int] =
+    refreshAppendedCore(spark, root, base, Nil)
 
   /** Fold a PURE DELETE (files moved out of the base through
     * [[RollupRewrite.deleteFiles]]' trash protocol — bytes linger for
@@ -160,38 +410,8 @@ object RollupVersioned {
     * (the same refusal discipline as [[RollupRewrite.refreshStale]]'s
     * delete path). */
   def refreshRemoved(spark: SparkSession, root: String, base: DataFrame,
-                     trashDirs: Seq[String]): Option[Int] = {
-    val meta = Snapshots.readLatest(spark, VersionedPool.metaDir(root))
-    val layout = layoutOf(meta)
-    val saved = baseEntriesOf(meta)
-    val sketchK = meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
-      .select("num").collect().headOption.map(_.getDouble(0).toInt).getOrElse(64)
-    val current = baseEntries(base).toSet
-    val removed = saved -- current
-    val appended = current -- saved
-    if (removed.isEmpty || appended.nonEmpty || saved.isEmpty) return None
-    val conf = spark.sparkContext.hadoopConfiguration
-    val resolved = removed.toSeq.sorted.map(_.split("\\|")(0)).map { p =>
-      trashDirs.iterator.map { td =>
-        new org.apache.hadoop.fs.Path(td, RollupRewrite.trashFileName(p))
-      }.find(dst => dst.getFileSystem(conf).exists(dst)).map(_.toString)
-    }
-    if (resolved.exists(_.isEmpty)) return None
-    val removedDf = spark.read.parquet(resolved.flatten: _*)
-    val needed = (layout.groupCols ++ layout.measures ++
-      layout.distinctCols ++ layout.histCols).toSet
-    if (!needed.subsetOf(removedDf.columns.toSet) ||
-        !needed.subsetOf(base.columns.toSet)) return None
-    val retracted = Rollup.retract(summaryOf(spark, root, None), removedDf,
-      base, layout.groupCols.map(g => g -> col(g)), layout.measures,
-      layout.distinctCols, sketchK, layout.histCols)
-    val batch = writeBatch(spark, root, retracted)
-    Some(VersionedPool.publishMeta(spark, root, Seq(batch),
-      Seq("sketch_k" -> sketchK.toDouble), None, "doc_id",
-      org.apache.spark.sql.types.LongType,
-      Some(layoutRows(spark, layout.copy(sketchK = sketchK),
-        current.toSeq))))
-  }
+                     trashDirs: Seq[String]): Option[Int] =
+    refreshRemovedCore(spark, root, base, Nil, trashDirs)
 
   /** Version v's summary frame (latest when None) — a plain scan of its
     * immutable pool batch, serving-stable while maintenance publishes. */
@@ -215,14 +435,7 @@ object RollupVersioned {
     * different versions coexist: their base path sets differ. */
   def registerVersion(spark: SparkSession, root: String,
                       version: Option[Int] = None): DataFrame = {
-    val meta = version.fold(
-      Snapshots.readLatest(spark, VersionedPool.metaDir(root)))(
-      v => Snapshots.readVersion(spark, VersionedPool.metaDir(root), v))
-    val layout = layoutOf(meta)
-    val sketchK = meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
-      .select("num").collect().headOption.map(_.getDouble(0).toInt).getOrElse(64)
-    val files = baseEntriesOf(meta).toSeq.sorted.map(_.split("\\|")(0))
-    val asOf = spark.read.parquet(files: _*)
+    val (layout, sketchK, asOf, _) = asOfState(spark, root, version)
     RollupRewrite.register(asOf, summaryOf(spark, root, version),
       layout.groupCols, layout.measures, layout.distinctCols, sketchK,
       histCols = layout.histCols)
@@ -236,67 +449,19 @@ object RollupVersioned {
     VersionedPool.vacuum(spark, root, keepLast)
 
   // ---------------------------------------------------------------------
-  // The JOINED (AJI) versioned tier (r13): one full Rollup layout over
-  // `fact ⋈ dim` per version, meta additionally carrying the join keys
-  // (`kind='key'`) and the DIM side's basefile manifest
-  // (`kind='dimfile'`) — time travel over a maintained aggregate join
-  // summary. Same crash model, pinning, and vacuum as the plain tier.
+  // The JOINED (AJI) versioned tier (r13): the k = 1 side list. Meta
+  // additionally carries the join keys (`kind='key'`) and the DIM
+  // side's basefile manifest (`kind='dimfile'`) — time travel over a
+  // maintained aggregate join summary. Same crash model, pinning, and
+  // vacuum as the plain tier.
   // ---------------------------------------------------------------------
-
-  private def joinedRows(spark: SparkSession, layout: Layout,
-                         keys: Seq[(String, String)],
-                         factEntries: Seq[String],
-                         dimEntries: Seq[String]): DataFrame = {
-    import spark.implicits._
-    layoutRows(spark, layout, factEntries).unionByName(
-      (keys.zipWithIndex.map { case ((f, d), i) =>
-        ("key", s"${encName(f)}:${encName(d)}", i.toDouble) } ++
-        dimEntries.sorted.zipWithIndex.map { case (e, i) =>
-          ("dimfile", e, i.toDouble) })
-        .toDF("kind", "key", "num"))
-  }
-
-  // key pairs URL-encode both names before joining with ':' (ADVICE r13
-  // #2 — a fact column containing ':' would mis-split otherwise),
-  // matching the j2/s2 lattice-manifest convention. Decode is identity
-  // on the raw names older metas persisted (no '%' in practice).
-  private def encName(s: String): String =
-    java.net.URLEncoder.encode(s, "UTF-8")
-  private def decName(s: String): String =
-    java.net.URLDecoder.decode(s, "UTF-8")
-
-  private def keysOf(meta: DataFrame): Seq[(String, String)] =
-    meta.filter(col("kind") === "key").orderBy("num")
-      .select("key").collect().map(_.getString(0)).toSeq.map { kv =>
-        val Array(f, d) = kv.split(":", 2)
-        decName(f) -> decName(d)
-      }
-
-  private def dimEntriesOf(meta: DataFrame): Set[String] =
-    meta.filter(col("kind") === "dimfile")
-      .select("key").collect().map(_.getString(0)).toSet
-
-  private def join2(fact: DataFrame, dim: DataFrame,
-                    keys: Seq[(String, String)]): DataFrame =
-    fact.join(dim, keys.map { case (fk, dk) =>
-      fact(fk) === dim(dk) }.reduce(_ && _))
 
   /** Aggregate `fact ⋈ dim` under `layout`, commit as version 1 of a
     * VERSIONED aggregate join summary. */
   def initJoined(spark: SparkSession, root: String, fact: DataFrame,
                  dim: DataFrame, keys: Seq[(String, String)],
-                 layout: Layout): Int = {
-    VersionedPool.requireFresh(spark, root)
-    val batch = writeBatch(spark, root,
-      Rollup.materialize(join2(fact, dim, keys), layout.groupCols,
-        layout.measures, layout.distinctCols, layout.sketchK,
-        layout.histCols))
-    VersionedPool.publishMeta(spark, root, Seq(batch),
-      Seq("sketch_k" -> layout.sketchK.toDouble), None, "doc_id",
-      org.apache.spark.sql.types.LongType,
-      Some(joinedRows(spark, layout, keys, baseEntries(fact),
-        baseEntries(dim))))
-  }
+                 layout: Layout): Int =
+    initCore(spark, root, fact, Seq(dim -> keys), layout)
 
   /** Fold PURE APPENDS on either (or both) sides into a NEW version via
     * the q206 inner-join distributivity — `ΔF ⋈ dimCur` plus
@@ -308,54 +473,9 @@ object RollupVersioned {
     * column. Old versions stay readable and pinnable. */
   def refreshAppendedJoined(spark: SparkSession, root: String,
                             fact: DataFrame, dim: DataFrame): Option[Int] = {
-    val meta = Snapshots.readLatest(spark, VersionedPool.metaDir(root))
-    val layout = layoutOf(meta)
-    val keys = keysOf(meta)
-    val savedF = baseEntriesOf(meta)
-    val savedD = dimEntriesOf(meta)
-    val sketchK = meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
-      .select("num").collect().headOption.map(_.getDouble(0).toInt).getOrElse(64)
-    val curF = baseEntries(fact).toSet
-    val curD = baseEntries(dim).toSet
-    val fApp = curF -- savedF
-    val dApp = curD -- savedD
-    if (savedF.isEmpty || savedD.isEmpty) return None
-    if ((savedF -- curF).nonEmpty || (savedD -- curD).nonEmpty) return None
-    if (fApp.isEmpty && dApp.isEmpty) return None
-    val carried = (layout.groupCols ++ layout.measures ++
-      layout.distinctCols ++ layout.histCols).toSet
-    val neededFact = carried.filterNot(dim.columns.contains) ++ keys.map(_._1)
-    val neededDim = carried.filter(dim.columns.contains) ++ keys.map(_._2)
-    def agg(df: DataFrame) = Rollup.materialize(df, layout.groupCols,
-      layout.measures, layout.distinctCols, sketchK, layout.histCols)
-    val parts = Seq.newBuilder[DataFrame]
-    if (fApp.nonEmpty) {
-      val deltaFact = spark.read.parquet(
-        fApp.toSeq.sorted.map(_.split("\\|")(0)): _*)
-      if (!neededFact.subsetOf(deltaFact.columns.toSet)) return None
-      parts += agg(join2(deltaFact, dim, keys))
-    }
-    if (dApp.nonEmpty) {
-      val savedFact = spark.read.parquet(
-        savedF.toSeq.sorted.map(_.split("\\|")(0)): _*)
-      val deltaDim = spark.read.parquet(
-        dApp.toSeq.sorted.map(_.split("\\|")(0)): _*)
-      if (!neededFact.subsetOf(savedFact.columns.toSet) ||
-          !neededDim.subsetOf(deltaDim.columns.toSet)) return None
-      parts += agg(join2(savedFact, deltaDim, keys))
-    }
-    val deltaSummary = parts.result().reduce((a, b) =>
-      Rollup.merge(a, b, layout.groupCols, layout.measures,
-        layout.distinctCols, sketchK, layout.histCols))
-    val merged = Rollup.merge(summaryOf(spark, root, None), deltaSummary,
-      layout.groupCols, layout.measures, layout.distinctCols, sketchK,
-      layout.histCols)
-    val batch = writeBatch(spark, root, merged)
-    Some(VersionedPool.publishMeta(spark, root, Seq(batch),
-      Seq("sketch_k" -> sketchK.toDouble), None, "doc_id",
-      org.apache.spark.sql.types.LongType,
-      Some(joinedRows(spark, layout.copy(sketchK = sketchK), keys,
-        curF.toSeq, curD.toSeq))))
+    val keys = metaKeysOf(
+      Snapshots.readLatest(spark, VersionedPool.metaDir(root)), 1, 0)
+    refreshAppendedCore(spark, root, fact, Seq(dim -> keys))
   }
 
   /** Fold a PURE SINGLE-SIDE DELETE (files trash-moved through
@@ -372,287 +492,9 @@ object RollupVersioned {
   def refreshRemovedJoined(spark: SparkSession, root: String,
                            fact: DataFrame, dim: DataFrame,
                            trashDirs: Seq[String]): Option[Int] = {
-    val meta = Snapshots.readLatest(spark, VersionedPool.metaDir(root))
-    val layout = layoutOf(meta)
-    val keys = keysOf(meta)
-    val savedF = baseEntriesOf(meta)
-    val savedD = dimEntriesOf(meta)
-    val sketchK = meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
-      .select("num").collect().headOption.map(_.getDouble(0).toInt).getOrElse(64)
-    val curF = baseEntries(fact).toSet
-    val curD = baseEntries(dim).toSet
-    val fRem = savedF -- curF
-    val dRem = savedD -- curD
-    if (savedF.isEmpty || savedD.isEmpty) return None
-    if ((curF -- savedF).nonEmpty || (curD -- savedD).nonEmpty) return None
-    if ((fRem.nonEmpty) == (dRem.nonEmpty)) return None // exactly one side
-    val conf = spark.sparkContext.hadoopConfiguration
-    val rem = if (fRem.nonEmpty) fRem else dRem
-    val resolved = rem.toSeq.sorted.map(_.split("\\|")(0)).map { p =>
-      trashDirs.iterator.map { td =>
-        new org.apache.hadoop.fs.Path(td, RollupRewrite.trashFileName(p))
-      }.find(dst => dst.getFileSystem(conf).exists(dst)).map(_.toString)
-    }
-    if (resolved.exists(_.isEmpty)) return None
-    val removedDf = spark.read.parquet(resolved.flatten: _*)
-    val carried = (layout.groupCols ++ layout.measures ++
-      layout.distinctCols ++ layout.histCols).toSet
-    val neededFact = carried.filterNot(dim.columns.contains) ++ keys.map(_._1)
-    val neededDim = carried.filter(dim.columns.contains) ++ keys.map(_._2)
-    val removedJoined =
-      if (fRem.nonEmpty) {
-        if (!neededFact.subsetOf(removedDf.columns.toSet)) return None
-        join2(removedDf, dim, keys)
-      } else {
-        if (!neededDim.subsetOf(removedDf.columns.toSet)) return None
-        join2(fact, removedDf, keys)
-      }
-    val retracted = Rollup.retract(summaryOf(spark, root, None),
-      removedJoined, join2(fact, dim, keys),
-      layout.groupCols.map(g => g -> col(g)), layout.measures,
-      layout.distinctCols, sketchK, layout.histCols)
-    val batch = writeBatch(spark, root, retracted)
-    Some(VersionedPool.publishMeta(spark, root, Seq(batch),
-      Seq("sketch_k" -> sketchK.toDouble), None, "doc_id",
-      org.apache.spark.sql.types.LongType,
-      Some(joinedRows(spark, layout.copy(sketchK = sketchK), keys,
-        curF.toSeq, curD.toSeq))))
-  }
-
-  // ---------------------------------------------------------------------
-  // The STAR versioned tier (r13): one full Rollup layout over
-  // `fact ⋈ dim1 ⋈ … ⋈ dimk` per version; meta carries per-dim keys
-  // (`kind='keyI'`) and per-dim basefile manifests (`kind='dimfileI'`).
-  // Appends on fact and/or any dims fold via the q212 TELESCOPING
-  // decomposition; single-side trash deletes retract via the q217
-  // algebra. Same pool/pin/vacuum contract as the other tiers.
-  // ---------------------------------------------------------------------
-
-  private def starRows(spark: SparkSession, layout: Layout,
-                       factEntries: Seq[String],
-                       dims: Seq[(Seq[(String, String)], Seq[String])])
-      : DataFrame = {
-    import spark.implicits._
-    layoutRows(spark, layout, factEntries).unionByName(
-      dims.zipWithIndex.flatMap { case ((keys, entries), i) =>
-        keys.zipWithIndex.map { case ((f, d), j) =>
-          (s"key$i", s"${encName(f)}:${encName(d)}", j.toDouble) } ++
-          entries.sorted.zipWithIndex.map { case (e, j) =>
-            (s"dimfile$i", e, j.toDouble) }
-      }.toDF("kind", "key", "num"))
-  }
-
-  private def starDimCount(meta: DataFrame): Int =
-    meta.filter(col("kind").startsWith("key"))
-      .select("kind").distinct().collect()
-      .map(_.getString(0).stripPrefix("key").toInt).foldLeft(-1)(_ max _) + 1
-
-  private def starKeysOf(meta: DataFrame, i: Int): Seq[(String, String)] =
-    meta.filter(col("kind") === s"key$i").orderBy("num")
-      .select("key").collect().map(_.getString(0)).toSeq.map { kv =>
-        val Array(f, d) = kv.split(":", 2)
-        decName(f) -> decName(d)
-      }
-
-  private def starDimEntriesOf(meta: DataFrame, i: Int): Set[String] =
-    meta.filter(col("kind") === s"dimfile$i")
-      .select("key").collect().map(_.getString(0)).toSet
-
-  private def starJoin(fact: DataFrame,
-                       dims: Seq[(DataFrame, Seq[(String, String)])])
-      : DataFrame =
-    dims.foldLeft(fact) { case (acc, (d, keys)) =>
-      acc.join(d, keys.map { case (fk, dk) =>
-        fact(fk) === d(dk) }.reduce(_ && _))
-    }
-
-  /** Aggregate the star join under `layout`, commit as version 1. */
-  def initStar(spark: SparkSession, root: String, fact: DataFrame,
-               dims: Seq[(DataFrame, Seq[(String, String)])],
-               layout: Layout): Int = {
-    require(dims.size >= 2, "initStar needs 2+ dims; use initJoined")
-    VersionedPool.requireFresh(spark, root)
-    val batch = writeBatch(spark, root,
-      Rollup.materialize(starJoin(fact, dims), layout.groupCols,
-        layout.measures, layout.distinctCols, layout.sketchK,
-        layout.histCols))
-    VersionedPool.publishMeta(spark, root, Seq(batch),
-      Seq("sketch_k" -> layout.sketchK.toDouble), None, "doc_id",
-      org.apache.spark.sql.types.LongType,
-      Some(starRows(spark, layout, baseEntries(fact),
-        dims.map { case (d, keys) => (keys, baseEntries(d)) })))
-  }
-
-  /** Fold PURE APPENDS on the fact and/or ANY subset of dims into a NEW
-    * version via the q212 telescoping decomposition: `ΔF ⋈ dims_cur`
-    * plus one term per appended dim i — `F_saved ⋈ dims<i SAVED ⋈ ΔDi ⋈
-    * dims>i cur` — pairwise disjoint by first-new-side, merged with the
-    * committed summary, one batch + one publish. Returns None on any
-    * removal, an empty diff, or a bare read missing a needed column. */
-  def refreshAppendedStar(spark: SparkSession, root: String,
-                          fact: DataFrame,
-                          dims: Seq[(DataFrame, Seq[(String, String)])])
-      : Option[Int] = {
-    val meta = Snapshots.readLatest(spark, VersionedPool.metaDir(root))
-    val layout = layoutOf(meta)
-    val n = starDimCount(meta)
-    require(dims.size == n, s"expected $n dims, got ${dims.size}")
-    val keys = (0 until n).map(starKeysOf(meta, _))
-    val savedF = baseEntriesOf(meta)
-    val savedD = (0 until n).map(starDimEntriesOf(meta, _))
-    val sketchK = meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
-      .select("num").collect().headOption.map(_.getDouble(0).toInt).getOrElse(64)
-    val curF = baseEntries(fact).toSet
-    val curDs = dims.map { case (d, _) => baseEntries(d).toSet }
-    val fApp = curF -- savedF
-    val dApps = (0 until n).map(i => curDs(i) -- savedD(i))
-    if (savedF.isEmpty || savedD.exists(_.isEmpty)) return None
-    if ((savedF -- curF).nonEmpty ||
-        (0 until n).exists(i => (savedD(i) -- curDs(i)).nonEmpty)) return None
-    if (fApp.isEmpty && dApps.forall(_.isEmpty)) return None
-    def filesOf(entries: Set[String]): Seq[String] =
-      entries.toSeq.sorted.map(_.split("\\|")(0))
-    val dimCols = dims.flatMap(_._1.columns).toSet
-    val carried = (layout.groupCols ++ layout.measures ++
-      layout.distinctCols ++ layout.histCols).toSet
-    val neededFact = carried.filterNot(dimCols.contains) ++
-      keys.flatten.map(_._1)
-    def neededDim(i: Int) =
-      carried.filter(dims(i)._1.columns.contains) ++ keys(i).map(_._2)
-    def agg(df: DataFrame) = Rollup.materialize(df, layout.groupCols,
-      layout.measures, layout.distinctCols, sketchK, layout.histCols)
-    val dimCur = (0 until n).map(i => dims(i)._1 -> keys(i))
-    lazy val dimSaved = (0 until n).map(i =>
-      spark.read.parquet(filesOf(savedD(i)): _*) -> keys(i))
-    val parts = Seq.newBuilder[DataFrame]
-    if (fApp.nonEmpty) {
-      val deltaFact = spark.read.parquet(filesOf(fApp): _*)
-      if (!neededFact.subsetOf(deltaFact.columns.toSet)) return None
-      parts += agg(starJoin(deltaFact, dimCur))
-    }
-    if (dApps.exists(_.nonEmpty)) {
-      val savedFact = spark.read.parquet(filesOf(savedF): _*)
-      if (!neededFact.subsetOf(savedFact.columns.toSet)) return None
-      (0 until n).foreach { i =>
-        if (dApps(i).nonEmpty) {
-          val deltaDim = spark.read.parquet(filesOf(dApps(i)): _*)
-          if (!neededDim(i).subsetOf(deltaDim.columns.toSet)) return None
-          if ((0 until i).exists(j =>
-              !neededDim(j).subsetOf(dimSaved(j)._1.columns.toSet)))
-            return None
-          val sides = (0 until n).map { j =>
-            if (j < i) dimSaved(j)
-            else if (j == i) deltaDim -> keys(i)
-            else dimCur(j)
-          }
-          parts += agg(starJoin(savedFact, sides))
-        }
-      }
-    }
-    val deltaSummary = parts.result().reduce((a, b) =>
-      Rollup.merge(a, b, layout.groupCols, layout.measures,
-        layout.distinctCols, sketchK, layout.histCols))
-    val merged = Rollup.merge(summaryOf(spark, root, None), deltaSummary,
-      layout.groupCols, layout.measures, layout.distinctCols, sketchK,
-      layout.histCols)
-    val batch = writeBatch(spark, root, merged)
-    Some(VersionedPool.publishMeta(spark, root, Seq(batch),
-      Seq("sketch_k" -> sketchK.toDouble), None, "doc_id",
-      org.apache.spark.sql.types.LongType,
-      Some(starRows(spark, layout.copy(sketchK = sketchK), curF.toSeq,
-        (0 until n).map(i => (keys(i), curDs(i).toSeq))))))
-  }
-
-  /** Fold a PURE SINGLE-SIDE trash delete (fact or ONE dim) into a NEW
-    * version — the q217 star retraction as one atomic publish. Returns
-    * None on mixed diffs, multi-side deletes, unresolvable trash, or a
-    * bare read missing a needed column. */
-  def refreshRemovedStar(spark: SparkSession, root: String,
-                         fact: DataFrame,
-                         dims: Seq[(DataFrame, Seq[(String, String)])],
-                         trashDirs: Seq[String]): Option[Int] = {
-    val meta = Snapshots.readLatest(spark, VersionedPool.metaDir(root))
-    val layout = layoutOf(meta)
-    val n = starDimCount(meta)
-    require(dims.size == n, s"expected $n dims, got ${dims.size}")
-    val keys = (0 until n).map(starKeysOf(meta, _))
-    val savedF = baseEntriesOf(meta)
-    val savedD = (0 until n).map(starDimEntriesOf(meta, _))
-    val sketchK = meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
-      .select("num").collect().headOption.map(_.getDouble(0).toInt).getOrElse(64)
-    val curF = baseEntries(fact).toSet
-    val curDs = dims.map { case (d, _) => baseEntries(d).toSet }
-    val fRem = savedF -- curF
-    val dRems = (0 until n).map(i => savedD(i) -- curDs(i))
-    if (savedF.isEmpty || savedD.exists(_.isEmpty)) return None
-    if ((curF -- savedF).nonEmpty ||
-        (0 until n).exists(i => (curDs(i) -- savedD(i)).nonEmpty)) return None
-    val remSides = (if (fRem.nonEmpty) 1 else 0) + dRems.count(_.nonEmpty)
-    if (remSides != 1) return None
-    val conf = spark.sparkContext.hadoopConfiguration
-    val rem = if (fRem.nonEmpty) fRem else dRems.find(_.nonEmpty).get
-    val resolved = rem.toSeq.sorted.map(_.split("\\|")(0)).map { p =>
-      trashDirs.iterator.map { td =>
-        new org.apache.hadoop.fs.Path(td, RollupRewrite.trashFileName(p))
-      }.find(dst => dst.getFileSystem(conf).exists(dst)).map(_.toString)
-    }
-    if (resolved.exists(_.isEmpty)) return None
-    val removedDf = spark.read.parquet(resolved.flatten: _*)
-    val dimCols = dims.flatMap(_._1.columns).toSet
-    val carried = (layout.groupCols ++ layout.measures ++
-      layout.distinctCols ++ layout.histCols).toSet
-    val neededFact = carried.filterNot(dimCols.contains) ++
-      keys.flatten.map(_._1)
-    def neededDim(i: Int) =
-      carried.filter(dims(i)._1.columns.contains) ++ keys(i).map(_._2)
-    val dimCur = (0 until n).map(i => dims(i)._1 -> keys(i))
-    val removedJoined =
-      if (fRem.nonEmpty) {
-        if (!neededFact.subsetOf(removedDf.columns.toSet)) return None
-        starJoin(removedDf, dimCur)
-      } else {
-        val i = dRems.indexWhere(_.nonEmpty)
-        if (!neededDim(i).subsetOf(removedDf.columns.toSet)) return None
-        starJoin(fact, (0 until n).map(j =>
-          if (j == i) removedDf -> keys(i) else dimCur(j)))
-      }
-    val retracted = Rollup.retract(summaryOf(spark, root, None),
-      removedJoined, starJoin(fact, dimCur),
-      layout.groupCols.map(g => g -> col(g)), layout.measures,
-      layout.distinctCols, sketchK, layout.histCols)
-    val batch = writeBatch(spark, root, retracted)
-    Some(VersionedPool.publishMeta(spark, root, Seq(batch),
-      Seq("sketch_k" -> sketchK.toDouble), None, "doc_id",
-      org.apache.spark.sql.types.LongType,
-      Some(starRows(spark, layout.copy(sketchK = sketchK), curF.toSeq,
-        (0 until n).map(i => (keys(i), curDs(i).toSeq))))))
-  }
-
-  /** Register version v of a versioned STAR summary (latest when None)
-    * and return the AS-OF (fact, dims) frames its dashboards should
-    * join — explicit reads of exactly the version's manifests, so
-    * different versions' registrations coexist and a moved-on live
-    * base falls through. */
-  def registerVersionStar(spark: SparkSession, root: String,
-                          version: Option[Int] = None)
-      : (DataFrame, Seq[(DataFrame, Seq[(String, String)])]) = {
-    val meta = version.fold(
-      Snapshots.readLatest(spark, VersionedPool.metaDir(root)))(
-      v => Snapshots.readVersion(spark, VersionedPool.metaDir(root), v))
-    val layout = layoutOf(meta)
-    val n = starDimCount(meta)
-    val sketchK = meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
-      .select("num").collect().headOption.map(_.getDouble(0).toInt).getOrElse(64)
-    val asOfFact = spark.read.parquet(
-      baseEntriesOf(meta).toSeq.sorted.map(_.split("\\|")(0)): _*)
-    val asOfDims = (0 until n).map { i =>
-      spark.read.parquet(starDimEntriesOf(meta, i).toSeq.sorted
-        .map(_.split("\\|")(0)): _*) -> starKeysOf(meta, i)
-    }
-    RollupRewrite.registerStar(asOfFact, asOfDims,
-      summaryOf(spark, root, version), layout.groupCols, layout.measures,
-      layout.distinctCols, sketchK, layout.histCols)
-    (asOfFact, asOfDims)
+    val keys = metaKeysOf(
+      Snapshots.readLatest(spark, VersionedPool.metaDir(root)), 1, 0)
+    refreshRemovedCore(spark, root, fact, Seq(dim -> keys), trashDirs)
   }
 
   /** Register version v of a versioned AJI (latest when None) and
@@ -664,20 +506,66 @@ object RollupVersioned {
   def registerVersionJoined(spark: SparkSession, root: String,
                             version: Option[Int] = None)
       : (DataFrame, DataFrame) = {
-    val meta = version.fold(
-      Snapshots.readLatest(spark, VersionedPool.metaDir(root)))(
-      v => Snapshots.readVersion(spark, VersionedPool.metaDir(root), v))
-    val layout = layoutOf(meta)
-    val keys = keysOf(meta)
-    val sketchK = meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
-      .select("num").collect().headOption.map(_.getDouble(0).toInt).getOrElse(64)
-    val asOfFact = spark.read.parquet(
-      baseEntriesOf(meta).toSeq.sorted.map(_.split("\\|")(0)): _*)
-    val asOfDim = spark.read.parquet(
-      dimEntriesOf(meta).toSeq.sorted.map(_.split("\\|")(0)): _*)
+    val (layout, sketchK, asOfFact, asOfDims) =
+      asOfState(spark, root, version)
+    val (asOfDim, keys) = asOfDims.head
     RollupRewrite.registerJoined(asOfFact, asOfDim, keys,
       summaryOf(spark, root, version), layout.groupCols, layout.measures,
       layout.distinctCols, sketchK, layout.histCols)
     (asOfFact, asOfDim)
+  }
+
+  // ---------------------------------------------------------------------
+  // The STAR versioned tier (r13): the k ≥ 2 side list. Meta carries
+  // per-dim keys (`kind='keyI'`) and per-dim basefile manifests
+  // (`kind='dimfileI'`). Appends fold via the q212 TELESCOPING
+  // decomposition; single-side trash deletes retract via the q217
+  // algebra. Same pool/pin/vacuum contract as the other tiers.
+  // ---------------------------------------------------------------------
+
+  /** Aggregate the star join under `layout`, commit as version 1. */
+  def initStar(spark: SparkSession, root: String, fact: DataFrame,
+               dims: Seq[(DataFrame, Seq[(String, String)])],
+               layout: Layout): Int = {
+    require(dims.size >= 2, "initStar needs 2+ dims; use initJoined")
+    initCore(spark, root, fact, dims, layout)
+  }
+
+  /** Fold PURE APPENDS on the fact and/or ANY subset of dims into a NEW
+    * version via the q212 telescoping decomposition: `ΔF ⋈ dims_cur`
+    * plus one term per appended dim i — `F_saved ⋈ dims<i SAVED ⋈ ΔDi ⋈
+    * dims>i cur` — pairwise disjoint by first-new-side, merged with the
+    * committed summary, one batch + one publish. Returns None on any
+    * removal, an empty diff, or a bare read missing a needed column. */
+  def refreshAppendedStar(spark: SparkSession, root: String,
+                          fact: DataFrame,
+                          dims: Seq[(DataFrame, Seq[(String, String)])])
+      : Option[Int] =
+    refreshAppendedCore(spark, root, fact, dims)
+
+  /** Fold a PURE SINGLE-SIDE trash delete (fact or ONE dim) into a NEW
+    * version — the q217 star retraction as one atomic publish. Returns
+    * None on mixed diffs, multi-side deletes, unresolvable trash, or a
+    * bare read missing a needed column. */
+  def refreshRemovedStar(spark: SparkSession, root: String,
+                         fact: DataFrame,
+                         dims: Seq[(DataFrame, Seq[(String, String)])],
+                         trashDirs: Seq[String]): Option[Int] =
+    refreshRemovedCore(spark, root, fact, dims, trashDirs)
+
+  /** Register version v of a versioned STAR summary (latest when None)
+    * and return the AS-OF (fact, dims) frames its dashboards should
+    * join — explicit reads of exactly the version's manifests, so
+    * different versions' registrations coexist and a moved-on live
+    * base falls through. */
+  def registerVersionStar(spark: SparkSession, root: String,
+                          version: Option[Int] = None)
+      : (DataFrame, Seq[(DataFrame, Seq[(String, String)])]) = {
+    val (layout, sketchK, asOfFact, asOfDims) =
+      asOfState(spark, root, version)
+    RollupRewrite.registerStar(asOfFact, asOfDims,
+      summaryOf(spark, root, version), layout.groupCols, layout.measures,
+      layout.distinctCols, sketchK, layout.histCols)
+    (asOfFact, asOfDims)
   }
 }

@@ -3133,10 +3133,16 @@ object RollupRewrite {
       val factKeys = keyPairs.map(p => if (factIsLeft) p._1 else p._2)
       val dimKeys = keyPairs.map(p => if (factIsLeft) p._2 else p._1)
       // grouping expressions split by the side their references live on
-      // (constant groupings bail — nothing to route them by)
+      // (constant groupings bail — nothing to route them by). Resolve
+      // through topSubst FIRST: PullOutGroupingExpressions turns a
+      // computed grouping like month(d) into a below-Aggregate Project
+      // alias, so the raw grouping is a self-referencing attribute that
+      // belongs to NEITHER side until substituted (r14 — this is what
+      // lets computed grains navigate, the q191 device on this path)
       val factOut = factSide.outputSet
       val dimOut = dimSide.outputSet
-      agg.groupingExpressions.foreach { g =>
+      agg.groupingExpressions.foreach { g0 =>
+        val g = resolve(g0, topSubst)
         if (g.references.isEmpty ||
             (!g.references.subsetOf(factOut) && !g.references.subsetOf(dimOut)))
           return None
@@ -3202,11 +3208,12 @@ object RollupRewrite {
       case class FactG(n: String) extends G
       case class DimG(n: String) extends G
       val groupKinds: Seq[G] = agg.groupingExpressions.map { g0 =>
-        val onFact = g0.references.subsetOf(factOut)
-        val g = resolve(g0, if (onFact) factSubst else dimSubst)
-        // grouping aliases may also live in topSubst (pulled out above
-        // the join) — resolve through both layers
-        val gr = resolve(g, topSubst)
+        // resolve pulled-out grouping aliases (topSubst) BEFORE the
+        // side split — a computed grouping's raw attribute belongs to
+        // neither side (r14); then through the side's own projections
+        val viaTop = resolve(g0, topSubst)
+        val onFact = viaTop.references.subsetOf(factOut)
+        val gr = resolve(viaTop, if (onFact) factSubst else dimSubst)
         if (onFact) FactG(factGrainOf(gr).getOrElse(return None))
         else DimG(dimGrainOf(gr).getOrElse(return None))
       }
@@ -3286,9 +3293,9 @@ object RollupRewrite {
       val groupByExpr: Map[Expression, AttributeReference] =
         agg.groupingExpressions.zip(groupKinds.map(grainAttrOf)).flatMap {
           case (g0, a) =>
-            val onFact = g0.references.subsetOf(factOut)
-            val res = resolve(resolve(g0,
-              if (onFact) factSubst else dimSubst), topSubst)
+            val viaTop = resolve(g0, topSubst)
+            val onFact = viaTop.references.subsetOf(factOut)
+            val res = resolve(viaTop, if (onFact) factSubst else dimSubst)
             Seq(g0.canonicalized -> a, res.canonicalized -> a)
         }.toMap
       // EXACT count(distinct grain-col) through navigation (r14,

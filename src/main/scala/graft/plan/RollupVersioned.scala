@@ -39,6 +39,19 @@ import graft.sources.{Snapshots, VersionedPool}
   * orphan — nothing to repair, only to vacuum. Single-writer
   * maintenance.
   *
+  * COMPENSATION POLICY (r14, VERDICT r13 #7 — decided and documented):
+  * versioned as-of serves are IMMUTABLE-BY-CONTRACT. An as-of frame
+  * always answers from its own version's batch (fresh by construction)
+  * and a later publish never upgrades it in place — there is
+  * deliberately NO q198-style delta splice from an old version to the
+  * head. Serving the head is `registerVersion(None)` — a NEW
+  * registration over the head's manifest — and zero-maintenance
+  * freshness for a LIVE base belongs to the unversioned
+  * [[RollupRewrite]] tier (`setCompensation`), whose summaries bind the
+  * live directory rather than a pinned manifest. The q214/q219/q220
+  * gates pin pinned-version bit-stability across later publishes,
+  * which is exactly this contract.
+  *
   * ONE SIDE-LIST CORE (r14, VERDICT r13 #5): the plain, JOINED (AJI,
   * r13) and STAR (r13) shapes are one implementation over a
   * `fact ⋈ dim1 ⋈ … ⋈ dimk` side list — plain is k = 0, joined k = 1,

@@ -320,11 +320,13 @@ object SummaryDesigner {
     * the pure query-benefit one. Deterministic:
     * exact-integer cardinalities (one cube pass per base / join /
     * star frame), tie-breaks (benefit DESC, new rows ASC, move name
-    * ASC). Computed-grain (expression) tokens design as
-    * SINGLE-structure candidates (plain/AJI/star — r13, commit
-    * 328f450); only the navigation pair/tuple split is
-    * plain-column-only, since it attributes tokens by side (ADVICE
-    * r13 #3). STAR queries absorb the same way at star width:
+    * ASC). Computed-grain (expression) tokens whose REFERENCES all
+    * live on ONE side attribute to it and PAIR/TUPLE like plain
+    * columns (r14, VERDICT r13 #6 — a month(o_orderdate) join workload
+    * can design a plain pair under a tight budget); cross-side or
+    * unparseable expression tokens stay single-structure candidates
+    * (plain/AJI/star — r13). STAR queries absorb the same way at star
+    * width:
     * a star aggregate is servable by a star summary OR by a TUPLE of
     * plain summaries through STAR NAVIGATION (q216 — one summary per
     * side, key grains included, cost = the tuple's summed rows), so
@@ -372,6 +374,31 @@ object SummaryDesigner {
         .map(e => PlainQ(i, e.grain ++ e.filterCols ++ e.distinctCols, e))
         .filter(q => (q.e.filterCols ++ q.e.distinctCols).subsetOf(cols))
     }
+    // a grain token attributes to a side when it IS one of its columns,
+    // or is expression SQL whose REFERENCES all live on it (r14 —
+    // single-side expression grains pair/tuple like plain columns;
+    // cross-side or unparseable ones stay single-structure-only)
+    val parser = bases.headOption.getOrElse(
+      joins.headOption.map(_._1).getOrElse(stars.head._1))
+      .sparkSession.sessionState.sqlParser
+    def tokenRefs(t: String): Set[String] =
+      scala.util.Try(parser.parseExpression(t).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.nameParts.last
+      }.toSet).getOrElse(Set.empty)
+    /** Side of an EXPRESSION token relative to two column sets:
+      * Some(true) = first side, Some(false) = second, None = plain
+      * column (membership rules apply) or unattributable. Ties (refs
+      * within both) go to the first side, deterministically. */
+    def exprSideOf(t: String, aCols: Set[String], bCols: Set[String])
+        : Option[Boolean] =
+      if (aCols.contains(t) || bCols.contains(t)) None
+      else {
+        val refs = tokenRefs(t)
+        if (refs.nonEmpty && refs.subsetOf(aCols)) Some(true)
+        else if (refs.nonEmpty && refs.subsetOf(bCols)) Some(false)
+        else None
+      }
     val joinQs: Seq[JoinQ] = joins.zipWithIndex.flatMap { case ((f, d, keys), j) =>
       val fCols = f.columns.toSet
       val dCols = d.columns.toSet
@@ -379,16 +406,17 @@ object SummaryDesigner {
           RollupRewrite.scanRootPaths(f), RollupRewrite.scanRootPaths(d), keys)
         .filter(_.servable).flatMap { e =>
           val req = e.grain ++ e.filterCols ++ e.distinctCols
-          // expression grains (r13) design as AJI-only candidates —
-          // the navigation pair split attributes tokens by side, which
-          // only plain columns support
           if (!(e.filterCols ++ e.distinctCols).subsetOf(fCols ++ dCols))
             None
           else Some(JoinQ(j, req,
-            req.filter(fCols.contains) ++ keys.map(_._1),
-            req.filter(dCols.contains) ++ keys.map(_._2),
+            req.filter(t => fCols.contains(t) ||
+              exprSideOf(t, fCols, dCols).contains(true)) ++ keys.map(_._1),
+            req.filter(t => dCols.contains(t) ||
+              exprSideOf(t, fCols, dCols).contains(false)) ++ keys.map(_._2),
             pairable = e.distinctCols.isEmpty && e.sketchCols.isEmpty &&
-              e.histCols.isEmpty && e.grain.subsetOf(fCols ++ dCols) &&
+              e.histCols.isEmpty &&
+              e.grain.forall(t => fCols.contains(t) || dCols.contains(t) ||
+                exprSideOf(t, fCols, dCols).isDefined) &&
               baseIdx(RollupRewrite.scanRootPaths(f)).isDefined &&
               baseIdx(RollupRewrite.scanRootPaths(d)).isDefined, e))
         }
@@ -403,20 +431,38 @@ object SummaryDesigner {
             (RollupRewrite.scanRootPaths(d), keys.toSet) }.toSet)
         .filter(_.servable).flatMap { e =>
           val req = e.grain ++ e.filterCols ++ e.distinctCols
-          // expression grains (r13) design as star-only candidates
           if (!(e.filterCols ++ e.distinctCols).subsetOf(cols)) None
           else {
+            // expression tokens attribute to the FIRST side (center,
+            // then dims in order) whose columns hold all their
+            // references (r14) — cross-side ones stay star-only
+            val sideCols: Seq[Set[String]] =
+              f.columns.toSet +: ds.map(_._1.columns.toSet)
+            def starExprSide(t: String): Option[Int] =
+              if (sideCols.exists(_.contains(t))) None
+              else {
+                val refs = tokenRefs(t)
+                if (refs.isEmpty) None
+                else sideCols.indexWhere(sc => refs.subsetOf(sc)) match {
+                  case -1 => None
+                  case i => Some(i)
+                }
+              }
             val tuplable = e.distinctCols.isEmpty && e.sketchCols.isEmpty &&
-              e.histCols.isEmpty && e.grain.subsetOf(cols) &&
+              e.histCols.isEmpty &&
+              e.grain.forall(t => cols.contains(t) ||
+                starExprSide(t).isDefined) &&
               centerIdx.isDefined && dimIdxs.forall(_.isDefined)
             val sideReqs =
               if (!tuplable) None
               else Some(
-                (centerIdx.get, req.filter(f.columns.contains) ++
+                (centerIdx.get, req.filter(t => f.columns.contains(t) ||
+                  starExprSide(t).contains(0)) ++
                   ds.flatMap(_._2.map(_._1))) +:
                 ds.zipWithIndex.map { case ((d, keys), di) =>
                   (dimIdxs(di).get,
-                    req.filter(d.columns.contains) ++ keys.map(_._2))
+                    req.filter(t => d.columns.contains(t) ||
+                      starExprSide(t).contains(di + 1)) ++ keys.map(_._2))
                 })
             Some(StarQ(si, req, sideReqs, e))
           }
@@ -456,8 +502,14 @@ object SummaryDesigner {
       val starNav = starQs.flatMap(_.sideReqs.toSeq.flatten)
         .collect { case (bi, req) if bi == i => req }.flatten
       val ownSet = own.toSet
+      val bCols = bases(i).columns.toSet
       (own ++ nav ++ starNav).distinct.sorted.filter(t =>
-        bases(i).columns.contains(t) || ownSet.contains(t))
+        bCols.contains(t) || ownSet.contains(t) || {
+          // navigation-sourced EXPRESSION tokens (r14) belong here when
+          // their references are this base's columns
+          val refs = tokenRefs(t)
+          refs.nonEmpty && refs.subsetOf(bCols)
+        })
     }
     val baseCards: Seq[Map[Set[String], Long]] =
       bases.indices.map(i => cardsOf(bases(i), baseTokens(i)))

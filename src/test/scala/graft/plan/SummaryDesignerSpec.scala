@@ -632,6 +632,60 @@ class SummaryDesignerSpec extends SparkSpec {
     }
   }
 
+  test("EXPRESSION grains pair: a month() join workload designs a plain-pair under a tight budget (r14, VERDICT r13 #6)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val dir = java.nio.file.Files.createTempDirectory("designer_xp").toString
+    try {
+      // 30 fact rows over 3 months (fact mask {month(d), k} card 3);
+      // 10 dim rows, 5 distinct (dk, seg) each duplicated ×2 (dim mask
+      // card 5, and the duplication exercises the pair's __cnt_rows
+      // multiplicity). The AJI grain (month, seg) has card 15 — OVER
+      // the budget of 8 — so the pair is the only admissible serve.
+      (1 to 3).flatMap(mo => (1 to 10).map(i =>
+          (1L, f"2024-0$mo-${5 + i}%02d", mo.toLong)))
+        .toDF("k", "ds", "m")
+        .select(col("k"), to_date(col("ds")).as("d"), col("m"))
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      (1 to 5).flatMap(sg => Seq((1L, s"s$sg"), (1L, s"s$sg")))
+        .toDF("dk", "seg").write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+      val keys = Seq("k" -> "dk")
+      def wJ = fact.join(dim, col("k") === col("dk"))
+        .groupBy(month(col("d")).as("om"), col("seg"))
+        .agg(count(lit(1)).as("n"), sum("m").as("s"))
+      RollupRewrite.enable(spark)
+      RollupRewrite.startWorkloadCapture()
+      wJ.queryExecution.optimizedPlan
+      RollupRewrite.stopWorkloadCapture()
+      val cross = SummaryDesigner.designCrossTier(Seq(fact, dim),
+        Seq((fact, dim, keys)), Nil, maxRows = 8)
+      assert(cross.joined.isEmpty && cross.plain.size == 2,
+        s"the month() workload must design a plain PAIR under budget 8: $cross")
+      val factSpec = cross.plain.find(_._1 == 0).get._2
+      assert(factSpec.grainCols.exists(_.startsWith("__g")) &&
+          factSpec.grainExprSql.values.exists(_.contains("month(")) &&
+          factSpec.grainCols.contains("k"),
+        s"the fact-side summary must synthesize the month() grain + key: $factSpec")
+      val (pOuts, jOuts, _) = SummaryDesigner.buildAndRegisterCrossTier(
+        spark, Seq(fact, dim), Seq((fact, dim, keys)), Nil, cross,
+        s"$dir/designed")
+      assert(jOuts.isEmpty)
+      assert(scanPaths(wJ) == pOuts.map(p => s"file:$p").toSet,
+        s"the expr-grain join query must navigate the pair: ${scanPaths(wJ)}")
+      assert(wJ.collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet ==
+        (for (mo <- 1 to 3; sg <- 1 to 5)
+          yield (mo, s"s$sg", 20L, 20L * mo)).toSet,
+        "pair-served expr-grain values wrong (multiplicity via __cnt_rows)")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.resetWorkloadCapture()
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("cross-tier design is MAINTENANCE-aware: a hot dim flips the star to the tuple; fact appends never do (r14, VERDICT r13 #2)") {
     val dir = java.nio.file.Files.createTempDirectory("designer_maint").toString
     try {

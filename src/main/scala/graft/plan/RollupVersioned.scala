@@ -373,6 +373,79 @@ object RollupVersioned {
       (0 until n).map(i => (st.keys(i), st.curDs(i).toSeq))))
   }
 
+  /** The q221 MIXED-diff composition over the side list (r14): changes
+    * confined to EXACTLY ONE side holding BOTH removes and appends —
+    * that side's compaction — fold as retraction ∘ append-fold into
+    * one new version: retract `removed-side ⋈ others` with the
+    * recompute path reading the SURVIVING saved files of that side
+    * (never the current listing, which already holds the appended rows
+    * the merge adds), then [[Rollup.merge]] the `Δside ⋈ others` delta
+    * aggregate, one batch + ONE publish. None on pure diffs (use the
+    * append/remove ops), multi-side changes (removed-tuple overlap),
+    * unresolvable trash, or a bare read missing a needed column. */
+  private def refreshMixedCore(spark: SparkSession, root: String,
+      fact: DataFrame, dims: Dims, trashDirs: Seq[String]): Option[Int] = {
+    val st = sideState(spark, root, fact, dims).getOrElse(return None)
+    val n = dims.size
+    val fApp = st.curF -- st.savedF
+    val fRem = st.savedF -- st.curF
+    val dApps = (0 until n).map(i => st.curDs(i) -- st.savedD(i))
+    val dRems = (0 until n).map(i => st.savedD(i) -- st.curDs(i))
+    val factChanged = fApp.nonEmpty || fRem.nonEmpty
+    val changedDims = (0 until n).filter(i =>
+      dApps(i).nonEmpty || dRems(i).nonEmpty)
+    if ((if (factChanged) 1 else 0) + changedDims.size != 1) return None
+    def agg(df: DataFrame) = Rollup.materialize(df, st.layout.groupCols,
+      st.layout.measures, st.layout.distinctCols, st.sketchK,
+      st.layout.histCols)
+    def fold(removedJoined: DataFrame, reducedJoin: DataFrame,
+             deltaJoined: DataFrame): Option[Int] = {
+      val retracted = Rollup.retract(summaryOf(spark, root, None),
+        removedJoined, reducedJoin,
+        st.layout.groupCols.map(g => g -> col(g)), st.layout.measures,
+        st.layout.distinctCols, st.sketchK, st.layout.histCols)
+      val merged = Rollup.merge(retracted, agg(deltaJoined),
+        st.layout.groupCols, st.layout.measures, st.layout.distinctCols,
+        st.sketchK, st.layout.histCols)
+      Some(publishState(spark, root, st.layout, st.sketchK, merged,
+        st.curF.toSeq,
+        (0 until n).map(i => (st.keys(i), st.curDs(i).toSeq))))
+    }
+    val dimCur = (0 until n).map(i => dims(i)._1 -> st.keys(i))
+    if (factChanged) {
+      if (fRem.isEmpty || fApp.isEmpty) return None
+      val trash = resolveTrash(spark, fRem, trashDirs).getOrElse(return None)
+      val removedDf = spark.read.parquet(trash: _*)
+      val deltaFact = spark.read.parquet(filesOf(fApp): _*)
+      if (!st.neededFact.subsetOf(removedDf.columns.toSet) ||
+          !st.neededFact.subsetOf(deltaFact.columns.toSet)) return None
+      val surviving = filesOf(st.savedF -- fRem)
+      val reducedFact =
+        if (surviving.nonEmpty) spark.read.parquet(surviving: _*)
+        else removedDf.limit(0)
+      fold(starJoin(removedDf, dimCur), starJoin(reducedFact, dimCur),
+        starJoin(deltaFact, dimCur))
+    } else {
+      val i = changedDims.head
+      if (dRems(i).isEmpty || dApps(i).isEmpty) return None
+      val trash = resolveTrash(spark, dRems(i), trashDirs)
+        .getOrElse(return None)
+      val removedDf = spark.read.parquet(trash: _*)
+      val deltaDim = spark.read.parquet(filesOf(dApps(i)): _*)
+      if (!st.neededDim(i).subsetOf(removedDf.columns.toSet) ||
+          !st.neededDim(i).subsetOf(deltaDim.columns.toSet)) return None
+      val surviving = filesOf(st.savedD(i) -- dRems(i))
+      val reducedDim =
+        if (surviving.nonEmpty) spark.read.parquet(surviving: _*)
+        else removedDf.limit(0)
+      def sidesWith(dimI: DataFrame): Dims =
+        (0 until n).map(j => if (j == i) dimI -> st.keys(i) else dimCur(j))
+      fold(starJoin(fact, sidesWith(removedDf)),
+        starJoin(fact, sidesWith(reducedDim)),
+        starJoin(fact, sidesWith(deltaDim)))
+    }
+  }
+
   /** As-of state of version v (latest when None): the meta plus
     * explicit reads of exactly the manifests the version aggregated. */
   private def asOfState(spark: SparkSession, root: String,
@@ -425,6 +498,17 @@ object RollupVersioned {
   def refreshRemoved(spark: SparkSession, root: String, base: DataFrame,
                      trashDirs: Seq[String]): Option[Int] =
     refreshRemovedCore(spark, root, base, Nil, trashDirs)
+
+  /** Fold a MIXED diff (removes AND appends in one window — a
+    * trash-protocol compaction of the base, e.g.
+    * [[graft.sources.PathLifecycle.compactParquetTrash]]) into a NEW
+    * version: the q221 retraction ∘ append-fold composition as ONE
+    * atomic publish. Returns None on pure diffs (use
+    * [[refreshAppended]] / [[refreshRemoved]]), unresolvable trash, or
+    * a bare read missing a needed column. */
+  def refreshMixed(spark: SparkSession, root: String, base: DataFrame,
+                   trashDirs: Seq[String]): Option[Int] =
+    refreshMixedCore(spark, root, base, Nil, trashDirs)
 
   /** Version v's summary frame (latest when None) — a plain scan of its
     * immutable pool batch, serving-stable while maintenance publishes. */
@@ -510,6 +594,19 @@ object RollupVersioned {
     refreshRemovedCore(spark, root, fact, Seq(dim -> keys), trashDirs)
   }
 
+  /** [[refreshMixed]] at AJI width: a single-side compaction (removes
+    * AND appends confined to the fact OR the dim) folds as
+    * retraction ∘ append-fold into one new version — the q221
+    * composition through the q217/q206 join algebra. None on pure or
+    * cross-side diffs. */
+  def refreshMixedJoined(spark: SparkSession, root: String,
+                         fact: DataFrame, dim: DataFrame,
+                         trashDirs: Seq[String]): Option[Int] = {
+    val keys = metaKeysOf(
+      Snapshots.readLatest(spark, VersionedPool.metaDir(root)), 1, 0)
+    refreshMixedCore(spark, root, fact, Seq(dim -> keys), trashDirs)
+  }
+
   /** Register version v of a versioned AJI (latest when None) and
     * return the AS-OF (fact, dim) frames its dashboards should join:
     * explicit reads of exactly the manifests the version aggregated,
@@ -565,6 +662,15 @@ object RollupVersioned {
                          dims: Seq[(DataFrame, Seq[(String, String)])],
                          trashDirs: Seq[String]): Option[Int] =
     refreshRemovedCore(spark, root, fact, dims, trashDirs)
+
+  /** [[refreshMixed]] at star width: a compaction confined to the fact
+    * or ONE dim folds as retraction ∘ append-fold into one new
+    * version. None on pure or multi-side diffs. */
+  def refreshMixedStar(spark: SparkSession, root: String,
+                       fact: DataFrame,
+                       dims: Seq[(DataFrame, Seq[(String, String)])],
+                       trashDirs: Seq[String]): Option[Int] =
+    refreshMixedCore(spark, root, fact, dims, trashDirs)
 
   /** Register version v of a versioned STAR summary (latest when None)
     * and return the AS-OF (fact, dims) frames its dashboards should

@@ -6508,6 +6508,132 @@ object Queries {
     }
   }
 
+  /** VERSIONED MIXED-DIFF (COMPACTION) FOLD (r14 — the q221
+    * retraction ∘ append-fold composition through [[graft.plan
+    * .RollupVersioned]]'s unified side-list core, so it lands ONCE for
+    * plain/AJI/star): a trash-protocol compaction of a versioned
+    * summary's base publishes ONE new version instead of forcing a
+    * fresh-root rebuild. Leg `plain`: orders slices s1/s4 rewrite as
+    * one compacted file AND a genuinely new slice appends in the same
+    * window — `refreshMixed` retracts the removed files (recompute
+    * groups reading the SURVIVING saved files) then merges the delta,
+    * one atomic publish. Leg `star`: lineitem ⋈ part ⋈ supplier where
+    * ONE dim (supplier) compacts LOSSILY — the odd-supplier slice is
+    * replaced by its s_suppkey % 3 <> 1 subset — via
+    * `refreshMixedStar`, so a missed retraction (dropped suppliers
+    * linger) or a double-counted append (kept suppliers twice)
+    * hash-fails. Each version serves from its OWN pool batch alone
+    * (plan-required; star serves join-free); v1 legs serve BEFORE the
+    * compaction (as-of frames need their manifest files present) and
+    * pinned v1 summaries stay bit-stable across the mixed publish.
+    * Oracle = construction-derived recomputes per version predicate.
+    * Integer measures. */
+  def q225VersionedMixed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val RV = graft.plan.RollupVersioned
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q225_vmix")
+      .toFile.getAbsolutePath
+    val orders = tbl(s, dir, "orders")
+    // ---- plain leg: base = orders % 7 <> 3 in six slices keyed % 6
+    val rootP = s"$tmpRoot/vp"
+    val slicePaths = (0 until 6).map { sl =>
+      writeNamedSlice(orders.filter(col("o_orderkey") % 7 =!= 3 &&
+        col("o_orderkey") % 6 === sl), s"$tmpRoot/pbase", s"s$sl")
+    }
+    val v1p = RV.init(s, rootP, s.read.parquet(s"$tmpRoot/pbase"),
+      RV.Layout(Seq("o_orderstatus"), Seq("o_custkey")))
+    R.enable(s)
+    try {
+      def serveP(leg: String, version: Int): DataFrame = {
+        val asOf = RV.registerVersion(s, rootP, Some(version))
+        val q = asOf.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"), sum("o_custkey").as("sum_m"),
+            min("o_custkey").as("mn"), max("o_custkey").as("mx"))
+          .select(lit(leg).as("leg"), col("o_orderstatus").as("g"),
+            col("n_rows"), col("sum_m"), col("mn"), col("mx"))
+        val scans = R.scanRootPaths(q)
+        require(scans.size == 1 && scans.head.contains(f"pool/b$version%05d"),
+          s"$leg must serve from version $version's batch alone — $scans")
+        materializeSmall(s, q)
+      }
+      val pv1 = serveP("p_v1", v1p)
+      val v1pPinned = RV.summaryOf(s, rootP, Some(v1p)).collect().toSet
+      // the compaction: s1 ∪ s4 rewrite as ONE file + a NEW slice
+      val rows14 = s.read.parquet(slicePaths(1), slicePaths(4))
+      writeNamedSlice(rows14, s"$tmpRoot/pbase", "c14")
+      writeNamedSlice(orders.filter(col("o_orderkey") % 7 === 3),
+        s"$tmpRoot/pbase", "snew")
+      R.deleteFiles(s, Seq(slicePaths(1), slicePaths(4)), s"$tmpRoot/trash")
+      val v2p = RV.refreshMixed(s, rootP,
+          s.read.parquet(s"$tmpRoot/pbase"), Seq(s"$tmpRoot/trash"))
+        .getOrElse(throw new IllegalStateException(
+          "a versioned mixed diff must fold, not refuse"))
+      require(v2p == 2, s"expected version 2, got $v2p")
+      val pv2 = serveP("p_v2", v2p)
+      require(RV.summaryOf(s, rootP, Some(v1p)).collect().toSet == v1pPinned,
+        "plain v1 must stay bit-stable across the mixed publish")
+      // ---- star leg: ONE dim (supplier) compacts lossily
+      val rootS = s"$tmpRoot/vs"
+      writeNamedSlice(tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey"),
+        s"$tmpRoot/li", "f0")
+      writeNamedSlice(tbl(s, dir, "part").select("p_partkey"),
+        s"$tmpRoot/pt", "p0")
+      writeNamedSlice(tbl(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .filter(col("s_suppkey") % 2 === 0), s"$tmpRoot/sup", "s0")
+      val odd = writeNamedSlice(tbl(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .filter(col("s_suppkey") % 2 === 1), s"$tmpRoot/sup", "s1")
+      def sdims = Seq(
+        s.read.parquet(s"$tmpRoot/pt") -> Seq("l_partkey" -> "p_partkey"),
+        s.read.parquet(s"$tmpRoot/sup") -> Seq("l_suppkey" -> "s_suppkey"))
+      val v1s = RV.initStar(s, rootS, s.read.parquet(s"$tmpRoot/li"),
+        sdims, RV.Layout(Seq("s_nationkey"), Seq("l_orderkey")))
+      def serveS(leg: String, version: Int): DataFrame = {
+        val (af, ad) = RV.registerVersionStar(s, rootS, Some(version))
+        val q = ad.foldLeft(af) { case (acc, (d, keys)) =>
+            acc.join(d, keys.map { case (fk, dk) =>
+              af(fk) === d(dk) }.reduce(_ && _)) }
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_rows"), sum("l_orderkey").as("sum_m"),
+            min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+          .select(lit(leg).as("leg"),
+            col("s_nationkey").cast("string").as("g"),
+            col("n_rows"), col("sum_m"), col("mn"), col("mx"))
+        val scans = R.scanRootPaths(q)
+        require(scans.size == 1 && scans.head.contains(f"pool/b$version%05d"),
+          s"$leg must serve from version $version's batch alone — $scans")
+        require(q.queryExecution.optimizedPlan.collect {
+            case j: LJoin => j }.isEmpty,
+          s"$leg must serve join-free")
+        materializeSmall(s, q)
+      }
+      val sv1 = serveS("s_v1", v1s)
+      val v1sPinned = RV.summaryOf(s, rootS, Some(v1s)).collect().toSet
+      // supplier compaction drops odd suppliers with s_suppkey % 3 = 1
+      writeNamedSlice(tbl(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .filter(col("s_suppkey") % 2 === 1 && col("s_suppkey") % 3 =!= 1),
+        s"$tmpRoot/sup", "c1")
+      R.deleteFiles(s, Seq(odd), s"$tmpRoot/trash")
+      val v2s = RV.refreshMixedStar(s, rootS,
+          s.read.parquet(s"$tmpRoot/li"), sdims, Seq(s"$tmpRoot/trash"))
+        .getOrElse(throw new IllegalStateException(
+          "a single-dim versioned compaction must fold, not refuse"))
+      require(v2s == 2, s"expected star version 2, got $v2s")
+      val sv2 = serveS("s_v2", v2s)
+      require(RV.summaryOf(s, rootS, Some(v1s)).collect().toSet == v1sPinned,
+        "star v1 must stay bit-stable across the mixed publish")
+      materializeAndCleanup(s,
+        pv1.unionByName(pv2).unionByName(sv1).unionByName(sv2), tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** CROSS-TIER SUMMARY DESIGN under ONE budget ([[graft.plan
     * .SummaryDesigner.designCrossTier]] — VERDICT r12 #2): a mixed cold
     * workload — a custkey-grained fact dashboard (w1), a
@@ -7678,7 +7804,8 @@ object Queries {
     "q221_mixed_refresh" -> (q221MixedRefresh _),
     "q222_maint_aware_design" -> (q222MaintAwareDesign _),
     "q223_stream_joined" -> (q223StreamJoined _),
-    "q224_nav_distinct" -> (q224NavDistinct _))
+    "q224_nav_distinct" -> (q224NavDistinct _),
+    "q225_versioned_mixed" -> (q225VersionedMixed _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -10142,6 +10269,33 @@ object Queries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         | JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 2""".stripMargin,
+    // q225: versioned mixed-diff fold — per-version construction-derived
+    // recomputes (p_v1 = orders %7<>3, p_v2 = all orders after the
+    // row-preserving compaction + new slice; s_v1 = the full star join,
+    // s_v2 = the join after supplier's LOSSY compaction drops odd
+    // suppliers with %3 = 1). A missed retraction keeps dropped
+    // suppliers' rows and hash-fails; a double-counted append doubles
+    // kept rows; wrong-version serves trip the in-query plan requires.
+    "q225_versioned_mixed" ->
+      """SELECT 'p_v1' AS leg, o_orderstatus AS g, count(*) AS n_rows,
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_m,
+        | min(o_custkey) AS mn, max(o_custkey) AS mx
+        |FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 2
+        |UNION ALL
+        |SELECT 'p_v2', o_orderstatus, count(*),
+        | CAST(sum(o_custkey) AS BIGINT), min(o_custkey), max(o_custkey)
+        |FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 's_v1', CAST(s_nationkey AS VARCHAR), count(*),
+        | CAST(sum(l_orderkey) AS BIGINT), min(l_orderkey), max(l_orderkey)
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey GROUP BY 2
+        |UNION ALL
+        |SELECT 's_v2', CAST(s_nationkey AS VARCHAR), count(*),
+        | CAST(sum(l_orderkey) AS BIGINT), min(l_orderkey), max(l_orderkey)
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_suppkey % 2 = 0 OR s_suppkey % 3 <> 1 GROUP BY 2""".stripMargin,
     // q219: versioned AJI — each version's oracle is the join recompute
     // under its construction predicates (v1 = 2 fact slices ⋈ even
     // customers, v2 = all orders ⋈ even customers, v3 = the full join).

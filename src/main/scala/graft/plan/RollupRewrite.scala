@@ -310,8 +310,43 @@ object RollupRewrite {
       e.factPaths == factPaths && e.dims == dims)
   }
 
+  /** Captured BASE-UPDATE observation (r14 — the "captured" half of
+    * maintenance-aware design, VERDICT r13 #2): while workload capture
+    * is ON, every file relation an inspected aggregate scans also
+    * records its manifest ENTRY SET; a changed set since the last
+    * observation counts one append event (new entries) and/or one
+    * remove event (entries gone) for those root paths. Dedup is by
+    * STATE TRANSITION — ten queries over the same stale state count
+    * ONE event, so the counts are "updates per capture window", the
+    * same period unit as the workload's query benefits.
+    * [[SummaryDesigner.designCrossTier]] falls back to these when the
+    * caller supplies no explicit `updatesPerPeriod`. */
+  private val updateLastSeen = java.util.Collections.synchronizedMap(
+    new java.util.HashMap[Set[String], Set[String]]())
+  private val updateEventLog = java.util.Collections.synchronizedMap(
+    new java.util.HashMap[Set[String], (Int, Int)]())
+
+  private def observeBaseState(paths: Set[String],
+      location: org.apache.spark.sql.execution.datasources.FileIndex): Unit = {
+    val cur = fingerprintEntries(location).toSet
+    val prev = updateLastSeen.put(paths, cur)
+    if (prev != null && prev != cur) {
+      val (a, r) = updateEventLog.getOrDefault(paths, (0, 0))
+      updateEventLog.put(paths,
+        (a + (if ((cur -- prev).nonEmpty) 1 else 0),
+         r + (if ((prev -- cur).nonEmpty) 1 else 0)))
+    }
+  }
+
+  /** (append events, remove events) observed for `paths` during the
+    * current capture session — one event per distinct state
+    * transition. */
+  def capturedUpdateEvents(paths: Set[String]): (Int, Int) =
+    updateEventLog.getOrDefault(paths, (0, 0))
+
   def startWorkloadCapture(): Unit = {
     capturedLog.clear(); capturedJoinedLog.clear(); capturedStarLog.clear()
+    updateLastSeen.clear(); updateEventLog.clear()
     capturing = true
   }
   def stopWorkloadCapture(): Unit = capturing = false
@@ -335,6 +370,7 @@ object RollupRewrite {
   def resetWorkloadCapture(): Unit = {
     capturing = false
     capturedLog.clear(); capturedJoinedLog.clear(); capturedStarLog.clear()
+    updateLastSeen.clear(); updateEventLog.clear()
   }
 
   /** Distinct captured grains for a base (insertion order). */
@@ -2204,6 +2240,7 @@ object RollupRewrite {
       }
       val paths = rel.location.rootPaths.map(_.toString).toSet
       if (capturing) {
+        observeBaseState(paths, rel.location)
         // plain-attribute grains record their column name; computed
         // grains their resolved SQL (VERDICT r10 #1 — capture must see
         // the expression grain a summary could serve)
@@ -2773,6 +2810,7 @@ object RollupRewrite {
         }
       }
       if (capturing) {
+        leaves.indices.foreach(i => observeBaseState(pathsOf(i), locOf(i)))
         // STAR-JOIN-AGGREGATE capture (the designStar input) — same
         // conventions as the joined capture: plain grains by name,
         // expression grains by resolved SQL (r13), inferred
@@ -2938,6 +2976,8 @@ object RollupRewrite {
       val lPaths = lRel.location.rootPaths.map(_.toString).toSet
       val rPaths = rRel.location.rootPaths.map(_.toString).toSet
       if (capturing) {
+        observeBaseState(lPaths, lRel.location)
+        observeBaseState(rPaths, rRel.location)
         // JOIN-AGGREGATE capture (the AJI design input): plain grains
         // record their column name, EXPRESSION grains their resolved
         // SQL (r13 — the q191 capture convention at join width);

@@ -548,10 +548,20 @@ object SummaryDesigner {
     // appends-per-period per side frame, in the same "period" unit as
     // one execution of the captured workload; unsupplied sides default
     // to 0 — the cost model is then exactly the pre-r14 one.
+    // explicit rates win; otherwise fall back to CAPTURED update events
+    // (r14 — one event per observed manifest transition during the
+    // capture window, the same period unit as the query benefits; both
+    // appends and removes count, since a dim REMOVE on an AJI/star is
+    // also a fact-sized event: retraction reads fact ⋈ trash-dim)
     val updFreq: Map[Set[String], Double] = updatesPerPeriod.map {
       case (df, f) => RollupRewrite.scanRootPaths(df) -> f }.toMap
-    def freqOf(df: DataFrame): Double =
-      updFreq.getOrElse(RollupRewrite.scanRootPaths(df), 0.0)
+    def freqOf(df: DataFrame): Double = {
+      val paths = RollupRewrite.scanRootPaths(df)
+      updFreq.getOrElse(paths, {
+        val (a, r) = RollupRewrite.capturedUpdateEvents(paths)
+        (a + r).toDouble
+      })
+    }
     // ---- structures & moves
     case class Cand(tier: Int, owner: Int, grain: Set[String]) {
       def rows: Long = tier match {

@@ -149,4 +149,83 @@ class RollupRetractPropertySpec extends SparkSpec {
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("MIXED-diff fold through refreshStale == full rebuild, 16 seeded trials (r14)") {
+    // the q221 COMPOSITION pinned end-to-end: register → trash-delete a
+    // random slice subset AND append random files (a lossy compacted
+    // rewrite of some removed rows + brand-new rows) in ONE stale
+    // window → refreshStale folds → the refreshed summary must equal a
+    // from-scratch materialization of the post-compaction base. Trials
+    // sweep removal fractions up to FULL compaction, extremum-carrying
+    // removals, null measures, filled KMV sketches (k=4), and
+    // histograms — a recompute-path read of the current listing instead
+    // of the surviving registered files double-counts the appends and
+    // fails here.
+    val rnd = new scala.util.Random(777)
+    val root = java.nio.file.Files.createTempDirectory("mixed_prop").toString
+    try {
+      (1 to 16).foreach { trial =>
+        val dir = s"$root/t$trial"
+        val nSlices = 3 + rnd.nextInt(3)
+        def mkRows(n: Int, idBase: Long) = (0 until n).map { i =>
+          (idBase + i, s"g${rnd.nextInt(4)}",
+            if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(7).toLong),
+            s"s${rnd.nextInt(9)}", 1L + rnd.nextInt(50))
+        }
+        val slicePaths = (0 until nSlices).map { sl =>
+          val df = mkRows(3 + rnd.nextInt(6), sl * 100L)
+            .toDF("id", "g", "m", "s", "v")
+          val st = java.nio.file.Files.createTempDirectory("sl").toString
+          df.coalesce(1).write.mode("overwrite").parquet(st)
+          val part = new java.io.File(st).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(s"$dir/base/sl$sl.parquet")
+          dst.getParentFile.mkdirs()
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(st))
+          dst.getAbsolutePath
+        }
+        val base0 = spark.read.parquet(s"$dir/base")
+        Rollup.materialize(base0, Seq("g"), Seq("m"), Seq("s"), 4, Seq("v"))
+          .write.mode("overwrite").parquet(s"$dir/sum")
+        RollupRewrite.register(base0, spark.read.parquet(s"$dir/sum"),
+          Seq("g"), Seq("m"), Seq("s"), 4, histCols = Seq("v"))
+        // the mixed window: remove a random nonempty slice subset (up
+        // to ALL), append a lossy rewrite of some removed rows + a
+        // brand-new slice
+        val removed = slicePaths.filter(_ => rnd.nextInt(2) == 0) match {
+          case Seq() => Seq(slicePaths(rnd.nextInt(nSlices)))
+          case some => some
+        }
+        val removedRows = spark.read.parquet(removed: _*).collect()
+        val keep = removedRows.filter(_ => rnd.nextInt(4) > 0)
+        if (keep.nonEmpty)
+          spark.createDataFrame(java.util.Arrays.asList(keep: _*),
+              spark.read.parquet(removed: _*).schema)
+            .coalesce(1).write.mode("append").parquet(s"$dir/base")
+        mkRows(2 + rnd.nextInt(5), 9000L).toDF("id", "g", "m", "s", "v")
+          .coalesce(1).write.mode("append").parquet(s"$dir/base")
+        RollupRewrite.deleteFiles(spark, removed, s"$dir/trash")
+        val rep = RollupRewrite.refreshStale(spark, s"$dir/ref",
+          trashDirs = Seq(s"$dir/trash"))
+        assert(rep.size == 1 && rep.head.refreshed &&
+            rep.head.removedFiles.map(p =>
+              new org.apache.hadoop.fs.Path(p).getName).toSet ==
+              removed.map(p =>
+                new org.apache.hadoop.fs.Path(p).getName).toSet,
+          s"trial $trial: mixed diff must fold with the exact removed set: $rep")
+        val got = normalized(spark.read.parquet(rep.head.summaryPath))
+        val want = normalized(Rollup.materialize(
+          spark.read.parquet(s"$dir/base"), Seq("g"), Seq("m"), Seq("s"),
+          4, Seq("v")))
+        assert(got == want,
+          s"trial $trial (removed=${removed.map(_.split('/').last)}) " +
+            s"diverged:\ngot  $got\nwant $want")
+        RollupRewrite.clear()
+      }
+    } finally {
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
 }

@@ -686,6 +686,58 @@ class SummaryDesignerSpec extends SparkSpec {
     }
   }
 
+  test("CAPTURED update events drive the maintenance term: an observed dim append flips the design with no caller-supplied rates (r14)") {
+    val dir = java.nio.file.Files.createTempDirectory("designer_cupd").toString
+    try {
+      Seq((1L, 10L, 3L), (1L, 20L, 5L), (2L, 10L, 7L), (2L, 20L, 9L),
+          (1L, 10L, 3L), (1L, 20L, 5L), (2L, 10L, 7L), (2L, 20L, 9L))
+        .toDF("k1", "k2", "m").write.mode("overwrite").parquet(s"$dir/fact")
+      Seq((1L, "a"), (2L, "b"), (1L, "a"), (2L, "b"))
+        .toDF("d1k", "g1").write.mode("overwrite").parquet(s"$dir/d1")
+      Seq((10L, "x"), (20L, "y"), (10L, "x"), (20L, "y"))
+        .toDF("d2k", "g2").write.mode("overwrite").parquet(s"$dir/d2")
+      // dashboards re-read their dirs per run (the realistic pattern —
+      // a cached frame's FileIndex would pin the old listing)
+      def fact = spark.read.parquet(s"$dir/fact")
+      def d1 = spark.read.parquet(s"$dir/d1")
+      def d2 = spark.read.parquet(s"$dir/d2")
+      def sdims = Seq(d1 -> Seq("k1" -> "d1k"), d2 -> Seq("k2" -> "d2k"))
+      def wS = fact.join(d1, col("k1") === col("d1k"))
+        .join(d2, col("k2") === col("d2k"))
+        .groupBy("g1").agg(sum("m").as("s"))
+      RollupRewrite.enable(spark)
+      RollupRewrite.startWorkloadCapture()
+      wS.queryExecution.optimizedPlan // observes the initial states
+      // a d1 append lands mid-window; the next dashboard run observes
+      // ONE transition — and re-running on the same state adds none
+      Seq((1L, "a")).toDF("d1k", "g1")
+        .coalesce(1).write.mode("append").parquet(s"$dir/d1")
+      wS.queryExecution.optimizedPlan
+      wS.queryExecution.optimizedPlan
+      RollupRewrite.stopWorkloadCapture()
+      val d1Paths = RollupRewrite.scanRootPaths(d1)
+      assert(RollupRewrite.capturedUpdateEvents(d1Paths) == ((1, 0)),
+        s"one observed append transition, deduped: " +
+          s"${RollupRewrite.capturedUpdateEvents(d1Paths)}")
+      // captured events alone flip the star to the tuple...
+      val auto = SummaryDesigner.designCrossTier(Seq(fact, d1, d2), Nil,
+        Seq(fact -> sdims), maxRows = 100)
+      assert(auto.star.isEmpty && auto.plain.size == 3,
+        s"the captured dim append must flip the star to the tuple: $auto")
+      // ...and an explicit caller rate OVERRIDES the captured one
+      val overridden = SummaryDesigner.designCrossTier(Seq(fact, d1, d2),
+        Nil, Seq(fact -> sdims), maxRows = 100,
+        updatesPerPeriod = Seq(d1 -> 0.0))
+      assert(overridden.star.size == 1 && overridden.plain.isEmpty,
+        s"an explicit zero rate must override the captured events: $overridden")
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.resetWorkloadCapture()
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("cross-tier design is MAINTENANCE-aware: a hot dim flips the star to the tuple; fact appends never do (r14, VERDICT r13 #2)") {
     val dir = java.nio.file.Files.createTempDirectory("designer_maint").toString
     try {

@@ -1145,12 +1145,13 @@ object RollupRewrite {
     * applies verbatim to the joined frame. A fact delete reads
     * trash-fact ⋈ dims; a dim delete reads the CURRENT fact ⋈ other
     * dims ⋈ trash-dim — a registered-fact-sized read, the same honest
-    * asymmetry as the dim APPEND term. A SINGLE-SIDE mixed diff
-    * (removes and appends confined to one side — that side's
-    * compaction) composes retraction ∘ append-fold (r14, VERDICT r13
-    * #1), the recompute groups reading that side's SURVIVING
-    * registered rows joined to the others. Removals combined with
-    * changes on any OTHER side in one window (the removed-tuple sets
+    * asymmetry as the dim APPEND term. A MIXED diff with removals
+    * confined to ONE side composes retraction ∘ append-fold with
+    * appends on ANY subset of sides (r14, VERDICT r13 #1,
+    * generalized): retraction over the sides' SAVED states, recompute
+    * over the RETAINED (saved ∖ removed) states, and the telescoped
+    * append terms over retained-before/current-after side states.
+    * Only removals on TWO sides in one window (the removed-tuple sets
     * overlap) refuse — rebuild territory. The refresh output dir is
     * content-addressed by the registration identity plus EVERY side's
     * current manifest (ADVICE r12 #1). */
@@ -1238,95 +1239,107 @@ object RollupRewrite {
             deltaFiles, out, removedFiles)
         }
         if (fRem.nonEmpty || dimRem.exists(_.nonEmpty)) {
-          // DELETE path: retract iff every change (removes, and — r14,
-          // VERDICT r13 #1 — any appends too) touches exactly ONE side:
-          // a single-side compaction composes retraction ∘ append-fold
-          // exactly as on the plain/joined paths (the removed and
-          // appended tuple sets are disjoint because the side's file
-          // sets are). Changes on two sides with any removal refuse.
+          // DELETE path (r14, VERDICT r13 #1 — generalized): removals
+          // confined to EXACTLY ONE side compose with appends on ANY
+          // subset of sides. Retraction runs over the sides' SAVED
+          // states (stored covers ∏ side_saved; removed tuples =
+          // removed-rows ⋈ every other side at saved state), the
+          // RETAINED state per side is saved ∖ removed, and the append
+          // terms are the q212 telescoping over retained states:
+          // ΔF ⋈ dims_current plus, per appended dim i, retainedF ⋈
+          // dims<i RETAINED ⋈ ΔDi ⋈ dims>i current — every new tuple
+          // classified by its first new side. Removals on TWO sides
+          // refuse (removed-tuple overlap).
           val remSides = (if (fRem.nonEmpty) 1 else 0) +
             dimRem.count(_.nonEmpty)
           val factCur = spark.read.parquet(d.factPaths.toSeq: _*)
           val groupExprs = grainExprs
-          def retractMergeStar(removedJoined: DataFrame,
-              reducedJoin: DataFrame, deltaJoinedOpt: Option[DataFrame],
-              deltaFiles: Seq[String], orig: Seq[String]): RefreshResult = {
-            val retracted = Rollup.retract(stored, removedJoined,
-              reducedJoin, groupExprs, d.measures, d.distinctCols,
-              d.sketchK, d.histCols)
-            val summary = deltaJoinedOpt match {
-              case None => retracted
-              case Some(deltaJoined) => Rollup.merge(retracted,
-                Rollup.materializeExpr(deltaJoined, groupExprs, d.measures,
-                  d.distinctCols, d.sketchK, d.histCols),
-                d.groupCols, d.measures, d.distinctCols, d.sketchK,
-                d.histCols)
-            }
-            finish(summary, deltaFiles, orig)
-          }
           val res =
             if (remSides != 1) None
-            else if (fRem.nonEmpty && dimApp.forall(_.isEmpty))
-              resolveRemoved(spark, fRem, trashDirs).flatMap {
+            else {
+              val remEntries = if (fRem.nonEmpty) fRem
+                else dimRem.find(_.nonEmpty).get
+              val remDimIdx = dimRem.indexWhere(_.nonEmpty) // -1 ⇒ fact
+              resolveRemoved(spark, remEntries, trashDirs).flatMap {
                 case (orig, trash) =>
-                  val removedFact = spark.read.parquet(trash: _*)
-                  lazy val deltaFact =
-                    spark.read.parquet(filesOf(fApp): _*)
-                  if (!neededFact.toSet.subsetOf(removedFact.columns.toSet) ||
-                      (fApp.nonEmpty &&
-                        !neededFact.toSet.subsetOf(deltaFact.columns.toSet)))
-                    None
+                  val removedDf = spark.read.parquet(trash: _*)
+                  def retainedOf(manifest: Set[String], rem: Set[String],
+                      app: Set[String], cur: => DataFrame)
+                      : Option[DataFrame] =
+                    if (rem.isEmpty && app.isEmpty) Some(cur)
+                    else {
+                      val files = filesOf(manifest -- rem)
+                      if (files.nonEmpty)
+                        Some(spark.read.parquet(files: _*))
+                      else if (rem.nonEmpty) Some(removedDf.limit(0))
+                      else None
+                    }
+                  val retFOpt = retainedOf(d.factManifest, fRem, fApp,
+                    factCur)
+                  val retDOpts = d.dims.indices.map(i =>
+                    retainedOf(d.dims(i).manifest, dimRem(i), dimApp(i),
+                      dimCurrent(i)._1))
+                  lazy val deltaFact = spark.read.parquet(filesOf(fApp): _*)
+                  val ok = retFOpt.isDefined && retDOpts.forall(_.isDefined) &&
+                    neededFact.toSet.subsetOf(retFOpt.get.columns.toSet) &&
+                    d.dims.indices.forall(i => neededDim(i).toSet
+                      .subsetOf(retDOpts(i).get.columns.toSet)) &&
+                    neededFact.toSet.subsetOf(
+                      (if (fRem.nonEmpty) removedDf else factCur)
+                        .columns.toSet) &&
+                    (remDimIdx < 0 || neededDim(remDimIdx).toSet
+                      .subsetOf(removedDf.columns.toSet)) &&
+                    (fApp.isEmpty ||
+                      neededFact.toSet.subsetOf(deltaFact.columns.toSet))
+                  if (!ok) None
                   else {
-                    val surviving = (d.factManifest -- fRem).toSeq.sorted
-                      .map(_.split("\\|")(0))
-                    val reducedFact =
-                      if (fApp.isEmpty) factCur
-                      else if (surviving.nonEmpty)
-                        spark.read.parquet(surviving: _*)
-                      else removedFact.limit(0)
-                    Some(retractMergeStar(starJoin(removedFact, dimCurrent),
-                      starJoin(reducedFact, dimCurrent),
-                      if (fApp.isEmpty) None
-                      else Some(starJoin(deltaFact, dimCurrent)),
-                      filesOf(fApp), orig))
-                  }
-              }
-            else if (fRem.isEmpty && fApp.isEmpty && {
-                val i = dimRem.indexWhere(_.nonEmpty)
-                d.dims.indices.forall(j => j == i || dimApp(j).isEmpty)
-              }) {
-              val i = dimRem.indexWhere(_.nonEmpty)
-              resolveRemoved(spark, dimRem(i), trashDirs).flatMap {
-                case (orig, trash) =>
-                  val removedDim = spark.read.parquet(trash: _*)
-                  lazy val deltaDim =
-                    spark.read.parquet(filesOf(dimApp(i)): _*)
-                  if (!neededDim(i).toSet.subsetOf(removedDim.columns.toSet) ||
-                      (dimApp(i).nonEmpty &&
-                        !neededDim(i).toSet.subsetOf(deltaDim.columns.toSet)))
-                    None
-                  else {
-                    def sidesWith(dimI: DataFrame) =
-                      d.dims.indices.map(j => if (j == i)
-                        dimI -> d.dims(i).keyPairs
-                      else dimCurrent(j))
-                    val surviving = (d.dims(i).manifest -- dimRem(i))
-                      .toSeq.sorted.map(_.split("\\|")(0))
-                    val reducedDim =
-                      if (dimApp(i).isEmpty) dimCurrent(i)._1
-                      else if (surviving.nonEmpty)
-                        spark.read.parquet(surviving: _*)
-                      else removedDim.limit(0)
-                    Some(retractMergeStar(
-                      starJoin(factCur, sidesWith(removedDim)),
-                      starJoin(factCur, sidesWith(reducedDim)),
-                      if (dimApp(i).isEmpty) None
-                      else Some(starJoin(factCur, sidesWith(deltaDim))),
-                      filesOf(dimApp(i)), orig))
+                    val retF = retFOpt.get
+                    val retDims = d.dims.indices.map(i =>
+                      retDOpts(i).get -> d.dims(i).keyPairs)
+                    val removedJoined =
+                      if (fRem.nonEmpty) starJoin(removedDf, retDims)
+                      else starJoin(retF, d.dims.indices.map(j =>
+                        if (j == remDimIdx) removedDf -> d.dims(j).keyPairs
+                        else retDims(j)))
+                    val retracted = Rollup.retract(stored, removedJoined,
+                      starJoin(retF, retDims), groupExprs, d.measures,
+                      d.distinctCols, d.sketchK, d.histCols)
+                    val parts = Seq.newBuilder[DataFrame]
+                    var appOk = true
+                    if (fApp.nonEmpty)
+                      parts += Rollup.materializeExpr(
+                        starJoin(deltaFact, dimCurrent), groupExprs,
+                        d.measures, d.distinctCols, d.sketchK, d.histCols)
+                    d.dims.indices.foreach { i =>
+                      if (appOk && dimApp(i).nonEmpty) {
+                        val deltaDim =
+                          spark.read.parquet(filesOf(dimApp(i)): _*)
+                        if (!neededDim(i).toSet
+                            .subsetOf(deltaDim.columns.toSet)) appOk = false
+                        else {
+                          val sides = d.dims.indices.map { j =>
+                            if (j < i) retDims(j)
+                            else if (j == i) deltaDim -> d.dims(i).keyPairs
+                            else dimCurrent(j)
+                          }
+                          parts += Rollup.materializeExpr(
+                            starJoin(retF, sides), groupExprs, d.measures,
+                            d.distinctCols, d.sketchK, d.histCols)
+                        }
+                      }
+                    }
+                    if (!appOk) None
+                    else {
+                      val summary = parts.result().foldLeft(retracted)(
+                        (acc, p) => Rollup.merge(acc, p, d.groupCols,
+                          d.measures, d.distinctCols, d.sketchK,
+                          d.histCols))
+                      Some(finish(summary,
+                        filesOf(fApp) ++ dimApp.flatMap(filesOf), orig))
+                    }
                   }
               }
             }
-            else None
           Some(res.getOrElse(unrefreshable))
         } else {
         val parts = Seq.newBuilder[DataFrame]
@@ -1418,15 +1431,18 @@ object RollupRewrite {
     * the affected grains, emptied groups drop. Cost: a fact delete
     * reads trash-fact ⋈ dim; a dim delete reads fact ⋈ trash-dim — the
     * same registered-fact-read asymmetry as the dim APPEND, stated
-    * there. A SINGLE-SIDE MIXED diff (removes AND appends on the same
-    * side — that side's compaction) composes retraction ∘ append-fold
-    * (r14, VERDICT r13 #1): the removed and new pair sets are disjoint
-    * because the side's file sets are, and the retraction's recompute
-    * groups read the surviving registered rows of that side joined to
-    * the other. Changes touching BOTH sides with any removal (the
-    * removed-pair sets overlap — `ΔF⋈ΔD` would double-retract), or any
-    * in-place change, report unrefreshable: rebuild territory
-    * (re-materialize + re-register), not delta arithmetic. */
+    * there. A MIXED diff with removals confined to ONE side composes
+    * retraction ∘ append-fold with appends on EITHER side (r14,
+    * VERDICT r13 #1, generalized): the retraction runs over the
+    * sides' SAVED states (removed pairs = removed-rows ⋈ other-side
+    * SAVED), the recompute path reads the RETAINED (saved ∖ removed)
+    * states, and the append terms are the usual distributivity over
+    * retained — `ΔF ⋈ D_current` plus `retainedF ⋈ ΔD`; all tuple
+    * sets pairwise disjoint because each side's file sets are. Only
+    * removals on BOTH sides (the removed-pair sets overlap — `R_F⋈R_D`
+    * would double-retract), or any in-place change, report
+    * unrefreshable: rebuild territory (re-materialize + re-register),
+    * not delta arithmetic. */
   private def refreshStaleJoined(spark: SparkSession, outDir: String,
                                  trashDirs: Seq[String]): Seq[RefreshResult] = {
     import scala.jdk.CollectionConverters._
@@ -1493,85 +1509,76 @@ object RollupRewrite {
             refreshed = true, deltaFiles, out, removedFiles)
         }
         if (fRem.nonEmpty || dRem.nonEmpty) {
-          // DELETE path: retract iff every change (removes, and — r14,
-          // VERDICT r13 #1 — any appends too) touches exactly ONE side:
-          // the removed pairs are removed-rows ⋈ other side, the new
-          // pairs appended-rows ⋈ other side, and the two tuple sets
-          // are disjoint (a file is never both removed and appended),
-          // so retraction ∘ append-fold composes — a single-side
-          // compaction folds instead of staleness-killing the AJI.
-          // Cross-side mixes still refuse (ΔF⋈ΔD overlap).
+          // DELETE path (r14, VERDICT r13 #1 — generalized): removals
+          // confined to EXACTLY ONE side compose with appends on ANY
+          // side. The stored summary covers F_saved ⋈ D_saved; the
+          // removed pairs are removed-rows ⋈ the other side AT ITS
+          // SAVED state, the RETAINED state per side is saved ∖ removed
+          // (= surviving files), and the append terms are the usual
+          // distributivity over the retained states:
+          // ΔF ⋈ D_current plus retainedF ⋈ ΔD — every new pair has a
+          // new row on exactly one side, and removed/appended tuple
+          // sets are disjoint because each side's file sets are.
+          // Removals on BOTH sides refuse (the removed-pair sets
+          // overlap — R_F⋈R_D would double-retract).
           val groupExprs = grainExprs
-          def retractMerge(removedJoined: DataFrame, reducedJoin: DataFrame,
-              deltaJoinedOpt: Option[DataFrame], deltaFiles: Seq[String],
-              orig: Seq[String]): RefreshResult = {
-            val retracted = Rollup.retract(stored, removedJoined,
-              reducedJoin, groupExprs, d.measures, d.distinctCols,
-              d.sketchK, d.histCols)
-            val summary = deltaJoinedOpt match {
-              case None => retracted
-              case Some(deltaJoined) => Rollup.merge(retracted,
-                Rollup.materializeExpr(deltaJoined, groupExprs, d.measures,
-                  d.distinctCols, d.sketchK, d.histCols),
-                d.groupCols, d.measures, d.distinctCols, d.sketchK,
-                d.histCols)
-            }
-            finish(summary, deltaFiles, orig)
-          }
           val res =
-            if (fRem.nonEmpty && dApp.isEmpty && dRem.isEmpty)
-              resolveRemoved(spark, fRem, trashDirs).flatMap {
-                case (orig, trash) =>
-                  val removedFact = spark.read.parquet(trash: _*)
-                  lazy val deltaFact =
-                    spark.read.parquet(filesOf(fApp): _*)
-                  if (!neededFact.toSet.subsetOf(removedFact.columns.toSet) ||
-                      (fApp.nonEmpty &&
-                        !neededFact.toSet.subsetOf(deltaFact.columns.toSet)))
-                    None
-                  else {
-                    // recompute groups read the SURVIVING registered
-                    // fact ⋈ dim — appended rows merge in afterwards
-                    val surviving = (d.factManifest -- fRem).toSeq.sorted
-                      .map(_.split("\\|")(0))
-                    val reducedFact =
-                      if (fApp.isEmpty) factCur
-                      else if (surviving.nonEmpty)
-                        spark.read.parquet(surviving: _*)
-                      else removedFact.limit(0)
-                    Some(retractMerge(join2(removedFact, dimCur),
-                      join2(reducedFact, dimCur),
-                      if (fApp.isEmpty) None
-                      else Some(join2(deltaFact, dimCur)),
-                      filesOf(fApp), orig))
-                  }
+            if (fRem.nonEmpty && dRem.nonEmpty) None
+            else resolveRemoved(spark, if (fRem.nonEmpty) fRem else dRem,
+                trashDirs).flatMap { case (orig, trash) =>
+              val removedDf = spark.read.parquet(trash: _*)
+              lazy val deltaFact = spark.read.parquet(filesOf(fApp): _*)
+              lazy val deltaDim = spark.read.parquet(filesOf(dApp): _*)
+              // retained per side: bare read of saved ∖ removed when
+              // the side changed; the plain current read otherwise
+              def retained(manifest: Set[String], rem: Set[String],
+                  app: Set[String], cur: DataFrame): Option[DataFrame] =
+                if (rem.isEmpty && app.isEmpty) Some(cur)
+                else {
+                  val files = filesOf(manifest -- rem)
+                  if (files.nonEmpty) Some(spark.read.parquet(files: _*))
+                  else if (rem.nonEmpty) Some(removedDf.limit(0))
+                  else None
+                }
+              val checks =
+                neededFact.toSet.subsetOf(
+                  (if (fRem.nonEmpty) removedDf else factCur)
+                    .columns.toSet) &&
+                neededDim.toSet.subsetOf(
+                  (if (dRem.nonEmpty) removedDf else dimCur)
+                    .columns.toSet) &&
+                (fApp.isEmpty ||
+                  neededFact.toSet.subsetOf(deltaFact.columns.toSet)) &&
+                (dApp.isEmpty ||
+                  neededDim.toSet.subsetOf(deltaDim.columns.toSet))
+              if (!checks) None
+              else for {
+                retF <- retained(d.factManifest, fRem, fApp, factCur)
+                retD <- retained(d.dimManifest, dRem, dApp, dimCur)
+                if neededFact.toSet.subsetOf(retF.columns.toSet) &&
+                  neededDim.toSet.subsetOf(retD.columns.toSet)
+              } yield {
+                val removedJoined =
+                  if (fRem.nonEmpty) join2(removedDf, retD)
+                  else join2(retF, removedDf)
+                val retracted = Rollup.retract(stored, removedJoined,
+                  join2(retF, retD), groupExprs, d.measures,
+                  d.distinctCols, d.sketchK, d.histCols)
+                val parts = Seq.newBuilder[DataFrame]
+                if (fApp.nonEmpty)
+                  parts += Rollup.materializeExpr(join2(deltaFact, dimCur),
+                    groupExprs, d.measures, d.distinctCols, d.sketchK,
+                    d.histCols)
+                if (dApp.nonEmpty)
+                  parts += Rollup.materializeExpr(join2(retF, deltaDim),
+                    groupExprs, d.measures, d.distinctCols, d.sketchK,
+                    d.histCols)
+                val summary = parts.result().foldLeft(retracted)((acc, p) =>
+                  Rollup.merge(acc, p, d.groupCols, d.measures,
+                    d.distinctCols, d.sketchK, d.histCols))
+                finish(summary, filesOf(fApp) ++ filesOf(dApp), orig)
               }
-            else if (dRem.nonEmpty && fApp.isEmpty && fRem.isEmpty)
-              resolveRemoved(spark, dRem, trashDirs).flatMap {
-                case (orig, trash) =>
-                  val removedDim = spark.read.parquet(trash: _*)
-                  lazy val deltaDim =
-                    spark.read.parquet(filesOf(dApp): _*)
-                  if (!neededDim.toSet.subsetOf(removedDim.columns.toSet) ||
-                      (dApp.nonEmpty &&
-                        !neededDim.toSet.subsetOf(deltaDim.columns.toSet)))
-                    None
-                  else {
-                    val surviving = (d.dimManifest -- dRem).toSeq.sorted
-                      .map(_.split("\\|")(0))
-                    val reducedDim =
-                      if (dApp.isEmpty) dimCur
-                      else if (surviving.nonEmpty)
-                        spark.read.parquet(surviving: _*)
-                      else removedDim.limit(0)
-                    Some(retractMerge(join2(factCur, removedDim),
-                      join2(factCur, reducedDim),
-                      if (dApp.isEmpty) None
-                      else Some(join2(factCur, deltaDim)),
-                      filesOf(dApp), orig))
-                  }
-              }
-            else None
+            }
           Some(res.getOrElse(unrefreshable))
         } else {
           val parts = Seq.newBuilder[DataFrame]

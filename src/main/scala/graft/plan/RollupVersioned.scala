@@ -373,16 +373,20 @@ object RollupVersioned {
       (0 until n).map(i => (st.keys(i), st.curDs(i).toSeq))))
   }
 
-  /** The q221 MIXED-diff composition over the side list (r14): changes
-    * confined to EXACTLY ONE side holding BOTH removes and appends —
-    * that side's compaction — fold as retraction ∘ append-fold into
-    * one new version: retract `removed-side ⋈ others` with the
-    * recompute path reading the SURVIVING saved files of that side
-    * (never the current listing, which already holds the appended rows
-    * the merge adds), then [[Rollup.merge]] the `Δside ⋈ others` delta
-    * aggregate, one batch + ONE publish. None on pure diffs (use the
-    * append/remove ops), multi-side changes (removed-tuple overlap),
-    * unresolvable trash, or a bare read missing a needed column. */
+  /** The q221 MIXED-diff composition over the side list (r14,
+    * generalized): removals confined to EXACTLY ONE side fold with
+    * appends on ANY subset of sides into one new version. The
+    * retraction runs over the sides' SAVED states (removed tuples =
+    * removed-rows ⋈ every other side at its saved state), the
+    * recompute path reads the RETAINED (saved ∖ removed) states —
+    * never the current listings, which already hold the appended rows
+    * the merge adds — and the append terms are the q212 telescoping
+    * over retained-before/current-after side states: `ΔF ⋈ dims_cur`
+    * plus, per appended dim i, `retainedF ⋈ dims<i RETAINED ⋈ ΔDi ⋈
+    * dims>i cur`. One batch + ONE publish. None on pure diffs (use
+    * the append/remove ops), removals on two sides (removed-tuple
+    * overlap), unresolvable trash, or a bare read missing a needed
+    * column. */
   private def refreshMixedCore(spark: SparkSession, root: String,
       fact: DataFrame, dims: Dims, trashDirs: Seq[String]): Option[Int] = {
     val st = sideState(spark, root, fact, dims).getOrElse(return None)
@@ -391,59 +395,68 @@ object RollupVersioned {
     val fRem = st.savedF -- st.curF
     val dApps = (0 until n).map(i => st.curDs(i) -- st.savedD(i))
     val dRems = (0 until n).map(i => st.savedD(i) -- st.curDs(i))
-    val factChanged = fApp.nonEmpty || fRem.nonEmpty
-    val changedDims = (0 until n).filter(i =>
-      dApps(i).nonEmpty || dRems(i).nonEmpty)
-    if ((if (factChanged) 1 else 0) + changedDims.size != 1) return None
+    val remSides = (if (fRem.nonEmpty) 1 else 0) + dRems.count(_.nonEmpty)
+    if (remSides != 1) return None // pure appends → refreshAppended*
+    if (fApp.isEmpty && dApps.forall(_.isEmpty))
+      return None // pure delete → refreshRemoved*
+    val remEntries = if (fRem.nonEmpty) fRem else dRems.find(_.nonEmpty).get
+    val remDimIdx = dRems.indexWhere(_.nonEmpty) // -1 ⇒ fact
+    val trash = resolveTrash(spark, remEntries, trashDirs)
+      .getOrElse(return None)
+    val removedDf = spark.read.parquet(trash: _*)
+    def retainedOf(saved: Set[String], rem: Set[String], app: Set[String],
+        cur: => DataFrame): DataFrame =
+      if (rem.isEmpty && app.isEmpty) cur
+      else {
+        val files = filesOf(saved -- rem)
+        if (files.nonEmpty) spark.read.parquet(files: _*)
+        else removedDf.limit(0)
+      }
+    val retF = retainedOf(st.savedF, fRem, fApp, fact)
+    val retDims: Dims = (0 until n).map(i =>
+      retainedOf(st.savedD(i), dRems(i), dApps(i), dims(i)._1) ->
+        st.keys(i))
+    if (!st.neededFact.subsetOf(retF.columns.toSet) ||
+        (0 until n).exists(i =>
+          !st.neededDim(i).subsetOf(retDims(i)._1.columns.toSet)) ||
+        !(if (remDimIdx < 0) st.neededFact else st.neededDim(remDimIdx))
+          .subsetOf(removedDf.columns.toSet)) return None
+    val dimCur = (0 until n).map(i => dims(i)._1 -> st.keys(i))
     def agg(df: DataFrame) = Rollup.materialize(df, st.layout.groupCols,
       st.layout.measures, st.layout.distinctCols, st.sketchK,
       st.layout.histCols)
-    def fold(removedJoined: DataFrame, reducedJoin: DataFrame,
-             deltaJoined: DataFrame): Option[Int] = {
-      val retracted = Rollup.retract(summaryOf(spark, root, None),
-        removedJoined, reducedJoin,
-        st.layout.groupCols.map(g => g -> col(g)), st.layout.measures,
-        st.layout.distinctCols, st.sketchK, st.layout.histCols)
-      val merged = Rollup.merge(retracted, agg(deltaJoined),
-        st.layout.groupCols, st.layout.measures, st.layout.distinctCols,
-        st.sketchK, st.layout.histCols)
-      Some(publishState(spark, root, st.layout, st.sketchK, merged,
-        st.curF.toSeq,
-        (0 until n).map(i => (st.keys(i), st.curDs(i).toSeq))))
-    }
-    val dimCur = (0 until n).map(i => dims(i)._1 -> st.keys(i))
-    if (factChanged) {
-      if (fRem.isEmpty || fApp.isEmpty) return None
-      val trash = resolveTrash(spark, fRem, trashDirs).getOrElse(return None)
-      val removedDf = spark.read.parquet(trash: _*)
+    val removedJoined =
+      if (remDimIdx < 0) starJoin(removedDf, retDims)
+      else starJoin(retF, (0 until n).map(j =>
+        if (j == remDimIdx) removedDf -> st.keys(j) else retDims(j)))
+    val retracted = Rollup.retract(summaryOf(spark, root, None),
+      removedJoined, starJoin(retF, retDims),
+      st.layout.groupCols.map(g => g -> col(g)), st.layout.measures,
+      st.layout.distinctCols, st.sketchK, st.layout.histCols)
+    val parts = Seq.newBuilder[DataFrame]
+    if (fApp.nonEmpty) {
       val deltaFact = spark.read.parquet(filesOf(fApp): _*)
-      if (!st.neededFact.subsetOf(removedDf.columns.toSet) ||
-          !st.neededFact.subsetOf(deltaFact.columns.toSet)) return None
-      val surviving = filesOf(st.savedF -- fRem)
-      val reducedFact =
-        if (surviving.nonEmpty) spark.read.parquet(surviving: _*)
-        else removedDf.limit(0)
-      fold(starJoin(removedDf, dimCur), starJoin(reducedFact, dimCur),
-        starJoin(deltaFact, dimCur))
-    } else {
-      val i = changedDims.head
-      if (dRems(i).isEmpty || dApps(i).isEmpty) return None
-      val trash = resolveTrash(spark, dRems(i), trashDirs)
-        .getOrElse(return None)
-      val removedDf = spark.read.parquet(trash: _*)
-      val deltaDim = spark.read.parquet(filesOf(dApps(i)): _*)
-      if (!st.neededDim(i).subsetOf(removedDf.columns.toSet) ||
-          !st.neededDim(i).subsetOf(deltaDim.columns.toSet)) return None
-      val surviving = filesOf(st.savedD(i) -- dRems(i))
-      val reducedDim =
-        if (surviving.nonEmpty) spark.read.parquet(surviving: _*)
-        else removedDf.limit(0)
-      def sidesWith(dimI: DataFrame): Dims =
-        (0 until n).map(j => if (j == i) dimI -> st.keys(i) else dimCur(j))
-      fold(starJoin(fact, sidesWith(removedDf)),
-        starJoin(fact, sidesWith(reducedDim)),
-        starJoin(fact, sidesWith(deltaDim)))
+      if (!st.neededFact.subsetOf(deltaFact.columns.toSet)) return None
+      parts += agg(starJoin(deltaFact, dimCur))
     }
+    (0 until n).foreach { i =>
+      if (dApps(i).nonEmpty) {
+        val deltaDim = spark.read.parquet(filesOf(dApps(i)): _*)
+        if (!st.neededDim(i).subsetOf(deltaDim.columns.toSet)) return None
+        val sides = (0 until n).map { j =>
+          if (j < i) retDims(j)
+          else if (j == i) deltaDim -> st.keys(i)
+          else dimCur(j)
+        }
+        parts += agg(starJoin(retF, sides))
+      }
+    }
+    val merged = parts.result().foldLeft(retracted)((acc, p) =>
+      Rollup.merge(acc, p, st.layout.groupCols, st.layout.measures,
+        st.layout.distinctCols, st.sketchK, st.layout.histCols))
+    Some(publishState(spark, root, st.layout, st.sketchK, merged,
+      st.curF.toSeq,
+      (0 until n).map(i => (st.keys(i), st.curDs(i).toSeq))))
   }
 
   /** As-of state of version v (latest when None): the meta plus
@@ -594,11 +607,11 @@ object RollupVersioned {
     refreshRemovedCore(spark, root, fact, Seq(dim -> keys), trashDirs)
   }
 
-  /** [[refreshMixed]] at AJI width: a single-side compaction (removes
-    * AND appends confined to the fact OR the dim) folds as
-    * retraction ∘ append-fold into one new version — the q221
-    * composition through the q217/q206 join algebra. None on pure or
-    * cross-side diffs. */
+  /** [[refreshMixed]] at AJI width: removals confined to ONE side
+    * fold with appends on either side as retraction ∘ append-fold
+    * into one new version — the q221 composition through the
+    * q217/q206 join algebra. None on pure diffs or two-side
+    * removals. */
   def refreshMixedJoined(spark: SparkSession, root: String,
                          fact: DataFrame, dim: DataFrame,
                          trashDirs: Seq[String]): Option[Int] = {
@@ -663,9 +676,10 @@ object RollupVersioned {
                          trashDirs: Seq[String]): Option[Int] =
     refreshRemovedCore(spark, root, fact, dims, trashDirs)
 
-  /** [[refreshMixed]] at star width: a compaction confined to the fact
-    * or ONE dim folds as retraction ∘ append-fold into one new
-    * version. None on pure or multi-side diffs. */
+  /** [[refreshMixed]] at star width: removals confined to the fact or
+    * ONE dim fold with appends on any subset of sides as
+    * retraction ∘ append-fold into one new version. None on pure
+    * diffs or multi-side removals. */
   def refreshMixedStar(spark: SparkSession, root: String,
                        fact: DataFrame,
                        dims: Seq[(DataFrame, Seq[(String, String)])],

@@ -2731,7 +2731,7 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
-  test("star summary DELETE: a single-dim delete retracts == full rebuild; delete mixed with an append refuses (r13)") {
+  test("star summary DELETE: a single-dim delete retracts == full rebuild; cross-side append+delete folds (r13/r14)") {
     val dir = java.nio.file.Files.createTempDirectory("star_retract").toString
     try {
       // star rows: (a,u,5) (a,v,6) (b,u,7) (b,v,100)
@@ -2780,15 +2780,20 @@ class RollupRewriteSpec extends SparkSpec {
         rows(Rollup.materializeStar(spark.read.parquet(s"$dir/fact"),
           dims0, Seq("g1", "g2"), Seq("m"))),
         "retracted star summary must equal a rebuild bit-for-bit")
-      // a delete mixed with an append in the same window refuses
+      // a fact append + dim delete in one window now FOLDS (r14
+      // generalization): removals on one side compose with appends
+      // anywhere — deleting d2's last joining slice empties the star
       writeSlice(Seq((1L, 1L, 9L)).toDF("k1", "k2", "m"), s"$dir/fact", "f9")
       RollupRewrite.deleteFiles(spark,
         Seq(s"$dir/d2/e0.parquet"), s"$dir/trash")
-      assert(RollupRewrite.refreshStale(spark, s"$dir/r2",
-          trashDirs = Seq(s"$dir/trash")).forall(r => !r.refreshed),
-        "append + delete in one window must report unrefreshable")
-      assert(scanPaths(q()).contains(s"file:$dir/fact"),
-        "the refused star must fall back to the real joins")
+      val rep2 = RollupRewrite.refreshStale(spark, s"$dir/r2",
+        trashDirs = Seq(s"$dir/trash"))
+      assert(rep2.size == 1 && rep2.head.refreshed,
+        s"fact append + dim delete must fold: $rep2")
+      assert(rows(spark.read.parquet(rep2.head.summaryPath)) ==
+        rows(Rollup.materializeStar(spark.read.parquet(s"$dir/fact"),
+          dims0, Seq("g1", "g2"), Seq("m"))),
+        "cross-side star fold must equal a rebuild (empty star here)")
     } finally {
       RollupRewrite.disable(spark)
       RollupRewrite.clear()
@@ -3175,7 +3180,7 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
-  test("joined/star MIXED diff: a single-side compaction folds; cross-side removal+append still refuses (r14)") {
+  test("joined/star MIXED diff: single-side compactions fold; cross-side removal+append folds too (r14)") {
     val dir = java.nio.file.Files.createTempDirectory("mixed_join").toString
     try {
       // ---- AJI: fact-side compaction (remove f1, append c1+fnew) ----
@@ -3221,13 +3226,24 @@ class RollupRewriteSpec extends SparkSpec {
       assert(served.collect().map(r => (r.getString(0), r.getLong(1),
           r.getLong(2))).toSet == Set(("x", 110L, 100L), ("y", 25L, 20L)),
         "folded AJI serve values wrong")
-      // cross-side: dim delete + fact append in one window refuses
+      // cross-side: dim delete + fact append in one window now FOLDS
+      // too (r14 generalization — removals on ONE side compose with
+      // appends anywhere); deleting the only real dim slice empties
+      // the join, and the fold must reproduce that exactly
       writeSlice(Seq((2L, 6L)).toDF("k", "m"), s"$dir/fact", "fx")
       RollupRewrite.deleteFiles(spark, Seq(s"$dir/dim/d0.parquet"),
         s"$dir/trash")
-      assert(RollupRewrite.refreshStale(spark, s"$dir/r2",
-          trashDirs = Seq(s"$dir/trash")).forall(r => !r.refreshed),
-        "a cross-side removal+append must refuse")
+      val repX = RollupRewrite.refreshStale(spark, s"$dir/r2",
+        trashDirs = Seq(s"$dir/trash"))
+      assert(repX.size == 1 && repX.head.refreshed &&
+          names(repX.head.removedFiles) == Set("d0.parquet") &&
+          names(repX.head.deltaFiles) == Set("fx.parquet"),
+        s"a cross-side removal+append must fold: $repX")
+      assert(rows(spark.read.parquet(repX.head.summaryPath)) ==
+        rows(Rollup.materializeJoined(spark.read.parquet(s"$dir/fact"),
+          spark.read.parquet(s"$dir/dim"), Seq("k" -> "dk"),
+          Seq("seg"), Seq("m"))),
+        "cross-side fold must equal a rebuild (empty join here)")
       RollupRewrite.clear()
 
       // ---- STAR: dim-side compaction on dim 2 ----
@@ -3336,6 +3352,53 @@ class RollupRewriteSpec extends SparkSpec {
         s"cross-side pair distinct must navigate: ${scanPaths(multi)}")
       assert(multi.collect().map(r => (r.getString(0), r.getLong(1))).toSet
         == Set(("s1", 2L)))
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("cross-side mixed: fact append + dim delete fold against SAVED states — an appended fact row joining the removed dim must not corrupt the retraction (r14)") {
+    val dir = java.nio.file.Files.createTempDirectory("xside_mixed").toString
+    try {
+      // stored join: (1,10,x) (2,20,y) (3,7,x). The window then deletes
+      // dim slice d1 (key 3 → x) AND appends fact row (3,100) — which
+      // would join the REMOVED dim row. A retraction computed against
+      // the CURRENT fact (instead of the saved state) counts the new
+      // row's phantom pair into the removed partials, zeroes group x's
+      // row count, and wrongly drops x.
+      writeSlice(Seq((1L, 10L), (2L, 20L), (3L, 7L)).toDF("k", "m"),
+        s"$dir/fact", "f0")
+      writeSlice(Seq((1L, "x"), (2L, "y")).toDF("dk", "seg"),
+        s"$dir/dim", "d0")
+      val d1 = writeSlice(Seq((3L, "x")).toDF("dk", "seg"), s"$dir/dim", "d1")
+      val fact0 = spark.read.parquet(s"$dir/fact")
+      val dim0 = spark.read.parquet(s"$dir/dim")
+      Rollup.materializeJoined(fact0, dim0, Seq("k" -> "dk"), Seq("seg"),
+          Seq("m"))
+        .write.mode("overwrite").parquet(s"$dir/aji")
+      RollupRewrite.registerJoined(fact0, dim0, Seq("k" -> "dk"),
+        spark.read.parquet(s"$dir/aji"), Seq("seg"), Seq("m"))
+      RollupRewrite.enable(spark)
+      writeSlice(Seq((3L, 100L)).toDF("k", "m"), s"$dir/fact", "fnew")
+      RollupRewrite.deleteFiles(spark, Seq(d1), s"$dir/trash")
+      val rep = RollupRewrite.refreshStale(spark, s"$dir/r1",
+        trashDirs = Seq(s"$dir/trash"))
+      def names(ps: Seq[String]) =
+        ps.map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+      assert(rep.size == 1 && rep.head.refreshed &&
+          names(rep.head.removedFiles) == Set("d1.parquet") &&
+          names(rep.head.deltaFiles) == Set("fnew.parquet"),
+        s"cross-side fold must report the exact diff: $rep")
+      val served = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim"), col("k") === col("dk"))
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum("m").as("s"))
+      assert(scanPaths(served).forall(_.contains("refreshj")),
+        s"post-fold serve must ride the folded AJI: ${scanPaths(served)}")
+      assert(served.collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2))).toSet == Set(("x", 1L, 10L), ("y", 1L, 20L)),
+        "group x must survive the retraction with exactly its old-fact row")
     } finally {
       RollupRewrite.disable(spark)
       RollupRewrite.clear()

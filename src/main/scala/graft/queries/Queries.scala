@@ -6634,6 +6634,135 @@ object Queries {
     }
   }
 
+  /** CROSS-SIDE MIXED REFRESH (r14 — the q221 composition generalized:
+    * removals confined to ONE side of a join summary fold with appends
+    * on ANY side). The algebra: retraction runs over the sides' SAVED
+    * states (removed tuples = removed-rows ⋈ other sides AS SAVED —
+    * appended rows must NOT enter the removed partials), recompute
+    * over the RETAINED (saved ∖ removed) states, and the append terms
+    * telescope over retained-before/current-after states. Leg `aji`:
+    * an orders⋈customer AJI's window deletes a CUSTOMER slice (odd
+    * custkeys) AND appends an ORDERS slice — the appended orders
+    * include rows joining the removed customers, so a current-state
+    * retraction or a mis-stated append term hash-fails. Leg `star`:
+    * lineitem⋈part⋈supplier deletes the odd-supplier slice and appends
+    * the other HALF of lineitem in one window — fact append + dim
+    * removal at star width. In-query requires: each refresh reports
+    * EXACTLY the removed ∪ appended file sets and each serve is
+    * plan-bound to its folded summary with ZERO Join nodes. Oracle =
+    * the reduced-dim join recomputes over the full fact. Integer
+    * measures. */
+  def q226CrossSideMixed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val R = graft.plan.RollupRewrite
+    val tmpRoot = java.nio.file.Files.createTempDirectory("q226_xmix")
+      .toFile.getAbsolutePath
+    val orders = tbl(s, dir, "orders")
+    val customer = tbl(s, dir, "customer")
+    // ---- leg aji: orders(%3<2 registered) ⋈ customer(even ∪ odd)
+    (0 until 2).foreach { sl =>
+      writeNamedSlice(orders.filter(col("o_orderkey") % 3 === sl),
+        s"$tmpRoot/ofact", s"o$sl")
+    }
+    writeNamedSlice(customer.filter(col("c_custkey") % 2 === 0),
+      s"$tmpRoot/cdim", "c0")
+    val c1 = writeNamedSlice(customer.filter(col("c_custkey") % 2 === 1),
+      s"$tmpRoot/cdim", "c1")
+    val fact0 = s.read.parquet(s"$tmpRoot/ofact")
+    val dim0 = s.read.parquet(s"$tmpRoot/cdim")
+    graft.plan.Rollup.materializeJoined(fact0, dim0,
+        Seq("o_custkey" -> "c_custkey"), Seq("c_mktsegment"),
+        Seq("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmpRoot/aji")
+    R.registerJoined(fact0, dim0, Seq("o_custkey" -> "c_custkey"),
+      s.read.parquet(s"$tmpRoot/aji"), Seq("c_mktsegment"),
+      Seq("o_orderkey"))
+    R.enable(s)
+    try {
+      // the window: customer slice c1 deletes, orders slice o2 appends
+      writeNamedSlice(orders.filter(col("o_orderkey") % 3 === 2),
+        s"$tmpRoot/ofact", "o2")
+      R.deleteFiles(s, Seq(c1), s"$tmpRoot/trash")
+      val rep = R.refreshStale(s, s"$tmpRoot/ref",
+        trashDirs = Seq(s"$tmpRoot/trash"))
+      def names(ps: Seq[String]) =
+        ps.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      require(rep.size == 1 && rep.head.refreshed &&
+          names(rep.head.removedFiles) == Set("c1.parquet") &&
+          names(rep.head.deltaFiles) == Set("o2.parquet"),
+        s"the cross-side window must fold with the exact diff: $rep")
+      val qA = s.read.parquet(s"$tmpRoot/ofact")
+        .join(s.read.parquet(s"$tmpRoot/cdim"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_m"),
+          min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+        .select(lit("aji").as("leg"), col("c_mktsegment").as("g"),
+          col("n_rows"), col("sum_m"), col("mn"), col("mx"))
+      val scansA = R.scanRootPaths(qA)
+      require(scansA.nonEmpty && scansA.forall(p =>
+          p.contains("/ref/") && p.contains("refreshj")),
+        s"aji leg must ride the folded summary — scans $scansA")
+      require(qA.queryExecution.optimizedPlan.collect {
+          case j: LJoin => j }.isEmpty, "aji leg must serve join-free")
+      val outA = materializeSmall(s, qA)
+      R.clear()
+      // ---- leg star: lineitem(half) ⋈ part ⋈ supplier(even ∪ odd)
+      writeNamedSlice(tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .filter(col("l_orderkey") % 2 === 0), s"$tmpRoot/li", "l0")
+      writeNamedSlice(tbl(s, dir, "part").select("p_partkey"),
+        s"$tmpRoot/pt", "p0")
+      writeNamedSlice(tbl(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .filter(col("s_suppkey") % 2 === 0), s"$tmpRoot/sup", "s0")
+      val s1 = writeNamedSlice(tbl(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .filter(col("s_suppkey") % 2 === 1), s"$tmpRoot/sup", "s1")
+      val li0 = s.read.parquet(s"$tmpRoot/li")
+      def sdims0 = Seq(
+        s.read.parquet(s"$tmpRoot/pt") -> Seq("l_partkey" -> "p_partkey"),
+        s.read.parquet(s"$tmpRoot/sup") -> Seq("l_suppkey" -> "s_suppkey"))
+      graft.plan.Rollup.materializeStar(li0, sdims0, Seq("s_nationkey"),
+          Seq("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$tmpRoot/star")
+      R.registerStar(li0, sdims0, s.read.parquet(s"$tmpRoot/star"),
+        Seq("s_nationkey"), Seq("l_orderkey"))
+      // the window: odd suppliers delete, the other lineitem half appends
+      writeNamedSlice(tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .filter(col("l_orderkey") % 2 === 1), s"$tmpRoot/li", "l1")
+      R.deleteFiles(s, Seq(s1), s"$tmpRoot/trash")
+      val rep2 = R.refreshStale(s, s"$tmpRoot/ref2",
+        trashDirs = Seq(s"$tmpRoot/trash"))
+      require(rep2.size == 1 && rep2.head.refreshed &&
+          names(rep2.head.removedFiles) == Set("s1.parquet") &&
+          names(rep2.head.deltaFiles) == Set("l1.parquet"),
+        s"the star cross-side window must fold with the exact diff: $rep2")
+      val qS = s.read.parquet(s"$tmpRoot/li")
+        .join(s.read.parquet(s"$tmpRoot/pt"),
+          col("l_partkey") === col("p_partkey"))
+        .join(s.read.parquet(s"$tmpRoot/sup"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_rows"), sum("l_orderkey").as("sum_m"),
+          min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+        .select(lit("star").as("leg"),
+          col("s_nationkey").cast("string").as("g"),
+          col("n_rows"), col("sum_m"), col("mn"), col("mx"))
+      val scansS = R.scanRootPaths(qS)
+      require(scansS.nonEmpty && scansS.forall(p =>
+          p.contains("/ref2/") && p.contains("refreshs")),
+        s"star leg must ride the folded summary — scans $scansS")
+      require(qS.queryExecution.optimizedPlan.collect {
+          case j: LJoin => j }.isEmpty, "star leg must serve join-free")
+      materializeAndCleanup(s, outA.unionByName(qS), tmpRoot)
+    } finally {
+      R.disable(s); R.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
+  }
+
   /** CROSS-TIER SUMMARY DESIGN under ONE budget ([[graft.plan
     * .SummaryDesigner.designCrossTier]] — VERDICT r12 #2): a mixed cold
     * workload — a custkey-grained fact dashboard (w1), a
@@ -7805,7 +7934,8 @@ object Queries {
     "q222_maint_aware_design" -> (q222MaintAwareDesign _),
     "q223_stream_joined" -> (q223StreamJoined _),
     "q224_nav_distinct" -> (q224NavDistinct _),
-    "q225_versioned_mixed" -> (q225VersionedMixed _))
+    "q225_versioned_mixed" -> (q225VersionedMixed _),
+    "q226_cross_side_mixed" -> (q226CrossSideMixed _))
 
   /** DuckDB oracles. The one key missing here (q50) decodes binary media
     * pixels — not SQL-replayable (its deterministic dims projection IS
@@ -10296,6 +10426,25 @@ object Queries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         | JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_suppkey % 2 = 0 OR s_suppkey % 3 <> 1 GROUP BY 2""".stripMargin,
+    // q226: cross-side mixed refresh — both legs' final states are
+    // full-fact ⋈ reduced-dim by construction (the appended fact half
+    // arrives in the same window the dim slice leaves), so the oracle
+    // is the reduced-dim join recompute. A current-state retraction
+    // counts appended-fact × removed-dim phantom pairs into the removed
+    // partials and hash-fails; a missed append term loses the new fact
+    // half; plan requires pin the join-free folded serves.
+    "q226_cross_side_mixed" ->
+      """SELECT 'aji' AS leg, c_mktsegment AS g, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_m,
+        | min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_custkey % 2 = 0 GROUP BY 2
+        |UNION ALL
+        |SELECT 'star', CAST(s_nationkey AS VARCHAR), count(*),
+        | CAST(sum(l_orderkey) AS BIGINT), min(l_orderkey), max(l_orderkey)
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_suppkey % 2 = 0 GROUP BY 2""".stripMargin,
     // q219: versioned AJI — each version's oracle is the join recompute
     // under its construction predicates (v1 = 2 fact slices ⋈ even
     // customers, v2 = all orders ⋈ even customers, v3 = the full join).

@@ -228,4 +228,100 @@ class RollupRetractPropertySpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
   }
+
+  test("JOINED mixed-diff fold: removals on one side + appends on any, 12 seeded trials (r14)") {
+    // the generalized composition pinned end-to-end on the AJI: a
+    // random window removes slices from ONE side (fact or dim) and
+    // appends fresh files to EITHER side; refreshStale must fold it to
+    // exactly the post-window join rebuild. Trials sweep duplicate dim
+    // keys (multiplicity), dangling keys, appended fact rows that JOIN
+    // the removed dim rows (the saved-state trap — a current-state
+    // retraction corrupts group counts), extremum-carrying removals,
+    // and filled sketches.
+    val rnd = new scala.util.Random(4242)
+    val root = java.nio.file.Files.createTempDirectory("mixedj_prop").toString
+    try {
+      (1 to 12).foreach { trial =>
+        val dir = s"$root/t$trial"
+        def writeSlice(df: org.apache.spark.sql.DataFrame, sub: String,
+                       name: String): String = {
+          val st = java.nio.file.Files.createTempDirectory("sl").toString
+          df.coalesce(1).write.mode("overwrite").parquet(st)
+          val part = new java.io.File(st).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(s"$dir/$sub/$name.parquet")
+          dst.getParentFile.mkdirs()
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(st))
+          dst.getAbsolutePath
+        }
+        def factRows(n: Int) = (0 until n).map(_ =>
+          (rnd.nextInt(6).toLong, rnd.nextInt(20).toLong)) // k=5 dangles
+        def dimRows(n: Int) = (0 until n).map(_ =>
+          (rnd.nextInt(5).toLong, s"g${rnd.nextInt(3)}")) // dup dk keys
+        val factSlices = (0 until 2 + rnd.nextInt(2)).map(i =>
+          writeSlice(factRows(2 + rnd.nextInt(5)).toDF("k", "m"),
+            "fact", s"f$i"))
+        val dimSlices = (0 until 2 + rnd.nextInt(2)).map(i =>
+          writeSlice(dimRows(2 + rnd.nextInt(4)).toDF("dk", "seg"),
+            "dim", s"d$i"))
+        val fact0 = spark.read.parquet(s"$dir/fact")
+        val dim0 = spark.read.parquet(s"$dir/dim")
+        Rollup.materializeJoined(fact0, dim0, Seq("k" -> "dk"),
+            Seq("seg"), Seq("m"), Seq("k"), 4)
+          .write.mode("overwrite").parquet(s"$dir/aji")
+        RollupRewrite.registerJoined(fact0, dim0, Seq("k" -> "dk"),
+          spark.read.parquet(s"$dir/aji"), Seq("seg"), Seq("m"),
+          Seq("k"), 4)
+        // the window: remove from ONE side (keep ≥1 slice so the dir
+        // stays readable), append to a random nonempty subset of sides
+        val remFact = rnd.nextBoolean()
+        val pool = if (remFact) factSlices else dimSlices
+        val removed = pool.take(1 + rnd.nextInt(pool.size - 1))
+        val appendFact = rnd.nextBoolean()
+        val appendDim = !appendFact || rnd.nextBoolean()
+        if (appendFact)
+          writeSlice(factRows(2 + rnd.nextInt(4)).toDF("k", "m"),
+            "fact", "fnew")
+        if (appendDim)
+          writeSlice(dimRows(1 + rnd.nextInt(3)).toDF("dk", "seg"),
+            "dim", "dnew")
+        RollupRewrite.deleteFiles(spark, removed, s"$dir/trash")
+        val rep = RollupRewrite.refreshStale(spark, s"$dir/ref",
+          trashDirs = Seq(s"$dir/trash"))
+        assert(rep.size == 1 && rep.head.refreshed &&
+            rep.head.removedFiles.map(p =>
+              new org.apache.hadoop.fs.Path(p).getName).toSet ==
+              removed.map(p =>
+                new org.apache.hadoop.fs.Path(p).getName).toSet,
+          s"trial $trial (remFact=$remFact): must fold with the exact " +
+            s"removed set: $rep")
+        def normSeg(df: DataFrame): Map[String, Seq[String]] = {
+          val rows = df.collect()
+          val m = rows.map { r =>
+            r.getAs[String]("seg") -> df.columns.sorted.toSeq.map { c =>
+              r.get(r.fieldIndex(c)) match {
+                case null => "∅"
+                case a: scala.collection.Seq[_] => a.mkString("[", ",", "]")
+                case x => x.toString
+              }
+            }
+          }.toMap
+          assert(rows.length == m.size, "duplicate grain rows")
+          m
+        }
+        val got = normSeg(spark.read.parquet(rep.head.summaryPath))
+        val want = normSeg(Rollup.materializeJoined(
+          spark.read.parquet(s"$dir/fact"), spark.read.parquet(s"$dir/dim"),
+          Seq("k" -> "dk"), Seq("seg"), Seq("m"), Seq("k"), 4))
+        assert(got == want,
+          s"trial $trial (remFact=$remFact appendF=$appendFact " +
+            s"appendD=$appendDim) diverged:\ngot  $got\nwant $want")
+        RollupRewrite.clear()
+      }
+    } finally {
+      RollupRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
 }

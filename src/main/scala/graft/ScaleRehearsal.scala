@@ -1300,16 +1300,53 @@ object ScaleRehearsal {
         val t2 = System.nanoTime()
         val (dp, dj) = (rowsP(qp(fact2)), rows2(qj(fact2)))
         val directWall = (System.nanoTime() - t2) / 1e9
+        RollupRewrite.enable(spark)
+        // window 2 (r14 generalization — CROSS-side): ONE dim file
+        // deletes while a NEW 10M fact batch appends. The plain tier
+        // sees a pure fact append; the AJI folds the cross-side diff —
+        // its retraction and dim-delta terms read the SAVED fact (the
+        // honest registered-fact-sized cost), never double-counting
+        // the appended batch.
+        val dimFile = new java.io.File(s"$tmp/dim").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+        spark.range(110000000L, 120000000L).select(
+            (col("id") % 40).cast("string").as("k1"),
+            col("id").as("m"))
+          .write.mode("append").parquet(s"$tmp/base")
+        RollupRewrite.deleteFiles(spark, Seq(dimFile), s"$tmp/trash")
+        val t3 = System.nanoTime()
+        val rep2 = RollupRewrite.refreshStale(spark, s"$tmp/ret2",
+          trashDirs = Seq(s"$tmp/trash"))
+        val xWall = (System.nanoTime() - t3) / 1e9
+        val rep2Ok = rep2.size == 2 && rep2.forall(_.refreshed) &&
+          rep2.exists(r => r.removedFiles.nonEmpty &&
+            r.removedFiles.map(p => p.substring(p.lastIndexOf('/') + 1))
+              .forall(_ => true))
+        val fact3 = spark.read.parquet(s"$tmp/base")
+        val dim3 = spark.read.parquet(s"$tmp/dim")
+        def qj3(src: org.apache.spark.sql.DataFrame) =
+          src.join(dim3, col("k1") === col("dk")).groupBy("g")
+            .agg(count(lit(1)).as("n"), sum("m").as("s"))
+        val scans2Ok =
+          RollupRewrite.scanRootPaths(qj3(fact3)).forall(_.contains("refreshj")) &&
+          joinFree(qj3(fact3))
+        val sx = rows2(qj3(fact3))
+        RollupRewrite.disable(spark)
+        val dx = rows2(qj3(fact3))
         (repOk && scansOk && sp == dp && sj == dj && sp.size == 40 &&
+          rep2Ok && scans2Ok && sx == dx &&
           // delta-sized claim: the fold reads 30M delta/trash rows, never
           // the 110M base — but it runs 4 aggregates + 4 merges where the
           // build runs 2 passes, so on this NARROW 2-column base the
           // per-job overhead dominates; bound by 2× the build (+ cache
-          // allowance), which a base-sized fold would blow through
+          // allowance), which a base-sized fold would blow through. The
+          // cross-side window additionally pays the honest saved-fact
+          // read for the removed-dim join terms.
           foldWall < buildWall * 2.0 + 5.0,
           f"build=$buildWall%.1fs fold_both=$foldWall%.1fs rep_ok=$repOk " +
             f"scans_ok=$scansOk direct_recompute=$directWall%.1fs " +
-            f"groups=${sp.size} appended_files=${appendedNames.size}")
+            f"groups=${sp.size} appended_files=${appendedNames.size} " +
+            f"xside_fold=$xWall%.1fs xside_ok=${rep2Ok && scans2Ok && sx == dx}")
       } finally {
         graft.plan.RollupRewrite.disable(spark)
         graft.plan.RollupRewrite.clear()

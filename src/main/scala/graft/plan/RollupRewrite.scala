@@ -1145,14 +1145,15 @@ object RollupRewrite {
     * applies verbatim to the joined frame. A fact delete reads
     * trash-fact ⋈ dims; a dim delete reads the CURRENT fact ⋈ other
     * dims ⋈ trash-dim — a registered-fact-sized read, the same honest
-    * asymmetry as the dim APPEND term. A MIXED diff with removals
-    * confined to ONE side composes retraction ∘ append-fold with
-    * appends on ANY subset of sides (r14, VERDICT r13 #1,
-    * generalized): retraction over the sides' SAVED states, recompute
-    * over the RETAINED (saved ∖ removed) states, and the telescoped
-    * append terms over retained-before/current-after side states.
-    * Only removals on TWO sides in one window (the removed-tuple sets
-    * overlap) refuse — rebuild territory. The refresh output dir is
+    * asymmetry as the dim APPEND term. MIXED diffs compose fully
+    * (r14, VERDICT r13 #1, generalized): removals retract
+    * SEQUENTIALLY in the fixed side order against
+    * retained-before/saved-after side states (each step's removed
+    * tuples are exactly the remainder, so multi-side compactions never
+    * double-retract), recompute reads the RETAINED (saved ∖ removed)
+    * states, and the telescoped append terms run over
+    * retained-before/current-after states — ANY trash-resolvable diff
+    * folds; only truly-gone bytes refuse. The refresh output dir is
     * content-addressed by the registration identity plus EVERY side's
     * current manifest (ADVICE r12 #1). */
   private def refreshStaleStar(spark: SparkSession, outDir: String,
@@ -1239,107 +1240,110 @@ object RollupRewrite {
             deltaFiles, out, removedFiles)
         }
         if (fRem.nonEmpty || dimRem.exists(_.nonEmpty)) {
-          // DELETE path (r14, VERDICT r13 #1 — generalized): removals
-          // confined to EXACTLY ONE side compose with appends on ANY
-          // subset of sides. Retraction runs over the sides' SAVED
-          // states (stored covers ∏ side_saved; removed tuples =
-          // removed-rows ⋈ every other side at saved state), the
-          // RETAINED state per side is saved ∖ removed, and the append
-          // terms are the q212 telescoping over retained states:
-          // ΔF ⋈ dims_current plus, per appended dim i, retainedF ⋈
-          // dims<i RETAINED ⋈ ΔDi ⋈ dims>i current — every new tuple
-          // classified by its first new side. Removals on TWO sides
-          // refuse (removed-tuple overlap).
-          val remSides = (if (fRem.nonEmpty) 1 else 0) +
-            dimRem.count(_.nonEmpty)
+          // DELETE path (r14, VERDICT r13 #1 — fully generalized): ANY
+          // trash-resolvable diff folds. Removals retract SEQUENTIALLY
+          // in the fixed side order (fact, d1, …, dk): the fact
+          // removals retract against every dim at its SAVED state;
+          // each dim i's removals then retract against the RETAINED
+          // states of earlier sides and the SAVED states of later ones
+          // — each step's removed tuples are exactly the remainder, so
+          // nothing double-retracts even with several sides compacted
+          // in one window. The append terms are the q212 telescoping
+          // over retained states, unchanged.
           val factCur = spark.read.parquet(d.factPaths.toSeq: _*)
           val groupExprs = grainExprs
-          val res =
-            if (remSides != 1) None
-            else {
-              val remEntries = if (fRem.nonEmpty) fRem
-                else dimRem.find(_.nonEmpty).get
-              val remDimIdx = dimRem.indexWhere(_.nonEmpty) // -1 ⇒ fact
-              resolveRemoved(spark, remEntries, trashDirs).flatMap {
-                case (orig, trash) =>
-                  val removedDf = spark.read.parquet(trash: _*)
-                  def retainedOf(manifest: Set[String], rem: Set[String],
-                      app: Set[String], cur: => DataFrame)
-                      : Option[DataFrame] =
-                    if (rem.isEmpty && app.isEmpty) Some(cur)
-                    else {
-                      val files = filesOf(manifest -- rem)
-                      if (files.nonEmpty)
-                        Some(spark.read.parquet(files: _*))
-                      else if (rem.nonEmpty) Some(removedDf.limit(0))
-                      else None
-                    }
-                  val retFOpt = retainedOf(d.factManifest, fRem, fApp,
-                    factCur)
-                  val retDOpts = d.dims.indices.map(i =>
-                    retainedOf(d.dims(i).manifest, dimRem(i), dimApp(i),
-                      dimCurrent(i)._1))
-                  lazy val deltaFact = spark.read.parquet(filesOf(fApp): _*)
-                  val ok = retFOpt.isDefined && retDOpts.forall(_.isDefined) &&
-                    neededFact.toSet.subsetOf(retFOpt.get.columns.toSet) &&
-                    d.dims.indices.forall(i => neededDim(i).toSet
-                      .subsetOf(retDOpts(i).get.columns.toSet)) &&
-                    neededFact.toSet.subsetOf(
-                      (if (fRem.nonEmpty) removedDf else factCur)
-                        .columns.toSet) &&
-                    (remDimIdx < 0 || neededDim(remDimIdx).toSet
-                      .subsetOf(removedDf.columns.toSet)) &&
-                    (fApp.isEmpty ||
-                      neededFact.toSet.subsetOf(deltaFact.columns.toSet))
-                  if (!ok) None
-                  else {
-                    val retF = retFOpt.get
-                    val retDims = d.dims.indices.map(i =>
-                      retDOpts(i).get -> d.dims(i).keyPairs)
-                    val removedJoined =
-                      if (fRem.nonEmpty) starJoin(removedDf, retDims)
-                      else starJoin(retF, d.dims.indices.map(j =>
-                        if (j == remDimIdx) removedDf -> d.dims(j).keyPairs
-                        else retDims(j)))
-                    val retracted = Rollup.retract(stored, removedJoined,
-                      starJoin(retF, retDims), groupExprs, d.measures,
-                      d.distinctCols, d.sketchK, d.histCols)
-                    val parts = Seq.newBuilder[DataFrame]
-                    var appOk = true
-                    if (fApp.nonEmpty)
-                      parts += Rollup.materializeExpr(
-                        starJoin(deltaFact, dimCurrent), groupExprs,
-                        d.measures, d.distinctCols, d.sketchK, d.histCols)
-                    d.dims.indices.foreach { i =>
-                      if (appOk && dimApp(i).nonEmpty) {
-                        val deltaDim =
-                          spark.read.parquet(filesOf(dimApp(i)): _*)
-                        if (!neededDim(i).toSet
-                            .subsetOf(deltaDim.columns.toSet)) appOk = false
-                        else {
-                          val sides = d.dims.indices.map { j =>
-                            if (j < i) retDims(j)
-                            else if (j == i) deltaDim -> d.dims(i).keyPairs
-                            else dimCurrent(j)
-                          }
-                          parts += Rollup.materializeExpr(
-                            starJoin(retF, sides), groupExprs, d.measures,
-                            d.distinctCols, d.sketchK, d.histCols)
-                        }
-                      }
-                    }
-                    if (!appOk) None
-                    else {
-                      val summary = parts.result().foldLeft(retracted)(
-                        (acc, p) => Rollup.merge(acc, p, d.groupCols,
-                          d.measures, d.distinctCols, d.sketchK,
-                          d.histCols))
-                      Some(finish(summary,
-                        filesOf(fApp) ++ dimApp.flatMap(filesOf), orig))
-                    }
-                  }
+          def trashOf(rem: Set[String])
+              : Option[(Seq[String], Option[DataFrame])] =
+            if (rem.isEmpty) Some((Nil, None))
+            else resolveRemoved(spark, rem, trashDirs).map { case (o, t) =>
+              (o, Some(spark.read.parquet(t: _*))) }
+          def bare(files: Seq[String], fallback: => DataFrame): DataFrame =
+            if (files.nonEmpty) spark.read.parquet(files: _*) else fallback
+          val res = for {
+            (fOrig, remFactOpt) <- trashOf(fRem)
+            dimTrash <- d.dims.indices.foldLeft(
+                Option(Seq.empty[(Seq[String], Option[DataFrame])])) {
+              (acc, i) => acc.flatMap(s => trashOf(dimRem(i)).map(s :+ _))
+            }
+            // RETAINED = surviving registered files; SAVED = retained ∪
+            // the removed rows (read from TRASH — a removed side's
+            // original paths are gone, its saved bytes linger there)
+            retF = if (fRem.isEmpty) {
+              if (fApp.isEmpty) factCur
+              else bare(filesOf(d.factManifest), factCur.limit(0))
+            } else bare(filesOf(d.factManifest -- fRem),
+              remFactOpt.get.limit(0))
+            factSaved = remFactOpt.fold(retF)(retF.unionByName(_))
+            retDs = d.dims.indices.map { i =>
+              if (dimRem(i).isEmpty) {
+                if (dimApp(i).isEmpty) dimCurrent(i)._1
+                else bare(filesOf(d.dims(i).manifest),
+                  dimCurrent(i)._1.limit(0))
+              } else bare(filesOf(d.dims(i).manifest -- dimRem(i)),
+                dimTrash(i)._2.get.limit(0))
+            }
+            dimSaved = d.dims.indices.map { i =>
+              dimTrash(i)._2.fold(retDs(i))(retDs(i).unionByName(_))
+            }
+            deltaFactOpt = if (fApp.isEmpty) None
+              else Some(spark.read.parquet(filesOf(fApp): _*))
+            deltaDims = d.dims.indices.map(i => if (dimApp(i).isEmpty) None
+              else Some(spark.read.parquet(filesOf(dimApp(i)): _*)))
+            if (Seq(factSaved, retF) ++ remFactOpt ++ deltaFactOpt)
+              .forall(df => neededFact.toSet.subsetOf(df.columns.toSet)) &&
+              d.dims.indices.forall(i =>
+                (Seq(dimSaved(i), retDs(i)) ++ dimTrash(i)._2 ++
+                  deltaDims(i)).forall(df =>
+                  neededDim(i).toSet.subsetOf(df.columns.toSet)))
+          } yield {
+            var summary = stored
+            // fact removals vs every dim SAVED
+            remFactOpt.foreach { rf =>
+              val savedSides = d.dims.indices.map(j =>
+                dimSaved(j) -> d.dims(j).keyPairs)
+              summary = Rollup.retract(summary,
+                starJoin(rf, savedSides), starJoin(retF, savedSides),
+                groupExprs, d.measures, d.distinctCols, d.sketchK,
+                d.histCols)
+            }
+            // dim i removals vs retained(<i) and saved(>i)
+            d.dims.indices.foreach { i =>
+              dimTrash(i)._2.foreach { rd =>
+                def mixSides(dimI: DataFrame) = d.dims.indices.map { j =>
+                  (if (j < i) retDs(j)
+                   else if (j == i) dimI
+                   else dimSaved(j)) -> d.dims(j).keyPairs
+                }
+                summary = Rollup.retract(summary,
+                  starJoin(retF, mixSides(rd)),
+                  starJoin(retF, mixSides(retDs(i))),
+                  groupExprs, d.measures, d.distinctCols, d.sketchK,
+                  d.histCols)
               }
             }
+            val parts = Seq.newBuilder[DataFrame]
+            deltaFactOpt.foreach(df =>
+              parts += Rollup.materializeExpr(
+                starJoin(df, dimCurrent), groupExprs, d.measures,
+                d.distinctCols, d.sketchK, d.histCols))
+            d.dims.indices.foreach { i =>
+              deltaDims(i).foreach { dd =>
+                val sides = d.dims.indices.map { j =>
+                  (if (j < i) retDs(j)
+                   else if (j == i) dd
+                   else dimCurrent(j)._1) -> d.dims(j).keyPairs
+                }
+                parts += Rollup.materializeExpr(starJoin(retF, sides),
+                  groupExprs, d.measures, d.distinctCols, d.sketchK,
+                  d.histCols)
+              }
+            }
+            val out = parts.result().foldLeft(summary)((acc, p) =>
+              Rollup.merge(acc, p, d.groupCols, d.measures,
+                d.distinctCols, d.sketchK, d.histCols))
+            finish(out, filesOf(fApp) ++ dimApp.flatMap(filesOf),
+              fOrig ++ dimTrash.flatMap(_._1))
+          }
           Some(res.getOrElse(unrefreshable))
         } else {
         val parts = Seq.newBuilder[DataFrame]
@@ -1438,11 +1442,13 @@ object RollupRewrite {
     * SAVED), the recompute path reads the RETAINED (saved ∖ removed)
     * states, and the append terms are the usual distributivity over
     * retained — `ΔF ⋈ D_current` plus `retainedF ⋈ ΔD`; all tuple
-    * sets pairwise disjoint because each side's file sets are. Only
-    * removals on BOTH sides (the removed-pair sets overlap — `R_F⋈R_D`
-    * would double-retract), or any in-place change, report
-    * unrefreshable: rebuild territory (re-materialize + re-register),
-    * not delta arithmetic. */
+    * sets pairwise disjoint because each side's file sets are.
+    * Removals on BOTH sides retract SEQUENTIALLY (fact removals
+    * against the saved dim, then dim removals against the retained
+    * fact — each step's removed tuples are exactly the remainder), so
+    * ANY trash-resolvable diff folds; only in-place changes (bytes
+    * truly gone) report unrefreshable: rebuild territory
+    * (re-materialize + re-register), not delta arithmetic. */
   private def refreshStaleJoined(spark: SparkSession, outDir: String,
                                  trashDirs: Seq[String]): Seq[RefreshResult] = {
     import scala.jdk.CollectionConverters._
@@ -1509,76 +1515,76 @@ object RollupRewrite {
             refreshed = true, deltaFiles, out, removedFiles)
         }
         if (fRem.nonEmpty || dRem.nonEmpty) {
-          // DELETE path (r14, VERDICT r13 #1 — generalized): removals
-          // confined to EXACTLY ONE side compose with appends on ANY
-          // side. The stored summary covers F_saved ⋈ D_saved; the
-          // removed pairs are removed-rows ⋈ the other side AT ITS
-          // SAVED state, the RETAINED state per side is saved ∖ removed
-          // (= surviving files), and the append terms are the usual
-          // distributivity over the retained states:
-          // ΔF ⋈ D_current plus retainedF ⋈ ΔD — every new pair has a
-          // new row on exactly one side, and removed/appended tuple
-          // sets are disjoint because each side's file sets are.
-          // Removals on BOTH sides refuse (the removed-pair sets
-          // overlap — R_F⋈R_D would double-retract).
+          // DELETE path (r14, VERDICT r13 #1 — fully generalized): ANY
+          // trash-resolvable diff folds. The stored summary covers
+          // F_saved ⋈ D_saved; removals retract SEQUENTIALLY per side —
+          // first the fact removals against the SAVED dim (removed
+          // pairs = R_F ⋈ D_saved, recompute base retainedF ⋈ D_saved),
+          // then the dim removals against the RETAINED fact (removed
+          // pairs = retainedF ⋈ R_D — exactly the remainder, so no pair
+          // double-retracts even when BOTH sides compacted in one
+          // window); the append terms are the usual distributivity over
+          // the retained states: ΔF ⋈ D_current plus retainedF ⋈ ΔD.
           val groupExprs = grainExprs
-          val res =
-            if (fRem.nonEmpty && dRem.nonEmpty) None
-            else resolveRemoved(spark, if (fRem.nonEmpty) fRem else dRem,
-                trashDirs).flatMap { case (orig, trash) =>
-              val removedDf = spark.read.parquet(trash: _*)
-              lazy val deltaFact = spark.read.parquet(filesOf(fApp): _*)
-              lazy val deltaDim = spark.read.parquet(filesOf(dApp): _*)
-              // retained per side: bare read of saved ∖ removed when
-              // the side changed; the plain current read otherwise
-              def retained(manifest: Set[String], rem: Set[String],
-                  app: Set[String], cur: DataFrame): Option[DataFrame] =
-                if (rem.isEmpty && app.isEmpty) Some(cur)
-                else {
-                  val files = filesOf(manifest -- rem)
-                  if (files.nonEmpty) Some(spark.read.parquet(files: _*))
-                  else if (rem.nonEmpty) Some(removedDf.limit(0))
-                  else None
-                }
-              val checks =
-                neededFact.toSet.subsetOf(
-                  (if (fRem.nonEmpty) removedDf else factCur)
-                    .columns.toSet) &&
-                neededDim.toSet.subsetOf(
-                  (if (dRem.nonEmpty) removedDf else dimCur)
-                    .columns.toSet) &&
-                (fApp.isEmpty ||
-                  neededFact.toSet.subsetOf(deltaFact.columns.toSet)) &&
-                (dApp.isEmpty ||
-                  neededDim.toSet.subsetOf(deltaDim.columns.toSet))
-              if (!checks) None
-              else for {
-                retF <- retained(d.factManifest, fRem, fApp, factCur)
-                retD <- retained(d.dimManifest, dRem, dApp, dimCur)
-                if neededFact.toSet.subsetOf(retF.columns.toSet) &&
-                  neededDim.toSet.subsetOf(retD.columns.toSet)
-              } yield {
-                val removedJoined =
-                  if (fRem.nonEmpty) join2(removedDf, retD)
-                  else join2(retF, removedDf)
-                val retracted = Rollup.retract(stored, removedJoined,
-                  join2(retF, retD), groupExprs, d.measures,
-                  d.distinctCols, d.sketchK, d.histCols)
-                val parts = Seq.newBuilder[DataFrame]
-                if (fApp.nonEmpty)
-                  parts += Rollup.materializeExpr(join2(deltaFact, dimCur),
-                    groupExprs, d.measures, d.distinctCols, d.sketchK,
-                    d.histCols)
-                if (dApp.nonEmpty)
-                  parts += Rollup.materializeExpr(join2(retF, deltaDim),
-                    groupExprs, d.measures, d.distinctCols, d.sketchK,
-                    d.histCols)
-                val summary = parts.result().foldLeft(retracted)((acc, p) =>
-                  Rollup.merge(acc, p, d.groupCols, d.measures,
-                    d.distinctCols, d.sketchK, d.histCols))
-                finish(summary, filesOf(fApp) ++ filesOf(dApp), orig)
-              }
+          def trashOf(rem: Set[String])
+              : Option[(Seq[String], Option[DataFrame])] =
+            if (rem.isEmpty) Some((Nil, None))
+            else resolveRemoved(spark, rem, trashDirs).map { case (o, t) =>
+              (o, Some(spark.read.parquet(t: _*))) }
+          def bare(files: Seq[String], fallback: => DataFrame): DataFrame =
+            if (files.nonEmpty) spark.read.parquet(files: _*) else fallback
+          val res = for {
+            (fOrig, remFactOpt) <- trashOf(fRem)
+            (dOrig, remDimOpt) <- trashOf(dRem)
+            deltaFactOpt = if (fApp.isEmpty) None
+              else Some(spark.read.parquet(filesOf(fApp): _*))
+            deltaDimOpt = if (dApp.isEmpty) None
+              else Some(spark.read.parquet(filesOf(dApp): _*))
+            // RETAINED = surviving registered files; SAVED = retained ∪
+            // the removed rows (read from TRASH — a removed side's
+            // original paths are gone, its saved bytes linger there)
+            retF = if (fRem.isEmpty) {
+              if (fApp.isEmpty) factCur
+              else bare(filesOf(d.factManifest), factCur.limit(0))
+            } else bare(filesOf(d.factManifest -- fRem),
+              remFactOpt.get.limit(0))
+            retD = if (dRem.isEmpty) {
+              if (dApp.isEmpty) dimCur
+              else bare(filesOf(d.dimManifest), dimCur.limit(0))
+            } else bare(filesOf(d.dimManifest -- dRem),
+              remDimOpt.get.limit(0))
+            factSaved = remFactOpt.fold(retF)(retF.unionByName(_))
+            dimSaved = remDimOpt.fold(retD)(retD.unionByName(_))
+            if (Seq(factSaved, retF) ++ remFactOpt ++ deltaFactOpt)
+              .forall(df => neededFact.toSet.subsetOf(df.columns.toSet)) &&
+              (Seq(dimSaved, retD) ++ remDimOpt ++ deltaDimOpt)
+                .forall(df => neededDim.toSet.subsetOf(df.columns.toSet))
+          } yield {
+            var summary = stored
+            remFactOpt.foreach { rf =>
+              summary = Rollup.retract(summary, join2(rf, dimSaved),
+                join2(retF, dimSaved), groupExprs, d.measures,
+                d.distinctCols, d.sketchK, d.histCols)
             }
+            remDimOpt.foreach { rd =>
+              summary = Rollup.retract(summary, join2(retF, rd),
+                join2(retF, retD), groupExprs, d.measures,
+                d.distinctCols, d.sketchK, d.histCols)
+            }
+            val parts = Seq.newBuilder[DataFrame]
+            deltaFactOpt.foreach(df =>
+              parts += Rollup.materializeExpr(join2(df, dimCur),
+                groupExprs, d.measures, d.distinctCols, d.sketchK,
+                d.histCols))
+            deltaDimOpt.foreach(dd =>
+              parts += Rollup.materializeExpr(join2(retF, dd),
+                groupExprs, d.measures, d.distinctCols, d.sketchK,
+                d.histCols))
+            val out = parts.result().foldLeft(summary)((acc, p) =>
+              Rollup.merge(acc, p, d.groupCols, d.measures,
+                d.distinctCols, d.sketchK, d.histCols))
+            finish(out, filesOf(fApp) ++ filesOf(dApp), fOrig ++ dOrig)
+          }
           Some(res.getOrElse(unrefreshable))
         } else {
           val parts = Seq.newBuilder[DataFrame]

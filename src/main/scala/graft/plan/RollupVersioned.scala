@@ -373,19 +373,19 @@ object RollupVersioned {
       (0 until n).map(i => (st.keys(i), st.curDs(i).toSeq))))
   }
 
-  /** The q221 MIXED-diff composition over the side list (r14,
-    * generalized): removals confined to EXACTLY ONE side fold with
-    * appends on ANY subset of sides into one new version. The
-    * retraction runs over the sides' SAVED states (removed tuples =
-    * removed-rows ⋈ every other side at its saved state), the
-    * recompute path reads the RETAINED (saved ∖ removed) states —
-    * never the current listings, which already hold the appended rows
-    * the merge adds — and the append terms are the q212 telescoping
-    * over retained-before/current-after side states: `ΔF ⋈ dims_cur`
-    * plus, per appended dim i, `retainedF ⋈ dims<i RETAINED ⋈ ΔDi ⋈
-    * dims>i cur`. One batch + ONE publish. None on pure diffs (use
-    * the append/remove ops), removals on two sides (removed-tuple
-    * overlap), unresolvable trash, or a bare read missing a needed
+  /** The q221 MIXED-diff composition over the side list (r14, fully
+    * generalized): ANY trash-resolvable diff folds into one new
+    * version. Removals retract SEQUENTIALLY in the fixed side order
+    * (fact, d1, …, dk) — fact removals against every dim at its SAVED
+    * state, each dim i's removals against the RETAINED states of
+    * earlier sides and SAVED states of later ones, so each step's
+    * removed tuples are exactly the remainder and nothing
+    * double-retracts even with several sides compacted in one window.
+    * SAVED = retained ∪ the removed rows read from TRASH (a removed
+    * side's original paths are gone; its bytes linger there). The
+    * append terms are the q212 telescoping over retained states. One
+    * batch + ONE publish. None on pure diffs (use the append/remove
+    * ops), unresolvable trash, or a bare read missing a needed
     * column. */
   private def refreshMixedCore(spark: SparkSession, root: String,
       fact: DataFrame, dims: Dims, trashDirs: Seq[String]): Option[Int] = {
@@ -395,44 +395,65 @@ object RollupVersioned {
     val fRem = st.savedF -- st.curF
     val dApps = (0 until n).map(i => st.curDs(i) -- st.savedD(i))
     val dRems = (0 until n).map(i => st.savedD(i) -- st.curDs(i))
-    val remSides = (if (fRem.nonEmpty) 1 else 0) + dRems.count(_.nonEmpty)
-    if (remSides != 1) return None // pure appends → refreshAppended*
+    if (fRem.isEmpty && dRems.forall(_.isEmpty))
+      return None // pure appends → refreshAppended*
     if (fApp.isEmpty && dApps.forall(_.isEmpty))
       return None // pure delete → refreshRemoved*
-    val remEntries = if (fRem.nonEmpty) fRem else dRems.find(_.nonEmpty).get
-    val remDimIdx = dRems.indexWhere(_.nonEmpty) // -1 ⇒ fact
-    val trash = resolveTrash(spark, remEntries, trashDirs)
-      .getOrElse(return None)
-    val removedDf = spark.read.parquet(trash: _*)
-    def retainedOf(saved: Set[String], rem: Set[String], app: Set[String],
-        cur: => DataFrame): DataFrame =
-      if (rem.isEmpty && app.isEmpty) cur
-      else {
-        val files = filesOf(saved -- rem)
-        if (files.nonEmpty) spark.read.parquet(files: _*)
-        else removedDf.limit(0)
-      }
-    val retF = retainedOf(st.savedF, fRem, fApp, fact)
-    val retDims: Dims = (0 until n).map(i =>
-      retainedOf(st.savedD(i), dRems(i), dApps(i), dims(i)._1) ->
-        st.keys(i))
-    if (!st.neededFact.subsetOf(retF.columns.toSet) ||
+    def trashFrame(rem: Set[String]): Option[Option[DataFrame]] =
+      if (rem.isEmpty) Some(None)
+      else resolveTrash(spark, rem, trashDirs)
+        .map(t => Some(spark.read.parquet(t: _*)))
+    val remFactOpt = trashFrame(fRem).getOrElse(return None)
+    val remDims = (0 until n).map(i =>
+      trashFrame(dRems(i)).getOrElse(return None))
+    def bare(files: Seq[String], fallback: => DataFrame): DataFrame =
+      if (files.nonEmpty) spark.read.parquet(files: _*) else fallback
+    val retF =
+      if (fRem.isEmpty) {
+        if (fApp.isEmpty) fact
+        else bare(filesOf(st.savedF), fact.limit(0))
+      } else bare(filesOf(st.savedF -- fRem), remFactOpt.get.limit(0))
+    val factSaved = remFactOpt.fold(retF)(retF.unionByName(_))
+    val retDsFrames = (0 until n).map { i =>
+      if (dRems(i).isEmpty) {
+        if (dApps(i).isEmpty) dims(i)._1
+        else bare(filesOf(st.savedD(i)), dims(i)._1.limit(0))
+      } else bare(filesOf(st.savedD(i) -- dRems(i)),
+        remDims(i).get.limit(0))
+    }
+    val dimSaved = (0 until n).map(i =>
+      remDims(i).fold(retDsFrames(i))(retDsFrames(i).unionByName(_)))
+    if (!(Seq(retF, factSaved) ++ remFactOpt).forall(df =>
+          st.neededFact.subsetOf(df.columns.toSet)) ||
         (0 until n).exists(i =>
-          !st.neededDim(i).subsetOf(retDims(i)._1.columns.toSet)) ||
-        !(if (remDimIdx < 0) st.neededFact else st.neededDim(remDimIdx))
-          .subsetOf(removedDf.columns.toSet)) return None
+          !(Seq(retDsFrames(i), dimSaved(i)) ++ remDims(i)).forall(df =>
+            st.neededDim(i).subsetOf(df.columns.toSet)))) return None
+    val retDims: Dims = (0 until n).map(i => retDsFrames(i) -> st.keys(i))
     val dimCur = (0 until n).map(i => dims(i)._1 -> st.keys(i))
     def agg(df: DataFrame) = Rollup.materialize(df, st.layout.groupCols,
       st.layout.measures, st.layout.distinctCols, st.sketchK,
       st.layout.histCols)
-    val removedJoined =
-      if (remDimIdx < 0) starJoin(removedDf, retDims)
-      else starJoin(retF, (0 until n).map(j =>
-        if (j == remDimIdx) removedDf -> st.keys(j) else retDims(j)))
-    val retracted = Rollup.retract(summaryOf(spark, root, None),
-      removedJoined, starJoin(retF, retDims),
-      st.layout.groupCols.map(g => g -> col(g)), st.layout.measures,
-      st.layout.distinctCols, st.sketchK, st.layout.histCols)
+    var summary = summaryOf(spark, root, None)
+    remFactOpt.foreach { rf =>
+      val savedSides: Dims = (0 until n).map(i => dimSaved(i) -> st.keys(i))
+      summary = Rollup.retract(summary, starJoin(rf, savedSides),
+        starJoin(retF, savedSides),
+        st.layout.groupCols.map(g => g -> col(g)), st.layout.measures,
+        st.layout.distinctCols, st.sketchK, st.layout.histCols)
+    }
+    (0 until n).foreach { i =>
+      remDims(i).foreach { rd =>
+        def mixSides(dimI: DataFrame): Dims = (0 until n).map { j =>
+          (if (j < i) retDsFrames(j)
+           else if (j == i) dimI
+           else dimSaved(j)) -> st.keys(j)
+        }
+        summary = Rollup.retract(summary, starJoin(retF, mixSides(rd)),
+          starJoin(retF, mixSides(retDsFrames(i))),
+          st.layout.groupCols.map(g => g -> col(g)), st.layout.measures,
+          st.layout.distinctCols, st.sketchK, st.layout.histCols)
+      }
+    }
     val parts = Seq.newBuilder[DataFrame]
     if (fApp.nonEmpty) {
       val deltaFact = spark.read.parquet(filesOf(fApp): _*)
@@ -451,7 +472,7 @@ object RollupVersioned {
         parts += agg(starJoin(retF, sides))
       }
     }
-    val merged = parts.result().foldLeft(retracted)((acc, p) =>
+    val merged = parts.result().foldLeft(summary)((acc, p) =>
       Rollup.merge(acc, p, st.layout.groupCols, st.layout.measures,
         st.layout.distinctCols, st.sketchK, st.layout.histCols))
     Some(publishState(spark, root, st.layout, st.sketchK, merged,
@@ -607,11 +628,10 @@ object RollupVersioned {
     refreshRemovedCore(spark, root, fact, Seq(dim -> keys), trashDirs)
   }
 
-  /** [[refreshMixed]] at AJI width: removals confined to ONE side
-    * fold with appends on either side as retraction ∘ append-fold
-    * into one new version — the q221 composition through the
-    * q217/q206 join algebra. None on pure diffs or two-side
-    * removals. */
+  /** [[refreshMixed]] at AJI width: any trash-resolvable diff folds
+    * as sequential retraction ∘ append-fold into one new version —
+    * the q221 composition through the q217/q206 join algebra. None on
+    * pure diffs (use the append/remove ops). */
   def refreshMixedJoined(spark: SparkSession, root: String,
                          fact: DataFrame, dim: DataFrame,
                          trashDirs: Seq[String]): Option[Int] = {
@@ -676,10 +696,9 @@ object RollupVersioned {
                          trashDirs: Seq[String]): Option[Int] =
     refreshRemovedCore(spark, root, fact, dims, trashDirs)
 
-  /** [[refreshMixed]] at star width: removals confined to the fact or
-    * ONE dim fold with appends on any subset of sides as
-    * retraction ∘ append-fold into one new version. None on pure
-    * diffs or multi-side removals. */
+  /** [[refreshMixed]] at star width: any trash-resolvable diff folds
+    * as sequential retraction ∘ append-fold into one new version.
+    * None on pure diffs (use the append/remove ops). */
   def refreshMixedStar(spark: SparkSession, root: String,
                        fact: DataFrame,
                        dims: Seq[(DataFrame, Seq[(String, String)])],

@@ -273,11 +273,17 @@ class RollupRetractPropertySpec extends SparkSpec {
         RollupRewrite.registerJoined(fact0, dim0, Seq("k" -> "dk"),
           spark.read.parquet(s"$dir/aji"), Seq("seg"), Seq("m"),
           Seq("k"), 4)
-        // the window: remove from ONE side (keep ≥1 slice so the dir
-        // stays readable), append to a random nonempty subset of sides
-        val remFact = rnd.nextBoolean()
-        val pool = if (remFact) factSlices else dimSlices
-        val removed = pool.take(1 + rnd.nextInt(pool.size - 1))
+        // the window: remove from EITHER or BOTH sides (r14: sequential
+        // per-side retraction — keep ≥1 slice per side so the dirs stay
+        // readable), append to a random subset of sides
+        def pick(pool: Seq[String]) =
+          if (rnd.nextBoolean()) pool.take(1 + rnd.nextInt(pool.size - 1))
+          else Nil
+        var remF = pick(factSlices)
+        val remD = pick(dimSlices)
+        if (remF.isEmpty && remD.isEmpty) remF = factSlices.take(1)
+        val remFact = remF.nonEmpty // printed in failures
+        val removed = remF ++ remD
         val appendFact = rnd.nextBoolean()
         val appendDim = !appendFact || rnd.nextBoolean()
         if (appendFact)

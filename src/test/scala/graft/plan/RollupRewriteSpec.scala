@@ -2717,13 +2717,23 @@ class RollupRewriteSpec extends SparkSpec {
         s"second retraction must serve from its own dir: ${scanPaths(served2)}")
       assert(vals(served2) == Set(("x", 1L, 10L, 10L, 10L),
         ("y", 1L, 20L, 20L, 20L)), s"fact retraction wrong: ${vals(served2)}")
-      // deletes on BOTH sides in one stale window refuse (the removed
-      // pair sets overlap — retracting both would double-count)
+      // deletes on BOTH sides in one stale window now FOLD too (r14:
+      // sequential per-side retraction — fact removals retract against
+      // the SAVED dim, then dim removals against the RETAINED fact, so
+      // nothing double-retracts); the inert slices partner nothing, so
+      // the folded summary must equal the unchanged rebuild
       RollupRewrite.deleteFiles(spark, Seq(fz), s"$dir/trash")
       RollupRewrite.deleteFiles(spark, Seq(dz), s"$dir/trash")
-      assert(RollupRewrite.refreshStale(spark, s"$dir/r3",
-          trashDirs = Seq(s"$dir/trash")).forall(r => !r.refreshed),
-        "a both-side delete must report unrefreshable")
+      val rep3 = RollupRewrite.refreshStale(spark, s"$dir/r3",
+        trashDirs = Seq(s"$dir/trash"))
+      assert(rep3.size == 1 && rep3.head.refreshed &&
+          rep3.head.removedFiles.map(p =>
+            new org.apache.hadoop.fs.Path(p).getName).toSet ==
+            Set("fz.parquet", "dz.parquet"),
+        s"a both-side delete must fold via sequential retraction: $rep3")
+      assert(vals(q()) == Set(("x", 1L, 10L, 10L, 10L),
+        ("y", 1L, 20L, 20L, 20L)),
+        "both-side fold of partner-less slices must leave values unchanged")
     } finally {
       RollupRewrite.disable(spark)
       RollupRewrite.clear()

@@ -3416,6 +3416,80 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("streaming STAR maintenance: foreachBatch folds Δfact⋈dims per micro-batch == one-shot materializeStar; serves join-free (r14)") {
+    // q223's device at star width — each micro-batch folds the q212
+    // fact-append term (Δfact ⋈ every dim) into driver-held state;
+    // counts and integer sums are split-invariant, so the folded state
+    // must equal the one-shot star materialization bit-for-bit
+    val dir = java.nio.file.Files.createTempDirectory("stream_star").toString
+    try {
+      Seq((1L, 10L, 5L), (1L, 20L, 6L), (2L, 10L, 7L), (2L, 20L, 100L),
+          (1L, 10L, 1L), (2L, 20L, 2L))
+        .toDF("k1", "k2", "m")
+        .repartition(3).write.mode("overwrite").parquet(s"$dir/factstream")
+      Seq((1L, "a"), (2L, "b")).toDF("d1k", "g1")
+        .write.mode("overwrite").parquet(s"$dir/d1")
+      Seq((10L, "x"), (20L, "y")).toDF("d2k", "g2")
+        .write.mode("overwrite").parquet(s"$dir/d2")
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val d1s = ss.read.parquet(s"$dir/d1")
+      val d2s = ss.read.parquet(s"$dir/d2")
+      val sdimsS = Seq(d1s -> Seq("k1" -> "d1k"), d2s -> Seq("k2" -> "d2k"))
+      val schema = ss.read.parquet(s"$dir/factstream").schema
+      var state: DataFrame = null
+      var nBatches = 0
+      val q = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/factstream")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            nBatches += 1
+            val delta = Rollup.materializeStar(batch, sdimsS,
+                Seq("g1", "g2"), Seq("m"))
+              .localCheckpoint(true).transform(Checkpoints.track)
+            state = (if (state == null) delta
+                     else Rollup.merge(state, delta, Seq("g1", "g2"),
+                       Seq("m")).localCheckpoint(true)
+                       .transform(Checkpoints.track))
+          }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      assert(nBatches >= 3, s"expected 3+ micro-batches, saw $nBatches")
+      state.write.mode("overwrite").parquet(s"$dir/star")
+      val fact = spark.read.parquet(s"$dir/factstream")
+      def sdims = Seq(
+        spark.read.parquet(s"$dir/d1") -> Seq("k1" -> "d1k"),
+        spark.read.parquet(s"$dir/d2") -> Seq("k2" -> "d2k"))
+      assert(spark.read.parquet(s"$dir/star").collect().map(_.toSeq).toSet ==
+        Rollup.materializeStar(fact, sdims, Seq("g1", "g2"), Seq("m"))
+          .collect().map(_.toSeq).toSet,
+        "stream-folded star must equal the one-shot materialization")
+      RollupRewrite.registerStar(fact, sdims,
+        spark.read.parquet(s"$dir/star"), Seq("g1", "g2"), Seq("m"))
+      RollupRewrite.enable(spark)
+      val dash = fact
+        .join(spark.read.parquet(s"$dir/d1"), col("k1") === col("d1k"))
+        .join(spark.read.parquet(s"$dir/d2"), col("k2") === col("d2k"))
+        .groupBy("g1", "g2").agg(sum("m").as("s"))
+      assert(scanPaths(dash).forall(_.contains("/star")) &&
+        dash.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.isEmpty,
+        s"dashboard must ride the stream-maintained star join-free: ${scanPaths(dash)}")
+      assert(dash.collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2))).toSet ==
+        Set(("a", "x", 6L), ("a", "y", 6L), ("b", "x", 7L),
+          ("b", "y", 102L)))
+    } finally {
+      RollupRewrite.disable(spark)
+      RollupRewrite.clear()
+      graft.plan.Checkpoints.release()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("compactParquetTrash: the shipped compaction op leaves every summary refreshable — full-compaction degenerate folds (r14)") {
     val dir = java.nio.file.Files.createTempDirectory("compact_fold").toString
     try {

@@ -164,7 +164,21 @@ object QualityFilter {
     val nTrain = lb.count()
     require(nTrain > 0, "trainLogistic needs a non-empty labeled slice " +
       "(the learning-rate schedule divides by the train-slice size)")
+    // Size the persisted frame's partitioning to the TRAIN-SLICE SIZE
+    // before caching: the feature join inherits the hash-aggregate's
+    // session-wide shuffle width, AQE cannot re-partition a cached plan
+    // (canChangeCachedPlanOutputPartitioning is off), and every epoch
+    // then re-pays one near-empty task per cached partition — measured
+    // as ~0.4 s/epoch of pure task-launch overhead on a 150k-row frame.
+    // ~50k docs/partition ≈ 2M feature rows ≈ tens of MB; coalesce is a
+    // narrow dependency (the tokenize/hash map side keeps its
+    // parallelism, only the post-shuffle reduce side merges) and the
+    // training arithmetic is partitioning-invariant by design (exact
+    // BIGINT sums — see the object scaladoc), so the weights are
+    // bit-identical.
+    val epochParts = math.max(1L, nTrain / 50000L).toInt
     val ft = features.join(lb, Seq("doc_id"))
+      .coalesce(epochParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val w = Array.fill(buckets + 1)(0L)

@@ -128,42 +128,59 @@ object RollupVersioned {
       }.toDF("kind", "key", "num"))
   }
 
-  private def layoutOf(meta: DataFrame): Layout = {
-    def cols(kind: String): Seq[String] = meta
-      .filter(col("kind") === kind).orderBy("num")
-      .select("key").collect().map(_.getString(0)).toSeq
-    Layout(cols("grain"), cols("measure"), cols("distinct"), 64, cols("hist"))
+  /** Driver-local (kind, key, num) rows of ONE version's meta — the meta
+    * table is metadata-bounded by contract, and collecting it ONCE per
+    * maintenance/serve op replaces the ~7 filter+collect Spark jobs the
+    * per-field readers used to schedule (each a full plan+schedule round
+    * trip on a tiny table; measured as a dominant driver-gap component of
+    * the versioned gates). */
+  private final case class MetaL(rows: Seq[(String, String, Double)]) {
+    def keysOf(kind: String): Seq[String] = rows.iterator
+      .filter(_._1 == kind).toSeq.sortBy(_._3).map(_._2)
+    def keySetOf(kind: String): Set[String] =
+      rows.iterator.filter(_._1 == kind).map(_._2).toSet
   }
 
-  private def sketchKOf(meta: DataFrame): Int =
-    meta.filter(col("kind") === "stat" && col("key") === "sketch_k")
-      .select("num").collect().headOption.map(_.getDouble(0).toInt)
-      .getOrElse(64)
+  private def localMeta(meta: DataFrame): MetaL =
+    MetaL(meta.select("kind", "key", "num").collect().toSeq.map(r =>
+      (r.getString(0), if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))))
 
-  private def baseEntriesOf(meta: DataFrame): Set[String] =
-    meta.filter(col("kind") === "basefile")
-      .select("key").collect().map(_.getString(0)).toSet
+  private def readMetaL(spark: SparkSession, root: String,
+                        version: Option[Int] = None): MetaL =
+    localMeta(version.fold(
+      Snapshots.readLatest(spark, VersionedPool.metaDir(root)))(
+      v => Snapshots.readVersion(spark, VersionedPool.metaDir(root), v)))
 
-  private def metaDimCount(meta: DataFrame): Int = {
-    val kinds = meta.filter(col("kind").startsWith("key"))
-      .select("kind").distinct().collect().map(_.getString(0))
+  private def layoutOf(meta: MetaL): Layout =
+    Layout(meta.keysOf("grain"), meta.keysOf("measure"),
+      meta.keysOf("distinct"), 64, meta.keysOf("hist"))
+
+  private def sketchKOf(meta: MetaL): Int =
+    meta.rows.collectFirst {
+      case ("stat", "sketch_k", n) => n.toInt }.getOrElse(64)
+
+  private def baseEntriesOf(meta: MetaL): Set[String] =
+    meta.keySetOf("basefile")
+
+  private def metaDimCount(meta: MetaL): Int = {
+    val kinds = meta.rows.iterator.map(_._1)
+      .filter(_.startsWith("key")).toSeq.distinct
     if (kinds.isEmpty) 0
-    else if (kinds.sameElements(Array("key"))) 1
+    else if (kinds == Seq("key")) 1
     else kinds.map(_.stripPrefix("key").toInt).max + 1
   }
 
-  private def metaKeysOf(meta: DataFrame, n: Int, i: Int)
+  private def metaKeysOf(meta: MetaL, n: Int, i: Int)
       : Seq[(String, String)] =
-    meta.filter(col("kind") === keyKind(n, i)).orderBy("num")
-      .select("key").collect().map(_.getString(0)).toSeq.map { kv =>
-        val Array(f, d) = kv.split(":", 2)
-        decName(f) -> decName(d)
-      }
+    meta.keysOf(keyKind(n, i)).map { kv =>
+      val Array(f, d) = kv.split(":", 2)
+      decName(f) -> decName(d)
+    }
 
-  private def metaDimEntriesOf(meta: DataFrame, n: Int, i: Int)
+  private def metaDimEntriesOf(meta: MetaL, n: Int, i: Int)
       : Set[String] =
-    meta.filter(col("kind") === dimKind(n, i))
-      .select("key").collect().map(_.getString(0)).toSet
+    meta.keySetOf(dimKind(n, i))
 
   // ---------------------------------------------------------------------
   // shared frame plumbing
@@ -254,7 +271,7 @@ object RollupVersioned {
 
   private def sideState(spark: SparkSession, root: String,
       fact: DataFrame, dims: Dims): Option[SideState] = {
-    val meta = Snapshots.readLatest(spark, VersionedPool.metaDir(root))
+    val meta = readMetaL(spark, root)
     val n = metaDimCount(meta)
     require(dims.size == n, s"expected $n dims, got ${dims.size}")
     val layout = layoutOf(meta)
@@ -484,9 +501,7 @@ object RollupVersioned {
     * explicit reads of exactly the manifests the version aggregated. */
   private def asOfState(spark: SparkSession, root: String,
       version: Option[Int]): (Layout, Int, DataFrame, Dims) = {
-    val meta = version.fold(
-      Snapshots.readLatest(spark, VersionedPool.metaDir(root)))(
-      v => Snapshots.readVersion(spark, VersionedPool.metaDir(root), v))
+    val meta = readMetaL(spark, root, version)
     val n = metaDimCount(meta)
     val asOfFact = spark.read.parquet(filesOf(baseEntriesOf(meta)): _*)
     val asOfDims = (0 until n).map { i =>
@@ -548,11 +563,7 @@ object RollupVersioned {
     * immutable pool batch, serving-stable while maintenance publishes. */
   def summaryOf(spark: SparkSession, root: String,
                 version: Option[Int]): DataFrame = {
-    val meta = version.fold(
-      Snapshots.readLatest(spark, VersionedPool.metaDir(root)))(
-      v => Snapshots.readVersion(spark, VersionedPool.metaDir(root), v))
-    val batches = meta.filter(col("kind") === "batch")
-      .select("key").collect().map(_.getString(0)).sorted
+    val batches = readMetaL(spark, root, version).keysOf("batch").sorted
     spark.read.parquet(batches.map(VersionedPool.poolPath(root, _)).toIndexedSeq: _*)
   }
 
@@ -604,8 +615,7 @@ object RollupVersioned {
     * column. Old versions stay readable and pinnable. */
   def refreshAppendedJoined(spark: SparkSession, root: String,
                             fact: DataFrame, dim: DataFrame): Option[Int] = {
-    val keys = metaKeysOf(
-      Snapshots.readLatest(spark, VersionedPool.metaDir(root)), 1, 0)
+    val keys = metaKeysOf(readMetaL(spark, root), 1, 0)
     refreshAppendedCore(spark, root, fact, Seq(dim -> keys))
   }
 
@@ -623,8 +633,7 @@ object RollupVersioned {
   def refreshRemovedJoined(spark: SparkSession, root: String,
                            fact: DataFrame, dim: DataFrame,
                            trashDirs: Seq[String]): Option[Int] = {
-    val keys = metaKeysOf(
-      Snapshots.readLatest(spark, VersionedPool.metaDir(root)), 1, 0)
+    val keys = metaKeysOf(readMetaL(spark, root), 1, 0)
     refreshRemovedCore(spark, root, fact, Seq(dim -> keys), trashDirs)
   }
 
@@ -635,8 +644,7 @@ object RollupVersioned {
   def refreshMixedJoined(spark: SparkSession, root: String,
                          fact: DataFrame, dim: DataFrame,
                          trashDirs: Seq[String]): Option[Int] = {
-    val keys = metaKeysOf(
-      Snapshots.readLatest(spark, VersionedPool.metaDir(root)), 1, 0)
+    val keys = metaKeysOf(readMetaL(spark, root), 1, 0)
     refreshMixedCore(spark, root, fact, Seq(dim -> keys), trashDirs)
   }
 

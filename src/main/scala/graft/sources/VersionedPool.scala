@@ -70,7 +70,14 @@ object VersionedPool {
       col(idCol)))
     val meta = (extraRows.toSeq ++ tsRows.toSeq)
       .foldLeft(batchRows.unionByName(statRows))(_.unionByName(_))
-    Snapshots.publish(spark, metaDir(root), meta)
+    // ONE manifest file per version (the Iceberg/Delta shape): the local
+    // batch/stat relations otherwise parallelize to defaultParallelism
+    // slices and the union writes ~35 near-empty files per publish
+    // (measured) — every subsequent meta read then pays the full listing
+    // + footer + per-file task cost. Meta is metadata-bounded by contract
+    // (manifest + stats + vocab/tombstone rows), so a single file stays
+    // small at any corpus scale.
+    Snapshots.publish(spark, metaDir(root), meta.coalesce(1))
   }
 
   /** One resolved version: manifest, stats, the raw meta frame (for the
@@ -85,11 +92,14 @@ object VersionedPool {
            version: Option[Int] = None): Resolved = {
     val meta = version.fold(Snapshots.readLatest(spark, metaDir(root)))(
       v => Snapshots.readVersion(spark, metaDir(root), v))
-    val batches = meta.filter(col("kind") === "batch")
-      .select("key").collect().map(_.getString(0)).sorted.toSeq
-    val stats = meta.filter(col("kind") === "stat")
-      .select("key", "num").collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // batches + stats in ONE collect (both metadata-bounded kinds; the
+    // tombstone/extra kinds can be big and stay distributed)
+    val bs = meta.filter(col("kind") === "batch" || col("kind") === "stat")
+      .select("kind", "key", "num").collect()
+    val batches = bs.filter(_.getString(0) == "batch")
+      .map(_.getString(1)).sorted.toSeq
+    val stats = bs.filter(_.getString(0) == "stat")
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
     val ts = if (stats.getOrElse("has_tombstones", 0.0) == 0.0) None
       else Some(meta.filter(col("kind") === "tombstone").select(idCol))
     val pool = spark.read.parquet(batches.map(poolPath(root, _)).toIndexedSeq: _*)

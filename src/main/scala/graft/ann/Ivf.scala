@@ -190,6 +190,11 @@ object Ivf {
     val model = load(spark, modelPath)
     assign(newRows.filter(col(vecCol).isNotNull), vecCol, model)
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("cell"))
+      // REBALANCE before the write: assignment runs at full parallelism,
+      // the batch lands in adaptively-sized files instead of one file per
+      // compute partition (near-empty at small batch sizes; every serve
+      // pays a task per file otherwise)
+      .hint("rebalance")
       .write.mode("append").parquet(indexPath)
   }
 
@@ -291,6 +296,7 @@ object Ivf {
       val tmp = new org.apache.hadoop.fs.Path(dst.getParent, s".tmp_${dst.getName}")
       val old = new org.apache.hadoop.fs.Path(dst.getParent, s".old_${dst.getName}")
       spark.read.parquet(indexPath).join(ts, Seq("nid"), "left_anti")
+        .hint("rebalance") // compaction exists to fix file layout — size it
         .write.mode("overwrite").parquet(tmp.toString)
       fs.delete(old, true) // leftover from a previous crash
       if (!fs.rename(dst, old))

@@ -57,7 +57,11 @@ object IvfVersioned {
     val batch = VersionedPool.nextBatch(spark, root)
     val assigned = Ivf.assign(src, vecCol, model)
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("cell"))
-    assigned.write.mode("overwrite")
+    // REBALANCE before the write (guide-style): the assignment runs at
+    // full parallelism, but an un-shuffled write would land one file per
+    // compute partition — ~32 near-empty files per batch locally, every
+    // serve then paying a task per file. AQE sizes the output adaptively.
+    assigned.hint("rebalance").write.mode("overwrite")
       .parquet(VersionedPool.poolPath(root, batch))
     publishMeta(spark, root, Seq(batch), None, assigned.schema("nid").dataType)
   }
@@ -97,6 +101,7 @@ object IvfVersioned {
     val batch = VersionedPool.nextBatch(spark, root)
     Ivf.assign(src, vecCol, model(spark, root))
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("cell"))
+      .hint("rebalance") // adaptive output sizing, see init
       .write.mode("overwrite").parquet(VersionedPool.poolPath(root, batch))
     publishMeta(spark, root, VersionedPool.manifestOf(spark, root) :+ batch,
       cur.tombstones, cur.index.schema("nid").dataType)
@@ -132,7 +137,8 @@ object IvfVersioned {
     val live = cur.tombstones.foldLeft(cur.index)(
       (p, ts) => p.join(ts, Seq("nid"), "left_anti"))
     val batch = VersionedPool.nextBatch(spark, root)
-    live.write.mode("overwrite").parquet(VersionedPool.poolPath(root, batch))
+    live.hint("rebalance") // adaptive output sizing, see init
+      .write.mode("overwrite").parquet(VersionedPool.poolPath(root, batch))
     publishMeta(spark, root, Seq(batch), None, cur.index.schema("nid").dataType)
   }
 

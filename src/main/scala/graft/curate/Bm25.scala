@@ -67,12 +67,28 @@ object Bm25 {
       Index(empty, 0.0, 1.0) // avgdl unused at nDocs = 0; 1.0 avoids 0/0
     } else {
       val dfs = tfs.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-      // same term partitioning as the tf groupBy — co-partitioned join
-      val enriched = tfs.join(dfs, Seq("term")).localCheckpoint(true).transform(graft.plan.Checkpoints.track)
+      // same term partitioning as the tf groupBy — co-partitioned join.
+      // Coalesce the materialized postings to a CORPUS-SIZED partition
+      // count (nDocs is already known): the groupBy inherits the
+      // session-wide shuffle width, the checkpoint freezes it, and every
+      // later scoring job then pays one near-empty task per partition
+      // (measured ~0.4-1.2 s/job of task-launch overhead on small
+      // corpora). ~50k docs/partition ≈ 2M posting rows; narrow
+      // dependency, so the tokenize/shuffle parallelism is unchanged.
+      val parts = postingsParts(statsRow.getDouble(0))
+      val enriched = tfs.join(dfs, Seq("term")).coalesce(parts)
+        .localCheckpoint(true).transform(graft.plan.Checkpoints.track)
       tfs.unpersist()
       Index(enriched, statsRow.getDouble(0), statsRow.getDouble(1))
     }
   }
+
+  /** Scale-adaptive partition count for materialized postings/df frames:
+    * one partition per ~50k docs (≈2M posting rows at typical term
+    * density), at least 1 — derived from the data, never from the local
+    * core count (guide §2: partition counts must scale with input). */
+  private def postingsParts(nDocs: Double): Int =
+    math.max(1L, (nDocs / 50000.0).toLong).toInt
 
   /** Persist an index: postings as a parquet table, stats as a 1-row
     * sidecar. Doubles round-trip parquet exactly, so a loaded index
@@ -225,11 +241,19 @@ object Bm25 {
         IncIndex(empty,
           empty.select(col("term"), lit(0.0).as("df")).localCheckpoint(true).transform(graft.plan.Checkpoints.track),
           0.0, 0.0)
-      } else IncIndex(
-        tfs.localCheckpoint(true).transform(graft.plan.Checkpoints.track),
-        tfs.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-          .localCheckpoint(true).transform(graft.plan.Checkpoints.track),
-        statsRow.getDouble(0), statsRow.getDouble(1))
+      } else {
+        // corpus-sized partitioning before the checkpoints (see
+        // [[buildIndex]]): the cached groupBy keeps the session shuffle
+        // width otherwise, and serving/appending then pays a task per
+        // near-empty partition on every job
+        val parts = postingsParts(statsRow.getDouble(0))
+        IncIndex(
+          tfs.coalesce(parts).localCheckpoint(true).transform(graft.plan.Checkpoints.track),
+          tfs.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+            .coalesce(parts)
+            .localCheckpoint(true).transform(graft.plan.Checkpoints.track),
+          statsRow.getDouble(0), statsRow.getDouble(1))
+      }
     tfs.unpersist()
     out
   }

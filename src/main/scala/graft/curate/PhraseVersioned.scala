@@ -40,7 +40,8 @@ object PhraseVersioned {
     VersionedPool.requireFresh(spark, root)
     val batch = VersionedPool.nextBatch(spark, root)
     val postings = Phrase.positionalPostings(docs, docId, docText)
-    postings.write.mode("overwrite").parquet(VersionedPool.poolPath(root, batch))
+    postings.hint("rebalance") // adaptive output sizing (see IvfVersioned)
+      .write.mode("overwrite").parquet(VersionedPool.poolPath(root, batch))
     publish(spark, root, Seq(batch), None,
       postings.schema("doc_id").dataType)
   }
@@ -72,7 +73,8 @@ object PhraseVersioned {
              docId: String, docText: String): Int = {
     val batch = VersionedPool.nextBatch(spark, root)
     val postings = Phrase.positionalPostings(newDocs, docId, docText)
-    postings.write.mode("overwrite").parquet(VersionedPool.poolPath(root, batch))
+    postings.hint("rebalance") // adaptive output sizing (see IvfVersioned)
+      .write.mode("overwrite").parquet(VersionedPool.poolPath(root, batch))
     val cur = VersionedPool.load(spark, root, "doc_id")
     publish(spark, root,
       VersionedPool.manifestOf(spark, root) :+ batch, cur.tombstones,
@@ -110,7 +112,8 @@ object PhraseVersioned {
     val live = cur.tombstones.foldLeft(cur.pool)(
       (p, ts) => p.join(ts, Seq("doc_id"), "left_anti"))
     val batch = VersionedPool.nextBatch(spark, root)
-    live.write.mode("overwrite").parquet(VersionedPool.poolPath(root, batch))
+    live.hint("rebalance") // adaptive output sizing
+      .write.mode("overwrite").parquet(VersionedPool.poolPath(root, batch))
     publish(spark, root, Seq(batch), None,
       cur.pool.schema("doc_id").dataType)
   }

@@ -20,6 +20,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -43,6 +44,26 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val calibrationSec = calibrate()
+    // PARALLEL calibration (r14): the single-threaded loop cannot see
+    // host-level CPU steal/throttling that only bites wide parallel
+    // stages — measured this round: calibration_sec 0.38 (healthy) while
+    // a 32-way version of the same loop ran 1.64× its ideal and
+    // /proc/stat showed 22% steal, inflating the battery ~30%. The ratio
+    // calibration_par_sec / calibration_sec ≈ 1 on honest hardware;
+    // well above 1 means wide stages are being throttled and the numbers
+    // are not baseline-comparable even at low loadavg.
+    val calibrationParSec = {
+      val n = cpus.toInt
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { _ => new Thread(() => calibrate()) }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    def stealJiffies(): Long =
+      try scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(-1L)
+      catch { case _: Throwable => -1L }
+    val steal0 = stealJiffies()
     val loadavg =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
@@ -155,10 +176,21 @@ object Bench {
     //  3. the same full JSON written whole to a file;
     //  4. the SHORT line again LAST — a tail-keeping capture always ends
     //     with a parseable total.
+    // battery-wide steal share: jiffies stolen by the host during the
+    // run over total cpu-time capacity (cpus × wall, in USER_HZ=100)
+    val stealPct = {
+      val s1 = stealJiffies()
+      if (steal0 < 0 || s1 < 0) -1.0
+      else {
+        val wallJiffies = (System.nanoTime() - benchT0) / 1e7 * cpus.toInt
+        if (wallJiffies <= 0) -1.0
+        else math.round((s1 - steal0) / wallJiffies * 10000) / 100.0
+      }
+    }
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec,"contended":$contended}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec,"calibration_par_sec":$calibrationParSec,"steal_pct":$stealPct,"contended":$contended}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec,"contended":$contended,"resampled":$resJson,"persisted_rdds":$leakJson,"errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec,"calibration_par_sec":$calibrationParSec,"steal_pct":$stealPct,"contended":$contended,"resampled":$resJson,"persisted_rdds":$leakJson,"errors":$errJson}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))

@@ -29,9 +29,22 @@ object Dedup {
     * ([[graft.plan.Partitions]]) — never by executing the plan. */
   private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (graft.plan.Partitions.estimateInputPartitions(df) * 2 < target)
-      df.repartition(target)
-    else df
+    if (graft.plan.Partitions.estimateInputPartitions(df) * 2 < target) {
+      // Data-derived width, not the raw core count (r14, guide §2):
+      // one task per ~4 MB of estimated input keeps compute-heavy
+      // kernels (tokenize/minhash/assign) at 0.05–0.3 s/task, capped at
+      // the session parallelism — so big inputs still fan out to every
+      // core while a small corpus stops paying ~32 near-empty task
+      // launches per job (measured ~0.25–0.4 s/job of pure overhead at
+      // sf0.1). Plans without a usable size estimate report huge
+      // sizeInBytes and keep the full-width behavior. Every caller's
+      // kernel is partitioning-invariant by contract.
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val byBytes =
+        if (bytes > BigInt(Long.MaxValue) / 2) target.toLong
+        else (bytes / (4L << 20)).toLong + 1L
+      df.repartition(math.max(2L, math.min(target.toLong, byBytes)).toInt)
+    } else df
   }
 
   /** Eager materialization for CORPUS-SIZED multi-consumer frames.

@@ -1137,8 +1137,15 @@ object Queries {
   def q74CmsEstimate(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.expressions.CountMinAgg.{countMin, estimate}
     val d = 4; val w = 512
-    val toks = tbl(s, dir, "documents")
-      .filter(length(trim(col("text"))) > 0)
+    // The single-file documents scan arrives as ONE partition, so both
+    // consumers (sketch + exact top-20) ran their tokenize+partial-agg
+    // single-task (profiled 1.28 s of a 1-task job at sf0.1 — guide §2.3
+    // stragglers). Scatter the text rows first: the repartition exchange
+    // is an identical subtree under both consumers, so ReuseExchange
+    // tokenizes once, at data-derived width. Grid adds and counts are
+    // partitioning-invariant.
+    val toks = graft.dedup.Dedup.ensureParallelism(
+        tbl(s, dir, "documents").filter(length(trim(col("text"))) > 0))
       .select(explode(T.tokens(col("text"))).as("tok"))
     val grid = toks.agg(countMin(col("tok"), d, w).as("cms"))
     val top = toks.groupBy("tok").agg(count(lit(1)).as("n"))
@@ -1504,8 +1511,17 @@ object Queries {
     * compact-forward bound; the oracle enumerates each triangle once in
     * plain id order — identical triangle set either way. */
   def q98TriangleCounts(s: SparkSession, dir: String): DataFrame = {
+    // explicit co-partitioning at the session shuffle width (r14): the
+    // basket self-join EXPLODES (Σ n_o² pairs from small inputs), and
+    // AQE's coalescing — which sizes by map-output bytes — cannot see
+    // the blowup, so it serialized the pair generation + distinct into
+    // ~3 tasks (measured 1.8 s of a 3-task stage). An explicit
+    // numPartitions is AQE-exempt; conf-derived, so it scales with the
+    // deployment rather than the local core count.
+    val nShuf = s.sessionState.conf.numShufflePartitions
     val li = tbl(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .repartition(nShuf, col("o"))
     val e = li.as("x").join(li.as("y"),
         col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
       .select(col("x.p").as("src"), col("y.p").as("dst"))

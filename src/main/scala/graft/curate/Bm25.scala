@@ -47,7 +47,14 @@ object Bm25 {
     * empty/all-blank corpus yields an empty index (nDocs = 0), which
     * scores to an empty result downstream. */
   def buildIndex(docs: DataFrame, docId: String, docText: String): Index = {
-    val corpus = docs
+    // Hash-scatter BY doc id at data-derived width before tokenizing
+    // (r14, guide §2.3): a single-file corpus otherwise runs the whole
+    // tokenize+explode+partial-agg stage as ONE task, and the keyed
+    // scatter also lets the (doc_id, dl, term) groupBy ride the
+    // partitioning with no further exchange — one shuffle total, now
+    // placed BELOW the tokenizer. No-op for already-wide inputs.
+    val corpus = graft.dedup.Dedup
+      .ensureParallelism(docs, Seq(col(docId)))
       .select(col(docId).as("doc_id"), T.tokens(col(docText)).as("__toks"))
       .filter(size(col("__toks")) > 0)
     val tfs = corpus
@@ -224,7 +231,9 @@ object Bm25 {
   /** Build the maintainable index: same one corpus pass as
     * [[buildIndex]], df kept separate. */
   def buildIncIndex(docs: DataFrame, docId: String, docText: String): IncIndex = {
-    val corpus = docs
+    // keyed scatter below the tokenizer — see [[buildIndex]]
+    val corpus = graft.dedup.Dedup
+      .ensureParallelism(docs, Seq(col(docId)))
       .select(col(docId).as("doc_id"), T.tokens(col(docText)).as("__toks"))
       .filter(size(col("__toks")) > 0)
     val tfs = corpus

@@ -25,7 +25,11 @@ object Phrase {
     * whitespace-token index. Persist this frame (or write it as a table)
     * to serve many phrase queries from one corpus pass. */
   def positionalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), posexplode(T.tokens(col(textCol))).as(Seq("pos", "term")))
+    // scatter below the tokenizer (r14, guide §2.3): a single-file corpus
+    // otherwise posexplodes as ONE task; no-op for already-wide inputs,
+    // and a pure projection above — partitioning-invariant
+    graft.dedup.Dedup.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"), posexplode(T.tokens(col(textCol))).as(Seq("pos", "term")))
 
   /** Occurrence counts per document for each phrase: (phrase, doc_id,
     * n_occurrences), only documents with ≥1 occurrence. `postings` is a

@@ -27,7 +27,9 @@ object Dedup {
     * are plentiful (any real at-scale input) this is a no-op — no shuffle
     * is added. Parallelism is estimated from plan metadata
     * ([[graft.plan.Partitions]]) — never by executing the plan. */
-  private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
+  private[graft] def ensureParallelism(
+      df: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (graft.plan.Partitions.estimateInputPartitions(df) * 2 < target) {
       // Data-derived width, not the raw core count (r14, guide §2):
@@ -39,11 +41,19 @@ object Dedup {
       // sf0.1). Plans without a usable size estimate report huge
       // sizeInBytes and keep the full-width behavior. Every caller's
       // kernel is partitioning-invariant by contract.
+      //
+      // `keys`: optional hash-scatter columns. A downstream groupBy whose
+      // grouping set is a SUPERSET of the keys then rides this
+      // partitioning with no further exchange (HashPartitioning satisfies
+      // ClusteredDistribution when its expressions are a subset of the
+      // clustering), so the scatter replaces — not adds to — the
+      // aggregation shuffle (the r14 BM25-build shape).
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
       val byBytes =
         if (bytes > BigInt(Long.MaxValue) / 2) target.toLong
         else (bytes / (4L << 20)).toLong + 1L
-      df.repartition(math.max(2L, math.min(target.toLong, byBytes)).toInt)
+      val n = math.max(2L, math.min(target.toLong, byBytes)).toInt
+      if (keys.isEmpty) df.repartition(n) else df.repartition(n, keys: _*)
     } else df
   }
 

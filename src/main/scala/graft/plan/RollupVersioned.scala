@@ -146,11 +146,29 @@ object RollupVersioned {
       (r.getString(0), if (r.isNullAt(1)) null else r.getString(1),
         if (r.isNullAt(2)) Double.NaN else r.getDouble(2))))
 
+  /** MetaL memo keyed by immutable (metaDir, version) (r14): a committed
+    * version's meta rows never change, and one maintenance/serve op reads
+    * the same version's meta several times — each a plan+collect Spark
+    * job round trip (19 per versioned-AJI gate, measured). Metadata-sized
+    * rows only (layout + manifest); pool row data never enters. */
+  private val metaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, MetaL]()
+
   private def readMetaL(spark: SparkSession, root: String,
-                        version: Option[Int] = None): MetaL =
-    localMeta(version.fold(
-      Snapshots.readLatest(spark, VersionedPool.metaDir(root)))(
-      v => Snapshots.readVersion(spark, VersionedPool.metaDir(root), v)))
+                        version: Option[Int] = None): MetaL = {
+    val dir = VersionedPool.metaDir(root)
+    val v = version.getOrElse(Snapshots.latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $dir")))
+    val key = s"$dir#v=$v"
+    val cached = metaMemo.get(key)
+    if (cached != null) cached
+    else {
+      val m = localMeta(Snapshots.readVersion(spark, dir, v))
+      if (metaMemo.size > 1024) metaMemo.clear() // bound the memo
+      metaMemo.putIfAbsent(key, m)
+      m
+    }
+  }
 
   private def layoutOf(meta: MetaL): Layout =
     Layout(meta.keysOf("grain"), meta.keysOf("measure"),

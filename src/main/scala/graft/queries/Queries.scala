@@ -4437,6 +4437,38 @@ object Queries {
     dst.getAbsolutePath
   }
 
+  /** [[writeNamedSlice]] for a whole MODULAR slicing in ONE Spark job
+    * (r14, guide §6): rows are tagged `tag` (must evaluate to the keys of
+    * `names`), a single task writes every partition dir in one input
+    * pass, and each `__slice=<i>` file moves to `baseDir/<names(i)>.parquet`.
+    * partitionBy STRIPS the added tag column, so every file carries
+    * exactly `df`'s columns with exactly the rows the per-slice
+    * writeNamedSlice calls wrote — the file→rows replay contract the
+    * delete gates rely on is unchanged; only the job count drops (one
+    * write job instead of one per slice). An empty slice falls back to a
+    * per-slice empty write so the named file still exists. */
+  private def writeNamedSlices(df: DataFrame, tag: org.apache.spark.sql.Column,
+                               baseDir: String,
+                               names: Map[Int, String]): Map[Int, String] = {
+    val st = java.nio.file.Files.createTempDirectory("slices").toString
+    df.withColumn("__slice", tag.cast("int"))
+      .filter(col("__slice").isin(names.keys.toSeq: _*))
+      .coalesce(1).write.partitionBy("__slice").mode("overwrite").parquet(st)
+    val out = names.map { case (i, nm) =>
+      val pdir = new java.io.File(s"$st/__slice=$i")
+      if (pdir.exists && pdir.listFiles().exists(_.getName.endsWith(".parquet"))) {
+        val part = pdir.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$baseDir/$nm.parquet")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        i -> dst.getAbsolutePath
+      } else
+        i -> writeNamedSlice(df.filter(tag.cast("int") === i), baseDir, nm)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(st))
+    out
+  }
+
   /** DELETE-AWARE SUMMARY REFRESH ([[graft.plan.RollupRewrite
     * .refreshStale]]'s retraction path — VERDICT r11 #2): files deleted
     * from a registered base through the safe-delete protocol
@@ -4456,10 +4488,9 @@ object Queries {
     val orders = tbl(s, dir, "orders")
     val tmpRoot = java.nio.file.Files.createTempDirectory("q194_retract")
       .toFile.getAbsolutePath
-    val slicePaths = (0 until 6).map { sl =>
-      writeNamedSlice(orders.filter(col("o_orderkey") % 6 === sl),
-        s"$tmpRoot/base", s"s$sl")
-    }
+    val sliceMap = writeNamedSlices(orders, col("o_orderkey") % 6,
+      s"$tmpRoot/base", (0 until 6).map(sl => sl -> s"s$sl").toMap)
+    val slicePaths = (0 until 6).map(sliceMap)
     val base0 = s.read.parquet(s"$tmpRoot/base")
     graft.plan.Rollup.materialize(base0, Seq("o_orderstatus"),
         Seq("o_custkey"))
@@ -4526,10 +4557,8 @@ object Queries {
     val orders = tbl(s, dir, "orders")
     val tmpRoot = java.nio.file.Files.createTempDirectory("q198_comp")
       .toFile.getAbsolutePath
-    (0 until 3).foreach { sl =>
-      writeNamedSlice(orders.filter(col("o_orderkey") % 4 === sl),
-        s"$tmpRoot/base", s"s$sl")
-    }
+    writeNamedSlices(orders, col("o_orderkey") % 4,
+      s"$tmpRoot/base", (0 until 3).map(sl => sl -> s"s$sl").toMap)
     val base0 = s.read.parquet(s"$tmpRoot/base")
     val coarseG = Seq("o_orderstatus")
     val fineG = Seq("o_orderstatus", "o_orderpriority")
@@ -4607,14 +4636,10 @@ object Queries {
     val customer = tbl(s, dir, "customer")
     val tmpRoot = java.nio.file.Files.createTempDirectory("q199_cubenav")
       .toFile.getAbsolutePath
-    (0 until 3).foreach { sl =>
-      writeNamedSlice(orders.filter(col("o_orderkey") % 4 === sl),
-        s"$tmpRoot/fact", s"s$sl")
-    }
-    (0 until 2).foreach { sl =>
-      writeNamedSlice(customer.filter(col("c_custkey") % 3 === sl),
-        s"$tmpRoot/dim", s"s$sl")
-    }
+    writeNamedSlices(orders, col("o_orderkey") % 4,
+      s"$tmpRoot/fact", (0 until 3).map(sl => sl -> s"s$sl").toMap)
+    writeNamedSlices(customer, col("c_custkey") % 3,
+      s"$tmpRoot/dim", (0 until 2).map(sl => sl -> s"s$sl").toMap)
     val fact0 = s.read.parquet(s"$tmpRoot/fact")
     val dim0 = s.read.parquet(s"$tmpRoot/dim")
     graft.plan.Rollup.materialize(fact0, Seq("o_custkey"), Seq("o_orderkey"))
@@ -4700,10 +4725,8 @@ object Queries {
     val orders = tbl(s, dir, "orders")
     val tmpRoot = java.nio.file.Files.createTempDirectory("q200_hist")
       .toFile.getAbsolutePath
-    (0 until 3).foreach { sl =>
-      writeNamedSlice(orders.filter(col("o_orderkey") % 4 === sl),
-        s"$tmpRoot/base", s"s$sl")
-    }
+    writeNamedSlices(orders, col("o_orderkey") % 4,
+      s"$tmpRoot/base", (0 until 3).map(sl => sl -> s"s$sl").toMap)
     val base0 = s.read.parquet(s"$tmpRoot/base")
     graft.plan.Rollup.materialize(base0, Seq("o_orderstatus"), Nil,
         histCols = Seq("o_custkey"))
@@ -4851,10 +4874,9 @@ object Queries {
     val orders = tbl(s, dir, "orders")
     val tmpRoot = java.nio.file.Files.createTempDirectory("q202_maint")
       .toFile.getAbsolutePath
-    val slicePaths = (0 until 3).map { sl =>
-      writeNamedSlice(orders.filter(col("o_orderkey") % 4 === sl),
-        s"$tmpRoot/base", s"s$sl")
-    }
+    val sliceMap = writeNamedSlices(orders, col("o_orderkey") % 4,
+      s"$tmpRoot/base", (0 until 3).map(sl => sl -> s"s$sl").toMap)
+    val slicePaths = (0 until 3).map(sliceMap)
     val base0 = s.read.parquet(s"$tmpRoot/base")
     R.enable(s)
     R.startWorkloadCapture()
@@ -5007,16 +5029,12 @@ object Queries {
     val R = graft.plan.RollupRewrite
     val tmpRoot = java.nio.file.Files.createTempDirectory("q204_aji_maint")
       .toFile.getAbsolutePath
-    (0 until 3).foreach { sl =>
-      writeNamedSlice(tbl(s, dir, "orders")
-        .filter(col("o_orderkey") % 4 === sl), s"$tmpRoot/fact", s"s$sl")
-    }
+    writeNamedSlices(tbl(s, dir, "orders"), col("o_orderkey") % 4,
+      s"$tmpRoot/fact", (0 until 3).map(sl => sl -> s"s$sl").toMap)
     // two named dim slices: the removal leg below must leave the dim
     // base readable (a one-file dim would empty the dir)
-    (0 until 2).foreach { sl =>
-      writeNamedSlice(tbl(s, dir, "customer")
-        .filter(col("c_custkey") % 2 === sl), s"$tmpRoot/dim", s"c$sl")
-    }
+    writeNamedSlices(tbl(s, dir, "customer"), col("c_custkey") % 2,
+      s"$tmpRoot/dim", (0 until 2).map(sl => sl -> s"c$sl").toMap)
     val fact0 = s.read.parquet(s"$tmpRoot/fact")
     val dim0 = s.read.parquet(s"$tmpRoot/dim")
     graft.plan.Rollup.materializeJoined(fact0, dim0,
@@ -5093,10 +5111,8 @@ object Queries {
     val R = graft.plan.RollupRewrite
     val tmpRoot = java.nio.file.Files.createTempDirectory("q205_aji_comp")
       .toFile.getAbsolutePath
-    (0 until 3).foreach { sl =>
-      writeNamedSlice(tbl(s, dir, "orders")
-        .filter(col("o_orderkey") % 4 === sl), s"$tmpRoot/fact", s"s$sl")
-    }
+    writeNamedSlices(tbl(s, dir, "orders"), col("o_orderkey") % 4,
+      s"$tmpRoot/fact", (0 until 3).map(sl => sl -> s"s$sl").toMap)
     tbl(s, dir, "customer").write.mode("overwrite").parquet(s"$tmpRoot/dim")
     val fact0 = s.read.parquet(s"$tmpRoot/fact")
     val dim0 = s.read.parquet(s"$tmpRoot/dim")
@@ -5180,10 +5196,8 @@ object Queries {
     val R = graft.plan.RollupRewrite
     val tmpRoot = java.nio.file.Files.createTempDirectory("q206_aji_dim")
       .toFile.getAbsolutePath
-    (0 until 3).foreach { sl =>
-      writeNamedSlice(tbl(s, dir, "orders")
-        .filter(col("o_orderkey") % 4 === sl), s"$tmpRoot/fact", s"s$sl")
-    }
+    writeNamedSlices(tbl(s, dir, "orders"), col("o_orderkey") % 4,
+      s"$tmpRoot/fact", (0 until 3).map(sl => sl -> s"s$sl").toMap)
     writeNamedSlice(tbl(s, dir, "customer")
       .filter(col("c_custkey") % 3 =!= 1), s"$tmpRoot/dim", "c0")
     val fact0 = s.read.parquet(s"$tmpRoot/fact")
@@ -5429,10 +5443,8 @@ object Queries {
     val R = graft.plan.RollupRewrite
     val tmpRoot = java.nio.file.Files.createTempDirectory("q209_aji_persist")
       .toFile.getAbsolutePath
-    (0 until 3).foreach { sl =>
-      writeNamedSlice(tbl(s, dir, "orders")
-        .filter(col("o_orderkey") % 4 === sl), s"$tmpRoot/fact", s"s$sl")
-    }
+    writeNamedSlices(tbl(s, dir, "orders"), col("o_orderkey") % 4,
+      s"$tmpRoot/fact", (0 until 3).map(sl => sl -> s"s$sl").toMap)
     tbl(s, dir, "customer").write.mode("overwrite").parquet(s"$tmpRoot/dim")
     val fact0 = s.read.parquet(s"$tmpRoot/fact")
     val dim0 = s.read.parquet(s"$tmpRoot/dim")
@@ -5511,10 +5523,8 @@ object Queries {
     val R = graft.plan.RollupRewrite
     val tmpRoot = java.nio.file.Files.createTempDirectory("q210_star")
       .toFile.getAbsolutePath
-    (0 until 3).foreach { sl =>
-      writeNamedSlice(tbl(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 4 === sl), s"$tmpRoot/fact", s"s$sl")
-    }
+    writeNamedSlices(tbl(s, dir, "lineitem"), col("l_orderkey") % 4,
+      s"$tmpRoot/fact", (0 until 3).map(sl => sl -> s"s$sl").toMap)
     tbl(s, dir, "part").write.mode("overwrite").parquet(s"$tmpRoot/d1")
     tbl(s, dir, "supplier").write.mode("overwrite").parquet(s"$tmpRoot/d2")
     val fact0 = s.read.parquet(s"$tmpRoot/fact")
@@ -5706,10 +5716,8 @@ object Queries {
     val R = graft.plan.RollupRewrite
     val tmpRoot = java.nio.file.Files.createTempDirectory("q212_star_dim")
       .toFile.getAbsolutePath
-    (0 until 3).foreach { sl =>
-      writeNamedSlice(tbl(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 4 === sl), s"$tmpRoot/fact", s"s$sl")
-    }
+    writeNamedSlices(tbl(s, dir, "lineitem"), col("l_orderkey") % 4,
+      s"$tmpRoot/fact", (0 until 3).map(sl => sl -> s"s$sl").toMap)
     tbl(s, dir, "part").write.mode("overwrite").parquet(s"$tmpRoot/d1")
     writeNamedSlice(tbl(s, dir, "supplier")
       .filter(col("s_suppkey") % 3 =!= 1), s"$tmpRoot/d2", "c0")
@@ -5891,10 +5899,8 @@ object Queries {
     val tmpRoot = java.nio.file.Files.createTempDirectory("q214_vsum")
       .toFile.getAbsolutePath
     val root = s"$tmpRoot/vsum"
-    (0 until 2).foreach { sl =>
-      writeNamedSlice(tbl(s, dir, "orders")
-        .filter(col("o_orderkey") % 3 === sl), s"$tmpRoot/base", s"s$sl")
-    }
+    writeNamedSlices(tbl(s, dir, "orders"), col("o_orderkey") % 3,
+      s"$tmpRoot/base", (0 until 2).map(sl => sl -> s"s$sl").toMap)
     val v1 = RV.init(s, root, s.read.parquet(s"$tmpRoot/base"),
       RV.Layout(Seq("o_orderstatus"), Seq("o_orderkey")))
     R.enable(s)
@@ -5984,11 +5990,9 @@ object Queries {
     val tmpRoot = java.nio.file.Files.createTempDirectory("q219_vaji")
       .toFile.getAbsolutePath
     val root = s"$tmpRoot/vaji"
-    (0 until 2).foreach { sl =>
-      writeNamedSlice(tbl(s, dir, "orders")
-        .select("o_orderkey", "o_custkey")
-        .filter(col("o_orderkey") % 3 === sl), s"$tmpRoot/fact", s"s$sl")
-    }
+    writeNamedSlices(tbl(s, dir, "orders").select("o_orderkey", "o_custkey"),
+      col("o_orderkey") % 3,
+      s"$tmpRoot/fact", (0 until 2).map(sl => sl -> s"s$sl").toMap)
     writeNamedSlice(tbl(s, dir, "customer")
       .select("c_custkey", "c_mktsegment")
       .filter(col("c_custkey") % 2 === 0), s"$tmpRoot/dim", "c0")
@@ -6091,11 +6095,10 @@ object Queries {
     val tmpRoot = java.nio.file.Files.createTempDirectory("q220_vstar")
       .toFile.getAbsolutePath
     val root = s"$tmpRoot/vstar"
-    (0 until 2).foreach { sl =>
-      writeNamedSlice(tbl(s, dir, "lineitem")
-        .select("l_partkey", "l_suppkey", "l_orderkey")
-        .filter(col("l_orderkey") % 3 === sl), s"$tmpRoot/fact", s"s$sl")
-    }
+    writeNamedSlices(
+      tbl(s, dir, "lineitem").select("l_partkey", "l_suppkey", "l_orderkey"),
+      col("l_orderkey") % 3,
+      s"$tmpRoot/fact", (0 until 2).map(sl => sl -> s"s$sl").toMap)
     tbl(s, dir, "part").select("p_partkey", "p_brand")
       .write.mode("overwrite").parquet(s"$tmpRoot/d1")
     writeNamedSlice(tbl(s, dir, "supplier")
@@ -6192,15 +6195,13 @@ object Queries {
       .toFile.getAbsolutePath
     // leg `partial`: registered base = orders with o_orderkey % 7 <> 3,
     // six named slices keyed % 6; the % 7 = 3 rows arrive later
-    val slicePaths = (0 until 6).map { sl =>
-      writeNamedSlice(orders.filter(col("o_orderkey") % 7 =!= 3 &&
-        col("o_orderkey") % 6 === sl), s"$tmpRoot/base1", s"s$sl")
-    }
+    val sliceMap = writeNamedSlices(
+      orders.filter(col("o_orderkey") % 7 =!= 3), col("o_orderkey") % 6,
+      s"$tmpRoot/base1", (0 until 6).map(sl => sl -> s"s$sl").toMap)
+    val slicePaths = (0 until 6).map(sliceMap)
     // leg `full`: the whole orders table in five named slices keyed % 5
-    (0 until 5).foreach { sl =>
-      writeNamedSlice(orders.filter(col("o_orderkey") % 5 === sl),
-        s"$tmpRoot/base2", s"p$sl")
-    }
+    writeNamedSlices(orders, col("o_orderkey") % 5,
+      s"$tmpRoot/base2", (0 until 5).map(sl => sl -> s"p$sl").toMap)
     val base1 = s.read.parquet(s"$tmpRoot/base1")
     val base2 = s.read.parquet(s"$tmpRoot/base2")
     graft.plan.Rollup.materialize(base1, Seq("o_orderstatus"),
@@ -6553,10 +6554,10 @@ object Queries {
     val orders = tbl(s, dir, "orders")
     // ---- plain leg: base = orders % 7 <> 3 in six slices keyed % 6
     val rootP = s"$tmpRoot/vp"
-    val slicePaths = (0 until 6).map { sl =>
-      writeNamedSlice(orders.filter(col("o_orderkey") % 7 =!= 3 &&
-        col("o_orderkey") % 6 === sl), s"$tmpRoot/pbase", s"s$sl")
-    }
+    val sliceMap = writeNamedSlices(
+      orders.filter(col("o_orderkey") % 7 =!= 3), col("o_orderkey") % 6,
+      s"$tmpRoot/pbase", (0 until 6).map(sl => sl -> s"s$sl").toMap)
+    val slicePaths = (0 until 6).map(sliceMap)
     val v1p = RV.init(s, rootP, s.read.parquet(s"$tmpRoot/pbase"),
       RV.Layout(Seq("o_orderstatus"), Seq("o_custkey")))
     R.enable(s)
@@ -6596,12 +6597,10 @@ object Queries {
         s"$tmpRoot/li", "f0")
       writeNamedSlice(tbl(s, dir, "part").select("p_partkey"),
         s"$tmpRoot/pt", "p0")
-      writeNamedSlice(tbl(s, dir, "supplier")
-        .select("s_suppkey", "s_nationkey")
-        .filter(col("s_suppkey") % 2 === 0), s"$tmpRoot/sup", "s0")
-      val odd = writeNamedSlice(tbl(s, dir, "supplier")
-        .select("s_suppkey", "s_nationkey")
-        .filter(col("s_suppkey") % 2 === 1), s"$tmpRoot/sup", "s1")
+      val odd = writeNamedSlices(
+        tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("s_suppkey") % 2,
+        s"$tmpRoot/sup", Map(0 -> "s0", 1 -> "s1"))(1)
       def sdims = Seq(
         s.read.parquet(s"$tmpRoot/pt") -> Seq("l_partkey" -> "p_partkey"),
         s.read.parquet(s"$tmpRoot/sup") -> Seq("l_suppkey" -> "s_suppkey"))
@@ -6676,14 +6675,10 @@ object Queries {
     val orders = tbl(s, dir, "orders")
     val customer = tbl(s, dir, "customer")
     // ---- leg aji: orders(%3<2 registered) ⋈ customer(even ∪ odd)
-    (0 until 2).foreach { sl =>
-      writeNamedSlice(orders.filter(col("o_orderkey") % 3 === sl),
-        s"$tmpRoot/ofact", s"o$sl")
-    }
-    writeNamedSlice(customer.filter(col("c_custkey") % 2 === 0),
-      s"$tmpRoot/cdim", "c0")
-    val c1 = writeNamedSlice(customer.filter(col("c_custkey") % 2 === 1),
-      s"$tmpRoot/cdim", "c1")
+    writeNamedSlices(orders, col("o_orderkey") % 3,
+      s"$tmpRoot/ofact", (0 until 2).map(sl => sl -> s"o$sl").toMap)
+    val c1 = writeNamedSlices(customer, col("c_custkey") % 2,
+      s"$tmpRoot/cdim", Map(0 -> "c0", 1 -> "c1"))(1)
     val fact0 = s.read.parquet(s"$tmpRoot/ofact")
     val dim0 = s.read.parquet(s"$tmpRoot/cdim")
     graft.plan.Rollup.materializeJoined(fact0, dim0,
@@ -6729,12 +6724,10 @@ object Queries {
         .filter(col("l_orderkey") % 2 === 0), s"$tmpRoot/li", "l0")
       writeNamedSlice(tbl(s, dir, "part").select("p_partkey"),
         s"$tmpRoot/pt", "p0")
-      writeNamedSlice(tbl(s, dir, "supplier")
-        .select("s_suppkey", "s_nationkey")
-        .filter(col("s_suppkey") % 2 === 0), s"$tmpRoot/sup", "s0")
-      val s1 = writeNamedSlice(tbl(s, dir, "supplier")
-        .select("s_suppkey", "s_nationkey")
-        .filter(col("s_suppkey") % 2 === 1), s"$tmpRoot/sup", "s1")
+      val s1 = writeNamedSlices(
+        tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("s_suppkey") % 2,
+        s"$tmpRoot/sup", Map(0 -> "s0", 1 -> "s1"))(1)
       val li0 = s.read.parquet(s"$tmpRoot/li")
       def sdims0 = Seq(
         s.read.parquet(s"$tmpRoot/pt") -> Seq("l_partkey" -> "p_partkey"),
@@ -7013,10 +7006,10 @@ object Queries {
     R.enable(s)
     try {
       // ---- leg `aji`: FACT-slice delete under orders ⋈ customer
-      val factSlices = (0 until 6).map { sl =>
-        writeNamedSlice(tbl(s, dir, "orders")
-          .filter(col("o_orderkey") % 6 === sl), s"$tmpRoot/fact", s"s$sl")
-      }
+      val factMap = writeNamedSlices(tbl(s, dir, "orders"),
+        col("o_orderkey") % 6,
+        s"$tmpRoot/fact", (0 until 6).map(sl => sl -> s"s$sl").toMap)
+      val factSlices = (0 until 6).map(factMap)
       tbl(s, dir, "customer").select("c_custkey", "c_mktsegment")
         .write.mode("overwrite").parquet(s"$tmpRoot/dim")
       val fact0 = s.read.parquet(s"$tmpRoot/fact")
@@ -7047,11 +7040,11 @@ object Queries {
         .write.mode("overwrite").parquet(s"$tmpRoot/sfact")
       tbl(s, dir, "part").select("p_partkey", "p_brand")
         .write.mode("overwrite").parquet(s"$tmpRoot/d1")
-      val suppSlices = (0 until 5).map { sl =>
-        writeNamedSlice(tbl(s, dir, "supplier")
-          .select("s_suppkey", "s_nationkey")
-          .filter(col("s_suppkey") % 5 === sl), s"$tmpRoot/d2", s"c$sl")
-      }
+      val suppMap = writeNamedSlices(
+        tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("s_suppkey") % 5,
+        s"$tmpRoot/d2", (0 until 5).map(sl => sl -> s"c$sl").toMap)
+      val suppSlices = (0 until 5).map(suppMap)
       val sfact = s.read.parquet(s"$tmpRoot/sfact")
       def dims = Seq(
         s.read.parquet(s"$tmpRoot/d1") -> Seq("l_partkey" -> "p_partkey"),
@@ -7117,11 +7110,10 @@ object Queries {
     R.enable(s)
     try {
       // ---- AJI: (month(o_orderdate), c_mktsegment) over orders ⋈ customer
-      (0 until 3).foreach { sl =>
-        writeNamedSlice(tbl(s, dir, "orders")
-          .select("o_orderkey", "o_custkey", "o_orderdate")
-          .filter(col("o_orderkey") % 4 === sl), s"$tmpRoot/fact", s"s$sl")
-      }
+      writeNamedSlices(
+        tbl(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("o_orderkey") % 4,
+        s"$tmpRoot/fact", (0 until 3).map(sl => sl -> s"s$sl").toMap)
       tbl(s, dir, "customer").select("c_custkey", "c_mktsegment")
         .write.mode("overwrite").parquet(s"$tmpRoot/dim")
       val dim = s.read.parquet(s"$tmpRoot/dim")

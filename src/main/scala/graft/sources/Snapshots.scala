@@ -65,12 +65,31 @@ object Snapshots {
     }
   }
 
+  /** Schema memo keyed by immutable version directory (r14, guide §7.3
+    * driver overhead): a committed version's files never change (the
+    * publish contract — writers only ever create NEW `v=` dirs), so its
+    * parquet schema is a constant; without the memo EVERY
+    * `spark.read.parquet` of a version pays a 1-task footer-inference
+    * JOB, and the versioned-index/summary gates schedule 20+ such jobs
+    * per lifecycle (measured as a dominant driver-gap component).
+    * Metadata only — row data is never cached; the existence `require`
+    * in [[readVersion]] still guards vacuumed versions. */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   /** Read a pinned version — time travel. */
   def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
     val (f, root) = fs(spark, dir)
     val p = versionDir(root, v)
     require(f.exists(p), s"snapshot version $v does not exist under $dir")
-    spark.read.parquet(p.toString)
+    val cached = schemaMemo.get(p.toString)
+    if (cached != null) spark.read.schema(cached).parquet(p.toString)
+    else {
+      val df = spark.read.parquet(p.toString)
+      if (schemaMemo.size > 1024) schemaMemo.clear() // bound the memo
+      schemaMemo.putIfAbsent(p.toString, df.schema)
+      df
+    }
   }
 
   /** Read the committed version (resolved ONCE, here — the returned frame

@@ -91,13 +91,26 @@ object Bench {
     // node counting for two rounds (r7 discovery, PERF.md). toRdd drives
     // the query exactly as written (AQE included) and produces every
     // output row, which is what a real consumer pays.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, (Double, Int)] = {
+    // Per-SAMPLE steal share (r14): battery-wide steal_pct averages away a
+    // steal burst that lands on one query's window — r14e read q98 at
+    // 19 s with battery steal 1.04% while the same code profiled 5.9–9 s
+    // in every standalone window. Each timed sample records the host
+    // steal share of ITS OWN window so a per-query outlier carries its
+    // adjudication label with it ("steal_windows" in the JSON, additive).
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, (Double, Int, Double)] = {
+      val st0 = stealJiffies()
       val t0 = System.nanoTime()
       val res =
         try { fn(spark, sfDir).queryExecution.toRdd.count(); Right((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
+      val stealQ = {
+        val s1 = stealJiffies()
+        val wallJ = (System.nanoTime() - t0) / 1e7 * cpus.toInt
+        if (st0 < 0 || s1 < 0 || wallJ <= 0) -1.0
+        else math.round((s1 - st0) / wallJ * 10000) / 100.0
+      }
       // clear between measurements so library persists (LSH signatures etc.)
       // don't leak across queries; the explicit GC lets the ContextCleaner
       // reap accumulated broadcasts/shuffle files NOW instead of mid-query —
@@ -115,7 +128,7 @@ object Bench {
       val leaked = spark.sparkContext.getPersistentRDDs
       leaked.values.foreach(_.unpersist(blocking = true))
       System.gc()
-      res.map(t => (t, leaked.size))
+      res.map(t => (t, leaked.size, stealQ))
     }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -125,6 +138,9 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val leaks = scala.collection.mutable.LinkedHashMap[String, Int]()
+    // steal share of the window the REPORTED (min) sample ran in, for
+    // queries where it exceeded 2% — the per-query adjudication label
+    val stealWindows = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -132,25 +148,27 @@ object Bench {
       // disagree >3x (scheduler/GC interference), take up to two more.
       val samples = List(timeOnce(fn), timeOnce(fn))
       samples.collectFirst { case Left(e) => e }.foreach(errors(name) = _)
-      var ok = samples.collect { case Right((s, _)) => s }
+      var ok = samples.collect { case Right((s, _, st)) => (s, st) }
       // leak telemetry covers EVERY run, resamples included — a query
       // that leaks only on its slow contended runs is exactly the case
       // the persisted_rdds field exists to attribute (r10 review)
-      var leak = samples.collect { case Right((_, n)) => n }
+      var leak = samples.collect { case Right((_, n, _)) => n }
         .maxOption.getOrElse(0)
-      if (ok.size == 2 && ok.max / math.max(ok.min, 1e-9) > 3.0) {
+      if (ok.size == 2 && ok.map(_._1).max / math.max(ok.map(_._1).min, 1e-9) > 3.0) {
         resampled += name
         var extra = 0
-        while (extra < 2 && ok.max / math.max(ok.min, 1e-9) > 3.0) {
+        while (extra < 2 && ok.map(_._1).max / math.max(ok.map(_._1).min, 1e-9) > 3.0) {
           timeOnce(fn) match {
-            case Right((s, n)) => ok = ok :+ s; leak = math.max(leak, n)
+            case Right((s, n, st)) => ok = ok :+ (s, st); leak = math.max(leak, n)
             case Left(e)       => errors(name) = e // flaky failure counts as failure
           }
           extra += 1
         }
       }
       if (leak > 0) leaks(name) = leak
-      val best = if (ok.isEmpty) -1.0 else ok.min
+      val best = if (ok.isEmpty) -1.0 else ok.map(_._1).min
+      ok.find(_._1 == best).map(_._2).filter(_ > 2.0)
+        .foreach(stealWindows(name) = _)
       name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -164,6 +182,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val resJson = resampled.map("\"" + _ + "\"").mkString("[", ",", "]")
     val leakJson = leaks.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val stealWinJson = stealWindows.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Truncation-proof evidence (VERDICT r4 task 2, r5 task 8): BENCH_r04
@@ -190,7 +210,7 @@ object Bench {
     val shortLine =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec,"calibration_par_sec":$calibrationParSec,"steal_pct":$stealPct,"contended":$contended}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec,"calibration_par_sec":$calibrationParSec,"steal_pct":$stealPct,"contended":$contended,"resampled":$resJson,"persisted_rdds":$leakJson,"errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavg,"calibration_sec":$calibrationSec,"calibration_par_sec":$calibrationParSec,"steal_pct":$stealPct,"contended":$contended,"resampled":$resJson,"persisted_rdds":$leakJson,"steal_windows":$stealWinJson,"errors":$errJson}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))

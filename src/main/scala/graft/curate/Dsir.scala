@@ -45,7 +45,13 @@ object Dsir {
     val toks = col("__t")
     val bigrams = when(size(toks) >= 2, SimilarityExpressions.wordShingles(toks, 2))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("__id"), T.tokens(col(textCol)).as("__t"))
+    // scatter below the tokenizer (r14, guide §2.3): a single-file corpus
+    // otherwise tokenizes+explodes as ONE task (measured 1.1 s serial in
+    // q153's fit pass). Keyless — the fitting path calls this with a
+    // CONSTANT id, which a keyed scatter would collapse to one partition.
+    // Bucket histograms and per-doc sums are partitioning-invariant.
+    graft.dedup.Dedup.ensureParallelism(df)
+      .select(col(idCol).as("__id"), T.tokens(col(textCol)).as("__t"))
       .select(col("__id"), explode(concat(toks, bigrams)).as("__g"))
       .select(col("__id"),
         pmod(Curate.portableHash60(col("__g")), lit(buckets.toLong)).as("bucket"))

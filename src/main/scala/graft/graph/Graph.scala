@@ -258,8 +258,13 @@ object Graph {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val smallEdges = und.count() <= broadcastMaxEdges // also warms the cache
+    // node-sized, THREE consumers (two orientation joins + the node
+    // spine): persist, or each consumer re-runs the explode+groupBy over
+    // the edge cache — the profiler read 3 × ~1 s of identical
+    // broadcast-build jobs at sf0.1 (r14, guide §2.4: share one pass)
     val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withDeg = und
       .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
@@ -273,10 +278,20 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // forward adjacency; distinct oriented edges ⇒ distinct elements
     val adj0 = oriented.groupBy(col("u")).agg(collect_list(col("v")).as("__n"))
+    // small regime: persist before the size probe — the count plus the
+    // TWO broadcast builds below otherwise each re-run the adjacency
+    // groupBy (r14, guide §2.4). Big regime: no count, no persist — the
+    // shuffled plan consumes adj0 where it stands.
+    val adjCached = if (smallEdges)
+      Some(adj0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else None
     // the tail count is one aggregation over the cached edges — cheap
     // relative to guessing the regime wrong in either direction
-    val adj = if (smallEdges && adj0.count() <= broadcastMaxAdjRows)
-      broadcast(adj0) else adj0
+    val adj = adjCached match {
+      case Some(c) if c.count() <= broadcastMaxAdjRows => broadcast(c)
+      case Some(c) => c
+      case None => adj0
+    }
     val tri = oriented
       .join(adj.select(col("u"), col("__n").as("__nu")), Seq("u"))
       .join(adj.select(col("u").as("v"), col("__n").as("__nv")), Seq("v"))
@@ -292,6 +307,8 @@ object Graph {
       .localCheckpoint(true)) // node-sized; materializes through the caches
     und.unpersist()
     oriented.unpersist()
+    deg.unpersist()
+    adjCached.foreach(_.unpersist())
     out
   }
 

@@ -368,7 +368,8 @@ object Queries {
     val pma = s.sql("select pm.*, a.cust_id, a.acc_type from q27_pm pm join q27_account a on pm.acc_id = a.acc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pma.createOrReplaceTempView("q27_pma")
-    val out = s.sql("""
+    val nShuf = s.sessionState.conf.numShufflePartitions
+    val out = s.sql(s"""
       with cte_transaction_revenue as (
           select transaction_date, cust_id,
               count(trans_id) as cust_no_transaction_daily,
@@ -388,6 +389,19 @@ object Queries {
               sum(amount) as account_daily_spending
           from q27_pma
           group by transaction_date, cust_id, acc_id, acc_type
+      ),
+      -- a1 probe-side scatter (r14, guide §2.2): every join in the final
+      -- select is a BroadcastHashJoin probing a1, so a1's post-AQE width
+      -- (3 tasks — coalescing sizes by the aggregate's small map output)
+      -- carries into the cust_id fan-out join, which EXPLODES inside
+      -- those tasks. An EXPLICIT partition count is AQE-exempt
+      -- (numberless REPARTITION hints are re-coalesced — measured); the
+      -- width is interpolated from the session conf, so it scales with
+      -- the deployment. A separate wrapper CTE keeps the hint out of the
+      -- a2 window subtree, which does not need it. Rows unchanged.
+      cte_account_payment_summary_wide as (
+          select /*+ REPARTITION($nShuf, transaction_date, cust_id) */ *
+          from cte_account_payment_summary
       ),
       cte_account_accum_revenue as (
           select transaction_date, cust_id, acc_id, account_daily_spending,
@@ -414,7 +428,7 @@ object Queries {
           array_join(c1.cust_daily_payment_type, '|') as cust_daily_payment_type,
           round(c2.cust_accum_spending, 4) as cust_accum_spending,
           round(c3.cust_avgerage_daily_spending, 4) as cust_avgerage_daily_spending
-      from cte_account_payment_summary a1
+      from cte_account_payment_summary_wide a1
           join cte_account_accum_revenue a2 on a1.transaction_date = a2.transaction_date and a1.cust_id = a2.cust_id and a1.acc_id = a2.acc_id
           join cte_transaction_revenue c1 on a1.transaction_date = c1.transaction_date and a1.cust_id = c1.cust_id
           join cte_cust_accum_revenue c2 on c1.cust_id = c2.cust_id
@@ -4451,9 +4465,15 @@ object Queries {
                                baseDir: String,
                                names: Map[Int, String]): Map[Int, String] = {
     val st = java.nio.file.Files.createTempDirectory("slices").toString
+    // hash-repartition BY the slice tag (r14): all rows of one slice land
+    // in ONE task (⇒ still exactly one file per partition dir — the move
+    // below relies on that), but different slices write in parallel;
+    // coalesce(1) serialized the whole-lineitem slicings into a ~1 s
+    // single-task write (q210/q211 profile)
     df.withColumn("__slice", tag.cast("int"))
       .filter(col("__slice").isin(names.keys.toSeq: _*))
-      .coalesce(1).write.partitionBy("__slice").mode("overwrite").parquet(st)
+      .repartition(math.max(names.size, 1), col("__slice"))
+      .write.partitionBy("__slice").mode("overwrite").parquet(st)
     val out = names.map { case (i, nm) =>
       val pdir = new java.io.File(s"$st/__slice=$i")
       if (pdir.exists && pdir.listFiles().exists(_.getName.endsWith(".parquet"))) {

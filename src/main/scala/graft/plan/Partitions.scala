@@ -79,6 +79,16 @@ object Partitions {
     val parallel = spark.sparkContext.defaultParallelism
     val leafCounts = plan.collectLeaves().map {
       case l: LocalRelation => math.min(math.max(l.data.length, 1), parallel)
+      // Range executes at numSlices (default: defaultParallelism) — it is
+      // ALREADY wide. Routing it through the byte-split math below reads
+      // its 8-bytes/row stats as "3 partitions" and a downstream
+      // ensureParallelism then SHRINKS a 32-wide generated corpus to the
+      // (garbage for generated text) byte-derived width — measured 7× on
+      // the bm25-1m rehearsal (r14).
+      case r: Range =>
+        val slices = r.numSlices.getOrElse(parallel)
+        math.min(r.numElements.min(BigInt(Int.MaxValue)).toInt
+          max 1, slices)
       case r: LogicalRDD => r.rdd.getNumPartitions
       case e: org.apache.spark.sql.execution.ExternalRDD[_] => e.rdd.getNumPartitions
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
